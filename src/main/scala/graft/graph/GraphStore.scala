@@ -1,0 +1,103 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rules.{EdgeColumns, VertexClassifierRule}
+
+/** Parquet-backed edge store — the engine's system of record for edges,
+  * replacing the reference's per-edge JanusGraph/HBase transactional sink
+  * (the dominant cost in every published benchmark; BASELINE.md).
+  *
+  * The reference itself designates the Spark-side intermediate copy as the
+  * read path for edge computation ("Option 4", docs/LoadAlgorithm.md:119-158);
+  * we promote it to first-class storage.
+  *
+  * Ref: core/.../processor/EdgeProcessor.scala:84-187.
+  */
+class EdgeStore(spark: SparkSession, basePath: String) {
+
+  /** Matches the reference's writer-parallelism calculation:
+    * `max(count / taskSize + 1, parallelism)`. Ref: EdgeProcessor.scala:141-149
+    * (getParallelism, taskSize default 25000).
+    */
+  def getParallelism(edgeCount: Long, taskSize: Long = 25000, minParallelism: Int = 100): Int =
+    math.max((edgeCount / taskSize + 1).toInt, minParallelism)
+
+  /** Writes one rule's edge set, partitioned by edge label.
+    *
+    * Bidirectionality: the reference writes each edge twice (forward +
+    * reverse, EdgeProcessor.scala:108-138) because JanusGraph adjacency is
+    * directional; relationally we materialize `union(swap(src, dst))` when
+    * `bidirectional = true`, or leave symmetry to query time.
+    *
+    * Scale notes: edges are hash-distributed on `src` before the write —
+    * the same `keyBy(src).partitionBy(HashPartitioner)` layout the reference
+    * uses (EdgeProcessor.scala:170-180) — so downstream per-source reads and
+    * vertex-id joins are co-located. AQE coalesces small shuffle partitions.
+    */
+  def write(
+      edges: DataFrame,
+      label: String,
+      bidirectional: Boolean = false,
+      mode: SaveMode = SaveMode.Append
+  ): Unit = {
+    VertexClassifierRule.validate(edges.schema, label)
+    val oriented =
+      if (bidirectional)
+        edges.union(
+          edges.select(
+            col(EdgeColumns.Dst).as(EdgeColumns.Src),
+            col(EdgeColumns.Src).as(EdgeColumns.Dst),
+            col(EdgeColumns.PropVal)
+          )
+        )
+      else edges
+    oriented
+      .repartition(col(EdgeColumns.Src))
+      .write
+      .mode(mode)
+      .parquet(s"$basePath/label=$label")
+  }
+
+  def read(label: String): DataFrame = spark.read.parquet(s"$basePath/label=$label")
+
+  /** Deletes every edge touching one of the given vertex ids (delete-mode
+    * cleanup, the relational analogue of removing a vertex's incident edges).
+    * Implemented as two broadcast-able anti-joins.
+    */
+  def deleteForVertices(label: String, vertexIds: DataFrame): Unit = {
+    val ids = vertexIds.select(col("id"))
+    val remaining = read(label)
+      .join(broadcast(ids), col(EdgeColumns.Src) === col("id"), "left_anti")
+      .join(broadcast(ids), col(EdgeColumns.Dst) === col("id"), "left_anti")
+    val tmp = s"$basePath/label=$label.tmp"
+    remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$basePath/label=$label")
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}
+
+/** Parquet-backed fixed-vertex (dimension) store with idempotent upsert —
+  * the relational analogue of the reference's skip-if-exists fixed-vertex
+  * loader (VertexProcessor.scala:163-201).
+  */
+class FixedVertexStore(spark: SparkSession, path: String) {
+
+  /** Idempotent load: appends only rows whose id is not already present
+    * (anti-join on id — `MERGE`-style upsert without Delta).
+    */
+  def load(fixedVertices: DataFrame): Unit = {
+    val existing =
+      try spark.read.parquet(path).select("id")
+      catch { case _: org.apache.spark.sql.AnalysisException => null }
+    val toWrite =
+      if (existing == null) fixedVertices
+      else fixedVertices.join(broadcast(existing), Seq("id"), "left_anti")
+    toWrite.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  def read(): DataFrame = spark.read.parquet(path)
+}

@@ -1,0 +1,100 @@
+package graft.ids
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Configuration for the id-manager vertex table.
+  * Ref: common/.../models/Config.scala (IDManagerConfig / JanusGraphConfig).
+  *
+  * @param dataPath        base directory of the managed vertex table
+  * @param tableName       table (sub-directory) name
+  * @param reservedIdSpace ids 1..reservedIdSpace are reserved for fixed
+  *                        vertices; data ids start at reservedIdSpace + 1
+  */
+case class IdManagerConfig(dataPath: String, tableName: String, reservedIdSpace: Long = 200)
+
+/** Loaded + current vertex data after id assignment.
+  * Ref: core/.../services/IDManagerSparkService.scala (VertexData).
+  */
+case class VertexData(loaded: DataFrame, current: DataFrame)
+
+/** Maintains the append-only, id-stamped vertex Parquet table: the engine's
+  * system of record and the source of "loaded" vertices for edge rules.
+  *
+  * Ref: core/.../services/IDManagerSparkService.scala:85-141.
+  *
+  * Scale notes: `fetchID` is a single `max(id)` aggregation — partial
+  * (map-side) max per partition then one scalar to the driver; the only
+  * driver-side collect in the pipeline. The reference re-reads the full
+  * history each run and acknowledges the cost
+  * (IDManagerSparkService.scala:135 TODO); at 100 TB restrict the loaded
+  * side with partition predicates via `readRange` instead.
+  */
+class IdManager(spark: SparkSession, config: IdManagerConfig) {
+
+  private def tablePath: String = s"${config.dataPath}/${config.tableName}"
+
+  /** Reads the accumulated vertex table; on a missing/empty path returns an
+    * empty DataFrame with `id` prepended to the supplied schema.
+    * Ref: IDManagerSparkService.scala:88-100 (readAll).
+    */
+  def readAll(schema: StructType): DataFrame =
+    try {
+      val df = spark.read.parquet(tablePath)
+      if (df.schema.fieldNames.contains("id")) df
+      else emptyWithId(schema)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => emptyWithId(schema)
+    }
+
+  private def emptyWithId(schema: StructType): DataFrame = {
+    val withId = StructType(StructField("id", LongType, nullable = false) +: schema.fields)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withId)
+  }
+
+  /** Last used id: `max(id)` over the table, or `reservedIdSpace` when the
+    * table is empty. Ref: IDManagerSparkService.scala:132-141 (fetchID).
+    */
+  def fetchId(loaded: DataFrame): Long = {
+    val row = loaded.agg(max(col("id"))).head()
+    if (row.isNullAt(0)) config.reservedIdSpace else row.getLong(0)
+  }
+
+  /** Id-stamps the current batch (continuing from the table's max id),
+    * appends it to the vertex table partitioned by year/month/day, and
+    * returns (loaded, current-with-ids).
+    * Ref: IDManagerSparkService.scala:102-130 (process).
+    */
+  def process(df: DataFrame): VertexData = {
+    val loaded   = readAll(df.schema)
+    val lastMax  = fetchId(loaded)
+    val dfWithId = ZipWithIndex.zipWithIndex(df, lastMax)
+    dfWithId.cache()
+    dfWithId.write
+      .format("parquet")
+      .mode(SaveMode.Append)
+      .partitionBy("year", "month", "day")
+      .save(tablePath)
+    VertexData(loaded, dfWithId)
+  }
+
+  /** Deletes the table partitions matching the given (year, month, day)
+    * triples — the delete-mode analogue of `ALTER TABLE DROP PARTITION`.
+    * Ref: PartitionManager.scala:100-112 (deletePartitions), Job.scala:128-133.
+    */
+  def deletePartitions(partitions: Seq[(Int, Int, Int)]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration
+    )
+    // Source data uses zero-padded partition dirs (year=2019/month=02/day=01)
+    // while Spark's partitionBy writes int values unpadded — probe both, as
+    // the reference's padded/unpadded PartitionManager asymmetry requires
+    // (Job.scala:76 vs :123).
+    partitions.foreach { case (y, m, d) =>
+      Seq(f"$tablePath/year=$y/month=$m%02d/day=$d%02d", s"$tablePath/year=$y/month=$m/day=$d")
+        .map(new org.apache.hadoop.fs.Path(_))
+        .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.rules
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Configuration for [[SameValueClassifier]].
+  * Ref: common/.../models/Config.scala (SameValueSimilarityConfig).
+  */
+case class SameValueSimilarityConfig(colsToConnect: List[String])
+
+/** Edge row for the same-value rule: propVal = the matched column's name.
+  * Ref: SameValueClassifier.scala:29.
+  */
+case class SameValueEdge(src: Long, dst: Long, propVal: String)
+
+/** Connects vertices sharing the same value of one or more columns.
+  *
+  * Ref: core/.../processor/edgerules/SameValueClassifier.scala:39-63.
+  * Two edge sources per column, unioned across columns:
+  *  1. intra-batch cliques: all unordered pairs of new vertices with the same
+  *     column value (`combinations(2)` per group);
+  *  2. new×loaded equi-join on the column.
+  *
+  * Scale notes: the intra-batch clique is a `groupByKey.flatMapGroups` — one
+  * shuffle on the column value, matching the reference. Per-group output is
+  * quadratic in group size by *semantics* (a clique), so for 100 TB inputs
+  * the operator's cost is dominated by the largest value-group; AQE skew
+  * handling does not apply inside flatMapGroups, so heavily skewed dedup-type
+  * workloads should prefer [[graft.ops.Dedup]] (star topology: min-id
+  * representative per group, linear output). The new×loaded side is a plain
+  * equi-join: hash/sort-merge, broadcast when loaded is small.
+  */
+class SameValueClassifier(config: SameValueSimilarityConfig) extends VertexClassifierRule {
+
+  // Quirk preserved from the reference (SameValueClassifier.scala:33).
+  override def name: String = "similarityClassifier"
+  override def getEdgeLabel: String = "exactmatch"
+  override def getEdgePropertyKey: String = "propertyname"
+
+  override def classify(loadedDf: DataFrame, df: DataFrame): DataFrame = {
+    implicit val ec: Encoder[SameValueEdge] = Encoders.product[SameValueEdge]
+
+    config.colsToConnect.map { column =>
+      val newVertices = df.select(column, "id")
+
+      // (1) clique edges within the current batch
+      val edgesFromNewVertices = newVertices
+        .groupByKey(r => r.getAs[String](column))(Encoders.STRING)
+        .flatMapGroups { (_, rows) =>
+          rows
+            .map(_.getAs[Long]("id"))
+            .toList
+            .combinations(2)
+            .map(l => SameValueEdge(l(0), l(1), column))
+        }
+        .toDF()
+
+      // (2) new×loaded equi-join on the column value
+      newVertices
+        .join(loadedDf.select(column, "id"), column)
+        .select(
+          df.col("id").as(EdgeColumns.Src),
+          loadedDf.col("id").as(EdgeColumns.Dst),
+          lit(column).as(EdgeColumns.PropVal)
+        )
+        .union(edgesFromNewVertices)
+    }.reduce(_ union _)
+  }
+}

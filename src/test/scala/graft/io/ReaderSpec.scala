@@ -1,0 +1,74 @@
+package graft.io
+
+import java.time.LocalDate
+
+import graft.{Alert, SparkSpec}
+
+class ReaderSpec extends SparkSpec {
+
+  private def writeFixture(): String = {
+    import spark.implicits._
+    val dir = tempDir("reader") + "/data"
+    val day1 = (1 to 5).map(i => Alert.gen(i.toLong, s"obj$i", 0.1, 0.1, 0, 0.5f, "Unknown", None, None))
+    val day2 = (6 to 8).map(i => Alert.gen(i.toLong, s"obj$i", 0.1, 0.1, 0, 0.5f, "AGN", None, None))
+      .map(_.copy(day = 2))
+    (day1 ++ day2).toDF().write.partitionBy("year", "month", "day").parquet(dir)
+    dir
+  }
+
+  test("partition manager generates padded and unpadded paths") {
+    val pm = PartitionManager.forRange("2019-02-01", 2)
+    assert(pm.relativePaths == Seq("year=2019/month=02/day=01", "year=2019/month=02/day=02"))
+    val un = PartitionManager.forRange("2019-02-01", 2, padded = false)
+    assert(un.relativePaths == Seq("year=2019/month=2/day=1", "year=2019/month=2/day=2"))
+  }
+
+  test("read prunes to existing requested partitions only") {
+    val dir = writeFixture()
+    val reader = new PartitionedReader(spark, ReaderConfig(dir))
+    // spark partitionBy writes unpadded int dirs
+    val pm = PartitionManager(LocalDate.of(2019, 2, 1), 1, padded = false)
+    val df = reader.read(pm)
+    assert(df.count() == 5)
+    // missing days are silently skipped as long as one partition exists
+    val pm3 = PartitionManager(LocalDate.of(2019, 2, 1), 7, padded = false)
+    assert(reader.read(pm3).count() == 8)
+  }
+
+  test("read throws NoDataException when no partitions exist") {
+    val dir = writeFixture()
+    val reader = new PartitionedReader(spark, ReaderConfig(dir))
+    val pm = PartitionManager(LocalDate.of(2030, 1, 1), 2, padded = false)
+    assertThrows[NoDataException](reader.read(pm))
+  }
+
+  test("readAndProcess keeps, renames (nested flatten) and derives columns") {
+    val dir = writeFixture()
+    val reader = new PartitionedReader(
+      spark,
+      ReaderConfig(
+        dir,
+        keepCols = List("objectId", "rfscore"),
+        keepColsRenamed = List("candidate.jd" -> "jd", "mulens_class_1" -> "mulens1"),
+        newCols = List("rowkey" -> "objectId || '_' || jd")
+      )
+    )
+    val pm = PartitionManager(LocalDate.of(2019, 2, 1), 1, padded = false)
+    val df = reader.readAndProcess(pm)
+    assert(
+      df.columns.toSeq == Seq("objectId", "rfscore", "jd", "mulens1", "year", "month", "day", "rowkey")
+    )
+    val row = df.where(df("objectId") === "obj1").head()
+    assert(row.getAs[String]("rowkey") == "obj1_0.0")
+  }
+
+  test("partition predicate prunes through the catalog path too") {
+    val dir = writeFixture()
+    val pm  = PartitionManager(LocalDate.of(2019, 2, 2), 1, padded = false)
+    val df  = spark.read.parquet(dir).where(pm.partitionPredicate)
+    assert(df.count() == 3)
+    // the filter must reach the scan as a partition filter, not a post-scan filter
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") || df.inputFiles.length == 1)
+  }
+}
