@@ -1,13 +1,415 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ids.ZipWithIndex
+import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.rules._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the training-data-pipeline operators, each with a
+  * DuckDB-equivalent oracle in [[SparkEntry.oracleSql]] where the semantics
+  * are ANSI-SQL-expressible (xxhash64-based operators get rows-only checks).
+  *
+  * Conventions:
+  *  - every computed column is aliased identically in the Spark plan and the
+  *    oracle SQL (the driver's compare sorts columns by name before hashing);
+  *  - double aggregates are rounded (2 for money sums, 6 for ratios/scores)
+  *    so cross-engine float summation order cannot flip the hash;
+  *  - results with engine-nondeterministic pair orientation (clique edges)
+  *    are canonicalized with least/greatest.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Full reference pipeline shape: dense-id assignment + similarity
+    * self-theta-join (SURVEY.md §2.3 J1, §2.4 A7).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val vertices = ZipWithIndex.zipWithIndex(
+      T(spark, dir, "customer").orderBy("c_custkey").select(col("c_custkey"), col("c_nationkey")),
+      offset = 200
+    )
+    val rule = new SimilarityClassifier(SimilarityConfig("c_nationkey"))
+    rule.classify(vertices.limit(0), vertices)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------------- reference surface
+
+    // S2/P1-P3: projection + rename + SQL-expression derived column
+    "q01_scan_derive" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag").as("flag"))
+        .withColumn("rowkey", expr("l_orderkey || '_' || l_linenumber"))),
+
+    // A-family: hash aggregation with partial (map-side) combine
+    "q02_agg_pricing" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // J2: shuffle/broadcast equi-join + aggregation
+    "q03_join_agg" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))),
+
+    // J4: broadcast dimension joins (3-way star)
+    "q04_join_region" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"))),
+
+    // A1: global max — the IdManager.fetchId aggregation
+    "q05_max_id" -> ((s, dir) =>
+      T(s, dir, "orders").agg(max(col("o_orderkey")).as("max_id"))),
+
+    // §2.5: positional union of identically-shaped projections
+    "q06_union_ids" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_custkey").as("id"), lit("customer").as("kind"))
+        .union(T(s, dir, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("kind")))),
+
+    // J1 + §2.8 DSL: similarity self-theta-join, default null-safe-equality leaf
+    "q07_sim_selfjoin" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+    }),
+
+    // A6: per-leaf similarity counting under an OR expression
+    "q08_sim_or_leaves" -> ((s, dir) => {
+      val v = T(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"), col("s_nationkey"), col("s_acctbal"))
+      new SimilarityClassifier(SimilarityConfig("s_nationkey OR s_acctbal")).classify(v.limit(0), v)
+    }),
+
+    // J3+A4: same-value clique (flatMapGroups) + new×loaded equi-join
+    "q09_samevalue_edges" -> ((s, dir) => {
+      val all = T(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey").cast("string").as("custkey"))
+      val rule  = new SameValueClassifier(SameValueSimilarityConfig(List("custkey")))
+      val edges = rule.classify(all.filter(col("id") % 2 === 0), all.filter(col("id") % 2 === 1))
+      // clique pair orientation depends on row order within a group — canonicalize
+      edges.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"),
+        col("propVal"))
+    }),
+
+    // P8/J4: two-mode catalog exact-match (broadcast literal map)
+    "q10_twomode_catalog" -> ((s, dir) => {
+      val v = T(s, dir, "events").select(col("event_id").as("id"), col("event_type").as("cdsxmatch"))
+      val fixed = List(
+        FixedVertex(11L, "catalog", List(
+          FixedVertexProperty("recipe", "string", "catalog"),
+          FixedVertexProperty("equals", "string", "click"))),
+        FixedVertex(12L, "catalog", List(
+          FixedVertexProperty("recipe", "string", "catalog"),
+          FixedVertexProperty("equals", "string", "view"))))
+      new TwoModeClassifier(TwoModeSimilarityConfig(List("catalog")), fixed).classify(v.limit(0), v)
+    }),
+
+    // P7: two-mode direct row-predicate recipe (asteroids: roid > 1)
+    "q11_twomode_direct" -> ((s, dir) => {
+      val v = T(s, dir, "events")
+        .select(col("event_id").as("id"), floor(col("value") / 100).cast("int").as("roid"))
+      val fixed = List(
+        FixedVertex(21L, "asteroids", List(FixedVertexProperty("recipe", "string", "asteroids"))))
+      new TwoModeClassifier(TwoModeSimilarityConfig(List("asteroids")), fixed).classify(v.limit(0), v)
+    }),
+
+    // A7: dense contiguous id assignment continuing from an offset
+    "q12_dense_ids" -> ((s, dir) =>
+      ZipWithIndex.zipWithIndex(
+        T(s, dir, "supplier").orderBy("s_suppkey").select(col("s_suppkey"), col("s_name")),
+        offset = 200
+      ).select(col("id"), col("s_suppkey"), col("s_name"))),
+
+    // sort + limit (TakeOrderedAndProject — per-partition heaps, k-row merge)
+    "q13_topk_orders" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // time-bucketed aggregation over the events table (ts read as nano-epoch
+    // long — see the nanosAsLong conf in Verify/Bench; integer division keeps
+    // the bucket exact, a double round-trip would lose precision above 2^53)
+    "q14_window_hourly" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))),
+
+    // ranking window function: latest event per user
+    "q15_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id"))
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }),
+
+    // ------------------------------------------------ training-data pipeline ops
+
+    // text analysis: token counts, quality, language id, fingerprint
+    "q16_text_analyze" -> ((s, dir) =>
+      TextAnalysis.analyze(T(s, dir, "documents"))
+        .select("doc_id", "token_count", "punct_ratio", "stopword_ratio",
+          "mean_word_len", "quality_score", "lang_pred", "fingerprint")),
+
+    // exact dedup by content hash
+    "q17_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByHash(T(s, dir, "documents"))),
+
+    // MinHash+LSH near-dup candidates (xxhash64-based — rows-only check)
+    "q18_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(T(s, dir, "documents"), numHashes = 32, bands = 8, verifyThreshold = 0.2)),
+
+    // n-gram Jaccard near-dup pairs via inverted-index join
+    "q19_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), threshold = 0.2)),
+
+    // embedding-cosine near-dup pairs, blocked by label
+    "q20_embed_cosine" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Dedup.embeddingCosinePairs(e, blockCol = "label", threshold = 0.25)
+    }),
+
+    // exact brute-force ANN baseline: global top-k cosine
+    "q21_ann_brute" -> ((s, dir) =>
+      SimilaritySearch.bruteForceTopK(
+        T(s, dir, "embeddings"), SparkEntry.benchQueryVec, k = 20)),
+
+    // LSH-bucketed ANN (xxhash64-derived hyperplanes — rows-only check)
+    "q22_ann_lsh" -> ((s, dir) => {
+      val lsh = SimilaritySearch.RandomHyperplaneLsh(bits = 4, dim = 64)
+      lsh.query(lsh.index(T(s, dir, "embeddings")), SparkEntry.benchQueryVec, k = 10)
+    }),
+
+    // multimodal: binary payload → per-partition batched (stub) decode
+    "q23_mm_decode" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+        T(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        binCol = "payload")),
+
+    // multimodal: frame-sampling explode over (fake) video payloads
+    "q24_mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        T(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        binCol = "payload", everyNth = 10))
+  )
+
+  /** Deterministic 64-dim query vector shared by the ANN queries and their
+    * oracles (`sin(1) .. sin(64)`).
+    */
+  val benchQueryVec: Seq[Double] = Seq.tabulate(64)(i => math.sin(i + 1.0))
+
+  private val stop10 = "'the','a','an','and','or','of','to','in','is','it'"
+
+  /** DuckDB-equivalent SQL per query (same column names; see class docs).
+    * Omitted: q18/q22 (xxhash64-based bucketing has no DuckDB equivalent)
+    * → driver records rows-only checks for those.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_derive" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag AS flag,
+        |       l_orderkey || '_' || l_linenumber AS rowkey
+        |FROM lineitem""".stripMargin,
+
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q04_join_region" ->
+      """SELECT r_name, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q05_max_id" -> "SELECT max(o_orderkey) AS max_id FROM orders",
+
+    "q06_union_ids" ->
+      """SELECT c_custkey AS id, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier""".stripMargin,
+
+    "q07_sim_selfjoin" ->
+      """SELECT a.s_suppkey AS src, b.s_suppkey AS dst, 1 AS "propVal"
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey > b.s_suppkey
+        | AND a.s_nationkey IS NOT DISTINCT FROM b.s_nationkey""".stripMargin,
+
+    "q08_sim_or_leaves" ->
+      """SELECT a.s_suppkey AS src, b.s_suppkey AS dst,
+        |  (CASE WHEN a.s_nationkey IS NOT DISTINCT FROM b.s_nationkey THEN 1 ELSE 0 END
+        |   + CASE WHEN a.s_acctbal IS NOT DISTINCT FROM b.s_acctbal THEN 1 ELSE 0 END) AS "propVal"
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey > b.s_suppkey
+        | AND (a.s_nationkey IS NOT DISTINCT FROM b.s_nationkey
+        |      OR a.s_acctbal IS NOT DISTINCT FROM b.s_acctbal)""".stripMargin,
+
+    "q09_samevalue_edges" ->
+      """SELECT least(a.o_orderkey, b.o_orderkey) AS src,
+        |       greatest(a.o_orderkey, b.o_orderkey) AS dst,
+        |       'custkey' AS "propVal"
+        |FROM orders a JOIN orders b
+        |  ON a.o_orderkey % 2 = 1 AND b.o_orderkey % 2 = 0 AND a.o_custkey = b.o_custkey
+        |UNION ALL
+        |SELECT least(a.o_orderkey, b.o_orderkey) AS src,
+        |       greatest(a.o_orderkey, b.o_orderkey) AS dst,
+        |       'custkey' AS "propVal"
+        |FROM orders a JOIN orders b
+        |  ON a.o_orderkey % 2 = 1 AND b.o_orderkey % 2 = 1
+        | AND a.o_orderkey < b.o_orderkey AND a.o_custkey = b.o_custkey""".stripMargin,
+
+    "q10_twomode_catalog" ->
+      """SELECT event_id AS src,
+        |  CAST(CASE event_type WHEN 'click' THEN 11 WHEN 'view' THEN 12 END AS BIGINT) AS dst,
+        |  CAST(0.0 AS DOUBLE) AS "propVal"
+        |FROM events WHERE event_type IN ('click', 'view')""".stripMargin,
+
+    "q11_twomode_direct" ->
+      """SELECT event_id AS src, CAST(21 AS BIGINT) AS dst, CAST(0.0 AS DOUBLE) AS "propVal"
+        |FROM events WHERE CAST(floor(value / 100) AS INT) > 1""".stripMargin,
+
+    "q12_dense_ids" ->
+      """SELECT 200 + row_number() OVER (ORDER BY s_suppkey) AS id, s_suppkey, s_name
+        |FROM supplier""".stripMargin,
+
+    "q13_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q14_window_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q15_window_rank" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q16_text_analyze" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+         |    length(text) AS n,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) AS npunct
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, text, n,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(toks) AS INT) END AS token_count,
+         |    round(npunct / greatest(n, 1), 6) AS punct_ratio,
+         |    round(CAST(len(list_filter(ltoks, x -> x IN ($stop10))) AS DOUBLE)
+         |          / greatest(len(ltoks), 1), 6) AS stopword_ratio,
+         |    round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |          / greatest(len(toks), 1), 6) AS mean_word_len,
+         |    round(npunct / greatest(n, 1), 10) AS p10,
+         |    round(CAST(len(list_filter(ltoks, x -> x IN ($stop10))) AS DOUBLE)
+         |          / greatest(len(ltoks), 1), 10) AS s10,
+         |    len(list_filter(ltoks, x -> x IN ('the','and','of','is'))) AS s_en,
+         |    len(list_filter(ltoks, x -> x IN ('der','die','und','das'))) AS s_de,
+         |    len(list_filter(ltoks, x -> x IN ('le','la','et','les'))) AS s_fr,
+         |    len(list_filter(ltoks, x -> x IN ('el','los','que','y'))) AS s_es
+         |  FROM base
+         |)
+         |SELECT doc_id, token_count, punct_ratio, stopword_ratio, mean_word_len,
+         |  round((least(n / 500.0, 1.0) + (1.0 - least(p10 * 10.0, 1.0))
+         |         + least(s10 * 5.0, 1.0)) / 3.0, 6) AS quality_score,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+         |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |         ELSE 'es' END
+         |  ELSE 'und' END AS lang_pred,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |FROM m""".stripMargin,
+
+    "q17_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q19_dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), sizes AS (SELECT id, len(sh) AS sz FROM sh),
+        |postings AS (SELECT id, unnest(sh) AS shingle FROM sh),
+        |co AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2""".stripMargin,
+
+    "q20_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v)
+        |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.25""".stripMargin,
+
+    "q21_ann_brute" ->
+      """WITH q AS (SELECT list_transform(range(1, 65), i -> sin(CAST(i AS DOUBLE))) AS qv),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv)
+        |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+        |FROM e, q ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q23_mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CASE (ascii(substr(text, 1, 1)) & 3)
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'webp' ELSE 'raw' END AS format,
+        |  CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(64 + octet_length(encode(text)) % 480 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    "q24_mm_frames" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(unnest(range(0, greatest(CAST(floor(octet_length(encode(text)) / 1024.0) AS INT) - 1, 0) + 1, 10)) AS INT) AS frame_idx
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design notes (the point of each variant):
+  *  - exact: one hash-shuffle on the key; map-side partial agg makes the
+  *    shuffle linear in #distinct keys, not #rows.
+  *  - minhash/simhash LSH: candidate generation is an equi-join on band
+  *    buckets — never a cartesian. Signature computation is pure Column
+  *    expressions (codegen'd), so the only shuffles are the bucket join and
+  *    the final pair dedup.
+  *  - ngram-Jaccard: inverted-index join (explode shingles → co-occurrence
+  *    counts) — the standard linear-in-postings approach; a hot shingle is
+  *    the skew risk, capped via document-frequency pruning.
+  *  - embedding cosine: blocked by a coarse key to avoid O(n²); brute force
+  *    within blocks only.
+  */
+object Dedup {
+
+  /** Exact dedup on `keyCols`: one representative row id (min) per group +
+    * duplicate count. `SameValueClassifier` is the edge-producing cousin;
+    * this is the linear-output variant (star topology, no clique blowup).
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String = "doc_id"): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup via content hash (md5 of normalized text) — equivalent
+    * semantics to `exact` on the text itself but shuffles a 128-bit key
+    * instead of full document bodies: at 100 TB this is the difference
+    * between shuffling terabytes and gigabytes.
+    */
+  def exactByHash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word w-shingles of the normalized text, as a distinct array. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n    = size(toks)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(n - w, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(w)), " ")
+      )
+    )
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min over shingle hashes. Pure Column expressions (xxhash64 + transform
+    * + array_min) — no UDF, codegen'd.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** MinHash + LSH banding: documents whose signatures collide in ≥1 band
+    * become candidate pairs; pairs are then verified with exact Jaccard over
+    * shingle sets when `verifyThreshold` > 0.
+    *
+    * bands × rowsPerBand must equal numHashes. Candidate generation is an
+    * equi-join on (band index, band hash) — linear shuffle, no cartesian.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWidth: Int = 3,
+      verifyThreshold: Double = 0.0
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // band hash = xxhash64 over the band's slice of the signature
+    val banded = withSig.select(
+      col("id"),
+      col("sh"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ",")).as("bucket")
+          )
+        }: _*)
+      ).as("bb")
+    )
+
+    val left  = banded.select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+
+    val pairs = left
+      .join(right, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val withJaccard = pairs.withColumn(
+      "jaccard",
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    )
+
+    val filtered =
+      if (verifyThreshold > 0) withJaccard.where(col("jaccard") >= verifyThreshold) else withJaccard
+    filtered.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,
+    * computed as 64 conditional sums in a single aggregation (one shuffle on
+    * the doc id, no UDF).
+    */
+  def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok")
+    )
+    val hashed = toks.withColumn("h", xxhash64(col("tok")))
+    val bitSums: Seq[Column] = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked by
+    * 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least one of 4 chunks
+    * equal), so candidate generation is an equi-join on chunks, not O(n²).
+    */
+  def simhashPairs(
+      sigs: DataFrame,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
+    }
+    val blocked = sigs.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
+    val l = blocked.select(col("ck").as("ck"), col("id").as("id_a"), col("simhash").as("sig_a"))
+    val r = blocked.select(col("ck").as("ck"), col("id").as("id_b"), col("simhash").as("sig_b"))
+    l.join(r, l("ck") === r("ck") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** n-gram Jaccard similarity via inverted-index join: explode shingles to
+    * postings, count co-occurrences per pair, Jaccard from set sizes.
+    * `maxDocFreq` prunes ubiquitous shingles (skew + noise control): a
+    * shingle appearing in k docs contributes k² pair rows, so a single hot
+    * shingle dominates the join — the cap bounds that term.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Long = 1000
+  ): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val postings = sh
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val pruned = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .where(col("df") <= maxDocFreq)
+      .drop("df")
+
+    val co = pruned.as("a")
+      .join(pruned.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a coarse key (default: a
+    * provided label/cluster column) so the pairwise compare is within-block
+    * only. Cosine is computed with zip_with + aggregate — native expressions.
+    */
+  def embeddingCosinePairs(
+      df: DataFrame,
+      blockCol: String,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      threshold: Double = 0.95
+  ): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector math as native Column expressions (zip_with/aggregate — codegen,
+  * no UDF, no driver involvement). A custom Catalyst Expression with
+  * doGenCode is the next rung if profiles show the lambda-function overhead
+  * matters; semantics here are the contract.
+  */
+object VectorOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Literal query vector as an array column. */
+  def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[bruteForceTopK]]: exact baseline — score every row, global top-k.
+  *    One pruned scan + TakeOrderedAndProject (per-partition heaps, then a
+  *    k-row merge on the driver): no shuffle of the data, scales linearly.
+  *  - [[RandomHyperplaneLsh]]: the scale path — sign-random-projection
+  *    bucketing (IVF-style candidate restriction); query probes only its
+  *    bucket, turning a full scan into a 1/2^bits scan at recall cost.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k by cosine against a literal query vector. */
+  def bruteForceTopK(
+      df: DataFrame,
+      queryVec: Seq[Double],
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    val q = VectorOps.vecLit(queryVec)
+    df.select(col(idCol), round(VectorOps.cosine(col(vecCol).cast("array<double>"), q), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane i is
+    * derived from xxhash64(i, j) scaled to [-1, 1). Fully reproducible
+    * across runs/engines — no RNG state.
+    */
+  private def planeComponent(i: Int, j: Int): Column =
+    (xxhash64(lit(s"plane-$i-$j")).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-random-projection LSH: bucket id = bits of sign(v · plane_i). */
+  case class RandomHyperplaneLsh(bits: Int = 8, dim: Int = 64) {
+
+    def bucketExpr(vecCol: Column): Column =
+      (0 until bits)
+        .map { i =>
+          val proj = (0 until dim)
+            .map(j => element_at(vecCol, j + 1) * planeComponent(i, j))
+            .reduce(_ + _)
+          when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }
+        .reduce((a, b) => a.bitwiseOR(b))
+
+    /** Adds the bucket column; persist/bucket the result for serving. */
+    def index(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+      df.withColumn("lsh_bucket", bucketExpr(col(vecCol).cast("array<double>")))
+
+    /** Top-k within the query's bucket (single-probe). Recall improves with
+      * multi-probe (flip lowest-margin bits) — future work; the index shape
+      * is the same.
+      */
+    def query(
+        indexed: DataFrame,
+        queryVec: Seq[Double],
+        k: Int,
+        vecCol: String = "embedding",
+        idCol: String = "vec_id"
+    ): DataFrame = {
+      val q        = VectorOps.vecLit(queryVec)
+      val qBucket  = indexed.sparkSession.range(1).select(bucketExpr(q).as("b")).head().getLong(0)
+      indexed
+        .where(col("lsh_bucket") === qBucket)
+        .select(col(idCol), round(VectorOps.cosine(col(vecCol).cast("array<double>"), q), 6).as("score"))
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k)
+    }
+  }
+}

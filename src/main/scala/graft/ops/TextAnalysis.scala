@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language id, document fingerprinting.
+  *
+  * All pure Column expressions — whole-stage codegen, no UDFs, trivially
+  * distributed: each is a map-side projection over the documents table, so
+  * at 100 TB the cost is exactly one pruned scan (the shuffle count is zero).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** A BPE-ish subword proxy: word-chunk count where long words are split
+    * every 4 chars (common BPE piece length) — a deterministic, cheap
+    * token-budget estimator (≈ tokens, not exact BPE).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(
+        aggregate(
+          split(trim(text), "\\s+"),
+          lit(0),
+          (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int")
+        )
+      )
+
+  /** Punctuation character ratio, rounded to `scale` decimals. */
+  def punctRatio(text: Column, scale: Int = 6): Column =
+    round(
+      length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double"),
+      scale
+    )
+
+  /** Ratio of stopword occurrences to total tokens, rounded. */
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords, scale: Int = 6): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isin(stopwords.map(lit(_).cast("string")): _*))
+    round(size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double"), scale)
+  }
+
+  /** Mean word length, rounded. */
+  def meanWordLength(text: Column, scale: Int = 6): Column = {
+    val toks = split(trim(text), "\\s+")
+    round(
+      aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"),
+      scale
+    )
+  }
+
+  /** Composite quality score in [0,1]: length-normalized, penalizing extreme
+    * punctuation and rewarding stopword presence (heuristic in the spirit of
+    * C4/Gopher quality filters; the *shape* is what matters — each term is a
+    * deterministic Column expression).
+    */
+  def qualityScore(text: Column, scale: Int = 6): Column = {
+    val lenTerm  = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punct    = punctRatio(text, 10)
+    val stopTerm = least(stopwordRatio(text, defaultStopwords, 10) * 5.0, lit(1.0))
+    round((lenTerm + (lit(1.0) - least(punct * 10.0, lit(1.0))) + stopTerm) / 3.0, scale)
+  }
+
+  /** Language-id by marker-token counting: per language, count occurrences
+    * of its high-frequency function words among the tokens; the language
+    * with the highest count wins, 'und' (undetermined) when all are zero.
+    * (n-gram-heuristic family; markers are deliberately SQL-expressible so
+    * the operator is oracle-checkable.)
+    */
+  val languageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "que", "y")
+  )
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores: Seq[(String, Column)] = languageMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit(_).cast("string")): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language reaching the max wins (deterministic tie-break by order)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Exact document fingerprint: md5 of the lowercased, whitespace-normalized
+    * text (md5 chosen over xxhash64 for cross-engine verifiability).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling (shingle) fingerprints: md5 per w-token window — the rolling-
+    * hash family used for near-dup candidate keys; returns an array column.
+    */
+  def rollingFingerprints(text: Column, window: Int = 8): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n    = size(toks)
+    val starts = sequence(lit(0), greatest(n - window, lit(0)))
+    transform(starts, i => md5(array_join(slice(toks, i + 1, lit(window)), " ")))
+  }
+
+  /** Convenience: full text-analysis projection over a documents table. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("token_count", tokenCount(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("mean_word_len", meanWordLength(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

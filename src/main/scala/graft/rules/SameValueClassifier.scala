@@ -55,12 +55,15 @@ class SameValueClassifier(config: SameValueSimilarityConfig) extends VertexClass
         }
         .toDF()
 
-      // (2) new×loaded equi-join on the column value
-      newVertices
-        .join(loadedDf.select(column, "id"), column)
+      // (2) new×loaded equi-join on the column value. Explicit aliases keep
+      // the join unambiguous even when both sides derive from the same
+      // DataFrame (the reference always had disk-loaded vs current-batch
+      // frames; we also support same-lineage splits).
+      newVertices.as("n")
+        .join(loadedDf.select(column, "id").as("l"), col(s"n.$column") === col(s"l.$column"))
         .select(
-          df.col("id").as(EdgeColumns.Src),
-          loadedDf.col("id").as(EdgeColumns.Dst),
+          col("n.id").as(EdgeColumns.Src),
+          col("l.id").as(EdgeColumns.Dst),
           lit(column).as(EdgeColumns.PropVal)
         )
         .union(edgesFromNewVertices)
