@@ -178,13 +178,16 @@ object SparkEntry {
     "q17_dedup_exact" -> ((s, dir) =>
       Dedup.exactByHash(T(s, dir, "documents"))),
 
-    // MinHash+LSH near-dup candidates (xxhash64-based — rows-only check)
+    // MinHash+LSH near-dup candidates (xxhash64-based — rows-only check).
+    // 16 hashes × 4 bands keeps the same rows-per-band (LSH threshold) as
+    // 32×8 at half the aggregate width (codegen compile time scales with it).
     "q18_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(T(s, dir, "documents"), numHashes = 32, bands = 8, verifyThreshold = 0.2)),
+      Dedup.minhashLsh(T(s, dir, "documents"), numHashes = 16, bands = 4, verifyThreshold = 0.2)),
 
-    // n-gram Jaccard near-dup pairs via inverted-index join
+    // n-gram Jaccard near-dup pairs via inverted-index join; the doc-frequency
+    // cap prunes hot shingles (the quadratic term of the postings join)
     "q19_dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(T(s, dir, "documents"), threshold = 0.2)),
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), threshold = 0.2, maxDocFreq = 100)),
 
     // embedding-cosine near-dup pairs, blocked by label
     "q20_embed_cosine" -> ((s, dir) => {
@@ -371,9 +374,14 @@ object SparkEntry {
         |        FROM documents)
         |), sizes AS (SELECT id, len(sh) AS sz FROM sh),
         |postings AS (SELECT id, unnest(sh) AS shingle FROM sh),
+        |pruned AS (
+        |  SELECT id, shingle FROM (
+        |    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM postings)
+        |  WHERE df <= 100
+        |),
         |co AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-        |  FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.id < b.id
+        |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
         |  GROUP BY 1, 2
         |)
         |SELECT id_a, id_b,
