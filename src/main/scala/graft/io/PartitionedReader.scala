@@ -40,11 +40,22 @@ case class PartitionManager(startDate: LocalDate, duration: Int, padded: Boolean
     * pre-filter, which (unlike a partition-pruning predicate over a plain
     * `load(basePath)`) tolerates missing day directories without listing the
     * full table. Ref: Reader.scala:56-70, PartitionManager.scala:72-90.
+    *
+    * Each date is probed in the configured padding first, then the other
+    * layout: source fixtures use zero-padded dirs (`month=02`) while Spark's
+    * own `partitionBy` writes unpadded (`month=2`) — the reference handles
+    * this with two separate PartitionManager impls chosen per job
+    * (Job.scala:76 vs :123); probing both makes either layout readable.
     */
   def existingPaths(spark: SparkSession, basePath: String): Seq[String] = {
     val base = new Path(basePath)
     val fs   = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    relativePaths.map(r => s"$basePath/$r").filter(p => fs.exists(new Path(p)))
+    val alt  = copy(padded = !padded).relativePaths
+    relativePaths.zip(alt).flatMap { case (pref, fallback) =>
+      Seq(pref, fallback).distinct
+        .map(r => s"$basePath/$r")
+        .find(p => fs.exists(new Path(p)))
+    }
   }
 
   /** Equivalent partition-pruning predicate, for reading through the catalog

@@ -1,0 +1,167 @@
+package graft.job
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.EdgeStore
+import graft.ids.{IdManager, IdManagerConfig, VertexData}
+import graft.io.{FixedVertexSource, PartitionManager, PartitionedReader, ReaderConfig}
+import graft.rules._
+
+/** Rule-selection + rule-parameter config.
+  *
+  * Ref: common/.../models/Config.scala (JobConfig.edgeLoader.rulesToApply and
+  * per-rule configs). `rulesToApply` accepts both the correct spelling and
+  * the reference's config-key typo `similarityClassifer` (Config.scala:70) —
+  * a consciously-preserved compatibility quirk.
+  */
+case class RulesConfig(
+    rulesToApply: List[String],
+    similarity: Option[SimilarityConfig] = None,
+    sameValue: Option[SameValueSimilarityConfig] = None,
+    twoMode: Option[TwoModeSimilarityConfig] = None,
+    fixedVertexCsvPath: Option[String] = None
+)
+
+/** Full job configuration: reader + id manager + edge store + rules. */
+case class GraftConfig(
+    reader: ReaderConfig,
+    idManager: IdManagerConfig,
+    edgeBasePath: String,
+    rules: RulesConfig,
+    bidirectionalEdges: Boolean = true
+)
+
+/** Per-rule edge counts of one run. */
+case class JobResult(vertexCount: Long, edgeCounts: Map[String, Long])
+
+/** The load-job orchestration: read → derive → id-stamp → classify → store.
+  *
+  * Ref: core/.../Job.scala:71-115 (process), :117-134 (delete). The
+  * JanusGraph write path of steps 3/6 is replaced by the Parquet
+  * vertex/edge tables (the reference's own "Option 4" system of record,
+  * docs/LoadAlgorithm.md:119-158); schema pre-creation (SchemaLoader)
+  * becomes implicit Parquet schema-on-write + [[graft.meta.SchemaInfo]].
+  *
+  * Scale notes: the only driver-side values are the max-id scalar and the
+  * per-rule edge counts; everything else stays distributed. Edge writes are
+  * hash-distributed on `src` (EdgeStore) exactly like the reference's
+  * writer partitioning (EdgeProcessor.scala:170-180).
+  */
+class GraftJob(spark: SparkSession, config: GraftConfig) {
+
+  private val edgeStore = new EdgeStore(spark, config.edgeBasePath)
+  private val idManager = new IdManager(spark, config.idManager)
+
+  /** Builds the configured classifier rules.
+    * Ref: Job.scala:106-113 (rulesMap) incl. the spelling quirk.
+    */
+  def buildRules(): List[VertexClassifierRule] =
+    config.rules.rulesToApply.flatMap {
+      case "similarityClassifier" | "similarityClassifer" =>
+        val c = config.rules.similarity.getOrElse(
+          throw new IllegalArgumentException("similarityClassifier requires SimilarityConfig"))
+        Some(new SimilarityClassifier(c))
+      case "sameValueClassifier" =>
+        val c = config.rules.sameValue.getOrElse(
+          throw new IllegalArgumentException("sameValueClassifier requires SameValueSimilarityConfig"))
+        Some(new SameValueClassifier(c))
+      case "twoModeClassifier" =>
+        val c = config.rules.twoMode.getOrElse(
+          throw new IllegalArgumentException("twoModeClassifier requires TwoModeSimilarityConfig"))
+        val fixed = config.rules.fixedVertexCsvPath
+          .map(FixedVertexSource.read)
+          .getOrElse(throw new IllegalArgumentException("twoModeClassifier requires fixedVertexCsvPath"))
+        Some(new TwoModeClassifier(c, fixed))
+      case other =>
+        throw new IllegalArgumentException(s"Unknown rule: $other")
+    }
+
+  /** One incremental load run over `[startDate, startDate + duration)`.
+    * Ref: Job.scala:71-115 (process), PaddedPartitionManager at :76.
+    */
+  def process(startDate: String, duration: Int): JobResult = {
+    val pm     = PartitionManager.forRange(startDate, duration, padded = true)
+    val reader = new PartitionedReader(spark, config.reader)
+    val df     = reader.readAndProcess(pm)
+
+    val vertexData: VertexData = idManager.process(df)
+    val rules = buildRules()
+
+    val edgeCounts = rules.map { rule =>
+      val edges = rule.classify(vertexData.loaded, vertexData.current)
+      VertexClassifierRule.validate(edges.schema, rule.name)
+      edgeStore.write(edges, rule.getEdgeLabel, bidirectional = config.bidirectionalEdges)
+      rule.getEdgeLabel -> edgeStore.read(rule.getEdgeLabel).count()
+    }.toMap
+
+    JobResult(vertexData.current.count(), edgeCounts)
+  }
+
+  /** Delete mode: removes the date range's vertices and their incident
+    * edges. Ref: Job.scala:117-134 (unpadded PartitionManagerImpl at :123 —
+    * our int-valued partition dirs make padded/unpadded equivalent);
+    * edge cleanup is the relational analogue of per-vertex `remove()`.
+    */
+  def delete(startDate: String, duration: Int, clearOnDelete: Boolean): Unit = {
+    val pm = PartitionManager.forRange(startDate, duration, padded = false)
+    val vertexTable = s"${config.idManager.dataPath}/${config.idManager.tableName}"
+    val doomed: DataFrame = spark.read.parquet(vertexTable).where(pm.partitionPredicate).select(col("id"))
+
+    buildRules().map(_.getEdgeLabel).distinct.foreach { label =>
+      try edgeStore.deleteForVertices(label, doomed)
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // label never written
+    }
+    if (clearOnDelete) {
+      val parts = pm.dates.map(d => (d.getYear, d.getMonthValue, d.getDayOfMonth))
+      idManager.deletePartitions(parts)
+    }
+  }
+}
+
+/** Plain-args CLI, mirroring the reference's scopt surface without the
+  * dependency. Ref: core/.../CLParser.scala:40-81, Boot.scala:44-56.
+  *
+  * Usage:
+  *   runMain graft.job.Main --base-path P --id-path P --edge-path P
+  *     --startdate 2019-02-01 [--duration 1] [--rules r1,r2]
+  *     [--similarity-exp EXP] [--same-value-cols c1,c2]
+  *     [--two-mode-recipes r1,r2] [--fixed-csv PATH] [--delete] [--clear]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap ++
+      args.filter(a => a == "--delete" || a == "--clear").map(_ -> "true").toMap
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rules = opts.getOrElse("--rules", "similarityClassifier").split(",").toList
+    val config = GraftConfig(
+      reader = ReaderConfig(opts("--base-path")),
+      idManager = IdManagerConfig(opts("--id-path"), "vertices"),
+      edgeBasePath = opts("--edge-path"),
+      rules = RulesConfig(
+        rulesToApply = rules,
+        similarity = opts.get("--similarity-exp").map(SimilarityConfig),
+        sameValue = opts.get("--same-value-cols").map(c => SameValueSimilarityConfig(c.split(",").toList)),
+        twoMode = opts.get("--two-mode-recipes").map(r => TwoModeSimilarityConfig(r.split(",").toList)),
+        fixedVertexCsvPath = opts.get("--fixed-csv")
+      )
+    )
+    val job      = new GraftJob(spark, config)
+    val start    = opts("--startdate")
+    val duration = opts.getOrElse("--duration", "1").toInt
+    if (opts.contains("--delete")) {
+      job.delete(start, duration, clearOnDelete = opts.contains("--clear"))
+      println(s"""{"deleted":"$start+$duration"}""")
+    } else {
+      val r = job.process(start, duration)
+      println(s"""{"vertices":${r.vertexCount},"edges":{${r.edgeCounts.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
+    }
+    spark.stop()
+  }
+}

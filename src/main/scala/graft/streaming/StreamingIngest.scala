@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.graph.EdgeStore
+import graft.ids.IdManager
+import graft.job.GraftConfig
+import graft.rules.VertexClassifierRule
+
+/** Structured-Streaming front-end for the incremental load pipeline.
+  *
+  * The reference is strictly batch-incremental (SURVEY.md §1.3 — state
+  * between runs is the id-manager table); this module is the natural
+  * Spark-first extension: a file-source stream drives exactly the same
+  * id-stamp → classify → store pipeline per micro-batch via `foreachBatch`,
+  * so batch and streaming share one code path and one system of record.
+  *
+  * Scale notes: `foreachBatch` (not a streaming sink per rule) because the
+  * pipeline needs multi-output fan-out (vertex table + one edge table per
+  * rule) and the id assignment is inherently sequential-per-batch — the
+  * max-id scalar is the only cross-batch state, carried by the vertex
+  * table itself, which also makes the query restart-safe (ids continue
+  * from the stored max after checkpoint recovery).
+  */
+class StreamingIngest(spark: SparkSession, config: GraftConfig) {
+
+  private val idManager = new IdManager(spark, config.idManager)
+  private val edgeStore = new EdgeStore(spark, config.edgeBasePath)
+
+  /** Runs one micro-batch through the load pipeline (shared semantics with
+    * [[graft.job.GraftJob.process]]).
+    */
+  def ingestBatch(rules: List[VertexClassifierRule])(batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val vertexData = idManager.process(batch)
+      rules.foreach { rule =>
+        val edges = rule.classify(vertexData.loaded, vertexData.current)
+        edgeStore.write(edges, rule.getEdgeLabel, bidirectional = config.bidirectionalEdges)
+      }
+      vertexData.current.unpersist()
+    }
+  }
+
+  /** Starts the streaming ingest over the reader base path (file source —
+    * new alert files are discovered per trigger).
+    */
+  def start(schema: StructType, checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val rules  = new graft.job.GraftJob(spark, config).buildRules()
+    val stream = spark.readStream.schema(schema).parquet(config.reader.basePath)
+    stream.writeStream
+      .foreachBatch(ingestBatch(rules) _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+}
+
+/** Watermarked event-time operators over a streaming events table —
+  * standard Structured-Streaming shapes (beyond-reference surface; the
+  * batch q14/q15 queries are their batch equivalents).
+  */
+object EventStreamOps {
+
+  /** Tumbling-window counts/sums per event type with late-data bound.
+    * Works on both batch and streaming frames (same plan API).
+    */
+  def windowedTypeCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming dedup on an id column bounded by watermark — the streaming
+    * face of exact dedup (Spark keeps seen-key state until the watermark
+    * expires it, so state is bounded at scale).
+    */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
+}

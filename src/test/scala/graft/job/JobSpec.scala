@@ -1,0 +1,86 @@
+package graft.job
+
+import graft.SparkSpec
+import graft.ids.IdManagerConfig
+import graft.io.ReaderConfig
+import graft.meta.SchemaInfo
+import graft.rules.{SameValueSimilarityConfig, SimilarityConfig}
+
+class JobSpec extends SparkSpec {
+
+  private def writeAlerts(dir: String): Unit = {
+    import spark.implicits._
+    Seq(
+      ("objA", 0.95, "C*", 2019, 2, 1),
+      ("objB", 0.20, "Unknown", 2019, 2, 1),
+      ("objA", 0.99, "C*", 2019, 2, 2),
+      ("objC", 0.10, "AGN", 2019, 2, 2)
+    ).toDF("objectId", "rfscore", "cdsxmatch", "year", "month", "day")
+      .write.partitionBy("year", "month", "day").parquet(dir)
+  }
+
+  private def config(work: String): GraftConfig = GraftConfig(
+    reader = ReaderConfig(s"$work/raw"),
+    idManager = IdManagerConfig(s"$work/ids", "vertices", reservedIdSpace = 100),
+    edgeBasePath = s"$work/edges",
+    rules = RulesConfig(
+      rulesToApply = List("similarityClassifier", "sameValueClassifier"),
+      similarity = Some(SimilarityConfig("objectId OR cdsxmatch")),
+      sameValue = Some(SameValueSimilarityConfig(List("cdsxmatch")))
+    )
+  )
+
+  test("two sequential runs: ids continue, cross-day edges appear, delete cleans up") {
+    val work = tempDir("graft-job")
+    writeAlerts(s"$work/raw")
+    val job = new GraftJob(spark, config(work))
+
+    val r1 = job.process("2019-02-01", 1)
+    assert(r1.vertexCount == 2)
+
+    val r2 = job.process("2019-02-02", 1)
+    assert(r2.vertexCount == 2)
+
+    // the two objA vertices (one per day) must be linked: same objectId.
+    // Ids are dense 101..104 but intra-day order follows partition order —
+    // resolve the actual ids instead of hardcoding.
+    val ids = spark.read.parquet(s"$work/ids/vertices")
+      .select("id", "objectId", "day").collect()
+      .map(r => (r.getString(1), r.getInt(2)) -> r.getLong(0)).toMap
+    assert(ids.values.toSet == Set(101L, 102L, 103L, 104L))
+    val objA1 = ids(("objA", 1)); val objA2 = ids(("objA", 2))
+    val simEdges = spark.read.parquet(s"$work/edges/label=similarity")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simEdges.contains((objA2, objA1)) && simEdges.contains((objA1, objA2))) // bidirectional
+
+    // metadata surface sees both stores
+    val info = SchemaInfo.describe(spark, s"$work/ids/vertices", s"$work/edges")
+    assert(info.edgeLabels == List("exactmatch", "similarity"))
+    assert(info.vertexPropertyKeys.exists(p => p.name == "id" && p.dataType == "bigint"))
+    assert(SchemaInfo.toJson(info).contains("\"edgeLabels\":[\"exactmatch\",\"similarity\"]"))
+
+    // delete day 2: vertices gone, incident edges gone
+    job.delete("2019-02-02", 1, clearOnDelete = true)
+    val left = spark.read.parquet(s"$work/ids/vertices").select("id").collect().map(_.getLong(0)).toSet
+    assert(left == Set(101L, 102L))
+    val simLeft = spark.read.parquet(s"$work/edges/label=similarity")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!simLeft.exists { case (s, d) => s >= 103L || d >= 103L })
+  }
+
+  test("unknown rule name fails fast; missing rule config fails fast") {
+    val work = tempDir("graft-job2")
+    val bad  = config(work).copy(rules = RulesConfig(rulesToApply = List("nope")))
+    assertThrows[IllegalArgumentException](new GraftJob(spark, bad).buildRules())
+    val noCfg = config(work).copy(rules = RulesConfig(rulesToApply = List("twoModeClassifier")))
+    assertThrows[IllegalArgumentException](new GraftJob(spark, noCfg).buildRules())
+  }
+
+  test("reference config-key typo 'similarityClassifer' is accepted") {
+    val work = tempDir("graft-job3")
+    val cfg = config(work).copy(rules = RulesConfig(
+      rulesToApply = List("similarityClassifer"),
+      similarity = Some(SimilarityConfig("objectId"))))
+    assert(new GraftJob(spark, cfg).buildRules().size == 1)
+  }
+}

@@ -1,0 +1,213 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical keys, keeps min id, counts dups") {
+    val df  = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exact(df, Seq("text")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a b c", 1L, 2L), ("x y z", 3L, 1L)))
+  }
+
+  test("exactByHash equals exact-on-text after whitespace/case normalization") {
+    val df  = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "other doc")
+    val out = Dedup.exactByHash(df).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L))) // (keep_id, dup_count)
+  }
+
+  test("shingles produces distinct w-token windows") {
+    val df = docs(1L -> "a b c d")
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("sh")).head().getSeq[String](0)
+    assert(sh.toSet == Set("a b c", "b c d"))
+  }
+
+  test("minhashLsh finds an exact duplicate pair with jaccard 1.0") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "completely different content with no overlap at all here"
+    )
+    val pairs = Dedup.minhashLsh(df, numHashes = 16, bands = 4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash of identical docs is identical; pairs found within hamming bound") {
+    val df   = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "unrelated words here now")
+    val sigs = Dedup.simhash(df)
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == byId(2L))
+    val pairs = Dedup.simhashPairs(sigs, maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on overlapping docs") {
+    // doc1 shingles: {a b c, b c d}; doc2: {a b c, b c x} → jaccard = 1/3
+    val df    = docs(1L -> "a b c d", 2L -> "a b c x")
+    val pairs = Dedup.ngramJaccardPairs(df, threshold = 0.1).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(math.abs(pairs.head.getDouble(2) - 0.333333) < 1e-6)
+  }
+
+  test("embeddingCosinePairs finds near-identical vectors within a block only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b0", Seq(1.0, 0.0, 0.0)),
+      (2L, "b0", Seq(1.0, 0.001, 0.0)),
+      (3L, "b1", Seq(1.0, 0.0, 0.0)), // identical direction but different block
+      (4L, "b0", Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "blk", "embedding")
+    val out = Dedup.embeddingCosinePairs(df, blockCol = "blk", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String): Row = {
+    import spark.implicits._
+    TextAnalysis.analyze(Seq((1L, text)).toDF("doc_id", "text")).head()
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world spark"), (2L, ""), (3L, "internationalization")).toDF("doc_id", "text")
+    val tc = df.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0)).toSeq
+    assert(tc == Seq(3, 0, 1))
+    val bp = df.select(TextAnalysis.bpeishTokenCount(col("text"))).collect().map(_.getInt(0)).toSeq
+    assert(bp == Seq(6, 0, 5)) // ceil(5/4)*3 = 6; ""→0; ceil(20/4) = 5
+  }
+
+  test("punct and stopword ratios on a known sentence") {
+    val r = one("the cat, the hat!")
+    // punct chars: ',' '!' → 2/17; tokens: the cat, the hat! → stopwords 'the' x2 of 4
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 17) < 1e-6)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-6)
+  }
+
+  test("language id picks marker-heavy language, und when no markers") {
+    assert(one("the cat and the dog of the house is here").getAs[String]("lang_pred") == "en")
+    assert(one("der hund und die katze und das haus").getAs[String]("lang_pred") == "de")
+    assert(one("zzz qqq").getAs[String]("lang_pred") == "und")
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    assert(
+      one("Hello   World").getAs[String]("fingerprint") ==
+        one("hello world").getAs[String]("fingerprint"))
+  }
+
+  test("rolling fingerprints produce one hash per window") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.rollingFingerprints(col("text"), 4).as("f")).head().getSeq[String](0)
+    assert(fps.length == 2) // windows: a b c d, b c d e
+    assert(fps.distinct.length == 2)
+  }
+}
+
+class VectorOpsSpec extends SparkSpec {
+
+  test("native cosine/dot match the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(50)(i => (i.toLong, Seq.fill(16)(rng.nextDouble() * 2 - 1)))
+    val df = rows.toDF("id", "v").selectExpr("id", "v as a", "reverse(v) as b")
+    val cmp = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("native"),
+      VectorOps.cosineHof(col("a"), col("b")).as("hof"),
+      VectorOps.dot(col("a"), col("b")).as("ndot"),
+      VectorOps.dotHof(col("a"), col("b")).as("hdot"))
+    cmp.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "cosine mismatch")
+      assert(r.getDouble(2) == r.getDouble(3), "dot mismatch")
+    }
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(0.0, 0.0, 1.0), Seq(0.0, 1.0, 0.0)))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(VectorOps.cosine(col("a"), col("b")), VectorOps.cosine(col("c"), col("d"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+  }
+}
+
+class SimilaritySearchSpec extends SparkSpec {
+
+  test("bruteForceTopK returns the nearest vectors in score order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = SimilaritySearch.bruteForceTopK(df, Seq(1.0, 0.0), k = 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(top.head.getDouble(1) == 1.0)
+  }
+
+  test("LSH query returns a subset of brute-force candidates with same scoring") {
+    import spark.implicits._
+    val rng  = new scala.util.Random(11)
+    val rows = Seq.tabulate(200)(i => (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
+    val df   = rows.toDF("vec_id", "embedding")
+    val q    = Seq.fill(8)(rng.nextDouble() * 2 - 1)
+    val lsh  = SimilaritySearch.RandomHyperplaneLsh(bits = 3, dim = 8)
+    val idx  = lsh.index(df)
+    assert(idx.select(countDistinct(col("lsh_bucket"))).head().getLong(0) > 1)
+    val got = lsh.query(idx, q, k = 5).collect()
+    assert(got.nonEmpty && got.length <= 5)
+    // scores must agree with the brute-force scorer for the same ids
+    val brute = SimilaritySearch.bruteForceTopK(df, q, k = 200).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeMeta emits typed metadata per row, dropping the payload") {
+    import spark.implicits._
+    val df  = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.decodeMeta(df, "payload")
+    assert(out.columns.toSeq == Seq("doc_id", "byte_len", "format", "width", "height"))
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == 3)
+    assert(byId(1L).getInt(3) == 64 + 3 % 640)
+    assert(byId(2L).getString(2) == "empty")
+  }
+
+  test("decodeMeta keeps payload when asked and respects parallelism") {
+    import spark.implicits._
+    val df = Seq((1L, "xy")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.decodeMeta(df, "payload", keepPayload = true, parallelism = 2)
+    assert(out.columns.contains("payload"))
+    assert(out.rdd.getNumPartitions == 2)
+  }
+
+  test("sampleFrames explodes every-nth frame indices") {
+    import spark.implicits._
+    // 4000 bytes → 3 frames (0,1,2) → sampled every 2nd: 0, 2
+    val df = Seq((1L, Array.fill(4000)('x').mkString)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val idx = Multimodal.sampleFrames(df, "payload", everyNth = 2).select("frame_idx")
+      .collect().map(_.getInt(0)).toSeq
+    assert(idx == Seq(0, 2))
+  }
+}
