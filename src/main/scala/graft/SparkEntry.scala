@@ -207,6 +207,30 @@ object SparkEntry {
       lsh.query(lsh.index(T(s, dir, "embeddings")), SparkEntry.benchQueryVec, k = 10)
     }),
 
+    // graph query surface: degree per vertex over a bidirectional edge set
+    "q25_graph_degrees" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      val bidir = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.GraphQueries.degrees(bidir)
+    }),
+
+    // graph query surface: connected components (GraphX Pregel) — same-nation
+    // supplier cliques, so component = min supplier id per nation
+    "q26_graph_components" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      graft.graph.GraphQueries.connectedComponents(s, v.select("id"), e)
+    }),
+
+    // IVF ANN: KMeans-cell candidate restriction (seeded; rows-only check)
+    "q27_ann_ivf" -> ((s, dir) => {
+      val ivf = SimilaritySearch.IvfIndex(k = 8, nprobe = 2)
+      val (indexed, centroids) = ivf.index(T(s, dir, "embeddings"))
+      ivf.query(indexed, centroids, SparkEntry.benchQueryVec, topK = 10)
+    }),
+
     // multimodal: binary payload → per-partition batched (stub) decode
     "q23_mm_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
@@ -405,6 +429,21 @@ object SparkEntry {
         |  round(list_dot_product(v, qv)
         |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
         |FROM e, q ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q25_graph_degrees" ->
+      """WITH e AS (
+        |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+        |  FROM supplier a JOIN supplier b
+        |    ON a.s_suppkey > b.s_suppkey
+        |   AND a.s_nationkey IS NOT DISTINCT FROM b.s_nationkey)
+        |SELECT src AS id, count(*) AS degree
+        |FROM (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        |GROUP BY 1""".stripMargin,
+
+    "q26_graph_components" ->
+      """SELECT s_suppkey AS id,
+        |  min(s_suppkey) OVER (PARTITION BY s_nationkey) AS component
+        |FROM supplier""".stripMargin,
 
     "q23_mm_decode" ->
       """SELECT doc_id,

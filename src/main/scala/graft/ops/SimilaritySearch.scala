@@ -64,6 +64,52 @@ object SimilaritySearch {
   private def planeComponent(i: Int, j: Int): Column =
     (xxhash64(lit(s"plane-$i-$j")).cast("double") / lit(Long.MaxValue.toDouble))
 
+  /** IVF (inverted-file) index: KMeans-partitioned candidate restriction.
+    * The standard ANN scale path — centroids are trained once (sampled
+    * fit), every vector is assigned to its nearest centroid (one map-side
+    * pass; centroid set broadcast via literal), and a query scans only the
+    * `nprobe` nearest cells instead of the full table.
+    *
+    * Seeded KMeans (spark.ml, public API) keeps the index deterministic for
+    * a given dataset. Not SQL-expressible → rows-only correctness check.
+    */
+  case class IvfIndex(k: Int = 16, nprobe: Int = 2, seed: Long = 42L) {
+
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+
+    /** Trains centroids and assigns each row a `cell` id. */
+    def index(df: DataFrame, vecCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
+      val feats = df.withColumn("_features", array_to_vector(col(vecCol).cast("array<double>")))
+      val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features").fit(feats)
+      val indexed = model.transform(feats)
+        .withColumnRenamed(model.getPredictionCol, "cell")
+        .drop("_features")
+      (indexed, model.clusterCenters.map(_.toArray))
+    }
+
+    /** Top-k cosine within the query's `nprobe` nearest cells. */
+    def query(
+        indexed: DataFrame,
+        centroids: Array[Array[Double]],
+        queryVec: Seq[Double],
+        topK: Int,
+        vecCol: String = "embedding",
+        idCol: String = "vec_id"
+    ): DataFrame = {
+      def dist(c: Array[Double]): Double =
+        math.sqrt(c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val cells = centroids.zipWithIndex.sortBy(p => dist(p._1)).take(nprobe).map(_._2)
+      val q     = VectorOps.vecLit(queryVec)
+      indexed
+        .where(col("cell").isin(cells.toSeq: _*))
+        .select(col(idCol), round(VectorOps.cosine(col(vecCol).cast("array<double>"), q), 6).as("score"))
+        .orderBy(col("score").desc, col(idCol))
+        .limit(topK)
+    }
+  }
+
   /** Sign-random-projection LSH: bucket id = bits of sign(v · plane_i). */
   case class RandomHyperplaneLsh(bits: Int = 8, dim: Int = 64) {
 

@@ -1,0 +1,60 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.SimilaritySearch
+
+class GraphQueriesSpec extends SparkSpec {
+
+  private def edgeDf = {
+    import spark.implicits._
+    Seq((1L, 2L, 1), (2L, 3L, 1)).toDF("src", "dst", "propVal")
+  }
+
+  test("degrees and histogram over a bidirectional edge set") {
+    val bidir = edgeDf.select(col("src"), col("dst"))
+      .union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = GraphQueries.degrees(bidir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    val hist = GraphQueries.degreeHistogram(bidir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("neighbors and two-hop") {
+    val bidir = edgeDf.select(col("src"), col("dst"))
+      .union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
+    assert(GraphQueries.neighbors(bidir, 1L).collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(GraphQueries.twoHop(bidir, 1L).collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("connected components: chain is one component, isolated vertex is its own") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val cc = GraphQueries.connectedComponents(spark, vertices, edgeDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+}
+
+class IvfSpec extends SparkSpec {
+
+  test("IVF query scores agree with brute force; candidates restricted to cells") {
+    import spark.implicits._
+    val rng  = new scala.util.Random(5)
+    val rows = Seq.tabulate(300)(i => (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
+    val df   = rows.toDF("vec_id", "embedding")
+    val q    = Seq.fill(8)(rng.nextDouble() * 2 - 1)
+
+    val ivf = SimilaritySearch.IvfIndex(k = 4, nprobe = 2)
+    val (indexed, centroids) = ivf.index(df)
+    assert(centroids.length == 4)
+    assert(indexed.select(countDistinct(col("cell"))).head().getLong(0) == 4)
+
+    val got = ivf.query(indexed, centroids, q, topK = 5).collect()
+    assert(got.nonEmpty && got.length <= 5)
+    val brute = SimilaritySearch.bruteForceTopK(df, q, k = 300).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
+  }
+}
