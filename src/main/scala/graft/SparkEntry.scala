@@ -171,8 +171,18 @@ object SparkEntry {
     // text analysis: token counts, quality, language id, fingerprint
     "q16_text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(T(s, dir, "documents"))
-        .select("doc_id", "token_count", "punct_ratio", "stopword_ratio",
+        .select("doc_id", "token_count", "bpeish_tokens", "punct_ratio", "stopword_ratio",
           "mean_word_len", "quality_score", "lang_pred", "fingerprint")),
+
+    // rolling (windowed) document fingerprints — near-dup candidate keys
+    "q28_text_rolling_fp" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        explode(TextAnalysis.rollingFingerprints(col("text"), window = 8)).as("fp"))),
+
+    // SimHash near-dup pairs (xxhash64-based — rows-only check)
+    "q29_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash(T(s, dir, "documents")), maxHamming = 8)),
 
     // exact dedup by content hash
     "q17_dedup_exact" -> ((s, dir) =>
@@ -358,6 +368,9 @@ object SparkEntry {
          |), m AS (
          |  SELECT doc_id, text, n,
          |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(toks) AS INT) END AS token_count,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS INT))) AS INT)
+         |    END AS bpeish_tokens,
          |    round(npunct / greatest(n, 1), 6) AS punct_ratio,
          |    round(CAST(len(list_filter(ltoks, x -> x IN ($stop10))) AS DOUBLE)
          |          / greatest(len(ltoks), 1), 6) AS stopword_ratio,
@@ -372,7 +385,7 @@ object SparkEntry {
          |    len(list_filter(ltoks, x -> x IN ('el','los','que','y'))) AS s_es
          |  FROM base
          |)
-         |SELECT doc_id, token_count, punct_ratio, stopword_ratio, mean_word_len,
+         |SELECT doc_id, token_count, bpeish_tokens, punct_ratio, stopword_ratio, mean_word_len,
          |  round((least(n / 500.0, 1.0) + (1.0 - least(p10 * 10.0, 1.0))
          |         + least(s10 * 5.0, 1.0)) / 3.0, 6) AS quality_score,
          |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
@@ -383,6 +396,13 @@ object SparkEntry {
          |  ELSE 'und' END AS lang_pred,
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
          |FROM m""".stripMargin,
+
+    "q28_text_rolling_fp" ->
+      """SELECT doc_id,
+        |  unnest(list_transform(range(greatest(len(toks) - 8, 0) + 1),
+        |    i -> md5(array_to_string(toks[(i + 1):(i + 8)], ' ')))) AS fp
+        |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |      FROM documents)""".stripMargin,
 
     "q17_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

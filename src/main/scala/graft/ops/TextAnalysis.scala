@@ -116,6 +116,7 @@ object TextAnalysis {
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     df.withColumn("token_count", tokenCount(t))
+      .withColumn("bpeish_tokens", bpeishTokenCount(t))
       .withColumn("punct_ratio", punctRatio(t))
       .withColumn("stopword_ratio", stopwordRatio(t))
       .withColumn("mean_word_len", meanWordLength(t))

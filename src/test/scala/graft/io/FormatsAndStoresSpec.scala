@@ -1,0 +1,71 @@
+package graft.io
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.graph.{EdgeStore, FixedVertexStore}
+import graft.rules.{SimilarityClassifier, SimilarityConfig}
+
+/** S1's csv/json format support + the store operators (S6-S8) and the
+  * OR-similarity rewrite A/B (SURVEY §4 stretch item).
+  */
+class FormatsAndStoresSpec extends SparkSpec {
+
+  test("partitioned reader handles csv and json formats (S1 format list)") {
+    import spark.implicits._
+    val base = tempDir("formats")
+    val df = Seq(("a", 1, 2019, 2, 1), ("b", 2, 2019, 2, 1)).toDF("name", "v", "year", "month", "day")
+    df.write.partitionBy("year", "month", "day").csv(s"$base/csv")
+    df.write.partitionBy("year", "month", "day").json(s"$base/json")
+    val pm = PartitionManager(LocalDate.of(2019, 2, 1), 1, padded = false)
+
+    val csvReader = new PartitionedReader(spark, ReaderConfig(s"$base/csv", DataFormat.Csv))
+    val csv = csvReader.read(pm)
+    assert(csv.count() == 2) // schema-less csv: positional _c* columns + partition cols
+
+    val jsonReader = new PartitionedReader(spark, ReaderConfig(s"$base/json", DataFormat.Json))
+    val json = jsonReader.read(pm)
+    assert(json.count() == 2 && json.columns.contains("name"))
+  }
+
+  test("FixedVertexStore.load is idempotent (anti-join upsert)") {
+    import spark.implicits._
+    val path = tempDir("fixed") + "/store"
+    val store = new FixedVertexStore(spark, path)
+    val dim = Seq((1L, "similarity", "microlensing"), (2L, "similarity", "asteroids"))
+      .toDF("id", "label", "recipe")
+    store.load(dim)
+    store.load(dim) // second load must not duplicate
+    assert(store.read().count() == 2)
+    store.load(Seq((3L, "similarity", "catalog")).toDF("id", "label", "recipe"))
+    assert(store.read().count() == 3)
+  }
+
+  test("EdgeStore parallelism matches the reference's calculation (300000 -> 121)") {
+    val store = new EdgeStore(spark, tempDir("edges"))
+    // Ref: EdgeProcessorSpec getParallelism(300000) == 121 (SURVEY §5)
+    assert(store.getParallelism(300000, taskSize = 2500, minParallelism = 100) == 121)
+    assert(store.getParallelism(10, taskSize = 25000, minParallelism = 100) == 100)
+  }
+
+  test("OR-similarity union-of-equi-joins rewrite matches the theta-join classifier") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "n1", 10.0), (2L, "n1", 20.0), (3L, "n2", 10.0), (4L, "n2", 20.0), (5L, "n3", 30.0)
+    ).toDF("id", "grp", "score")
+    val cfg    = SimilarityConfig("grp OR score")
+    val loaded = df.limit(0)
+    val direct = new SimilarityClassifier(cfg).classify(loaded, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rewrite = SimilarityClassifier.classifyUnionOfEquiJoins(cfg, loaded, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(direct == rewrite)
+    assert(direct.nonEmpty)
+    // and the rewrite plans only equi-joins (no cartesian/BNL)
+    val plan = SimilarityClassifier.classifyUnionOfEquiJoins(cfg, loaded, df)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
