@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** Guards the driver contract itself: entry() returns rows, every oracle
+  * key has a query, rows-only queries are a known closed set, and the SQL
+  * function registration works.
+  */
+class EntryContractSpec extends SparkSpec {
+
+  test("entry() produces rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries; rows-only set is the expected one") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without query: ${o -- q}")
+    val rowsOnly = q -- o
+    assert(rowsOnly == Set("q18_dedup_minhash", "q22_ann_lsh", "q27_ann_ivf", "q29_dedup_simhash"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("every query runs at sf0.001; all but the sparse self-joins return rows") {
+    val dir = "/root/testdata/sf0.001"
+    // sf0.001 has 10 suppliers over 25 nations — the same-nation self-joins
+    // can legitimately be empty there (they are non-empty from sf0.01 up,
+    // which is what the driver verifies).
+    val mayBeEmpty = Set("q07_sim_selfjoin", "q08_sim_or_leaves", "q25_graph_degrees")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("registered SQL functions evaluate the native expressions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
+  }
+}

@@ -15,6 +15,8 @@ object SparkTestEnv {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries TIMESTAMP(NANOS) — match Verify/Bench sessions
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }
 
