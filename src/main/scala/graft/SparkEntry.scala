@@ -217,6 +217,36 @@ object SparkEntry {
       lsh.query(lsh.index(T(s, dir, "embeddings")), SparkEntry.benchQueryVec, k = 10)
     }),
 
+    // gap-based sessionization: two stacked windows, one shuffle on user_id
+    "q30_sessionize" -> ((s, dir) =>
+      graft.ops.Sessionize.byGap(T(s, dir, "events"), gap = 28800000000000L) // 8h in ns
+        .select(col("user_id"), col("event_id"), col("session_seq"), col("session_id"))),
+
+    // per-session aggregates over the sessionized stream. Session bounds are
+    // reported in microseconds: DuckDB truncates parquet TIMESTAMP(NANOS) to
+    // µs, so the ns-exact bounds would differ below the µs in the oracle.
+    "q31_session_stats" -> ((s, dir) =>
+      graft.ops.Sessionize.sessionStats(
+        graft.ops.Sessionize.byGap(T(s, dir, "events"), gap = 28800000000000L))
+        .withColumn("session_start", expr("session_start div 1000"))
+        .withColumn("session_end", expr("session_end div 1000"))),
+
+    // multimodal: per-partition batched (stub) feature extraction → vector,
+    // exploded to (doc_id, bin, share) rows for the relational compare
+    "q32_mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        T(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        binCol = "payload")
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "share")))),
+
+    // multimodal: aspect-preserving resize metadata over decoded dims
+    "q33_mm_resize" -> ((s, dir) =>
+      Multimodal.resizeMeta(
+        Multimodal.decodeMeta(
+          T(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+          binCol = "payload"),
+        maxSide = 100)),
+
     // graph query surface: degree per vertex over a bidirectional edge set
     "q25_graph_degrees" -> ((s, dir) => {
       val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
@@ -449,6 +479,67 @@ object SparkEntry {
         |  round(list_dot_product(v, qv)
         |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
         |FROM e, q ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q30_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 28800000000000 THEN 1
+        |         ELSE 0 END AS st
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |)
+        |SELECT user_id, event_id,
+        |  CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq,
+        |  user_id || '#' ||
+        |    CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |FROM s""".stripMargin,
+
+    "q31_session_stats" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 28800000000000 THEN 1
+        |         ELSE 0 END AS st
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), seq AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+        |  FROM s
+        |)
+        |SELECT user_id, session_seq,
+        |  min(epoch_us(ts)) AS session_start, max(epoch_us(ts)) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM seq GROUP BY 1, 2""".stripMargin,
+
+    "q32_mm_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(substr(text, u.i, 1)) AS b
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+        |), per_bin AS (
+        |  SELECT doc_id, b // 16 AS bin, count(*) AS c FROM chars GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT d.doc_id, CAST(g.bin AS INT) AS bin, CAST(length(d.text) AS DOUBLE) AS n
+        |  FROM documents d, unnest(range(16)) AS g(bin)
+        |)
+        |SELECT grid.doc_id, grid.bin, coalesce(c, 0) / n AS share
+        |FROM grid LEFT JOIN per_bin ON grid.doc_id = per_bin.doc_id AND grid.bin = per_bin.bin""".stripMargin,
+
+    "q33_mm_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |    CASE (ascii(substr(text, 1, 1)) & 3)
+        |      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'webp' ELSE 'raw' END AS format,
+        |    CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
+        |    CAST(64 + octet_length(encode(text)) % 480 AS INT) AS height
+        |  FROM documents
+        |)
+        |SELECT doc_id, byte_len, format, width, height,
+        |  CAST(floor(width * least(100.0 / width, 100.0 / height, 1.0)) AS INT) AS out_width,
+        |  CAST(floor(height * least(100.0 / width, 100.0 / height, 1.0)) AS INT) AS out_height
+        |FROM meta""".stripMargin,
 
     "q25_graph_degrees" ->
       """WITH e AS (

@@ -85,6 +85,54 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Feature-extraction plumbing: binary payload → fixed-width double
+    * vector, per-partition batched like [[decodeMeta]]. The STUB derives a
+    * deterministic 16-bin byte-value histogram (normalized) — the shape and
+    * schema of a real embedding/feature extractor; swapping in a real model
+    * touches only `features`.
+    */
+  def extractFeatures(
+      df: DataFrame,
+      binCol: String,
+      idCol: String = "doc_id",
+      bins: Int = 16,
+      parallelism: Int = 0
+  ): DataFrame = {
+    val repartitioned = if (parallelism > 0) df.repartition(parallelism) else df
+    val inSchema = repartitioned.schema
+    val binIdx   = inSchema.fieldIndex(binCol)
+    val idIdx    = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema.fields(idIdx),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val encoder = RowEncoder.encoderFor(outSchema)
+    repartitioned.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val hist  = new Array[Double](bins)
+        if (bytes != null && bytes.nonEmpty) {
+          bytes.foreach(b => hist((b & 0xff) * bins / 256) += 1.0)
+          var i = 0
+          while (i < bins) { hist(i) /= bytes.length; i += 1 }
+        }
+        Row(r.get(idIdx), hist.toSeq)
+      }
+    }(encoder)
+  }
+
+  /** Resize plumbing: recomputes target dimensions preserving aspect ratio
+    * (pure metadata arithmetic — the real pixel work lives in the stubbed
+    * codec). Input must carry `width`/`height` (e.g. from [[decodeMeta]]).
+    */
+  def resizeMeta(df: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide).cast("double") / col("width"),
+      lit(maxSide).cast("double") / col("height"),
+      lit(1.0))
+    df.withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+
   /** Frame-sampling plumbing for (fake) video payloads: emits one row per
     * sampled frame index — the explode-shaped half of a real frame extractor.
     */

@@ -5,8 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Configuration for [[SameValueClassifier]].
   * Ref: common/.../models/Config.scala (SameValueSimilarityConfig).
+  *
+  * @param maxGroupSize optional skew guard: value-groups larger than this
+  *        emit no intra-batch clique (their pair count is quadratic — one
+  *        hot key can dominate the job). `None` = exact reference
+  *        semantics. Capped workloads wanting linear output should use
+  *        [[graft.ops.Dedup.exact]] (star topology) instead.
   */
-case class SameValueSimilarityConfig(colsToConnect: List[String])
+case class SameValueSimilarityConfig(
+    colsToConnect: List[String],
+    maxGroupSize: Option[Int] = None)
 
 /** Edge row for the same-value rule: propVal = the matched column's name.
   * Ref: SameValueClassifier.scala:29.
@@ -44,14 +52,13 @@ class SameValueClassifier(config: SameValueSimilarityConfig) extends VertexClass
       val newVertices = df.select(column, "id")
 
       // (1) clique edges within the current batch
+      val cap = config.maxGroupSize
       val edgesFromNewVertices = newVertices
         .groupByKey(r => r.getAs[String](column))(Encoders.STRING)
         .flatMapGroups { (_, rows) =>
-          rows
-            .map(_.getAs[Long]("id"))
-            .toList
-            .combinations(2)
-            .map(l => SameValueEdge(l(0), l(1), column))
+          val ids = rows.map(_.getAs[Long]("id")).toList
+          if (cap.exists(ids.size > _)) Iterator.empty
+          else ids.combinations(2).map(l => SameValueEdge(l(0), l(1), column))
         }
         .toDF()
 
