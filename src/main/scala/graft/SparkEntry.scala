@@ -176,9 +176,7 @@ object SparkEntry {
 
     // rolling (windowed) document fingerprints — near-dup candidate keys
     "q28_text_rolling_fp" -> ((s, dir) =>
-      T(s, dir, "documents").select(
-        col("doc_id"),
-        explode(TextAnalysis.rollingFingerprints(col("text"), window = 8)).as("fp"))),
+      TextAnalysis.rollingFingerprintsExploded(T(s, dir, "documents"), window = 8)),
 
     // SimHash near-dup pairs (xxhash64-based — rows-only check)
     "q29_dedup_simhash" -> ((s, dir) =>

@@ -71,10 +71,19 @@ object Dedup {
       numHashes: Int,
       shingleWidth: Int
   ): DataFrame = {
-    val postings = df.select(
-      col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleWidth)).as("shingle")
-    )
+    // Postings via explode(sequence) + slice/array_join: top-level codegen
+    // expressions, no interpreted lambda. Per-doc shingle dedup is skipped
+    // on purpose — min() is unaffected by duplicates and collect_set
+    // dedupes the verification set, so results are identical to the
+    // array_distinct formulation with zero extra shuffles.
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val postings = df
+      .select(col(idCol).as("id"), toks.as("_toks"))
+      .select(
+        col("id"),
+        col("_toks"),
+        explode(sequence(lit(0), greatest(size(col("_toks")) - shingleWidth, lit(0)))).as("_i"))
+      .select(col("id"), array_join(slice(col("_toks"), col("_i") + 1, lit(shingleWidth)), " ").as("shingle"))
     val minCols = (0 until numHashes).map(seed => min(xxhash64(col("shingle"), lit(seed))).as(s"h$seed"))
     postings
       .groupBy("id")
@@ -196,12 +205,15 @@ object Dedup {
       threshold: Double = 0.5,
       maxDocFreq: Long = 1000
   ): DataFrame = {
-    // Persisted: `pruned` feeds both sides of the inverted-index self-join and
-    // `sizes` two lookup joins; without persists the shingle computation (the
-    // interpreted higher-order-function part) runs four times per query.
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz")).persist()
-    val postings = sh
+    // `base` is persisted because the shingle computation fans out to four
+    // consumers (both join sides + two size lookups) and Spark does not CSE
+    // common subplans across join branches.
+    val base = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist()
+    val sizes = base.select(col("id"), col("sz"))
+    val postings = base
       .select(col("id"), explode(col("sh")).as("shingle"))
     val pruned = postings
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
