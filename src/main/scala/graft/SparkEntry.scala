@@ -134,9 +134,10 @@ object SparkEntry {
       new TwoModeClassifier(TwoModeSimilarityConfig(List("asteroids")), fixed).classify(v.limit(0), v)
     }),
 
-    // A7: dense contiguous id assignment continuing from an offset
+    // A7: dense contiguous id assignment continuing from an offset —
+    // via the custom DenseIdPlan/DenseIdExec operator
     "q12_dense_ids" -> ((s, dir) =>
-      ZipWithIndex.zipWithIndex(
+      org.apache.spark.sql.graft.DenseId.assign(
         T(s, dir, "supplier").orderBy("s_suppkey").select(col("s_suppkey"), col("s_name")),
         offset = 200
       ).select(col("id"), col("s_suppkey"), col("s_name"))),

@@ -69,7 +69,9 @@ class IdManager(spark: SparkSession, config: IdManagerConfig) {
   def process(df: DataFrame): VertexData = {
     val loaded   = readAll(df.schema)
     val lastMax  = fetchId(loaded)
-    val dfWithId = ZipWithIndex.zipWithIndex(df, lastMax)
+    // custom plan-integrated operator (InternalRow zipWithIndex, no
+    // Row round trip); ZipWithIndex is the public-API equivalent
+    val dfWithId = org.apache.spark.sql.graft.DenseId.assign(df, lastMax)
     dfWithId.cache()
     dfWithId.write
       .format("parquet")
