@@ -216,6 +216,41 @@ object SparkEntry {
       lsh.query(lsh.index(T(s, dir, "embeddings")), SparkEntry.benchQueryVec, k = 10)
     }),
 
+    // distinct aggregation (expand + two-phase agg under the hood)
+    "q34_distinct_agg" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n_customers"))),
+
+    // rollup grouping sets; subtotal nulls coalesced for a stable compare
+    "q35_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))),
+
+    // left-semi + left-anti joins (EXISTS / NOT EXISTS)
+    "q36_semi_anti" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey").as("id"))
+      val o = T(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, col("id") === col("o_custkey"), "left_semi").withColumn("tag", lit("has_order"))
+        .union(
+          c.join(o, col("id") === col("o_custkey"), "left_anti").withColumn("tag", lit("no_order")))
+    }),
+
+    // pivot: event-type counts as columns per user
+    "q37_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .count()
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
     // gap-based sessionization: two stacked windows, one shuffle on user_id
     "q30_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.byGap(T(s, dir, "events"), gap = 28800000000000L) // 8h in ns
@@ -478,6 +513,31 @@ object SparkEntry {
         |  round(list_dot_product(v, qv)
         |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
         |FROM e, q ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q34_distinct_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "q35_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q36_semi_anti" ->
+      """SELECT c_custkey AS id, 'has_order' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey AS id, 'no_order' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q37_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q30_sessionize" ->
       """WITH s AS (
