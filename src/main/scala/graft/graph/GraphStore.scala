@@ -62,6 +62,40 @@ class EdgeStore(spark: SparkSession, basePath: String) {
 
   def read(label: String): DataFrame = spark.read.parquet(s"$basePath/label=$label")
 
+  /** Bucketed variant: writes the edge set as a bucketed+sorted catalog
+    * table on `src`. Joins and aggregations keyed on `src` against this
+    * table then plan WITHOUT an Exchange on the edge side — the bucketing
+    * metadata replaces the shuffle, which at 100 TB is the difference
+    * between re-shuffling the edge corpus per query and reading it in
+    * place. (Plain `repartition(src)` layout — [[write]] — loses that
+    * information at read time; only catalog bucketing persists it.)
+    */
+  def writeBucketed(
+      edges: DataFrame,
+      tableName: String,
+      buckets: Int,
+      bidirectional: Boolean = false,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit = {
+    VertexClassifierRule.validate(edges.schema, tableName)
+    val oriented =
+      if (bidirectional)
+        edges.union(
+          edges.select(
+            col(EdgeColumns.Dst).as(EdgeColumns.Src),
+            col(EdgeColumns.Src).as(EdgeColumns.Dst),
+            col(EdgeColumns.PropVal)))
+      else edges
+    oriented.write
+      .mode(mode)
+      .bucketBy(buckets, EdgeColumns.Src)
+      .sortBy(EdgeColumns.Src)
+      .option("path", s"$basePath/table=$tableName")
+      .saveAsTable(tableName)
+  }
+
+  def readBucketed(tableName: String): DataFrame = spark.table(tableName)
+
   /** Deletes every edge touching one of the given vertex ids (delete-mode
     * cleanup, the relational analogue of removing a vertex's incident edges).
     * Implemented as two broadcast-able anti-joins.

@@ -50,6 +50,20 @@ class FormatsAndStoresSpec extends SparkSpec {
     assert(store.getParallelism(10, taskSize = 25000, minParallelism = 100) == 100)
   }
 
+  test("bucketed edge table: src-keyed aggregation plans without an Exchange") {
+    import spark.implicits._
+    val store = new EdgeStore(spark, tempDir("edges-bucketed"))
+    val edges = Seq((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)).toDF("src", "dst", "propVal")
+    store.writeBucketed(edges, "edges_bucket_spec", buckets = 4)
+    val t = store.readBucketed("edges_bucket_spec")
+    assert(t.count() == 3)
+    val agg  = t.groupBy("src").count()
+    val plan = agg.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"bucketed agg should not shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+    spark.sql("DROP TABLE IF EXISTS edges_bucket_spec")
+  }
+
   test("OR-similarity union-of-equi-joins rewrite matches the theta-join classifier") {
     import spark.implicits._
     val df = Seq(
