@@ -106,7 +106,9 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
   def delete(startDate: String, duration: Int, clearOnDelete: Boolean): Unit = {
     val pm = PartitionManager.forRange(startDate, duration, padded = false)
     val vertexTable = s"${config.idManager.dataPath}/${config.idManager.tableName}"
-    val doomed: DataFrame = spark.read.parquet(vertexTable).where(pm.partitionPredicate).select(col("id"))
+    val doomed: DataFrame =
+      try spark.read.parquet(vertexTable).where(pm.partitionPredicate).select(col("id"))
+      catch { case _: org.apache.spark.sql.AnalysisException => return } // nothing ever loaded
 
     buildRules().map(_.getEdgeLabel).distinct.foreach { label =>
       try edgeStore.deleteForVertices(label, doomed)
@@ -132,6 +134,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap ++
       args.filter(a => a == "--delete" || a == "--clear").map(_ -> "true").toMap
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -162,6 +165,6 @@ object Main {
       val r = job.process(start, duration)
       println(s"""{"vertices":${r.vertexCount},"edges":{${r.edgeCounts.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
     }
-    spark.stop()
+    if (!preexisting) spark.stop() // embedded callers (tests) keep their session
   }
 }

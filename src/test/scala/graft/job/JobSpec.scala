@@ -68,6 +68,23 @@ class JobSpec extends SparkSpec {
     assert(!simLeft.exists { case (s, d) => s >= 103L || d >= 103L })
   }
 
+  test("CLI main runs the load job end to end") {
+    val work = tempDir("graft-cli")
+    writeAlerts(s"$work/raw")
+    // getOrCreate reuses the suite session; CLI wiring is what's under test
+    Main.main(Array(
+      "--base-path", s"$work/raw", "--id-path", s"$work/ids", "--edge-path", s"$work/edges",
+      "--startdate", "2019-02-01", "--duration", "2",
+      "--rules", "similarityClassifier", "--similarity-exp", "objectId"))
+    assert(spark.read.parquet(s"$work/ids/vertices").count() == 4)
+    assert(spark.read.parquet(s"$work/edges/label=similarity").count() > 0)
+  }
+
+  test("delete on a never-loaded store is a no-op") {
+    val work = tempDir("graft-del")
+    new GraftJob(spark, config(work)).delete("2019-02-01", 1, clearOnDelete = true)
+  }
+
   test("unknown rule name fails fast; missing rule config fails fast") {
     val work = tempDir("graft-job2")
     val bad  = config(work).copy(rules = RulesConfig(rulesToApply = List("nope")))
