@@ -149,7 +149,7 @@ object Main {
       edgeBasePath = opts("--edge-path"),
       rules = RulesConfig(
         rulesToApply = rules,
-        similarity = opts.get("--similarity-exp").map(SimilarityConfig),
+        similarity = opts.get("--similarity-exp").map(e => SimilarityConfig(e)),
         sameValue = opts.get("--same-value-cols").map(c => SameValueSimilarityConfig(c.split(",").toList)),
         twoMode = opts.get("--two-mode-recipes").map(r => TwoModeSimilarityConfig(r.split(",").toList)),
         fixedVertexCsvPath = opts.get("--fixed-csv")

@@ -5,8 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Configuration for [[SimilarityClassifier]].
   * Ref: common/.../models/Config.scala (SimilarityConfig).
+  *
+  * @param autoRewriteFlatOr when the expression is a flat OR of two or more
+  *        leaves, route through the union-of-equi-joins rewrite instead of
+  *        the literal theta-join: the OR predicate has no equi-conjunct, so
+  *        Spark plans BroadcastNestedLoopJoin — O(n²) at scale (the
+  *        reference's 55-minute edge phase, docs/Benchmarks.md:36-39). The
+  *        rewrite is result-identical (spec-proven A/B) and plans one hash
+  *        join per leaf. Disable to reproduce the reference's physical plan.
   */
-case class SimilarityConfig(similarityExp: String)
+case class SimilarityConfig(similarityExp: String, autoRewriteFlatOr: Boolean = true)
 
 /** Connects "similar" vertices: a self-theta-join of the new batch against
   * (loaded ∪ new) under the compiled similarity expression, with edge value =
@@ -48,6 +56,10 @@ class SimilarityClassifier(config: SimilarityConfig) extends VertexClassifierRul
     val parsed      = SimilarityExp.parse(config.similarityExp)
     val joinColumns = parsed.columns
 
+    if (config.autoRewriteFlatOr && joinColumns.size >= 2 &&
+        SimilarityClassifier.isFlatOr(config.similarityExp))
+      return SimilarityClassifier.classifyUnionOfEquiJoins(config, loadedDf, df)
+
     val selectColsNoId = joinColumns.flatMap(SimilarityExp.leafSelectColumns).distinct
     val selectColsList = "id" :: selectColsNoId
 
@@ -87,6 +99,12 @@ class SimilarityClassifier(config: SimilarityConfig) extends VertexClassifierRul
 }
 
 object SimilarityClassifier {
+
+  /** A flat OR chain of leaves: no AND, no grouping — the shape where the
+    * union-of-equi-joins rewrite is exactly result-equivalent.
+    */
+  def isFlatOr(expression: String): Boolean =
+    !expression.contains("AND") && !expression.contains("(")
 
   /** Scale-path rewrite for OR-of-leaves expressions: instead of one
     * cartesian join filtered by `leaf1 OR leaf2 OR ...`, compute one
