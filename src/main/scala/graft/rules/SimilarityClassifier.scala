@@ -55,10 +55,10 @@ class SimilarityClassifier(config: SimilarityConfig) extends VertexClassifierRul
   override def classify(loadedDf: DataFrame, df: DataFrame): DataFrame = {
     val parsed      = SimilarityExp.parse(config.similarityExp)
     val joinColumns = parsed.columns
+    val disjuncts   = SimilarityExp.disjuncts(parsed.ast)
 
-    if (config.autoRewriteFlatOr && joinColumns.size >= 2 &&
-        SimilarityClassifier.isFlatOr(config.similarityExp))
-      return SimilarityClassifier.classifyUnionOfEquiJoins(config, loadedDf, df)
+    if (config.autoRewriteFlatOr && disjuncts.size >= 2)
+      return SimilarityClassifier.classifyViaDisjuncts(parsed, disjuncts, loadedDf, df)
 
     val selectColsNoId = joinColumns.flatMap(SimilarityExp.leafSelectColumns).distinct
     val selectColsList = "id" :: selectColsNoId
@@ -105,6 +105,65 @@ object SimilarityClassifier {
     */
   def isFlatOr(expression: String): Boolean =
     !expression.contains("AND") && !expression.contains("(")
+
+  /** General union-of-disjunct-joins rewrite, valid for ANY expression whose
+    * top level is an OR of two or more disjuncts (each disjunct may itself
+    * be an AND tree).
+    *
+    * The literal theta-join predicate `id1 > id2 AND (d1 OR d2 OR ...)` has
+    * no extractable equi-conjunct, so Spark plans a BroadcastNestedLoopJoin
+    * — the O(n²) shape behind the reference's 55-minute edge phase
+    * (docs/Benchmarks.md:36-39). Per-disjunct joins restore the structure
+    * Catalyst can use: equality-style leaves (`<=>`, cdsxmatch, mulens)
+    * become hash-join keys, and single-side range leaves (score > 0.9)
+    * are pushed below the join as filters, shrinking even the disjuncts
+    * that remain nested-loop.
+    *
+    * Candidate pairs = ∪ per-disjunct joins, deduplicated; leaf columns are
+    * re-attached by two id hash-joins and the similarity value is the same
+    * per-leaf fold as the direct path — result-identical by construction
+    * (and by A/B spec).
+    */
+  def classifyViaDisjuncts(
+      parsed: SimilarityExp.ParseResult,
+      disjuncts: List[SimilarityExp.Expr],
+      loadedDf: DataFrame,
+      df: DataFrame
+  ): DataFrame = {
+    val selectColsNoId = parsed.columns.flatMap(SimilarityExp.leafSelectColumns).distinct
+    val selectColsList = "id" :: selectColsNoId
+    def withSuffix(num: Int): List[Column] = selectColsList.map(x => col(x).as(s"$x$num"))
+
+    val df1 = df.select(withSuffix(1): _*)
+    val df2 = loadedDf
+      .select(selectColsList.map(col): _*)
+      .union(df.select(selectColsList.map(col): _*))
+      .select(withSuffix(2): _*)
+
+    val pairs = disjuncts
+      .map { d =>
+        df1.join(df2, (col("id1") > col("id2")) && SimilarityExp.compile(d))
+          .select(col("id1"), col("id2"))
+      }
+      .reduce(_ union _)
+      .distinct()
+
+    // re-attach the leaf columns for the value fold (unique-key hash joins)
+    val joined = pairs
+      .join(df1, "id1")
+      .join(df2, "id2")
+      .withColumn("similarity", lit(0))
+    val computed = parsed.columns.foldLeft(joined) { (curr, name) =>
+      curr.withColumn(
+        "similarity",
+        when(SimilarityExp.colNameToCondition(name), col("similarity") + 1)
+          .otherwise(col("similarity")))
+    }
+    computed.select(
+      col("id1").as(EdgeColumns.Src),
+      col("id2").as(EdgeColumns.Dst),
+      col("similarity").as(EdgeColumns.PropVal))
+  }
 
   /** Scale-path rewrite for OR-of-leaves expressions: instead of one
     * cartesian join filtered by `leaf1 OR leaf2 OR ...`, compute one

@@ -64,6 +64,26 @@ class FormatsAndStoresSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS edges_bucket_spec")
   }
 
+  test("mixed AND/OR expression: disjunct rewrite matches the literal theta-join") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "n1", 0.95, "x"), (2L, "n1", 0.96, "y"), (3L, "n2", 0.1, "x"),
+      (4L, "n2", 0.97, "z"), (5L, "n3", 0.99, "x")
+    ).toDF("id", "grp", "rfscore", "other")
+    val exp    = "(grp AND rfscore) OR other"
+    val loaded = df.limit(0)
+    val direct = new SimilarityClassifier(SimilarityConfig(exp, autoRewriteFlatOr = false))
+      .classify(loaded, df).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rewritten = new SimilarityClassifier(SimilarityConfig(exp))
+      .classify(loaded, df).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(direct == rewritten)
+    assert(direct.nonEmpty)
+    val plan = new SimilarityClassifier(SimilarityConfig(exp))
+      .classify(loaded, df).queryExecution.executedPlan.toString()
+    // the equality disjunct must hash-join; only the pure-range part may BNL
+    assert(plan.contains("HashJoin"), plan)
+  }
+
   test("OR-similarity union-of-equi-joins rewrite matches the theta-join classifier") {
     import spark.implicits._
     val df = Seq(
