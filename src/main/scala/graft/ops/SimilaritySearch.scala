@@ -127,21 +127,26 @@ object SimilaritySearch {
     def index(df: DataFrame, vecCol: String = "embedding"): DataFrame =
       df.withColumn("lsh_bucket", bucketExpr(col(vecCol).cast("array<double>")))
 
-    /** Top-k within the query's bucket (single-probe). Recall improves with
-      * multi-probe (flip lowest-margin bits) — future work; the index shape
-      * is the same.
+    /** Top-k within the query's probe set. `probes = 1` scans only the
+      * query's own bucket; each additional probe also scans one single-
+      * bit-flip neighbor bucket (multi-probe LSH: near-miss vectors land in
+      * buckets differing by one low-margin hyperplane sign), trading a
+      * linear increase in scanned cells for recall.
       */
     def query(
         indexed: DataFrame,
         queryVec: Seq[Double],
         k: Int,
         vecCol: String = "embedding",
-        idCol: String = "vec_id"
+        idCol: String = "vec_id",
+        probes: Int = 1
     ): DataFrame = {
-      val q        = VectorOps.vecLit(queryVec)
-      val qBucket  = indexed.sparkSession.range(1).select(bucketExpr(q).as("b")).head().getLong(0)
+      require(probes >= 1 && probes <= bits + 1, s"probes must be in [1, ${bits + 1}]")
+      val q       = VectorOps.vecLit(queryVec)
+      val qBucket = indexed.sparkSession.range(1).select(bucketExpr(q).as("b")).head().getLong(0)
+      val buckets = qBucket +: (0 until (probes - 1)).map(b => qBucket ^ (1L << b))
       indexed
-        .where(col("lsh_bucket") === qBucket)
+        .where(col("lsh_bucket").isin(buckets: _*))
         .select(col(idCol), round(VectorOps.cosine(col(vecCol).cast("array<double>"), q), 6).as("score"))
         .orderBy(col("score").desc, col(idCol))
         .limit(k)

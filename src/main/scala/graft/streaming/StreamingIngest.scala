@@ -88,3 +88,61 @@ object EventStreamOps {
                   tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
 }
+
+/** One event of the stateful sessionizer (event-time in epoch millis). */
+case class SessionEvent(userId: Long, tsMillis: Long, value: Double)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(sessionSeq: Long, startMillis: Long, lastMillis: Long, nEvents: Long, sumValue: Double)
+
+/** A closed session emitted when the gap (or timeout) expires. */
+case class ClosedSession(userId: Long, sessionSeq: Long, startMillis: Long,
+                         endMillis: Long, nEvents: Long, sumValue: Double)
+
+/** Stateful streaming sessionization via `flatMapGroupsWithState` — the
+  * streaming face of [[graft.ops.Sessionize]] (same gap semantics, but
+  * sessions close incrementally as state rather than via a global sort).
+  *
+  * State per user is O(1): exactly one open session. A session closes when
+  * a later event arrives past the gap. Closing *idle* sessions (no further
+  * events ever) needs a timeout: use `EventTimeTimeout` + a watermark in
+  * production — NOT `ProcessingTimeTimeout`, whose per-tick state-cleanup
+  * batches keep `processAllAvailable`-style quiescence from ever being
+  * reached (measured: the query loops "No new data but cleaning up state"
+  * forever under test harnesses).
+  */
+object StatefulSessionize {
+
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def sessionize(events: Dataset[SessionEvent], gapMillis: Long): Dataset[ClosedSession] = {
+    implicit val se: org.apache.spark.sql.Encoder[SessionState]   = Encoders.product[SessionState]
+    implicit val ce: org.apache.spark.sql.Encoder[ClosedSession]  = Encoders.product[ClosedSession]
+    implicit val le: org.apache.spark.sql.Encoder[Long]           = Encoders.scalaLong
+
+    def update(userId: Long, rows: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(_.tsMillis)
+      var closed = List.empty[ClosedSession]
+      var cur    = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.tsMillis - s.lastMillis <= gapMillis =>
+            cur = Some(s.copy(lastMillis = e.tsMillis, nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+          case Some(s) =>
+            closed ::= ClosedSession(userId, s.sessionSeq, s.startMillis, s.lastMillis, s.nEvents, s.sumValue)
+            cur = Some(SessionState(s.sessionSeq + 1, e.tsMillis, e.tsMillis, 1, e.value))
+          case None =>
+            cur = Some(SessionState(0, e.tsMillis, e.tsMillis, 1, e.value))
+        }
+      }
+      cur.foreach(state.update)
+      closed.reverseIterator
+    }
+
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -39,6 +39,27 @@ class GraphQueriesSpec extends SparkSpec {
 
 class IvfSpec extends SparkSpec {
 
+  test("ANN recall@10 on real embeddings: multi-probe beats single-probe; IVF recalls most") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q   = graft.SparkEntry.benchQueryVec
+    val truth = SimilaritySearch.bruteForceTopK(emb, q, k = 10).collect().map(_.getLong(0)).toSet
+
+    val lsh = SimilaritySearch.RandomHyperplaneLsh(bits = 4, dim = 64)
+    val idx = lsh.index(emb).cache()
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(_.getLong(0)).count(truth) / 10.0
+    val r1 = recall(lsh.query(idx, q, k = 10, probes = 1))
+    val r5 = recall(lsh.query(idx, q, k = 10, probes = 5))
+    assert(r5 >= r1, s"multi-probe recall $r5 < single-probe $r1")
+
+    val ivf = SimilaritySearch.IvfIndex(k = 8, nprobe = 4)
+    val (indexed, centroids) = ivf.index(emb)
+    val rIvf = recall(ivf.query(indexed, centroids, q, topK = 10))
+    assert(rIvf >= 0.5, s"IVF recall@10 too low: $rIvf")
+    idx.unpersist()
+  }
+
   test("IVF query scores agree with brute force; candidates restricted to cells") {
     import spark.implicits._
     val rng  = new scala.util.Random(5)

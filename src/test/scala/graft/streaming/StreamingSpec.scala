@@ -64,6 +64,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes sessions on gap, carries state across batches") {
+    import spark.implicits._
+    val stream = MemoryStream[SessionEvent](spark)
+    val q = StatefulSessionize.sessionize(stream.toDS(), gapMillis = 1000L)
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // batch 1: two events inside one session for user 7
+      stream.addData(SessionEvent(7L, 0L, 1.0), SessionEvent(7L, 500L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0) // session still open
+      // batch 2: a far-future event closes session 0 and opens session 1
+      stream.addData(SessionEvent(7L, 10000L, 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out").as[ClosedSession].collect()
+      assert(closed.length == 1)
+      assert(closed.head == ClosedSession(7L, 0L, 0L, 500L, 2L, 3.0))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Timestamp)](spark)
