@@ -134,6 +134,40 @@ object SparkEntry {
       new TwoModeClassifier(TwoModeSimilarityConfig(List("asteroids")), fixed).classify(v.limit(0), v)
     }),
 
+    // P7 multi-recipe: microlensing + asteroids in one pass (explode over
+    // per-recipe dst expressions; 0..2 edges per row)
+    "q38_twomode_multi" -> ((s, dir) => {
+      val v = T(s, dir, "events").select(
+        col("event_id").as("id"),
+        when(col("event_type") === "click", "ML").otherwise("CV").as("mulens_class_1"),
+        when(col("value") > 250, "ML").otherwise("CV").as("mulens_class_2"),
+        floor(col("value") / 100).cast("int").as("roid"))
+      val fixed = List(
+        FixedVertex(31L, "mulens", List(FixedVertexProperty("recipe", "string", "microlensing"))),
+        FixedVertex(32L, "roid", List(FixedVertexProperty("recipe", "string", "asteroids"))))
+      new TwoModeClassifier(TwoModeSimilarityConfig(List("microlensing", "asteroids")), fixed)
+        .classify(v.limit(0), v)
+    }),
+
+    // P7 supernova recipe: the full 6-predicate + 19-class membership rule
+    "q39_twomode_supernova" -> ((s, dir) => {
+      val v = T(s, dir, "events").select(
+        col("event_id").as("id"),
+        (col("value") / 500).as("snn_snia_vs_nonia"),
+        (col("value") / 490).as("snn_sn_vs_all"),
+        (col("value") / 600).as("drb"),
+        floor(col("value")).cast("int").as("ndethist"),
+        (col("value") / 700).cast("float").as("classtar"),
+        when(col("event_type") === "click", "SN")
+          .when(col("event_type") === "view", "Unknown")
+          .when(col("event_type") === "purchase", "Transient")
+          .otherwise("NotInSet").as("cdsxmatch"))
+      val fixed = List(
+        FixedVertex(41L, "sn", List(FixedVertexProperty("recipe", "string", "supernova"))))
+      new TwoModeClassifier(TwoModeSimilarityConfig(List("supernova")), fixed)
+        .classify(v.limit(0), v)
+    }),
+
     // A7: dense contiguous id assignment continuing from an offset —
     // via the custom DenseIdPlan/DenseIdExec operator
     "q12_dense_ids" -> ((s, dir) =>
@@ -401,6 +435,21 @@ object SparkEntry {
     "q11_twomode_direct" ->
       """SELECT event_id AS src, CAST(21 AS BIGINT) AS dst, CAST(0.0 AS DOUBLE) AS "propVal"
         |FROM events WHERE CAST(floor(value / 100) AS INT) > 1""".stripMargin,
+
+    "q38_twomode_multi" ->
+      """SELECT event_id AS src, CAST(31 AS BIGINT) AS dst, CAST(0.0 AS DOUBLE) AS "propVal"
+        |FROM events WHERE event_type = 'click' AND value > 250
+        |UNION ALL
+        |SELECT event_id AS src, CAST(32 AS BIGINT) AS dst, CAST(0.0 AS DOUBLE) AS "propVal"
+        |FROM events WHERE CAST(floor(value / 100) AS INT) > 1""".stripMargin,
+
+    "q39_twomode_supernova" ->
+      """SELECT event_id AS src, CAST(41 AS BIGINT) AS dst, CAST(0.0 AS DOUBLE) AS "propVal"
+        |FROM events
+        |WHERE value / 500 > 0.75 AND value / 490 > 0.75 AND value / 600 > 0.5
+        |  AND CAST(floor(value) AS INT) < 400
+        |  AND CAST(value / 700 AS REAL) > CAST(0.4 AS REAL)
+        |  AND event_type IN ('click', 'view', 'purchase')""".stripMargin,
 
     "q12_dense_ids" ->
       """SELECT 200 + row_number() OVER (ORDER BY s_suppkey) AS id, s_suppkey, s_name
