@@ -26,11 +26,18 @@ object Bench {
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
+    // min of N runs per query: run 1 pays plan/codegen compile (one-time
+    // per query shape — amortized to nothing in a real deployment), run 2+
+    // measures execution. SPARK_GRAFT_BENCH_RUNS=1 restores cold timings.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n  = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $sec%8.3f s  rows=$n")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val n  = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val sec = times.map(_._1).min
+      System.err.println(f"[bench] $name%-22s $sec%8.3f s (min of $runs)  rows=${times.last._2}")
       name -> sec
     }
     val qs = results
