@@ -100,4 +100,48 @@ class SimilarityExpSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------- AST round-trip
+
+  private val astNameGen: Gen[String] =
+    Gen.oneOf("rfscore", "objectId", "cdsxmatch", "roid", "classtar", "mulens", "foo_bar")
+
+  private def exprGen(depth: Int): Gen[SimilarityExp.Expr] =
+    if (depth <= 0) astNameGen.map(SimilarityExp.Leaf)
+    else
+      Gen.frequency(
+        2 -> astNameGen.map(SimilarityExp.Leaf),
+        1 -> (for { l <- exprGen(depth - 1); r <- exprGen(depth - 1) } yield SimilarityExp.And(l, r)),
+        1 -> (for { l <- exprGen(depth - 1); r <- exprGen(depth - 1) } yield SimilarityExp.Or(l, r))
+      )
+
+  /** Fully-parenthesized rendering: parsing it must rebuild the same tree. */
+  private def render(e: SimilarityExp.Expr): String = e match {
+    case SimilarityExp.Leaf(n)   => n
+    case SimilarityExp.And(l, r) => s"(${render(l)} AND ${render(r)})"
+    case SimilarityExp.Or(l, r)  => s"(${render(l)} OR ${render(r)})"
+  }
+
+  test("property: render -> parse round-trips the AST") {
+    samples(exprGen(4), 300).foreach { ast =>
+      val parsed = SimilarityExp.parse(render(ast))
+      assert(parsed.ast == ast, s"round-trip failed for ${render(ast)}")
+      assert(parsed.columns == SimilarityExp.leaves(ast))
+    }
+  }
+
+  test("property: disjuncts flatten exactly the top-level OR chain") {
+    samples(exprGen(4), 300).foreach { ast =>
+      val ds = SimilarityExp.disjuncts(ast)
+      // no disjunct is itself an Or, and flattening preserves leaf order
+      assert(ds.forall(d => !d.isInstanceOf[SimilarityExp.Or]))
+      assert(ds.flatMap(SimilarityExp.leaves) == SimilarityExp.leaves(ast))
+    }
+  }
+
+  test("left-associative fold: a OR b AND c parses as And(Or(a,b),c)") {
+    import SimilarityExp._
+    assert(parse("roid OR rfscore AND classtar").ast ==
+      And(Or(Leaf("roid"), Leaf("rfscore")), Leaf("classtar")))
+  }
 }
