@@ -69,8 +69,11 @@ object E2EDemo {
     println(s"after delete: rows=${remaining.count()} maxId=${idm.fetchId(remaining)}")
 
     val planStr = sim.classify(v2.loaded, v2.current).queryExecution.executedPlan.toString
-    println("plan has BNL/cartesian: " +
-      (planStr.contains("CartesianProduct") || planStr.contains("BroadcastNestedLoopJoin")))
+    val strategies = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").filter(planStr.contains)
+    // hash joins carry the equality disjuncts; BNL remains only for the
+    // pure-range ones (score thresholds), on filter-pruned inputs
+    println("similarity join strategies: " + strategies.mkString(", "))
     println("E2E-DONE")
     spark.stop()
   }
