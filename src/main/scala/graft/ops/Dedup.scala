@@ -149,11 +149,24 @@ object Dedup {
     filtered.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,
-    * computed as 64 conditional sums in a single aggregation (one shuffle on
-    * the doc id, no UDF).
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
+    * One shuffle on the doc id; the vote accumulation is the custom
+    * [[org.apache.spark.sql.graft.SimHashAgg]] sketch aggregate (single
+    * 64-int buffer per group with map-side partial aggregation — the
+    * 64-conditional-sum Column formulation, kept below as [[simhashWide]],
+    * compiles a very wide aggregate and shuffles 64 longs per group).
     */
-  def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .groupBy("id")
+      .agg(org.apache.spark.sql.graft.SimHashAgg.simhashAgg(xxhash64(col("tok"))).as("simhash"))
+
+  /** Pure-built-in formulation of [[simhash]] (64 conditional sums) — the
+    * executable semantic contract, cross-checked by spec for bit equality.
+    */
+  def simhashWide(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = df.select(
       col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok")

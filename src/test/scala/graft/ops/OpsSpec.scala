@@ -51,6 +51,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("SimHashAgg sketch aggregate is bit-identical to the wide formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val df = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(5 + rng.nextInt(30))(s"w${rng.nextInt(50)}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val a = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhashWide(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("ngramJaccardPairs computes exact jaccard on overlapping docs") {
     // doc1 shingles: {a b c, b c d}; doc2: {a b c, b c x} → jaccard = 1/3
     val df    = docs(1L -> "a b c d", 2L -> "a b c x")
