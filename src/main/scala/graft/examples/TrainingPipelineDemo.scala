@@ -1,0 +1,60 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** End-to-end training-data pipeline over the documents + embeddings
+  * tables: text analysis → quality filter → exact dedup → near-dup (minhash)
+  * removal → token accounting, plus ANN retrieval on the embedding side.
+  * Runnable: `sbt "runMain graft.examples.TrainingPipelineDemo [sfDir]"`.
+  *
+  * Every stage is one of the library operators; the demo shows how they
+  * chain (each stage's output is the next stage's input — one lineage, no
+  * intermediate materialization except the operator-internal persists).
+  */
+object TrainingPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"corpus: ${docs.count()} documents")
+
+    // 1. analyze + quality filter
+    val analyzed = TextAnalysis.analyze(docs)
+    val quality  = analyzed.where(col("quality_score") >= 0.5 && col("token_count") >= 10)
+    println(s"after quality filter: ${quality.count()}")
+
+    // 2. exact dedup by content hash (keep the min doc_id per fingerprint)
+    val keep    = Dedup.exactByHash(quality).select(col("keep_id").as("doc_id"))
+    val deduped = quality.join(keep, "doc_id")
+    println(s"after exact dedup: ${deduped.count()}")
+
+    // 3. near-dup removal: minhash-LSH pairs above jaccard 0.5 → drop id_b
+    val nearDups = Dedup.minhashLsh(deduped, verifyThreshold = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val clean = deduped.join(nearDups, Seq("doc_id"), "left_anti")
+    println(s"after near-dup removal: ${clean.count()}")
+
+    // 4. token accounting for the training budget
+    val budget = clean.agg(
+      sum("token_count").as("whitespace_tokens"),
+      sum("bpeish_tokens").as("bpeish_tokens")).head()
+    println(s"token budget: whitespace=${budget.getLong(0)} bpeish=${budget.getLong(1)}")
+
+    // 5. ANN retrieval on the embedding side (brute force + IVF agree on scores)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q   = graft.SparkEntry.benchQueryVec
+    val top = SimilaritySearch.bruteForceTopK(emb, q, k = 5).collect()
+    println("top-5 neighbors: " + top.map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(" "))
+
+    println("PIPELINE-DONE")
+    spark.stop()
+  }
+}
