@@ -288,6 +288,16 @@ object SparkEntry {
       p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
     }),
 
+    // spark.sql entry path: scalar subquery over a temp view (the SQL face
+    // of the engine — same Catalyst plans as the DataFrame API)
+    "q40_sql_scalar_subquery" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+          |FROM customer_v
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)""".stripMargin)
+    }),
+
     // gap-based sessionization: two stacked windows, one shuffle on user_id
     "q30_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.byGap(T(s, dir, "events"), gap = 28800000000000L) // 8h in ns
@@ -600,6 +610,11 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q40_sql_scalar_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
 
     "q30_sessionize" ->
       """WITH s AS (

@@ -92,6 +92,11 @@ object EventStreamOps {
 /** One event of the stateful sessionizer (event-time in epoch millis). */
 case class SessionEvent(userId: Long, tsMillis: Long, value: Double)
 
+/** [[SessionEvent]] + the watermarked event-time column (must survive into
+  * the stateful operator for EventTimeTimeout — see sessionizeEventTime).
+  */
+case class TimedSessionEvent(userId: Long, eventTime: java.sql.Timestamp, tsMillis: Long, value: Double)
+
 /** Open-session state carried between micro-batches. */
 case class SessionState(sessionSeq: Long, startMillis: Long, lastMillis: Long, nEvents: Long, sumValue: Double)
 
@@ -144,5 +149,70 @@ object StatefulSessionize {
     events
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Event-time variant: also closes *idle* sessions once the watermark
+    * passes `lastEvent + gap` — the production-complete form. Input must
+    * carry an event-time `timestamp` column (for the watermark); rows are
+    * converted to [[SessionEvent]]s internally.
+    *
+    * @param events    frame with (userCol, tsCol: timestamp, valueCol)
+    * @param watermark late-data bound, e.g. "10 seconds"
+    */
+  def sessionizeEventTime(
+      events: org.apache.spark.sql.DataFrame,
+      gapMillis: Long,
+      watermark: String,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.functions._
+    implicit val ee: org.apache.spark.sql.Encoder[SessionEvent]  = Encoders.product[SessionEvent]
+    implicit val se: org.apache.spark.sql.Encoder[SessionState]  = Encoders.product[SessionState]
+    implicit val ce: org.apache.spark.sql.Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    implicit val le: org.apache.spark.sql.Encoder[Long]          = Encoders.scalaLong
+
+    def update(userId: Long, rows: Iterator[TimedSessionEvent],
+               state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(ClosedSession(userId, s.sessionSeq, s.startMillis, s.lastMillis, s.nEvents, s.sumValue))
+      }
+      val sorted = rows.toSeq.sortBy(_.tsMillis)
+      var closed = List.empty[ClosedSession]
+      var cur    = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.tsMillis - s.lastMillis <= gapMillis =>
+            cur = Some(s.copy(lastMillis = e.tsMillis, nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+          case Some(s) =>
+            closed ::= ClosedSession(userId, s.sessionSeq, s.startMillis, s.lastMillis, s.nEvents, s.sumValue)
+            cur = Some(SessionState(s.sessionSeq + 1, e.tsMillis, e.tsMillis, 1, e.value))
+          case None =>
+            cur = Some(SessionState(0, e.tsMillis, e.tsMillis, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close when the watermark passes the session's gap horizon
+        state.setTimeoutTimestamp(s.lastMillis + gapMillis)
+      }
+      closed.reverseIterator
+    }
+
+    implicit val te: org.apache.spark.sql.Encoder[TimedSessionEvent] = Encoders.product[TimedSessionEvent]
+    val fn: (Long, Iterator[TimedSessionEvent], GroupState[SessionState]) => Iterator[ClosedSession] = update
+    events
+      .withWatermark(tsCol, watermark)
+      .select(
+        col(userCol).cast("long").as("userId"),
+        col(tsCol).as("eventTime"), // the watermarked column, kept in-plan
+        unix_millis(col(tsCol)).as("tsMillis"),
+        col(valueCol).cast("double").as("value"))
+      .as[TimedSessionEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

@@ -83,6 +83,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessionize closes idle sessions when the watermark passes") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp, Double)](spark)
+    val events = stream.toDF().toDF("user_id", "ts", "value")
+    val out = StatefulSessionize.sessionizeEventTime(
+      events, gapMillis = 1000L, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData((7L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("et_sessions").count() == 0) // open, watermark not past gap
+      // a much later event (other user) advances the watermark past 10:00:01
+      stream.addData((8L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      // one more batch so the timeout fires after the watermark advanced
+      stream.addData((8L, Timestamp.valueOf("2024-01-01 10:10:00.5"), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("et_sessions").as[ClosedSession].collect()
+      assert(closed.exists(c => c.userId == 7L && c.nEvents == 1L), closed.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Timestamp)](spark)
