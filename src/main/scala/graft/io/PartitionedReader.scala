@@ -84,7 +84,8 @@ case class ReaderConfig(
     format: DataFormat = DataFormat.Parquet,
     keepCols: List[String] = Nil,
     keepColsRenamed: List[(String, String)] = Nil,
-    newCols: List[(String, String)] = Nil
+    newCols: List[(String, String)] = Nil,
+    options: Map[String, String] = Map.empty // format options (csv header, json mode, ...)
 )
 
 /** Partition-pruned scan + projection/rename/derive pipeline (S1 + S2).
@@ -108,6 +109,7 @@ class PartitionedReader(spark: SparkSession, config: ReaderConfig) {
       throw NoDataException(s"No data at ${config.basePath} for ${pm.relativePaths.mkString(",")}")
     spark.read
       .option("basePath", config.basePath)
+      .options(config.options)
       .format(config.format.name)
       .load(paths: _*)
   }

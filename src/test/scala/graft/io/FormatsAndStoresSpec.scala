@@ -25,6 +25,13 @@ class FormatsAndStoresSpec extends SparkSpec {
     val csv = csvReader.read(pm)
     assert(csv.count() == 2) // schema-less csv: positional _c* columns + partition cols
 
+    // format options flow through (csv header + schema inference)
+    val headered = new PartitionedReader(spark, ReaderConfig(s"$base/csvh", DataFormat.Csv,
+      options = Map("header" -> "true", "inferSchema" -> "true")))
+    df.write.partitionBy("year", "month", "day").option("header", "true").csv(s"$base/csvh")
+    val h = headered.read(pm)
+    assert(h.count() == 2 && h.columns.contains("name"))
+
     val jsonReader = new PartitionedReader(spark, ReaderConfig(s"$base/json", DataFormat.Json))
     val json = jsonReader.read(pm)
     assert(json.count() == 2 && json.columns.contains("name"))
