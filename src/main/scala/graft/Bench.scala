@@ -34,7 +34,12 @@ object Bench {
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val n  = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, n)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop operator-internal persisted intermediates between runs so
+        // min-of-N loops don't accumulate storage memory (deliberate
+        // memoized index caches are untracked and survive)
+        Caches.clear()
+        (dt, n)
       }
       val sec = times.map(_._1).min
       System.err.println(f"[bench] $name%-22s $sec%8.3f s (min of $runs)  rows=${times.last._2}")

@@ -25,9 +25,14 @@ object Verify {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     SparkEntry.queries.foreach { case (name, fn) =>
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      // The job group must be set on the thread that SUBMITS the Spark jobs
+      // (it's a thread-local snapshot): setting it here on the main thread
+      // would tag nothing, and a reused pool thread would carry a stale
+      // group — cancelJobGroup would then cancel the wrong (or no) jobs.
       val work = Future {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
       }
       try Await.result(work, timeoutSec.seconds)
       catch {
@@ -36,7 +41,8 @@ object Verify {
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s — cancelled")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.sparkContext.clearJobGroup()
+      }
+      Caches.clear() // drop operator-internal persisted intermediates
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -32,7 +32,7 @@ case class GraftConfig(
     bidirectionalEdges: Boolean = true
 )
 
-/** Per-rule edge counts of one run. */
+/** Per-rule edge counts of one run (stored rows: ×2 when bidirectional). */
 case class JobResult(vertexCount: Long, edgeCounts: Map[String, Long])
 
 /** The load-job orchestration: read → derive → id-stamp → classify → store.
@@ -88,11 +88,17 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
     val vertexData: VertexData = idManager.process(df)
     val rules = buildRules()
 
+    // Per-run counts, matching the reference (EdgeProcessor.scala:166): the
+    // classified set is cached so the count and the write share one
+    // computation, and the accumulated store — which grows without bound —
+    // is never re-read in the hot path.
     val edgeCounts = rules.map { rule =>
-      val edges = rule.classify(vertexData.loaded, vertexData.current)
+      val edges = rule.classify(vertexData.loaded, vertexData.current).cache()
       VertexClassifierRule.validate(edges.schema, rule.name)
+      val n = edges.count()
       edgeStore.write(edges, rule.getEdgeLabel, bidirectional = config.bidirectionalEdges)
-      rule.getEdgeLabel -> edgeStore.read(rule.getEdgeLabel).count()
+      edges.unpersist()
+      rule.getEdgeLabel -> (if (config.bidirectionalEdges) n * 2 else n)
     }.toMap
 
     JobResult(vertexData.current.count(), edgeCounts)
@@ -132,8 +138,12 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap ++
-      args.filter(a => a == "--delete" || a == "--clear").map(_ -> "true").toMap
+    // Bare flags are consumed positionally first; only value options pair up,
+    // so `--delete --startdate 2019-02-01` parses regardless of flag order.
+    val bareFlags  = Set("--delete", "--clear")
+    val valueArgs  = args.filterNot(bareFlags.contains)
+    val opts = valueArgs.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap ++
+      args.filter(bareFlags.contains).map(_ -> "true").toMap
     val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -110,10 +109,11 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    // Persisted: the banded frame feeds both sides of the candidate join, and
-    // Spark does not share common subplans across join branches — without
-    // this the signature aggregation runs twice (2× measured at sf0.1).
-    val withSig = minhashSignatures(df, textCol, idCol, numHashes, shingleWidth).persist()
+    // Persisted (tracked — see graft.Caches): the banded frame feeds both
+    // sides of the candidate join, and Spark does not share common subplans
+    // across join branches — without this the signature aggregation runs
+    // twice (2× measured at sf0.1).
+    val withSig = graft.Caches.track(minhashSignatures(df, textCol, idCol, numHashes, shingleWidth))
 
     // band hash = xxhash64 over the band's slice of the signature
     val banded = withSig.select(
@@ -193,8 +193,9 @@ object Dedup {
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
     }
-    // persisted: feeds both sides of the chunk-bucket join (see minhashLsh)
-    val blocked = sigs.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("ck")).persist()
+    // persisted (tracked): feeds both sides of the chunk-bucket join
+    val blocked = graft.Caches.track(
+      sigs.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("ck")))
     val l = blocked.select(col("ck").as("ck"), col("id").as("id_a"), col("simhash").as("sig_a"))
     val r = blocked.select(col("ck").as("ck"), col("id").as("id_b"), col("simhash").as("sig_b"))
     l.join(r, l("ck") === r("ck") && col("id_a") < col("id_b"))
@@ -218,21 +219,28 @@ object Dedup {
       threshold: Double = 0.5,
       maxDocFreq: Long = 1000
   ): DataFrame = {
-    // `base` is persisted because the shingle computation fans out to four
-    // consumers (both join sides + two size lookups) and Spark does not CSE
-    // common subplans across join branches.
-    val base = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .persist()
+    // `base` is persisted (tracked) because the shingle computation fans out
+    // to four consumers (both join sides + two size lookups) and Spark does
+    // not CSE common subplans across join branches.
+    val base = graft.Caches.track(
+      df.select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
+        .withColumn("sz", size(col("sh"))))
     val sizes = base.select(col("id"), col("sz"))
     val postings = base
       .select(col("id"), explode(col("sh")).as("shingle"))
-    val pruned = postings
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .where(col("df") <= maxDocFreq)
-      .drop("df")
-      .persist()
+    // Document-frequency pruning via groupBy + broadcast anti-join, NOT a
+    // window: `count().over(partitionBy(shingle))` sorts ALL postings of the
+    // hottest shingle into one task *before* the cap can drop it — the exact
+    // skew the cap exists to prevent. groupBy gets map-side partial
+    // aggregation (each task contributes one count per local shingle), and
+    // the resulting hot-set is tiny by construction (≤ |postings|/maxDocFreq,
+    // Zipf-small in practice), so the anti-join broadcasts and the postings
+    // themselves never shuffle before the co-occurrence join.
+    val hot = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select("shingle")
+    val pruned = graft.Caches.track(
+      postings.join(broadcast(hot), Seq("shingle"), "left_anti"))
 
     val co = pruned.as("a")
       .join(pruned.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

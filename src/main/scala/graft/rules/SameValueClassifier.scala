@@ -51,10 +51,14 @@ class SameValueClassifier(config: SameValueSimilarityConfig) extends VertexClass
     config.colsToConnect.map { column =>
       val newVertices = df.select(column, "id")
 
-      // (1) clique edges within the current batch
-      val cap = config.maxGroupSize
+      // (1) clique edges within the current batch. The grouping key is the
+      // column value canonicalized to a string (type-agnostic: int/long/
+      // decimal link columns work without a caller-side cast); null keeps
+      // its own group, distinct from the literal string "null".
+      val cap    = config.maxGroupSize
+      val keyIdx = newVertices.schema.fieldIndex(column)
       val edgesFromNewVertices = newVertices
-        .groupByKey(r => r.getAs[String](column))(Encoders.STRING)
+        .groupByKey(r => if (r.isNullAt(keyIdx)) null else r.get(keyIdx).toString)(Encoders.STRING)
         .flatMapGroups { (_, rows) =>
           val ids = rows.map(_.getAs[Long]("id")).toList
           if (cap.exists(ids.size > _)) Iterator.empty

@@ -37,9 +37,16 @@ class JobSpec extends SparkSpec {
 
     val r1 = job.process("2019-02-01", 1)
     assert(r1.vertexCount == 2)
+    // JobResult counts are PER RUN (stored rows: ×2 bidirectional), not the
+    // cumulative store size — and the store is never re-read to produce them
+    val sim1 = spark.read.parquet(s"$work/edges/label=similarity").count()
+    assert(r1.edgeCounts("similarity") == sim1)
 
     val r2 = job.process("2019-02-02", 1)
     assert(r2.vertexCount == 2)
+    val simAll = spark.read.parquet(s"$work/edges/label=similarity").count()
+    assert(r2.edgeCounts("similarity") == simAll - sim1,
+      s"run-2 count must be run 2's edges only (got ${r2.edgeCounts("similarity")}, store grew by ${simAll - sim1})")
 
     // the two objA vertices (one per day) must be linked: same objectId.
     // Ids are dense 101..104 but intra-day order follows partition order —
@@ -83,6 +90,18 @@ class JobSpec extends SparkSpec {
   test("delete on a never-loaded store is a no-op") {
     val work = tempDir("graft-del")
     new GraftJob(spark, config(work)).delete("2019-02-01", 1, clearOnDelete = true)
+  }
+
+  test("CLI bare flags parse positionally: --delete before value options") {
+    val work = tempDir("graft-cli-flags")
+    writeAlerts(s"$work/raw")
+    // a bare flag FIRST must not misalign the key/value pairing
+    Main.main(Array(
+      "--delete",
+      "--base-path", s"$work/raw", "--id-path", s"$work/ids", "--edge-path", s"$work/edges",
+      "--startdate", "2019-02-01", "--rules", "similarityClassifier",
+      "--similarity-exp", "objectId"))
+    // delete on an empty store is a no-op; reaching here means parsing held
   }
 
   test("unknown rule name fails fast; missing rule config fails fast") {

@@ -71,6 +71,43 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs.head.getDouble(2) - 0.333333) < 1e-6)
   }
 
+  test("ngram df-prune (groupBy + anti-join) matches the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // random corpus over a tiny vocabulary so shingles repeat and the
+    // maxDocFreq cap actually prunes
+    val rng = new scala.util.Random(29)
+    val df = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(6 + rng.nextInt(10))(s"w${rng.nextInt(6)}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val cap = 12L
+
+    val got = Dedup.ngramJaccardPairs(df, threshold = 0.3, maxDocFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // the original window-based df computation, inlined as the oracle
+    val base = df.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val sizes = base.select(col("id"), col("sz"))
+    val pruned = base.select(col("id"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .where(col("df") <= cap).drop("df")
+    val co = pruned.as("a")
+      .join(pruned.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val want = co
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .where(col("jaccard") >= 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("embeddingCosinePairs finds near-identical vectors within a block only") {
     import spark.implicits._
     val df = Seq(

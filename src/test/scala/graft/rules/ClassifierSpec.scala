@@ -128,6 +128,33 @@ class ClassifierSpec extends SparkSpec {
     )
   }
 
+  test("same-value: non-string (int) link column needs no caller-side cast") {
+    import spark.implicits._
+    val rule = new SameValueClassifier(SameValueSimilarityConfig(List("bucket")))
+    val current = Seq((1L, 7), (2L, 8), (3L, 7)).toDF("id", "bucket")
+    val loaded  = Seq((13L, 7), (14L, 9)).toDF("id", "bucket")
+    val edges = rule.classify(loaded, current).collect().toSet
+    assert(
+      edges == Set(
+        Row(1L, 3L, "bucket"),
+        Row(1L, 13L, "bucket"),
+        Row(3L, 13L, "bucket")
+      )
+    )
+  }
+
+  test("same-value: null link values group together, distinct from 'null' string") {
+    import spark.implicits._
+    val rule = new SameValueClassifier(SameValueSimilarityConfig(List("k")))
+    val current = Seq((1L, Option.empty[String]), (2L, Some("null")), (3L, None: Option[String]))
+      .toDF("id", "k")
+    val loaded = Seq.empty[(Long, Option[String])].toDF("id", "k")
+    val edges = rule.classify(loaded, current).collect().toSet
+    // clique among the two SQL-null rows only; the literal "null" string row
+    // is its own group (and null never equi-joins against loaded)
+    assert(edges == Set(Row(1L, 3L, "k")))
+  }
+
   // ------------------------------------------------------- two-mode
 
   private val fixedVertices = List(
