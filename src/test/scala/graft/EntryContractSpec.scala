@@ -12,13 +12,13 @@ class EntryContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracleSql keys are a subset of queries; rows-only set is the expected one") {
+  test("EVERY query has an oracle (no rows-only checks left)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without query: ${o -- q}")
-    val rowsOnly = q -- o
-    assert(rowsOnly == Set("q18_dedup_minhash", "q22_ann_lsh", "q27_ann_ivf", "q29_dedup_simhash"),
-      s"unexpected rows-only queries: $rowsOnly")
+    // since round 2 the sketch queries use the portable Md5Hash family and
+    // q27 emits a recall gate, so the driver hash-checks all 40 queries
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
   }
 
   test("every query runs at sf0.001; all but the sparse self-joins return rows") {

@@ -71,6 +71,35 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs.head.getDouble(2) - 0.333333) < 1e-6)
   }
 
+  test("Md5Hash matches the pinned cross-engine constant and stays in 60 bits") {
+    import spark.implicits._
+    // DuckDB: SELECT CAST(('0x' || substr(md5('abc'), 1, 15)) AS BIGINT)
+    //         → 648541476951500027. If either side's rendering changes,
+    // this pin catches the drift before the oracle does.
+    val r = Seq("abc").toDF("s")
+      .select(
+        Md5Hash.plain(col("s")).as("h"),
+        Md5Hash.seeded(3, col("s")).as("hs"),
+        Md5Hash.unit(col("s")).as("u"))
+      .head()
+    assert(r.getLong(0) == 648541476951500027L)
+    assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << 60))
+    assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 60))
+    assert(r.getDouble(2) >= -1.0 && r.getDouble(2) < 1.0)
+    assert(Md5Hash.duckdbPlain("s") == "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)")
+  }
+
+  test("minhashLsh with the portable hash family finds the same exact-dup pair") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "completely different content with no overlap at all here"
+    )
+    val pairs = Dedup.minhashLsh(df, numHashes = 16, bands = 4, hash = Md5Hash).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
   test("ngram df-prune (groupBy + anti-join) matches the window formulation") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
