@@ -79,13 +79,24 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
 
   /** One incremental load run over `[startDate, startDate + duration)`.
     * Ref: Job.scala:71-115 (process), PaddedPartitionManager at :76.
+    *
+    * `loadedDays`: restrict the loaded side of the edge-rule joins to the
+    * `loadedDays` days ending at `startDate + duration` (exclusive) via
+    * [[IdManager.readRange]] — partition pruning instead of the reference's
+    * full-history re-read (its own TODO, IDManagerSparkService.scala:135).
+    * `None` keeps exact reference semantics (join against all history);
+    * rules whose matches can only occur within a bounded time horizon
+    * (the common case for alert streams) should set it.
     */
-  def process(startDate: String, duration: Int): JobResult = {
+  def process(startDate: String, duration: Int, loadedDays: Option[Int] = None): JobResult = {
     val pm     = PartitionManager.forRange(startDate, duration, padded = true)
     val reader = new PartitionedReader(spark, config.reader)
     val df     = reader.readAndProcess(pm)
 
-    val vertexData: VertexData = idManager.process(df)
+    val loadedRange = loadedDays.map { days =>
+      PartitionManager(pm.startDate.plusDays(duration.toLong - days), days)
+    }
+    val vertexData: VertexData = idManager.process(df, loadedRange)
     val rules = buildRules()
 
     // Per-run counts, matching the reference (EdgeProcessor.scala:166): the
@@ -132,7 +143,7 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
   *
   * Usage:
   *   runMain graft.job.Main --base-path P --id-path P --edge-path P
-  *     --startdate 2019-02-01 [--duration 1] [--rules r1,r2]
+  *     --startdate 2019-02-01 [--duration 1] [--loaded-days N] [--rules r1,r2]
   *     [--similarity-exp EXP] [--same-value-cols c1,c2]
   *     [--two-mode-recipes r1,r2] [--fixed-csv PATH] [--delete] [--clear]
   */
@@ -172,7 +183,7 @@ object Main {
       job.delete(start, duration, clearOnDelete = opts.contains("--clear"))
       println(s"""{"deleted":"$start+$duration"}""")
     } else {
-      val r = job.process(start, duration)
+      val r = job.process(start, duration, loadedDays = opts.get("--loaded-days").map(_.toInt))
       println(s"""{"vertices":${r.vertexCount},"edges":{${r.edgeCounts.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
     }
     if (!preexisting) spark.stop() // embedded callers (tests) keep their session

@@ -61,6 +61,44 @@ class IdManagerSpec extends SparkSpec {
     assert(all.where(col("day") === 2).count() == 3)
   }
 
+  test("readRange prunes partitions (PartitionFilters in the physical plan)") {
+    import spark.implicits._
+    val mgr = new IdManager(spark, IdManagerConfig(tempDir("idm-range"), "t"))
+    mgr.process(alerts(5).toDF().drop("id")) // day 1 (Alert.gen: 2019-02-01)
+    mgr.process(alerts(3).toDF().drop("id").withColumn("day", lit(2))) // day 2
+
+    val schema = alerts(1).toDF().drop("id").schema
+    val pm     = graft.io.PartitionManager.forRange("2019-02-02", 1)
+    val ranged = mgr.readRange(schema, pm)
+    assert(ranged.count() == 3)
+
+    // pruning must reach the scan: the predicate becomes PartitionFilters
+    // (no data filter, no full-table file scan), so only day=2's files are
+    // ever listed into the physical plan
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"expected partition pruning in plan:\n$plan")
+    val filters = plan.split("PartitionFilters: \\[")(1).split("]")(0)
+    assert(filters.trim.nonEmpty, s"PartitionFilters empty — predicate did not prune:\n$plan")
+
+    // empty table: readRange degrades like readAll (empty frame with id)
+    val empty = new IdManager(spark, IdManagerConfig(tempDir("idm-range2"), "t"))
+      .readRange(schema, pm)
+    assert(empty.isEmpty && empty.columns.head == "id")
+  }
+
+  test("process with loadedRange restricts loaded but still continues ids from the full max") {
+    import spark.implicits._
+    val mgr = new IdManager(spark, IdManagerConfig(tempDir("idm-range3"), "t", reservedIdSpace = 0))
+    mgr.process(alerts(4).toDF().drop("id")) // ids 1..4 on day 1
+    val pmDay2 = graft.io.PartitionManager.forRange("2019-02-02", 1)
+    val r = mgr.process(
+      alerts(2).toDF().drop("id").withColumn("day", lit(2)), loadedRange = Some(pmDay2))
+    // loaded side sees only day 2 (nothing yet) — but ids continue from 4
+    assert(r.loaded.isEmpty)
+    assert(r.current.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
+  }
+
   test("deletePartitions drops matching partition dirs") {
     import spark.implicits._
     val dir = tempDir("idm3")

@@ -75,6 +75,46 @@ class JobSpec extends SparkSpec {
     assert(!simLeft.exists { case (s, d) => s >= 103L || d >= 103L })
   }
 
+  test("loadedDays covering all history produces identical edges to a full re-read") {
+    // two identical stores, run day 1 then day 2 — one with the loaded side
+    // range-restricted (2 days covers everything), one with full history.
+    // Same edges ⇒ the pruned path is a pure optimization of the reference
+    // semantics whenever the range covers the join partners.
+    def run(loadedDays: Option[Int]): Set[(Long, Long, String)] = {
+      val work = tempDir("graft-job-range")
+      writeAlerts(s"$work/raw")
+      val job = new GraftJob(spark, config(work))
+      job.process("2019-02-01", 1, loadedDays)
+      job.process("2019-02-02", 1, loadedDays)
+      spark.read.parquet(s"$work/edges/label=similarity")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+    }
+    val pruned = run(Some(2))
+    val full   = run(None)
+    assert(pruned == full && pruned.nonEmpty)
+  }
+
+  test("loadedDays=1 excludes older history from the loaded join side") {
+    val work = tempDir("graft-job-range1")
+    writeAlerts(s"$work/raw")
+    val job = new GraftJob(spark, config(work))
+    job.process("2019-02-01", 1)
+    // day 2 restricted to 1 loaded day (= day 2 itself): the cross-day objA
+    // similarity edge must NOT appear — day 1's vertices are pruned out
+    val r2 = job.process("2019-02-02", 1, loadedDays = Some(1))
+    val ids = spark.read.parquet(s"$work/ids/vertices")
+      .select("id", "objectId", "day").collect()
+      .map(r => (r.getString(1), r.getInt(2)) -> r.getLong(0)).toMap
+    val objA1 = ids(("objA", 1)); val objA2 = ids(("objA", 2))
+    val simEdges = spark.read.parquet(s"$work/edges/label=similarity")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!simEdges.contains((objA2, objA1)),
+      "cross-day edge should be pruned when loadedDays excludes day 1")
+    // ids still continued from the full-table max despite the restriction
+    assert(ids.values.toSet == Set(101L, 102L, 103L, 104L))
+    assert(r2.vertexCount == 2)
+  }
+
   test("CLI main runs the load job end to end") {
     val work = tempDir("graft-cli")
     writeAlerts(s"$work/raw")
