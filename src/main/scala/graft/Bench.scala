@@ -4,14 +4,27 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints exactly one JSON line
-  * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":...,"value":N,"unit":"sec","queries":{...},"queries_median":
+  * {...},"runs":{...},"n_runs":N,"hash":...,"sf":...}`.
   *
   * Each query is forced with `count()` (full plan execution, no result
   * transfer). A short warmup action absorbs JVM/classloader startup so the
   * per-query numbers reflect plan execution, not first-touch costs.
+  *
+  * Contention hardening: the recorded driver-round numbers have twice been
+  * ~2× outliers vs idle re-runs of identical bytecode, so the default is
+  * min-of-3 with the median and the full per-run arrays persisted in the
+  * JSON — min approximates the uncontended time, median exposes how noisy
+  * the run was, and the arrays let a reader judge for themselves.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Production measurement configuration: XxHash sketch path (env-
+    // overridable) and bench mode for q27 (IVF query latency, not the
+    // Verify-side recall gate). See SparkEntry.activeHash/benchMode.
+    System.setProperty("graft.hash", sys.env.getOrElse("SPARK_GRAFT_HASH", "xxhash"))
+    System.setProperty("graft.mode", "bench")
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -29,7 +42,7 @@ object Bench {
     // min of N runs per query: run 1 pays plan/codegen compile (one-time
     // per query shape — amortized to nothing in a real deployment), run 2+
     // measures execution. SPARK_GRAFT_BENCH_RUNS=1 restores cold timings.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -41,16 +54,22 @@ object Bench {
         Caches.clear()
         (dt, n)
       }
-      val sec = times.map(_._1).min
-      System.err.println(f"[bench] $name%-22s $sec%8.3f s (min of $runs)  rows=${times.last._2}")
-      name -> sec
+      val sorted = times.map(_._1).sorted
+      val sec    = sorted.head
+      val median = sorted(sorted.size / 2)
+      System.err.println(
+        f"[bench] $name%-22s min $sec%8.3f s  median $median%8.3f s ($runs runs)  rows=${times.last._2}")
+      (name, sec, median, times.map(_._1))
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def obj(f: ((String, Double, Double, Seq[Double])) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qsMin    = obj(r => f"${r._2}%.3f")
+    val qsMedian = obj(r => f"${r._3}%.3f")
+    val qsRuns   = obj(_._4.map(t => f"$t%.3f").mkString("[", ",", "]"))
+    val total       = results.map(_._2).sum
+    val totalMedian = results.map(_._3).sum
     println(
-      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"queries_median":$qsMedian,"runs":$qsRuns,"n_runs":$runs,"total_median":$totalMedian%.3f,"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

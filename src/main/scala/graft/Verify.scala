@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // The oracles replicate the portable Md5Hash sketch pipeline — pin it
+    // here so a stray SPARK_GRAFT_HASH can never silently fail correctness
+    // (Bench is where the production XxHash path gets its timing signal).
+    System.setProperty("graft.hash", "md5")
+    System.clearProperty("graft.mode")
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

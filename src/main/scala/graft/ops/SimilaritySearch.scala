@@ -90,17 +90,30 @@ object SimilaritySearch {
 
     /** L2-normalized copy of an array<double> column (zero vectors pass
       * through unscaled to avoid NaN cells).
+      *
+      * The sum of squares is computed ONCE per row by binding it as the
+      * `aggregate` finish-lambda's argument; the naive
+      * `transform(v, x => x / norm(v))` re-evaluates the O(d) norm for
+      * every element — O(d²) per row at index build (and a projection
+      * collapse of a `_norm` helper column would duplicate the aggregate
+      * into each lambda use the same way).
       */
-    private def l2normalize(v: Column): Column = {
-      val n = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
-      transform(v, x => when(n > 0, x / n).otherwise(x))
-    }
+    private def l2normalize(v: Column): Column =
+      aggregate(v, lit(0.0d), (acc, x) => acc + x * x,
+        sumsq => transform(v, x => when(sumsq > 0, x / sqrt(sumsq)).otherwise(x)))
 
     /** Trains centroids on normalized vectors and assigns each row a
       * `cell` id. Returned centroids are in normalized space.
       */
     def index(df: DataFrame, vecCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
-      val feats = df.withColumn("_features", array_to_vector(l2normalize(col(vecCol).cast("array<double>"))))
+      // Pin the training layout: seeded k-means|| samples per partition, so
+      // centroids — and hence measured recall — would drift with the
+      // session's parallelism / input split. Hash-repartition on the vector
+      // plus an intra-partition sort makes the fit input layout a pure
+      // function of the data, not of the cluster shape.
+      val pinned = df.repartition(8, col(vecCol)).sortWithinPartitions(col(vecCol))
+      val feats = pinned.withColumn(
+        "_features", array_to_vector(l2normalize(col(vecCol).cast("array<double>"))))
       val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features").fit(feats)
       val indexed = model.transform(feats)
         .withColumnRenamed(model.getPredictionCol, "cell")
