@@ -54,11 +54,23 @@ class SameValueClassifier(config: SameValueSimilarityConfig) extends VertexClass
       // (1) clique edges within the current batch. The grouping key is the
       // column value canonicalized to a string (type-agnostic: int/long/
       // decimal link columns work without a caller-side cast); null keeps
-      // its own group, distinct from the literal string "null".
+      // its own group, distinct from the literal string "null". Signed
+      // float/double zeros are normalized to 0.0 so intra-batch grouping
+      // agrees with the cross-batch join below, where Spark's equality
+      // treats -0.0 = 0.0 as true ("-0.0".toString would split the group).
+      // NaN needs no special case: its single string form groups together,
+      // matching Spark's NaN = NaN join semantics.
       val cap    = config.maxGroupSize
       val keyIdx = newVertices.schema.fieldIndex(column)
       val edgesFromNewVertices = newVertices
-        .groupByKey(r => if (r.isNullAt(keyIdx)) null else r.get(keyIdx).toString)(Encoders.STRING)
+        .groupByKey { r =>
+          if (r.isNullAt(keyIdx)) null
+          else r.get(keyIdx) match {
+            case d: java.lang.Double if d.doubleValue() == 0.0 => "0.0"
+            case f: java.lang.Float if f.floatValue() == 0.0f  => "0.0"
+            case v                                             => v.toString
+          }
+        }(Encoders.STRING)
         .flatMapGroups { (_, rows) =>
           val ids = rows.map(_.getAs[Long]("id")).toList
           if (cap.exists(ids.size > _)) Iterator.empty

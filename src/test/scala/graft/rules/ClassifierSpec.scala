@@ -155,6 +155,28 @@ class ClassifierSpec extends SparkSpec {
     assert(edges == Set(Row(1L, 3L, "k")))
   }
 
+  test("same-value: -0.0 and 0.0 group together, intra-batch AND cross-batch") {
+    import spark.implicits._
+    val rule = new SameValueClassifier(SameValueSimilarityConfig(List("v")))
+    // intra-batch: -0.0 vs 0.0 must form a clique edge (Spark's join
+    // equality treats them as equal — the stringified grouping key must too)
+    val current = Seq((1L, 0.0), (2L, -0.0), (3L, 1.5)).toDF("id", "v")
+    val loaded  = Seq((13L, -0.0)).toDF("id", "v")
+    val edges = rule.classify(loaded, current).collect().toSet
+    assert(
+      edges == Set(
+        Row(1L, 2L, "v"),   // intra-batch clique across the sign of zero
+        Row(1L, 13L, "v"),  // cross-batch join: 0.0 = -0.0
+        Row(2L, 13L, "v")
+      )
+    )
+    // NaN keeps grouping with itself (string form + Spark's NaN = NaN)
+    val nans = rule.classify(
+      Seq.empty[(Long, Double)].toDF("id", "v"),
+      Seq((1L, Double.NaN), (2L, Double.NaN)).toDF("id", "v")).collect().toSet
+    assert(nans == Set(Row(1L, 2L, "v")))
+  }
+
   // ------------------------------------------------------- two-mode
 
   private val fixedVertices = List(
