@@ -142,10 +142,13 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
   * dependency. Ref: core/.../CLParser.scala:40-81, Boot.scala:44-56.
   *
   * Usage:
-  *   runMain graft.job.Main --base-path P --id-path P --edge-path P
-  *     --startdate 2019-02-01 [--duration 1] [--loaded-days N] [--rules r1,r2]
-  *     [--similarity-exp EXP] [--same-value-cols c1,c2]
+  *   runMain graft.job.Main [--config job.conf] --base-path P --id-path P
+  *     --edge-path P --startdate 2019-02-01 [--duration 1] [--loaded-days N]
+  *     [--rules r1,r2] [--similarity-exp EXP] [--same-value-cols c1,c2]
   *     [--two-mode-recipes r1,r2] [--fixed-csv PATH] [--delete] [--clear]
+  *
+  * `--config` loads a HOCON file (see [[graft.config.ConfigLoader]] for the
+  * accepted surface); any explicit flag overrides the file's value.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -163,18 +166,33 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rules = opts.getOrElse("--rules", "similarityClassifier").split(",").toList
+    // --config loads the HOCON file (the reference's UX); explicit flags
+    // override its values, so a file can hold the stable parts and the
+    // date/paths can still vary per invocation
+    val base = opts.get("--config").map(graft.config.ConfigLoader.load)
+    def flagOr(flag: String, fromFile: GraftConfig => String): String =
+      opts.get(flag).orElse(base.map(fromFile)).getOrElse(
+        throw new IllegalArgumentException(s"$flag required (or provide --config)"))
+    val rules = opts.get("--rules").map(_.split(",").toList)
+      .orElse(base.map(_.rules.rulesToApply).filter(_.nonEmpty))
+      .getOrElse(List("similarityClassifier"))
     val config = GraftConfig(
-      reader = ReaderConfig(opts("--base-path")),
-      idManager = IdManagerConfig(opts("--id-path"), "vertices"),
-      edgeBasePath = opts("--edge-path"),
+      reader = base.map(_.reader.copy(basePath = flagOr("--base-path", _.reader.basePath)))
+        .getOrElse(ReaderConfig(flagOr("--base-path", _.reader.basePath))),
+      idManager = base.map(_.idManager.copy(dataPath = flagOr("--id-path", _.idManager.dataPath)))
+        .getOrElse(IdManagerConfig(flagOr("--id-path", _.idManager.dataPath), "vertices")),
+      edgeBasePath = flagOr("--edge-path", _.edgeBasePath),
       rules = RulesConfig(
         rulesToApply = rules,
-        similarity = opts.get("--similarity-exp").map(e => SimilarityConfig(e)),
-        sameValue = opts.get("--same-value-cols").map(c => SameValueSimilarityConfig(c.split(",").toList)),
-        twoMode = opts.get("--two-mode-recipes").map(r => TwoModeSimilarityConfig(r.split(",").toList)),
-        fixedVertexCsvPath = opts.get("--fixed-csv")
-      )
+        similarity = opts.get("--similarity-exp").map(e => SimilarityConfig(e))
+          .orElse(base.flatMap(_.rules.similarity)),
+        sameValue = opts.get("--same-value-cols").map(c => SameValueSimilarityConfig(c.split(",").toList))
+          .orElse(base.flatMap(_.rules.sameValue)),
+        twoMode = opts.get("--two-mode-recipes").map(r => TwoModeSimilarityConfig(r.split(",").toList))
+          .orElse(base.flatMap(_.rules.twoMode)),
+        fixedVertexCsvPath = opts.get("--fixed-csv").orElse(base.flatMap(_.rules.fixedVertexCsvPath))
+      ),
+      bidirectionalEdges = base.forall(_.bidirectionalEdges)
     )
     val job      = new GraftJob(spark, config)
     val start    = opts("--startdate")

@@ -127,6 +127,27 @@ class JobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/edges/label=similarity").count() > 0)
   }
 
+  test("CLI --config runs the job from a HOCON file, flags overriding") {
+    val work = tempDir("graft-cli-conf")
+    writeAlerts(s"$work/raw")
+    val confPath = s"$work/job.conf"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+      s"""reader { basePath = "$work/raw" }
+         |idManager { spark { dataPath = "/overridden/by/flag", reservedIdSpace = 100 } }
+         |edgeStore { basePath = "$work/edges" }
+         |edgeLoader {
+         |  rulesToApply = ["similarityClassifier"]
+         |  rules { similarityClassifier { similarityExp = "objectId" } }
+         |}
+         |""".stripMargin)
+    Main.main(Array(
+      "--config", confPath,
+      "--id-path", s"$work/ids", // flag overrides the file's dataPath
+      "--startdate", "2019-02-01", "--duration", "2"))
+    assert(spark.read.parquet(s"$work/ids/vertices").count() == 4)
+    assert(spark.read.parquet(s"$work/edges/label=similarity").count() > 0)
+  }
+
   test("delete on a never-loaded store is a no-op") {
     val work = tempDir("graft-del")
     new GraftJob(spark, config(work)).delete("2019-02-01", 1, clearOnDelete = true)
