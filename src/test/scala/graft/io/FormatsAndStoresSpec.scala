@@ -71,6 +71,33 @@ class FormatsAndStoresSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS edges_bucket_spec")
   }
 
+  test("bucketed edge table: src-keyed JOIN plans without an Exchange on the edge side") {
+    import spark.implicits._
+    val store = new EdgeStore(spark, tempDir("edges-bucketed-join"))
+    val edges = Seq((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)).toDF("src", "dst", "propVal")
+    store.writeBucketed(edges, "edges_bucket_join_spec", buckets = 4)
+    val t = store.readBucketed("edges_bucket_join_spec")
+    val vertices = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("src", "name")
+    // force a shuffle join (broadcast would hide the bucketing benefit)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = t.join(vertices, "src")
+      val p = joined.queryExecution.executedPlan.toString()
+      // exactly one Exchange: the probe (vertices) side shuffles to match the
+      // bucketing; the edge corpus itself is read in place — at 100 TB that
+      // is the entire point of the bucketed layout
+      val exchanges = p.linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix(": ")
+        .contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"expected 1 Exchange (probe side only), plan:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+      assert(joined.count() == 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS edges_bucket_join_spec")
+    }
+  }
+
   test("mixed AND/OR expression: disjunct rewrite matches the literal theta-join") {
     import spark.implicits._
     val df = Seq(
