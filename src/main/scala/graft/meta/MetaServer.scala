@@ -1,0 +1,113 @@
+package graft.meta
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** Thin HTTP face over [[SchemaInfo]] — parity with the reference's
+  * management API (api/.../MgmtApi.scala:35-50, `POST /info` returning
+  * `InfoResponse(schema, error)`), built on the JDK's
+  * `com.sun.net.httpserver` so it adds zero dependencies.
+  *
+  * Routes:
+  *  - `GET /info` — schema of the configured vertex/edge stores
+  *  - `POST /info` — JSON body may override the store paths, the analogue
+  *    of the reference's per-request `tableName`:
+  *    `{"vertexPath": "...", "edgePath": "...", "vertexLabel": "alert"}`
+  *  - `GET /health` — liveness probe
+  *
+  * Response: `{"schema": <SchemaInfo JSON>, "error": ""}`; failures return
+  * an empty schema plus the error message, mirroring the reference's
+  * catchAll (MgmtApi.scala:47-48).
+  *
+  * Scale notes: requests read Parquet footers and directory listings only —
+  * no data scan, no Spark job (safe to point at a 100 TB store).
+  */
+class MetaServer(
+    spark: SparkSession,
+    vertexTablePath: String,
+    edgeBasePath: String,
+    vertexLabel: String = "alert",
+    host: String = "127.0.0.1",
+    port: Int = 0
+) {
+
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress(host, port), 0)
+
+  private val emptySchema =
+    SchemaInfo(Nil, Nil, Nil, Map.empty)
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case '\n'           => "\\n"
+      case '\r'           => "\\r"
+      case '\t'           => "\\t"
+      case c if c < ' '   => f"\\u${c.toInt}%04x"
+      case c              => c.toString
+    }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes)
+    finally os.close()
+  }
+
+  private def handleInfo(ex: HttpExchange): Unit = {
+    // request-level path overrides: GET query params or POST JSON body
+    // (Hocon.parse accepts JSON — it's a subset of the config grammar)
+    val overrides: Map[String, String] =
+      if (ex.getRequestMethod == "POST") {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        if (body.trim.isEmpty) Map.empty
+        else
+          graft.config.Hocon.parse(body).collect { case (k, v: String) => k -> v }
+      } else
+        Option(ex.getRequestURI.getQuery).toList
+          .flatMap(_.split('&').toList)
+          .flatMap { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) =>
+                Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+              case _ => None
+            }
+          }
+          .toMap
+    val info = SchemaInfo.describe(
+      spark,
+      overrides.getOrElse("vertexPath", vertexTablePath),
+      overrides.getOrElse("edgePath", edgeBasePath),
+      overrides.getOrElse("vertexLabel", vertexLabel)
+    )
+    respond(ex, 200, s"""{"schema":${SchemaInfo.toJson(info)},"error":""}""")
+  }
+
+  server.createContext(
+    "/info",
+    (ex: HttpExchange) =>
+      try handleInfo(ex)
+      catch {
+        case t: Throwable => // mirror the reference: empty schema + error text
+          respond(
+            ex,
+            200,
+            s"""{"schema":${SchemaInfo.toJson(emptySchema)},"error":"${jsonEscape(t.toString)}"}""")
+      }
+  )
+  server.createContext(
+    "/health",
+    (ex: HttpExchange) => respond(ex, 200, """{"status":"ok"}"""))
+
+  /** Starts the server; returns the bound port (useful with `port = 0`). */
+  def start(): Int = {
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,64 @@
+package graft.meta
+
+import java.net.{HttpURLConnection, URI}
+
+import graft.SparkSpec
+
+/** Loopback-port spec for the metadata HTTP face — parity with the
+  * reference's MgmtApi `/info` (schema + error envelope).
+  */
+class MetaServerSpec extends SparkSpec {
+
+  private def httpGet(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try (conn.getResponseCode, new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+    finally conn.disconnect()
+  }
+
+  private def httpPost(url: String, body: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    try {
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      (conn.getResponseCode, new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+    } finally conn.disconnect()
+  }
+
+  test("GET /info serves the store schema; /health answers; errors are enveloped") {
+    import spark.implicits._
+    val work = tempDir("meta-http")
+    Seq((101L, "objA", 2019, 2, 1)).toDF("id", "objectId", "year", "month", "day")
+      .write.parquet(s"$work/ids/vertices")
+    Seq((101L, 102L, 3)).toDF("src", "dst", "propVal")
+      .write.parquet(s"$work/edges/label=similarity")
+
+    val srv = new MetaServer(spark, s"$work/ids/vertices", s"$work/edges")
+    val port = srv.start()
+    try {
+      val (st, body) = httpGet(s"http://127.0.0.1:$port/info")
+      assert(st == 200)
+      assert(body.contains(""""edgeLabels":["similarity"]"""), body)
+      assert(body.contains(""""name":"id","dataType":"bigint""""), body)
+      assert(body.contains(""""error":""""), body)
+
+      // POST body overrides the stores per request (reference: tableName)
+      val other = tempDir("meta-http-2")
+      Seq((7L, 8L, "x")).toDF("src", "dst", "propVal")
+        .write.parquet(s"$other/edges/label=exactmatch")
+      val (st2, body2) = httpPost(
+        s"http://127.0.0.1:$port/info",
+        s"""{"vertexPath": "$other/none", "edgePath": "$other/edges"}""")
+      assert(st2 == 200)
+      assert(body2.contains(""""edgeLabels":["exactmatch"]"""), body2)
+      assert(body2.contains(""""vertexLabels":[]"""), body2) // missing vertex table -> empty, no error
+
+      val (st3, health) = httpGet(s"http://127.0.0.1:$port/health")
+      assert(st3 == 200 && health.contains("ok"))
+
+      // malformed body: enveloped error, not a 500
+      val (st4, body4) = httpPost(s"http://127.0.0.1:$port/info", "{ not json !")
+      assert(st4 == 200 && body4.contains(""""error":"graft.config"""), body4)
+    } finally srv.stop()
+  }
+}
