@@ -7,13 +7,16 @@ import graft.ops.SimilaritySearch
 
 /** Diagnostic: IVF recall@10 vs brute force across nprobe settings, for
   * tuning the q27 recall gate. Args: one or more sf dirs (defaults to the
-  * local sf0.01/sf0.1 test data).
+  * local sf0.01/sf0.1 test data). `SPARK_GRAFT_CPUS` varies the session
+  * parallelism — since the index build pins its own layout, the printed
+  * hits must be identical for every setting (the q27 flake check).
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
