@@ -1,0 +1,76 @@
+package graft.shell
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.config.ConfigLoader
+import graft.job.{GraftConfig, GraftJob, JobResult}
+import graft.meta.SchemaInfo
+
+/** Interactive-session bootstrap — the Spark-first analogue of the
+  * reference's Ammonite/Gremlin shell (core/.../shell/Main.scala:34-75),
+  * which loads the config file, opens the graph, and binds `graph`/`g`
+  * into a REPL. Here the REPL is `spark-shell` itself (Ammonite isn't on
+  * this classpath, and Spark already ships a REPL); this helper is the
+  * predef: it loads the HOCON config, registers the graft SQL functions,
+  * and binds the stores behind one value.
+  *
+  * Usage from spark-shell (with the graft jar on --jars):
+  * {{{
+  *   scala> val g = graft.shell.GraftShell(spark, "job.conf")
+  *   graft> g.vertices.show()          // id-stamped vertex table
+  *   graft> g.edges("similarity")      // one edge label
+  *   graft> g.info                     // schema JSON (the /info payload)
+  *   graft> g.run("2019-02-01")        // one incremental load
+  *   graft> g.sql("SELECT cosine_similarity(...)")
+  * }}}
+  */
+final case class GraftShell(spark: SparkSession, config: GraftConfig) {
+
+  private def vertexTablePath = s"${config.idManager.dataPath}/${config.idManager.tableName}"
+
+  /** The accumulated id-stamped vertex table (empty-safe). */
+  def vertices: DataFrame =
+    try spark.read.parquet(vertexTablePath)
+    catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
+
+  /** One edge label's stored edge set. */
+  def edges(label: String): DataFrame =
+    spark.read.parquet(s"${config.edgeBasePath}/label=$label")
+
+  def edgeLabels: List[String] = SchemaInfo.edgeLabels(spark, config.edgeBasePath)
+
+  /** Schema metadata JSON — the `/info` payload (footer/listing reads only). */
+  def info: String =
+    SchemaInfo.toJson(SchemaInfo.describe(spark, vertexTablePath, config.edgeBasePath))
+
+  /** The configured job, for programmatic runs. */
+  def job: GraftJob = new GraftJob(spark, config)
+
+  /** One incremental load over the date range. */
+  def run(startDate: String, duration: Int = 1, loadedDays: Option[Int] = None): JobResult =
+    job.process(startDate, duration, loadedDays)
+
+  def sql(query: String): DataFrame = spark.sql(query)
+}
+
+object GraftShell {
+
+  /** Loads the config file, registers graft's SQL functions on the session
+    * (cosine_similarity / dot_product usable from `spark.sql`), and returns
+    * the bound shell. Prints the banner the reference's shell prints its
+    * welcome through — store locations instead of JanusGraph coordinates.
+    */
+  def apply(spark: SparkSession, confFile: String): GraftShell =
+    bind(spark, ConfigLoader.load(confFile))
+
+  def bind(spark: SparkSession, config: GraftConfig): GraftShell = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val shell = GraftShell(spark, config)
+    println(
+      s"""graft shell ready
+         |  vertices : ${config.idManager.dataPath}/${config.idManager.tableName}
+         |  edges    : ${config.edgeBasePath} (labels: ${shell.edgeLabels.mkString(", ")})
+         |  helpers  : .vertices .edges(label) .info .run(date) .sql(q)""".stripMargin)
+    shell
+  }
+}

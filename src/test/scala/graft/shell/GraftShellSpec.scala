@@ -1,0 +1,46 @@
+package graft.shell
+
+import graft.SparkSpec
+
+/** The shell bootstrap must bind a working session from a config file:
+  * run a load, read the stores back, serve schema info, and answer SQL
+  * through the registered graft functions.
+  */
+class GraftShellSpec extends SparkSpec {
+
+  test("bootstrap from config file: run, stores, info, sql") {
+    import spark.implicits._
+    val work = tempDir("graft-shell")
+    Seq(
+      ("objA", "C*", 2019, 2, 1),
+      ("objB", "C*", 2019, 2, 1)
+    ).toDF("objectId", "cdsxmatch", "year", "month", "day")
+      .write.partitionBy("year", "month", "day").parquet(s"$work/raw")
+
+    val confPath = s"$work/job.conf"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+      s"""reader { basePath = "$work/raw" }
+         |idManager { spark { dataPath = "$work/ids", reservedIdSpace = 100 } }
+         |edgeStore { basePath = "$work/edges" }
+         |edgeLoader {
+         |  rulesToApply = ["similarityClassifier"]
+         |  rules { similarityClassifier { similarityExp = "cdsxmatch" } }
+         |}
+         |""".stripMargin)
+
+    val g = GraftShell(spark, confPath)
+    val r = g.run("2019-02-01")
+    assert(r.vertexCount == 2)
+    assert(g.vertices.count() == 2)
+    assert(g.edgeLabels == List("similarity"))
+    assert(g.edges("similarity").count() == 2) // bidirectional pair
+    assert(g.info.contains(""""edgeLabels":["similarity"]"""))
+    // registered SQL surface works through the shell
+    val c = g.sql("SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
+    assert(c.getDouble(0) == 1.0)
+    // empty-safe before any load
+    val g2 = GraftShell.bind(spark, graft.config.ConfigLoader.load(confPath)
+      .copy(idManager = graft.ids.IdManagerConfig(s"$work/none", "vertices")))
+    assert(g2.vertices.isEmpty)
+  }
+}
