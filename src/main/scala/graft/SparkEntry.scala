@@ -292,6 +292,38 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n_customers"))),
 
+    // approximate distinct count (HyperLogLog++ sketch — the constant-memory
+    // path for 100 TB cardinalities where exact countDistinct's expand +
+    // shuffle of every distinct value is the bottleneck). HLL estimates are
+    // engine-specific, so the checkable contract is a tolerance gate vs the
+    // exact count (deterministic: HLL++ has no RNG); the oracle computes the
+    // exact side and pins the gate.
+    "q41_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("exact_custkeys"),
+          approx_count_distinct(col("c_custkey"), rsd = 0.05).as("_approx"))
+        .select(
+          col("c_mktsegment"),
+          col("exact_custkeys"),
+          (abs(col("_approx") - col("exact_custkeys"))
+            <= col("exact_custkeys") * 0.15).as("approx_ok"))),
+
+    // approximate percentiles (Greenwald-Khanna-style sketch, mergeable
+    // partials — the single-pass alternative to an exact global sort at
+    // scale). Same gate pattern: approx within 1% of the exact percentile.
+    "q42_approx_quantile" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("_p50"),
+          percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("_p95"),
+          expr("percentile(o_totalprice, 0.5)").as("_e50"),
+          expr("percentile(o_totalprice, 0.95)").as("_e95"))
+        .select(
+          (abs(col("_p50") - col("_e50")) <= col("_e50") * 0.01).as("p50_ok"),
+          (abs(col("_p95") - col("_e95")) <= col("_e95") * 0.01).as("p95_ok"))),
+
     // rollup grouping sets; subtotal nulls coalesced for a stable compare
     "q35_rollup" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -731,6 +763,16 @@ object SparkEntry {
     "q34_distinct_agg" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers
         |FROM customer GROUP BY 1""".stripMargin,
+
+    // tolerance gate (see the Spark side): exact counts computed here, the
+    // HLL estimate must land within the pinned tolerance
+    "q41_approx_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT c_custkey) AS exact_custkeys,
+        |  CAST(TRUE AS BOOLEAN) AS approx_ok
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "q42_approx_quantile" ->
+      "SELECT CAST(TRUE AS BOOLEAN) AS p50_ok, CAST(TRUE AS BOOLEAN) AS p95_ok",
 
     "q35_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,

@@ -73,7 +73,7 @@ class EdgeStore(spark: SparkSession, basePath: String) {
   def writeBucketed(
       edges: DataFrame,
       tableName: String,
-      buckets: Int,
+      buckets: Int = 0,
       bidirectional: Boolean = false,
       mode: SaveMode = SaveMode.Overwrite
   ): Unit = {
@@ -86,9 +86,14 @@ class EdgeStore(spark: SparkSession, basePath: String) {
             col(EdgeColumns.Src).as(EdgeColumns.Dst),
             col(EdgeColumns.PropVal)))
       else edges
+    // buckets <= 0: derive the bucket count from the edge count with the
+    // reference's writer-parallelism rule (getParallelism) — one count()
+    // pass, paid once at layout time so every later src-keyed read gets a
+    // properly-sized shuffle-free layout
+    val n = if (buckets > 0) buckets else getParallelism(oriented.count())
     oriented.write
       .mode(mode)
-      .bucketBy(buckets, EdgeColumns.Src)
+      .bucketBy(n, EdgeColumns.Src)
       .sortBy(EdgeColumns.Src)
       .option("path", s"$basePath/table=$tableName")
       .saveAsTable(tableName)

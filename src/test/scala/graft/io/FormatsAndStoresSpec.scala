@@ -71,6 +71,19 @@ class FormatsAndStoresSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS edges_bucket_spec")
   }
 
+  test("writeBucketed derives the bucket count from getParallelism when unset") {
+    import spark.implicits._
+    val store = new EdgeStore(spark, tempDir("edges-bucketed-auto"))
+    val edges = Seq((1L, 2L, 1), (2L, 3L, 1)).toDF("src", "dst", "propVal")
+    store.writeBucketed(edges, "edges_bucket_auto_spec") // buckets derived
+    try {
+      val catalog = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("edges_bucket_auto_spec"))
+      // 2 edges, taskSize 25000 -> max(2/25000+1, 100) = 100 buckets
+      assert(catalog.bucketSpec.exists(_.numBuckets == store.getParallelism(2)))
+    } finally spark.sql("DROP TABLE IF EXISTS edges_bucket_auto_spec")
+  }
+
   test("bucketed edge table: src-keyed JOIN plans without an Exchange on the edge side") {
     import spark.implicits._
     val store = new EdgeStore(spark, tempDir("edges-bucketed-join"))
