@@ -140,18 +140,23 @@ object SimilarityClassifier {
       .union(df.select(selectColsList.map(col): _*))
       .select(withSuffix(2): _*)
 
+    // Each disjunct join already has every leaf column in scope — keep them,
+    // and dedup candidate pairs with ONE aggregation on (id1, id2) instead
+    // of distinct + two re-attach id joins (which re-shuffled df1 and df2 a
+    // second time). Duplicate pairs carry identical leaf values by
+    // construction, so first() is deterministic.
+    val leafCols = selectColsNoId.flatMap(c => List(s"${c}1", s"${c}2"))
     val pairs = disjuncts
       .map { d =>
         df1.join(df2, (col("id1") > col("id2")) && SimilarityExp.compile(d))
-          .select(col("id1"), col("id2"))
+          .select(col("id1") :: col("id2") :: leafCols.map(col): _*)
       }
       .reduce(_ union _)
-      .distinct()
 
-    // re-attach the leaf columns for the value fold (unique-key hash joins)
+    val firstAggs = leafCols.map(c => first(col(c)).as(c))
     val joined = pairs
-      .join(df1, "id1")
-      .join(df2, "id2")
+      .groupBy(col("id1"), col("id2"))
+      .agg(firstAggs.head, firstAggs.tail: _*)
       .withColumn("similarity", lit(0))
     val computed = parsed.columns.foldLeft(joined) { (curr, name) =>
       curr.withColumn(
