@@ -237,15 +237,25 @@ object Dedup {
       threshold: Double = 0.5,
       maxDocFreq: Long = 1000
   ): DataFrame = {
-    // `base` is persisted (tracked) because the shingle computation fans out
-    // to four consumers (both join sides + two size lookups) and Spark does
-    // not CSE common subplans across join branches.
-    val base = graft.Caches.track(
-      df.select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
-        .withColumn("sz", size(col("sh"))))
-    val sizes = base.select(col("id"), col("sz"))
-    val postings = base
-      .select(col("id"), explode(col("sh")).as("shingle"))
+    // Postings via the codegen explode(sequence) + slice/array_join shape
+    // (same as minhashSignatures) instead of the shingles() higher-order
+    // function: HOFs are interpreted, and at sf0.1 the HOF materialization
+    // was 4.6 s of q19's 5.1 s — 10× the actual co-occurrence join.
+    // `distinct` restores the per-doc shingle dedup array_distinct provided
+    // (one linear shuffle), and sizes derive from the deduped postings.
+    // Persisted (tracked): postings fan out to the hot-set scan, both join
+    // sides, and the size aggregate, and Spark does not CSE common subplans
+    // across join branches.
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val postings = graft.Caches.track(
+      df.select(col(idCol).as("id"), toks.as("_toks"))
+        .select(
+          col("id"),
+          col("_toks"),
+          explode(sequence(lit(0), greatest(size(col("_toks")) - shingleWidth, lit(0)))).as("_i"))
+        .select(col("id"), array_join(slice(col("_toks"), col("_i") + 1, lit(shingleWidth)), " ").as("shingle"))
+        .distinct())
+    val sizes = postings.groupBy("id").agg(count(lit(1)).as("sz"))
     // Document-frequency pruning via groupBy + broadcast anti-join, NOT a
     // window: `count().over(partitionBy(shingle))` sorts ALL postings of the
     // hottest shingle into one task *before* the cap can drop it — the exact
