@@ -101,6 +101,30 @@ class EdgeStore(spark: SparkSession, basePath: String) {
 
   def readBucketed(tableName: String): DataFrame = spark.table(tableName)
 
+  /** Rewrites one label's accumulated small files into size-targeted files.
+    *
+    * Maintenance for the append-only store: every incremental run appends
+    * at least one file per label, so after thousands of runs the scan cost
+    * is dominated by file-open overhead rather than bytes (the classic
+    * small-files problem — at 100 TB the difference between reading 10k
+    * 128 MB files and 10M 100 KB ones). File count is sized from the
+    * label's actual on-disk bytes; the rewrite preserves the src-hash
+    * distribution of [[write]] and swaps directories atomically (same
+    * tmp-dir + rename pattern as [[deleteForVertices]]).
+    */
+  def compact(label: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$basePath/label=$label")
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val bytes  = fs.getContentSummary(dir).getLength
+    val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
+    val tmp    = s"$basePath/label=$label.compact"
+    read(label).repartition(nFiles, col(EdgeColumns.Src))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(dir, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dir)
+  }
+
   /** Deletes every edge touching one of the given vertex ids (delete-mode
     * cleanup, the relational analogue of removing a vertex's incident edges).
     * Implemented as two broadcast-able anti-joins.

@@ -106,6 +106,32 @@ class IdManager(spark: SparkSession, config: IdManagerConfig) {
     VertexData(loaded, dfWithId)
   }
 
+  /** Rewrites the date range's partition directories into size-targeted
+    * files, preserving the partition layout. Maintenance for the
+    * append-only vertex table: re-runs and multi-batch days append small
+    * files per partition dir; at scale the scan becomes file-open-bound
+    * (see [[graft.graph.EdgeStore.compact]]). Atomic per partition via
+    * tmp-dir + rename.
+    */
+  def compactPartitions(pm: PartitionManager, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // probe both padded/unpadded layouts, like deletePartitions
+    val dirs = pm.existingPaths(spark, tablePath)
+    dirs.foreach { d =>
+      val dir = new org.apache.hadoop.fs.Path(d)
+      val fs  = dir.getFileSystem(conf)
+      val bytes  = fs.getContentSummary(dir).getLength
+      val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
+      val tmp    = new org.apache.hadoop.fs.Path(d + ".compact")
+      // partition values live in the dir name, not the files — rewrite the
+      // leaf dir's row set as-is
+      spark.read.parquet(d).coalesce(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(dir, true)
+      fs.rename(tmp, dir)
+    }
+  }
+
   /** Deletes the table partitions matching the given (year, month, day)
     * triples — the delete-mode analogue of `ALTER TABLE DROP PARTITION`.
     * Ref: PartitionManager.scala:100-112 (deletePartitions), Job.scala:128-133.

@@ -71,6 +71,44 @@ class FormatsAndStoresSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS edges_bucket_spec")
   }
 
+  test("EdgeStore.compact collapses appended small files, preserving rows") {
+    import spark.implicits._
+    val base  = tempDir("edges-compact")
+    val store = new EdgeStore(spark, base)
+    // three appends -> at least 3 files in the label dir
+    (1 to 3).foreach { i =>
+      store.write(Seq((i.toLong, i + 10L, 1)).toDF("src", "dst", "propVal"), "similarity")
+    }
+    def files(): Int = new java.io.File(s"$base/label=similarity")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    val before = store.read("similarity").collect().toSet
+    assert(files() >= 3)
+    store.compact("similarity") // tiny data -> 1 target file
+    assert(files() == 1, "compaction should produce a single file here")
+    assert(store.read("similarity").collect().toSet == before)
+    store.compact("no_such_label") // missing label: no-op
+  }
+
+  test("IdManager.compactPartitions collapses per-partition files, preserving rows") {
+    import spark.implicits._
+    import graft.Alert
+    val dataPath = tempDir("idm-compact")
+    val mgr = new graft.ids.IdManager(spark, graft.ids.IdManagerConfig(dataPath, "t"))
+    def alert(i: Int) = Alert.gen(i.toLong, s"obj$i", 0.1, 0.1, 0, 0.5f, "Unknown", None, None)
+    mgr.process(Seq(alert(1), alert(2)).toDF().drop("id"))
+    mgr.process(Seq(alert(3)).toDF().drop("id")) // same day -> second file
+    val pm = graft.io.PartitionManager.forRange("2019-02-01", 1)
+    val schema = Seq(alert(1)).toDF().drop("id").schema
+    val before = mgr.readAll(schema).collect().map(_.getLong(0)).toSet
+    val dir = pm.existingPaths(spark, s"$dataPath/t").head
+    def files(): Int = new java.io.File(dir.stripPrefix("file:"))
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(files() >= 2)
+    mgr.compactPartitions(pm)
+    assert(files() == 1)
+    assert(mgr.readAll(schema).collect().map(_.getLong(0)).toSet == before)
+  }
+
   test("writeBucketed derives the bucket count from getParallelism when unset") {
     import spark.implicits._
     val store = new EdgeStore(spark, tempDir("edges-bucketed-auto"))
