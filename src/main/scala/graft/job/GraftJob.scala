@@ -115,6 +115,17 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
     JobResult(vertexData.current.count(), edgeCounts)
   }
 
+  /** Maintenance mode: compacts the date range's vertex partitions and
+    * every configured rule's edge label (see [[IdManager.compactPartitions]]
+    * / [[EdgeStore.compact]] for why append-only stores need this at scale).
+    */
+  def compact(startDate: String, duration: Int, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val pm = PartitionManager.forRange(startDate, duration)
+    idManager.compactPartitions(pm, targetFileBytes)
+    if (config.rules.rulesToApply.nonEmpty)
+      buildRules().map(_.getEdgeLabel).distinct.foreach(edgeStore.compact(_, targetFileBytes))
+  }
+
   /** Delete mode: removes the date range's vertices and their incident
     * edges. Ref: Job.scala:117-134 (unpadded PartitionManagerImpl at :123 —
     * our int-valued partition dirs make padded/unpadded equivalent);
@@ -146,6 +157,7 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
   *     --edge-path P --startdate 2019-02-01 [--duration 1] [--loaded-days N]
   *     [--rules r1,r2] [--similarity-exp EXP] [--same-value-cols c1,c2]
   *     [--two-mode-recipes r1,r2] [--fixed-csv PATH] [--delete] [--clear]
+  *     [--compact]
   *
   * `--config` loads a HOCON file (see [[graft.config.ConfigLoader]] for the
   * accepted surface); any explicit flag overrides the file's value.
@@ -154,7 +166,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     // Bare flags are consumed positionally first; only value options pair up,
     // so `--delete --startdate 2019-02-01` parses regardless of flag order.
-    val bareFlags  = Set("--delete", "--clear")
+    val bareFlags  = Set("--delete", "--clear", "--compact")
     val valueArgs  = args.filterNot(bareFlags.contains)
     val opts = valueArgs.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap ++
       args.filter(bareFlags.contains).map(_ -> "true").toMap
@@ -197,7 +209,10 @@ object Main {
     val job      = new GraftJob(spark, config)
     val start    = opts("--startdate")
     val duration = opts.getOrElse("--duration", "1").toInt
-    if (opts.contains("--delete")) {
+    if (opts.contains("--compact")) {
+      job.compact(start, duration)
+      println(s"""{"compacted":"$start+$duration"}""")
+    } else if (opts.contains("--delete")) {
       job.delete(start, duration, clearOnDelete = opts.contains("--clear"))
       println(s"""{"deleted":"$start+$duration"}""")
     } else {

@@ -148,6 +148,23 @@ class JobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/edges/label=similarity").count() > 0)
   }
 
+  test("CLI --compact collapses appended files for the date range") {
+    val work = tempDir("graft-cli-compact")
+    writeAlerts(s"$work/raw")
+    val job = new GraftJob(spark, config(work))
+    job.process("2019-02-01", 1)
+    job.process("2019-02-02", 1) // second run appends more vertex files
+    val before = spark.read.parquet(s"$work/ids/vertices").count()
+    Main.main(Array(
+      "--compact",
+      "--base-path", s"$work/raw", "--id-path", s"$work/ids", "--edge-path", s"$work/edges",
+      "--startdate", "2019-02-01", "--duration", "2",
+      "--rules", "similarityClassifier", "--similarity-exp", "objectId"))
+    assert(spark.read.parquet(s"$work/ids/vertices").count() == before)
+    val simDir = new java.io.File(s"$work/edges/label=similarity")
+    assert(simDir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("delete on a never-loaded store is a no-op") {
     val work = tempDir("graft-del")
     new GraftJob(spark, config(work)).delete("2019-02-01", 1, clearOnDelete = true)
