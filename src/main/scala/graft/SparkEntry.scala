@@ -437,6 +437,27 @@ object SparkEntry {
       }
     }),
 
+    // int8-quantized ANN: brute-force cosine directly over the scalar-
+    // quantized vectors (cosine is scale-invariant — no dequantization in
+    // the scan). Quantization error on top-k order isn't SQL-replicable
+    // bit-for-bit, so the contract is the q27-style gate: quantized top-10
+    // must recover >=8 of the exact float top-10; bench mode times the
+    // quantized scan alone.
+    "q43_ann_quantized" -> ((s, dir) => {
+      val q = SparkEntry.memo(s"sq:$dir") {
+        SimilaritySearch.ScalarQuant.quantize(T(s, dir, "embeddings")).cache()
+      }
+      val approx = SimilaritySearch.bruteForceTopK(q, SparkEntry.benchQueryVec, k = 10, vecCol = "qvec")
+      if (benchMode) approx
+      else {
+        val exact = SimilaritySearch.bruteForceTopK(T(s, dir, "embeddings"), SparkEntry.benchQueryVec, k = 10)
+        approx.select(col("vec_id"))
+          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(10).as("k"), (col("hits") >= 8).as("sq_recall_pass"))
+      }
+    }),
+
     // multimodal: binary payload → per-partition batched (stub) decode
     "q23_mm_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
@@ -718,6 +739,9 @@ object SparkEntry {
     // Recall gate: the Spark side computes recall@10 of IVF vs brute force
     // and emits (k, recall_pass); the oracle pins the expected row.
     "q27_ann_ivf" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS recall_pass",
+
+    // Same gate pattern for the int8-quantized scan.
+    "q43_ann_quantized" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS sq_recall_pass",
 
     "q19_dedup_ngram" ->
       """WITH sh AS (

@@ -147,6 +147,40 @@ object SimilaritySearch {
     }
   }
 
+  /** Int8 scalar quantization of embedding columns — the storage scale path
+    * for ANN: 4× smaller than float32 (32× smaller than the test data's
+    * float64), which at 100 TB of embeddings is the difference between an
+    * index that fits the cluster's disks and one that doesn't.
+    *
+    * Per-vector symmetric quantization: `scale = max|v| / 127`,
+    * `qvec[i] = round(v[i] / scale)` in [-127, 127]. Cosine similarity is
+    * scale-invariant, so search runs DIRECTLY on the int8 vectors — no
+    * dequantization pass; `dequantize` (qvec[i] * scale) exists for dot
+    * products and reconstruction. The max|v| fold binds once per row via
+    * the aggregate finish lambda (same pattern as the IVF l2normalize —
+    * a naive transform would recompute the O(d) max per element).
+    */
+  object ScalarQuant {
+
+    private def sq(v: Column): Column =
+      aggregate(v, lit(0.0d), (m, x) => greatest(m, abs(x)),
+        m => struct(
+          transform(v, x => when(m > 0, round(x * 127.0 / m)).otherwise(lit(0.0)).cast("byte"))
+            .as("q"),
+          (m / 127.0).cast("double").as("scale")))
+
+    /** Adds `qvec: array<tinyint>` + `qscale: double` next to the vector. */
+    def quantize(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+      df.withColumn("_sq", sq(col(vecCol).cast("array<double>")))
+        .withColumn("qvec", col("_sq.q"))
+        .withColumn("qscale", col("_sq.scale"))
+        .drop("_sq")
+
+    /** Reconstructs the (approximate) original vector. */
+    def dequantize(qvec: Column, qscale: Column): Column =
+      transform(qvec, x => x.cast("double") * qscale)
+  }
+
   /** Sign-random-projection LSH: bucket id = bits of sign(v · plane_i). */
   case class RandomHyperplaneLsh(bits: Int = 8, dim: Int = 64, hash: HashFamily = XxHash) {
 

@@ -253,6 +253,37 @@ class SimilaritySearchSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     got.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
   }
+
+  test("int8 scalar quantization: bounded error, cosine preserved, zero-safe") {
+    import spark.implicits._
+    val rng  = new scala.util.Random(17)
+    val rows = Seq.tabulate(100)(i => (i.toLong, Seq.fill(16)(rng.nextDouble() * 4 - 2))) :+
+      (100L, Seq.fill(16)(0.0)) // zero vector must not produce NaN
+    val df = rows.toDF("vec_id", "embedding")
+    val q  = SimilaritySearch.ScalarQuant.quantize(df)
+
+    val checked = q.select(
+      col("vec_id"),
+      col("embedding"),
+      SimilaritySearch.ScalarQuant.dequantize(col("qvec"), col("qscale")).as("deq"),
+      col("qscale"),
+      VectorOps.cosine(col("embedding"), col("qvec").cast("array<double>")).as("cos_q"))
+      .collect()
+    checked.foreach { r =>
+      val orig = r.getSeq[Double](1); val deq = r.getSeq[Double](2); val scale = r.getDouble(3)
+      // symmetric round-to-nearest: per-element error <= scale/2
+      orig.zip(deq).foreach { case (o, d) => assert(math.abs(o - d) <= scale / 2 + 1e-12) }
+      if (r.getLong(0) == 100L) assert(scale == 0.0 && deq.forall(_ == 0.0)) // zero vector stays zero
+      // cosine against the raw int8 vector stays ~1 (scale invariance)
+      else assert(r.getDouble(4) > 0.999, s"cosine degraded: ${r.getDouble(4)}")
+    }
+    // quantized top-k recovers the exact top-k on well-separated data
+    val exact = SimilaritySearch.bruteForceTopK(df, Seq.fill(16)(1.0), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val quant = SimilaritySearch.bruteForceTopK(q, Seq.fill(16)(1.0), k = 5, vecCol = "qvec")
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & quant).size >= 4)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
