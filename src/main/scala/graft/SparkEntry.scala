@@ -410,6 +410,21 @@ object SparkEntry {
       graft.graph.GraphQueries.connectedComponents(s, v.select("id"), e)
     }),
 
+    // graph query surface: PageRank (GraphX). On the bidirectional
+    // same-nation clique graph every component is k-regular, so the raw
+    // fixed point is exactly 1.0 per connected vertex and resetProb (0.15)
+    // per isolated one; GraphX normalizes ranks to sum to N, a closed-form
+    // scaling — which makes the iterative algorithm's output SQL-checkable
+    // (round(6) absorbs float jitter).
+    "q44_graph_pagerank" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      val bidir = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.GraphQueries.pageRank(s, v.select("id"), bidir)
+        .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+    }),
+
     // IVF ANN: KMeans-cell candidate restriction (seeded KMeans is not
     // SQL-expressible, so the driver-checkable contract is a RECALL GATE:
     // the query computes recall@10 of the cell-restricted search against
@@ -899,6 +914,21 @@ object SparkEntry {
       """SELECT s_suppkey AS id,
         |  min(s_suppkey) OVER (PARTITION BY s_nationkey) AS component
         |FROM supplier""".stripMargin,
+
+    // k-regular components' PageRank fixed point (1.0 connected, resetProb
+    // isolated), scaled by GraphX's sum-to-N normalization: N / mass where
+    // mass = C + 0.15 * I (see the Spark side's derivation)
+    "q44_graph_pagerank" ->
+      """WITH d AS (
+        |  SELECT s_suppkey, count(*) OVER (PARTITION BY s_nationkey) AS cnt FROM supplier
+        |), tot AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN cnt > 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.15 AS DOUBLE) END) AS mass
+        |  FROM d
+        |)
+        |SELECT s_suppkey AS id,
+        |  round(CAST(CASE WHEN cnt > 1 THEN 1.0 ELSE 0.15 END AS DOUBLE) * n / mass, 6) AS pagerank
+        |FROM d, tot""".stripMargin,
 
     "q23_mm_decode" ->
       """SELECT doc_id,

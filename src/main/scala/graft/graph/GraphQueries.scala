@@ -46,6 +46,35 @@ object GraphQueries {
       .distinct()
   }
 
+  /** PageRank over an edge set (GraphX Pregel — iterative vertex programs
+    * belong in GraphX, where vertex state is co-partitioned and replicated
+    * once instead of a DataFrame loop re-shuffling the edge corpus per
+    * iteration). Directed: pass a bidirectional edge set for the undirected
+    * reading. Vertices in `vertices` but absent from any edge keep the
+    * reset mass `resetProb`. GraphX normalizes the result to sum to the
+    * vertex count, so on a graph of k-regular components plus isolated
+    * vertices the fixed point is exactly `N / (C + resetProb·I)` per
+    * connected vertex and `resetProb · N / (C + resetProb·I)` per isolated
+    * one (C connected, I isolated, N = C + I).
+    */
+  def pageRank(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      numIter: Int = 20,
+      resetProb: Double = 0.15,
+      idCol: String = "id"
+  ): DataFrame = {
+    import spark.implicits._
+    val vRdd: RDD[(Long, Unit)] =
+      vertices.select(col(idCol).cast("long")).rdd.map(r => (r.getLong(0), ()))
+    val eRdd: RDD[Edge[Unit]] = edges
+      .select(col(EdgeColumns.Src).cast("long"), col(EdgeColumns.Dst).cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    Graph(vRdd, eRdd).staticPageRank(numIter, resetProb).vertices
+      .toDF(idCol, "pagerank")
+  }
+
   /** Connected components over an edge set; vertices absent from any edge
     * are singletons (their own component). Returns (id, component) where
     * component = smallest vertex id in the component (GraphX convention).

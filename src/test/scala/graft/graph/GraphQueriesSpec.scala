@@ -35,6 +35,27 @@ class GraphQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
+
+  test("pageRank: k-regular clique fixed point is 1.0; isolated vertex keeps resetProb") {
+    import spark.implicits._
+    // bidirectional triangle (2-regular) + isolated vertex 4
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val bidir = tri.union(tri.select(col("dst"), col("src")))
+      .withColumn("propVal", org.apache.spark.sql.functions.lit(1))
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    // raw fixed point (1, 1, 1, 0.15) normalized by GraphX to sum to N=4:
+    // connected = 4/3.15, isolated = 0.15*4/3.15
+    val pr = GraphQueries.pageRank(spark, vertices, bidir)
+      .collect().map(r => r.getLong(0) -> (math.rint(r.getDouble(1) * 1e6) / 1e6)).toMap
+    assert(pr == Map(1L -> 1.269841, 2L -> 1.269841, 3L -> 1.269841, 4L -> 0.190476))
+    // a hub (star center) must outrank its leaves — the non-regular case
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    val starBidir = star.union(star.select(col("dst"), col("src")))
+      .withColumn("propVal", org.apache.spark.sql.functions.lit(1))
+    val pr2 = GraphQueries.pageRank(spark, Seq(10L, 1L, 2L, 3L).toDF("id"), starBidir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr2(10L) > pr2(1L) && pr2(1L) == pr2(2L))
+  }
 }
 
 class IvfSpec extends SparkSpec {
