@@ -31,6 +31,7 @@ import graft.rules.{SameValueSimilarityConfig, SimilarityConfig, TwoModeSimilari
   *   bidirectional = true
   * }
   * edgeLoader {                         # top-level, or under job/janusgraph
+  *   loadedDays = 7                     # graft: loaded-side date horizon
   *   rulesToApply = ["similarityClassifier", ...]
   *   rules {
   *     similarityClassifier { similarityExp = "rfscore OR objectId" }
@@ -126,7 +127,8 @@ object ConfigLoader {
       idManager = idManagerConfig,
       edgeBasePath = edgeBasePath,
       rules = rulesConfig,
-      bidirectionalEdges = bidirectional
+      bidirectionalEdges = bidirectional,
+      loadedDays = optLong(edgeLoader, "edgeLoader", "loadedDays").map(_.toInt)
     )
   }
 

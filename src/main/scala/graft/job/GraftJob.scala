@@ -23,13 +23,19 @@ case class RulesConfig(
     fixedVertexCsvPath: Option[String] = None
 )
 
-/** Full job configuration: reader + id manager + edge store + rules. */
+/** Full job configuration: reader + id manager + edge store + rules.
+  *
+  * `loadedDays`: default loaded-side date horizon for [[GraftJob.process]]
+  * (None = full history, the reference semantics; see
+  * [[graft.ids.IdManager.readRange]] for the scale rationale).
+  */
 case class GraftConfig(
     reader: ReaderConfig,
     idManager: IdManagerConfig,
     edgeBasePath: String,
     rules: RulesConfig,
-    bidirectionalEdges: Boolean = true
+    bidirectionalEdges: Boolean = true,
+    loadedDays: Option[Int] = None
 )
 
 /** Per-rule edge counts of one run (stored rows: ×2 when bidirectional). */
@@ -84,16 +90,17 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
     * `loadedDays` days ending at `startDate + duration` (exclusive) via
     * [[IdManager.readRange]] — partition pruning instead of the reference's
     * full-history re-read (its own TODO, IDManagerSparkService.scala:135).
-    * `None` keeps exact reference semantics (join against all history);
-    * rules whose matches can only occur within a bounded time horizon
-    * (the common case for alert streams) should set it.
+    * `None` falls back to `config.loadedDays`, and an absent config value
+    * keeps exact reference semantics (join against all history); rules
+    * whose matches can only occur within a bounded time horizon (the
+    * common case for alert streams) should set one of the two.
     */
   def process(startDate: String, duration: Int, loadedDays: Option[Int] = None): JobResult = {
     val pm     = PartitionManager.forRange(startDate, duration, padded = true)
     val reader = new PartitionedReader(spark, config.reader)
     val df     = reader.readAndProcess(pm)
 
-    val loadedRange = loadedDays.map { days =>
+    val loadedRange = loadedDays.orElse(config.loadedDays).map { days =>
       PartitionManager(pm.startDate.plusDays(duration.toLong - days), days)
     }
     val vertexData: VertexData = idManager.process(df, loadedRange)
@@ -204,7 +211,8 @@ object Main {
           .orElse(base.flatMap(_.rules.twoMode)),
         fixedVertexCsvPath = opts.get("--fixed-csv").orElse(base.flatMap(_.rules.fixedVertexCsvPath))
       ),
-      bidirectionalEdges = base.forall(_.bidirectionalEdges)
+      bidirectionalEdges = base.forall(_.bidirectionalEdges),
+      loadedDays = base.flatMap(_.loadedDays)
     )
     val job      = new GraftJob(spark, config)
     val start    = opts("--startdate")

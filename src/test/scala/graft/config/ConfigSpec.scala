@@ -52,6 +52,7 @@ class ConfigSpec extends AnyFunSuite {
     |    batchSize = 100
     |    parallelism = 10
     |    taskSize = 25000
+    |    loadedDays = 7
     |    rulesToApply = ["similarityClassifer", "sameValueClassifier"]
     |    rules {
     |      similarityClassifer {   // reference config-key typo, must parse
@@ -100,6 +101,7 @@ class ConfigSpec extends AnyFunSuite {
       c.colsToConnect == List("objectId") && c.maxGroupSize.contains(1000)))
     assert(cfg.rules.twoMode.map(_.recipes).contains(List("supernova", "asteroids")))
     assert(cfg.rules.fixedVertexCsvPath.contains("fixedvertices.csv"))
+    assert(cfg.loadedDays.contains(7))
   }
 
   test("config file loads from disk and builds runnable rules") {

@@ -115,6 +115,21 @@ class JobSpec extends SparkSpec {
     assert(r2.vertexCount == 2)
   }
 
+  test("config-level loadedDays applies when process() gets no explicit range") {
+    val work = tempDir("graft-job-cfgrange")
+    writeAlerts(s"$work/raw")
+    val job = new GraftJob(spark, config(work).copy(loadedDays = Some(1)))
+    job.process("2019-02-01", 1)
+    job.process("2019-02-02", 1) // no arg -> config horizon of 1 day applies
+    val ids = spark.read.parquet(s"$work/ids/vertices")
+      .select("id", "objectId", "day").collect()
+      .map(r => (r.getString(1), r.getInt(2)) -> r.getLong(0)).toMap
+    val simEdges = spark.read.parquet(s"$work/edges/label=similarity")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!simEdges.contains((ids(("objA", 2)), ids(("objA", 1)))),
+      "cross-day edge should be pruned by the config-level horizon")
+  }
+
   test("CLI main runs the load job end to end") {
     val work = tempDir("graft-cli")
     writeAlerts(s"$work/raw")
@@ -146,6 +161,31 @@ class JobSpec extends SparkSpec {
       "--startdate", "2019-02-01", "--duration", "2"))
     assert(spark.read.parquet(s"$work/ids/vertices").count() == 4)
     assert(spark.read.parquet(s"$work/edges/label=similarity").count() > 0)
+  }
+
+  test("CLI --config carries the file's loadedDays into the job") {
+    val work = tempDir("graft-cli-conf-range")
+    writeAlerts(s"$work/raw")
+    val confPath = s"$work/job.conf"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+      s"""reader { basePath = "$work/raw" }
+         |idManager { spark { dataPath = "$work/ids", reservedIdSpace = 100 } }
+         |edgeStore { basePath = "$work/edges" }
+         |edgeLoader {
+         |  loadedDays = 1
+         |  rulesToApply = ["similarityClassifier"]
+         |  rules { similarityClassifier { similarityExp = "objectId" } }
+         |}
+         |""".stripMargin)
+    Main.main(Array("--config", confPath, "--startdate", "2019-02-01"))
+    Main.main(Array("--config", confPath, "--startdate", "2019-02-02"))
+    val ids = spark.read.parquet(s"$work/ids/vertices")
+      .select("id", "objectId", "day").collect()
+      .map(r => (r.getString(1), r.getInt(2)) -> r.getLong(0)).toMap
+    val simEdges = spark.read.parquet(s"$work/edges/label=similarity")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!simEdges.contains((ids(("objA", 2)), ids(("objA", 1)))),
+      "file-level loadedDays must prune the cross-day edge through the CLI path")
   }
 
   test("CLI --compact collapses appended files for the date range") {
