@@ -473,6 +473,22 @@ object SparkEntry {
       }
     }),
 
+    // deterministic stratified sampling: per-lang rates via a literal-map
+    // lookup, hash-bucket membership — a pure map-side filter (no shuffle,
+    // no RNG state), reproducible across runs/partitionings/engines. The
+    // portable Md5Hash under Verify makes the exact selected row set
+    // oracle-checkable; Bench times the production XxHash rule.
+    "q45_sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedHashSample(
+          T(s, dir, "documents"),
+          strataCol = "lang",
+          rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1),
+          defaultRate = 0.05,
+          key = col("doc_id"),
+          seed = 42,
+          hash = activeHash)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // multimodal: binary payload → per-partition batched (stub) decode
     "q23_mm_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
@@ -798,6 +814,14 @@ object SparkEntry {
         |  round(list_dot_product(v, qv)
         |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
         |FROM e, q ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Exact replication of the stratified-sample selection rule: the
+    // portable md5 bucket vs per-lang thresholds (rates × 1e6).
+    "q45_sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |  < CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+         |         WHEN 'fr' THEN 100000 ELSE 50000 END AS BIGINT)""".stripMargin,
 
     "q34_distinct_agg" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
+      .toDF("doc_id", "lang")
+  }
+
+  test("hashSample is deterministic and partitioning-invariant") {
+    val a = Sampling.hashSample(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(13), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on input partitioning")
+    // rate lands near the target (binomial, n=2000)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+    // df.sample does NOT have this property — membership there follows
+    // partition iteration order, which is the failure mode this fixes
+  }
+
+  test("samples nest: smaller fraction is a subset of larger") {
+    val small = Sampling.hashSample(docs, col("doc_id"), 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(docs, col("doc_id"), 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified rates apply per stratum; default covers unlisted strata") {
+    val out = Sampling.stratifiedHashSample(
+        docs, "lang", Map("en" -> 0.6, "de" -> 0.1), defaultRate = 0.0, key = col("doc_id"))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~667 docs per stratum
+    assert(math.abs(out("en") / 667.0 - 0.6) < 0.12)
+    assert(math.abs(out("de") / 667.0 - 0.1) < 0.08)
+    assert(!out.contains("zh"), "defaultRate=0 must drop unlisted strata entirely")
+  }
+
+  test("trainTestSplit partitions every row exactly once, keyed") {
+    val out = Sampling.trainTestSplit(docs, col("doc_id"), testFraction = 0.2)
+    assert(out.count() == 2000)
+    val test = out.where(col("split") === "test").select("doc_id").collect().map(_.getLong(0)).toSet
+    // same key + same seed ⇒ same side, independently of the frame it's in
+    val again = Sampling.trainTestSplit(docs.repartition(7), col("doc_id"), testFraction = 0.2)
+      .where(col("split") === "test").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(test == again)
+    assert(math.abs(test.size / 2000.0 - 0.2) < 0.04)
+  }
+
+  test("md5 family selection matches the portable DuckDB-replicable rule") {
+    // the oracle's rendering of the bucket rule, computed via Spark SQL's
+    // md5/conv — pinned here so q45's Spark and oracle sides cannot drift
+    val viaOracleRule = docs
+      .where(expr("cast(conv(substring(md5(concat('42:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000000 < 300000"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaOp = Sampling.hashSample(docs, col("doc_id"), 0.3, seed = 42, hash = Md5Hash)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaOp == viaOracleRule)
+  }
+
+  test("sampling plan is a pure filter — no shuffle, no aggregation") {
+    val plan = Sampling.hashSample(docs, col("doc_id"), 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample must be map-side only:\n$plan")
+  }
+}
