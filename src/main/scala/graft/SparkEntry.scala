@@ -489,6 +489,24 @@ object SparkEntry {
           hash = activeHash)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // backward as-of join: every purchase event gets the user's most recent
+    // click at-or-before it — the union-scan shape (one key shuffle + sorted
+    // running last), NOT a range theta-join (which plans a nested loop).
+    // Timestamps are compared at µs (ts div 1000) so the DuckDB oracle sees
+    // the same timeline (parquet NANOS truncate to µs there).
+    "q46_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tsu"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      graft.ops.AsOfJoin.backward(purchases, clicks, Seq("user_id"), "tsu",
+          rightCols = Seq("event_id", "tsu"), prefix = "click_")
+        .select(col("event_id"), col("user_id"), col("tsu").as("purchase_ts"),
+          coalesce(col("click_event_id"), lit(-1L)).as("click_id"),
+          coalesce(col("click_tsu"), lit(-1L)).as("click_ts"))
+    }),
+
     // multimodal: binary payload → per-partition batched (stub) decode
     "q23_mm_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
@@ -822,6 +840,21 @@ object SparkEntry {
          |WHERE ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000
          |  < CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
          |         WHEN 'fr' THEN 100000 ELSE 50000 END AS BIGINT)""".stripMargin,
+
+    // As-of semantics replicated with a correlated LATERAL top-1: latest
+    // click at-or-before each purchase, ties broken by max event_id —
+    // exactly the payload-struct tie order of AsOfJoin.backward.
+    "q46_asof_join" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.tsu AS purchase_ts,
+        |  coalesce(m.event_id, -1) AS click_id, coalesce(m.tsu, -1) AS click_ts
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id, c.tsu FROM c
+        |  WHERE c.user_id = p.user_id AND c.tsu <= p.tsu
+        |  ORDER BY c.tsu DESC, c.event_id DESC LIMIT 1) m ON TRUE""".stripMargin,
 
     "q34_distinct_agg" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers
