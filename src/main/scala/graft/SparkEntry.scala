@@ -507,6 +507,19 @@ object SparkEntry {
           coalesce(col("click_tsu"), lit(-1L)).as("click_ts"))
     }),
 
+    // incremental near-dup dedup: new batch (doc_id >= 300) vs history
+    // (doc_id < 300) — band equi-join across the two frames with the
+    // history side bloom-pruned map-side before its shuffle (the 100-TB
+    // pattern: read the corpus once, shuffle only bucket-matching rows).
+    // Same 16×4 banding as q18; the portable Md5Hash under Verify makes
+    // band buckets and the verified jaccard oracle-checkable.
+    "q47_dedup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.incrementalMinhash(
+        docs.where(col("doc_id") >= 300), docs.where(col("doc_id") < 300),
+        numHashes = 16, bands = 4, verifyThreshold = 0.7, hash = activeHash)
+    }),
+
     // multimodal: binary payload → per-partition batched (stub) decode
     "q23_mm_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
@@ -742,6 +755,38 @@ object SparkEntry {
          |  FROM pairs JOIN sh sa ON sa.id = pairs.id_a JOIN sh sb ON sb.id = pairs.id_b
          |)
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.2""".stripMargin,
+
+    // q18's minhash pipeline replicated across the 300-split: band-bucket
+    // candidates between new (>= 300) and history (< 300), exact-jaccard
+    // verified at 0.7. The bloom prune on the Spark side is invisible here
+    // by design — no false negatives ⇒ identical result set.
+    "q47_dedup_incremental" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+         |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |        FROM documents)
+         |), sig AS (
+         |  SELECT id,
+         |    list_transform(range(16), s ->
+         |      list_min(list_transform(sh, x -> ${md5l("CAST(s AS VARCHAR) || ':' || x")}))) AS sig
+         |  FROM sh
+         |), banded AS (
+         |  SELECT id, b.band AS band,
+         |    ${md5l("array_to_string(sig[(CAST(b.band AS INT) * 4 + 1):(CAST(b.band AS INT) * 4 + 4)], ',')")} AS bucket
+         |  FROM sig, (SELECT unnest(range(4)) AS band) b
+         |), pairs AS (
+         |  SELECT DISTINCT n.id AS new_id, h.id AS old_id
+         |  FROM banded n JOIN banded h ON n.band = h.band AND n.bucket = h.bucket
+         |  WHERE n.id >= 300 AND h.id < 300
+         |), j AS (
+         |  SELECT new_id, old_id,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+         |  FROM pairs JOIN sh sa ON sa.id = pairs.new_id JOIN sh sb ON sb.id = pairs.old_id
+         |)
+         |SELECT new_id, old_id, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin,
 
     // Full SimHash replication: token md5-hashes → per-bit majority votes
     // (bits 0..59; the portable hash has 60 uniform bits, upper bits vote

@@ -103,6 +103,38 @@ object Dedup {
     * bands × rowsPerBand must equal numHashes. Candidate generation is an
     * equi-join on (band index, band hash) — linear shuffle, no cartesian.
     */
+  /** (id, sh, band, bucket) rows: each document exploded to its LSH band
+    * buckets (bucket = hash of the band's signature slice). The candidate
+    * key of every minhash variant — self-join it for intra-corpus pairs
+    * ([[minhashLsh]]) or equi-join two frames for incremental dedup
+    * ([[incrementalMinhash]]).
+    */
+  def bandedMinhash(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWidth: Int = 3,
+      hash: HashFamily = XxHash
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, hash)
+      .select(
+        col("id"),
+        col("sh"),
+        explode(
+          array((0 until bands).map { b =>
+            struct(
+              lit(b).as("band"),
+              hash.plain(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ",")).as("bucket")
+            )
+          }: _*)
+        ).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   def minhashLsh(
       df: DataFrame,
       textCol: String = "text",
@@ -113,32 +145,15 @@ object Dedup {
       verifyThreshold: Double = 0.0,
       hash: HashFamily = XxHash
   ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-
     // Persisted (tracked — see graft.Caches): the banded frame feeds both
     // sides of the candidate join, and Spark does not share common subplans
     // across join branches — without this the signature aggregation runs
     // twice (2× measured at sf0.1).
-    val withSig = graft.Caches.track(
-      minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, hash))
+    val banded = graft.Caches.track(
+      bandedMinhash(df, textCol, idCol, numHashes, bands, shingleWidth, hash))
 
-    // band hash = hash of the band's slice of the signature
-    val banded = withSig.select(
-      col("id"),
-      col("sh"),
-      explode(
-        array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            hash.plain(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ",")).as("bucket")
-          )
-        }: _*)
-      ).as("bb")
-    )
-
-    val left  = banded.select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val left  = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
 
     val pairs = left
       .join(right, Seq("band", "bucket"))
@@ -155,6 +170,65 @@ object Dedup {
     val filtered =
       if (verifyThreshold > 0) withJaccard.where(col("jaccard") >= verifyThreshold) else withJaccard
     filtered.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental near-dup detection: which documents of a (small) new batch
+    * near-duplicate a (huge) accumulated history — the every-ingest question
+    * of a training-data pipeline, answered WITHOUT re-pairing the history
+    * against itself.
+    *
+    * Candidate generation is the MinHash band equi-join of [[minhashLsh]],
+    * but across the two frames — linear in each side, never history².
+    * Before the join, the history side is pruned '''map-side''' with a bloom
+    * filter built from the new batch's band buckets
+    * ([[org.apache.spark.sql.graft.BloomFilterOps]]): history rows whose
+    * bucket cannot match any new-batch bucket are dropped at the scan, so
+    * the history shuffle carries ~|matching buckets| rows instead of
+    * |history × bands|. At 100 TB of history and a daily-crawl-sized batch,
+    * that prune IS the operator: the full history is read (one pass,
+    * unavoidable without a persisted bucket index) but never shuffled.
+    * Bloom false positives only let extra rows into the exact verify step —
+    * the result is identical to the unfiltered join (spec-asserted).
+    *
+    * Returns (new_id, old_id, jaccard) with exact Jaccard ≥ verifyThreshold.
+    */
+  def incrementalMinhash(
+      newDf: DataFrame,
+      historyDf: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleWidth: Int = 3,
+      verifyThreshold: Double = 0.7,
+      hash: HashFamily = XxHash,
+      bloomItems: Long = 1000000L
+  ): DataFrame = {
+    // tracked persist: the new side feeds both the bloom build and the join
+    val newBanded = graft.Caches.track(
+      bandedMinhash(newDf, textCol, idCol, numHashes, bands, shingleWidth, hash))
+    val histBanded = bandedMinhash(historyDf, textCol, idCol, numHashes, bands, shingleWidth, hash)
+
+    val keys = Seq(col("band"), col("bucket"))
+    val histPruned = org.apache.spark.sql.graft.BloomFilterOps
+      .build(newBanded, keys, expectedItems = bloomItems) match {
+      case Some(bloom) =>
+        histBanded.where(org.apache.spark.sql.graft.BloomFilterOps.mightContain(bloom, keys))
+      case None => histBanded.limit(0) // empty new batch: nothing can match
+    }
+
+    newBanded
+      .select(col("band"), col("bucket"), col("id").as("new_id"), col("sh").as("sh_new"))
+      .join(
+        histPruned.select(col("band"), col("bucket"), col("id").as("old_id"), col("sh").as("sh_old")),
+        Seq("band", "bucket"))
+      .dropDuplicates("new_id", "old_id")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_new"), col("sh_old"))).cast("double") /
+          size(array_union(col("sh_new"), col("sh_old"))).cast("double"))
+      .where(col("jaccard") >= verifyThreshold)
+      .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
