@@ -520,6 +520,14 @@ object SparkEntry {
         numHashes = 16, bands = 4, verifyThreshold = 0.7, hash = activeHash)
     }),
 
+    // dedup-grade Jaccard (t=0.7) via PPJoin-style prefix filtering: only
+    // each doc's rarest (1-t) shingle fraction enters the join, hot
+    // shingles are excluded by the canonical order itself — exact results
+    // (no-false-negative lemma), no maxDocFreq knob. The complement to
+    // q19's full inverted-index join at exploratory thresholds.
+    "q48_dedup_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(T(s, dir, "documents"), threshold = 0.7)),
+
     // multimodal: binary payload → per-partition batched (stub) decode
     "q23_mm_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
@@ -860,6 +868,24 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
         |FROM co JOIN sizes sa ON co.id_a = sa.id JOIN sizes sb ON co.id_b = sb.id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2""".stripMargin,
+
+    // Exact high-threshold Jaccard — the oracle brute-forces every pair
+    // (fine at oracle scale); the Spark side's prefix filter is exact by
+    // the no-false-negative lemma, so the sets must match.
+    "q48_dedup_prefix_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), j AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin,
 
     "q20_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
