@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamingDedupSpec extends SparkSpec {
+
+  private def batch1 = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "pack my box with five dozen liquor jugs before the party"),
+      (2L, "sphinx of black quartz judge my vow said the librarian"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again") // exact dup of 0
+    ).toDF("doc_id", "text")
+  }
+
+  private def batch2 = {
+    import spark.implicits._
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and AGAIN"), // near-dup of 0
+      (11L, "sphinx of black quartz judge my vow said the librarian twice"), // near-dup of 2
+      (12L, "completely novel content that matches nothing in the corpus")
+    ).toDF("doc_id", "text")
+  }
+
+  test("streaming ingest dedups within batch and against the corpus") {
+    val work = tempDir("graft-sdedup")
+    val ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
+      verifyThreshold = 0.5)
+
+    batch1.write.parquet(s"$work/in")
+    val q1 = ingest.start(batch1.schema, s"$work/in", s"$work/ckpt")
+    q1.awaitTermination(60000)
+
+    val corpus1 = spark.read.parquet(s"$work/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus1 == Set(0L, 1L, 2L), s"exact dup 3 must not enter the corpus: $corpus1")
+
+    batch2.write.mode("append").parquet(s"$work/in")
+    val q2 = ingest.start(batch2.schema, s"$work/in", s"$work/ckpt")
+    q2.awaitTermination(60000)
+
+    val corpus2 = spark.read.parquet(s"$work/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus2 == Set(0L, 1L, 2L, 12L), s"near-dups 10/11 must be diverted: $corpus2")
+    val dups = spark.read.parquet(s"$work/dups")
+      .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((10L, 0L), (11L, 2L)), s"got $dups")
+  }
+
+  test("replaying a batch id is idempotent (dynamic partition overwrite)") {
+    val work = tempDir("graft-sdedup-replay")
+    val ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
+      verifyThreshold = 0.5)
+    ingest.ingestBatch(batch1, batchId = 0)
+    val once = spark.read.parquet(s"$work/corpus").count()
+    ingest.ingestBatch(batch1, batchId = 0) // checkpoint-recovery replay
+    val twice = spark.read.parquet(s"$work/corpus").count()
+    assert(once == twice, s"replay must not double-append: $once vs $twice")
+    // a NEW batch id appends alongside, untouched
+    ingest.ingestBatch(batch2, batchId = 1)
+    assert(spark.read.parquet(s"$work/corpus").where(col("ingest_batch") === 0).count() == once)
+  }
+}
