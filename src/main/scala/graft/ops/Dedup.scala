@@ -202,12 +202,18 @@ object Dedup {
       shingleWidth: Int = 3,
       verifyThreshold: Double = 0.7,
       hash: HashFamily = XxHash,
-      bloomItems: Long = 1000000L
+      bloomItems: Long = 1000000L,
+      historyBanded: Option[DataFrame] = None
   ): DataFrame = {
     // tracked persist: the new side feeds both the bloom build and the join
     val newBanded = graft.Caches.track(
       bandedMinhash(newDf, textCol, idCol, numHashes, bands, shingleWidth, hash))
-    val histBanded = bandedMinhash(historyDf, textCol, idCol, numHashes, bands, shingleWidth, hash)
+    // The history bands recompute from historyDf unless the caller passes a
+    // prebuilt [[bandedMinhash]] frame — the deployment shape: a corpus's
+    // bands are computed once (or maintained incrementally as batches land)
+    // and every ingest probes them, instead of re-sketching 100 TB per run.
+    val histBanded = historyBanded.getOrElse(
+      bandedMinhash(historyDf, textCol, idCol, numHashes, bands, shingleWidth, hash))
 
     val keys = Seq(col("band"), col("bucket"))
     val histPruned = org.apache.spark.sql.graft.BloomFilterOps

@@ -58,6 +58,18 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(withBloom == full)
   }
 
+  test("prebuilt history bands give the same result as in-query banding") {
+    val newBatch = docs.where(col("doc_id") >= 10)
+    val history  = docs.where(col("doc_id") < 10)
+    val prebuilt = Dedup.bandedMinhash(history, numHashes = 16, bands = 4)
+    val viaPrebuilt = Dedup.incrementalMinhash(newBatch, history, verifyThreshold = 0.5,
+        historyBanded = Some(prebuilt))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Dedup.incrementalMinhash(newBatch, history, verifyThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrebuilt == inline)
+  }
+
   test("empty new batch yields an empty result, not a full-history scan crash") {
     val out = Dedup.incrementalMinhash(docs.where(col("doc_id") < 0), docs)
     assert(out.count() == 0)

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IntervalJoinSpec extends SparkSpec {
+
+  private lazy val points = {
+    import spark.implicits._
+    Seq(
+      ("u1", 5L, "p1"), ("u1", 15L, "p2"), ("u1", 100L, "p3"),
+      ("u2", 15L, "p4"), ("u3", 50L, "p5")
+    ).toDF("user", "t", "pid")
+  }
+
+  private lazy val intervals = {
+    import spark.implicits._
+    Seq(
+      ("u1", 0L, 10L, "i1"),   // contains p1 (t=5); t=10 inclusive
+      ("u1", 10L, 20L, "i2"),  // contains p2; overlaps i1 at t=10
+      ("u1", 95L, 305L, "i3"), // long interval spanning many buckets, has p3
+      ("u2", 0L, 10L, "i4"),   // p4 at 15 is outside
+      ("u4", 0L, 999L, "i5")   // key with no points
+    ).toDF("user", "s", "e", "iid")
+  }
+
+  private def expected: Set[(String, String)] =
+    Set(("p1", "i1"), ("p2", "i2"), ("p3", "i3"))
+
+  test("matches brute force across bucket widths, inclusive bounds") {
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val out = IntervalJoin.pointInInterval(points, intervals, Seq("user"), "t", "s", "e", w)
+        .select("pid", "iid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out == expected, s"bucketWidth $w diverged: $out")
+    }
+  }
+
+  test("a point on a shared boundary matches both intervals, once each") {
+    import spark.implicits._
+    val p = Seq(("u1", 10L, "pb")).toDF("user", "t", "pid")
+    val out = IntervalJoin.pointInInterval(p, intervals, Seq("user"), "t", "s", "e", 8L)
+      .select("pid", "iid").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSet == Set(("pb", "i1"), ("pb", "i2")))
+    assert(out.length == 2, s"no duplicate pairs expected: ${out.toSeq}")
+  }
+
+  test("plan shape: equi-join on (key, bucket), no nested loop") {
+    val plan = IntervalJoin.pointInInterval(points, intervals, Seq("user"), "t", "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketized interval join must not plan a nested loop:\n$plan")
+  }
+}
