@@ -516,17 +516,19 @@ object SparkEntry {
     "q47_dedup_incremental" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val hash = activeHash
-      // corpus bands built once per dataset+hash (memo, like the ANN
-      // indexes): the deployment shape — every ingest batch probes the
-      // maintained band table, nobody re-sketches the corpus per run
-      val corpusBands = SparkEntry.memo(s"corpus-bands-$hash:$dir") {
-        Dedup.bandedMinhash(docs.where(col("doc_id") < 300),
-          numHashes = 16, bands = 4, hash = hash).cache()
+      // corpus sketch (signatures) built once per dataset+hash (memo, like
+      // the ANN indexes): the deployment shape — every ingest batch probes
+      // the maintained slim band table (id, band, bucket) + shingle-set
+      // table (id, sh), nobody re-sketches the corpus per run
+      val corpusSketch = SparkEntry.memo(s"corpus-sketch-$hash:$dir") {
+        Dedup.minhashSignatures(docs.where(col("doc_id") < 300),
+          "text", "doc_id", numHashes = 16, shingleWidth = 3, hash = hash).cache()
       }
       Dedup.incrementalMinhash(
         docs.where(col("doc_id") >= 300), docs.where(col("doc_id") < 300),
         numHashes = 16, bands = 4, verifyThreshold = 0.7, hash = hash,
-        historyBanded = Some(corpusBands))
+        historyBanded = Some(Dedup.bandBuckets(corpusSketch, 16, 4, hash)),
+        historySh = Some(corpusSketch.select(col("id"), col("sh"))))
     }),
 
     // dedup-grade Jaccard (t=0.7) via PPJoin-style prefix filtering: only

@@ -96,18 +96,39 @@ object Dedup {
       .select(col("id"), col("sh"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** MinHash + LSH banding: documents whose signatures collide in ≥1 band
-    * become candidate pairs; pairs are then verified with exact Jaccard over
-    * shingle sets when `verifyThreshold` > 0.
-    *
-    * bands × rowsPerBand must equal numHashes. Candidate generation is an
-    * equi-join on (band index, band hash) — linear shuffle, no cartesian.
+  /** LSH band buckets of a [[minhashSignatures]] frame: (id, band, bucket),
+    * one row per document per band (bucket = hash of the band's signature
+    * slice). Deliberately SLIM — no shingle payload rides along, so the
+    * candidate join shuffles 3 fixed-width columns per band row instead of
+    * duplicating every document's shingle array into all `bands` rows;
+    * shingle sets are re-attached by id-equi-join only for the candidate
+    * pairs that survive banding (see [[minhashLsh]] /
+    * [[incrementalFromSketches]]). At corpus scale this is the difference
+    * between shuffling/persisting ~bands× the corpus's shingle bytes and
+    * shuffling them once, for verified candidates only.
     */
-  /** (id, sh, band, bucket) rows: each document exploded to its LSH band
-    * buckets (bucket = hash of the band's signature slice). The candidate
-    * key of every minhash variant — self-join it for intra-corpus pairs
-    * ([[minhashLsh]]) or equi-join two frames for incremental dedup
-    * ([[incrementalMinhash]]).
+  def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int, hash: HashFamily): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    sigs.select(
+        col("id"),
+        explode(
+          array((0 until bands).map { b =>
+            struct(
+              lit(b).as("band"),
+              hash.plain(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ",")).as("bucket")
+            )
+          }: _*)
+        ).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Slim (id, band, bucket) band rows straight from documents: sketch +
+    * [[bandBuckets]] in one call. The candidate key of every minhash
+    * variant — self-join it for intra-corpus pairs ([[minhashLsh]]) or
+    * equi-join two frames for incremental dedup ([[incrementalMinhash]]).
+    * This is also the schema of a persisted corpus band table (the
+    * deployment shape: maintain it incrementally, probe it per ingest).
     */
   def bandedMinhash(
       df: DataFrame,
@@ -117,24 +138,20 @@ object Dedup {
       bands: Int = 8,
       shingleWidth: Int = 3,
       hash: HashFamily = XxHash
-  ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, hash)
-      .select(
-        col("id"),
-        col("sh"),
-        explode(
-          array((0 until bands).map { b =>
-            struct(
-              lit(b).as("band"),
-              hash.plain(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ",")).as("bucket")
-            )
-          }: _*)
-        ).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+  ): DataFrame =
+    bandBuckets(minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, hash), numHashes, bands, hash)
 
+  /** MinHash + LSH banding: documents whose signatures collide in ≥1 band
+    * become candidate pairs; pairs are then verified with exact Jaccard over
+    * shingle sets when `verifyThreshold` > 0.
+    *
+    * bands × rowsPerBand must equal numHashes. Candidate generation is an
+    * equi-join on (band index, band hash) — linear shuffle, no cartesian —
+    * over SLIM (id, band, bucket) rows; the shingle sets needed for
+    * verification are re-attached to the surviving candidate pairs by
+    * id-join against the (persisted-once) signatures frame, so shingle
+    * bytes are shuffled once per candidate side, never bands× per corpus.
+    */
   def minhashLsh(
       df: DataFrame,
       textCol: String = "text",
@@ -145,27 +162,31 @@ object Dedup {
       verifyThreshold: Double = 0.0,
       hash: HashFamily = XxHash
   ): DataFrame = {
-    // Persisted (tracked — see graft.Caches): the banded frame feeds both
-    // sides of the candidate join, and Spark does not share common subplans
-    // across join branches — without this the signature aggregation runs
-    // twice (2× measured at sf0.1).
-    val banded = graft.Caches.track(
-      bandedMinhash(df, textCol, idCol, numHashes, bands, shingleWidth, hash))
+    // Persisted (tracked — see graft.Caches): the signatures feed both
+    // sides of the candidate join AND both verify re-attach joins, and
+    // Spark does not share common subplans across join branches — without
+    // this the signature aggregation runs four times. The persisted bytes
+    // carry each document's shingles ONCE (vs bands× in a fat band frame).
+    val sigs   = graft.Caches.track(
+      minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, hash))
+    val banded = bandBuckets(sigs, numHashes, bands, hash)
 
-    val left  = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-
-    val pairs = left
-      .join(right, Seq("band", "bucket"))
+    val pairs = banded
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val withJaccard = pairs.withColumn(
-      "jaccard",
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    )
+    val sh = sigs.select(col("id"), col("sh"))
+    val withJaccard = pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      )
 
     val filtered =
       if (verifyThreshold > 0) withJaccard.where(col("jaccard") >= verifyThreshold) else withJaccard
@@ -203,38 +224,81 @@ object Dedup {
       verifyThreshold: Double = 0.7,
       hash: HashFamily = XxHash,
       bloomItems: Long = 1000000L,
-      historyBanded: Option[DataFrame] = None
+      historyBanded: Option[DataFrame] = None,
+      historySh: Option[DataFrame] = None
   ): DataFrame = {
-    // tracked persist: the new side feeds both the bloom build and the join
-    val newBanded = graft.Caches.track(
-      bandedMinhash(newDf, textCol, idCol, numHashes, bands, shingleWidth, hash))
-    // The history bands recompute from historyDf unless the caller passes a
-    // prebuilt [[bandedMinhash]] frame — the deployment shape: a corpus's
-    // bands are computed once (or maintained incrementally as batches land)
-    // and every ingest probes them, instead of re-sketching 100 TB per run.
-    val histBanded = historyBanded.getOrElse(
-      bandedMinhash(historyDf, textCol, idCol, numHashes, bands, shingleWidth, hash))
+    val newSigs = minhashSignatures(newDf, textCol, idCol, numHashes, shingleWidth, hash)
+    // The history sketch recomputes from historyDf unless the caller passes
+    // prebuilt frames — the deployment shape: a corpus's band table (id,
+    // band, bucket) and shingle-set table (id, sh) are computed once (or
+    // maintained incrementally as batches land) and every ingest probes
+    // them, instead of re-sketching 100 TB per run. When derived here the
+    // signatures are sketched ONCE (tracked persist) and feed both frames.
+    lazy val histSigs = graft.Caches.track(
+      minhashSignatures(historyDf, textCol, idCol, numHashes, shingleWidth, hash))
+    val hb = historyBanded.getOrElse(bandBuckets(histSigs, numHashes, bands, hash))
+    val hs = historySh.getOrElse(histSigs.select(col("id"), col("sh")))
+    incrementalFromSketches(newSigs, hb, hs, numHashes, bands, verifyThreshold, hash, bloomItems)
+  }
+
+  /** Sketch-level core of [[incrementalMinhash]]: new-batch signatures vs a
+    * history band table (id, band, bucket) + shingle-set table (id, sh) —
+    * the exact frames a deployed pipeline maintains on disk.
+    *
+    * Two bloom prunes keep the history sides scan-heavy but shuffle-light:
+    *  1. history BANDS are pruned map-side by a bloom over the new batch's
+    *     buckets (rows whose bucket cannot match never shuffle);
+    *  2. history SHINGLE SETS are pruned map-side by a bloom over the
+    *     surviving candidates' old ids, so the verify re-attach join
+    *     shuffles shingle bytes for candidate documents only, not the
+    *     corpus. Both prunes are no-false-negative (result identical to
+    *     the unfiltered joins — spec-asserted).
+    */
+  def incrementalFromSketches(
+      newSigs: DataFrame,
+      histBanded: DataFrame,
+      histSh: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      verifyThreshold: Double = 0.7,
+      hash: HashFamily = XxHash,
+      bloomItems: Long = 1000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFilterOps
+    // tracked persist: the new-side signatures feed the band join AND the
+    // verify re-attach
+    val sigs      = graft.Caches.track(newSigs)
+    val newBanded = bandBuckets(sigs, numHashes, bands, hash)
 
     val keys = Seq(col("band"), col("bucket"))
-    val histPruned = org.apache.spark.sql.graft.BloomFilterOps
-      .build(newBanded, keys, expectedItems = bloomItems) match {
-      case Some(bloom) =>
-        histBanded.where(org.apache.spark.sql.graft.BloomFilterOps.mightContain(bloom, keys))
-      case None => histBanded.limit(0) // empty new batch: nothing can match
+    val histPruned = BloomFilterOps.build(newBanded, keys, expectedItems = bloomItems) match {
+      case Some(bloom) => histBanded.where(BloomFilterOps.mightContain(bloom, keys))
+      case None        => histBanded.limit(0) // empty new batch: nothing can match
     }
 
-    newBanded
-      .select(col("band"), col("bucket"), col("id").as("new_id"), col("sh").as("sh_new"))
-      .join(
-        histPruned.select(col("band"), col("bucket"), col("id").as("old_id"), col("sh").as("sh_old")),
-        Seq("band", "bucket"))
-      .dropDuplicates("new_id", "old_id")
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_new"), col("sh_old"))).cast("double") /
-          size(array_union(col("sh_new"), col("sh_old"))).cast("double"))
-      .where(col("jaccard") >= verifyThreshold)
-      .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
+    // tracked persist: candidates feed the old-id bloom build and the verify
+    val cand = graft.Caches.track(
+      newBanded
+        .select(col("band"), col("bucket"), col("id").as("new_id"))
+        .join(histPruned.select(col("band"), col("bucket"), col("id").as("old_id")), Seq("band", "bucket"))
+        .select(col("new_id"), col("old_id"))
+        .dropDuplicates("new_id", "old_id"))
+
+    BloomFilterOps.build(cand, Seq(col("old_id")), expectedItems = bloomItems) match {
+      case None => // no candidates: empty result with the contract schema
+        cand.select(col("new_id"), col("old_id"), lit(0.0d).as("jaccard")).limit(0)
+      case Some(idBloom) =>
+        val histShPruned = histSh.where(BloomFilterOps.mightContain(idBloom, Seq(col("id"))))
+        cand
+          .join(sigs.select(col("id").as("new_id"), col("sh").as("sh_new")), Seq("new_id"))
+          .join(histShPruned.select(col("id").as("old_id"), col("sh").as("sh_old")), Seq("old_id"))
+          .withColumn(
+            "jaccard",
+            size(array_intersect(col("sh_new"), col("sh_old"))).cast("double") /
+              size(array_union(col("sh_new"), col("sh_old"))).cast("double"))
+          .where(col("jaccard") >= verifyThreshold)
+          .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.

@@ -13,29 +13,38 @@ import graft.ops.{Dedup, HashFamily, TextAnalysis, XxHash}
   * enter the corpus, and each detected duplicate is recorded with the
   * document it duplicates.
   *
-  * The streaming face of [[graft.ops.Dedup.incrementalMinhash]] — the shape
-  * a training-data pipeline actually runs ("dedup today's crawl against
-  * everything ever kept"), with the corpus as the only cross-batch state:
+  * The streaming face of [[graft.ops.Dedup.incrementalFromSketches]] — the
+  * shape a training-data pipeline actually runs ("dedup today's crawl
+  * against everything ever kept"):
   *
   *  1. '''intra-batch exact dedup''': one representative (min id) per
   *     content fingerprint — a batch-local groupBy;
-  *  2. '''cross-corpus near-dup''': band equi-join against the corpus with
-  *     the corpus side bloom-pruned map-side (see `incrementalMinhash` —
-  *     the corpus is read once per batch but only bucket-matching rows
-  *     shuffle);
-  *  3. '''idempotent writes''': outputs are partitioned by `ingest_batch`
-  *     and written with dynamic partition overwrite, so a replayed batch
-  *     (checkpoint recovery) overwrites its own partition instead of
-  *     double-appending — exactly-once corpus contents on at-least-once
-  *     batch delivery.
+  *  2. '''cross-corpus near-dup''': the batch is MinHash-sketched ONCE and
+  *     probed against incrementally-maintained corpus sketch tables — a
+  *     slim band table (id, band, bucket) and a shingle-set table (id, sh),
+  *     both appended per batch with the novel documents' rows. Per-batch
+  *     sketch work is O(batch); the corpus is never re-sketched, only its
+  *     (bloom-pruned, see `incrementalFromSketches`) sketch tables are
+  *     scanned;
+  *  3. '''idempotent writes''': all four outputs (corpus, dups, bands, sh)
+  *     are partitioned by `ingest_batch` and written with dynamic partition
+  *     overwrite, so a replayed batch (checkpoint recovery) overwrites its
+  *     own partitions instead of double-appending. On replay the batch's
+  *     own `ingest_batch=<batchId>` partition from the prior attempt is
+  *     EXCLUDED from the corpus-side reads — otherwise every previously
+  *     written novel document would match its prior-attempt self at
+  *     jaccard 1.0 and the replay would flip all novel docs to dups
+  *     (spec-asserted: replay produces no self-pairs).
   *
-  * State is the corpus table itself (like [[StreamingIngest]]'s vertex
-  * table), so the query is restart-safe with no custom state store.
+  * State is the corpus + sketch tables themselves (like
+  * [[StreamingIngest]]'s vertex table), so the query is restart-safe with
+  * no custom state store.
   */
 class StreamingDedupIngest(
     spark: SparkSession,
     corpusPath: String,
     dupsPath: String,
+    sketchPath: String,
     textCol: String = "text",
     idCol: String = "doc_id",
     numHashes: Int = 16,
@@ -45,12 +54,18 @@ class StreamingDedupIngest(
     hash: HashFamily = XxHash
 ) {
 
-  /** The accumulated corpus, or an empty same-schema frame before the first
-    * batch lands (the reference's empty-with-id fallback pattern,
-    * IdManager.scala).
+  private val bandsPath = s"$sketchPath/bands"
+  private val shPath    = s"$sketchPath/sh"
+
+  /** A corpus-side sketch table, with the current batch's own partition
+    * excluded (replay safety — see class doc), or an empty same-schema
+    * frame before the first batch lands (the reference's empty-with-id
+    * fallback pattern, IdManager.scala).
     */
-  private def readCorpus(like: DataFrame): DataFrame =
-    try spark.read.parquet(corpusPath).drop("ingest_batch")
+  private def readSketch(path: String, excludeBatch: Long, like: DataFrame): DataFrame =
+    try spark.read.parquet(path)
+      .where(col("ingest_batch") =!= excludeBatch)
+      .drop("ingest_batch")
     catch { case _: org.apache.spark.sql.AnalysisException => like.limit(0) }
 
   /** Runs one micro-batch through dedup; usable directly in tests and from
@@ -67,14 +82,21 @@ class StreamingDedupIngest(
       .where(col("_rn") === 1)
       .drop("_fp", "_rn")
 
-    // 2. near-dups of the accumulated corpus
-    val corpus = readCorpus(batch)
-    val dupPairs = Dedup.incrementalMinhash(
-      reps, corpus, textCol, idCol, numHashes, bands, shingleWidth, verifyThreshold, hash)
+    // 2. sketch the batch once; near-dups vs the maintained corpus sketch
+    // tables (slim bands + shingle sets), this batch's prior-attempt
+    // partition excluded
+    val newSigs   = Dedup.minhashSignatures(reps, textCol, idCol, numHashes, shingleWidth, hash)
+    val histBands = readSketch(bandsPath, batchId, Dedup.bandBuckets(newSigs, numHashes, bands, hash))
+    val histSh    = readSketch(shPath, batchId, newSigs.select(col("id"), col("sh")))
+    val dupPairs  = graft.Caches.track(Dedup.incrementalFromSketches(
+      newSigs, histBands, histSh, numHashes, bands, verifyThreshold, hash))
 
     val novel = reps.join(
       dupPairs.select(col("new_id")).distinct(),
       reps(idCol) === col("new_id"), "left_anti")
+    // novel documents' sketch rows extend the corpus sketch tables
+    // (newSigs is persisted inside incrementalFromSketches — no re-sketch)
+    val novelSigs = newSigs.join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi")
 
     // 3. idempotent batch-partitioned writes (dynamic overwrite: a replayed
     // batch rewrites only partition ingest_batch=<batchId>)
@@ -88,7 +110,9 @@ class StreamingDedupIngest(
 
     writeBatchPartition(novel, corpusPath)
     writeBatchPartition(dupPairs, dupsPath)
-    graft.Caches.clear() // drop the operator's tracked band-frame persists
+    writeBatchPartition(Dedup.bandBuckets(novelSigs, numHashes, bands, hash), bandsPath)
+    writeBatchPartition(novelSigs.select(col("id"), col("sh")), shPath)
+    graft.Caches.clear() // drop the operator's tracked sketch persists
   }
 
   /** Starts the streaming ingest over a file-source directory. */

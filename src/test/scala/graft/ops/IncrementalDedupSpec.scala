@@ -70,6 +70,29 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaPrebuilt == inline)
   }
 
+  test("prebuilt history sketch tables (bands + shingle sets) give the same result") {
+    val newBatch = docs.where(col("doc_id") >= 10)
+    val history  = docs.where(col("doc_id") < 10)
+    // the deployment shape: both sketch tables maintained on disk, the
+    // history documents themselves never touched
+    val sigs = Dedup.minhashSignatures(history, "text", "doc_id", 16, 3, XxHash)
+    val viaTables = Dedup.incrementalMinhash(
+        newBatch, history.limit(0), verifyThreshold = 0.5,
+        historyBanded = Some(Dedup.bandBuckets(sigs, 16, 4, XxHash)),
+        historySh = Some(sigs.select(col("id"), col("sh"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Dedup.incrementalMinhash(newBatch, history, verifyThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaTables == inline)
+  }
+
+  test("band frames are slim: (id, band, bucket) only, no shingle payload") {
+    val banded = Dedup.bandedMinhash(docs, numHashes = 16, bands = 4)
+    assert(banded.columns.toSeq == Seq("id", "band", "bucket"),
+      s"band rows must not duplicate per-document payloads: ${banded.columns.toSeq}")
+    assert(banded.count() == docs.count() * 4)
+  }
+
   test("empty new batch yields an empty result, not a full-history scan crash") {
     val out = Dedup.incrementalMinhash(docs.where(col("doc_id") < 0), docs)
     assert(out.count() == 0)

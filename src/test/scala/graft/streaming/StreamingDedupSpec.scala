@@ -27,7 +27,7 @@ class StreamingDedupSpec extends SparkSpec {
   test("streaming ingest dedups within batch and against the corpus") {
     val work = tempDir("graft-sdedup")
     val ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
-      verifyThreshold = 0.5)
+      s"$work/sketch", verifyThreshold = 0.5)
 
     batch1.write.parquet(s"$work/in")
     val q1 = ingest.start(batch1.schema, s"$work/in", s"$work/ckpt")
@@ -47,19 +47,51 @@ class StreamingDedupSpec extends SparkSpec {
     val dups = spark.read.parquet(s"$work/dups")
       .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dups == Set((10L, 0L), (11L, 2L)), s"got $dups")
+
+    // the sketch tables are maintained incrementally: exactly one slim
+    // (id, band, bucket) row per corpus document per band, and one
+    // shingle-set row per corpus document — dups never enter them
+    val bandIds = spark.read.parquet(s"$work/sketch/bands").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(bandIds == corpus2, s"band table must track the corpus exactly: $bandIds")
+    val bandCount = spark.read.parquet(s"$work/sketch/bands").count()
+    assert(bandCount == corpus2.size * 4L, s"expected 4 band rows per corpus doc, got $bandCount")
+    val shIds = spark.read.parquet(s"$work/sketch/sh").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(shIds == corpus2, s"shingle-set table must track the corpus exactly: $shIds")
+    // batch 2 appended only its own novel doc's sketch rows (O(batch) work)
+    val batch2Bands = spark.read.parquet(s"$work/sketch/bands")
+      .where(col("ingest_batch") === 1).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batch2Bands == Set(12L), s"batch 2 must append only novel sketch rows: $batch2Bands")
   }
 
   test("replaying a batch id is idempotent (dynamic partition overwrite)") {
     val work = tempDir("graft-sdedup-replay")
     val ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
-      verifyThreshold = 0.5)
+      s"$work/sketch", verifyThreshold = 0.5)
+    // a zero-row partitioned write leaves no readable footer — same as absent
+    def readDups(): Set[(Long, Long)] =
+      try spark.read.parquet(s"$work/dups")
+        .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
     ingest.ingestBatch(batch1, batchId = 0)
     val once = spark.read.parquet(s"$work/corpus").count()
+    val dupsOnce = readDups()
+    assert(dupsOnce.isEmpty, s"batch 1 vs an empty corpus has no dups: $dupsOnce")
     ingest.ingestBatch(batch1, batchId = 0) // checkpoint-recovery replay
     val twice = spark.read.parquet(s"$work/corpus").count()
     assert(once == twice, s"replay must not double-append: $once vs $twice")
+    // the replay must not match documents against their own prior-attempt
+    // rows: no self-pairs, and the dups output is byte-for-byte stable
+    val dupsTwice = readDups()
+    assert(dupsTwice == dupsOnce, s"replay changed the dups output: $dupsTwice vs $dupsOnce")
+    assert(!dupsTwice.exists(p => p._1 == p._2), s"replay produced self-pairs: $dupsTwice")
     // a NEW batch id appends alongside, untouched
     ingest.ingestBatch(batch2, batchId = 1)
     assert(spark.read.parquet(s"$work/corpus").where(col("ingest_batch") === 0).count() == once)
+    // and the new batch's near-dups ARE still detected against batch 0
+    val dupsAfter = readDups()
+    assert(dupsAfter == Set((10L, 0L), (11L, 2L)), s"got $dupsAfter")
   }
 }
