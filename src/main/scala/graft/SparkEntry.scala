@@ -507,6 +507,23 @@ object SparkEntry {
           coalesce(col("click_tsu"), lit(-1L)).as("click_ts"))
     }),
 
+    // point-in-interval join: clicks landing inside any purchase's 1-hour
+    // attribution window of the same user. Bucketized-time equi-join (one
+    // bucket per point, residual between filter) — never the per-key
+    // nested loop the naive range join plans to.
+    "q49_interval_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("tsu"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("tsu").as("w_start"), (col("tsu") + lit(3600000000L)).as("w_end"))
+      graft.ops.IntervalJoin.pointInInterval(clicks, purchases, Seq("user_id"),
+          "tsu", "w_start", "w_end", bucketWidth = 3600000000L)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("tsu").as("click_ts"))
+    }),
+
     // incremental near-dup dedup: new batch (doc_id >= 300) vs history
     // (doc_id < 300) — band equi-join across the two frames with the
     // history side bloom-pruned map-side before its shuffle (the 100-TB
@@ -538,6 +555,16 @@ object SparkEntry {
     // q19's full inverted-index join at exploratory thresholds.
     "q48_dedup_prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(T(s, dir, "documents"), threshold = 0.7)),
+
+    // cluster formation: near-dup pairs → connected components → keep/drop
+    // verdict per document (the step that turns pair detection into an
+    // actually-deduplicated corpus). Pairs from q48's exact prefix-filtered
+    // Jaccard; untouched docs come back as singleton keep=true clusters.
+    "q50_dedup_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.clusters(s, Dedup.prefixJaccardPairs(docs, threshold = 0.7),
+        docs = Some(docs))
+    }),
 
     // multimodal: binary payload → per-partition batched (stub) decode
     "q23_mm_decode" -> ((s, dir) =>
@@ -898,6 +925,36 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin,
 
+    // q48's exact pair set closed into components with a recursive
+    // transitive-closure CTE (fine at oracle scale); cluster_id = smallest
+    // reachable doc id, matching the GraphX connected-components convention.
+    "q50_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), j AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.7
+        |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.7
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+        |)
+        |SELECT d.doc_id AS doc_id,
+        |  coalesce(c.cluster, d.doc_id) AS cluster_id,
+        |  coalesce(c.cluster = d.doc_id, TRUE) AS keep
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
     "q20_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -937,6 +994,18 @@ object SparkEntry {
         |  SELECT c.event_id, c.tsu FROM c
         |  WHERE c.user_id = p.user_id AND c.tsu <= p.tsu
         |  ORDER BY c.tsu DESC, c.event_id DESC LIMIT 1) m ON TRUE""".stripMargin,
+
+    // plain range join — the oracle's planner may nested-loop it, ours
+    // may not (bucketized equi-join)
+    "q49_interval_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS tsu
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS w_start,
+        |        epoch_us(ts) + 3600000000 AS w_end
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id, c.tsu AS click_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.tsu BETWEEN p.w_start AND p.w_end""".stripMargin,
 
     "q34_distinct_agg" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers

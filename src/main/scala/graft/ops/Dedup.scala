@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -505,6 +505,55 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Near-dup cluster formation — the keep/drop step that closes every dedup
+    * story. Pair outputs ([[minhashLsh]], [[simhashPairs]],
+    * [[ngramJaccardPairs]], [[prefixJaccardPairs]],
+    * [[embeddingCosinePairs]]) say which documents duplicate each other;
+    * this turns them into a decision: connected components over the pair
+    * graph, one representative (the smallest doc id) per component.
+    *
+    * Returns (doc_id, cluster_id, keep): `cluster_id` = smallest doc id in
+    * the component, `keep` = (doc_id == cluster_id). Dropping every
+    * keep=false row retains exactly one document per near-dup cluster.
+    * With `docs` supplied, documents in no pair appear as their own
+    * singleton cluster with keep=true, so the output is a total keep/drop
+    * verdict over the corpus.
+    *
+    * Scale shape: only pair-PARTICIPATING documents enter the (GraphX
+    * Pregel) component computation — at dedup-grade thresholds the pair
+    * graph is tiny relative to the corpus; untouched documents join back as
+    * singletons with one plain left join, never riding through Pregel.
+    */
+  def clusters(
+      spark: SparkSession,
+      pairs: DataFrame,
+      docs: Option[DataFrame] = None,
+      idCol: String = "doc_id",
+      aCol: String = "id_a",
+      bCol: String = "id_b"
+  ): DataFrame = {
+    import graft.rules.EdgeColumns
+    val edges = pairs.select(
+      col(aCol).cast("long").as(EdgeColumns.Src),
+      col(bCol).cast("long").as(EdgeColumns.Dst))
+    val members = pairs.select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id")))
+      .distinct()
+    val clustered = graft.graph.GraphQueries.connectedComponents(spark, members, edges)
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+    docs match {
+      case None => clustered
+      case Some(d) =>
+        d.select(col(idCol).cast("long").as(idCol))
+          .join(clustered, Seq(idCol), "left")
+          .select(
+            col(idCol),
+            coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+            coalesce(col("keep"), lit(true)).as("keep"))
+    }
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a coarse key (default: a

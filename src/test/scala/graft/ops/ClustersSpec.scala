@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClustersSpec extends SparkSpec {
+
+  test("clusters: components, min-id representative, singleton backfill") {
+    import spark.implicits._
+    // {1,2,5} via 1-2-5 chain, {7,8}, 9 untouched
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val docs  = Seq(1L, 2L, 5L, 7L, 8L, 9L).toDF("doc_id")
+    val out = Dedup.clusters(spark, pairs, Some(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (1L, 1L, true), (2L, 1L, false), (5L, 1L, false),
+      (7L, 7L, true), (8L, 7L, false), (9L, 9L, true)), s"got $out")
+  }
+
+  test("clusters without a universe covers only pair participants") {
+    import spark.implicits._
+    val pairs = Seq((3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((3L, 3L, true), (4L, 3L, false)), s"got $out")
+  }
+
+  test("dropping keep=false rows leaves a corpus with no remaining near-dup pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "pack my box with five dozen liquor jugs before the party"),
+      (4L, "pack my box with five dozen liquor jugs before the PARTY"),
+      (5L, "completely unrelated content that matches nothing else here")
+    ).toDF("doc_id", "text")
+    val pairs   = Dedup.prefixJaccardPairs(docs, threshold = 0.5)
+    val verdict = Dedup.clusters(spark, pairs, Some(docs.select("doc_id")))
+    val kept = docs.join(verdict.where(col("keep")).select("doc_id"), Seq("doc_id"))
+    // one representative per cluster: re-running dedup on the kept corpus
+    // finds nothing
+    assert(Dedup.prefixJaccardPairs(kept, threshold = 0.5).count() == 0)
+    assert(kept.count() == 3) // {0,1,2} -> 0, {3,4} -> 3, {5} -> 5
+  }
+}
