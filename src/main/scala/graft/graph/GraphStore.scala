@@ -109,37 +109,46 @@ class EdgeStore(spark: SparkSession, basePath: String) {
     * small-files problem — at 100 TB the difference between reading 10k
     * 128 MB files and 10M 100 KB ones). File count is sized from the
     * label's actual on-disk bytes; the rewrite preserves the src-hash
-    * distribution of [[write]] and swaps directories atomically (same
-    * tmp-dir + rename pattern as [[deleteForVertices]]).
+    * distribution of [[write]] and swaps directories via the crash-safe
+    * rename-aside protocol of [[graft.io.AtomicSwap]] (a complete copy of
+    * the label's rows exists on disk at every instant; scratch dirs are
+    * dot-prefixed and invisible to discovery).
     */
-  def compact(label: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+  def compact(
+      label: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      hooks: graft.io.AtomicSwap.Hooks = graft.io.AtomicSwap.NoHooks
+  ): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$basePath/label=$label")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.AtomicSwap.heal(fs, dir)
     if (!fs.exists(dir)) return
     val bytes  = fs.getContentSummary(dir).getLength
     val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
-    val tmp    = s"$basePath/label=$label.compact"
+    val tmp    = graft.io.AtomicSwap.scratch(dir)
     read(label).repartition(nFiles, col(EdgeColumns.Src))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(dir, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dir)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    graft.io.AtomicSwap.swapIn(fs, dir, hooks)
   }
 
   /** Deletes every edge touching one of the given vertex ids (delete-mode
     * cleanup, the relational analogue of removing a vertex's incident edges).
     * Implemented as two broadcast-able anti-joins.
     */
-  def deleteForVertices(label: String, vertexIds: DataFrame): Unit = {
+  def deleteForVertices(
+      label: String,
+      vertexIds: DataFrame,
+      hooks: graft.io.AtomicSwap.Hooks = graft.io.AtomicSwap.NoHooks
+  ): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$basePath/label=$label")
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.AtomicSwap.heal(fs, dir)
     val ids = vertexIds.select(col("id"))
     val remaining = read(label)
       .join(broadcast(ids), col(EdgeColumns.Src) === col("id"), "left_anti")
       .join(broadcast(ids), col(EdgeColumns.Dst) === col("id"), "left_anti")
-    val tmp = s"$basePath/label=$label.tmp"
-    remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(s"$basePath/label=$label")
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    remaining.write.mode(SaveMode.Overwrite).parquet(graft.io.AtomicSwap.scratch(dir).toString)
+    graft.io.AtomicSwap.swapIn(fs, dir, hooks)
   }
 }
 

@@ -77,6 +77,53 @@ class IdManager(spark: SparkSession, config: IdManagerConfig) {
     if (row.isNullAt(0)) config.reservedIdSpace else row.getLong(0)
   }
 
+  // ---- max-id sidecar -----------------------------------------------------
+  // `fetchId` is a partial-max over a single column, but it still scans the
+  // id column of EVERY file in the table — O(history) work per run on an
+  // append-only table that only grows. The sidecar persists the last
+  // assigned id in a tiny `_last_id` file next to the data (underscore
+  // prefix: invisible to partition/file discovery), so the steady-state run
+  // does zero table reads for id continuation. It is written BEFORE each
+  // append: a crash between the two leaves an id GAP (harmless — ids stay
+  // unique and dense per batch), never a reuse. Absent / unreadable /
+  // implausible sidecars fall back to the full scan, and out-of-band writers
+  // can simply delete the file to force re-derivation.
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sidecarPath = new org.apache.hadoop.fs.Path(s"$tablePath/_last_id")
+
+  /** The sidecar's recorded last-assigned id, if present and plausible. */
+  def readMaxIdSidecar(): Option[Long] =
+    try {
+      val fs = hadoopFs(sidecarPath)
+      if (!fs.exists(sidecarPath)) None
+      else {
+        val in = fs.open(sidecarPath)
+        val s  = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+        Some(s.toLong).filter(_ >= config.reservedIdSpace)
+      }
+    } catch { case _: Exception => None } // corrupt/unreadable → scan fallback
+
+  private def writeMaxIdSidecar(maxId: Long): Unit = {
+    val fs  = hadoopFs(sidecarPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/._last_id.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(maxId.toString.getBytes("UTF-8")) finally out.close()
+    // delete-then-rename: a crash in the window leaves NO sidecar, which is
+    // the safe state (next run re-derives the max from the table)
+    if (fs.exists(sidecarPath)) fs.delete(sidecarPath, false)
+    fs.rename(tmp, sidecarPath)
+  }
+
+  /** Last assigned id without touching the data files when the sidecar is
+    * present; full-table `max(id)` fallback otherwise.
+    */
+  def lastAssignedId(schema: StructType): Long =
+    readMaxIdSidecar().getOrElse(fetchId(readAll(schema)))
+
   /** Id-stamps the current batch (continuing from the table's max id),
     * appends it to the vertex table partitioned by year/month/day, and
     * returns (loaded, current-with-ids).
@@ -93,11 +140,14 @@ class IdManager(spark: SparkSession, config: IdManagerConfig) {
   def process(df: DataFrame, loadedRange: Option[PartitionManager] = None): VertexData = {
     val full     = readAll(df.schema)
     val loaded   = loadedRange.map(pm => full.where(pm.partitionPredicate)).getOrElse(full)
-    val lastMax  = fetchId(full)
+    // steady state reads the sidecar, not the table (see readMaxIdSidecar)
+    val lastMax  = readMaxIdSidecar().getOrElse(fetchId(full))
     // custom plan-integrated operator (InternalRow zipWithIndex, no
     // Row round trip); ZipWithIndex is the public-API equivalent
     val dfWithId = org.apache.spark.sql.graft.DenseId.assign(df, lastMax)
     dfWithId.cache()
+    // advance the sidecar BEFORE appending (crash ⇒ gap, never reuse)
+    writeMaxIdSidecar(lastMax + dfWithId.count())
     dfWithId.write
       .format("parquet")
       .mode(SaveMode.Append)
@@ -110,11 +160,22 @@ class IdManager(spark: SparkSession, config: IdManagerConfig) {
     * files, preserving the partition layout. Maintenance for the
     * append-only vertex table: re-runs and multi-batch days append small
     * files per partition dir; at scale the scan becomes file-open-bound
-    * (see [[graft.graph.EdgeStore.compact]]). Atomic per partition via
-    * tmp-dir + rename.
+    * (see [[graft.graph.EdgeStore.compact]]). Crash-safe per partition via
+    * the rename-aside protocol of [[graft.io.AtomicSwap]].
     */
-  def compactPartitions(pm: PartitionManager, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+  def compactPartitions(
+      pm: PartitionManager,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      hooks: graft.io.AtomicSwap.Hooks = graft.io.AtomicSwap.NoHooks
+  ): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // a partition whose previous swap died between renames is missing under
+    // its live name — heal every candidate dir BEFORE the existence probe,
+    // or the crashed partition would be skipped forever
+    (pm.relativePaths ++ pm.copy(padded = !pm.padded).relativePaths).distinct.foreach { r =>
+      val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$r")
+      graft.io.AtomicSwap.heal(dir.getFileSystem(conf), dir)
+    }
     // probe both padded/unpadded layouts, like deletePartitions
     val dirs = pm.existingPaths(spark, tablePath)
     dirs.foreach { d =>
@@ -122,13 +183,11 @@ class IdManager(spark: SparkSession, config: IdManagerConfig) {
       val fs  = dir.getFileSystem(conf)
       val bytes  = fs.getContentSummary(dir).getLength
       val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
-      val tmp    = new org.apache.hadoop.fs.Path(d + ".compact")
       // partition values live in the dir name, not the files — rewrite the
       // leaf dir's row set as-is
       spark.read.parquet(d).coalesce(nFiles)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(dir, true)
-      fs.rename(tmp, dir)
+        .write.mode(SaveMode.Overwrite).parquet(graft.io.AtomicSwap.scratch(dir).toString)
+      graft.io.AtomicSwap.swapIn(fs, dir, hooks)
     }
   }
 

@@ -99,6 +99,40 @@ class IdManagerSpec extends SparkSpec {
     assert(r.current.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
   }
 
+  test("steady-state id continuation comes from the sidecar, not a table scan") {
+    import spark.implicits._
+    val dir = tempDir("idm-sidecar")
+    val mgr = new IdManager(spark, IdManagerConfig(dir, "t", reservedIdSpace = 0))
+    mgr.process(alerts(4).toDF().drop("id")) // ids 1..4
+    assert(mgr.readMaxIdSidecar().contains(4L))
+    // remove the DATA (keep the sidecar): if the next run still continues
+    // at 5, the max came from the sidecar — no table scan happened
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/t/year=2019"), true)
+    val r = mgr.process(alerts(2).toDF().drop("id"))
+    assert(r.current.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
+  }
+
+  test("sidecar fallback: absent or corrupt sidecar re-derives the max from the table") {
+    import spark.implicits._
+    val dir = tempDir("idm-sidecar2")
+    val mgr = new IdManager(spark, IdManagerConfig(dir, "t", reservedIdSpace = 0))
+    mgr.process(alerts(4).toDF().drop("id")) // ids 1..4
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new org.apache.hadoop.fs.Path(s"$dir/t/_last_id")
+    // absent → scan fallback yields the same continuation the sidecar would
+    fs.delete(sidecar, false)
+    val r2 = mgr.process(alerts(2).toDF().drop("id"))
+    assert(r2.current.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
+    // corrupt → same
+    val out = fs.create(sidecar, true)
+    out.write("not-a-number".getBytes("UTF-8")); out.close()
+    val r3 = mgr.process(alerts(1).toDF().drop("id"))
+    assert(r3.current.select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // and the write path healed the sidecar
+    assert(mgr.readMaxIdSidecar().contains(7L))
+  }
+
   test("deletePartitions drops matching partition dirs") {
     import spark.implicits._
     val dir = tempDir("idm3")
