@@ -507,6 +507,23 @@ object SparkEntry {
           coalesce(col("click_tsu"), lit(-1L)).as("click_ts"))
     }),
 
+    // forward as-of with tolerance: each click's NEXT purchase within one
+    // hour (pandas merge_asof direction='forward' surface) — the same
+    // one-shuffle union-scan as q46, on reversed time order
+    "q51_asof_forward" -> ((s, dir) => {
+      val ev = T(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tsu"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      graft.ops.AsOfJoin.forward(clicks, purchases, Seq("user_id"), "tsu",
+          rightCols = Seq("event_id", "tsu"), prefix = "purchase_",
+          tolerance = Some(3600000000L))
+        .select(col("event_id"), col("user_id"), col("tsu").as("click_ts"),
+          coalesce(col("purchase_event_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("purchase_tsu"), lit(-1L)).as("purchase_ts"))
+    }),
+
     // point-in-interval join: clicks landing inside any purchase's 1-hour
     // attribution window of the same user. Bucketized-time equi-join (one
     // bucket per point, residual between filter) — never the per-key
@@ -994,6 +1011,22 @@ object SparkEntry {
         |  SELECT c.event_id, c.tsu FROM c
         |  WHERE c.user_id = p.user_id AND c.tsu <= p.tsu
         |  ORDER BY c.tsu DESC, c.event_id DESC LIMIT 1) m ON TRUE""".stripMargin,
+
+    // LATERAL top-1 mirror of the forward as-of: earliest purchase
+    // at-or-after within the hour, largest event_id at a tied timestamp
+    // (the payload-struct tie order)
+    "q51_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsu AS click_ts,
+        |  coalesce(m.event_id, -1) AS purchase_id, coalesce(m.tsu, -1) AS purchase_ts
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT p.event_id, p.tsu FROM p
+        |  WHERE p.user_id = c.user_id AND p.tsu >= c.tsu
+        |    AND p.tsu <= c.tsu + 3600000000
+        |  ORDER BY p.tsu ASC, p.event_id DESC LIMIT 1) m ON TRUE""".stripMargin,
 
     // plain range join — the oracle's planner may nested-loop it, ours
     // may not (bucketized equi-join)

@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for every left row, attach the most recent right row
-  * with the same key and `time <= left.time` (inclusive).
+/** As-of joins: for every left row, attach the nearest right row with the
+  * same key — the most recent at-or-before (`backward`) or the earliest
+  * at-or-after (`forward`) — optionally within a `tolerance` window
+  * (the pandas `merge_asof` surface).
   *
   * The classic time-series primitive Spark lacks natively. Naive encodings
   * are scale-killers: a theta-join on `r.time <= l.time` plans a
@@ -16,10 +18,12 @@ import org.apache.spark.sql.functions._
   *   1. tag both sides and union them (right rows carry their payload,
   *      left rows a null payload);
   *   2. one hash shuffle on the key, sort within partitions by
-  *      (time, side, payload);
+  *      (time, side, payload) — time reversed for `forward`;
   *   3. running `last(payload, ignoreNulls)` over the sorted stream gives
-  *      each left row the latest right payload at-or-before it;
-  *   4. keep the left rows.
+  *      each left row the nearest right payload in scan direction;
+  *   4. keep the left rows; `tolerance` null-outs matches farther than the
+  *      bound (a post-filter — the nearest candidate is the ONLY candidate,
+  *      any other right row is farther away, so no shape change).
   *
   * Cost: ONE shuffle of |left| + |right| rows — identical asymptotics to a
   * plain equi-join on the key, no matter how skewed the time distribution.
@@ -28,21 +32,52 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: right rows sharing (key, time) are ordered by payload struct
   * (time first, then `rightCols` in order), so the LARGEST payload wins ties
-  * — e.g. with `rightCols = Seq("event_id")`, the highest event id at the
-  * tied timestamp. Left rows sort after right rows at the same time
-  * (side 1 > side 0), which is what makes the join inclusive.
+  * in both directions — e.g. with `rightCols = Seq("event_id")`, the highest
+  * event id at the tied timestamp. Left rows sort after right rows at the
+  * same time (side 1 > side 0), which is what makes both joins inclusive.
   */
 object AsOfJoin {
 
+  /** Most recent right row with `time <= left.time` (within
+    * `left.time - tolerance` when set).
+    */
   def backward(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       timeCol: String,
       rightCols: Seq[String],
-      prefix: String = "matched_"
+      prefix: String = "matched_",
+      tolerance: Option[Long] = None
+  ): DataFrame =
+    unionScan(left, right, keyCols, timeCol, rightCols, prefix, tolerance, forwardDir = false)
+
+  /** Earliest right row with `time >= left.time` (within
+    * `left.time + tolerance` when set) — backward on reversed time order.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      rightCols: Seq[String],
+      prefix: String = "matched_",
+      tolerance: Option[Long] = None
+  ): DataFrame =
+    unionScan(left, right, keyCols, timeCol, rightCols, prefix, tolerance, forwardDir = true)
+
+  private def unionScan(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      rightCols: Seq[String],
+      prefix: String,
+      tolerance: Option[Long],
+      forwardDir: Boolean
   ): DataFrame = {
     require(rightCols.nonEmpty, "rightCols must name at least one right-side column to attach")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be non-negative, got $t"))
     val leftCols = left.columns.toSeq
 
     // payload = (time, rightCols...): carries both the matched values and
@@ -58,14 +93,29 @@ object AsOfJoin {
         lit(null).cast(taggedRightPayloadType(right, timeCol, rightCols)).as("_asof_payload"),
         struct(leftCols.map(col): _*).as("_asof_row")): _*)
 
+    // forward = the same running-last scan over reversed time: the last
+    // payload seen in descending time order is the earliest at-or-after
+    val timeOrder = if (forwardDir) col("_asof_time").desc else col("_asof_time").asc
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_asof_time"), col("_asof_side"), col("_asof_payload"))
+      .orderBy(timeOrder, col("_asof_side"), col("_asof_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedRight
-      .unionByName(taggedLeft)
-      .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
+    val matched =
+      taggedRight.unionByName(taggedLeft)
+        .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
+    val bounded = tolerance match {
+      case None => matched
+      case Some(tol) =>
+        // nearest-candidate argument: any other right row is farther away,
+        // so bounding is a null-out of the single match, not a re-search
+        val matchTime = col(s"_asof_match.$timeCol")
+        val inRange =
+          if (forwardDir) matchTime <= col("_asof_time") + tol
+          else matchTime >= col("_asof_time") - tol
+        matched.withColumn("_asof_match", when(inRange, col("_asof_match")))
+    }
+    bounded
       .where(col("_asof_side") === 1)
       .select(
         leftCols.map(c => col(s"_asof_row.$c").as(c)) ++

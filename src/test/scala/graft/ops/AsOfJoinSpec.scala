@@ -60,4 +60,80 @@ class AsOfJoinSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles == 1, s"expected exactly one key shuffle, got $shuffles:\n$plan")
   }
+
+  test("forward as-of join matches earliest right row at-or-after, per key") {
+    val out = AsOfJoin.forward(trades, quotes, Seq("sym"), "t", Seq("quote_id"))
+      .select("sym", "t", "price", "matched_quote_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(out == Set(
+      ("A", 10L, 100.0, 2L), // inclusive tie with quote at t=10
+      ("A", 20L, 101.0, -1L), // no quote after 20 for A
+      ("A", 25L, 102.0, -1L),
+      ("B", 15L, 50.0, 5L),  // B's quote at 30 is ahead
+      ("C", 5L, 7.0, -1L)
+    ), s"got $out")
+  }
+
+  test("forward/backward agree with the brute-force LATERAL-style oracle, incl. tie order") {
+    // oracle: per left row, scan all right rows of the key, keep the
+    // nearest in direction; largest quote_id wins ties
+    val ts = trades.collect().map(r => (r.getString(0), r.getLong(1)))
+    val qs = quotes.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def oracle(fwd: Boolean): Set[(String, Long, Long)] = ts.map { case (sym, t) =>
+      val cands = qs.filter(q => q._1 == sym && (if (fwd) q._2 >= t else q._2 <= t))
+      val best =
+        if (cands.isEmpty) -1L
+        else {
+          val nearest = if (fwd) cands.map(_._2).min else cands.map(_._2).max
+          cands.filter(_._2 == nearest).map(_._3).max
+        }
+      (sym, t, best)
+    }.toSet
+    def run(fwd: Boolean): Set[(String, Long, Long)] = {
+      val df = if (fwd) AsOfJoin.forward(trades, quotes, Seq("sym"), "t", Seq("quote_id"))
+               else AsOfJoin.backward(trades, quotes, Seq("sym"), "t", Seq("quote_id"))
+      df.select("sym", "t", "matched_quote_id")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    }
+    assert(run(fwd = false) == oracle(fwd = false))
+    assert(run(fwd = true) == oracle(fwd = true))
+  }
+
+  test("tolerance bounds the lookback/lookahead, boundary inclusive") {
+    // backward from A@25: nearest quote is 19 (distance 6)
+    def backAt(tol: Long): Long = {
+      val r = AsOfJoin.backward(trades, quotes, Seq("sym"), "t", Seq("quote_id"),
+        tolerance = Some(tol)).where(col("sym") === "A" && col("t") === 25).head()
+      if (r.isNullAt(r.fieldIndex("matched_quote_id"))) -1L
+      else r.getAs[Long]("matched_quote_id")
+    }
+    assert(backAt(6L) == 4L,  "distance exactly == tolerance must match (inclusive)")
+    assert(backAt(5L) == -1L, "match farther than tolerance must null out")
+    assert(backAt(0L) == -1L)
+    // forward from B@15: nearest quote is 30 (distance 15)
+    def fwdAt(tol: Long): Long = {
+      val r = AsOfJoin.forward(trades, quotes, Seq("sym"), "t", Seq("quote_id"),
+        tolerance = Some(tol)).where(col("sym") === "B").head()
+      if (r.isNullAt(r.fieldIndex("matched_quote_id"))) -1L
+      else r.getAs[Long]("matched_quote_id")
+    }
+    assert(fwdAt(15L) == 5L, "distance exactly == tolerance must match (inclusive)")
+    assert(fwdAt(14L) == -1L)
+    // tolerance=0: only exact-time matches survive (A@10 has quote@10)
+    val exact = AsOfJoin.backward(trades, quotes, Seq("sym"), "t", Seq("quote_id"),
+      tolerance = Some(0L)).where(col("matched_quote_id").isNotNull)
+      .select("sym", "t").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(exact == Set(("A", 10L)))
+  }
+
+  test("forward plan keeps the one-shuffle union-scan shape") {
+    val plan = AsOfJoin.forward(trades, quotes, Seq("sym"), "t", Seq("quote_id"),
+      tolerance = Some(100L)).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of must not plan a nested loop:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly one key shuffle, got $shuffles:\n$plan")
+  }
 }
