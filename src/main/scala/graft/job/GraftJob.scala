@@ -173,10 +173,25 @@ object Main {
   def main(args: Array[String]): Unit = {
     // Bare flags are consumed positionally first; only value options pair up,
     // so `--delete --startdate 2019-02-01` parses regardless of flag order.
+    // Strict like the reference's scopt surface (CLParser.scala:40-81): a
+    // dangling option, an unknown option, or an option swallowing the next
+    // option as its value all fail fast instead of being silently dropped.
     val bareFlags  = Set("--delete", "--clear", "--compact")
+    val valueFlags = Set("--config", "--base-path", "--id-path", "--edge-path",
+      "--startdate", "--duration", "--loaded-days", "--rules", "--similarity-exp",
+      "--same-value-cols", "--two-mode-recipes", "--fixed-csv")
     val valueArgs  = args.filterNot(bareFlags.contains)
-    val opts = valueArgs.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap ++
-      args.filter(bareFlags.contains).map(_ -> "true").toMap
+    if (valueArgs.length % 2 != 0)
+      throw new IllegalArgumentException(
+        s"option '${valueArgs.last}' is missing its value")
+    val pairs = valueArgs.sliding(2, 2).collect { case Array(k, v) => k -> v }.toList
+    pairs.foreach { case (k, v) =>
+      if (!valueFlags.contains(k))
+        throw new IllegalArgumentException(s"unknown option '$k'")
+      if (v.startsWith("--"))
+        throw new IllegalArgumentException(s"option '$k' is missing its value (got '$v')")
+    }
+    val opts = pairs.toMap ++ args.filter(bareFlags.contains).map(_ -> "true").toMap
     val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -215,7 +230,8 @@ object Main {
       loadedDays = base.flatMap(_.loadedDays)
     )
     val job      = new GraftJob(spark, config)
-    val start    = opts("--startdate")
+    val start    = opts.getOrElse("--startdate",
+      throw new IllegalArgumentException("--startdate required"))
     val duration = opts.getOrElse("--duration", "1").toInt
     if (opts.contains("--compact")) {
       job.compact(start, duration)

@@ -21,6 +21,14 @@ import org.apache.spark.sql.SparkSession
   * an empty schema plus the error message, mirroring the reference's
   * catchAll (MgmtApi.scala:47-48).
   *
+  * Security: per-request path overrides are confined to the configured
+  * store paths plus `allowedPathRoots` — otherwise any HTTP client could
+  * read the Parquet schema/partition metadata of ANY path the server
+  * process can reach (a local-file/SSRF disclosure vector). Out-of-root
+  * overrides get a 403 with the error envelope. The default bind is
+  * loopback; binding a non-loopback `host` exposes the metadata of
+  * everything under the allowed roots to the network.
+  *
   * Scale notes: requests read Parquet footers and directory listings only —
   * no data scan, no Spark job (safe to point at a 100 TB store).
   */
@@ -30,8 +38,22 @@ class MetaServer(
     edgeBasePath: String,
     vertexLabel: String = "alert",
     host: String = "127.0.0.1",
-    port: Int = 0
+    port: Int = 0,
+    allowedPathRoots: Seq[String] = Nil
 ) {
+
+  private def normalizePath(p: String): String =
+    java.nio.file.Paths.get(p).normalize.toString
+
+  // roots a per-request override may point under; the configured stores
+  // are always allowed
+  private val pathRoots: Seq[String] =
+    (Seq(vertexTablePath, edgeBasePath) ++ allowedPathRoots).map(normalizePath)
+
+  private def underAllowedRoot(p: String): Boolean = {
+    val norm = normalizePath(p)
+    pathRoots.exists(r => norm == r || norm.startsWith(r + "/"))
+  }
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(host, port), 0)
 
@@ -78,13 +100,27 @@ class MetaServer(
             }
           }
           .toMap
-    val info = SchemaInfo.describe(
-      spark,
-      overrides.getOrElse("vertexPath", vertexTablePath),
-      overrides.getOrElse("edgePath", edgeBasePath),
-      overrides.getOrElse("vertexLabel", vertexLabel)
-    )
-    respond(ex, 200, s"""{"schema":${SchemaInfo.toJson(info)},"error":""}""")
+    // confine overrides to the allowed roots (see class doc); labels must
+    // be plain names, not path fragments
+    val badPaths = Seq("vertexPath", "edgePath")
+      .flatMap(k => overrides.get(k).filterNot(underAllowedRoot).map(k -> _))
+    val badLabel = overrides.get("vertexLabel")
+      .filter(l => l.contains('/') || l.contains('\\') || l.contains(".."))
+      .map("vertexLabel" -> _)
+    (badPaths ++ badLabel) match {
+      case (k, v) :: _ =>
+        respond(ex, 403,
+          s"""{"schema":${SchemaInfo.toJson(emptySchema)},"error":"${jsonEscape(
+            s"$k override '$v' is outside the allowed store roots")}"}""")
+      case Nil =>
+        val info = SchemaInfo.describe(
+          spark,
+          overrides.getOrElse("vertexPath", vertexTablePath),
+          overrides.getOrElse("edgePath", edgeBasePath),
+          overrides.getOrElse("vertexLabel", vertexLabel)
+        )
+        respond(ex, 200, s"""{"schema":${SchemaInfo.toJson(info)},"error":""}""")
+    }
   }
 
   server.createContext(

@@ -222,6 +222,29 @@ class JobSpec extends SparkSpec {
     // delete on an empty store is a no-op; reaching here means parsing held
   }
 
+  test("CLI strictness: dangling, unknown, and value-swallowing options fail fast") {
+    // trailing option with no value — previously silently dropped
+    val dangling = intercept[IllegalArgumentException] {
+      Main.main(Array("--base-path", "p", "--startdate"))
+    }
+    assert(dangling.getMessage.contains("--startdate"))
+    // unknown option
+    val unknown = intercept[IllegalArgumentException] {
+      Main.main(Array("--base-path", "p", "--startdate", "2019-02-01", "--bogus", "x"))
+    }
+    assert(unknown.getMessage.contains("--bogus"))
+    // an option swallowing the next option as its value
+    val swallowed = intercept[IllegalArgumentException] {
+      Main.main(Array("--base-path", "--startdate", "2019-02-01", "x"))
+    }
+    assert(swallowed.getMessage.contains("--base-path"))
+    // missing required --startdate
+    val missing = intercept[IllegalArgumentException] {
+      Main.main(Array("--base-path", "p", "--id-path", "q", "--edge-path", "r"))
+    }
+    assert(missing.getMessage.contains("--startdate"))
+  }
+
   test("unknown rule name fails fast; missing rule config fails fast") {
     val work = tempDir("graft-job2")
     val bad  = config(work).copy(rules = RulesConfig(rulesToApply = List("nope")))

@@ -33,7 +33,12 @@ class MetaServerSpec extends SparkSpec {
     Seq((101L, 102L, 3)).toDF("src", "dst", "propVal")
       .write.parquet(s"$work/edges/label=similarity")
 
-    val srv = new MetaServer(spark, s"$work/ids/vertices", s"$work/edges")
+    val other = tempDir("meta-http-2")
+    Seq((7L, 8L, "x")).toDF("src", "dst", "propVal")
+      .write.parquet(s"$other/edges/label=exactmatch")
+
+    val srv = new MetaServer(spark, s"$work/ids/vertices", s"$work/edges",
+      allowedPathRoots = Seq(other))
     val port = srv.start()
     try {
       val (st, body) = httpGet(s"http://127.0.0.1:$port/info")
@@ -42,10 +47,8 @@ class MetaServerSpec extends SparkSpec {
       assert(body.contains(""""name":"id","dataType":"bigint""""), body)
       assert(body.contains(""""error":""""), body)
 
-      // POST body overrides the stores per request (reference: tableName)
-      val other = tempDir("meta-http-2")
-      Seq((7L, 8L, "x")).toDF("src", "dst", "propVal")
-        .write.parquet(s"$other/edges/label=exactmatch")
+      // POST body overrides the stores per request (reference: tableName),
+      // confined to the allowed roots
       val (st2, body2) = httpPost(
         s"http://127.0.0.1:$port/info",
         s"""{"vertexPath": "$other/none", "edgePath": "$other/edges"}""")
@@ -59,6 +62,37 @@ class MetaServerSpec extends SparkSpec {
       // malformed body: enveloped error, not a 500
       val (st4, body4) = httpPost(s"http://127.0.0.1:$port/info", "{ not json !")
       assert(st4 == 200 && body4.contains(""""error":"graft.config"""), body4)
+    } finally srv.stop()
+  }
+
+  test("path overrides outside the allowed roots are refused (403 + envelope)") {
+    import spark.implicits._
+    val work = tempDir("meta-http-sec")
+    Seq((101L, 102L, 3)).toDF("src", "dst", "propVal")
+      .write.parquet(s"$work/edges/label=similarity")
+    val srv = new MetaServer(spark, s"$work/ids/vertices", s"$work/edges")
+    val port = srv.start()
+    try {
+      def errOf(url: String, body: Option[String]): Int = {
+        val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+        body.foreach { b =>
+          conn.setRequestMethod("POST"); conn.setDoOutput(true)
+          conn.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        try conn.getResponseCode finally conn.disconnect()
+      }
+      // arbitrary filesystem paths (GET and POST), traversal out of a root,
+      // and path-shaped labels are all refused
+      assert(errOf(s"http://127.0.0.1:$port/info?vertexPath=/etc", None) == 403)
+      assert(errOf(s"http://127.0.0.1:$port/info",
+        Some("""{"edgePath": "/etc"}""")) == 403)
+      assert(errOf(s"http://127.0.0.1:$port/info",
+        Some(s"""{"vertexPath": "$work/edges/../../.."}""")) == 403)
+      assert(errOf(s"http://127.0.0.1:$port/info",
+        Some("""{"vertexLabel": "../../../etc"}""")) == 403)
+      // in-root overrides still work
+      val (stOk, _) = httpGet(s"http://127.0.0.1:$port/info?edgePath=$work/edges")
+      assert(stOk == 200)
     } finally srv.stop()
   }
 }
