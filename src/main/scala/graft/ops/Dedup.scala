@@ -245,14 +245,17 @@ object Dedup {
     * history band table (id, band, bucket) + shingle-set table (id, sh) —
     * the exact frames a deployed pipeline maintains on disk.
     *
-    * Two bloom prunes keep the history sides scan-heavy but shuffle-light:
+    * Two prunes keep the history sides scan-heavy but shuffle-light:
     *  1. history BANDS are pruned map-side by a bloom over the new batch's
     *     buckets (rows whose bucket cannot match never shuffle);
-    *  2. history SHINGLE SETS are pruned map-side by a bloom over the
-    *     surviving candidates' old ids, so the verify re-attach join
-    *     shuffles shingle bytes for candidate documents only, not the
-    *     corpus. Both prunes are no-false-negative (result identical to
-    *     the unfiltered joins — spec-asserted).
+    *  2. history SHINGLE SETS are pruned by a broadcast left-semi join on
+    *     the surviving candidates' old ids — the candidate id set is
+    *     bounded by the new batch's collisions, so it broadcasts, and the
+    *     semi join drops non-candidate corpus rows at the scan. Exact (no
+    *     false positives), and unlike a second bloom it costs no extra
+    *     driver action: it executes inside the final job.
+    * Both prunes are no-false-negative (result identical to the unfiltered
+    * joins — spec-asserted).
     */
   def incrementalFromSketches(
       newSigs: DataFrame,
@@ -276,7 +279,7 @@ object Dedup {
       case None        => histBanded.limit(0) // empty new batch: nothing can match
     }
 
-    // tracked persist: candidates feed the old-id bloom build and the verify
+    // tracked persist: candidates feed the semi-join prune and the verify
     val cand = graft.Caches.track(
       newBanded
         .select(col("band"), col("bucket"), col("id").as("new_id"))
@@ -284,21 +287,18 @@ object Dedup {
         .select(col("new_id"), col("old_id"))
         .dropDuplicates("new_id", "old_id"))
 
-    BloomFilterOps.build(cand, Seq(col("old_id")), expectedItems = bloomItems) match {
-      case None => // no candidates: empty result with the contract schema
-        cand.select(col("new_id"), col("old_id"), lit(0.0d).as("jaccard")).limit(0)
-      case Some(idBloom) =>
-        val histShPruned = histSh.where(BloomFilterOps.mightContain(idBloom, Seq(col("id"))))
-        cand
-          .join(sigs.select(col("id").as("new_id"), col("sh").as("sh_new")), Seq("new_id"))
-          .join(histShPruned.select(col("id").as("old_id"), col("sh").as("sh_old")), Seq("old_id"))
-          .withColumn(
-            "jaccard",
-            size(array_intersect(col("sh_new"), col("sh_old"))).cast("double") /
-              size(array_union(col("sh_new"), col("sh_old"))).cast("double"))
-          .where(col("jaccard") >= verifyThreshold)
-          .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
-    }
+    val histShPruned = histSh.join(
+      broadcast(cand.select(col("old_id")).distinct()),
+      col("id") === col("old_id"), "left_semi")
+    cand
+      .join(sigs.select(col("id").as("new_id"), col("sh").as("sh_new")), Seq("new_id"))
+      .join(histShPruned.select(col("id").as("old_id"), col("sh").as("sh_old")), Seq("old_id"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_new"), col("sh_old"))).cast("double") /
+          size(array_union(col("sh_new"), col("sh_old"))).cast("double"))
+      .where(col("jaccard") >= verifyThreshold)
+      .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.

@@ -98,12 +98,14 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
-  test("plan shape: history side is bloom-filtered below the band join") {
+  test("plan shape: history bands bloom-filtered below the band join; sh re-attach semi-pruned") {
     val newBatch = docs.where(col("doc_id") >= 10)
     val history  = docs.where(col("doc_id") < 10)
     val plan = Dedup.incrementalMinhash(newBatch, history, verifyThreshold = 0.5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
-      s"expected the bloom predicate in the history scan path:\n$plan")
+      s"expected the bloom predicate in the history band-scan path:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"expected the candidate-id semi-join prune on the history shingle sets:\n$plan")
   }
 }
