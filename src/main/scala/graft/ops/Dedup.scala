@@ -535,11 +535,15 @@ object Dedup {
       bCol: String = "id_b"
   ): DataFrame = {
     import graft.rules.EdgeColumns
-    val edges = pairs.select(
-      col(aCol).cast("long").as(EdgeColumns.Src),
-      col(bCol).cast("long").as(EdgeColumns.Dst))
-    val members = pairs.select(col(aCol).cast("long").as("id"))
-      .union(pairs.select(col(bCol).cast("long").as("id")))
+    // tracked persist: the pair frame feeds the vertex set (twice, via the
+    // union branches) AND the edge set, and upstream pair generation is
+    // the expensive part — without this a prefix-Jaccard input would be
+    // recomputed three times (measured 2.5× slower at sf0.1)
+    val p = graft.Caches.track(
+      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+    val edges = p.select(col("a").as(EdgeColumns.Src), col("b").as(EdgeColumns.Dst))
+    val members = p.select(col("a").as("id"))
+      .union(p.select(col("b").as("id")))
       .distinct()
     val clustered = graft.graph.GraphQueries.connectedComponents(spark, members, edges)
       .select(col("id").as(idCol), col("component").as("cluster_id"))
