@@ -489,6 +489,24 @@ object SparkEntry {
           hash = activeHash)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // sequence packing (concat-and-chunk): documents laid end-to-end in 32
+    // deterministic streams, chunked into 1024-token bins — the padding-
+    // free LLM batching shape. A pure prefix sum per stream: one shuffle
+    // on the stream id, no global sort.
+    "q52_pack_sequences" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(
+        T(s, dir, "documents"),
+        tokens = TextAnalysis.tokenCount(col("text")),
+        budget = 1024, streams = 32)),
+
+    // fixed-size per-stratum sample: exactly 10 docs per language, chosen
+    // by portable-hash rank (deterministic reservoir) — the fixed-count
+    // complement of q45's fixed-rate stratified sample
+    "q53_sample_topk" -> ((s, dir) =>
+      graft.ops.Sampling.topKPerKey(T(s, dir, "documents"), Seq("lang"), k = 10,
+          rowKey = col("doc_id"), seed = 42, hash = activeHash)
+        .select(col("doc_id"), col("lang"))),
+
     // backward as-of join: every purchase event gets the user's most recent
     // click at-or-before it — the union-scan shape (one key shuffle + sorted
     // running last), NOT a range theta-join (which plans a nested loop).
@@ -996,6 +1014,32 @@ object SparkEntry {
          |WHERE ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000
          |  < CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
          |         WHEN 'fr' THEN 100000 ELSE 50000 END AS BIGINT)""".stripMargin,
+
+    // concat-and-chunk packing replicated as a windowed prefix sum
+    "q52_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS stream
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tokens, stream,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT doc_id, n_tokens, stream,
+        |  CAST(off // 1024 AS BIGINT) AS bin, CAST(off % 1024 AS BIGINT) AS bin_offset
+        |FROM o""".stripMargin,
+
+    // hash-rank reservoir replicated with row_number over the portable
+    // md5 bucket (ties by doc_id — the operator's tie order)
+    "q53_sample_topk" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 10""".stripMargin,
 
     // As-of semantics replicated with a correlated LATERAL top-1: latest
     // click at-or-before each purchase, ties broken by max event_id —

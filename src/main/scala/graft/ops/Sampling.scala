@@ -75,4 +75,29 @@ object Sampling {
     df.withColumn(
       "split",
       when(bucket(key, seed, hash) < lit(thresholdOf(testFraction)), "test").otherwise("train"))
+
+  /** Deterministic fixed-SIZE per-stratum sample ("hash reservoir"): keeps
+    * exactly min(k, |stratum|) rows per stratum, the ones ranking first in
+    * hash order of `rowKey` (ties broken by the key itself). The
+    * fixed-count complement of [[stratifiedHashSample]]'s fixed-rate
+    * sampling — use it when every stratum must contribute the same number
+    * of rows regardless of its size (balanced eval sets, per-domain
+    * pilots).
+    *
+    * Reproducible like the rate samplers (selection is a function of keys
+    * only) and nested in k: the top-j (j < k) of a stratum is a prefix of
+    * its top-k. Cost: one shuffle on the stratum columns + a per-partition
+    * sort — rank state is O(1) per stream; no stratum's rows are ever
+    * collected to one row.
+    */
+  def topKPerKey(df: DataFrame, strataCols: Seq[String], k: Int, rowKey: Column,
+      seed: Int = 42, hash: HashFamily = XxHash): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(bucket(rowKey, seed, hash), rowKey)
+    df.withColumn("_hash_rank", row_number().over(w))
+      .where(col("_hash_rank") <= k)
+      .drop("_hash_rank")
+  }
 }

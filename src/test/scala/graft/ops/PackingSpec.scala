@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    // single stream (streams = 1): packing order is doc_id order
+    Seq(
+      (0L, 400L), (1L, 500L), (2L, 300L), // 0,1 fill bin 0 up to 900; 2 starts at 900, spans into bin 1
+      (3L, 1200L),                        // starts at 1200 -> bin 1, spans into bin 2
+      (4L, 10L)                           // starts at 2400 -> bin 2
+    ).toDF("doc_id", "n")
+  }
+
+  test("concat-and-chunk: bin = floor(exclusive-prefix-sum / budget), offset = remainder") {
+    val out = Packing.packSequences(docs, tokens = col("n"), budget = 1000, streams = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(
+      (0L, 0L, 0L), (1L, 0L, 400L), (2L, 0L, 900L),
+      (3L, 1L, 200L), (4L, 2L, 400L)), s"got $out")
+  }
+
+  test("streams pack independently and deterministically under repartition") {
+    import spark.implicits._
+    val big = (0L until 500L).map(i => (i, 1L + i % 97)).toDF("doc_id", "n")
+    val a = Packing.packSequences(big, col("n"), budget = 256, streams = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val b = Packing.packSequences(big.repartition(13), col("n"), budget = 256, streams = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(a == b, "packing must not depend on input partitioning")
+    // stream assignment is id mod streams
+    assert(a.forall { case (id, stream, _, _) => stream == id % 8 })
+    // within a stream, offsets reconstruct the exclusive prefix sum exactly
+    val byStream = a.groupBy(_._2)
+    byStream.values.foreach { rows =>
+      val sorted = rows.toSeq.sortBy(_._1)
+      var run = 0L
+      sorted.foreach { case (id, _, bin, off) =>
+        assert(bin == run / 256 && off == run % 256, s"doc $id expected offset $run")
+        run += 1L + id % 97
+      }
+    }
+  }
+
+  test("binStats: every interior bin of a stream has tokens flowing through it") {
+    val out = Packing.binStats(
+      Packing.packSequences(docs, col("n"), budget = 1000, streams = 1))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // bin 0: docs 0,1,2 start (1200 tokens start here); bin 1: doc 3; bin 2: doc 4
+    assert(out == Set((0L, 3L, 1200L), (1L, 1L, 1200L), (2L, 1L, 10L)), s"got $out")
+  }
+
+  test("plan shape: one shuffle (stream hash), no global sort exchange") {
+    val plan = Packing.packSequences(docs, col("n"), budget = 1000, streams = 4)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly one stream shuffle, got $shuffles:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"packing must not globally sort:\n$plan")
+  }
+}

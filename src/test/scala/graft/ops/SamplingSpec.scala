@@ -68,4 +68,26 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sample must be map-side only:\n$plan")
   }
+
+  test("topKPerKey keeps exactly min(k, |stratum|) rows, deterministically") {
+    val out = Sampling.topKPerKey(docs, Seq("lang"), k = 25, rowKey = col("doc_id"))
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 25L, "de" -> 25L, "zh" -> 25L), s"got $counts")
+    // partitioning-invariant
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.topKPerKey(docs.repartition(17), Seq("lang"), 25, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // nested in k: top-10 is a prefix of top-25
+    val small = Sampling.topKPerKey(docs, Seq("lang"), 10, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a))
+    // a stratum smaller than k survives whole
+    import spark.implicits._
+    val tiny = docs.union(Seq((9999L, "fr")).toDF("doc_id", "lang"))
+    val fr = Sampling.topKPerKey(tiny, Seq("lang"), 25, col("doc_id"))
+      .where(col("lang") === "fr").count()
+    assert(fr == 1L)
+  }
 }
