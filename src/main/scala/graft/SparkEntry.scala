@@ -489,6 +489,12 @@ object SparkEntry {
           hash = activeHash)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // BM25 relevance over the documents table — the inverted-index
+    // discipline: postings restricted to the query terms at the scan, all
+    // shuffles sized by matching postings, corpus scalars broadcast
+    "q54_text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(T(s, dir, "documents"), Seq("join", "scan", "filter"))),
+
     // sequence packing (concat-and-chunk): documents laid end-to-end in 32
     // deterministic streams, chunked into 1024-token bins — the padding-
     // free LLM batching shape. A pure prefix sum per stream: one shuffle
@@ -1014,6 +1020,33 @@ object SparkEntry {
          |WHERE ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000
          |  < CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
          |         WHEN 'fr' THEN 100000 ELSE 50000 END AS BIGINT)""".stripMargin,
+
+    // BM25 replicated term-for-term; N and Σdl are exact integer
+    // aggregates so avgdl is one IEEE division in both engines, and the
+    // constant arithmetic is written identically (not pre-folded) so both
+    // engines fold it the same way
+    "q54_text_bm25" ->
+      """WITH lens AS (
+        |  SELECT doc_id AS id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM lens
+        |), tf AS (
+        |  SELECT doc_id AS id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok IN ('join', 'scan', 'filter')
+        |  GROUP BY 1, 2
+        |), dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT id AS doc_id,
+        |  round(sum(
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))
+        |  ), 6) AS bm25
+        |FROM tf JOIN dfreq USING (tok) JOIN lens USING (id), stats
+        |GROUP BY 1""".stripMargin,
 
     // concat-and-chunk packing replicated as a windowed prefix sum
     "q52_pack_sequences" ->

@@ -133,6 +133,49 @@ object TextAnalysis {
       .select(col(idCol), md5(array_join(slice(col("_toks"), col("_i") + 1, lit(window)), " ")).as("fp"))
   }
 
+  /** BM25 relevance of every matching document against a bag-of-words
+    * query: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    * the Lucene-style smoothed idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+    * Returns (idCol, bm25) for documents containing ≥ 1 query term.
+    *
+    * Scale shape — the inverted-index discipline: postings are restricted
+    * to the QUERY terms at the scan (an `isin` filter on the exploded
+    * tokens, map-side), so every shuffle downstream is sized by matching
+    * postings, not the corpus; document lengths join back broadcast-style
+    * (the tf side is small), and the corpus scalars (N, Σdl) ride in as a
+    * broadcast 1-row cross join. Determinism across engines: N/Σdl are
+    * exact integer aggregates (avgdl = one IEEE division), so the oracle
+    * reproduces scores bit-for-bit up to the final ln/rounding.
+    */
+  def bm25(
+      df: DataFrame,
+      queryTerms: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val lens = df.select(col(idCol).as("id"), tokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n"), sum(col("dl")).cast("double").as("sum_dl"))
+    val tf = df
+      .select(col(idCol).as("id"), explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok").isin(queryTerms: _*))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(lens, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl", col("sum_dl") / col("n"))
+      .withColumn("_idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("_s",
+        col("_idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))))
+      .groupBy(col("id").as(idCol))
+      .agg(round(sum(col("_s")), 6).as("bm25"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

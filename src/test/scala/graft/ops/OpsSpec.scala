@@ -180,6 +180,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("zzz qqq").getAs[String]("lang_pred") == "und")
   }
 
+  test("bm25 matches the textbook formula, only matching docs returned, repartition-stable") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "durian durian durian")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("apple", "banana"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute-force reference computation (same constant shapes)
+    val n = 3.0; val avgdl = 8.0 / 3.0; val k1 = 1.2; val b = 0.75
+    def idf(df: Long) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Long, df: Long, dl: Long) =
+      idf(df) * (tf * (k1 + 1)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Map(
+      0L -> r6(term(2, 1, 3) + term(1, 2, 3)), // apple tf=2 df=1; banana tf=1 df=2
+      1L -> r6(term(1, 2, 2)))                 // banana only; doc 2 matches nothing
+    assert(out == expected, s"got $out expected $expected")
+    val shuffled = TextAnalysis.bm25(docs.repartition(7), Seq("apple", "banana"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(shuffled == out)
+  }
+
   test("fingerprint is whitespace/case invariant") {
     assert(
       one("Hello   World").getAs[String]("fingerprint") ==
