@@ -607,6 +607,15 @@ object SparkEntry {
         docs = Some(docs))
     }),
 
+    // cluster formation with the production representative policy: keep
+    // the LONGEST copy per near-dup cluster (ties → smallest id) instead
+    // of the smallest id
+    "q55_dedup_clusters_by" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.clustersBy(s, Dedup.prefixJaccardPairs(docs, threshold = 0.7),
+        docs, score = TextAnalysis.tokenCount(col("text")))
+    }),
+
     // multimodal: binary payload → per-partition batched (stub) decode
     "q23_mm_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
@@ -995,6 +1004,37 @@ object SparkEntry {
         |  coalesce(c.cluster, d.doc_id) AS cluster_id,
         |  coalesce(c.cluster = d.doc_id, TRUE) AS keep
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    // q50's closure + the keep-longest policy as a per-cluster rank
+    "q55_dedup_clusters_by" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), j AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.7
+        |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.7
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+        |), univ AS (
+        |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id,
+        |    CAST(CASE WHEN len(trim(d.text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS BIGINT) AS nt
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY nt DESC, doc_id) = 1 AS keep
+        |FROM univ""".stripMargin,
 
     "q20_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

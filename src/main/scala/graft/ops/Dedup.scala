@@ -560,6 +560,36 @@ object Dedup {
     }
   }
 
+  /** [[clusters]] with a representative POLICY: the kept document per
+    * cluster maximizes `score` (ties → smallest id) instead of being the
+    * smallest id — the production rule is "keep the highest-quality copy"
+    * (longest text, best quality score, newest crawl), not "keep the
+    * oldest id". `docs` must carry `idCol`; `score` is evaluated against
+    * it. Returns (doc_id, cluster_id, keep) over the full universe.
+    *
+    * Cost over [[clusters]]: one extra shuffle on cluster_id for the
+    * per-cluster rank — state is one running rank per stream, no cluster's
+    * rows are ever collected together.
+    */
+  def clustersBy(
+      spark: SparkSession,
+      pairs: DataFrame,
+      docs: DataFrame,
+      score: Column,
+      idCol: String = "doc_id",
+      aCol: String = "id_a",
+      bCol: String = "id_b"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = clusters(spark, pairs, Some(docs.select(col(idCol))), idCol, aCol, bCol)
+      .select(col(idCol), col("cluster_id"))
+    val withScore = base.join(docs.select(col(idCol), score.as("_score")), Seq(idCol))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("_score").desc, col(idCol))
+    withScore
+      .withColumn("_rn", row_number().over(w))
+      .select(col(idCol), col("cluster_id"), (col("_rn") === 1).as("keep"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse key (default: a
     * provided label/cluster column) so the pairwise compare is within-block
     * only. Cosine is computed with zip_with + aggregate — native expressions.

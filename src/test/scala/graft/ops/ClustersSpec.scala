@@ -25,6 +25,22 @@ class ClustersSpec extends SparkSpec {
     assert(out == Set((3L, 3L, true), (4L, 3L, false)), s"got $out")
   }
 
+  test("clustersBy keeps the highest-scoring doc per cluster, ties by smallest id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 10L), (2L, 99L),      // cluster {1,2}: 2 has the higher score
+      (7L, 50L), (8L, 50L),      // cluster {7,8}: tied → smaller id 7 wins
+      (9L, 1L)                   // singleton keeps itself
+    ).toDF("doc_id", "quality")
+    val out = Dedup.clustersBy(spark, pairs, docs, score = col("quality"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (1L, 1L, false), (2L, 1L, true),
+      (7L, 7L, true), (8L, 7L, false),
+      (9L, 9L, true)), s"got $out")
+  }
+
   test("dropping keep=false rows leaves a corpus with no remaining near-dup pairs") {
     import spark.implicits._
     val docs = Seq(
