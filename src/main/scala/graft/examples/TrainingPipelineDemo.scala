@@ -36,10 +36,11 @@ object TrainingPipelineDemo {
     val deduped = quality.join(keep, "doc_id")
     println(s"after exact dedup: ${deduped.count()}")
 
-    // 3. near-dup removal: minhash-LSH pairs above jaccard 0.5 → drop id_b
-    val nearDups = Dedup.minhashLsh(deduped, verifyThreshold = 0.5)
-      .select(col("id_b").as("doc_id")).distinct()
-    val clean = deduped.join(nearDups, Seq("doc_id"), "left_anti")
+    // 3. near-dup removal, closed loop: minhash-LSH pairs → connected-
+    // component clusters → keep the highest-token-count copy per cluster
+    val pairs   = Dedup.minhashLsh(deduped, verifyThreshold = 0.5)
+    val verdict = Dedup.clustersBy(spark, pairs, deduped, score = col("token_count"))
+    val clean   = deduped.join(verdict.where(col("keep")).select("doc_id"), Seq("doc_id"))
     println(s"after near-dup removal: ${clean.count()}")
 
     // 4. token accounting for the training budget
@@ -47,6 +48,15 @@ object TrainingPipelineDemo {
       sum("token_count").as("whitespace_tokens"),
       sum("bpeish_tokens").as("bpeish_tokens")).head()
     println(s"token budget: whitespace=${budget.getLong(0)} bpeish=${budget.getLong(1)}")
+
+    // 4b. deterministic train/test split + concat-and-chunk packing of the
+    // train side into 2048-token bins
+    val split  = Sampling.trainTestSplit(clean, col("doc_id"), testFraction = 0.1)
+    val train  = split.where(col("split") === "train")
+    val packed = Packing.packSequences(train, col("token_count"), budget = 2048, streams = 8)
+    val bins   = Packing.binStats(packed).count()
+    println(s"train/test: ${train.count()}/${split.where(col("split") === "test").count()}"
+      + s" packed into $bins bins of 2048 tokens")
 
     // 5. ANN retrieval on the embedding side (brute force + IVF agree on scores)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
