@@ -489,6 +489,14 @@ object SparkEntry {
           hash = activeHash)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // within-document repetition signals (Gopher-style quality filter):
+    // repeated bigram/trigram occurrence fractions, pure map-side
+    "q56_text_repetition" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 2).as("rep2"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))),
+
     // BM25 relevance over the documents table — the inverted-index
     // discipline: postings restricted to the query terms at the scan, all
     // shuffles sized by matching postings, corpus scalars broadcast
@@ -1060,6 +1068,21 @@ object SparkEntry {
          |WHERE ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000
          |  < CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
          |         WHEN 'fr' THEN 100000 ELSE 50000 END AS BIGINT)""".stripMargin,
+
+    // repeated n-gram fractions replicated with list_transform windows
+    "q56_text_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(len(toks) - 1, 0) = 0 THEN 0.0
+        |    ELSE round(1.0 - CAST(len(list_distinct(list_transform(range(len(toks) - 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 2)], ' ')))) AS DOUBLE)
+        |      / (len(toks) - 1), 6) END AS rep2,
+        |  CASE WHEN greatest(len(toks) - 2, 0) = 0 THEN 0.0
+        |    ELSE round(1.0 - CAST(len(list_distinct(list_transform(range(len(toks) - 2),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' ')))) AS DOUBLE)
+        |      / (len(toks) - 2), 6) END AS rep3
+        |FROM t""".stripMargin,
 
     // BM25 replicated term-for-term; N and Σdl are exact integer
     // aggregates so avgdl is one IEEE division in both engines, and the

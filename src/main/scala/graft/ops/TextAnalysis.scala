@@ -133,6 +133,25 @@ object TextAnalysis {
       .select(col(idCol), md5(array_join(slice(col("_toks"), col("_i") + 1, lit(window)), " ")).as("fp"))
   }
 
+  /** Repeated n-gram fraction — the Gopher-style within-document
+    * repetition signal used to drop boilerplate/spam: the share of n-gram
+    * occurrences that repeat an earlier occurrence,
+    * 1 − |distinct n-grams| / |n-grams| (0 for documents shorter than n
+    * tokens). Pure map-side projection like the rest of the quality
+    * signals — no shuffle at any scale.
+    */
+  def repetitionRatio(text: Column, n: Int = 2, scale: Int = 6): Column = {
+    val toks  = split(lower(trim(text)), "\\s+")
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    round(
+      when(total === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / total.cast("double")),
+      scale)
+  }
+
   /** BM25 relevance of every matching document against a bag-of-words
     * query: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
     * the Lucene-style smoothed idf = ln((N − df + 0.5)/(df + 0.5) + 1).

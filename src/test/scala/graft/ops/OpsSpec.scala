@@ -180,6 +180,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("zzz qqq").getAs[String]("lang_pred") == "und")
   }
 
+  test("repetitionRatio: known fractions, short-doc zero, whitespace/case invariance") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b a b a"),       // bigrams: ab,ba,ab,ba -> 2 distinct of 4 -> 0.5
+      (1L, "x y z w"),         // all bigrams distinct -> 0.0
+      (2L, "q"),               // shorter than n -> 0.0
+      (3L, ""),                // empty -> 0.0
+      (4L, "A  b a B a")       // normalization: same as doc 0
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.repetitionRatio(col("text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(0L -> 0.5, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.5), s"got $out")
+  }
+
   test("bm25 matches the textbook formula, only matching docs returned, repartition-stable") {
     import spark.implicits._
     val docs = Seq(
