@@ -489,6 +489,16 @@ object SparkEntry {
           hash = activeHash)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // domain-mix resampling: the largest downsample of documents whose
+    // expected language proportions are exactly 50/30/20 en/de/fr —
+    // rates derived from one count pass, selection map-side deterministic
+    "q57_sample_target_mix" -> ((s, dir) =>
+      graft.ops.Sampling.toTargetMix(
+          T(s, dir, "documents"), "lang",
+          weights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+          key = col("doc_id"), seed = 42, hash = activeHash)
+        .select(col("doc_id"), col("lang"))),
+
     // within-document repetition signals (Gopher-style quality filter):
     // repeated bigram/trigram occurrence fractions, pure map-side
     "q56_text_repetition" -> ((s, dir) =>
@@ -1068,6 +1078,21 @@ object SparkEntry {
          |WHERE ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000
          |  < CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
          |         WHEN 'fr' THEN 100000 ELSE 50000 END AS BIGINT)""".stripMargin,
+
+    // rate derivation replicated in SQL: identical double-arithmetic
+    // order (w·T/c with T = min(c/w)), identical rounding to the
+    // 1e6-granularity threshold, then the portable md5 bucket rule
+    "q57_sample_target_mix" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, count(*) AS c FROM documents
+         |  WHERE lang IN ('en', 'de', 'fr') GROUP BY 1
+         |), w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.3), ('fr', 0.2)) AS t(lang, w)),
+         |t AS (SELECT min(c / w) AS total FROM cnt JOIN w USING (lang)),
+         |rate AS (
+         |  SELECT lang, CAST(round(least(w * total / c, 1.0) * 1000000) AS BIGINT) AS thr
+         |  FROM cnt JOIN w USING (lang), t)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN rate USING (lang)
+         |WHERE ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000 < thr""".stripMargin,
 
     // repeated n-gram fractions replicated with list_transform windows
     "q56_text_repetition" ->

@@ -76,6 +76,36 @@ object Sampling {
       "split",
       when(bucket(key, seed, hash) < lit(thresholdOf(testFraction)), "test").otherwise("train"))
 
+  /** Resample to a TARGET domain mix — the data-mixture step of corpus
+    * assembly ("40% web, 30% code, 30% books"): given target weights per
+    * stratum, take the LARGEST achievable downsample with exactly those
+    * expected proportions (no stratum is upsampled). The binding stratum
+    * is the one minimizing cₛ/wₛ; the achievable total is T = minₛ(cₛ/wₛ)
+    * and each stratum samples at rate wₛ·T/cₛ ≤ 1.
+    *
+    * Cost: one count aggregation (collected — |strata| rows, a scalar
+    * plan) to derive the rates, then the same map-side deterministic
+    * filter as [[stratifiedHashSample]] — the data itself never shuffles.
+    * Strata absent from `weights` are excluded. Proportions are exact in
+    * expectation (the hash sampler's usual contract), sizes Binomial.
+    */
+  def toTargetMix(df: DataFrame, strataCol: String, weights: Map[String, Double],
+      key: Column, seed: Int = 42, hash: HashFamily = XxHash): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) df.limit(0)
+    else {
+      val total = present.map { case (s, w) => counts(s) / w }.min
+      val rates = present.map { case (s, w) => s -> math.min(w * total / counts(s), 1.0) }
+      stratifiedHashSample(
+        df.where(col(strataCol).isin(present.keys.toSeq: _*)),
+        strataCol, rates, defaultRate = 0.0, key, seed, hash)
+    }
+  }
+
   /** Deterministic fixed-SIZE per-stratum sample ("hash reservoir"): keeps
     * exactly min(k, |stratum|) rows per stratum, the ones ranking first in
     * hash order of `rowKey` (ties broken by the key itself). The

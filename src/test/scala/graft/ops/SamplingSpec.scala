@@ -69,6 +69,24 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sample must be map-side only:\n$plan")
   }
 
+  test("toTargetMix: binding stratum kept whole, proportions near target, absent strata dropped") {
+    // docs: en 667, de 667, zh 666 (i%3). Target 60/40 en/de → c/w: 1111 vs
+    // 1667 → en binds (rate 1.0), de rate = 0.4·1111.67/667 ≈ 0.667
+    val out = Sampling.toTargetMix(docs, "lang",
+      weights = Map("en" -> 0.6, "de" -> 0.4), key = col("doc_id"))
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("zh"), "unlisted strata must be excluded")
+    assert(counts("en") == 667L, "the binding stratum samples at rate 1.0")
+    // de is Binomial(667, ~0.667) — expect ≈445, allow generous slack
+    assert(counts("de") > 350 && counts("de") < 550, s"de count implausible: $counts")
+    // deterministic
+    val again = Sampling.toTargetMix(docs.repartition(11), "lang",
+      weights = Map("en" -> 0.6, "de" -> 0.4), key = col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("topKPerKey keeps exactly min(k, |stratum|) rows, deterministically") {
     val out = Sampling.topKPerKey(docs, Seq("lang"), k = 25, rowKey = col("doc_id"))
     val counts = out.groupBy("lang").count().collect()
