@@ -75,6 +75,31 @@ object GraphQueries {
       .toDF(idCol, "pagerank")
   }
 
+  /** Per-vertex triangle counts (GraphX TriangleCount — edges are
+    * canonicalized and self-loops dropped internally, so either a one-way
+    * or bidirectional edge table gives the same undirected answer).
+    * Vertices in no triangle report 0. The clustering-coefficient
+    * primitive of the shell's exploration surface.
+    */
+  def triangleCounts(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      idCol: String = "id"
+  ): DataFrame = {
+    import spark.implicits._
+    val vRdd: RDD[(Long, Unit)] =
+      vertices.select(col(idCol).cast("long")).rdd.map(r => (r.getLong(0), ()))
+    val eRdd: RDD[Edge[Unit]] = edges
+      .select(col(EdgeColumns.Src).cast("long"), col(EdgeColumns.Dst).cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    Graph(vRdd, eRdd)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices
+      .map { case (id, n) => (id, n.toLong) }
+      .toDF(idCol, "triangles")
+  }
+
   /** Connected components over an edge set; vertices absent from any edge
     * are singletons (their own component). Returns (id, component) where
     * component = smallest vertex id in the component (GraphX convention).

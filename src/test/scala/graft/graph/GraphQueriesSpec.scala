@@ -56,6 +56,25 @@ class GraphQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(pr2(10L) > pr2(1L) && pr2(1L) == pr2(2L))
   }
+
+  test("triangleCounts: clique of 4 gives 3 per vertex, path gives 0, isolated gives 0") {
+    import spark.implicits._
+    // clique {1,2,3,4} (one-way canonical edges), path 5-6-7, isolated 8
+    val edges = (for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (a.toLong, b.toLong, 1)) ++ Seq((5L, 6L, 1), (6L, 7L, 1))
+    val e = edges.toDF("src", "dst", "propVal")
+    val v = (1L to 8L).toDF("id")
+    val out = GraphQueries.triangleCounts(spark, v, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L), s"got $out")
+    // a bidirectional edge table gives the same undirected answer
+    val bidir = e.union(e.select(col("dst"), col("src"), col("propVal")))
+    val out2 = GraphQueries.triangleCounts(spark, v, bidir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
 }
 
 class IvfSpec extends SparkSpec {
