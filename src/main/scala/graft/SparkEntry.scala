@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ids.ZipWithIndex
-import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalysis, VectorOps}
 import graft.rules._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -424,6 +424,12 @@ object SparkEntry {
       graft.graph.GraphQueries.pageRank(s, v.select("id"), bidir)
         .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
     }),
+
+    // per-label mean embeddings (class prototypes): one partial-aggregated
+    // shuffle on (label, dimension); result size |labels|·dim regardless
+    // of corpus size
+    "q59_embed_centroids" -> ((s, dir) =>
+      VectorOps.labelCentroids(T(s, dir, "embeddings"))),
 
     // graph query surface: per-vertex triangle counts (GraphX) over the
     // same-nation clique graph — SQL-checkable via a canonical-edge
@@ -1315,6 +1321,16 @@ object SparkEntry {
         |  CAST(floor(width * least(100.0 / width, 100.0 / height, 1.0)) AS INT) AS out_width,
         |  CAST(floor(height * least(100.0 / width, 100.0 / height, 1.0)) AS INT) AS out_height
         |FROM meta""".stripMargin,
+
+    // positional unnest + group-by-(label, dim) mean
+    "q59_embed_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label,
+        |        unnest(list_transform(range(len(v)), i -> {'pos': i, 'x': v[i + 1]})) AS u
+        |      FROM e)
+        |SELECT label, CAST(u.pos AS INT) AS pos, round(avg(u.x), 6) AS mean,
+        |  count(*) AS n_vectors
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // canonical-edge (a < b) triple join: every triangle found once,
     // contributing one count to each of its three corners

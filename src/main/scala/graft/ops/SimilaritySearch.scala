@@ -30,6 +30,27 @@ object VectorOps {
 
   /** Literal query vector as an array column. */
   def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** Per-label mean embedding components ("class prototypes"): one row per
+    * (label, dimension) with the mean of that component — the centroid
+    * primitive behind nearest-class-mean classification, KMeans seeding
+    * and per-domain embedding drift monitoring.
+    *
+    * Shape: posexplode → ONE partial-aggregated shuffle keyed on
+    * (label, pos) — |labels|·dim result rows regardless of corpus size; no
+    * vector is ever collected whole. Returned exploded (label, pos, mean)
+    * rather than re-assembled arrays so downstream joins/pivots stay
+    * relational (reassemble with collect_list over pos if needed).
+    */
+  def labelCentroids(
+      df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      scale: Int = 6
+  ): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(round(avg(col("x")), scale).as("mean"), count(lit(1)).as("n_vectors"))
 }
 
 /** Approximate-nearest-neighbor search over an embedding column.

@@ -263,6 +263,20 @@ class VectorOpsSpec extends SparkSpec {
 
 class SimilaritySearchSpec extends SparkSpec {
 
+  test("labelCentroids: per-(label, dim) means, exploded shape, counts") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)),
+      ("a", Seq(3.0f, 6.0f)),
+      ("b", Seq(10.0f, 20.0f))
+    ).toDF("label", "embedding")
+    val out = VectorOps.labelCentroids(df)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("a", 0) -> (2.0, 2L), ("a", 1) -> (4.0, 2L),
+      ("b", 0) -> (10.0, 1L), ("b", 1) -> (20.0, 1L)), s"got $out")
+  }
+
   test("bruteForceTopK returns the nearest vectors in score order") {
     import spark.implicits._
     val df = Seq(
