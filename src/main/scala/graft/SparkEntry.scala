@@ -431,6 +431,16 @@ object SparkEntry {
     "q59_embed_centroids" -> ((s, dir) =>
       VectorOps.labelCentroids(T(s, dir, "embeddings"))),
 
+    // nearest-class-mean classification: every vector assigned to its
+    // highest-cosine centroid (broadcast |labels| arrays, map-side
+    // fanout, one argmax shuffle), reported as a confusion matrix
+    "q60_embed_nearest_centroid" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      VectorOps.nearestCentroid(emb, VectorOps.labelCentroids(emb))
+        .groupBy(col("label").as("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // graph query surface: per-vertex triangle counts (GraphX) over the
     // same-nation clique graph — SQL-checkable via a canonical-edge
     // triple join
@@ -1331,6 +1341,29 @@ object SparkEntry {
         |SELECT label, CAST(u.pos AS INT) AS pos, round(avg(u.x), 6) AS mean,
         |  count(*) AS n_vectors
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // rounded centroid means (q59's) → cosine argmax per vector (ties by
+    // label asc) → confusion counts; no floats in the output
+    "q60_embed_nearest_centroid" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label,
+        |        unnest(list_transform(range(len(v)), i -> {'pos': i, 'x': v[i + 1]})) AS u
+        |      FROM e),
+        |cv AS (
+        |  SELECT label AS c_label, list(m ORDER BY pos) AS cvec
+        |  FROM (SELECT label, u.pos AS pos, round(avg(u.x), 6) AS m FROM x GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label AS true_label, cv.c_label,
+        |    list_dot_product(e.v, cv.cvec)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.cvec, cv.cvec))) AS s
+        |  FROM e, cv),
+        |best AS (
+        |  SELECT vec_id, true_label, c_label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_label) AS rn
+        |  FROM scored)
+        |SELECT true_label, c_label AS pred_label, count(*) AS n
+        |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
 
     // canonical-edge (a < b) triple join: every triangle found once,
     // contributing one count to each of its three corners

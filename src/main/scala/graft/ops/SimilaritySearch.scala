@@ -51,6 +51,40 @@ object VectorOps {
     df.select(col(labelCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
       .groupBy(col(labelCol), col("pos"))
       .agg(round(avg(col("x")), scale).as("mean"), count(lit(1)).as("n_vectors"))
+
+  /** Nearest-class-mean assignment: each vector gets the label of the
+    * centroid with the highest cosine similarity (ties → smallest label,
+    * deterministic). `centroids` is a [[labelCentroids]]-shaped frame
+    * (label, pos, mean) — the rounded means make the argmax reproducible
+    * across engines.
+    *
+    * Shape: the exploded centroids reassemble to |labels| array rows
+    * (tiny) and BROADCAST against the corpus — the per-vector work is a
+    * map-side |labels|-way fanout + codegen cosine; the only shuffle is
+    * the per-vector argmax (row_number over vec id). Appends
+    * (pred_label, pred_score).
+    */
+  def nearestCentroid(
+      df: DataFrame,
+      centroids: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    val cvecs = centroids
+      .groupBy(col(labelCol).as("_c_label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("_o"))
+      .select(col("_c_label"), transform(col("_o"), x => x.getField("mean")).as("_cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_s").desc, col("_c_label"))
+    df.crossJoin(broadcast(cvecs))
+      .withColumn("_s", VectorOps.cosine(col(vecCol).cast("array<double>"), col("_cvec")))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .withColumn("pred_label", col("_c_label"))
+      .withColumn("pred_score", round(col("_s"), 6))
+      .drop("_c_label", "_cvec", "_s", "_rn")
+  }
 }
 
 /** Approximate-nearest-neighbor search over an embedding column.

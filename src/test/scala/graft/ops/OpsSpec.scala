@@ -277,6 +277,22 @@ class SimilaritySearchSpec extends SparkSpec {
       ("b", 0) -> (10.0, 1L), ("b", 1) -> (20.0, 1L)), s"got $out")
   }
 
+  test("nearestCentroid assigns the closest class mean, deterministically on ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Seq(1.0f, 0.0f)),
+      (2L, "a", Seq(1.0f, 0.2f)),
+      (3L, "b", Seq(0.0f, 1.0f)),
+      (4L, "b", Seq(0.2f, 1.0f)),
+      (5L, "a", Seq(0.1f, 1.0f)) // mislabeled: closest to b's mean
+    ).toDF("vec_id", "label", "embedding")
+    val out = VectorOps.nearestCentroid(df, VectorOps.labelCentroids(df))
+      .select("vec_id", "pred_label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a" && out(2L) == "a" && out(3L) == "b" && out(4L) == "b")
+    assert(out(5L) == "b", s"mislabeled vector must be pulled to the nearer mean: $out")
+  }
+
   test("bruteForceTopK returns the nearest vectors in score order") {
     import spark.implicits._
     val df = Seq(
