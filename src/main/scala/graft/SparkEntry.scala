@@ -410,6 +410,16 @@ object SparkEntry {
       graft.graph.GraphQueries.connectedComponents(s, v.select("id"), e)
     }),
 
+    // graph query surface: connected components as a pure DataFrame loop
+    // (large-star/small-star, Kiveris et al.) — the no-GraphX scale path:
+    // per-round state is one (long,long) edge list, spillable and
+    // AQE-planned; same contract and oracle as q26
+    "q61_graph_components_df" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      graft.graph.GraphQueries.connectedComponentsDF(s, v.select("id"), e)
+    }),
+
     // graph query surface: PageRank (GraphX). On the bidirectional
     // same-nation clique graph every component is k-regular, so the raw
     // fixed point is exactly 1.0 per connected vertex and resetProb (0.15)
@@ -1395,6 +1405,11 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q26_graph_components" ->
+      """SELECT s_suppkey AS id,
+        |  min(s_suppkey) OVER (PARTITION BY s_nationkey) AS component
+        |FROM supplier""".stripMargin,
+
+    "q61_graph_components_df" ->
       """SELECT s_suppkey AS id,
         |  min(s_suppkey) OVER (PARTITION BY s_nationkey) AS component
         |FROM supplier""".stripMargin,

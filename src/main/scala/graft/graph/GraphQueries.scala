@@ -120,4 +120,98 @@ object GraphQueries {
     graph.connectedComponents().vertices
       .toDF(idCol, "component")
   }
+
+  /** Connected components as a pure DataFrame loop — the alternating
+    * large-star / small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC'14). Same contract as
+    * [[connectedComponents]]: (id, component = min vertex id reachable),
+    * singletons included.
+    *
+    * Why a second implementation: GraphX pins the whole graph in cached
+    * RDDs outside Tungsten memory accounting and is a fixed ~1 s of
+    * stage overhead per run; this variant is plain shuffles over (src,
+    * dst) longs — spillable, AQE-planned, and O(log n) rounds, each
+    * round two groupBy-min aggregations plus an equi-join (no per-round
+    * growth: every rewrite only lowers labels). At 100 TB this is the
+    * shape that survives: the per-round state is exactly one (long,
+    * long) edge list, never an in-memory vertex replica set.
+    *
+    * Each round is truncated with `localCheckpoint` (reliable
+    * `checkpoint` when the session has a checkpoint dir) so the plan
+    * does not grow by ~10 operators per iteration; the prior round's
+    * checkpoint is unpersisted as soon as its successor materializes.
+    */
+  def connectedComponentsDF(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      idCol: String = "id",
+      maxIter: Int = 50
+  ): DataFrame = {
+    val src = col("src"); val dst = col("dst")
+
+    // large-star: every node u points each strictly-larger neighbor at the
+    // minimum of its closed neighborhood m(u) = min({u} ∪ Γ(u)). The output
+    // needs no self-loop filter or dedup: m ≤ u < v rules out loops, and
+    // duplicate edges are absorbed by small-star's groupBy/distinct — one
+    // less Exchange per round.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym  = e.union(e.select(dst.as("src"), src.as("dst")))
+      val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(src, least(src, col("mn")).as("m"))
+      sym.where(dst > src)
+        .join(mins, "src")
+        .select(dst.as("src"), col("m").as("dst"))
+    }
+
+    // small-star: orient edges large→small; every node points its smaller
+    // neighbors (and itself) at its minimum smaller neighbor.
+    def smallStar(e: DataFrame): DataFrame = {
+      val t = e.select(greatest(src, dst).as("src"), least(src, dst).as("dst"))
+      val mins = t.groupBy("src").agg(min("dst").as("m"))
+      t.join(mins, "src")
+        .select(dst.as("src"), col("m").as("dst"))
+        .union(mins.select(src, col("m").as("dst")))
+        .where(src =!= dst).distinct()
+    }
+
+    def materialize(e: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) e.checkpoint()
+      else e.localCheckpoint()
+
+    // (count, order-independent content hash): equal signatures ⇒ the edge
+    // set reached the algorithm's fixed point (star forest). bit_xor is
+    // commutative and cannot overflow (sum would, under ANSI mode).
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(src, dst))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var e = materialize(
+      edges
+        .select(col(EdgeColumns.Src).cast("long").as("src"), col(EdgeColumns.Dst).cast("long").as("dst"))
+        .where(src =!= dst).distinct())
+    var sig  = signature(e)
+    var iter = 0
+    var done = e.isEmpty
+    while (!done && iter < maxIter) {
+      val next    = materialize(smallStar(largeStar(e)))
+      val nextSig = signature(next)
+      e.unpersist(blocking = false)
+      done = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+
+    // fixed point is a star forest: non-roots appear as src (pointing at
+    // their root), roots only as dst. min() also closes the not-quite-
+    // converged maxIter cutoff into a consistent best-effort labeling.
+    val labels = e.select(src.as("vid"), dst.as("component"))
+      .union(e.select(dst.as("vid"), dst.as("component")))
+      .groupBy("vid").agg(min("component").as("component"))
+    val v = vertices.select(col(idCol).cast("long").as(idCol))
+    v.join(labels, v(idCol) === labels("vid"), "left")
+      .select(v(idCol), coalesce(col("component"), v(idCol)).as("component"))
+  }
 }

@@ -75,6 +75,45 @@ class GraphQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out2 == out)
   }
+
+  test("connectedComponentsDF: chain + isolated vertex matches the GraphX contract") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val cc = GraphQueries.connectedComponentsDF(spark, vertices, edgeDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("connectedComponentsDF: long path converges (multi-round) and labels the min") {
+    import spark.implicits._
+    // a 60-node path is the alternating algorithm's slow case: forces
+    // several large/small-star rounds before the star forest fixed point
+    val n = 60L
+    val path = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+      .withColumn("propVal", lit(1))
+    val v  = (1L to n).toDF("id")
+    val cc = GraphQueries.connectedComponentsDF(spark, v, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == n && cc.values.forall(_ == 1L), s"got ${cc.toSeq.sortBy(_._1).take(5)}...")
+  }
+
+  test("connectedComponentsDF: random graph agrees with GraphX exactly; empty edges = all singletons") {
+    import spark.implicits._
+    val rng   = new scala.util.Random(42)
+    val ids   = (1L to 200L)
+    val edges = Seq.fill(150)((ids(rng.nextInt(ids.size)), ids(rng.nextInt(ids.size))))
+      .toDF("src", "dst").withColumn("propVal", lit(1))
+    val v = ids.toDF("id")
+    val viaDf = GraphQueries.connectedComponentsDF(spark, v, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaGx = GraphQueries.connectedComponents(spark, v, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDf == viaGx)
+
+    val none = GraphQueries.connectedComponentsDF(spark, v, edges.limit(0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == ids.map(i => i -> i).toMap)
+  }
 }
 
 class IvfSpec extends SparkSpec {
