@@ -4,8 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints exactly one JSON line
-  * `{"metric":...,"value":N,"unit":"sec","queries":{...},"queries_median":
-  * {...},"runs":{...},"n_runs":N,"hash":...,"sf":...}`.
+  * `{"metric":...,"value":N,"unit":"sec","queries":{"q01":sec,...},
+  * "n_runs":N,"total_median":...,"hash":...,"sf":...}`.
+  *
+  * The stdout line is deliberately COMPACT: the harness that collects it
+  * keeps only a fixed-size tail of stdout (~2 KB — every BENCH_r*.json so
+  * far shows the line truncated at the front and `parsed: null`), so query
+  * keys are shortened to their unique `qNN` prefix and the per-run arrays /
+  * medians / full names go to stderr (`[bench] ...` lines + one
+  * `[bench-detail] {json}` line) where size is unconstrained.
   *
   * Each query is forced with `count()` (full plan execution, no result
   * transfer). A short warmup action absorbs JVM/classloader startup so the
@@ -14,8 +21,9 @@ import org.apache.spark.sql.SparkSession
   * Contention hardening: the recorded driver-round numbers have twice been
   * ~2× outliers vs idle re-runs of identical bytecode, so the default is
   * min-of-3 with the median and the full per-run arrays persisted in the
-  * JSON — min approximates the uncontended time, median exposes how noisy
-  * the run was, and the arrays let a reader judge for themselves.
+  * stderr detail line — min approximates the uncontended time, median
+  * exposes how noisy the run was, and the arrays let a reader judge for
+  * themselves.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,15 +69,21 @@ object Bench {
         f"[bench] $name%-22s min $sec%8.3f s  median $median%8.3f s ($runs runs)  rows=${times.last._2}")
       (name, sec, median, times.map(_._1))
     }
-    def obj(f: ((String, Double, Double, Seq[Double])) => String): String =
-      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qsMin    = obj(r => f"${r._2}%.3f")
-    val qsMedian = obj(r => f"${r._3}%.3f")
-    val qsRuns   = obj(_._4.map(t => f"$t%.3f").mkString("[", ",", "]"))
+    def obj(key: ((String, Double, Double, Seq[Double])) => String)(
+        f: ((String, Double, Double, Seq[Double])) => String): String =
+      results.map(r => "\"" + key(r) + "\":" + f(r)).mkString("{", ",", "}")
+    // qNN prefix is unique per query and a third the bytes of the full name
+    val short    = obj(_._1.takeWhile(_ != '_')) _
+    val full     = obj(_._1) _
+    val qsMin    = short(r => f"${r._2}%.3f")
+    val qsMedian = full(r => f"${r._3}%.3f")
+    val qsRuns   = full(_._4.map(t => f"$t%.3f").mkString("[", ",", "]"))
     val total       = results.map(_._2).sum
     val totalMedian = results.map(_._3).sum
+    System.err.println(
+      f"""[bench-detail] {"queries_median":$qsMedian,"runs":$qsRuns}""")
     println(
-      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"queries_median":$qsMedian,"runs":$qsRuns,"n_runs":$runs,"total_median":$totalMedian%.3f,"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"n_runs":$runs,"total_median":$totalMedian%.3f,"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

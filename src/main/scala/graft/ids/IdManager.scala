@@ -35,6 +35,8 @@ case class VertexData(loaded: DataFrame, current: DataFrame)
   */
 class IdManager(spark: SparkSession, config: IdManagerConfig) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[IdManager])
+
   private def tablePath: String = s"${config.dataPath}/${config.tableName}"
 
   /** Reads the accumulated vertex table; on a missing/empty path returns an
@@ -140,8 +142,26 @@ class IdManager(spark: SparkSession, config: IdManagerConfig) {
   def process(df: DataFrame, loadedRange: Option[PartitionManager] = None): VertexData = {
     val full     = readAll(df.schema)
     val loaded   = loadedRange.map(pm => full.where(pm.partitionPredicate)).getOrElse(full)
-    // steady state reads the sidecar, not the table (see readMaxIdSidecar)
-    val lastMax  = readMaxIdSidecar().getOrElse(fetchId(full))
+    // Steady state reads the sidecar, not the table (see readMaxIdSidecar) —
+    // but never trusts it alone: an out-of-band writer that appended higher
+    // ids would leave the sidecar stale LOW, and reusing ids is the one
+    // unrecoverable failure. `max(id)` over the loaded frame is an
+    // independent lower bound on the true max (over the full table when no
+    // range is given, over the pruned range otherwise — both already being
+    // scanned for the join, so the extra single-column partial max is
+    // marginal). A sidecar below that bound is stale: degrade loudly and use
+    // the scan.
+    val lastMax = readMaxIdSidecar() match {
+      case Some(sc) =>
+        val scanned = fetchId(loaded)
+        if (sc < scanned)
+          log.warn(s"_last_id sidecar ($sc) is below max(id) of the loaded range ($scanned) — " +
+            "stale sidecar (out-of-band writer?); using the scanned max")
+        else
+          log.info(s"id continuation from _last_id sidecar: $sc (scan lower bound $scanned)")
+        math.max(sc, scanned)
+      case None => fetchId(full)
+    }
     // custom plan-integrated operator (InternalRow zipWithIndex, no
     // Row round trip); ZipWithIndex is the public-API equivalent
     val dfWithId = org.apache.spark.sql.graft.DenseId.assign(df, lastMax)

@@ -113,6 +113,21 @@ class IdManagerSpec extends SparkSpec {
     assert(r.current.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
   }
 
+  test("stale sidecar below the table max is overridden by the scan — ids never reused") {
+    import spark.implicits._
+    val dir = tempDir("idm-sidecar-stale")
+    val mgr = new IdManager(spark, IdManagerConfig(dir, "t", reservedIdSpace = 0))
+    mgr.process(alerts(4).toDF().drop("id")) // ids 1..4, sidecar = 4
+    // simulate an out-of-band writer: rewind the sidecar to 2 while the
+    // table's real max stays 4 — trusting it would reassign ids 3 and 4
+    val fs  = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/t/_last_id"), true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    val r = mgr.process(alerts(2).toDF().drop("id"))
+    assert(r.current.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
+    assert(mgr.readMaxIdSidecar().contains(6L)) // healed forward
+  }
+
   test("sidecar fallback: absent or corrupt sidecar re-derives the max from the table") {
     import spark.implicits._
     val dir = tempDir("idm-sidecar2")
