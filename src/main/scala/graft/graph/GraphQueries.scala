@@ -12,13 +12,26 @@ import graft.rules.EdgeColumns
   * docs/TestJanusGraph_20200731.md: `g.V().outE("similarity").count()` etc.).
   *
   * Degree/neighbor/two-hop queries are plain DataFrame aggregations and
-  * joins (codegen, shuffle on the grouping key only); connected components
-  * delegates to GraphX's Pregel implementation — the idiomatic Spark layer
-  * for iterative graph algorithms (a DataFrame-only loop would re-shuffle
-  * the full edge set per iteration without GraphX's partition-aware
-  * vertex replication).
+  * joins (codegen, shuffle on the grouping key only). Connected components
+  * comes in two flavors: [[connectedComponents]] (GraphX Pregel — lowest
+  * fixed overhead on small/medium graphs that fit executor memory) and
+  * [[connectedComponentsDF]] (alternating-star DataFrame loop — spillable
+  * shuffles, AQE-planned, the recommended path for large pair graphs;
+  * [[graft.ops.Dedup.clusters]] rides this one). PageRank and triangle
+  * counting stay on GraphX, where iterative vertex state is co-partitioned
+  * and replicated once.
   */
 object GraphQueries {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(GraphQueries.getClass)
+
+  /** True iff the last [[connectedComponentsDF]] call on this thread
+    * reached its fixed point (vs. being cut off at `maxIter`). Purely a
+    * test/observability hook — the returned labeling is always internally
+    * consistent either way (see the label-closing `min()` in the method).
+    */
+  private val ccConvergedFlag = new ThreadLocal[Boolean] { override def initialValue(): Boolean = true }
+  def lastConnectedComponentsConverged: Boolean = ccConvergedFlag.get()
 
   /** Out-degree per source vertex. On a bidirectionally-materialized edge
     * table this equals total degree.
@@ -140,13 +153,26 @@ object GraphQueries {
     * `checkpoint` when the session has a checkpoint dir) so the plan
     * does not grow by ~10 operators per iteration; the prior round's
     * checkpoint is unpersisted as soon as its successor materializes.
+    *
+    * Local-finish endgame: each round already counts the active edge set
+    * (the convergence signature); once it is at or below
+    * `localFinishEdges` the remaining graph is collected and closed with
+    * an exact driver-side union-find, and the labels rejoin as a (small)
+    * DataFrame. The bound is the broadcast-side discipline — 200k edges
+    * is ~3 MB of longs, the same order as an auto-broadcast join side —
+    * so this is NOT an unbounded driver collect. It serves two ends: at
+    * 100 TB it cuts the O(log n) tail of rounds (the last rounds churn a
+    * tiny high-diameter remnant through full shuffle stages), and on
+    * small graphs it skips the loop entirely, beating GraphX's fixed
+    * overhead. Pass `localFinishEdges = 0` to force the pure loop.
     */
   def connectedComponentsDF(
       spark: SparkSession,
       vertices: DataFrame,
       edges: DataFrame,
       idCol: String = "id",
-      maxIter: Int = 50
+      maxIter: Int = 50,
+      localFinishEdges: Long = 200000L
   ): DataFrame = {
     val src = col("src"); val dst = col("dst")
 
@@ -187,14 +213,36 @@ object GraphQueries {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // exact driver union-find over a BOUNDED edge list (min-id roots:
+    // uniting two roots always keeps the smaller as parent, so find(v) is
+    // the component minimum — the same contract as the star forest).
+    def unionFind(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long)] = {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val ks = parent.keys.toArray // snapshot: find() path-compresses in place
+      ks.map(v => (v, find(v))).toSeq
+    }
+
     var e = materialize(
       edges
         .select(col(EdgeColumns.Src).cast("long").as("src"), col(EdgeColumns.Dst).cast("long").as("dst"))
         .where(src =!= dst).distinct())
     var sig  = signature(e)
     var iter = 0
-    var done = e.isEmpty
-    while (!done && iter < maxIter) {
+    var done = sig._1 == 0L
+    while (!done && iter < maxIter && sig._1 > localFinishEdges) {
       val next    = materialize(smallStar(largeStar(e)))
       val nextSig = signature(next)
       e.unpersist(blocking = false)
@@ -204,12 +252,35 @@ object GraphQueries {
       iter += 1
     }
 
-    // fixed point is a star forest: non-roots appear as src (pointing at
-    // their root), roots only as dst. min() also closes the not-quite-
-    // converged maxIter cutoff into a consistent best-effort labeling.
-    val labels = e.select(src.as("vid"), dst.as("component"))
-      .union(e.select(dst.as("vid"), dst.as("component")))
-      .groupBy("vid").agg(min("component").as("component"))
+    val localFinish = !done && sig._1 > 0L && sig._1 <= localFinishEdges
+    ccConvergedFlag.set(done || localFinish)
+    if (!done && !localFinish && iter >= maxIter) {
+      // A truncated run must be distinguishable from a converged one: the
+      // best-effort labeling below is consistent but not guaranteed to be
+      // the per-component minimum (ADVICE r6 #4).
+      log.warn(
+        s"connectedComponentsDF exited via maxIter=$maxIter without reaching the " +
+          "fixed point — labels are a consistent best-effort assignment, not " +
+          "guaranteed component minima; re-run with a larger maxIter")
+    }
+
+    val labels =
+      if (localFinish) {
+        // endgame: the remnant is at most localFinishEdges (long, long)
+        // rows — a broadcast-sized collect, closed exactly on the driver.
+        // Both rewrites preserve the vertex set of every non-singleton
+        // component, so e's endpoints cover every vertex needing a label.
+        import spark.implicits._
+        unionFind(e.collect()).toDF("vid", "component")
+      } else {
+        // fixed point is a star forest: non-roots appear as src (pointing
+        // at their root), roots only as dst. min() also closes the
+        // not-quite-converged maxIter cutoff into a consistent best-effort
+        // labeling.
+        e.select(src.as("vid"), dst.as("component"))
+          .union(e.select(dst.as("vid"), dst.as("component")))
+          .groupBy("vid").agg(min("component").as("component"))
+      }
     val v = vertices.select(col(idCol).cast("long").as(idCol))
     v.join(labels, v(idCol) === labels("vid"), "left")
       .select(v(idCol), coalesce(col("component"), v(idCol)).as("component"))

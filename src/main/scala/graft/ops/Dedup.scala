@@ -521,10 +521,15 @@ object Dedup {
     * singleton cluster with keep=true, so the output is a total keep/drop
     * verdict over the corpus.
     *
-    * Scale shape: only pair-PARTICIPATING documents enter the (GraphX
-    * Pregel) component computation — at dedup-grade thresholds the pair
-    * graph is tiny relative to the corpus; untouched documents join back as
-    * singletons with one plain left join, never riding through Pregel.
+    * Scale shape: only pair-PARTICIPATING documents enter the component
+    * computation, and that computation is the alternating-star DataFrame
+    * loop ([[graft.graph.GraphQueries.connectedComponentsDF]]) — spillable
+    * shuffles over a slim (long, long) edge list, AQE-planned, O(log n)
+    * rounds. Real crawls at dedup-grade thresholds are 30%+ near-dup, so
+    * the pair graph is a constant fraction of the corpus: a GraphX-style
+    * in-memory cached graph would be an OOM risk at 100×, while the DF
+    * loop's per-round state spills. Untouched documents join back as
+    * singletons with one plain left join, never riding the iteration.
     */
   def clusters(
       spark: SparkSession,
@@ -545,7 +550,7 @@ object Dedup {
     val members = p.select(col("a").as("id"))
       .union(p.select(col("b").as("id")))
       .distinct()
-    val clustered = graft.graph.GraphQueries.connectedComponents(spark, members, edges)
+    val clustered = graft.graph.GraphQueries.connectedComponentsDF(spark, members, edges)
       .select(col("id").as(idCol), col("component").as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))
     docs match {

@@ -92,9 +92,52 @@ class GraphQueriesSpec extends SparkSpec {
     val path = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
       .withColumn("propVal", lit(1))
     val v  = (1L to n).toDF("id")
-    val cc = GraphQueries.connectedComponentsDF(spark, v, path)
+    // localFinishEdges = 0 forces the pure distributed loop (no endgame)
+    val cc = GraphQueries.connectedComponentsDF(spark, v, path, localFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == n && cc.values.forall(_ == 1L), s"got ${cc.toSeq.sortBy(_._1).take(5)}...")
+    assert(GraphQueries.lastConnectedComponentsConverged)
+  }
+
+  test("connectedComponentsDF: maxIter cutoff is exposed as non-convergence; fixed point reports converged") {
+    import spark.implicits._
+    // a 30-node path cannot reach the star-forest fixed point in one round
+    val path = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+      .withColumn("propVal", lit(1))
+    val v = (1L to 30L).toDF("id")
+    val truncated = GraphQueries.connectedComponentsDF(
+      spark, v, path, maxIter = 1, localFinishEdges = 0L)
+    truncated.collect() // labeling is still total + internally consistent
+    assert(!GraphQueries.lastConnectedComponentsConverged,
+      "maxIter=1 on a long path must report non-convergence")
+
+    GraphQueries.connectedComponentsDF(spark, v, path, localFinishEdges = 0L).collect()
+    assert(GraphQueries.lastConnectedComponentsConverged,
+      "unbounded pure-loop run on the same graph must report convergence")
+
+    // the default (local-finish endgame) path is exact, so it converges
+    // even under a maxIter that would truncate the pure loop
+    val finished = GraphQueries.connectedComponentsDF(spark, v, path, maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(GraphQueries.lastConnectedComponentsConverged,
+      "local-finish endgame must report convergence")
+    assert(finished.values.forall(_ == 1L), s"endgame labels wrong: ${finished.take(5)}")
+  }
+
+  test("connectedComponentsDF: mid-loop local finish (cliques collapse under threshold) is exact") {
+    import spark.implicits._
+    // 3 cliques of 10 → 135 edges up front; one star round collapses each
+    // to 9 edges (27 total), crossing a threshold of 50 mid-loop
+    val cliques = for {
+      c <- 0 until 3; i <- 0 until 10; j <- (i + 1) until 10
+    } yield (c * 100L + i, c * 100L + j)
+    val edges = cliques.toDF("src", "dst").withColumn("propVal", lit(1))
+    val v = cliques.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+    val cc = GraphQueries.connectedComponentsDF(spark, v, edges, localFinishEdges = 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(GraphQueries.lastConnectedComponentsConverged)
+    assert(cc.size == 30 && cc.forall { case (id, comp) => comp == (id / 100L) * 100L },
+      s"got ${cc.toSeq.sortBy(_._1).take(6)}")
   }
 
   test("connectedComponentsDF: random graph agrees with GraphX exactly; empty edges = all singletons") {
@@ -104,11 +147,14 @@ class GraphQueriesSpec extends SparkSpec {
     val edges = Seq.fill(150)((ids(rng.nextInt(ids.size)), ids(rng.nextInt(ids.size))))
       .toDF("src", "dst").withColumn("propVal", lit(1))
     val v = ids.toDF("id")
-    val viaDf = GraphQueries.connectedComponentsDF(spark, v, edges)
+    val viaDf = GraphQueries.connectedComponentsDF(spark, v, edges, localFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaGx = GraphQueries.connectedComponents(spark, v, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaDf == viaGx)
+    val viaEndgame = GraphQueries.connectedComponentsDF(spark, v, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaEndgame == viaGx)
 
     val none = GraphQueries.connectedComponentsDF(spark, v, edges.limit(0))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -41,6 +41,28 @@ class ClustersSpec extends SparkSpec {
       (9L, 9L, true)), s"got $out")
   }
 
+  test("clusters runs the DataFrame CC loop — no GraphX stage in its execution") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
+        stages.add(s.stageInfo.details)
+        s.stageInfo.rddInfos.foreach(r => stages.add(r.name + " " + r.scope.fold("")(_.name)))
+      }
+    }
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs  = (1L to 12L).toDF("doc_id")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.clusters(spark, pairs, Some(docs)).collect()
+      org.apache.spark.graft.TestSparkInternals.flushListenerBus(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val graphx = stages.toArray(Array.empty[String]).filter(_.toLowerCase.contains("graphx"))
+    assert(graphx.isEmpty, s"GraphX stages leaked into Dedup.clusters: ${graphx.take(2).mkString(" | ")}")
+    assert(!stages.isEmpty, "listener captured no stages — assertion would be vacuous")
+  }
+
   test("dropping keep=false rows leaves a corpus with no remaining near-dup pairs") {
     import spark.implicits._
     val docs = Seq(
