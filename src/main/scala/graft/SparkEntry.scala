@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ids.ZipWithIndex
-import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalysis, VectorOps}
+import graft.ops.{Decontaminate, Dedup, Multimodal, SimilaritySearch, TextAnalysis, VectorOps}
 import graft.rules._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -418,6 +418,17 @@ object SparkEntry {
       val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
       val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
       graft.graph.GraphQueries.connectedComponentsDF(s, v.select("id"), e)
+    }),
+
+    // eval-set decontamination: every-20th document plays the benchmark
+    // corpus; training docs sharing >= 5 distinct 3-grams with any eval doc
+    // are flagged. Asymmetric probe: eval grams built once + bloom-pruned
+    // training postings (map-side) before the gram join
+    "q62_decontaminate" -> ((s, dir) => {
+      val docs  = T(s, dir, "documents")
+      val train = docs.where(col("doc_id") % 20 =!= 0)
+      val ev    = docs.where(col("doc_id") % 20 === 0)
+      Decontaminate.overlap(train, ev, n = 3, minShared = 5L)
     }),
 
     // graph query surface: PageRank (GraphX). On the bidirectional
@@ -1413,6 +1424,26 @@ object SparkEntry {
       """SELECT s_suppkey AS id,
         |  min(s_suppkey) OVER (PARTITION BY s_nationkey) AS component
         |FROM supplier""".stripMargin,
+
+    "q62_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), ev AS (SELECT id AS eval_id, unnest(sh) AS gram FROM sh WHERE id % 20 = 0),
+        |tr AS (SELECT id, unnest(sh) AS gram FROM sh WHERE id % 20 <> 0),
+        |pairs AS (
+        |  SELECT tr.id AS doc_id, ev.eval_id, count(*) AS shared
+        |  FROM tr JOIN ev USING (gram) GROUP BY 1, 2 HAVING count(*) >= 5
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_matches, max(shared) AS mx FROM pairs GROUP BY 1
+        |)
+        |SELECT t.doc_id, coalesce(n_matches, 0) AS n_eval_matches,
+        |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
+        |LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // k-regular components' PageRank fixed point (1.0 connected, resetProb
     // isolated), scaled by GraphX's sum-to-N normalization: N / mass where

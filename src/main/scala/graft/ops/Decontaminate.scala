@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination — the pre-training hygiene step: flag training
+  * documents that share at least `minShared` word n-grams with any document
+  * of a benchmark/eval corpus, so they can be dropped (or quarantined)
+  * before the eval is trusted. Published LM pipelines do exactly this
+  * n-gram-overlap screen (the GPT-3/PaLM reports describe 8–13-gram
+  * collision checks between training shards and eval sets).
+  *
+  * Scale shape (the asymmetric probe, same discipline as
+  * [[Dedup.incrementalFromSketches]]): the eval corpus is small (thousands
+  * of documents) and the training corpus is the 100-TB side, so
+  *  1. eval n-gram postings are built once and tracked-persisted — they are
+  *     the probe target, never the shuffled bulk;
+  *  2. training postings are pruned MAP-SIDE by a bloom filter over the
+  *     eval grams ([[org.apache.spark.sql.graft.BloomFilterOps]], no false
+  *     negatives) before their shuffle — only training grams that might
+  *     occur in the eval corpus ever leave the scan stage;
+  *  3. the surviving postings equi-join on the gram and count matches per
+  *     (train doc, eval doc) pair — skew is bounded by the eval side's
+  *     per-gram document frequency, which is eval-corpus-sized.
+  * No all-pairs comparison anywhere; hot grams are never windowed.
+  */
+object Decontaminate {
+
+  /** Distinct word n-gram postings (id, gram) per document — the codegen
+    * explode(sequence) + slice/array_join shape shared with
+    * [[Dedup.ngramJaccardPairs]] (HOF shingles are interpreted; this stays
+    * inside whole-stage codegen). Documents shorter than `n` tokens
+    * contribute their full token sequence as a single (short) gram.
+    */
+  def gramPostings(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 8
+  ): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    df.select(col(idCol).as("id"), toks.as("_toks"))
+      .select(
+        col("id"),
+        col("_toks"),
+        explode(sequence(lit(0), greatest(size(col("_toks")) - n, lit(0)))).as("_i"))
+      .select(col("id"), array_join(slice(col("_toks"), col("_i") + 1, lit(n)), " ").as("gram"))
+      .distinct()
+  }
+
+  /** Contamination evidence pairs: (doc_id, eval_id, shared) — training
+    * document × eval document sharing `shared >= minShared` distinct
+    * n-grams. This is the audit-trail form: which eval item leaked, with
+    * how much overlap.
+    */
+  def overlapPairs(
+      train: DataFrame,
+      evalSet: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 8,
+      minShared: Long = 1L,
+      bloomItems: Long = 1000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFilterOps
+    // tracked persist: the eval postings feed the bloom build AND the join
+    val evalGrams = graft.Caches.track(
+      gramPostings(evalSet, textCol, idCol, n).select(col("id").as("eval_id"), col("gram")))
+    val trainGrams = gramPostings(train, textCol, idCol, n)
+    val pruned = BloomFilterOps.build(evalGrams, Seq(col("gram")), expectedItems = bloomItems) match {
+      case Some(bloom) => trainGrams.where(BloomFilterOps.mightContain(bloom, Seq(col("gram"))))
+      case None        => trainGrams.limit(0) // empty eval set: nothing can leak
+    }
+    pruned
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("id").as("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
+  /** Per-training-document verdict over the full training universe:
+    * (doc_id, n_eval_matches, max_shared, contaminated). `contaminated`
+    * is true iff some eval document shares >= `minShared` n-grams;
+    * untouched documents report (0, 0, false), so `where(!contaminated)`
+    * is the cleaned corpus.
+    */
+  def overlap(
+      train: DataFrame,
+      evalSet: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 8,
+      minShared: Long = 1L,
+      bloomItems: Long = 1000000L
+  ): DataFrame = {
+    val pairs = overlapPairs(train, evalSet, textCol, idCol, n, minShared, bloomItems)
+    val agg = pairs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n_matches"), max(col("shared")).as("_max_shared"))
+    train.select(col(idCol).as("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("_n_matches"), lit(0L)).as("n_eval_matches"),
+        coalesce(col("_max_shared"), lit(0L)).as("max_shared"),
+        col("_n_matches").isNotNull.as("contaminated"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("overlapPairs counts distinct shared n-grams; threshold filters") {
+    val train = docs(
+      (1L, "the cat sat on the mat today"),          // shares 3-grams with eval 100
+      (2L, "completely different words entirely here now"),
+      (3L, "the cat sat on the mat")                 // shares with eval 100 too
+    )
+    val ev = docs((100L, "the cat sat on the mat yesterday"))
+    val out = Decontaminate.overlapPairs(train, ev, n = 3, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // "the cat sat","cat sat on","sat on the","on the mat" = 4 shared each
+    assert(out == Set((1L, 100L, 4L), (3L, 100L, 4L)), s"got $out")
+  }
+
+  test("overlap verdict covers the full training universe with keep/drop semantics") {
+    val train = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta unrelated tail"))
+    val ev = docs((9L, "alpha beta gamma delta epsilon eta"))
+    val out = Decontaminate.overlap(train, ev, n = 3, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out == Set(
+      (1L, 1L, 3L, true),  // shares "alpha beta gamma","beta gamma delta","gamma delta epsilon"
+      (2L, 0L, 0L, false),
+      (3L, 1L, 2L, true)), s"got $out")
+  }
+
+  test("bloom prune is no-false-negative: matches a brute-force gram intersection") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("data", "spark", "scale", "join", "graph", "text", "model", "train", "eval", "clean")
+    def sentence() = Seq.fill(12)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val evRows = (100L to 110L).map(i => (i, sentence()))
+    // every third train doc plagiarizes a 7-token span of some eval doc —
+    // the contamination the operator exists to catch; the rest are random
+    val train = (1L to 60L).map { i =>
+      val t = sentence()
+      if (i % 3 == 0) {
+        val src = evRows((i % evRows.size).toInt)._2.split(" ").take(7).mkString(" ")
+        (i, src + " " + t.split(" ").drop(7).mkString(" "))
+      } else (i, t)
+    }.toDF("doc_id", "text")
+    val ev = evRows.toDF("doc_id", "text")
+
+    val fast = Decontaminate.overlapPairs(train, ev, n = 3, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Decontaminate.gramPostings(train, n = 3).groupBy("id").agg(collect_set("gram").as("g"))
+      .crossJoin(
+        Decontaminate.gramPostings(ev, n = 3).groupBy("id").agg(collect_set("gram").as("ge"))
+          .select(col("id").as("eid"), col("ge")))
+      .select(col("id"), col("eid"), size(array_intersect(col("g"), col("ge"))).cast("long").as("shared"))
+      .where(col("shared") >= 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == brute, s"fast-brute=${(fast -- brute).take(3)} brute-fast=${(brute -- fast).take(3)}")
+    assert(brute.nonEmpty, "degenerate fixture: brute force found nothing")
+  }
+
+  test("empty eval set flags nothing; everything survives") {
+    val train = docs((1L, "a b c d"), (2L, "e f g h"))
+    val ev    = docs()
+    val out = Decontaminate.overlap(train, ev, n = 3, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    assert(out == Set((1L, false), (2L, false)), s"got $out")
+  }
+}
