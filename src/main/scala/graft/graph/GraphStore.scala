@@ -121,14 +121,17 @@ class EdgeStore(spark: SparkSession, basePath: String) {
   ): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$basePath/label=$label")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.io.AtomicSwap.heal(fs, dir)
-    if (!fs.exists(dir)) return
-    val bytes  = fs.getContentSummary(dir).getLength
-    val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
-    val tmp    = graft.io.AtomicSwap.scratch(dir)
-    read(label).repartition(nFiles, col(EdgeColumns.Src))
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    graft.io.AtomicSwap.swapIn(fs, dir, hooks)
+    graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+      graft.io.AtomicSwap.heal(fs, dir)
+      if (fs.exists(dir)) {
+        val bytes  = fs.getContentSummary(dir).getLength
+        val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
+        val tmp    = graft.io.AtomicSwap.scratch(dir)
+        read(label).repartition(nFiles, col(EdgeColumns.Src))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        graft.io.AtomicSwap.swapIn(fs, dir, hooks)
+      }
+    }
   }
 
   /** Deletes every edge touching one of the given vertex ids (delete-mode
@@ -142,13 +145,15 @@ class EdgeStore(spark: SparkSession, basePath: String) {
   ): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$basePath/label=$label")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.io.AtomicSwap.heal(fs, dir)
-    val ids = vertexIds.select(col("id"))
-    val remaining = read(label)
-      .join(broadcast(ids), col(EdgeColumns.Src) === col("id"), "left_anti")
-      .join(broadcast(ids), col(EdgeColumns.Dst) === col("id"), "left_anti")
-    remaining.write.mode(SaveMode.Overwrite).parquet(graft.io.AtomicSwap.scratch(dir).toString)
-    graft.io.AtomicSwap.swapIn(fs, dir, hooks)
+    graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+      graft.io.AtomicSwap.heal(fs, dir)
+      val ids = vertexIds.select(col("id"))
+      val remaining = read(label)
+        .join(broadcast(ids), col(EdgeColumns.Src) === col("id"), "left_anti")
+        .join(broadcast(ids), col(EdgeColumns.Dst) === col("id"), "left_anti")
+      remaining.write.mode(SaveMode.Overwrite).parquet(graft.io.AtomicSwap.scratch(dir).toString)
+      graft.io.AtomicSwap.swapIn(fs, dir, hooks)
+    }
   }
 }
 

@@ -150,7 +150,13 @@ class IdManager(spark: SparkSession, config: IdManagerConfig) {
     // range is given, over the pruned range otherwise — both already being
     // scanned for the join, so the extra single-column partial max is
     // marginal). A sidecar below that bound is stale: degrade loudly and use
-    // the scan.
+    // the scan. The bound is RANGE-LOCAL when a loadedRange is given: an
+    // out-of-band writer that appended higher ids only in partitions
+    // OUTSIDE the pruned range still evades it. Ids grow with load order
+    // (new batches land in the latest partitions), so a higher max outside
+    // the loaded range implies time-travel by the foreign writer —
+    // accepted residual risk; widen the range (or pass none) to re-derive
+    // from the full table when auditing after an out-of-band write.
     val lastMax = readMaxIdSidecar() match {
       case Some(sc) =>
         val scanned = fetchId(loaded)
@@ -201,13 +207,15 @@ class IdManager(spark: SparkSession, config: IdManagerConfig) {
     dirs.foreach { d =>
       val dir = new org.apache.hadoop.fs.Path(d)
       val fs  = dir.getFileSystem(conf)
-      val bytes  = fs.getContentSummary(dir).getLength
-      val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
-      // partition values live in the dir name, not the files — rewrite the
-      // leaf dir's row set as-is
-      spark.read.parquet(d).coalesce(nFiles)
-        .write.mode(SaveMode.Overwrite).parquet(graft.io.AtomicSwap.scratch(dir).toString)
-      graft.io.AtomicSwap.swapIn(fs, dir, hooks)
+      graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        val bytes  = fs.getContentSummary(dir).getLength
+        val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
+        // partition values live in the dir name, not the files — rewrite the
+        // leaf dir's row set as-is
+        spark.read.parquet(d).coalesce(nFiles)
+          .write.mode(SaveMode.Overwrite).parquet(graft.io.AtomicSwap.scratch(dir).toString)
+        graft.io.AtomicSwap.swapIn(fs, dir, hooks)
+      }
     }
   }
 

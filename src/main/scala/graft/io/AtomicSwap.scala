@@ -22,8 +22,48 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Contrast with the previous delete-then-rename, whose crash window left
   * NO directory under the live name and the only copy in a scratch dir
   * that partition discovery could also see.
+  *
+  * SINGLE WRITER per directory: the crash-safety argument above assumes
+  * one maintenance process at a time — two concurrent swaps on the same
+  * dir could each treat the other's aside copy as a stale leftover and
+  * delete the only pre-swap copy. Callers therefore wrap the whole
+  * write-scratch → swap sequence in [[withMaintenanceLock]], which
+  * fail-fasts (instead of interleaving) when another writer holds the
+  * dir's lock file.
   */
 object AtomicSwap {
+
+  /** Dot-prefixed lock file marking an in-flight maintenance rewrite of
+    * `dir` (invisible to file/partition discovery, like [[scratch]]).
+    */
+  def lockPath(dir: Path): Path = new Path(dir.getParent, s".${dir.getName}.lock")
+
+  /** Runs `body` holding `dir`'s maintenance lock. Acquisition is an
+    * atomic create-if-absent ([[FileSystem.createNewFile]]), so of two
+    * concurrent maintenance calls exactly one proceeds and the other
+    * fails fast with [[ConcurrentMaintenanceException]] — interleaved
+    * swaps (which could delete the only pre-swap copy) cannot happen.
+    * The lock is released on success AND failure; only a process crash
+    * mid-body leaves it behind, in which case the next call fails with a
+    * message telling the operator to remove the stale file after
+    * confirming no writer is alive (the crashed swap itself is healed
+    * automatically by [[heal]] once the lock is cleared).
+    */
+  def withMaintenanceLock[A](fs: FileSystem, dir: Path)(body: => A): A = {
+    val lock = lockPath(dir)
+    val acquired =
+      try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+    if (!acquired)
+      throw new ConcurrentMaintenanceException(
+        s"maintenance lock $lock is already held — another compaction/cleanup is " +
+          s"running on $dir, or a previous one crashed; delete the lock file after " +
+          "confirming no other writer is alive")
+    try body
+    finally { fs.delete(lock, false); () }
+  }
+
+  class ConcurrentMaintenanceException(msg: String) extends IllegalStateException(msg)
 
   /** Crash-injection points for specs: each is invoked immediately before
     * the step it names; a spec subclass throws to simulate dying there.

@@ -42,17 +42,44 @@ class MetaServer(
     allowedPathRoots: Seq[String] = Nil
 ) {
 
-  private def normalizePath(p: String): String =
-    java.nio.file.Paths.get(p).normalize.toString
+  /** Canonical form used for the confinement compare: Hadoop-qualified
+    * (scheme + authority resolved against the server's filesystem config,
+    * so `file:///x`, `/x`, and `file:/x` all compare equal) and, for local
+    * paths, symlink-resolved via `toRealPath` — a symlink planted under an
+    * allowed root cannot alias a target outside it. Non-existent suffixes
+    * are resolved against their deepest existing ancestor (the root itself
+    * may not exist yet; the attack needs an existing link to follow).
+    */
+  private def canonical(p: String): String = {
+    val hPath     = new org.apache.hadoop.fs.Path(p)
+    val fs        = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(hPath)
+    if (qualified.toUri.getScheme == "file") {
+      import java.nio.file.{Files, Paths => JPaths}
+      val nio = JPaths.get(qualified.toUri.getPath).normalize
+      val real =
+        try nio.toRealPath()
+        catch {
+          case _: java.io.IOException =>
+            var base = nio.getParent
+            while (base != null && !Files.exists(base)) base = base.getParent
+            if (base == null) nio
+            else
+              try base.toRealPath().resolve(base.relativize(nio)).normalize
+              catch { case _: java.io.IOException => nio }
+        }
+      "file:" + real.toString
+    } else qualified.toUri.toString
+  }
 
   // roots a per-request override may point under; the configured stores
   // are always allowed
   private val pathRoots: Seq[String] =
-    (Seq(vertexTablePath, edgeBasePath) ++ allowedPathRoots).map(normalizePath)
+    (Seq(vertexTablePath, edgeBasePath) ++ allowedPathRoots).map(canonical)
 
   private def underAllowedRoot(p: String): Boolean = {
-    val norm = normalizePath(p)
-    pathRoots.exists(r => norm == r || norm.startsWith(r + "/"))
+    val canon = canonical(p)
+    pathRoots.exists(r => canon == r || canon.startsWith(r + "/"))
   }
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(host, port), 0)

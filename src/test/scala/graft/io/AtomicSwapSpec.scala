@@ -80,6 +80,39 @@ class AtomicSwapSpec extends SparkSpec {
     assert(rows(store) == (3L to 10L).toSet)
   }
 
+  test("concurrent maintenance on one dir fails fast instead of interleaving") {
+    val base  = tempDir("swap-lock")
+    val store = new EdgeStore(spark, s"$base/edges")
+    store.write(edges(10), "sim")
+    val before = rows(store)
+    val fs  = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/edges/label=sim")
+
+    // writer A holds the lock; writer B's compact must refuse up front —
+    // before touching scratch or aside dirs
+    AtomicSwap.withMaintenanceLock(fs, dir) {
+      val ex = intercept[AtomicSwap.ConcurrentMaintenanceException] { store.compact("sim") }
+      assert(ex.getMessage.contains("lock"), ex.getMessage)
+      assert(rows(store) == before, "refused maintenance must not have touched the store")
+    }
+    // lock released on A's exit: maintenance proceeds again
+    store.compact("sim")
+    assert(rows(store) == before)
+  }
+
+  test("the maintenance lock is released when the body fails (crashed-swap heal still works)") {
+    val base  = tempDir("swap-lock-rel")
+    val store = new EdgeStore(spark, s"$base/edges")
+    store.write(edges(10), "sim")
+    val before = rows(store)
+    intercept[Boom] { store.compact("sim", hooks = crashAt("swapIn")) }
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(AtomicSwap.lockPath(new org.apache.hadoop.fs.Path(s"$base/edges/label=sim"))),
+      "lock must not outlive the failed call")
+    store.compact("sim") // heals and completes — not blocked by a stale lock
+    assert(rows(store) == before)
+  }
+
   test("IdManager.compactPartitions heals a partition that crashed mid-swap") {
     import spark.implicits._
     val dir = tempDir("swap-e")

@@ -93,6 +93,24 @@ class MetaServerSpec extends SparkSpec {
       // in-root overrides still work
       val (stOk, _) = httpGet(s"http://127.0.0.1:$port/info?edgePath=$work/edges")
       assert(stOk == 200)
+
+      // a symlink PLANTED UNDER an allowed root must not alias targets
+      // outside it: the compare is on the resolved (real) path, not the
+      // lexical one
+      val link = java.nio.file.Paths.get(work, "edges", "sneaky")
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get("/etc"))
+      try {
+        assert(errOf(s"http://127.0.0.1:$port/info?edgePath=$work/edges/sneaky", None) == 403)
+        // ...including non-existent suffixes below the link
+        assert(errOf(s"http://127.0.0.1:$port/info?edgePath=$work/edges/sneaky/sub", None) == 403)
+      } finally java.nio.file.Files.delete(link)
+
+      // scheme-qualified spellings of an in-root path are the SAME path,
+      // not a literal mismatch: file:// must neither bypass confinement
+      // nor 403 a legitimate root
+      val (stQ, _) = httpGet(s"http://127.0.0.1:$port/info?edgePath=file://$work/edges")
+      assert(stQ == 200, "scheme-qualified in-root override must pass")
+      assert(errOf(s"http://127.0.0.1:$port/info?edgePath=file:///etc", None) == 403)
     } finally srv.stop()
   }
 }
