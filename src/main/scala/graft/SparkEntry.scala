@@ -431,6 +431,17 @@ object SparkEntry {
       Decontaminate.overlap(train, ev, n = 3, minShared = 5L)
     }),
 
+    // exact-substring contamination: rolling 8-token md5 fingerprints
+    // joined train × eval — one shared window is a verbatim 8-token
+    // quotation of an eval doc (position-free exact-substring evidence,
+    // complementing q62's distributed n-gram overlap)
+    "q63_decontaminate_substr" -> ((s, dir) => {
+      val docs  = T(s, dir, "documents")
+      val train = docs.where(col("doc_id") % 20 =!= 0)
+      val ev    = docs.where(col("doc_id") % 20 === 0)
+      Decontaminate.substringOverlap(train, ev, window = 8)
+    }),
+
     // graph query surface: PageRank (GraphX). On the bidirectional
     // same-nation clique graph every component is k-regular, so the raw
     // fixed point is exactly 1.0 per connected vertex and resetProb (0.15)
@@ -1437,6 +1448,26 @@ object SparkEntry {
         |pairs AS (
         |  SELECT tr.id AS doc_id, ev.eval_id, count(*) AS shared
         |  FROM tr JOIN ev USING (gram) GROUP BY 1, 2 HAVING count(*) >= 5
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_matches, max(shared) AS mx FROM pairs GROUP BY 1
+        |)
+        |SELECT t.doc_id, coalesce(n_matches, 0) AS n_eval_matches,
+        |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
+        |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q63_decontaminate_substr" ->
+      """WITH fp AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 8, 0) + 1),
+        |      i -> md5(array_to_string(toks[(i + 1):(i + 8)], ' ')))) AS fps
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), ev AS (SELECT id AS eval_id, unnest(fps) AS fp FROM fp WHERE id % 20 = 0),
+        |tr AS (SELECT id, unnest(fps) AS fp FROM fp WHERE id % 20 <> 0),
+        |pairs AS (
+        |  SELECT tr.id AS doc_id, ev.eval_id, count(*) AS shared
+        |  FROM tr JOIN ev USING (fp) GROUP BY 1, 2 HAVING count(*) >= 1
         |), agg AS (
         |  SELECT doc_id, count(*) AS n_matches, max(shared) AS mx FROM pairs GROUP BY 1
         |)

@@ -53,6 +53,46 @@ object Decontaminate {
     * n-grams. This is the audit-trail form: which eval item leaked, with
     * how much overlap.
     */
+  /** Shared probe core: training postings (doc_id, key) vs eval postings
+    * (eval_id, key). Eval postings are tracked-persisted (they feed the
+    * bloom build AND the join); training postings are bloom-pruned
+    * MAP-SIDE before their shuffle (no false negatives).
+    */
+  private def probeCount(
+      trainPost: DataFrame,
+      evalPost: DataFrame,
+      keyCol: String,
+      minShared: Long,
+      bloomItems: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFilterOps
+    val evalKeys = graft.Caches.track(evalPost)
+    val pruned = BloomFilterOps.build(evalKeys, Seq(col(keyCol)), expectedItems = bloomItems) match {
+      case Some(bloom) => trainPost.where(BloomFilterOps.mightContain(bloom, Seq(col(keyCol))))
+      case None        => trainPost.limit(0) // empty eval set: nothing can leak
+    }
+    pruned
+      .join(evalKeys, Seq(keyCol))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
+  /** Folds evidence pairs into the per-training-document verdict over the
+    * full `train` universe (see [[overlap]] for the column contract).
+    */
+  private def toVerdict(train: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val agg = pairs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n_matches"), max(col("shared")).as("_max_shared"))
+    train.select(col(idCol).as("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("_n_matches"), lit(0L)).as("n_eval_matches"),
+        coalesce(col("_max_shared"), lit(0L)).as("max_shared"),
+        col("_n_matches").isNotNull.as("contaminated"))
+  }
+
   def overlapPairs(
       train: DataFrame,
       evalSet: DataFrame,
@@ -61,22 +101,11 @@ object Decontaminate {
       n: Int = 8,
       minShared: Long = 1L,
       bloomItems: Long = 1000000L
-  ): DataFrame = {
-    import org.apache.spark.sql.graft.BloomFilterOps
-    // tracked persist: the eval postings feed the bloom build AND the join
-    val evalGrams = graft.Caches.track(
-      gramPostings(evalSet, textCol, idCol, n).select(col("id").as("eval_id"), col("gram")))
-    val trainGrams = gramPostings(train, textCol, idCol, n)
-    val pruned = BloomFilterOps.build(evalGrams, Seq(col("gram")), expectedItems = bloomItems) match {
-      case Some(bloom) => trainGrams.where(BloomFilterOps.mightContain(bloom, Seq(col("gram"))))
-      case None        => trainGrams.limit(0) // empty eval set: nothing can leak
-    }
-    pruned
-      .join(evalGrams, Seq("gram"))
-      .groupBy(col("id").as("doc_id"), col("eval_id"))
-      .agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= minShared)
-  }
+  ): DataFrame =
+    probeCount(
+      gramPostings(train, textCol, idCol, n).select(col("id").as("doc_id"), col("gram")),
+      gramPostings(evalSet, textCol, idCol, n).select(col("id").as("eval_id"), col("gram")),
+      "gram", minShared, bloomItems)
 
   /** Per-training-document verdict over the full training universe:
     * (doc_id, n_eval_matches, max_shared, contaminated). `contaminated`
@@ -92,16 +121,48 @@ object Decontaminate {
       n: Int = 8,
       minShared: Long = 1L,
       bloomItems: Long = 1000000L
-  ): DataFrame = {
-    val pairs = overlapPairs(train, evalSet, textCol, idCol, n, minShared, bloomItems)
-    val agg = pairs.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("_n_matches"), max(col("shared")).as("_max_shared"))
-    train.select(col(idCol).as("doc_id")).distinct()
-      .join(agg, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("_n_matches"), lit(0L)).as("n_eval_matches"),
-        coalesce(col("_max_shared"), lit(0L)).as("max_shared"),
-        col("_n_matches").isNotNull.as("contaminated"))
-  }
+  ): DataFrame =
+    toVerdict(train, idCol,
+      overlapPairs(train, evalSet, textCol, idCol, n, minShared, bloomItems))
+
+  /** Exact-substring contamination evidence: (doc_id, eval_id, shared) —
+    * `shared` counts distinct `window`-token spans appearing VERBATIM in
+    * both documents (rolling md5 fingerprints,
+    * [[TextAnalysis.rollingFingerprintsExploded]]). Complements
+    * [[overlapPairs]]: one shared window is a position-free exact
+    * `window`-token quotation, stronger evidence than distributed n-gram
+    * overlap, and the shuffled key is a fixed-width digest instead of the
+    * gram text — cheaper postings at 100-TB scale.
+    */
+  def substringOverlapPairs(
+      train: DataFrame,
+      evalSet: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      window: Int = 8,
+      minShared: Long = 1L,
+      bloomItems: Long = 1000000L
+  ): DataFrame =
+    probeCount(
+      TextAnalysis.rollingFingerprintsExploded(train, textCol, idCol, window)
+        .select(col(idCol).as("doc_id"), col("fp")).distinct(),
+      TextAnalysis.rollingFingerprintsExploded(evalSet, textCol, idCol, window)
+        .select(col(idCol).as("eval_id"), col("fp")).distinct(),
+      "fp", minShared, bloomItems)
+
+  /** [[overlap]]-shaped verdict for [[substringOverlapPairs]]: flags
+    * training documents quoting >= `minShared` exact `window`-token spans
+    * of any eval document.
+    */
+  def substringOverlap(
+      train: DataFrame,
+      evalSet: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      window: Int = 8,
+      minShared: Long = 1L,
+      bloomItems: Long = 1000000L
+  ): DataFrame =
+    toVerdict(train, idCol,
+      substringOverlapPairs(train, evalSet, textCol, idCol, window, minShared, bloomItems))
 }

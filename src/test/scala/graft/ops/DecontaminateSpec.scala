@@ -67,6 +67,30 @@ class DecontaminateSpec extends SparkSpec {
     assert(brute.nonEmpty, "degenerate fixture: brute force found nothing")
   }
 
+  test("substringOverlap flags verbatim window quotations, not mere vocabulary overlap") {
+    val train = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta trailing words here"), // quotes ev 8-window
+      (2L, "theta eta zeta epsilon delta gamma beta alpha"),                     // same words, reversed
+      (3L, "totally unrelated content with nothing shared at all"))
+    val ev = docs((9L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val out = Decontaminate.substringOverlap(train, ev, window = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out == Set(
+      (1L, 1L, 1L, true),   // exactly the one 8-token window is shared
+      (2L, 0L, 0L, false),  // reversed order = no exact substring
+      (3L, 0L, 0L, false)), s"got $out")
+  }
+
+  test("substringOverlapPairs counts distinct shared windows across a longer quotation") {
+    // train doc embeds a 10-token eval span → 3 distinct 8-token windows
+    val span = "one two three four five six seven eight nine ten"
+    val train = docs((1L, s"prefix words then $span and a tail"))
+    val ev    = docs((9L, span))
+    val out = Decontaminate.substringOverlapPairs(train, ev, window = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 9L, 3L)), s"got $out")
+  }
+
   test("empty eval set flags nothing; everything survives") {
     val train = docs((1L, "a b c d"), (2L, "e f g h"))
     val ev    = docs()
