@@ -51,6 +51,31 @@ final case class GraftShell(spark: SparkSession, config: GraftConfig) {
     job.process(startDate, duration, loadedDays)
 
   def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Degree per vertex of one edge label (the shell's sanity query shape,
+    * `g.V().outE(label).count()`-style).
+    */
+  def degrees(label: String): DataFrame =
+    graft.graph.GraphQueries.degrees(edges(label))
+
+  /** Connected components of one edge label over the stored vertex set —
+    * the DataFrame alternating-star loop with local-finish endgame
+    * ([[graft.graph.GraphQueries.connectedComponentsDF]]): the recommended
+    * path at any graph size (spillable shuffles; exact driver union-find
+    * once the remnant is broadcast-sized). GraphX
+    * ([[graft.graph.GraphQueries.connectedComponents]]) remains available
+    * for explicitly-small in-memory graphs.
+    */
+  def components(label: String): DataFrame =
+    graft.graph.GraphQueries.connectedComponentsDF(
+      spark, vertices.select("id"), edges(label))
+
+  /** PageRank of one edge label (GraphX — iterative vertex programs keep
+    * their state co-partitioned there; exploration surface, not the dedup
+    * hot path).
+    */
+  def pageRank(label: String, numIter: Int = 20): DataFrame =
+    graft.graph.GraphQueries.pageRank(spark, vertices.select("id"), edges(label), numIter)
 }
 
 object GraftShell {
@@ -70,7 +95,8 @@ object GraftShell {
       s"""graft shell ready
          |  vertices : ${config.idManager.dataPath}/${config.idManager.tableName}
          |  edges    : ${config.edgeBasePath} (labels: ${shell.edgeLabels.mkString(", ")})
-         |  helpers  : .vertices .edges(label) .info .run(date) .sql(q)""".stripMargin)
+         |  helpers  : .vertices .edges(label) .info .run(date) .sql(q)
+         |             .degrees(label) .components(label) .pageRank(label)""".stripMargin)
     shell
   }
 }

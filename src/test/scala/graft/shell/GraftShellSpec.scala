@@ -38,6 +38,11 @@ class GraftShellSpec extends SparkSpec {
     // registered SQL surface works through the shell
     val c = g.sql("SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
     assert(c.getDouble(0) == 1.0)
+    // graph exploration helpers: both same-cdsxmatch vertices form one
+    // component; each has degree 1 on the bidirectional edge pair
+    assert(g.degrees("similarity").collect().map(_.getLong(1)).toSeq == Seq(1L, 1L))
+    val comp = g.components("similarity").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 2 && comp.values.toSet.size == 1, s"got $comp")
     // empty-safe before any load
     val g2 = GraftShell.bind(spark, graft.config.ConfigLoader.load(confPath)
       .copy(idManager = graft.ids.IdManagerConfig(s"$work/none", "vertices")))
