@@ -442,6 +442,14 @@ object SparkEntry {
       Decontaminate.substringOverlap(train, ev, window = 8)
     }),
 
+    // corpus-statistics LM quality scoring (perplexity proxy): bigram LM
+    // trained on the documents corpus, every document scored by mean
+    // log-probability — the model-free CCNet-style quality filter
+    "q64_text_lm_score" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.bigramLmScore(docs, docs)
+    }),
+
     // graph query surface: PageRank (GraphX). On the bidirectional
     // same-nation clique graph every component is k-regular, so the raw
     // fixed point is exactly 1.0 per connected vertex and resetProb (0.15)
@@ -1455,6 +1463,24 @@ object SparkEntry {
         |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q64_text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+        |), sp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(t) - 1), j -> t[j + 1])) AS w1,
+        |    unnest(list_transform(range(len(t) - 1), j -> t[j + 2])) AS w2
+        |  FROM toks
+        |), bi AS (SELECT w1, w2, count(*) AS c2 FROM sp GROUP BY 1, 2),
+        |pre AS (SELECT w1, sum(c2) AS c1 FROM bi GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w2) AS v FROM bi)
+        |SELECT sp.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((c2 + 1.0) / (c1 + voc.v))), 6) AS avg_logprob
+        |FROM sp JOIN bi USING (w1, w2) JOIN pre USING (w1) CROSS JOIN voc
+        |GROUP BY 1""".stripMargin,
 
     "q63_decontaminate_substr" ->
       """WITH fp AS (

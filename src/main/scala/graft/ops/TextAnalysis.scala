@@ -195,6 +195,59 @@ object TextAnalysis {
       .agg(round(sum(col("_s")), 6).as("bm25"))
   }
 
+  /** Corpus-statistics language-model quality scoring (the CCNet-style
+    * perplexity-proxy filter, model-free): train a Laplace-smoothed bigram
+    * LM on `corpus` — P(w2|w1) = (C(w1 w2)+a) / (C(w1 ·)+a·V) with
+    * C(w1 ·) the bigram-prefix count and V the continuation vocabulary —
+    * and score each document of `docs` by its mean log-probability.
+    * Low `avg_logprob` = improbable word sequences (garbled text, spam,
+    * wrong-language shards) → the rows a quality threshold drops. Returns
+    * (doc_id, n_bigrams, avg_logprob); documents with fewer than two
+    * tokens have no bigram and are absent.
+    *
+    * Scale shape: the MODEL is two aggregated count tables bounded by
+    * vocabulary (≪ corpus bytes) — one groupBy each; V is one scalar
+    * aggregate. The SCORE join matches each document bigram occurrence to
+    * exactly one count row (pre-aggregated build side: no fan-out, no hot
+    * key explosion; broadcast when small, AQE-planned shuffle otherwise),
+    * then one map-side-combinable average per document. Train once, score
+    * any number of shards — the corpus is never rescanned per document.
+    */
+  def bigramLmScore(
+      corpus: DataFrame,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      smoothing: Double = 1.0
+  ): DataFrame = {
+    // same codegen explode shape as the gram/fingerprint operators
+    def bigrams(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val toks = split(lower(trim(col(textCol))), "\\s+")
+      df.select(cols :+ toks.as("_toks"): _*)
+        .where(size(col("_toks")) >= 2)
+        .select(
+          (cols :+ explode(sequence(lit(0), size(col("_toks")) - 2)).as("_i")) :+ col("_toks"): _*)
+        .select(
+          cols :+ element_at(col("_toks"), col("_i") + 1).as("w1")
+               :+ element_at(col("_toks"), col("_i") + 2).as("w2"): _*)
+    }
+    // tracked persist: the bigram count table feeds the prefix rollup, the
+    // vocabulary scalar, AND the score join
+    val bi = graft.Caches.track(
+      bigrams(corpus, Seq.empty).groupBy("w1", "w2").agg(count(lit(1)).as("_c2")))
+    val prefix = bi.groupBy("w1").agg(sum(col("_c2")).as("_c1"))
+    val vocab  = bi.select(countDistinct(col("w2"))).head.getLong(0)
+    bigrams(docs, Seq(col(idCol)))
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left")
+      .withColumn(
+        "_lp",
+        log((coalesce(col("_c2"), lit(0L)) + smoothing) /
+          (coalesce(col("_c1"), lit(0L)) + smoothing * vocab)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("_lp")), 6).as("avg_logprob"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

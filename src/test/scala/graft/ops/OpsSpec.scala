@@ -231,6 +231,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.length == 2) // windows: a b c d, b c d e
     assert(fps.distinct.length == 2)
   }
+
+  test("bigramLmScore matches the hand-computed Laplace bigram LM") {
+    import spark.implicits._
+    // corpus: "a b" ×3, "a c" ×1 → C(a b)=3, C(a c)=1, C(a ·)=4, V={b,c}=2
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(corpus, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sortBy(_._1)
+    val pAB = math.log((3.0 + 1) / (4.0 + 2)) // (c2+1)/(c1+V)
+    val pAC = math.log((1.0 + 1) / (4.0 + 2))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out == List(
+      (1L, 1L, r6(pAB)), (2L, 1L, r6(pAB)), (3L, 1L, r6(pAB)), (4L, 1L, r6(pAC))), s"got $out")
+  }
+
+  test("bigramLmScore ranks an improbable shuffle below in-distribution text; unseen bigrams score lowest") {
+    import spark.implicits._
+    val corpus = (1L to 40L).map(i => (i, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val probes = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // in-distribution
+      (102L, "dog lazy the over jumps fox brown quick the"), // reversed: unseen transitions
+      (103L, "the quick brown cat sleeps under a red car")   // mostly-unseen words
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.bigramLmScore(corpus, probes)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(101L) > s(102L), s"in-distribution must beat shuffled: $s")
+    assert(s(102L) >= s(103L) || s(101L) > s(103L), s"unseen-vocab text must rank low: $s")
+    // docs shorter than 2 tokens have no bigram and are absent
+    val short = TextAnalysis.bigramLmScore(corpus, Seq((9L, "word")).toDF("doc_id", "text"))
+    assert(short.isEmpty)
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
