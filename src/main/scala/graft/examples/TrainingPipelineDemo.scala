@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.ops._
 
 /** End-to-end training-data pipeline over the documents + embeddings
-  * tables: text analysis → quality filter → exact dedup → near-dup (minhash)
-  * removal → token accounting, plus ANN retrieval on the embedding side.
+  * tables: text analysis → quality filter (rule signals + corpus-LM
+  * perplexity proxy) → exact dedup → near-dup (minhash) removal →
+  * eval-set decontamination → token accounting, plus ANN retrieval on
+  * the embedding side.
   * Runnable: `sbt "runMain graft.examples.TrainingPipelineDemo [sfDir]"`.
   *
   * Every stage is one of the library operators; the demo shows how they
@@ -26,10 +28,15 @@ object TrainingPipelineDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"corpus: ${docs.count()} documents")
 
-    // 1. analyze + quality filter
+    // 1. analyze + quality filter: rule signals plus the corpus-LM
+    // perplexity proxy (drop the least-probable 5% of documents)
     val analyzed = TextAnalysis.analyze(docs)
-    val quality  = analyzed.where(col("quality_score") >= 0.5 && col("token_count") >= 10)
-    println(s"after quality filter: ${quality.count()}")
+    val lm = TextAnalysis.bigramLmScore(docs, docs)
+    val lmCut = lm.stat.approxQuantile("avg_logprob", Array(0.05), 0.001).head
+    val quality = analyzed
+      .where(col("quality_score") >= 0.5 && col("token_count") >= 10)
+      .join(lm.where(col("avg_logprob") >= lmCut).select("doc_id"), Seq("doc_id"))
+    println(s"after quality filter (incl. LM cut at ${math.rint(lmCut * 1e4) / 1e4}): ${quality.count()}")
 
     // 2. exact dedup by content hash (keep the min doc_id per fingerprint)
     val keep    = Dedup.exactByHash(quality).select(col("keep_id").as("doc_id"))
@@ -43,15 +50,25 @@ object TrainingPipelineDemo {
     val clean   = deduped.join(verdict.where(col("keep")).select("doc_id"), Seq("doc_id"))
     println(s"after near-dup removal: ${clean.count()}")
 
+    // 3b. eval-set decontamination: every-20th doc stands in for the
+    // benchmark corpus; drop training docs quoting 8-token spans of it
+    val evalSet = docs.where(col("doc_id") % 20 === 0)
+    val trainU  = clean.where(col("doc_id") % 20 =!= 0)
+    val decon = Decontaminate.substringOverlap(trainU, evalSet, window = 8)
+    val cleanDecon = trainU.join(
+      decon.where(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+    println(s"after decontamination: ${cleanDecon.count()} " +
+      s"(flagged ${decon.where(col("contaminated")).count()})")
+
     // 4. token accounting for the training budget
-    val budget = clean.agg(
+    val budget = cleanDecon.agg(
       sum("token_count").as("whitespace_tokens"),
       sum("bpeish_tokens").as("bpeish_tokens")).head()
     println(s"token budget: whitespace=${budget.getLong(0)} bpeish=${budget.getLong(1)}")
 
     // 4b. deterministic train/test split + concat-and-chunk packing of the
     // train side into 2048-token bins
-    val split  = Sampling.trainTestSplit(clean, col("doc_id"), testFraction = 0.1)
+    val split  = Sampling.trainTestSplit(cleanDecon, col("doc_id"), testFraction = 0.1)
     val train  = split.where(col("split") === "train")
     val packed = Packing.packSequences(train, col("token_count"), budget = 2048, streams = 8)
     val bins   = Packing.binStats(packed).count()
