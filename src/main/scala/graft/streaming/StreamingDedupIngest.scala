@@ -39,6 +39,16 @@ import graft.ops.{Dedup, HashFamily, TextAnalysis, XxHash}
   * State is the corpus + sketch tables themselves (like
   * [[StreamingIngest]]'s vertex table), so the query is restart-safe with
   * no custom state store.
+  *
+  * With `evalSet` supplied, each batch's novel documents are additionally
+  * screened for eval-set contamination ([[graft.ops.Decontaminate]],
+  * n-gram overlap at `decontaminateN`/`decontaminateMinShared`) BEFORE
+  * entering the corpus: contaminated documents are diverted to
+  * `quarantinePath` (batch-partitioned, replay-idempotent like every
+  * other output) instead of the corpus, so the accumulated corpus is
+  * decontaminated BY CONSTRUCTION rather than by a later sweep. The eval
+  * corpus is benchmark-sized and static; its postings rebuild per batch
+  * is one small job against an unchanging frame.
   */
 class StreamingDedupIngest(
     spark: SparkSession,
@@ -51,7 +61,11 @@ class StreamingDedupIngest(
     bands: Int = 4,
     shingleWidth: Int = 3,
     verifyThreshold: Double = 0.7,
-    hash: HashFamily = XxHash
+    hash: HashFamily = XxHash,
+    evalSet: Option[DataFrame] = None,
+    quarantinePath: Option[String] = None,
+    decontaminateN: Int = 8,
+    decontaminateMinShared: Long = 1L
 ) {
 
   private val bandsPath = s"$sketchPath/bands"
@@ -91,9 +105,21 @@ class StreamingDedupIngest(
     val dupPairs  = graft.Caches.track(Dedup.incrementalFromSketches(
       newSigs, histBands, histSh, numHashes, bands, verifyThreshold, hash))
 
-    val novel = reps.join(
+    val dedupNovel = reps.join(
       dupPairs.select(col("new_id")).distinct(),
       reps(idCol) === col("new_id"), "left_anti")
+
+    // 2b. eval-set decontamination gate: contaminated novel docs divert to
+    // quarantine and never enter the corpus or its sketch tables
+    val (novel, contaminated) = evalSet match {
+      case Some(ev) =>
+        val flaggedIds = graft.ops.Decontaminate
+          .overlapPairs(dedupNovel, ev, textCol, idCol, decontaminateN, decontaminateMinShared)
+          .select(col("doc_id")).distinct()
+        (dedupNovel.join(flaggedIds, dedupNovel(idCol) === flaggedIds("doc_id"), "left_anti"),
+          dedupNovel.join(flaggedIds, dedupNovel(idCol) === flaggedIds("doc_id"), "left_semi"))
+      case None => (dedupNovel, dedupNovel.limit(0))
+    }
     // novel documents' sketch rows extend the corpus sketch tables
     // (newSigs is persisted inside incrementalFromSketches — no re-sketch)
     val novelSigs = newSigs.join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi")
@@ -112,6 +138,7 @@ class StreamingDedupIngest(
     writeBatchPartition(dupPairs, dupsPath)
     writeBatchPartition(Dedup.bandBuckets(novelSigs, numHashes, bands, hash), bandsPath)
     writeBatchPartition(novelSigs.select(col("id"), col("sh")), shPath)
+    quarantinePath.foreach(p => writeBatchPartition(contaminated, p))
     graft.Caches.clear() // drop the operator's tracked sketch persists
   }
 

@@ -94,4 +94,36 @@ class StreamingDedupSpec extends SparkSpec {
     val dupsAfter = readDups()
     assert(dupsAfter == Set((10L, 0L), (11L, 2L)), s"got $dupsAfter")
   }
+
+  test("decontamination gate: contaminated novel docs divert to quarantine, never the corpus") {
+    import spark.implicits._
+    val work = tempDir("graft-sdedup-decon")
+    // eval doc 900; batch doc 1 quotes an 8-token span of it verbatim
+    val ev = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "pack my box with five dozen liquor jugs before the party"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta plus trailing novel words"),
+      (2L, "pack my box with five dozen liquor jugs before the party") // exact dup of 0
+    ).toDF("doc_id", "text")
+    val ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
+      s"$work/sketch", verifyThreshold = 0.5,
+      evalSet = Some(ev), quarantinePath = Some(s"$work/quarantine"))
+
+    ingest.ingestBatch(batch, batchId = 0)
+    val corpus = spark.read.parquet(s"$work/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus == Set(0L), s"contaminated doc 1 and dup 2 must not enter: $corpus")
+    val quarantined = spark.read.parquet(s"$work/quarantine").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(quarantined == Set(1L), s"got $quarantined")
+    // sketch tables track the decontaminated corpus only
+    val bandIds = spark.read.parquet(s"$work/sketch/bands").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(bandIds == Set(0L), s"sketches must exclude quarantined docs: $bandIds")
+
+    // replay idempotency holds for the quarantine output too
+    ingest.ingestBatch(batch, batchId = 0)
+    assert(spark.read.parquet(s"$work/quarantine").count() == 1L)
+    assert(spark.read.parquet(s"$work/corpus").count() == 1L)
+  }
 }
