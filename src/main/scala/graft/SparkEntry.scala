@@ -450,6 +450,32 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(docs, docs)
     }),
 
+    // corpus vocabulary table: distinct tokens with term frequency and
+    // document frequency — two pre-combined shuffles, no countDistinct
+    // Expand; output bounded by |vocabulary|
+    "q66_text_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(T(s, dir, "documents"), minDf = 2L)),
+
+    // skew-safe salted dimension join: the fact side is salted by a hash of
+    // its primary key (l_orderkey, l_linenumber) and the part dimension is
+    // replicated ×8, so a hot partkey spreads over 8 reducers instead of
+    // pinning one — with results identical to the plain equi-join, which is
+    // exactly what the oracle checks
+    "q65_skew_salted_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      val p = T(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      graft.ops.SkewJoin
+        .saltedJoin(li, p, Seq("p_partkey"),
+          saltSource = struct(col("l_orderkey"), col("l_linenumber")), salts = 8)
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
     // graph query surface: PageRank (GraphX). On the bidirectional
     // same-nation clique graph every component is k-regular, so the raw
     // fixed point is exactly 1.0 per connected vertex and resetProb (0.15)
@@ -1463,6 +1489,24 @@ object SparkEntry {
         |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q66_text_vocabulary" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks WHERE token <> ''
+        |GROUP BY token HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    // The salted join is result-identical to the plain equi-join by
+    // construction — the oracle IS the plain join, so any salting bug
+    // (lost/duplicated rows) hash-fails.
+    "q65_skew_salted_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
 
     "q64_text_lm_score" ->
       """WITH toks AS (

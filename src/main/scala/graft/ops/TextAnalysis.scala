@@ -248,6 +248,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("_lp")), 6).as("avg_logprob"))
   }
 
+  /** Corpus vocabulary: one row per distinct token with its total
+    * occurrence count (`tf`) and document frequency (`df`), optionally
+    * floored at `minDf` — the table a tokenizer trainer, stopword miner,
+    * or df-based pruning step starts from.
+    *
+    * Scale shape: count-distinct-by-document is computed as two
+    * pre-combined shuffles — (token, doc) partial counts first, then the
+    * token rollup — instead of `countDistinct`'s Expand encoding, so the
+    * widest intermediate is one row per distinct (token, doc) pair and
+    * both exchanges get map-side combine. Output is bounded by vocabulary
+    * size, not corpus size.
+    */
+  def vocabulary(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minDf: Long = 1L
+  ): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("_id"), explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    toks
+      .groupBy(col("token"), col("_id"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("token"))
+      .agg(sum(col("_c")).as("tf"), count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -261,6 +261,26 @@ class TextAnalysisSpec extends SparkSpec {
     val short = TextAnalysis.bigramLmScore(corpus, Seq((9L, "word")).toDF("doc_id", "text"))
     assert(short.isEmpty)
   }
+
+  test("vocabulary: tf/df counts, normalization, minDf floor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  The cat  sat on the MAT "),
+      (2L, "the dog"),
+      (3L, "cat cat")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(v("the") === ((3L, 2L)), "tf counts every occurrence, df distinct docs")
+    assert(v("cat") === ((3L, 2L)))
+    assert(v("dog") === ((1L, 1L)))
+    assert(v("mat") === ((1L, 1L)), "tokens are lowercased")
+    assert(!v.contains(""), "whitespace runs produce no empty token")
+    // minDf keeps only tokens seen in >= 2 documents
+    val floored = TextAnalysis.vocabulary(docs, minDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(floored === Set("the", "cat"))
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
