@@ -450,6 +450,47 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(docs, docs)
     }),
 
+    // Z-order layout rewrite (OPTIMIZE ZORDER BY as plain Spark): the
+    // hash-checkable contract is content preservation — the oracle is the
+    // identity projection, so a lost/duplicated row in the range exchange
+    // or partition-local sort hash-fails. Clustering quality (per-
+    // partition min-max spans on BOTH clustered columns) is asserted in
+    // LayoutSpec
+    "q69_zorder_layout" -> ((s, dir) =>
+      graft.io.Layout.zorderBy(
+        T(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
+        cols = Seq("l_partkey", "l_suppkey"),
+        numPartitions = 8)),
+
+    // PII scrubbing: the corpus itself is PII-free, so the query plants a
+    // deterministic email + IP + account number per document (the oracle
+    // plants the identical string) — redaction and the per-category counts
+    // are then hash-checked doing real work on every row
+    "q68_text_pii_redact" -> ((s, dir) => {
+      val tainted = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com via 10."), pmod(col("doc_id"), lit(200)),
+          lit(".0.7 acct "), (lit(4000000000L) + col("doc_id")).cast("string")).as("text"))
+      TextAnalysis.redactPii(tainted)
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_long_numbers"), col("clean_text"))
+    }),
+
+    // SemDeDup-style semantic dedup over the embedding corpus: block by the
+    // 4-bit LSH sign-projection bucket (the deterministic, oracle-
+    // replicable analogue of the paper's k-means cells), within-bucket
+    // cosine pairs at >= 0.25, min-id representative kept. Unlike the ANN
+    // gates, the full keep/drop decision is hash-checked row by row
+    "q67_dedup_semantic" -> ((s, dir) => {
+      val lsh = SimilaritySearch.RandomHyperplaneLsh(bits = 4, dim = 64, hash = activeHash)
+      Dedup.semanticDedup(
+        T(s, dir, "embeddings"),
+        bucketCol = lsh.bucketExpr(col("embedding").cast("array<double>")),
+        threshold = 0.25)
+    }),
+
     // corpus vocabulary table: distinct tokens with term frequency and
     // document frequency — two pre-combined shuffles, no countDistinct
     // Expand; output bounded by |vocabulary|
@@ -1489,6 +1530,45 @@ object SparkEntry {
         |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // Layout rewrite contract: same multiset of rows out as in.
+    "q69_zorder_layout" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem",
+
+    // Identical planted-PII construction, RE2-side regexes drawn from the
+    // same shared Java/RE2 subset as the Spark columns.
+    "q68_text_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com via 10.'
+        |      || (doc_id % 200) || '.0.7 acct ' || (4000000000 + doc_id) AS tx
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(tx, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(tx, '\b\d{9,}\b')) AS n_long_numbers,
+        |  regexp_replace(regexp_replace(regexp_replace(tx,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{9,}\b', '<NUM>', 'g') AS clean_text
+        |FROM t""".stripMargin,
+
+    // Same hyperplane rendering as q22 (portable Md5 family under Verify);
+    // the drop rule is the exact min-id-neighbor semantics of
+    // Dedup.semanticDedup, so the whole decision surface is hash-checked.
+    "q67_dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |be AS (SELECT vec_id, v, ${lshBucket("v")} AS bucket FROM e),
+         |pr AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v)
+         |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.25),
+         |d AS (SELECT id_b AS vec_id, count(*) AS n_smaller_dups FROM pr GROUP BY 1)
+         |SELECT be.vec_id, bucket,
+         |  coalesce(d.n_smaller_dups, 0) AS n_smaller_dups,
+         |  d.n_smaller_dups IS NULL AS keep
+         |FROM be LEFT JOIN d USING (vec_id)""".stripMargin,
 
     "q66_text_vocabulary" ->
       """WITH toks AS (

@@ -1,0 +1,89 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning (Z-order clustering).
+  *
+  * A 100-TB table is read through its file/partition min-max statistics:
+  * a predicate on a column prunes a file only if that file's value range
+  * for the column is narrow. Sorting by one column makes ITS ranges
+  * narrow and every other column's ranges full-width. Interleaving the
+  * bits of several columns into one Morton (Z-order) key and
+  * range-partitioning + sorting by it bounds EVERY participating column's
+  * per-file range — multiplying the prunable fraction for predicates on
+  * any of them. This is the layout step of lakehouse `OPTIMIZE ZORDER BY`,
+  * expressed as plain Spark: a codegen key expression, one
+  * `repartitionByRange` (sampled range boundaries — no global sort), and a
+  * partition-local sort.
+  *
+  * The reference engine has no layout optimizer — its scan-side pruning is
+  * date-partition-only (`core/.../services/IDManagerSparkService.scala`);
+  * this module is part of the beyond-parity scale surface.
+  */
+object Layout {
+
+  /** Morton key: each column is normalized to `bits` bits against its
+    * [min, max] (from `stats`), then bit b of column i lands at position
+    * `b * ncols + i` of the key. `bits * ncols` must fit a signed long.
+    */
+  private def mortonKey(cols: Seq[String], stats: Map[String, (Double, Double)], bits: Int): Column = {
+    val n        = cols.length
+    val scaleMax = (1L << bits) - 1
+    cols.zipWithIndex
+      .map { case (c, i) =>
+        val (lo, hi) = stats(c)
+        val range    = if (hi > lo) hi - lo else 1.0
+        val scaled = least(
+          greatest(
+            (((col(c).cast("double") - lit(lo)) / lit(range)) * lit(scaleMax.toDouble)).cast("long"),
+            lit(0L)),
+          lit(scaleMax))
+        (0 until bits)
+          .map(b => shiftleft(shiftright(scaled, b).bitwiseAND(lit(1L)), b * n + i))
+          .reduce(_ bitwiseOR _)
+      }
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Rewrite `df` into a Z-order-clustered layout over `cols` (numeric or
+    * date/timestamp-castable columns): `numPartitions` output partitions,
+    * each covering a compact hyper-rectangle of the key space, rows sorted
+    * by the Morton key within each. Write the result with any sink — the
+    * per-file min-max footers then prune on every clustered column.
+    *
+    * Cost shape: one scalar min/max aggregate over the clustered columns
+    * (layout-time only, map-side combined), then exactly one shuffle
+    * (range exchange on the key) and a spillable partition-local sort —
+    * no global sort, no driver materialization.
+    */
+  def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int, bits: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "zorderBy needs at least one column")
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    require(cols.length * bits <= 62, s"${cols.length} cols × $bits bits overflows the long key")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c")))
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = cols.zipWithIndex.map { case (c, i) =>
+      val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val hi = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+      c -> ((lo, hi))
+    }.toMap
+    val key = "_graft_zkey"
+    df.withColumn(key, mortonKey(cols, stats, bits))
+      .repartitionByRange(numPartitions, col(key))
+      .sortWithinPartitions(key)
+      .drop(key)
+  }
+
+  /** Per-partition [min, max] spans of `cols` — the statistics a reader's
+    * pruning sees. Diagnostic for layout quality (spec + tuning surface).
+    */
+  def partitionSpans(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c")))
+    df.withColumn("_pid", spark_partition_id())
+      .groupBy("_pid")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -614,4 +614,45 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** SemDeDup-style semantic dedup decision over an embedding corpus:
+    * block by a coarse bucket (callers pass an LSH sign-projection bucket —
+    * the deterministic, oracle-replicable analogue of the SemDeDup paper's
+    * k-means cells — or any cluster/label column), compute within-bucket
+    * cosine pairs at or above `threshold`, and DROP every vector that has a
+    * smaller-id in-bucket neighbor at that similarity (min-id
+    * representative — same deterministic orientation rule as the reference
+    * similarity join's `id1 > id2`, SimilarityClassifer.scala:59). Returns
+    * one row per input vector: (idCol, bucket, n_smaller_dups, keep).
+    *
+    * Scale shape: the pairwise compare is confined to bucket-equi-join
+    * partitions (no all-pairs); the drop decision is one groupBy on the
+    * pair frame plus one left join back to the corpus — both shuffles
+    * map-side combined. Bucket width controls the quadratic term exactly
+    * like the band/blocking keys of the text-dedup family.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      bucketCol: Column,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val base = graft.Caches.track(
+      df.select(col(idCol), bucketCol.as("bucket"), col(vecCol).cast("array<double>").as("_v")))
+    val a = base.select(col("bucket"), col(idCol).as("id_a"), col("_v").as("v_a"))
+    val b = base.select(col("bucket"), col(idCol).as("id_b"), col("_v").as("v_b"))
+    val pairs = a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .where(VectorOps.cosine(col("v_a"), col("v_b")) >= threshold)
+    val dropped = pairs
+      .groupBy(col("id_b").as(idCol))
+      .agg(count(lit(1)).as("n_smaller_dups"))
+    base.join(dropped, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("bucket"),
+        coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"),
+        col("n_smaller_dups").isNull.as("keep"))
+  }
 }

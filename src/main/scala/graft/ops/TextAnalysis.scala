@@ -248,6 +248,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("_lp")), 6).as("avg_logprob"))
   }
 
+  /** Email address pattern (alpha TLD required, so IPv4-shaped domains are
+    * NOT emails). Every pattern here stays inside the regex subset shared
+    * by Java's engine and RE2 (character classes, bounded repeats, `\b`) —
+    * no backrefs or lookaround — so external engines (and the DuckDB
+    * oracle) reproduce matches exactly.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 pattern (word-bounded). */
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Long digit runs (>= 9 digits): phone / account / card numbers. */
+  val longNumberPattern: String = "\\b\\d{9,}\\b"
+
+  /** PII scrubbing: redact email addresses, IPv4 addresses, and long digit
+    * runs with typed placeholders, and report per-category match counts
+    * (counted on the ORIGINAL text, so categories never steal each other's
+    * matches). Redaction applies email → IP → number, so an IP inside an
+    * already-redacted email cannot double-fire.
+    *
+    * Scale shape: pure codegen Column projections (regexp_count /
+    * regexp_replace) — map-side, zero shuffle, linear in corpus bytes.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(emailPattern)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(ipv4Pattern)).cast("long"))
+      .withColumn("n_long_numbers", regexp_count(t, lit(longNumberPattern)).cast("long"))
+      .withColumn(
+        "clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailPattern, "<EMAIL>"),
+            ipv4Pattern, "<IP>"),
+          longNumberPattern, "<NUM>"))
+  }
+
   /** Corpus vocabulary: one row per distinct token with its total
     * occurrence count (`tf`) and document frequency (`df`), optionally
     * floored at `minDf` — the table a tokenizer trainer, stopword miner,

@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Layout.zorderBy: content preservation, and the actual pruning property —
+  * per-partition min-max spans stay narrow on EVERY clustered column, where
+  * a single-column sort leaves the other column's spans full-width.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 32×32 grid — every (x, y) cell once, in a scrambled input order
+  private def grid = spark.range(1024)
+    .select(
+      (col("id") * 37 % 1024).as("rid"),
+      (col("id") % 32).as("x"),
+      (col("id") / 32).as("y"))
+
+  private def meanSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+    val spans = Layout.partitionSpans(df, Seq("x", "y"))
+      .select(
+        (col("hi_x") - col("lo_x")).as("sx"),
+        (col("hi_y") - col("lo_y")).as("sy"))
+      .agg(avg("sx"), avg("sy"))
+      .head()
+    (spans.getDouble(0), spans.getDouble(1))
+  }
+
+  test("zorderBy preserves the exact multiset of rows") {
+    val in  = grid
+    val out = Layout.zorderBy(in, Seq("x", "y"), numPartitions = 16)
+    assert(out.count() === 1024L)
+    val inSorted  = in.collect().map(_.mkString("|")).sorted.toSeq
+    val outSorted = out.collect().map(_.mkString("|")).sorted.toSeq
+    assert(inSorted === outSorted)
+  }
+
+  test("zorder layout bounds per-partition spans on both columns") {
+    val z = Layout.zorderBy(grid, Seq("x", "y"), numPartitions = 16)
+    val (zx, zy) = meanSpans(z)
+    // 16 partitions over a 32×32 grid → ~8×8 Z-blocks; both dims must be
+    // far below the 31-wide full range
+    assert(zx < 16.0, s"x span under z-order should be < half range, got $zx")
+    assert(zy < 16.0, s"y span under z-order should be < half range, got $zy")
+    // the single-column layout a naive sort produces: x narrow, y full
+    val xSorted = grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+    val (_, sy) = meanSpans(xSorted)
+    assert(sy > 25.0, s"x-only sort leaves y spans full-width, got $sy")
+    assert(zy < sy / 2, "z-order must at least halve the unclustered dim's span")
+  }
+
+  test("zorderBy validates arguments") {
+    intercept[IllegalArgumentException](Layout.zorderBy(grid, Seq.empty, 4))
+    intercept[IllegalArgumentException](Layout.zorderBy(grid, Seq("x"), 0))
+    intercept[IllegalArgumentException](Layout.zorderBy(grid, Seq("x", "y"), 4, bits = 32))
+  }
+
+  test("constant and null-stat columns degrade safely") {
+    val df  = grid.withColumn("c", lit(7))
+    val out = Layout.zorderBy(df, Seq("x", "c"), numPartitions = 4)
+    assert(out.count() === 1024L)
+  }
+}

@@ -13,6 +13,24 @@ class DedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("semanticDedup drops min-id-neighbor dups within a bucket only") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "A", Seq(1.0, 0.0)), // kept: smallest id of the A-duplicates
+      (2L, "A", Seq(1.0, 0.0)), // dropped: dup of 1
+      (5L, "A", Seq(1.0, 0.0)), // dropped: dup of 1 AND 2 (n_smaller_dups = 2)
+      (3L, "A", Seq(0.0, 1.0)), // kept: orthogonal to everything in A
+      (4L, "B", Seq(1.0, 0.0))  // kept: identical to 1 but in another bucket
+    ).toDF("vec_id", "blk", "embedding")
+    val out = Dedup.semanticDedup(e, bucketCol = col("blk"), threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((0L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(5L) === ((2L, false)))
+    assert(out(3L) === ((0L, true)))
+    assert(out(4L) === ((0L, true)), "blocking must confine the compare to the bucket")
+  }
+
   test("exact dedup groups identical keys, keeps min id, counts dups") {
     val df  = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val out = Dedup.exact(df, Seq("text")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -260,6 +278,28 @@ class TextAnalysisSpec extends SparkSpec {
     // docs shorter than 2 tokens have no bigram and are absent
     val short = TextAnalysis.bigramLmScore(corpus, Seq((9L, "word")).toDF("doc_id", "text"))
     assert(short.isEmpty)
+  }
+
+  test("redactPii counts and redacts emails, IPs and long digit runs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b-c_1@foo-bar.co.uk now ip 192.168.0.1 card 4111111111111111 ok"),
+      (2L, "no pii here just words and 12345678 short digits"),
+      (3L, "two mails x@y.com z@w.org and host 10.0.0.7")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    val (e1, i1, n1, c1) = out(1L)
+    assert((e1, i1, n1) === ((1L, 1L, 1L)))
+    assert(c1 === "mail <EMAIL> now ip <IP> card <NUM> ok")
+    val (e2, i2, n2, c2) = out(2L)
+    assert((e2, i2, n2) === ((0L, 0L, 0L)), "8-digit runs are not long numbers")
+    assert(c2 === "no pii here just words and 12345678 short digits")
+    val (e3, i3, _, c3) = out(3L)
+    assert((e3, i3) === ((2L, 1L)))
+    assert(c3 === "two mails <EMAIL> <EMAIL> and host <IP>")
   }
 
   test("vocabulary: tf/df counts, normalization, minDf floor") {
