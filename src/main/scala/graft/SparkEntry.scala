@@ -450,6 +450,12 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(docs, docs)
     }),
 
+    // context-window chunking: 128-token windows every 64 tokens (64-token
+    // overlap), the split step that turns documents into training
+    // sequences — pure explode projection, zero shuffle
+    "q70_text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(T(s, dir, "documents"), maxTokens = 128, stride = 64)),
+
     // Z-order layout rewrite (OPTIMIZE ZORDER BY as plain Spark): the
     // hash-checkable contract is content preservation — the oracle is the
     // identity projection, so a lost/duplicated row in the range exchange
@@ -1530,6 +1536,22 @@ object SparkEntry {
         |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // Window count = max(1, ceil((n - overlap) / stride)) — same formula,
+    // same 1-based inclusive token slices.
+    "q70_text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    greatest(1, CAST(ceil((len(t) - 64) / 64.0) AS BIGINT)) AS nw
+        |  FROM toks WHERE len(t) > 0 AND t[1] <> ''),
+        |c AS (SELECT doc_id, t, n, unnest(range(nw)) AS chunk_id FROM w)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(t[(chunk_id * 64 + 1):(chunk_id * 64 + 128)], ' ') AS chunk_text,
+        |  least(128, n - chunk_id * 64) AS n_tokens
+        |FROM c""".stripMargin,
 
     // Layout rewrite contract: same multiset of rows out as in.
     "q69_zorder_layout" ->

@@ -174,6 +174,26 @@ object GraphQueries {
       maxIter: Int = 50,
       localFinishEdges: Long = 200000L
   ): DataFrame = {
+    val labels = componentLabels(spark, edges, maxIter, localFinishEdges)
+    val v = vertices.select(col(idCol).cast("long").as(idCol))
+    v.join(labels, v(idCol) === labels("vid"), "left")
+      .select(v(idCol), coalesce(col("component"), v(idCol)).as("component"))
+  }
+
+  /** Component labels `(vid, component)` for every vertex incident to an
+    * edge — [[connectedComponentsDF]] without the vertex-universe join.
+    * Callers whose vertex set IS the edge-endpoint set (dedup cluster
+    * formation: every pair member is an endpoint by construction) use this
+    * directly and save the distinct + join that re-derive a universe the
+    * labels already cover; absent vertices are singletons (label = own id,
+    * via coalesce at the call site).
+    */
+  def componentLabels(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxIter: Int = 50,
+      localFinishEdges: Long = 200000L
+  ): DataFrame = {
     val src = col("src"); val dst = col("dst")
 
     // large-star: every node u points each strictly-larger neighbor at the
@@ -281,8 +301,6 @@ object GraphQueries {
           .union(e.select(dst.as("vid"), dst.as("component")))
           .groupBy("vid").agg(min("component").as("component"))
       }
-    val v = vertices.select(col(idCol).cast("long").as(idCol))
-    v.join(labels, v(idCol) === labels("vid"), "left")
-      .select(v(idCol), coalesce(col("component"), v(idCol)).as("component"))
+    labels
   }
 }

@@ -547,21 +547,28 @@ object Dedup {
     val p = graft.Caches.track(
       pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
     val edges = p.select(col("a").as(EdgeColumns.Src), col("b").as(EdgeColumns.Dst))
-    val members = p.select(col("a").as("id"))
-      .union(p.select(col("b").as("id")))
-      .distinct()
-    val clustered = graft.graph.GraphQueries.connectedComponentsDF(spark, members, edges)
-      .select(col("id").as(idCol), col("component").as("cluster_id"))
-      .withColumn("keep", col(idCol) === col("cluster_id"))
     docs match {
-      case None => clustered
+      case None =>
+        // no universe supplied → label exactly the pair members
+        val members = p.select(col("a").as("id"))
+          .union(p.select(col("b").as("id")))
+          .distinct()
+        graft.graph.GraphQueries.connectedComponentsDF(spark, members, edges)
+          .select(col("id").as(idCol), col("component").as("cluster_id"))
+          .withColumn("keep", col(idCol) === col("cluster_id"))
       case Some(d) =>
+        // every pair member is an edge endpoint, so the label frame already
+        // covers them — skip the members distinct + universe join and go
+        // straight from labels to the docs universe (one left join;
+        // singletons coalesce to themselves)
+        val labels = graft.graph.GraphQueries.componentLabels(spark, edges)
+          .select(col("vid").as(idCol), col("component").as("cluster_id"))
         d.select(col(idCol).cast("long").as(idCol))
-          .join(clustered, Seq(idCol), "left")
+          .join(labels, Seq(idCol), "left")
           .select(
             col(idCol),
             coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
-            coalesce(col("keep"), lit(true)).as("keep"))
+            (coalesce(col("cluster_id"), col(idCol)) === col(idCol)).as("keep"))
     }
   }
 

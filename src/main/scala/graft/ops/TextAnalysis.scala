@@ -314,6 +314,43 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Context-window chunking: split each document's token sequence into
+    * windows of `maxTokens` tokens starting every `stride` tokens
+    * (`maxTokens - stride` tokens of overlap carry context across chunk
+    * boundaries). Window count is `max(1, ceil((n - overlap) / stride))`,
+    * so a document never emits a tail chunk fully contained in its
+    * predecessor, and short documents emit exactly one chunk. Returns
+    * (idCol, chunk_id, chunk_text, n_tokens).
+    *
+    * Scale shape: pure codegen projection + explode — map-side, zero
+    * shuffle; output rows ≈ corpus_tokens / stride.
+    */
+  def chunk(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxTokens: Int = 128,
+      stride: Int = 64
+  ): DataFrame = {
+    require(stride > 0 && stride <= maxTokens,
+      s"stride must be in [1, maxTokens], got stride=$stride maxTokens=$maxTokens")
+    val overlap = maxTokens - stride
+    df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+      .where(col("_n") > 0 && element_at(col("_t"), 1) =!= "")
+      .withColumn(
+        "_w",
+        greatest(lit(1L), ceil((col("_n") - lit(overlap.toLong)).cast("double") / stride).cast("long")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("_w") - 1)))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(
+          slice(col("_t"), (col("chunk_id") * stride + 1).cast("int"), lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens.toLong), col("_n") - col("chunk_id") * stride).as("n_tokens"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

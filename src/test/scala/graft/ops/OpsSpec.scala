@@ -280,6 +280,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("chunk windows cover every token with the configured overlap") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, maxTokens = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    // 5 tokens, overlap 2 → ceil((5-2)/2) = 2 windows
+    assert(out((1L, 0L)) === (("a b c d", 4L)))
+    assert(out((1L, 1L)) === (("c d e", 3L)), "tail window is clamped, overlap carries c d")
+    // short doc → exactly one chunk; blank doc → none
+    assert(out((2L, 0L)) === (("x y", 2L)))
+    assert(out.keys.map(_._1).toSet === Set(1L, 2L))
+    // a doc that fits exactly emits one window, not a contained tail
+    val exact = TextAnalysis.chunk(Seq((9L, "a b c d")).toDF("doc_id", "text"), maxTokens = 4, stride = 2)
+    assert(exact.count() === 1L)
+    intercept[IllegalArgumentException](TextAnalysis.chunk(df, maxTokens = 4, stride = 5))
+  }
+
   test("redactPii counts and redacts emails, IPs and long digit runs") {
     import spark.implicits._
     val df = Seq(
