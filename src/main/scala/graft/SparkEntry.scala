@@ -450,6 +450,18 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(docs, docs)
     }),
 
+    // temperature-flattened domain mixture (p_d ∝ c_d^0.5): α-smoothed
+    // sampling rates from one count pass (power sum folded in sorted-
+    // stratum order, sqrt not pow — both make the thresholds bit-
+    // reproducible in the oracle), then the same map-side hash filter as
+    // every sampler
+    "q71_sample_temperature" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(
+          T(s, dir, "documents"), "lang",
+          alpha = 0.5, targetFraction = 0.5,
+          key = col("doc_id"), seed = 42, hash = activeHash)
+        .select(col("doc_id"), col("lang"))),
+
     // context-window chunking: 128-token windows every 64 tokens (64-token
     // overlap), the split step that turns documents into training
     // sequences — pure explode projection, zero shuffle
@@ -1536,6 +1548,21 @@ object SparkEntry {
         |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // Identical double-arithmetic order (left-assoc f·n·(√c/z)/c, ordered
+    // power sum, CAST 0.5 to DOUBLE to dodge DuckDB's DECIMAL literals),
+    // identical 1e6-threshold rounding, then the portable md5 bucket rule.
+    "q71_sample_temperature" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         |z AS (SELECT sum(sqrt(c) ORDER BY lang) AS z, sum(c) AS n FROM cnt),
+         |rate AS (
+         |  SELECT lang,
+         |    CAST(round(least(CAST(0.5 AS DOUBLE) * n * (sqrt(c) / z) / c,
+         |                     CAST(1.0 AS DOUBLE)) * 1000000)
+         |      AS BIGINT) AS thr
+         |  FROM cnt, z)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN rate USING (lang)
+         |WHERE ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000 < thr""".stripMargin,
 
     // Window count = max(1, ceil((n - overlap) / stride)) — same formula,
     // same 1-based inclusive token slices.

@@ -106,6 +106,44 @@ object Sampling {
     }
   }
 
+  /** Temperature-flattened domain mixture — the `p_d ∝ c_d^α` sampling
+    * rule of multilingual / multi-domain corpus assembly (α < 1 upweights
+    * small domains relative to their natural share; α = 1 is proportional,
+    * i.e. a plain `hashSample`). Draws an expected `targetFraction` of the
+    * corpus with stratum proportions following the flattened distribution;
+    * strata whose flattened share exceeds their size cap at rate 1 (no
+    * upsampling — the standard behavior).
+    *
+    * Determinism/portability: rates derive from one |strata|-row count
+    * pass; the power sum Σ c^α is folded in ascending stratum order and
+    * α = 0.5 uses `sqrt` (correctly-rounded IEEE, unlike `pow`), so an
+    * external engine (the DuckDB oracle) reproduces every threshold
+    * bit-for-bit with an `ORDER BY`-qualified sum. Selection itself is
+    * [[stratifiedHashSample]]'s map-side hash filter — the data never
+    * shuffles.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, alpha: Double = 0.5,
+      targetFraction: Double = 0.5, key: Column, seed: Int = 42,
+      hash: HashFamily = XxHash): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    def powa(c: Long): Double =
+      if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .filter(_._2 > 0L).sortBy(_._1)
+    if (counts.isEmpty) df.limit(0)
+    else {
+      val z = counts.foldLeft(0.0) { case (acc, (_, c)) => acc + powa(c) }
+      val n = counts.map(_._2).sum.toDouble // exact: long-sum then one widening
+      val rates = counts.map { case (s, c) =>
+        s -> math.min(targetFraction * n * (powa(c) / z) / c, 1.0)
+      }.toMap
+      stratifiedHashSample(df, strataCol, rates, defaultRate = 0.0, key, seed, hash)
+    }
+  }
+
   /** Deterministic fixed-SIZE per-stratum sample ("hash reservoir"): keeps
     * exactly min(k, |stratum|) rows per stratum, the ones ranking first in
     * hash order of `rowKey` (ties broken by the key itself). The

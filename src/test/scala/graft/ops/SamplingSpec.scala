@@ -87,6 +87,37 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperatureMix flattens the domain distribution; alpha=1 is proportional") {
+    import spark.implicits._
+    // skewed corpus: en 1600, de 300, zh 100
+    val skewed = (0L until 2000L).map { i =>
+      (i, if (i < 1600) "en" else if (i < 1900) "de" else "zh")
+    }.toDF("doc_id", "lang")
+    val out = Sampling.temperatureMix(skewed, "lang", alpha = 0.5, targetFraction = 0.5,
+      key = col("doc_id"))
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates: en ≈ 0.371, de ≈ 0.858, zh capped at 1.0 → zh kept whole
+    assert(counts("zh") === 100L, "smallest domain caps at rate 1.0 and is kept whole")
+    assert(counts("en") < 1600L * 0.45 && counts("en") > 1600L * 0.30, s"en: $counts")
+    assert(counts("de") > 300L * 0.75, s"de must be upweighted vs natural share: $counts")
+    // flattened: en's kept FRACTION must be below de's
+    assert(counts("en").toDouble / 1600 < counts("de").toDouble / 300)
+    // alpha = 1 → proportional: identical row set to a plain hashSample
+    val prop = Sampling.temperatureMix(skewed, "lang", alpha = 1.0, targetFraction = 0.5,
+      key = col("doc_id")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = Sampling.hashSample(skewed, col("doc_id"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(prop === plain)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(skewed.repartition(13), "lang", alpha = 0.5,
+      targetFraction = 0.5, key = col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(skewed, "lang", alpha = 0.0, targetFraction = 0.5, key = col("doc_id")))
+  }
+
   test("topKPerKey keeps exactly min(k, |stratum|) rows, deterministically") {
     val out = Sampling.topKPerKey(docs, Seq("lang"), k = 25, rowKey = col("doc_id"))
     val counts = out.groupBy("lang").count().collect()
