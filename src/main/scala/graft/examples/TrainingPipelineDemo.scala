@@ -8,8 +8,10 @@ import graft.ops._
 /** End-to-end training-data pipeline over the documents + embeddings
   * tables: text analysis → quality filter (rule signals + corpus-LM
   * perplexity proxy) → exact dedup → near-dup (minhash) removal →
-  * eval-set decontamination → token accounting, plus ANN retrieval on
-  * the embedding side.
+  * eval-set decontamination → PII scrubbing → temperature-flattened
+  * language mix → token accounting → train/test split → sequence
+  * packing / context-window chunking, plus ANN retrieval on the
+  * embedding side.
   * Runnable: `sbt "runMain graft.examples.TrainingPipelineDemo [sfDir]"`.
   *
   * Every stage is one of the library operators; the demo shows how they
@@ -60,20 +62,39 @@ object TrainingPipelineDemo {
     println(s"after decontamination: ${cleanDecon.count()} " +
       s"(flagged ${decon.where(col("contaminated")).count()})")
 
+    // 3c. PII scrubbing: redact emails / IPs / long digit runs before
+    // anything is packed (this corpus is synthetic and PII-free — counts
+    // confirm it)
+    val scrubbed = TextAnalysis.redactPii(cleanDecon)
+    val pii = scrubbed.agg(
+      sum("n_emails"), sum("n_ips"), sum("n_long_numbers")).head()
+    println(s"pii scrub: emails=${pii.getLong(0)} ips=${pii.getLong(1)} nums=${pii.getLong(2)}")
+
+    // 3d. temperature-flattened language mix (p ∝ c^0.5): upweight the
+    // small languages relative to their natural share
+    val mixed = Sampling.temperatureMix(
+      scrubbed, "lang", alpha = 0.5, targetFraction = 0.8, key = col("doc_id"))
+    println(s"after temperature mix: ${mixed.count()}")
+
     // 4. token accounting for the training budget
-    val budget = cleanDecon.agg(
+    val budget = mixed.agg(
       sum("token_count").as("whitespace_tokens"),
       sum("bpeish_tokens").as("bpeish_tokens")).head()
     println(s"token budget: whitespace=${budget.getLong(0)} bpeish=${budget.getLong(1)}")
 
     // 4b. deterministic train/test split + concat-and-chunk packing of the
     // train side into 2048-token bins
-    val split  = Sampling.trainTestSplit(cleanDecon, col("doc_id"), testFraction = 0.1)
+    val split  = Sampling.trainTestSplit(mixed, col("doc_id"), testFraction = 0.1)
     val train  = split.where(col("split") === "train")
     val packed = Packing.packSequences(train, col("token_count"), budget = 2048, streams = 8)
     val bins   = Packing.binStats(packed).count()
     println(s"train/test: ${train.count()}/${split.where(col("split") === "test").count()}"
       + s" packed into $bins bins of 2048 tokens")
+
+    // 4c. alternative to packing whole docs: context-window chunking
+    // (128-token windows, 64-token stride) — the long-doc split step
+    val chunks = TextAnalysis.chunk(train, maxTokens = 128, stride = 64)
+    println(s"chunked: ${chunks.count()} windows from ${train.count()} docs")
 
     // 5. ANN retrieval on the embedding side (brute force + IVF agree on scores)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
