@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
 
 /** Multi-dimensional data layout for scan pruning (Z-order clustering).
   *
@@ -27,7 +28,16 @@ object Layout {
     * [min, max] (from `stats`), then bit b of column i lands at position
     * `b * ncols + i` of the key. `bits * ncols` must fit a signed long.
     */
-  private def mortonKey(cols: Seq[String], stats: Map[String, (Double, Double)], bits: Int): Column = {
+  /** Numeric view of a clustered column: dates → epoch days, timestamps →
+    * epoch seconds (a direct date/timestamp→double cast yields null).
+    */
+  private def asDouble(c: String, dt: DataType): Column = dt match {
+    case DateType      => unix_date(col(c)).cast("double")
+    case TimestampType => unix_micros(col(c)).cast("double")
+    case _             => col(c).cast("double")
+  }
+
+  private def mortonKey(df: DataFrame, cols: Seq[String], stats: Map[String, (Double, Double)], bits: Int): Column = {
     val n        = cols.length
     val scaleMax = (1L << bits) - 1
     cols.zipWithIndex
@@ -36,7 +46,7 @@ object Layout {
         val range    = if (hi > lo) hi - lo else 1.0
         val scaled = least(
           greatest(
-            (((col(c).cast("double") - lit(lo)) / lit(range)) * lit(scaleMax.toDouble)).cast("long"),
+            (((asDouble(c, df.schema(c).dataType) - lit(lo)) / lit(range)) * lit(scaleMax.toDouble)).cast("long"),
             lit(0L)),
           lit(scaleMax))
         (0 until bits)
@@ -61,8 +71,10 @@ object Layout {
     require(cols.nonEmpty, "zorderBy needs at least one column")
     require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
     require(cols.length * bits <= 62, s"${cols.length} cols × $bits bits overflows the long key")
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c")))
+    val aggs = cols.flatMap { c =>
+      val v = asDouble(c, df.schema(c).dataType)
+      Seq(min(v).as(s"lo_$c"), max(v).as(s"hi_$c"))
+    }
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
     val stats = cols.zipWithIndex.map { case (c, i) =>
       val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
@@ -70,7 +82,7 @@ object Layout {
       c -> ((lo, hi))
     }.toMap
     val key = "_graft_zkey"
-    df.withColumn(key, mortonKey(cols, stats, bits))
+    df.withColumn(key, mortonKey(df, cols, stats, bits))
       .repartitionByRange(numPartitions, col(key))
       .sortWithinPartitions(key)
       .drop(key)
@@ -80,8 +92,10 @@ object Layout {
     * pruning sees. Diagnostic for layout quality (spec + tuning surface).
     */
   def partitionSpans(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c")))
+    val aggs = cols.flatMap { c =>
+      val v = asDouble(c, df.schema(c).dataType)
+      Seq(min(v).as(s"lo_$c"), max(v).as(s"hi_$c"))
+    }
     df.withColumn("_pid", spark_partition_id())
       .groupBy("_pid")
       .agg(aggs.head, aggs.tail: _*)

@@ -61,4 +61,15 @@ class LayoutSpec extends SparkSpec {
     val out = Layout.zorderBy(df, Seq("x", "c"), numPartitions = 4)
     assert(out.count() === 1024L)
   }
+
+  test("date columns cluster via their epoch-day view") {
+    val df = grid.withColumn("d", date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("x").cast("int")))
+    val out = Layout.zorderBy(df, Seq("d", "y"), numPartitions = 8)
+    assert(out.count() === 1024L)
+    // the date dim must actually discriminate: per-partition day spans are
+    // narrower than the 31-day full range
+    val span = Layout.partitionSpans(out, Seq("d"))
+      .agg(avg(col("hi_d") - col("lo_d"))).head().getDouble(0)
+    assert(span < 24.0, s"date spans should be clustered, got $span")
+  }
 }
