@@ -450,6 +450,12 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(docs, docs)
     }),
 
+    // heavy-hitter tokens: top-25 by corpus frequency, deterministic
+    // tie-break — TakeOrderedAndProject after the vocabulary agg, the
+    // long tail never shuffles past its partition
+    "q72_text_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(T(s, dir, "documents"), k = 25)),
+
     // temperature-flattened domain mixture (p_d ∝ c_d^0.5): α-smoothed
     // sampling rates from one count pass (power sum folded in sorted-
     // stratum order, sqrt not pow — both make the thresholds bit-
@@ -1548,6 +1554,15 @@ object SparkEntry {
         |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q72_text_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY tf DESC, token LIMIT 25""".stripMargin,
 
     // Identical double-arithmetic order (left-assoc f·n·(√c/z)/c, ordered
     // power sum, CAST 0.5 to DOUBLE to dodge DuckDB's DECIMAL literals),

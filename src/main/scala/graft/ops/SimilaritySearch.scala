@@ -200,6 +200,47 @@ object SimilaritySearch {
         .orderBy(col("score").desc, col(idCol))
         .limit(topK)
     }
+
+    /** Persist a built index: the cell-assigned frame written PARTITIONED
+      * BY cell — a query's nprobe cell restriction then prunes at the
+      * directory level, so serving reads `nprobe/k` of the index bytes —
+      * plus a `_centroids` sidecar (plain text: header `k seed dim`, one
+      * space-separated centroid per line; `Double.toString` round-trips
+      * exactly, no precision loss). This is the build-once / serve-many
+      * deployment shape the memoized in-session cache stands in for.
+      */
+    def save(indexed: DataFrame, centroids: Array[Array[Double]], path: String): Unit = {
+      require(centroids.length == k, s"expected $k centroids, got ${centroids.length}")
+      indexed.write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+      val spark = indexed.sparkSession
+      val p  = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try {
+        val dim = centroids.headOption.map(_.length).getOrElse(0)
+        val sb  = new StringBuilder(s"$k $seed $dim\n")
+        centroids.foreach(c => sb.append(c.mkString(" ")).append('\n'))
+        out.write(sb.toString.getBytes("UTF-8"))
+      } finally out.close()
+    }
+
+    /** Load a [[save]]d index. Fails fast if the stored `k` differs from
+      * this handle's (an index must be queried with the geometry it was
+      * built with; `nprobe` is a serving-time knob and may differ).
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, Array[Array[Double]]) = {
+      val p  = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+                  finally in.close()
+      val header = lines.head.split(" ")
+      require(header(0).toInt == k,
+        s"index at $path was built with k=${header(0)}, this handle has k=$k")
+      val centroids = lines.tail.filter(_.nonEmpty)
+        .map(_.split(" ").map(java.lang.Double.parseDouble)).toArray
+      (spark.read.parquet(s"$path/cells"), centroids)
+    }
   }
 
   /** Int8 scalar quantization of embedding columns — the storage scale path

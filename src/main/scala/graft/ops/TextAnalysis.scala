@@ -314,6 +314,20 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Top-k corpus tokens by total occurrence count (ties broken by token
+    * text, so the result set is fully deterministic) — stopword mining /
+    * heavy-hitter analysis over [[vocabulary]]. The order-by + limit plans
+    * as `TakeOrderedAndProject`: each partition keeps only its local top-k
+    * after the vocabulary aggregation, so the long tail never moves.
+    */
+  def topTokens(df: DataFrame, k: Int, textCol: String = "text",
+      idCol: String = "doc_id", minDf: Long = 1L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    vocabulary(df, textCol, idCol, minDf)
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+  }
+
   /** Context-window chunking: split each document's token sequence into
     * windows of `maxTokens` tokens starting every `stride` tokens
     * (`maxTokens - stride` tokens of overlap carry context across chunk

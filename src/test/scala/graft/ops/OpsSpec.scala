@@ -319,6 +319,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c3 === "two mails <EMAIL> <EMAIL> and host <IP>")
   }
 
+  test("topTokens returns the k most frequent tokens with deterministic ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a d d")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topTokens(docs, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a:3, b:3 (tie → token order), d:2, c:1
+    assert(top === Seq(("a", 3L), ("b", 3L), ("d", 2L)))
+    intercept[IllegalArgumentException](TextAnalysis.topTokens(docs, k = 0))
+  }
+
   test("vocabulary: tf/df counts, normalization, minDf floor") {
     import spark.implicits._
     val docs = Seq(
@@ -369,6 +382,33 @@ class VectorOpsSpec extends SparkSpec {
 }
 
 class SimilaritySearchSpec extends SparkSpec {
+
+  test("IVF save/load roundtrip: identical query results, cell-pruned scan, k mismatch fails") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 200L)
+      .map(i => (i, Seq.fill(8)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "embedding")
+    val ivf = SimilaritySearch.IvfIndex(k = 4, nprobe = 2, seed = 42L)
+    val (indexed, centroids) = ivf.index(df)
+    val dir = tempDir("ivf") + "/index"
+    ivf.save(indexed, centroids, dir)
+    val (loaded, loadedCentroids) = ivf.load(spark, dir)
+    assert(loadedCentroids.map(_.toSeq).toSeq === centroids.map(_.toSeq).toSeq,
+      "centroid text roundtrip must be exact")
+    val q = Seq.fill(8)(0.3)
+    val a = ivf.query(indexed, centroids, q, topK = 5).collect().map(_.getLong(0)).toSeq
+    val b = ivf.query(loaded, loadedCentroids, q, topK = 5).collect().map(_.getLong(0)).toSeq
+    assert(a === b, "served results must match the in-memory index")
+    // the cell restriction must prune at the directory level on the loaded index
+    val plan = ivf.query(loaded, loadedCentroids, q, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning in:\n$plan")
+    // geometry mismatch fails fast
+    intercept[IllegalArgumentException](
+      SimilaritySearch.IvfIndex(k = 8).load(spark, dir))
+  }
 
   test("labelCentroids: per-(label, dim) means, exploded shape, counts") {
     import spark.implicits._
