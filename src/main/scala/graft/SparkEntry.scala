@@ -450,6 +450,15 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(docs, docs)
     }),
 
+    // embedding-space outlier screen: cosine of each vector to its OWN
+    // label centroid, flagged below 0.0 (≈ bottom decile here) — the
+    // mislabeled-example filter; broadcast equi-join on label, map-side
+    // cosine, no shuffle of the embedding table
+    "q73_embed_outliers" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      VectorOps.centroidOutliers(emb, VectorOps.labelCentroids(emb), tau = 0.0)
+    }),
+
     // heavy-hitter tokens: top-25 by corpus frequency, deterministic
     // tie-break — TakeOrderedAndProject after the vocabulary agg, the
     // long tail never shuffles past its partition
@@ -1554,6 +1563,26 @@ object SparkEntry {
         |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // Same rounded-centroid construction as q60; the outlier flag compares
+    // the ROUNDED cosine on both engines, so the boundary is exact.
+    "q73_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label,
+        |        unnest(list_transform(range(len(v)), i -> {'pos': i, 'x': v[i + 1]})) AS u
+        |      FROM e),
+        |cv AS (
+        |  SELECT label AS c_label, list(m ORDER BY pos) AS cvec
+        |  FROM (SELECT label, u.pos AS pos, round(avg(u.x), 6) AS m FROM x GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT e.vec_id, e.label,
+        |  round(list_dot_product(e.v, cv.cvec)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.cvec, cv.cvec))), 6)
+        |    AS cos_to_centroid,
+        |  round(list_dot_product(e.v, cv.cvec)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.cvec, cv.cvec))), 6)
+        |    < CAST(0.0 AS DOUBLE) AS is_outlier
+        |FROM e JOIN cv ON e.label = cv.c_label""".stripMargin,
 
     "q72_text_top_tokens" ->
       """WITH toks AS (

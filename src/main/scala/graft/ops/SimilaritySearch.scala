@@ -85,6 +85,35 @@ object VectorOps {
       .withColumn("pred_score", round(col("_s"), 6))
       .drop("_c_label", "_cvec", "_s", "_rn")
   }
+
+  /** Embedding-space outlier flagging: cosine of every vector to its OWN
+    * label's centroid, flagged when below `tau` — the mislabeled-example /
+    * noise screen run before training on labeled (or pseudo-labeled)
+    * embeddings. Uses [[labelCentroids]] output like [[nearestCentroid]],
+    * but joins only the row's own label (broadcast equi-join on label, one
+    * centroid row per class — no per-class fan-out, no shuffle of the
+    * embedding table).
+    */
+  def centroidOutliers(
+      df: DataFrame,
+      centroids: DataFrame,
+      tau: Double = 0.0,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    val cvecs = centroids
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("_o"))
+      .select(col(labelCol), transform(col("_o"), x => x.getField("mean")).as("_cvec"))
+    df.join(broadcast(cvecs), Seq(labelCol))
+      .withColumn(
+        "cos_to_centroid",
+        round(VectorOps.cosine(col(vecCol).cast("array<double>"), col("_cvec")), 6))
+      .select(
+        col(idCol), col(labelCol), col("cos_to_centroid"),
+        (col("cos_to_centroid") < tau).as("is_outlier"))
+  }
 }
 
 /** Approximate-nearest-neighbor search over an embedding column.

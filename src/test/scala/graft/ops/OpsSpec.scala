@@ -410,6 +410,22 @@ class SimilaritySearchSpec extends SparkSpec {
       SimilaritySearch.IvfIndex(k = 8).load(spark, dir))
   }
 
+  test("centroidOutliers flags vectors far from their own label centroid only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Seq(1.0f, 0.0f)),   // aligned with a's centroid
+      (2L, "a", Seq(1.0f, 0.1f)),   // aligned
+      (3L, "a", Seq(-1.0f, 0.0f)),  // anti-aligned → outlier
+      (4L, "b", Seq(-1.0f, 0.0f))   // b's centroid IS itself → inlier
+    ).toDF("vec_id", "label", "embedding")
+    val out = VectorOps.centroidOutliers(df, VectorOps.labelCentroids(df), tau = 0.0)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(!out(1L)._2 && !out(2L)._2, s"aligned vectors are inliers: $out")
+    assert(out(3L)._2, s"anti-aligned vector must flag: $out")
+    assert(!out(4L)._2, "outlier-ness is relative to the OWN label's centroid")
+    assert(out(4L)._1 === 1.0)
+  }
+
   test("labelCentroids: per-(label, dim) means, exploded shape, counts") {
     import spark.implicits._
     val df = Seq(
