@@ -88,6 +88,24 @@ object Layout {
       .drop(key)
   }
 
+  /** Z-order-cluster `df` and write it to `path` with output files sized
+    * toward `targetFileMB` (the small-files/giant-files maintenance knob
+    * of `OPTIMIZE`): partition count = ceil(estimated bytes / target),
+    * estimated from the optimized plan's statistics (for a Parquet scan,
+    * the actual file bytes; for derived frames, Catalyst's upper
+    * estimate). One file per output partition. Returns the partition
+    * count chosen.
+    */
+  def writeClustered(df: DataFrame, path: String, cols: Seq[String],
+      targetFileMB: Int = 128, bits: Int = 12): Int = {
+    require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
+    val bytes  = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(targetFileMB) * (1 << 20)
+    val n      = ((bytes + target - 1) / target).max(1).min(1 << 20).toInt
+    zorderBy(df, cols, n, bits).write.mode("overwrite").parquet(path)
+    n
+  }
+
   /** Per-partition [min, max] spans of `cols` — the statistics a reader's
     * pruning sees. Diagnostic for layout quality (spec + tuning surface).
     */

@@ -62,6 +62,18 @@ class LayoutSpec extends SparkSpec {
     assert(out.count() === 1024L)
   }
 
+  test("writeClustered sizes files toward the target and preserves content") {
+    val dir = tempDir("layout") + "/clustered"
+    val n = Layout.writeClustered(grid, dir, Seq("x", "y"), targetFileMB = 1)
+    assert(n >= 1, "partition count derives from plan-stats bytes / target")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1024L)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === n, s"one file per chosen partition: files=$files n=$n")
+    intercept[IllegalArgumentException](
+      Layout.writeClustered(grid, dir, Seq("x"), targetFileMB = 0))
+  }
+
   test("date columns cluster via their epoch-day view") {
     val df = grid.withColumn("d", date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("x").cast("int")))
     val out = Layout.zorderBy(df, Seq("d", "y"), numPartitions = 8)
