@@ -65,7 +65,8 @@ class StreamingDedupIngest(
     evalSet: Option[DataFrame] = None,
     quarantinePath: Option[String] = None,
     decontaminateN: Int = 8,
-    decontaminateMinShared: Long = 1L
+    decontaminateMinShared: Long = 1L,
+    vocabPath: Option[String] = None
 ) {
 
   private val bandsPath = s"$sketchPath/bands"
@@ -139,7 +140,25 @@ class StreamingDedupIngest(
     writeBatchPartition(Dedup.bandBuckets(novelSigs, numHashes, bands, hash), bandsPath)
     writeBatchPartition(novelSigs.select(col("id"), col("sh")), shPath)
     quarantinePath.foreach(p => writeBatchPartition(contaminated, p))
+    // incremental vocabulary: the batch's NOVEL (deduped, decontaminated)
+    // documents' token counts — per-batch work is O(batch tokens)
+    vocabPath.foreach(p =>
+      writeBatchPartition(TextAnalysis.vocabulary(novel, textCol, idCol), p))
     graft.Caches.clear() // drop the operator's tracked sketch persists
+  }
+
+  /** Accumulated corpus vocabulary (token, tf, df) across every ingested
+    * batch. Summing per-batch counts is EXACT, not approximate: a novel
+    * document enters the corpus in exactly one batch, so its token and
+    * document contributions are counted exactly once — and a replayed
+    * batch overwrites its own partition rather than double-counting.
+    */
+  def vocabulary(): DataFrame = {
+    val p = vocabPath.getOrElse(
+      throw new IllegalStateException("ingest was built without a vocabPath"))
+    spark.read.parquet(p)
+      .groupBy("token")
+      .agg(sum("tf").as("tf"), sum("df").as("df"))
   }
 
   /** Starts the streaming ingest over a file-source directory. */

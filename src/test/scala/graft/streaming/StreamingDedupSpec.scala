@@ -95,6 +95,35 @@ class StreamingDedupSpec extends SparkSpec {
     assert(dupsAfter == Set((10L, 0L), (11L, 2L)), s"got $dupsAfter")
   }
 
+  test("incremental vocabulary accumulates exactly over novel docs and survives replay") {
+    import spark.implicits._
+    val work = tempDir("graft-sdedup-vocab")
+    val ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
+      s"$work/sketch", verifyThreshold = 0.5, vocabPath = Some(s"$work/vocab"))
+    ingest.ingestBatch(batch1, batchId = 0)
+    ingest.ingestBatch(batch2, batchId = 1)
+    val vocab = ingest.vocabulary()
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // novel docs = {0,1,2} ∪ {12}: dup 3 and near-dups 10/11 contribute nothing
+    // "the": docs 0 (×2), 1 (×1), 2 (×1), 12 (×1) → tf 5, df 4
+    assert(vocab("the") === ((5L, 4L)), s"got ${vocab.get("the")}")
+    assert(vocab("novel") === ((1L, 1L)))
+    assert(!vocab.contains("twice"), "near-dup 11's unique token must not enter")
+    // batch replay leaves the accumulated counts unchanged
+    ingest.ingestBatch(batch2, batchId = 1)
+    val again = ingest.vocabulary()
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === vocab)
+    // exactness against the batch-mode operator over the final corpus
+    val fromCorpus = graft.ops.TextAnalysis
+      .vocabulary(spark.read.parquet(s"$work/corpus"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fromCorpus === vocab, "incremental sums must equal the batch recount")
+    intercept[IllegalStateException] {
+      new StreamingDedupIngest(spark, s"$work/c2", s"$work/d2", s"$work/s2").vocabulary()
+    }
+  }
+
   test("decontamination gate: contaminated novel docs divert to quarantine, never the corpus") {
     import spark.implicits._
     val work = tempDir("graft-sdedup-decon")
