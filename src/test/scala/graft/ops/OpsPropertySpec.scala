@@ -62,6 +62,23 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("round-7 operators degrade safely on empty input") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.vocabulary(emptyDocs).isEmpty)
+    assert(TextAnalysis.topTokens(emptyDocs, k = 5).isEmpty)
+    assert(TextAnalysis.chunk(emptyDocs).isEmpty)
+    assert(TextAnalysis.redactPii(emptyDocs).isEmpty)
+    val emptyLabeled = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(Sampling.temperatureMix(emptyLabeled, "lang", key = col("doc_id")).isEmpty)
+    val emptyVecs = Seq.empty[(Long, String, Seq[Double])].toDF("vec_id", "blk", "embedding")
+    assert(Dedup.semanticDedup(emptyVecs, bucketCol = col("blk")).isEmpty)
+    val emptyFacts = Seq.empty[(Long, Long)].toDF("k", "row_id")
+    val dim        = Seq((1L, "one")).toDF("k", "name")
+    assert(SkewJoin.saltedJoin(emptyFacts, dim, Seq("k"), col("row_id")).isEmpty)
+    val emptyGrid = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(graft.io.Layout.zorderBy(emptyGrid, Seq("x", "y"), numPartitions = 4).isEmpty)
+  }
+
   test("property: temperatureMix keeps per-stratum rates in (0, 1] and total near target") {
     val gen = for {
       c1 <- Gen.choose(50, 400)
