@@ -647,12 +647,7 @@ object Dedup {
   ): DataFrame = {
     val base = graft.Caches.track(
       df.select(col(idCol), bucketCol.as("bucket"), col(vecCol).cast("array<double>").as("_v")))
-    val a = base.select(col("bucket"), col(idCol).as("id_a"), col("_v").as("v_a"))
-    val b = base.select(col("bucket"), col(idCol).as("id_b"), col("_v").as("v_b"))
-    val pairs = a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
-      .where(VectorOps.cosine(col("v_a"), col("v_b")) >= threshold)
-    val dropped = pairs
+    val dropped = semanticPairsOf(base, idCol, threshold)
       .groupBy(col("id_b").as(idCol))
       .agg(count(lit(1)).as("n_smaller_dups"))
     base.join(dropped, Seq(idCol), "left")
@@ -661,5 +656,35 @@ object Dedup {
         col("bucket"),
         coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"),
         col("n_smaller_dups").isNull.as("keep"))
+  }
+
+  /** The semantic near-dup PAIR frame (id_a < id_b, within-bucket cosine at
+    * or above `threshold`) behind [[semanticDedup]] — feed it to
+    * [[clusters]]/[[clustersBy]] for transitive semantic groups with a
+    * quality-policy representative ("keep the best copy", not the smallest
+    * id), exactly like the text-dedup pair frames. Recall scales the same
+    * way as multi-table LSH: union the pair frames of several independent
+    * bucketings (different hyperplane families) before clustering.
+    */
+  def semanticPairs(
+      df: DataFrame,
+      bucketCol: Column,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val base = graft.Caches.track(
+      df.select(col(idCol), bucketCol.as("bucket"), col(vecCol).cast("array<double>").as("_v")))
+    semanticPairsOf(base, idCol, threshold)
+      .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cosine"))
+  }
+
+  private def semanticPairsOf(base: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val a = base.select(col("bucket"), col(idCol).as("id_a"), col("_v").as("v_a"))
+    val b = base.select(col("bucket"), col(idCol).as("id_b"), col("_v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("_cos", VectorOps.cosine(col("v_a"), col("v_b")))
+      .where(col("_cos") >= threshold)
   }
 }

@@ -31,6 +31,23 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((0L, true)), "blocking must confine the compare to the bucket")
   }
 
+  test("semanticPairs composes with clustersBy for quality-policy semantic groups") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "A", Seq(1.0, 0.0), 5L),  // dup group {1,2,5}; 5 has the best score
+      (2L, "A", Seq(1.0, 0.0), 3L),
+      (5L, "A", Seq(1.0, 0.0), 9L),
+      (3L, "A", Seq(0.0, 1.0), 1L)   // singleton
+    ).toDF("vec_id", "blk", "embedding", "score")
+    val pairs = Dedup.semanticPairs(e, bucketCol = col("blk"), threshold = 0.9)
+    assert(pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    val docs = e.select(col("vec_id").as("doc_id"), col("score"))
+    val verdict = Dedup.clustersBy(spark, pairs, docs, score = col("score"), idCol = "doc_id")
+    val kept = verdict.where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(5L, 3L), s"highest-score representative per semantic group: $kept")
+  }
+
   test("exact dedup groups identical keys, keeps min id, counts dups") {
     val df  = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val out = Dedup.exact(df, Seq("text")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
