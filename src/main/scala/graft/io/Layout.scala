@@ -95,6 +95,12 @@ object Layout {
     * the actual file bytes; for derived frames, Catalyst's upper
     * estimate). One file per output partition. Returns the partition
     * count chosen.
+    *
+    * Crash-safe like the store maintenance paths: the clustered copy is
+    * written to an [[AtomicSwap]] scratch dir and renamed in — readers
+    * never observe a partially written layout, a crash mid-write leaves
+    * the previous contents intact (healed on the next call), and
+    * concurrent rewrites of one path fail fast on the maintenance lock.
     */
   def writeClustered(df: DataFrame, path: String, cols: Seq[String],
       targetFileMB: Int = 128, bits: Int = 12): Int = {
@@ -102,7 +108,14 @@ object Layout {
     val bytes  = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = BigInt(targetFileMB) * (1 << 20)
     val n      = ((bytes + target - 1) / target).max(1).min(1 << 20).toInt
-    zorderBy(df, cols, n, bits).write.mode("overwrite").parquet(path)
+    val dir    = new org.apache.hadoop.fs.Path(path)
+    val fs     = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    AtomicSwap.withMaintenanceLock(fs, dir) {
+      AtomicSwap.heal(fs, dir)
+      zorderBy(df, cols, n, bits)
+        .write.mode("overwrite").parquet(AtomicSwap.scratch(dir).toString)
+      AtomicSwap.swapIn(fs, dir)
+    }
     n
   }
 

@@ -240,17 +240,26 @@ object SimilaritySearch {
       */
     def save(indexed: DataFrame, centroids: Array[Array[Double]], path: String): Unit = {
       require(centroids.length == k, s"expected $k centroids, got ${centroids.length}")
-      indexed.write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
       val spark = indexed.sparkSession
-      val p  = new org.apache.hadoop.fs.Path(s"$path/_centroids")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
-      try {
-        val dim = centroids.headOption.map(_.length).getOrElse(0)
-        val sb  = new StringBuilder(s"$k $seed $dim\n")
-        centroids.foreach(c => sb.append(c.mkString(" ")).append('\n'))
-        out.write(sb.toString.getBytes("UTF-8"))
-      } finally out.close()
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // whole-index atomic swap: cells and centroids are written into a
+      // scratch dir and renamed in together, so a reader can never observe
+      // new cells with a stale centroid sidecar (or vice versa), and a
+      // crash mid-save leaves the previous index intact
+      graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        graft.io.AtomicSwap.heal(fs, dir)
+        val scratch = graft.io.AtomicSwap.scratch(dir)
+        indexed.write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
+        val out = fs.create(new org.apache.hadoop.fs.Path(s"$scratch/_centroids"), true)
+        try {
+          val dim = centroids.headOption.map(_.length).getOrElse(0)
+          val sb  = new StringBuilder(s"$k $seed $dim\n")
+          centroids.foreach(c => sb.append(c.mkString(" ")).append('\n'))
+          out.write(sb.toString.getBytes("UTF-8"))
+        } finally out.close()
+        graft.io.AtomicSwap.swapIn(fs, dir)
+      }
     }
 
     /** Load a [[save]]d index. Fails fast if the stored `k` differs from

@@ -425,6 +425,10 @@ class SimilaritySearchSpec extends SparkSpec {
     // geometry mismatch fails fast
     intercept[IllegalArgumentException](
       SimilaritySearch.IvfIndex(k = 8).load(spark, dir))
+    // re-save over an existing index is an atomic replace, not a merge
+    ivf.save(indexed, centroids, dir)
+    val (reloaded, _) = ivf.load(spark, dir)
+    assert(reloaded.count() === 200L, "replaced index must not accumulate old cells")
   }
 
   test("centroidOutliers flags vectors far from their own label centroid only") {
