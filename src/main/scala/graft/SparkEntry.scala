@@ -450,6 +450,15 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(docs, docs)
     }),
 
+    // deterministic corpus shuffle (training-order randomization): the
+    // permutation key is a pure function of (seed, doc_id) — the oracle
+    // recomputes every shuffle_id exactly, so the full permutation is
+    // hash-checked even though row order itself never is
+    "q74_shuffle_deterministic" -> ((s, dir) =>
+      graft.ops.Sampling.deterministicShuffle(
+          T(s, dir, "documents"), key = col("doc_id"), seed = 42, hash = activeHash)
+        .select(col("doc_id"), col("lang"), col("shuffle_id"))),
+
     // embedding-space outlier screen: cosine of each vector to its OWN
     // label centroid, flagged below 0.0 (≈ bottom decile here) — the
     // mislabeled-example filter; broadcast equi-join on label, map-side
@@ -1563,6 +1572,11 @@ object SparkEntry {
         |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q74_shuffle_deterministic" ->
+      s"""SELECT doc_id, lang,
+         |  ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS shuffle_id
+         |FROM documents""".stripMargin,
 
     // Same rounded-centroid construction as q60; the outlier flag compares
     // the ROUNDED cosine on both engines, so the boundary is exact.

@@ -144,6 +144,19 @@ object Sampling {
     }
   }
 
+  /** Deterministic corpus shuffle — the training-order randomization step
+    * of dataset assembly: orders rows by a keyed hash, so the permutation
+    * is a pure function of (seed, key) — reproducible across runs,
+    * partitionings and engines, with no RNG state, and re-shuffleable to a
+    * different order by changing the seed. Appends the hash as `shuffle_id`
+    * (write with `repartitionByRange(shuffle_id)` + sortWithinPartitions
+    * for globally shuffled shards without a single-point global sort).
+    */
+  def deterministicShuffle(df: DataFrame, key: Column, seed: Int = 42,
+      hash: HashFamily = XxHash): DataFrame =
+    df.withColumn("shuffle_id", bucket(key, seed, hash))
+      .orderBy(col("shuffle_id"), key)
+
   /** Deterministic fixed-SIZE per-stratum sample ("hash reservoir"): keeps
     * exactly min(k, |stratum|) rows per stratum, the ones ranking first in
     * hash order of `rowKey` (ties broken by the key itself). The

@@ -118,6 +118,19 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMix(skewed, "lang", alpha = 0.0, targetFraction = 0.5, key = col("doc_id")))
   }
 
+  test("deterministicShuffle is a reproducible, seed-sensitive permutation") {
+    val once  = Sampling.deterministicShuffle(docs, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val again = Sampling.deterministicShuffle(docs.repartition(9), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(once === again, "same seed + key → same order, any partitioning")
+    assert(once.sorted === (0L until 2000L), "a permutation: every row exactly once")
+    assert(once !== (0L until 2000L).toSeq, "and actually shuffled")
+    val other = Sampling.deterministicShuffle(docs, col("doc_id"), seed = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(other !== once, "different seed → different permutation")
+  }
+
   test("topKPerKey keeps exactly min(k, |stratum|) rows, deterministically") {
     val out = Sampling.topKPerKey(docs, Seq("lang"), k = 25, rowKey = col("doc_id"))
     val counts = out.groupBy("lang").count().collect()
