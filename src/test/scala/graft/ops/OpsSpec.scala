@@ -429,6 +429,17 @@ class SimilaritySearchSpec extends SparkSpec {
     ivf.save(indexed, centroids, dir)
     val (reloaded, _) = ivf.load(spark, dir)
     assert(reloaded.count() === 200L, "replaced index must not accumulate old cells")
+    // a crashed save (leftover scratch, target untouched) must not corrupt
+    // the live index, and the next save heals the debris
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratch = graft.io.AtomicSwap.scratch(new org.apache.hadoop.fs.Path(dir))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(scratch, "cells"))
+    val (afterCrash, cs) = ivf.load(spark, dir)
+    assert(afterCrash.count() === 200L, "live index unaffected by crash debris")
+    ivf.save(indexed, cs, dir)
+    assert(!fs.exists(scratch), "save heals the crashed attempt's scratch")
+    assert(ivf.load(spark, dir)._1.count() === 200L)
   }
 
   test("centroidOutliers flags vectors far from their own label centroid only") {
