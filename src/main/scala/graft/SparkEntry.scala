@@ -450,6 +450,19 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(docs, docs)
     }),
 
+    // DataFrame power-iteration PageRank on the same k-regular clique
+    // graph as q44 — identical closed-form fixed point, identical oracle
+    // shape; the plain-shuffle twin that replaces GraphX's pinned
+    // in-memory graph at scale (CC already has its DF twin in q61)
+    "q75_graph_pagerank_df" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      val bidir = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.GraphQueries.pageRankDF(s, v.select("id"), bidir)
+        .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+    }),
+
     // deterministic corpus shuffle (training-order randomization): the
     // permutation key is a pure function of (seed, doc_id) — the oracle
     // recomputes every shuffle_id exactly, so the full permutation is
@@ -1572,6 +1585,21 @@ object SparkEntry {
         |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // Same closed form as q44: on a k-regular component the fixed point is
+    // 1.0 per connected vertex, resetProb per isolated one, then the
+    // sum-to-N normalization.
+    "q75_graph_pagerank_df" ->
+      """WITH d AS (
+        |  SELECT s_suppkey, count(*) OVER (PARTITION BY s_nationkey) AS cnt FROM supplier
+        |), tot AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN cnt > 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.15 AS DOUBLE) END) AS mass
+        |  FROM d
+        |)
+        |SELECT s_suppkey AS id,
+        |  round(CAST(CASE WHEN cnt > 1 THEN 1.0 ELSE 0.15 END AS DOUBLE) * n / mass, 6) AS pagerank
+        |FROM d, tot""".stripMargin,
 
     "q74_shuffle_deterministic" ->
       s"""SELECT doc_id, lang,

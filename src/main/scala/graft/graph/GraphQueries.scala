@@ -88,6 +88,54 @@ object GraphQueries {
       .toDF(idCol, "pagerank")
   }
 
+  /** DataFrame power-iteration PageRank — the large-graph twin of
+    * [[pageRank]], same contract (GraphX `staticPageRank` semantics:
+    * ranks start at 1, `r' = reset + (1-reset)·Σ in-contribs` with
+    * out-degree-normalized contributions, dangling mass dropped, final
+    * ranks normalized to sum to |V|; spec asserts equality with GraphX to
+    * rounding). Like [[connectedComponentsDF]] vs GraphX components, the
+    * per-round state is plain shuffles over (vid, rank) and a degree-
+    * annotated edge frame — spillable, AQE-planned, no graph pinned in
+    * non-evictable cached RDDs — so this is the shape that survives at
+    * 100 TB; each round is checkpoint-truncated so the plan stays flat.
+    */
+  def pageRankDF(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      numIter: Int = 20,
+      resetProb: Double = 0.15,
+      idCol: String = "id"
+  ): DataFrame = {
+    require(numIter > 0, s"numIter must be positive, got $numIter")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val v = vertices.select(col(idCol).cast("long").as("vid"))
+    val e = edges.select(
+      col(EdgeColumns.Src).cast("long").as("src"),
+      col(EdgeColumns.Dst).cast("long").as("dst"))
+    // degree-annotated edges: built once, reused every round
+    val eDeg = graft.Caches.track(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
+    var r = materialize(v.withColumn("rank", lit(1.0)))
+    for (_ <- 1 to numIter) {
+      val contribs = eDeg.join(r, eDeg("src") === r("vid"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("msg"))
+      val next = v.join(contribs, v("vid") === contribs("dst"), "left")
+        .select(
+          v("vid"),
+          (lit(resetProb) + lit(1 - resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
+      val prev = r
+      r = materialize(next)
+      prev.unpersist(blocking = false)
+    }
+    val stats = r.agg(sum("rank"), count(lit(1))).head()
+    val scale = if (stats.getDouble(0) > 0) stats.getLong(1) / stats.getDouble(0) else 1.0
+    r.select(col("vid").as(idCol), (col("rank") * lit(scale)).as("pagerank"))
+  }
+
   /** Per-vertex triangle counts (GraphX TriangleCount — edges are
     * canonicalized and self-loops dropped internally, so either a one-way
     * or bidirectional edge table gives the same undirected answer).

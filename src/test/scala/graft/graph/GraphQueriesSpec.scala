@@ -160,6 +160,26 @@ class GraphQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(none == ids.map(i => i -> i).toMap)
   }
+
+  test("pageRankDF: random graph agrees with GraphX staticPageRank to rounding") {
+    import spark.implicits._
+    val rng   = new scala.util.Random(7)
+    val ids   = (1L to 100L)
+    val edges = Seq.fill(300)((ids(rng.nextInt(ids.size)), ids(rng.nextInt(ids.size))))
+      .filter(p => p._1 != p._2)
+      .toDF("src", "dst")
+    val v = ids.toDF("id")
+    val viaDf = GraphQueries.pageRankDF(spark, v, edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaGx = GraphQueries.pageRank(spark, v, edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaDf.keySet === viaGx.keySet)
+    viaDf.foreach { case (id, rank) =>
+      assert(math.abs(rank - viaGx(id)) < 1e-6, s"vertex $id: df=$rank gx=${viaGx(id)}")
+    }
+    // ranks normalize to sum to |V|, like GraphX
+    assert(math.abs(viaDf.values.sum - ids.size) < 1e-6)
+  }
 }
 
 class IvfSpec extends SparkSpec {
