@@ -70,12 +70,15 @@ final case class GraftShell(spark: SparkSession, config: GraftConfig) {
     graft.graph.GraphQueries.connectedComponentsDF(
       spark, vertices.select("id"), edges(label))
 
-  /** PageRank of one edge label (GraphX — iterative vertex programs keep
-    * their state co-partitioned there; exploration surface, not the dedup
-    * hot path).
+  /** PageRank of one edge label — the DataFrame power-iteration twin
+    * ([[graft.graph.GraphQueries.pageRankDF]]): like [[components]], the
+    * recommended path at any graph size (spillable per-round shuffles, no
+    * graph pinned in cached RDDs). GraphX
+    * ([[graft.graph.GraphQueries.pageRank]]) remains available for
+    * explicitly-small in-memory graphs.
     */
   def pageRank(label: String, numIter: Int = 20): DataFrame =
-    graft.graph.GraphQueries.pageRank(spark, vertices.select("id"), edges(label), numIter)
+    graft.graph.GraphQueries.pageRankDF(spark, vertices.select("id"), edges(label), numIter)
 }
 
 object GraftShell {
