@@ -118,18 +118,27 @@ object GraphQueries {
     // degree-annotated edges: built once, reused every round
     val eDeg = graft.Caches.track(
       e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
-    var r = materialize(v.withColumn("rank", lit(1.0)))
-    for (_ <- 1 to numIter) {
+    // checkpoint every few rounds, not every round: materialization is a
+    // whole job (fixed scheduler cost regardless of data size), while a
+    // handful of un-truncated join+agg rounds is a perfectly fine plan —
+    // so pay the job only once per CHECKPOINT_EVERY iterations
+    val checkpointEvery = 4
+    var r = v.withColumn("rank", lit(1.0))
+    var lastMaterialized: Option[DataFrame] = None
+    for (i <- 1 to numIter) {
       val contribs = eDeg.join(r, eDeg("src") === r("vid"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("msg"))
-      val next = v.join(contribs, v("vid") === contribs("dst"), "left")
+      r = v.join(contribs, v("vid") === contribs("dst"), "left")
         .select(
           v("vid"),
           (lit(resetProb) + lit(1 - resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
-      val prev = r
-      r = materialize(next)
-      prev.unpersist(blocking = false)
+      if (i % checkpointEvery == 0 || i == numIter) {
+        val prev = lastMaterialized
+        r = materialize(r)
+        lastMaterialized = Some(r)
+        prev.foreach(_.unpersist(blocking = false))
+      }
     }
     val stats = r.agg(sum("rank"), count(lit(1))).head()
     val scale = if (stats.getDouble(0) > 0) stats.getLong(1) / stats.getDouble(0) else 1.0
