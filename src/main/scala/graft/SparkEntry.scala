@@ -450,6 +450,21 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(docs, docs)
     }),
 
+    // canonical text normalization: the corpus is already clean, so the
+    // query plants tabs/newlines/case noise per row (the oracle plants the
+    // identical string) — control-strip, case-fold, whitespace-collapse
+    // and the byte saving are hash-checked doing real work
+    "q76_text_normalize" -> ((s, dir) => {
+      val messy = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit("  MiXeD \tCase\n  ")).as("text"))
+      messy.select(
+        col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("clean_text"),
+        (length(col("text")) - length(TextAnalysis.normalizeText(col("text"))))
+          .cast("long").as("chars_saved"))
+    }),
+
     // DataFrame power-iteration PageRank on the same k-regular clique
     // graph as q44 — identical closed-form fixed point, identical oracle
     // shape; the plain-shuffle twin that replaces GraphX's pinned
@@ -1588,6 +1603,20 @@ object SparkEntry {
         |  coalesce(mx, 0) AS max_shared, n_matches IS NOT NULL AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) t
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // Identical planted noise; DuckDB needs chr() for the control bytes.
+    "q76_text_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || '  MiXeD ' || chr(9) || 'Case' || chr(10) || '  ' AS tx
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(tx), '[\x00-\x1f]', ' ', 'g'),
+        |       '\s+', ' ', 'g')) AS clean_text,
+        |  CAST(length(tx) - length(trim(regexp_replace(
+        |       regexp_replace(lower(tx), '[\x00-\x1f]', ' ', 'g'),
+        |       '\s+', ' ', 'g'))) AS BIGINT) AS chars_saved
+        |FROM t""".stripMargin,
 
     // Same closed form as q44: on a k-regular component the fixed point is
     // 1.0 per connected vertex, resetProb per isolated one, then the

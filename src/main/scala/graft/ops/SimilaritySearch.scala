@@ -275,8 +275,12 @@ object SimilaritySearch {
       val header = lines.head.split(" ")
       require(header(0).toInt == k,
         s"index at $path was built with k=${header(0)}, this handle has k=$k")
+      val dim = header(2).toInt
       val centroids = lines.tail.filter(_.nonEmpty)
         .map(_.split(" ").map(java.lang.Double.parseDouble)).toArray
+      require(centroids.forall(_.length == dim),
+        s"corrupt index at $path: centroid dims ${centroids.map(_.length).distinct.mkString(",")} " +
+          s"vs recorded dim $dim")
       (spark.read.parquet(s"$path/cells"), centroids)
     }
   }

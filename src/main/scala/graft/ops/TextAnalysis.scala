@@ -314,6 +314,19 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Canonical text normalization — the first transform of every text
+    * pipeline: strip ASCII control characters, lowercase, trim, and
+    * collapse whitespace runs to single spaces. All downstream tokenized
+    * operators (vocabulary, shingles, LM scoring) implicitly assume this
+    * shape; applying it once up front makes their `lower(trim(...))`
+    * normalization a no-op instead of a per-operator re-do.
+    * Pure codegen regexp projection — map-side, zero shuffle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1F]", " "),
+      "\\s+", " "))
+
   /** Top-k corpus tokens by total occurrence count (ties broken by token
     * text, so the result set is fully deterministic) — stopword mining /
     * heavy-hitter analysis over [[vocabulary]]. The order-by + limit plans

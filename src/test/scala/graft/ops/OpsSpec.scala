@@ -336,6 +336,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c3 === "two mails <EMAIL> <EMAIL> and host <IP>")
   }
 
+  test("normalizeText strips controls, folds case, collapses whitespace") {
+    import spark.implicits._
+    val out = Seq(
+      (1L, "  Hello\t\tWORLD  x\n\n done  "),
+      (2L, "already clean"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "hello world x done")
+    assert(out(2L) === "already clean")
+    assert(out(3L) === "", "control-only input normalizes to empty")
+  }
+
   test("topTokens returns the k most frequent tokens with deterministic ties") {
     import spark.implicits._
     val docs = Seq(
