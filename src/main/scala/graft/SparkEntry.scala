@@ -1635,7 +1635,7 @@ object SparkEntry {
 
     "q74_shuffle_deterministic" ->
       s"""SELECT doc_id, lang,
-         |  ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS shuffle_id
+         |  ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} AS shuffle_id
          |FROM documents""".stripMargin,
 
     // Same rounded-centroid construction as q60; the outlier flag compares
@@ -1667,12 +1667,17 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY tf DESC, token LIMIT 25""".stripMargin,
 
-    // Identical double-arithmetic order (left-assoc f·n·(√c/z)/c, ordered
-    // power sum, CAST 0.5 to DOUBLE to dodge DuckDB's DECIMAL literals),
-    // identical 1e6-threshold rounding, then the portable md5 bucket rule.
+    // Identical double-arithmetic order (left-assoc f·n·(√c/z)/c, CAST 0.5
+    // to DOUBLE to dodge DuckDB's DECIMAL literals), identical
+    // 1e6-threshold rounding, then the portable md5 bucket rule. The power
+    // sum's accumulation order is STRUCTURAL — an ORDER BY'd list folded
+    // left-to-right by list_reduce, ((√c₁+√c₂)+…) exactly like the Scala
+    // foldLeft — not an ORDER BY modifier on sum(), which an engine may
+    // legally ignore for an order-insensitive aggregate.
     "q71_sample_temperature" ->
       s"""WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
-         |z AS (SELECT sum(sqrt(c) ORDER BY lang) AS z, sum(c) AS n FROM cnt),
+         |z AS (SELECT list_reduce(list(sqrt(c) ORDER BY lang), (acc, x) -> acc + x) AS z,
+         |             sum(c) AS n FROM cnt),
          |rate AS (
          |  SELECT lang,
          |    CAST(round(least(CAST(0.5 AS DOUBLE) * n * (sqrt(c) / z) / c,

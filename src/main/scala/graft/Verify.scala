@@ -29,7 +29,13 @@ object Verify {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated query-name filter for fast local iteration
+    // (dev/check_oracle.py takes the same names); the driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // The job group must be set on the thread that SUBMITS the Spark jobs
       // (it's a thread-local snapshot): setting it here on the main thread
       // would tag nothing, and a reused pool thread would carry a stale

@@ -93,11 +93,16 @@ object GraphQueries {
     * ranks start at 1, `r' = reset + (1-reset)·Σ in-contribs` with
     * out-degree-normalized contributions, dangling mass dropped, final
     * ranks normalized to sum to |V|; spec asserts equality with GraphX to
-    * rounding). Like [[connectedComponentsDF]] vs GraphX components, the
-    * per-round state is plain shuffles over (vid, rank) and a degree-
-    * annotated edge frame — spillable, AQE-planned, no graph pinned in
-    * non-evictable cached RDDs — so this is the shape that survives at
-    * 100 TB; each round is checkpoint-truncated so the plan stays flat.
+    * rounding). The vertex universe is `vertices ∪ edge endpoints`,
+    * deduplicated — exactly GraphX's `Graph()` construction, which
+    * materializes endpoints absent from the vertex RDD (they contribute
+    * and receive mass and count in the normalization) and dedups repeated
+    * vertex ids; both divergence cases are spec'd against GraphX. Like
+    * [[connectedComponentsDF]] vs GraphX components, the per-round state
+    * is plain shuffles over (vid, rank) and a degree-annotated edge
+    * frame — spillable, AQE-planned, no graph pinned in non-evictable
+    * cached RDDs — so this is the shape that survives at 100 TB; each
+    * round is checkpoint-truncated so the plan stays flat.
     */
   def pageRankDF(
       spark: SparkSession,
@@ -111,10 +116,16 @@ object GraphQueries {
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    val v = vertices.select(col(idCol).cast("long").as("vid"))
     val e = edges.select(
       col(EdgeColumns.Src).cast("long").as("src"),
       col(EdgeColumns.Dst).cast("long").as("dst"))
+    // one distinct shuffle on bare longs, built once and reused every
+    // round (tracked-persisted like the degree frame below)
+    val v = graft.Caches.track(
+      vertices.select(col(idCol).cast("long").as("vid"))
+        .union(e.select(col("src").as("vid")))
+        .union(e.select(col("dst").as("vid")))
+        .distinct())
     // degree-annotated edges: built once, reused every round
     val eDeg = graft.Caches.track(
       e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"))

@@ -24,10 +24,6 @@ import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
   */
 object Layout {
 
-  /** Morton key: each column is normalized to `bits` bits against its
-    * [min, max] (from `stats`), then bit b of column i lands at position
-    * `b * ncols + i` of the key. `bits * ncols` must fit a signed long.
-    */
   /** Numeric view of a clustered column: dates → epoch days, timestamps →
     * epoch seconds (a direct date/timestamp→double cast yields null).
     */
@@ -37,6 +33,16 @@ object Layout {
     case _             => col(c).cast("double")
   }
 
+  /** Morton key: each column is normalized to `bits` bits against its
+    * [min, max] (from `stats`), then bit b of column i lands at position
+    * `b * ncols + i` of the key. `bits * ncols` must fit a signed long.
+    * NULL column values sort as the column's `lo` (bit pattern 0) — a NULL
+    * anywhere would otherwise null the whole key, collapsing every
+    * null-bearing row into ONE range partition whose min-max spans are
+    * full-width on every clustered column (no pruning at all for them);
+    * pinning NULLs at the low edge keeps them clustered with the column's
+    * smallest values and leaves the other columns' spans tight.
+    */
   private def mortonKey(df: DataFrame, cols: Seq[String], stats: Map[String, (Double, Double)], bits: Int): Column = {
     val n        = cols.length
     val scaleMax = (1L << bits) - 1
@@ -44,9 +50,10 @@ object Layout {
       .map { case (c, i) =>
         val (lo, hi) = stats(c)
         val range    = if (hi > lo) hi - lo else 1.0
+        val v        = coalesce(asDouble(c, df.schema(c).dataType), lit(lo))
         val scaled = least(
           greatest(
-            (((asDouble(c, df.schema(c).dataType) - lit(lo)) / lit(range)) * lit(scaleMax.toDouble)).cast("long"),
+            (((v - lit(lo)) / lit(range)) * lit(scaleMax.toDouble)).cast("long"),
             lit(0L)),
           lit(scaleMax))
         (0 until bits)

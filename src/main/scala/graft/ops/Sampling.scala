@@ -151,10 +151,17 @@ object Sampling {
     * different order by changing the seed. Appends the hash as `shuffle_id`
     * (write with `repartitionByRange(shuffle_id)` + sortWithinPartitions
     * for globally shuffled shards without a single-point global sort).
+    *
+    * The permutation key is the FULL-WIDTH seeded hash (60 or 64 bits), not
+    * the 1/Granularity-quantized [[bucket]]: at corpus scale (≫ 10⁶ rows) a
+    * quantized key collides constantly and the key tie-break would leave
+    * systematic key-ordered runs inside every collision bucket. With the
+    * full hash, collisions are ~birthday-rare (2⁻⁶⁰) and the key tie-break
+    * only pins determinism for those.
     */
   def deterministicShuffle(df: DataFrame, key: Column, seed: Int = 42,
       hash: HashFamily = XxHash): DataFrame =
-    df.withColumn("shuffle_id", bucket(key, seed, hash))
+    df.withColumn("shuffle_id", hash.seeded(seed, key))
       .orderBy(col("shuffle_id"), key)
 
   /** Deterministic fixed-SIZE per-stratum sample ("hash reservoir"): keeps

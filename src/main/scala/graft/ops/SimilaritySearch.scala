@@ -275,9 +275,15 @@ object SimilaritySearch {
       val header = lines.head.split(" ")
       require(header(0).toInt == k,
         s"index at $path was built with k=${header(0)}, this handle has k=$k")
+      require(header(1).toLong == seed,
+        s"index at $path was built with seed=${header(1)}, this handle has seed=$seed")
       val dim = header(2).toInt
       val centroids = lines.tail.filter(_.nonEmpty)
         .map(_.split(" ").map(java.lang.Double.parseDouble)).toArray
+      // a truncated sidecar would otherwise load silently and every query
+      // would probe over fewer cells — incomplete results with no error
+      require(centroids.length == k,
+        s"corrupt index at $path: ${centroids.length} centroid lines, header records k=$k")
       require(centroids.forall(_.length == dim),
         s"corrupt index at $path: centroid dims ${centroids.map(_.length).distinct.mkString(",")} " +
           s"vs recorded dim $dim")

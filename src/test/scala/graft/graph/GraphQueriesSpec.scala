@@ -180,6 +180,25 @@ class GraphQueriesSpec extends SparkSpec {
     // ranks normalize to sum to |V|, like GraphX
     assert(math.abs(viaDf.values.sum - ids.size) < 1e-6)
   }
+
+  test("pageRankDF: edge endpoints absent from vertices and duplicate ids match GraphX") {
+    import spark.implicits._
+    // vertices list only 1..5 (with 3 duplicated); edges reach 6..8, which
+    // GraphX materializes into the graph — they receive/contribute mass and
+    // count in the |V| normalization. The DF twin must agree on both.
+    val v = Seq(1L, 2L, 3L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 6L), (6L, 2L), (2L, 7L), (7L, 8L), (8L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val viaDf = GraphQueries.pageRankDF(spark, v, edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaGx = GraphQueries.pageRank(spark, v, edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaDf.keySet === viaGx.keySet)
+    assert(viaDf.keySet === (1L to 8L).toSet)
+    viaDf.foreach { case (id, rank) =>
+      assert(math.abs(rank - viaGx(id)) < 1e-6, s"vertex $id: df=$rank gx=${viaGx(id)}")
+    }
+  }
 }
 
 class IvfSpec extends SparkSpec {

@@ -74,6 +74,22 @@ class LayoutSpec extends SparkSpec {
       Layout.writeClustered(grid, dir, Seq("x"), targetFileMB = 0))
   }
 
+  test("null values sort at the column's low edge, not into one null-key partition") {
+    // y is NULL on every 4th row; a NULL z-key would dump all of them into
+    // one range partition with full-width x spans — instead they must key
+    // as y=lo and leave x clustering intact
+    val df = grid.withColumn("y", when(col("rid") % 4 === 0, lit(null)).otherwise(col("y")))
+    val out = Layout.zorderBy(df, Seq("x", "y"), numPartitions = 16)
+    assert(out.count() === 1024L)
+    val nullSpread = out.withColumn("_pid", spark_partition_id())
+      .where(col("y").isNull).select("_pid").distinct().count()
+    assert(nullSpread > 4, s"null-y rows must spread across partitions by x, got $nullSpread")
+    // x pruning must survive for the null-bearing rows
+    val xSpan = Layout.partitionSpans(out.where(col("y").isNull), Seq("x"))
+      .agg(avg(col("hi_x") - col("lo_x"))).head().getDouble(0)
+    assert(xSpan < 24.0, s"x spans for null-y rows should stay clustered, got $xSpan")
+  }
+
   test("date columns cluster via their epoch-day view") {
     val df = grid.withColumn("d", date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("x").cast("int")))
     val out = Layout.zorderBy(df, Seq("d", "y"), numPartitions = 8)

@@ -129,6 +129,13 @@ class SamplingSpec extends SparkSpec {
     val other = Sampling.deterministicShuffle(docs, col("doc_id"), seed = 7)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(other !== once, "different seed → different permutation")
+    // full-width permutation key: above ~1M rows the 1/Granularity-quantized
+    // bucket would collide constantly and leave key-ordered runs; the raw
+    // seeded hash must be used (its range vastly exceeds the bucket range)
+    val maxKey = Sampling.deterministicShuffle(docs, col("doc_id"))
+      .agg(max(abs(col("shuffle_id")))).head.getLong(0)
+    assert(maxKey > Sampling.Granularity,
+      "shuffle_id is the full-width seeded hash, not the quantized bucket")
   }
 
   test("topKPerKey keeps exactly min(k, |stratum|) rows, deterministically") {
