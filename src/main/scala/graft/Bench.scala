@@ -33,6 +33,15 @@ object Bench {
     System.setProperty("graft.hash", sys.env.getOrElse("SPARK_GRAFT_HASH", "xxhash"))
     System.setProperty("graft.mode", "bench")
 
+    // Contention telemetry: the recorded driver-round numbers have several
+    // times (r3/r4/r6/r7) been 2×+ outliers vs idle re-runs of identical
+    // bytecode. The 1-minute system load average before and after the run
+    // (vs the core count) makes a contended record self-diagnosing: a
+    // load_avg far above `cpus_available` means the box was busy with
+    // something else and the timings overstate the engine's cost.
+    val osBean    = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -82,8 +91,9 @@ object Bench {
     val totalMedian = results.map(_._3).sum
     System.err.println(
       f"""[bench-detail] {"queries_median":$qsMedian,"runs":$qsRuns}""")
+    val loadEnd = osBean.getSystemLoadAverage
     println(
-      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"n_runs":$runs,"total_median":$totalMedian%.3f,"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"n_runs":$runs,"total_median":$totalMedian%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

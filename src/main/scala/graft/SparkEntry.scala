@@ -631,6 +631,17 @@ object SparkEntry {
         .select(col("id"), col("triangles").cast("long").as("triangles"))
     }),
 
+    // per-vertex triangle counts as plain DataFrame joins — the spillable
+    // twin of q58 (degree-oriented wedge closure, O(m^{3/2}) wedges); with
+    // this, all three iterative graph ops (CC q61, PageRank q75, triangles)
+    // have a DF path for graphs too big to pin in GraphX's cached RDDs
+    "q77_graph_triangles_df" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      graft.graph.GraphQueries.triangleCountsDF(s, v.select("id"), e)
+        .select(col("id"), col("triangles"))
+    }),
+
     // IVF ANN: KMeans-cell candidate restriction (seeded KMeans is not
     // SQL-expressible, so the driver-checkable contract is a RECALL GATE:
     // the query computes recall@10 of the cell-restricted search against
@@ -1548,6 +1559,25 @@ object SparkEntry {
     // canonical-edge (a < b) triple join: every triangle found once,
     // contributing one count to each of its three corners
     "q58_graph_triangles" ->
+      """WITH e AS (
+        |  SELECT b.s_suppkey AS a, a.s_suppkey AS b
+        |  FROM supplier a JOIN supplier b
+        |    ON a.s_suppkey > b.s_suppkey
+        |   AND a.s_nationkey IS NOT DISTINCT FROM b.s_nationkey
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), pv AS (
+        |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+        |)
+        |SELECT s.s_suppkey AS id, CAST(coalesce(t.n, 0) AS BIGINT) AS triangles
+        |FROM supplier s LEFT JOIN (SELECT id, count(*) AS n FROM pv GROUP BY 1) t
+        |  ON t.id = s.s_suppkey""".stripMargin,
+
+    // identical semantics to q58 (triangle counts are orientation-
+    // independent), so the oracle is the same canonical triple join
+    "q77_graph_triangles_df" ->
       """WITH e AS (
         |  SELECT b.s_suppkey AS a, a.s_suppkey AS b
         |  FROM supplier a JOIN supplier b

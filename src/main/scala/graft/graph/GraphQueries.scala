@@ -17,9 +17,14 @@ import graft.rules.EdgeColumns
   * fixed overhead on small/medium graphs that fit executor memory) and
   * [[connectedComponentsDF]] (alternating-star DataFrame loop — spillable
   * shuffles, AQE-planned, the recommended path for large pair graphs;
-  * [[graft.ops.Dedup.clusters]] rides this one). PageRank and triangle
-  * counting stay on GraphX, where iterative vertex state is co-partitioned
-  * and replicated once.
+  * [[graft.ops.Dedup.clusters]] rides this one). All three iterative /
+  * whole-graph ops now come in both flavors: GraphX ([[pageRank]],
+  * [[triangleCounts]], [[connectedComponents]]) has the lowest fixed
+  * overhead on small/medium graphs that fit executor memory, while the
+  * DataFrame twins ([[pageRankDF]], [[triangleCountsDF]],
+  * [[connectedComponentsDF]]) are plain spillable shuffles with no graph
+  * pinned in non-evictable cached RDDs — the recommended path for large
+  * graphs.
   */
 object GraphQueries {
 
@@ -179,6 +184,74 @@ object GraphQueries {
       .triangleCount().vertices
       .map { case (id, n) => (id, n.toLong) }
       .toDF(idCol, "triangles")
+  }
+
+  /** Per-vertex triangle counts as plain DataFrame joins — the large-graph
+    * twin of [[triangleCounts]], same contract (undirected reading of a
+    * one-way or bidirectional edge table, self-loops dropped, vertices in
+    * no triangle report 0; spec asserts equality with GraphX on a random
+    * graph).
+    *
+    * Shape: canonicalize to one distinct (lo, hi) row per undirected edge,
+    * then orient every edge from its LOWER-degree endpoint to the higher
+    * (ties by id). Wedges are the self-join of the oriented edge set on the
+    * source; a wedge (u→v, u→w) closes into a triangle iff the oriented
+    * edge v→w exists — one equi-join on (v, w). Every triangle is found
+    * exactly once (its orientation-minimal corner is the unique wedge
+    * apex), contributing one count to each of its three corners.
+    *
+    * Why degree orientation and not id order (the naive triple join): the
+    * wedge count is Σᵤ d⁺(u)², and degree orientation bounds d⁺(u) by
+    * O(√m), giving the classical O(m^{3/2}) total — a high-degree hub
+    * (every near-dup pair graph has them) produces almost no wedges
+    * because its edges all point INTO it, where id order could square the
+    * hub's degree. All state is slim long frames riding spillable,
+    * AQE-planned shuffles — no graph pinned in cached RDDs, the same 100×
+    * argument as [[connectedComponentsDF]] / [[pageRankDF]].
+    */
+  def triangleCountsDF(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      idCol: String = "id"
+  ): DataFrame = {
+    // one distinct (lo, hi) row per undirected edge, self-loops dropped
+    val canon = graft.Caches.track(
+      edges
+        .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+        .where(col("s") =!= col("d"))
+        .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+        .distinct())
+    val deg = canon.select(col("a").as("v")).union(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient low-degree → high-degree (ties by id); carry the target's
+    // (deg, id) so the wedge filter below can compare orientation order
+    // without a second lookup
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = graft.Caches.track(
+      canon
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(fwd, col("a")).otherwise(col("b")).as("u"),
+          when(fwd, col("b")).otherwise(col("a")).as("v"),
+          when(fwd, col("db")).otherwise(col("da")).as("dv")))
+    // wedges (u→v, u→w) with v before w in orientation order; closure =
+    // the oriented edge v→w (which, in a triangle, exists in exactly that
+    // direction because orientation order is total)
+    val o1 = oriented.select(col("u"), col("v"), col("dv"))
+    val o2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val tri = o1.join(o2, Seq("u"))
+      .where(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .join(closing, Seq("v", "w"))
+    val counts = tri.select(col("u").as("vid"))
+      .union(tri.select(col("v").as("vid")))
+      .union(tri.select(col("w").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("n"))
+    val vs = vertices.select(col(idCol).cast("long").as(idCol))
+    vs.join(counts, vs(idCol) === counts("vid"), "left")
+      .select(vs(idCol), coalesce(col("n"), lit(0L)).as("triangles"))
   }
 
   /** Connected components over an edge set; vertices absent from any edge

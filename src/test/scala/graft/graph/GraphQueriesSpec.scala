@@ -76,6 +76,41 @@ class GraphQueriesSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("triangleCountsDF: clique/path/isolated and bidirectional input match triangleCounts") {
+    import spark.implicits._
+    val edges = (for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (a.toLong, b.toLong, 1)) ++ Seq((5L, 6L, 1), (6L, 7L, 1))
+    val e = edges.toDF("src", "dst", "propVal")
+    val v = (1L to 8L).toDF("id")
+    val out = GraphQueries.triangleCountsDF(spark, v, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L), s"got $out")
+    val bidir = e.union(e.select(col("dst"), col("src"), col("propVal")))
+    val out2 = GraphQueries.triangleCountsDF(spark, v, bidir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
+  test("triangleCountsDF: random graph (with a hub) agrees with GraphX exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val ids = (1L to 120L)
+    // random edges + a high-degree hub (vertex 1 touches everything) — the
+    // degree-orientation case that separates O(m^{3/2}) from the naive
+    // id-ordered join
+    val random = Seq.fill(400)((ids(rng.nextInt(ids.size)), ids(rng.nextInt(ids.size))))
+    val hub    = ids.drop(1).map(i => (1L, i))
+    val edges  = (random ++ hub).toDF("src", "dst").withColumn("propVal", lit(1))
+    val v = ids.toDF("id")
+    val viaDf = GraphQueries.triangleCountsDF(spark, v, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaGx = GraphQueries.triangleCounts(spark, v, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDf == viaGx)
+  }
+
   test("connectedComponentsDF: chain + isolated vertex matches the GraphX contract") {
     import spark.implicits._
     val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
