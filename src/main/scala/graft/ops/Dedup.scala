@@ -602,6 +602,66 @@ object Dedup {
       .select(col(idCol), col("cluster_id"), (col("_rn") === 1).as("keep"))
   }
 
+  /** Incremental cluster-label maintenance — update a persisted
+    * (doc_id, cluster_id) label table with a new batch's pair frame WITHOUT
+    * re-running components over every historical pair.
+    *
+    * Key fact: a min-label component labeling is itself a lossless,
+    * pre-collapsed encoding of historical connectivity — each cluster is a
+    * star around its minimum id. So the union of (prior labels as doc →
+    * cluster_id edges, self-labels dropped) with the new batch's pairs has
+    * exactly the same components as (all historical pairs ∪ new pairs),
+    * and min-merge falls out of [[graft.graph.GraphQueries.componentLabels]]'s
+    * min-label contract: a batch that bridges two historical clusters
+    * relabels both to the smaller cluster_id (spec-asserted ≡ full
+    * recompute, including merge batches).
+    *
+    * Scale shape: the component input is |label table| + |new pairs| rows —
+    * one slim (long, long) row per historically-clustered doc, NOT one per
+    * historical pair (a near-dup-dense crawl has many more pairs than
+    * clustered docs, and old pairs need never be stored at all). This is
+    * the cluster-formation analogue of the maintained sketch tables that
+    * [[incrementalFromSketches]] probes; [[graft.streaming.StreamingDedupIngest]]
+    * wires both together so the streaming story is incremental end-to-end.
+    *
+    * Returns (idCol, cluster_id, keep) like [[clusters]]: with `docs`
+    * supplied the verdict is total over that universe; otherwise it covers
+    * prior-label docs ∪ new-pair members (absent docs are implicit
+    * singletons).
+    */
+  def incrementalClusters(
+      spark: SparkSession,
+      priorLabels: DataFrame,
+      newPairs: DataFrame,
+      docs: Option[DataFrame] = None,
+      idCol: String = "doc_id",
+      aCol: String = "id_a",
+      bCol: String = "id_b"
+  ): DataFrame = {
+    import graft.rules.EdgeColumns
+    // tracked persists: both frames feed the edge union AND the universe
+    val prior = graft.Caches.track(
+      priorLabels.select(col(idCol).cast("long").as("a"), col("cluster_id").cast("long").as("b")))
+    val p = graft.Caches.track(
+      newPairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+    val edges = prior.where(col("a") =!= col("b")).union(p)
+      .select(col("a").as(EdgeColumns.Src), col("b").as(EdgeColumns.Dst))
+    val labels = graft.graph.GraphQueries.componentLabels(spark, edges)
+      .select(col("vid").as(idCol), col("component").as("cluster_id"))
+    val universe = docs
+      .map(_.select(col(idCol).cast("long").as(idCol)))
+      .getOrElse(
+        prior.select(col("a").as(idCol))
+          .union(p.select(col("a").as(idCol)))
+          .union(p.select(col("b").as(idCol)))
+          .distinct())
+    universe.join(labels, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        (coalesce(col("cluster_id"), col(idCol)) === col(idCol)).as("keep"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse key (default: a
     * provided label/cluster column) so the pairwise compare is within-block
     * only. Cosine is computed with zip_with + aggregate — native expressions.

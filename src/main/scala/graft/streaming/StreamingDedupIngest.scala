@@ -40,6 +40,18 @@ import graft.ops.{Dedup, HashFamily, TextAnalysis, XxHash}
   * [[StreamingIngest]]'s vertex table), so the query is restart-safe with
   * no custom state store.
   *
+  * With `labelsPath` supplied, a (doc_id, cluster_id) CLUSTER LABEL table
+  * is maintained incrementally alongside the sketches: each batch runs
+  * [[graft.ops.Dedup.incrementalClusters]] over (prior labels ∪ this
+  * batch's dup pairs — both the cross-corpus near-dups and the intra-batch
+  * exact dups) and writes only the DELTA (new or changed labels) to its own
+  * `ingest_batch` partition. Per-batch component work is O(label table +
+  * batch pairs), never O(all historical pairs) — historical pairs are not
+  * even stored; [[labels]] resolves the current labeling as
+  * latest-batch-wins per doc. A replayed batch recomputes its delta from
+  * the prior batches' labels (its own partition excluded), so the output
+  * is replay-idempotent like every other sink here.
+  *
   * With `evalSet` supplied, each batch's novel documents are additionally
   * screened for eval-set contamination ([[graft.ops.Decontaminate]],
   * n-gram overlap at `decontaminateN`/`decontaminateMinShared`) BEFORE
@@ -66,7 +78,8 @@ class StreamingDedupIngest(
     quarantinePath: Option[String] = None,
     decontaminateN: Int = 8,
     decontaminateMinShared: Long = 1L,
-    vocabPath: Option[String] = None
+    vocabPath: Option[String] = None,
+    labelsPath: Option[String] = None
 ) {
 
   private val bandsPath = s"$sketchPath/bands"
@@ -82,6 +95,33 @@ class StreamingDedupIngest(
       .where(col("ingest_batch") =!= excludeBatch)
       .drop("ingest_batch")
     catch { case _: org.apache.spark.sql.AnalysisException => like.limit(0) }
+
+  /** The latest (idCol, cluster_id) row per doc across the label deltas —
+    * a doc relabeled by a later batch (cluster merge) resolves to the later
+    * row. `excludeBatch` drops the current batch's own prior-attempt
+    * partition (replay safety, same rule as [[readSketch]]).
+    */
+  private def readLatestLabels(path: String, excludeBatch: Long): DataFrame =
+    try {
+      val raw = spark.read.parquet(path).where(col("ingest_batch") =!= excludeBatch)
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ingest_batch").desc)
+      raw.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col(idCol), col("cluster_id"))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.range(0).select(col("id").as(idCol), col("id").as("cluster_id"))
+    }
+
+  /** Current cluster labeling (idCol, cluster_id) over every doc that has
+    * ever participated in a dup pair; docs absent from the table are
+    * implicit singletons. Latest-batch-wins per doc, so a cluster merge in
+    * batch n overrides labels written by batches < n.
+    */
+  def labels(): DataFrame = {
+    val lp = labelsPath.getOrElse(
+      throw new IllegalStateException("ingest was built without a labelsPath"))
+    readLatestLabels(lp, excludeBatch = -1L)
+  }
 
   /** Runs one micro-batch through dedup; usable directly in tests and from
     * batch jobs (same contract as [[StreamingIngest.ingestBatch]]).
@@ -140,6 +180,27 @@ class StreamingDedupIngest(
     writeBatchPartition(Dedup.bandBuckets(novelSigs, numHashes, bands, hash), bandsPath)
     writeBatchPartition(novelSigs.select(col("id"), col("sh")), shPath)
     quarantinePath.foreach(p => writeBatchPartition(contaminated, p))
+    // incremental cluster labels: prior labels (pre-collapsed history) +
+    // this batch's pair evidence (cross-corpus near-dups and intra-batch
+    // exact dups) → only the DELTA rows land in this batch's partition
+    labelsPath.foreach { lp =>
+      val wfp = Window.partitionBy(col("_fp"))
+      val exactPairs = batch
+        .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+        .withColumn("_rep", min(col(idCol)).over(wfp))
+        .where(col(idCol) =!= col("_rep"))
+        .select(col("_rep").as("id_a"), col(idCol).as("id_b"))
+      val pairFrame = dupPairs.select(col("old_id").as("id_a"), col("new_id").as("id_b"))
+        .union(exactPairs)
+      val prior = readLatestLabels(lp, excludeBatch = batchId)
+      val updated = graft.ops.Dedup
+        .incrementalClusters(spark, prior, pairFrame, idCol = idCol)
+      val delta = updated
+        .join(prior.select(col(idCol), col("cluster_id").as("_prev")), Seq(idCol), "left")
+        .where(col("_prev").isNull || col("_prev") =!= col("cluster_id"))
+        .select(col(idCol), col("cluster_id"))
+      writeBatchPartition(delta, lp)
+    }
     // incremental vocabulary: the batch's NOVEL (deduped, decontaminated)
     // documents' token counts — per-batch work is O(batch tokens)
     vocabPath.foreach(p =>

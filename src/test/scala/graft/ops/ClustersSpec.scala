@@ -63,6 +63,38 @@ class ClustersSpec extends SparkSpec {
     assert(!stages.isEmpty, "listener captured no stages — assertion would be vacuous")
   }
 
+  test("incrementalClusters ≡ full recompute across batches, including cluster-merging batches") {
+    import spark.implicits._
+    // batch 1: {1,2,5} and {7,8}; batch 2 BRIDGES them (5-7), adds {10,11},
+    // and extends {1,2,5} with 12; batch 3 adds a doc (0) SMALLER than every
+    // historical cluster min (relabels the merged cluster to 0)
+    val b1 = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val b2 = Seq((5L, 7L), (10L, 11L), (12L, 2L)).toDF("id_a", "id_b")
+    val b3 = Seq((0L, 8L)).toDF("id_a", "id_b")
+
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    val labels1 = Dedup.clusters(spark, b1)
+    val inc2    = Dedup.incrementalClusters(spark, labels1.select("doc_id", "cluster_id"), b2)
+    val full2   = Dedup.clusters(spark, b1.union(b2))
+    assert(asSet(inc2) == asSet(full2), s"batch-2 merge diverged: ${asSet(inc2)}")
+
+    val inc3  = Dedup.incrementalClusters(spark, inc2.select("doc_id", "cluster_id"), b3)
+    val full3 = Dedup.clusters(spark, b1.union(b2).union(b3))
+    assert(asSet(inc3) == asSet(full3), s"batch-3 min-relabel diverged: ${asSet(inc3)}")
+    // the bridged cluster's min dropped to the new doc 0
+    assert(asSet(inc3).contains((8L, 0L, false)) && asSet(inc3).contains((0L, 0L, true)))
+
+    // total verdict over a docs universe matches clusters' universe form
+    val docs = (0L to 13L).toDF("doc_id")
+    val incU  = Dedup.incrementalClusters(
+      spark, inc2.select("doc_id", "cluster_id"), b3, docs = Some(docs))
+    val fullU = Dedup.clusters(spark, b1.union(b2).union(b3), Some(docs))
+    assert(asSet(incU) == asSet(fullU))
+    assert(asSet(incU).contains((13L, 13L, true))) // untouched doc = singleton
+  }
+
   test("dropping keep=false rows leaves a corpus with no remaining near-dup pairs") {
     import spark.implicits._
     val docs = Seq(

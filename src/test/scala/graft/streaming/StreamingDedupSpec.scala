@@ -124,6 +124,52 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental cluster labels: delta writes, latest-wins relabeling, replay idempotency") {
+    import spark.implicits._
+    val work = tempDir("graft-sdedup-labels")
+    val ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
+      s"$work/sketch", verifyThreshold = 0.5, labelsPath = Some(s"$work/labels"))
+    def labelMap() = ingest.labels().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch 1: exact dup 3 → cluster {0, 3}
+    ingest.ingestBatch(batch1, batchId = 0)
+    assert(labelMap() == Map(0L -> 0L, 3L -> 0L), s"got ${labelMap()}")
+
+    // batch 2: near-dups 10 (of 0) and 11 (of 2) join/extend clusters
+    ingest.ingestBatch(batch2, batchId = 1)
+    assert(labelMap() == Map(0L -> 0L, 3L -> 0L, 10L -> 0L, 2L -> 2L, 11L -> 2L))
+    // the batch-2 partition holds only its DELTA (batch-1 labels not rewritten)
+    val b2rows = spark.read.parquet(s"$work/labels").where(col("ingest_batch") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b2rows == Set(2L, 10L, 11L), s"batch-2 delta must be only new/changed rows: $b2rows")
+
+    // batch 3: a doc with a SMALLER id than cluster 2's min near-dups it —
+    // the component minimum drops, and latest-batch-wins relabels 2 and 11
+    val batch3 = Seq((-5L, "sphinx of black quartz judge my vow said the librarian !!"))
+      .toDF("doc_id", "text")
+    ingest.ingestBatch(batch3, batchId = 2)
+    val expect3 = Map(0L -> 0L, 3L -> 0L, 10L -> 0L, 2L -> -5L, 11L -> -5L, -5L -> -5L)
+    assert(labelMap() == expect3, s"got ${labelMap()}")
+
+    // checkpoint-recovery replay recomputes the same delta from the prior
+    // batches' labels (own partition excluded) — output unchanged
+    ingest.ingestBatch(batch3, batchId = 2)
+    assert(labelMap() == expect3)
+
+    // incremental labeling ≡ full recompute over every pair ever recorded
+    val allPairs = spark.read.parquet(s"$work/dups")
+      .select(col("old_id").as("id_a"), col("new_id").as("id_b"))
+      .union(Seq((0L, 3L)).toDF("id_a", "id_b")) // batch 1's intra-batch exact pair
+    val full = graft.ops.Dedup.clusters(spark, allPairs)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == labelMap(), s"full recompute diverged: $full")
+
+    intercept[IllegalStateException] {
+      new StreamingDedupIngest(spark, s"$work/c2", s"$work/d2", s"$work/s2").labels()
+    }
+  }
+
   test("decontamination gate: contaminated novel docs divert to quarantine, never the corpus") {
     import spark.implicits._
     val work = tempDir("graft-sdedup-decon")
