@@ -870,7 +870,12 @@ object SparkEntry {
   val benchQueryVec: Seq[Double] = Seq.tabulate(64)(i => math.sin(i + 1.0))
 
   /** Per-JVM memo for built ANN indexes (build once, query many — the
-    * deployment shape the query timings should reflect).
+    * deployment shape the query timings should reflect). Entries are keyed
+    * by dataset dir and live for the JVM — fine for Bench/Verify, which
+    * touch one dataset and exit; a long-lived serving deployment should use
+    * the persisted-index path instead ([[graft.ops.SimilaritySearch.IvfIndex]]
+    * `save`/`load`/`append`), which bounds memory to the cells actually
+    * probed and survives restarts.
     */
   private val memoCache = new java.util.concurrent.ConcurrentHashMap[String, Any]()
   private[graft] def memo[A](key: String)(build: => A): A =

@@ -289,6 +289,60 @@ object SimilaritySearch {
           s"vs recorded dim $dim")
       (spark.read.parquet(s"$path/cells"), centroids)
     }
+
+    /** Assign NEW vectors to EXISTING centroids — no refit. The serving-path
+      * analogue of the maintained dedup sketch tables: an index is trained
+      * once, and every later batch is placed into its cells with one
+      * map-side pass (centroids enter the plan as literals; the per-row
+      * work is k codegen dot products, no shuffle, no ML model object).
+      *
+      * Same rule as the KMeans assignment at build time: nearest centroid
+      * by Euclidean distance in normalized space, ties to the smallest cell
+      * id. dist²(v̂, cᵢ) = ‖v̂‖² + ‖cᵢ‖² − 2·v̂·cᵢ and ‖v̂‖² is constant per
+      * row, so the argmin ranks by ‖cᵢ‖² − 2·v̂·cᵢ — half the flops and one
+      * O(d) normalization per row, not per centroid. (Borderline vectors
+      * sitting numerically equidistant between two centroids could in
+      * principle round differently than spark.ml's distance bound
+      * shortcuts; the spec pins cell agreement on the test corpus.)
+      */
+    def assign(df: DataFrame, centroids: Array[Array[Double]], vecCol: String = "embedding"): DataFrame = {
+      require(centroids.length == k, s"expected $k centroids, got ${centroids.length}")
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct(
+          (lit(c2) - lit(2.0) * VectorOps.dot(col("_vn"), VectorOps.vecLit(c.toSeq))).as("d"),
+          lit(i).as("cell"))
+      }
+      df.withColumn("_vn", l2normalize(col(vecCol).cast("array<double>")))
+        .withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+        .drop("_vn")
+    }
+
+    /** Append a batch of new vectors to a [[save]]d index: load-validate the
+      * centroid sidecar, [[assign]] the batch, and append the rows into the
+      * cell-partitioned store — cells and centroids never refit, so a query
+      * immediately sees old ∪ new vectors through the same nprobe cell
+      * pruning. Guarded by the same single-writer maintenance lock as
+      * [[save]]. Appends are file-atomic but not batch-atomic: a crash
+      * mid-append can leave part of the batch visible (never torn files) —
+      * a pipeline needing exactly-once replay should stage batches like
+      * [[graft.streaming.StreamingDedupIngest]]'s partitioned sinks and
+      * re-append idempotently keyed on its own batch ids.
+      */
+    def append(
+        spark: org.apache.spark.sql.SparkSession,
+        path: String,
+        df: DataFrame,
+        vecCol: String = "embedding"
+    ): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        val (_, centroids) = load(spark, path)
+        assign(df, centroids, vecCol)
+          .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+      }
+    }
   }
 
   /** Int8 scalar quantization of embedding columns — the storage scale path

@@ -456,6 +456,49 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(ivf.load(spark, dir)._1.count() === 200L)
   }
 
+  test("IVF incremental assignment: appended vectors join existing cells and are served") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val all = (0L until 300L).map(i => (i, Seq.fill(8)(rnd.nextDouble() - 0.5)))
+    val base  = all.take(250).toDF("vec_id", "embedding")
+    val batch = all.drop(250).toDF("vec_id", "embedding")
+
+    val ivf = SimilaritySearch.IvfIndex(k = 4, nprobe = 2, seed = 42L)
+    val (indexed, centroids) = ivf.index(base)
+    val dir = tempDir("ivf-inc") + "/index"
+    ivf.save(indexed, centroids, dir)
+
+    // assign() with no refit reproduces the build-time KMeans cell for
+    // every already-indexed vector
+    val reassigned = ivf.assign(base, centroids)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stored = indexed.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reassigned === stored, "assign must agree with the KMeans build assignment")
+
+    // append the new batch; the loaded store now serves old ∪ new
+    ivf.append(spark, dir, batch)
+    val (loaded, loadedCentroids) = ivf.load(spark, dir)
+    assert(loaded.count() === 300L)
+
+    // querying WITH an appended vector's own embedding returns it first
+    // (its cell is by construction the query's nearest centroid)
+    val probe = all(299)._2
+    val top = ivf.query(loaded, loadedCentroids, probe, topK = 3).collect()
+    assert(top.head.getLong(0) === 299L, s"appended vector must be served: ${top.toSeq}")
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+
+    // scores over the merged store agree with brute force on the union
+    val brute = SimilaritySearch.bruteForceTopK(all.toDF("vec_id", "embedding"), probe, k = 300)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.query(loaded, loadedCentroids, probe, topK = 10).collect()
+      .foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
+
+    // appending to a mismatched-geometry handle fails fast (load validates)
+    intercept[IllegalArgumentException](
+      SimilaritySearch.IvfIndex(k = 8).append(spark, dir, batch))
+  }
+
   test("centroidOutliers flags vectors far from their own label centroid only") {
     import spark.implicits._
     val df = Seq(
