@@ -564,6 +564,17 @@ object SparkEntry {
         threshold = 0.25)
     }),
 
+    // multi-family semantic near-dup pairs: the union of two independent
+    // 4-bit hyperplane bucketings (multi-table LSH recall) — pairs one
+    // family's planes split across buckets get a second, independent
+    // chance to cobucket; the deduped pair frame is hash-checked exactly
+    "q78_dedup_semantic_multi" -> ((s, dir) => {
+      val fams = Seq(0, 1).map(f =>
+        SimilaritySearch.RandomHyperplaneLsh(bits = 4, dim = 64, hash = activeHash, family = f)
+          .bucketExpr(col("embedding").cast("array<double>")))
+      Dedup.semanticPairsMulti(T(s, dir, "embeddings"), fams, threshold = 0.25)
+    }),
+
     // corpus vocabulary table: distinct tokens with term frequency and
     // document frequency — two pre-combined shuffles, no countDistinct
     // Expand; output bounded by |vocabulary|
@@ -897,10 +908,13 @@ object SparkEntry {
     s"list_sum(list_transform(range(64), j -> $vec[j + 1] * " +
       s"(${md5l(s"'plane-$i-' || CAST(j AS VARCHAR)")} / 576460752303423488.0 - 1.0)))"
 
-  /** DuckDB rendering of the q22 bucket id: bit i = sign(proj_i) >= 0. */
-  private def lshBucket(vec: String): String =
+  /** DuckDB rendering of the q22 bucket id: bit i = sign(proj_i) >= 0.
+    * `family` f reads planes f·4 … f·4+3, matching
+    * `RandomHyperplaneLsh(bits = 4, family = f)`.
+    */
+  private def lshBucket(vec: String, family: Int = 0): String =
     (0 until 4)
-      .map(i => s"(CASE WHEN ${lshProj(vec, i)} >= 0 THEN ${1L << i} ELSE 0 END)")
+      .map(i => s"(CASE WHEN ${lshProj(vec, family * 4 + i)} >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
   /** DuckDB-equivalent SQL per query (same column names; see class docs). */
@@ -1776,6 +1790,27 @@ object SparkEntry {
          |  coalesce(d.n_smaller_dups, 0) AS n_smaller_dups,
          |  d.n_smaller_dups IS NULL AS keep
          |FROM be LEFT JOIN d USING (vec_id)""".stripMargin,
+
+    // Families 0 and 1 read planes 0-3 and 4-7 of the same deterministic
+    // sequence; UNION dedups the candidate pairs before scoring, exactly
+    // like semanticPairsMulti's distinct().
+    "q78_dedup_semantic_multi" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |be AS (SELECT vec_id, v, ${lshBucket("v", 0)} AS b0, ${lshBucket("v", 1)} AS b1 FROM e),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, x.vec_id AS id_b
+         |  FROM be a JOIN be x ON a.b0 = x.b0 AND a.vec_id < x.vec_id
+         |  UNION
+         |  SELECT a.vec_id, x.vec_id
+         |  FROM be a JOIN be x ON a.b1 = x.b1 AND a.vec_id < x.vec_id
+         |)
+         |SELECT id_a, id_b,
+         |  round(list_dot_product(ea.v, eb.v)
+         |    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
+         |    AS cosine
+         |FROM cand JOIN e ea ON cand.id_a = ea.vec_id JOIN e eb ON cand.id_b = eb.vec_id
+         |WHERE list_dot_product(ea.v, eb.v)
+         |    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.25""".stripMargin,
 
     "q66_text_vocabulary" ->
       """WITH toks AS (

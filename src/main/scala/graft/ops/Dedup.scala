@@ -739,6 +739,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cosine"))
   }
 
+  /** Multi-family [[semanticPairs]]: the union of the pair frames of k
+    * INDEPENDENT bucketings (e.g. [[graft.ops.SimilaritySearch.RandomHyperplaneLsh]]
+    * handles with distinct `family` values), deduplicated. The recall
+    * mechanism of multi-table LSH applied to semantic dedup: a true
+    * near-dup pair that one family's planes split across buckets has an
+    * independent chance of cobucketing under each other family, so missed
+    * pairs decay exponentially in the family count while cost grows
+    * linearly (each family is its own bucket-equi-join pass over the
+    * corpus; the quadratic within-bucket term is unchanged per family).
+    * The cosine column is a deterministic function of the pair, so the
+    * union dedups exactly. Feed the result to [[clusters]]/[[clustersBy]]
+    * like any other pair frame.
+    */
+  def semanticPairsMulti(
+      df: DataFrame,
+      bucketCols: Seq[Column],
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      threshold: Double = 0.9
+  ): DataFrame = {
+    require(bucketCols.nonEmpty, "at least one bucketing family is required")
+    bucketCols.map(b => semanticPairs(df, b, vecCol, idCol, threshold))
+      .reduce(_ union _)
+      .distinct()
+  }
+
   private def semanticPairsOf(base: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val a = base.select(col("bucket"), col(idCol).as("id_a"), col("_v").as("v_a"))
     val b = base.select(col("bucket"), col(idCol).as("id_b"), col("_v").as("v_b"))

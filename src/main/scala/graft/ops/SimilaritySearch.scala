@@ -379,14 +379,26 @@ object SimilaritySearch {
       transform(qvec, x => x.cast("double") * qscale)
   }
 
-  /** Sign-random-projection LSH: bucket id = bits of sign(v · plane_i). */
-  case class RandomHyperplaneLsh(bits: Int = 8, dim: Int = 64, hash: HashFamily = XxHash) {
+  /** Sign-random-projection LSH: bucket id = bits of sign(v · plane_i).
+    *
+    * `family` selects an INDEPENDENT hyperplane set (family f uses planes
+    * f·bits … f·bits+bits−1 of the deterministic plane sequence; family 0
+    * is the historical default, so existing buckets and oracles are
+    * unchanged). Independent families are the recall lever of every
+    * LSH-blocked operator: a near-dup pair split across buckets by one
+    * family's planes has an independent chance of colliding under
+    * another's — union the per-family candidate/pair frames
+    * ([[graft.ops.Dedup.semanticPairsMulti]]) exactly like multi-table
+    * MinHash LSH.
+    */
+  case class RandomHyperplaneLsh(bits: Int = 8, dim: Int = 64, hash: HashFamily = XxHash,
+      family: Int = 0) {
 
     def bucketExpr(vecCol: Column): Column =
       (0 until bits)
         .map { i =>
           val proj = (0 until dim)
-            .map(j => element_at(vecCol, j + 1) * planeComponent(i, j, hash))
+            .map(j => element_at(vecCol, j + 1) * planeComponent(family * bits + i, j, hash))
             .reduce(_ + _)
           when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
         }

@@ -48,6 +48,40 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(5L, 3L), s"highest-score representative per semantic group: $kept")
   }
 
+  test("semanticPairsMulti: independent hyperplane families strictly improve planted-pair recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 60 random unit vectors, each with a perturbed twin — the planted
+    // near-dup pairs a 4-bit family will partially split across buckets
+    val base = Seq.tabulate(60)(_ => unit(Array.fill(8)(rnd.nextGaussian())))
+    val twins = base.map(v => unit(v.map(_ + rnd.nextGaussian() * 0.2)))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      twins.zipWithIndex.map { case (v, i) => ((i + 1000).toLong, v.toSeq) }
+    val df = rows.toDF("vec_id", "embedding")
+    def cos(a: Array[Double], b: Array[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+    val planted = base.zip(twins).zipWithIndex
+      .filter { case ((v, t), _) => cos(v, t) >= 0.8 }
+      .map { case (_, i) => (i.toLong, (i + 1000).toLong) }.toSet
+    assert(planted.size >= 50, s"fixture degenerate: only ${planted.size} planted pairs")
+
+    def fam(f: Int) = SimilaritySearch.RandomHyperplaneLsh(bits = 4, dim = 8, family = f)
+      .bucketExpr(col("embedding"))
+    def pairSet(df2: org.apache.spark.sql.DataFrame) =
+      df2.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairSet(Dedup.semanticPairs(df, fam(0), threshold = 0.8))
+    val multi  = pairSet(Dedup.semanticPairsMulti(df, Seq(fam(0), fam(1)), threshold = 0.8))
+
+    assert(single.subsetOf(multi), "the union can only add pairs")
+    val rSingle = (planted intersect single).size
+    val rMulti  = (planted intersect multi).size
+    assert(rSingle < planted.size, "fixture must leave family 0 some misses to recover")
+    assert(rMulti > rSingle,
+      s"second family must recover pairs family 0 split: single=$rSingle multi=$rMulti of ${planted.size}")
+  }
+
   test("exact dedup groups identical keys, keeps min id, counts dups") {
     val df  = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val out = Dedup.exact(df, Seq("text")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
