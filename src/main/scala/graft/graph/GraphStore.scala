@@ -122,6 +122,7 @@ class EdgeStore(spark: SparkSession, basePath: String) {
     val dir = new org.apache.hadoop.fs.Path(s"$basePath/label=$label")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+      healRestrictedDelete(fs, dir)
       graft.io.AtomicSwap.heal(fs, dir)
       if (fs.exists(dir)) {
         val bytes  = fs.getContentSummary(dir).getLength
@@ -136,7 +137,11 @@ class EdgeStore(spark: SparkSession, basePath: String) {
 
   /** Deletes every edge touching one of the given vertex ids (delete-mode
     * cleanup, the relational analogue of removing a vertex's incident edges).
-    * Implemented as two broadcast-able anti-joins.
+    * Implemented as two broadcast-able anti-joins over the FULL store —
+    * every byte is rewritten. Kept as the simple/reference path (and the
+    * spec oracle); incremental deployments should prefer
+    * [[deleteForVerticesRestricted]], which rewrites only the files that
+    * actually contain incident edges.
     */
   def deleteForVertices(
       label: String,
@@ -146,6 +151,7 @@ class EdgeStore(spark: SparkSession, basePath: String) {
     val dir = new org.apache.hadoop.fs.Path(s"$basePath/label=$label")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+      healRestrictedDelete(fs, dir)
       graft.io.AtomicSwap.heal(fs, dir)
       val ids = vertexIds.select(col("id"))
       val remaining = read(label)
@@ -153,6 +159,114 @@ class EdgeStore(spark: SparkSession, basePath: String) {
         .join(broadcast(ids), col(EdgeColumns.Dst) === col("id"), "left_anti")
       remaining.write.mode(SaveMode.Overwrite).parquet(graft.io.AtomicSwap.scratch(dir).toString)
       graft.io.AtomicSwap.swapIn(fs, dir, hooks)
+    }
+  }
+
+  // --- file-restricted delete: dot-prefixed protocol siblings (invisible
+  // to Spark's file discovery, like AtomicSwap.scratch) ---
+  private def delScratch(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir.getParent, s".${dir.getName}.delrows")
+  private def delManifest(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir.getParent, s".${dir.getName}.delmanifest")
+  private def delMarker(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir.getParent, s".${dir.getName}.delcommit")
+
+  private def moveScratchIn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(delScratch(dir)))
+      fs.listStatus(delScratch(dir)).filter(_.getPath.getName.startsWith("part-"))
+        .foreach(s => fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir, s.getPath.getName)))
+
+  /** Finishes (or rolls back) a [[deleteForVerticesRestricted]] that died
+    * mid-flight. Before the commit marker exists the live store is
+    * untouched → roll BACK (drop scratch + manifest). Once the marker
+    * exists the survivor files are complete → roll FORWARD (move the
+    * remaining scratch files in, delete the affected originals listed in
+    * the manifest, clear the protocol files). Idempotent; called at the
+    * start of every maintenance op on the dir so stale debris can never
+    * meet a store rewritten by a later compaction.
+    */
+  private def healRestrictedDelete(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val (scr, man, mark) = (delScratch(dir), delManifest(dir), delMarker(dir))
+    if (fs.exists(mark)) {
+      val in = fs.open(man)
+      val affected = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+                     finally in.close()
+      moveScratchIn(fs, dir)
+      affected.filter(_.nonEmpty).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+      fs.delete(mark, false); fs.delete(man, false); fs.delete(scr, true)
+    } else if (fs.exists(man) || fs.exists(scr)) {
+      fs.delete(man, false); fs.delete(scr, true)
+    }
+    ()
+  }
+
+  /** [[deleteForVertices]] that rewrites ONLY the files containing incident
+    * edges. One full scan is unavoidable without an index (the same is true
+    * of the full rewrite), but the WRITE is restricted to affected bytes:
+    * on a src-hash layout a day's doomed vertices touch the files their
+    * hashes land in plus the files holding edges pointing at them — at
+    * 100 TB that is a small fraction of the store, where the whole-dir
+    * swap of [[deleteForVertices]] rewrites everything every time.
+    *
+    * Protocol (all state dot-prefixed, invisible to discovery): survivors
+    * of the affected files are written to a scratch dir; the affected-file
+    * list goes to a manifest; a commit MARKER is then created, after which
+    * the scratch part-files are renamed into the live dir and the affected
+    * originals deleted. A crash before the marker rolls back (live store
+    * untouched); after it, [[healRestrictedDelete]] rolls forward from the
+    * manifest on the next maintenance call. Readers concurrent with the
+    * commit window can transiently see a survivor row twice (new file
+    * moved in, old file not yet deleted) — the same single-writer /
+    * best-effort-reader caveat as the whole-dir swap, which has its own
+    * no-dir-under-the-live-name window. The affected-file list is a
+    * driver-side collect bounded by the store's FILE count (paths, not
+    * rows).
+    *
+    * Hook mapping for crash-injection specs: `beforeAside` fires before
+    * the manifest write, `beforeSwapIn` before the commit marker (both
+    * still roll back), `beforeCleanup` after the marker with originals
+    * still present (rolls forward).
+    */
+  def deleteForVerticesRestricted(
+      label: String,
+      vertexIds: DataFrame,
+      hooks: graft.io.AtomicSwap.Hooks = graft.io.AtomicSwap.NoHooks
+  ): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$basePath/label=$label")
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+      healRestrictedDelete(fs, dir)
+      graft.io.AtomicSwap.heal(fs, dir)
+      val ids = vertexIds.select(col("id"))
+      val withFile = read(label).withColumn("_file", input_file_name())
+      val affected = withFile
+        .join(broadcast(ids), col(EdgeColumns.Src) === col("id"), "left_semi")
+        .select(col("_file"))
+        .union(withFile
+          .join(broadcast(ids), col(EdgeColumns.Dst) === col("id"), "left_semi")
+          .select(col("_file")))
+        .distinct().collect().map(_.getString(0))
+      if (affected.nonEmpty) {
+        val survivors = spark.read.parquet(affected.toSeq: _*)
+          .join(broadcast(ids), col(EdgeColumns.Src) === col("id"), "left_anti")
+          .join(broadcast(ids), col(EdgeColumns.Dst) === col("id"), "left_anti")
+        survivors.write.mode(SaveMode.Overwrite).parquet(delScratch(dir).toString)
+        hooks.beforeAside()
+        val out = fs.create(delManifest(dir), true)
+        try out.write((affected.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        hooks.beforeSwapIn()
+        fs.createNewFile(delMarker(dir)) // commit point
+        moveScratchIn(fs, dir)
+        hooks.beforeCleanup()
+        affected.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+        fs.delete(delMarker(dir), false)
+        fs.delete(delManifest(dir), false)
+        fs.delete(delScratch(dir), true)
+      }
+      ()
     }
   }
 }

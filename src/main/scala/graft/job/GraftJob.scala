@@ -136,7 +136,10 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
   /** Delete mode: removes the date range's vertices and their incident
     * edges. Ref: Job.scala:117-134 (unpadded PartitionManagerImpl at :123 —
     * our int-valued partition dirs make padded/unpadded equivalent);
-    * edge cleanup is the relational analogue of per-vertex `remove()`.
+    * edge cleanup is the relational analogue of per-vertex `remove()` and
+    * uses the file-restricted rewrite ([[EdgeStore.deleteForVerticesRestricted]])
+    * — a day's deletion rewrites only the files holding incident edges,
+    * not the whole accumulated store.
     */
   def delete(startDate: String, duration: Int, clearOnDelete: Boolean): Unit = {
     val pm = PartitionManager.forRange(startDate, duration, padded = false)
@@ -146,7 +149,7 @@ class GraftJob(spark: SparkSession, config: GraftConfig) {
       catch { case _: org.apache.spark.sql.AnalysisException => return } // nothing ever loaded
 
     buildRules().map(_.getEdgeLabel).distinct.foreach { label =>
-      try edgeStore.deleteForVertices(label, doomed)
+      try edgeStore.deleteForVerticesRestricted(label, doomed)
       catch { case _: org.apache.spark.sql.AnalysisException => () } // label never written
     }
     if (clearOnDelete) {

@@ -80,6 +80,96 @@ class AtomicSwapSpec extends SparkSpec {
     assert(rows(store) == (3L to 10L).toSet)
   }
 
+  private def partFiles(base: String): Set[String] = {
+    val fs  = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/edges/label=sim")
+    fs.listStatus(dir).map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+  }
+
+  test("restricted delete rewrites only the files holding incident edges") {
+    import spark.implicits._
+    val base  = tempDir("rdel-a")
+    val store = new EdgeStore(spark, s"$base/edges")
+    // three append batches → three disjoint file groups
+    store.write((1 to 10).map(i => (i.toLong, (i + 100).toLong, 1)).toDF(EdgeColumns.all: _*), "sim")
+    val filesA = partFiles(base)
+    store.write((21 to 30).map(i => (i.toLong, (i + 100).toLong, 1)).toDF(EdgeColumns.all: _*), "sim")
+    val filesB = partFiles(base) -- filesA
+    store.write((41 to 50).map(i => (i.toLong, (i + 100).toLong, 1)).toDF(EdgeColumns.all: _*), "sim")
+    val filesC = partFiles(base) -- filesA -- filesB
+    assert(filesA.nonEmpty && filesB.nonEmpty && filesC.nonEmpty)
+
+    // doom vertices living only in batch A (src 1,2 and dst 105)
+    store.deleteForVerticesRestricted("sim", Seq(1L, 2L, 105L).toDF("id"))
+    val after = partFiles(base)
+    assert((filesB ++ filesC).subsetOf(after),
+      s"untouched batches' files must survive byte-identical: missing ${(filesB ++ filesC) -- after}")
+    assert((filesA intersect after).isEmpty,
+      s"batch A's originals must be replaced: ${filesA intersect after}")
+    assert(rows(store) == ((3L to 10L).toSet - 5L) ++ (21L to 30L) ++ (41L to 50L),
+      s"got ${rows(store)}")
+
+    // no incident edges anywhere → nothing is rewritten at all
+    val stable = partFiles(base)
+    store.deleteForVerticesRestricted("sim", Seq(9999L).toDF("id"))
+    assert(partFiles(base) == stable, "a no-op delete must not touch any file")
+  }
+
+  test("restricted delete ≡ full-rewrite delete on the same store") {
+    import spark.implicits._
+    def freshStore(tag: String): EdgeStore = {
+      val store = new EdgeStore(spark, s"${tempDir(s"rdel-eq-$tag")}/edges")
+      store.write(edges(30), "sim")
+      store.write((31 to 60).map(i => (i.toLong, (i % 7).toLong, 1)).toDF(EdgeColumns.all: _*), "sim")
+      store
+    }
+    val doomed = Seq(3L, 4L, 40L, 133L).toDF("id")
+    val a = freshStore("r"); a.deleteForVerticesRestricted("sim", doomed)
+    val b = freshStore("f"); b.deleteForVertices("sim", doomed)
+    def all(s: EdgeStore) = s.read("sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all(a) == all(b), s"restricted=${all(a).size} full=${all(b).size}")
+  }
+
+  test("restricted delete: crash before the commit marker rolls back completely") {
+    import spark.implicits._
+    val base  = tempDir("rdel-b")
+    val store = new EdgeStore(spark, s"$base/edges")
+    store.write(edges(10), "sim")
+    val before      = rows(store)
+    val filesBefore = partFiles(base)
+    for (step <- Seq("aside", "swapIn")) {
+      intercept[Boom] {
+        store.deleteForVerticesRestricted("sim", Seq(1L, 2L).toDF("id"), hooks = crashAt(step))
+      }
+      assert(rows(store) == before, s"crash at $step must leave the live rows untouched")
+      assert(partFiles(base) == filesBefore, s"crash at $step must leave the live files untouched")
+    }
+    // the next call heals (rollback) then completes
+    store.deleteForVerticesRestricted("sim", Seq(1L, 2L).toDF("id"))
+    assert(rows(store) == (3L to 10L).toSet)
+  }
+
+  test("restricted delete: crash after the commit marker rolls forward on the next maintenance call") {
+    import spark.implicits._
+    val base  = tempDir("rdel-c")
+    val store = new EdgeStore(spark, s"$base/edges")
+    store.write(edges(10), "sim")
+    intercept[Boom] {
+      store.deleteForVerticesRestricted("sim", Seq(1L, 2L).toDF("id"), hooks = crashAt("cleanup"))
+    }
+    // committed but uncleaned: survivors are in, originals linger — the
+    // next maintenance call must finish the delete, not resurrect rows
+    store.deleteForVerticesRestricted("sim", Seq(1L, 2L).toDF("id"))
+    assert(rows(store) == (3L to 10L).toSet, s"got ${rows(store)}")
+    // and compaction also heals restricted-delete debris before rewriting
+    intercept[Boom] {
+      store.deleteForVerticesRestricted("sim", Seq(3L).toDF("id"), hooks = crashAt("cleanup"))
+    }
+    store.compact("sim")
+    assert(rows(store) == (4L to 10L).toSet, s"got ${rows(store)}")
+  }
+
   test("concurrent maintenance on one dir fails fast instead of interleaving") {
     val base  = tempDir("swap-lock")
     val store = new EdgeStore(spark, s"$base/edges")

@@ -53,6 +53,34 @@ class PackingSpec extends SparkSpec {
     assert(out == Set((0L, 3L, 1200L), (1L, 1L, 1200L), (2L, 1L, 10L)), s"got $out")
   }
 
+  test("any token counter plugs in: whitespace and BPE-ish budgets both pack exactly") {
+    import spark.implicits._
+    val txt = Seq(
+      (0L, "hello world"),                 // 2 ws tokens; BPE-ish splits punctuation-free words the same
+      (1L, "don't tokenize, naively!"),    // 3 ws tokens, more BPE-ish pieces
+      (2L, "a b c d e")                    // 5 of each
+    ).toDF("doc_id", "text")
+    def offsets(counter: org.apache.spark.sql.Column) =
+      Packing.packSequences(txt, counter, budget = 8, streams = 1)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val ws  = offsets(TextAnalysis.tokenCount(col("text")))
+    val bpe = offsets(TextAnalysis.bpeishTokenCount(col("text")))
+    // each packing is the exact exclusive prefix sum of ITS counter
+    Seq(ws, bpe).foreach { m =>
+      var run = 0L
+      Seq(0L, 1L, 2L).foreach { id =>
+        val (n, bin, off) = m(id)
+        assert(bin == run / 8 && off == run % 8, s"doc $id: expected offset $run in $m")
+        run += n
+      }
+    }
+    // the counters genuinely disagree on punctuation-bearing text, so the
+    // two packings place later docs differently — the budget column is a
+    // real knob, not a cosmetic parameter
+    assert(ws(1L)._1 < bpe(1L)._1, s"ws=${ws(1L)} bpe=${bpe(1L)}")
+    assert(ws(2L) != bpe(2L), "doc 2's placement must shift under the BPE-ish budget")
+  }
+
   test("plan shape: one shuffle (stream hash), no global sort exchange") {
     val plan = Packing.packSequences(docs, col("n"), budget = 1000, streams = 4)
       .queryExecution.executedPlan.toString
