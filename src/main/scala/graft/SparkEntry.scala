@@ -564,6 +564,21 @@ object SparkEntry {
         threshold = 0.25)
     }),
 
+    // paragraph-level boilerplate removal: every document is wrapped in the
+    // SAME planted banner/footer paragraphs (the oracle plants identical
+    // strings), so the first doc keeps them and every other doc sheds them
+    // while bodies survive — first-occurrence election, reassembly order,
+    // and the drop counts are hash-checked row by row
+    "q79_text_dedup_paragraphs" -> ((s, dir) => {
+      val wrapped = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("This site uses cookies to improve your experience.\n"),
+          col("text"),
+          lit("\nCopyright Example Corp. All rights reserved.")).as("text"))
+      TextAnalysis.dedupParagraphs(wrapped)
+    }),
+
     // multi-family semantic near-dup pairs: the union of two independent
     // 4-bit hyperplane bucketings (multi-table LSH recall) — pairs one
     // family's planes split across buckets get a second, independent
@@ -1790,6 +1805,40 @@ object SparkEntry {
          |  coalesce(d.n_smaller_dups, 0) AS n_smaller_dups,
          |  d.n_smaller_dups IS NULL AS keep
          |FROM be LEFT JOIN d USING (vec_id)""".stripMargin,
+
+    // Same struct-unnest indexing pattern as q73; winner election is the
+    // row_number twin of the Scala side's groupBy-min(struct), and
+    // string_agg(... ORDER BY pos) is the reassembly contract.
+    "q79_text_dedup_paragraphs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    'This site uses cookies to improve your experience.' || chr(10) ||
+        |    text || chr(10) ||
+        |    'Copyright Example Corp. All rights reserved.' AS tx
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, string_split(tx, chr(10)) AS l FROM t),
+        |p1 AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(l)),
+        |    i -> {'pos': i, 'para': l[i + 1]})) AS u
+        |  FROM p0),
+        |p AS (
+        |  SELECT doc_id, u.pos AS pos, u.para AS para FROM p1
+        |  WHERE trim(u.para) <> ''),
+        |f AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+        |    count(*) AS n_paragraphs,
+        |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+        |  FROM f GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(coalesce(r.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+        |  CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN r USING (doc_id)""".stripMargin,
 
     // Families 0 and 1 read planes 0-3 and 4-7 of the same deterministic
     // sequence; UNION dedups the candidate pairs before scoring, exactly

@@ -378,6 +378,66 @@ object TextAnalysis {
         least(lit(maxTokens.toLong), col("_n") - col("chunk_id") * stride).as("n_tokens"))
   }
 
+  /** Paragraph-level exact dedup — the boilerplate-removal step of web
+    * corpus prep (cookie banners, nav bars, license headers repeated
+    * verbatim across pages): split every document on `sep`, keep each
+    * distinct paragraph only at its FIRST occurrence corpus-wide (smallest
+    * (doc id, position) — the same min-id orientation as every dedup
+    * here), drop later copies, and rebuild the documents in original
+    * paragraph order. Whitespace-only paragraphs are treated as separator
+    * artifacts and removed outright.
+    *
+    * Returns one row per input document: (idCol, clean_text, n_paragraphs,
+    * n_dropped); documents whose every paragraph was boilerplate (or that
+    * were empty) come back with clean_text = "".
+    *
+    * Scale shape: two shuffles — one groupBy-min on the paragraph key to
+    * elect winners (map-side combined, so a banner repeated on a billion
+    * pages sends one candidate row per map partition, not a billion), one
+    * on the doc id to reassemble; the winner re-attach is a plain
+    * equi-join whose hot keys AQE splits. The grouping key is the
+    * paragraph STRING, which keeps the operator collision-free and the
+    * oracle exact; a deployment where paragraph bytes dominate the
+    * shuffle can pre-map to a 128-bit fingerprint key at the usual
+    * birthday risk.
+    */
+  def dedupParagraphs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sep: String = "\n"
+  ): DataFrame = {
+    val paras = df
+      .select(
+        col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+      .where(trim(col("para")) =!= "")
+    val winners = paras.groupBy(col("para"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_w"))
+    val flagged = paras.join(winners, Seq("para"))
+      .select(
+        col(idCol), col("pos"), col("para"),
+        (col("_w").getField(idCol) === col(idCol) && col("_w").getField("pos") === col("pos"))
+          .as("keep"))
+    val rebuilt = flagged.groupBy(col(idCol))
+      .agg(
+        concat_ws(
+          sep,
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("keep"), col("para")))),
+              s => s.getField("keep")),
+            s => s.getField("para"))).as("clean_text"),
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_paragraphs"), lit(0L)).as("n_paragraphs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

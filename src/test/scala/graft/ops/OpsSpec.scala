@@ -236,6 +236,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bp == Seq(6, 0, 5)) // ceil(5/4)*3 = 6; ""→0; ceil(20/4) = 5
   }
 
+  test("dedupParagraphs: first occurrence wins corpus-wide, order preserved, empties stripped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "BANNER\nunique one\nFOOTER"),
+      (2L, "BANNER\nunique two\nFOOTER"),   // sheds both boilerplate paras
+      (3L, "BANNER\n\n   \nFOOTER"),        // all boilerplate + whitespace paras
+      (4L, "solo text"),                    // no separator at all
+      (5L, "twice\ntwice"),                 // within-doc repeat: first kept
+      (6L, "")                              // empty document
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupParagraphs(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("BANNER\nunique one\nFOOTER", 3L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == (("unique two", 3L, 2L)), s"got ${out(2L)}")
+    assert(out(3L) == (("", 2L, 2L)), s"got ${out(3L)}")
+    assert(out(4L) == (("solo text", 1L, 0L)))
+    assert(out(5L) == (("twice", 2L, 1L)), s"within-doc repeat: ${out(5L)}")
+    assert(out(6L) == (("", 0L, 0L)))
+    // determinism under repartition (winner election must not depend on layout)
+    val again = TextAnalysis.dedupParagraphs(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == out)
+  }
+
   test("punct and stopword ratios on a known sentence") {
     val r = one("the cat, the hat!")
     // punct chars: ',' '!' → 2/17; tokens: the cat, the hat! → stopwords 'the' x2 of 4
