@@ -564,6 +564,17 @@ object SparkEntry {
         threshold = 0.25)
     }),
 
+    // deterministic JL random projection 64→8: the embedding-compression
+    // step ahead of ANN — hash-derived matrix, map-side only; exploded to
+    // (vec_id, pos, value) so every projected component is hash-checked
+    // bit-for-bit against the oracle's replica of the same matrix
+    "q80_embed_random_projection" -> ((s, dir) => {
+      val proj = SimilaritySearch.randomProjection(
+        T(s, dir, "embeddings"), outDim = 8, inDim = 64, hash = activeHash)
+      proj.select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "value")))
+        .select(col("vec_id"), col("pos"), round(col("value"), 6).as("value"))
+    }),
+
     // paragraph-level boilerplate removal: every document is wrapped in the
     // SAME planted banner/footer paragraphs (the oracle plants identical
     // strings), so the first doc keeps them and every other doc sheds them
@@ -922,6 +933,14 @@ object SparkEntry {
   private def lshProj(vec: String, i: Int): String =
     s"list_sum(list_transform(range(64), j -> $vec[j + 1] * " +
       s"(${md5l(s"'plane-$i-' || CAST(j AS VARCHAR)")} / 576460752303423488.0 - 1.0)))"
+
+  /** DuckDB rendering of the q80 projection-matrix row i: vec · proj_i
+    * with md5-derived `"proj-i-j"` components — same exact-component
+    * construction as [[lshProj]], independent matrix (different prefix).
+    */
+  private def rpProj(vec: String, i: Int): String =
+    s"list_sum(list_transform(range(64), j -> $vec[j + 1] * " +
+      s"(${md5l(s"'proj-$i-' || CAST(j AS VARCHAR)")} / 576460752303423488.0 - 1.0)))"
 
   /** DuckDB rendering of the q22 bucket id: bit i = sign(proj_i) >= 0.
     * `family` f reads planes f·4 … f·4+3, matching
@@ -1805,6 +1824,20 @@ object SparkEntry {
          |  coalesce(d.n_smaller_dups, 0) AS n_smaller_dups,
          |  d.n_smaller_dups IS NULL AS keep
          |FROM be LEFT JOIN d USING (vec_id)""".stripMargin,
+
+    // The 8 matrix-row dot products are spelled out as a struct list (the
+    // md5 plane strings need literal row indexes); ascending-j list_sum
+    // matches the Scala side's ascending reduce, so the doubles are
+    // bit-identical before the shared round(6).
+    "q80_embed_random_projection" -> {
+      val comps = (0 until 8)
+        .map(i => s"{'pos': $i, 'val': ${rpProj("v", i)}}")
+        .mkString("[", ",\n         |          ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id, CAST(u.pos AS INT) AS pos,
+         |  round(u.val * sqrt(3.0 / 8), 6) AS value
+         |FROM (SELECT vec_id, unnest($comps) AS u FROM e)""".stripMargin
+    },
 
     // Same struct-unnest indexing pattern as q73; winner election is the
     // row_number twin of the Scala side's groupBy-min(struct), and

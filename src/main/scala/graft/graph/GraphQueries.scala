@@ -124,13 +124,17 @@ object GraphQueries {
     val e = edges.select(
       col(EdgeColumns.Src).cast("long").as("src"),
       col(EdgeColumns.Dst).cast("long").as("dst"))
-    // one distinct shuffle on bare longs, built once and reused every
-    // round (tracked-persisted like the degree frame below)
-    val v = graft.Caches.track(
-      vertices.select(col(idCol).cast("long").as("vid"))
-        .union(e.select(col("src").as("vid")))
-        .union(e.select(col("dst").as("vid")))
-        .distinct())
+    // vertex universe as one distinct shuffle on bare longs — deliberately
+    // NOT persisted: v appears twice per round, but within each
+    // checkpoint-delimited job the identical subplans collapse into one
+    // ReusedExchange, while persisting it forces every round through an
+    // InMemoryRelation that defeats those rewrites (measured 2.9 s
+    // unpersisted vs 6.0 s persisted for the full 10-round q75 run at
+    // sf0.1 — the cache more than doubles the loop)
+    val v = vertices.select(col(idCol).cast("long").as("vid"))
+      .union(e.select(col("src").as("vid")))
+      .union(e.select(col("dst").as("vid")))
+      .distinct()
     // degree-annotated edges: built once, reused every round
     val eDeg = graft.Caches.track(
       e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"))

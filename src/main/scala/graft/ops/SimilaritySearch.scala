@@ -149,6 +149,43 @@ object SimilaritySearch {
   private def planeComponent(i: Int, j: Int, hash: HashFamily): Column =
     hash.unit(lit(s"plane-$i-$j"))
 
+  /** Deterministic Johnson–Lindenstrauss random projection: compress an
+    * embedding column to `outDim` dimensions with a pseudo-random matrix
+    * whose entry (i, j) is the hash of `"proj-i-j"` in [-1, 1) — the
+    * `"proj-"` prefix keeps the matrix independent of the LSH plane family,
+    * and like it the matrix is a pure function of the hash family: no RNG
+    * state, no fitted model, identical across runs / cluster sizes /
+    * engines (with [[Md5Hash]], bit-for-bit reproducible in any engine
+    * with md5 — the oracle path).
+    *
+    * Entries are uniform[-1, 1) (variance 1/3), so components scale by
+    * √(3/outDim) to preserve expected squared norms — distances and inner
+    * products are preserved to JL tolerance, which is what downstream
+    * brute-force / IVF / LSH stages consume. At 100 TB this is the storage
+    * and FLOP lever ahead of ANN: a 64→8 projection cuts every scan,
+    * shuffle, and dot product 8×, entirely map-side (one codegen
+    * expression per output component, no shuffle, no driver state).
+    */
+  def randomProjection(
+      df: DataFrame,
+      outDim: Int,
+      inDim: Int,
+      vecCol: String = "embedding",
+      outCol: String = "proj",
+      hash: HashFamily = XxHash
+  ): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    require(inDim > 0, s"inDim must be positive, got $inDim")
+    val v = col(vecCol).cast("array<double>")
+    val scale = math.sqrt(3.0 / outDim)
+    val comps = (0 until outDim).map { i =>
+      (0 until inDim)
+        .map(j => element_at(v, j + 1) * hash.unit(lit(s"proj-$i-$j")))
+        .reduce(_ + _) * lit(scale)
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+
   /** IVF (inverted-file) index: KMeans-partitioned candidate restriction.
     * The standard ANN scale path — centroids are trained once (sampled
     * fit), every vector is assigned to its nearest centroid (one map-side

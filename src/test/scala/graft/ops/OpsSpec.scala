@@ -514,6 +514,29 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(ivf.load(spark, dir)._1.count() === 200L)
   }
 
+  test("randomProjection: deterministic under repartition, map-side, JL norm preservation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val df = (0L until 200L).map(i => (i, Seq.fill(64)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val p = SimilaritySearch.randomProjection(df, outDim = 16, inDim = 64)
+    val a = p.select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.values.forall(_.size == 16))
+    val b = SimilaritySearch.randomProjection(df.repartition(7), outDim = 16, inDim = 64)
+      .select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b, "the matrix is a pure function of the hash family — layout must not matter")
+    // JL contract: squared norms preserved in expectation (uniform entries
+    // scaled by sqrt(3/outDim)); mean ratio over 200 vectors concentrates
+    val orig = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).map(x => x * x).sum).toMap
+    val ratios = a.map { case (id, v) => v.map(x => x * x).sum / orig(id) }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean squared-norm ratio drifted: $mean")
+    // pure projection: no shuffle anywhere in the plan
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must be map-side only:\n$plan")
+  }
+
   test("IVF incremental assignment: appended vectors join existing cells and are served") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
