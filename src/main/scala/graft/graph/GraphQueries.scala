@@ -108,6 +108,19 @@ object GraphQueries {
     * frame — spillable, AQE-planned, no graph pinned in non-evictable
     * cached RDDs — so this is the shape that survives at 100 TB; each
     * round is checkpoint-truncated so the plan stays flat.
+    *
+    * `initRanks` warm-starts the iteration from a previous result (this
+    * function's own (idCol, pagerank) output; absent vertices start at
+    * 1.0) — the incremental serving path when the graph grew slightly
+    * since the last run: power iteration contracts toward the unique
+    * fixed point at rate (1−resetProb) from ANY start, so a near-converged
+    * start needs a handful of rounds instead of numIter=20. On a graph
+    * with no dangling vertices (every vertex has an out-edge — e.g. any
+    * bidirectional edge set over its own endpoints) the rank sum is
+    * conserved at |V|, so resuming from the normalized output IS exact
+    * continuation (spec'd: warm(5) ≡ cold(25) to rounding); with dangling
+    * vertices the dropped mass makes the resumed trajectory approximate
+    * but still contracting to the same fixed point.
     */
   def pageRankDF(
       spark: SparkSession,
@@ -115,7 +128,8 @@ object GraphQueries {
       edges: DataFrame,
       numIter: Int = 20,
       resetProb: Double = 0.15,
-      idCol: String = "id"
+      idCol: String = "id",
+      initRanks: Option[DataFrame] = None
   ): DataFrame = {
     require(numIter > 0, s"numIter must be positive, got $numIter")
     def materialize(df: DataFrame): DataFrame =
@@ -143,7 +157,14 @@ object GraphQueries {
     // handful of un-truncated join+agg rounds is a perfectly fine plan —
     // so pay the job only once per CHECKPOINT_EVERY iterations
     val checkpointEvery = 4
-    var r = v.withColumn("rank", lit(1.0))
+    var r = initRanks match {
+      case None => v.withColumn("rank", lit(1.0))
+      case Some(ir) =>
+        val prev = ir.select(
+          col(idCol).cast("long").as("ivid"), col("pagerank").cast("double").as("irank"))
+        v.join(prev, v("vid") === prev("ivid"), "left")
+          .select(v("vid"), coalesce(col("irank"), lit(1.0)).as("rank"))
+    }
     var lastMaterialized: Option[DataFrame] = None
     for (i <- 1 to numIter) {
       val contribs = eDeg.join(r, eDeg("src") === r("vid"))

@@ -216,6 +216,39 @@ class GraphQueriesSpec extends SparkSpec {
     assert(math.abs(viaDf.values.sum - ids.size) < 1e-6)
   }
 
+  test("pageRankDF: warm start from the normalized output is exact continuation (dangling-free graph)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val ids = (1L to 80L)
+    // bidirectional random graph over its own endpoints: every vertex has
+    // an out-edge, so rank mass is conserved and normalization is identity
+    val oneWay = Seq.fill(200)((ids(rng.nextInt(ids.size)), ids(rng.nextInt(ids.size))))
+      .filter(p => p._1 != p._2)
+    val edges = (oneWay ++ oneWay.map(_.swap)).toDF("src", "dst")
+    val v = edges.select(col("src").as("id")).union(edges.select(col("dst").as("id"))).distinct()
+
+    val cold20 = GraphQueries.pageRankDF(spark, v, edges, numIter = 20)
+    val cold25 = GraphQueries.pageRankDF(spark, v, edges, numIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val warm5 = GraphQueries.pageRankDF(spark, v, edges, numIter = 5, initRanks = Some(cold20))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(warm5.keySet == cold25.keySet)
+    warm5.foreach { case (id, rank) =>
+      assert(math.abs(rank - cold25(id)) < 1e-9, s"vertex $id: warm=$rank cold=${cold25(id)}")
+    }
+    // a vertex absent from initRanks (graph grew) starts at 1.0 and still converges
+    val grown = edges.union(Seq((81L, 1L), (1L, 81L)).toDF("src", "dst"))
+    val vg = grown.select(col("src").as("id")).union(grown.select(col("dst").as("id"))).distinct()
+    val warmGrown = GraphQueries.pageRankDF(spark, vg, grown, numIter = 30, initRanks = Some(cold20))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val coldGrown = GraphQueries.pageRankDF(spark, vg, grown, numIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    warmGrown.foreach { case (id, rank) =>
+      assert(math.abs(rank - coldGrown(id)) < 1e-4,
+        s"vertex $id after growth: warm=$rank cold=${coldGrown(id)}")
+    }
+  }
+
   test("pageRankDF: edge endpoints absent from vertices and duplicate ids match GraphX") {
     import spark.implicits._
     // vertices list only 1..5 (with 3 duplicated); edges reach 6..8, which
