@@ -564,6 +564,12 @@ object SparkEntry {
         threshold = 0.25)
     }),
 
+    // per-language corpus data card: counts, exact-decimal quality mean,
+    // low-quality fraction, fingerprint dup rate — |strata| result rows
+    // from two pre-combined shuffles, no countDistinct Expand
+    "q81_corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(T(s, dir, "documents"))),
+
     // deterministic JL random projection 64→8: the embedding-compression
     // step ahead of ANN — hash-derived matrix, map-side only; exploded to
     // (vec_id, pos, value) so every projected component is hash-checked
@@ -1824,6 +1830,47 @@ object SparkEntry {
          |  coalesce(d.n_smaller_dups, 0) AS n_smaller_dups,
          |  d.n_smaller_dups IS NULL AS keep
          |FROM be LEFT JOIN d USING (vec_id)""".stripMargin,
+
+    // Reuses q16's quality/token/fingerprint CTE pieces; the quality mean
+    // is an exact DECIMAL(18,6) sum divided once (order-independent in
+    // both engines), never a float avg.
+    "q81_corpus_report" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+         |    length(text) AS n,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) AS npunct
+         |  FROM documents
+         |), m AS (
+         |  SELECT lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(toks) AS INT) END AS token_count,
+         |    round(npunct / greatest(n, 1), 10) AS p10,
+         |    round(CAST(len(list_filter(ltoks, x -> x IN ($stop10))) AS DOUBLE)
+         |          / greatest(len(ltoks), 1), 10) AS s10,
+         |    n,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM base
+         |), d AS (
+         |  SELECT lang,
+         |    token_count,
+         |    round((least(n / 500.0, 1.0) + (1.0 - least(p10 * 10.0, 1.0))
+         |           + least(s10 * 5.0, 1.0)) / 3.0, 6) AS q,
+         |    fp
+         |  FROM m
+         |), agg AS (
+         |  SELECT lang AS stratum, count(*) AS n_docs,
+         |    CAST(sum(token_count) AS BIGINT) AS total_tokens,
+         |    round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+         |    CAST(sum(CASE WHEN q < CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+         |  FROM d GROUP BY 1
+         |), dd AS (
+         |  SELECT lang AS stratum, count(DISTINCT fp) AS n_distinct_docs FROM d GROUP BY 1
+         |)
+         |SELECT a.stratum, a.n_docs, a.total_tokens, a.avg_quality, a.n_low_quality,
+         |  CAST(dd.n_distinct_docs AS BIGINT) AS n_distinct_docs,
+         |  round(1.0 - CAST(dd.n_distinct_docs AS DOUBLE) / a.n_docs, 6) AS dup_rate
+         |FROM agg a JOIN dd USING (stratum)""".stripMargin,
 
     // The 8 matrix-row dot products are spelled out as a struct list (the
     // md5 plane strings need literal row indexes); ascending-j list_sum

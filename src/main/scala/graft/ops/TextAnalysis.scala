@@ -438,6 +438,51 @@ object TextAnalysis {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** Corpus data-card report: the per-stratum summary every corpus release
+    * ships (and every ingest run monitors) — document and token counts,
+    * quality-score mean and low-quality fraction, and the exact-duplicate
+    * rate from content fingerprints. One row per stratum (language,
+    * source, shard...).
+    *
+    * Scale shape: two pre-combined shuffles — the plain aggregates on the
+    * stratum key, and the distinct-fingerprint count as a (stratum, fp)
+    * pre-aggregation followed by a per-stratum count (the [[vocabulary]]
+    * pattern; never a `countDistinct` Expand over the corpus). Result
+    * size = |strata|.
+    *
+    * Determinism across engines: the quality mean is folded as an EXACT
+    * decimal sum of the scale-6 scores and divided once at the end —
+    * a plain double `avg` would depend on partition fold order and could
+    * flip the rounded 6th decimal between engines.
+    */
+  def corpusReport(
+      df: DataFrame,
+      textCol: String = "text",
+      strataCol: String = "lang",
+      qualityThreshold: Double = 0.5
+  ): DataFrame = {
+    val t = col(textCol)
+    val enriched = df.select(
+      col(strataCol).as("stratum"),
+      tokenCount(t).cast("long").as("_tok"),
+      qualityScore(t).as("_q"),
+      fingerprint(t).as("_fp"))
+    val base = enriched.groupBy(col("stratum")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_tok")).as("total_tokens"),
+      sum(col("_q").cast("decimal(18,6)")).as("_qsum"),
+      sum(when(col("_q") < qualityThreshold, 1L).otherwise(0L)).as("n_low_quality"))
+    val distincts = enriched
+      .groupBy(col("stratum"), col("_fp")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("stratum")).agg(count(lit(1)).as("n_distinct_docs"))
+    base.join(distincts, Seq("stratum"))
+      .select(
+        col("stratum"), col("n_docs"), col("total_tokens"),
+        round(col("_qsum").cast("double") / col("n_docs"), 6).as("avg_quality"),
+        col("n_low_quality"), col("n_distinct_docs"),
+        round(lit(1.0) - col("n_distinct_docs").cast("double") / col("n_docs"), 6).as("dup_rate"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

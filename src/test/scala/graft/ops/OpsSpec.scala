@@ -260,6 +260,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("corpusReport: per-stratum counts, exact quality mean, dup rate") {
+    import spark.implicits._
+    val good = ("x " * 300).trim // 300 tokens, 599 chars → quality ≈ 0.667
+    val df = Seq(
+      (1L, "en", good), (2L, "en", good),   // exact duplicates
+      (3L, "en", "short low quality"),      // unique, low quality (≈0.34)
+      (4L, "de", "kurz")                    // unique, low quality
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.corpusReport(df).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val en = out("en")
+    assert(en._1 == 3L && en._2 == 603L, s"en docs/tokens: $en")
+    assert(en._4 == 1L, s"exactly the short doc is low quality: $en")
+    assert(en._5 == 2L && math.abs(en._6 - 0.333333) < 1e-9, s"dup rate: $en")
+    val de = out("de")
+    assert(de._1 == 1L && de._4 == 1L && de._5 == 1L && de._6 == 0.0, s"de: $de")
+    // the mean equals the decimal-exact fold of the per-doc scores
+    val qs = df.where(col("lang") === "en")
+      .select(TextAnalysis.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(math.abs(en._3 - math.rint(qs.sum / 3 * 1e6) / 1e6) < 1e-9, s"mean: ${en._3} vs $qs")
+  }
+
   test("punct and stopword ratios on a known sentence") {
     val r = one("the cat, the hat!")
     // punct chars: ',' '!' → 2/17; tokens: the cat, the hat! → stopwords 'the' x2 of 4
