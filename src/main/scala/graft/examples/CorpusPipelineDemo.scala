@@ -1,0 +1,92 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Decontaminate, Sampling, TextAnalysis}
+
+/** End-to-end training-corpus assembly over the synthetic documents table —
+  * the composition story behind the individual `SparkEntry` queries: every
+  * stage below is one library operator, chained the way a production
+  * pipeline chains them, with stage-by-stage observation lines.
+  *
+  *   normalize → paragraph dedup → near-dup clusters (keep best copy) →
+  *   eval-set decontamination → quality floor → temperature mix →
+  *   deterministic shuffle → sequence packing → data-card report
+  *
+  * Run: `sbt "runMain graft.examples.CorpusPipelineDemo"` — prints one
+  * `[pipeline]` line per stage and ends with `PIPELINE-DONE`.
+  */
+object CorpusPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+
+    def obs(stage: String, n: Long): Unit = println(f"[pipeline] $stage%-28s $n%7d docs")
+
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    obs("raw", raw.count())
+
+    // 1. canonical normalization (control-strip, case-fold, ws-collapse)
+    val normed = raw.withColumn("text", TextAnalysis.normalizeText(col("text")))
+
+    // 2. paragraph-level boilerplate removal (first occurrence wins)
+    val paraDeduped = TextAnalysis.dedupParagraphs(normed)
+      .join(normed.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+      .where(length(col("text")) > 0)
+    obs("paragraph-dedup", paraDeduped.count())
+
+    // 3. near-dup clusters; keep the highest-quality copy per cluster
+    val pairs = Dedup.minhashLsh(paraDeduped, numHashes = 16, bands = 4,
+      verifyThreshold = 0.5)
+    val verdict = Dedup.clustersBy(spark, pairs, paraDeduped,
+      score = TextAnalysis.qualityScore(col("text")))
+    val deduped = paraDeduped.join(
+      verdict.where(col("keep")).select("doc_id"), Seq("doc_id"))
+    obs("near-dup-clusters", deduped.count())
+
+    // 4. eval-set decontamination (synthetic eval split: every 20th doc)
+    val evalSet = deduped.where(col("doc_id") % 20 === 0)
+    val train   = deduped.where(col("doc_id") % 20 =!= 0)
+    val clean = train.join(
+      Decontaminate.overlap(train, evalSet, n = 8, minShared = 5)
+        .where(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"))
+    obs("decontaminated", clean.count())
+
+    // 5. quality floor
+    val quality = clean.where(TextAnalysis.qualityScore(col("text")) >= 0.3)
+    obs("quality-floor", quality.count())
+
+    // 6. temperature-flattened language mix (α = 0.5, keep ~80%)
+    val mixed = Sampling.temperatureMix(quality, "lang",
+      alpha = 0.5, targetFraction = 0.8, key = col("doc_id"))
+    obs("temperature-mix", mixed.count())
+
+    // 7. deterministic training-order shuffle + context packing
+    val shuffled = Sampling.deterministicShuffle(mixed, key = col("doc_id"))
+    val packed = graft.ops.Packing.packSequences(
+      shuffled, tokens = TextAnalysis.bpeishTokenCount(col("text")),
+      budget = 2048, streams = 8)
+    val bins = graft.ops.Packing.binStats(packed).count()
+    println(f"[pipeline] packed                  ${packed.count()}%7d docs into $bins%5d bins")
+
+    // 8. data card of the released corpus
+    println("[pipeline] data card:")
+    TextAnalysis.corpusReport(mixed).orderBy("stratum").collect().foreach { r =>
+      println(f"[pipeline]   ${r.getString(0)}%-4s docs=${r.getLong(1)}%5d " +
+        f"tokens=${r.getLong(2)}%7d avgQ=${r.getDouble(3)}%.4f dupRate=${r.getDouble(6)}%.4f")
+    }
+
+    graft.Caches.clear()
+    println("PIPELINE-DONE")
+    spark.stop()
+  }
+}
