@@ -120,7 +120,81 @@ class StreamingDedupIngest(
   def labels(): DataFrame = {
     val lp = labelsPath.getOrElse(
       throw new IllegalStateException("ingest was built without a labelsPath"))
-    readLatestLabels(lp, excludeBatch = -1L)
+    readLatestLabels(lp, excludeBatch = Long.MinValue) // excludes nothing
+  }
+
+  /** Folds every state partition with `ingest_batch <= throughBatch` into
+    * one baseline partition `ingest_batch = -1` across all of the ingest's
+    * tables — the small-files / many-partitions maintenance for
+    * long-running ingests (thousands of batches = thousands of partition
+    * dirs per table otherwise). Row tables (corpus, dups, bands, sh,
+    * quarantine) fold as plain unions; the vocabulary folds as summed
+    * counts (exact — addition is associative); labels fold RESOLVED
+    * (latest-batch-wins as of `throughBatch`). The baseline id −1 sorts
+    * below every real batch, so latest-wins resolution and the
+    * `=!= batchId` replay exclusion both keep working unchanged.
+    *
+    * REPLAY CONTRACT: checkpoint recovery can only replay the latest
+    * batch, so `throughBatch` MUST be strictly below it — a replayed
+    * batch folded into the baseline would match its own prior-attempt
+    * rows (the self-match the per-batch partitions exist to prevent).
+    * Enforced against max(ingest_batch) over the corpus table; call
+    * between micro-batches (single writer, like every maintenance op).
+    * Each table rewrite rides [[graft.io.AtomicSwap]], so a crash leaves
+    * that table either fully old or fully new — and since every table is
+    * internally consistent under the replay rule regardless of which
+    * batches are folded, a crash between tables is also safe.
+    */
+  def compactState(throughBatch: Long): Unit = {
+    require(throughBatch >= 0, s"throughBatch must be >= 0, got $throughBatch")
+    // latest batch = the max over EVERY state table: a batch of pure dups
+    // writes no corpus partition (zero-row partitioned writes leave
+    // nothing), but its dups/labels partitions still mark it replayable
+    val allPaths = Seq(corpusPath, dupsPath, bandsPath, shPath) ++
+      quarantinePath ++ vocabPath ++ labelsPath
+    val maxes = allPaths.flatMap { p =>
+      try Option(spark.read.parquet(p).agg(max(col("ingest_batch").cast("long"))).head())
+        .filterNot(_.isNullAt(0)).map(_.getLong(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    if (maxes.isEmpty) return // nothing ingested
+    val maxBatch = maxes.max
+    require(throughBatch < maxBatch,
+      s"throughBatch=$throughBatch must be strictly below the latest batch $maxBatch — " +
+        "the latest batch can still be replayed by checkpoint recovery and must keep " +
+        "its own partition")
+
+    def snapshotTable(path: String)(resolve: DataFrame => DataFrame): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) return
+      graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        graft.io.AtomicSwap.heal(fs, dir)
+        val all  = spark.read.parquet(path)
+        val base = resolve(all.where(col("ingest_batch") <= throughBatch))
+          .withColumn("ingest_batch", lit(-1L))
+        val rest = all.where(col("ingest_batch") > throughBatch)
+          .select(base.columns.map(col): _*)
+        base.unionByName(rest)
+          .write.partitionBy("ingest_batch")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(graft.io.AtomicSwap.scratch(dir).toString)
+        graft.io.AtomicSwap.swapIn(fs, dir)
+      }
+    }
+    val plainUnion: DataFrame => DataFrame = _.drop("ingest_batch")
+    snapshotTable(corpusPath)(plainUnion)
+    snapshotTable(dupsPath)(plainUnion)
+    snapshotTable(bandsPath)(plainUnion)
+    snapshotTable(shPath)(plainUnion)
+    quarantinePath.foreach(p => snapshotTable(p)(plainUnion))
+    vocabPath.foreach(p => snapshotTable(p)(
+      _.groupBy("token").agg(sum("tf").as("tf"), sum("df").as("df"))))
+    labelsPath.foreach(p => snapshotTable(p) { folded =>
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ingest_batch").desc)
+      folded.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col(idCol), col("cluster_id"))
+    })
   }
 
   /** Runs one micro-batch through dedup; usable directly in tests and from

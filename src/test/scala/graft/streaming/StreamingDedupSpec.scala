@@ -170,6 +170,62 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("compactState folds completed batches into one baseline partition, state-preserving") {
+    import spark.implicits._
+    val work = tempDir("graft-sdedup-compact")
+    val ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
+      s"$work/sketch", verifyThreshold = 0.5,
+      vocabPath = Some(s"$work/vocab"), labelsPath = Some(s"$work/labels"))
+    ingest.ingestBatch(batch1, batchId = 0)
+    ingest.ingestBatch(batch2, batchId = 1)
+    val batch3 = Seq((-5L, "sphinx of black quartz judge my vow said the librarian !!"))
+      .toDF("doc_id", "text")
+    ingest.ingestBatch(batch3, batchId = 2)
+
+    def corpusIds() = spark.read.parquet(s"$work/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    def dups() = spark.read.parquet(s"$work/dups").select("new_id", "old_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def labelMap() = ingest.labels().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def vocab() = ingest.vocabulary().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def bandIds() = spark.read.parquet(s"$work/sketch/bands").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val (c0, d0, l0, v0, b0) = (corpusIds(), dups(), labelMap(), vocab(), bandIds())
+
+    // folding batches 0-1 must be invisible to every reader
+    ingest.compactState(throughBatch = 1)
+    assert(corpusIds() == c0 && dups() == d0 && bandIds() == b0)
+    assert(labelMap() == l0, s"labels diverged: ${labelMap()} vs $l0")
+    assert(vocab() == v0)
+    // partitions 0 and 1 are gone; the baseline and the latest batch remain
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def parts(tbl: String) = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$work/$tbl"))
+      .map(_.getPath.getName).filter(_.startsWith("ingest_batch=")).toSet
+    // batch 2 was pure dups → it wrote no corpus partition at all; its
+    // delta still holds the labels partition open
+    assert(parts("corpus") == Set("ingest_batch=-1"), parts("corpus"))
+    assert(parts("labels") == Set("ingest_batch=-1", "ingest_batch=2"), parts("labels"))
+
+    // the latest batch (the only one checkpoint recovery can replay) still
+    // replays idempotently against the folded state
+    ingest.ingestBatch(batch3, batchId = 2)
+    assert(corpusIds() == c0 && labelMap() == l0 && vocab() == v0)
+
+    // ingest continues on top of the baseline: near-dups still detected
+    val batch4 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog AGAIN and again"), // near-dup of 0 (batch 0, folded)
+      (21L, "entirely fresh content appearing after the state compaction")
+    ).toDF("doc_id", "text")
+    ingest.ingestBatch(batch4, batchId = 3)
+    assert(corpusIds() == c0 + 21L, s"got ${corpusIds()}")
+    assert(dups().contains((20L, 0L)), s"folded sketches must still catch near-dups: ${dups()}")
+
+    // folding the latest batch is refused (it is still replayable)
+    intercept[IllegalArgumentException](ingest.compactState(throughBatch = 3))
+  }
+
   test("decontamination gate: contaminated novel docs divert to quarantine, never the corpus") {
     import spark.implicits._
     val work = tempDir("graft-sdedup-decon")
