@@ -592,10 +592,32 @@ object Dedup {
       aCol: String = "id_a",
       bCol: String = "id_b"
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = clusters(spark, pairs, Some(docs.select(col(idCol))), idCol, aCol, bCol)
       .select(col(idCol), col("cluster_id"))
-    val withScore = base.join(docs.select(col(idCol), score.as("_score")), Seq(idCol))
+    applyKeepPolicy(base, docs, score, idCol)
+  }
+
+  /** The representative POLICY of [[clustersBy]] applied to ANY label frame
+    * (idCol, cluster_id) — in particular to incrementally-maintained labels
+    * ([[incrementalClusters]], [[graft.streaming.StreamingDedupIngest.labels]]),
+    * so the "keep the best copy" verdict composes with the incremental
+    * path without re-running components: docs absent from `labels` are
+    * treated as their own singleton cluster, then the highest-`score` doc
+    * per cluster (ties → smallest id) is kept. Returns (idCol, cluster_id,
+    * keep) over the `docs` universe. One shuffle on cluster_id; rank state
+    * is O(1) per stream.
+    */
+  def applyKeepPolicy(
+      labels: DataFrame,
+      docs: DataFrame,
+      score: Column,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = labels.select(col(idCol).cast("long").as(idCol), col("cluster_id").cast("long").as("cluster_id"))
+    val withScore = docs.select(col(idCol).cast("long").as(idCol), score.as("_score"))
+      .join(l, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"), col("_score"))
     val w = Window.partitionBy(col("cluster_id")).orderBy(col("_score").desc, col(idCol))
     withScore
       .withColumn("_rn", row_number().over(w))

@@ -95,6 +95,26 @@ class ClustersSpec extends SparkSpec {
     assert(asSet(incU).contains((13L, 13L, true))) // untouched doc = singleton
   }
 
+  test("applyKeepPolicy over incremental labels ≡ clustersBy over the full pair history") {
+    import spark.implicits._
+    val b1 = Seq((1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val b2 = Seq((2L, 7L)).toDF("id_a", "id_b") // merges {1,2} and {7,8}
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (7L, 50L), (8L, 70L), (9L, 1L)
+    ).toDF("doc_id", "quality")
+
+    val incLabels = Dedup.incrementalClusters(
+      spark, Dedup.clusters(spark, b1).select("doc_id", "cluster_id"), b2)
+      .select("doc_id", "cluster_id")
+    val viaIncremental = Dedup.applyKeepPolicy(incLabels, docs, score = col("quality"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val viaFull = Dedup.clustersBy(spark, b1.union(b2), docs, score = col("quality"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaIncremental == viaFull, s"inc=$viaIncremental full=$viaFull")
+    // merged cluster {1,2,7,8}: 2 has the top score; singleton 9 keeps itself
+    assert(viaIncremental.contains((2L, 1L, true)) && viaIncremental.contains((9L, 9L, true)))
+  }
+
   test("dropping keep=false rows leaves a corpus with no remaining near-dup pairs") {
     import spark.implicits._
     val docs = Seq(
