@@ -79,6 +79,74 @@ class OpsPropertySpec extends SparkSpec {
     assert(graft.io.Layout.zorderBy(emptyGrid, Seq("x", "y"), numPartitions = 4).isEmpty)
   }
 
+  test("property: incrementalClusters over random batched pair streams ≡ full recompute") {
+    val gen = for {
+      n     <- Gen.choose(2, 80)
+      pairs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)))
+    } yield pairs.filter(p => p._1 != p._2)
+    samples(gen, 5).filter(_.nonEmpty).foreach { pairs =>
+      // split the stream into 3 batches and fold incrementally
+      val batches = pairs.grouped(math.max(1, pairs.size / 3 + 1)).toSeq
+        .map(_.toDF("id_a", "id_b"))
+      val incremental = batches.tail.foldLeft(
+        Dedup.clusters(spark, batches.head).select("doc_id", "cluster_id")) { (labels, b) =>
+        Dedup.incrementalClusters(spark, labels, b).select("doc_id", "cluster_id")
+      }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.clusters(spark, batches.reduce(_ union _))
+        .select("doc_id", "cluster_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incremental === full, s"for ${pairs.take(6)}…")
+    }
+  }
+
+  test("property: dedupParagraphs is idempotent and leaves no cross-doc duplicate paragraph") {
+    val paraGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon zeta", "eta theta")
+    val docGen = for {
+      n     <- Gen.choose(1, 5)
+      paras <- Gen.listOfN(n, paraGen)
+    } yield paras.mkString("\n")
+    val corpusGen = for {
+      n    <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(n, docGen)
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    samples(corpusGen, 5).foreach { rows =>
+      val df  = rows.toDF("doc_id", "text")
+      val out = TextAnalysis.dedupParagraphs(df)
+      val cleaned = out.select(col("doc_id"), col("clean_text").as("text"))
+      // corpus-wide uniqueness: every surviving paragraph appears exactly once
+      val all = cleaned.collect().flatMap(r => r.getString(1).split("\n").filter(_.nonEmpty))
+      assert(all.length === all.distinct.length, s"dup paragraph survived in $rows")
+      // idempotence: a second pass changes nothing and drops nothing
+      val again = TextAnalysis.dedupParagraphs(cleaned)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+      cleaned.collect().foreach { r =>
+        val (text2, dropped) = again(r.getLong(0))
+        assert(text2 === r.getString(1) && dropped === 0L, s"not idempotent for $rows")
+      }
+    }
+  }
+
+  test("property: triangleCountsDF equals GraphX across random graphs") {
+    val gen = for {
+      nv <- Gen.choose(5, 60)
+      ne <- Gen.choose(0, 150)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(1L, 60L), Gen.choose(1L, 60L)))
+    } yield (nv.toLong, es)
+    samples(gen, 3).foreach { case (nv, esRaw) =>
+      // map endpoints into the vertex universe: absent-endpoint semantics
+      // differ by design (GraphX materializes them, the DF keeps the given
+      // universe) and are spec'd separately for pageRankDF
+      val es = esRaw.map(p => (p._1 % nv + 1, p._2 % nv + 1))
+      val v = (1L to nv).toDF("id")
+      val e = (es :+ ((1L, 2L))).toDF("src", "dst").withColumn("propVal", lit(1))
+      val viaDf = graft.graph.GraphQueries.triangleCountsDF(spark, v, e)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaGx = graft.graph.GraphQueries.triangleCounts(spark, v, e)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDf === viaGx, s"nv=$nv edges=${es.take(6)}…")
+    }
+  }
+
   test("property: temperatureMix keeps per-stratum rates in (0, 1] and total near target") {
     val gen = for {
       c1 <- Gen.choose(50, 400)
