@@ -79,6 +79,16 @@ final case class GraftShell(spark: SparkSession, config: GraftConfig) {
     */
   def pageRank(label: String, numIter: Int = 20): DataFrame =
     graft.graph.GraphQueries.pageRankDF(spark, vertices.select("id"), edges(label), numIter)
+
+  /** Per-vertex triangle counts of one edge label — the DataFrame
+    * degree-oriented wedge closure
+    * ([[graft.graph.GraphQueries.triangleCountsDF]]): like [[components]]
+    * and [[pageRank]], the recommended path at any graph size. GraphX
+    * ([[graft.graph.GraphQueries.triangleCounts]]) remains available for
+    * explicitly-small in-memory graphs.
+    */
+  def triangles(label: String): DataFrame =
+    graft.graph.GraphQueries.triangleCountsDF(spark, vertices.select("id"), edges(label))
 }
 
 object GraftShell {
@@ -99,7 +109,7 @@ object GraftShell {
          |  vertices : ${config.idManager.dataPath}/${config.idManager.tableName}
          |  edges    : ${config.edgeBasePath} (labels: ${shell.edgeLabels.mkString(", ")})
          |  helpers  : .vertices .edges(label) .info .run(date) .sql(q)
-         |             .degrees(label) .components(label) .pageRank(label)""".stripMargin)
+         |             .degrees(label) .components(label) .pageRank(label) .triangles(label)""".stripMargin)
     shell
   }
 }

@@ -43,6 +43,9 @@ class GraftShellSpec extends SparkSpec {
     assert(g.degrees("similarity").collect().map(_.getLong(1)).toSeq == Seq(1L, 1L))
     val comp = g.components("similarity").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size == 2 && comp.values.toSet.size == 1, s"got $comp")
+    // a 2-vertex graph has no triangles; every vertex still reports 0
+    val tri = g.triangles("similarity").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri.size == 2 && tri.values.forall(_ == 0L), s"got $tri")
     // empty-safe before any load
     val g2 = GraftShell.bind(spark, graft.config.ConfigLoader.load(confPath)
       .copy(idManager = graft.ids.IdManagerConfig(s"$work/none", "vertices")))
