@@ -564,6 +564,20 @@ object SparkEntry {
         threshold = 0.25)
     }),
 
+    // leakage-safe train/test split: the split key is the near-dup CLUSTER
+    // id, so a document can never land in train while its near-duplicate
+    // sits in test (the classic eval-contamination pitfall of doc-keyed
+    // splits) — deterministic, map-side after the cluster labeling, and
+    // the whole (cluster → side) assignment is hash-checked
+    "q82_split_leakage_safe" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val labels = Dedup.clusters(s, Dedup.prefixJaccardPairs(docs, threshold = 0.7),
+          docs = Some(docs))
+        .select(col("doc_id"), col("cluster_id"))
+      graft.ops.Sampling.trainTestSplit(labels, key = col("cluster_id"),
+        testFraction = 0.2, seed = 42, hash = activeHash)
+    }),
+
     // per-language corpus data card: counts, exact-decimal quality mean,
     // low-quality fraction, fingerprint dup rate — |strata| result rows
     // from two pre-combined shuffles, no countDistinct Expand
@@ -1298,6 +1312,37 @@ object SparkEntry {
         |  coalesce(c.cluster, d.doc_id) AS cluster_id,
         |  coalesce(c.cluster = d.doc_id, TRUE) AS keep
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    // q50's closure + the q45-style md5 bucket rule keyed on the cluster id
+    "q82_split_leakage_safe" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+         |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |        FROM documents)
+         |), j AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+         |  FROM sh a JOIN sh b ON a.id < b.id
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.7
+         |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.7
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+         |), lab AS (
+         |  SELECT d.doc_id AS doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ${md5l("'42:' || CAST(cluster_id AS VARCHAR)")} % 1000000 < 200000
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM lab""".stripMargin,
 
     // q50's closure + the keep-longest policy as a per-cluster rank
     "q55_dedup_clusters_by" ->

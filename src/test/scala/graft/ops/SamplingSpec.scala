@@ -159,4 +159,25 @@ class SamplingSpec extends SparkSpec {
       .where(col("lang") === "fr").count()
     assert(fr == 1L)
   }
+
+  test("cluster-keyed trainTestSplit: no near-dup cluster straddles the split") {
+    import spark.implicits._
+    // 60 docs in 20 clusters of 3 — keyed on cluster_id, every cluster
+    // must land wholly on one side
+    val labeled = (0L until 60L).map(i => (i, i / 3L)).toDF("doc_id", "cluster_id")
+    val out = Sampling.trainTestSplit(labeled, key = col("cluster_id"), testFraction = 0.4)
+    val sidesPerCluster = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(sidesPerCluster.forall(_ == 1L), "a cluster straddled the split")
+    val bySide = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.keySet == Set("train", "test") && bySide.values.forall(_ > 0), s"got $bySide")
+    // doc-keyed split on the same data DOES straddle clusters — the
+    // pitfall the cluster key exists to prevent
+    val naive = Sampling.trainTestSplit(labeled, key = col("doc_id"), testFraction = 0.4)
+      .groupBy("cluster_id").agg(countDistinct(col("split")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(naive.exists(_ == 2L), "fixture too small to show the doc-keyed pitfall")
+  }
 }
