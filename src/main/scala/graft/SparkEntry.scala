@@ -564,6 +564,17 @@ object SparkEntry {
         threshold = 0.25)
     }),
 
+    // batch k-NN join: every 100th vector queries the whole corpus for its
+    // top-5 cosine neighbors — broadcast queries, map-side scoring, and
+    // the per-query top-k rides the TopKAgg partial aggregate (the shuffle
+    // carries bounded heaps, never the scored cross product); the full
+    // (query, neighbor, score, rank) table is hash-checked
+    "q83_knn_join" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimilaritySearch.knnJoin(
+        emb.where(pmod(col("vec_id"), lit(100)) === 0), emb, k = 5)
+    }),
+
     // leakage-safe train/test split: the split key is the near-dup CLUSTER
     // id, so a document can never land in train while its near-duplicate
     // sits in test (the classic eval-contamination pitfall of doc-keyed
@@ -1312,6 +1323,24 @@ object SparkEntry {
         |  coalesce(c.cluster, d.doc_id) AS cluster_id,
         |  coalesce(c.cluster = d.doc_id, TRUE) AS keep
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    // rounded-before-rank scores (both engines), ties to the smaller
+    // neighbor id — the window replica of the TopKAgg heap contract
+    "q83_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+        |      AS score
+        |  FROM e CROSS JOIN q),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // q50's closure + the q45-style md5 bucket rule keyed on the cluster id
     "q82_split_leakage_safe" ->

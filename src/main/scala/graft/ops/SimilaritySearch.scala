@@ -141,6 +141,56 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Batch k-NN join — for EVERY query vector, its top-k cosine neighbors
+    * in the corpus (embedding-based retrieval / hard-negative mining /
+    * cross-dataset linking). The batch complement of [[bruteForceTopK]]'s
+    * single query.
+    *
+    * Scale shape: the query side broadcasts (it is the small side by
+    * construction — a query batch, not a corpus), scoring is map-side
+    * codegen cosine over the corpus scan, and the per-query top-k is the
+    * custom partial aggregate [[org.apache.spark.sql.graft.TopKAgg]]: each
+    * map partition sends at most one k-entry heap per query into the
+    * shuffle, so the exchange carries O(partitions × |queries| × k)
+    * bounded buffers — NOT the |corpus| × |queries| scored cross product a
+    * window `row_number` formulation would shuffle. Scores are rounded to
+    * 6 before ranking (ties to the smaller neighbor id), making the full
+    * result deterministic and oracle-replicable.
+    *
+    * Returns (query_id, neighbor_id, score, rank) with rank 1..k per
+    * query. Callers joining a table to itself should drop the rank-1
+    * self-match (score 1.0) downstream.
+    */
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      queryIdCol: String = "vec_id"
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val c = corpus.select(
+      col(idCol).cast("long").as("_nid"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    c.crossJoin(broadcast(q))
+      .select(
+        col("query_id"),
+        col("_nid"),
+        round(VectorOps.cosine(col("_cv"), col("_qv")), 6).as("_s"))
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topKAgg(col("_s"), col("_nid"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(
+        col("query_id"),
+        col("_e.neighbor_id").as("neighbor_id"),
+        col("_e.score").as("score"),
+        (col("_r") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane i is the
     * hash of the string "plane-i-j" scaled to [-1, 1). Fully reproducible
     * across runs/engines — no RNG state. With [[Md5Hash]] the components

@@ -537,6 +537,39 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(ivf.load(spark, dir)._1.count() === 200L)
   }
 
+  test("knnJoin: agrees with the window formulation, bounded-shuffle plan, deterministic ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(400)(i => (i.toLong, Seq.fill(8)(rnd.nextDouble() - 0.5)))
+    val corpus  = rows.toDF("vec_id", "embedding").repartition(7)
+    val queries = rows.take(6).toDF("vec_id", "embedding")
+
+    val viaAgg = SimilaritySearch.knnJoin(queries, corpus, k = 10)
+    val got = viaAgg.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // reference: full scoring + window row_number, identical tie rule
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    val ref = corpus.crossJoin(q)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorOps.cosine(col("embedding").cast("array<double>"),
+          col("_qv").cast("array<double>")), 6).as("score"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === ref)
+    // self-match ranks first at score 1.0
+    assert(got((0L, 1))._1 === 0L && got((0L, 1))._2 === 1.0)
+    // k larger than the corpus returns the whole corpus, ranked
+    val all = SimilaritySearch.knnJoin(queries.limit(1), corpus.limit(20), k = 50)
+    assert(all.count() === 20L)
+    // the aggregate runs in two phases (partial map-side heap + final) —
+    // the shuffle carries bounded buffers, not the scored cross product
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, s"expected 2-phase agg:\n$plan")
+    assert(!plan.contains("Window"), "knnJoin must not fall back to a window sort")
+  }
+
   test("randomProjection: deterministic under repartition, map-side, JL norm preservation") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
