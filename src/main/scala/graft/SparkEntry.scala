@@ -564,6 +564,18 @@ object SparkEntry {
         threshold = 0.25)
     }),
 
+    // shard assembly: q52's packing joined back to the texts, one
+    // concatenated training sequence per (stream, bin) in packing order —
+    // the text itself is hash-checked, so a lost/duplicated/misordered
+    // document inside any bin fails
+    "q84_pack_assemble" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Packing.assembleBins(
+        graft.ops.Packing.packSequences(
+          docs, tokens = TextAnalysis.tokenCount(col("text")), budget = 1024, streams = 32),
+        docs)
+    }),
+
     // batch k-NN join: every 100th vector queries the whole corpus for its
     // top-5 cosine neighbors — broadcast queries, map-side scoring, and
     // the per-query top-k rides the TopKAgg partial aggregate (the shuffle
@@ -1323,6 +1335,25 @@ object SparkEntry {
         |  coalesce(c.cluster, d.doc_id) AS cluster_id,
         |  coalesce(c.cluster = d.doc_id, TRUE) AS keep
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    // q52's prefix-sum packing + ordered string_agg per (stream, bin)
+    "q84_pack_assemble" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS stream
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, text, n_tokens, stream,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT stream, CAST(off // 1024 AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  string_agg(text, ' ' ORDER BY off % 1024, doc_id) AS text
+        |FROM o GROUP BY 1, 2""".stripMargin,
 
     // rounded-before-rank scores (both engines), ties to the smaller
     // neighbor id — the window replica of the TopKAgg heap contract

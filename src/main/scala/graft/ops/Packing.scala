@@ -64,4 +64,35 @@ object Packing {
   def binStats(packed: DataFrame, idCol: String = "doc_id"): DataFrame =
     packed.groupBy(col("stream"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_started"))
+
+  /** Materialize the packed SHARDS: join a [[packSequences]] result back to
+    * the document texts and concatenate each (stream, bin)'s documents in
+    * packing order — the final write step that turns the assignment into
+    * actual training sequences. A document contributes its full text to
+    * the bin it STARTS in (the concat-and-chunk contract: the trainer's
+    * chunker splits boundary-spanning text), so a bin's text carries about
+    * `budget` tokens plus at most one spanning document's tail.
+    *
+    * One equi-join on the doc id plus one shuffle on (stream, bin); the
+    * per-bin state is bounded by the token budget (+ one document), never
+    * a whole stream. Order inside a bin is (bin_offset, doc id) — total
+    * and deterministic even for zero-token documents sharing an offset.
+    */
+  def assembleBins(
+      packed: DataFrame,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sep: String = " "
+  ): DataFrame =
+    packed.join(docs.select(col(idCol), col(textCol).as("_t")), Seq(idCol))
+      .groupBy(col("stream"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        concat_ws(
+          sep,
+          transform(
+            array_sort(collect_list(struct(col("bin_offset"), col(idCol), col("_t")))),
+            s => s.getField("_t"))).as("text"))
 }

@@ -16,9 +16,23 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *    at build time (cluster-wide, survives new sessions).
   */
 object GraftFunctions {
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+
+  /** k (and any sketch-size argument) must be a literal in SQL — it sizes
+    * the aggregation buffer at plan time.
+    */
+  private def foldInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name expects a literal integer, got $e")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
+  // Aggregate functions are returned bare: the analyzer wraps an
+  // AggregateFunction into its AggregateExpression during resolution,
+  // exactly as for the built-in registry entries.
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
-    "dot_product"       -> (es => DotProduct(es(0), es(1)))
+    "dot_product"       -> (es => DotProduct(es(0), es(1))),
+    "simhash_agg"       -> (es => SimHashAgg(es(0))),
+    "topk_agg"          -> (es => TopKAgg(es(0), es(1), foldInt(es(2), "topk_agg")))
   )
 
   def register(spark: SparkSession): Unit =
@@ -29,10 +43,7 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    Seq(
-      "cosine_similarity" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1)): Expression),
-      "dot_product"       -> ((es: Seq[Expression]) => DotProduct(es(0), es(1)): Expression)
-    ).foreach { case (name, b) =>
+    GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
           new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -42,4 +42,23 @@ class EntryContractSpec extends SparkSpec {
         "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
   }
+
+  test("registered SQL aggregates: topk_agg and simhash_agg work from spark.sql") {
+    GraftFunctions.register(spark)
+    // topk_agg: top-2 by score desc, ties to the smaller id
+    val top = spark.sql(
+      """SELECT g, topk_agg(s, id, 2) AS t FROM VALUES
+        |  ('a', 0.5d, 1L), ('a', 0.9d, 2L), ('a', 0.9d, 3L), ('b', 0.1d, 9L)
+        |AS v(g, s, id) GROUP BY g ORDER BY g""".stripMargin).collect()
+    val a = top(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(a.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.9, 2L), (0.9, 3L)))
+    assert(top(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(9L))
+    // k must be a literal — it sizes the aggregation buffer
+    intercept[Exception](spark.sql(
+      "SELECT topk_agg(s, id, id) FROM VALUES (0.1d, 1L) AS v(s, id)").collect())
+    // simhash_agg over a single token hash is that hash's bit pattern
+    val sh = spark.sql(
+      "SELECT simhash_agg(h) FROM VALUES (5L) AS v(h)").head().getLong(0)
+    assert(sh == 5L)
+  }
 }

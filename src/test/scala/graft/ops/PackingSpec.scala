@@ -81,6 +81,21 @@ class PackingSpec extends SparkSpec {
     assert(ws(2L) != bpe(2L), "doc 2's placement must shift under the BPE-ish budget")
   }
 
+  test("assembleBins concatenates each bin's documents in packing order") {
+    import spark.implicits._
+    val texts = Seq(
+      (0L, "aaaa"), (1L, "bbbbb"), (2L, "ccc"), (3L, "d"), (4L, "ee")
+    ).toDF("doc_id", "text")
+    // reuse the fixture's token counts (400, 500, 300, 1200, 10)
+    val packed = Packing.packSequences(docs, tokens = col("n"), budget = 1000, streams = 1)
+    val out = Packing.assembleBins(packed, texts)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // bin 0 starts docs 0,1,2 in offset order; bin 1 doc 3; bin 2 doc 4
+    assert(out(0L) == ((3L, 1200L, "aaaa bbbbb ccc")), s"got ${out(0L)}")
+    assert(out(1L) == ((1L, 1200L, "d")))
+    assert(out(2L) == ((1L, 10L, "ee")))
+  }
+
   test("plan shape: one shuffle (stream hash), no global sort exchange") {
     val plan = Packing.packSequences(docs, col("n"), budget = 1000, streams = 4)
       .queryExecution.executedPlan.toString
