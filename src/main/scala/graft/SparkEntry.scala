@@ -564,6 +564,21 @@ object SparkEntry {
         threshold = 0.25)
     }),
 
+    // exact-substring span dedup: every 3rd document gets the SAME planted
+    // 10-token license sentence (the oracle plants the identical string);
+    // its 8-token windows are duplicated corpus-wide, so every holder but
+    // the smallest-id one loses those tokens while organic text survives —
+    // rebuild, totals and removal counts hash-checked row by row
+    "q85_text_dedup_spans" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"),
+            lit(" this content is provided under the standard license agreement terms")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.dedupSpans(docs, window = 8)
+    }),
+
     // shard assembly: q52's packing joined back to the texts, one
     // concatenated training sequence per (stream, bin) in packing order —
     // the text itself is hash-checked, so a lost/duplicated/misordered
@@ -1335,6 +1350,49 @@ object SparkEntry {
         |  coalesce(c.cluster, d.doc_id) AS cluster_id,
         |  coalesce(c.cluster = d.doc_id, TRUE) AS keep
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    // q28's rolling-window md5 fingerprints + first-holder-wins coverage;
+    // reassembly is the q79-style ordered string_agg
+    "q85_text_dedup_spans" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || ' this content is provided under the standard license agreement terms'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM src),
+        |w AS (
+        |  SELECT doc_id, i, md5(array_to_string(toks[(i + 1):(i + 8)], ' ')) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 8 + 1)) AS i
+        |        FROM t WHERE len(toks) >= 8)),
+        |dup AS (
+        |  SELECT fp, min(doc_id) AS keep
+        |  FROM (SELECT DISTINCT fp, doc_id FROM w)
+        |  GROUP BY fp HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, unnest(range(w.i, w.i + 8)) AS pos
+        |  FROM w JOIN dup USING (fp) WHERE w.doc_id <> dup.keep),
+        |tok AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(len(toks)), p -> {'pos': p, 'tok': toks[p + 1]})) AS u
+        |        FROM t)
+        |  WHERE u.tok <> ''),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tok
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |r AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text, count(*) AS kept
+        |  FROM kept GROUP BY doc_id),
+        |n AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM src)
+        |SELECT n.doc_id, coalesce(r.clean_text, '') AS clean_text, n.n_tokens,
+        |  CAST(n.n_tokens - coalesce(r.kept, 0) AS BIGINT) AS n_removed
+        |FROM n LEFT JOIN r USING (doc_id)""".stripMargin,
 
     // q52's prefix-sum packing + ordered string_agg per (stream, bin)
     "q84_pack_assemble" ->

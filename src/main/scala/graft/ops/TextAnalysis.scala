@@ -438,6 +438,75 @@ object TextAnalysis {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** Exact-substring span dedup — remove VERBATIM duplicated token spans
+    * from all but their first-occurrence document (the ExactSubstr step of
+    * "Deduplicating Training Data Makes Language Models Better": templated
+    * sentences, quoted passages and licenses repeat across documents that
+    * are not near-duplicates as a whole, so document-level dedup misses
+    * them). A `window`-token span is duplicated when its fingerprint
+    * appears in at least `minDocs` distinct documents; every token covered
+    * by a duplicated window is dropped from every document EXCEPT the
+    * span's smallest-id holder (the keep-first orientation of the whole
+    * dedup family), and documents are rebuilt from their surviving tokens
+    * in order.
+    *
+    * Returns (idCol, clean_text, n_tokens, n_removed) over the full input
+    * universe. Tokenization is the lower/trim/whitespace split shared
+    * with [[rollingFingerprintsExploded]] / the q28 oracle.
+    *
+    * Scale shape: all joins are equi-joins on window fingerprints or
+    * (doc, pos) pairs — windows explode to slim (doc, pos, fp) rows, the
+    * duplicate screen is a two-level pre-aggregation (distinct doc per fp,
+    * then count — no countDistinct Expand), and coverage expansion is a
+    * bounded ×window explode of only the DUPLICATED windows. Reassembly
+    * is the same (pos, token) sort-rebuild as [[dedupParagraphs]].
+    */
+  def dedupSpans(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      window: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val toks = df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_toks"))
+    val wins = toks.where(size(col("_toks")) >= window)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - window)).as("_i"))
+      .select(col(idCol), col("_i"),
+        md5(array_join(slice(col("_toks"), col("_i") + 1, lit(window)), " ")).as("_fp"))
+    // duplicated fps + their keep-winner (smallest doc id), via one
+    // distinct pre-aggregation — never a countDistinct Expand
+    val dupWinners = wins.select(col("_fp"), col(idCol)).distinct()
+      .groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_d"), min(col(idCol)).as("_keep"))
+      .where(col("_d") >= minDocs)
+      .select(col("_fp"), col("_keep"))
+    val covered = wins.join(dupWinners, Seq("_fp"))
+      .where(col(idCol) =!= col("_keep"))
+      .select(col(idCol), explode(sequence(col("_i"), col("_i") + window - 1)).as("_pos"))
+      .distinct()
+    val tokens = toks
+      .select(col(idCol), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .where(col("_tok") =!= "")
+    val rebuilt = tokens.join(covered, Seq(idCol, "_pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+            s => s.getField("_tok"))).as("clean_text"),
+        count(lit(1)).as("_kept"))
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Corpus data-card report: the per-stratum summary every corpus release
     * ships (and every ingest run monitors) — document and token counts,
     * quality-score mean and low-quality fraction, and the exact-duplicate

@@ -236,6 +236,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bp == Seq(6, 0, 5)) // ceil(5/4)*3 = 6; ""→0; ceil(20/4) = 5
   }
 
+  test("dedupSpans: duplicated spans removed from all but the first holder; intra-doc repeats survive") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"intro-a $span tail-a"),            // first holder: keeps the span
+      (2L, s"intro-b $span tail-b"),            // later holder: loses exactly the span
+      (3L, "completely unrelated words that repeat nothing from the others"),
+      (4L, s"solo $span $span solo-tail")       // shares the span; both copies covered
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpans(df, window = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"intro-a $span tail-a", 10L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == (("intro-b tail-b", 10L, 8L)), s"got ${out(2L)}")
+    assert(out(3L)._3 == 0L, s"got ${out(3L)}")
+    assert(out(4L) == (("solo solo-tail", 18L, 16L)), s"got ${out(4L)}")
+
+    // a span repeated only WITHIN one doc is untouched (minDocs = 2 means
+    // distinct documents)
+    val solo = Seq(
+      (1L, s"only-here $span then $span again"),
+      (2L, "nothing shared with the document above at all right")
+    ).toDF("doc_id", "text")
+    val soloOut = TextAnalysis.dedupSpans(solo, window = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(soloOut == Map(1L -> 0L, 2L -> 0L), s"got $soloOut")
+  }
+
   test("dedupParagraphs: first occurrence wins corpus-wide, order preserved, empties stripped") {
     import spark.implicits._
     val df = Seq(
