@@ -564,6 +564,25 @@ object SparkEntry {
         threshold = 0.25)
     }),
 
+    // cross-source overlap matrix: near-dup pairs bucketed by the
+    // (unordered) source pair — the dataset-overlap report of corpus
+    // releases ("crawl A duplicates crawl B"): which ingests re-collect
+    // each other, and how much intra-source duplication each carries.
+    // Pair generation is q48's exact prefix-filtered Jaccard; the matrix
+    // is one grouped count over slim (id, id) pairs + two id-joins for
+    // the source lookup
+    "q86_source_overlap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.prefixJaccardPairs(docs, threshold = 0.7)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), Seq("id_b"))
+        .groupBy(
+          least(col("_sa"), col("_sb")).as("source_x"),
+          greatest(col("_sa"), col("_sb")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // exact-substring span dedup: every 3rd document gets the SAME planted
     // 10-token license sentence (the oracle plants the identical string);
     // its 8-token windows are duplicated corpus-wide, so every holder but
@@ -1350,6 +1369,27 @@ object SparkEntry {
         |  coalesce(c.cluster, d.doc_id) AS cluster_id,
         |  coalesce(c.cluster = d.doc_id, TRUE) AS keep
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    // q50's pair CTE + unordered source-pair bucketing
+    "q86_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), j AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |), p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.7)
+        |SELECT least(da.source, db.source) AS source_x,
+        |  greatest(da.source, db.source) AS source_y,
+        |  count(*) AS n_pairs
+        |FROM p JOIN documents da ON p.id_a = da.doc_id
+        |       JOIN documents db ON p.id_b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // q28's rolling-window md5 fingerprints + first-holder-wins coverage;
     // reassembly is the q79-style ordered string_agg
