@@ -583,6 +583,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // edit-distance similarity self-join (entity resolution): all customer
+    // name pairs within Levenshtein distance 1, EXACT, via symmetric-delete
+    // (FastSS) blocking — candidates share a deletion variant (codegen
+    // explode, equi-join on the variant key), verify is the
+    // threshold-bounded native levenshtein; never an all-pairs compare
+    "q87_fuzzy_editdist" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.editDistancePairs(
+        T(s, dir, "customer"), strCol = "c_name", idCol = "c_custkey", maxDist = 1)),
+
+    // per-document TF-IDF top terms (keyword extraction): rank by the
+    // ROUNDED score so an ulp of ln() divergence between engines cannot
+    // reorder rows; ties by token text — the full top-5 table hash-checks
+    "q88_text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(T(s, dir, "documents"))),
+
+    // asymmetric containment pairs (snippet/quote detection): every 5th
+    // document's first 10 tokens are planted as a standalone snippet doc
+    // (the oracle plants the identical rows) — each snippet is found
+    // inside its parent at containment 1.0, exactly the relation Jaccard
+    // misses (10 tokens vs a full document is far below any useful
+    // symmetric threshold)
+    "q89_dedup_containment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val snippets = T(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(5)) === 0 && size(toks) >= 12)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          array_join(slice(toks, 1, 10), " ").as("text"))
+      Dedup.containmentPairs(docs.union(snippets), threshold = 0.9)
+    }),
+
+    // stateful-streaming exact dedup, batch face: flatMapGroupsWithState
+    // over fingerprint buckets — in a single batch the verdict contract
+    // reduces to "novel ⇔ min doc_id of its fingerprint", which is what
+    // the oracle checks row by row; the cross-micro-batch state path is
+    // spec-asserted with MemoryStream (StreamingFpDedupSpec)
+    "q90_dedup_stream_fp" -> ((s, dir) =>
+      graft.streaming.StreamingFpDedup.verdicts(s, T(s, dir, "documents"))
+        .toDF()
+        .withColumn("novel", col("novel").cast("long"))),
+
     // exact-substring span dedup: every 3rd document gets the SAME planted
     // 10-token license sentence (the oracle plants the identical string);
     // its 8-token windows are duplicated corpus-wide, so every holder but
@@ -1390,6 +1431,80 @@ object SparkEntry {
         |FROM p JOIN documents da ON p.id_a = da.doc_id
         |       JOIN documents db ON p.id_b = db.doc_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // the oracle verifies the SEMANTICS (all pairs within distance 1), not
+    // the blocking: a naive length-banded cross join is feasible at the
+    // gate's SF, and deletion-neighborhood blocking is exact (lemma in
+    // FuzzyJoin.scala), so both formulations name the same pair set
+    "q87_fuzzy_editdist" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(len(a.c_name) - len(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // rank by the ROUNDED tfidf on both engines (an ulp of ln() cannot
+    // reorder), ties by token; N is the full document count
+    "q88_text_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2
+        |), dfq AS (SELECT token, count(*) AS d FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.d), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, token, tf, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT doc_id, token, tf, tfidf, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    // q19's shingle/postings/df-prune shape over the snippet-augmented
+    // corpus, but directional (a.id <> b.id) and normalized by the SOURCE
+    // size only
+    "q89_dedup_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[1:10], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |  WHERE doc_id % 5 = 0 AND len(toks) >= 12
+        |), sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM base)
+        |), sizes AS (SELECT id, len(sh) AS sz FROM sh),
+        |postings AS (SELECT id, unnest(sh) AS shingle FROM sh),
+        |pruned AS (
+        |  SELECT id, shingle FROM (
+        |    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM postings)
+        |  WHERE df <= 1000
+        |), co AS (
+        |  SELECT a.id AS src_id, b.id AS dst_id, count(*) AS inter
+        |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id <> b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_id, dst_id,
+        |  round(CAST(inter AS DOUBLE) / ss.sz, 6) AS containment
+        |FROM co JOIN sizes ss ON co.src_id = ss.id
+        |WHERE round(CAST(inter AS DOUBLE) / ss.sz, 6) >= 0.9""".stripMargin,
+
+    // single-batch face of the stateful dedup: novel ⇔ min doc_id of the
+    // fingerprint (the cross-batch path is spec-gated, not SQL-expressible)
+    "q90_dedup_stream_fp" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  CAST(doc_id = min(doc_id) OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS novel
+        |FROM documents""".stripMargin,
 
     // q28's rolling-window md5 fingerprints + first-holder-wins coverage;
     // reassembly is the q79-style ordered string_agg

@@ -426,6 +426,62 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: ordered pairs where
+    * `|sh(src) ∩ sh(dst)| / |sh(src)| ≥ threshold` — "src is (mostly)
+    * inside dst". This is the quote/snippet/boilerplate detector that
+    * symmetric Jaccard structurally misses: a 10-token snippet embedded
+    * verbatim in a 1000-token page has containment 1.0 but Jaccard ≈ 0.01,
+    * so no Jaccard threshold can catch it without drowning in noise.
+    * Complements [[graft.ops.TextAnalysis.dedupSpans]] (which removes
+    * duplicated spans in place): containment reports the document-level
+    * subsumption relation, the input to "drop the snippet, keep the page"
+    * keep-policies.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] (codegen explode
+    * postings, groupBy+broadcast-anti df-prune — never a window over the
+    * hottest shingle, co-occurrence equi-join on the shingle key), with two
+    * differences: the join keeps BOTH orientations (`a.id =!= b.id` — the
+    * relation is directional), and the denominator is the SOURCE size only.
+    * Sizes come from unpruned postings; pruning (like q19's) only drops
+    * co-occurrence evidence of corpus-hot shingles. Returns
+    * (src_id, dst_id, containment).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleWidth: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 1000
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val postings = graft.Caches.track(
+      df.select(col(idCol).as("id"), toks.as("_toks"))
+        .select(
+          col("id"),
+          col("_toks"),
+          explode(sequence(lit(0), greatest(size(col("_toks")) - shingleWidth, lit(0)))).as("_i"))
+        .select(col("id"), array_join(slice(col("_toks"), col("_i") + 1, lit(shingleWidth)), " ").as("shingle"))
+        .distinct())
+    val sizes = postings.groupBy("id").agg(count(lit(1)).as("sz"))
+    val hot = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select("shingle")
+    val pruned = graft.Caches.track(
+      postings.join(broadcast(hot), Seq("shingle"), "left_anti"))
+
+    val co = pruned.as("a")
+      .join(pruned.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("src_id"), col("b.id").as("dst_id"))
+      .agg(count(lit(1)).as("inter"))
+
+    co.join(sizes.withColumnRenamed("id", "src_id").withColumnRenamed("sz", "sz_src"), "src_id")
+      .withColumn("containment", round(col("inter") / col("sz_src"), 6))
+      .where(col("containment") >= threshold)
+      .select("src_id", "dst_id", "containment")
+  }
+
   /** High-threshold n-gram Jaccard via prefix filtering (the All-Pairs /
     * PPJoin family): exact pairs with Jaccard ≥ `threshold`, joining only on
     * each document's '''prefix''' shingles instead of all of them.

@@ -314,6 +314,45 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Per-document TF-IDF top terms: for each document, its `topK`
+    * highest-scoring tokens under `score = tf · ln(N / df)` — the keyword /
+    * topic-signature extractor (cluster naming, dataset cards, relevance
+    * features). Returns (idCol, token, tf, tfidf, rnk), rnk 1..topK per
+    * document, ranked by (rounded score desc, token asc) so the result is
+    * fully deterministic and engine-portable: ranking on the ROUNDED score
+    * means an ulp of `ln` divergence between engines cannot reorder rows.
+    *
+    * Scale shape: tf is one (doc, token) groupBy with map-side combine; df
+    * rolls tf up by token (bounded by vocabulary size) and joins back on
+    * the token key; N is one scalar count (driver literal, like
+    * [[graft.ops.Sampling.toTargetMix]]'s rate derivation). The final
+    * per-document window partitions on the document key — state bounded by
+    * one document's distinct tokens, no corpus-hot key by construction.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      topK: Int = 5
+  ): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val n = df.count() // one scalar aggregate: N of the idf formula
+    val tf = df
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("_df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col(idCol), col("token"), col("tf"), col("tfidf"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Canonical text normalization — the first transform of every text
     * pipeline: strip ASCII control characters, lowercase, trim, and
     * collapse whitespace runs to single spaces. All downstream tokenized

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.TextAnalysis
+
+/** One (bucket, fingerprint, doc) row entering the stateful dedup. */
+case class FpRow(bucket: Int, fp: String, doc_id: Long)
+
+/** Per-bucket dedup state: the fingerprints this bucket has ever seen.
+  * A case class (not a bare Set) so the state rides the product encoder.
+  */
+case class FpBucketState(fps: Seq[String])
+
+/** The operator's verdict for one document. */
+case class FpVerdict(doc_id: Long, fp: String, novel: Boolean)
+
+/** Exact streaming dedup as a genuine stateful streaming OPERATOR —
+  * `flatMapGroupsWithState` over fingerprint buckets — rather than
+  * [[StreamingDedupIngest]]'s foreachBatch-against-state-tables loop.
+  * Use this one when dedup is a stage INSIDE a streaming pipeline (the
+  * verdict stream feeds further streaming transforms); use the ingest
+  * when dedup IS the pipeline and the corpus tables are the product.
+  *
+  * Semantics: a document is `novel` iff its content fingerprint
+  * ([[TextAnalysis.fingerprint]] — md5 of normalized text, engine-portable)
+  * has never been seen in any earlier micro-batch, AND it is the minimum
+  * `doc_id` holding that fingerprint within its own batch (deterministic
+  * intra-batch winner — iterator order never decides). Exactly-once state
+  * updates come from the engine's state store + checkpoint.
+  *
+  * 100-TB shape: state is partitioned by `bucket = hash(fp) mod numBuckets`
+  * — each task holds only its buckets' fingerprint sets, and `numBuckets`
+  * spreads the corpus across the cluster (size it ≥ shuffle parallelism).
+  * Per-doc state is one 32-char fingerprint (~40 B); a 100-billion-doc
+  * corpus is ~4 TB of state — RocksDB state store territory
+  * (`spark.sql.streaming.stateStore.providerClass`), not heap. For
+  * bounded-memory at any corpus size, swap the exact set for a Bloom
+  * filter per bucket (same operator shape, documented false-positive rate
+  * drops true novels); the exact set is the default because dedup
+  * false-positives silently shrink the corpus. The per-call group buffer
+  * is one BATCH's rows for one bucket (micro-batch-bounded), not the
+  * corpus.
+  *
+  * Batch face: `flatMapGroupsWithState` also runs on a batch Dataset
+  * (state starts empty, each group processed once), where the verdict
+  * reduces to `doc_id = min(doc_id) over fingerprint` — the SQL-checkable
+  * contract the driver oracle verifies (q90); the cross-batch state path
+  * is spec-asserted with MemoryStream.
+  */
+object StreamingFpDedup {
+
+  /** The verdict stream/frame for `docs` (streaming or batch). */
+  def verdicts(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numBuckets: Int = 64
+  ): Dataset[FpVerdict] = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    import spark.implicits._
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val rows = docs.select(
+      pmod(xxhash64(fp), lit(numBuckets)).cast("int").as("bucket"),
+      fp.as("fp"),
+      col(idCol).cast("long").as("doc_id")).as[FpRow]
+    rows
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[FpBucketState, FpVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[FpRow], state: GroupState[FpBucketState]) =>
+          val seen  = state.getOption.map(_.fps.toSet).getOrElse(Set.empty[String])
+          val batch = it.toVector // one micro-batch × one bucket — bounded
+          val winners = batch.groupBy(_.fp).map { case (f, rs) => f -> rs.map(_.doc_id).min }
+          val out = batch.sortBy(r => (r.doc_id, r.fp)).map { r =>
+            FpVerdict(r.doc_id, r.fp, novel = !seen.contains(r.fp) && winners(r.fp) == r.doc_id)
+          }
+          state.update(FpBucketState((seen ++ batch.map(_.fp)).toSeq))
+          out.iterator
+      }
+  }
+}

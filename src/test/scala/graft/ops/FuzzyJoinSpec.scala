@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FuzzyJoinSpec extends SparkSpec {
+
+  /** Textbook DP Levenshtein — the spec's independent reference. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def bruteForce(strs: Seq[(Long, String)], maxDist: Int): Set[(Long, Long, Long)] =
+    (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib
+      d = lev(sa, sb) if d <= maxDist
+    } yield (ia, ib, d.toLong)).toSet
+
+  private def run(strs: Seq[(Long, String)], maxDist: Int): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    FuzzyJoin.editDistancePairs(strs.toDF("id", "s"), "s", "id", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("editDistancePairs d=1: substitution, insertion, deletion and identity shapes all found") {
+    val strs = Seq(
+      1L -> "kitten", 2L -> "sitten", // substitution
+      3L -> "abc", 4L -> "abcd",      // insertion at end
+      5L -> "xabc",                   // insertion at front (vs 3)
+      6L -> "ab",                     // deletion (vs 3)
+      7L -> "abc",                    // identical to 3 (distance 0)
+      8L -> "zzzz")                   // no partner
+    assert(run(strs, 1) == bruteForce(strs, 1))
+    // and the expected pairs are actually in there
+    val got = run(strs, 1)
+    assert(got.contains((1L, 2L, 1L)) && got.contains((3L, 4L, 1L)) &&
+      got.contains((3L, 7L, 0L)) && got.contains((3L, 6L, 1L)) && got.contains((3L, 5L, 1L)))
+    assert(!got.exists(p => p._1 == 8L || p._2 == 8L))
+  }
+
+  test("editDistancePairs ≡ brute force on a pseudorandom corpus (d=1 and d=2)") {
+    val rnd = new scala.util.Random(42)
+    val strs = (1L to 120L).map(i => i -> Seq.fill(3 + rnd.nextInt(5))("ab" (rnd.nextInt(2))).mkString)
+    assert(run(strs, 1) == bruteForce(strs, 1))
+    assert(run(strs, 2) == bruteForce(strs, 2))
+  }
+
+  test("editDistancePairs handles empty strings and is repartition-stable") {
+    import spark.implicits._
+    val strs = Seq(1L -> "", 2L -> "a", 3L -> "", 4L -> "ab")
+    assert(run(strs, 1) == bruteForce(strs, 1)) // ("","") d=0, ("","a") d=1, ("a","ab") d=1
+    val df = strs.toDF("id", "s").repartition(7)
+    val got = FuzzyJoin.editDistancePairs(df, "s", "id", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteForce(strs, 1))
+  }
+
+  test("containmentPairs: planted snippet contained at 1.0; jaccard would miss it") {
+    import spark.implicits._
+    val page = (1 to 40).map(i => s"tok$i").mkString(" ")         // 40 distinct tokens
+    val snippet = (1 to 10).map(i => s"tok$i").mkString(" ")      // its first 10
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, page), (2L, other), (3L, snippet)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // snippet→page at 1.0 (all 8 of its 3-shingles appear in the page); the
+    // reverse direction is 8/38 ≪ 0.9; `other` shares nothing
+    assert(got == Set((3L, 1L, 1.0)))
+    // sanity: the symmetric operator at any dedup-grade threshold misses it
+    assert(Dedup.ngramJaccardPairs(docs, threshold = 0.5).count() == 0)
+  }
+
+  test("containmentPairs ≡ brute-force shingle containment on overlapping docs") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e",
+      3L -> "c d e f g h i j",
+      4L -> "x y z x y z")
+    def sh(s: String): Set[String] =
+      s.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val expect = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia != ib
+      inter = (sh(sa) intersect sh(sb)).size
+      c = BigDecimal(inter.toDouble / sh(sa).size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if inter > 0 && c >= 0.5
+    } yield (ia, ib, c)).toSet
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+  }
+
+  test("tfidfTopTerms: hand-computed scores, rounded-score ranking, topK bound") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared"),
+      (3L, "cherry cherry cherry shared")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    def score(tf: Int, df: Int): Double =
+      BigDecimal(tf * math.log(3.0 / df)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byDoc = got.groupBy(_._1)
+    // doc 1: apple tf=2 df=1 beats banana tf=1 df=2; "shared" df=3 → idf 0
+    assert(byDoc(1L).sortBy(_._5).map(t => (t._2, t._4)).toSeq ==
+      Seq("apple" -> score(2, 1), "banana" -> score(1, 2)))
+    // doc 3: cherry tf=3 df=2 first; tie at 0.0 between banana? no — second is shared (0.0)
+    assert(byDoc(3L).sortBy(_._5).map(_._2).toSeq == Seq("cherry", "shared"))
+    // topK honored everywhere
+    assert(got.groupBy(_._1).forall(_._2.length <= 2))
+    // ranks are 1..k dense per doc
+    assert(byDoc.values.forall(v => v.map(_._5).sorted.toSeq == (1L to v.length)))
+  }
+}

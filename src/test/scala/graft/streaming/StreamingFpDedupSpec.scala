@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingFpDedupSpec extends SparkSpec {
+
+  test("stateful dedup: cross-batch state survives, intra-batch min-id wins, normalization-invariant") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String)](spark)
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = StreamingFpDedup.verdicts(spark, docs, numBuckets = 8)
+      .writeStream.format("memory").queryName("fp_verdicts").outputMode("append").start()
+    try {
+      // batch 1: 1 and 3 share a fingerprint (case/whitespace-normalized);
+      // min doc_id (1) is the novel one
+      stream.addData((1L, "hello world"), (2L, "other text"), (3L, "hello   WORLD"))
+      q.processAllAvailable()
+      val b1 = spark.table("fp_verdicts")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(b1 == Map(1L -> true, 2L -> true, 3L -> false))
+
+      // batch 2: 4 duplicates batch 1's fingerprint (STATE, not intra-batch,
+      // must catch it); 5 is genuinely new; 6/7 collide intra-batch
+      stream.addData((4L, "Hello World"), (5L, "fresh content"),
+        (7L, "twin doc"), (6L, "twin doc"))
+      q.processAllAvailable()
+      val all = spark.table("fp_verdicts")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(all(4L) == false && all(5L) == true && all(6L) == true && all(7L) == false)
+    } finally q.stop()
+  }
+
+  test("batch face equals the min-doc_id-per-fingerprint contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "aaa bbb"), (11L, "AAA  bbb"), (12L, "ccc"), (13L, "ccc"), (14L, "unique")
+    ).toDF("doc_id", "text")
+    val got = StreamingFpDedup.verdicts(spark, docs, numBuckets = 4)
+      .collect().map(v => v.doc_id -> v.novel).toMap
+    assert(got == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false, 14L -> true))
+    // every fingerprint has exactly one novel holder
+    val perFp = StreamingFpDedup.verdicts(spark, docs, numBuckets = 4)
+      .groupBy("fp").agg(sum(when(col("novel"), 1).otherwise(0)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(perFp.forall(_ == 1L))
+  }
+}
