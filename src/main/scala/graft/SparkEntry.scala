@@ -614,6 +614,13 @@ object SparkEntry {
       Dedup.containmentPairs(docs.union(snippets), threshold = 0.9)
     }),
 
+    // BPE tokenizer training, counting stage: the weighted adjacent-char
+    // pair table over the word vocabulary — the exact table bpeMerges
+    // ranks each step (the sequential learn loop itself is spec-gated:
+    // data-dependent iteration is not SQL-expressible)
+    "q91_text_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(TextAnalysis.bpeVocabulary(T(s, dir, "documents")))),
+
     // stateful-streaming exact dedup, batch face: flatMapGroupsWithState
     // over fingerprint buckets — in a single batch the verdict contract
     // reduces to "novel ⇔ min doc_id of its fingerprint", which is what
@@ -1496,6 +1503,20 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / ss.sz, 6) AS containment
         |FROM co JOIN sizes ss ON co.src_id = ss.id
         |WHERE round(CAST(inter AS DOUBLE) / ss.sz, 6) >= 0.9""".stripMargin,
+
+    // char pairs weighted by word count; symbols extracted positionally
+    // (substring over a generated index — chars, not bytes, both engines)
+    "q91_text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |  FROM documents
+        |), v AS (SELECT word, count(*) AS wc FROM w WHERE word <> '' GROUP BY 1),
+        |p AS (
+        |  SELECT substring(word, i + 1, 1) AS sym_l, substring(word, i + 2, 1) AS sym_r, wc
+        |  FROM (SELECT word, wc, unnest(range(len(word) - 1)) AS i
+        |        FROM v WHERE len(word) >= 2))
+        |SELECT sym_l, sym_r, CAST(sum(wc) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // single-batch face of the stateful dedup: novel ⇔ min doc_id of the
     // fingerprint (the cross-batch path is spec-gated, not SQL-expressible)

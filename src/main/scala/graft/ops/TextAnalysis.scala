@@ -353,6 +353,129 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("tfidf"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Weighted adjacent-symbol pair counts over a `(repr, wc)` vocabulary
+    * frame, where `repr` is a space-joined symbol sequence — the counting
+    * stage of one BPE iteration, exposed on its own so the driver oracle
+    * can check the exact table [[bpeMerges]] ranks (q91 runs it over the
+    * char-level step-0 vocabulary). Codegen explode + element_at; one
+    * grouped count with map-side combine, output bounded by the symbol-
+    * bigram vocabulary.
+    */
+  def bpePairCounts(vocab: DataFrame): DataFrame = {
+    val syms = split(col("repr"), " ")
+    vocab
+      .where(size(syms) >= 2)
+      .select(col("wc"), syms.as("_s"),
+        explode(sequence(lit(0), size(syms) - 2)).as("_i"))
+      .select(col("wc"),
+        element_at(col("_s"), col("_i") + 1).as("sym_l"),
+        element_at(col("_s"), col("_i") + 2).as("sym_r"))
+      .groupBy("sym_l", "sym_r")
+      .agg(sum("wc").as("pair_count"))
+  }
+
+  /** The char-level `(repr, wc)` vocabulary [[bpeMerges]] starts from:
+    * distinct corpus words with counts, each word split into space-joined
+    * characters.
+    */
+  def bpeVocabulary(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(array_join(split(col("word"), ""), " ").as("repr"), col("wc"))
+
+  /** Distributed BPE merge learning — the tokenizer-training step of a
+    * data pipeline: `numMerges` byte-pair-encoding merges learned over the
+    * corpus, returned as (step, left, right, merged, pair_count) in learn
+    * order. Deterministic: each step takes the highest-count pair with
+    * ties by (left, right) symbol text.
+    *
+    * Scale shape: the iteration state is the WORD VOCABULARY `(repr, wc)`
+    * — bounded by distinct-word count, independent of corpus size — so
+    * the corpus is scanned exactly once (the initial word count); every
+    * merge step is one grouped pair-count plus a codegen regexp rewrite
+    * over the vocab frame. Per step there is one top-1 collect (a single
+    * row — the same bounded-driver discipline as the CC endgame) because
+    * BPE is inherently sequential: step n's counts depend on step n−1's
+    * merge. The rewrite uses `(?<!\S)l r(?!\S)` lookarounds (zero-width,
+    * so "a a a a" merges to "aa aa" — greedy left-to-right non-overlap,
+    * the BPE contract) and the plan is lineage-truncated every few steps
+    * like [[graft.graph.GraphQueries.pageRankDF]] — and like there, the
+    * vocab between checkpoints is deliberately NOT persisted (identical
+    * subplans collapse into ReusedExchange; a cache would block that).
+    *
+    * Not SQL-expressible (sequential data-dependent iteration) — the
+    * learn loop is spec-gated against the hand-computable textbook
+    * example; the pair-count stage it ranks is oracle-checked (q91).
+    */
+  def bpeMerges(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numMerges: Int = 16,
+      minPairCount: Long = 2L
+  ): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = df.sparkSession
+    def materialize(d: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) d.checkpoint()
+      else d.localCheckpoint()
+    val checkpointEvery = 4
+    var vocab = materialize(bpeVocabulary(df, textCol))
+    var lastMaterialized: Option[DataFrame] = Some(vocab)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var done = false
+    var step = 1
+    while (step <= numMerges && !done) {
+      val top = bpePairCounts(vocab)
+        .orderBy(col("pair_count").desc, col("sym_l"), col("sym_r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((step.toLong, l, r, l + r, c))
+        val pattern = "(?<!\\S)" + java.util.regex.Pattern.quote(l + " " + r) + "(?!\\S)"
+        val replacement = java.util.regex.Matcher.quoteReplacement(l + r)
+        vocab = vocab.select(
+          regexp_replace(col("repr"), pattern, replacement).as("repr"), col("wc"))
+        if (step % checkpointEvery == 0 || step == numMerges) {
+          val prev = lastMaterialized
+          vocab = materialize(vocab)
+          lastMaterialized = Some(vocab)
+          prev.foreach(_.unpersist(blocking = false))
+        }
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** Applies a learned merge list to a text column, returning the BPE
+    * token array. Folds one codegen regexp rewrite per merge over the
+    * space-joined character sequence — fine for the analysis-sized merge
+    * lists this library learns in-pipeline (tens of merges); a
+    * production-vocabulary encoder (tens of thousands of merges) is a
+    * per-row priority-merge algorithm, not a column expression, and the
+    * wide fold would hit the 64 KB codegen method limit long before that
+    * (the q80 lesson) — so `merges` is capped.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.size <= 64, s"bpeEncode is for analysis-sized merge lists (<= 64), got ${merges.size}")
+    // word gaps become a boundary marker symbol (sentencepiece's ▁) BEFORE
+    // char-splitting — a bare space cannot be a symbol when space is also
+    // the symbol separator; merges are learned over whitespace-free words,
+    // so no merge pattern ever spans the marker
+    val marked = regexp_replace(lower(trim(text)), "\\s+", "▁")
+    val chars  = array_join(split(marked, ""), " ")
+    val merged = merges.foldLeft(chars) { case (acc, (l, r)) =>
+      regexp_replace(acc,
+        "(?<!\\S)" + java.util.regex.Pattern.quote(l + " " + r) + "(?!\\S)",
+        java.util.regex.Matcher.quoteReplacement(l + r))
+    }
+    split(merged, " ")
+  }
+
   /** Canonical text normalization — the first transform of every text
     * pipeline: strip ASCII control characters, lowercase, trim, and
     * collapse whitespace runs to single spaces. All downstream tokenized
