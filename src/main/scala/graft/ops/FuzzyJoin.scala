@@ -78,4 +78,30 @@ object FuzzyJoin {
       .where(col("dist") =!= -1)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
+
+  /** Two-table variant of [[editDistancePairs]] — probe a batch against a
+    * reference table (incremental entity resolution: "match today's
+    * records against the master list"). Both frames carry `strCol`/
+    * `idCol`; returns every cross pair `(left_id, right_id, dist)` within
+    * `maxDist`, exact by the same deletion-neighborhood lemma. The
+    * asymmetric shape is the scale win: variants are generated for the
+    * small batch at full depth and the join still prunes against the big
+    * side's variants — at 100 TB the reference side's variant table is
+    * computed once and persisted (it only changes when the master list
+    * does), the same build-once/probe-many discipline as the dedup sketch
+    * tables.
+    */
+  def editDistanceJoin(left: DataFrame, right: DataFrame, strCol: String,
+      idCol: String, maxDist: Int = 1): DataFrame = {
+    val lv = deletionVariants(left, strCol, idCol, maxDist)
+      .select(col("id").as("left_id"), col("s").as("_sl"), col("v"))
+    val rv = deletionVariants(right, strCol, idCol, maxDist)
+      .select(col("id").as("right_id"), col("s").as("_sr"), col("v"))
+    lv.join(rv, Seq("v"))
+      .select("left_id", "right_id", "_sl", "_sr")
+      .distinct()
+      .withColumn("dist", levenshtein(col("_sl"), col("_sr"), maxDist))
+      .where(col("dist") =!= -1)
+      .select(col("left_id"), col("right_id"), col("dist").cast("long").as("dist"))
+  }
 }

@@ -52,6 +52,12 @@ case class FpVerdict(doc_id: Long, fp: String, novel: Boolean)
   */
 object StreamingFpDedup {
 
+  /** Bounded-memory per-bucket state for [[StreamingFpDedup.verdictsBloom]]:
+    * a serialized `org.apache.spark.util.sketch.BloomFilter` over the
+    * fingerprints the bucket has seen.
+    */
+  case class BloomBucketState(bytes: Array[Byte])
+
   /** The verdict stream/frame for `docs` (streaming or batch). */
   def verdicts(
       spark: SparkSession,
@@ -79,6 +85,66 @@ object StreamingFpDedup {
             FpVerdict(r.doc_id, r.fp, novel = !seen.contains(r.fp) && winners(r.fp) == r.doc_id)
           }
           state.update(FpBucketState((seen ++ batch.map(_.fp)).toSeq))
+          out.iterator
+      }
+  }
+
+  /** Bounded-memory variant of [[verdicts]]: per-bucket state is a Bloom
+    * filter (`expectedItemsPerBucket`, `fpp`) instead of the exact
+    * fingerprint set, so state size is FIXED at
+    * `numBuckets × bloomBytes(expectedItemsPerBucket, fpp)` regardless of
+    * corpus size. The trade is one-sided and must be chosen deliberately:
+    * a Bloom false positive marks a genuinely novel document as a dup and
+    * silently drops it from the corpus (expected loss ≈ fpp of novel
+    * docs), while dup→novel errors cannot happen — the same asymmetry as
+    * the bloom prune in `Dedup.incrementalFromSketches`, but there the
+    * filter only PRE-prunes ahead of an exact verify, so it costs nothing;
+    * here it IS the verdict. Use [[verdicts]] (exact, RocksDB-backed)
+    * unless state size is the binding constraint. Past
+    * `expectedItemsPerBucket` insertions the realized fp rate degrades
+    * above `fpp` — size it to the corpus ceiling.
+    *
+    * Intra-batch semantics match [[verdicts]] exactly (min-doc_id winner
+    * per fingerprint, deterministic); only the cross-batch membership test
+    * is approximate.
+    */
+  def verdictsBloom(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numBuckets: Int = 64,
+      expectedItemsPerBucket: Long = 1000000L,
+      fpp: Double = 1e-6
+  ): Dataset[FpVerdict] = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    import spark.implicits._
+    import org.apache.spark.util.sketch.BloomFilter
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val rows = docs.select(
+      pmod(xxhash64(fp), lit(numBuckets)).cast("int").as("bucket"),
+      fp.as("fp"),
+      col(idCol).cast("long").as("doc_id")).as[FpRow]
+    rows
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BloomBucketState, FpVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[FpRow], state: GroupState[BloomBucketState]) =>
+          val bloom = state.getOption match {
+            case Some(s) => BloomFilter.readFrom(new java.io.ByteArrayInputStream(s.bytes))
+            case None    => BloomFilter.create(expectedItemsPerBucket, fpp)
+          }
+          val batch = it.toVector
+          val winners = batch.groupBy(_.fp).map { case (f, rs) => f -> rs.map(_.doc_id).min }
+          val out = batch.sortBy(r => (r.doc_id, r.fp)).map { r =>
+            FpVerdict(r.doc_id, r.fp,
+              novel = !bloom.mightContainString(r.fp) && winners(r.fp) == r.doc_id)
+          }
+          batch.foreach(r => bloom.putString(r.fp))
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          state.update(BloomBucketState(bos.toByteArray))
           out.iterator
       }
   }

@@ -64,6 +64,21 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == bruteForce(strs, 1))
   }
 
+  test("editDistanceJoin (two-table) ≡ brute force cross pairs; self-pairs allowed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val mk = (n: Int) => (1L to n.toLong).map(i => i -> Seq.fill(2 + rnd.nextInt(4))("abc" (rnd.nextInt(3))).mkString)
+    val (ls, rs) = (mk(40), mk(60))
+    val expect = (for {
+      (il, sl) <- ls; (ir, sr) <- rs
+      d = lev(sl, sr) if d <= 1
+    } yield (il, ir, d.toLong)).toSet
+    val got = FuzzyJoin.editDistanceJoin(
+        ls.toDF("id", "s"), rs.toDF("id", "s"), "s", "id", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("containmentPairs: planted snippet contained at 1.0; jaccard would miss it") {
     import spark.implicits._
     val page = (1 to 40).map(i => s"tok$i").mkString(" ")         // 40 distinct tokens

@@ -33,6 +33,26 @@ class StreamingFpDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom variant: cross-batch dups caught, verdicts match exact at tiny fpp") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String)](spark)
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = StreamingFpDedup.verdictsBloom(spark, docs, numBuckets = 4,
+        expectedItemsPerBucket = 1000, fpp = 1e-9)
+      .writeStream.format("memory").queryName("bloom_verdicts").outputMode("append").start()
+    try {
+      stream.addData((1L, "alpha"), (2L, "beta"), (3L, "ALPHA"))
+      q.processAllAvailable()
+      stream.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("bloom_verdicts")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      // identical to the exact operator's verdicts on this data: at fpp
+      // 1e-9 over 5 items a false positive would be a test-environment bug
+      assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> true))
+    } finally q.stop()
+  }
+
   test("batch face equals the min-doc_id-per-fingerprint contract") {
     import spark.implicits._
     val docs = Seq(
