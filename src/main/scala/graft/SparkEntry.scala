@@ -614,6 +614,21 @@ object SparkEntry {
       Dedup.containmentPairs(docs.union(snippets), threshold = 0.9)
     }),
 
+    // two-phase entity resolution: block exact and cheap (q87's deletion-
+    // variant edit-distance join), then RE-SCORE candidates with the
+    // native codegen Jaro-Winkler — the canonical block-then-refine shape;
+    // every (pair, dist, jw) row hash-checks against DuckDB's
+    // jaro_winkler_similarity
+    "q92_fuzzy_jw_score" -> ((s, dir) => {
+      val names = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      graft.ops.FuzzyJoin.editDistancePairs(
+          T(s, dir, "customer"), strCol = "c_name", idCol = "c_custkey", maxDist = 1)
+        .join(names.select(col("c_custkey").as("id_a"), col("c_name").as("_na")), Seq("id_a"))
+        .join(names.select(col("c_custkey").as("id_b"), col("c_name").as("_nb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("dist"),
+          round(graft.ops.FuzzyJoin.jaroWinkler(col("_na"), col("_nb")), 6).as("jw"))
+    }),
+
     // BPE tokenizer training, counting stage: the weighted adjacent-char
     // pair table over the word vocabulary — the exact table bpeMerges
     // ranks each step (the sequential learn loop itself is spec-gated:
@@ -1503,6 +1518,19 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / ss.sz, 6) AS containment
         |FROM co JOIN sizes ss ON co.src_id = ss.id
         |WHERE round(CAST(inter AS DOUBLE) / ss.sz, 6) >= 0.9""".stripMargin,
+
+    // both engines implement the textbook Jaro-Winkler (window max/2−1,
+    // boost 0.1 over ≤4 prefix chars past 0.7, either-empty → 0) — the
+    // formula's division order is fixed by its structure, so rounded-6
+    // scores agree
+    "q92_fuzzy_jw_score" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(len(a.c_name) - len(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     // char pairs weighted by word count; symbols extracted positionally
     // (substring over a generated index — chars, not bytes, both engines)

@@ -34,6 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Jaro-Winkler similarity of two string columns (native codegen
+    * expression, [[org.apache.spark.sql.graft.JaroWinkler]]; also
+    * registered as SQL `jaro_winkler`) — the re-scoring stage of the
+    * two-phase entity-resolution shape: block exact and cheap with
+    * [[editDistancePairs]], then rank candidates by the finer similarity.
+    */
+  def jaroWinkler(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.JaroWinklerFunctions.jaroWinkler(a, b)
+
   /** `(id, s, v)` — every variant `v` of `s` reachable by deleting up to
     * `maxDeletes` characters (including `s` itself), deduped per id.
     */

@@ -31,6 +31,7 @@ object GraftFunctions {
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product"       -> (es => DotProduct(es(0), es(1))),
+    "jaro_winkler"      -> (es => JaroWinkler(es(0), es(1))),
     "simhash_agg"       -> (es => SimHashAgg(es(0))),
     "topk_agg"          -> (es => TopKAgg(es(0), es(1), foldInt(es(2), "topk_agg")))
   )

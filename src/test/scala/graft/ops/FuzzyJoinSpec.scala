@@ -79,6 +79,52 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("jaroWinkler matches the textbook values (cross-checked against DuckDB's implementation)") {
+    import spark.implicits._
+    // expected values verified against duckdb jaro_winkler_similarity —
+    // the driver oracle's engine — including the either-empty → 0.0 and
+    // window-excluded ("ab"/"ba") conventions
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),
+      ("dixon", "dicksonx", 0.813333),
+      ("jellyfish", "smellyfish", 0.896296),
+      ("hello", "hello", 1.0),
+      ("abc", "", 0.0),
+      ("", "", 0.0),
+      ("ab", "ba", 0.0),
+      ("crate", "trace", 0.733333),
+      ("dwayne", "duane", 0.84),
+      ("a", "ab", 0.85),
+      ("Customer#000000001", "Customer#000000002", 0.977778),
+      ("aaaa", "aaa", 0.941667))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(col("a"), col("b"),
+        round(FuzzyJoin.jaroWinkler(col("a"), col("b")), 6).as("jw"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    cases.foreach { case (a, b, exp) =>
+      assert(got((a, b)) == exp, s"jw($a, $b)")
+    }
+    // symmetric
+    val sym = Seq(("marhta", "martha")).toDF("a", "b")
+      .select(round(FuzzyJoin.jaroWinkler(col("a"), col("b")), 6)).head().getDouble(0)
+    assert(sym == 0.961111)
+  }
+
+  test("jaroWinkler: null-safe, usable in SQL, interpreted eval equals codegen") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT jaro_winkler('martha', 'marhta')").head().getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111111111) < 1e-12)
+    val withNull = Seq((Some("a"), None: Option[String])).toDF("a", "b")
+      .select(FuzzyJoin.jaroWinkler(col("a"), col("b"))).head()
+    assert(withNull.isNullAt(0))
+    // interpreted path (nullSafeEval) agrees with the codegen result
+    val interp = org.apache.spark.sql.graft.JaroWinklerAlgo.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("martha"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("marhta"))
+    assert(interp == viaSql)
+  }
+
   test("containmentPairs: planted snippet contained at 1.0; jaccard would miss it") {
     import spark.implicits._
     val page = (1 to 40).map(i => s"tok$i").mkString(" ")         // 40 distinct tokens
