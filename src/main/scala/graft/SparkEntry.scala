@@ -614,6 +614,16 @@ object SparkEntry {
       Dedup.containmentPairs(docs.union(snippets), threshold = 0.9)
     }),
 
+    // k-core decomposition on the same clique-union similarity graph as
+    // q44/q75: a c-clique is a (c−1)-core, so the 3-core is exactly the
+    // nations with ≥ 4 suppliers, every survivor at core_degree c−1 — the
+    // closed form the oracle computes without iterating
+    "q93_graph_kcore" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      graft.graph.GraphQueries.kCore(s, e, k = 3)
+    }),
+
     // two-phase entity resolution: block exact and cheap (q87's deletion-
     // variant edit-distance join), then RE-SCORE candidates with the
     // native codegen Jaro-Winkler — the canonical block-then-refine shape;
@@ -1518,6 +1528,14 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / ss.sz, 6) AS containment
         |FROM co JOIN sizes ss ON co.src_id = ss.id
         |WHERE round(CAST(inter AS DOUBLE) / ss.sz, 6) >= 0.9""".stripMargin,
+
+    // clique closed form: peeling either keeps a whole same-nation clique
+    // (c−1 ≥ k) or removes it entirely, so no iteration is needed
+    "q93_graph_kcore" ->
+      """WITH c AS (SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY 1)
+        |SELECT s.s_suppkey AS id, CAST(c.n - 1 AS BIGINT) AS core_degree
+        |FROM supplier s JOIN c ON s.s_nationkey = c.s_nationkey
+        |WHERE c.n - 1 >= 3""".stripMargin,
 
     // both engines implement the textbook Jaro-Winkler (window max/2−1,
     // boost 0.1 over ≤4 prefix chars past 0.7, either-empty → 0) — the

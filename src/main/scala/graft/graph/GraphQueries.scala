@@ -279,6 +279,82 @@ object GraphQueries {
       .select(vs(idCol), coalesce(col("n"), lit(0L)).as("triangles"))
   }
 
+  /** k-core subgraph via iterative degree peeling as a DataFrame loop:
+    * repeatedly delete every vertex of degree < k until the fixed point,
+    * then report the survivors as (idCol, core_degree) with their degree
+    * INSIDE the core. The dense-substructure screen of the exploration
+    * surface (spam rings, boilerplate hubs, tightly cross-linked dup
+    * families — cohesion that per-vertex degree alone cannot see, because
+    * a vertex's neighbors must themselves be retained for it to survive).
+    * Edges are read undirected (either one-way or bidirectional tables
+    * give the same answer), self-loops dropped. Vertices in no k-core ⇒
+    * absent from the result; k=1 returns every non-isolated vertex.
+    *
+    * Scale shape, same family as [[connectedComponentsDF]] /
+    * [[pageRankDF]]: per round one grouped degree count + two semi-joins
+    * on slim long frames — spillable, AQE-planned, no graph pinned in
+    * cached RDDs. Convergence is a 1-row scalar aggregate per round
+    * (vertex count + below-k count: done when nothing is below k), the
+    * CC-DF signature discipline; lineage is truncated on the pageRankDF
+    * cadence. Rounds are bounded by the peeling depth (the graph's
+    * degeneracy ordering collapses whole shells per round — cliques fall
+    * in one round), with the CC-style maxIter warning as the backstop.
+    */
+  def kCore(
+      spark: SparkSession,
+      edges: DataFrame,
+      k: Int,
+      idCol: String = "id",
+      maxIter: Int = 100
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    // one distinct undirected edge, materialized in both orientations so
+    // groupBy(src) IS the undirected degree
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    var e = materialize(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"))))
+    var lastMaterialized: Option[DataFrame] = Some(e)
+    var done = false
+    var iter = 0
+    while (!done && iter < maxIter) {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val stats = deg.agg(
+        count(lit(1)),
+        sum(when(col("deg") < k, 1).otherwise(0))).head()
+      val present = stats.getLong(0)
+      val below   = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      if (present == 0L || below == 0L) done = true
+      else {
+        val keep = deg.where(col("deg") >= k).select(col("src").as("_kv"))
+        e = e.join(keep.select(col("_kv").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("_kv").as("dst")), Seq("dst"), "left_semi")
+        iter += 1
+        if (iter % 4 == 0) {
+          val prev = lastMaterialized
+          e = materialize(e)
+          lastMaterialized = Some(e)
+          prev.foreach(_.unpersist(blocking = false))
+        }
+      }
+    }
+    if (!done && iter >= maxIter) {
+      log.warn(
+        s"kCore exited via maxIter=$maxIter before reaching the peeling fixed point; " +
+          "the returned subgraph may still contain vertices below k — " +
+          "re-run with a larger maxIter")
+    }
+    e.groupBy("src").agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as(idCol), col("core_degree"))
+  }
+
   /** Connected components over an edge set; vertices absent from any edge
     * are singletons (their own component). Returns (id, component) where
     * component = smallest vertex id in the component (GraphX convention).

@@ -28,7 +28,8 @@ class EntryContractSpec extends SparkSpec {
     // supernova recipe's 375 threshold. All are non-empty from sf0.01 up,
     // which is what the driver verifies.
     val mayBeEmpty = Set(
-      "q07_sim_selfjoin", "q08_sim_or_leaves", "q25_graph_degrees", "q39_twomode_supernova")
+      "q07_sim_selfjoin", "q08_sim_or_leaves", "q25_graph_degrees", "q39_twomode_supernova",
+      "q93_graph_kcore") // same sparse supplier graph as q07/q25: no edges at sf0.001
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
