@@ -11,8 +11,9 @@ import graft.ops.{Dedup, Decontaminate, Sampling, TextAnalysis}
   * pipeline chains them, with stage-by-stage observation lines.
   *
   *   normalize → paragraph dedup → near-dup clusters (keep best copy) →
-  *   eval-set decontamination → quality floor → temperature mix →
-  *   deterministic shuffle → sequence packing → data-card report
+  *   containment screen (snippet suppression) → eval-set decontamination →
+  *   quality floor → temperature mix → deterministic shuffle → sequence
+  *   packing → data-card report → tokenizer (BPE merges) + keywords
   *
   * Run: `sbt "runMain graft.examples.CorpusPipelineDemo"` — prints one
   * `[pipeline]` line per stage and ends with `PIPELINE-DONE`.
@@ -52,9 +53,18 @@ object CorpusPipelineDemo {
       verdict.where(col("keep")).select("doc_id"), Seq("doc_id"))
     obs("near-dup-clusters", deduped.count())
 
+    // 3b. asymmetric containment screen: drop documents ≥ 90% contained in
+    // ANOTHER surviving doc (snippet suppression — the directional relation
+    // the symmetric near-dup step cannot see; mutual ≥0.9 containment is
+    // already collapsed by that step, so this only removes true subsumees)
+    val snippetIds = Dedup.containmentPairs(deduped, threshold = 0.9)
+      .select(col("src_id").as("doc_id")).distinct()
+    val unconTained = deduped.join(snippetIds, Seq("doc_id"), "left_anti")
+    obs("containment-screen", unconTained.count())
+
     // 4. eval-set decontamination (synthetic eval split: every 20th doc)
-    val evalSet = deduped.where(col("doc_id") % 20 === 0)
-    val train   = deduped.where(col("doc_id") % 20 =!= 0)
+    val evalSet = unconTained.where(col("doc_id") % 20 === 0)
+    val train   = unconTained.where(col("doc_id") % 20 =!= 0)
     val clean = train.join(
       Decontaminate.overlap(train, evalSet, n = 8, minShared = 5)
         .where(!col("contaminated")).select("doc_id"),
@@ -84,6 +94,16 @@ object CorpusPipelineDemo {
       println(f"[pipeline]   ${r.getString(0)}%-4s docs=${r.getLong(1)}%5d " +
         f"tokens=${r.getLong(2)}%7d avgQ=${r.getDouble(3)}%.4f dupRate=${r.getDouble(6)}%.4f")
     }
+
+    // 9. tokenizer + corpus signature of the release: BPE merges learned
+    // on the released corpus, and its highest-TF-IDF terms
+    val bpe = TextAnalysis.bpeMerges(mixed, numMerges = 8)
+      .orderBy("step").collect().map(_.getString(3))
+    println("[pipeline] bpe merges: " + bpe.mkString(" "))
+    val kw = TextAnalysis.tfidfTopTerms(mixed, topK = 1)
+      .orderBy(col("tfidf").desc, col("token")).limit(5)
+      .collect().map(r => s"${r.getString(1)}(${r.getDouble(3)})")
+    println("[pipeline] top doc keywords: " + kw.mkString(" "))
 
     graft.Caches.clear()
     println("PIPELINE-DONE")

@@ -89,6 +89,14 @@ final case class GraftShell(spark: SparkSession, config: GraftConfig) {
     */
   def triangles(label: String): DataFrame =
     graft.graph.GraphQueries.triangleCountsDF(spark, vertices.select("id"), edges(label))
+
+  /** The k-core of one edge label ([[graft.graph.GraphQueries.kCore]]) —
+    * the dense-substructure screen (spam rings / tightly cross-linked dup
+    * families); DF peeling loop, safe at any graph size like the other
+    * exploration helpers.
+    */
+  def kcore(label: String, k: Int): DataFrame =
+    graft.graph.GraphQueries.kCore(spark, edges(label), k)
 }
 
 object GraftShell {
@@ -109,7 +117,7 @@ object GraftShell {
          |  vertices : ${config.idManager.dataPath}/${config.idManager.tableName}
          |  edges    : ${config.edgeBasePath} (labels: ${shell.edgeLabels.mkString(", ")})
          |  helpers  : .vertices .edges(label) .info .run(date) .sql(q)
-         |             .degrees(label) .components(label) .pageRank(label) .triangles(label)""".stripMargin)
+         |             .degrees(label) .components(label) .pageRank(label) .triangles(label) .kcore(label, k)""".stripMargin)
     shell
   }
 }
