@@ -614,6 +614,18 @@ object SparkEntry {
       Dedup.containmentPairs(docs.union(snippets), threshold = 0.9)
     }),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis): 50 docs
+    // per language with inclusion probability ∝ n_chars — token-weighted
+    // selection, so a fixed doc budget draws representative token mass;
+    // the full selection (ranks included) hash-checks against the oracle's
+    // replica of u, ln(u)/w and the tie rule
+    "q94_sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling.weightedTopK(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          strataCols = Seq("lang"), k = 50,
+          weight = col("n_chars"), rowKey = col("doc_id"), hash = activeHash)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // k-core decomposition on the same clique-union similarity graph as
     // q44/q75: a c-clique is a (c−1)-core, so the 3-core is exactly the
     // nations with ≥ 4 suppliers, every survivor at core_degree c−1 — the
@@ -1528,6 +1540,20 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / ss.sz, 6) AS containment
         |FROM co JOIN sizes ss ON co.src_id = ss.id
         |WHERE round(CAST(inter AS DOUBLE) / ss.sz, 6) >= 0.9""".stripMargin,
+
+    // u = (md5 bucket + 1)/1e6 exactly as the Spark side; rank on the
+    // ROUNDED ln(u)/w with doc_id ties — the q45-family portable hash rule
+    "q94_sample_weighted" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    round(ln((${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000 + 1)
+         |            / 1000000.0) / n_chars, 6) AS score
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+         |), r AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rnk
+         |  FROM s)
+         |SELECT doc_id, lang, n_chars FROM r WHERE rnk <= 50""".stripMargin,
 
     // clique closed form: peeling either keeps a whole same-nation clique
     // (c−1 ≥ k) or removes it entirely, so no iteration is needed

@@ -164,6 +164,38 @@ object Sampling {
     df.withColumn("shuffle_id", hash.seeded(seed, key))
       .orderBy(col("shuffle_id"), key)
 
+  /** Deterministic WEIGHTED sampling without replacement (the
+    * Efraimidis–Spirakis A-ES scheme): keeps the `k` rows per stratum
+    * ranking highest by `u^(1/w)` — equivalently by `ln(u)/w` — where `u`
+    * is the row's deterministic hash-uniform in (0, 1] and `w` its weight
+    * column. Inclusion probability is proportional to weight, without
+    * replacement; the canonical use is token-weighted document selection
+    * (`weight = token/char count`), so a fixed-doc-count budget draws a
+    * representative token mass instead of over-representing short docs.
+    *
+    * Determinism/portability, same contract as the other samplers: `u`
+    * derives from [[bucket]] (so it is a pure function of (seed, key),
+    * quantized to 1/Granularity — an O(10⁻⁶) bias, far below sampling
+    * noise), the rank key is the ROUNDED `ln(u)/w` (an ulp of cross-engine
+    * `ln` divergence cannot reorder; q71's residual boundary risk class),
+    * ties by the row key. Rows with `w <= 0` or null are excluded (zero
+    * weight = never sampled). One shuffle on the strata columns, O(1) rank
+    * state per stream — the [[topKPerKey]] shape with a weighted rank key.
+    */
+  def weightedTopK(df: DataFrame, strataCols: Seq[String], k: Int, weight: Column,
+      rowKey: Column, seed: Int = 42, hash: HashFamily = XxHash): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (bucket(rowKey, seed, hash) + 1).cast("double") / lit(Granularity.toDouble)
+    val score = round(log(u) / weight.cast("double"), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(score.desc, rowKey)
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("_es_rank", row_number().over(w))
+      .where(col("_es_rank") <= k)
+      .drop("_es_rank")
+  }
+
   /** Deterministic fixed-SIZE per-stratum sample ("hash reservoir"): keeps
     * exactly min(k, |stratum|) rows per stratum, the ones ranking first in
     * hash order of `rowKey` (ties broken by the key itself). The

@@ -180,4 +180,53 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(naive.exists(_ == 2L), "fixture too small to show the doc-keyed pitfall")
   }
+
+  test("weightedTopK ≡ the A-ES formula computed locally; repartition-stable") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, "s", (i % 7 + 1).toDouble))
+    val df = rows.toDF("id", "stratum", "w")
+    def local(k: Int): Set[Long] = {
+      val scored = rows.map { case (id, _, w) =>
+        // replicate bucket(md5) + the rounded ln(u)/w rank key exactly
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"42:$id".getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.take(15)
+        val b = java.lang.Long.parseLong(hex, 16) % 1000000L
+        val u = (b + 1).toDouble / 1000000.0
+        val s = BigDecimal(math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, s)
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }
+    for (k <- Seq(5, 20)) {
+      val got = Sampling.weightedTopK(df, Seq("stratum"), k,
+          weight = col("w"), rowKey = col("id"), hash = Md5Hash)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == local(k), s"k=$k")
+      val gotRep = Sampling.weightedTopK(df.repartition(13), Seq("stratum"), k,
+          weight = col("w"), rowKey = col("id"), hash = Md5Hash)
+        .collect().map(_.getLong(0)).toSet
+      assert(gotRep == local(k), s"k=$k repartitioned")
+    }
+    // nested in k: top-5 is a prefix of top-20
+    assert(local(5).subsetOf(local(20)))
+  }
+
+  test("weightedTopK: heavy weights dominate; zero/null weights never selected") {
+    import spark.implicits._
+    val heavy = (1L to 10L).map(i => (i, "s", Some(1e9)))
+    val light = (11L to 110L).map(i => (i, "s", Some(1e-4)))
+    val bad   = Seq((200L, "s", Some(0.0)), (201L, "s", None))
+    val df = (heavy ++ light ++ bad).toDF("id", "stratum", "w")
+    val top10 = Sampling.weightedTopK(df, Seq("stratum"), 10,
+        weight = col("w"), rowKey = col("id"))
+      .collect().map(_.getLong(0)).toSet
+    // ln(u)/1e9 ≈ 0⁻ beats ln(u)/1e-4 ≪ 0 for every u drawable at 1e-6
+    // granularity — the ten heavy rows win deterministically
+    assert(top10 == (1L to 10L).toSet)
+    val all = Sampling.weightedTopK(df, Seq("stratum"), 1000,
+        weight = col("w"), rowKey = col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!all.contains(200L) && !all.contains(201L))
+  }
 }
