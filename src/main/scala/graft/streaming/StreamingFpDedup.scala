@@ -14,6 +14,11 @@ case class FpRow(bucket: Int, fp: String, doc_id: Long)
   */
 case class FpBucketState(fps: Seq[String])
 
+/** Per-bucket state for the retention-windowed variant: fingerprint →
+  * latest event time it was seen at (epoch ms).
+  */
+case class FpTimedBucketState(fps: Seq[String], times: Seq[Long])
+
 /** The operator's verdict for one document. */
 case class FpVerdict(doc_id: Long, fp: String, novel: Boolean)
 
@@ -85,6 +90,68 @@ object StreamingFpDedup {
             FpVerdict(r.doc_id, r.fp, novel = !seen.contains(r.fp) && winners(r.fp) == r.doc_id)
           }
           state.update(FpBucketState((seen ++ batch.map(_.fp)).toSeq))
+          out.iterator
+      }
+  }
+
+  /** Retention-windowed variant of [[verdicts]] — "novel unless seen
+    * within the last `retentionMs` of EVENT time" (rolling-window dedup:
+    * news/alert feeds where a re-published document after the window
+    * legitimately counts as new content, and where unbounded state would
+    * otherwise grow forever). State per bucket is fingerprint → latest
+    * event time; entries older than `retentionMs` behind the bucket's max
+    * observed event time are PRUNED on every invocation, so state is
+    * bounded by the window's content — the hand-rolled analogue of
+    * watermark state expiry, driven by event time so replays are
+    * deterministic (processing-time expiry would not be).
+    *
+    * Verdict: novel ⇔ no sighting of the fingerprint within `retentionMs`
+    * BEFORE this row — across batches via state, within the batch by
+    * event-time order (ties by doc_id, so equal-time duplicates resolve
+    * to the min doc_id exactly like [[verdicts]]; a batch spanning more
+    * than one window resolves left to right, so a gap wider than the
+    * window inside one batch re-admits the fingerprint). A dup sighting
+    * RE-STAMPS the fingerprint (sliding, not tumbling, window).
+    */
+  def verdictsWithin(
+      spark: SparkSession,
+      docs: DataFrame,
+      timeCol: String,
+      retentionMs: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numBuckets: Int = 64
+  ): Dataset[FpVerdict] = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(retentionMs > 0, s"retentionMs must be positive, got $retentionMs")
+    import spark.implicits._
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val rows = docs.select(
+      pmod(xxhash64(fp), lit(numBuckets)).cast("int").as("bucket"),
+      fp.as("fp"),
+      col(idCol).cast("long").as("doc_id"),
+      col(timeCol).cast("long").as("t"))
+      .map(r => (r.getInt(0), FpRow(r.getInt(0), r.getString(1), r.getLong(2)), r.getLong(3)))
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FpTimedBucketState, FpVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Int, FpRow, Long)], state: GroupState[FpTimedBucketState]) =>
+          val last = scala.collection.mutable.Map.empty[String, Long]
+          state.getOption.foreach(s => s.fps.zip(s.times).foreach { case (f, t) => last(f) = t })
+          // resolve the batch in (event time, doc_id) order so an
+          // over-window-long batch behaves exactly like smaller batches
+          val batch = it.map { case (_, r, t) => (r, t) }.toVector
+            .sortBy { case (r, t) => (t, r.doc_id, r.fp) }
+          val out = batch.map { case (r, t) =>
+            val seenRecently = last.get(r.fp).exists(prev => t - prev <= retentionMs)
+            last(r.fp) = math.max(t, last.getOrElse(r.fp, Long.MinValue))
+            FpVerdict(r.doc_id, r.fp, novel = !seenRecently)
+          }
+          val horizon = if (last.isEmpty) Long.MinValue
+            else last.values.max - retentionMs
+          val kept = last.toSeq.filter(_._2 >= horizon)
+          state.update(FpTimedBucketState(kept.map(_._1), kept.map(_._2)))
           out.iterator
       }
   }

@@ -53,6 +53,44 @@ class StreamingFpDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retention-windowed dedup: dup inside the window, novel again past it, state pruned") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, Long)](spark)
+    val docs = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingFpDedup.verdictsWithin(spark, docs,
+        timeCol = "ts", retentionMs = 1000L, numBuckets = 4)
+      .writeStream.format("memory").queryName("ttl_verdicts").outputMode("append").start()
+    try {
+      // t=0 first sighting; t=500 inside the window (dup, re-stamps);
+      // t=1400 is 900ms after the re-stamp → still dup; unrelated doc novel
+      stream.addData((1L, "story", 0L), (2L, "other", 100L))
+      q.processAllAvailable()
+      stream.addData((3L, "story", 500L), (4L, "story", 1400L))
+      q.processAllAvailable()
+      // t=3000: "story" is 1600ms past its last sighting (1400) and
+      // "other" 2900ms past its only one (100) — both novel again
+      stream.addData((5L, "story", 3000L), (6L, "other", 3000L))
+      q.processAllAvailable()
+      val got = spark.table("ttl_verdicts")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+        5L -> true, 6L -> true))
+    } finally q.stop()
+  }
+
+  test("retention-windowed dedup: an over-window gap INSIDE one batch re-admits the fingerprint") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "doc", 0L), (2L, "doc", 800L), (3L, "doc", 5000L), (4L, "doc", 5100L)
+    ).toDF("doc_id", "text", "ts")
+    val got = StreamingFpDedup.verdictsWithin(spark, docs,
+        timeCol = "ts", retentionMs = 1000L, numBuckets = 2)
+      .collect().map(v => v.doc_id -> v.novel).toMap
+    // 0 novel; 800 within window; 5000 past the window → novel again;
+    // 5100 within the refreshed window
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
   test("batch face equals the min-doc_id-per-fingerprint contract") {
     import spark.implicits._
     val docs = Seq(
