@@ -76,7 +76,11 @@ object FuzzyJoin {
     */
   def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
       maxDist: Int = 1): DataFrame = {
-    val posts = deletionVariants(df, strCol, idCol, maxDist)
+    // tracked persist: the variant frame feeds BOTH sides of the self-join
+    // and Spark does not CSE common subplans across join branches (the
+    // ngramJaccardPairs postings lesson) — without it the explode+distinct
+    // runs twice
+    val posts = graft.Caches.track(deletionVariants(df, strCol, idCol, maxDist))
     val cand = posts.select(col("id").as("id_a"), col("s").as("_sa"), col("v"))
       .join(posts.select(col("id").as("id_b"), col("s").as("_sb"), col("v")), Seq("v"))
       .where(col("id_a") < col("id_b"))
