@@ -166,4 +166,70 @@ class OpsPropertySpec extends SparkSpec {
       assert(kept >= 0.25 * total, s"kept=$kept total=$total")
     }
   }
+
+  /** Textbook DP Levenshtein (the FuzzyJoinSpec reference, repeated here so
+    * the property test stands alone).
+    */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("property: editDistancePairs ≡ brute force on random corpora over varied alphabets") {
+    val gen = for {
+      alpha <- Gen.oneOf("ab", "abc", "aé☃") // incl. non-ASCII BMP chars
+      n     <- Gen.choose(10, 60)
+      d     <- Gen.choose(1, 2)
+      strs  <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 6)
+        cs  <- Gen.listOfN(len, Gen.oneOf(alpha.toSeq))
+      } yield cs.mkString)
+    } yield (d, strs.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+    samples(gen, 8).foreach { case (d, rows) =>
+      val expect = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        dd = lev(sa, sb) if dd <= d
+      } yield (ia, ib, dd.toLong)).toSet
+      val got = FuzzyJoin.editDistancePairs(rows.toDF("id", "s"), "s", "id", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expect, s"d=$d rows=${rows.take(6)}…")
+    }
+  }
+
+  test("property: weightedTopK respects weight proportionality in expectation") {
+    // two strata of keys, weights 9:1 — over many independent draws
+    // (varied seeds) heavy keys must win ~90% of the single slot
+    val n = 400
+    val rows = (1L to n.toLong).map(i => (i, "s", if (i % 2 == 0) 9.0 else 1.0))
+    val df = rows.toDF("id", "stratum", "w")
+    val wins = (1 to 40).map { seed =>
+      val id = Sampling.weightedTopK(df, Seq("stratum"), 1,
+        weight = col("w"), rowKey = col("id"), seed = seed).head().getLong(0)
+      if (id % 2 == 0) 1 else 0
+    }.sum
+    // E[wins] = 36, sd ≈ 1.9 — accept ≥ 28 (4+ sigma slack)
+    assert(wins >= 28, s"heavy-weight keys won only $wins/40 draws")
+  }
+
+  test("property: containment of a planted prefix slice is always 1.0") {
+    val gen = for {
+      n   <- Gen.choose(20, 60)
+      cut <- Gen.choose(10, 15)
+    } yield (n, cut)
+    samples(gen, 6).foreach { case (n, cut) =>
+      val page = (1 to n).map(i => s"w$i").mkString(" ")
+      val snip = (1 to cut).map(i => s"w$i").mkString(" ")
+      val got = Dedup.containmentPairs(
+          Seq((1L, page), (2L, snip)).toDF("doc_id", "text"), threshold = 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set((2L, 1L, 1.0)), s"n=$n cut=$cut")
+    }
+  }
 }
