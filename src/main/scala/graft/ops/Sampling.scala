@@ -43,6 +43,30 @@ object Sampling {
     math.round(fraction * Granularity)
   }
 
+  /** Ceiling on the driver-side per-stratum count map the mixing operators
+    * collect. The map is sized for domain/source/language columns (tens to
+    * thousands of strata); without a cap, pointing `strataCol` at a
+    * high-cardinality column (a doc id) would silently collect the whole
+    * key space onto the driver.
+    */
+  val DefaultMaxStrata: Int = 100000
+
+  /** The per-stratum count map, collected with a hard cardinality guard:
+    * the plan fetches at most `maxStrata + 1` aggregated rows, and one row
+    * past the cap fails loudly instead of flooding the driver.
+    */
+  private def strataCounts(df: DataFrame, strataCol: String,
+      maxStrata: Int): Array[(String, Long)] = {
+    require(maxStrata > 0, s"maxStrata must be positive, got $maxStrata")
+    val rows = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+      .limit(maxStrata + 1).collect()
+    require(rows.length <= maxStrata,
+      s"'$strataCol' has more than $maxStrata distinct strata — the mixing operators " +
+        "build a driver-side rate map sized for domain/source/language columns; " +
+        "check the stratum column (or raise maxStrata if the strata genuinely number that many)")
+    rows.map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+  }
+
   /** Bernoulli sample at `fraction`, keyed on `key`. Map-side only — at any
     * scale this is a filter over the scan, never a shuffle.
     */
@@ -58,6 +82,9 @@ object Sampling {
     */
   def stratifiedHashSample(df: DataFrame, strataCol: String, rates: Map[String, Double],
       defaultRate: Double, key: Column, seed: Int = 42, hash: HashFamily = XxHash): DataFrame = {
+    require(rates.size <= DefaultMaxStrata,
+      s"rates has ${rates.size} entries — the literal rate map is sized for " +
+        s"domain-cardinality strata (≤ $DefaultMaxStrata); join a rate table instead")
     val rateMap = map(rates.toSeq.flatMap { case (k, v) =>
       Seq(lit(k), lit(thresholdOf(v)))
     }: _*)
@@ -90,11 +117,11 @@ object Sampling {
     * expectation (the hash sampler's usual contract), sizes Binomial.
     */
   def toTargetMix(df: DataFrame, strataCol: String, weights: Map[String, Double],
-      key: Column, seed: Int = 42, hash: HashFamily = XxHash): DataFrame = {
+      key: Column, seed: Int = 42, hash: HashFamily = XxHash,
+      maxStrata: Int = DefaultMaxStrata): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be non-empty and positive")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val counts = strataCounts(df, strataCol, maxStrata).toMap
     val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
     if (present.isEmpty) df.limit(0)
     else {
@@ -124,14 +151,13 @@ object Sampling {
     */
   def temperatureMix(df: DataFrame, strataCol: String, alpha: Double = 0.5,
       targetFraction: Double = 0.5, key: Column, seed: Int = 42,
-      hash: HashFamily = XxHash): DataFrame = {
+      hash: HashFamily = XxHash, maxStrata: Int = DefaultMaxStrata): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(targetFraction > 0.0 && targetFraction <= 1.0,
       s"targetFraction must be in (0,1], got $targetFraction")
     def powa(c: Long): Double =
       if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+    val counts = strataCounts(df, strataCol, maxStrata)
       .filter(_._2 > 0L).sortBy(_._1)
     if (counts.isEmpty) df.limit(0)
     else {

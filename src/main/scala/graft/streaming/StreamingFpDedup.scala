@@ -6,24 +6,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.ops.TextAnalysis
 
-/** One (bucket, fingerprint, doc) row entering the stateful dedup. */
-case class FpRow(bucket: Int, fp: String, doc_id: Long)
+/** One (fingerprint, doc) row entering the stateful dedup. */
+case class FpRow(fp: String, doc_id: Long)
 
-/** Per-bucket dedup state: the fingerprints this bucket has ever seen.
-  * A case class (not a bare Set) so the state rides the product encoder.
+/** One (fingerprint, doc, event time) row for the retention-windowed variant.
+  * `event_ts` carries `t + 1` as a TimestampType column: the watermark that
+  * drives EventTimeTimeout is a tag on that column, so it must flow into
+  * the stateful operator's input — projecting it away would strip it. The
+  * +1 ms shift keeps a legitimate first event at t=0 strictly above the
+  * engine's initial watermark of 0 (rows at or below the watermark are
+  * dropped before the operator sees them).
   */
-case class FpBucketState(fps: Seq[String])
+case class FpTimedRow(fp: String, doc_id: Long, t: Long, event_ts: java.sql.Timestamp)
 
-/** Per-bucket state for the retention-windowed variant: fingerprint →
-  * latest event time it was seen at (epoch ms).
+/** Row shape for [[StreamingFpDedup.verdictsBloom]] — bucket-keyed by
+  * design (the Bloom filter is inherently one blob per bucket).
   */
-case class FpTimedBucketState(fps: Seq[String], times: Seq[Long])
+case class FpBucketRow(bucket: Int, fp: String, doc_id: Long)
+
+/** Per-fingerprint dedup state: the fingerprint has been seen. A one-field
+  * case class (not Unit) so the state rides the product encoder.
+  */
+case class FpSeenState(seen: Boolean)
+
+/** Per-fingerprint state for the retention-windowed variant: the latest
+  * event time this fingerprint was seen at (epoch ms).
+  */
+case class FpLastSeenState(last: Long)
 
 /** The operator's verdict for one document. */
 case class FpVerdict(doc_id: Long, fp: String, novel: Boolean)
 
 /** Exact streaming dedup as a genuine stateful streaming OPERATOR —
-  * `flatMapGroupsWithState` over fingerprint buckets — rather than
+  * `flatMapGroupsWithState` keyed by content fingerprint — rather than
   * [[StreamingDedupIngest]]'s foreachBatch-against-state-tables loop.
   * Use this one when dedup is a stage INSIDE a streaming pipeline (the
   * verdict stream feeds further streaming transforms); use the ingest
@@ -36,18 +51,22 @@ case class FpVerdict(doc_id: Long, fp: String, novel: Boolean)
   * intra-batch winner — iterator order never decides). Exactly-once state
   * updates come from the engine's state store + checkpoint.
   *
-  * 100-TB shape: state is partitioned by `bucket = hash(fp) mod numBuckets`
-  * — each task holds only its buckets' fingerprint sets, and `numBuckets`
-  * spreads the corpus across the cluster (size it ≥ shuffle parallelism).
-  * Per-doc state is one 32-char fingerprint (~40 B); a 100-billion-doc
-  * corpus is ~4 TB of state — RocksDB state store territory
+  * 100-TB shape: state is keyed per FINGERPRINT — the same state layout as
+  * Spark's own streaming `dropDuplicates` — so each state-store entry is
+  * one 32-char key plus a one-byte value (~40 B), and a micro-batch only
+  * touches the entries of fingerprints it actually contains. The earlier
+  * design (state = one Seq blob per hash bucket) deserialized and rewrote
+  * `corpus/numBuckets` bytes of state for EVERY bucket hit in EVERY batch
+  * — O(corpus) state churn per batch at scale; per-fingerprint keying
+  * makes state churn O(batch). A 100-billion-doc corpus is ~4 TB of state
+  * spread across the shuffle partitions — RocksDB state store territory
   * (`spark.sql.streaming.stateStore.providerClass`), not heap. For
-  * bounded-memory at any corpus size, swap the exact set for a Bloom
-  * filter per bucket (same operator shape, documented false-positive rate
-  * drops true novels); the exact set is the default because dedup
-  * false-positives silently shrink the corpus. The per-call group buffer
-  * is one BATCH's rows for one bucket (micro-batch-bounded), not the
-  * corpus.
+  * bounded-memory at any corpus size, [[verdictsBloom]] swaps the exact
+  * per-fingerprint entries for a fixed-size Bloom filter per bucket
+  * (documented false-positive trade); the exact operator is the default
+  * because dedup false-positives silently shrink the corpus. The per-call
+  * group buffer is one BATCH's rows for one fingerprint (micro-batch-
+  * bounded), not the corpus.
   *
   * Batch face: `flatMapGroupsWithState` also runs on a batch Dataset
   * (state starts empty, each group processed once), where the verdict
@@ -68,29 +87,22 @@ object StreamingFpDedup {
       spark: SparkSession,
       docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id",
-      numBuckets: Int = 64
+      idCol: String = "doc_id"
   ): Dataset[FpVerdict] = {
-    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     import spark.implicits._
     val fp = TextAnalysis.fingerprint(col(textCol))
     val rows = docs.select(
-      pmod(xxhash64(fp), lit(numBuckets)).cast("int").as("bucket"),
       fp.as("fp"),
       col(idCol).cast("long").as("doc_id")).as[FpRow]
     rows
-      .groupByKey(_.bucket)
-      .flatMapGroupsWithState[FpBucketState, FpVerdict](
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[FpSeenState, FpVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Int, it: Iterator[FpRow], state: GroupState[FpBucketState]) =>
-          val seen  = state.getOption.map(_.fps.toSet).getOrElse(Set.empty[String])
-          val batch = it.toVector // one micro-batch × one bucket — bounded
-          val winners = batch.groupBy(_.fp).map { case (f, rs) => f -> rs.map(_.doc_id).min }
-          val out = batch.sortBy(r => (r.doc_id, r.fp)).map { r =>
-            FpVerdict(r.doc_id, r.fp, novel = !seen.contains(r.fp) && winners(r.fp) == r.doc_id)
-          }
-          state.update(FpBucketState((seen ++ batch.map(_.fp)).toSeq))
-          out.iterator
+        (key: String, it: Iterator[FpRow], state: GroupState[FpSeenState]) =>
+          val seen = state.exists
+          val ids  = it.map(_.doc_id).toVector.sorted
+          if (!seen) state.update(FpSeenState(seen = true))
+          ids.iterator.map(id => FpVerdict(id, key, novel = !seen && id == ids.head))
       }
   }
 
@@ -98,12 +110,15 @@ object StreamingFpDedup {
     * within the last `retentionMs` of EVENT time" (rolling-window dedup:
     * news/alert feeds where a re-published document after the window
     * legitimately counts as new content, and where unbounded state would
-    * otherwise grow forever). State per bucket is fingerprint → latest
-    * event time; entries older than `retentionMs` behind the bucket's max
-    * observed event time are PRUNED on every invocation, so state is
-    * bounded by the window's content — the hand-rolled analogue of
-    * watermark state expiry, driven by event time so replays are
-    * deterministic (processing-time expiry would not be).
+    * otherwise grow forever). State per fingerprint is its latest event
+    * time; in streaming mode the operator sets an event-time TIMEOUT of
+    * `last + retentionMs` on each entry and installs the matching
+    * watermark internally, so the ENGINE expires idle fingerprints — a
+    * fingerprint that stops arriving costs nothing after its window
+    * passes, instead of living in a bucket blob until the bucket happens
+    * to be rewritten. Event-time expiry keeps replays deterministic
+    * (processing-time expiry would not be). On the batch face state dies
+    * with the query, so no timeout is registered.
     *
     * Verdict: novel ⇔ no sighting of the fingerprint within `retentionMs`
     * BEFORE this row — across batches via state, within the batch by
@@ -112,6 +127,11 @@ object StreamingFpDedup {
     * than one window resolves left to right, so a gap wider than the
     * window inside one batch re-admits the fingerprint). A dup sighting
     * RE-STAMPS the fingerprint (sliding, not tumbling, window).
+    *
+    * Late data: rows more than `retentionMs` behind the stream's max
+    * event time may meet already-expired state and be re-admitted as
+    * novel — the standard watermark contract; size `retentionMs` (or
+    * pre-sort the source) accordingly.
     */
   def verdictsWithin(
       spark: SparkSession,
@@ -119,57 +139,71 @@ object StreamingFpDedup {
       timeCol: String,
       retentionMs: Long,
       textCol: String = "text",
-      idCol: String = "doc_id",
-      numBuckets: Int = 64
+      idCol: String = "doc_id"
   ): Dataset[FpVerdict] = {
-    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     require(retentionMs > 0, s"retentionMs must be positive, got $retentionMs")
     import spark.implicits._
+    val streaming = docs.isStreaming
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val rows = docs.select(
-      pmod(xxhash64(fp), lit(numBuckets)).cast("int").as("bucket"),
+    val selected = docs.select(
       fp.as("fp"),
       col(idCol).cast("long").as("doc_id"),
-      col(timeCol).cast("long").as("t"))
-      .map(r => (r.getInt(0), FpRow(r.getInt(0), r.getString(1), r.getLong(2)), r.getLong(3)))
+      col(timeCol).cast("long").as("t"),
+      timestamp_millis(col(timeCol).cast("long") + lit(1L)).as("event_ts"))
+    val marked =
+      if (streaming) selected.withWatermark("event_ts", s"${2 * retentionMs} milliseconds")
+      else selected
+    val rows = marked.as[FpTimedRow]
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     rows
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[FpTimedBucketState, FpVerdict](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Int, it: Iterator[(Int, FpRow, Long)], state: GroupState[FpTimedBucketState]) =>
-          val last = scala.collection.mutable.Map.empty[String, Long]
-          state.getOption.foreach(s => s.fps.zip(s.times).foreach { case (f, t) => last(f) = t })
-          // resolve the batch in (event time, doc_id) order so an
-          // over-window-long batch behaves exactly like smaller batches
-          val batch = it.map { case (_, r, t) => (r, t) }.toVector
-            .sortBy { case (r, t) => (t, r.doc_id, r.fp) }
-          val out = batch.map { case (r, t) =>
-            val seenRecently = last.get(r.fp).exists(prev => t - prev <= retentionMs)
-            last(r.fp) = math.max(t, last.getOrElse(r.fp, Long.MinValue))
-            FpVerdict(r.doc_id, r.fp, novel = !seenRecently)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[FpLastSeenState, FpVerdict](OutputMode.Append, timeout) {
+        (key: String, it: Iterator[FpTimedRow], state: GroupState[FpLastSeenState]) =>
+          if (state.hasTimedOut) {
+            // engine-driven expiry: the fingerprint's window has passed
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption.map(_.last).getOrElse(Long.MinValue)
+            // resolve the batch in (event time, doc_id) order so an
+            // over-window-long batch behaves exactly like smaller batches
+            val batch = it.toVector.sortBy(r => (r.t, r.doc_id))
+            val out = batch.map { r =>
+              val seenRecently = last != Long.MinValue && r.t - last <= retentionMs
+              last = math.max(last, r.t)
+              FpVerdict(r.doc_id, key, novel = !seenRecently)
+            }
+            state.update(FpLastSeenState(last))
+            if (streaming) {
+              // expire once the watermark passes the window's edge (in the
+              // shifted event_ts domain, hence the +1); clamp above the
+              // current watermark (a timeout in the past is rejected by
+              // the engine — possible for late rows)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(last + 1 + retentionMs, wm + 1))
+            }
+            out.iterator
           }
-          val horizon = if (last.isEmpty) Long.MinValue
-            else last.values.max - retentionMs
-          val kept = last.toSeq.filter(_._2 >= horizon)
-          state.update(FpTimedBucketState(kept.map(_._1), kept.map(_._2)))
-          out.iterator
       }
   }
 
-  /** Bounded-memory variant of [[verdicts]]: per-bucket state is a Bloom
-    * filter (`expectedItemsPerBucket`, `fpp`) instead of the exact
-    * fingerprint set, so state size is FIXED at
+  /** Bounded-memory variant of [[verdicts]]: per-BUCKET state is a Bloom
+    * filter (`expectedItemsPerBucket`, `fpp`) instead of per-fingerprint
+    * entries, so state size is FIXED at
     * `numBuckets × bloomBytes(expectedItemsPerBucket, fpp)` regardless of
-    * corpus size. The trade is one-sided and must be chosen deliberately:
-    * a Bloom false positive marks a genuinely novel document as a dup and
-    * silently drops it from the corpus (expected loss ≈ fpp of novel
-    * docs), while dup→novel errors cannot happen — the same asymmetry as
-    * the bloom prune in `Dedup.incrementalFromSketches`, but there the
-    * filter only PRE-prunes ahead of an exact verify, so it costs nothing;
-    * here it IS the verdict. Use [[verdicts]] (exact, RocksDB-backed)
-    * unless state size is the binding constraint. Past
-    * `expectedItemsPerBucket` insertions the realized fp rate degrades
-    * above `fpp` — size it to the corpus ceiling.
+    * corpus size — the bucket blob is the point here (a Bloom filter IS
+    * one blob; there is no per-key increment to exploit). The trade is
+    * one-sided and must be chosen deliberately: a Bloom false positive
+    * marks a genuinely novel document as a dup and silently drops it from
+    * the corpus (expected loss ≈ fpp of novel docs), while dup→novel
+    * errors cannot happen — the same asymmetry as the bloom prune in
+    * `Dedup.incrementalFromSketches`, but there the filter only PRE-prunes
+    * ahead of an exact verify, so it costs nothing; here it IS the
+    * verdict. Use [[verdicts]] (exact, RocksDB-backed) unless state size
+    * is the binding constraint. Past `expectedItemsPerBucket` insertions
+    * the realized fp rate degrades above `fpp` — size it to the corpus
+    * ceiling.
     *
     * Intra-batch semantics match [[verdicts]] exactly (min-doc_id winner
     * per fingerprint, deterministic); only the cross-batch membership test
@@ -192,12 +226,12 @@ object StreamingFpDedup {
     val rows = docs.select(
       pmod(xxhash64(fp), lit(numBuckets)).cast("int").as("bucket"),
       fp.as("fp"),
-      col(idCol).cast("long").as("doc_id")).as[FpRow]
+      col(idCol).cast("long").as("doc_id")).as[FpBucketRow]
     rows
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[BloomBucketState, FpVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Int, it: Iterator[FpRow], state: GroupState[BloomBucketState]) =>
+        (_: Int, it: Iterator[FpBucketRow], state: GroupState[BloomBucketState]) =>
           val bloom = state.getOption match {
             case Some(s) => BloomFilter.readFrom(new java.io.ByteArrayInputStream(s.bytes))
             case None    => BloomFilter.create(expectedItemsPerBucket, fpp)

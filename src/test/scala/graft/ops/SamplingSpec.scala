@@ -212,6 +212,25 @@ class SamplingSpec extends SparkSpec {
     assert(local(5).subsetOf(local(20)))
   }
 
+  test("mixing operators fail loudly when the stratum column is high-cardinality") {
+    import spark.implicits._
+    // 50 distinct "strata" (a mistaken id column) against a cap of 10:
+    // the guard must fire instead of collecting the key space
+    val docs = (1L to 50L).map(i => (i, s"k$i")).toDF("doc_id", "lang")
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.temperatureMix(docs, "lang", alpha = 0.5, targetFraction = 0.5,
+        key = col("doc_id"), maxStrata = 10))
+    assert(e1.getMessage.contains("distinct strata"))
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.toTargetMix(docs, "lang", Map("k1" -> 1.0),
+        key = col("doc_id"), maxStrata = 10))
+    assert(e2.getMessage.contains("distinct strata"))
+    // at-the-cap cardinality still works
+    val ok = Sampling.temperatureMix(docs, "lang", alpha = 1.0, targetFraction = 1.0,
+      key = col("doc_id"), maxStrata = 50)
+    assert(ok.count() == 50L)
+  }
+
   test("weightedTopK: heavy weights dominate; zero/null weights never selected") {
     import spark.implicits._
     val heavy = (1L to 10L).map(i => (i, "s", Some(1e9)))

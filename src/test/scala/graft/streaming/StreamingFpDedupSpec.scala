@@ -11,7 +11,7 @@ class StreamingFpDedupSpec extends SparkSpec {
     import spark.implicits._
     val stream = MemoryStream[(Long, String)](spark)
     val docs = stream.toDF().toDF("doc_id", "text")
-    val q = StreamingFpDedup.verdicts(spark, docs, numBuckets = 8)
+    val q = StreamingFpDedup.verdicts(spark, docs)
       .writeStream.format("memory").queryName("fp_verdicts").outputMode("append").start()
     try {
       // batch 1: 1 and 3 share a fingerprint (case/whitespace-normalized);
@@ -58,7 +58,7 @@ class StreamingFpDedupSpec extends SparkSpec {
     val stream = MemoryStream[(Long, String, Long)](spark)
     val docs = stream.toDF().toDF("doc_id", "text", "ts")
     val q = StreamingFpDedup.verdictsWithin(spark, docs,
-        timeCol = "ts", retentionMs = 1000L, numBuckets = 4)
+        timeCol = "ts", retentionMs = 1000L)
       .writeStream.format("memory").queryName("ttl_verdicts").outputMode("append").start()
     try {
       // t=0 first sighting; t=500 inside the window (dup, re-stamps);
@@ -84,11 +84,39 @@ class StreamingFpDedupSpec extends SparkSpec {
       (1L, "doc", 0L), (2L, "doc", 800L), (3L, "doc", 5000L), (4L, "doc", 5100L)
     ).toDF("doc_id", "text", "ts")
     val got = StreamingFpDedup.verdictsWithin(spark, docs,
-        timeCol = "ts", retentionMs = 1000L, numBuckets = 2)
+        timeCol = "ts", retentionMs = 1000L)
       .collect().map(v => v.doc_id -> v.novel).toMap
     // 0 novel; 800 within window; 5000 past the window → novel again;
     // 5100 within the refreshed window
     assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("retention-windowed dedup: engine expires idle fingerprints (state rows shrink)") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, Long)](spark)
+    val docs = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingFpDedup.verdictsWithin(spark, docs,
+        timeCol = "ts", retentionMs = 1000L)
+      .writeStream.format("memory").queryName("ttl_expiry").outputMode("append").start()
+    try {
+      stream.addData((1L, "aa", 0L))
+      q.processAllAvailable()
+      // advance the watermark far past aa's window (wm = 10000 - 1000)
+      stream.addData((2L, "bb", 10000L))
+      q.processAllAvailable()
+      // aa's timeout (~1000) is behind the watermark by now → it expires;
+      // the trailing watermark-advance batch after this one also expires
+      // bb (its timeout ~11000 < the final watermark 20000-2000), so the
+      // quiesced state holds exactly one fingerprint: cc
+      stream.addData((3L, "cc", 20000L))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows == 1, s"expected aa+bb expired leaving cc, got $stateRows state rows")
+      // and all three were novel (distinct fingerprints)
+      val got = spark.table("ttl_expiry")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got == Map(1L -> true, 2L -> true, 3L -> true))
+    } finally q.stop()
   }
 
   test("batch face equals the min-doc_id-per-fingerprint contract") {
@@ -96,11 +124,11 @@ class StreamingFpDedupSpec extends SparkSpec {
     val docs = Seq(
       (10L, "aaa bbb"), (11L, "AAA  bbb"), (12L, "ccc"), (13L, "ccc"), (14L, "unique")
     ).toDF("doc_id", "text")
-    val got = StreamingFpDedup.verdicts(spark, docs, numBuckets = 4)
+    val got = StreamingFpDedup.verdicts(spark, docs)
       .collect().map(v => v.doc_id -> v.novel).toMap
     assert(got == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false, 14L -> true))
     // every fingerprint has exactly one novel holder
-    val perFp = StreamingFpDedup.verdicts(spark, docs, numBuckets = 4)
+    val perFp = StreamingFpDedup.verdicts(spark, docs)
       .groupBy("fp").agg(sum(when(col("novel"), 1).otherwise(0)).as("n"))
       .collect().map(_.getLong(1))
     assert(perFp.forall(_ == 1L))
