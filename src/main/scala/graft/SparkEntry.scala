@@ -626,6 +626,64 @@ object SparkEntry {
           weight = col("n_chars"), rowKey = col("doc_id"), hash = activeHash)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // hashed unigram+bigram linear classifier score (fastText-style
+    // hashing-trick quality model): integer bucket weights keep the
+    // per-document sum exact, so both engines agree up to one division
+    // and the final sigmoid; the whole feature stage is one codegen
+    // explode — no window, no HOF
+    "q95_text_ngram_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedNgramScore(
+        T(s, dir, "documents"), hash = activeHash)),
+
+    // label-propagation communities on the q44/q75/q93 clique-union
+    // graph: with the self-vote tie-broken by min, every nation clique
+    // settles on its minimum supplier id in round one — the closed form
+    // the oracle computes without iterating; isolated suppliers keep
+    // their own id via the caller-side coalesce (the kCore contract)
+    "q96_graph_lpa" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      val labels = graft.graph.GraphQueries.labelPropagation(s, e, numIter = 4)
+      v.select(col("id").cast("long").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("community"))
+    }),
+
+    // windowed conversion funnel view → click → purchase (earliest-anchor
+    // greedy, 7-day window): each stage is a scan-pruned filter + one
+    // user-keyed min — the shuffles carry per-user scalars, never raw
+    // events; timestamps compared at µs so the oracle sees identical
+    // values (events carry genuine nanos)
+    "q97_event_funnel" -> ((s, dir) =>
+      graft.ops.EventAnalytics.funnel(
+        T(s, dir, "events").withColumn("tsu", expr("ts div 1000")),
+        steps = Seq("view", "click", "purchase"),
+        windowTs = 604800000000L, tsCol = "tsu")),
+
+    // daily cohort retention matrix: cohort = epoch-day of a user's first
+    // event, cell = distinct users active at each day offset — two
+    // user-keyed aggregates and a |cohorts|×|offsets| result
+    "q98_cohort_retention" -> ((s, dir) =>
+      graft.ops.EventAnalytics.cohortRetention(
+        T(s, dir, "events").withColumn("tsu", expr("ts div 1000")),
+        bucketTs = 86400000000L, tsCol = "tsu")),
+
+    // first-order event-type transition matrix (Markov view of the event
+    // stream): per-user lead() window, exact integer counts, one division
+    "q99_event_transitions" -> ((s, dir) =>
+      graft.ops.EventAnalytics.transitionCounts(
+        T(s, dir, "events").withColumn("tsu", expr("ts div 1000")),
+        tsCol = "tsu")),
+
+    // per-language winsorized length trim (drop shortest/longest 5%):
+    // rank-based on purpose — percent_rank is one exact integer ratio
+    // per row, so both engines keep the identical row set (a value
+    // threshold from interpolated percentiles could flip boundary rows)
+    "q100_length_trim" -> ((s, dir) =>
+      graft.ops.Sampling.rankTrim(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        value = col("n_chars"), strataCols = Seq("lang"), loP = 0.05, hiP = 0.95)),
+
     // k-core decomposition on the same clique-union similarity graph as
     // q44/q75: a c-clique is a (c−1)-core, so the 3-core is exactly the
     // nations with ≥ 4 suppliers, every survivor at core_degree c−1 — the
@@ -1543,6 +1601,93 @@ object SparkEntry {
 
     // u = (md5 bucket + 1)/1e6 exactly as the Spark side; rank on the
     // ROUNDED ln(u)/w with doc_id ties — the q45-family portable hash rule
+    // replica of the hashing-trick model: unigram+bigram features, md5
+    // bucket at seed 7, integer weight from the bucket id at seed 8;
+    // exact integer sum, one IEEE division, sigmoid, round 6
+    "q95_text_ngram_classifier" ->
+      raw"""WITH base AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+         |  FROM documents
+         |), feats AS (
+         |  SELECT doc_id, unnest(list_concat(toks,
+         |      list_transform(range(greatest(len(toks) - 1, 0)),
+         |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
+         |  FROM base WHERE len(toks) > 0
+         |), w AS (
+         |  SELECT doc_id,
+         |    ${md5l(s"'8:w:' || CAST(${md5l("'7:' || f")} % 4096 AS VARCHAR)")} % 2001 - 1000 AS k
+         |  FROM feats
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features, CAST(sum(k) AS BIGINT) AS ws
+         |  FROM w GROUP BY 1)
+         |SELECT doc_id, n_features,
+         |  round(CAST(ws AS DOUBLE) / (CAST(1000 AS DOUBLE) * n_features), 6) AS logit,
+         |  round(CAST(1 AS DOUBLE)
+         |    / (1 + exp(-(CAST(ws AS DOUBLE) / (CAST(1000 AS DOUBLE) * n_features)))), 6) AS score
+         |FROM agg""".stripMargin,
+
+    // closed form of self-vote min-tie LPA on clique unions: nations with
+    // ≥ 2 suppliers converge to the nation's min supplier id; singletons
+    // keep their own id
+    "q96_graph_lpa" ->
+      """WITH d AS (
+        |  SELECT s_suppkey,
+        |    min(s_suppkey) OVER (PARTITION BY s_nationkey) AS mn,
+        |    count(*) OVER (PARTITION BY s_nationkey) AS cnt
+        |  FROM supplier)
+        |SELECT CAST(s_suppkey AS BIGINT) AS id,
+        |  CAST(CASE WHEN cnt > 1 THEN mn ELSE s_suppkey END AS BIGINT) AS community
+        |FROM d""".stripMargin,
+
+    // earliest-anchor greedy funnel at µs resolution; 7 days = 6048e8 µs
+    "q97_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |s1 AS (SELECT user_id, min(tsu) AS ts_1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, ts_1, min(tsu) AS ts_2
+        |       FROM s1 JOIN e ON s1.user_id = e.user_id
+        |       WHERE event_type = 'click' AND tsu > ts_1 AND tsu <= ts_1 + 604800000000
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, min(tsu) AS ts_3
+        |       FROM s2 JOIN e ON s2.user_id = e.user_id
+        |       WHERE event_type = 'purchase' AND tsu > ts_2 AND tsu <= ts_1 + 604800000000
+        |       GROUP BY 1)
+        |SELECT s1.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
+        |  CAST(1 + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // daily cohorts at µs resolution; 1 day = 864e8 µs
+    "q98_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |f AS (SELECT user_id, min(tsu) // 86400000000 AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, tsu // 86400000000 AS b FROM e),
+        |c AS (SELECT cohort, b - cohort AS "offset", CAST(count(*) AS BIGINT) AS users
+        |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1)
+        |SELECT cohort, "offset", users, cohort_size,
+        |  round(CAST(users AS DOUBLE) / cohort_size, 6) AS rate
+        |FROM c JOIN s USING (cohort)""".stripMargin,
+
+    "q100_length_trim" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM r
+        |WHERE pr >= 0.05 AND pr <= 0.95""".stripMargin,
+
+    "q99_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c""".stripMargin,
+
     "q94_sample_weighted" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, n_chars,

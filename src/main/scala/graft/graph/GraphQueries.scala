@@ -355,6 +355,74 @@ object GraphQueries {
       .select(col("src").as(idCol), col("core_degree"))
   }
 
+  /** Synchronous label propagation community detection as plain DataFrame
+    * rounds — the cheap community/near-component structure pass (GraphX
+    * ships the same algorithm as `lib.LabelPropagation`; this is its
+    * spillable twin in the [[connectedComponentsDF]] / [[pageRankDF]]
+    * family). Every vertex starts labeled with its own id; each round it
+    * adopts the most frequent label among its neighbors AND itself, ties
+    * broken by the MINIMUM label — deterministic (GraphX's hashmap-order
+    * tie-break is not), so results are stable across partitionings and
+    * reproducible by an external engine on graphs with a closed form. The
+    * self-vote is the oscillation damper: pure neighbor voting swaps
+    * labels forever on a 2-clique (a ↔ b every round), while with the
+    * self-vote every clique settles on its minimum id in one round.
+    * Covers edge ENDPOINTS (undirected reading, self-loops dropped);
+    * isolated vertices are the caller's coalesce, as in [[kCore]].
+    *
+    * Returns `(idCol, label)` after exactly `numIter` rounds (LPA has no
+    * guaranteed fixed point — labels can oscillate on bipartite-ish
+    * structures; a fixed round budget is the standard contract).
+    *
+    * Scale shape: one join of the bidirectional edge list against the
+    * |V|-row label frame + two grouped aggregates per round — the
+    * neighbor-count frame never exceeds the edge list, the max-struct
+    * election is a partial aggregate (map-side combine), and lineage is
+    * truncated on the pageRankDF checkpoint cadence.
+    */
+  def labelPropagation(
+      spark: SparkSession,
+      edges: DataFrame,
+      numIter: Int = 5,
+      idCol: String = "id"
+  ): DataFrame = {
+    require(numIter >= 1, s"numIter must be >= 1, got $numIter")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val e = materialize(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = e.select(col("src").as("vid")).distinct()
+      .select(col("vid"), col("vid").as("label"))
+    var lastMaterialized: Option[DataFrame] = None
+    for (i <- 1 to numIter) {
+      val contrib = e.join(labels, e("dst") === labels("vid"))
+        .select(col("src"), col("label"))
+        .union(labels.select(col("vid").as("src"), col("label")))
+      val counts = contrib
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      // most frequent label, min on ties: max of (cnt, -label) structs —
+      // an exact partial aggregate, no window sort
+      labels = counts
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("_best"))
+        .select(col("src").as("vid"), (-col("_best.neg")).as("label"))
+      if (i % 4 == 0 || i == numIter) {
+        val prev = lastMaterialized
+        labels = materialize(labels)
+        lastMaterialized = Some(labels)
+        prev.foreach(_.unpersist(blocking = false))
+      }
+    }
+    labels.select(col("vid").as(idCol), col("label"))
+  }
+
   /** Connected components over an edge set; vertices absent from any edge
     * are singletons (their own component). Returns (id, component) where
     * component = smallest vertex id in the component (GraphX convention).

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a `(user, event_type, ts)` stream: windowed
+  * funnels, cohort retention, and state-transition statistics — the
+  * behavioral-analytics face of the engine (the same event table the
+  * sessionizers consume).
+  *
+  * All three operators share the scale discipline: per-step/bucket frames
+  * are filtered at the SCAN (the step predicate pushes down, so a funnel
+  * over 3 event types never reads the other types' bytes), every shuffle is
+  * keyed by the user/cohort column on already-aggregated slim frames, and
+  * nothing ever sorts globally — ordering is per-user inside one window
+  * partition or an exact integer aggregate.
+  *
+  * Determinism: callers pass an integer time column (the driver contract
+  * uses µs, `ts div 1000`) and a unique tie-break id, so window orders and
+  * min/max elections never depend on partition iteration order.
+  */
+object EventAnalytics {
+
+  /** Windowed funnel with earliest-anchor greedy semantics: for each user,
+    * step 1 anchors at the user's EARLIEST step-1 event; each later step
+    * matches the earliest event of its type strictly after the previous
+    * step and no later than `anchor + windowTs`. Returns one row per user
+    * who reached step 1: `(userCol, ts_1 … ts_n, steps_completed)` with
+    * NULL ts for unreached steps.
+    *
+    * Greedy-earliest is the standard funnel simplification (a later anchor
+    * could complete where the earliest fails when the window binds) — it
+    * makes the result deterministic and engine-portable, and each stage is
+    * one scan-pruned filter + one user-keyed min aggregate: stage frames
+    * are |users| rows, so at 100 TB the shuffles move per-user scalars,
+    * never raw events.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      windowTs: Long,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"
+  ): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(windowTs > 0, s"windowTs must be positive, got $windowTs")
+    val u = col(userCol)
+    // stage 1: earliest anchor per user
+    val s1 = events.where(col(typeCol) === steps.head)
+      .groupBy(u).agg(min(col(tsCol)).as("ts_1"))
+    // stage i: earliest step-i event in (ts_{i-1}, ts_1 + window]
+    val stages = steps.tail.zipWithIndex.scanLeft(s1) { case (prev, (step, i)) =>
+      val tsPrev = col(s"ts_${i + 1}")
+      val ev = events.where(col(typeCol) === step)
+        .select(u, col(tsCol).as("_t"))
+      prev.join(ev, Seq(userCol))
+        .where(col("_t") > tsPrev && col("_t") <= col("ts_1") + lit(windowTs))
+        .groupBy(prev.columns.map(col): _*)
+        .agg(min(col("_t")).as(s"ts_${i + 2}"))
+    }
+    // assemble partial funnels: left-join each deeper stage's new column
+    val full = stages.tail.zipWithIndex.foldLeft(s1) { case (acc, (st, i)) =>
+      acc.join(st.select(u, col(s"ts_${i + 2}")), Seq(userCol), "left")
+    }
+    val reached = steps.indices.tail.map(i => when(col(s"ts_${i + 1}").isNotNull, 1).otherwise(0))
+    full.withColumn("steps_completed",
+      reached.foldLeft(lit(1))(_ + _).cast("long"))
+  }
+
+  /** Cohort retention matrix: users are cohorted by the epoch-aligned
+    * `bucketTs` bucket of their FIRST event; cell `(cohort, offset)` counts
+    * the cohort's users active `offset` buckets later, with
+    * `rate = users / cohort_size`. Returns
+    * `(cohort, offset, users, cohort_size, rate)`, offset 0 = the cohort
+    * bucket itself.
+    *
+    * Shape: one user-keyed min (first event), one distinct over
+    * `(user, bucket)` — both shrink to per-user/per-bucket scalars before
+    * any shuffle; the matrix itself is |cohorts| × |offsets| rows.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      bucketTs: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts"
+  ): DataFrame = {
+    require(bucketTs > 0, s"bucketTs must be positive, got $bucketTs")
+    val u = col(userCol)
+    // integer `div`, not `/`: double division can round up across a bucket
+    // boundary at epoch-µs magnitudes
+    val bucket = expr(s"`$tsCol` div $bucketTs")
+    val first = events.groupBy(u).agg(min(col(tsCol)).as("_first_ts"))
+      .select(u, expr(s"_first_ts div $bucketTs").as("cohort"))
+    val active = events.select(u, bucket.as("_bucket")).distinct()
+    val cells = active.join(first, Seq(userCol))
+      .groupBy(col("cohort"), (col("_bucket") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("users"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("users"), col("cohort_size"),
+        round(col("users").cast("double") / col("cohort_size").cast("double"), 6).as("rate"))
+  }
+
+  /** First-order state transitions (the Markov-chain view of user
+    * behavior): per user, events ordered by `(ts, idCol)` yield
+    * `(from_type, to_type)` pairs; returns global
+    * `(from_type, to_type, n, p)` where `p = n / Σ n over from_type`.
+    *
+    * One shuffle by user for the per-user ordering window (events stay
+    * inside their user partition), then an exact integer aggregate over
+    * the |types|² transition matrix — the probability division is the only
+    * floating-point step.
+    */
+  def transitionCounts(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .where(col("_next").isNotNull)
+    val counts = pairs.groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("from_type"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      round(col("n").cast("double") / sum(col("n")).over(totals).cast("double"), 6).as("p"))
+  }
+}

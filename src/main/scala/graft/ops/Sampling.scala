@@ -170,6 +170,35 @@ object Sampling {
     }
   }
 
+  /** Per-stratum rank-based winsorization — the robust outlier trim of
+    * corpus curation ("drop the shortest 5% and longest 5% of documents
+    * per language"): keeps rows whose `percent_rank` of `value` within
+    * their stratum lies in `[loP, hiP]`. Rank-based rather than
+    * value-based on purpose: `percent_rank = (rank−1)/(n−1)` is one exact
+    * integer ratio per row — engines agree bit-for-bit, and tied values
+    * share a rank so a distinct value is kept or dropped atomically —
+    * whereas an interpolated-percentile THRESHOLD (`percentile` /
+    * `quantile_cont`) is arithmetic whose ulps can flip boundary rows
+    * between engines.
+    *
+    * Cost: one shuffle + per-stratum sort (ranking is inherently a sort).
+    * At corpus scale prefer strata that parallelize (language × source);
+    * for a cheaper approximate trim at extreme sizes, derive value bounds
+    * from `approx_percentile` and filter map-side — this operator is the
+    * exact gate.
+    */
+  def rankTrim(df: DataFrame, value: Column, strataCols: Seq[String],
+      loP: Double, hiP: Double): DataFrame = {
+    require(loP >= 0.0 && hiP <= 1.0 && loP <= hiP,
+      s"need 0 <= loP <= hiP <= 1, got [$loP, $hiP]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(value)
+    df.withColumn("_pr", percent_rank().over(w))
+      .where(col("_pr") >= loP && col("_pr") <= hiP)
+      .drop("_pr")
+  }
+
   /** Deterministic corpus shuffle — the training-order randomization step
     * of dataset assembly: orders rows by a keyed hash, so the permutation
     * is a pure function of (seed, key) — reproducible across runs,

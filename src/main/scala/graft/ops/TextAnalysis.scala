@@ -12,6 +12,69 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** fastText-style hashed n-gram linear classifier score — the learned-
+    * filter shape of corpus quality classification (a linear model over
+    * hashed unigram+bigram features; e.g. the CommonCrawl-vs-reference
+    * quality classifiers of LLM data pipelines). The feature space is the
+    * standard hashing trick: each unigram and each bigram hashes into one
+    * of `dim` buckets, and the model weight of a bucket is looked up by
+    * the feature's bucket id. Weights here derive deterministically from
+    * the bucket id via the seeded hash family (a fixed pseudo-random
+    * model) — swap [[weightOf]]'s derivation for a broadcast weight-table
+    * join to serve a genuinely trained model; every other part of the
+    * plan (and its scale shape) is what a trained model runs.
+    *
+    * Returns `(idCol, n_features, logit, score)` for documents with ≥ 1
+    * token: `logit = Σ w(bucket(f)) / n_features`, `score = σ(logit)`.
+    *
+    * Scale/portability shape: tokens explode ONCE (codegen — no
+    * interpreted higher-order lambdas); bigrams come from `element_at` on
+    * the carried token array at `pos + 1`, not a window function, so the
+    * whole feature stage is map-side; weights are INTEGER (`[-1000,
+    * 1000]`, value/1000 ∈ [-1, 1]), so the per-document sum is an exact
+    * associative integer aggregate — partial aggregation (map-side
+    * combine) shrinks the one shuffle to one row per (doc × partition),
+    * and engines agree bit-for-bit up to one IEEE division at the end.
+    */
+  def hashedNgramScore(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dim: Int = 4096,
+      seed: Int = 7,
+      hash: HashFamily = XxHash,
+      scale: Int = 6
+  ): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    // integer model weight of a feature: bucket via seed, weight via seed+1
+    def weightOf(f: Column): Column = {
+      val bucket = pmod(hash.seeded(seed, f), lit(dim.toLong))
+      pmod(hash.seeded(seed + 1, concat(lit("w:"), bucket.cast("string"))), lit(2001L)) - lit(1000L)
+    }
+    val exploded = df
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_toks"))
+      .select(col(idCol), col("_toks"), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .where(col("_tok") =!= "")
+    val uni = col("_tok")
+    val bi = when(
+      col("_pos") < size(col("_toks")) - 1,
+      concat(uni, lit(" "), element_at(col("_toks"), col("_pos") + 2)))
+    val scored = exploded.select(
+      col(idCol),
+      weightOf(uni).as("_wu"),
+      // guard the null: hash functions map NULL input to a value, not NULL
+      when(bi.isNotNull, weightOf(bi)).as("_wb"))
+    val agg = scored.groupBy(col(idCol)).agg(
+      (count(lit(1)) + count(col("_wb"))).as("n_features"),
+      (sum(col("_wu")) + coalesce(sum(col("_wb")), lit(0L))).as("_ws"))
+    val logit = col("_ws").cast("double") / (lit(1000.0) * col("n_features").cast("double"))
+    agg.select(
+      col(idCol),
+      col("n_features"),
+      round(logit, scale).as("logit"),
+      round(lit(1.0) / (lit(1.0) + exp(-logit)), scale).as("score"))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

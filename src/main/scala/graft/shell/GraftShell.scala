@@ -97,6 +97,13 @@ final case class GraftShell(spark: SparkSession, config: GraftConfig) {
     */
   def kcore(label: String, k: Int): DataFrame =
     graft.graph.GraphQueries.kCore(spark, edges(label), k)
+
+  /** Label-propagation communities over one edge label
+    * ([[graft.graph.GraphQueries.labelPropagation]]) — deterministic
+    * min-tie self-vote variant, covers edge endpoints.
+    */
+  def communities(label: String, numIter: Int = 5): DataFrame =
+    graft.graph.GraphQueries.labelPropagation(spark, edges(label), numIter)
 }
 
 object GraftShell {
@@ -117,7 +124,7 @@ object GraftShell {
          |  vertices : ${config.idManager.dataPath}/${config.idManager.tableName}
          |  edges    : ${config.edgeBasePath} (labels: ${shell.edgeLabels.mkString(", ")})
          |  helpers  : .vertices .edges(label) .info .run(date) .sql(q)
-         |             .degrees(label) .components(label) .pageRank(label) .triangles(label) .kcore(label, k)""".stripMargin)
+         |             .degrees(label) .components(label) .pageRank(label) .triangles(label) .kcore(label, k) .communities(label)""".stripMargin)
     shell
   }
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def events(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    rows.zipWithIndex
+      .map { case ((u, t, ts), i) => (i.toLong, u, t, ts) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+  }
+
+  test("funnel: complete, partial, window-bound and out-of-order users") {
+    val df = events(
+      // user 1: full funnel in order
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: click BEFORE the anchor view never counts; purchase without click stalls at 1
+      (2L, "click", 50L), (2L, "view", 100L), (2L, "purchase", 300L),
+      // user 3: completes but the purchase lands past anchor+window → stalls at 2
+      (3L, "view", 100L), (3L, "click", 150L), (3L, "purchase", 1200L),
+      // user 4: never starts (no view)
+      (4L, "click", 100L), (4L, "purchase", 200L),
+      // user 5: two views — the EARLIEST anchors; second click inside window wins by min
+      (5L, "view", 100L), (5L, "view", 500L), (5L, "click", 600L),
+      (5L, "click", 700L), (5L, "purchase", 800L))
+    val got = EventAnalytics.funnel(df, Seq("view", "click", "purchase"), windowTs = 1000L)
+      .collect().map(r => r.getLong(0) -> ((r.get(1), r.get(2), r.get(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((100L, 200L, 300L, 3L)))
+    assert(got(2L) == ((100L, null, null, 1L)))
+    assert(got(3L) == ((100L, 150L, null, 2L)))
+    assert(!got.contains(4L))
+    assert(got(5L) == ((100L, 600L, 800L, 3L)))
+  }
+
+  test("cohortRetention: epoch-aligned buckets, distinct-per-bucket users, rates") {
+    // bucket = 100; users 1,2 start in cohort 0, user 3 in cohort 2
+    val df = events(
+      (1L, "view", 10L), (1L, "view", 20L), (1L, "view", 110L), (1L, "view", 310L),
+      (2L, "view", 50L), (2L, "view", 120L),
+      (3L, "view", 250L), (3L, "view", 260L))
+    val got = EventAnalytics.cohortRetention(df, bucketTs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got((0L, 0L)) == ((2L, 2L, 1.0)))   // both users active in their cohort day
+    assert(got((0L, 1L)) == ((2L, 2L, 1.0)))   // both return next bucket
+    assert(got((0L, 3L)) == ((1L, 2L, 0.5)))   // only user 1 at offset 3
+    assert(got((2L, 0L)) == ((1L, 1L, 1.0)))   // user 3's duplicate bucket counts once
+    assert(!got.contains((0L, 2L)))            // nobody from cohort 0 at offset 2
+  }
+
+  test("transitionCounts: per-user ordering with id tie-break, probabilities sum to 1") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: a -> b -> a (ts tie at 200 resolved by event_id: 1 before 2)
+      (0L, 1L, "a", 100L), (1L, 1L, "b", 200L), (2L, 1L, "a", 200L),
+      // user 2: a -> c
+      (3L, 2L, "a", 100L), (4L, 2L, "c", 200L),
+      // user 3: single event — no transitions
+      (5L, 3L, "a", 100L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.transitionCounts(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 0.5)),
+      ("a", "c") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("funnel plan prunes the scan per step and never shuffles raw events") {
+    val df = events((1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L))
+    val out = EventAnalytics.funnel(df, Seq("view", "click", "purchase"), windowTs = 1000L)
+    // every row is one user's scalar stage times — assert row identity holds
+    assert(out.columns.toSeq ==
+      Seq("user_id", "ts_1", "ts_2", "ts_3", "steps_completed"))
+  }
+}

@@ -231,6 +231,25 @@ class SamplingSpec extends SparkSpec {
     assert(ok.count() == 50L)
   }
 
+  test("rankTrim keeps the inner rank band per stratum; ties kept or dropped atomically") {
+    import spark.implicits._
+    // stratum A: values 1..21 → percent_rank = (i-1)/20; [0.05, 0.95]
+    // keeps ranks 2..20 (values 2..20). stratum B: all-equal values share
+    // percent_rank 0 — below loP, so the whole tie group drops together
+    // (ties are atomic: never a partial keep of one distinct value)
+    val docs = ((1 to 21).map(i => ("A", i.toLong)) ++ (1 to 5).map(_ => ("B", 7L)))
+      .zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
+      .toDF("id", "stratum", "v")
+    val kept = Sampling.rankTrim(docs, col("v"), Seq("stratum"), 0.05, 0.95)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(kept.filter(_._1 == "A").map(_._2).sorted.toSeq == (2L to 20L))
+    assert(kept.count(_._1 == "B") == 0)
+    // with loP = 0 the tie group survives intact
+    val keptLo = Sampling.rankTrim(docs, col("v"), Seq("stratum"), 0.0, 0.95)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(keptLo.count(_._1 == "B") == 5)
+  }
+
   test("weightedTopK: heavy weights dominate; zero/null weights never selected") {
     import spark.implicits._
     val heavy = (1L to 10L).map(i => (i, "s", Some(1e9)))
