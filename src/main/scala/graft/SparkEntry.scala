@@ -684,6 +684,39 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
         value = col("n_chars"), strataCols = Seq("lang"), loP = 0.05, hiP = 0.95)),
 
+    // embedding-space decontamination (the third screen after q62 n-gram
+    // and q63 exact-substring): exact cosine of every train vector vs the
+    // BROADCAST eval set — an intentional BroadcastNestedLoopJoin with the
+    // native codegen cosine inside, because a recall-trading candidate
+    // join is wrong where one missed pair poisons an eval
+    "q102_decontaminate_semantic" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Decontaminate.semanticOverlap(
+        emb.where(col("vec_id") % 20 =!= 0),
+        emb.where(col("vec_id") % 20 === 0),
+        threshold = 0.25)
+    }),
+
+    // Count-Min heavy hitters: exact top-20 tokens joined with their CMS
+    // estimates from the 8 KB sketch — CMS is a linear sketch, so every
+    // counter is a plain group-by sum the oracle replicates exactly (no
+    // tolerance gate); est ≥ n is the sketch's one-sided guarantee
+    "q101_heavy_hitters" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      val top = exact
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))))
+        .where(col("rnk") <= 20)
+      top
+        .crossJoin(broadcast(graft.ops.CountMin.sketch(toks, col("token"), hash = activeHash)))
+        .select(col("token"), col("n"),
+          graft.ops.CountMin.estimate(col("cms"), col("token"), hash = activeHash).as("est"),
+          col("rnk").cast("long").as("rnk"))
+    }),
+
     // k-core decomposition on the same clique-union similarity graph as
     // q44/q75: a c-clique is a (c−1)-core, so the 3-core is exactly the
     // nations with ≥ 4 suppliers, every survivor at core_degree c−1 — the
@@ -1668,6 +1701,46 @@ object SparkEntry {
         |SELECT cohort, "offset", users, cohort_size,
         |  round(CAST(users AS DOUBLE) / cohort_size, 6) AS rate
         |FROM c JOIN s USING (cohort)""".stripMargin,
+
+    "q102_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT v FROM e WHERE vec_id % 20 = 0),
+        |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+        |s AS (
+        |  SELECT tr.vec_id,
+        |    list_dot_product(tr.v, ev.v)
+        |      / (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(ev.v, ev.v))) AS sim
+        |  FROM tr CROSS JOIN ev),
+        |a AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN sim >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+        |    round(max(sim), 6) AS max_sim
+        |  FROM s GROUP BY 1)
+        |SELECT vec_id, n_matches, max_sim, n_matches > 0 AS contaminated FROM a""".stripMargin,
+
+    // replica of the linear sketch: per-row bucket sums (seeds 100..103,
+    // width 256), estimate = least of the four counters
+    "q101_heavy_hitters" ->
+      raw"""WITH t AS (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+         |  FROM documents
+         |), c AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM t WHERE token <> '' GROUP BY 1
+         |), b0 AS (SELECT ${md5l("'100:' || token")} % 256 AS b, CAST(sum(n) AS BIGINT) AS s FROM c GROUP BY 1),
+         |b1 AS (SELECT ${md5l("'101:' || token")} % 256 AS b, CAST(sum(n) AS BIGINT) AS s FROM c GROUP BY 1),
+         |b2 AS (SELECT ${md5l("'102:' || token")} % 256 AS b, CAST(sum(n) AS BIGINT) AS s FROM c GROUP BY 1),
+         |b3 AS (SELECT ${md5l("'103:' || token")} % 256 AS b, CAST(sum(n) AS BIGINT) AS s FROM c GROUP BY 1),
+         |top AS (
+         |  SELECT token, n,
+         |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk
+         |  FROM c)
+         |SELECT top.token, top.n, least(b0.s, b1.s, b2.s, b3.s) AS est, rnk
+         |FROM top
+         |JOIN b0 ON b0.b = ${md5l("'100:' || top.token")} % 256
+         |JOIN b1 ON b1.b = ${md5l("'101:' || top.token")} % 256
+         |JOIN b2 ON b2.b = ${md5l("'102:' || top.token")} % 256
+         |JOIN b3 ON b3.b = ${md5l("'103:' || top.token")} % 256
+         |WHERE rnk <= 20""".stripMargin,
 
     "q100_length_trim" ->
       """WITH r AS (

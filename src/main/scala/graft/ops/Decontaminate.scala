@@ -165,4 +165,44 @@ object Decontaminate {
   ): DataFrame =
     toVerdict(train, idCol,
       substringOverlapPairs(train, evalSet, textCol, idCol, window, minShared, bloomItems))
+
+  /** Embedding-space decontamination — the third screen after n-gram
+    * ([[overlap]]) and exact-substring ([[substringOverlap]]): flag
+    * training items whose embedding is COSINE-near any eval item, catching
+    * paraphrases and translations that share no surface n-grams. Returns
+    * one row per train item: `(idCol, n_matches, max_sim, contaminated)`
+    * with `max_sim` the maximum cosine against the whole eval set
+    * (rounded to 6) and `contaminated ⇔ any cosine ≥ threshold`.
+    *
+    * Scale shape — deliberately NOT a bucketed candidate join: LSH/IVF
+    * candidate generation trades recall for speed, and decontamination is
+    * the one place a missed pair poisons an eval. Eval sets are small by
+    * nature (thousands of rows), so the eval side BROADCASTS and the
+    * |train| × |eval| cosine loop runs map-side over the scan — a
+    * BroadcastNestedLoopJoin on purpose (the similarity predicate is not
+    * an equi-join), with the native codegen cosine inside, zero shuffles
+    * of train data, and one partial-aggregated per-id reduction. Exactness
+    * is the point; for a cheaper approximate pre-screen, compose
+    * [[SimilaritySearch]]'s bucketed paths and verify survivors here.
+    */
+  def semanticOverlap(
+      train: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1, 1], got $threshold")
+    val t = train.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val e = broadcast(evalSet.select(col(vecCol).cast("array<double>").as("_e")))
+    t.crossJoin(e)
+      .select(col(idCol), VectorOps.cosine(col("_v"), col("_e")).as("_sim"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("_sim") >= threshold, 1L).otherwise(0L)).as("n_matches"),
+        round(max(col("_sim")), 6).as("max_sim"))
+      .select(col(idCol), col("n_matches"), col("max_sim"),
+        (col("n_matches") > 0).as("contaminated"))
+  }
 }

@@ -33,7 +33,9 @@ object GraftFunctions {
     "dot_product"       -> (es => DotProduct(es(0), es(1))),
     "jaro_winkler"      -> (es => JaroWinkler(es(0), es(1))),
     "simhash_agg"       -> (es => SimHashAgg(es(0))),
-    "topk_agg"          -> (es => TopKAgg(es(0), es(1), foldInt(es(2), "topk_agg")))
+    "topk_agg"          -> (es => TopKAgg(es(0), es(1), foldInt(es(2), "topk_agg"))),
+    "countmin_agg"      -> (es =>
+      CountMinAgg(es(0), foldInt(es(1), "countmin_agg"), foldInt(es(2), "countmin_agg")))
   )
 
   def register(spark: SparkSession): Unit =

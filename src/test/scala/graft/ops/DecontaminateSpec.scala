@@ -98,4 +98,25 @@ class DecontaminateSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(3))).toSet
     assert(out == Set((1L, false), (2L, false)), s"got $out")
   }
+
+  test("semanticOverlap: paraphrase-near vectors flagged, orthogonal ones clean") {
+    import spark.implicits._
+    // eval vector e = (1,0,0); train: t1 ≈ e (cos ~0.995), t2 ⊥ e (cos 0),
+    // t3 = -e (cos -1). threshold 0.9 flags only t1
+    val ev = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(0.995, 0.0999, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(-1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticOverlap(train, ev, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L)._1 == 1L && got(1L)._3)
+    assert(got(1L)._2 > 0.99)
+    assert(got(2L) == ((0L, 0.0, false)))
+    assert(got(3L) == ((0L, -1.0, false)))
+    // every train row gets a verdict
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
 }
