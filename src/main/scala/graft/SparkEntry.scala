@@ -717,6 +717,49 @@ object SparkEntry {
           col("rnk").cast("long").as("rnk"))
     }),
 
+    // hourly event series with a trailing 3-bucket moving average: the
+    // corpus-sized stream collapses to |types|×|hours| counts BEFORE the
+    // per-type ordering window ever shuffles a row
+    "q103_event_timeseries" -> ((s, dir) =>
+      graft.ops.EventAnalytics.timeSeries(
+        T(s, dir, "events").withColumn("tsu", expr("ts div 1000")),
+        bucketTs = 3600000000L, maBuckets = 3, tsCol = "tsu")),
+
+    // Gopher-style top-bigram concentration: fraction of word characters
+    // captured by each doc's single most frequent bigram — computed
+    // entirely inside one projection (array_sort + linear fold over the
+    // row's own token array), zero shuffle at any corpus size
+    "q104_text_gopher" -> ((s, dir) =>
+      graft.ops.TextAnalysis.topNgramStats(T(s, dir, "documents"), n = 2)),
+
+    // schema-on-read JSON promotion: props."k" becomes a typed column in
+    // one map-side parse, then a per-type rollup — the shuffle carries
+    // five aggregate rows, never payloads
+    "q105_json_props" -> ((s, dir) =>
+      graft.ops.SemiStructured.extractJson(T(s, dir, "events"), "props", "k INT")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))),
+
+    // per-language equi-width length histogram: one integer floor per row
+    // at the scan, one partial-aggregated shuffle, |langs|×12 result rows;
+    // under/overflow clamp into the edge bins so Σn = corpus size
+    "q106_length_histogram" -> ((s, dir) =>
+      graft.ops.Stats.histogram(
+        T(s, dir, "documents").select(col("lang"), col("n_chars")),
+        value = col("n_chars"), lo = 0.0, hi = 600.0, bins = 12,
+        strataCols = Seq("lang"))),
+
+    // per-language quartile binning (equal-frequency discretization):
+    // ntile over (n_chars, doc_id) — the unique tie-break makes the
+    // assignment exact and engine-portable where interpolated quantile
+    // THRESHOLDS are not
+    "q107_ntile_bins" -> ((s, dir) =>
+      graft.ops.Stats.ntileBins(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        bins = 4, orderCols = Seq(col("n_chars"), col("doc_id")),
+        strataCols = Seq("lang"))),
+
     // k-core decomposition on the same clique-union similarity graph as
     // q44/q75: a c-clique is a (c−1)-core, so the 3-core is exactly the
     // nations with ≥ 4 suppliers, every survivor at core_degree c−1 — the
@@ -1717,6 +1760,70 @@ object SparkEntry {
         |    round(max(sim), 6) AS max_sim
         |  FROM s GROUP BY 1)
         |SELECT vec_id, n_matches, max_sim, n_matches > 0 AS contaminated FROM a""".stripMargin,
+
+    "q103_event_timeseries" ->
+      """WITH c AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        |  round(avg(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma
+        |FROM c""".stripMargin,
+
+    // replica of the zero-shuffle fold: same winner election (count desc,
+    // gram asc) via an explicit window over the per-(doc, gram) counts
+    "q104_text_gopher" ->
+      raw"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+         |                x -> x <> '') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)),
+         |                          i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS gram
+         |  FROM w),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, gram, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+         |  FROM gc),
+         |tot AS (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |    list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS chars,
+         |    len(list_distinct(ws)) AS nd
+         |  FROM w)
+         |SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
+         |  round(CASE WHEN t.n_words = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(t.nd AS DOUBLE) / t.n_words END, 6) AS dup_word_frac,
+         |  coalesce(b.gram, '') AS top_ngram,
+         |  CAST(coalesce(b.c, 0) AS BIGINT) AS top_ngram_count,
+         |  round(CASE WHEN coalesce(b.c, 0) = 0 OR t.chars = 0 THEN 0.0
+         |    ELSE b.c * CAST(length(b.gram) - 1 AS DOUBLE) / t.chars END, 6) AS top_ngram_frac
+         |FROM tot t LEFT JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1""".stripMargin,
+
+    "q105_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q106_length_histogram" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(least(greatest(floor(CAST(n_chars AS DOUBLE) / 50.0), 0), 11) AS BIGINT) AS bin
+        |  FROM documents)
+        |SELECT lang, bin,
+        |  round(bin * CAST(50.0 AS DOUBLE), 6) AS bin_lo,
+        |  round((bin + 1) * CAST(50.0 AS DOUBLE), 6) AS bin_hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q107_ntile_bins" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
 
     // replica of the linear sketch: per-row bucket sums (seeds 100..103,
     // width 256), estimate = least of the four counters

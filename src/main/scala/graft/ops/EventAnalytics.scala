@@ -131,4 +131,33 @@ object EventAnalytics {
     counts.select(col("from_type"), col("to_type"), col("n"),
       round(col("n").cast("double") / sum(col("n")).over(totals).cast("double"), 6).as("p"))
   }
+
+  /** Bucketed event time series with a trailing moving average: events
+    * collapse to `(series, bucket, n)` counts (bucket = `ts div bucketTs`,
+    * epoch-aligned integer division), then a per-series window adds
+    * `ma = avg(n)` over the trailing `maBuckets` PRESENT buckets.
+    *
+    * The aggregate shrinks the stream to |series| × |buckets| rows BEFORE
+    * the window's shuffle — the window never sees raw events, so the
+    * expensive ordered step runs on the already-tiny frame. Note the MA is
+    * over present buckets (row frame), not calendar buckets: an empty
+    * bucket contributes no zero row. Densify first if gap semantics
+    * matter.
+    */
+  def timeSeries(
+      events: DataFrame,
+      bucketTs: Long,
+      maBuckets: Int,
+      seriesCol: String = "event_type",
+      tsCol: String = "ts"
+  ): DataFrame = {
+    require(bucketTs > 0, s"bucketTs must be positive, got $bucketTs")
+    require(maBuckets >= 1, s"maBuckets must be >= 1, got $maBuckets")
+    val counts = events
+      .groupBy(col(seriesCol), expr(s"`$tsCol` div $bucketTs").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("bucket"))
+      .rowsBetween(-(maBuckets - 1).toLong, Window.currentRow)
+    counts.withColumn("ma", round(avg(col("n")).over(w), 6))
+  }
 }

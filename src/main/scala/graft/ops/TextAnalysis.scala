@@ -215,6 +215,75 @@ object TextAnalysis {
       scale)
   }
 
+  /** Gopher-style top-n-gram concentration: the fraction of word
+    * characters captured by the document's single MOST FREQUENT n-gram —
+    * the companion signal to [[repetitionRatio]] (that one measures how
+    * much repeats at all; this one how much one phrase dominates, the rule
+    * Gopher applies at n = 2, 3, 4 to drop template/boilerplate pages).
+    * Returns per document:
+    * `(idCol, n_words, dup_word_frac, top_ngram, top_ngram_count,
+    * top_ngram_frac)` where `top_ngram_frac = count · chars(top_ngram) /
+    * Σ chars(words)` and `dup_word_frac = 1 − |distinct words| / |words|`.
+    *
+    * Scale shape: ZERO shuffle. The n-gram list, its sort, and the
+    * longest-run election all happen inside one projection over the row's
+    * own token array (`array_sort` + a linear `aggregate` fold), so the
+    * cost is per-document and the operator composes with any scan — the
+    * alternative (explode → per-(doc, gram) count → per-doc argmax) is two
+    * corpus-sized shuffles for the same answer. Ties break to the
+    * lexicographically SMALLEST n-gram (the sorted fold keeps the first
+    * max), so engines agree on the winner, not just the count.
+    */
+  def topNgramStats(
+      df: DataFrame,
+      n: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      scale: Int = 6
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks      = split(lower(trim(col(textCol))), "\\s+")
+    val words     = filter(toks, w => w =!= "")
+    val nWords    = size(col("_words")).cast("long")
+    val charTotal = aggregate(col("_words"), lit(0L), (acc, w) => acc + length(w))
+    // guard BEFORE sequence(): sequence(0, -1) would descend, not empty
+    val grams = when(size(col("_words")) >= n,
+      array_sort(transform(
+        sequence(lit(0), size(col("_words")) - n),
+        i => array_join(slice(col("_words"), i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    // fold over the SORTED gram list: equal grams are adjacent, so the
+    // longest run is the global max count; `>` keeps the first (smallest)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit("").as("best_gram"))
+    val best = aggregate(
+      col("_grams"), zero,
+      (st, g) => {
+        val run = when(g === st("prev"), st("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          when(run > st("best"), run).otherwise(st("best")).as("best"),
+          when(run > st("best"), g).otherwise(st("best_gram")).as("best_gram"))
+      })
+    df.select(col(idCol), words.as("_words"))
+      .withColumn("_grams", grams)
+      .withColumn("_best", best)
+      .select(
+        col(idCol),
+        nWords.as("n_words"),
+        round(when(nWords === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(col("_words"))).cast("double") / nWords.cast("double")),
+          scale).as("dup_word_frac"),
+        col("_best")("best_gram").as("top_ngram"),
+        col("_best")("best").as("top_ngram_count"),
+        round(when(charTotal === 0 || col("_best")("best") === 0, lit(0.0))
+          .otherwise(col("_best")("best").cast("double")
+            // the joining spaces are not word characters
+            * (length(col("_best")("best_gram")).cast("double") - lit((n - 1).toDouble))
+            / charTotal.cast("double")),
+          scale).as("top_ngram_frac"))
+  }
+
   /** BM25 relevance of every matching document against a bag-of-words
     * query: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
     * the Lucene-style smoothed idf = ln((N − df + 0.5)/(df + 0.5) + 1).

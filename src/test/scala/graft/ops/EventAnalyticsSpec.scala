@@ -70,6 +70,28 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("timeSeries: trailing MA over present buckets, per series, ordered") {
+    import spark.implicits._
+    val df = Seq(
+      // series a: buckets 0 (2 events), 1 (4), 3 (6) — bucket 2 absent
+      (1L, "a", 5L), (2L, "a", 9L),
+      (3L, "a", 10L), (4L, "a", 12L), (5L, "a", 15L), (6L, "a", 19L),
+      (7L, "a", 30L), (8L, "a", 31L), (9L, "a", 32L),
+      (10L, "a", 33L), (11L, "a", 34L), (12L, "a", 35L),
+      // series b: one bucket
+      (13L, "b", 0L)
+    ).toDF("event_id", "event_type", "ts")
+    val got = EventAnalytics.timeSeries(df, bucketTs = 10L, maBuckets = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      ("a", 0L) -> ((2L, 2.0)),
+      ("a", 1L) -> ((4L, 3.0)),
+      // bucket 3's MA partner is bucket 1 (present-bucket row frame, not calendar)
+      ("a", 3L) -> ((6L, 5.0)),
+      ("b", 0L) -> ((1L, 1.0))))
+  }
+
   test("funnel plan prunes the scan per step and never shuffles raw events") {
     val df = events((1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L))
     val out = EventAnalytics.funnel(df, Seq("view", "click", "purchase"), windowTs = 1000L)

@@ -337,6 +337,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(0L -> 0.5, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.5), s"got $out")
   }
 
+  test("topNgramStats: dominant bigram, char fraction, smallest-gram tie-break, degenerate docs") {
+    import spark.implicits._
+    val df = Seq(
+      // "b c" wins with 2 of 4 bigrams; words chars = 5; frac = 2*3/5? no:
+      // chars("b c") - 1 space = 3-1=2 -> 2*2/5 = 0.8
+      (0L, "a b c b c"),
+      // tie between "x y" and "y x" (2 each) -> smallest ("x y") wins
+      (1L, "x y x y x"),
+      (2L, "solo"),   // no bigram: empty winner, zero frac
+      (3L, "")        // no words at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgramStats(df, n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(0L) == ((5L, 0.4, "b c", 2L, 0.8)), s"got ${out(0L)}")
+    assert(out(1L) == ((5L, 0.6, "x y", 2L, 0.8)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, 0.0, "", 0L, 0.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0.0, "", 0L, 0.0)), s"got ${out(3L)}")
+  }
+
   test("bm25 matches the textbook formula, only matching docs returned, repartition-stable") {
     import spark.implicits._
     val docs = Seq(
