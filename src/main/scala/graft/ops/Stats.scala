@@ -48,6 +48,55 @@ object Stats {
         col("n")): _*)
   }
 
+  /** Pearson correlation + least-squares line per stratum, computed to be
+    * ENGINE-PORTABLE: the five accumulations (Σx, Σy, Σxy, Σx², Σy²) run
+    * as EXACT decimal sums (inputs cast to `decimal(18,6)`, products at
+    * `decimal(37,12)` — still inside the 38-digit cap, so no engine's
+    * overflow rounding kicks in), and only the final closed-form ratios
+    * drop to IEEE doubles. A plain `corr()` over doubles is
+    * order-dependent (partial sums differ per partitioning, and another
+    * engine sums in yet another order); this formulation gives every
+    * engine identical inputs to identical final arithmetic. Returns
+    * `(strataCols…, n, corr, slope, intercept)` — the corpus-statistics /
+    * scaling-law-fit primitive. NULL corr/slope where a side is constant
+    * (zero variance), NULL pairs skipped via an explicit filter.
+    *
+    * One partial-aggregated shuffle of five decimals + a count per
+    * stratum; the result frame is |strata| rows.
+    */
+  def linearFit(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      strataCols: Seq[String] = Nil,
+      scale: Int = 6
+  ): DataFrame = {
+    val xd = x.cast("decimal(18,6)")
+    val yd = y.cast("decimal(18,6)")
+    val strata = strataCols.map(col)
+    val sums = df
+      .where(x.isNotNull && y.isNotNull)
+      .groupBy(strata: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xd).as("_sx"), sum(yd).as("_sy"),
+        sum(xd * yd).as("_sxy"), sum(xd * xd).as("_sxx"), sum(yd * yd).as("_syy"))
+    val n   = col("n").cast("double")
+    val sx  = col("_sx").cast("double");  val sy  = col("_sy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val sxx = col("_sxx").cast("double"); val syy = col("_syy").cast("double")
+    val covN  = n * sxy - sx * sy   // n² · covariance
+    val varXN = n * sxx - sx * sx   // n² · variance(x)
+    val varYN = n * syy - sy * sy
+    val slope = when(varXN > 0, covN / varXN)
+    sums.select(strata ++ Seq(
+      col("n"),
+      round(when(varXN > 0 && varYN > 0, covN / (sqrt(varXN) * sqrt(varYN))), scale)
+        .as("corr"),
+      round(slope, scale).as("slope"),
+      round(when(varXN > 0, (sy - slope * sx) / n), scale).as("intercept")): _*)
+  }
+
   /** Equal-frequency discretization: adds `bin` (0-based ntile index over
     * `orderCols` within each stratum) — the quantile-binning step of
     * feature bucketing. `ntile` splits each stratum into `bins` groups
