@@ -25,6 +25,24 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with `ts` normalized to a NANO-epoch long whatever
+    * the file's physical unit: a TIMESTAMP(NANOS) file arrives as a long
+    * already (the `nanosAsLong` conf in Verify/Bench/specs — pass-through),
+    * while a µs/ms-precision file arrives as TIMESTAMP(_NTZ) and converts
+    * via `unix_micros` at the session's pinned UTC zone — exactly the
+    * oracles' `epoch_ns(ts)`. Every ts-arithmetic query must read events
+    * through this, not [[T]]: the driver regenerates the testdata between
+    * rounds and the unit has changed before (nanos → µs at round 8).
+    */
+  private def E(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn(
+        "ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
+
   /** Hash family for the sketch queries (q18/q22/q29). Defaults to
     * [[graft.ops.Md5Hash]] — the portable family the DuckDB oracles
     * replicate, which is what Verify (the correctness gate) must run.
@@ -136,7 +154,7 @@ object SparkEntry {
 
     // P8/J4: two-mode catalog exact-match (broadcast literal map)
     "q10_twomode_catalog" -> ((s, dir) => {
-      val v = T(s, dir, "events").select(col("event_id").as("id"), col("event_type").as("cdsxmatch"))
+      val v = E(s, dir).select(col("event_id").as("id"), col("event_type").as("cdsxmatch"))
       val fixed = List(
         FixedVertex(11L, "catalog", List(
           FixedVertexProperty("recipe", "string", "catalog"),
@@ -149,7 +167,7 @@ object SparkEntry {
 
     // P7: two-mode direct row-predicate recipe (asteroids: roid > 1)
     "q11_twomode_direct" -> ((s, dir) => {
-      val v = T(s, dir, "events")
+      val v = E(s, dir)
         .select(col("event_id").as("id"), floor(col("value") / 100).cast("int").as("roid"))
       val fixed = List(
         FixedVertex(21L, "asteroids", List(FixedVertexProperty("recipe", "string", "asteroids"))))
@@ -159,7 +177,7 @@ object SparkEntry {
     // P7 multi-recipe: microlensing + asteroids in one pass (explode over
     // per-recipe dst expressions; 0..2 edges per row)
     "q38_twomode_multi" -> ((s, dir) => {
-      val v = T(s, dir, "events").select(
+      val v = E(s, dir).select(
         col("event_id").as("id"),
         when(col("event_type") === "click", "ML").otherwise("CV").as("mulens_class_1"),
         when(col("value") > 250, "ML").otherwise("CV").as("mulens_class_2"),
@@ -173,7 +191,7 @@ object SparkEntry {
 
     // P7 supernova recipe: the full 6-predicate + 19-class membership rule
     "q39_twomode_supernova" -> ((s, dir) => {
-      val v = T(s, dir, "events").select(
+      val v = E(s, dir).select(
         col("event_id").as("id"),
         (col("value") / 500).as("snn_snia_vs_nonia"),
         (col("value") / 490).as("snn_sn_vs_all"),
@@ -209,7 +227,7 @@ object SparkEntry {
     // long — see the nanosAsLong conf in Verify/Bench; integer division keeps
     // the bucket exact, a double round-trip would lose precision above 2^53)
     "q14_window_hourly" -> ((s, dir) =>
-      T(s, dir, "events")
+      E(s, dir)
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))),
 
@@ -217,7 +235,7 @@ object SparkEntry {
     "q15_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id"))
-      T(s, dir, "events")
+      E(s, dir)
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("event_type"))
@@ -346,7 +364,7 @@ object SparkEntry {
     // pivot: event-type counts as columns per user
     "q37_pivot" -> ((s, dir) => {
       val types = Seq("click", "view", "purchase", "signup", "error")
-      val p = T(s, dir, "events")
+      val p = E(s, dir)
         .groupBy(col("user_id"))
         .pivot("event_type", types)
         .count()
@@ -365,7 +383,7 @@ object SparkEntry {
 
     // gap-based sessionization: two stacked windows, one shuffle on user_id
     "q30_sessionize" -> ((s, dir) =>
-      graft.ops.Sessionize.byGap(T(s, dir, "events"), gap = 28800000000000L) // 8h in ns
+      graft.ops.Sessionize.byGap(E(s, dir), gap = 28800000000000L) // 8h in ns
         .select(col("user_id"), col("event_id"), col("session_seq"), col("session_id"))),
 
     // per-session aggregates over the sessionized stream. Session bounds are
@@ -373,7 +391,7 @@ object SparkEntry {
     // µs, so the ns-exact bounds would differ below the µs in the oracle.
     "q31_session_stats" -> ((s, dir) =>
       graft.ops.Sessionize.sessionStats(
-        graft.ops.Sessionize.byGap(T(s, dir, "events"), gap = 28800000000000L))
+        graft.ops.Sessionize.byGap(E(s, dir), gap = 28800000000000L))
         .withColumn("session_start", expr("session_start div 1000"))
         .withColumn("session_end", expr("session_end div 1000"))),
 
@@ -656,7 +674,7 @@ object SparkEntry {
     // values (events carry genuine nanos)
     "q97_event_funnel" -> ((s, dir) =>
       graft.ops.EventAnalytics.funnel(
-        T(s, dir, "events").withColumn("tsu", expr("ts div 1000")),
+        E(s, dir).withColumn("tsu", expr("ts div 1000")),
         steps = Seq("view", "click", "purchase"),
         windowTs = 604800000000L, tsCol = "tsu")),
 
@@ -665,14 +683,14 @@ object SparkEntry {
     // user-keyed aggregates and a |cohorts|×|offsets| result
     "q98_cohort_retention" -> ((s, dir) =>
       graft.ops.EventAnalytics.cohortRetention(
-        T(s, dir, "events").withColumn("tsu", expr("ts div 1000")),
+        E(s, dir).withColumn("tsu", expr("ts div 1000")),
         bucketTs = 86400000000L, tsCol = "tsu")),
 
     // first-order event-type transition matrix (Markov view of the event
     // stream): per-user lead() window, exact integer counts, one division
     "q99_event_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.transitionCounts(
-        T(s, dir, "events").withColumn("tsu", expr("ts div 1000")),
+        E(s, dir).withColumn("tsu", expr("ts div 1000")),
         tsCol = "tsu")),
 
     // per-language winsorized length trim (drop shortest/longest 5%):
@@ -722,7 +740,7 @@ object SparkEntry {
     // per-type ordering window ever shuffles a row
     "q103_event_timeseries" -> ((s, dir) =>
       graft.ops.EventAnalytics.timeSeries(
-        T(s, dir, "events").withColumn("tsu", expr("ts div 1000")),
+        E(s, dir).withColumn("tsu", expr("ts div 1000")),
         bucketTs = 3600000000L, maBuckets = 3, tsCol = "tsu")),
 
     // Gopher-style top-bigram concentration: fraction of word characters
@@ -736,7 +754,7 @@ object SparkEntry {
     // one map-side parse, then a per-type rollup — the shuffle carries
     // five aggregate rows, never payloads
     "q105_json_props" -> ((s, dir) =>
-      graft.ops.SemiStructured.extractJson(T(s, dir, "events"), "props", "k INT")
+      graft.ops.SemiStructured.extractJson(E(s, dir), "props", "k INT")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           round(avg(col("k")), 6).as("avg_k"))),
@@ -1087,7 +1105,7 @@ object SparkEntry {
     // Timestamps are compared at µs (ts div 1000) so the DuckDB oracle sees
     // the same timeline (parquet NANOS truncate to µs there).
     "q46_asof_join" -> ((s, dir) => {
-      val ev = T(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val ev = E(s, dir).withColumn("tsu", expr("ts div 1000"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("tsu"))
       val clicks = ev.where(col("event_type") === "click")
@@ -1103,7 +1121,7 @@ object SparkEntry {
     // hour (pandas merge_asof direction='forward' surface) — the same
     // one-shuffle union-scan as q46, on reversed time order
     "q51_asof_forward" -> ((s, dir) => {
-      val ev = T(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val ev = E(s, dir).withColumn("tsu", expr("ts div 1000"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("tsu"))
       val purchases = ev.where(col("event_type") === "purchase")
@@ -1121,7 +1139,7 @@ object SparkEntry {
     // bucket per point, residual between filter) — never the per-key
     // nested loop the naive range join plans to.
     "q49_interval_join" -> ((s, dir) => {
-      val ev = T(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val ev = E(s, dir).withColumn("tsu", expr("ts div 1000"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("tsu"))
       val purchases = ev.where(col("event_type") === "purchase")

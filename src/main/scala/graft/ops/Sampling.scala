@@ -275,4 +275,50 @@ object Sampling {
       .where(col("_hash_rank") <= k)
       .drop("_hash_rank")
   }
+
+  /** Per-stratum REPEAT factors — the "epochs per source" step of corpus
+    * assembly (up-weight high-quality sources by repeating them, down-weight
+    * bulk sources below one pass): each row is replicated `repeats(stratum)`
+    * times in expectation, tagged with an `epoch` column (1-based). A
+    * fractional factor f replicates every row ⌊f⌋ times and one extra time
+    * for the deterministic hash-selected `frac(f)` fraction of rows — so
+    * factor 2.5 yields epochs 1..2 for every row and epoch 3 for half of
+    * them, and factor 0.5 keeps half the rows at epoch 1 (the others
+    * vanish, the sub-one-pass case). Downstream, `epoch` feeds the
+    * deterministic shuffle key so repeated copies spread across the
+    * training order instead of clumping.
+    *
+    * Determinism/portability, the module contract: the extra-copy choice is
+    * the same `(seed, key)` hash filter as [[hashSample]] — reproducible,
+    * nested across factor changes (raising 2.4 → 2.6 keeps every 2.4-copy),
+    * consistent across tables on one entity key. Cost: a literal-map lookup
+    * plus one codegen `explode(sequence)` — pure map-side, no shuffle, no
+    * driver state; output size is the only cost, and it is exactly the
+    * requested corpus size.
+    */
+  def withEpochs(df: DataFrame, strataCol: String, repeats: Map[String, Double],
+      defaultRepeat: Double = 1.0, key: Column = null, seed: Int = 42,
+      hash: HashFamily = XxHash): DataFrame = {
+    require(repeats.size <= DefaultMaxStrata,
+      s"repeats has ${repeats.size} entries — the literal factor map is sized for " +
+        s"domain-cardinality strata (≤ $DefaultMaxStrata); join a factor table instead")
+    (repeats.values.toSeq :+ defaultRepeat).foreach(f =>
+      require(f >= 0.0 && f <= 1000.0, s"repeat factors must be in [0, 1000], got $f"))
+    def whole(f: Double): Long = math.floor(f).toLong
+    def fracThreshold(f: Double): Long = math.round((f - math.floor(f)) * Granularity)
+    val rowKey = Option(key).getOrElse(col(strataCol))
+    val wholeMap = map(repeats.toSeq.flatMap { case (k, f) =>
+      Seq(lit(k), lit(whole(f)))
+    }: _*)
+    val fracMap = map(repeats.toSeq.flatMap { case (k, f) =>
+      Seq(lit(k), lit(fracThreshold(f)))
+    }: _*)
+    val nWhole = coalesce(element_at(wholeMap, col(strataCol)), lit(whole(defaultRepeat)))
+    val nFrac = coalesce(element_at(fracMap, col(strataCol)), lit(fracThreshold(defaultRepeat)))
+    val n = nWhole + when(bucket(rowKey, seed, hash) < nFrac, 1L).otherwise(0L)
+    df.withColumn("_n_epochs", n)
+      .where(col("_n_epochs") >= 1L) // sequence(1, 0) would DESCEND, not empty
+      .withColumn("epoch", explode(sequence(lit(1L), col("_n_epochs"))))
+      .drop("_n_epochs")
+  }
 }
