@@ -778,6 +778,25 @@ object SparkEntry {
         bins = 4, orderCols = Seq(col("n_chars"), col("doc_id")),
         strataCols = Seq("lang"))),
 
+    // per-language least-squares fit of chars vs tokens (the scaling-law-
+    // fit primitive): the five moment sums run as EXACT decimals, so the
+    // final double arithmetic is bit-identical in any engine — a plain
+    // double-summed corr() would be partitioning- and engine-dependent
+    "q108_linear_fit" -> ((s, dir) =>
+      graft.ops.Stats.linearFit(
+        T(s, dir, "documents").select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"), col("n_chars")),
+        x = col("n_tok"), y = col("n_chars"), strataCols = Seq("lang"))),
+
+    // per-source repeat factors (epochs): en 2.5 passes, de half a pass,
+    // everything else one — pure map-side explode, the extra-copy choice is
+    // the same (seed, key) hash filter as q45, so the oracle replays it
+    "q109_sample_epochs" -> ((s, dir) =>
+      graft.ops.Sampling.withEpochs(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        strataCol = "lang", repeats = Map("en" -> 2.5, "de" -> 0.5),
+        defaultRepeat = 1.0, key = col("doc_id"), hash = activeHash)),
+
     // k-core decomposition on the same clique-union similarity graph as
     // q44/q75: a c-clique is a (c−1)-core, so the 3-core is exactly the
     // nations with ≥ 4 suppliers, every survivor at core_degree c−1 — the
@@ -1842,6 +1861,50 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars,
         |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS bin
         |FROM documents""".stripMargin,
+
+    // replica of the decimal-moment formulation: DECIMAL(18,6) inputs,
+    // exact decimal sums, then the SAME double closed forms text-for-text
+    // (sum of DECIMAL(18,6) and of the (37,12) products stays inside both
+    // engines' 38-digit cap, so every engine sees identical sum values)
+    "q108_linear_fit" ->
+      raw"""WITH d AS (
+         |  SELECT lang,
+         |    CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+         |         AS DECIMAL(18,6)) AS xd,
+         |    CAST(n_chars AS DECIMAL(18,6)) AS yd
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
+         |    CAST(sum(xd * yd) AS DOUBLE) AS sxy,
+         |    CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+         |    CAST(sum(yd * yd) AS DOUBLE) AS syy
+         |  FROM d GROUP BY 1)
+         |SELECT lang, n,
+         |  round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |    THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         |    END, 6) AS corr,
+         |  round(CASE WHEN (n * sxx - sx * sx) > 0
+         |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+         |  round(CASE WHEN (n * sxx - sx * sx) > 0
+         |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         |    END, 6) AS intercept
+         |FROM s""".stripMargin,
+
+    // replica of the epoch explode: whole copies from ⌊f⌋, the extra copy
+    // where the q45 hash bucket clears frac(f)·10⁶ — en 2/500000,
+    // de 0/500000, default 1/0
+    "q109_sample_epochs" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 0 ELSE 1 END)
+         |    + (CASE WHEN ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |            < (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 500000 ELSE 0 END)
+         |       THEN 1 ELSE 0 END) AS n
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+         |FROM r WHERE n >= 1""".stripMargin,
 
     // replica of the linear sketch: per-row bucket sums (seeds 100..103,
     // width 256), estimate = least of the four counters

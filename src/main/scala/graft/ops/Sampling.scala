@@ -85,10 +85,17 @@ object Sampling {
     require(rates.size <= DefaultMaxStrata,
       s"rates has ${rates.size} entries — the literal rate map is sized for " +
         s"domain-cardinality strata (≤ $DefaultMaxStrata); join a rate table instead")
-    val rateMap = map(rates.toSeq.flatMap { case (k, v) =>
-      Seq(lit(k), lit(thresholdOf(v)))
-    }: _*)
-    val threshold = coalesce(element_at(rateMap, col(strataCol)), lit(thresholdOf(defaultRate)))
+    // empty map short-circuits to the default: `map()` with zero entries is
+    // untyped (map<null,null>) and element_at against it fails analysis /
+    // coerces oddly rather than cleanly falling through the coalesce
+    val threshold =
+      if (rates.isEmpty) lit(thresholdOf(defaultRate))
+      else {
+        val rateMap = map(rates.toSeq.flatMap { case (k, v) =>
+          Seq(lit(k), lit(thresholdOf(v)))
+        }: _*)
+        coalesce(element_at(rateMap, col(strataCol)), lit(thresholdOf(defaultRate)))
+      }
     df.where(bucket(key, seed, hash) < threshold)
   }
 
@@ -307,14 +314,21 @@ object Sampling {
     def whole(f: Double): Long = math.floor(f).toLong
     def fracThreshold(f: Double): Long = math.round((f - math.floor(f)) * Granularity)
     val rowKey = Option(key).getOrElse(col(strataCol))
-    val wholeMap = map(repeats.toSeq.flatMap { case (k, f) =>
-      Seq(lit(k), lit(whole(f)))
-    }: _*)
-    val fracMap = map(repeats.toSeq.flatMap { case (k, f) =>
-      Seq(lit(k), lit(fracThreshold(f)))
-    }: _*)
-    val nWhole = coalesce(element_at(wholeMap, col(strataCol)), lit(whole(defaultRepeat)))
-    val nFrac = coalesce(element_at(fracMap, col(strataCol)), lit(fracThreshold(defaultRepeat)))
+    // empty factor map short-circuits to the default (same untyped-empty-map
+    // hazard as stratifiedHashSample's rate lookup)
+    val (nWhole, nFrac) =
+      if (repeats.isEmpty)
+        (lit(whole(defaultRepeat)), lit(fracThreshold(defaultRepeat)))
+      else {
+        val wholeMap = map(repeats.toSeq.flatMap { case (k, f) =>
+          Seq(lit(k), lit(whole(f)))
+        }: _*)
+        val fracMap = map(repeats.toSeq.flatMap { case (k, f) =>
+          Seq(lit(k), lit(fracThreshold(f)))
+        }: _*)
+        (coalesce(element_at(wholeMap, col(strataCol)), lit(whole(defaultRepeat))),
+          coalesce(element_at(fracMap, col(strataCol)), lit(fracThreshold(defaultRepeat))))
+      }
     val n = nWhole + when(bucket(rowKey, seed, hash) < nFrac, 1L).otherwise(0L)
     df.withColumn("_n_epochs", n)
       .where(col("_n_epochs") >= 1L) // sequence(1, 0) would DESCEND, not empty

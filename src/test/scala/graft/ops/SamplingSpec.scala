@@ -250,6 +250,67 @@ class SamplingSpec extends SparkSpec {
     assert(keptLo.count(_._1 == "B") == 5)
   }
 
+  test("withEpochs: whole, fractional, sub-1.0 and default factors; epochs contiguous") {
+    // en 667 docs @2.5 → every doc epochs 1..2, ~half a 3rd copy;
+    // de 667 @0.5 → ~half survive at epoch 1; zh 666 on default 1.0 → kept whole
+    val out = Sampling.withEpochs(docs, "lang", Map("en" -> 2.5, "de" -> 0.5),
+      defaultRepeat = 1.0, key = col("doc_id"))
+    // per-doc epochs are exactly 1..n (contiguous, no gaps, no duplicates)
+    val perDoc = out.groupBy("lang", "doc_id")
+      .agg(max("epoch").as("m"), count(lit(1)).as("c"), min("epoch").as("lo"))
+    assert(perDoc.where(col("m") =!= col("c") || col("lo") =!= 1L).count() == 0)
+    val counts = out.groupBy("lang", "epoch").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // zh: default factor 1.0 → exactly one copy of every row, all epoch 1
+    assert(counts.get(("zh", 1L)).contains(666L) && !counts.contains(("zh", 2L)))
+    // en: epochs 1 and 2 complete, epoch 3 ≈ half (Binomial(667, 0.5))
+    assert(counts(("en", 1L)) == 667L && counts(("en", 2L)) == 667L)
+    assert(math.abs(counts(("en", 3L)) / 667.0 - 0.5) < 0.08, s"en epoch-3: $counts")
+    // de: sub-one-pass — only epoch 1, about half the stratum
+    assert(!counts.contains(("de", 2L)))
+    assert(math.abs(counts(("de", 1L)) / 667.0 - 0.5) < 0.08, s"de epoch-1: $counts")
+    // partitioning-invariant: identical (doc_id, epoch) multiset
+    val a = out.select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.withEpochs(docs.repartition(13), "lang",
+        Map("en" -> 2.5, "de" -> 0.5), defaultRepeat = 1.0, key = col("doc_id"))
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("withEpochs: factors nest — raising 2.4 → 2.6 keeps every 2.4-copy") {
+    def copies(f: Double): Set[(Long, Long)] =
+      Sampling.withEpochs(docs, "lang", Map("en" -> f), defaultRepeat = 0.0, key = col("doc_id"))
+        .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lo = copies(2.4); val hi = copies(2.6)
+    assert(lo.subsetOf(hi), "hash-threshold selection must nest across factor changes")
+    assert(hi.size > lo.size, "fixture too small to distinguish 2.4 from 2.6")
+    // defaultRepeat = 0.0 drops unlisted strata entirely
+    assert(lo.forall { case (id, _) => id % 3 == 0 }, "only en (doc_id % 3 == 0) survives")
+  }
+
+  test("withEpochs and stratifiedHashSample: empty maps fall through to the default") {
+    // `map()` with zero entries is untyped — the operators must short-circuit
+    // to the default instead of building it
+    val e = Sampling.withEpochs(docs, "lang", Map.empty, defaultRepeat = 2.0, key = col("doc_id"))
+      .groupBy("epoch").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e == Map(1L -> 2000L, 2L -> 2000L), s"got $e")
+    val s = Sampling.stratifiedHashSample(docs, "lang", Map.empty, defaultRate = 0.3,
+        key = col("doc_id")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = Sampling.hashSample(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s == plain, "empty rate map ≡ uniform sample at the default rate")
+  }
+
+  test("withEpochs plan is map-side only; zero-epoch rows vanish before explode") {
+    val out = Sampling.withEpochs(docs, "lang", Map("en" -> 0.0), defaultRepeat = 1.0,
+      key = col("doc_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"withEpochs must not shuffle:\n$plan")
+    // factor 0.0: the stratum vanishes (sequence(1,0) would DESCEND — guarded)
+    assert(out.where(col("lang") === "en").count() == 0)
+    assert(out.where(col("lang") =!= "en").count() == 1333)
+  }
+
   test("weightedTopK: heavy weights dominate; zero/null weights never selected") {
     import spark.implicits._
     val heavy = (1L to 10L).map(i => (i, "s", Some(1e9)))

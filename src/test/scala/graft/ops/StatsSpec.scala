@@ -29,6 +29,61 @@ class StatsSpec extends SparkSpec {
     assert(got == Map(("x", 1L) -> 2L, ("y", 9L) -> 1L))
   }
 
+  test("linearFit: exact line recovered; hand-computed closed form on a small set") {
+    import spark.implicits._
+    // exact line y = 2x + 1 → corr 1, slope 2, intercept 1
+    val line = (1 to 10).map(i => (i.toDouble, 2.0 * i + 1.0)).toDF("x", "y")
+    val l = Stats.linearFit(line, col("x"), col("y")).collect().head
+    assert(l.getLong(0) == 10L)
+    assert(l.getDouble(1) == 1.0 && l.getDouble(2) == 2.0 && l.getDouble(3) == 1.0)
+    // hand-computed: x=(1,2,3), y=(1,2,4) → sx=6 sy=7 sxy=17 sxx=14 syy=21;
+    // covN=9, varXN=6, varYN=14 → corr=9/√84≈0.981981, slope=1.5,
+    // intercept=(7−9)/3≈−0.666667
+    val tri = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 4.0)).toDF("x", "y")
+    val t = Stats.linearFit(tri, col("x"), col("y")).collect().head
+    assert(t.getLong(0) == 3L)
+    assert(t.getDouble(1) == 0.981981)
+    assert(t.getDouble(2) == 1.5)
+    assert(t.getDouble(3) == -0.666667)
+  }
+
+  test("linearFit: strata fit independently; null pairs skipped") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0), Some(3.0)), ("a", Some(2.0), Some(5.0)), ("a", Some(3.0), Some(7.0)),
+      ("b", Some(1.0), Some(10.0)), ("b", Some(2.0), Some(8.0)), ("b", Some(3.0), Some(6.0)),
+      ("a", None, Some(99.0)), ("b", Some(99.0), None) // excluded, don't bend the fits
+    ).toDF("s", "x", "y")
+    val got = Stats.linearFit(df, col("x"), col("y"), strataCols = Seq("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("a") == ((3L, 1.0, 2.0, 1.0)))     // y = 2x + 1
+    assert(got("b") == ((3L, -1.0, -2.0, 12.0)))  // y = −2x + 12
+  }
+
+  test("linearFit: zero-variance sides yield NULLs, not division blowups") {
+    import spark.implicits._
+    // constant x: varXN = 0 → corr/slope/intercept all NULL
+    val cx = Seq((5.0, 1.0), (5.0, 2.0), (5.0, 3.0)).toDF("x", "y")
+    val rx = Stats.linearFit(cx, col("x"), col("y")).collect().head
+    assert(rx.getLong(0) == 3L && rx.isNullAt(1) && rx.isNullAt(2) && rx.isNullAt(3))
+    // constant y: corr NULL (varYN = 0) but the flat line itself is exact
+    val cy = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("x", "y")
+    val ry = Stats.linearFit(cy, col("x"), col("y")).collect().head
+    assert(ry.isNullAt(1) && ry.getDouble(2) == 0.0 && ry.getDouble(3) == 7.0)
+  }
+
+  test("linearFit: partitioning-invariant (decimal sums are exact, order-free)") {
+    import spark.implicits._
+    // doubles with awkward partial sums; a double-summed corr could differ
+    // across partitionings — the decimal formulation cannot
+    val df = (1 to 1000).map(i => (i * 0.1 + 0.003, math.sin(i) * 100.0 + i * 0.25))
+      .toDF("x", "y")
+    val a = Stats.linearFit(df, col("x"), col("y")).collect().head
+    val b = Stats.linearFit(df.repartition(17), col("x"), col("y")).collect().head
+    assert(a == b, "fit must not depend on input partitioning")
+  }
+
   test("ntileBins: near-equal group sizes, deterministic under ties") {
     import spark.implicits._
     // 10 rows, 4 bins -> sizes 3,3,2,2; equal values order by the id tie-break
