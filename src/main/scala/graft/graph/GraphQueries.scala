@@ -82,7 +82,7 @@ object GraphQueries {
       numIter: Int = 20,
       resetProb: Double = 0.15,
       idCol: String = "id"
-  ): DataFrame = {
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
     import spark.implicits._
     val vRdd: RDD[(Long, Unit)] =
       vertices.select(col(idCol).cast("long")).rdd.map(r => (r.getLong(0), ()))
@@ -130,7 +130,7 @@ object GraphQueries {
       resetProb: Double = 0.15,
       idCol: String = "id",
       initRanks: Option[DataFrame] = None
-  ): DataFrame = {
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(numIter > 0, s"numIter must be positive, got $numIter")
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
@@ -197,7 +197,7 @@ object GraphQueries {
       vertices: DataFrame,
       edges: DataFrame,
       idCol: String = "id"
-  ): DataFrame = {
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
     import spark.implicits._
     val vRdd: RDD[(Long, Unit)] =
       vertices.select(col(idCol).cast("long")).rdd.map(r => (r.getLong(0), ()))
@@ -306,7 +306,7 @@ object GraphQueries {
       k: Int,
       idCol: String = "id",
       maxIter: Int = 100
-  ): DataFrame = {
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(k >= 1, s"k must be >= 1, got $k")
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
@@ -385,7 +385,7 @@ object GraphQueries {
       edges: DataFrame,
       numIter: Int = 5,
       idCol: String = "id"
-  ): DataFrame = {
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(numIter >= 1, s"numIter must be >= 1, got $numIter")
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
@@ -432,7 +432,7 @@ object GraphQueries {
       vertices: DataFrame,
       edges: DataFrame,
       idCol: String = "id"
-  ): DataFrame = {
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
     import spark.implicits._
     val vRdd: RDD[(Long, Unit)] =
       vertices.select(col(idCol).cast("long")).rdd.map(r => (r.getLong(0), ()))
@@ -503,7 +503,7 @@ object GraphQueries {
       edges: DataFrame,
       maxIter: Int = 50,
       localFinishEdges: Long = 200000L
-  ): DataFrame = {
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
     val src = col("src"); val dst = col("dst")
 
     // large-star: every node u points each strictly-larger neighbor at the

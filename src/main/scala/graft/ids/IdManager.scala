@@ -171,7 +171,11 @@ class IdManager(spark: SparkSession, config: IdManagerConfig) {
     // custom plan-integrated operator (InternalRow zipWithIndex, no
     // Row round trip); ZipWithIndex is the public-API equivalent
     val dfWithId = org.apache.spark.sql.graft.DenseId.assign(df, lastMax)
-    dfWithId.cache()
+    // tracked, not bare-cached: the id-stamped batch feeds the sidecar
+    // count, the append, and the caller's classify+count — all inside one
+    // load — then must not outlive the load in a long session (the shell's
+    // run() epilogue / harness Caches.clear() releases it)
+    graft.Caches.track(dfWithId)
     // advance the sidecar BEFORE appending (crash ⇒ gap, never reuse)
     writeMaxIdSidecar(lastMax + dfWithId.count())
     dfWithId.write

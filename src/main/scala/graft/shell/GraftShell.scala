@@ -46,9 +46,24 @@ final case class GraftShell(spark: SparkSession, config: GraftConfig) {
   /** The configured job, for programmatic runs. */
   def job: GraftJob = new GraftJob(spark, config)
 
-  /** One incremental load over the date range. */
+  /** One incremental load over the date range. The epilogue drops every
+    * operator-internal persisted intermediate (classifier band frames, loop
+    * checkpoints) — a load's result lives in the stores, not the block
+    * manager, so repeated interactive `run`s must not accumulate
+    * unevictable state in a long-lived session.
+    */
   def run(startDate: String, duration: Int = 1, loadedDays: Option[Int] = None): JobResult =
-    job.process(startDate, duration, loadedDays)
+    try job.process(startDate, duration, loadedDays)
+    finally graft.Caches.clear()
+
+  /** Releases operator-internal persisted state (loop checkpoints, GraphX
+    * graph caches, tracked self-join frames) accumulated by the exploration
+    * helpers below. Call after CONSUMING their results (`.show()`,
+    * `.count()`, a write): checkpoint-backed frames do not recompute once
+    * released. `run` clears automatically; exploration results are lazy, so
+    * releasing them is the caller's epilogue.
+    */
+  def release(): Unit = graft.Caches.clear()
 
   def sql(query: String): DataFrame = spark.sql(query)
 
@@ -123,7 +138,7 @@ object GraftShell {
       s"""graft shell ready
          |  vertices : ${config.idManager.dataPath}/${config.idManager.tableName}
          |  edges    : ${config.edgeBasePath} (labels: ${shell.edgeLabels.mkString(", ")})
-         |  helpers  : .vertices .edges(label) .info .run(date) .sql(q)
+         |  helpers  : .vertices .edges(label) .info .run(date) .sql(q) .release()
          |             .degrees(label) .components(label) .pageRank(label) .triangles(label) .kcore(label, k) .communities(label)""".stripMargin)
     shell
   }

@@ -51,4 +51,35 @@ class GraftShellSpec extends SparkSpec {
       .copy(idManager = graft.ids.IdManagerConfig(s"$work/none", "vertices")))
     assert(g2.vertices.isEmpty)
   }
+
+  test("long-session guard: run() and release() leave no persisted state behind") {
+    import spark.implicits._
+    val work = tempDir("graft-shell-hygiene")
+    Seq(("objA", "C*", 2019, 2, 1), ("objB", "C*", 2019, 2, 1))
+      .toDF("objectId", "cdsxmatch", "year", "month", "day")
+      .write.partitionBy("year", "month", "day").parquet(s"$work/raw")
+    val confPath = s"$work/job.conf"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+      s"""reader { basePath = "$work/raw" }
+         |idManager { spark { dataPath = "$work/ids", reservedIdSpace = 100 } }
+         |edgeStore { basePath = "$work/edges" }
+         |edgeLoader {
+         |  rulesToApply = ["similarityClassifier"]
+         |  rules { similarityClassifier { similarityExp = "cdsxmatch" } }
+         |}
+         |""".stripMargin)
+    graft.Caches.clear()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val g = GraftShell(spark, confPath)
+    // run() clears in its own epilogue — nothing new may survive it
+    g.run("2019-02-01")
+    val afterRun = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterRun.isEmpty, s"run() left persisted RDDs: $afterRun")
+    // exploration helpers pin loop checkpoints until release()
+    assert(g.components("similarity").count() == 2)
+    assert(g.pageRank("similarity", numIter = 4).count() == 2)
+    g.release()
+    val afterExplore = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterExplore.isEmpty, s"release() left persisted RDDs: $afterExplore")
+  }
 }
