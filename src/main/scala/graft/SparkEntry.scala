@@ -897,6 +897,21 @@ object SparkEntry {
     "q81_corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(T(s, dir, "documents"))),
 
+    // incremental corpus statistics: the SAME data card assembled from two
+    // per-batch mergeable partials (counts/sums/decimal quality + HLL
+    // sketch) — the 100-TB dashboard path aggregates |strata|×|batches|
+    // partial rows, never rescanning text. The exact-mergeable columns are
+    // oracle-checked; the sketch estimate is spec-gated (CorpusStatsSpec)
+    // because DuckDB's HLL is a different sketch implementation
+    "q110_corpus_report_merge" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalysis.corpusReportFromPartials(
+          TextAnalysis.corpusPartialStats(d.where(col("doc_id") % 2 === 0))
+            .union(TextAnalysis.corpusPartialStats(d.where(col("doc_id") % 2 === 1))))
+        .select(col("stratum"), col("n_docs"), col("total_tokens"),
+          col("avg_quality"), col("n_low_quality"))
+    }),
+
     // deterministic JL random projection 64→8: the embedding-compression
     // step ahead of ANN — hash-derived matrix, map-side only; exploded to
     // (vec_id, pos, value) so every projected component is hash-checked
@@ -2688,6 +2703,39 @@ object SparkEntry {
          |  CAST(dd.n_distinct_docs AS BIGINT) AS n_distinct_docs,
          |  round(1.0 - CAST(dd.n_distinct_docs AS DOUBLE) / a.n_docs, 6) AS dup_rate
          |FROM agg a JOIN dd USING (stratum)""".stripMargin,
+
+    // the merge path's exact columns equal the one-shot aggregation —
+    // decimal quality sums merge exactly, so the oracle is q81's aggregate
+    // restricted to the exact-mergeable fields (the batch split is
+    // invisible to an exact merge, by construction)
+    "q110_corpus_report_merge" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+         |    length(text) AS n,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) AS npunct
+         |  FROM documents
+         |), m AS (
+         |  SELECT lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(toks) AS INT) END AS token_count,
+         |    round(npunct / greatest(n, 1), 10) AS p10,
+         |    round(CAST(len(list_filter(ltoks, x -> x IN ($stop10))) AS DOUBLE)
+         |          / greatest(len(ltoks), 1), 10) AS s10,
+         |    n
+         |  FROM base
+         |), d AS (
+         |  SELECT lang,
+         |    token_count,
+         |    round((least(n / 500.0, 1.0) + (1.0 - least(p10 * 10.0, 1.0))
+         |           + least(s10 * 5.0, 1.0)) / 3.0, 6) AS q
+         |  FROM m
+         |)
+         |SELECT lang AS stratum, count(*) AS n_docs,
+         |  CAST(sum(token_count) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+         |  CAST(sum(CASE WHEN q < CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+         |FROM d GROUP BY 1""".stripMargin,
 
     // The 8 matrix-row dot products are spelled out as a struct list (the
     // md5 plane strings need literal row indexes); ascending-j list_sum

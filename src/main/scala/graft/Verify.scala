@@ -16,7 +16,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as nano-epoch longs
+      // events ts unit is driver-owned (changed nanos → µs at round 8);
+      // nanosAsLong makes a NANOS file arrive as a long and SparkEntry.E()
+      // normalizes whatever unit actually arrives
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

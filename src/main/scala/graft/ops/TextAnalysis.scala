@@ -846,6 +846,64 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct_docs").cast("double") / col("n_docs"), 6).as("dup_rate"))
   }
 
+  /** Mergeable per-batch corpus statistics — the incremental face of
+    * [[corpusReport]]. Returns one row per stratum whose every column is a
+    * MERGEABLE partial: counts and token sums (longs — sum to merge), the
+    * quality sum as an exact decimal (sum to merge; the division happens
+    * only in [[corpusReportFromPartials]]), and the distinct-fingerprint
+    * state as a DataSketches HLL sketch (`hll_sketch_agg` — union to
+    * merge). An ingest pipeline appends one such frame per batch; the
+    * 100-TB dashboard query then aggregates |strata| × |batches| tiny rows
+    * instead of rescanning corpus text ([[corpusReport]] stays the exact
+    * one-shot face; the sketch makes the distinct count approximate, the
+    * only non-exact column).
+    */
+  def corpusPartialStats(
+      df: DataFrame,
+      textCol: String = "text",
+      strataCol: String = "lang",
+      qualityThreshold: Double = 0.5,
+      lgK: Int = 12
+  ): DataFrame = {
+    val t = col(textCol)
+    df.select(
+        col(strataCol).as("stratum"),
+        tokenCount(t).cast("long").as("_tok"),
+        qualityScore(t).as("_q"),
+        fingerprint(t).as("_fp"))
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("total_tokens"),
+        sum(col("_q").cast("decimal(18,6)")).as("quality_sum"),
+        sum(when(col("_q") < qualityThreshold, 1L).otherwise(0L)).as("n_low_quality"),
+        hll_sketch_agg(col("_fp"), lit(lgK)).as("fp_sketch"))
+  }
+
+  /** Folds any number of [[corpusPartialStats]] frames (one per batch,
+    * unioned — or one per historical partition) into the data-card report:
+    * longs and decimals sum, sketches union (`hll_union_agg`), and only
+    * here do the ratios divide. Merge is associative and batch-split
+    * invariant (spec'd: any split ≡ one-shot), so partials can themselves
+    * be pre-merged hierarchically (hourly → daily → corpus) — each level
+    * reads |strata| rows per child, never text.
+    */
+  def corpusReportFromPartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("stratum"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(col("quality_sum")).as("_qsum"),
+        sum(col("n_low_quality")).as("n_low_quality"),
+        hll_union_agg(col("fp_sketch"), lit(true)).as("_sk"))
+      .select(
+        col("stratum"), col("n_docs"), col("total_tokens"),
+        round(col("_qsum").cast("double") / col("n_docs"), 6).as("avg_quality"),
+        col("n_low_quality"),
+        hll_sketch_estimate(col("_sk")).as("n_distinct_docs_approx"),
+        round(lit(1.0) - hll_sketch_estimate(col("_sk")).cast("double") / col("n_docs"), 6)
+          .as("dup_rate_approx"))
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
