@@ -52,6 +52,17 @@ import graft.ops.{Dedup, HashFamily, TextAnalysis, XxHash}
   * the prior batches' labels (its own partition excluded), so the output
   * is replay-idempotent like every other sink here.
   *
+  * With `embeddingCol` supplied, a SEMANTIC near-dup screen runs alongside
+  * the MinHash one: the batch's vectors are hyperplane-LSH-bucketed once
+  * and probed against an incrementally-maintained `(id, bucket, vec)`
+  * table (the same O(batch) probe-and-append discipline as the band /
+  * shingle tables — the corpus is never re-bucketed), within-bucket exact
+  * cosine at `semanticThreshold` verifying. Semantic dups divert from the
+  * corpus like minhash dups, land in their own batch-partitioned
+  * `semanticDupsPath` record, and feed the incremental cluster labels as
+  * pair evidence; replay follows the same own-partition-excluded rule, so
+  * the screen is replay-idempotent like everything else here.
+  *
   * With `evalSet` supplied, each batch's novel documents are additionally
   * screened for eval-set contamination ([[graft.ops.Decontaminate]],
   * n-gram overlap at `decontaminateN`/`decontaminateMinShared`) BEFORE
@@ -79,11 +90,20 @@ class StreamingDedupIngest(
     decontaminateN: Int = 8,
     decontaminateMinShared: Long = 1L,
     vocabPath: Option[String] = None,
-    labelsPath: Option[String] = None
+    labelsPath: Option[String] = None,
+    embeddingCol: Option[String] = None,
+    semanticDupsPath: Option[String] = None,
+    semanticThreshold: Double = 0.9,
+    semanticBits: Int = 4,
+    semanticDim: Int = 64
 ) {
+
+  require(embeddingCol.isEmpty || semanticDupsPath.isDefined,
+    "embeddingCol requires a semanticDupsPath for the semantic dup records")
 
   private val bandsPath = s"$sketchPath/bands"
   private val shPath    = s"$sketchPath/sh"
+  private val embPath   = s"$sketchPath/emb"
 
   /** A corpus-side sketch table, with the current batch's own partition
     * excluded (replay safety — see class doc), or an empty same-schema
@@ -151,6 +171,7 @@ class StreamingDedupIngest(
     // writes no corpus partition (zero-row partitioned writes leave
     // nothing), but its dups/labels partitions still mark it replayable
     val allPaths = Seq(corpusPath, dupsPath, bandsPath, shPath) ++
+      embeddingCol.map(_ => embPath) ++ semanticDupsPath ++
       quarantinePath ++ vocabPath ++ labelsPath
     val maxes = allPaths.flatMap { p =>
       try Option(spark.read.parquet(p).agg(max(col("ingest_batch").cast("long"))).head())
@@ -187,6 +208,8 @@ class StreamingDedupIngest(
     snapshotTable(dupsPath)(plainUnion)
     snapshotTable(bandsPath)(plainUnion)
     snapshotTable(shPath)(plainUnion)
+    embeddingCol.foreach(_ => snapshotTable(embPath)(plainUnion))
+    semanticDupsPath.foreach(p => snapshotTable(p)(plainUnion))
     quarantinePath.foreach(p => snapshotTable(p)(plainUnion))
     vocabPath.foreach(p => snapshotTable(p)(
       _.groupBy("token").agg(sum("tf").as("tf"), sum("df").as("df"))))
@@ -220,9 +243,42 @@ class StreamingDedupIngest(
     val dupPairs  = graft.Caches.track(Dedup.incrementalFromSketches(
       newSigs, histBands, histSh, numHashes, bands, verifyThreshold, hash))
 
-    val dedupNovel = reps.join(
-      dupPairs.select(col("new_id")).distinct(),
-      reps(idCol) === col("new_id"), "left_anti")
+    // 2a. semantic near-dup screen (when the stream carries embeddings):
+    // the batch's vectors are LSH-bucketed ONCE and probed against the
+    // incrementally-maintained (id, bucket, vec) table — the minhash
+    // incremental probe shape applied to embedding space; within-bucket
+    // exact native cosine verifies. Directional old→new vs history plus
+    // min-id-kept intra-batch pairs, exactly the minhash pair contract.
+    val semState: Option[(DataFrame, DataFrame)] = embeddingCol.map { ec =>
+      val lsh = graft.ops.SimilaritySearch
+        .RandomHyperplaneLsh(semanticBits, semanticDim, hash)
+      val newEmb = graft.Caches.track(reps.select(
+        col(idCol).as("id"),
+        lsh.bucketExpr(col(ec).cast("array<double>")).as("bucket"),
+        col(ec).cast("array<double>").as("_v")))
+      val histEmb = readSketch(embPath, batchId, newEmb)
+      val newSide = newEmb.select(col("bucket"), col("id").as("new_id"), col("_v").as("v_b"))
+      val cross = histEmb
+        .select(col("bucket"), col("id").as("old_id"), col("_v").as("v_a"))
+        .join(newSide, Seq("bucket"))
+      val intra = newEmb
+        .select(col("bucket"), col("id").as("old_id"), col("_v").as("v_a"))
+        .join(newSide, Seq("bucket"))
+        .where(col("old_id") < col("new_id"))
+      val pairs = cross.union(intra)
+        .withColumn("_cos", graft.ops.VectorOps.cosine(col("v_a"), col("v_b")))
+        .where(col("_cos") >= semanticThreshold)
+        .select(col("old_id"), col("new_id"), round(col("_cos"), 6).as("cosine"))
+        .distinct()
+      (graft.Caches.track(pairs), newEmb)
+    }
+
+    val dupNewIds = semState match {
+      case Some((sp, _)) =>
+        dupPairs.select(col("new_id")).union(sp.select(col("new_id"))).distinct()
+      case None => dupPairs.select(col("new_id")).distinct()
+    }
+    val dedupNovel = reps.join(dupNewIds, reps(idCol) === col("new_id"), "left_anti")
 
     // 2b. eval-set decontamination gate: contaminated novel docs divert to
     // quarantine and never enter the corpus or its sketch tables
@@ -253,6 +309,14 @@ class StreamingDedupIngest(
     writeBatchPartition(dupPairs, dupsPath)
     writeBatchPartition(Dedup.bandBuckets(novelSigs, numHashes, bands, hash), bandsPath)
     writeBatchPartition(novelSigs.select(col("id"), col("sh")), shPath)
+    // novel documents' bucketed vectors extend the embedding table (the
+    // same O(batch) append discipline as the band/shingle tables); the
+    // semantic dup pairs get their own batch-partitioned record
+    semState.foreach { case (sp, newEmb) =>
+      writeBatchPartition(sp, semanticDupsPath.get)
+      writeBatchPartition(
+        newEmb.join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi"), embPath)
+    }
     quarantinePath.foreach(p => writeBatchPartition(contaminated, p))
     // incremental cluster labels: prior labels (pre-collapsed history) +
     // this batch's pair evidence (cross-corpus near-dups and intra-batch
@@ -266,6 +330,9 @@ class StreamingDedupIngest(
         .select(col("_rep").as("id_a"), col(idCol).as("id_b"))
       val pairFrame = dupPairs.select(col("old_id").as("id_a"), col("new_id").as("id_b"))
         .union(exactPairs)
+        .union(semState.map { case (sp, _) =>
+          sp.select(col("old_id").as("id_a"), col("new_id").as("id_b"))
+        }.getOrElse(exactPairs.limit(0)))
       val prior = readLatestLabels(lp, excludeBatch = batchId)
       val updated = graft.ops.Dedup
         .incrementalClusters(spark, prior, pairFrame, idCol = idCol)

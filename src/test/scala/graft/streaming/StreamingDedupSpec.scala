@@ -257,4 +257,67 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/quarantine").count() == 1L)
     assert(spark.read.parquet(s"$work/corpus").count() == 1L)
   }
+
+  // two orthogonal base vectors + tiny perturbations: cosine(e0, e0') ≈ 1,
+  // cosine(e0, e1) = 0 — text deliberately unique per doc so only the
+  // SEMANTIC screen can catch these dups
+  private def vec(axis: Int, eps: Double): Seq[Double] =
+    (0 until 8).map(j => (if (j == axis) 1.0 else 0.0) + (if (j == 7) eps else 0.0))
+
+  private def embBatch(rows: Seq[(Long, String, Seq[Double])]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "embedding")
+  }
+
+  test("semantic screen: embedding near-dups divert, vectors probe incrementally, replay-idempotent") {
+    val work = tempDir("graft-sdedup-sem")
+    def ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
+      s"$work/sketch", verifyThreshold = 0.99, // text screen effectively off
+      labelsPath = Some(s"$work/labels"),
+      embeddingCol = Some("embedding"), semanticDupsPath = Some(s"$work/semdups"),
+      semanticThreshold = 0.9, semanticBits = 2, semanticDim = 8)
+    val b1 = embBatch(Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot", vec(0, 0.0)),
+      (1L, "golf hotel india juliet kilo lima mike", vec(1, 0.0)),
+      (2L, "november oscar papa quebec romeo sierra", vec(0, 0.01)))) // sem-dup of 0
+    ingest.ingestBatch(b1, batchId = 0)
+    val corpus1 = spark.read.parquet(s"$work/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus1 == Set(0L, 1L), s"intra-batch semantic dup 2 must divert: $corpus1")
+    val sem1 = spark.read.parquet(s"$work/semdups").select("old_id", "new_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem1 == Set((0L, 2L)), s"got $sem1")
+    // the embedding table tracks the corpus exactly (dups never enter)
+    val embIds = spark.read.parquet(s"$work/sketch/emb").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(embIds == Set(0L, 1L), s"got $embIds")
+
+    // batch 2: a near-copy of corpus doc 1 (cross-batch probe) + novel axis
+    val b2 = embBatch(Seq(
+      (10L, "tango uniform victor whiskey xray yankee", vec(1, 0.02)), // sem-dup of 1
+      (11L, "zulu one two three four five six seven", vec(2, 0.0))))
+    ingest.ingestBatch(b2, batchId = 1)
+    val corpus2 = spark.read.parquet(s"$work/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus2 == Set(0L, 1L, 11L), s"cross-batch semantic dup 10 must divert: $corpus2")
+    // batch 2 appended only its own novel vector (O(batch) append)
+    val b2Emb = spark.read.parquet(s"$work/sketch/emb")
+      .where(col("ingest_batch") === 1).select("id").collect().map(_.getLong(0)).toSet
+    assert(b2Emb == Set(11L), s"got $b2Emb")
+    // semantic pairs feed the incremental cluster labels
+    val labels = ingest.labels().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.get(2L) == labels.get(0L) && labels.get(10L) == labels.get(1L),
+      s"semantic dups must share their source's cluster: $labels")
+
+    // checkpoint-recovery replay of batch 2: byte-stable outputs, no
+    // self-matching against the prior attempt's own partition
+    ingest.ingestBatch(b2, batchId = 1)
+    val corpusR = spark.read.parquet(s"$work/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpusR == corpus2, s"replay changed the corpus: $corpusR")
+    val semR = spark.read.parquet(s"$work/semdups").select("old_id", "new_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semR == Set((0L, 2L), (1L, 10L)), s"replay changed semantic dups: $semR")
+    assert(!semR.exists(p => p._1 == p._2), s"replay produced self-pairs: $semR")
+  }
 }
