@@ -305,15 +305,31 @@ object GraphQueries {
       edges: DataFrame,
       k: Int,
       idCol: String = "id",
-      maxIter: Int = 100
+      maxIter: Int = 100,
+      within: Option[DataFrame] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(k >= 1, s"k must be >= 1, got $k")
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
     // one distinct undirected edge, materialized in both orientations so
-    // groupBy(src) IS the undirected degree
-    val canon = edges
+    // groupBy(src) IS the undirected degree. With `within` (the warm
+    // start), the edge set is first restricted to edges BOTH of whose
+    // endpoints are in the given vertex frame — sound whenever `within`
+    // contains the k-core, because core_k(G) = core_k(G[W]) for any
+    // W ⊇ core_k(G). The canonical use is nested peeling on one graph:
+    // a previously computed j-core (j ≤ k) is such a W, so deepening
+    // k → k+1 peels only the (usually tiny) previous core instead of the
+    // whole corpus graph (spec'd: warm ≡ cold).
+    val scoped = within match {
+      case None => edges
+      case Some(w) =>
+        val ids = w.select(col(idCol).cast("long").as("_wid"))
+        edges
+          .join(ids, col(EdgeColumns.Src).cast("long") === col("_wid"), "left_semi")
+          .join(ids, col(EdgeColumns.Dst).cast("long") === col("_wid"), "left_semi")
+    }
+    val canon = scoped
       .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
       .where(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
@@ -384,9 +400,10 @@ object GraphQueries {
       spark: SparkSession,
       edges: DataFrame,
       numIter: Int = 5,
-      idCol: String = "id"
+      idCol: String = "id",
+      initLabels: Option[DataFrame] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
-    require(numIter >= 1, s"numIter must be >= 1, got $numIter")
+    require(numIter >= 1, s"numIter >= 1, got $numIter")
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
@@ -398,8 +415,24 @@ object GraphQueries {
     val e = materialize(
       canon.select(col("a").as("src"), col("b").as("dst"))
         .union(canon.select(col("b").as("src"), col("a").as("dst"))))
-    var labels = e.select(col("src").as("vid")).distinct()
-      .select(col("vid"), col("vid").as("label"))
+    // warm start (the pageRankDF initRanks pattern): seed from a previous
+    // run's (idCol, label) output — vertices absent from the seed (the
+    // graph grew) start with their own id, seed rows for vanished vertices
+    // are dropped by the join. From a settled community structure a grown
+    // graph needs a round or two for the new vertices to adopt their
+    // neighborhoods' labels instead of a full cold budget (spec'd: warm on
+    // the grown graph ≡ its cold labeling).
+    var labels = initLabels match {
+      case None =>
+        e.select(col("src").as("vid")).distinct()
+          .select(col("vid"), col("vid").as("label"))
+      case Some(init) =>
+        val prev = init.select(
+          col(idCol).cast("long").as("ivid"), col("label").cast("long").as("ilabel"))
+        val v = e.select(col("src").as("vid")).distinct()
+        v.join(prev, v("vid") === prev("ivid"), "left")
+          .select(v("vid"), coalesce(col("ilabel"), v("vid")).as("label"))
+    }
     var lastMaterialized: Option[DataFrame] = None
     for (i <- 1 to numIter) {
       val contrib = e.join(labels, e("dst") === labels("vid"))

@@ -55,4 +55,27 @@ class KCoreSpec extends SparkSpec {
       assert(run(bidir, k) == expect, s"k=$k bidir")
     }
   }
+
+  test("nested warm start: deepening k inside a previous core ≡ cold, on a fraction of the graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // dense kernel (8-clique → guaranteed 4-core) + sparse periphery over
+    // 120 vertices (pendants exist → core_2 is a proper subset)
+    val clique = (for (a <- 0 until 8; b <- a + 1 until 8) yield (a.toLong, b.toLong)).toSeq
+    val edges = (clique ++
+      (1 to 150).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))).distinct
+    val df = edges.toDF("src", "dst")
+    // warm: core_4 computed WITHIN core_2 — sound because core_4 ⊆ core_2
+    val core2 = GraphQueries.kCore(spark, df, k = 2)
+    val warm = GraphQueries.kCore(spark, df, k = 4, within = Some(core2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = run(edges, 4)
+    assert(warm == cold, "nested peeling must equal the cold computation")
+    assert(cold.nonEmpty, "fixture must have a non-trivial 4-core")
+    // the restriction actually shrinks the problem: core_2 is a proper
+    // subset of the vertex set on this fixture
+    val allVertices = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+    assert(core2.count() < allVertices, "fixture too dense to show the restriction")
+    graft.Caches.clear()
+  }
 }

@@ -54,4 +54,28 @@ class LabelPropagationSpec extends SparkSpec {
     // flipping every edge must not change anything (undirected reading)
     assert(run(edges.map(_.swap), 4) == expect)
   }
+
+  test("warm start: a grown graph resumes from the settled labeling in 1 round") {
+    import spark.implicits._
+    // two cliques, settled in one cold round
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val settled = GraphQueries.labelPropagation(spark, base.toDF("src", "dst"), numIter = 3)
+    // grow: vertex 20 attaches to the {10,11,12} clique twice (two votes
+    // beat its self-vote in one round); vanished-vertex seed rows and
+    // brand-new vertices are both exercised
+    val grown = base ++ Seq((20L, 10L), (20L, 11L))
+    val warm = GraphQueries.labelPropagation(spark, grown.toDF("src", "dst"),
+        numIter = 1, initLabels = Some(settled))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = run(grown, 5)
+    assert(warm == cold, s"warm(1) must equal cold(5) on the settled-plus-growth fixture")
+    assert(warm(20L) == 10L, s"new vertex must adopt its neighborhood's label: $warm")
+    // a seed containing a vertex no longer in the graph is simply ignored
+    val shrunk = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val warmShrunk = GraphQueries.labelPropagation(spark, shrunk.toDF("src", "dst"),
+        numIter = 1, initLabels = Some(settled))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warmShrunk == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    graft.Caches.clear()
+  }
 }
