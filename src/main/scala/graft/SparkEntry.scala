@@ -897,6 +897,16 @@ object SparkEntry {
     "q81_corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(T(s, dir, "documents"))),
 
+    // vocabulary coverage: per-doc OOV rate against the corpus's own
+    // top-50 tokens by tf — TakeOrdered top-N, broadcast membership probe,
+    // one per-doc rollup shuffle; the tokenizer-coverage screen before a
+    // vocab freeze
+    "q111_vocab_coverage" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalysis.vocabularyCoverage(
+        d, TextAnalysis.vocabulary(d), topN = 50)
+    }),
+
     // incremental corpus statistics: the SAME data card assembled from two
     // per-batch mergeable partials (counts/sums/decimal quality + HLL
     // sketch) — the 100-TB dashboard path aggregates |strata|×|batches|
@@ -2703,6 +2713,31 @@ object SparkEntry {
          |  CAST(dd.n_distinct_docs AS BIGINT) AS n_distinct_docs,
          |  round(1.0 - CAST(dd.n_distinct_docs AS DOUBLE) / a.n_docs, 6) AS dup_rate
          |FROM agg a JOIN dd USING (stratum)""".stripMargin,
+
+    // top-50 by (tf desc, token), then a per-doc not-in count — exact
+    // integer arithmetic end to end, one IEEE division per doc
+    "q111_vocab_coverage" ->
+      raw"""WITH t AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+         |  FROM documents
+         |), toks AS (SELECT doc_id, token FROM t WHERE token <> ''),
+         |vocab AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1
+         |), top AS (
+         |  SELECT token FROM vocab ORDER BY tf DESC, token LIMIT 50
+         |), per AS (
+         |  SELECT toks.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN top.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM toks LEFT JOIN top ON toks.token = top.token
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(per.n_tokens, 0) AS n_tokens,
+         |  coalesce(per.n_oov, 0) AS n_oov,
+         |  round(CASE WHEN coalesce(per.n_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(coalesce(per.n_oov, 0) AS DOUBLE) / per.n_tokens END, 6) AS oov_rate
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
 
     // the merge path's exact columns equal the one-shot aggregation —
     // decimal quality sums merge exactly, so the oracle is q81's aggregate

@@ -446,6 +446,50 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Per-document vocabulary coverage / OOV rate against the top-`topN`
+    * vocabulary by term frequency (ties by token — deterministic): returns
+    * `(idCol, n_tokens, n_oov, oov_rate)` — the tokenizer-coverage check
+    * that precedes any vocabulary freeze (how much of the corpus does a
+    * top-N vocab actually cover, and which documents are full of
+    * out-of-vocabulary junk). Tokenization matches [[vocabulary]], so the
+    * incremental vocab table a streaming ingest maintains feeds this
+    * directly. Documents with no tokens report (0, 0, 0.0).
+    *
+    * Scale shape: the top-N selection is TakeOrderedAndProject on the
+    * (bounded) vocabulary frame, never a global sort; the membership probe
+    * is a BROADCAST left join of the exploded token stream against the
+    * N-row top list; per-doc rollup is one map-side-combined shuffle on
+    * the doc id. No corpus-sized state beyond the token stream itself.
+    */
+  def vocabularyCoverage(
+      df: DataFrame,
+      vocab: DataFrame,
+      topN: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val top = broadcast(
+      vocab.orderBy(col("tf").desc, col("token")).limit(topN)
+        .select(col("token"), lit(1).as("_in")))
+    val toks = df
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val perDoc = toks.join(top, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(when(coalesce(col("n_tokens"), lit(0L)) === 0L, 0.0)
+          .otherwise(coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens")), 6)
+          .as("oov_rate"))
+  }
+
   /** Per-document TF-IDF top terms: for each document, its `topK`
     * highest-scoring tokens under `score = tf · ln(N / df)` — the keyword /
     * topic-signature extractor (cluster naming, dataset cards, relevance

@@ -52,6 +52,12 @@ import graft.ops.{Dedup, HashFamily, TextAnalysis, XxHash}
   * the prior batches' labels (its own partition excluded), so the output
   * is replay-idempotent like every other sink here.
   *
+  * With `statsPath` supplied, one mergeable partial-stats row per stratum
+  * per batch ([[graft.ops.TextAnalysis.corpusPartialStats]]) is maintained
+  * over the NOVEL documents; [[corpusStats]] folds them into the data-card
+  * report reading |strata|×|batches| rows — the dashboard query never
+  * rescans corpus text.
+  *
   * With `embeddingCol` supplied, a SEMANTIC near-dup screen runs alongside
   * the MinHash one: the batch's vectors are hyperplane-LSH-bucketed once
   * and probed against an incrementally-maintained `(id, bucket, vec)`
@@ -91,6 +97,8 @@ class StreamingDedupIngest(
     decontaminateMinShared: Long = 1L,
     vocabPath: Option[String] = None,
     labelsPath: Option[String] = None,
+    statsPath: Option[String] = None,
+    statsStrataCol: String = "lang",
     embeddingCol: Option[String] = None,
     semanticDupsPath: Option[String] = None,
     semanticThreshold: Double = 0.9,
@@ -172,7 +180,7 @@ class StreamingDedupIngest(
     // nothing), but its dups/labels partitions still mark it replayable
     val allPaths = Seq(corpusPath, dupsPath, bandsPath, shPath) ++
       embeddingCol.map(_ => embPath) ++ semanticDupsPath ++
-      quarantinePath ++ vocabPath ++ labelsPath
+      quarantinePath ++ vocabPath ++ statsPath ++ labelsPath
     val maxes = allPaths.flatMap { p =>
       try Option(spark.read.parquet(p).agg(max(col("ingest_batch").cast("long"))).head())
         .filterNot(_.isNullAt(0)).map(_.getLong(0))
@@ -213,6 +221,19 @@ class StreamingDedupIngest(
     quarantinePath.foreach(p => snapshotTable(p)(plainUnion))
     vocabPath.foreach(p => snapshotTable(p)(
       _.groupBy("token").agg(sum("tf").as("tf"), sum("df").as("df"))))
+    // stats partials fold mergeably (sums + HLL union); the quality sum is
+    // cast back to its per-batch type so the folded file's schema matches
+    // later batch partitions (parquet reads don't merge schemas by default)
+    statsPath.foreach(p => snapshotTable(p)(
+      _.groupBy("stratum").agg(
+          sum("n_docs").as("n_docs"),
+          sum("total_tokens").as("total_tokens"),
+          sum("quality_sum").as("quality_sum"),
+          sum("n_low_quality").as("n_low_quality"),
+          hll_union_agg(col("fp_sketch"), lit(true)).as("fp_sketch"))
+        .select(col("stratum"), col("n_docs"), col("total_tokens"),
+          col("quality_sum").cast("decimal(28,6)").as("quality_sum"),
+          col("n_low_quality"), col("fp_sketch"))))
     labelsPath.foreach(p => snapshotTable(p) { folded =>
       val w = Window.partitionBy(col(idCol)).orderBy(col("ingest_batch").desc)
       folded.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
@@ -346,7 +367,27 @@ class StreamingDedupIngest(
     // documents' token counts — per-batch work is O(batch tokens)
     vocabPath.foreach(p =>
       writeBatchPartition(TextAnalysis.vocabulary(novel, textCol, idCol), p))
+    // incremental corpus statistics: one mergeable partial-stats row per
+    // stratum per batch (counts / token sums / decimal quality sums / HLL
+    // fingerprint sketch) — the data-card dashboard then merges
+    // |strata|×|batches| rows ([[corpusStats]]) instead of rescanning text
+    statsPath.foreach(p =>
+      writeBatchPartition(
+        TextAnalysis.corpusPartialStats(novel, textCol, statsStrataCol), p))
     graft.Caches.clear() // drop the operator's tracked sketch persists
+  }
+
+  /** The corpus data-card report assembled from the per-batch partial
+    * stats — reads |strata|×|batches| partial rows, never corpus text.
+    * The exact columns (docs, tokens, quality) are exactly the report a
+    * full rescan would produce (a novel doc contributes in exactly one
+    * batch; decimal sums merge exactly); the distinct count is the HLL
+    * union's estimate. Replay-idempotent like every state table here.
+    */
+  def corpusStats(): DataFrame = {
+    val p = statsPath.getOrElse(
+      throw new IllegalStateException("ingest was built without a statsPath"))
+    TextAnalysis.corpusReportFromPartials(spark.read.parquet(p).drop("ingest_batch"))
   }
 
   /** Accumulated corpus vocabulary (token, tf, df) across every ingested

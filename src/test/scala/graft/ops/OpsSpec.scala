@@ -510,6 +510,31 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(floored === Set("the", "cat"))
   }
+
+  test("vocabularyCoverage: per-doc OOV against the top-N vocab; empty docs report zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog barked"),
+      (3L, "zyzzyva qwerty"),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    // top-2 by tf (ties by token): "the" tf=3, then "cat"/"dog"/... tf=1 -> "barked" wins the tie
+    val got = TextAnalysis.vocabularyCoverage(docs, TextAnalysis.vocabulary(docs), topN = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((6L, 4L, 0.666667)), s"got $got")   // the,the in-vocab; cat,sat,on,mat OOV
+    assert(got(2L) == ((3L, 1L, 0.333333)), s"got $got")   // the,barked in; dog OOV
+    assert(got(3L) == ((2L, 2L, 1.0)), s"got $got")        // fully OOV
+    assert(got(4L) == ((0L, 0L, 0.0)), s"got $got")        // no tokens at all
+    // a bigger N only shrinks OOV (coverage is monotone in N)
+    val wide = TextAnalysis.vocabularyCoverage(docs, TextAnalysis.vocabulary(docs), topN = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wide.values.forall(_ == 0L), s"every corpus token is in its own full vocab: $wide")
+    // the membership probe must broadcast (no shuffle on the token stream join)
+    val plan = TextAnalysis.vocabularyCoverage(docs, TextAnalysis.vocabulary(docs), topN = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"top-N probe must broadcast:\n$plan")
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {

@@ -258,6 +258,40 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/corpus").count() == 1L)
   }
 
+  test("incremental corpus stats: merged report ≡ recompute over the accumulated corpus, replay-safe") {
+    import spark.implicits._
+    val work = tempDir("graft-sdedup-stats")
+    val ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
+      s"$work/sketch", verifyThreshold = 0.5, statsPath = Some(s"$work/stats"))
+    // batches need a lang column for the default stratum
+    def withLang(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    ingest.ingestBatch(withLang(batch1), batchId = 0)
+    ingest.ingestBatch(withLang(batch2), batchId = 1)
+    def exactOf(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.corpusReport(df)
+        .select("stratum", "n_docs", "total_tokens", "avg_quality", "n_low_quality")
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val merged = ingest.corpusStats()
+      .select("stratum", "n_docs", "total_tokens", "avg_quality", "n_low_quality")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // the report over the batch-partial tables equals a full recompute
+    // over the accumulated (novel-only) corpus — exact fields exactly
+    assert(merged == exactOf(spark.read.parquet(s"$work/corpus")), s"got $merged")
+    // replaying the last batch leaves the report unchanged
+    ingest.ingestBatch(withLang(batch2), batchId = 1)
+    val replayed = ingest.corpusStats()
+      .select("stratum", "n_docs", "total_tokens", "avg_quality", "n_low_quality")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(replayed == merged, "replay changed the stats report")
+    // folding completed batches into the baseline preserves the report
+    ingest.compactState(throughBatch = 0)
+    val folded = ingest.corpusStats()
+      .select("stratum", "n_docs", "total_tokens", "avg_quality", "n_low_quality")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(folded == merged, "compactState changed the stats report")
+  }
+
   // two orthogonal base vectors + tiny perturbations: cosine(e0, e0') ≈ 1,
   // cosine(e0, e1) = 0 — text deliberately unique per doc so only the
   // SEMANTIC screen can catch these dups
