@@ -897,6 +897,51 @@ object SparkEntry {
     "q81_corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(T(s, dir, "documents"))),
 
+    // token-weighted domain mixing: the q57 mixture with the binding
+    // stratum chosen by TOKEN mass (the LLM data-mixing form) — one
+    // |strata|-row sum pass, then the same map-side hash filter
+    "q114_sample_mix_tokens" -> ((s, dir) =>
+      graft.ops.Sampling.toTargetMixByTokens(
+          T(s, dir, "documents"), "lang",
+          weights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+          tokens = TextAnalysis.tokenCount(col("text")),
+          key = col("doc_id"), seed = 42, hash = activeHash)
+        .select(col("doc_id"), col("lang"))),
+
+    // per-language z-scored document length: exact decimal moments, the
+    // identical closed-form double arithmetic in both engines (q108's
+    // discipline applied to standardization)
+    "q115_zscore_length" -> ((s, dir) =>
+      graft.ops.Stats.zscore(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        value = col("n_chars"), strataCols = Seq("lang"))),
+
+    // contamination rate by source (the governance rollup over q62's
+    // verdicts): which ingest sources quote the eval set, at what rate —
+    // the verdict frame collapses to |sources| rows in one map-side-
+    // combined shuffle
+    "q113_contamination_by_source" -> ((s, dir) => {
+      val docs  = T(s, dir, "documents")
+      val train = docs.where(col("doc_id") % 20 =!= 0)
+      val ev    = docs.where(col("doc_id") % 20 === 0)
+      Decontaminate.overlap(train, ev, n = 3, minShared = 5L)
+        .join(train.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+        .select(col("source"), col("n_docs"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_docs"), 6)
+            .as("contamination_rate"))
+    }),
+
+    // upper-triangle Gram matrix over the 64-dim embeddings (PCA /
+    // whitening precursor): literal pair-array explode → decimal-summed
+    // partial agg — the shuffle carries 2080 fixed rows per map partition
+    // at any corpus size
+    "q112_embed_gram" -> ((s, dir) =>
+      SimilaritySearch.gramMatrix(T(s, dir, "embeddings"), dim = 64)),
+
     // vocabulary coverage: per-doc OOV rate against the corpus's own
     // top-50 tokens by tf — TakeOrdered top-N, broadcast membership probe,
     // one per-doc rollup shuffle; the tokenizer-coverage screen before a
@@ -2713,6 +2758,78 @@ object SparkEntry {
          |  CAST(dd.n_distinct_docs AS BIGINT) AS n_distinct_docs,
          |  round(1.0 - CAST(dd.n_distinct_docs AS DOUBLE) / a.n_docs, 6) AS dup_rate
          |FROM agg a JOIN dd USING (stratum)""".stripMargin,
+
+    // q57's rate arithmetic with token sums as the counts — the token
+    // count is the q16/q108 tokenizer replica, summed exactly as BIGINT
+    "q114_sample_mix_tokens" ->
+      raw"""WITH cnt AS (
+         |  SELECT lang, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS c
+         |  FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY 1
+         |), w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.3), ('fr', 0.2)) AS t(lang, w)),
+         |t AS (SELECT min(c / w) AS total FROM cnt JOIN w USING (lang)),
+         |rate AS (
+         |  SELECT lang, CAST(round(least(w * total / c, 1.0) * 1000000) AS BIGINT) AS thr
+         |  FROM cnt JOIN w USING (lang), t)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN rate USING (lang)
+         |WHERE ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000 < thr""".stripMargin,
+
+    // the q108 decimal-moment discipline applied to standardization: the
+    // same (x − sx/n)·n / sqrt(n·sxx − sx²) expression text in both engines
+    "q115_zscore_length" ->
+      """WITH m AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(18,6)) * CAST(n_chars AS DECIMAL(18,6)))
+        |         AS DOUBLE) AS sxx
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  round(CASE WHEN (n * sxx - sx * sx) > 0
+        |    THEN (CAST(d.n_chars AS DOUBLE) - sx / n) * n / sqrt(n * sxx - sx * sx)
+        |    END, 6) AS z
+        |FROM documents d JOIN m USING (lang)""".stripMargin,
+
+    // q62's verdict CTE rolled up per source — exact integer counts, one
+    // IEEE division per source
+    "q113_contamination_by_source" ->
+      raw"""WITH sh AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+         |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+         |        FROM documents)
+         |), ev AS (SELECT id AS eval_id, unnest(sh) AS gram FROM sh WHERE id % 20 = 0),
+         |tr AS (SELECT id, unnest(sh) AS gram FROM sh WHERE id % 20 <> 0),
+         |pairs AS (
+         |  SELECT tr.id AS doc_id, ev.eval_id, count(*) AS shared
+         |  FROM tr JOIN ev USING (gram) GROUP BY 1, 2 HAVING count(*) >= 5
+         |), hit AS (SELECT DISTINCT doc_id FROM pairs)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  round(CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS contamination_rate
+         |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+         |WHERE d.doc_id % 20 <> 0
+         |GROUP BY 1""".stripMargin,
+
+    // products are double-multiplied then cast to DECIMAL(20,10) BEFORE
+    // the sum (binary rationals never tie a decimal half-grid, so both
+    // engines round to the identical decimal; the sums are then exact) —
+    // the q108 moment discipline applied to the second-moment matrix
+    "q112_embed_gram" ->
+      """WITH p AS (
+        |  SELECT i.range AS i, j.range AS j
+        |  FROM range(64) i, range(64) j WHERE i.range <= j.range
+        |)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(
+        |    CAST(embedding[CAST(p.i AS INT) + 1] AS DOUBLE) *
+        |    CAST(embedding[CAST(p.j AS INT) + 1] AS DOUBLE)
+        |    AS DECIMAL(20,10))) AS DOUBLE), 6) AS sum_prod
+        |FROM embeddings, p
+        |GROUP BY 1, 2""".stripMargin,
 
     // top-50 by (tf desc, token), then a per-doc not-in count — exact
     // integer arithmetic end to end, one IEEE division per doc

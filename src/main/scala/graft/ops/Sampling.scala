@@ -140,6 +140,40 @@ object Sampling {
     }
   }
 
+  /** [[toTargetMix]] with TOKEN-mass weights — the LLM data-mixing form of
+    * the operator ("40% of the TOKENS from web, 30% from code…"): the
+    * binding stratum minimizes tokₛ/wₛ over per-stratum token sums instead
+    * of document counts, so a stratum of long documents is not
+    * over-represented by row-count math. Selection stays per-document
+    * (the deterministic hash filter on `key`), so expected kept token mass
+    * per stratum is rateₛ·tokₛ — exact in expectation, like the row-count
+    * variant. One |strata|-row sum aggregation (collected under the same
+    * cardinality guard), then the map-side filter; the corpus never
+    * shuffles.
+    */
+  def toTargetMixByTokens(df: DataFrame, strataCol: String, weights: Map[String, Double],
+      tokens: Column, key: Column, seed: Int = 42, hash: HashFamily = XxHash,
+      maxStrata: Int = DefaultMaxStrata): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    require(maxStrata > 0, s"maxStrata must be positive, got $maxStrata")
+    val rows = df.groupBy(col(strataCol))
+      .agg(sum(tokens.cast("long")).as("_tok"))
+      .limit(maxStrata + 1).collect()
+    require(rows.length <= maxStrata,
+      s"'$strataCol' has more than $maxStrata distinct strata — see stratifiedHashSample")
+    val counts = rows.map(r => String.valueOf(r.get(0)) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) df.limit(0)
+    else {
+      val total = present.map { case (s, w) => counts(s) / w }.min
+      val rates = present.map { case (s, w) => s -> math.min(w * total / counts(s), 1.0) }
+      stratifiedHashSample(
+        df.where(col(strataCol).isin(present.keys.toSeq: _*)),
+        strataCol, rates, defaultRate = 0.0, key, seed, hash)
+    }
+  }
+
   /** Temperature-flattened domain mixture — the `p_d ∝ c_d^α` sampling
     * rule of multilingual / multi-domain corpus assembly (α < 1 upweights
     * small domains relative to their natural share; α = 1 is proportional,

@@ -244,6 +244,44 @@ object SimilaritySearch {
       .drop("_vd")
   }
 
+  /** Upper-triangle Gram (second-moment) matrix of an embedding column —
+    * the one-pass precursor of PCA / whitening / covariance analysis over
+    * a vector corpus: returns `(i, j, n, sum_prod)` for 0 ≤ i ≤ j < dim
+    * with `sum_prod = Σ_rows v[i]·v[j]` (covariance and correlation are
+    * driver-side closed forms over these d(d+1)/2 + d numbers; means come
+    * from the j = i rows of a ones-appended frame or a separate agg).
+    *
+    * Scale shape: one codegen explode over a LITERAL (i, j) pair array
+    * (2080 structs at d = 64 — a foldable constant, not a per-row
+    * computation) feeding a partial-aggregated groupBy — each map
+    * partition collapses to d(d+1)/2 rows before the shuffle, so the
+    * exchanged state is fixed-size regardless of corpus size (the
+    * TypedImperativeAggregate alternative saves the transient explode but
+    * loses engine portability). Products are summed as EXACT decimals
+    * (cast before the sum), the [[graft.ops.Stats.linearFit]] discipline:
+    * double partial sums would depend on partition fold order and differ
+    * between engines.
+    */
+  def gramMatrix(
+      df: DataFrame,
+      dim: Int,
+      vecCol: String = "embedding",
+      scale: Int = 6
+  ): DataFrame = {
+    require(dim >= 1 && dim <= 512, s"dim must be in [1, 512], got $dim")
+    val pairs = typedLit((0 until dim).flatMap(i => (i until dim).map(j => (i, j))))
+    df.select(col(vecCol).cast("array<double>").as("_v"))
+      .select(explode(pairs).as("_p"), col("_v"))
+      .select(
+        col("_p._1").as("i"), col("_p._2").as("j"),
+        (element_at(col("_v"), col("_p._1") + 1) * element_at(col("_v"), col("_p._2") + 1))
+          .cast("decimal(20,10)").as("_prod"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("_prod")).as("_s"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("n"),
+        round(col("_s").cast("double"), scale).as("sum_prod"))
+  }
+
   /** IVF (inverted-file) index: KMeans-partitioned candidate restriction.
     * The standard ANN scale path — centroids are trained once (sampled
     * fit), every vector is assigned to its nearest centroid (one map-side

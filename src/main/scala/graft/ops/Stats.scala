@@ -97,6 +97,43 @@ object Stats {
       round(when(varXN > 0, (sy - slope * sx) / n), scale).as("intercept")): _*)
   }
 
+  /** Per-stratum z-score standardization: adds `z = (x − μ)/σ` (population
+    * σ) — the feature-normalization step before mixing heterogeneous
+    * quality/length signals into one score. NULL where the stratum has
+    * zero variance or the value is NULL.
+    *
+    * Engine-portable by the [[linearFit]] discipline: μ and σ derive from
+    * EXACT decimal sums (Σx, Σx² at decimal(18,6)/(37,12)), and the final
+    * expression is written as `(x − sx/n)·n / √(n·sxx − sx²)` so both
+    * engines run the identical double arithmetic. One partial-aggregated
+    * |strata|-row shuffle + a broadcast join back — the data itself never
+    * shuffles.
+    */
+  def zscore(
+      df: DataFrame,
+      value: Column,
+      strataCols: Seq[String] = Nil,
+      outCol: String = "z",
+      scale: Int = 6
+  ): DataFrame = {
+    val xd = value.cast("decimal(18,6)")
+    val strata = strataCols.map(col)
+    val moments = df.groupBy(strata: _*)
+      .agg(count(when(value.isNotNull, 1)).as("_n"),
+        sum(xd).as("_sx"), sum(xd * xd).as("_sxx"))
+    val joined =
+      if (strataCols.isEmpty) df.crossJoin(broadcast(moments))
+      else df.join(broadcast(moments), strataCols)
+    val n    = col("_n").cast("double")
+    val sx   = col("_sx").cast("double")
+    val sxx  = col("_sxx").cast("double")
+    val varN = n * sxx - sx * sx // n² · population variance
+    joined
+      .withColumn(outCol,
+        round(when(varN > 0, (value.cast("double") - sx / n) * n / sqrt(varN)), scale))
+      .drop("_n", "_sx", "_sxx")
+  }
+
   /** Equal-frequency discretization: adds `bin` (0-based ntile index over
     * `orderCols` within each stratum) — the quantile-binning step of
     * feature bucketing. `ntile` splits each stratum into `bins` groups

@@ -815,6 +815,28 @@ class SimilaritySearchSpec extends SparkSpec {
   }
 }
 
+class GramMatrixSpec extends SparkSpec {
+
+  test("gramMatrix: hand-computed on a tiny corpus; partitioning-invariant") {
+    import spark.implicits._
+    // rows (1,2,3) and (4,5,6): sum_prod(i,j) = v1[i]v1[j] + v2[i]v2[j]
+    val df = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)).toDF("embedding")
+    val got = SimilaritySearch.gramMatrix(df, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val expect = Map(
+      (0L, 0L) -> ((2L, 17.0)), (0L, 1L) -> ((2L, 22.0)), (0L, 2L) -> ((2L, 27.0)),
+      (1L, 1L) -> ((2L, 29.0)), (1L, 2L) -> ((2L, 36.0)), (2L, 2L) -> ((2L, 45.0)))
+    assert(got == expect, s"got $got")
+    // upper triangle only: d(d+1)/2 rows, i <= j
+    assert(got.keySet.forall { case (i, j) => i <= j })
+    // decimal sums: identical under any partitioning (a double fold would not be)
+    val big = (1 to 500).map(k => Seq.tabulate(8)(d => math.sin(k * 7 + d) * 3)).toDF("embedding")
+    val a = SimilaritySearch.gramMatrix(big, dim = 8).collect().map(_.toSeq).toSet
+    val b = SimilaritySearch.gramMatrix(big.repartition(17), dim = 8).collect().map(_.toSeq).toSet
+    assert(a == b, "gram sums must not depend on input partitioning")
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   test("decodeMeta emits typed metadata per row, dropping the payload") {

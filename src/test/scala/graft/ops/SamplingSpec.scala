@@ -250,6 +250,29 @@ class SamplingSpec extends SparkSpec {
     assert(keptLo.count(_._1 == "B") == 5)
   }
 
+  test("toTargetMixByTokens: binding stratum by token mass, not doc count") {
+    import spark.implicits._
+    // en: 100 docs × 10 tokens = 1000 tokens; de: 400 docs × 1 token = 400.
+    // Doc-count mixing at 50/50 would bind on en (100 docs); token mixing
+    // binds on de (400/0.5=800 < 1000/0.5=2000) → de kept whole, en
+    // sampled at 0.5·800/1000 = 0.4 of its token mass
+    val docs = ((0L until 100L).map(i => (i, "en", "t " * 10)) ++
+      (100L until 500L).map(i => (i, "de", "t"))).toDF("doc_id", "lang", "text")
+    val toks = graft.ops.TextAnalysis.tokenCount(col("text"))
+    val out = Sampling.toTargetMixByTokens(docs, "lang",
+      weights = Map("en" -> 0.5, "de" -> 0.5), tokens = toks, key = col("doc_id"))
+    val kept = out.groupBy("lang").agg(count(lit(1)).as("n"), sum(toks).as("tok"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(kept("de") == ((400L, 400L)), "binding stratum (by tokens) kept whole")
+    // en keeps ≈40% of docs (uniform 10 tokens/doc → token rate = doc rate)
+    assert(math.abs(kept("en")._1 / 100.0 - 0.4) < 0.12, s"got $kept")
+    // deterministic under repartitioning
+    val again = Sampling.toTargetMixByTokens(docs.repartition(11), "lang",
+        weights = Map("en" -> 0.5, "de" -> 0.5), tokens = toks, key = col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("withEpochs: whole, fractional, sub-1.0 and default factors; epochs contiguous") {
     // en 667 docs @2.5 → every doc epochs 1..2, ~half a 3rd copy;
     // de 667 @0.5 → ~half survive at epoch 1; zh 666 on default 1.0 → kept whole

@@ -84,6 +84,30 @@ class StatsSpec extends SparkSpec {
     assert(a == b, "fit must not depend on input partitioning")
   }
 
+  test("zscore: hand-computed per stratum; zero variance and nulls go NULL; partition-invariant") {
+    import spark.implicits._
+    // stratum a: values 1,2,3 → μ=2, σ_pop=√(2/3); z(1) = −1/√(2/3) ≈ −1.224745
+    // stratum b: constant → NULL z
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("b", Some(5.0)), ("b", Some(5.0)), ("a", None)).toDF("s", "v")
+    val got = Stats.zscore(df, col("v"), strataCols = Seq("s"))
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(("a", Some(1.0))) == Some(-1.224745) && got(("a", Some(3.0))) == Some(1.224745))
+    assert(got(("a", Some(2.0))) == Some(0.0))
+    assert(got(("b", Some(5.0))).isEmpty, "zero variance → NULL z")
+    assert(got(("a", None)).isEmpty, "null value → NULL z")
+    // decimal moments: identical under any partitioning
+    val big = (1 to 1000).map(i => ("s", math.sin(i) * 50 + i * 0.01)).toDF("s", "v")
+    val a = Stats.zscore(big, col("v"), Seq("s")).collect().map(_.toSeq).toSet
+    val b = Stats.zscore(big.repartition(13), col("v"), Seq("s")).collect().map(_.toSeq).toSet
+    assert(a == b)
+    // global (no strata) path works via the broadcast cross join
+    val g = Stats.zscore(df.where(col("s") === "a"), col("v"))
+      .where(col("v") === 2.0).collect()
+    assert(g.length == 1 && g.head.getDouble(2) == 0.0)
+  }
+
   test("ntileBins: near-equal group sizes, deterministic under ties") {
     import spark.implicits._
     // 10 rows, 4 bins -> sizes 3,3,2,2; equal values order by the id tie-break
