@@ -897,6 +897,30 @@ object SparkEntry {
     "q81_corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(T(s, dir, "documents"))),
 
+    // data-driven PCA over the embeddings (the learned counterpart of
+    // q80's JL projection; q112's gram is the distributed half, the 64×64
+    // eigenproblem solves on the driver). Eigendecomposition isn't
+    // SQL-expressible, so the contract is the q27-style self-verifying
+    // gate: the per-component variance of the projected corpus must equal
+    // the model's eigenvalues (within 1%), and the top-8 must capture at
+    // least their uniform share of total variance
+    "q116_embed_pca" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val model = SparkEntry.memo(s"pca:$dir") {
+        SimilaritySearch.fitPca(emb, dim = 64, k = 8)
+      }
+      val vars = SimilaritySearch.pcaProject(emb, model)
+        .select(posexplode(col("pca")).as(Seq("i", "x")))
+        .groupBy("i")
+        .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("v"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val eigenOk = model.explained.zipWithIndex.forall { case (l, i) =>
+        math.abs(vars(i) - l) <= math.max(1e-6, 0.01 * math.abs(l))
+      }
+      s.range(1).select(lit(8).as("k"),
+        lit(eigenOk && model.explainedRatio >= 8.0 / 64).as("pca_pass"))
+    }),
+
     // token-weighted domain mixing: the q57 mixture with the binding
     // stratum chosen by TOKEN mass (the LLM data-mixing form) — one
     // |strata|-row sum pass, then the same map-side hash filter
@@ -2758,6 +2782,10 @@ object SparkEntry {
          |  CAST(dd.n_distinct_docs AS BIGINT) AS n_distinct_docs,
          |  round(1.0 - CAST(dd.n_distinct_docs AS DOUBLE) / a.n_docs, 6) AS dup_rate
          |FROM agg a JOIN dd USING (stratum)""".stripMargin,
+
+    // q27-style pinned gate: the Spark side verifies projected-coordinate
+    // variances ≡ eigenvalues before asserting the row
+    "q116_embed_pca" -> "SELECT 8 AS k, CAST(TRUE AS BOOLEAN) AS pca_pass",
 
     // q57's rate arithmetic with token sums as the counts — the token
     // count is the q16/q108 tokenizer replica, summed exactly as BIGINT

@@ -282,6 +282,106 @@ object SimilaritySearch {
         round(col("_s").cast("double"), scale).as("sum_prod"))
   }
 
+  /** A fitted PCA model: `mean` (d), `components` (k orthonormal rows, d
+    * each, eigenvalue-descending, sign-fixed), `explained` (top-k
+    * eigenvalues of the covariance), `totalVariance` (trace). Tiny —
+    * k·d + d doubles — and broadcast into projections as literal arrays.
+    */
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      explained: Array[Double],
+      totalVariance: Double) {
+    def k: Int = components.length
+    def explainedRatio: Double = if (totalVariance > 0) explained.sum / totalVariance else 0.0
+  }
+
+  /** Fits top-`k` PCA over an embedding column — the LEARNED counterpart
+    * of [[randomProjection]] (same serving shape, data-adapted axes): the
+    * distributed work is exactly two bounded aggregations ([[gramMatrix]]
+    * for the second moments + a d-row mean pass, both decimal-summed, so
+    * the fitted model is identical under any partitioning); the d×d
+    * eigenproblem is solved on the driver with cyclic Jacobi (symmetric,
+    * deterministic sweep order) — the classic "train tiny on the driver,
+    * broadcast the model" shape, d ≤ 512 by [[gramMatrix]]'s bound, so
+    * driver work is microseconds and NO corpus row ever leaves the
+    * executors. Eigenvectors are sign-fixed (largest-|entry| coordinate
+    * made positive) and sorted by eigenvalue descending, ties by first
+    * differing coordinate — fully deterministic.
+    */
+  def fitPca(df: DataFrame, dim: Int, k: Int, vecCol: String = "embedding"): PcaModel = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    // second moments (upper triangle, exact decimal sums) + mean vector
+    val g = gramMatrix(df, dim, vecCol, scale = 10).collect()
+    require(g.nonEmpty, "cannot fit PCA on an empty frame")
+    val n = g.head.getLong(2).toDouble
+    val s2 = Array.ofDim[Double](dim, dim)
+    g.foreach { r =>
+      val (i, j, s) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3))
+      s2(i)(j) = s; s2(j)(i) = s
+    }
+    val means = df.select(col(vecCol).cast("array<double>").as("_v"))
+      .select(posexplode(col("_v")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x").cast("decimal(18,6)")).as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    val mu = Array.tabulate(dim)(i => means.getOrElse(i, 0.0) / n)
+    // covariance (population): C = S/n − μμᵀ
+    val c = Array.tabulate(dim, dim)((i, j) => s2(i)(j) / n - mu(i) * mu(j))
+    // cyclic Jacobi: deterministic sweeps over the upper triangle
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      for (p <- 0 until dim; q <- p + 1 until dim) {
+        off += c(p)(q) * c(p)(q)
+        if (math.abs(c(p)(q)) > 1e-15) {
+          val theta = 0.5 * math.atan2(2 * c(p)(q), c(q)(q) - c(p)(p))
+          val (co, si) = (math.cos(theta), math.sin(theta))
+          for (r <- 0 until dim) {
+            val (crp, crq) = (c(r)(p), c(r)(q))
+            c(r)(p) = co * crp - si * crq; c(r)(q) = si * crp + co * crq
+          }
+          for (r <- 0 until dim) {
+            val (cpr, cqr) = (c(p)(r), c(q)(r))
+            c(p)(r) = co * cpr - si * cqr; c(q)(r) = si * cpr + co * cqr
+          }
+          for (r <- 0 until dim) {
+            val (vrp, vrq) = (v(r)(p), v(r)(q))
+            v(r)(p) = co * vrp - si * vrq; v(r)(q) = si * vrp + co * vrq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val eigen = (0 until dim).map { i =>
+      val vec = Array.tabulate(dim)(r => v(r)(i))
+      // sign fix: the largest-|entry| coordinate is made positive
+      val m = vec.indices.maxBy(r => (math.abs(vec(r)), -r))
+      (c(i)(i), if (vec(m) < 0) vec.map(-_) else vec)
+    }.sortBy(-_._1) // stable sort: exact-tie eigenvalues keep Jacobi column order
+    val top = eigen.take(k)
+    PcaModel(mu, top.map(_._2).toArray, top.map(_._1).toArray,
+      (0 until dim).map(i => eigen(i)._1).sum)
+  }
+
+  /** Projects `vecCol` onto a fitted [[PcaModel]]: appends `outCol` =
+    * `[(v−μ)·e₁ … (v−μ)·eₖ]`. Same literal-matrix + native-dot codegen
+    * shape as [[randomProjection]] (the μ·e offsets constant-fold), so the
+    * projection is a pure map-side pass — no shuffle, no model join.
+    */
+  def pcaProject(df: DataFrame, model: PcaModel, vecCol: String = "embedding",
+      outCol: String = "pca"): DataFrame = {
+    val comps = model.components.map(e => array(e.map(lit(_)): _*))
+    val offsets = model.components.map(e =>
+      e.zip(model.mean).map { case (a, b) => a * b }.sum)
+    df.withColumn("_vd", col(vecCol).cast("array<double>"))
+      .withColumn(outCol, array(comps.zip(offsets).map { case (e, o) =>
+        VectorOps.dot(col("_vd"), e) - lit(o)
+      }: _*))
+      .drop("_vd")
+  }
+
   /** IVF (inverted-file) index: KMeans-partitioned candidate restriction.
     * The standard ANN scale path — centroids are trained once (sampled
     * fit), every vector is assigned to its nearest centroid (one map-side

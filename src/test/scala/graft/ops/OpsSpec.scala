@@ -837,6 +837,69 @@ class GramMatrixSpec extends SparkSpec {
   }
 }
 
+class PcaSpec extends SparkSpec {
+
+  test("fitPca recovers planted principal axes; components orthonormal; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // planted structure in 6-d: big variance along e0+e1, medium along e2,
+    // tiny noise elsewhere; mean offset exercises centering
+    val rows = (1 to 2000).map { _ =>
+      val a = rnd.nextGaussian() * 10; val b = rnd.nextGaussian() * 3
+      Seq(3.0 + a / math.sqrt(2), -1.0 + a / math.sqrt(2), b,
+        rnd.nextGaussian() * 0.01, rnd.nextGaussian() * 0.01, rnd.nextGaussian() * 0.01)
+    }
+    val df = rows.toDF("embedding")
+    val m = SimilaritySearch.fitPca(df, dim = 6, k = 2)
+    // PC1 ≈ (1/√2, 1/√2, 0, …), PC2 ≈ e2
+    assert(math.abs(math.abs(m.components(0)(0)) - 1 / math.sqrt(2)) < 0.02, m.components(0).toSeq)
+    assert(math.abs(math.abs(m.components(0)(1)) - 1 / math.sqrt(2)) < 0.02)
+    assert(math.abs(math.abs(m.components(1)(2)) - 1.0) < 0.02, m.components(1).toSeq)
+    // eigenvalues descending, ≈ planted variances (100 and 9)
+    assert(m.explained(0) > m.explained(1) && m.explained(0) > 80 && m.explained(1) > 6)
+    assert(m.explainedRatio > 0.99, s"two planted axes carry ~all variance: ${m.explainedRatio}")
+    // orthonormal components
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(m.components(1), m.components(1)) - 1.0) < 1e-9)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-9)
+    // the fitted model is IDENTICAL under repartitioning (decimal moments)
+    val m2 = SimilaritySearch.fitPca(df.repartition(17), dim = 6, k = 2)
+    assert(m.mean.toSeq == m2.mean.toSeq && m.explained.toSeq == m2.explained.toSeq)
+    assert(m.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq)
+  }
+
+  test("pcaProject: projected coordinates are the centered dots; map-side only") {
+    import spark.implicits._
+    val df = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 8.0), Seq(0.0, 0.0, 1.0))
+      .toDF("embedding")
+    val m = SimilaritySearch.fitPca(df, dim = 3, k = 2)
+    val out = SimilaritySearch.pcaProject(df, m)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    val got = out.collect().map(r =>
+      (r.getSeq[Double](0), r.getSeq[Double](1)))
+    got.foreach { case (v, p) =>
+      m.components.zipWithIndex.foreach { case (e, i) =>
+        val expect = v.zip(e).map { case (x, w) => x * w }.sum -
+          m.mean.zip(e).map { case (x, w) => x * w }.sum
+        assert(math.abs(p(i) - expect) < 1e-9, s"v=$v comp=$i")
+      }
+    }
+    // the residual of Cv = λv is tiny for every returned component (the
+    // q116 gate's contract, checked here at full precision)
+    val vecs = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 8.0), Seq(0.0, 0.0, 1.0))
+    val n = vecs.length.toDouble
+    val mu = (0 until 3).map(i => vecs.map(_(i)).sum / n)
+    def cov(i: Int, j: Int) = vecs.map(v => v(i) * v(j)).sum / n - mu(i) * mu(j)
+    m.components.zip(m.explained).foreach { case (e, lambda) =>
+      val cv = (0 until 3).map(i => (0 until 3).map(j => cov(i, j) * e(j)).sum)
+      val resid = math.sqrt((0 until 3).map(i => math.pow(cv(i) - lambda * e(i), 2)).sum)
+      assert(resid < 1e-6, s"eigen residual $resid")
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   test("decodeMeta emits typed metadata per row, dropping the payload") {
