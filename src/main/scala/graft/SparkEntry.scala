@@ -897,6 +897,12 @@ object SparkEntry {
     "q81_corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(T(s, dir, "documents"))),
 
+    // dimension-pair correlation matrix (embedding-capacity diagnostics):
+    // q112's gram + a d-row mean pass, everything joined broadcast — the
+    // corpus never shuffles
+    "q117_embed_corr" -> ((s, dir) =>
+      SimilaritySearch.correlationMatrix(T(s, dir, "embeddings"), dim = 64)),
+
     // data-driven PCA over the embeddings (the learned counterpart of
     // q80's JL projection; q112's gram is the distributed half, the 64×64
     // eigenproblem solves on the driver). Eigendecomposition isn't
@@ -2786,6 +2792,42 @@ object SparkEntry {
     // q27-style pinned gate: the Spark side verifies projected-coordinate
     // variances ≡ eigenvalues before asserting the row
     "q116_embed_pca" -> "SELECT 8 AS k, CAST(TRUE AS BOOLEAN) AS pca_pass",
+
+    // q112's gram CTE + per-dimension decimal mean sums; the corr closed
+    // form is written once with sii/sjj read from the SAME rounded gram
+    // rows the Spark side reads, so the diagonal is exactly 1
+    "q117_embed_corr" ->
+      """WITH p AS (
+        |  SELECT i.range AS i, j.range AS j
+        |  FROM range(64) i, range(64) j WHERE i.range <= j.range
+        |), g AS (
+        |  SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(sum(CAST(
+        |      CAST(embedding[CAST(p.i AS INT) + 1] AS DOUBLE) *
+        |      CAST(embedding[CAST(p.j AS INT) + 1] AS DOUBLE)
+        |      AS DECIMAL(20,10))) AS DOUBLE), 10) AS sum_prod
+        |  FROM embeddings, p
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT CAST(d.range AS BIGINT) AS i,
+        |    CAST(sum(CAST(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE)
+        |         AS DECIMAL(18,6))) AS DOUBLE) AS sx
+        |  FROM embeddings, range(64) d
+        |  GROUP BY 1
+        |)
+        |SELECT g.i, g.j,
+        |  round(CASE WHEN (g.n * di.sum_prod - mi.sx * mi.sx) > 0
+        |              AND (g.n * dj.sum_prod - mj.sx * mj.sx) > 0
+        |    THEN (g.n * g.sum_prod - mi.sx * mj.sx)
+        |      / (sqrt(g.n * di.sum_prod - mi.sx * mi.sx)
+        |         * sqrt(g.n * dj.sum_prod - mj.sx * mj.sx))
+        |    END, 6) AS corr
+        |FROM g
+        |JOIN m mi ON mi.i = g.i
+        |JOIN m mj ON mj.i = g.j
+        |JOIN g di ON di.i = g.i AND di.j = g.i
+        |JOIN g dj ON dj.i = g.j AND dj.j = g.j""".stripMargin,
 
     // q57's rate arithmetic with token sums as the counts — the token
     // count is the q16/q108 tokenizer replica, summed exactly as BIGINT

@@ -282,6 +282,44 @@ object SimilaritySearch {
         round(col("_s").cast("double"), scale).as("sum_prod"))
   }
 
+  /** Pearson correlation between every dimension pair of an embedding
+    * column — the feature-redundancy diagnostic over a vector corpus
+    * (near-±1 off-diagonal pairs are wasted embedding capacity; the flat
+    * face of what [[fitPca]] diagonalizes). Returns `(i, j, corr)` for
+    * the upper triangle, NULL where a dimension is constant.
+    *
+    * Composition of [[gramMatrix]] with a d-row mean pass: every input to
+    * the closed form comes from one of two bounded decimal-summed
+    * aggregations, joined back BROADCAST (≤ d(d+1)/2 rows) — the corpus
+    * never shuffles, and the result is partition- and engine-invariant
+    * under the [[graft.ops.Stats.linearFit]] discipline. The diagonal
+    * and Σx² terms read the SAME gram rows, so corr(i,i) is exactly 1.
+    */
+  def correlationMatrix(
+      df: DataFrame,
+      dim: Int,
+      vecCol: String = "embedding",
+      scale: Int = 6
+  ): DataFrame = {
+    val g = gramMatrix(df, dim, vecCol, scale = 10)
+    val means = df.select(col(vecCol).cast("array<double>").as("_v"))
+      .select(posexplode(col("_v")).as(Seq("_mi", "_x")))
+      .groupBy("_mi").agg(sum(col("_x").cast("decimal(18,6)")).as("_msum"))
+      .select(col("_mi").cast("long"), col("_msum").cast("double").as("_msum"))
+    val diag = g.where(col("i") === col("j"))
+      .select(col("i").as("_di"), col("sum_prod").as("_dsum"))
+    val n = col("n").cast("double")
+    val varI = n * col("_sii") - col("_sxi") * col("_sxi")
+    val varJ = n * col("_sjj") - col("_sxj") * col("_sxj")
+    val cov  = n * col("sum_prod") - col("_sxi") * col("_sxj")
+    g.join(broadcast(means.select(col("_mi").as("i"), col("_msum").as("_sxi"))), Seq("i"))
+      .join(broadcast(means.select(col("_mi").as("j"), col("_msum").as("_sxj"))), Seq("j"))
+      .join(broadcast(diag.select(col("_di").as("i"), col("_dsum").as("_sii"))), Seq("i"))
+      .join(broadcast(diag.select(col("_di").as("j"), col("_dsum").as("_sjj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round(when(varI > 0 && varJ > 0, cov / (sqrt(varI) * sqrt(varJ))), scale).as("corr"))
+  }
+
   /** A fitted PCA model: `mean` (d), `components` (k orthonormal rows, d
     * each, eigenvalue-descending, sign-fixed), `explained` (top-k
     * eigenvalues of the covariance), `totalVariance` (trace). Tiny —

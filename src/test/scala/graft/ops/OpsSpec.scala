@@ -837,6 +837,31 @@ class GramMatrixSpec extends SparkSpec {
   }
 }
 
+class CorrelationMatrixSpec extends SparkSpec {
+
+  test("correlationMatrix: diagonal exactly 1, anti/un-correlated planted pairs, constant dim NULL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // dim0 = x, dim1 = -x (corr -1), dim2 independent, dim3 constant
+    val df = (1 to 500).map { _ =>
+      val x = rnd.nextGaussian(); Seq(x, -x, rnd.nextGaussian(), 7.0)
+    }.toDF("embedding")
+    val got = SimilaritySearch.correlationMatrix(df, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size == 10, "upper triangle of 4x4")
+    for (i <- 0L to 2L) assert(got((i, i)) == Some(1.0), s"diag $i: ${got((i, i))}")
+    assert(got((0L, 1L)) == Some(-1.0), s"planted anti-correlation: ${got((0L, 1L))}")
+    assert(math.abs(got((0L, 2L)).get) < 0.15, "independent dims near 0")
+    for (i <- 0L to 3L) assert(got((math.min(i, 3L), 3L)).isEmpty || i == 3L && got((3L, 3L)).isEmpty,
+      s"constant dim must NULL out: ${got.filter(_._1._2 == 3L)}")
+    // partition-invariant (decimal moments)
+    val a = SimilaritySearch.correlationMatrix(df, dim = 4).collect().map(_.toSeq).toSet
+    val b = SimilaritySearch.correlationMatrix(df.repartition(13), dim = 4).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
+
 class PcaSpec extends SparkSpec {
 
   test("fitPca recovers planted principal axes; components orthonormal; partition-invariant") {
