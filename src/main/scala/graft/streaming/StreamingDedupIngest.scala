@@ -390,6 +390,34 @@ class StreamingDedupIngest(
     TextAnalysis.corpusReportFromPartials(spark.read.parquet(p).drop("ingest_batch"))
   }
 
+  /** Per-batch ingest observability: one row per `ingest_batch` with
+    * novel / dup (/semantic-dup /quarantined, where configured) counts —
+    * the monitoring face of the pipeline (a novelty-rate collapse or a
+    * quarantine spike is the first sign of a bad crawl or a poisoned
+    * source). Aggregates only partition-pruned COUNTS of the state
+    * tables, never text; batches whose every write was empty (all-dup
+    * batches leave no corpus partition) appear with the counts they do
+    * have, zeros elsewhere.
+    */
+  def ingestReport(): DataFrame = {
+    def counts(path: String, name: String): DataFrame =
+      try spark.read.parquet(path)
+        .groupBy(col("ingest_batch").cast("long").as("ingest_batch"))
+        .agg(count(lit(1)).as(name))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.range(0).select(col("id").as("ingest_batch"), col("id").as(name))
+      }
+    val frames = Seq(
+      counts(corpusPath, "n_novel"),
+      counts(dupsPath, "n_dups")) ++
+      semanticDupsPath.map(counts(_, "n_semantic_dups")) ++
+      quarantinePath.map(counts(_, "n_quarantined"))
+    frames.reduce((a, b) => a.join(b, Seq("ingest_batch"), "full_outer"))
+      .na.fill(0L)
+      .orderBy("ingest_batch")
+  }
+
   /** Accumulated corpus vocabulary (token, tf, df) across every ingested
     * batch. Summing per-batch counts is EXACT, not approximate: a novel
     * document enters the corpus in exactly one batch, so its token and

@@ -258,6 +258,19 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/corpus").count() == 1L)
   }
 
+  test("ingestReport: per-batch novelty/dup counts from partition-pruned state reads") {
+    val work = tempDir("graft-sdedup-report")
+    val ingest = new StreamingDedupIngest(spark, s"$work/corpus", s"$work/dups",
+      s"$work/sketch", verifyThreshold = 0.5)
+    ingest.ingestBatch(batch1, batchId = 0) // 3 novel (0,1,2; 3 = intra-batch exact dup)
+    ingest.ingestBatch(batch2, batchId = 1) // 1 novel (12), 2 cross-corpus dups
+    val got = ingest.ingestReport().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // intra-batch exact dups never reach the dups table (they are dropped
+    // at the representative step) — batch 0 reports 0 dups
+    assert(got == Map(0L -> ((3L, 0L)), 1L -> ((1L, 2L))), s"got $got")
+  }
+
   test("incremental corpus stats: merged report ≡ recompute over the accumulated corpus, replay-safe") {
     import spark.implicits._
     val work = tempDir("graft-sdedup-stats")
