@@ -409,10 +409,20 @@ object SimilaritySearch {
     * projection is a pure map-side pass — no shuffle, no model join.
     */
   def pcaProject(df: DataFrame, model: PcaModel, vecCol: String = "embedding",
-      outCol: String = "pca"): DataFrame = {
-    val comps = model.components.map(e => array(e.map(lit(_)): _*))
-    val offsets = model.components.map(e =>
-      e.zip(model.mean).map { case (a, b) => a * b }.sum)
+      outCol: String = "pca", whiten: Boolean = false): DataFrame = {
+    // whitening folds 1/√λ into the projection matrix itself (still one
+    // literal-array dot per component) — whitened coordinates have unit
+    // variance, the usual preprocessing before cosine/kmeans downstream;
+    // a zero-variance component would divide by zero and is dropped from
+    // the whitened output instead (it carries no information)
+    val sel: Seq[(Array[Double], Double)] =
+      if (whiten) model.components.zip(model.explained).filter(_._2 > 0).toSeq
+      else model.components.map((_, 1.0)).toSeq
+    val scaled = sel.map { case (e, l) =>
+      if (whiten) e.map(_ / math.sqrt(l)) else e
+    }
+    val comps = scaled.map(e => array(e.map(lit(_)): _*))
+    val offsets = scaled.map(e => e.zip(model.mean).map { case (a, b) => a * b }.sum)
     df.withColumn("_vd", col(vecCol).cast("array<double>"))
       .withColumn(outCol, array(comps.zip(offsets).map { case (e, o) =>
         VectorOps.dot(col("_vd"), e) - lit(o)

@@ -911,6 +911,16 @@ class PcaSpec extends SparkSpec {
         assert(math.abs(p(i) - expect) < 1e-9, s"v=$v comp=$i")
       }
     }
+    // whitened coordinates have unit population variance per component
+    val w = SimilaritySearch.pcaProject(df, m, whiten = true)
+      .select(org.apache.spark.sql.functions.posexplode(org.apache.spark.sql.functions.col("pca")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg((org.apache.spark.sql.functions.avg(org.apache.spark.sql.functions.col("x") * org.apache.spark.sql.functions.col("x"))
+        - org.apache.spark.sql.functions.avg(org.apache.spark.sql.functions.col("x"))
+          * org.apache.spark.sql.functions.avg(org.apache.spark.sql.functions.col("x"))).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    w.values.foreach(v => assert(math.abs(v - 1.0) < 1e-6, s"whitened variance $v"))
+
     // the residual of Cv = λv is tiny for every returned component (the
     // q116 gate's contract, checked here at full precision)
     val vecs = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 8.0), Seq(0.0, 0.0, 1.0))
