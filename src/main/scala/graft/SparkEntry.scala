@@ -1312,6 +1312,19 @@ object SparkEntry {
         docs = Some(docs))
     }),
 
+    // near-dup cluster-size distribution (the dedup diagnostic every
+    // corpus release reports): q50's clusters rolled up twice — per
+    // cluster, then per size — so the result is |distinct sizes| rows;
+    // singletons dominate by construction and are counted too
+    "q118_cluster_sizes" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.clusters(s, Dedup.prefixJaccardPairs(docs, threshold = 0.7),
+          docs = Some(docs))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // cluster formation with the production representative policy: keep
     // the LONGEST copy per near-dup cluster (ties → smallest id) instead
     // of the smallest id
@@ -1725,6 +1738,38 @@ object SparkEntry {
         |  coalesce(c.cluster, d.doc_id) AS cluster_id,
         |  coalesce(c.cluster = d.doc_id, TRUE) AS keep
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    // q50's closure CTE + two rollups (cluster → size → count)
+    "q118_cluster_sizes" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), j AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.7
+        |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.7
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+        |), labeled AS (
+        |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |), per AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM labeled GROUP BY 1
+        |)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM per GROUP BY 1""".stripMargin,
 
     // q50's pair CTE + unordered source-pair bucketing
     "q86_source_overlap" ->
