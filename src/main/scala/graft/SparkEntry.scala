@@ -897,6 +897,26 @@ object SparkEntry {
     "q81_corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(T(s, dir, "documents"))),
 
+    // per-language exact quantile profile (p50/p90/p99 lengths): the
+    // rank-based (type-1) quantile — an ACTUAL value at an integer rank,
+    // engine-exact where interpolated quantiles are not
+    "q119_length_quantiles" -> ((s, dir) =>
+      graft.ops.Stats.quantileProfile(
+        T(s, dir, "documents").select(col("lang"), col("n_chars")),
+        value = col("n_chars"), strataCols = Seq("lang"),
+        ps = Seq(0.5, 0.9, 0.99))),
+
+    // served-model n-gram scoring: the q95 classifier scored through the
+    // BROADCAST weight-table path (weights = the derived rule
+    // materialized), so hash equality with q95's expected output proves
+    // the serving join computes exactly what the inline rule does
+    "q120_text_ngram_serve" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.hashedNgramScoreWith(
+        docs, TextAnalysis.derivedNgramWeights(docs, hash = activeHash),
+        hash = activeHash)
+    }),
+
     // dimension-pair correlation matrix (embedding-capacity diagnostics):
     // q112's gram + a d-row mean pass, everything joined broadcast — the
     // corpus never shuffles
@@ -1370,6 +1390,32 @@ object SparkEntry {
     * hash that makes the sketch queries (q18/q22/q29) oracle-checkable.
     */
   private def md5l(e: String): String = graft.ops.Md5Hash.duckdbPlain(e)
+
+  /** q95's oracle, shared verbatim with q120 (the served-weights face must
+    * produce the identical table).
+    */
+  private lazy val ngramClassifierOracle: String =
+    raw"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id, unnest(list_concat(toks,
+       |      list_transform(range(greatest(len(toks) - 1, 0)),
+       |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
+       |  FROM base WHERE len(toks) > 0
+       |), w AS (
+       |  SELECT doc_id,
+       |    ${md5l(s"'8:w:' || CAST(${md5l("'7:' || f")} % 4096 AS VARCHAR)")} % 2001 - 1000 AS k
+       |  FROM feats
+       |), agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features, CAST(sum(k) AS BIGINT) AS ws
+       |  FROM w GROUP BY 1)
+       |SELECT doc_id, n_features,
+       |  round(CAST(ws AS DOUBLE) / (CAST(1000 AS DOUBLE) * n_features), 6) AS logit,
+       |  round(CAST(1 AS DOUBLE)
+       |    / (1 + exp(-(CAST(ws AS DOUBLE) / (CAST(1000 AS DOUBLE) * n_features)))), 6) AS score
+       |FROM agg""".stripMargin
 
   /** DuckDB rendering of the q22 hyperplane projection: vec · plane_i with
     * md5-derived components in [-1, 1) (2^59 = 576460752303423488; division
@@ -1862,28 +1908,13 @@ object SparkEntry {
     // replica of the hashing-trick model: unigram+bigram features, md5
     // bucket at seed 7, integer weight from the bucket id at seed 8;
     // exact integer sum, one IEEE division, sigmoid, round 6
-    "q95_text_ngram_classifier" ->
-      raw"""WITH base AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS toks
-         |  FROM documents
-         |), feats AS (
-         |  SELECT doc_id, unnest(list_concat(toks,
-         |      list_transform(range(greatest(len(toks) - 1, 0)),
-         |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
-         |  FROM base WHERE len(toks) > 0
-         |), w AS (
-         |  SELECT doc_id,
-         |    ${md5l(s"'8:w:' || CAST(${md5l("'7:' || f")} % 4096 AS VARCHAR)")} % 2001 - 1000 AS k
-         |  FROM feats
-         |), agg AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features, CAST(sum(k) AS BIGINT) AS ws
-         |  FROM w GROUP BY 1)
-         |SELECT doc_id, n_features,
-         |  round(CAST(ws AS DOUBLE) / (CAST(1000 AS DOUBLE) * n_features), 6) AS logit,
-         |  round(CAST(1 AS DOUBLE)
-         |    / (1 + exp(-(CAST(ws AS DOUBLE) / (CAST(1000 AS DOUBLE) * n_features)))), 6) AS score
-         |FROM agg""".stripMargin,
+    "q95_text_ngram_classifier" -> ngramClassifierOracle,
+
+    // identical expected output to q95 by construction (the served weight
+    // table IS the derived rule materialized) — hash equality proves the
+    // broadcast-join serving path computes exactly what the inline rule
+    // does
+    "q120_text_ngram_serve" -> ngramClassifierOracle,
 
     // closed form of self-vote min-tie LPA on clique unions: nations with
     // ≥ 2 suppliers converge to the nation's min supplier id; singletons
@@ -2837,6 +2868,19 @@ object SparkEntry {
     // q27-style pinned gate: the Spark side verifies projected-coordinate
     // variances ≡ eigenvalues before asserting the row
     "q116_embed_pca" -> "SELECT 8 AS k, CAST(TRUE AS BOOLEAN) AS pca_pass",
+
+    // the same rank rule: value at row_number = max(1, ceil(p·n)) per
+    // stratum; p probes as DOUBLE (DuckDB VALUES would default DECIMAL)
+    "q119_length_quantiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, p, n_chars AS q
+        |FROM r, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |                (CAST(0.99 AS DOUBLE))) AS t(p)
+        |WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))""".stripMargin,
 
     // q112's gram CTE + per-dimension decimal mean sums; the corr closed
     // form is written once with sii/sjj read from the SAME rounded gram

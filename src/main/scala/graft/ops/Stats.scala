@@ -97,6 +97,42 @@ object Stats {
       round(when(varXN > 0, (sy - slope * sx) / n), scale).as("intercept")): _*)
   }
 
+  /** Per-stratum EXACT quantile profile (p50/p90/p99-style release
+    * reports): for each requested `p ∈ (0, 1]`, the value at 1-based rank
+    * `max(1, ⌈p·n⌉)` within the stratum — the rank-based (type-1)
+    * quantile. Returns `(strataCols…, p, q)`.
+    *
+    * Rank-based rather than interpolated on purpose, the [[ntileBins]] /
+    * rankTrim discipline: the selected value is an ACTUAL data value at
+    * an integer rank, so engines agree exactly, where interpolated
+    * quantiles are arithmetic whose ulps differ; ties are harmless
+    * because any row at the target rank of a tie group carries the same
+    * value. Cost: one shuffle + per-stratum sort (ranking is inherently a
+    * sort — for a cheaper approximate profile at extreme scale, use
+    * `approx_percentile`; this is the exact report). The probe list rides
+    * a literal-array explode — no join.
+    */
+  def quantileProfile(
+      df: DataFrame,
+      value: Column,
+      strataCols: Seq[String],
+      ps: Seq[Double]
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"probes must be in (0, 1], got $ps")
+    val strata = strataCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*).orderBy(value)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .select(strata ++ Seq(
+        explode(array(ps.map(lit(_)): _*)).as("p"),
+        col("_rn"), col("_n"), value.as("q")): _*)
+      .where(col("_rn") === greatest(lit(1L), ceil(col("p") * col("_n")).cast("long")))
+      .select(strata ++ Seq(col("p"), col("q")): _*)
+  }
+
   /** Per-stratum z-score standardization: adds `z = (x − μ)/σ` (population
     * σ) — the feature-normalization step before mixing heterogeneous
     * quality/length signals into one score. NULL where the stratum has

@@ -75,6 +75,89 @@ object TextAnalysis {
       round(lit(1.0) / (lit(1.0) + exp(-logit)), scale).as("score"))
   }
 
+  /** The (bucket, weight) table [[hashedNgramScore]]'s derived rule
+    * implies over this corpus's observed features — the bridge between
+    * the self-contained scorer and the SERVED-model path
+    * ([[hashedNgramScoreWith]]): train elsewhere, or derive here, then
+    * score any shard against the broadcast table. One distinct pass over
+    * the feature buckets; output ≤ min(dim, |distinct features|) rows.
+    */
+  def derivedNgramWeights(
+      df: DataFrame,
+      textCol: String = "text",
+      dim: Int = 4096,
+      seed: Int = 7,
+      hash: HashFamily = XxHash
+  ): DataFrame = {
+    val feats = ngramFeatureBuckets(df.withColumn("_fid", lit(0L)), textCol, "_fid", dim, seed, hash)
+      .select(col("bucket")).distinct()
+    feats.select(
+      col("bucket"),
+      (pmod(hash.seeded(seed + 1, concat(lit("w:"), col("bucket").cast("string"))), lit(2001L))
+        - lit(1000L)).as("weight"))
+  }
+
+  /** [[hashedNgramScore]] scored against an EXPLICIT (bucket, weight)
+    * model table instead of the derived rule — the serving path for a
+    * trained classifier (fastText-style quality/domain model): features
+    * hash to buckets exactly as in the derived scorer, the weight lookup
+    * is a BROADCAST join against the ≤`dim`-row table, and buckets absent
+    * from the table contribute weight 0 (they still count as features —
+    * an unseen n-gram is evidence of nothing, not a skipped token). With
+    * `weights = derivedNgramWeights(df)`, output ≡ [[hashedNgramScore]]
+    * (spec-pinned), so the two faces cannot drift.
+    */
+  def hashedNgramScoreWith(
+      df: DataFrame,
+      weights: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dim: Int = 4096,
+      seed: Int = 7,
+      hash: HashFamily = XxHash,
+      scale: Int = 6
+  ): DataFrame = {
+    val feats = ngramFeatureBuckets(df, textCol, idCol, dim, seed, hash)
+    val agg = feats
+      .join(broadcast(weights.select(col("bucket"), col("weight"))), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_features"),
+        sum(coalesce(col("weight"), lit(0L))).as("_ws"))
+    val logit = col("_ws").cast("double") / (lit(1000.0) * col("n_features").cast("double"))
+    agg.select(
+      col(idCol),
+      col("n_features"),
+      round(logit, scale).as("logit"),
+      round(lit(1.0) / (lit(1.0) + exp(-logit)), scale).as("score"))
+  }
+
+  /** One (idCol, bucket) row per unigram and bigram feature — the shared
+    * feature stage of [[hashedNgramScore]] / [[hashedNgramScoreWith]]
+    * (codegen explode; bigrams via `element_at` at pos+1, no window).
+    */
+  private def ngramFeatureBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      dim: Int,
+      seed: Int,
+      hash: HashFamily
+  ): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    def bucketOf(f: Column): Column = pmod(hash.seeded(seed, f), lit(dim.toLong))
+    val exploded = df
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_toks"))
+      .select(col(idCol), col("_toks"), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .where(col("_tok") =!= "")
+    val uni = col("_tok")
+    val bi = when(
+      col("_pos") < size(col("_toks")) - 1,
+      concat(uni, lit(" "), element_at(col("_toks"), col("_pos") + 2)))
+    exploded.select(col(idCol), bucketOf(uni).as("bucket"))
+      .union(exploded.where(bi.isNotNull).select(col(idCol), bucketOf(bi).as("bucket")))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

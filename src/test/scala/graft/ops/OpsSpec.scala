@@ -511,6 +511,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(floored === Set("the", "cat"))
   }
 
+  test("hashedNgramScoreWith(derived weights) ≡ hashedNgramScore; truncated table zero-fills") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow")
+    ).toDF("doc_id", "text")
+    val full = TextAnalysis.hashedNgramScore(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val served = TextAnalysis.hashedNgramScoreWith(
+        docs, TextAnalysis.derivedNgramWeights(docs))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(served == full, "served derived table must equal the inline rule exactly")
+    // the weight probe must broadcast
+    val plan = TextAnalysis.hashedNgramScoreWith(docs, TextAnalysis.derivedNgramWeights(docs))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weights must broadcast:\n$plan")
+    // a truncated model: missing buckets score 0 but still count as
+    // features — an empty table yields logit 0, score 0.5, same n_features
+    val empty = TextAnalysis.derivedNgramWeights(docs).limit(0)
+    val zeroed = TextAnalysis.hashedNgramScoreWith(docs, empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    zeroed.foreach { case (id, nf, logit, score) =>
+      assert(nf == full(id).head.asInstanceOf[Long], s"doc $id n_features")
+      assert(logit == 0.0 && score == 0.5, s"doc $id: $logit/$score")
+    }
+  }
+
   test("vocabularyCoverage: per-doc OOV against the top-N vocab; empty docs report zeros") {
     import spark.implicits._
     val docs = Seq(

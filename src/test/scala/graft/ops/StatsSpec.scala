@@ -84,6 +84,31 @@ class StatsSpec extends SparkSpec {
     assert(a == b, "fit must not depend on input partitioning")
   }
 
+  test("quantileProfile: value at max(1, ceil(p·n)); ties safe; partition-invariant") {
+    import spark.implicits._
+    // stratum a: 1..10 → p50 = rank 5 → 5; p90 = rank 9 → 9; p100 → 10.
+    // stratum b: five equal values → every probe returns 7
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++ (1 to 5).map(_ => ("b", 7L)))
+      .toDF("s", "v")
+    val got = Stats.quantileProfile(df, col("v"), Seq("s"), Seq(0.5, 0.9, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", 0.5) -> 5L, ("a", 0.9) -> 9L, ("a", 1.0) -> 10L,
+      ("b", 0.5) -> 7L, ("b", 0.9) -> 7L, ("b", 1.0) -> 7L), s"got $got")
+    // tiny probe clamps to rank 1 (the minimum)
+    val lo = Stats.quantileProfile(df, col("v"), Seq("s"), Seq(0.001))
+      .where(col("s") === "a").collect().map(_.getLong(2)).toSeq
+    assert(lo == Seq(1L))
+    // repartitioning cannot change any selected value
+    val a = Stats.quantileProfile(df, col("v"), Seq("s"), Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val b = Stats.quantileProfile(df.repartition(7), col("v"), Seq("s"), Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Stats.quantileProfile(df, col("v"), Seq("s"), Seq(0.0)))
+  }
+
   test("zscore: hand-computed per stratum; zero variance and nulls go NULL; partition-invariant") {
     import spark.implicits._
     // stratum a: values 1,2,3 → μ=2, σ_pop=√(2/3); z(1) = −1/√(2/3) ≈ −1.224745
