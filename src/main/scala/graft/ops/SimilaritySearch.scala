@@ -267,6 +267,22 @@ object SimilaritySearch {
       dim: Int,
       vecCol: String = "embedding",
       scale: Int = 6
+  ): DataFrame =
+    gramFromPartials(gramPartials(df, dim, vecCol), scale)
+
+  /** The MERGEABLE face of [[gramMatrix]]: one row per upper-triangle
+    * pair with the count and the EXACT decimal product sum (unrounded) —
+    * append one such frame per ingest batch and the 100-TB PCA /
+    * correlation refresh becomes a d(d+1)/2-row-per-batch merge
+    * ([[gramFromPartials]]) instead of an embedding rescan, the
+    * [[graft.ops.TextAnalysis.corpusPartialStats]] pattern applied to
+    * second moments. Merging is exact (decimal addition is associative),
+    * so any batch split produces the identical matrix — spec-pinned.
+    */
+  def gramPartials(
+      df: DataFrame,
+      dim: Int,
+      vecCol: String = "embedding"
   ): DataFrame = {
     require(dim >= 1 && dim <= 512, s"dim must be in [1, 512], got $dim")
     val pairs = typedLit((0 until dim).flatMap(i => (i until dim).map(j => (i, j))))
@@ -277,10 +293,18 @@ object SimilaritySearch {
         (element_at(col("_v"), col("_p._1") + 1) * element_at(col("_v"), col("_p._2") + 1))
           .cast("decimal(20,10)").as("_prod"))
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("_prod")).as("_s"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("n"),
-        round(col("_s").cast("double"), scale).as("sum_prod"))
+      .agg(count(lit(1)).as("n"), sum(col("_prod")).as("sum_prod"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"), col("sum_prod"))
   }
+
+  /** Folds [[gramPartials]] frames (unioned across batches) into the
+    * [[gramMatrix]] result shape. */
+  def gramFromPartials(partials: DataFrame, scale: Int = 6): DataFrame =
+    partials.groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_prod")).as("_s"))
+      .select(col("i"), col("j"), col("n"),
+        round(col("_s").cast("double"), scale).as("sum_prod"))
 
   /** Pearson correlation between every dimension pair of an embedding
     * column — the feature-redundancy diagnostic over a vector corpus

@@ -109,9 +109,10 @@ class StreamingDedupIngest(
   require(embeddingCol.isEmpty || semanticDupsPath.isDefined,
     "embeddingCol requires a semanticDupsPath for the semantic dup records")
 
-  private val bandsPath = s"$sketchPath/bands"
-  private val shPath    = s"$sketchPath/sh"
-  private val embPath   = s"$sketchPath/emb"
+  private val bandsPath    = s"$sketchPath/bands"
+  private val shPath       = s"$sketchPath/sh"
+  private val embPath      = s"$sketchPath/emb"
+  private val embStatsPath = s"$sketchPath/embstats"
 
   /** A corpus-side sketch table, with the current batch's own partition
     * excluded (replay safety — see class doc), or an empty same-schema
@@ -179,8 +180,8 @@ class StreamingDedupIngest(
     // writes no corpus partition (zero-row partitioned writes leave
     // nothing), but its dups/labels partitions still mark it replayable
     val allPaths = Seq(corpusPath, dupsPath, bandsPath, shPath) ++
-      embeddingCol.map(_ => embPath) ++ semanticDupsPath ++
-      quarantinePath ++ vocabPath ++ statsPath ++ labelsPath
+      embeddingCol.map(_ => embPath) ++ embeddingCol.map(_ => embStatsPath) ++
+      semanticDupsPath ++ quarantinePath ++ vocabPath ++ statsPath ++ labelsPath
     val maxes = allPaths.flatMap { p =>
       try Option(spark.read.parquet(p).agg(max(col("ingest_batch").cast("long"))).head())
         .filterNot(_.isNullAt(0)).map(_.getLong(0))
@@ -217,6 +218,13 @@ class StreamingDedupIngest(
     snapshotTable(bandsPath)(plainUnion)
     snapshotTable(shPath)(plainUnion)
     embeddingCol.foreach(_ => snapshotTable(embPath)(plainUnion))
+    // gram partials fold by summation (decimal — exact); cast back to the
+    // per-batch precision so parquet partitions agree on schema
+    embeddingCol.foreach(_ => snapshotTable(embStatsPath)(
+      _.groupBy("i", "j").agg(
+          sum("n").as("n"), sum("sum_prod").as("sum_prod"))
+        .select(col("i"), col("j"), col("n"),
+          col("sum_prod").cast("decimal(30,10)").as("sum_prod"))))
     semanticDupsPath.foreach(p => snapshotTable(p)(plainUnion))
     quarantinePath.foreach(p => snapshotTable(p)(plainUnion))
     vocabPath.foreach(p => snapshotTable(p)(
@@ -335,8 +343,13 @@ class StreamingDedupIngest(
     // semantic dup pairs get their own batch-partitioned record
     semState.foreach { case (sp, newEmb) =>
       writeBatchPartition(sp, semanticDupsPath.get)
+      val novelEmb = newEmb.join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      writeBatchPartition(novelEmb, embPath)
+      // mergeable second moments of the novel vectors: the PCA /
+      // correlation refresh reads d(d+1)/2 rows per batch, never vectors
       writeBatchPartition(
-        newEmb.join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi"), embPath)
+        graft.ops.SimilaritySearch.gramPartials(novelEmb, semanticDim, vecCol = "_v"),
+        embStatsPath)
     }
     quarantinePath.foreach(p => writeBatchPartition(contaminated, p))
     // incremental cluster labels: prior labels (pre-collapsed history) +
@@ -388,6 +401,17 @@ class StreamingDedupIngest(
     val p = statsPath.getOrElse(
       throw new IllegalStateException("ingest was built without a statsPath"))
     TextAnalysis.corpusReportFromPartials(spark.read.parquet(p).drop("ingest_batch"))
+  }
+
+  /** The corpus embedding Gram matrix merged from the per-batch partials
+    * ([[graft.ops.SimilaritySearch.gramFromPartials]]) — feed its
+    * collected rows to PCA / correlation analysis without ever rescanning
+    * stored vectors. Requires `embeddingCol`.
+    */
+  def embeddingGram(scale: Int = 6): DataFrame = {
+    require(embeddingCol.isDefined, "ingest was built without an embeddingCol")
+    graft.ops.SimilaritySearch.gramFromPartials(
+      spark.read.parquet(embStatsPath).drop("ingest_batch"), scale)
   }
 
   /** Per-batch ingest observability: one row per `ingest_batch` with

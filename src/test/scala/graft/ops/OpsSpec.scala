@@ -857,6 +857,15 @@ class GramMatrixSpec extends SparkSpec {
     assert(got == expect, s"got $got")
     // upper triangle only: d(d+1)/2 rows, i <= j
     assert(got.keySet.forall { case (i, j) => i <= j })
+    // partials merge exactly: any batch split reproduces the one-shot matrix
+    val whole = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)), (2L, Seq(5.0, 6.0)),
+      (3L, Seq(7.0, 8.0))).toDF("id", "embedding")
+    val oneShot = SimilaritySearch.gramMatrix(whole, dim = 2).collect().map(_.toSeq).toSet
+    val merged = SimilaritySearch.gramFromPartials(
+        SimilaritySearch.gramPartials(whole.where(col("id") % 2 === 0), dim = 2)
+          .union(SimilaritySearch.gramPartials(whole.where(col("id") % 2 === 1), dim = 2)))
+      .collect().map(_.toSeq).toSet
+    assert(merged == oneShot, "batch-split gram partials must merge to the one-shot matrix")
     // decimal sums: identical under any partitioning (a double fold would not be)
     val big = (1 to 500).map(k => Seq.tabulate(8)(d => math.sin(k * 7 + d) * 3)).toDF("embedding")
     val a = SimilaritySearch.gramMatrix(big, dim = 8).collect().map(_.toSeq).toSet

@@ -356,6 +356,14 @@ class StreamingDedupSpec extends SparkSpec {
     assert(labels.get(2L) == labels.get(0L) && labels.get(10L) == labels.get(1L),
       s"semantic dups must share their source's cluster: $labels")
 
+    // the mergeable gram partials track the corpus vectors: the merged
+    // matrix equals a direct gram over the stored embedding table
+    val mergedGram = ingest.embeddingGram().collect().map(_.toSeq).toSet
+    val directGram = graft.ops.SimilaritySearch.gramMatrix(
+        spark.read.parquet(s"$work/sketch/emb").select(col("_v").as("embedding")), dim = 8)
+      .collect().map(_.toSeq).toSet
+    assert(mergedGram == directGram, "per-batch gram partials must merge to the corpus gram")
+
     // checkpoint-recovery replay of batch 2: byte-stable outputs, no
     // self-matching against the prior attempt's own partition
     ingest.ingestBatch(b2, batchId = 1)
