@@ -917,6 +917,28 @@ object SparkEntry {
         hash = activeHash)
     }),
 
+    // multi-source BFS hop distances over the part–supplier bipartite
+    // graph (distinct lineitem links; suppliers offset into a disjoint id
+    // space): level-synchronous frontier expansion — per round one slim
+    // equi-join of the edge list against the shrinking frontier — under
+    // the same radius cap the oracle's recursive CTE walks with
+    "q121_graph_bfs" -> ((s, dir) => {
+      val e = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
+      graft.graph.GraphQueries.shortestPaths(
+        s, e, sources = Seq(1L, 2L, 3L, 4L, 5L), maxDist = 8)
+    }),
+
+    // per-language MAD-based robust length outliers (the heavy-tail screen
+    // a z-score cannot provide): both medians are rank-based ACTUAL values
+    // → integer med/mad/deviation, and the score is one double division —
+    // engine-exact where mean/σ on a skewed stratum is not
+    "q123_robust_outliers" -> ((s, dir) =>
+      graft.ops.Stats.robustOutliers(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        value = col("n_chars"), strataCols = Seq("lang"))),
+
     // dimension-pair correlation matrix (embedding-capacity diagnostics):
     // q112's gram + a d-row mean pass, everything joined broadcast — the
     // corpus never shuffles
@@ -1177,6 +1199,32 @@ object SparkEntry {
           .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
           .select(lit(10).as("k"), (col("hits") >= 8).as("sq_recall_pass"))
+      }
+    }),
+
+    // product-quantized ANN (PQ + ADC, the memory scale path): vectors
+    // stored as m=8 codes (32× smaller than float32); query-time ADC is 8
+    // literal-table lookups per row — zero per-row float math in 64 dims —
+    // and the driver-bounded shortlist is reranked EXACTLY against the
+    // original vectors. The codebook model isn't SQL-expressible → the
+    // q27-style gate: ADC+rerank top-10 must recover >= 8 of the exact
+    // float top-10; bench mode times the ADC serving path alone
+    "q122_ann_pq" -> ((s, dir) => {
+      val (enc, model) = SparkEntry.memo(s"pq:$dir") {
+        val emb = T(s, dir, "embeddings")
+        val m   = graft.ops.ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
+        (graft.ops.ProductQuant.encode(emb, m).cache(), m)
+      }
+      val approx = graft.ops.ProductQuant.adcTopK(enc, model, SparkEntry.benchQueryVec,
+        topK = 10, rerankWith = Some("embedding"), shortlist = 100)
+      if (benchMode) approx
+      else {
+        val exact = SimilaritySearch.bruteForceTopK(
+          T(s, dir, "embeddings"), SparkEntry.benchQueryVec, k = 10)
+        approx.select(col("vec_id"))
+          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(10).as("k"), (col("hits") >= 8).as("pq_recall_pass"))
       }
     }),
 
@@ -1712,6 +1760,7 @@ object SparkEntry {
 
     // Same gate pattern for the int8-quantized scan.
     "q43_ann_quantized" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS sq_recall_pass",
+    "q122_ann_pq" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS pq_recall_pass",
 
     "q19_dedup_ngram" ->
       """WITH sh AS (
@@ -2881,6 +2930,56 @@ object SparkEntry {
         |FROM r, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
         |                (CAST(0.99 AS DOUBLE))) AS t(p)
         |WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))""".stripMargin,
+
+    // the same graph, same radius cap, walked as a recursive CTE: UNION
+    // (not UNION ALL) dedups (id, dist) pairs so the recursion terminates
+    // under the dist < 8 bound, and MIN(dist) per vertex IS the BFS
+    // distance — exact integers end to end
+    "q121_graph_bfs" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+        |         CAST(l_suppkey AS BIGINT) + 10000000 AS b
+        |  FROM lineitem
+        |), bi AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+        |), walk(id, dist) AS (
+        |  SELECT CAST(v AS BIGINT) AS id, 0 AS dist
+        |  FROM (VALUES (1), (2), (3), (4), (5)) s(v)
+        |  UNION
+        |  SELECT bi.b AS id, walk.dist + 1 AS dist
+        |  FROM walk JOIN bi ON bi.a = walk.id
+        |  WHERE walk.dist < 8
+        |)
+        |SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id""".stripMargin,
+
+    // the q119 rank rule applied twice: median = value at ceil(n/2), MAD =
+    // median of |x − med|; integer med/mad/dev, one double division, and
+    // the 3.5 cut compared on the UNROUNDED quotient in both engines
+    "q123_robust_outliers" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |), med AS (
+        |  SELECT lang, n_chars AS med FROM r
+        |  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |), d AS (
+        |  SELECT doc_id, lang, n_chars, med, abs(n_chars - med) AS dev
+        |  FROM documents JOIN med USING (lang)
+        |), r2 AS (
+        |  SELECT lang, dev,
+        |    row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM d
+        |), mad AS (
+        |  SELECT lang, dev AS mad FROM r2
+        |  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars, d.med, mad.mad,
+        |  round(CAST(d.dev AS DOUBLE) / NULLIF(mad.mad, 0), 6) AS rscore,
+        |  CAST(d.dev AS DOUBLE) / NULLIF(mad.mad, 0) > 3.5 AS is_outlier
+        |FROM d JOIN mad USING (lang)""".stripMargin,
 
     // q112's gram CTE + per-dimension decimal mean sums; the corr closed
     // form is written once with sii/sjj read from the SAME rounded gram

@@ -456,6 +456,87 @@ object GraphQueries {
     labels.select(col("vid").as(idCol), col("label"))
   }
 
+  /** Multi-source BFS shortest paths (unweighted, undirected) as a DF
+    * frontier loop — the hop-distance primitive (crawl-depth from a seed
+    * set, contamination-radius from known-bad documents, graph-distance
+    * features for a link graph). Returns `(idCol, dist)` for every vertex
+    * reachable from the source set within `maxDist` hops; sources are
+    * dist 0, a vertex's dist is its distance to the NEAREST source, and
+    * vertices farther than `maxDist` (or unreachable) are absent. Edges
+    * are read undirected (one-way or bidirectional input is the same
+    * graph), self-loops dropped; sources need not appear in any edge
+    * (isolated sources still report dist 0).
+    *
+    * Scale shape, same family as [[connectedComponentsDF]] / [[kCore]]:
+    * level-synchronous expansion — per round ONE equi-join of the edge
+    * list against the (slim, shrinking) frontier, a distinct, and an
+    * anti-join against the settled set; every frame is `(vid[, dist])`
+    * longs, spillable and AQE-planned, nothing pinned in cached RDDs.
+    * The settled set only grows by genuinely new vertices, so total work
+    * is O(Σ frontier-degree) = O(m) across all rounds — the textbook BFS
+    * bound, paid as `diameter` shuffle rounds. Emptiness of the
+    * materialized frontier is the per-round scalar (the CC-DF signature
+    * discipline); settled lineage is truncated on the pageRankDF cadence.
+    */
+  def shortestPaths(
+      spark: SparkSession,
+      edges: DataFrame,
+      sources: Seq[Long],
+      idCol: String = "id",
+      maxDist: Int = 50
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(sources.nonEmpty, "sources must be non-empty")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    import spark.implicits._
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val e = materialize(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"))))
+    var settled = materialize(
+      sources.distinct.toDF("vid").select(col("vid").cast("long").as("vid"), lit(0).as("dist")))
+    var settledCheckpoint: DataFrame = settled
+    var frontier = settled
+    var d = 0
+    var done = false
+    while (!done && d < maxDist) {
+      // every neighbor of the frontier not yet settled joins at dist d+1;
+      // the frontier is level-uniform so distinct (not min) suffices
+      val next = materialize(
+        e.join(frontier.select(col("vid").as("src")), Seq("src"))
+          .select(col("dst").as("vid")).distinct()
+          .join(settled.select(col("vid")), Seq("vid"), "left_anti")
+          .withColumn("dist", lit(d + 1)))
+      if (next.isEmpty) {
+        next.unpersist(blocking = false)
+        done = true
+      } else {
+        settled = settled.union(next)
+        frontier = next
+        d += 1
+        if (d % 4 == 0) {
+          val prev = settledCheckpoint
+          settled = materialize(settled)
+          settledCheckpoint = settled
+          prev.unpersist(blocking = false)
+        }
+      }
+    }
+    if (!done) {
+      log.warn(
+        s"shortestPaths stopped at maxDist=$maxDist with a non-empty frontier; " +
+          "vertices beyond that radius are absent from the result — " +
+          "re-run with a larger maxDist for full reachability")
+    }
+    settled.select(col("vid").as(idCol), col("dist"))
+  }
+
   /** Connected components over an edge set; vertices absent from any edge
     * are singletons (their own component). Returns (id, component) where
     * component = smallest vertex id in the component (GraphX convention).

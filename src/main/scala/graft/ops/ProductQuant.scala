@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the MEMORY scale path
+  * for ANN beyond [[SimilaritySearch.ScalarQuant]]'s int8: a d-dim vector
+  * is split into `m` subvectors, each subspace gets its own `ksub`-entry
+  * codebook (seeded KMeans), and a vector is stored as `m` small codes —
+  * one byte per subspace at ksub ≤ 256, a 32× shrink over float32 at
+  * (m=8, d=64). At 100 TB of embeddings that is the difference between a
+  * RAM-resident candidate store and none. Public method: Jégou, Douze,
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+  *
+  * Query-time ADC (asymmetric distance computation): the query stays
+  * float; per subspace a ksub-entry table of partial dot products between
+  * the query slice and every codeword is computed ONCE on the driver
+  * (m·ksub·subdim flops total) and enters the plan as literal arrays, so
+  * each row's approximate similarity is `m` array lookups and a sum —
+  * zero per-row float math in d dimensions. The standard serving shape is
+  * ADC shortlist → exact rerank of the survivors, which [[adcTopK]]'s
+  * `rerankWith` provides.
+  *
+  * Codebooks are trained with the same pinned-layout seeded spark.ml
+  * KMeans as IVF ([[SimilaritySearch.IvfIndex.index]]) so a model is a
+  * deterministic function of the data, not of the session's parallelism.
+  * Like the IVF index, everything clusters L2-NORMALIZED vectors: cosine
+  * ranking then agrees with dot-product ADC, and Euclidean KMeans cells
+  * in each subspace minimize exactly the dot-product reconstruction error
+  * that ADC incurs.
+  */
+object ProductQuant {
+
+  import org.apache.spark.ml.clustering.KMeans
+  import org.apache.spark.ml.functions.array_to_vector
+
+  /** `codebooks(j)(c)` = subdim-length codeword `c` of subspace `j`. */
+  final case class PqModel(
+      m: Int,
+      ksub: Int,
+      subdim: Int,
+      codebooks: Array[Array[Array[Double]]]
+  ) {
+    def dim: Int = m * subdim
+    require(codebooks.length == m, s"expected $m codebooks, got ${codebooks.length}")
+    require(codebooks.forall(_.length == ksub),
+      s"every codebook must have $ksub codewords")
+    require(codebooks.forall(_.forall(_.length == subdim)),
+      s"every codeword must have $subdim components")
+  }
+
+  /** L2-normalized copy of an array<double> column (zero vectors pass
+    * through; the norm binds once via the aggregate finish lambda — see
+    * the IVF note on the O(d²) transform trap).
+    */
+  private def l2normalize(v: Column): Column =
+    aggregate(v, lit(0.0d), (acc, x) => acc + x * x,
+      sumsq => transform(v, x => when(sumsq > 0, x / sqrt(sumsq)).otherwise(x)))
+
+  private def normSlice(vecCol: Column, j: Int, subdim: Int): Column =
+    slice(l2normalize(vecCol.cast("array<double>")), j * subdim + 1, subdim)
+
+  /** Train the `m` subspace codebooks. One small seeded KMeans fit per
+    * subspace over the pinned-layout frame (hash-repartition on the vector
+    * + intra-partition sort, the IVF determinism rule) — the fits share
+    * one persisted slice pass, and the model they produce is
+    * partition-invariant.
+    */
+  def fit(
+      df: DataFrame,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      vecCol: String = "embedding"
+  ): PqModel = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val subdim = dim / m
+    val pinned = df.repartition(8, col(vecCol)).sortWithinPartitions(col(vecCol))
+    val sliced = pinned.select(
+      (0 until m).map(j => array_to_vector(normSlice(col(vecCol), j, subdim)).as(s"_s$j")): _*)
+    sliced.persist()
+    try {
+      val codebooks = (0 until m).map { j =>
+        val model = new KMeans().setK(ksub).setSeed(seed + j).setFeaturesCol(s"_s$j")
+          .fit(sliced)
+        model.clusterCenters.map(_.toArray)
+      }.toArray
+      PqModel(m, ksub, subdim, codebooks)
+    } finally { sliced.unpersist(blocking = false); () }
+  }
+
+  /** Nearest codeword of subspace `j` for the (normalized) vector slice:
+    * argmin over ksub codewords of ‖c‖² − 2·v_j·c (the per-row ‖v_j‖²
+    * term is rank-constant), ties to the smallest code — the
+    * [[SimilaritySearch.IvfIndex.assign]] rule per subspace.
+    */
+  private def codeExpr(model: PqModel, vecCol: Column, j: Int): Column = {
+    val vj = normSlice(vecCol, j, model.subdim)
+    val scored = model.codebooks(j).zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (lit(c2) - lit(2.0) * graft.ops.VectorOps.dot(vj, graft.ops.VectorOps.vecLit(c.toSeq))).as("d"),
+        lit(i).as("c"))
+    }
+    array_min(array(scored: _*)).getField("c")
+  }
+
+  /** Attach `pq_code` (array<int> of length m): the stored representation.
+    * Pure map-side projection — m·ksub codegen dot products per row, no
+    * shuffle.
+    */
+  def encode(df: DataFrame, model: PqModel, vecCol: String = "embedding"): DataFrame =
+    df.withColumn("pq_code",
+      array((0 until model.m).map(j => codeExpr(model, col(vecCol), j)): _*))
+
+  /** Reconstructed (normalized-space) vector from a code column — the
+    * concatenation of the selected codewords. For diagnostics and
+    * re-ranking tests; serving never needs it (ADC works on codes).
+    */
+  def decode(codeCol: Column, model: PqModel): Column = {
+    val parts = (0 until model.m).map { j =>
+      val words = model.codebooks(j).map(c => graft.ops.VectorOps.vecLit(c.toSeq))
+      element_at(array(words: _*), element_at(codeCol, j + 1) + 1)
+    }
+    concat(parts: _*)
+  }
+
+  /** ADC top-k: approximate cosine = Σ_j lut_j[code_j] where lut_j holds
+    * the dot products of the NORMALIZED query slice against subspace j's
+    * codewords — m element_at lookups per row. With `rerankWith =
+    * Some(vecCol)`, an ADC shortlist of `shortlist` rows is re-scored
+    * EXACTLY against the original vectors (the standard refine step; the
+    * shortlist is driver-bounded like the IVF query path, so the exact
+    * pass touches `shortlist`, not |corpus|, vectors).
+    */
+  def adcTopK(
+      encoded: DataFrame,
+      model: PqModel,
+      queryVec: Seq[Double],
+      topK: Int,
+      idCol: String = "vec_id",
+      rerankWith: Option[String] = None,
+      shortlist: Int = 100
+  ): DataFrame = {
+    require(queryVec.length == model.dim,
+      s"query dim ${queryVec.length} != model dim ${model.dim}")
+    val qn = {
+      val n = math.sqrt(queryVec.map(x => x * x).sum)
+      if (n > 0) queryVec.map(_ / n) else queryVec
+    }
+    val luts = (0 until model.m).map { j =>
+      val qj = qn.slice(j * model.subdim, (j + 1) * model.subdim)
+      model.codebooks(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum)
+    }
+    val approx = (0 until model.m)
+      .map(j => element_at(graft.ops.VectorOps.vecLit(luts(j).toIndexedSeq),
+        element_at(col("pq_code"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = encoded
+      .select(col(idCol), rerankWith.map(col).getOrElse(lit(null)).as("_vec"),
+        approx.as("adc_score"))
+    rerankWith match {
+      case None =>
+        scored.select(col(idCol), round(col("adc_score"), 6).as("score"))
+          .orderBy(col("score").desc, col(idCol)).limit(topK)
+      case Some(_) =>
+        val q = graft.ops.VectorOps.vecLit(queryVec)
+        scored
+          .orderBy(col("adc_score").desc, col(idCol)).limit(shortlist)
+          .select(col(idCol),
+            round(graft.ops.VectorOps.cosine(col("_vec").cast("array<double>"), q), 6).as("score"))
+          .orderBy(col("score").desc, col(idCol)).limit(topK)
+    }
+  }
+}

@@ -191,4 +191,62 @@ object Stats {
         .partitionBy(strataCols.map(col): _*).orderBy(orderCols: _*)
     df.withColumn("bin", (ntile(bins).over(w) - 1).cast("long"))
   }
+
+  /** Per-stratum MAD-based robust outlier scoring: adds
+    * `med` (stratum median), `mad` (median absolute deviation),
+    * `rscore = |x − med| / mad` and `is_outlier = rscore > k` — the
+    * heavy-tail screen that [[zscore]] cannot provide (one 10 MB document
+    * in a stratum of tweets inflates σ until nothing else flags; the
+    * median and MAD ignore it). `k ≈ 3.5` is the conventional cut
+    * (Iglewicz–Hoaglin); callers wanting the σ-consistent score can fold
+    * the 1.4826 constant into `k`.
+    *
+    * Both medians are the rank-based type-1 quantile (an ACTUAL data
+    * value at rank ⌈n/2⌉, the [[quantileProfile]] rule) — so for integer
+    * inputs `med`, `mad` and the deviation are exact integers and the
+    * score is ONE double division, reproducible bit-for-bit by another
+    * engine where mean/σ or interpolated percentiles would not be.
+    * Zero-MAD strata (over half the rows share the median) yield NULL
+    * score and NULL flag rather than a division blowup.
+    *
+    * Scale shape: two per-stratum sort passes (the [[quantileProfile]]
+    * cost family) each collapsing to a |strata|-row frame that joins back
+    * broadcast — the data shuffles for ranking but never for the join.
+    */
+  def robustOutliers(
+      df: DataFrame,
+      value: Column,
+      strataCols: Seq[String] = Nil,
+      k: Double = 3.5,
+      scale: Int = 6
+  ): DataFrame = {
+    val strata = strataCols.map(col)
+    def strataWindowRank(in: DataFrame, v: Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(strata: _*).orderBy(v)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
+      in.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .where(col("_rn") === greatest(lit(1L), ceil(lit(0.5) * col("_n")).cast("long")))
+    }
+    val med = strataWindowRank(df, value)
+      .select(strata :+ value.as("_med"): _*)
+    val withDev =
+      (if (strataCols.isEmpty) df.crossJoin(broadcast(med))
+       else df.join(broadcast(med), strataCols, "left"))
+        .withColumn("_dev", abs(value - col("_med")))
+    val mad = strataWindowRank(withDev, col("_dev"))
+      .select(strata :+ col("_dev").as("_mad"): _*)
+    val scoredBase =
+      if (strataCols.isEmpty) withDev.crossJoin(broadcast(mad))
+      else withDev.join(broadcast(mad), strataCols, "left")
+    scoredBase
+      .withColumn("rscore",
+        when(col("_mad") > 0, round(col("_dev") / col("_mad"), scale)))
+      .withColumn("is_outlier",
+        when(col("_mad") > 0, col("_dev") / col("_mad") > k))
+      .withColumnRenamed("_med", "med")
+      .withColumnRenamed("_mad", "mad")
+      .drop("_dev")
+  }
 }

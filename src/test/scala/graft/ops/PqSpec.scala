@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("fit is deterministic and partition-invariant; model has the declared shape") {
+    val m1 = ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
+    val m2 = ProductQuant.fit(emb.repartition(13), dim = 64, m = 8, ksub = 16)
+    assert(m1.codebooks.length == 8)
+    assert(m1.codebooks.forall(_.length == 16))
+    assert(m1.codebooks.forall(_.forall(_.length == 8)))
+    assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq,
+      "codebooks must not depend on input partitioning")
+  }
+
+  test("encode: codes bounded by ksub, one per subspace, partition-invariant") {
+    val model = ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
+    val c1 = ProductQuant.encode(emb, model)
+      .select(col("vec_id"), col("pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val c2 = ProductQuant.encode(emb.repartition(7), model)
+      .select(col("vec_id"), col("pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 == c2, "codes must not depend on input partitioning")
+  }
+
+  test("decode reconstructs close to the normalized vector (better than a 1-codeword book)") {
+    val model = ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
+    val enc = ProductQuant.encode(emb, model)
+    val meanCos = enc.select(
+      avg(VectorOps.cosine(col("embedding").cast("array<double>"),
+        ProductQuant.decode(col("pq_code"), model)))).head().getDouble(0)
+    // uniform-random 64-dim vectors: a trivial quantizer reconstructs near
+    // cosine 0; 8 subspaces x 16 codewords must land far above that
+    assert(meanCos > 0.5, s"mean reconstruction cosine too low: $meanCos")
+  }
+
+  test("ADC+rerank recall@10 vs brute force; reranked scores ARE the exact scores") {
+    val q = graft.SparkEntry.benchQueryVec
+    val model = ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
+    val enc = ProductQuant.encode(emb, model).cache()
+    val truth = SimilaritySearch.bruteForceTopK(emb, q, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = ProductQuant.adcTopK(enc, model, q, topK = 10,
+      rerankWith = Some("embedding"), shortlist = 100).collect()
+    val recall = got.map(_.getLong(0)).count(truth.keySet) / 10.0
+    assert(recall >= 0.8, s"PQ ADC+rerank recall@10 too low: $recall")
+    // refine step scores with the original floats: any returned id that is
+    // in the exact top-10 carries the identical rounded cosine
+    got.foreach(r => truth.get(r.getLong(0)).foreach(exact =>
+      assert(r.getDouble(1) == exact)))
+    enc.unpersist()
+  }
+
+  test("pure-ADC ordering is sane: the exact nearest neighbor ranks in the ADC shortlist") {
+    val q = graft.SparkEntry.benchQueryVec
+    val model = ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
+    val enc = ProductQuant.encode(emb, model)
+    val top1 = SimilaritySearch.bruteForceTopK(emb, q, k = 1).head().getLong(0)
+    val adc100 = ProductQuant.adcTopK(enc, model, q, topK = 100).collect().map(_.getLong(0)).toSet
+    assert(adc100.contains(top1), "exact NN fell outside the ADC top-100")
+  }
+}

@@ -152,4 +152,53 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
   }
+
+  test("robustOutliers: hand-computed med/MAD; the heavy tail flags where zscore would not") {
+    import spark.implicits._
+    // values 1..9 (med = 5 at rank ceil(9/2)=5, devs 4,3,2,1,0,1,2,3,4 →
+    // sorted 0,1,1,2,2,3,3,4,4, MAD = value at rank 5 = 2) plus one huge
+    // outlier making n=10: med = value at rank 5 of the 10 = 5, devs now
+    // include 9995; MAD = rank-5 of 0,1,1,2,2,3,3,4,4,9995 = 2
+    val vals = (1L to 9L) :+ 10000L
+    val df = vals.map(("x", _)).toDF("s", "v")
+    val got = Stats.robustOutliers(df, col("v"), strataCols = Seq("s"))
+      .select(col("v"), col("med"), col("mad"), col("rscore"), col("is_outlier"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == ((5L, 2L, 2.0, false)))
+    assert(got(10000L) == ((5L, 2L, 4997.5, true)))
+    // the same corpus through zscore: σ is inflated by the outlier so the
+    // tail point sits barely 2.8σ out — the robust score sees 4997 MADs
+    val z = Stats.zscore(df, col("v"), strataCols = Seq("s"))
+      .where(col("v") === 10000L).head().getAs[Double]("z")
+    assert(math.abs(z) < 3.5)
+  }
+
+  test("robustOutliers: zero-MAD stratum yields NULL score and flag; strata independent") {
+    import spark.implicits._
+    val df = Seq(("a", 7L), ("a", 7L), ("a", 7L), ("a", 99L),
+                 ("b", 1L), ("b", 2L), ("b", 3L)).toDF("s", "v")
+    val rows = Stats.robustOutliers(df, col("v"), strataCols = Seq("s")).collect()
+    val a99 = rows.find(r => r.getAs[String]("s") == "a" && r.getAs[Long]("v") == 99L).get
+    // stratum a: med 7, devs 0,0,0,92 → MAD 0 → NULLs, never a division error
+    assert(a99.getAs[Long]("mad") == 0L)
+    assert(a99.isNullAt(a99.fieldIndex("rscore")) && a99.isNullAt(a99.fieldIndex("is_outlier")))
+    val b2 = rows.find(r => r.getAs[String]("s") == "b" && r.getAs[Long]("v") == 2L).get
+    // stratum b: med 2, devs 1,0,1 → MAD 1
+    assert(b2.getAs[Long]("med") == 2L && b2.getAs[Long]("mad") == 1L
+      && b2.getAs[Double]("rscore") == 0.0)
+  }
+
+  test("robustOutliers: no strata = one global stratum; partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("v")
+    val g1 = Stats.robustOutliers(df, col("v"))
+      .select("v", "med", "mad", "rscore").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val g2 = Stats.robustOutliers(df.repartition(7), col("v"))
+      .select("v", "med", "mad", "rscore").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(g1 == g2)
+    assert(g1(50L)._1 == 50L && g1(50L)._2 == 25L)
+  }
 }
