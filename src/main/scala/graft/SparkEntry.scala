@@ -279,6 +279,15 @@ object SparkEntry {
     "q19_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), threshold = 0.2, maxDocFreq = 100)),
 
+    // sketch-quality audit over q18's candidate pairs: the minhash
+    // AGREEMENT estimate of Jaccard next to the exact value and the
+    // absolute error — how numHashes gets tuned before a 100-TB dedup run;
+    // the agreement count is an unrolled 16-term codegen sum the oracle
+    // replays component by component
+    "q124_dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimates(T(s, dir, "documents"), numHashes = 16, bands = 4,
+        hash = activeHash)),
+
     // embedding-cosine near-dup pairs, blocked by label
     "q20_embed_cosine" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -1679,6 +1688,41 @@ object SparkEntry {
          |  FROM pairs JOIN sh sa ON sa.id = pairs.id_a JOIN sh sb ON sb.id = pairs.id_b
          |)
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.2""".stripMargin,
+
+    // q18's CTEs verbatim through the candidate join, then per-pair: the
+    // component-agreement count over the 16 signature slots (est), the
+    // exact shingle Jaccard, and the rounded absolute error
+    "q124_dedup_minhash_est" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+         |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |        FROM documents)
+         |), sig AS (
+         |  SELECT id,
+         |    list_transform(range(16), s ->
+         |      list_min(list_transform(sh, x -> ${md5l("CAST(s AS VARCHAR) || ':' || x")}))) AS sig
+         |  FROM sh
+         |), banded AS (
+         |  SELECT id, b.band AS band,
+         |    ${md5l("array_to_string(sig[(CAST(b.band AS INT) * 4 + 1):(CAST(b.band AS INT) * 4 + 4)], ',')")} AS bucket
+         |  FROM sig, (SELECT unnest(range(4)) AS band) b
+         |), pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |), e AS (
+         |  SELECT id_a, id_b,
+         |    round(CAST(len(list_filter(range(16),
+         |      i -> ga.sig[CAST(i AS INT) + 1] = gb.sig[CAST(i AS INT) + 1])) AS DOUBLE) / 16, 6) AS est_jaccard,
+         |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+         |  FROM pairs
+         |  JOIN sig ga ON ga.id = pairs.id_a JOIN sig gb ON gb.id = pairs.id_b
+         |  JOIN sh sa ON sa.id = pairs.id_a JOIN sh sb ON sb.id = pairs.id_b
+         |)
+         |SELECT id_a, id_b, est_jaccard, jaccard,
+         |  round(abs(est_jaccard - jaccard), 6) AS est_err FROM e""".stripMargin,
 
     // q18's minhash pipeline replicated across the 300-split: band-bucket
     // candidates between new (>= 300) and history (< 300), exact-jaccard

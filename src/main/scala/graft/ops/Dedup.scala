@@ -193,6 +193,55 @@ object Dedup {
     filtered.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Sketch-quality diagnostic over the LSH candidate pairs: the
+    * signature-agreement ESTIMATE of Jaccard (matching minhash components
+    * / numHashes — the unbiased estimator every banding threshold is
+    * implicitly trusting, Broder 1997) side by side with the EXACT shingle
+    * Jaccard and the absolute error. This is how `numHashes` is tuned
+    * before a 100-TB run: if `est_err` runs hot at the dedup threshold,
+    * the sketch is too small for the corpus's similarity profile — found
+    * out here on candidate pairs, not downstream in leaked duplicates.
+    *
+    * Same scale shape as [[minhashLsh]] (slim band self-join, signatures
+    * persisted once, re-attached by id for survivors only); the agreement
+    * count is an unrolled numHashes-term codegen sum, not an interpreted
+    * HOF. Both scores are rounded to 6 before the error so the triple is
+    * engine-portable under the md5 family.
+    */
+  def minhashEstimates(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWidth: Int = 3,
+      hash: HashFamily = XxHash
+  ): DataFrame = {
+    val sigs = graft.Caches.track(
+      minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, hash))
+    val banded = bandBuckets(sigs, numHashes, bands, hash)
+    val pairs = banded
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val side = sigs.select(col("id"), col("sh"), col("sig"))
+    val agree = (0 until numHashes)
+      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(side.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(side.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 6))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 6).as("est_err"))
+  }
+
   /** Incremental near-dup detection: which documents of a (small) new batch
     * near-duplicate a (huge) accumulated history — the every-ingest question
     * of a training-data pipeline, answered WITHOUT re-pairing the history

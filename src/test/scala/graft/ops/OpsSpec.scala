@@ -111,6 +111,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("minhashEstimates: exact dup estimates 1.0 with zero error; est is a component-agreement fraction") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "the quick brown fox jumps over the lazy dog today then",
+      4L -> "completely different content with no overlap at all here"
+    )
+    val rows = Dedup.minhashEstimates(df, numHashes = 16, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // identical docs: every signature component agrees, exact jaccard 1.0
+    assert(rows((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // every estimate is a multiple of 1/16 in [0,1]; err = |est − exact|
+    rows.values.foreach { case (est, jac, err) =>
+      assert(est >= 0.0 && est <= 1.0 && (est * 16).round == est * 16)
+      assert(jac >= 0.0 && jac <= 1.0)
+      assert(math.abs(err - math.abs(est - jac)) < 2e-6)
+    }
+    // the near-dup pair (1,3) must estimate clearly above any pair
+    // involving the unrelated doc 4
+    rows.get((1L, 3L)).foreach { case (est, jac, _) =>
+      assert(jac > 0.3 && est > 0.3)
+    }
+  }
+
   test("simhash of identical docs is identical; pairs found within hamming bound") {
     val df   = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "unrelated words here now")
     val sigs = Dedup.simhash(df)
