@@ -1237,6 +1237,30 @@ object SparkEntry {
       }
     }),
 
+    // IVFADC, the whole-stack ANN serving composition: IVF cells prune the
+    // scanned ROWS to nprobe/k of the corpus, PQ codes prune the scanned
+    // BYTES to m per vector, ADC scores with broadcast literal tables, and
+    // the driver-bounded shortlist reranks exactly. Gate mirrors q27's
+    // IVF bound (cell pruning caps recall; PQ+rerank must not lose more)
+    "q125_ann_ivfpq" -> ((s, dir) => {
+      val ivfpq = graft.ops.ProductQuant.IvfPq(k = 8, nprobe = 4, m = 8, ksub = 16)
+      val (enc, centroids, model) = SparkEntry.memo(s"ivfpq:$dir") {
+        val (e, c, pm) = ivfpq.index(T(s, dir, "embeddings"), dim = 64)
+        (e.cache(), c, pm)
+      }
+      val approx = ivfpq.query(enc, centroids, model, SparkEntry.benchQueryVec,
+        topK = 10, rerankWith = Some("embedding"), shortlist = 100)
+      if (benchMode) approx
+      else {
+        val exact = SimilaritySearch.bruteForceTopK(
+          T(s, dir, "embeddings"), SparkEntry.benchQueryVec, k = 10)
+        approx.select(col("vec_id"))
+          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(10).as("k"), (col("hits") >= 5).as("ivfpq_recall_pass"))
+      }
+    }),
+
     // deterministic stratified sampling: per-lang rates via a literal-map
     // lookup, hash-bucket membership — a pure map-side filter (no shuffle,
     // no RNG state), reproducible across runs/partitionings/engines. The
@@ -1805,6 +1829,7 @@ object SparkEntry {
     // Same gate pattern for the int8-quantized scan.
     "q43_ann_quantized" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS sq_recall_pass",
     "q122_ann_pq" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS pq_recall_pass",
+    "q125_ann_ivfpq" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS ivfpq_recall_pass",
 
     "q19_dedup_ngram" ->
       """WITH sh AS (

@@ -173,4 +173,63 @@ object ProductQuant {
           .orderBy(col("score").desc, col(idCol)).limit(topK)
     }
   }
+
+  /** IVF ∘ PQ (the IVFADC system of Jégou et al. 2011 §V): the whole-stack
+    * 100-TB ANN serving composition. The coarse IVF quantizer prunes the
+    * scan to `nprobe/k` of the corpus ROWS (directory-level with a
+    * cell-partitioned store, [[graft.ops.SimilaritySearch.IvfIndex.save]]),
+    * PQ codes make the scanned BYTES `m` per vector, ADC scores them with
+    * broadcast literal tables, and the driver-bounded shortlist reranks
+    * exactly. Non-residual variant: codebooks quantize the full normalized
+    * vectors rather than cell residuals — one codebook set serves every
+    * cell (residual PQ would buy accuracy at the cost of coupling each
+    * code to its cell's centroid; the exact rerank step recovers most of
+    * that accuracy here, which the recall gate pins).
+    */
+  case class IvfPq(
+      k: Int = 8,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L
+  ) {
+
+    /** Build: IVF cell assignment + PQ codes on one frame. Returns the
+      * encoded corpus (`cell`, `pq_code` added), the cell centroids, and
+      * the PQ model — everything [[query]] needs.
+      */
+    def index(
+        df: DataFrame,
+        dim: Int,
+        vecCol: String = "embedding"
+    ): (DataFrame, Array[Array[Double]], PqModel) = {
+      val ivf = graft.ops.SimilaritySearch.IvfIndex(k, nprobe, seed)
+      val (cells, centroids) = ivf.index(df)
+      val model = fit(df, dim, m, ksub, seed, vecCol)
+      (encode(cells, model, vecCol), centroids, model)
+    }
+
+    /** Probe the query's `nprobe` nearest cells (Euclidean rank of the
+      * normalized query against the centroids — cosine rank on the
+      * sphere), then [[adcTopK]] within them.
+      */
+    def query(
+        encoded: DataFrame,
+        centroids: Array[Array[Double]],
+        model: PqModel,
+        queryVec: Seq[Double],
+        topK: Int,
+        idCol: String = "vec_id",
+        rerankWith: Option[String] = None,
+        shortlist: Int = 100
+    ): DataFrame = {
+      val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+      val qn    = if (qNorm > 0) queryVec.map(_ / qNorm) else queryVec
+      def dist(c: Array[Double]): Double =
+        math.sqrt(c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val probed = centroids.zipWithIndex.sortBy(p => dist(p._1)).take(nprobe).map(_._2)
+      adcTopK(encoded.where(col("cell").isin(probed.toSeq: _*)), model, queryVec,
+        topK, idCol, rerankWith, shortlist)
+    }
+  }
 }

@@ -58,6 +58,31 @@ class PqSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("IvfPq: results come only from probed cells; recall@10 with rerank holds up") {
+    val q = graft.SparkEntry.benchQueryVec
+    val ivfpq = ProductQuant.IvfPq(k = 8, nprobe = 4, m = 8, ksub = 16)
+    val (enc, centroids, model) = ivfpq.index(emb, dim = 64)
+    val encC = enc.cache()
+    val got = ivfpq.query(encC, centroids, model, q, topK = 10,
+      rerankWith = Some("embedding"), shortlist = 100).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    // every returned id must live in one of the nprobe probed cells — the
+    // query can never have touched an unprobed cell's rows
+    val qn = { val n = math.sqrt(q.map(x => x * x).sum); q.map(_ / n) }
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, _) => math.sqrt(c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum) }
+      .take(4).map(_._2).toSet
+    val cellsOf = encC.select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(r => assert(probed.contains(cellsOf(r.getLong(0)))))
+    // composed recall: IVF pruning caps it (q27's gate is 5/10), PQ+rerank
+    // must not lose more than IVF already does
+    val truth = SimilaritySearch.bruteForceTopK(emb, q, k = 10).collect().map(_.getLong(0)).toSet
+    val recall = got.map(_.getLong(0)).count(truth) / 10.0
+    assert(recall >= 0.5, s"IVFADC recall@10 too low: $recall")
+    encC.unpersist()
+  }
+
   test("pure-ADC ordering is sane: the exact nearest neighbor ranks in the ADC shortlist") {
     val q = graft.SparkEntry.benchQueryVec
     val model = ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
