@@ -508,6 +508,30 @@ object SparkEntry {
         .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
     }),
 
+    // personalized PageRank from a seed supplier over the clique graph
+    // (proximity-to-seed, the "accounts/documents near this one" serving
+    // query): the teleport concentrates on the source, ranks sum to 1.
+    // Iterated doubles aren't bit-portable across engines, so the
+    // contract is the q116-style self-verifying gate — the DF loop must
+    // match GraphX staticPersonalizedPageRank to 1e-6 on the same graph
+    "q126_graph_ppr" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      val bidir = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val ppr = graft.graph.GraphQueries.pageRankDF(
+        s, v.select("id"), bidir, personalized = Some(1L))
+      if (benchMode) ppr.select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+      else {
+        val gx = graft.graph.GraphQueries.pageRank(
+            s, v.select("id"), bidir, personalized = Some(1L))
+          .select(col("id"), col("pagerank").as("gx_rank"))
+        val maxErr = ppr.join(gx, Seq("id"))
+          .agg(max(abs(col("pagerank") - col("gx_rank")))).head().getDouble(0)
+        s.range(1).select(lit(1L).as("source_id"), lit(maxErr <= 1e-6).as("ppr_pass"))
+      }
+    }),
+
     // deterministic corpus shuffle (training-order randomization): the
     // permutation key is a pure function of (seed, doc_id) — the oracle
     // recomputes every shuffle_id exactly, so the full permutation is
@@ -1830,6 +1854,9 @@ object SparkEntry {
     "q43_ann_quantized" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS sq_recall_pass",
     "q122_ann_pq" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS pq_recall_pass",
     "q125_ann_ivfpq" -> "SELECT 10 AS k, CAST(TRUE AS BOOLEAN) AS ivfpq_recall_pass",
+    // q116-style self-verifying gate: the Spark side asserts DF ≡ GraphX
+    // personalized ranks to 1e-6 before emitting the row
+    "q126_graph_ppr" -> "SELECT CAST(1 AS BIGINT) AS source_id, CAST(TRUE AS BOOLEAN) AS ppr_pass",
 
     "q19_dedup_ngram" ->
       """WITH sh AS (

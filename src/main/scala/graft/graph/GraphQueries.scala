@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.rules.EdgeColumns
@@ -81,7 +81,8 @@ object GraphQueries {
       edges: DataFrame,
       numIter: Int = 20,
       resetProb: Double = 0.15,
-      idCol: String = "id"
+      idCol: String = "id",
+      personalized: Option[Long] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     import spark.implicits._
     val vRdd: RDD[(Long, Unit)] =
@@ -89,8 +90,12 @@ object GraphQueries {
     val eRdd: RDD[Edge[Unit]] = edges
       .select(col(EdgeColumns.Src).cast("long"), col(EdgeColumns.Dst).cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    Graph(vRdd, eRdd).staticPageRank(numIter, resetProb).vertices
-      .toDF(idCol, "pagerank")
+    val g = Graph(vRdd, eRdd)
+    val ranked = personalized match {
+      case None      => g.staticPageRank(numIter, resetProb)
+      case Some(src) => g.staticPersonalizedPageRank(src, numIter, resetProb)
+    }
+    ranked.vertices.toDF(idCol, "pagerank")
   }
 
   /** DataFrame power-iteration PageRank — the large-graph twin of
@@ -129,7 +134,8 @@ object GraphQueries {
       numIter: Int = 20,
       resetProb: Double = 0.15,
       idCol: String = "id",
-      initRanks: Option[DataFrame] = None
+      initRanks: Option[DataFrame] = None,
+      personalized: Option[Long] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(numIter > 0, s"numIter must be positive, got $numIter")
     def materialize(df: DataFrame): DataFrame =
@@ -157,13 +163,28 @@ object GraphQueries {
     // handful of un-truncated join+agg rounds is a perfectly fine plan —
     // so pay the job only once per CHECKPOINT_EVERY iterations
     val checkpointEvery = 4
+    // Personalized mode (GraphX staticPersonalizedPageRank semantics): the
+    // walk teleports to ONE source vertex instead of uniformly — ranks
+    // start as the source delta, the reset term applies at the source
+    // only, and the result normalizes to sum 1 (a probability over the
+    // graph: proximity-to-source, the "related documents / accounts near
+    // this seed" query) instead of to |V|. The loop is identical — only
+    // the three literals change.
+    def coldRank(vid: Column): Column = personalized match {
+      case None      => lit(1.0)
+      case Some(src) => when(vid === src, 1.0).otherwise(0.0)
+    }
+    def resetTerm(vid: Column): Column = personalized match {
+      case None      => lit(resetProb)
+      case Some(src) => when(vid === src, resetProb).otherwise(0.0)
+    }
     var r = initRanks match {
-      case None => v.withColumn("rank", lit(1.0))
+      case None => v.select(col("vid"), coldRank(col("vid")).as("rank"))
       case Some(ir) =>
         val prev = ir.select(
           col(idCol).cast("long").as("ivid"), col("pagerank").cast("double").as("irank"))
         v.join(prev, v("vid") === prev("ivid"), "left")
-          .select(v("vid"), coalesce(col("irank"), lit(1.0)).as("rank"))
+          .select(v("vid"), coalesce(col("irank"), coldRank(v("vid"))).as("rank"))
     }
     var lastMaterialized: Option[DataFrame] = None
     for (i <- 1 to numIter) {
@@ -173,7 +194,7 @@ object GraphQueries {
       r = v.join(contribs, v("vid") === contribs("dst"), "left")
         .select(
           v("vid"),
-          (lit(resetProb) + lit(1 - resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
+          (resetTerm(v("vid")) + lit(1 - resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
       if (i % checkpointEvery == 0 || i == numIter) {
         val prev = lastMaterialized
         r = materialize(r)
@@ -182,7 +203,10 @@ object GraphQueries {
       }
     }
     val stats = r.agg(sum("rank"), count(lit(1))).head()
-    val scale = if (stats.getDouble(0) > 0) stats.getLong(1) / stats.getDouble(0) else 1.0
+    val scale =
+      if (stats.getDouble(0) <= 0) 1.0
+      else if (personalized.isDefined) 1.0 / stats.getDouble(0)
+      else stats.getLong(1) / stats.getDouble(0)
     r.select(col("vid").as(idCol), (col("rank") * lit(scale)).as("pagerank"))
   }
 

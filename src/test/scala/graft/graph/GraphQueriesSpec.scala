@@ -216,6 +216,33 @@ class GraphQueriesSpec extends SparkSpec {
     assert(math.abs(viaDf.values.sum - ids.size) < 1e-6)
   }
 
+  test("pageRankDF personalized: agrees with GraphX staticPersonalizedPageRank; sums to 1") {
+    import spark.implicits._
+    import org.apache.spark.graphx.{Edge, Graph}
+    val rng   = new scala.util.Random(11)
+    val ids   = (1L to 60L)
+    val pairs = Seq.fill(200)((ids(rng.nextInt(ids.size)), ids(rng.nextInt(ids.size))))
+      .filter(p => p._1 != p._2)
+    val edges = pairs.toDF("src", "dst")
+    val v     = ids.toDF("id")
+    val src   = 7L
+    val viaDf = GraphQueries.pageRankDF(spark, v, edges, personalized = Some(src))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val g = Graph(
+      spark.sparkContext.parallelize(ids.map(i => (i, ()))),
+      spark.sparkContext.parallelize(pairs.map(p => Edge(p._1, p._2, ()))))
+    val viaGx = g.staticPersonalizedPageRank(src, numIter = 20)
+      .vertices.collect().toMap
+    assert(viaDf.keySet == viaGx.keySet.map(_.toLong))
+    viaDf.foreach { case (id, rank) =>
+      assert(math.abs(rank - viaGx(id)) < 1e-6, s"vertex $id: df=$rank gx=${viaGx(id)}")
+    }
+    assert(math.abs(viaDf.values.sum - 1.0) < 1e-9)
+    // mass concentrates near the source: the source outranks the median vertex
+    val ranks = viaDf.values.toSeq.sorted
+    assert(viaDf(src) > ranks(ranks.size / 2))
+  }
+
   test("pageRankDF: warm start from the normalized output is exact continuation (dangling-free graph)") {
     import spark.implicits._
     val rng = new scala.util.Random(19)
