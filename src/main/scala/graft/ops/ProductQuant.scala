@@ -231,5 +231,90 @@ object ProductQuant {
       adcTopK(encoded.where(col("cell").isin(probed.toSeq: _*)), model, queryVec,
         topK, idCol, rerankWith, shortlist)
     }
+
+    /** Persist a built IVFADC index: the encoded corpus written PARTITIONED
+      * BY cell (a query's nprobe restriction prunes at the directory
+      * level) plus `_centroids` and `_codebooks` text sidecars
+      * (`Double.toString` round-trips exactly). Whole-index atomic swap
+      * under the maintenance lock, exactly like
+      * [[graft.ops.SimilaritySearch.IvfIndex.save]] — a reader can never
+      * observe new cells under stale models, and a crash mid-save leaves
+      * the previous index intact.
+      */
+    def save(
+        encoded: DataFrame,
+        centroids: Array[Array[Double]],
+        model: PqModel,
+        path: String
+    ): Unit = {
+      require(centroids.length == k, s"expected $k centroids, got ${centroids.length}")
+      require(model.m == m && model.ksub == ksub,
+        s"model geometry (m=${model.m}, ksub=${model.ksub}) != handle (m=$m, ksub=$ksub)")
+      val spark = encoded.sparkSession
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        graft.io.AtomicSwap.heal(fs, dir)
+        val scratch = graft.io.AtomicSwap.scratch(dir)
+        encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
+        val cOut = fs.create(new org.apache.hadoop.fs.Path(s"$scratch/_centroids"), true)
+        try {
+          val dim = centroids.headOption.map(_.length).getOrElse(0)
+          val sb  = new StringBuilder(s"$k $seed $dim\n")
+          centroids.foreach(c => sb.append(c.mkString(" ")).append('\n'))
+          cOut.write(sb.toString.getBytes("UTF-8"))
+        } finally cOut.close()
+        val bOut = fs.create(new org.apache.hadoop.fs.Path(s"$scratch/_codebooks"), true)
+        try {
+          val sb = new StringBuilder(s"$m $ksub ${model.subdim} $seed\n")
+          for (j <- 0 until m; c <- 0 until ksub)
+            sb.append(model.codebooks(j)(c).mkString(" ")).append('\n')
+          bOut.write(sb.toString.getBytes("UTF-8"))
+        } finally bOut.close()
+        graft.io.AtomicSwap.swapIn(fs, dir)
+      }
+    }
+
+    /** Load a [[save]]d index; fails fast on any geometry or seed mismatch
+      * with this handle, and on truncated sidecars (a silently short
+      * codebook would score every query wrong, not error).
+      */
+    def load(
+        spark: org.apache.spark.sql.SparkSession,
+        path: String
+    ): (DataFrame, Array[Array[Double]], PqModel) = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def readLines(name: String): Vector[String] = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/$name"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      }
+      val cLines  = readLines("_centroids")
+      val cHeader = cLines.head.split(" ")
+      require(cHeader(0).toInt == k,
+        s"index at $path was built with k=${cHeader(0)}, this handle has k=$k")
+      require(cHeader(1).toLong == seed,
+        s"index at $path was built with seed=${cHeader(1)}, this handle has seed=$seed")
+      val centroids = cLines.tail.filter(_.nonEmpty)
+        .map(_.split(" ").map(java.lang.Double.parseDouble)).toArray
+      require(centroids.length == k,
+        s"corrupt index at $path: ${centroids.length} centroid lines, header records k=$k")
+      val bLines  = readLines("_codebooks")
+      val bHeader = bLines.head.split(" ")
+      require(bHeader(0).toInt == m && bHeader(1).toInt == ksub,
+        s"index at $path has PQ geometry m=${bHeader(0)} ksub=${bHeader(1)}, " +
+          s"this handle has m=$m ksub=$ksub")
+      val subdim = bHeader(2).toInt
+      val words = bLines.tail.filter(_.nonEmpty)
+        .map(_.split(" ").map(java.lang.Double.parseDouble))
+      require(words.length == m * ksub,
+        s"corrupt index at $path: ${words.length} codeword lines, expected ${m * ksub}")
+      require(words.forall(_.length == subdim),
+        s"corrupt index at $path: codeword dims ${words.map(_.length).distinct.mkString(",")} " +
+          s"vs recorded subdim $subdim")
+      val codebooks = words.grouped(ksub).map(_.toArray).toArray
+      (spark.read.parquet(s"$path/cells"), centroids, PqModel(m, ksub, subdim, codebooks))
+    }
   }
 }

@@ -83,6 +83,31 @@ class PqSpec extends SparkSpec {
     encC.unpersist()
   }
 
+  test("IvfPq save/load: exact model roundtrip, identical query results, geometry mismatch fails fast") {
+    val q = graft.SparkEntry.benchQueryVec
+    val ivfpq = ProductQuant.IvfPq(k = 4, nprobe = 2, m = 8, ksub = 8)
+    val (enc, centroids, model) = ivfpq.index(emb.limit(500), dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    ivfpq.save(enc, centroids, model, dir)
+    val (encL, centroidsL, modelL) = ivfpq.load(spark, dir)
+    // Double.toString sidecars round-trip bit-exactly
+    assert(centroidsL.flatten.toSeq == centroids.flatten.toSeq)
+    assert(modelL.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq)
+    assert(modelL.subdim == model.subdim)
+    val before = ivfpq.query(enc, centroids, model, q, topK = 5,
+      rerankWith = Some("embedding")).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val after = ivfpq.query(encL, centroidsL, modelL, q, topK = 5,
+      rerankWith = Some("embedding")).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(before == after)
+    // a handle with different geometry must refuse the stored index
+    intercept[IllegalArgumentException] {
+      ProductQuant.IvfPq(k = 4, nprobe = 2, m = 4, ksub = 8).load(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      ProductQuant.IvfPq(k = 8, nprobe = 2, m = 8, ksub = 8).load(spark, dir)
+    }
+  }
+
   test("pure-ADC ordering is sane: the exact nearest neighbor ranks in the ADC shortlist") {
     val q = graft.SparkEntry.benchQueryVec
     val model = ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
