@@ -1285,6 +1285,31 @@ object SparkEntry {
       }
     }),
 
+    // batch retrieval through the IVFADC index: per-query probed cells
+    // selected map-side, corpus joined on the cell key (only probed
+    // cells' rows scored), PQ-decoded approximate shortlist into the
+    // bounded TopKAgg, exact rerank of the broadcast-side candidates.
+    // Gate: ≥ half the exact batch-knn pairs recovered across the batch
+    "q127_ann_ivfpq_knn" -> ((s, dir) => {
+      val ivfpq = graft.ops.ProductQuant.IvfPq(k = 8, nprobe = 4, m = 8, ksub = 16)
+      val (enc, centroids, model) = SparkEntry.memo(s"ivfpq:$dir") {
+        val (e, c, pm) = ivfpq.index(T(s, dir, "embeddings"), dim = 64)
+        (e.cache(), c, pm)
+      }
+      val queries = T(s, dir, "embeddings").where(col("vec_id") < 5)
+      val approx = ivfpq.knnJoin(enc, centroids, model, queries, k = 10,
+        rerankWith = Some("embedding"))
+      if (benchMode) approx
+      else {
+        val exact = SimilaritySearch.knnJoin(queries, T(s, dir, "embeddings"), k = 10)
+        approx.select(col("query_id"), col("neighbor_id"))
+          .join(exact.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(5).as("n_queries"), (col("hits") >= 25).as("knn_recall_pass"))
+      }
+    }),
+
     // deterministic stratified sampling: per-lang rates via a literal-map
     // lookup, hash-bucket membership — a pure map-side filter (no shuffle,
     // no RNG state), reproducible across runs/partitionings/engines. The
@@ -1857,6 +1882,7 @@ object SparkEntry {
     // q116-style self-verifying gate: the Spark side asserts DF ≡ GraphX
     // personalized ranks to 1e-6 before emitting the row
     "q126_graph_ppr" -> "SELECT CAST(1 AS BIGINT) AS source_id, CAST(TRUE AS BOOLEAN) AS ppr_pass",
+    "q127_ann_ivfpq_knn" -> "SELECT 5 AS n_queries, CAST(TRUE AS BOOLEAN) AS knn_recall_pass",
 
     "q19_dedup_ngram" ->
       """WITH sh AS (

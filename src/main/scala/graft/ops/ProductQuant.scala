@@ -232,6 +232,86 @@ object ProductQuant {
         topK, idCol, rerankWith, shortlist)
     }
 
+    /** Batch k-NN join through the IVFADC index — for every query vector,
+      * its approximate top-k neighbors, at index cost instead of
+      * [[graft.ops.SimilaritySearch.knnJoin]]'s full corpus × queries
+      * scoring. Per query: the nprobe nearest cells are selected MAP-SIDE
+      * (a k-entry literal struct array sorted and sliced per query row —
+      * no shuffle, no driver round-trip), the corpus joins on the cell
+      * key so only probed cells' rows are scored, approximate scores are
+      * dot products against the PQ-DECODED codes, and the per-query
+      * shortlist is the bounded partial aggregate
+      * [[org.apache.spark.sql.graft.TopKAgg]]. With `rerankWith`, the
+      * (|queries| × shortlist)-row candidate frame — broadcast-side by
+      * construction — re-scores EXACTLY against the original vectors.
+      *
+      * Returns (query_id, neighbor_id, score, rank) like the exact
+      * knnJoin; scores rounded to 6 before ranking, ties to smaller id.
+      */
+    def knnJoin(
+        encoded: DataFrame,
+        centroids: Array[Array[Double]],
+        model: PqModel,
+        queries: DataFrame,
+        k: Int,
+        vecCol: String = "embedding",
+        corpusIdCol: String = "vec_id",
+        queryIdCol: String = "vec_id",
+        rerankWith: Option[String] = None,
+        shortlist: Int = 50
+    ): DataFrame = {
+      require(k > 0, s"k must be positive, got $k")
+      val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct(
+          (lit(c2) - lit(2.0) * graft.ops.VectorOps.dot(col("_qn"), graft.ops.VectorOps.vecLit(c.toSeq))).as("d"),
+          lit(i).as("cell"))
+      }
+      val sortedCells = array_sort(array(cellStructs: _*))
+      val probedCells = array(
+        (0 until math.min(nprobe, centroids.length))
+          .map(i => element_at(sortedCells, i + 1).getField("cell")): _*)
+      val q = queries.select(
+          col(queryIdCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("_qv"))
+        .withColumn("_qn", l2normalize(col("_qv")))
+        .withColumn("cell", explode(probedCells))
+      val approxScore = round(
+        graft.ops.VectorOps.dot(col("_qn"), decode(col("pq_code"), model)), 6)
+      val short = encoded
+        .join(broadcast(q), Seq("cell"))
+        .select(col("query_id"),
+          col(corpusIdCol).cast("long").as("_nid"), approxScore.as("_s"))
+        .groupBy("query_id")
+        .agg(org.apache.spark.sql.graft.TopKAgg.topKAgg(
+          col("_s"), col("_nid"), if (rerankWith.isDefined) shortlist else k).as("_top"))
+      def ranked(scored: DataFrame): DataFrame = scored
+        .groupBy("query_id")
+        .agg(org.apache.spark.sql.graft.TopKAgg.topKAgg(col("_s"), col("_nid"), k).as("_top"))
+        .select(col("query_id"), posexplode(col("_top")).as(Seq("_r", "_e")))
+        .select(col("query_id"), col("_e.neighbor_id").as("neighbor_id"),
+          col("_e.score").as("score"), (col("_r") + 1).cast("int").as("rank"))
+      rerankWith match {
+        case None =>
+          short.select(col("query_id"), posexplode(col("_top")).as(Seq("_r", "_e")))
+            .select(col("query_id"), col("_e.neighbor_id").as("neighbor_id"),
+              col("_e.score").as("score"), (col("_r") + 1).cast("int").as("rank"))
+        case Some(vc) =>
+          val cand = short
+            .select(col("query_id"), explode(col("_top")).as("_e"))
+            .select(col("query_id"), col("_e.neighbor_id").as("_nid"))
+          val cv = encoded.select(
+            col(corpusIdCol).cast("long").as("_nid"),
+            col(vc).cast("array<double>").as("_cv"))
+          ranked(
+            cv.join(broadcast(cand), Seq("_nid"))
+              .join(broadcast(q.select(col("query_id"), col("_qv")).dropDuplicates("query_id")),
+                Seq("query_id"))
+              .select(col("query_id"), col("_nid"),
+                round(graft.ops.VectorOps.cosine(col("_cv"), col("_qv")), 6).as("_s")))
+      }
+    }
+
     /** Persist a built IVFADC index: the encoded corpus written PARTITIONED
       * BY cell (a query's nprobe restriction prunes at the directory
       * level) plus `_centroids` and `_codebooks` text sidecars

@@ -108,6 +108,29 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IvfPq.knnJoin: self-match at rank 1 with score 1.0; recall vs exact knnJoin holds") {
+    val ivfpq = ProductQuant.IvfPq(k = 8, nprobe = 4, m = 8, ksub = 16)
+    val (enc, centroids, model) = ivfpq.index(emb, dim = 64)
+    val encC = enc.cache()
+    val queries = emb.where(col("vec_id") < 5)
+    val got = ivfpq.knnJoin(encC, centroids, model, queries, k = 10,
+      rerankWith = Some("embedding")).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // a query vector's own cell is always its top probe, so the self-match
+    // must surface at rank 1 with exact rerank score 1.0
+    byQ.foreach { case (qid, rows) =>
+      val r1 = rows.find(_.getInt(3) == 1).get
+      assert(r1.getLong(1) == qid && r1.getDouble(2) == 1.0,
+        s"query $qid rank-1 is ${r1.getLong(1)} @ ${r1.getDouble(2)}")
+    }
+    val exact = SimilaritySearch.knnJoin(queries, emb, k = 10).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val totalHits = byQ.map { case (q, rs) => rs.map(_.getLong(1)).count(exact(q)) }.sum
+    assert(totalHits >= 25, s"IVFADC batch recall too low: $totalHits/50")
+    encC.unpersist()
+  }
+
   test("pure-ADC ordering is sane: the exact nearest neighbor ranks in the ADC shortlist") {
     val q = graft.SparkEntry.benchQueryVec
     val model = ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
