@@ -963,6 +963,31 @@ object SparkEntry {
         s, e, sources = Seq(1L, 2L, 3L, 4L, 5L), maxDist = 8)
     }),
 
+    // per-landmark BFS distance features on the q121 graph (the GraphX
+    // lib.ShortestPaths analogue): the edge list is scanned once per
+    // round regardless of landmark count — state is slim (vertex,
+    // landmark, dist) rows
+    "q128_graph_landmarks" -> ((s, dir) => {
+      val e = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
+      graft.graph.GraphQueries.landmarkDistances(
+        s, e, landmarks = Seq(1L, 2L, 3L), maxDist = 6)
+    }),
+
+    // per-landmark capped eccentricity + reach (the diameter-lower-bound /
+    // coverage diagnostic over q128's distance features): |landmarks|
+    // integer rows from one rollup
+    "q129_graph_ecc" -> ((s, dir) => {
+      val e = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
+      graft.graph.GraphQueries.landmarkDistances(
+          s, e, landmarks = Seq(1L, 2L, 3L), maxDist = 6)
+        .groupBy(col("landmark"))
+        .agg(max(col("dist")).as("ecc_capped"), count(lit(1)).as("n_reached"))
+    }),
+
     // per-language MAD-based robust length outliers (the heavy-tail screen
     // a z-score cannot provide): both medians are rank-based ACTUAL values
     // → integer med/mad/deviation, and the score is one double division —
@@ -3073,6 +3098,49 @@ object SparkEntry {
         |  WHERE walk.dist < 8
         |)
         |SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id""".stripMargin,
+
+    // q121's recursive walk with the landmark carried through the
+    // recursion: MIN(dist) per (vertex, landmark) under the same cap
+    "q128_graph_landmarks" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+        |         CAST(l_suppkey AS BIGINT) + 10000000 AS b
+        |  FROM lineitem
+        |), bi AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+        |), walk(id, lm, dist) AS (
+        |  SELECT CAST(v AS BIGINT) AS id, CAST(v AS BIGINT) AS lm, 0 AS dist
+        |  FROM (VALUES (1), (2), (3)) s(v)
+        |  UNION
+        |  SELECT bi.b AS id, walk.lm AS lm, walk.dist + 1 AS dist
+        |  FROM walk JOIN bi ON bi.a = walk.id
+        |  WHERE walk.dist < 6
+        |)
+        |SELECT id, lm AS landmark, CAST(MIN(dist) AS INT) AS dist
+        |FROM walk GROUP BY id, lm""".stripMargin,
+
+    // q128's walk collapsed to |landmarks| rows: capped eccentricity and
+    // reach per landmark, all exact integers
+    "q129_graph_ecc" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+        |         CAST(l_suppkey AS BIGINT) + 10000000 AS b
+        |  FROM lineitem
+        |), bi AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+        |), walk(id, lm, dist) AS (
+        |  SELECT CAST(v AS BIGINT) AS id, CAST(v AS BIGINT) AS lm, 0 AS dist
+        |  FROM (VALUES (1), (2), (3)) s(v)
+        |  UNION
+        |  SELECT bi.b AS id, walk.lm AS lm, walk.dist + 1 AS dist
+        |  FROM walk JOIN bi ON bi.a = walk.id
+        |  WHERE walk.dist < 6
+        |), d AS (
+        |  SELECT id, lm, MIN(dist) AS dist FROM walk GROUP BY id, lm
+        |)
+        |SELECT lm AS landmark, CAST(MAX(dist) AS INT) AS ecc_capped,
+        |       CAST(COUNT(*) AS BIGINT) AS n_reached
+        |FROM d GROUP BY lm""".stripMargin,
 
     // the q119 rank rule applied twice: median = value at ceil(n/2), MAD =
     // median of |x − med|; integer med/mad/dev, one double division, and

@@ -61,4 +61,34 @@ class ShortestPathsSpec extends SparkSpec {
   test("maxDist=0 returns exactly the source set at dist 0") {
     assert(run(Seq((1L, 2L)), Seq(1L), maxDist = 0) == Map(1L -> 0))
   }
+
+  private def runLm(edges: Seq[(Long, Long)], lms: Seq[Long], maxDist: Int = 50): Map[(Long, Long), Int] = {
+    import spark.implicits._
+    GraphQueries.landmarkDistances(spark, edges.toDF("src", "dst"), lms, maxDist = maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+  }
+
+  test("landmarkDistances: one distance PER landmark, agrees with per-source BFS") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val got = runLm(e, Seq(1L, 5L, 8L))
+    // vertex 3 is 2 hops from landmark 1 AND 2 hops from landmark 5;
+    // nothing reaches landmark 8 from the path component
+    assert(got((3L, 1L)) == 2 && got((3L, 5L)) == 2)
+    assert(got((9L, 8L)) == 1 && !got.contains((9L, 1L)))
+    // slice per landmark ≡ single-source shortestPaths
+    for (lm <- Seq(1L, 5L, 8L)) {
+      val slice = got.collect { case ((v, l), dd) if l == lm => v -> dd }
+      assert(slice == run(e, Seq(lm)), s"landmark $lm slice diverges")
+    }
+  }
+
+  test("landmarkDistances: pseudorandom graph ≡ per-landmark reference BFS; radius cap honored") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter(e => e._1 != e._2)
+    val lms = Seq(0L, 1L)
+    val expect = lms.flatMap(lm =>
+      brute(edges.toSet, Set(lm), 3).map { case (v, dd) => (v, lm) -> dd }).toMap
+    assert(runLm(edges, lms, maxDist = 3) == expect)
+  }
 }
