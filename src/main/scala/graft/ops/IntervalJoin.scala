@@ -50,4 +50,40 @@ object IntervalJoin {
       .where(col(tsCol).between(col(startCol), col(endCol)))
       .drop("_bucket")
   }
+
+  /** Interval-OVERLAP join: pair each left interval with the right
+    * intervals of the same key that overlap it (inclusive ends) — session
+    * co-occurrence, exposure windows, schedule conflicts. Same bucket
+    * discipline as [[pointInInterval]], plus the exactly-once trick an
+    * interval×interval join needs: a pair can share MANY buckets, so each
+    * pair is claimed only in the bucket of `max(start_l, start_r)` (the
+    * first bucket where both are live — always a shared bucket for an
+    * overlapping pair). A residual filter, not a dedup shuffle.
+    *
+    * Caller contract: the four bound columns are distinct names and the
+    * frames share only `keyCols` (as in the other two-table joins).
+    * Cost: one hash shuffle of both sides' bucket postings
+    * (Σ ceil(span/bucketWidth) each) — never the per-key cross product a
+    * `lStart <= rEnd AND rStart <= lEnd` theta join would nested-loop.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("_bucket",
+        explode(sequence(floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
+    explodeBuckets(left, leftStart, leftEnd)
+      .join(explodeBuckets(right, rightStart, rightEnd), keyCols :+ "_bucket")
+      .where(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .where(col("_bucket") === floor(greatest(col(leftStart), col(rightStart)) / bucketWidth))
+      .drop("_bucket")
+  }
 }

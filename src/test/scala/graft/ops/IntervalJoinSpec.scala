@@ -50,4 +50,44 @@ class IntervalJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"bucketized interval join must not plan a nested loop:\n$plan")
   }
+
+  private lazy val leftIv = {
+    import spark.implicits._
+    Seq(
+      ("u1", 0L, 10L, "a1"),    // overlaps b1 (0-5) and b2 (10-20, boundary touch)
+      ("u1", 50L, 300L, "a2"),  // long: overlaps b3 across many buckets
+      ("u2", 0L, 10L, "a3"),    // u2: b4 starts at 11 — NO overlap
+      ("u3", 5L, 6L, "a4")      // key with no right rows
+    ).toDF("user", "ls", "le", "aid")
+  }
+
+  private lazy val rightIv = {
+    import spark.implicits._
+    Seq(
+      ("u1", 0L, 5L, "b1"), ("u1", 10L, 20L, "b2"),
+      ("u1", 250L, 900L, "b3"), ("u2", 11L, 12L, "b4")
+    ).toDF("user", "rs", "re", "bid")
+  }
+
+  private def overlapExpected: Set[(String, String)] =
+    Set(("a1", "b1"), ("a1", "b2"), ("a2", "b3"))
+
+  test("intervalOverlap: brute-force equality across widths; long spans pair exactly once") {
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val rows = IntervalJoin.intervalOverlap(
+          leftIv, rightIv, Seq("user"), "ls", "le", "rs", "re", w)
+        .select("aid", "bid").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.toSet == overlapExpected, s"bucketWidth $w diverged: ${rows.toSet}")
+      assert(rows.length == overlapExpected.size,
+        s"bucketWidth $w produced duplicate pairs: ${rows.toSeq}")
+    }
+  }
+
+  test("intervalOverlap plan shape: equi-join on (key, bucket), no nested loop") {
+    val plan = IntervalJoin.intervalOverlap(
+        leftIv, rightIv, Seq("user"), "ls", "le", "rs", "re", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketized overlap join must not plan a nested loop:\n$plan")
+  }
 }
