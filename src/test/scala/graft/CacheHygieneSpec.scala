@@ -59,6 +59,19 @@ class CacheHygieneSpec extends SparkSpec {
     }
   }
 
+  test("shortestPaths, landmarkDistances and personalized pageRankDF release checkpoints after clear()") {
+    assertNoResidue("shortestPaths") {
+      assert(GraphQueries.shortestPaths(spark, edges, Seq(1L)).count() == 7)
+    }
+    assertNoResidue("landmarkDistances") {
+      assert(GraphQueries.landmarkDistances(spark, edges, Seq(1L, 7L)).count() == 14)
+    }
+    assertNoResidue("pageRankDF(personalized)") {
+      assert(GraphQueries.pageRankDF(spark, vertices, edges, numIter = 6,
+        personalized = Some(1L)).count() == 7)
+    }
+  }
+
   test("GraphX ops (pageRank, connectedComponents, triangleCounts) release graph caches") {
     assertNoResidue("pageRank(GraphX)") {
       assert(GraphQueries.pageRank(spark, vertices, edges, numIter = 5).count() == 7)
