@@ -211,7 +211,11 @@ object ProductQuant {
 
     /** Probe the query's `nprobe` nearest cells (Euclidean rank of the
       * normalized query against the centroids — cosine rank on the
-      * sphere), then [[adcTopK]] within them.
+      * sphere), then [[adcTopK]] within them. `filter` is the
+      * filtered-ANN predicate (see
+      * [[graft.ops.SimilaritySearch.IvfIndex.query]]): applied inside the
+      * probed cells BEFORE the shortlist, so the returned k all satisfy
+      * it.
       */
     def query(
         encoded: DataFrame,
@@ -221,14 +225,16 @@ object ProductQuant {
         topK: Int,
         idCol: String = "vec_id",
         rerankWith: Option[String] = None,
-        shortlist: Int = 100
+        shortlist: Int = 100,
+        filter: Option[Column] = None
     ): DataFrame = {
       val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
       val qn    = if (qNorm > 0) queryVec.map(_ / qNorm) else queryVec
       def dist(c: Array[Double]): Double =
         math.sqrt(c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
       val probed = centroids.zipWithIndex.sortBy(p => dist(p._1)).take(nprobe).map(_._2)
-      adcTopK(encoded.where(col("cell").isin(probed.toSeq: _*)), model, queryVec,
+      val scoped = filter.foldLeft(encoded)((df, f) => df.where(f))
+      adcTopK(scoped.where(col("cell").isin(probed.toSeq: _*)), model, queryVec,
         topK, idCol, rerankWith, shortlist)
     }
 

@@ -513,6 +513,13 @@ object SimilaritySearch {
     /** Top-k cosine within the query's `nprobe` nearest cells (cell rank =
       * Euclidean distance of the NORMALIZED query to the centroids, which
       * on the sphere is exactly cosine rank).
+      *
+      * `filter` is the FILTERED-ANN predicate (metadata restriction —
+      * "nearest documents of language X / after date D"): applied inside
+      * the cell-restricted scan, BEFORE the top-k, so the k survivors all
+      * satisfy it (post-filtering a top-k would silently return fewer than
+      * k). On a [[save]]d index a partition-column predicate additionally
+      * prunes at the directory level like the cell restriction itself.
       */
     def query(
         indexed: DataFrame,
@@ -520,7 +527,8 @@ object SimilaritySearch {
         queryVec: Seq[Double],
         topK: Int,
         vecCol: String = "embedding",
-        idCol: String = "vec_id"
+        idCol: String = "vec_id",
+        filter: Option[Column] = None
     ): DataFrame = {
       val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
       val qn    = if (qNorm > 0) queryVec.map(_ / qNorm) else queryVec
@@ -528,7 +536,7 @@ object SimilaritySearch {
         math.sqrt(c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
       val cells = centroids.zipWithIndex.sortBy(p => dist(p._1)).take(nprobe).map(_._2)
       val q     = VectorOps.vecLit(queryVec)
-      indexed
+      filter.foldLeft(indexed)((df, f) => df.where(f))
         .where(col("cell").isin(cells.toSeq: _*))
         .select(col(idCol), round(VectorOps.cosine(col(vecCol).cast("array<double>"), q), 6).as("score"))
         .orderBy(col("score").desc, col(idCol))

@@ -131,6 +131,33 @@ class PqSpec extends SparkSpec {
     encC.unpersist()
   }
 
+  test("filtered ANN: predicate applies BEFORE the top-k on both IVF and IVFADC paths") {
+    val q = graft.SparkEntry.benchQueryVec
+    // IVF path
+    val ivf = SimilaritySearch.IvfIndex(k = 8, nprobe = 8) // all cells: isolate the filter
+    val (indexed, centroids) = ivf.index(emb)
+    val lbl = indexed.where(col("vec_id") === SimilaritySearch
+      .bruteForceTopK(emb, q, k = 1).head().getLong(0)).head().getAs[Int]("label")
+    val got = ivf.query(indexed, centroids, q, topK = 10, filter = Some(col("label") === lbl))
+      .collect()
+    assert(got.length == 10, "filtered query must still return k survivors")
+    val labelOf = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(r => assert(labelOf(r.getLong(0)) == lbl))
+    // with nprobe = k (no cell pruning) the filtered result IS brute force
+    // over the label-restricted corpus
+    val brute = SimilaritySearch.bruteForceTopK(emb.where(col("label") === lbl), q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == brute)
+    // IVFADC path: every survivor satisfies the predicate too
+    val ivfpq = ProductQuant.IvfPq(k = 8, nprobe = 8, m = 8, ksub = 16)
+    val (enc, cts, model) = ivfpq.index(emb, dim = 64)
+    val gotPq = ivfpq.query(enc, cts, model, q, topK = 10,
+      rerankWith = Some("embedding"), filter = Some(col("label") === lbl)).collect()
+    assert(gotPq.nonEmpty)
+    gotPq.foreach(r => assert(labelOf(r.getLong(0)) == lbl))
+  }
+
   test("pure-ADC ordering is sane: the exact nearest neighbor ranks in the ADC shortlist") {
     val q = graft.SparkEntry.benchQueryVec
     val model = ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
