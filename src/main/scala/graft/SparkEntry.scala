@@ -1371,6 +1371,21 @@ object SparkEntry {
           hash = activeHash)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // deterministic k-fold assignment (cross-validation partitioning, the
+    // 2-way split generalized): one map-side hash mod k, no RNG state
+    "q131_sample_kfold" -> ((s, dir) =>
+      graft.ops.Sampling.kFold(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        key = col("doc_id"), k = 5, hash = activeHash)),
+
+    // contrastive negative pairs: each (anchor, j) draw targets rank
+    // hash mod n in the sorted-id rank table (RDD.zipWithIndex — no
+    // global-window collapse), resolved by one equi-join; self-pairs
+    // dropped. The oracle replays rank, draw and join row for row
+    "q132_sample_negatives" -> ((s, dir) =>
+      graft.ops.Sampling.negativePairs(
+        T(s, dir, "documents"), idCol = "doc_id", m = 2, hash = activeHash)),
+
     // domain-mix resampling: the largest downsample of documents whose
     // expected language proportions are exactly 50/30/20 en/de/fr —
     // rates derived from one count pass, selection map-side deterministic
@@ -2563,6 +2578,28 @@ object SparkEntry {
          |WHERE ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000
          |  < CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
          |         WHEN 'fr' THEN 100000 ELSE 50000 END AS BIGINT)""".stripMargin,
+
+    // the same hash family, mod k instead of a rate threshold
+    "q131_sample_kfold" ->
+      s"""SELECT doc_id, lang,
+         |  ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold
+         |FROM documents""".stripMargin,
+
+    // rank table + targeted draw + join, replayed exactly: rk is the
+    // 0-based row_number in id order, the draw is the seeded md5 of
+    // 'anchor:j' mod n, and self-pairs drop on both sides
+    "q132_sample_negatives" ->
+      s"""WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents),
+         |r AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rk FROM ids),
+         |cand AS (
+         |  SELECT r.id AS anchor_id, CAST(j.j AS INT) AS j,
+         |    ${md5l("'42:' || CAST(r.id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")}
+         |      % (SELECT COUNT(*) FROM ids) AS trk
+         |  FROM r, (SELECT unnest(range(2)) AS j) j
+         |)
+         |SELECT c.anchor_id, c.j, t.id AS negative_id
+         |FROM cand c JOIN r t ON t.rk = c.trk
+         |WHERE t.id <> c.anchor_id""".stripMargin,
 
     // rate derivation replicated in SQL: identical double-arithmetic
     // order (w·T/c with T = min(c/w)), identical rounding to the

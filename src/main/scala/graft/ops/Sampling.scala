@@ -369,4 +369,69 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1L), col("_n_epochs"))))
       .drop("_n_epochs")
   }
+
+  /** Deterministic k-fold assignment: adds `fold` ∈ [0, k) — cross-
+    * validation / sharded-eval partitioning as ONE map-side hash, no RNG
+    * state, reproducible across runs, partitionings and engines (the
+    * [[trainTestSplit]] contract generalized from 2 labeled sides to k
+    * numbered folds). Pass a near-dup CLUSTER id as `key` for the
+    * leakage-safe variant, exactly as in the q82 split.
+    */
+  def kFold(df: DataFrame, key: Column, k: Int, seed: Int = 42,
+      hash: HashFamily = XxHash): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("fold", pmod(hash.seeded(seed, key), lit(k.toLong)))
+  }
+
+  /** Deterministic contrastive negative sampling: for every anchor id, `m`
+    * pseudo-random partner ids drawn uniformly from the corpus — the
+    * negative-pair generator of contrastive/embedding training (positives
+    * come from the dedup/similarity pipeline; negatives must be random,
+    * reproducible, and cheap at corpus scale). Returns
+    * `(anchor_id, j, negative_id)` with `j` ∈ [0, m); self-pairs are
+    * dropped, and `positives` (a 2-column pair frame, any orientation)
+    * excludes known-similar pairs via one anti-join — so a corpus-rebuild
+    * regenerates the identical pair set minus exactly the new positives.
+    *
+    * Scale shape: the target of draw (anchor, j) is RANK
+    * `hash(seed, anchor:j) mod n` in the id order — ranks come from
+    * `RDD.zipWithIndex` over the sorted slim id frame (per-partition
+    * offsets, no global-window single-partition collapse), and the draw
+    * resolves with one equi-join of the (n·m)-row candidate frame against
+    * the n-row rank table. Nothing quadratic, nothing random-stateful.
+    */
+  def negativePairs(
+      df: DataFrame,
+      idCol: String,
+      m: Int,
+      positives: Option[DataFrame] = None,
+      seed: Int = 42,
+      hash: HashFamily = XxHash
+  ): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val ids = df.select(col(idCol).cast("long").as("id")).distinct()
+    val ranked = graft.ids.ZipWithIndex.zipWithIndex(ids.orderBy("id"), colName = "_rk1")
+      .select(col("id"), (col("_rk1") - 1L).as("_rk"))
+    val n = ranked.count()
+    require(n >= 2, s"need at least 2 distinct ids to draw negatives, got $n")
+    val cand = ranked.select(col("id").as("anchor_id"))
+      .select(col("anchor_id"), explode(array((0 until m).map(lit): _*)).as("j"))
+      .withColumn("_trk",
+        pmod(hash.seeded(seed, concat_ws(":", col("anchor_id"), col("j"))), lit(n)))
+    val withNeg = cand
+      .join(ranked.select(col("_rk").as("_trk"), col("id").as("negative_id")), Seq("_trk"))
+      .where(col("negative_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("j"), col("negative_id"))
+    positives match {
+      case None => withNeg
+      case Some(p) =>
+        require(p.columns.length >= 2, "positives must carry two id columns")
+        val pp = p.select(
+          col(p.columns(0)).cast("long").as("pa"), col(p.columns(1)).cast("long").as("pb"))
+        val both = pp.union(pp.select(col("pb").as("pa"), col("pa").as("pb"))).distinct()
+        withNeg.join(both,
+          withNeg("anchor_id") === both("pa") && withNeg("negative_id") === both("pb"),
+          "left_anti")
+    }
+  }
 }

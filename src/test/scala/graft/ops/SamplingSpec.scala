@@ -351,4 +351,46 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!all.contains(200L) && !all.contains(201L))
   }
+
+  test("kFold: every row gets one fold in [0,k); deterministic, partition-invariant, all folds populated") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val f1 = Sampling.kFold(df, col("id"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f2 = Sampling.kFold(df.repartition(7), col("id"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(f => f >= 0 && f < 5))
+    val sizes = f1.values.groupBy(identity).map { case (f, xs) => f -> xs.size }
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // hash-uniform: no fold is badly starved on 1000 keys
+    assert(sizes.values.min > 100, s"fold sizes skewed: $sizes")
+    // fold ∈ {0,1} at k=2 refines the trainTestSplit idea: same family
+    val f3 = Sampling.kFold(df, col("id"), k = 2).collect().map(_.getLong(1)).toSet
+    assert(f3 == Set(0L, 1L))
+  }
+
+  test("negativePairs: deterministic draws, self-pairs dropped, positives excluded, ids from corpus") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("doc_id")
+    val n1 = Sampling.negativePairs(df, "doc_id", m = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val n2 = Sampling.negativePairs(df.repartition(9), "doc_id", m = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(n1 == n2, "draws must not depend on input partitioning")
+    assert(n1.values.forall(v => v >= 1L && v <= 200L))
+    assert(n1.forall { case ((a, _), neg) => a != neg })
+    // each anchor has m draws minus self-collisions (rare but legal)
+    val perAnchor = n1.keySet.groupBy(_._1).map { case (a, ks) => a -> ks.size }
+    assert(perAnchor.values.forall(c => c >= 2 && c <= 3))
+    assert(perAnchor.keySet.size == 200)
+    // positives exclusion: forbid exactly the pairs drawn for anchor 1
+    val a1 = n1.collect { case ((1L, _), neg) => neg }.toSeq
+    val pos = a1.map(v => (1L, v)).toDF("id_a", "id_b")
+    val excl = Sampling.negativePairs(df, "doc_id", m = 3, positives = Some(pos))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(!excl.exists { case (a, neg) => a == 1L && a1.contains(neg) })
+    // the reverse orientation is excluded too: (v, 1) pairs are gone
+    assert(excl.toSet.intersect(a1.map(v => (v, 1L)).toSet).isEmpty)
+  }
 }
