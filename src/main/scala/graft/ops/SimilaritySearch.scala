@@ -551,6 +551,23 @@ object SimilaritySearch {
       * exactly, no precision loss). This is the build-once / serve-many
       * deployment shape the memoized in-session cache stands in for.
       */
+    private def writeScratchIndex(
+        fs: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path,
+        indexed: DataFrame,
+        centroids: Array[Array[Double]]
+    ): Unit = {
+      val scratch = graft.io.AtomicSwap.scratch(dir)
+      indexed.write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$scratch/_centroids"), true)
+      try {
+        val dim = centroids.headOption.map(_.length).getOrElse(0)
+        val sb  = new StringBuilder(s"$k $seed $dim\n")
+        centroids.foreach(c => sb.append(c.mkString(" ")).append('\n'))
+        out.write(sb.toString.getBytes("UTF-8"))
+      } finally out.close()
+    }
+
     def save(indexed: DataFrame, centroids: Array[Array[Double]], path: String): Unit = {
       require(centroids.length == k, s"expected $k centroids, got ${centroids.length}")
       val spark = indexed.sparkSession
@@ -562,15 +579,7 @@ object SimilaritySearch {
       // crash mid-save leaves the previous index intact
       graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
         graft.io.AtomicSwap.heal(fs, dir)
-        val scratch = graft.io.AtomicSwap.scratch(dir)
-        indexed.write.partitionBy("cell").mode("overwrite").parquet(s"$scratch/cells")
-        val out = fs.create(new org.apache.hadoop.fs.Path(s"$scratch/_centroids"), true)
-        try {
-          val dim = centroids.headOption.map(_.length).getOrElse(0)
-          val sb  = new StringBuilder(s"$k $seed $dim\n")
-          centroids.foreach(c => sb.append(c.mkString(" ")).append('\n'))
-          out.write(sb.toString.getBytes("UTF-8"))
-        } finally out.close()
+        writeScratchIndex(fs, dir, indexed, centroids)
         graft.io.AtomicSwap.swapIn(fs, dir)
       }
     }
@@ -654,6 +663,31 @@ object SimilaritySearch {
         val (_, centroids) = load(spark, path)
         assign(df, centroids, vecCol)
           .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+      }
+    }
+
+    /** Small-files maintenance for an [[append]]-grown index: every append
+      * adds at least one file per touched cell, and a serving scan pays a
+      * per-file open cost — after thousands of micro-batches the nprobe
+      * cell read is dominated by file opens, not bytes. Compaction
+      * rewrites the cells clustered on the cell key (≈ one file per cell)
+      * into a scratch dir and atomically swaps the WHOLE index in via
+      * [[save]] — readers never observe a half-compacted index, a crash
+      * leaves the previous one intact, and the maintenance lock serializes
+      * against concurrent appends. Centroids are untouched (compaction
+      * never refits).
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        graft.io.AtomicSwap.heal(fs, dir)
+        // file listing happens inside the lock — a concurrent append can
+        // neither run (it takes the same lock) nor leave files the rewrite
+        // silently drops
+        val (cells, centroids) = load(spark, path)
+        writeScratchIndex(fs, dir, cells.repartition(k, col("cell")), centroids)
+        graft.io.AtomicSwap.swapIn(fs, dir)
       }
     }
   }

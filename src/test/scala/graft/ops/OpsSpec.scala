@@ -761,6 +761,42 @@ class SimilaritySearchSpec extends SparkSpec {
       SimilaritySearch.IvfIndex(k = 8).append(spark, dir, batch))
   }
 
+  test("IVF compact: micro-append file bloat collapses; rows, model and query results identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val all = (0L until 240L).map(i => (i, Seq.fill(8)(rnd.nextDouble() - 0.5)))
+    val ivf = SimilaritySearch.IvfIndex(k = 4, nprobe = 4, seed = 42L)
+    val (indexed, centroids) = ivf.index(all.take(120).toDF("vec_id", "embedding"))
+    val dir = tempDir("ivf-compact") + "/index"
+    ivf.save(indexed, centroids, dir)
+    // 12 micro-appends: every one adds files to its touched cells
+    (120 until 240 by 10).foreach { s =>
+      ivf.append(spark, dir, all.slice(s, s + 10).toDF("vec_id", "embedding"))
+    }
+    def parquetFiles: Int = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.isDirectory)
+      .map(_.listFiles().count(f => f.getName.endsWith(".parquet"))).sum
+    val before = parquetFiles
+    val (l0, c0) = ivf.load(spark, dir)
+    val rows0 = l0.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probe = all(5)._2
+    val q0 = ivf.query(l0, c0, probe, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    ivf.compact(spark, dir)
+    val after = parquetFiles
+    assert(after < before, s"compaction must reduce file count: $before -> $after")
+    assert(after <= 2 * 4, s"~one file per cell expected after compact, got $after")
+    val (l1, c1) = ivf.load(spark, dir)
+    assert(l1.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap == rows0,
+      "compaction must preserve every row and its cell")
+    assert(c1.flatten.toSeq == c0.flatten.toSeq, "compaction never refits centroids")
+    assert(ivf.query(l1, c1, probe, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == q0)
+  }
+
   test("centroidOutliers flags vectors far from their own label centroid only") {
     import spark.implicits._
     val df = Seq(
