@@ -995,6 +995,23 @@ object SparkEntry {
         s, e, landmarks = Seq(1L, 2L, 3L), maxDist = 6)
     }),
 
+    // adjacent-token co-occurrence lift (collocation / template mining):
+    // exact integer counts + ONE double division — the ratio face of PMI,
+    // portable where ln() is an ulp lottery (q88 lesson)
+    "q134_text_cooccurrence" -> ((s, dir) =>
+      TextAnalysis.cooccurrenceLift(T(s, dir, "documents"), minPairCount = 20L)),
+
+    // bipartite projection onto suppliers (the co-occurrence-graph
+    // builder): supplier pairs sharing >= 135 distinct parts via lineitem —
+    // inverted-index self-join on the part key with map-side-combined
+    // pair counts; hub parts are the d² hazard the maxDegree cap screens
+    "q133_graph_bipartite" -> ((s, dir) => {
+      val e = T(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+      graft.graph.GraphQueries.bipartiteProject(e, minShared = 135L)
+    }),
+
     // per-landmark capped eccentricity + reach (the diameter-lower-bound /
     // coverage diagnostic over q128's distance features): |landmarks|
     // integer rows from one rollup
@@ -3170,6 +3187,39 @@ object SparkEntry {
         |)
         |SELECT v.user_id, v.view_id, p.purchase_id
         |FROM v JOIN p ON v.user_id = p.user_id AND v.s <= p.e AND p.s <= v.e""".stripMargin,
+
+    // pair slots, pair counts and both marginals from the same
+    // tokenization; the lift is bigint×bigint cast double, one division
+    "q134_text_cooccurrence" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT toks[CAST(i.i AS INT) + 1] AS w1, toks[CAST(i.i AS INT) + 2] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i
+        |  WHERE len(toks) >= 2
+        |), n AS (SELECT COUNT(*) AS n FROM p),
+        |cp AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM p GROUP BY w1, w2
+        |  HAVING COUNT(*) >= 20
+        |), cl AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_a FROM p GROUP BY w1),
+        |cr AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c_b FROM p GROUP BY w2)
+        |SELECT cp.w1, cp.w2, cp.c_ab,
+        |  round(CAST(cp.c_ab * (SELECT n FROM n) AS DOUBLE)
+        |    / CAST(cl.c_a * cr.c_b AS DOUBLE), 6) AS lift
+        |FROM cp JOIN cl ON cl.w1 = cp.w1 JOIN cr ON cr.w2 = cp.w2""".stripMargin,
+
+    // the same inverted-index shape in SQL: distinct links, self-join on
+    // the part key, canonical pair order, exact integer counts
+    "q133_graph_bipartite" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS l, CAST(l_partkey AS BIGINT) AS r
+        |  FROM lineitem
+        |)
+        |SELECT x.l AS a, y.l AS b, CAST(COUNT(*) AS BIGINT) AS shared
+        |FROM e x JOIN e y ON x.r = y.r AND x.l < y.l
+        |GROUP BY x.l, y.l
+        |HAVING COUNT(*) >= 135""".stripMargin,
 
     // q121's recursive walk with the landmark carried through the
     // recursion: MIN(dist) per (vertex, landmark) under the same cap

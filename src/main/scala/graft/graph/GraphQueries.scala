@@ -64,6 +64,44 @@ object GraphQueries {
       .distinct()
   }
 
+  /** Bipartite projection: collapse a two-mode edge set (left-type `src` →
+    * right-type `dst`, e.g. supplier → part, user → item, doc → shingle)
+    * onto the LEFT mode — `(a, b, shared)` for every left pair sharing at
+    * least `minShared` right neighbors. The co-occurrence-graph builder
+    * (co-purchase, co-authorship, doc-overlap); its output feeds the
+    * component/community/PageRank ops directly.
+    *
+    * Scale shape: the inverted-index self-join (group on the right key),
+    * the [[graft.ops.Dedup.ngramJaccardPairs]] discipline — pair volume is
+    * Σ_r d(r)², so hub right-nodes are the quadratic hazard. `maxDegree`
+    * excludes right-nodes above a degree cap BEFORE the join (a
+    * best-seller part shared by everyone contributes no discriminative
+    * signal but d² pair rows; same reasoning as the n-gram df-prune).
+    * One grouped degree count + a semi-join, then the equi-join on the
+    * right key with map-side-combined pair counting.
+    */
+  def bipartiteProject(
+      edges: DataFrame,
+      minShared: Long = 1L,
+      maxDegree: Long = 0L
+  ): DataFrame = {
+    val e = edges.select(
+      col(EdgeColumns.Src).cast("long").as("l"),
+      col(EdgeColumns.Dst).cast("long").as("r")).distinct()
+    val scoped =
+      if (maxDegree <= 0L) e
+      else {
+        val keep = e.groupBy("r").agg(count(lit(1)).as("_d"))
+          .where(col("_d") <= maxDegree).select("r")
+        e.join(keep, Seq("r"), "left_semi")
+      }
+    scoped.select(col("r"), col("l").as("a"))
+      .join(scoped.select(col("r"), col("l").as("b")), Seq("r"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** PageRank over an edge set (GraphX Pregel — iterative vertex programs
     * belong in GraphX, where vertex state is co-partitioned and replicated
     * once instead of a DataFrame loop re-shuffling the edge corpus per

@@ -1043,4 +1043,44 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Adjacent-token co-occurrence association ("lift", the exact-ratio
+    * face of PMI): for every adjacent pair seen ≥ `minPairCount` times,
+    * `lift = N·c(a,b) / (c_left(a)·c_right(b))` over the corpus's N
+    * adjacent-token slots — > 1 means the pair co-occurs more than its
+    * marginals predict (collocations, templates, multiword terms; the
+    * word2vec-era co-occurrence statistic). PMI itself is ln(lift) — left
+    * to the caller, because the RATIO is exact integer arithmetic plus
+    * ONE double division (engine-portable bit for bit; the two runtimes'
+    * `ln` may differ in the last ulp — the q88 lesson).
+    *
+    * Scale shape: the pair-slot frame is one codegen explode, persisted
+    * once (it feeds the pair counts AND both marginals — the no-CSE
+    * rule); each count is a map-side-combined group-by; marginals attach
+    * by equi-join to the already-thresholded pair table, so the joins
+    * carry |surviving pairs| rows, not |vocabulary|².
+    */
+  def cooccurrenceLift(
+      df: DataFrame,
+      textCol: String = "text",
+      minPairCount: Long = 5L
+  ): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val pairs = graft.Caches.track(
+      df.select(toks.as("_t"))
+        .where(size(col("_t")) >= 2)
+        .select(col("_t"), explode(sequence(lit(0), size(col("_t")) - 2)).as("_i"))
+        .select(
+          element_at(col("_t"), col("_i") + 1).as("w1"),
+          element_at(col("_t"), col("_i") + 2).as("w2")))
+    val n = pairs.count()
+    val cp = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minPairCount)
+    val cl = pairs.groupBy("w1").agg(count(lit(1)).as("c_a"))
+    val cr = pairs.groupBy("w2").agg(count(lit(1)).as("c_b"))
+    cp.join(cl, Seq("w1")).join(cr, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round((col("c_ab") * lit(n)).cast("double") / (col("c_a") * col("c_b")).cast("double"), 6)
+          .as("lift"))
+  }
 }

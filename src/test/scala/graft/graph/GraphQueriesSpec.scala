@@ -216,6 +216,27 @@ class GraphQueriesSpec extends SparkSpec {
     assert(math.abs(viaDf.values.sum - ids.size) < 1e-6)
   }
 
+  test("bipartiteProject: shared counts, canonical order, duplicate links collapse, maxDegree cap") {
+    import spark.implicits._
+    // suppliers 1,2,3 over parts 10..13; part 13 is a hub shared by all
+    val e = Seq(
+      (1L, 10L), (1L, 11L), (1L, 13L), (1L, 13L), // dup link collapses
+      (2L, 10L), (2L, 11L), (2L, 13L),
+      (3L, 12L), (3L, 13L)
+    ).toDF("src", "dst")
+    val all = GraphQueries.bipartiteProject(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all == Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // minShared prunes weak pairs
+    val strong = GraphQueries.bipartiteProject(e, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(strong == Map((1L, 2L) -> 3L))
+    // capping out the hub part (degree 3 > 2) removes its contributions
+    val capped = GraphQueries.bipartiteProject(e, maxDegree = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 2L))
+  }
+
   test("pageRankDF personalized: agrees with GraphX staticPersonalizedPageRank; sums to 1") {
     import spark.implicits._
     import org.apache.spark.graphx.{Edge, Graph}

@@ -335,6 +335,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(en._3 - math.rint(qs.sum / 3 * 1e6) / 1e6) < 1e-9, s"mean: ${en._3} vs $qs")
   }
 
+  test("cooccurrenceLift: hand-computed marginals and ratios; threshold prunes") {
+    import spark.implicits._
+    // slots: (a,b),(b,a),(a,b) from doc1 + (a,b) from doc2 → N=4
+    // left marginals a:3 b:1; right marginals b:3 a:1
+    val df = Seq("a b a b", "a b", "x").toDF("text")
+    val got = TextAnalysis.cooccurrenceLift(df, minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(("a", "b")) == ((3L, math.rint(4.0 * 3 / (3 * 3) * 1e6) / 1e6)))
+    assert(got(("b", "a")) == ((1L, 4.0)))
+    assert(got.size == 2)
+    val pruned = TextAnalysis.cooccurrenceLift(df, minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("a", "b")))
+  }
+
   test("punct and stopword ratios on a known sentence") {
     val r = one("the cat, the hat!")
     // punct chars: ',' '!' → 2/17; tokens: the cat, the hat! → stopwords 'the' x2 of 4
