@@ -119,6 +119,23 @@ final case class GraftShell(spark: SparkSession, config: GraftConfig) {
     */
   def communities(label: String, numIter: Int = 5): DataFrame =
     graft.graph.GraphQueries.labelPropagation(spark, edges(label), numIter)
+
+  /** BFS hop distances from a seed set over one edge label
+    * ([[graft.graph.GraphQueries.shortestPaths]]) — "how far does this
+    * cluster reach", dist to the NEAREST seed, vertices beyond `maxDist`
+    * absent.
+    */
+  def distances(label: String, sources: Seq[Long], maxDist: Int = 10): DataFrame =
+    graft.graph.GraphQueries.shortestPaths(spark, edges(label), sources, maxDist = maxDist)
+
+  /** Personalized PageRank from one seed vertex over one edge label —
+    * proximity-to-seed as a probability (sums to 1); the "what's near
+    * this object" ranking ([[graft.graph.GraphQueries.pageRankDF]] with
+    * `personalized`).
+    */
+  def near(label: String, source: Long, numIter: Int = 10): DataFrame =
+    graft.graph.GraphQueries.pageRankDF(spark, vertices.select("id"), edges(label),
+      numIter = numIter, personalized = Some(source))
 }
 
 object GraftShell {
@@ -139,7 +156,8 @@ object GraftShell {
          |  vertices : ${config.idManager.dataPath}/${config.idManager.tableName}
          |  edges    : ${config.edgeBasePath} (labels: ${shell.edgeLabels.mkString(", ")})
          |  helpers  : .vertices .edges(label) .info .run(date) .sql(q) .release()
-         |             .degrees(label) .components(label) .pageRank(label) .triangles(label) .kcore(label, k) .communities(label)""".stripMargin)
+         |             .degrees(label) .components(label) .pageRank(label) .triangles(label) .kcore(label, k)
+         |             .communities(label) .distances(label, seeds) .near(label, source)""".stripMargin)
     shell
   }
 }

@@ -46,6 +46,15 @@ class GraftShellSpec extends SparkSpec {
     // a 2-vertex graph has no triangles; every vertex still reports 0
     val tri = g.triangles("similarity").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tri.size == 2 && tri.values.forall(_ == 0L), s"got $tri")
+    // BFS helper: the other vertex sits 1 hop from the seed
+    val ids = comp.keySet.toSeq.sorted
+    val dist = g.distances("similarity", Seq(ids.head))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dist == Map(ids.head -> 0, ids(1) -> 1))
+    // proximity helper: a probability over the graph, seed outranks peer
+    val nearR = g.near("similarity", ids.head, numIter = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(nearR.values.sum - 1.0) < 1e-9 && nearR(ids.head) > nearR(ids(1)))
     // empty-safe before any load
     val g2 = GraftShell.bind(spark, graft.config.ConfigLoader.load(confPath)
       .copy(idManager = graft.ids.IdManagerConfig(s"$work/none", "vertices")))
