@@ -105,6 +105,28 @@ object CorpusPipelineDemo {
       .collect().map(r => s"${r.getString(1)}(${r.getDouble(3)})")
     println("[pipeline] top doc keywords: " + kw.mkString(" "))
 
+    // 10. evaluation folds + contrastive pairs over the release: 5-fold
+    // assignment (leakage already handled upstream), near-dup pairs as
+    // positives, hash-drawn negatives excluding them
+    val folds = Sampling.kFold(mixed.select("doc_id"), col("doc_id"), k = 5)
+      .groupBy("fold").count().orderBy("fold")
+      .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}")
+    println("[pipeline] fold sizes: " + folds.mkString(" "))
+    val negs = Sampling.negativePairs(mixed, "doc_id", m = 1,
+      positives = Some(pairs.select("id_a", "id_b")))
+    println(f"[pipeline] contrastive negatives    ${negs.count()}%7d pairs")
+
+    // 11. serve the release's embeddings through the IVFADC index (the
+    // vectors ship separately in the embeddings table)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ivfpq = graft.ops.ProductQuant.IvfPq(k = 8, nprobe = 4, m = 8, ksub = 16)
+    val (enc, centroids, model) = ivfpq.index(emb, dim = 64)
+    val q = graft.SparkEntry.benchQueryVec
+    val serve = ivfpq.query(enc, centroids, model, q, topK = 3,
+      rerankWith = Some("embedding")).collect()
+      .map(r => s"${r.getLong(0)}@${r.getDouble(1)}")
+    println("[pipeline] ann top-3: " + serve.mkString(" "))
+
     graft.Caches.clear()
     println("PIPELINE-DONE")
     spark.stop()
