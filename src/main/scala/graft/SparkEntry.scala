@@ -995,6 +995,20 @@ object SparkEntry {
         s, e, landmarks = Seq(1L, 2L, 3L), maxDist = 6)
     }),
 
+    // corpus snapshot diff (dataset versioning): two synthetic snapshots
+    // of the same table — ids only in one side, plus planted text edits —
+    // classified added/removed/changed/unchanged by normalized content
+    // fingerprint; one slim full-outer equi-join, no text shuffles
+    "q135_snapshot_diff" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val oldSnap = d.where(col("doc_id") % 10 =!= 1)
+      val newSnap = d.where(col("doc_id") % 10 =!= 2)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Dedup.snapshotDiff(oldSnap, newSnap)
+    }),
+
     // adjacent-token co-occurrence lift (collocation / template mining):
     // exact integer counts + ONE double division — the ratio face of PMI,
     // portable where ln() is an ulp lottery (q88 lesson)
@@ -3187,6 +3201,24 @@ object SparkEntry {
         |)
         |SELECT v.user_id, v.view_id, p.purchase_id
         |FROM v JOIN p ON v.user_id = p.user_id AND v.s <= p.e AND p.s <= v.e""".stripMargin,
+
+    // the q16 fingerprint expression on both synthetic snapshots, full
+    // outer join, 4-way CASE — exact string equality end to end
+    "q135_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 1
+        |), n AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 2
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // pair slots, pair counts and both marginals from the same
     // tokenization; the lift is bigint×bigint cast double, one division

@@ -193,6 +193,34 @@ object Dedup {
     filtered.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning governance report:
+    * given two snapshots of a document table, classify every id as
+    * `added` / `removed` / `changed` / `unchanged` by comparing content
+    * fingerprints ([[TextAnalysis.fingerprint]] — whitespace/case
+    * normalized, so cosmetic edits don't count as changes). The release
+    * audit between crawls: what moved, before any expensive re-dedup.
+    *
+    * Scale shape: each side collapses to slim `(id, fp)` rows map-side,
+    * then ONE full-outer equi-join on the id — no text shuffles, no
+    * pairwise anything. Returns `(idCol, status)`.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    def fps(df: DataFrame, fpName: String): DataFrame =
+      df.select(col(idCol).cast("long").as("_id"),
+        TextAnalysis.fingerprint(col(textCol)).as(fpName))
+    fps(oldSnap, "_fp_old").join(fps(newSnap, "_fp_new"), Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_new").isNull, "removed")
+          .when(col("_fp_old") === col("_fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Sketch-quality diagnostic over the LSH candidate pairs: the
     * signature-agreement ESTIMATE of Jaccard (matching minhash components
     * / numHashes — the unbiased estimator every banding threshold is

@@ -111,6 +111,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged; cosmetic edits are unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept text"), (4L, "goes away")
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "alpha beta EDITED"),       // changed
+      (2L, "  GAMMA   delta  "),       // cosmetic only → unchanged
+      (3L, "kept text"),               // unchanged
+      (5L, "brand new")                // added
+    ).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "unchanged", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("minhashEstimates: exact dup estimates 1.0 with zero error; est is a component-agreement fraction") {
     val df = docs(
       1L -> "the quick brown fox jumps over the lazy dog tonight",
