@@ -995,6 +995,15 @@ object SparkEntry {
         s, e, landmarks = Seq(1L, 2L, 3L), maxDist = 6)
     }),
 
+    // language-ID confusion matrix (classifier-eval face): metadata lang ×
+    // langId prediction with exact counts — where the heuristic is wrong,
+    // per true class; |langs|×|preds| rows from one map-side-combined
+    // shuffle
+    "q136_langid_confusion" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))),
+
     // corpus snapshot diff (dataset versioning): two synthetic snapshots
     // of the same table — ids only in one side, plus planted text edits —
     // classified added/removed/changed/unchanged by normalized content
@@ -3201,6 +3210,27 @@ object SparkEntry {
         |)
         |SELECT v.user_id, v.view_id, p.purchase_id
         |FROM v JOIN p ON v.user_id = p.user_id AND v.s <= p.e AND p.s <= v.e""".stripMargin,
+
+    // q16's lang_pred CASE rolled up against the metadata label
+    "q136_langid_confusion" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    len(list_filter(ltoks, x -> x IN ('the','and','of','is'))) AS s_en,
+        |    len(list_filter(ltoks, x -> x IN ('der','die','und','das'))) AS s_de,
+        |    len(list_filter(ltoks, x -> x IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(ltoks, x -> x IN ('el','los','que','y'))) AS s_es
+        |  FROM (SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+        |        FROM documents)
+        |)
+        |SELECT lang,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+        |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |         ELSE 'es' END
+        |  ELSE 'und' END AS lang_pred,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM m GROUP BY 1, 2""".stripMargin,
 
     // the q16 fingerprint expression on both synthetic snapshots, full
     // outer join, 4-way CASE — exact string equality end to end
