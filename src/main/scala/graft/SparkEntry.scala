@@ -703,6 +703,22 @@ object SparkEntry {
         .select(col("id"), coalesce(col("label"), col("id")).as("community"))
     }),
 
+    // the stream-stream "follows" join's BATCH face (StreamJoins.follows
+    // is one code path for live streams and backfills — watermarks no-op
+    // here): purchases within 1 hour AFTER a view, per user; the
+    // equi-key + both-sided time-range triple is what bounds streaming
+    // state
+    "q137_stream_follows" -> ((s, dir) => {
+      val ev = E(s, dir).withColumn("tss", timestamp_micros(expr("ts div 1000")))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("tss").as("v_ts"))
+      val b = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("tss").as("p_ts"))
+      graft.streaming.StreamJoins.follows(v, b, "user_id", "v_ts", "p_ts",
+          window = "1 hour", watermark = "1 hour")
+        .select("user_id", "view_id", "purchase_id")
+    }),
+
     // interval-OVERLAP join (exposure windows): each view's 1-hour window
     // against each purchase's 1-hour window per user — bucketized
     // equi-join with the exactly-once max-start bucket claim, never the
@@ -3195,6 +3211,20 @@ object SparkEntry {
         |  WHERE walk.dist < 8
         |)
         |SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id""".stripMargin,
+
+    // the directional window in µs — timestamps compare exactly at that
+    // resolution on both engines
+    "q137_stream_follows" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT v.user_id, v.view_id, p.purchase_id
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.t >= v.t AND p.t <= v.t + 3600000000""".stripMargin,
 
     // the plain range join (exact overlap predicate) — the bucketized
     // exactly-once claim on the Spark side must reproduce it pair for pair
