@@ -1064,6 +1064,22 @@ object SparkEntry {
         .agg(max(col("dist")).as("ecc_capped"), count(lit(1)).as("n_reached"))
     }),
 
+    // warm-start BFS (incremental distance maintenance): half the edge
+    // set's distances relaxed against the FULL graph must equal q121's
+    // cold answer — the oracle is q121's recursive walk verbatim, so hash
+    // equality proves warm ≡ cold end to end
+    "q138_graph_bfs_warm" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"),
+        col("l_orderkey"))
+      val half = li.where(col("l_orderkey") % 2 === 0).select("src", "dst")
+      val full = li.select("src", "dst")
+      val old = graft.graph.GraphQueries.shortestPaths(
+        s, half, sources = Seq(1L, 2L, 3L, 4L, 5L), maxDist = 8)
+      graft.graph.GraphQueries.relaxDistances(s, full, old, maxDist = 8)
+    }),
+
     // per-language MAD-based robust length outliers (the heavy-tail screen
     // a z-score cannot provide): both medians are rank-based ACTUAL values
     // → integer med/mad/deviation, and the score is one double division —
@@ -3196,6 +3212,25 @@ object SparkEntry {
     // under the dist < 8 bound, and MIN(dist) per vertex IS the BFS
     // distance — exact integers end to end
     "q121_graph_bfs" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+        |         CAST(l_suppkey AS BIGINT) + 10000000 AS b
+        |  FROM lineitem
+        |), bi AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+        |), walk(id, dist) AS (
+        |  SELECT CAST(v AS BIGINT) AS id, 0 AS dist
+        |  FROM (VALUES (1), (2), (3), (4), (5)) s(v)
+        |  UNION
+        |  SELECT bi.b AS id, walk.dist + 1 AS dist
+        |  FROM walk JOIN bi ON bi.a = walk.id
+        |  WHERE walk.dist < 8
+        |)
+        |SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id""".stripMargin,
+
+    // q121's walk verbatim — the warm-started Spark side must land on the
+    // identical distance table
+    "q138_graph_bfs_warm" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
         |         CAST(l_suppkey AS BIGINT) + 10000000 AS b

@@ -599,6 +599,86 @@ object GraphQueries {
     settled.select(col("vid").as(idCol), col("dist"))
   }
 
+  /** Incremental hop-distance maintenance by relaxation — the warm start
+    * of the [[shortestPaths]] family (pageRankDF has `initRanks`, LPA
+    * `initLabels`, kCore `within`; this is the distances counterpart).
+    * `init` is a `(idCol, dist)` frame of ADMISSIBLE UPPER BOUNDS: the
+    * previous run's output plus the sources at dist 0. Each round relaxes
+    * one hop — neighbors of last round's improved rows get
+    * `min(old, improved + 1)` — until nothing improves; the fixed point
+    * is the true distance set as long as every init bound is ≥ its true
+    * distance, which holds exactly when edges were only ADDED since the
+    * init was computed (an edge REMOVAL can raise true distances above a
+    * bound — recompute cold for that). New vertices (absent from `init`)
+    * are discovered by expansion like a cold BFS. `maxDist` is the same
+    * radius cap as [[shortestPaths]]: candidates beyond it are dropped,
+    * so warm(grown) ≡ cold(grown) at equal caps (spec'd).
+    *
+    * Scale shape: identical per-round frames to [[shortestPaths]] plus a
+    * |V|-row min-merge of the settled table; after a small graph delta
+    * the frontier is only the improvement wavefront, so an incremental
+    * update touches O(affected region), not O(graph) — rounds bounded by
+    * the longest improvement chain (≤ maxDist + 1, enforced).
+    */
+  def relaxDistances(
+      spark: SparkSession,
+      edges: DataFrame,
+      init: DataFrame,
+      idCol: String = "id",
+      maxDist: Int = 50
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val e = materialize(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"))))
+    var settled = materialize(
+      init.select(col(idCol).cast("long").as("vid"), col("dist").cast("int").as("dist"))
+        .where(col("dist") <= maxDist)
+        .groupBy("vid").agg(min(col("dist")).as("dist")))
+    var frontier = settled
+    var iter = 0
+    var done = false
+    val maxIter = maxDist + 1
+    while (!done && iter < maxIter) {
+      val cand = e.join(frontier.select(col("vid").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("vid"), (col("dist") + 1).as("dist"))
+        .where(col("dist") <= maxDist)
+        .groupBy("vid").agg(min(col("dist")).as("dist"))
+      val improved = materialize(
+        cand.join(settled.select(col("vid"), col("dist").as("_old")), Seq("vid"), "left")
+          .where(col("_old").isNull || col("dist") < col("_old"))
+          .select(col("vid"), col("dist")))
+      if (improved.isEmpty) {
+        improved.unpersist(blocking = false)
+        done = true
+      } else {
+        val prevSettled = settled
+        settled = materialize(
+          settled.join(improved.select(col("vid").as("_iv")),
+              col("vid") === col("_iv"), "left_anti")
+            .union(improved))
+        prevSettled.unpersist(blocking = false)
+        frontier = improved
+        iter += 1
+      }
+    }
+    if (!done) {
+      log.warn(
+        s"relaxDistances exhausted its ${maxIter}-round budget before the fixed point; " +
+          "this should be unreachable for admissible init bounds — check that edges " +
+          "were only added since init was computed")
+    }
+    settled.select(col("vid").as(idCol), col("dist"))
+  }
+
   /** Per-landmark BFS distances (the GraphX `lib.ShortestPaths` analogue):
     * for every vertex, its hop distance to EACH landmark it can reach
     * within `maxDist` — `(idCol, landmark, dist)`. The graph-distance

@@ -70,6 +70,11 @@ class CacheHygieneSpec extends SparkSpec {
       assert(GraphQueries.pageRankDF(spark, vertices, edges, numIter = 6,
         personalized = Some(1L)).count() == 7)
     }
+    assertNoResidue("relaxDistances") {
+      import spark.implicits._
+      assert(GraphQueries.relaxDistances(spark, edges,
+        Seq((1L, 0)).toDF("id", "dist")).count() == 7)
+    }
   }
 
   test("GraphX ops (pageRank, connectedComponents, triangleCounts) release graph caches") {

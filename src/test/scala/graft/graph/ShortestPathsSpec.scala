@@ -82,6 +82,40 @@ class ShortestPathsSpec extends SparkSpec {
     }
   }
 
+  test("relaxDistances: cold ≡ shortestPaths; warm on a grown graph ≡ cold; caps respected") {
+    import spark.implicits._
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val init0 = Seq((1L, 0)).toDF("id", "dist")
+    val relaxCold = GraphQueries.relaxDistances(spark, e1.toDF("src", "dst"), init0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(relaxCold == run(e1, Seq(1L)))
+    // grow the graph: a 1-5 shortcut LOWERS existing distances, vertex 7
+    // is brand new; warm-start from the stale distance table
+    val e2 = e1 ++ Seq((1L, 5L), (6L, 7L))
+    val stale = Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3), (5L, 4), (6L, 5)).toDF("id", "dist")
+    val warm = GraphQueries.relaxDistances(spark, e2.toDF("src", "dst"), stale)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(warm == run(e2, Seq(1L)))
+    assert(warm(5L) == 1 && warm(6L) == 2 && warm(7L) == 3)
+    // the radius cap composes with warm start like the cold one
+    val capped = GraphQueries.relaxDistances(spark, e2.toDF("src", "dst"), stale, maxDist = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == run(e2, Seq(1L), maxDist = 2))
+  }
+
+  test("relaxDistances: pseudorandom grown graph, warm from the old half ≡ cold full") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val all = (1 to 360).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter(e => e._1 != e._2)
+    val (half, rest) = all.splitAt(180)
+    val sources = Seq(0L, 1L)
+    val old = GraphQueries.shortestPaths(spark, half.toDF("src", "dst"), sources)
+    val warm = GraphQueries.relaxDistances(spark, (half ++ rest).toDF("src", "dst"), old)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(warm == run(half ++ rest, sources))
+  }
+
   test("landmarkDistances: pseudorandom graph ≡ per-landmark reference BFS; radius cap honored") {
     val rnd = new scala.util.Random(13)
     val edges = (1 to 300).map(_ => (rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
