@@ -110,7 +110,7 @@ object Layout {
     * concurrent rewrites of one path fail fast on the maintenance lock.
     */
   def writeClustered(df: DataFrame, path: String, cols: Seq[String],
-      targetFileMB: Int = 128, bits: Int = 12): Int = {
+      targetFileMB: Int = 128, bits: Int = 12, bloomCols: Seq[String] = Nil): Int = {
     require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
     val bytes  = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = BigInt(targetFileMB) * (1 << 20)
@@ -119,8 +119,15 @@ object Layout {
     val fs     = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     AtomicSwap.withMaintenanceLock(fs, dir) {
       AtomicSwap.heal(fs, dir)
-      zorderBy(df, cols, n, bits)
-        .write.mode("overwrite").parquet(AtomicSwap.scratch(dir).toString)
+      // parquet bloom filters on point-lookup columns: min/max stats prune
+      // RANGE predicates (what the Z-order clustering serves); a bloom
+      // filter additionally prunes row groups for `id = x` probes on
+      // high-cardinality columns where every file's [min, max] straddles
+      // the value — the 100-TB "find this one document" path
+      val writer = bloomCols.foldLeft(zorderBy(df, cols, n, bits).write.mode("overwrite")) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+      writer.parquet(AtomicSwap.scratch(dir).toString)
       AtomicSwap.swapIn(fs, dir)
     }
     n

@@ -74,6 +74,27 @@ class LayoutSpec extends SparkSpec {
       Layout.writeClustered(grid, dir, Seq("x"), targetFileMB = 0))
   }
 
+  test("writeClustered bloomCols: footer carries a bloom filter for the requested column only") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = tempDir("layout-bloom") + "/clustered"
+    Layout.writeClustered(grid, dir, Seq("x", "y"), targetFileMB = 1, bloomCols = Seq("rid"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf))
+    try {
+      val rg = reader.getRowGroups.get(0)
+      def bloomOf(name: String) = {
+        val cc = rg.getColumns.asScala.find(_.getPath.toDotString == name).get
+        reader.readBloomFilter(cc)
+      }
+      assert(bloomOf("rid") != null, "requested column must carry a bloom filter")
+      assert(bloomOf("x") == null, "unrequested columns must not pay bloom bytes")
+    } finally reader.close()
+  }
+
   test("null values sort at the column's low edge, not into one null-key partition") {
     // y is NULL on every 4th row; a NULL z-key would dump all of them into
     // one range partition with full-width x spans — instead they must key
