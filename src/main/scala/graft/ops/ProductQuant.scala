@@ -361,6 +361,30 @@ object ProductQuant {
       }
     }
 
+    /** Append a batch of new vectors to a [[save]]d IVFADC index: cells
+      * come from the stored centroids (the [[graft.ops.SimilaritySearch.IvfIndex.assign]]
+      * rule), codes from the stored codebooks — NOTHING refits, so a
+      * query immediately serves old ∪ new through the same cell pruning
+      * and ADC tables. Same lock and append-atomicity contract as the
+      * IVF store's append; interleave with [[IvfIndex.compact]]-style
+      * maintenance via the shared maintenance lock.
+      */
+    def append(
+        spark: org.apache.spark.sql.SparkSession,
+        path: String,
+        df: DataFrame,
+        vecCol: String = "embedding"
+    ): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        val (_, centroids, model) = load(spark, path)
+        val ivf = graft.ops.SimilaritySearch.IvfIndex(k, nprobe, seed)
+        encode(ivf.assign(df, centroids, vecCol), model, vecCol)
+          .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+      }
+    }
+
     /** Load a [[save]]d index; fails fast on any geometry or seed mismatch
       * with this handle, and on truncated sidecars (a silently short
       * codebook would score every query wrong, not error).

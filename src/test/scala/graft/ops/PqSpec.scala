@@ -158,6 +158,35 @@ class PqSpec extends SparkSpec {
     gotPq.foreach(r => assert(labelOf(r.getLong(0)) == lbl))
   }
 
+  test("IvfPq append: new vectors join stored cells with stored codebooks and are served") {
+    val ivfpq = ProductQuant.IvfPq(k = 4, nprobe = 4, m = 8, ksub = 8)
+    val base  = emb.where(col("vec_id") < 400)
+    val batch = emb.where(col("vec_id") >= 400)
+    val (enc, centroids, model) = ivfpq.index(base, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-append").toString + "/idx"
+    ivfpq.save(enc, centroids, model, dir)
+    ivfpq.append(spark, dir, batch)
+    val (loaded, c1, m1) = ivfpq.load(spark, dir)
+    assert(loaded.count() == 500L)
+    // an appended vector queried with its own embedding surfaces at rank 1
+    // with exact rerank score 1.0
+    val probeRow = emb.where(col("vec_id") === 499).head()
+    val probe = probeRow.getSeq[Float](probeRow.fieldIndex("embedding")).map(_.toDouble)
+    val top = ivfpq.query(loaded, c1, m1, probe, topK = 3,
+      rerankWith = Some("embedding")).collect()
+    assert(top.head.getLong(0) == 499L && top.head.getDouble(1) == 1.0,
+      s"appended vector must be served first: ${top.toSeq}")
+    // appended codes use the STORED codebooks: re-encoding the batch with
+    // the loaded model reproduces the stored codes exactly
+    val stored = loaded.where(col("vec_id") >= 400)
+      .select(col("vec_id"), col("pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val re = ProductQuant.encode(batch, m1)
+      .select(col("vec_id"), col("pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored == re)
+  }
+
   test("pure-ADC ordering is sane: the exact nearest neighbor ranks in the ADC shortlist") {
     val q = graft.SparkEntry.benchQueryVec
     val model = ProductQuant.fit(emb, dim = 64, m = 8, ksub = 16)
