@@ -804,6 +804,39 @@ object SparkEntry {
           col("rnk").cast("long").as("rnk"))
     }),
 
+    // single-pass data-quality gate: six declarative checks (completeness,
+    // uniqueness, set membership, bounds, format, row count) compiled into
+    // the conditional counters of ONE aggregate scan — adding a check adds
+    // a counter, never a pass; metrics are exact-integer ratios so the
+    // report (including the deliberately-failing lang-set check) is
+    // engine-exact
+    "q139_validate_report" -> ((s, dir) => {
+      import graft.ops.Validate._
+      graft.ops.Validate.report(T(s, dir, "documents"), Seq(
+        NotNull("text"),
+        Unique("doc_id"),
+        InSet("lang", Seq("en", "de", "es", "fr"), minFraction = 0.9),
+        InRange("n_chars", 100, 2000, minFraction = 0.9),
+        MatchesRegex("source", "^src[0-9]+$"),
+        RowCountBetween(100L, 1000000000L)))
+    }),
+
+    // join-cardinality estimation from two 8 KB Count-Min sketches (the
+    // planner's broadcast-vs-shuffle sizing input, computed WITHOUT running
+    // the join): CMS is linear, so each depth row's counter inner product
+    // overestimates Σ_k a_k·b_k one-sidedly — est ≥ exact always, and the
+    // oracle replays every counter exactly (q101 discipline)
+    "q140_join_size_est" -> ((s, dir) => {
+      val est = graft.ops.CountMin.joinSizeEstimate(
+        graft.ops.CountMin.sketch(T(s, dir, "lineitem"), col("l_partkey"), hash = activeHash),
+        graft.ops.CountMin.sketch(T(s, dir, "part"), col("p_partkey"), hash = activeHash))
+      val exact = T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("exact"))
+      est.crossJoin(exact)
+        .select(col("est"), col("exact"), (col("est") >= col("exact")).as("one_sided_ok"))
+    }),
+
     // hourly event series with a trailing 3-bucket moving average: the
     // corpus-sized stream collapses to |types|×|hours| counts BEFORE the
     // per-type ordering window ever shuffles a row
@@ -997,6 +1030,69 @@ object SparkEntry {
         (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
       graft.graph.GraphQueries.shortestPaths(
         s, e, sources = Seq(1L, 2L, 3L, 4L, 5L), maxDist = 8)
+    }),
+
+    // deterministic random walks (the node2vec/DeepWalk corpus generator)
+    // on the q121 graph: 2 walks × 5 hops from each of 10 parts, next hop
+    // = hash(seed, walk, step) mod degree over id-ranked neighbors — fully
+    // replayable, so the ENTIRE walk table is hash-checked, not sampled
+    "q141_graph_walks" -> ((s, dir) => {
+      val e = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
+      graft.graph.GraphQueries.randomWalks(
+        s, e, starts = (1L to 10L), numWalks = 2, walkLength = 5,
+        seed = 42, hash = activeHash)
+    }),
+
+    // weighted shortest paths (Bellman-Ford DF rounds) on the q121 graph
+    // with integer edge costs: parallel edges collapse to min weight, the
+    // cost cap prunes map-side, and the oracle's recursive walk under the
+    // same cap makes every (vertex, cost) row exact
+    "q142_graph_sssp" -> ((s, dir) => {
+      val e = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"),
+        (lit(1) + col("l_linenumber") % 3).cast("long").as("weight"))
+      graft.graph.GraphQueries.weightedDistances(
+        s, e, sources = Seq(1L, 2L, 3L), maxCost = 8)
+    }),
+
+    // mutual-kNN semantic clustering (topic grouping over embeddings):
+    // u—v iff each is in the other's top-3 cosine neighbors (self excluded
+    // BEFORE ranking), clusters = connected components of the mutual
+    // graph; mutuality kills asymmetric hub edges, and rounded-score
+    // ranking makes the whole labeling hash-exact
+    "q143_semantic_clusters" -> ((s, dir) =>
+      SimilaritySearch.mutualKnnClusters(s, T(s, dir, "embeddings"), k = 3)),
+
+    // recency-weighted event stats (freshness-weighted mixing quotas):
+    // weight halves per day of age — an exact exponent shift per row, so
+    // decayed sums are decimal-exact across engines (q112 no-half-grid
+    // argument); one aggregate shuffle on the type key
+    "q144_event_decay" -> ((s, dir) =>
+      graft.ops.EventAnalytics.decayedStats(
+        E(s, dir), groupCols = Seq("event_type"), value = col("value"),
+        bucketTs = 86400000000000L)),
+
+    // k-anonymity / l-diversity release screen: every (lang, source)
+    // combination's size and distinct-sensitive-value count, flagged
+    // against k=3 / l=5 — exact integers, one grouped pass
+    "q145_k_anonymity" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymity(
+        T(s, dir, "documents"), quasiCols = Seq("lang", "source"), k = 3,
+        sensitive = Some("n_chars"), l = 5)),
+
+    // chi-square distribution drift between two corpus snapshots (the
+    // release-gate drift monitor): per-language observed/expected counts
+    // and Pearson contributions — counts exact, e and contrib a handful
+    // of deterministic IEEE ops per row, no cross-row float summation
+    "q146_drift_chisq" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.ops.Stats.chiSquareDrift(
+        d.where(col("doc_id") % 10 =!= 1),
+        d.where(col("doc_id") % 10 =!= 2),
+        dimCol = "lang")
     }),
 
     // per-landmark BFS distance features on the q121 graph (the GraphX
@@ -2385,6 +2481,66 @@ object SparkEntry {
          |SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
          |FROM r WHERE n >= 1""".stripMargin,
 
+    // one aggregate row per engine, unpacked into the same six check rows;
+    // every metric is an exact-integer ratio through one double division
+    "q139_validate_report" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    count(text) AS nn_text,
+        |    count(DISTINCT doc_id) AS dc_id, count(doc_id) AS nn_id,
+        |    count(*) FILTER (lang IN ('en','de','es','fr')) AS st_lang, count(lang) AS nn_lang,
+        |    count(*) FILTER (n_chars BETWEEN 100 AND 2000) AS rg_nc, count(n_chars) AS nn_nc,
+        |    count(*) FILTER (regexp_matches(source, '^src[0-9]+$')) AS re_src, count(source) AS nn_src
+        |  FROM documents)
+        |SELECT 'not_null(text)' AS "check", 'text' AS "column",
+        |  round(CAST(nn_text AS DOUBLE) / n, 6) AS metric,
+        |  CAST(1.0 AS DOUBLE) AS threshold,
+        |  coalesce(CAST(nn_text AS DOUBLE) / n >= 1.0, FALSE) AS pass FROM a
+        |UNION ALL
+        |SELECT 'unique(doc_id)', 'doc_id',
+        |  round(CAST(dc_id AS DOUBLE) / nn_id, 6), CAST(1.0 AS DOUBLE),
+        |  coalesce(dc_id = nn_id, TRUE) FROM a
+        |UNION ALL
+        |SELECT 'in_set(lang)', 'lang',
+        |  round(CAST(st_lang AS DOUBLE) / nn_lang, 6), CAST(0.9 AS DOUBLE),
+        |  coalesce(CAST(st_lang AS DOUBLE) / nn_lang >= 0.9, FALSE) FROM a
+        |UNION ALL
+        |SELECT 'in_range(n_chars,100.0,2000.0)', 'n_chars',
+        |  round(CAST(rg_nc AS DOUBLE) / nn_nc, 6), CAST(0.9 AS DOUBLE),
+        |  coalesce(CAST(rg_nc AS DOUBLE) / nn_nc >= 0.9, FALSE) FROM a
+        |UNION ALL
+        |SELECT 'matches(source)', 'source',
+        |  round(CAST(re_src AS DOUBLE) / nn_src, 6), CAST(1.0 AS DOUBLE),
+        |  coalesce(CAST(re_src AS DOUBLE) / nn_src >= 1.0, FALSE) FROM a
+        |UNION ALL
+        |SELECT 'row_count(100,1000000000)', '',
+        |  round(CAST(n AS DOUBLE), 6), CAST(100.0 AS DOUBLE),
+        |  n BETWEEN 100 AND 1000000000 FROM a""".stripMargin,
+
+    // replica of the sketch inner product: per-depth bucket sums on BOTH
+    // sides (seeds 100..103, width 256), est = least of the four counter
+    // inner products; exact join size alongside proves the one-sided bound
+    "q140_join_size_est" ->
+      s"""WITH ca AS (SELECT CAST(l_partkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+         |cb AS (SELECT CAST(p_partkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c FROM part GROUP BY 1),
+         |a0 AS (SELECT ${md5l("'100:' || k")} % 256 AS b, sum(c) AS s FROM ca GROUP BY 1),
+         |a1 AS (SELECT ${md5l("'101:' || k")} % 256 AS b, sum(c) AS s FROM ca GROUP BY 1),
+         |a2 AS (SELECT ${md5l("'102:' || k")} % 256 AS b, sum(c) AS s FROM ca GROUP BY 1),
+         |a3 AS (SELECT ${md5l("'103:' || k")} % 256 AS b, sum(c) AS s FROM ca GROUP BY 1),
+         |b0 AS (SELECT ${md5l("'100:' || k")} % 256 AS b, sum(c) AS s FROM cb GROUP BY 1),
+         |b1 AS (SELECT ${md5l("'101:' || k")} % 256 AS b, sum(c) AS s FROM cb GROUP BY 1),
+         |b2 AS (SELECT ${md5l("'102:' || k")} % 256 AS b, sum(c) AS s FROM cb GROUP BY 1),
+         |b3 AS (SELECT ${md5l("'103:' || k")} % 256 AS b, sum(c) AS s FROM cb GROUP BY 1),
+         |e0 AS (SELECT CAST(sum(x.s * y.s) AS BIGINT) AS v FROM a0 x JOIN b0 y USING (b)),
+         |e1 AS (SELECT CAST(sum(x.s * y.s) AS BIGINT) AS v FROM a1 x JOIN b1 y USING (b)),
+         |e2 AS (SELECT CAST(sum(x.s * y.s) AS BIGINT) AS v FROM a2 x JOIN b2 y USING (b)),
+         |e3 AS (SELECT CAST(sum(x.s * y.s) AS BIGINT) AS v FROM a3 x JOIN b3 y USING (b)),
+         |x AS (SELECT CAST(count(*) AS BIGINT) AS v
+         |      FROM lineitem JOIN part ON l_partkey = p_partkey)
+         |SELECT least(e0.v, e1.v, e2.v, e3.v) AS est, x.v AS exact,
+         |  least(e0.v, e1.v, e2.v, e3.v) >= x.v AS one_sided_ok
+         |FROM e0, e1, e2, e3, x""".stripMargin,
+
     // replica of the linear sketch: per-row bucket sums (seeds 100..103,
     // width 256), estimate = least of the four counters
     "q101_heavy_hitters" ->
@@ -3227,6 +3383,139 @@ object SparkEntry {
         |  WHERE walk.dist < 8
         |)
         |SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id""".stripMargin,
+
+    // replays every hash choice: id-ranked adjacency + degree, next rank =
+    // md5('42:walk:step') mod degree + 1 — the recursive extension is the
+    // Spark loop's join pair, row for row
+    "q141_graph_walks" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+         |         CAST(l_suppkey AS BIGINT) + 10000000 AS b
+         |  FROM lineitem
+         |), bi AS (
+         |  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+         |), adj AS (
+         |  SELECT src, dst,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rnk
+         |  FROM bi
+         |), deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS degree FROM bi GROUP BY 1
+         |), walk(walk_id, step, vertex) AS (
+         |  SELECT CAST(p * 2 + w AS BIGINT), 0, CAST(p AS BIGINT)
+         |  FROM (SELECT unnest(range(1, 11)) AS p), (SELECT unnest(range(0, 2)) AS w)
+         |  UNION ALL
+         |  SELECT wk.walk_id, wk.step + 1, a.dst
+         |  FROM walk wk
+         |  JOIN deg d ON d.src = wk.vertex
+         |  JOIN adj a ON a.src = wk.vertex
+         |   AND a.rnk = ${md5l("'42:' || CAST(wk.walk_id AS VARCHAR) || ':' || CAST(wk.step AS VARCHAR)")} % d.degree + 1
+         |  WHERE wk.step < 5
+         |)
+         |SELECT walk_id, CAST(step AS INT) AS step, vertex FROM walk""".stripMargin,
+
+    // the same recursive walk as q121 but accumulating integer edge costs
+    // (parallel edges pre-collapsed to min weight) under the cost cap;
+    // MIN(cost) per vertex is the Bellman-Ford fixed point
+    "q142_graph_sssp" ->
+      """WITH RECURSIVE ew AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS a,
+        |         CAST(l_suppkey AS BIGINT) + 10000000 AS b,
+        |         CAST(min(1 + l_linenumber % 3) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), bi AS (
+        |  SELECT a AS src, b AS dst, w FROM ew UNION ALL SELECT b, a, w FROM ew
+        |), walk(id, c) AS (
+        |  SELECT CAST(v AS BIGINT), CAST(0 AS BIGINT) FROM (VALUES (1), (2), (3)) s(v)
+        |  UNION
+        |  SELECT bi.dst, walk.c + bi.w FROM walk JOIN bi ON bi.src = walk.id
+        |  WHERE walk.c + bi.w <= 8
+        |)
+        |SELECT id, MIN(c) AS cost FROM walk GROUP BY id""".stripMargin,
+
+    // q83's scoring CTE with self excluded, rank <= 3, the mutual
+    // self-join, then q50's transitive-closure min-label
+    "q143_semantic_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(c.v, q.v)
+        |      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6)
+        |      AS score
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM s
+        |), nn AS (
+        |  SELECT query_id, neighbor_id FROM r WHERE rnk <= 3
+        |), m AS (
+        |  SELECT a.query_id AS a, a.neighbor_id AS b
+        |  FROM nn a JOIN nn b
+        |    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+        |  WHERE a.query_id < a.neighbor_id
+        |), edges AS (
+        |  SELECT a, b FROM m UNION SELECT b, a FROM m
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r2.a, e2.b FROM reach r2 JOIN edges e2 ON r2.b = e2.a
+        |), comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+        |)
+        |SELECT e.vec_id, coalesce(c.cluster, e.vec_id) AS cluster_id
+        |FROM e LEFT JOIN comp c ON c.id = e.vec_id""".stripMargin,
+
+    // weight = 1 / 2^age (integer shift), terms cast to DECIMAL(38,18)
+    // before summing — both engines round the binary rationals identically
+    // and the decimal sums are exact
+    "q144_event_decay" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_ns(ts) AS t FROM events
+        |), m AS (SELECT max(t) AS tmax FROM e),
+        |w AS (
+        |  SELECT event_type, value,
+        |    CAST(least((tmax - t) // 86400000000000, 50) AS INT) AS age
+        |  FROM e, m)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(1.0 / CAST(1::BIGINT << age AS DOUBLE)
+        |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS decayed_n,
+        |  round(CAST(sum(CAST(value * (1.0 / CAST(1::BIGINT << age AS DOUBLE))
+        |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS decayed_sum
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "q145_k_anonymity" ->
+      """SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS group_size,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_sensitive,
+        |  count(*) >= 3 AS k_anonymous,
+        |  count(DISTINCT n_chars) >= 5 AS l_diverse
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // e = n_new · c_old / n_old left-to-right; contrib = (c_new − e)²/e —
+    // the identical IEEE sequence per row in both engines
+    "q146_drift_chisq" ->
+      """WITH o AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_old
+        |  FROM documents WHERE doc_id % 10 <> 1 GROUP BY 1
+        |), nw AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM documents WHERE doc_id % 10 <> 2 GROUP BY 1
+        |), t AS (
+        |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 <> 1) AS t_old,
+        |         (SELECT count(*) FROM documents WHERE doc_id % 10 <> 2) AS t_new
+        |)
+        |SELECT coalesce(o.lang, nw.lang) AS lang,
+        |  coalesce(o.n_old, 0) AS n_old,
+        |  coalesce(nw.n_new, 0) AS n_new,
+        |  round(CAST(t.t_new AS DOUBLE) * coalesce(o.n_old, 0) / t.t_old, 6) AS expected,
+        |  CASE WHEN coalesce(o.n_old, 0) > 0 THEN
+        |    round((coalesce(nw.n_new, 0) - CAST(t.t_new AS DOUBLE) * o.n_old / t.t_old)
+        |      * (coalesce(nw.n_new, 0) - CAST(t.t_new AS DOUBLE) * o.n_old / t.t_old)
+        |      / (CAST(t.t_new AS DOUBLE) * o.n_old / t.t_old), 6)
+        |  END AS contrib
+        |FROM o FULL OUTER JOIN nw ON o.lang = nw.lang, t""".stripMargin,
 
     // q121's walk verbatim — the warm-started Spark side must land on the
     // identical distance table

@@ -821,6 +821,166 @@ object GraphQueries {
       .select(v(idCol), coalesce(col("component"), v(idCol)).as("component"))
   }
 
+  /** Deterministic random walks over the undirected graph — the
+    * node2vec/DeepWalk corpus generator (walk tables feed skip-gram
+    * embedding training; also the graph-sampling primitive for
+    * neighborhood sketches). Returns `(walk_id, step, vertex)` for every
+    * position of every walk: `numWalks` walks start from each of `starts`
+    * (`walk_id = start·numWalks + w`, injective for `w < numWalks`), each
+    * extended `walkLength` hops. The "random" choice is a HASH of
+    * `(seed, walk_id, step)` modulo the current vertex's degree over its
+    * neighbors ranked by id — fully deterministic, partition-invariant,
+    * and (under [[graft.ops.Md5Hash]]) replayable by an external SQL
+    * engine, the same portability contract as the samplers (q45). Walks
+    * stop early only at isolated start vertices (an undirected walk that
+    * arrived somewhere always has an edge back).
+    *
+    * Scale shape: the ranked adjacency `(src, dst, rank)` and degree
+    * frames are built once (one row_number window partitioned by src —
+    * the per-vertex sort is O(d log d), hub-bounded like the q77 wedge
+    * orientation) and persisted across steps (self-joined derived frame —
+    * the no-CSE lesson); each step is TWO slim equi-joins (state ⋈ degree
+    * on the vertex, then ⋈ adjacency on (vertex, chosen rank)) over
+    * |walks| rows of state, never a shuffle of the edge list itself.
+    * Steps are localCheckpoint-materialized so the loop's lineage stays
+    * flat.
+    */
+  def randomWalks(
+      spark: SparkSession,
+      edges: DataFrame,
+      starts: Seq[Long],
+      numWalks: Int = 1,
+      walkLength: Int = 5,
+      seed: Int = 42,
+      hash: graft.ops.HashFamily = graft.ops.XxHash
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(starts.nonEmpty, "starts must be non-empty")
+    require(numWalks >= 1, s"numWalks must be >= 1, got $numWalks")
+    require(walkLength >= 0, s"walkLength must be >= 0, got $walkLength")
+    import spark.implicits._
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val e = canon.select(col("a").as("src"), col("b").as("dst"))
+      .union(canon.select(col("b").as("src"), col("a").as("dst")))
+    val adj = graft.Caches.track(
+      e.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")).orderBy(col("dst")))
+        .cast("long"))
+        .select(col("src").as("a_src"), col("dst").as("a_dst"), col("rank")))
+    val deg = graft.Caches.track(
+      adj.groupBy(col("a_src")).agg(count(lit(1)).as("degree"))
+        .select(col("a_src").as("d_src"), col("degree")))
+    var cur = materialize(
+      starts.distinct.flatMap(s => (0 until numWalks).map(w => (s * numWalks + w, s)))
+        .toDF("walk_id", "vertex")
+        .withColumn("step", lit(0)))
+    val positions = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
+    var t = 0
+    while (t < walkLength && !cur.isEmpty) {
+      val chosen = cur
+        .join(deg, col("vertex") === col("d_src"))
+        .select(col("walk_id"), col("vertex"), col("step"),
+          (pmod(hash.seeded(seed,
+            concat(col("walk_id").cast("string"), lit(":"), col("step").cast("string"))),
+            col("degree")) + 1).as("crank"))
+      val next = materialize(
+        chosen.join(adj,
+            col("vertex") === col("a_src") && col("crank") === col("rank"))
+          .select(col("walk_id"), col("a_dst").as("vertex"), (col("step") + 1).as("step")))
+      positions += next
+      cur = next
+      t += 1
+    }
+    positions.reduce(_ union _).select(col("walk_id"), col("step"), col("vertex"))
+  }
+
+  /** Weighted single-source-set shortest paths (non-negative integer
+    * weights) — the Bellman-Ford counterpart of [[shortestPaths]] for
+    * cost-weighted graphs (latency-weighted link graphs, edit-cost
+    * lattices). Returns `(idCol, cost)` for every vertex reachable from
+    * the source set at total cost ≤ `maxCost`; a vertex's cost is the
+    * minimum over paths from ANY source, parallel edges collapse to their
+    * minimum weight, edges are undirected, self-loops dropped. Weights
+    * must be ≥ 0 (checked with one scalar aggregate up front — wrong
+    * answers beat a scan ONLY until the first negative weight).
+    *
+    * Scale shape — [[relaxDistances]] with a weight column: per round ONE
+    * equi-join of the (slim, persisted) edge list against the improvement
+    * wavefront, a min-merge groupBy, and a min-merge against the settled
+    * table; every frame is long rows, spillable, AQE-planned. Rounds are
+    * bounded by the longest shortest-path EDGE COUNT (≤ maxIter,
+    * warning-capped like the CC-DF family); the cost cap prunes
+    * candidates map-side so state never exceeds the ≤-maxCost ball.
+    */
+  def weightedDistances(
+      spark: SparkSession,
+      edges: DataFrame,
+      sources: Seq[Long],
+      weightCol: String = "weight",
+      idCol: String = "id",
+      maxCost: Long = 1000000L,
+      maxIter: Int = 50
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(sources.nonEmpty, "sources must be non-empty")
+    require(maxCost >= 0, s"maxCost must be >= 0, got $maxCost")
+    import spark.implicits._
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("s") =!= col("d"))
+      .groupBy(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .agg(min(col("w")).as("w"))
+    val e = materialize(
+      canon.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"), col("w"))))
+    val minW = e.agg(min(col("w"))).head
+    require(minW.isNullAt(0) || minW.getLong(0) >= 0L,
+      s"negative edge weight ${minW.get(0)} — weightedDistances requires non-negative weights")
+    var settled = materialize(
+      sources.distinct.toDF("vid").select(col("vid").cast("long").as("vid"), lit(0L).as("cost")))
+    var frontier = settled
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val cand = e.join(frontier.select(col("vid").as("src"), col("cost")), Seq("src"))
+        .select(col("dst").as("vid"), (col("cost") + col("w")).as("cost"))
+        .where(col("cost") <= maxCost)
+        .groupBy("vid").agg(min(col("cost")).as("cost"))
+      val improved = materialize(
+        cand.join(settled.select(col("vid"), col("cost").as("_old")), Seq("vid"), "left")
+          .where(col("_old").isNull || col("cost") < col("_old"))
+          .select(col("vid"), col("cost")))
+      if (improved.isEmpty) {
+        improved.unpersist(blocking = false)
+        done = true
+      } else {
+        val prevSettled = settled
+        settled = materialize(
+          settled.join(improved.select(col("vid").as("_iv")),
+              col("vid") === col("_iv"), "left_anti")
+            .union(improved))
+        prevSettled.unpersist(blocking = false)
+        frontier = improved
+        iter += 1
+      }
+    }
+    if (!done) {
+      log.warn(
+        s"weightedDistances stopped at maxIter=$maxIter before the fixed point; " +
+          "returned costs are admissible upper bounds — raise maxIter for exactness")
+    }
+    settled.select(col("vid").as(idCol), col("cost"))
+  }
+
   /** Component labels `(vid, component)` for every vertex incident to an
     * edge — [[connectedComponentsDF]] without the vertex-universe join.
     * Callers whose vertex set IS the edge-endpoint set (dedup cluster

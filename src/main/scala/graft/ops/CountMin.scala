@@ -48,4 +48,34 @@ object CountMin {
         (pmod(hash.seeded(seed + r, key), lit(width.toLong)) + lit(r.toLong * width) + 1)
           .cast("int"))
     }: _*)
+
+  /** Equi-join cardinality estimate from two sketches built with the SAME
+    * depth/width/seed/hash over each side's join key: the true size is the
+    * frequency-vector inner product `Σ_k a_k·b_k`, and because CMS is a
+    * linear sketch, each row's counter inner product
+    * `Σ_j A[r][j]·B[r][j]` estimates it with the same one-sided guarantee
+    * as a point query — collisions only ADD mass, so
+    * `min_r Σ_j A[r][j]·B[r][j] >= |A ⋈ B|` always, with expected
+    * overshoot ≤ (e/width)·|A|·|B| per row. This is how a planner sizes a
+    * join (shuffle vs broadcast, partition count) from two 8 KB sketches
+    * WITHOUT running it — the sketches are reusable across any pair of
+    * tables sharing the hash configuration.
+    *
+    * Input: the one-row frames [[sketch]] returns. The per-row products
+    * are computed by exploding the depth·width index range over the single
+    * crossed row (≤ 1024 rows total — a deliberately tiny intermediate,
+    * NOT a per-data-row explode), avoiding both an interpreted HOF and the
+    * 64 KB-codegen hazard an unrolled 1024-term sum courts (the q80
+    * lesson). Returns one row `(est)` as a long.
+    */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    sketchA.select(col("cms").as("__a"))
+      .crossJoin(sketchB.select(col("cms").as("__b")))
+      .select(explode(sequence(lit(0), lit(depth * width - 1))).as("i"),
+        col("__a"), col("__b"))
+      .select((col("i") / lit(width)).cast("int").as("r"),
+        (element_at(col("__a"), col("i") + 1) * element_at(col("__b"), col("i") + 1)).as("p"))
+      .groupBy(col("r")).agg(sum(col("p")).as("est_r"))
+      .agg(min(col("est_r")).as("est"))
 }

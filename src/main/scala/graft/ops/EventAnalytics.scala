@@ -160,4 +160,50 @@ object EventAnalytics {
       .rowsBetween(-(maBuckets - 1).toLong, Window.currentRow)
     counts.withColumn("ma", round(avg(col("n")).over(w), 6))
   }
+
+  /** Recency-weighted aggregates with exponential half-life decay — the
+    * "recent data matters more" rollup (freshness-weighted source mixing
+    * quotas, decayed engagement scores, drift-resistant popularity).
+    * Each event's weight halves per `bucketTs` of age relative to the
+    * stream's max timestamp: `w = 2^(-age_buckets)`, age capped at
+    * `maxAgeBuckets` so the weight never leaves (±,18)-decimal range.
+    * Returns per group: `n` (raw count), `decayed_n` (Σw) and
+    * `decayed_sum` (Σ value·w), both rounded to 6.
+    *
+    * Engine-exact by construction: the age is integer arithmetic off one
+    * global max-ts scalar (a broadcast one-row frame, not a window);
+    * `2^age` is an integer shift; value·2^-age is an EXACT double
+    * operation (multiplying by a power of two only moves the exponent);
+    * and the per-group sums run over `decimal(38,18)`-cast terms — a
+    * binary rational can never land on a decimal half-grid, so the cast
+    * rounds identically in every engine (the q112 argument) and the
+    * decimal sums are order-free. One aggregate shuffle on the group key;
+    * the result is |groups| rows.
+    */
+  def decayedStats(
+      events: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      bucketTs: Long,
+      tsCol: String = "ts",
+      maxAgeBuckets: Int = 50
+  ): DataFrame = {
+    require(bucketTs > 0, s"bucketTs must be positive, got $bucketTs")
+    require(maxAgeBuckets >= 0 && maxAgeBuckets <= 62,
+      s"maxAgeBuckets must be in [0, 62], got $maxAgeBuckets")
+    val tmax = events.agg(max(col(tsCol)).as("_tmax"))
+    val age = least(
+      expr(s"(_tmax - `$tsCol`) div $bucketTs"), lit(maxAgeBuckets.toLong))
+    val weight = lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(_age AS INT))").cast("double")
+    events
+      .crossJoin(broadcast(tmax))
+      .withColumn("_age", age)
+      .withColumn("_w", weight)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("_w").cast("decimal(38,18)")).cast("double"), 6).as("decayed_n"),
+        round(sum((value * col("_w")).cast("decimal(38,18)")).cast("double"), 6)
+          .as("decayed_sum"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<double>` columns.
@@ -189,6 +189,64 @@ object SimilaritySearch {
         col("_e.neighbor_id").as("neighbor_id"),
         col("_e.score").as("score"),
         (col("_r") + 1).cast("int").as("rank"))
+  }
+
+  /** Mutual-kNN clustering — the unsupervised semantic-grouping step of a
+    * training-data pipeline (topic-balance audits, per-cluster sampling
+    * quotas, SemDeDup-style pruning at the CLUSTER level): vertices are
+    * rows of `df`, an edge connects u and v iff EACH is among the other's
+    * top-`k` cosine neighbors (self excluded BEFORE ranking, so duplicate
+    * vectors cannot displace genuine neighbors), and clusters are the
+    * connected components of that mutual graph. Mutuality is the classic
+    * hub-filter: an asymmetric "v is near hub u" edge dies unless u also
+    * claims v, so broad attractors don't glue unrelated clusters. Returns
+    * `(idCol, cluster_id)` for EVERY input row — vertices with no mutual
+    * neighbor are singleton clusters labeled by their own id; cluster_id
+    * is the component's minimum member id.
+    *
+    * Scale shape: neighbor generation is [[knnJoin]]'s bounded-heap
+    * aggregate (documented broadcast of the query side — for corpora past
+    * broadcast size, feed pairs from the IVF/LSH candidate path instead
+    * and cluster with [[graft.graph.GraphQueries.componentLabels]]
+    * directly); the mutual filter is ONE self-equi-join of the slim
+    * (query, neighbor) frame on the swapped key pair; components ride the
+    * spillable CC-DF loop. Scores are rounded before ranking (knnJoin's
+    * rule), so the whole labeling is engine-exact.
+    */
+  def mutualKnnClusters(
+      spark: SparkSession,
+      df: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = df.select(
+      col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val c = df.select(
+      col(idCol).cast("long").as("_nid"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val nn = graft.Caches.track(
+      c.crossJoin(broadcast(q))
+        .where(col("_nid") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("_nid"),
+          round(VectorOps.cosine(col("_cv"), col("_qv")), 6).as("_s"))
+        .groupBy("query_id")
+        .agg(org.apache.spark.sql.graft.TopKAgg.topKAgg(col("_s"), col("_nid"), k).as("_top"))
+        .select(col("query_id"), explode(col("_top.neighbor_id")).as("neighbor_id")))
+    val mutual = nn.as("a")
+      .join(nn.as("b"),
+        col("a.query_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.query_id"))
+      .where(col("a.query_id") < col("a.neighbor_id"))
+      .select(col("a.query_id").as("src"), col("a.neighbor_id").as("dst"))
+    val labels = graft.graph.GraphQueries.componentLabels(spark, mutual)
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(labels, col(idCol) === col("vid"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane i is the

@@ -249,4 +249,48 @@ object Stats {
       .withColumnRenamed("_mad", "mad")
       .drop("_dev")
   }
+  /** Categorical distribution drift between two snapshots of a corpus —
+    * the chi-square drift monitor (did the language / source / length-bin
+    * mix shift since the last release?). Per category of `dimCol`:
+    * observed counts on both sides, the expected new-side count under the
+    * old distribution (`e = n_new · c_old / n_old`), and the Pearson
+    * contribution `(c_new − e)² / e`; the statistic is the sum of the
+    * contributions. Categories absent from a side count 0 there; a
+    * category NEW in the new snapshot has `e = 0` and a NULL contribution
+    * (its chi-square term is undefined — it is reported as a row so the
+    * monitor flags it explicitly rather than silently inflating the
+    * statistic).
+    *
+    * Engine-portable: counts are exact integers, `e` is one
+    * multiply+divide on doubles, and the contribution is three more IEEE
+    * ops on those — deterministic per ROW with no cross-row float
+    * summation anywhere (callers summing the statistic sum the ROUNDED
+    * contributions, which is decimal-exact). Cost: two count aggregates,
+    * one full-outer equi-join on the category, two scalar broadcasts —
+    * |categories| result rows at any corpus size.
+    */
+  def chiSquareDrift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      dimCol: String,
+      scale: Int = 6
+  ): DataFrame = {
+    val co = oldDf.groupBy(col(dimCol)).agg(count(lit(1)).as("n_old"))
+    val cn = newDf.groupBy(col(dimCol)).agg(count(lit(1)).as("n_new"))
+    val to = oldDf.agg(count(lit(1)).as("_to"))
+    val tn = newDf.agg(count(lit(1)).as("_tn"))
+    val joined = co.withColumnRenamed(dimCol, "_k")
+      .join(cn.withColumnRenamed(dimCol, "_k2"), col("_k") <=> col("_k2"), "full_outer")
+      .select(
+        coalesce(col("_k"), col("_k2")).as(dimCol),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val e = col("_tn").cast("double") * col("n_old") / col("_to")
+    joined.crossJoin(broadcast(to)).crossJoin(broadcast(tn))
+      .select(
+        col(dimCol), col("n_old"), col("n_new"),
+        round(e, scale).as("expected"),
+        when(col("n_old") > 0,
+          round((col("n_new") - e) * (col("n_new") - e) / e, scale)).as("contrib"))
+  }
 }

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the admission gate a pipeline runs
+  * before a batch is allowed into the corpus (the Deequ-shaped check suite:
+  * completeness, uniqueness, bounds, set membership, format). The point of
+  * the design is COST SHAPE, not the checks themselves: every non-distinct
+  * constraint compiles into conditional counters of ONE aggregate pass over
+  * the table (a single partial-aggregated scan — adding a check adds a
+  * counter, never a scan), and the per-check result rows are unpacked from
+  * that one-row aggregate with an explode, not per-check jobs. [[Unique]]
+  * checks need distinct counts and therefore ride the same aggregate via
+  * Spark's Expand (still one scan of the table, one shuffle stage) — the
+  * report documents that a suite of k uniqueness checks multiplies the
+  * shuffled rows k+1×, so keep those to genuine key columns.
+  *
+  * Metrics are exact-integer ratios (`passing / n`) evaluated as ONE double
+  * division, so an external engine reproduces every metric bit-for-bit
+  * (the q101/q106 exactness discipline); `pass` compares the UNROUNDED
+  * ratio against the threshold. An empty table yields NULL fractions —
+  * every fraction check is then `pass = false` (fail-closed via a null
+  * coalesce), while [[RowCountBetween]] still evaluates exactly.
+  */
+object Validate {
+
+  /** One declarative constraint. `name` keys the report row. */
+  sealed trait Check {
+    def name: String
+
+    /** Human-readable target column ("" for table-level checks). */
+    def column: String
+
+    /** The pass threshold recorded in the report. */
+    def threshold: Double
+  }
+
+  /** Fraction of rows with `column` non-null must be >= `minFraction`. */
+  final case class NotNull(column: String, minFraction: Double = 1.0) extends Check {
+    val name = s"not_null($column)"
+    val threshold: Double = minFraction
+  }
+
+  /** Fraction of NON-NULL rows with `lo <= column <= hi` must be
+    * >= `minFraction` (nulls don't count against a range check — pair with
+    * [[NotNull]] to forbid them).
+    */
+  final case class InRange(column: String, lo: Double, hi: Double, minFraction: Double = 1.0)
+      extends Check {
+    val name = s"in_range($column,$lo,$hi)"
+    val threshold: Double = minFraction
+  }
+
+  /** Fraction of non-null rows whose `column` is one of `values` must be
+    * >= `minFraction`.
+    */
+  final case class InSet(column: String, values: Seq[String], minFraction: Double = 1.0)
+      extends Check {
+    val name = s"in_set($column)"
+    val threshold: Double = minFraction
+  }
+
+  /** Fraction of non-null rows whose `column` rlike-matches `pattern`
+    * (shared Java/RE2 regex subset — the q68 portability rule) must be
+    * >= `minFraction`.
+    */
+  final case class MatchesRegex(column: String, pattern: String, minFraction: Double = 1.0)
+      extends Check {
+    val name = s"matches($column)"
+    val threshold: Double = minFraction
+  }
+
+  /** `column` must be unique across the table: metric is
+    * `count(distinct column) / count(column)` (nulls excluded from both),
+    * pass iff the ratio is exactly 1.
+    */
+  final case class Unique(column: String) extends Check {
+    val name = s"unique($column)"
+    val threshold: Double = 1.0
+  }
+
+  /** Table row count must lie in `[lo, hi]`. Metric is the count itself. */
+  final case class RowCountBetween(lo: Long, hi: Long) extends Check {
+    val name = s"row_count($lo,$hi)"
+    val column = ""
+    val threshold: Double = lo.toDouble
+  }
+
+  /** Runs `checks` over `df` in one aggregate pass. Returns one row per
+    * check: `(check, column, metric, threshold, pass)` with `metric`
+    * rounded to `scale` for display and `pass` decided on the unrounded
+    * value. Row order is the input check order (an explicit `check_idx`
+    * consumers can sort on is NOT emitted — the check name is the key).
+    */
+  def report(df: DataFrame, checks: Seq[Check], scale: Int = 6): DataFrame = {
+    require(checks.nonEmpty, "checks must be non-empty")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "duplicate check names — each check must be unique per suite")
+
+    // one aggregate column per needed counter, shared across checks
+    val aggs = scala.collection.mutable.LinkedHashMap[String, Column]()
+    aggs("__n") = count(lit(1))
+    def counter(rawKey: String, c: Column): String = {
+      // dots/dashes in a counter name would read as struct access downstream
+      val key = rawKey.replaceAll("[^A-Za-z0-9_]", "_")
+      if (!aggs.contains(key)) aggs(key) = c
+      key
+    }
+
+    // null-on-zero division: an empty table must yield NULL metrics (and
+    // fail-closed passes), not an ANSI DIVIDE_BY_ZERO
+    def frac(num: Column, den: Column): Column =
+      num.cast("double") / when(den =!= 0, den.cast("double"))
+
+    // per check: (metric expression over the one-row aggregate, pass expr)
+    val rows: Seq[(Check, String => Column, String => Column)] = checks.map {
+      case ck @ NotNull(c, f) =>
+        val k = counter(s"__nn_$c", count(col(c)))
+        (ck: Check,
+          (p: String) => frac(col(s"$p$k"), col(s"${p}__n")),
+          (p: String) => coalesce(
+            frac(col(s"$p$k"), col(s"${p}__n")) >= lit(f), lit(false)))
+      case ck @ InRange(c, lo, hi, f) =>
+        val k = counter(s"__rg_${c}_${lo}_$hi",
+          count(when(col(c) >= lo && col(c) <= hi, 1)))
+        val nn = counter(s"__nn_$c", count(col(c)))
+        (ck,
+          (p: String) => frac(col(s"$p$k"), col(s"$p$nn")),
+          (p: String) => coalesce(
+            frac(col(s"$p$k"), col(s"$p$nn")) >= lit(f), lit(false)))
+      case ck @ InSet(c, vs, f) =>
+        val k = counter(s"__st_$c", count(when(col(c).isInCollection(vs), 1)))
+        val nn = counter(s"__nn_$c", count(col(c)))
+        (ck,
+          (p: String) => frac(col(s"$p$k"), col(s"$p$nn")),
+          (p: String) => coalesce(
+            frac(col(s"$p$k"), col(s"$p$nn")) >= lit(f), lit(false)))
+      case ck @ MatchesRegex(c, pat, f) =>
+        val k = counter(s"__re_$c", count(when(col(c).rlike(pat), 1)))
+        val nn = counter(s"__nn_$c", count(col(c)))
+        (ck,
+          (p: String) => frac(col(s"$p$k"), col(s"$p$nn")),
+          (p: String) => coalesce(
+            frac(col(s"$p$k"), col(s"$p$nn")) >= lit(f), lit(false)))
+      case ck @ Unique(c) =>
+        val k = counter(s"__dc_$c", countDistinct(col(c)))
+        val nn = counter(s"__nn_$c", count(col(c)))
+        (ck,
+          (p: String) => frac(col(s"$p$k"), col(s"$p$nn")),
+          (p: String) => coalesce(col(s"$p$k") === col(s"$p$nn"), lit(true)))
+      case ck @ RowCountBetween(lo, hi) =>
+        (ck,
+          (p: String) => col(s"${p}__n").cast("double"),
+          (p: String) => col(s"${p}__n") >= lo && col(s"${p}__n") <= hi)
+    }
+
+    val aggCols = aggs.map { case (k, c) => c.as(k) }.toSeq
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val structs = rows.map { case (ck, metric, pass) =>
+      struct(
+        lit(ck.name).as("check"),
+        lit(ck.column).as("column"),
+        round(metric(""), scale).as("metric"),
+        lit(ck.threshold).as("threshold"),
+        pass("").as("pass"))
+    }
+    one.select(explode(array(structs: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** True iff every check in a [[report]] frame passed — the scalar gate a
+    * job wires before committing a batch (one driver boolean off a
+    * |checks|-row frame, not a data-sized collect).
+    */
+  def allPass(reportDf: DataFrame): Boolean =
+    reportDf.agg(min(col("pass"))).head.getBoolean(0)
+}

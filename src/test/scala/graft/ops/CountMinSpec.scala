@@ -52,6 +52,38 @@ class CountMinSpec extends SparkSpec {
     (0 until 4).foreach(r => assert(a.slice(r * 256, (r + 1) * 256).sum == rows))
   }
 
+  test("join-size estimate: one-sided bound, exact when collision-free") {
+    import spark.implicits._
+    val a = (1 to 20).flatMap(i => Seq.fill(i % 3 + 1)(s"k$i")).toDF("k")
+    val b = (5 to 30).flatMap(i => Seq.fill(i % 2 + 1)(s"k$i")).toDF("k")
+    val exact = a.join(b, Seq("k")).count()
+    // tight sketch (few keys, wide rows): collision-free → est == exact
+    val wide = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, col("k"), depth = 4, width = 1024, hash = Md5Hash),
+      CountMin.sketch(b, col("k"), depth = 4, width = 1024, hash = Md5Hash),
+      depth = 4, width = 1024).collect().head.getLong(0)
+    assert(wide == exact, s"collision-free sketch must be exact: $wide vs $exact")
+    // cramped sketch: collisions only ADD mass — still >= exact
+    val narrow = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, col("k"), depth = 2, width = 4, hash = Md5Hash),
+      CountMin.sketch(b, col("k"), depth = 2, width = 4, hash = Md5Hash),
+      depth = 2, width = 4).collect().head.getLong(0)
+    assert(narrow >= exact)
+  }
+
+  test("join-size estimate: disjoint key sets estimate low (usually zero)") {
+    import spark.implicits._
+    val a = (1 to 10).map(i => s"a$i").toDF("k")
+    val b = (1 to 10).map(i => s"b$i").toDF("k")
+    val est = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, col("k"), depth = 4, width = 256, hash = Md5Hash),
+      CountMin.sketch(b, col("k"), depth = 4, width = 256, hash = Md5Hash))
+      .collect().head.getLong(0)
+    // 10×10 keys in 256 buckets: a cross-collision in all 4 rows is vanishingly
+    // unlikely; the deterministic md5 family makes this a fixed fact, not flake
+    assert(est == 0L, s"disjoint sides should estimate 0, got $est")
+  }
+
   test("countmin_agg is registered for SQL with literal depth/width") {
     import spark.implicits._
     org.apache.spark.sql.graft.GraftFunctions.register(spark)

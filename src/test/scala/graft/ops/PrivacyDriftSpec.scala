@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrivacyDriftSpec extends SparkSpec {
+
+  test("kAnonymity: sizes, flags, null quasi groups, sensitive diversity") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("en"), "a", 1L), (Some("en"), "a", 2L), (Some("en"), "a", 2L),
+      (Some("en"), "b", 1L),
+      (None, "b", 5L), (None, "b", 6L)
+    ).toDF("lang", "src", "sens")
+    val got = Privacy.kAnonymity(df, Seq("lang", "src"), k = 2,
+        sensitive = Some("sens"), l = 2)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got((Some("en"), "a")) == ((3L, 2L, true, true)))
+    assert(got((Some("en"), "b")) == ((1L, 1L, false, false)))
+    // null lang is its own observable combination
+    assert(got((None, "b")) == ((2L, 2L, true, true)))
+  }
+
+  test("riskyRows: exactly the members of sub-k combinations, null-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("en"), 1L), (Some("en"), 2L), (Some("de"), 3L), (None, 4L)
+    ).toDF("lang", "id")
+    val got = Privacy.riskyRows(df, Seq("lang"), k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(3L, 4L))
+  }
+
+  test("chiSquareDrift: hand-computed contributions; new category gets NULL contrib") {
+    import spark.implicits._
+    val oldDf = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("k")
+    val newDf = (Seq.fill(30)("a") ++ Seq.fill(60)("b") ++ Seq.fill(10)("c")).toDF("k")
+    val got = Stats.chiSquareDrift(oldDf, newDf, "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), Option(r.get(4))))).toMap
+    // totals 100 old, 100 new → e(a)=60, e(b)=40
+    assert(got("a")._3 == 60.0)
+    assert(got("a")._4.get == 15.0) // (30-60)^2/60
+    assert(got("b")._4.get == 10.0) // (60-40)^2/40
+    assert(got("c") == ((0L, 10L, 0.0, None))) // new category flagged, not inflated
+  }
+
+  test("chiSquareDrift: category vanished from new side contributes e exactly") {
+    import spark.implicits._
+    val oldDf = (Seq.fill(50)("a") ++ Seq.fill(50)("gone")).toDF("k")
+    val newDf = Seq.fill(100)("a").toDF("k")
+    val got = Stats.chiSquareDrift(oldDf, newDf, "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // e(gone) = 100*50/100 = 50; (0-50)^2/50 = 50
+    assert(got("gone") == 50.0)
+  }
+
+  test("decayedStats: exact halving per bucket, cap, and raw counts") {
+    import spark.implicits._
+    // buckets of 10; max ts = 100
+    val df = Seq(
+      ("x", 100L, 8.0),  // age 0 → w 1
+      ("x", 90L, 8.0),   // age 1 → w 0.5
+      ("x", 75L, 8.0),   // age 2 → w 0.25
+      ("y", 100L, 3.0),
+      ("y", 0L, 3.0)     // age 10 → w 2^-10
+    ).toDF("t", "ts", "value")
+    val got = EventAnalytics.decayedStats(df, Seq("t"), col("value"), bucketTs = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("x") == ((3L, 1.75, 14.0)))
+    assert(got("y") == ((2L, 1.000977, 3.00293)))
+  }
+
+  test("decayedStats: maxAgeBuckets caps the shift; partition-invariant") {
+    import spark.implicits._
+    val df = (0 to 200).map(i => ("x", i.toLong, 1.0)).toDF("t", "ts", "value")
+    val a = EventAnalytics.decayedStats(df, Seq("t"), col("value"), bucketTs = 1L,
+      maxAgeBuckets = 5).collect().head
+    val b = EventAnalytics.decayedStats(df.repartition(17), Seq("t"), col("value"),
+      bucketTs = 1L, maxAgeBuckets = 5).collect().head
+    assert(a == b)
+    // ages 0..5 weights 1..1/32, then 195 rows pinned at 1/32
+    val expect = (0 to 4).map(i => math.pow(0.5, i)).sum + 196 * math.pow(0.5, 5)
+    assert(math.abs(a.getDouble(2) - BigDecimal(expect).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("mutualKnnClusters: mutual pairs cluster, hub asymmetry does not glue, singletons self-label") {
+    import spark.implicits._
+    // two tight pairs far apart + an isolated point; 2-d vectors as doubles
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f)),
+      (10L, Array(0.0f, 1.0f)),
+      (11L, Array(0.1f, 0.99f)),
+      (99L, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.mutualKnnClusters(spark, rows, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("mutualKnnClusters: every row labeled; labels are component minima") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.mutualKnnClusters(spark, rows, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40)
+    // a cluster id is always one of its members and the minimum of them
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.min == cid)
+    }
+  }
+}

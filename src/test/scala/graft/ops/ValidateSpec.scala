@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ValidateSpec extends SparkSpec {
+  import Validate._
+
+  private def reportMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(4)))).toMap
+
+  test("report: all check families, pass and fail, in one suite") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("alice"), "en", 10L),
+      (2L, Some("bob"), "en", 200L),
+      (3L, None, "xx", 3000L),
+      (4L, Some("carol9"), "de", 50L)
+    ).toDF("id", "name", "lang", "n")
+    val rep = Validate.report(df, Seq(
+      NotNull("name", minFraction = 0.9),          // 3/4 = 0.75 → fail
+      NotNull("lang"),                             // 1.0 → pass
+      Unique("id"),                                // pass
+      InSet("lang", Seq("en", "de"), 0.7),         // 3/4 = 0.75 → pass
+      InRange("n", 1, 1000, minFraction = 0.8),    // 3/4 = 0.75 → fail
+      MatchesRegex("name", "^[a-z]+$", 0.5),       // 2/3 non-null match → pass
+      RowCountBetween(2L, 10L)))                   // pass
+    val got = reportMap(rep)
+    assert(got("not_null(name)") == ((Some(0.75), false)))
+    assert(got("not_null(lang)") == ((Some(1.0), true)))
+    assert(got("unique(id)") == ((Some(1.0), true)))
+    assert(got("in_set(lang)") == ((Some(0.75), true)))
+    assert(got("in_range(n,1.0,1000.0)") == ((Some(0.75), false)))
+    assert(got("matches(name)")._2 === true)
+    assert(got("row_count(2,10)") == ((Some(4.0), true)))
+    assert(!Validate.allPass(rep))
+  }
+
+  test("report: uniqueness counts nulls out of both sides; duplicates fail") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
+    val got = reportMap(Validate.report(df, Seq(Unique("k"))))
+    // 2 distinct / 3 non-null
+    assert(got("unique(k)")._1.get > 0.66 && got("unique(k)")._1.get < 0.67)
+    assert(!got("unique(k)")._2)
+  }
+
+  test("report: empty table fails fraction checks closed, row-count exact") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "s").where(lit(false))
+    val got = reportMap(Validate.report(df, Seq(
+      NotNull("s"), RowCountBetween(0L, 5L), RowCountBetween(1L, 5L))))
+    assert(got("not_null(s)") == ((None, false)))
+    assert(got("row_count(0,5)")._2 === true)
+    assert(got("row_count(1,5)")._2 === false)
+  }
+
+  test("report: one aggregate scan — no per-check jobs (single Aggregate pair in plan)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val rep = Validate.report(df, Seq(
+      NotNull("s"), InRange("id", 0, 10), MatchesRegex("s", "^[ab]$"),
+      RowCountBetween(1L, 10L)))
+    // without a Unique check there is no Expand, and the whole suite is one
+    // global aggregate over the scan: exactly one final/partial agg pair
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"))
+    val nAggs = "HashAggregate|SortAggregate".r.findAllIn(plan).length
+    assert(nAggs <= 2, s"expected one partial/final aggregate pair, got:\n$plan")
+    assert(Validate.allPass(rep))
+  }
+
+  test("report: duplicate check names rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      Validate.report(df, Seq(NotNull("s"), NotNull("s", 0.5)))
+    }
+  }
+}
