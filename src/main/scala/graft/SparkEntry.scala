@@ -1058,6 +1058,27 @@ object SparkEntry {
         s, e, sources = Seq(1L, 2L, 3L), maxCost = 8)
     }),
 
+    // per-vertex clustering coefficient on the q133 projected supplier
+    // graph (minShared=150 keeps real triangles — 287 at sf0.01): exact
+    // triangle/degree integers from the degree-oriented wedge closure,
+    // coefficient = one double division, NULL under degree 2
+    "q147_graph_clustering" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+      val proj = graft.graph.GraphQueries.bipartiteProject(li, minShared = 150L)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.graph.GraphQueries.clusteringCoefficient(
+        s, T(s, dir, "supplier").select(col("s_suppkey").as("id")), proj)
+    }),
+
+    // heavy-key skew report for a join key (the salted-join sizing input):
+    // top-10 part keys by lineitem count with share and skew factor —
+    // TakeOrdered top-k, rank window only over the 10-row frame
+    "q148_key_skew" -> ((s, dir) =>
+      graft.ops.Stats.keySkewReport(
+        T(s, dir, "lineitem"), key = col("l_partkey"), topK = 10)),
+
     // mutual-kNN semantic clustering (topic grouping over embeddings):
     // u—v iff each is in the other's top-3 cosine neighbors (self excluded
     // BEFORE ranking), clusters = connected components of the mutual
@@ -3431,6 +3452,61 @@ object SparkEntry {
         |  WHERE walk.c + bi.w <= 8
         |)
         |SELECT id, MIN(c) AS cost FROM walk GROUP BY id""".stripMargin,
+
+    // q133's projection CTE at 150, canonical triangle enumeration
+    // (x<y<z via the a<b edge orientation), per-corner counts, then the
+    // one-division coefficient
+    "q147_graph_clustering" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS l, CAST(l_partkey AS BIGINT) AS r
+        |  FROM lineitem
+        |), pe AS (
+        |  SELECT x.l AS a, y.l AS b
+        |  FROM e x JOIN e y ON x.r = y.r AND x.l < y.l
+        |  GROUP BY 1, 2 HAVING count(*) >= 150
+        |), bi AS (
+        |  SELECT a AS v FROM pe UNION ALL SELECT b FROM pe
+        |), deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS degree FROM bi GROUP BY 1
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pe e1
+        |  JOIN pe e2 ON e2.a = e1.b
+        |  JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), tc AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey AS id,
+        |  coalesce(tc.triangles, 0) AS triangles,
+        |  coalesce(deg.degree, 0) AS degree,
+        |  CASE WHEN coalesce(deg.degree, 0) >= 2 THEN
+        |    round(CAST(2.0 AS DOUBLE) * coalesce(tc.triangles, 0)
+        |      / (deg.degree * (deg.degree - 1)), 6)
+        |  END AS coeff
+        |FROM supplier s
+        |LEFT JOIN deg ON deg.v = s.s_suppkey
+        |LEFT JOIN tc ON tc.v = s.s_suppkey""".stripMargin,
+
+    // exact counts; share and skew are single divisions off the two
+    // corpus scalars
+    "q148_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nkeys FROM c
+        |), r AS (
+        |  SELECT key, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank
+        |  FROM c
+        |)
+        |SELECT r.key, r.n, r.rank,
+        |  round(CAST(r.n AS DOUBLE) / t.total, 6) AS share,
+        |  round(CAST(r.n * t.nkeys AS DOUBLE) / t.total, 6) AS skew
+        |FROM r, t WHERE r.rank <= 10""".stripMargin,
 
     // q83's scoring CTE with self excluded, rank <= 3, the mutual
     // self-join, then q50's transitive-closure min-label

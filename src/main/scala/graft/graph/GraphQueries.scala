@@ -341,6 +341,45 @@ object GraphQueries {
       .select(vs(idCol), coalesce(col("n"), lit(0L)).as("triangles"))
   }
 
+  /** Per-vertex local clustering coefficient — how close each vertex's
+    * neighborhood is to a clique (`2·T / (d·(d−1))`): the community-
+    * cohesion / spam-ring / boilerplate-hub score on top of
+    * [[triangleCountsDF]]. Returns `(idCol, triangles, degree, coeff)`
+    * for every vertex of `vertices`; `degree` is the SIMPLE undirected
+    * degree (distinct neighbors, self-loops dropped — the denominator
+    * must count the same edges the triangles ride), `coeff` is NULL for
+    * degree < 2 (undefined, not zero). Triangle and degree counts are
+    * exact integers and the coefficient is ONE double division, so the
+    * whole table is engine-portable.
+    *
+    * Cost: [[triangleCountsDF]]'s O(m^{3/2}) wedge closure plus one
+    * degree aggregate and a left join — same slim-long-frame scale shape.
+    */
+  def clusteringCoefficient(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      idCol: String = "id",
+      scale: Int = 6
+  ): DataFrame = {
+    val tri = triangleCountsDF(spark, vertices, edges, idCol)
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("v")).union(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    tri.join(deg, tri(idCol) === deg("v"), "left")
+      .select(
+        tri(idCol),
+        col("triangles"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        when(coalesce(col("degree"), lit(0L)) >= 2,
+          round(lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)), scale))
+          .as("coeff"))
+  }
+
   /** k-core subgraph via iterative degree peeling as a DataFrame loop:
     * repeatedly delete every vertex of degree < k until the fixed point,
     * then report the survivors as (idCol, core_degree) with their degree

@@ -249,6 +249,38 @@ object Stats {
       .withColumnRenamed("_mad", "mad")
       .drop("_dev")
   }
+  /** Heavy-key diagnostics for a join/group key — the skew report a
+    * planner (or an engineer sizing a salted join) reads before shuffling
+    * on the key: the top-`topK` keys by count with each key's corpus
+    * share and its skew factor (count ÷ the mean count per key — how many
+    * "average keys" of load this one key carries). Exact counts, two
+    * single-division doubles per row.
+    *
+    * Scale shape: one partial-aggregated count per key, then
+    * TakeOrderedAndProject for the top-k (map-side bounded heaps — the
+    * full |keys| frame is never globally sorted) and a rank window over
+    * the TINY top-k frame only; the two corpus scalars ride a one-row
+    * broadcast. Returns `(key, n, rank, share, skew)`.
+    */
+  def keySkewReport(
+      df: DataFrame,
+      key: Column,
+      topK: Int = 10,
+      scale: Int = 6
+  ): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("_total"), count(lit(1)).as("_nkeys"))
+    counts.orderBy(col("n").desc, col("key")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("key"))).cast("int"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("key"), col("n"), col("rank"),
+        round(col("n").cast("double") / col("_total"), scale).as("share"),
+        round((col("n") * col("_nkeys")).cast("double") / col("_total"), scale).as("skew"))
+  }
+
   /** Categorical distribution drift between two snapshots of a corpus —
     * the chi-square drift monitor (did the language / source / length-bin
     * mix shift since the last release?). Per category of `dimCol`:

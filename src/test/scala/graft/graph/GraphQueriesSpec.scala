@@ -111,6 +111,25 @@ class GraphQueriesSpec extends SparkSpec {
     assert(viaDf == viaGx)
   }
 
+  test("clusteringCoefficient: hand-computed square-with-diagonal; degree<2 NULL") {
+    import spark.implicits._
+    // square 1-2-3-4 plus diagonal 1-3; pendant 5 off vertex 4; isolated 9
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (4L, 5L))
+    val v = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val got = GraphQueries.clusteringCoefficient(spark, v, e.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // triangles: (1,2,3) and (1,3,4)
+    assert(got(1L) == ((2L, 3L, Some(BigDecimal(2.0 * 2 / 6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))))   // 2/C(3,2)=2/3
+    assert(got(2L) == ((1L, 2L, Some(1.0))))
+    assert(got(3L) == ((2L, 3L, got(1L)._3)))
+    assert(got(4L) == ((1L, 3L, Some(BigDecimal(1.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(got(5L) == ((0L, 1L, None)))
+    assert(got(9L) == ((0L, 0L, None)))
+  }
+
   test("connectedComponentsDF: chain + isolated vertex matches the GraphX contract") {
     import spark.implicits._
     val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")

@@ -201,4 +201,18 @@ class StatsSpec extends SparkSpec {
     assert(g1 == g2)
     assert(g1(50L)._1 == 50L && g1(50L)._2 == 25L)
   }
+
+  test("keySkewReport: top-k ranks, shares and skew factors exact; tie by key") {
+    import spark.implicits._
+    // key a: 6 rows, b: 3, c: 3, d: 1, e: 1 → total 14, nkeys 5, mean 2.8
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d", "e")).toDF("k")
+    val got = Stats.keySkewReport(df, col("k"), topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("a", 6L, 1, 0.428571, 2.142857),   // 6/14, 6*5/14
+      ("b", 3L, 2, 0.214286, 1.071429),   // tie 3-3 broken by key
+      ("c", 3L, 3, 0.214286, 1.071429)))
+  }
 }
