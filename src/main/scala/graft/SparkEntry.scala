@@ -1058,6 +1058,39 @@ object SparkEntry {
         s, e, sources = Seq(1L, 2L, 3L), maxCost = 8)
     }),
 
+    // incremental data-quality counters: the q139 suite (minus Unique —
+    // distinct counts don't add) evaluated as THREE per-batch counter rows
+    // merged by plain sums; hash equality with the full-table oracle
+    // proves merge ≡ one-shot for any batch split
+    "q149_validate_merge" -> ((s, dir) => {
+      import graft.ops.Validate._
+      val checks = Seq(
+        NotNull("text"),
+        InSet("lang", Seq("en", "de", "es", "fr"), minFraction = 0.9),
+        InRange("n_chars", 100, 2000, minFraction = 0.9),
+        MatchesRegex("source", "^src[0-9]+$"),
+        RowCountBetween(100L, 1000000000L))
+      val d = T(s, dir, "documents")
+      val parts = (0 to 2).map(i =>
+        graft.ops.Validate.counters(d.where(col("doc_id") % 3 === i), checks))
+      graft.ops.Validate.reportFromCounters(
+        graft.ops.Validate.mergeCounters(parts), checks)
+    }),
+
+    // weighted random walks: the hop lands in a neighbor's
+    // cumulative-weight range (hash mod total weight) — the discrete-
+    // distribution sampling rule; parallel lineitem links SUM into edge
+    // mass, so heavily-traded part–supplier links attract walks
+    "q150_graph_walks_weighted" -> ((s, dir) => {
+      val e = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"),
+        (lit(1) + col("l_linenumber") % 3).cast("long").as("weight"))
+      graft.graph.GraphQueries.randomWalks(
+        s, e, starts = (1L to 10L), numWalks = 2, walkLength = 5,
+        seed = 7, hash = activeHash, weightCol = Some("weight"))
+    }),
+
     // per-vertex clustering coefficient on the q133 projected supplier
     // graph (minShared=150 keeps real triangles — 287 at sf0.01): exact
     // triangle/degree integers from the degree-oriented wedge closure,
@@ -3452,6 +3485,67 @@ object SparkEntry {
         |  WHERE walk.c + bi.w <= 8
         |)
         |SELECT id, MIN(c) AS cost FROM walk GROUP BY id""".stripMargin,
+
+    // the q139 aggregate row (minus uniqueness) over the WHOLE table —
+    // the merged three-batch counters must land on the identical report
+    "q149_validate_merge" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    count(text) AS nn_text,
+        |    count(*) FILTER (lang IN ('en','de','es','fr')) AS st_lang, count(lang) AS nn_lang,
+        |    count(*) FILTER (n_chars BETWEEN 100 AND 2000) AS rg_nc, count(n_chars) AS nn_nc,
+        |    count(*) FILTER (regexp_matches(source, '^src[0-9]+$')) AS re_src, count(source) AS nn_src
+        |  FROM documents)
+        |SELECT 'not_null(text)' AS "check", 'text' AS "column",
+        |  round(CAST(nn_text AS DOUBLE) / n, 6) AS metric,
+        |  CAST(1.0 AS DOUBLE) AS threshold,
+        |  coalesce(CAST(nn_text AS DOUBLE) / n >= 1.0, FALSE) AS pass FROM a
+        |UNION ALL
+        |SELECT 'in_set(lang)', 'lang',
+        |  round(CAST(st_lang AS DOUBLE) / nn_lang, 6), CAST(0.9 AS DOUBLE),
+        |  coalesce(CAST(st_lang AS DOUBLE) / nn_lang >= 0.9, FALSE) FROM a
+        |UNION ALL
+        |SELECT 'in_range(n_chars,100.0,2000.0)', 'n_chars',
+        |  round(CAST(rg_nc AS DOUBLE) / nn_nc, 6), CAST(0.9 AS DOUBLE),
+        |  coalesce(CAST(rg_nc AS DOUBLE) / nn_nc >= 0.9, FALSE) FROM a
+        |UNION ALL
+        |SELECT 'matches(source)', 'source',
+        |  round(CAST(re_src AS DOUBLE) / nn_src, 6), CAST(1.0 AS DOUBLE),
+        |  coalesce(CAST(re_src AS DOUBLE) / nn_src >= 1.0, FALSE) FROM a
+        |UNION ALL
+        |SELECT 'row_count(100,1000000000)', '',
+        |  round(CAST(n AS DOUBLE), 6), CAST(100.0 AS DOUBLE),
+        |  n BETWEEN 100 AND 1000000000 FROM a""".stripMargin,
+
+    // cumulative-weight ranges per (src, dst) with parallel links summed;
+    // the recursive extension picks the range containing hash mod total
+    "q150_graph_walks_weighted" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS a,
+         |         CAST(l_suppkey AS BIGINT) + 10000000 AS b,
+         |         CAST(1 + l_linenumber % 3 AS BIGINT) AS w
+         |  FROM lineitem
+         |), bi AS (
+         |  SELECT a AS src, b AS dst, w FROM raw UNION ALL SELECT b, a, w FROM raw
+         |), adj AS (
+         |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM bi GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT src, dst, w, sum(w) OVER (PARTITION BY src ORDER BY dst) AS hi FROM adj
+         |), tot AS (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS total FROM adj GROUP BY 1
+         |), walk(walk_id, step, vertex) AS (
+         |  SELECT CAST(p * 2 + q AS BIGINT), 0, CAST(p AS BIGINT)
+         |  FROM (SELECT unnest(range(1, 11)) AS p), (SELECT unnest(range(0, 2)) AS q)
+         |  UNION ALL
+         |  SELECT wk.walk_id, wk.step + 1, c.dst
+         |  FROM walk wk
+         |  JOIN tot t ON t.src = wk.vertex
+         |  JOIN cum c ON c.src = wk.vertex
+         |   AND ${md5l("'7:' || CAST(wk.walk_id AS VARCHAR) || ':' || CAST(wk.step AS VARCHAR)")} % t.total >= c.hi - c.w
+         |   AND ${md5l("'7:' || CAST(wk.walk_id AS VARCHAR) || ':' || CAST(wk.step AS VARCHAR)")} % t.total < c.hi
+         |  WHERE wk.step < 5
+         |)
+         |SELECT walk_id, CAST(step AS INT) AS step, vertex FROM walk""".stripMargin,
 
     // q133's projection CTE at 150, canonical triangle enumeration
     // (x<y<z via the a<b edge orientation), per-corner counts, then the

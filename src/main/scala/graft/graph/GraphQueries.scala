@@ -872,7 +872,12 @@ object GraphQueries {
     * and (under [[graft.ops.Md5Hash]]) replayable by an external SQL
     * engine, the same portability contract as the samplers (q45). Walks
     * stop early only at isolated start vertices (an undirected walk that
-    * arrived somewhere always has an edge back).
+    * arrived somewhere always has an edge back). With `weightCol` set
+    * (positive integer weights; parallel input edges SUM), the hop is
+    * drawn proportionally to edge weight — hash mod total weight lands in
+    * a neighbor's cumulative-weight range, the discrete-distribution
+    * sampling rule — which degenerates to the unweighted rank rule at
+    * w ≡ 1 (one code path).
     *
     * Scale shape: the ranked adjacency `(src, dst, rank)` and degree
     * frames are built once (one row_number window partitioned by src —
@@ -891,7 +896,8 @@ object GraphQueries {
       numWalks: Int = 1,
       walkLength: Int = 5,
       seed: Int = 42,
-      hash: graft.ops.HashFamily = graft.ops.XxHash
+      hash: graft.ops.HashFamily = graft.ops.XxHash,
+      weightCol: Option[String] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(starts.nonEmpty, "starts must be non-empty")
     require(numWalks >= 1, s"numWalks must be >= 1, got $numWalks")
@@ -900,21 +906,43 @@ object GraphQueries {
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    val canon = edges
-      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
-      .where(col("s") =!= col("d"))
-      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
-      .distinct()
-    val e = canon.select(col("a").as("src"), col("b").as("dst"))
-      .union(canon.select(col("b").as("src"), col("a").as("dst")))
+    // per-neighbor weights: 1 per distinct undirected edge (unweighted), or
+    // the sum over parallel input rows (weighted — multiplicity is mass);
+    // choosing neighbor = the cumulative range [cum_lo, cum_hi) containing
+    // hash mod total. With w ≡ 1 this reduces EXACTLY to "id-ranked
+    // neighbor number hash mod degree" — one code path, spec-pinned.
+    val adjW = weightCol match {
+      case None =>
+        val canon = edges
+          .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+          .where(col("s") =!= col("d"))
+          .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+          .distinct()
+        canon.select(col("a").as("a_src"), col("b").as("a_dst"))
+          .union(canon.select(col("b").as("a_src"), col("a").as("a_dst")))
+          .withColumn("w", lit(1L))
+      case Some(wc) =>
+        val rows = edges
+          .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"),
+            col(wc).cast("long").as("w"))
+          .where(col("s") =!= col("d"))
+        rows.select(col("s").as("a_src"), col("d").as("a_dst"), col("w"))
+          .union(rows.select(col("d").as("a_src"), col("s").as("a_dst"), col("w")))
+          .groupBy("a_src", "a_dst").agg(sum(col("w")).as("w"))
+    }
     val adj = graft.Caches.track(
-      e.withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src")).orderBy(col("dst")))
-        .cast("long"))
-        .select(col("src").as("a_src"), col("dst").as("a_dst"), col("rank")))
-    val deg = graft.Caches.track(
-      adj.groupBy(col("a_src")).agg(count(lit(1)).as("degree"))
-        .select(col("a_src").as("d_src"), col("degree")))
+      adjW.withColumn("cum_hi", sum(col("w")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("a_src")).orderBy(col("a_dst"))))
+        .withColumn("cum_lo", col("cum_hi") - col("w"))
+        .select(col("a_src"), col("a_dst"), col("cum_lo"), col("cum_hi")))
+    if (weightCol.isDefined) {
+      val minW = adjW.agg(min(col("w"))).head
+      require(minW.isNullAt(0) || minW.getLong(0) >= 1L,
+        s"non-positive edge weight ${minW.get(0)} — walk weights must be >= 1")
+    }
+    val tot = graft.Caches.track(
+      adjW.groupBy(col("a_src")).agg(sum(col("w")).as("total"))
+        .select(col("a_src").as("d_src"), col("total")))
     var cur = materialize(
       starts.distinct.flatMap(s => (0 until numWalks).map(w => (s * numWalks + w, s)))
         .toDF("walk_id", "vertex")
@@ -923,14 +951,15 @@ object GraphQueries {
     var t = 0
     while (t < walkLength && !cur.isEmpty) {
       val chosen = cur
-        .join(deg, col("vertex") === col("d_src"))
+        .join(tot, col("vertex") === col("d_src"))
         .select(col("walk_id"), col("vertex"), col("step"),
-          (pmod(hash.seeded(seed,
+          pmod(hash.seeded(seed,
             concat(col("walk_id").cast("string"), lit(":"), col("step").cast("string"))),
-            col("degree")) + 1).as("crank"))
+            col("total")).as("crank"))
       val next = materialize(
         chosen.join(adj,
-            col("vertex") === col("a_src") && col("crank") === col("rank"))
+            col("vertex") === col("a_src") &&
+              col("crank") >= col("cum_lo") && col("crank") < col("cum_hi"))
           .select(col("walk_id"), col("a_dst").as("vertex"), (col("step") + 1).as("step")))
       positions += next
       cur = next

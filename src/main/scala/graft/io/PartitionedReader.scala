@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   */
 final case class NoDataException(msg: String) extends Exception(msg)
 
-/** Input format of the alert dataset. Ref: common/.../models/Format.scala:19-26. */
+/** Input format of the alert dataset. Ref: common/.../models/Format.scala:19-26.
+  * Orc and Text go beyond the reference's three (both are Spark built-ins and
+  * ride the same partition-pruned scan path — Text yields a single `value`
+  * column, the raw-corpus ingestion face).
+  */
 sealed trait DataFormat { def name: String }
 object DataFormat {
   case object Parquet extends DataFormat { val name = "parquet" }
   case object Csv     extends DataFormat { val name = "csv" }
   case object Json    extends DataFormat { val name = "json" }
+  case object Orc     extends DataFormat { val name = "orc" }
+  case object Text    extends DataFormat { val name = "text" }
 }
 
 /** Generates `year=YYYY/month=MM/day=DD` partition paths for a date range.

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * report documents that a suite of k uniqueness checks multiplies the
   * shuffled rows k+1×, so keep those to genuine key columns.
   *
+  * The counters are plain sums, so they MERGE: [[counters]] emits a
+  * one-row counter frame per batch, [[mergeCounters]] adds any number of
+  * them, and [[reportFromCounters]] renders the same report the one-shot
+  * path produces — the incremental-quality-dashboard shape (per-batch
+  * counter rows persisted at ingest; the 100-TB corpus report reads
+  * |batches| rows, never the corpus). Only [[Unique]] resists merging
+  * (distinct counts don't add) and is rejected by [[counters]] — use an
+  * HLL sketch column for mergeable distinctness estimates.
+  *
   * Metrics are exact-integer ratios (`passing / n`) evaluated as ONE double
   * division, so an external engine reproduces every metric bit-for-bit
   * (the q101/q106 exactness discipline); `pass` compares the UNROUNDED
@@ -73,7 +82,8 @@ object Validate {
 
   /** `column` must be unique across the table: metric is
     * `count(distinct column) / count(column)` (nulls excluded from both),
-    * pass iff the ratio is exactly 1.
+    * pass iff the ratio is exactly 1. NOT mergeable across batches — see
+    * [[counters]].
     */
   final case class Unique(column: String) extends Check {
     val name = s"unique($column)"
@@ -87,18 +97,18 @@ object Validate {
     val threshold: Double = lo.toDouble
   }
 
-  /** Runs `checks` over `df` in one aggregate pass. Returns one row per
-    * check: `(check, column, metric, threshold, pass)` with `metric`
-    * rounded to `scale` for display and `pass` decided on the unrounded
-    * value. Row order is the input check order (an explicit `check_idx`
-    * consumers can sort on is NOT emitted — the check name is the key).
+  /** Compiled suite: named counter aggregates (insertion-ordered, shared
+    * across checks) + per-check (metric, pass) expressions over them.
     */
-  def report(df: DataFrame, checks: Seq[Check], scale: Int = 6): DataFrame = {
+  private final case class Compiled(
+      aggs: Seq[(String, Column)],
+      rows: Seq[(Check, Column, Column)])
+
+  private def compile(checks: Seq[Check]): Compiled = {
     require(checks.nonEmpty, "checks must be non-empty")
     require(checks.map(_.name).distinct.size == checks.size,
       "duplicate check names — each check must be unique per suite")
 
-    // one aggregate column per needed counter, shared across checks
     val aggs = scala.collection.mutable.LinkedHashMap[String, Column]()
     aggs("__n") = count(lit(1))
     def counter(rawKey: String, c: Column): String = {
@@ -113,60 +123,92 @@ object Validate {
     def frac(num: Column, den: Column): Column =
       num.cast("double") / when(den =!= 0, den.cast("double"))
 
-    // per check: (metric expression over the one-row aggregate, pass expr)
-    val rows: Seq[(Check, String => Column, String => Column)] = checks.map {
+    val rows: Seq[(Check, Column, Column)] = checks.map {
       case ck @ NotNull(c, f) =>
         val k = counter(s"__nn_$c", count(col(c)))
-        (ck: Check,
-          (p: String) => frac(col(s"$p$k"), col(s"${p}__n")),
-          (p: String) => coalesce(
-            frac(col(s"$p$k"), col(s"${p}__n")) >= lit(f), lit(false)))
+        (ck: Check, frac(col(k), col("__n")),
+          coalesce(frac(col(k), col("__n")) >= lit(f), lit(false)))
       case ck @ InRange(c, lo, hi, f) =>
         val k = counter(s"__rg_${c}_${lo}_$hi",
           count(when(col(c) >= lo && col(c) <= hi, 1)))
         val nn = counter(s"__nn_$c", count(col(c)))
-        (ck,
-          (p: String) => frac(col(s"$p$k"), col(s"$p$nn")),
-          (p: String) => coalesce(
-            frac(col(s"$p$k"), col(s"$p$nn")) >= lit(f), lit(false)))
+        (ck, frac(col(k), col(nn)),
+          coalesce(frac(col(k), col(nn)) >= lit(f), lit(false)))
       case ck @ InSet(c, vs, f) =>
         val k = counter(s"__st_$c", count(when(col(c).isInCollection(vs), 1)))
         val nn = counter(s"__nn_$c", count(col(c)))
-        (ck,
-          (p: String) => frac(col(s"$p$k"), col(s"$p$nn")),
-          (p: String) => coalesce(
-            frac(col(s"$p$k"), col(s"$p$nn")) >= lit(f), lit(false)))
+        (ck, frac(col(k), col(nn)),
+          coalesce(frac(col(k), col(nn)) >= lit(f), lit(false)))
       case ck @ MatchesRegex(c, pat, f) =>
         val k = counter(s"__re_$c", count(when(col(c).rlike(pat), 1)))
         val nn = counter(s"__nn_$c", count(col(c)))
-        (ck,
-          (p: String) => frac(col(s"$p$k"), col(s"$p$nn")),
-          (p: String) => coalesce(
-            frac(col(s"$p$k"), col(s"$p$nn")) >= lit(f), lit(false)))
+        (ck, frac(col(k), col(nn)),
+          coalesce(frac(col(k), col(nn)) >= lit(f), lit(false)))
       case ck @ Unique(c) =>
         val k = counter(s"__dc_$c", countDistinct(col(c)))
         val nn = counter(s"__nn_$c", count(col(c)))
-        (ck,
-          (p: String) => frac(col(s"$p$k"), col(s"$p$nn")),
-          (p: String) => coalesce(col(s"$p$k") === col(s"$p$nn"), lit(true)))
+        (ck, frac(col(k), col(nn)),
+          coalesce(col(k) === col(nn), lit(true)))
       case ck @ RowCountBetween(lo, hi) =>
-        (ck,
-          (p: String) => col(s"${p}__n").cast("double"),
-          (p: String) => col(s"${p}__n") >= lo && col(s"${p}__n") <= hi)
+        (ck, col("__n").cast("double"),
+          col("__n") >= lo && col("__n") <= hi)
     }
+    Compiled(aggs.toSeq, rows)
+  }
 
-    val aggCols = aggs.map { case (k, c) => c.as(k) }.toSeq
-    val one = df.agg(aggCols.head, aggCols.tail: _*)
-    val structs = rows.map { case (ck, metric, pass) =>
+  private def unpack(one: DataFrame, compiled: Compiled, scale: Int): DataFrame = {
+    val structs = compiled.rows.map { case (ck, metric, pass) =>
       struct(
         lit(ck.name).as("check"),
         lit(ck.column).as("column"),
-        round(metric(""), scale).as("metric"),
+        round(metric, scale).as("metric"),
         lit(ck.threshold).as("threshold"),
-        pass("").as("pass"))
+        pass.as("pass"))
     }
     one.select(explode(array(structs: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Runs `checks` over `df` in one aggregate pass. Returns one row per
+    * check: `(check, column, metric, threshold, pass)` with `metric`
+    * rounded to `scale` for display and `pass` decided on the unrounded
+    * value. Row order is the input check order (an explicit `check_idx`
+    * consumers can sort on is NOT emitted — the check name is the key).
+    */
+  def report(df: DataFrame, checks: Seq[Check], scale: Int = 6): DataFrame = {
+    val compiled = compile(checks)
+    val aggCols = compiled.aggs.map { case (k, c) => c.as(k) }
+    unpack(df.agg(aggCols.head, aggCols.tail: _*), compiled, scale)
+  }
+
+  /** The suite's one-row counter frame for ONE batch — every counter is a
+    * plain conditional count, so frames from different batches ADD
+    * ([[mergeCounters]]). [[Unique]] checks are rejected here: a distinct
+    * count is not a sum, and silently treating it as one would report
+    * per-batch uniqueness as global uniqueness.
+    */
+  def counters(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(!checks.exists(_.isInstanceOf[Unique]),
+      "Unique checks are not mergeable across batches — validate them on the " +
+        "full table (report) or track distinctness with an HLL sketch instead")
+    val compiled = compile(checks)
+    val aggCols = compiled.aggs.map { case (k, c) => c.as(k) }
+    df.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Element-wise sum of per-batch [[counters]] frames (same suite). */
+  def mergeCounters(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "parts must be non-empty")
+    val all = parts.reduce(_ union _)
+    val sums = all.columns.map(c => sum(col(c)).as(c))
+    all.agg(sums.head, sums.tail: _*)
+  }
+
+  /** Renders the [[report]] from a (possibly merged) counter frame — by
+    * construction `reportFromCounters(mergeCounters(batches), checks)` ==
+    * `report(wholeTable, checks)` for any batch split (spec-pinned).
+    */
+  def reportFromCounters(countersDf: DataFrame, checks: Seq[Check], scale: Int = 6): DataFrame =
+    unpack(countersDf, compile(checks), scale)
 
   /** True iff every check in a [[report]] frame passed — the scalar gate a
     * job wires before committing a batch (one driver boolean off a

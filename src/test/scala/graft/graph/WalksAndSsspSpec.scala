@@ -84,6 +84,74 @@ class WalksAndSsspSpec extends SparkSpec {
     }
   }
 
+  /** Reference weighted walker: cumulative-range choice over id-sorted
+    * neighbors with parallel edges summed.
+    */
+  private def bruteWeightedWalks(edges: Seq[(Long, Long, Long)], starts: Seq[Long],
+      numWalks: Int, walkLength: Int, seed: Int): Set[(Long, Int, Long)] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+    val adj = sym.groupBy(e => (e._1, e._2)).map { case (k, es) => k -> es.map(_._3).sum }
+      .toSeq.map { case ((s0, d), w) => (s0, d, w) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(e => (e._2, e._3)).sortBy(_._1) }
+    val out = scala.collection.mutable.Set[(Long, Int, Long)]()
+    for (s0 <- starts.distinct; wk <- 0 until numWalks) {
+      val id = s0 * numWalks + wk
+      var v = s0
+      out += ((id, 0, v))
+      var t = 0
+      while (t < walkLength && adj.contains(v)) {
+        val ns = adj(v)
+        val total = ns.map(_._2).sum
+        val r = md5h(s"$seed:$id:$t") % total
+        var cum = 0L
+        var next = ns.head._1
+        var found = false
+        ns.foreach { case (d, w) =>
+          if (!found && r >= cum && r < cum + w) { next = d; found = true }
+          cum += w
+        }
+        v = next
+        t += 1
+        out += ((id, t, v))
+      }
+    }
+    out.toSet
+  }
+
+  test("randomWalks weighted: replays the cumulative-range reference; biases toward heavy edges") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 2L, 1L), (1L, 3L, 8L), (1L, 2L, 1L), // parallel 1-2 sums to 2
+      (2L, 3L, 3L), (3L, 4L, 2L), (4L, 5L, 1L))
+    val got = GraphQueries.randomWalks(spark, e.toDF("src", "dst", "weight"),
+        Seq(1L, 3L), numWalks = 3, walkLength = 4, seed = 9,
+        hash = graft.ops.Md5Hash, weightCol = Some("weight"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == bruteWeightedWalks(e, Seq(1L, 3L), 3, 4, 9))
+    assert(got.size == 2 * 3 * 5) // no dead ends
+  }
+
+  test("randomWalks weighted: w ≡ 1 on distinct edges equals the unweighted path") {
+    import spark.implicits._
+    val und = walkGraph.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val weighted = GraphQueries.randomWalks(spark,
+        und.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "weight"),
+        Seq(1L, 4L), numWalks = 2, walkLength = 4, seed = 42,
+        hash = graft.ops.Md5Hash, weightCol = Some("weight"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(weighted == runWalks(walkGraph, Seq(1L, 4L)))
+  }
+
+  test("randomWalks weighted: non-positive weights rejected") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      GraphQueries.randomWalks(spark, Seq((1L, 2L, 0L)).toDF("src", "dst", "weight"),
+        Seq(1L), weightCol = Some("weight"))
+    }
+  }
+
   /** Reference Dijkstra under a cost cap. */
   private def bruteSssp(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
       maxCost: Long): Map[Long, Long] = {

@@ -35,6 +35,27 @@ class ReaderSpec extends SparkSpec {
     assert(reader.read(pm3).count() == 8)
   }
 
+  test("orc and text formats ride the same partitioned scan path") {
+    import spark.implicits._
+    val orcDir = tempDir("reader_orc") + "/data"
+    (1 to 4).map(i => (i.toLong, s"o$i", 2019, 2, 1)).toDF("id", "v", "year", "month", "day")
+      .write.partitionBy("year", "month", "day").orc(orcDir)
+    val orc = new PartitionedReader(spark, ReaderConfig(orcDir, format = DataFormat.Orc))
+      .read(PartitionManager(LocalDate.of(2019, 2, 1), 1, padded = false))
+    assert(orc.count() == 4 && orc.columns.contains("id"))
+
+    val txtDir = tempDir("reader_text") + "/data"
+    Seq("line one", "line two").toDF("value")
+      .withColumn("year", org.apache.spark.sql.functions.lit(2019))
+      .withColumn("month", org.apache.spark.sql.functions.lit(2))
+      .withColumn("day", org.apache.spark.sql.functions.lit(1))
+      .write.partitionBy("year", "month", "day").text(txtDir)
+    val txt = new PartitionedReader(spark, ReaderConfig(txtDir, format = DataFormat.Text))
+      .read(PartitionManager(LocalDate.of(2019, 2, 1), 1, padded = false))
+    assert(txt.select("value").collect().map(_.getString(0)).toSet ==
+      Set("line one", "line two"))
+  }
+
   test("read throws NoDataException when no partitions exist") {
     val dir = writeFixture()
     val reader = new PartitionedReader(spark, ReaderConfig(dir))

@@ -79,4 +79,32 @@ class ValidateSpec extends SparkSpec {
       Validate.report(df, Seq(NotNull("s"), NotNull("s", 0.5)))
     }
   }
+
+  test("counters merge: reportFromCounters(merge(batches)) == report(whole), any split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 90).map(i =>
+      (i.toLong, if (i % 7 == 0) null else s"v$i", rnd.nextInt(100).toLong))
+      .toDF("id", "s", "n")
+    val checks = Seq(
+      NotNull("s", 0.8), InRange("n", 10, 80, 0.5),
+      MatchesRegex("s", "^v[0-9]+$"), RowCountBetween(50L, 100L))
+    val whole = Validate.report(df, checks).collect().toSeq
+    // uneven 3-way split, including an EMPTY batch
+    val parts = Seq(
+      df.where(col("id") <= 30), df.where(col("id") > 30),
+      df.where(lit(false)))
+      .map(Validate.counters(_, checks))
+    val merged = Validate.reportFromCounters(Validate.mergeCounters(parts), checks)
+      .collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("counters: Unique checks rejected as non-mergeable") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      Validate.counters(df, Seq(NotNull("s"), Unique("id")))
+    }
+  }
 }
