@@ -1058,6 +1058,55 @@ object SparkEntry {
         s, e, sources = Seq(1L, 2L, 3L), maxCost = 8)
     }),
 
+    // Simpson diversity of the source mix per language (corpus-composition
+    // monitor): shares are single divisions, squared terms decimal-summed
+    // (order-free), effective = 1/simpson — the equivalent number of
+    // uniform sources
+    "q151_source_diversity" -> ((s, dir) =>
+      graft.ops.Stats.diversityIndex(
+        T(s, dir, "documents"), dimCol = "source", strataCols = Seq("lang"))),
+
+    // embedding-space drift between two corpus snapshots: cosine + L2
+    // between the mean vectors — per-dim decimal sums, one division per
+    // mean, decimal-summed dot/norms: no cross-row float accumulation,
+    // so both scalars are bit-identical across engines
+    "q152_embed_drift" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      SimilaritySearch.embeddingDrift(
+        emb.where(col("vec_id") % 10 =!= 1),
+        emb.where(col("vec_id") % 10 =!= 2))
+    }),
+
+    // estimated cross-source overlap from per-source minhash signatures
+    // (the q86 overlap matrix WITHOUT joining the item sets — group-level
+    // sketches, mergeable per batch), with the exact shingle-set Jaccard
+    // alongside as the audit column
+    "q153_source_overlap_est" -> ((s, dir) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val postings = T(s, dir, "documents")
+        .select(col("source"), toks.as("_toks"))
+        .select(col("source"),
+          explode(sequence(lit(0), greatest(size(col("_toks")) - 3, lit(0)))).as("_i"),
+          col("_toks"))
+        .select(col("source").as("key"),
+          array_join(slice(col("_toks"), col("_i") + 1, lit(3)), " ").as("item"))
+      val est = Dedup.signatureOverlapEstimates(
+        Dedup.keySetSignatures(postings, numHashes = 16, hash = activeHash), numHashes = 16)
+      val sets = postings.distinct()
+      val sizes = sets.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      val inter = sets.select(col("key").as("ka"), col("item"))
+        .join(sets.select(col("key").as("kb"), col("item")), Seq("item"))
+        .where(col("ka") < col("kb"))
+        .groupBy(col("ka"), col("kb")).agg(count(lit(1)).as("inter"))
+      est
+        .join(sizes.select(col("key").as("key_a"), col("n").as("_na")), Seq("key_a"))
+        .join(sizes.select(col("key").as("key_b"), col("n").as("_nb")), Seq("key_b"))
+        .join(inter, col("key_a") === col("ka") && col("key_b") === col("kb"), "left")
+        .select(col("key_a"), col("key_b"), col("agreement"), col("est_jaccard"),
+          round(coalesce(col("inter"), lit(0L)).cast("double")
+            / (col("_na") + col("_nb") - coalesce(col("inter"), lit(0L))), 6).as("jaccard"))
+    }),
+
     // incremental data-quality counters: the q139 suite (minus Unique —
     // distinct counts don't add) evaluated as THREE per-batch counter rows
     // merged by plain sums; hash equality with the full-table oracle
@@ -3485,6 +3534,97 @@ object SparkEntry {
         |  WHERE walk.c + bi.w <= 8
         |)
         |SELECT id, MIN(c) AS cost FROM walk GROUP BY id""".stripMargin,
+
+    // shares squared and decimal-summed exactly as the Spark side;
+    // effective = one reciprocal off the exact decimal
+    "q151_source_diversity" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2
+        |), t AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS total,
+        |         CAST(count(*) AS BIGINT) AS n_categories
+        |  FROM c GROUP BY 1
+        |), s AS (
+        |  SELECT c.lang,
+        |    sum(CAST((CAST(c.n AS DOUBLE) / t.total) * (CAST(c.n AS DOUBLE) / t.total)
+        |        AS DECIMAL(38,18))) AS simpson_d,
+        |    max(t.total) AS n, max(t.n_categories) AS n_categories
+        |  FROM c JOIN t USING (lang) GROUP BY 1
+        |)
+        |SELECT lang, n, n_categories,
+        |  round(CAST(simpson_d AS DOUBLE), 6) AS simpson,
+        |  round(CAST(1.0 AS DOUBLE) / CAST(simpson_d AS DOUBLE), 6) AS effective
+        |FROM s""".stripMargin,
+
+    // per-dim decimal sums on both snapshots, one division per mean,
+    // decimal-summed dot/norm/l2 terms — the identical deterministic chain
+    "q152_embed_drift" ->
+      """WITH eo AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 <> 1
+        |), en AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 <> 2
+        |), o AS (
+        |  SELECT j, sum(CAST(v[j] AS DECIMAL(38,18))) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM eo, range(1, 65) t(j) GROUP BY 1
+        |), w AS (
+        |  SELECT j, sum(CAST(v[j] AS DECIMAL(38,18))) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM en, range(1, 65) t(j) GROUP BY 1
+        |), m AS (
+        |  SELECT CAST(o.s AS DOUBLE) / o.n AS ma, CAST(w.s AS DOUBLE) / w.n AS mb,
+        |         o.n AS n_old, w.n AS n_new
+        |  FROM o JOIN w USING (j)
+        |), agg AS (
+        |  SELECT sum(CAST(ma * mb AS DECIMAL(38,18))) AS dot,
+        |         sum(CAST(ma * ma AS DECIMAL(38,18))) AS na,
+        |         sum(CAST(mb * mb AS DECIMAL(38,18))) AS nb,
+        |         sum(CAST((ma - mb) * (ma - mb) AS DECIMAL(38,18))) AS l2,
+        |         max(n_old) AS n_old, max(n_new) AS n_new
+        |  FROM m
+        |)
+        |SELECT
+        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+        |    AS cos_means,
+        |  round(sqrt(CAST(l2 AS DOUBLE)), 6) AS l2_shift,
+        |  n_old, n_new
+        |FROM agg""".stripMargin,
+
+    // per-source signature = 16 min-hash aggregates over the shingle
+    // postings; agreement is the positionwise match count, exact Jaccard
+    // from the distinct shingle sets rides alongside
+    "q153_source_overlap_est" -> {
+      val mins = (0 until 16)
+        .map(i => s"min(${md5l(s"'$i:' || shingle")}) AS h$i").mkString(", ")
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      raw"""WITH sh AS (
+         |  SELECT source AS key,
+         |    unnest(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+         |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS shingle
+         |  FROM (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+         |        FROM documents)
+         |), sig AS (
+         |  SELECT key, $mins FROM sh GROUP BY 1
+         |), ds AS (
+         |  SELECT DISTINCT key, shingle FROM sh
+         |), sz AS (
+         |  SELECT key, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1
+         |), iv AS (
+         |  SELECT x.key AS key_a, y.key AS key_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM ds x JOIN ds y ON x.shingle = y.shingle AND x.key < y.key
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a.key AS key_a, b.key AS key_b,
+         |  CAST($agree AS INT) AS agreement,
+         |  round(CAST($agree AS DOUBLE) / 16, 6) AS est_jaccard,
+         |  round(CAST(coalesce(iv.inter, 0) AS DOUBLE)
+         |    / (sa.n + sb.n - coalesce(iv.inter, 0)), 6) AS jaccard
+         |FROM sig a
+         |JOIN sig b ON a.key < b.key
+         |JOIN sz sa ON sa.key = a.key
+         |JOIN sz sb ON sb.key = b.key
+         |LEFT JOIN iv ON iv.key_a = a.key AND iv.key_b = b.key""".stripMargin
+    },
 
     // the q139 aggregate row (minus uniqueness) over the WHOLE table —
     // the merged three-batch counters must land on the identical report

@@ -96,6 +96,52 @@ object Dedup {
       .select(col("id"), col("sh"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Per-KEY minhash signature of the key's item SET — group-level
+    * similarity sketches (source↔source shingle overlap, shard↔shard
+    * vocabulary overlap, day↔day content drift) from `(key, item)` rows.
+    * Each of the `numHashes` seeded minima is a plain `min()` aggregate,
+    * so signatures are MERGEABLE: per-batch signature frames min-merge
+    * into the corpus signature (duplicates never matter to a min), the
+    * same incremental contract as the corpus sketch tables. Returns
+    * `(key, sig: array<long>)`.
+    */
+  def keySetSignatures(
+      items: DataFrame,
+      numHashes: Int = 16,
+      keyCol: String = "key",
+      itemCol: String = "item",
+      hash: HashFamily = XxHash
+  ): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val minCols = (0 until numHashes).map(s => min(hash.seeded(s, col(itemCol))).as(s"_h$s"))
+    items.groupBy(col(keyCol).as("key"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("key"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("sig"))
+  }
+
+  /** Pairwise estimated Jaccard between keys' item sets from
+    * [[keySetSignatures]] alone — the cross-corpus overlap MATRIX without
+    * ever joining the item sets (the q86 exact overlap's sketch face, and
+    * the q140 "size it before you run it" story for overlap): agreement
+    * counts matching signature positions, `est_jaccard = agreement / k`.
+    * The pair join is deliberately all-pairs over KEYS — keys are groups
+    * (sources/shards/days), so |keys|² IS the requested output, bounded
+    * by design, not a corpus blowup. One unrolled codegen sum per pair.
+    */
+  def signatureOverlapEstimates(sigs: DataFrame, numHashes: Int = 16): DataFrame = {
+    val a = sigs.select(col("key").as("key_a"), col("sig").as("_sa"))
+    val b = sigs.select(col("key").as("key_b"), col("sig").as("_sb"))
+    val agree = (0 until numHashes)
+      .map(i => when(element_at(col("_sa"), i + 1) === element_at(col("_sb"), i + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), agree.as("agreement"))
+      .withColumn("est_jaccard",
+        round(col("agreement").cast("double") / numHashes, 6))
+  }
+
   /** LSH band buckets of a [[minhashSignatures]] frame: (id, band, bucket),
     * one row per document per band (bucket = hash of the band's signature
     * slice). Deliberately SLIM — no shingle payload rides along, so the

@@ -191,6 +191,56 @@ object SimilaritySearch {
         (col("_r") + 1).cast("int").as("rank"))
   }
 
+  /** Embedding-space drift between two corpus snapshots — the semantic
+    * face of the distribution monitors ([[graft.ops.Stats.chiSquareDrift]]
+    * watches categorical mixes; this watches WHERE the embedding mass
+    * sits): the cosine between the two mean vectors and the L2 distance
+    * between them, plus both row counts. A retrained embedder, a source
+    * mix shift, or a topic drift all move the mean; cos ≈ 1 and a small
+    * shift mean the corpus centroid held still.
+    *
+    * Engine-portable chain: per-dimension sums run over
+    * `decimal(38,18)`-cast components (exact, order-free — the q112
+    * argument), each mean is ONE double division, and the d-term dot
+    * products / norms over the mean PAIRS are again decimal-cast sums —
+    * no cross-row float accumulation anywhere, so the two scalars are
+    * bit-identical in any engine. Cost: one posexplode aggregate per side
+    * (d rows each), a d-row join, a one-row aggregate — the corpus never
+    * shuffles.
+    */
+  def embeddingDrift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      vecCol: String = "embedding",
+      scale: Int = 6
+  ): DataFrame = {
+    def dimSums(df: DataFrame, tag: String): DataFrame = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "_x")))
+      .groupBy(col("j"))
+      .agg(
+        sum(col("_x").cast("decimal(38,18)")).as(s"_s_$tag"),
+        count(lit(1)).as(s"_n_$tag"))
+    val m = dimSums(oldDf, "old").join(dimSums(newDf, "new"), "j")
+      .select(
+        (col("_s_old").cast("double") / col("_n_old")).as("_ma"),
+        (col("_s_new").cast("double") / col("_n_new")).as("_mb"),
+        col("_n_old"), col("_n_new"))
+    m.agg(
+        sum((col("_ma") * col("_mb")).cast("decimal(38,18)")).as("_dot"),
+        sum((col("_ma") * col("_ma")).cast("decimal(38,18)")).as("_na"),
+        sum((col("_mb") * col("_mb")).cast("decimal(38,18)")).as("_nb"),
+        sum(((col("_ma") - col("_mb")) * (col("_ma") - col("_mb"))).cast("decimal(38,18)"))
+          .as("_l2"),
+        max(col("_n_old")).as("n_old"),
+        max(col("_n_new")).as("n_new"))
+      .select(
+        round(col("_dot").cast("double")
+          / (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))), scale)
+          .as("cos_means"),
+        round(sqrt(col("_l2").cast("double")), scale).as("l2_shift"),
+        col("n_old"), col("n_new"))
+  }
+
   /** Mutual-kNN clustering — the unsupervised semantic-grouping step of a
     * training-data pipeline (topic-balance audits, per-cluster sampling
     * quotas, SemDeDup-style pruning at the CLUSTER level): vertices are

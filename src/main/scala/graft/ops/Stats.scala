@@ -249,6 +249,46 @@ object Stats {
       .withColumnRenamed("_mad", "mad")
       .drop("_dev")
   }
+  /** Simpson diversity of a categorical mix, optionally per stratum — the
+    * corpus-composition monitor (is a language dominated by one source?
+    * is the training mix collapsing onto one domain?): simpson =
+    * `Σ (n_i/N)²` (the probability two random rows share the category —
+    * 1/|categories| when uniform, →1 when concentrated) and
+    * `effective = 1/simpson`, the equivalent number of uniform categories.
+    * Returns `(strataCols…, n, n_categories, simpson, effective)`.
+    *
+    * Engine-portable: each share is ONE double division, its square is
+    * cast to `decimal(38,18)` before summing (a binary rational never
+    * lands on a decimal half-grid — the q112 argument), so the sum is
+    * order-free and the final reciprocal is a deterministic chain. Two
+    * grouped aggregates; |strata| result rows at any corpus size.
+    */
+  def diversityIndex(
+      df: DataFrame,
+      dimCol: String,
+      strataCols: Seq[String] = Nil,
+      scale: Int = 6
+  ): DataFrame = {
+    val strata = strataCols.map(col)
+    val counts = df.groupBy(strata :+ col(dimCol): _*).agg(count(lit(1)).as("_cn"))
+    val totals = counts.groupBy(strata: _*)
+      .agg(sum(col("_cn")).as("_total"), count(lit(1)).as("n_categories"))
+    val joined =
+      if (strataCols.isEmpty) counts.crossJoin(broadcast(totals))
+      else counts.join(broadcast(totals), strataCols)
+    val share = col("_cn").cast("double") / col("_total")
+    val agg = joined
+      .groupBy(strata: _*)
+      .agg(
+        sum((share * share).cast("decimal(38,18)")).as("_simpson_d"),
+        max(col("_total")).as("n"),
+        max(col("n_categories")).as("n_categories"))
+    agg.select(strata ++ Seq(
+      col("n"), col("n_categories"),
+      round(col("_simpson_d").cast("double"), scale).as("simpson"),
+      round(lit(1.0) / col("_simpson_d").cast("double"), scale).as("effective")): _*)
+  }
+
   /** Heavy-key diagnostics for a join/group key — the skew report a
     * planner (or an engineer sizing a salted join) reads before shuffling
     * on the key: the top-`topK` keys by count with each key's corpus
