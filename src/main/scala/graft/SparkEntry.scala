@@ -1058,6 +1058,41 @@ object SparkEntry {
         s, e, sources = Seq(1L, 2L, 3L), maxCost = 8)
     }),
 
+    // SCD-2 validity intervals: per-user event-type history collapsed to
+    // change points, each stamped [valid_from, valid_to) — null-safe
+    // change test, unique-id tie-break, integer epochs: engine-exact
+    "q154_event_scd2" -> ((s, dir) =>
+      graft.ops.EventAnalytics.changeIntervals(
+        E(s, dir), keyCols = Seq("user_id"), valueCol = "event_type")),
+
+    // HITS hubs/authorities on the directed part→supplier graph: iterated
+    // float rounds are not bit-portable (q126 discipline), so the
+    // checkable contract is the fixed point itself — one extra half-step
+    // recomputed in-query must land on the returned authority vector and
+    // the norms must be 1
+    "q155_graph_hits" -> ((s, dir) => {
+      val e = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
+      // iters pinned by tools.HitsProbe: residual 1.4e-13 (sf0.01) /
+      // 1.4e-13 (sf0.1) at 8 rounds — seven orders inside the 1e-6 gate
+      val res = graft.graph.GraphQueries.hits(s, e, iters = 8)
+      val eD = e.distinct()
+      val aRaw = eD.join(res.select(col("id").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("_a2"))
+      val n2 = aRaw.agg(sum(col("_a2") * col("_a2")).as("_n2"))
+      val a2n = aRaw.crossJoin(broadcast(n2))
+        .select(col("dst").as("id"), (col("_a2") / sqrt(col("_n2"))).as("_a2"))
+      res.join(a2n, Seq("id"), "left")
+        .agg(
+          count(lit(1)).as("n_vertices"),
+          max(abs(coalesce(col("_a2"), lit(0.0)) - col("authority"))).as("_resid"),
+          abs(sum(col("authority") * col("authority")) - 1.0).as("_na"),
+          abs(sum(col("hub") * col("hub")) - 1.0).as("_nh"))
+        .select(col("n_vertices"),
+          (col("_resid") < 1e-6 && col("_na") < 1e-9 && col("_nh") < 1e-9).as("hits_pass"))
+    }),
+
     // Simpson diversity of the source mix per language (corpus-composition
     // monitor): shares are single divisions, squared terms decimal-summed
     // (order-free), effective = 1/simpson — the equivalent number of
@@ -3534,6 +3569,31 @@ object SparkEntry {
         |  WHERE walk.c + bi.w <= 8
         |)
         |SELECT id, MIN(c) AS cost FROM walk GROUP BY id""".stripMargin,
+
+    // lag/lead windows with the identical (t, event_id) tie-break
+    "q154_event_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events
+        |), c AS (
+        |  SELECT user_id, event_type, t, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS p
+        |  FROM e
+        |), ch AS (
+        |  SELECT user_id, event_type, t, event_id FROM c
+        |  WHERE p IS NULL OR event_type <> p
+        |)
+        |SELECT user_id, event_type, t AS valid_from,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to
+        |FROM ch""".stripMargin,
+
+    // the self-verifying fixed-point gate carries the contract (q116/q126
+    // discipline); the oracle pins the vertex count
+    "q155_graph_hits" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS v FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) + 10000000 FROM lineitem)) AS n_vertices,
+        |  CAST(TRUE AS BOOLEAN) AS hits_pass""".stripMargin,
 
     // shares squared and decimal-summed exactly as the Spark side;
     // effective = one reciprocal off the exact decimal

@@ -341,6 +341,82 @@ object GraphQueries {
       .select(vs(idCol), coalesce(col("n"), lit(0L)).as("triangles"))
   }
 
+  /** HITS hubs & authorities (Kleinberg) on the DIRECTED edge set — the
+    * link-analysis complement of PageRank (PageRank ranks by received
+    * mass; HITS separates "points at good things" from "is a good
+    * thing", the classic curation-vs-content split for link/citation
+    * graphs). Synchronous power iteration: per round `a ∝ Aᵀh` then
+    * `h ∝ Aa`, each L2-normalized; returns `(idCol, hub, authority)`
+    * for every edge-endpoint vertex. Converges to the principal
+    * singular vectors of the adjacency matrix; like [[pageRankDF]],
+    * iterated float rounds are NOT bit-portable across engines, so the
+    * checkable contract is the fixed-point residual itself (q116/q126
+    * discipline — the q155 gate recomputes one half-step in-query and
+    * asserts it lands on the returned vectors).
+    *
+    * Scale shape — the [[pageRankDF]] loop with two half-steps: per
+    * round two slim equi-join + grouped-sum shuffles and two one-row
+    * norm aggregates broadcast back; checkpoint cadence truncates
+    * lineage; edge frame materialized once. Nothing pinned in cached
+    * RDDs beyond the tracked loop state.
+    */
+  def hits(
+      spark: SparkSession,
+      edges: DataFrame,
+      iters: Int = 30,
+      idCol: String = "id"
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val e = materialize(
+      edges.select(col(EdgeColumns.Src).cast("long").as("src"),
+          col(EdgeColumns.Dst).cast("long").as("dst"))
+        .distinct())
+    val vertices = materialize(
+      e.select(col("src").as("vid")).union(e.select(col("dst").as("vid"))).distinct())
+    def normalize(df: DataFrame, c: String): DataFrame = {
+      val n2 = df.agg(sum(col(c) * col(c)).as("_n2"))
+      df.crossJoin(broadcast(n2))
+        .select(col("vid"),
+          (col(c) / when(col("_n2") > 0, sqrt(col("_n2")))).as(c))
+    }
+    var h = vertices.withColumn("h", lit(1.0))
+    var hCheckpoint: DataFrame = null
+    var aCheckpoint: DataFrame = null
+    var a: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      // materialize EVERY half-step, each BEFORE the next consumes it:
+      // unlike the pageRankDF loop (cadence 4), each HITS half-step embeds
+      // a crossJoin'd norm-aggregate subtree, so an uncheckpointed plan
+      // deepens ~4 subtrees per round and Catalyst compile time blows up
+      // long before the data does (measured: cadence 4 at 40 iters blew a
+      // 180 s budget at sf0.01); materializing a first also keeps h's job
+      // from recomputing a's whole half-step inside its own plan
+      val aRaw = e.join(h.select(col("vid").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      val aAll = vertices.join(aRaw.select(col("dst").as("vid"), col("a")), Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("a"), lit(0.0)).as("a"))
+      a = materialize(normalize(aAll, "a"))
+      val hRaw = e.join(a.select(col("vid").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+      val hAll = vertices.join(hRaw.select(col("src").as("vid"), col("h")), Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("h"), lit(0.0)).as("h"))
+      h = materialize(normalize(hAll, "h"))
+      i += 1
+      val (prevH, prevA) = (hCheckpoint, aCheckpoint)
+      hCheckpoint = h
+      aCheckpoint = a
+      if (prevH != null) prevH.unpersist(blocking = false)
+      if (prevA != null) prevA.unpersist(blocking = false)
+    }
+    vertices
+      .join(h, Seq("vid")).join(a, Seq("vid"))
+      .select(col("vid").as(idCol), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** Per-vertex local clustering coefficient — how close each vertex's
     * neighborhood is to a clique (`2·T / (d·(d−1))`): the community-
     * cohesion / spam-ring / boilerplate-hub score on top of

@@ -161,6 +161,41 @@ object EventAnalytics {
     counts.withColumn("ma", round(avg(col("n")).over(w), 6))
   }
 
+  /** Change-point validity intervals (the SCD-2 dimension-history build):
+    * collapse a per-key event stream to the rows where `valueCol`
+    * CHANGED, each stamped `[valid_from, valid_to)` — `valid_to` is the
+    * next change's timestamp, NULL for the currently-open interval. The
+    * ETL face of the as-of join family: `AsOfJoin.backward` asks "what
+    * was the value at time t", this materializes the whole history table
+    * that answers it with a plain range predicate.
+    *
+    * Deterministic: ordering ties break by `tieCol` (a unique event id),
+    * the change test is null-safe (`<=>`), and timestamps are integer
+    * epochs — the whole table is engine-exact. Cost: two windows over
+    * the same per-key partitioning (one shuffle on the key); rows shrink
+    * to change points after the first window, so the second runs on the
+    * collapsed frame.
+    */
+  def changeIntervals(
+      events: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tsCol: String = "ts",
+      tieCol: String = "event_id"
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tieCol))
+    val changes = events
+      .select(keys ++ Seq(col(valueCol), col(tsCol), col(tieCol)): _*)
+      .withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .where(!(col(valueCol) <=> col("_prev")))
+    val w2 = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .select(keys ++ Seq(col(valueCol), col(tsCol).as("valid_from"), col("valid_to")): _*)
+  }
+
   /** Recency-weighted aggregates with exponential half-life decay — the
     * "recent data matters more" rollup (freshness-weighted source mixing
     * quotas, decayed engagement scores, drift-resistant popularity).

@@ -111,6 +111,39 @@ class GraphQueriesSpec extends SparkSpec {
     assert(viaDf == viaGx)
   }
 
+  test("hits: matches a reference power iteration on a random directed graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).distinct
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    // reference: synchronous a = A^T h, h = A a, L2-normalized, same iters
+    var h = Array.fill(ids.size)(1.0)
+    var a = Array.fill(ids.size)(0.0)
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    (1 to 30).foreach { _ =>
+      val a2 = Array.fill(ids.size)(0.0)
+      edges.foreach { case (s, d) => a2(idx(d)) += h(idx(s)) }
+      a = norm(a2)
+      val h2 = Array.fill(ids.size)(0.0)
+      edges.foreach { case (s, d) => h2(idx(s)) += a(idx(d)) }
+      h = norm(h2)
+    }
+    val got = GraphQueries.hits(spark, edges.toDF("src", "dst"), iters = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.size == ids.size)
+    ids.foreach { v =>
+      assert(math.abs(got(v)._1 - h(idx(v))) < 1e-9, s"hub $v")
+      assert(math.abs(got(v)._2 - a(idx(v))) < 1e-9, s"authority $v")
+    }
+    // norms are 1
+    assert(math.abs(got.values.map(x => x._1 * x._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(x => x._2 * x._2).sum - 1.0) < 1e-9)
+  }
+
   test("clusteringCoefficient: hand-computed square-with-diagonal; degree<2 NULL") {
     import spark.implicits._
     // square 1-2-3-4 plus diagonal 1-3; pendant 5 off vertex 4; isolated 9

@@ -92,6 +92,46 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", 0L) -> ((1L, 1.0))))
   }
 
+  test("changeIntervals: change points only, [from, to) chaining, open tail, tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: A A B A — runs collapse, each interval ends where the next begins
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L), (1L, "A", 40L, 4L),
+      // user 2: same-ts tie broken by event_id → B then A is a change
+      (2L, "B", 10L, 5L), (2L, "A", 10L, 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.changeIntervals(df, Seq("user_id"), "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == Set(
+      (1L, "A", 10L, Some(30L)),
+      (1L, "B", 30L, Some(40L)),
+      (1L, "A", 40L, None),
+      (2L, "B", 10L, Some(10L)),
+      (2L, "A", 10L, None)))
+  }
+
+  test("changeIntervals: intervals tile the timeline per key; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, s"v${rnd.nextInt(3)}", rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val a = EventAnalytics.changeIntervals(df, Seq("user_id"), "event_type").collect()
+    val b = EventAnalytics.changeIntervals(df.repartition(13), Seq("user_id"), "event_type")
+      .collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+    // per key: exactly one open interval; each valid_to equals the next valid_from
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.count(_.isNullAt(3)) == 1)
+      val sorted = rows.sortBy(r => (r.getLong(2), if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x.getLong(3) == y.getLong(2))
+        case _           =>
+      }
+    }
+  }
+
   test("funnel plan prunes the scan per step and never shuffles raw events") {
     val df = events((1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L))
     val out = EventAnalytics.funnel(df, Seq("view", "click", "purchase"), windowTs = 1000L)
