@@ -1058,6 +1058,36 @@ object SparkEntry {
         s, e, sources = Seq(1L, 2L, 3L), maxCost = 8)
     }),
 
+    // common-neighbor link prediction on the q147 projected supplier
+    // graph: non-adjacent pairs sharing >= 2 neighbors, scored by exact
+    // common count + neighborhood Jaccard (one division — Adamic-Adar's
+    // log is the ulp lottery the q88/q134 rule avoids)
+    "q156_graph_linkpred" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+      val proj = graft.graph.GraphQueries.bipartiteProject(li, minShared = 150L)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.graph.GraphQueries.linkPrediction(proj, minCommon = 2L)
+    }),
+
+    // degree assortativity of the projected supplier graph: Pearson corr
+    // over (deg_u, deg_v) of every directed edge instance — computed by
+    // the decimal-moment linearFit, so the correlation is engine-exact
+    "q157_graph_assortativity" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+      val proj = graft.graph.GraphQueries.bipartiteProject(li, minShared = 150L)
+      val bi = proj.select(col("a").as("u"), col("b").as("v"))
+        .union(proj.select(col("b").as("u"), col("a").as("v")))
+      val deg = bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val withDegs = bi
+        .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      graft.ops.Stats.linearFit(withDegs, col("du"), col("dv"))
+    }),
+
     // SCD-2 validity intervals: per-user event-type history collapsed to
     // change points, each stamped [valid_from, valid_to) — null-safe
     // change test, unique-id tie-break, integer epochs: engine-exact
@@ -3569,6 +3599,70 @@ object SparkEntry {
         |  WHERE walk.c + bi.w <= 8
         |)
         |SELECT id, MIN(c) AS cost FROM walk GROUP BY id""".stripMargin,
+
+    // wedge pairs per middle vertex, adjacency anti-join, one-division
+    // Jaccard off exact degrees
+    "q156_graph_linkpred" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS l, CAST(l_partkey AS BIGINT) AS r
+        |  FROM lineitem
+        |), pe AS (
+        |  SELECT x.l AS a, y.l AS b
+        |  FROM e x JOIN e y ON x.r = y.r AND x.l < y.l
+        |  GROUP BY 1, 2 HAVING count(*) >= 150
+        |), bi AS (
+        |  SELECT a AS v, b AS n FROM pe UNION ALL SELECT b, a FROM pe
+        |), deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY 1
+        |), cn AS (
+        |  SELECT m1.n AS x, m2.n AS y, CAST(count(*) AS BIGINT) AS common
+        |  FROM bi m1 JOIN bi m2 ON m1.v = m2.v AND m1.n < m2.n
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), lp AS (
+        |  SELECT cn.x, cn.y, cn.common FROM cn
+        |  LEFT JOIN pe ON pe.a = cn.x AND pe.b = cn.y
+        |  WHERE pe.a IS NULL
+        |)
+        |SELECT lp.x AS src, lp.y AS dst, lp.common,
+        |  round(CAST(lp.common AS DOUBLE) / (dx.deg + dy.deg - lp.common), 6) AS jaccard
+        |FROM lp
+        |JOIN deg dx ON dx.v = lp.x
+        |JOIN deg dy ON dy.v = lp.y""".stripMargin,
+
+    // q108's decimal-moment formulation over the edge-instance degree
+    // pairs (both orientations — the undirected assortativity convention)
+    "q157_graph_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS l, CAST(l_partkey AS BIGINT) AS r
+        |  FROM lineitem
+        |), pe AS (
+        |  SELECT x.l AS a, y.l AS b
+        |  FROM e x JOIN e y ON x.r = y.r AND x.l < y.l
+        |  GROUP BY 1, 2 HAVING count(*) >= 150
+        |), bi AS (
+        |  SELECT a AS u, b AS v FROM pe UNION ALL SELECT b, a FROM pe
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY 1
+        |), d AS (
+        |  SELECT CAST(du.deg AS DECIMAL(18,6)) AS xd, CAST(dv.deg AS DECIMAL(18,6)) AS yd
+        |  FROM bi JOIN deg du ON du.u = bi.u JOIN deg dv ON dv.u = bi.v
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
+        |    CAST(sum(xd * yd) AS DOUBLE) AS sxy,
+        |    CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+        |    CAST(sum(yd * yd) AS DOUBLE) AS syy
+        |  FROM d)
+        |SELECT n,
+        |  round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    END, 6) AS corr,
+        |  round(CASE WHEN (n * sxx - sx * sx) > 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+        |  round(CASE WHEN (n * sxx - sx * sx) > 0
+        |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |    END, 6) AS intercept
+        |FROM s""".stripMargin,
 
     // lag/lead windows with the identical (t, event_id) tie-break
     "q154_event_scd2" ->

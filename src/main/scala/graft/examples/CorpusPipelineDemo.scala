@@ -30,9 +30,19 @@ object CorpusPipelineDemo {
 
     def obs(stage: String, n: Long): Unit = println(f"[pipeline] $stage%-28s $n%7d docs")
 
-    val raw = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("lang"), col("text"))
+    val rawFull = spark.read.parquet(s"$dir/documents.parquet")
+    val raw = rawFull.select(col("doc_id"), col("lang"), col("text"))
     obs("raw", raw.count())
+
+    // 0. admission gate: the batch must pass the declarative quality suite
+    // before anything downstream runs (fail-closed on an empty/broken drop)
+    val gate = graft.ops.Validate.report(rawFull, Seq(
+      graft.ops.Validate.NotNull("text"),
+      graft.ops.Validate.NotNull("lang"),
+      graft.ops.Validate.Unique("doc_id"),
+      graft.ops.Validate.RowCountBetween(1L, 100000000L)))
+    require(graft.ops.Validate.allPass(gate), "admission gate failed — aborting ingest")
+    println("[pipeline] admission gate            PASS (4 checks)")
 
     // 1. canonical normalization (control-strip, case-fold, ws-collapse)
     val normed = raw.withColumn("text", TextAnalysis.normalizeText(col("text")))
@@ -94,6 +104,19 @@ object CorpusPipelineDemo {
       println(f"[pipeline]   ${r.getString(0)}%-4s docs=${r.getLong(1)}%5d " +
         f"tokens=${r.getLong(2)}%7d avgQ=${r.getDouble(3)}%.4f dupRate=${r.getDouble(6)}%.4f")
     }
+
+    // 8b. release screens: privacy (quasi-identifier combinations below k
+    // must be suppressed or generalized before shipping) and drift (did
+    // the pipeline's filtering skew the language mix vs the raw corpus?)
+    val risky = graft.ops.Privacy.kAnonymity(rawFull, Seq("lang", "source"), k = 3)
+      .where(!col("k_anonymous")).count()
+    println(f"[pipeline] privacy screen           $risky%7d sub-k (lang,source) combos")
+    val drift = graft.ops.Stats.chiSquareDrift(
+        raw, mixed.select("doc_id", "lang"), "lang")
+      .agg(sum(col("contrib"))).head.getDouble(0)
+    val ediv = graft.ops.Stats.diversityIndex(mixed, "lang").head
+    println(f"[pipeline] release drift/diversity  chi2=$drift%.3f " +
+      f"effective-langs=${ediv.getDouble(3)}%.2f")
 
     // 9. tokenizer + corpus signature of the release: BPE merges learned
     // on the released corpus, and its highest-TF-IDF terms

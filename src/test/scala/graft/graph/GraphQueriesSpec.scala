@@ -111,6 +111,21 @@ class GraphQueriesSpec extends SparkSpec {
     assert(viaDf == viaGx)
   }
 
+  test("linkPrediction: non-adjacent wedge pairs only, exact jaccard, hub cap") {
+    import spark.implicits._
+    // square 1-2-3-4 with diagonal 1-3: the only non-adjacent pair sharing
+    // neighbors is (2,4) via {1,3}
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("src", "dst")
+    val got = GraphQueries.linkPrediction(sq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((2L, 4L, 2L, 1.0)))
+    // star: all leaf pairs predicted via the hub; capping the hub's degree
+    // out of the middle role removes every wedge
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(GraphQueries.linkPrediction(star).count() == 10)
+    assert(GraphQueries.linkPrediction(star, maxDegree = 4L).count() == 0)
+  }
+
   test("hits: matches a reference power iteration on a random directed graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
