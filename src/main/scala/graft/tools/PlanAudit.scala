@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Automated physical-plan audit over the whole driver-contract query
+  * surface — the per-round "is every plan still the plan we want" sweep,
+  * as a tool instead of a by-hand Explain loop. For every
+  * `SparkEntry.queries` entry it builds the plan (no execution unless the
+  * operator materializes during construction) and reports:
+  *
+  *   - CartesianProduct occurrences (always a finding),
+  *   - BroadcastNestedLoopJoin occurrences (compared against the known
+  *     bounded-broadcast allowlist — q54/q60/q83/q101/q102/q153 and the
+  *     pure-range similarity disjunct — so only NEW ones flag),
+  *   - `WholeStageCodegen` span count (a plan suddenly dropping to zero
+  *     spans signals an interpreted regression),
+  *   - per-query construction status (a query that throws at plan time is
+  *     a finding even before Verify runs).
+  *
+  * Prints one line per flagged query and a `[audit]` summary; exits 0 on
+  * a clean sweep, 1 otherwise. Run:
+  * `sbt "runMain graft.tools.PlanAudit <sfDir> [query ...]"`.
+  */
+object PlanAudit {
+
+  /** Queries whose BroadcastNestedLoopJoin is a documented, bounded
+    * broadcast by design (small side is an eval set / query batch /
+    * centroid table / one-row sketch / group matrix), plus the
+    * similarity classifier's pure-range disjunct.
+    */
+  private val bnlAllowlist: Set[String] = Set(
+    "q54_text_bm25",              // query-term literals probe the postings
+    "q60_embed_nearest_centroid", // broadcast centroid table
+    "q83_knn_join",               // query batch broadcast into TopKAgg
+    "q101_heavy_hitters",         // one-row sketch crossJoin
+    "q102_decontaminate_semantic", // eval side broadcast — exactness is the contract
+    "q127_ann_ivfpq_knn",         // literal centroid struct array broadcast
+    "q140_join_size_est",         // two one-row sketch frames
+    "q144_event_decay",           // one-row max-ts broadcast
+    "q146_drift_chisq",           // two one-row total broadcasts
+    "q148_key_skew",              // one-row totals broadcast
+    "q139_validate_report",       // one-row counter frame
+    "q149_validate_merge",        // one-row counter frames
+    "q151_source_diversity",      // one-row totals broadcast
+    "q152_embed_drift",           // one-row scalar crossJoins
+    "q153_source_overlap_est",    // |keys|² group matrix — the requested output
+    "q155_graph_hits"             // one-row norm crossJoins
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE defers stage compilation, so a pre-execution plan reports zero
+      // codegen subtrees and hides join strategy in AdaptiveSparkPlan —
+      // the audit wants the STATIC plan shape (prod runs keep AQE on)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var findings = 0
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
+    names.foreach { name =>
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        val cart = "CartesianProduct".r.findAllIn(plan).length
+        val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+        // under AQE the executedPlan string carries no codegen markers
+        // before execution — the codegen explain mode compiles the stages
+        // and reports the subtree count directly
+        val codegenStr = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+        val wsc = """Found (\d+) WholeStageCodegen""".r
+          .findFirstMatchIn(codegenStr).map(_.group(1).toInt).getOrElse(0)
+        val newBnl = bnl > 0 && !bnlAllowlist.contains(name)
+        if (cart > 0 || newBnl || wsc == 0) {
+          findings += 1
+          println(s"[audit] FLAG $name cartesian=$cart bnl=$bnl (allowed=${!newBnl}) codegenSpans=$wsc")
+        }
+      } catch {
+        case e: Throwable =>
+          findings += 1
+          println(s"[audit] FLAG $name plan construction failed: ${e.getMessage}")
+      }
+      graft.Caches.clear()
+    }
+    println(s"[audit] ${names.size} queries audited, $findings flagged")
+    spark.stop()
+    if (findings > 0) sys.exit(1)
+  }
+}
