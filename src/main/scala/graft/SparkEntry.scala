@@ -1088,6 +1088,51 @@ object SparkEntry {
       graft.ops.Stats.linearFit(withDegs, col("du"), col("dv"))
     }),
 
+    // column profiling report (the "describe this table" ingest check):
+    // one aggregation pass — multi-column exact distincts plan as a
+    // single Expand shuffle, per-column rows via a stack generator over
+    // the one aggregated row; min/max aggregate on the native type and
+    // only the scalar casts to string
+    "q158_profile" -> ((s, dir) =>
+      graft.ops.Stats.profile(
+        T(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))),
+
+    // CDC apply (MERGE-INTO): a synthesized ordered change batch —
+    // updates (%7), deletes (%11, later seq so latest-wins is exercised
+    // on the overlap keys), inserts (%13 under shifted keys) — applied
+    // onto the orders snapshot; one window over the delta + one anti-join
+    "q159_cdc_apply" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val upd = o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val del = o.where(col("o_orderkey") % 11 === 3)
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+      val ins = o.where(col("o_orderkey") % 13 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      graft.ops.ChangeCapture.applyChanges(
+        o, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"))
+    }),
+
+    // trailing-window rate anomalies (spike monitoring): hourly per-type
+    // counts z-scored against the 12 prior present buckets — frame sums
+    // are exact integers, so z is one sqrt + one division per bucket row
+    "q160_event_anomaly" -> ((s, dir) =>
+      graft.ops.EventAnalytics.anomalies(
+        E(s, dir), bucketTs = 3600000000000L, trailing = 12,
+        threshold = 2.0, minPrior = 4)),
+
+    // token-mass weighted quantiles: the doc length below which half /
+    // 90% / 99% of the corpus CHARACTERS sit, per language — integer
+    // cumulative weights, target rank one multiply+ceil off the exact
+    // total, selected q an actual data value
+    "q161_weighted_quantiles" -> ((s, dir) =>
+      graft.ops.Stats.weightedQuantileProfile(
+        T(s, dir, "documents"), value = col("n_chars"),
+        weight = col("n_chars"), strataCols = Seq("lang"),
+        ps = Seq(0.5, 0.9, 0.99), tieCol = col("doc_id"))),
+
     // SCD-2 validity intervals: per-user event-type history collapsed to
     // change points, each stamped [valid_from, valid_to) — null-safe
     // change test, unique-id tie-break, integer epochs: engine-exact
@@ -3663,6 +3708,108 @@ object SparkEntry {
         |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
         |    END, 6) AS intercept
         |FROM s""".stripMargin,
+
+    // one aggregate row, then one SELECT per profiled column — min/max
+    // aggregate on the native type, only the result casts to VARCHAR
+    "q158_profile" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(doc_id) AS BIGINT) AS n1,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS d1,
+        |    CAST(min(doc_id) AS VARCHAR) AS mn1, CAST(max(doc_id) AS VARCHAR) AS mx1,
+        |    CAST(count(lang) AS BIGINT) AS n2,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS d2,
+        |    CAST(min(lang) AS VARCHAR) AS mn2, CAST(max(lang) AS VARCHAR) AS mx2,
+        |    CAST(count(source) AS BIGINT) AS n3,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS d3,
+        |    CAST(min(source) AS VARCHAR) AS mn3, CAST(max(source) AS VARCHAR) AS mx3,
+        |    CAST(count(n_chars) AS BIGINT) AS n4,
+        |    CAST(count(DISTINCT n_chars) AS BIGINT) AS d4,
+        |    CAST(min(n_chars) AS VARCHAR) AS mn4, CAST(max(n_chars) AS VARCHAR) AS mx4
+        |  FROM documents
+        |)
+        |SELECT 'doc_id' AS col_name, n_rows, n1 AS n_nonnull,
+        |  round(CAST(n_rows - n1 AS DOUBLE) / n_rows, 6) AS null_frac,
+        |  d1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM a
+        |UNION ALL
+        |SELECT 'lang', n_rows, n2, round(CAST(n_rows - n2 AS DOUBLE) / n_rows, 6),
+        |  d2, mn2, mx2 FROM a
+        |UNION ALL
+        |SELECT 'source', n_rows, n3, round(CAST(n_rows - n3 AS DOUBLE) / n_rows, 6),
+        |  d3, mn3, mx3 FROM a
+        |UNION ALL
+        |SELECT 'n_chars', n_rows, n4, round(CAST(n_rows - n4 AS DOUBLE) / n_rows, 6),
+        |  d4, mn4, mx4 FROM a""".stripMargin,
+
+    // same synthesized delta; latest-per-key by seq desc, deletes drop,
+    // untouched snapshot keys pass through
+    "q159_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority,
+        |    'U' AS op, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 'D', 2
+        |  FROM orders WHERE o_orderkey % 11 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 'I', 1
+        |  FROM orders WHERE o_orderkey % 13 = 5
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1
+        |)
+        |SELECT o.* FROM orders o
+        |LEFT JOIN latest l ON l.o_orderkey = o.o_orderkey
+        |WHERE l.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM latest WHERE op <> 'D'""".stripMargin,
+
+    // integer frame sums make z one sqrt + one division; the warm-up and
+    // zero-variance guards are the same CASE in both engines
+    "q160_event_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, bucket, n,
+        |    CAST(count(*) OVER fr AS BIGINT) AS m,
+        |    CAST(coalesce(sum(n) OVER fr, 0) AS BIGINT) AS s1,
+        |    CAST(coalesce(sum(n * n) OVER fr, 0) AS BIGINT) AS s2
+        |  FROM c
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, bucket, n,
+        |  CASE WHEN m >= 4 AND (m * s2 - s1 * s1) > 0 THEN
+        |    round(CAST(n * m - s1 AS DOUBLE) / sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE)), 6)
+        |  END AS z,
+        |  CASE WHEN m >= 4 AND (m * s2 - s1 * s1) > 0 THEN
+        |    abs(round(CAST(n * m - s1 AS DOUBLE)
+        |      / sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE)), 6)) > 2.0
+        |  END AS is_anomaly
+        |FROM w""".stripMargin,
+
+    // cumulative integer char mass; the crossing row is unique because
+    // weights are positive
+    "q161_weighted_quantiles" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS tw
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), p AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p)
+        |SELECT d.lang, p.p, d.n_chars AS q
+        |FROM d CROSS JOIN p
+        |WHERE cw >= greatest(1, CAST(ceil(p.p * tw) AS BIGINT))
+        |  AND cw - n_chars < greatest(1, CAST(ceil(p.p * tw) AS BIGINT))""".stripMargin,
 
     // lag/lead windows with the identical (t, event_id) tie-break
     "q154_event_scd2" ->

@@ -241,4 +241,49 @@ object EventAnalytics {
         round(sum((value * col("_w")).cast("decimal(38,18)")).cast("double"), 6)
           .as("decayed_sum"))
   }
+
+  /** Trailing-window rate-anomaly detection (traffic spike / outage
+    * monitoring): per series and time bucket, the event count's z-score
+    * against the `trailing` PRIOR buckets' mean and population std —
+    * `z = (n·m − Σn) / √(m·Σn² − (Σn)²)` where the sums run over the
+    * prior frame of size `m`. `z` is NULL while fewer than `minPrior`
+    * prior buckets exist (warm-up) or the trailing window is constant
+    * (zero variance); `is_anomaly` flags `|z| > threshold`.
+    *
+    * Engine-exact where rolling statistics usually aren't: the frame sums
+    * are INTEGER (event counts), so `n·m − Σn` and `m·Σn² − (Σn)²` are
+    * exact, and the only float ops are one `sqrt` and one division per
+    * row — no accumulated rolling float state. Cost matches [[timeSeries]]:
+    * the aggregate shrinks the stream to |series|×|buckets| rows BEFORE
+    * the ordered window shuffles, so the window never touches raw events.
+    * Prior buckets are PRESENT buckets (row frame) — densify upstream if
+    * empty buckets should count as zeros.
+    */
+  def anomalies(
+      events: DataFrame,
+      bucketTs: Long,
+      trailing: Int,
+      threshold: Double = 3.0,
+      minPrior: Int = 3,
+      seriesCol: String = "event_type",
+      tsCol: String = "ts"
+  ): DataFrame = {
+    require(bucketTs > 0, s"bucketTs must be positive, got $bucketTs")
+    require(trailing >= minPrior && minPrior >= 2,
+      s"need trailing >= minPrior >= 2, got trailing=$trailing minPrior=$minPrior")
+    val counts = events
+      .groupBy(col(seriesCol), expr(s"`$tsCol` div $bucketTs").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("bucket"))
+      .rowsBetween(-trailing.toLong, -1L)
+    val m  = count(lit(1)).over(w)
+    val s1 = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    val varN = m * s2 - s1 * s1 // m² · population variance — exact integer
+    val z = when(m >= minPrior && varN > 0,
+      round((col("n") * m - s1).cast("double") / sqrt(varN.cast("double")), 6))
+    counts
+      .withColumn("z", z)
+      .withColumn("is_anomaly", when(col("z").isNotNull, abs(col("z")) > threshold))
+  }
 }

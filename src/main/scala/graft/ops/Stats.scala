@@ -365,4 +365,105 @@ object Stats {
         when(col("n_old") > 0,
           round((col("n_new") - e) * (col("n_new") - e) / e, scale)).as("contrib"))
   }
+
+  /** Column profiling report — the "describe this table" primitive of data
+    * exploration and ingest validation: one row per requested column with
+    * `(col_name, n_rows, n_nonnull, null_frac, n_distinct, min_value,
+    * max_value)`. Min/max aggregate on the NATIVE type (numeric order, not
+    * lexicographic) and only the scalar result casts to string, so the
+    * report is schema-uniform across heterogeneous columns.
+    *
+    * Scale shape: ONE aggregation pass — the multi-column exact distinct
+    * counts plan as a single Expand + partial-aggregated shuffle (factor
+    * = |cols|+1 over the slim projected input), and the per-column report
+    * rows come from a `stack` generator over the single aggregated row,
+    * not per-column scans. Exact-distinct is the contract here (it feeds
+    * dedup-rate and key-uniqueness checks); for a cheap screening profile
+    * at extreme scale swap in `approx_count_distinct` upstream.
+    */
+  def profile(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_n_$c"),
+        countDistinct(col(c)).as(s"_d_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val one = df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `_n_$c`, `_d_$c`, `_min_$c`, `_max_$c`")
+      .mkString(", ")
+    one
+      .selectExpr(
+        "_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nonnull, n_distinct, min_value, max_value)")
+      .select(
+        col("col_name"),
+        col("_rows").as("n_rows"),
+        col("n_nonnull"),
+        round((col("_rows") - col("n_nonnull")).cast("double") / col("_rows"), scale)
+          .as("null_frac"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
+  /** Per-stratum WEIGHTED exact quantiles — "the doc length below which
+    * half the TOKENS sit", the token-mass counterpart of
+    * [[quantileProfile]] (which weights every row equally): for each
+    * `p ∈ (0, 1]`, the smallest value whose cumulative integer weight
+    * reaches `⌈p·W⌉`, `W` the stratum's total weight. Returns
+    * `(strataCols…, p, q)`.
+    *
+    * The portability contract requires INTEGER weights (token/char/byte
+    * counts — the natural corpus weights): cumulative weights are then
+    * exact, the target rank is one double multiply + ceil off the exact
+    * total, and the selected `q` is an actual data value — no
+    * interpolation. The crossing row is unique because weights are
+    * required positive. Cost: one shuffle + per-stratum sort, the
+    * [[quantileProfile]] shape with a summed rank.
+    */
+  def weightedQuantileProfile(
+      df: DataFrame,
+      value: Column,
+      weight: Column,
+      strataCols: Seq[String],
+      ps: Seq[Double],
+      tieCol: Column
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"probes must be in (0, 1], got $ps")
+    val strata = strataCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*).orderBy(value, tieCol)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("_wt", weight.cast("long"))
+      .withColumn("_cw", sum(col("_wt")).over(w))
+      .withColumn("_tw", sum(col("_wt")).over(wAll))
+      .select(strata ++ Seq(
+        explode(array(ps.map(lit(_)): _*)).as("p"),
+        col("_cw"), col("_wt"), col("_tw"), value.as("q")): _*)
+      .withColumn("_target",
+        greatest(lit(1L), ceil(col("p") * col("_tw")).cast("long")))
+      .where(col("_cw") >= col("_target") && col("_cw") - col("_wt") < col("_target"))
+      .select(strata ++ Seq(col("p"), col("q")): _*)
+  }
+
+  /** Functional-dependency violation report — does `lhs → rhs` hold, and
+    * where does it break? Returns the lhs keys mapping to MORE than one
+    * distinct rhs value, with `(lhsCols…, n_rows, n_rhs)` — the data-
+    * quality probe behind "is source-id unique?", "does every order key
+    * determine its customer?", and schema-inference sanity checks.
+    *
+    * One partial-aggregated shuffle on the lhs key; the distinct-rhs count
+    * is exact (it IS the violation predicate). Result size is bounded by
+    * the number of violating keys — on a clean table, zero rows.
+    */
+  def fdViolations(df: DataFrame, lhsCols: Seq[String], rhs: Column): DataFrame = {
+    require(lhsCols.nonEmpty, "fdViolations needs at least one lhs column")
+    df.groupBy(lhsCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), countDistinct(rhs).as("n_rhs"))
+      .where(col("n_rhs") > 1)
+  }
 }

@@ -132,6 +132,53 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("anomalies: warm-up NULL, constant-window NULL, spike z hand-computed") {
+    // one series, bucketTs=10: buckets 0..5 with counts 2,2,2,2,2,12
+    val rows = (0 to 4).flatMap(b => Seq.fill(2)((1L, "t", b * 10L + 1L))) ++
+      Seq.fill(12)((1L, "t", 51L))
+    val df = events(rows: _*)
+    val got = EventAnalytics.anomalies(df, bucketTs = 10L, trailing = 4,
+        threshold = 2.0, minPrior = 3)
+      .collect().map(r => r.getLong(1) -> ((
+        r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getBoolean(4)))).toMap
+    // buckets 0-2: fewer than 3 prior buckets → warm-up NULL
+    assert(got(0L) == ((2L, null, null)) && got(2L) == ((2L, null, null)))
+    // buckets 3-4: enough priors but constant window → zero variance → NULL
+    assert(got(3L) == ((2L, null, null)) && got(4L) == ((2L, null, null)))
+    // bucket 5: priors (2,2,2,2) constant too → NULL even for the spike
+    assert(got(5L)._1 == 12L && got(5L)._2 == null)
+  }
+
+  test("anomalies: varying trailing window yields the exact closed-form z") {
+    // counts 1,2,3,4 then a spike 10: priors for bucket 4 = (1,2,3,4)
+    // m=4 s1=10 s2=30 → varN=4*30-100=20, z=(10*4-10)/sqrt(20)=30/4.472136≈6.708204
+    val rows = (0 to 3).flatMap(b => Seq.fill(b + 1)((1L, "t", b * 10L + 1L))) ++
+      Seq.fill(10)((1L, "t", 41L))
+    val df = events(rows: _*)
+    val got = EventAnalytics.anomalies(df, bucketTs = 10L, trailing = 4,
+        threshold = 2.0, minPrior = 3)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(got(4L).getDouble(3) == 6.708204)
+    assert(got(4L).getBoolean(4))
+    // bucket 3 (priors 1,2,3): m=3 s1=6 s2=14 → varN=6, z=(4*3-6)/sqrt(6)=2.449490
+    assert(got(3L).getDouble(3) == 2.44949)
+    assert(got(3L).getBoolean(4))
+  }
+
+  test("anomalies: the window aggregates bucket counts, not raw events") {
+    val df = events((1 to 100).map(i => (1L, "t", i.toLong)): _*)
+    val out = EventAnalytics.anomalies(df, bucketTs = 10L, trailing = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // the HashAggregate must sit BELOW the Window in the plan (window input
+    // is the |buckets|-row frame)
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"window must run over aggregated buckets:\n$plan")
+  }
+
   test("funnel plan prunes the scan per step and never shuffles raw events") {
     val df = events((1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L))
     val out = EventAnalytics.funnel(df, Seq("view", "click", "purchase"), windowTs = 1000L)

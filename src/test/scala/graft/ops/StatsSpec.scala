@@ -215,4 +215,70 @@ class StatsSpec extends SparkSpec {
       ("b", 3L, 2, 0.214286, 1.071429),   // tie 3-3 broken by key
       ("c", 3L, 3, 0.214286, 1.071429)))
   }
+
+  test("profile: nulls, exact distincts, native-type min/max per column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("b"), Some(10L)),
+      (2L, Some("a"), Some(9L)),     // numeric min 9 beats lexicographic "10"
+      (3L, None, Some(10L)),
+      (4L, Some("a"), None)).toDF("id", "s", "v")
+    val got = Stats.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("id", "s", "v"))
+    val id = got("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 4L && id.getDouble(3) == 0.0)
+    assert(id.getLong(4) == 4L && id.getString(5) == "1" && id.getString(6) == "4")
+    val s = got("s")
+    assert(s.getLong(2) == 3L && s.getDouble(3) == 0.25 && s.getLong(4) == 2L)
+    assert(s.getString(5) == "a" && s.getString(6) == "b")
+    val v = got("v")
+    // min/max computed on LONG, not string: min is 9, not "10"
+    assert(v.getString(5) == "9" && v.getString(6) == "10")
+    assert(v.getLong(2) == 3L && v.getLong(4) == 2L)
+  }
+
+  test("profile plans ONE aggregation pass (a single Expand, no per-column scans)") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"s$i")).toDF("a", "b")
+    val plan = Stats.profile(df, Seq("a", "b")).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"multi-column distincts should plan as one Expand:\n$plan")
+    assert(!plan.contains("Union"), s"profile must be one pass, not per-column scans:\n$plan")
+  }
+
+  test("fdViolations: only multi-rhs keys surface; null-rhs ignored by countDistinct") {
+    import spark.implicits._
+    val df = Seq(
+      ("o1", "c1"), ("o1", "c1"),          // clean key
+      ("o2", "c1"), ("o2", "c2"),          // violation
+      ("o3", null.asInstanceOf[String])).toDF("k", "r")
+    val got = Stats.fdViolations(df, Seq("k"), col("r")).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "o2" && got.head.getLong(1) == 2L &&
+      got.head.getLong(2) == 2L)
+  }
+
+  test("weightedQuantileProfile: hand-computed crossings; zero/null weights excluded") {
+    import spark.implicits._
+    // values 10(w1), 20(w3), 30(w6) → W=10; p=.5 → target 5 → first cw>=5 is 20(cw=4)? no:
+    // cw: 10→1, 20→4, 30→10. target(.5)=5 → 30; target(.3)=3 → 20; target(.1)=1 → 10
+    val df = Seq((10L, 1L, 1L), (20L, 3L, 2L), (30L, 6L, 3L), (99L, 0L, 4L))
+      .toDF("v", "w", "id")
+    val got = Stats.weightedQuantileProfile(df, col("v"), col("w"),
+        strataCols = Nil, ps = Seq(0.1, 0.3, 0.5), tieCol = col("id"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == Map(0.1 -> 10L, 0.3 -> 20L, 0.5 -> 30L))
+  }
+
+  test("weightedQuantileProfile: uniform weights reduce to quantileProfile") {
+    import spark.implicits._
+    val df = (1L to 97L).map(i => (i, 1L)).toDF("v", "id")
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    val wq = Stats.weightedQuantileProfile(df, col("v"), lit(1L), Nil, ps, col("id"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val q = Stats.quantileProfile(df, col("v"), Nil, ps)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(wq == q)
+  }
 }
