@@ -1133,6 +1133,37 @@ object SparkEntry {
         weight = col("n_chars"), strataCols = Seq("lang"),
         ps = Seq(0.5, 0.9, 0.99), tieCol = col("doc_id"))),
 
+    // markup stripping (raw crawl → plain text): docs wrapped in synthetic
+    // HTML + markdown, then stripped — links keep labels, tags/entities →
+    // whitespace, emphasis marks drop; pure codegen regexp, zero shuffle
+    "q162_strip_markup" -> ((s, dir) => {
+      val marked = concat(
+        lit("<div class=\"d\">[doc](http://x/"), col("doc_id"), lit(") # "),
+        col("text"), lit(" &amp; more</div>"))
+      T(s, dir, "documents").select(
+        col("doc_id"), graft.ops.TextAnalysis.stripMarkup(marked).as("clean"))
+    }),
+
+    // exact-count proportional quota sample (largest-remainder): exactly
+    // 200 docs at the corpus' language mix (distinct from the corpus size
+    // at every SF so the allocation path actually runs) — integer allocation on the
+    // |strata|-row count frame, per-stratum hash-rank cut, one data shuffle
+    "q163_sample_quota" -> ((s, dir) =>
+      graft.ops.Sampling.quotaSample(
+        T(s, dir, "documents").select("doc_id", "lang", "source"),
+        strataCol = "lang", total = 200L, key = col("doc_id"),
+        hash = activeHash)),
+
+    // token-budget corpus cut via the DISTRIBUTED prefix sum (range
+    // partitions + per-partition offsets — never a single-partition global
+    // window): shortest-docs-first under a 1M-char budget, cum kept as the
+    // audit column
+    "q164_token_budget" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudget(
+        T(s, dir, "documents").select("doc_id", "n_chars"),
+        tokens = col("n_chars"), budget = 1000000L,
+        sortCols = Seq(col("n_chars"), col("doc_id")))),
+
     // SCD-2 validity intervals: per-user event-type history collapsed to
     // change points, each stamped [valid_from, valid_to) — null-safe
     // change test, unique-id tie-break, integer epochs: engine-exact
@@ -3810,6 +3841,65 @@ object SparkEntry {
         |FROM d CROSS JOIN p
         |WHERE cw >= greatest(1, CAST(ceil(p.p * tw) AS BIGINT))
         |  AND cw - n_chars < greatest(1, CAST(ceil(p.p * tw) AS BIGINT))""".stripMargin,
+
+    // identical regex pipeline (Java-regex and RE2 agree on every
+    // construct used); DuckDB backreference spelling is \1 where Java's
+    // is $1
+    "q162_strip_markup" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(
+        |      '<div class="d">[doc](http://x/' || CAST(doc_id AS VARCHAR)
+        |        || ') # ' || text || ' &amp; more</div>',
+        |      '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |    '<[^>]*>', ' ', 'g'),
+        |    '&#?[a-zA-Z0-9]+;', ' ', 'g'),
+        |    '[*_`#]+', '', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM documents""".stripMargin,
+
+    // integer largest-remainder allocation over the count frame, then the
+    // per-stratum md5-rank cut
+    "q163_sample_quota" ->
+      s"""WITH c AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+         |), t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+         |q0 AS (
+         |  SELECT lang, n,
+         |    least(200, t.nn) * n // t.nn AS base,
+         |    (least(200, t.nn) * n) % t.nn AS rem,
+         |    least(200, t.nn) AS tt
+         |  FROM c, t
+         |), q1 AS (
+         |  SELECT lang, n, base, rem, tt,
+         |    row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+         |    tt - sum(base) OVER () AS leftover
+         |  FROM q0
+         |), quota AS (
+         |  SELECT lang,
+         |    least(n, base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END) AS quota
+         |  FROM q1
+         |), r AS (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000, doc_id
+         |    ) AS rn
+         |  FROM documents
+         |)
+         |SELECT r.doc_id, r.lang, r.source
+         |FROM r JOIN quota ON quota.lang = r.lang
+         |WHERE r.rn <= quota.quota""".stripMargin,
+
+    // the reference cumulative is an ordered window — the engine side must
+    // land on the identical prefix via its per-partition offsets
+    "q164_token_budget" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, cum FROM r WHERE cum <= 1000000""".stripMargin,
 
     // lag/lead windows with the identical (t, event_id) tie-break
     "q154_event_scd2" ->

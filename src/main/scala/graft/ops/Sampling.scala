@@ -434,4 +434,65 @@ object Sampling {
           "left_anti")
     }
   }
+
+  /** Deterministic PROPORTIONAL quota sample of exactly `min(total, N)`
+    * rows: each stratum contributes its largest-remainder share
+    * `⌊T·nₛ/N⌋` (+1 for the strata with the largest remainders, ranked
+    * `T·nₛ mod N` descending with the stratum as tie-break, until the
+    * quotas sum to T) — the exact-count counterpart of
+    * [[stratifiedHashSample]]'s expected-rate sampling, for "give me
+    * exactly 100k docs with today's source mix" release cuts. Within a
+    * stratum the selected rows are the first `quotaₛ` in hash order of
+    * `key` (the [[topKPerKey]] rule with a per-stratum k), so the cut is
+    * reproducible and nested: growing T keeps every previously selected
+    * row whose stratum quota did not shrink.
+    *
+    * Everything is integer arithmetic — allocation is engine-exact, no
+    * float rate ever rounds. The allocation runs entirely on the
+    * |strata|-row count frame (two global windows over that tiny frame,
+    * never over data; no driver collect), then one broadcast join feeds
+    * the per-stratum rank filter: one data shuffle total, on the stratum
+    * key.
+    */
+  def quotaSample(df: DataFrame, strataCol: String, total: Long, key: Column,
+      seed: Int = 42, hash: HashFamily = XxHash): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_rem").desc, col(strataCol))
+    val quotas = counts
+      // "_tot", not "_N": Spark resolves column names case-insensitively,
+      // so "_N" would silently REPLACE "_n" in withColumn
+      .withColumn("_tot", sum(col("_n")).over(wAll))
+      .withColumn("_T", least(lit(total), col("_tot")))
+      .withColumn("_base", expr("(_T * _n) div _tot")) // integer division, stays long
+      .withColumn("_rem", expr("(_T * _n) % _tot"))
+      .withColumn("_left", col("_T") - sum(col("_base")).over(wAll))
+      .withColumn("_rr", row_number().over(wRem))
+      .select(col(strataCol),
+        least(col("_n"),
+          col("_base") + when(col("_rr") <= col("_left"), 1L).otherwise(0L)).as("_quota"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(bucket(key, seed, hash), key)
+    df.withColumn("_qs_rank", row_number().over(wRank))
+      .join(broadcast(quotas), Seq(strataCol))
+      .where(col("_qs_rank") <= col("_quota"))
+      .drop("_qs_rank", "_quota")
+  }
+
+  /** Token-budget corpus cut: keeps the prefix of `sortCols` order whose
+    * cumulative `tokens` stays within `budget` — "as much data as fits in
+    * the training budget, best first". The cumulative sum is the
+    * distributed prefix-sum ([[Stats.runningTotal]] — range partitioning
+    * + per-partition offsets), NOT a single-partition global window, so
+    * the cut scales; the `cum` column stays in the output as the
+    * audit trail. `sortCols` must be a total order (unique tie-break),
+    * `tokens` integer.
+    */
+  def tokenBudget(df: DataFrame, tokens: Column, budget: Long,
+      sortCols: Seq[Column], out: String = "cum"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    Stats.runningTotal(df, sortCols, tokens, out).where(col(out) <= budget)
+  }
 }

@@ -450,6 +450,58 @@ object Stats {
       .select(strata ++ Seq(col("p"), col("q")): _*)
   }
 
+  /** Global running total in a total order WITHOUT a single-partition
+    * window — the distributed prefix-sum: adds `out` = cumulative sum of
+    * `weight` (integer, nulls count 0) in the order of `sortCols`, which
+    * must be a TOTAL order (include a unique tie-break column) for the
+    * result to be well-defined.
+    *
+    * `Window.orderBy` with no partition key collapses the whole frame
+    * into ONE partition — the classic scale-killer for cumulative
+    * queries. This instead range-partitions on the sort key (the global
+    * order becomes partition-local order), takes one tiny pass for the
+    * |partitions| per-partition sums (a bounded driver collect, same
+    * class as the max-id scalar), and adds each partition's exclusive
+    * offset to its local cumsum in a single mapPartitions — the one
+    * genuinely imperative per-partition step in this module, which is
+    * exactly what mapPartitions is for. Two jobs over a tracked-persisted
+    * sorted frame; released by the harness `Caches.clear()` epilogue.
+    */
+  def runningTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      weight: Column,
+      out: String = "cum"): DataFrame = {
+    require(sortCols.nonEmpty, "runningTotal needs a total-order sort key")
+    val spark = df.sparkSession
+    val sorted = graft.Caches.track(
+      df.withColumn("_rt_w", coalesce(weight.cast("long"), lit(0L)))
+        .repartitionByRange(sortCols: _*)
+        .sortWithinPartitions(sortCols: _*))
+    val wIdx = sorted.schema.fieldIndex("_rt_w")
+    val partSums = sorted.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(wIdx))
+        Iterator((pid, s))
+      }
+      .collect() // ≤ |partitions| entries — bounded driver state
+    val offs = scala.collection.mutable.HashMap.empty[Int, Long]
+    var acc = 0L
+    partSums.sortBy(_._1).foreach { case (pid, s) => offs(pid) = acc; acc += s }
+    val bc = spark.sparkContext.broadcast(offs.toMap)
+    val outSchema = sorted.schema
+      .add(out, org.apache.spark.sql.types.LongType, nullable = false)
+    val rows = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var cum = bc.value(pid)
+      it.map { r =>
+        cum += r.getLong(wIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum)
+      }
+    }
+    spark.createDataFrame(rows, outSchema).drop("_rt_w")
+  }
+
   /** Functional-dependency violation report — does `lhs → rhs` hold, and
     * where does it break? Returns the lhs keys mapping to MORE than one
     * distinct rhs value, with `(lhsCols…, n_rows, n_rhs)` — the data-

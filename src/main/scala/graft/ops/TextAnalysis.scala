@@ -748,6 +748,23 @@ object TextAnalysis {
       regexp_replace(lower(text), "[\\x00-\\x1F]", " "),
       "\\s+", " "))
 
+  /** HTML/markdown markup stripping — the raw-crawl → plain-text step in
+    * front of every quality/dedup stage (the WET-extraction shape):
+    * markdown links keep their label, tags and character entities become
+    * whitespace, emphasis/heading marks drop, whitespace collapses. Pure
+    * codegen regexp projection, zero shuffle; every regex uses constructs
+    * with identical Java-regex/RE2 semantics so external engines replay
+    * it exactly (case preserved — compose with [[normalizeText]] for the
+    * canonical lowercased form).
+    */
+  def stripMarkup(text: Column): Column = {
+    val links    = regexp_replace(text, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val tags     = regexp_replace(links, "<[^>]*>", " ")
+    val entities = regexp_replace(tags, "&#?[a-zA-Z0-9]+;", " ")
+    val marks    = regexp_replace(entities, "[*_`#]+", "")
+    trim(regexp_replace(marks, "\\s+", " "))
+  }
+
   /** Top-k corpus tokens by total occurrence count (ties broken by token
     * text, so the result set is fully deterministic) — stopword mining /
     * heavy-hitter analysis over [[vocabulary]]. The order-by + limit plans

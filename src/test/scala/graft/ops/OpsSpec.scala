@@ -522,6 +522,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c3 === "two mails <EMAIL> <EMAIL> and host <IP>")
   }
 
+  test("stripMarkup: tags/entities to space, link labels kept, marks dropped, ws collapsed") {
+    import spark.implicits._
+    val out = Seq(
+      (1L, "<div class=\"x\"><p>Hello <b>world</b></p></div>"),
+      (2L, "See [the docs](http://example.com/a?b=c) now"),
+      (3L, "# Title\n\nSome *bold* and _em_ and `code` text"),
+      (4L, "A &amp; B &#39;quoted&#39; &lt;tag&gt;"),
+      (5L, "plain text stays")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.stripMarkup(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "Hello world")
+    assert(out(2L) === "See the docs now")
+    assert(out(3L) === "Title Some bold and em and code text")
+    assert(out(4L) === "A B quoted")
+    assert(out(5L) === "plain text stays")
+  }
+
   test("normalizeText strips controls, folds case, collapses whitespace") {
     import spark.implicits._
     val out = Seq(

@@ -393,4 +393,64 @@ class SamplingSpec extends SparkSpec {
     // the reverse orientation is excluded too: (v, 1) pairs are gone
     assert(excl.toSet.intersect(a1.map(v => (v, 1L)).toSet).isEmpty)
   }
+
+  test("quotaSample: largest-remainder allocation hand-computed; total exact") {
+    import spark.implicits._
+    // strata a:5, b:3, c:2 → N=10, T=6: base 3/1/1 (floor of 3.0/1.8/1.2),
+    // rems 0/8/2 → leftover 1 goes to b → quotas 3/2/1
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("lang", "doc_id")
+    val got = Sampling.quotaSample(df, "lang", total = 6L, key = col("doc_id"))
+      .collect().map(r => r.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == Map("a" -> 3, "b" -> 2, "c" -> 1))
+  }
+
+  test("quotaSample: T >= N returns everything; T=0 returns nothing; partition-invariant") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (if (i % 3 == 0) "x" else "y", i)).toDF("lang", "doc_id")
+    assert(Sampling.quotaSample(df, "lang", 1000L, col("doc_id")).count() == 40L)
+    assert(Sampling.quotaSample(df, "lang", 0L, col("doc_id")).count() == 0L)
+    val a = Sampling.quotaSample(df, "lang", 10L, col("doc_id"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val b = Sampling.quotaSample(df.repartition(13), "lang", 10L, col("doc_id"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(a == b && a.size == 10)
+  }
+
+  test("quotaSample nests: growing T keeps every row whose stratum quota grew or held") {
+    import spark.implicits._
+    val df = (1L to 60L).map(i => (if (i % 4 == 0) "x" else "y", i)).toDF("lang", "doc_id")
+    val small = Sampling.quotaSample(df, "lang", 12L, col("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+    val big = Sampling.quotaSample(df, "lang", 30L, col("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+    small.foreach { case (lang, rows) =>
+      if (big(lang).size >= rows.size)
+        assert(rows.map(_._2).toSet.subsetOf(big(lang).map(_._2).toSet))
+    }
+  }
+
+  test("tokenBudget: prefix matches the single-partition window reference") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, (i * 37 % 91) + 1)).toDF("doc_id", "tok")
+    val got = Sampling.tokenBudget(df.repartition(11), col("tok"), budget = 2000L,
+        sortCols = Seq(col("tok"), col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tok"), col("doc_id")).rowsBetween(Long.MinValue, 0)
+    val ref = df.withColumn("cum", sum(col("tok")).over(w))
+      .where(col("cum") <= 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == ref && got.nonEmpty)
+    graft.Caches.clear()
+  }
+
+  test("tokenBudget plans the distributed prefix sum, not a single-partition window") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("doc_id", "tok")
+    val out = Sampling.tokenBudget(df, col("tok"), 100L, Seq(col("tok"), col("doc_id")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"tokenBudget must not use a global window:\n$plan")
+    graft.Caches.clear()
+  }
 }
