@@ -1164,6 +1164,25 @@ object SparkEntry {
         tokens = col("n_chars"), budget = 1000000L,
         sortCols = Seq(col("n_chars"), col("doc_id")))),
 
+    // Unicode NFC normalization (native codegen expression — Spark has no
+    // built-in normalizer): decomposed combining sequences injected ahead
+    // of each doc must compose to the precomposed forms; the length column
+    // proves composition happened (both engines count code points)
+    "q165_nfc_normalize" -> ((s, dir) => {
+      // explicit escapes: the injected marks are DECOMPOSED combining chars
+      val marked = concat(lit("Cafe\u0301 nai\u0308ve "), col("text"))
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.nfcNormalize(marked).as("clean"))
+        .withColumn("n", length(col("clean")))
+    }),
+
+    // top user journeys: first-5 event types per user joined ">", counted,
+    // top-20 — path assembly is max(when(rn=i)) per step, NO arrays/HOFs
+    // (both interpreted); final top-k plans as TakeOrderedAndProject
+    "q166_event_paths" -> ((s, dir) =>
+      graft.ops.EventAnalytics.topPaths(E(s, dir), k = 20, maxSteps = 5)),
+
     // SCD-2 validity intervals: per-user event-type history collapsed to
     // change points, each stamped [valid_from, valid_to) — null-safe
     // change test, unique-id tie-break, integer epochs: engine-exact
@@ -3900,6 +3919,30 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id, n_chars, cum FROM r WHERE cum <= 1000000""".stripMargin,
+
+    // DuckDB composes the identical injected decomposed marks; both
+    // engines count code points, so n proves composition happened
+    "q165_nfc_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize('Café naïve ' || text)
+        |    AS clean,
+        |  CAST(length(
+        |    nfc_normalize('Café naïve ' || text)
+        |  ) AS INT) AS n
+        |FROM documents""".stripMargin,
+
+    // identical (ts, event_id) step ordering; string_agg ORDER BY builds
+    // the path, ties at the top-k boundary break by path text
+    "q166_event_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id
+        |), c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1)
+        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     // lag/lead windows with the identical (t, event_id) tie-break
     "q154_event_scd2" ->

@@ -286,4 +286,42 @@ object EventAnalytics {
       .withColumn("z", z)
       .withColumn("is_anomaly", when(col("z").isNotNull, abs(col("z")) > threshold))
   }
+
+  /** Top-k user journeys: each user's first `maxSteps` event types in
+    * time order joined `">"`-separated, counted across users, top `k`
+    * paths by frequency (ties by path text). The "what do sessions
+    * actually do" product-analytics staple.
+    *
+    * The path assembles WITHOUT arrays or higher-order functions (both
+    * interpreted): step i is the plain aggregate `max(when(rn = i, type))`
+    * — one codegen column per step — and `concat_ws` skips the NULLs of
+    * users with fewer than `maxSteps` events. Cost: one window shuffle on
+    * the user key over rows already filtered to `rn <= maxSteps`... the
+    * row_number filter itself runs on the same shuffle; then two partial-
+    * aggregated shuffles (per-user, per-path) whose frames only shrink,
+    * and the final top-k plans as TakeOrderedAndProject.
+    */
+  def topPaths(
+      events: DataFrame,
+      k: Int,
+      maxSteps: Int,
+      seriesCol: String = "event_type",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"
+  ): DataFrame = {
+    require(k > 0 && maxSteps > 0, s"need k > 0 and maxSteps > 0, got k=$k maxSteps=$maxSteps")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val steps = (1 to maxSteps).map(i =>
+      max(when(col("_rn") === i, col(seriesCol))))
+    events
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxSteps)
+      .groupBy(col(userCol))
+      .agg(concat_ws(">", steps: _*).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

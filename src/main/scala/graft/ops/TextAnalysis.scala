@@ -748,6 +748,26 @@ object TextAnalysis {
       regexp_replace(lower(text), "[\\x00-\\x1F]", " "),
       "\\s+", " "))
 
+  /** Unicode NFC normalization (canonical composition) — REQUIRED ahead of
+    * any fingerprint/hash dedup over multi-source text: `e + U+0301` and
+    * `U+00E9` must hash identically, and a crawl mixes both spellings.
+    * A native codegen expression (Spark has no built-in normalizer; the
+    * usual UDF fallback breaks codegen). Registered in SQL as
+    * `nfc_normalize`.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.TextExpressionFunctions.nfcNormalize(text)
+
+  /** Deflate compression ratio (compressed/raw, level-6 raw deflate) —
+    * the redundancy quality signal: templated boilerplate compresses far
+    * below prose, near-1 flags high-entropy blobs. Native codegen
+    * expression; NOT SQL-portable (implementation-defined byte counts), so
+    * rank/threshold on it rather than compare across engines — its
+    * correctness contract is the spec suite. SQL name `deflate_ratio`.
+    */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.graft.TextExpressionFunctions.deflateRatio(text)
+
   /** HTML/markdown markup stripping — the raw-crawl → plain-text step in
     * front of every quality/dedup stage (the WET-extraction shape):
     * markdown links keep their label, tags and character entities become

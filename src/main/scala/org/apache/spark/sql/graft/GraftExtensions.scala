@@ -32,6 +32,8 @@ object GraftFunctions {
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product"       -> (es => DotProduct(es(0), es(1))),
     "jaro_winkler"      -> (es => JaroWinkler(es(0), es(1))),
+    "nfc_normalize"     -> (es => NfcNormalize(es(0))),
+    "deflate_ratio"     -> (es => DeflateRatio(es(0))),
     "simhash_agg"       -> (es => SimHashAgg(es(0))),
     "topk_agg"          -> (es => TopKAgg(es(0), es(1), foldInt(es(2), "topk_agg"))),
     "countmin_agg"      -> (es =>

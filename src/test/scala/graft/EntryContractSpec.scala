@@ -43,6 +43,10 @@ class EntryContractSpec extends SparkSpec {
       "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
         "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
+    val t = spark.sql(
+      "SELECT length(nfc_normalize('Café')) AS n, deflate_ratio('aaaaaaaaaaaaaaaa') AS dr").head()
+    assert(t.getInt(0) == 4, "NFC must compose the combining acute")
+    assert(t.getDouble(1) > 0.0 && t.getDouble(1) < 1.0)
   }
 
   test("registered SQL aggregates: topk_agg and simhash_agg work from spark.sql") {

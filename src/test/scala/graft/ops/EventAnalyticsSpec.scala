@@ -179,6 +179,29 @@ class EventAnalyticsSpec extends SparkSpec {
       s"window must run over aggregated buckets:\n$plan")
   }
 
+  test("topPaths: ordered steps, short users included, counts and tie-break") {
+    val df = events(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "buy", 300L),
+      (2L, "view", 10L), (2L, "click", 20L), (2L, "buy", 30L),
+      (3L, "view", 5L),                       // short journey: its own path
+      (4L, "click", 1L), (4L, "view", 2L))    // order by ts, not insertion
+    val got = EventAnalytics.topPaths(df, k = 10, maxSteps = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(
+      ("view>click>buy", 2L),
+      ("click>view", 1L),     // tie 1-1 broken by path text
+      ("view", 1L)))
+  }
+
+  test("topPaths: maxSteps truncates; k cuts at the (n desc, path) order") {
+    val df = events(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (1L, "d", 4L),
+      (2L, "a", 1L), (2L, "b", 2L))
+    val got = EventAnalytics.topPaths(df, k = 1, maxSteps = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b", 2L)), "both users share the 2-step prefix")
+  }
+
   test("funnel plan prunes the scan per step and never shuffles raw events") {
     val df = events((1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L))
     val out = EventAnalytics.funnel(df, Seq("view", "click", "purchase"), windowTs = 1000L)

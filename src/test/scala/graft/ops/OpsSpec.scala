@@ -522,6 +522,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c3 === "two mails <EMAIL> <EMAIL> and host <IP>")
   }
 
+  test("nfcNormalize: decomposed sequences compose; composed text is a fixpoint; codegen") {
+    import spark.implicits._
+    val decomposed = "Café naïve"
+    val composed   = "Café naïve"
+    val out = Seq((1L, decomposed), (2L, composed), (3L, "ascii only"), (4L, null))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.nfcNormalize(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == composed, "combining marks must compose")
+    assert(out(2L) == composed, "already-composed input is a fixpoint")
+    assert(out(3L) == "ascii only")
+    assert(out(4L) == null, "null-safe")
+    // the dedup motivation: both spellings now share one fingerprint
+    val fps = Seq((1L, decomposed), (2L, composed)).toDF("id", "t")
+      .select(TextAnalysis.fingerprint(TextAnalysis.nfcNormalize(col("t"))).as("fp"))
+      .collect().map(_.getString(0)).distinct
+    assert(fps.length == 1, "NFC-normalized spellings must hash identically")
+  }
+
+  test("compressionRatio: repetition compresses below prose, prose below noise; deterministic") {
+    import spark.implicits._
+    val rep   = "spam ham " * 200
+    val prose = (1 to 50).map(i => s"sentence number $i differs every time").mkString(". ")
+    // seeded Random: deterministic, and genuinely structure-free (a linear
+    // congruence mod 93 has visible period structure deflate finds)
+    val noise = new scala.util.Random(7).alphanumeric.take(400).mkString
+    val out = Seq((1L, rep), (2L, prose), (3L, noise), (4L, null))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L),
+      s"ordering must be repetition < prose < noise, got $out")
+    assert(out(1L) < 0.1 && out(3L) > 0.5)
+    assert(out(4L) == -1.0, "null-safe")
+    // partitioning cannot change a per-row projection
+    val a = Seq.tabulate(40)(i => (i.toLong, prose + i)).toDF("id", "t")
+    val r1 = a.select(TextAnalysis.compressionRatio(col("t"))).collect().map(_.getDouble(0)).sorted
+    val r2 = a.repartition(7).select(TextAnalysis.compressionRatio(col("t"))).collect().map(_.getDouble(0)).sorted
+    assert(r1.sameElements(r2))
+  }
+
   test("stripMarkup: tags/entities to space, link labels kept, marks dropped, ws collapsed") {
     import spark.implicits._
     val out = Seq(
@@ -536,7 +577,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) === "Hello world")
     assert(out(2L) === "See the docs now")
     assert(out(3L) === "Title Some bold and em and code text")
-    assert(out(4L) === "A B quoted")
+    // entities become WHITESPACE (no decoding): "&lt;tag&gt;" leaves "tag"
+    assert(out(4L) === "A B quoted tag")
     assert(out(5L) === "plain text stays")
   }
 
