@@ -1183,6 +1183,48 @@ object SparkEntry {
     "q166_event_paths" -> ((s, dir) =>
       graft.ops.EventAnalytics.topPaths(E(s, dir), k = 20, maxSteps = 5)),
 
+    // last-touch attribution report: each purchase attributes to the
+    // nearest preceding view/click within a day (the q46 one-shuffle
+    // union-scan as-of), revenue rolled up per touch type — decimal-cast
+    // sums keep the money totals order-free
+    "q167_attribution" -> ((s, dir) => {
+      val ev = E(s, dir).withColumn("tsu", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tsu"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+      val touches = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("tsu"), col("event_id"),
+          col("event_type").as("touch_type"))
+      graft.ops.AsOfJoin.backward(purchases, touches, Seq("user_id"), "tsu",
+          rightCols = Seq("event_id", "touch_type"), prefix = "touch_",
+          tolerance = Some(86400000000L))
+        .groupBy(coalesce(col("touch_touch_type"), lit("unattributed")).as("touch"))
+        .agg(
+          count(lit(1)).as("purchases"),
+          round(sum(col("value").cast("decimal(38,12)")).cast("double"), 2)
+            .as("revenue"))
+    }),
+
+    // TPC-H Q5-shaped star join (the optimizer showcase): lineitem ⋈
+    // orders ⋈ customer ⋈ supplier (same-nation condition) ⋈ nation ⋈
+    // region, revenue per region/nation — dims broadcast, fact shuffles
+    // only on join keys, AQE reorders; decimal-cast revenue sums
+    "q168_star_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      li.join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,12)")).cast("double"), 2).as("revenue"))
+    }),
+
     // SCD-2 validity intervals: per-user event-type history collapsed to
     // change points, each stamped [valid_from, valid_to) — null-safe
     // change test, unique-id tie-break, integer epochs: engine-exact
@@ -3943,6 +3985,41 @@ object SparkEntry {
         |  FROM r WHERE rn <= 5 GROUP BY user_id
         |), c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1)
         |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // LATERAL top-1 last touch (the q46 mirror with the payload-struct
+    // (tsu, event_id, touch_type) tie order), rolled up per touch type
+    "q167_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu,
+        |    coalesce(value, CAST(0.0 AS DOUBLE)) AS value
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |)
+        |SELECT coalesce(m.touch_type, 'unattributed') AS touch,
+        |  CAST(count(*) AS BIGINT) AS purchases,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 2) AS revenue
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT t.touch_type FROM t
+        |  WHERE t.user_id = p.user_id AND t.tsu <= p.tsu
+        |    AND t.tsu >= p.tsu - 86400000000
+        |  ORDER BY t.tsu DESC, t.event_id DESC, t.touch_type DESC LIMIT 1) m ON TRUE
+        |GROUP BY 1""".stripMargin,
+
+    // the same six-table star; revenue terms decimal-cast before summing
+    "q168_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // lag/lead windows with the identical (t, event_id) tie-break
     "q154_event_scd2" ->

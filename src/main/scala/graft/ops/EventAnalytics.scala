@@ -269,11 +269,27 @@ object EventAnalytics {
       tsCol: String = "ts"
   ): DataFrame = {
     require(bucketTs > 0, s"bucketTs must be positive, got $bucketTs")
-    require(trailing >= minPrior && minPrior >= 2,
-      s"need trailing >= minPrior >= 2, got trailing=$trailing minPrior=$minPrior")
     val counts = events
       .groupBy(col(seriesCol), expr(s"`$tsCol` div $bucketTs").as("bucket"))
       .agg(count(lit(1)).as("n"))
+    anomaliesFromCounts(counts, trailing, threshold, minPrior, seriesCol)
+  }
+
+  /** The z-scoring half of [[anomalies]], applied to an ALREADY-bucketed
+    * count frame `(seriesCol, bucket, n)` — the incremental face: counts
+    * per bucket are plain mergeable sums, so a monitor can maintain them
+    * per batch ([[graft.streaming.StreamingRateMonitor]]) and re-score
+    * only the merged |series|×|buckets| frame, never rescanning events.
+    */
+  def anomaliesFromCounts(
+      counts: DataFrame,
+      trailing: Int,
+      threshold: Double = 3.0,
+      minPrior: Int = 3,
+      seriesCol: String = "event_type"
+  ): DataFrame = {
+    require(trailing >= minPrior && minPrior >= 2,
+      s"need trailing >= minPrior >= 2, got trailing=$trailing minPrior=$minPrior")
     val w = Window.partitionBy(col(seriesCol)).orderBy(col("bucket"))
       .rowsBetween(-trailing.toLong, -1L)
     val m  = count(lit(1)).over(w)
