@@ -1225,6 +1225,43 @@ object SparkEntry {
             .cast("decimal(38,12)")).cast("double"), 2).as("revenue"))
     }),
 
+    // per-day value percentile bands (latency-dashboard shape): exact
+    // rank-based quantiles per time bucket — selected values are actual
+    // data, the q119 rule with time strata
+    "q169_latency_bands" -> ((s, dir) => {
+      val ev = E(s, dir).where(col("value").isNotNull)
+        .withColumn("day", expr("ts div 86400000000000"))
+      graft.ops.Stats.quantileProfile(ev, col("value"), Seq("day"), Seq(0.5, 0.9, 0.99))
+    }),
+
+    // rolling 7-day distinct actives + daily actives: events collapse to
+    // the deduped (user, day) frame, each row fans out map-side to the 7
+    // buckets it keeps alive, one exact-distinct aggregate per bucket —
+    // never a distinct-over-range rescan per day
+    "q170_rolling_active" -> ((s, dir) =>
+      graft.ops.EventAnalytics.rollingDistinct(
+        E(s, dir), bucketTs = 86400000000000L, window = 7)),
+
+    // median imputation per language (nulls synthesized on %13): the fill
+    // value is the rank-based median — an ACTUAL data value, engine-exact
+    // where a mean would float-sum; broadcast |strata| medians, data
+    // never shuffles
+    "q171_impute_median" -> ((s, dir) => {
+      val d = T(s, dir, "documents").withColumn("n_chars",
+        when(col("doc_id") % 13 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars")))
+      graft.ops.Stats.imputeMedian(d, "n_chars", Seq("lang"))
+        .select("doc_id", "lang", "n_chars", "imputed")
+    }),
+
+    // per-language winsorization to the [p05, p95] band: outliers CLAMP
+    // (rankTrim's keep-every-row complement); band edges are actual data
+    // values, broadcast back — the data never shuffles for the clamp
+    "q172_winsorize" -> ((s, dir) =>
+      graft.ops.Stats.winsorize(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        col("n_chars"), Seq("lang"), loP = 0.05, hiP = 0.95)),
+
     // SCD-2 validity intervals: per-user event-type history collapsed to
     // change points, each stamped [valid_from, valid_to) — null-safe
     // change test, unique-id tie-break, integer epochs: engine-exact
@@ -4020,6 +4057,77 @@ object SparkEntry {
         |JOIN nation   ON s_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // the q119 rank-quantile rule with day strata
+    "q169_latency_bands" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, value
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT day, value,
+        |    row_number() OVER (PARTITION BY day ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY day) AS n
+        |  FROM e)
+        |SELECT day, p, value AS q
+        |FROM r, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |                (CAST(0.99 AS DOUBLE))) AS t(p)
+        |WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))""".stripMargin,
+
+    // reference semantics: distinct users whose day lands in (b-6 .. b]
+    "q170_rolling_active" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS b
+        |  FROM events
+        |), obs AS (SELECT DISTINCT b FROM du),
+        |roll AS (
+        |  SELECT o.b, CAST(count(DISTINCT du.user_id) AS BIGINT) AS rolling_active
+        |  FROM obs o JOIN du ON du.b BETWEEN o.b - 6 AND o.b
+        |  GROUP BY o.b
+        |), d AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY b
+        |)
+        |SELECT d.b AS bucket, d.dau, r.rolling_active
+        |FROM d JOIN roll r ON r.b = d.b""".stripMargin,
+
+    // rank-based median per lang over the non-null rows, left-joined back
+    "q171_impute_median" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM d WHERE n_chars IS NOT NULL
+        |), m AS (
+        |  SELECT lang, n_chars AS med FROM r
+        |  WHERE rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+        |)
+        |SELECT d.doc_id, d.lang, coalesce(d.n_chars, m.med) AS n_chars,
+        |  (d.n_chars IS NULL AND m.med IS NOT NULL) AS imputed
+        |FROM d LEFT JOIN m ON m.lang = d.lang""".stripMargin,
+
+    // band edges at ranks ceil(p·n); null values stay null (both engines'
+    // least/greatest would otherwise null-skip into a band edge)
+    "q172_winsorize" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), b AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT))
+        |        THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT))
+        |        THEN n_chars END) AS hi
+        |  FROM r GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CASE WHEN d.n_chars IS NOT NULL
+        |    THEN greatest(b.lo, least(b.hi, d.n_chars)) END AS winsorized
+        |FROM documents d LEFT JOIN b ON b.lang = d.lang""".stripMargin,
 
     // lag/lead windows with the identical (t, event_id) tie-break
     "q154_event_scd2" ->

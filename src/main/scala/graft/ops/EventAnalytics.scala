@@ -303,6 +303,42 @@ object EventAnalytics {
       .withColumn("is_anomaly", when(col("z").isNotNull, abs(col("z")) > threshold))
   }
 
+  /** Rolling distinct actives (DAU/WAU/MAU): per observed time bucket, the
+    * EXACT distinct `userCol` count over the trailing `window` buckets —
+    * the "7-day active users" dashboard series, where a naive per-day
+    * distinct-over-range rescans the window per day.
+    *
+    * Scale shape: events first collapse to the deduped `(user, bucket)`
+    * frame (one shuffle — the frame is ≤ users×buckets however many raw
+    * events exist), then each row FANS OUT map-side to the `window` target
+    * buckets it keeps alive (`explode(sequence)` — codegen, ×window rows
+    * of two longs), and one exact-distinct aggregate per target bucket
+    * finishes. Trailing buckets with no events of their own don't appear
+    * (present-bucket semantics, as [[timeSeries]]); window edges at the
+    * stream start are partial by definition.
+    */
+  def rollingDistinct(
+      events: DataFrame,
+      bucketTs: Long,
+      window: Int,
+      userCol: String = "user_id",
+      tsCol: String = "ts"
+  ): DataFrame = {
+    require(bucketTs > 0, s"bucketTs must be positive, got $bucketTs")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val du = events
+      .select(col(userCol).as("_u"), expr(s"`$tsCol` div $bucketTs").as("_b"))
+      .distinct()
+    val dau = du.groupBy(col("_b").as("bucket")).agg(count(lit(1)).as("dau"))
+    val rolling = du
+      .withColumn("bucket", explode(sequence(col("_b"), col("_b") + (window - 1).toLong)))
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("_u")).as("rolling_active"))
+    // observed buckets only: the fanout also lands on trailing buckets
+    // with no events of their own — dau's inner join drops them
+    dau.join(rolling, Seq("bucket"))
+  }
+
   /** Top-k user journeys: each user's first `maxSteps` event types in
     * time order joined `">"`-separated, counted across users, top `k`
     * paths by frequency (ties by path text). The "what do sessions

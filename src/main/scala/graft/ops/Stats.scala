@@ -450,6 +450,70 @@ object Stats {
       .select(strata ++ Seq(col("p"), col("q")): _*)
   }
 
+  /** Null imputation with the per-stratum MEDIAN (the rank-based type-1
+    * median — an actual data value, so the filled column stays
+    * engine-exact where a mean would be float-summed): returns the frame
+    * with `valueCol` null-filled and an `imputed` flag. Strata with ONLY
+    * null values keep their nulls (flag false — nothing to impute from).
+    *
+    * Cost: the quantile pass runs on the non-null rows (one shuffle +
+    * per-stratum sort), produces a |strata|-row median frame that
+    * broadcast-joins back; the data itself never shuffles for the fill.
+    */
+  def imputeMedian(
+      df: DataFrame,
+      valueCol: String,
+      strataCols: Seq[String]
+  ): DataFrame = {
+    val medians = quantileProfile(
+        df.where(col(valueCol).isNotNull), col(valueCol), strataCols, Seq(0.5))
+      .withColumnRenamed("q", "_med")
+      .drop("p")
+    val joined =
+      if (strataCols.isEmpty) df.crossJoin(broadcast(medians))
+      else df.join(broadcast(medians), strataCols, "left")
+    joined
+      .withColumn("imputed", col(valueCol).isNull && col("_med").isNotNull)
+      .withColumn(valueCol, coalesce(col(valueCol), col("_med")))
+      .drop("_med")
+  }
+
+  /** Per-stratum winsorization: CLAMPS `value` into the stratum's
+    * `[q(loP), q(hiP)]` rank-based quantile band instead of dropping the
+    * tail rows (the complement of `Sampling.rankTrim` — keep every row,
+    * bound the influence of outliers before means/fits). Adds
+    * `<out>` = clamped value; the band bounds are ACTUAL data values
+    * (type-1 quantiles), so the result is engine-exact.
+    *
+    * One quantile pass (shuffle + per-stratum sort) to a 2×|strata| band
+    * frame, pivoted to `(strata…, lo, hi)` and broadcast back — the data
+    * never shuffles for the clamp.
+    */
+  def winsorize(
+      df: DataFrame,
+      value: Column,
+      strataCols: Seq[String],
+      loP: Double,
+      hiP: Double,
+      out: String = "winsorized"
+  ): DataFrame = {
+    require(loP > 0.0 && hiP <= 1.0 && loP <= hiP,
+      s"need 0 < loP <= hiP <= 1, got [$loP, $hiP]")
+    val qs = quantileProfile(df.where(value.isNotNull), value, strataCols, Seq(loP, hiP))
+    val bands = qs.groupBy(strataCols.map(col): _*).agg(
+      max(when(col("p") === loP, col("q"))).as("_lo"),
+      max(when(col("p") === hiP, col("q"))).as("_hi"))
+    val joined =
+      if (strataCols.isEmpty) df.crossJoin(broadcast(bands))
+      else df.join(broadcast(bands), strataCols, "left")
+    joined
+      // explicit null guard: least/greatest IGNORE nulls (a null value
+      // would otherwise "clamp" to the band edge instead of staying null)
+      .withColumn(out,
+        when(value.isNotNull, greatest(col("_lo"), least(col("_hi"), value))))
+      .drop("_lo", "_hi")
+  }
+
   /** Global running total in a total order WITHOUT a single-partition
     * window — the distributed prefix-sum: adds `out` = cumulative sum of
     * `weight` (integer, nulls count 0) in the order of `sortCols`, which

@@ -179,6 +179,19 @@ class EventAnalyticsSpec extends SparkSpec {
       s"window must run over aggregated buckets:\n$plan")
   }
 
+  test("rollingDistinct: window union of users, dau exact, repeat events collapse") {
+    // bucketTs=10, window=3. users per bucket: b0:{1,2}, b1:{2}, b3:{3}
+    val df = events(
+      (1L, "t", 1L), (2L, "t", 2L), (2L, "t", 3L), // b0 (user 2 twice)
+      (2L, "t", 11L),                               // b1
+      (3L, "t", 31L))                               // b3
+    val got = EventAnalytics.rollingDistinct(df, bucketTs = 10L, window = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // b0: dau 2, rolling {1,2}=2; b1: dau 1, rolling b0∪b1 {1,2}=2;
+    // b3: dau 1, rolling b1..b3 = {2,3}=2 (b2 absent, not emitted)
+    assert(got == Map(0L -> ((2L, 2L)), 1L -> ((1L, 2L)), 3L -> ((1L, 2L))))
+  }
+
   test("topPaths: ordered steps, short users included, counts and tie-break") {
     val df = events(
       (1L, "view", 100L), (1L, "click", 200L), (1L, "buy", 300L),

@@ -271,6 +271,38 @@ class StatsSpec extends SparkSpec {
     assert(got == Map(0.1 -> 10L, 0.3 -> 20L, 0.5 -> 30L))
   }
 
+  test("imputeMedian: per-stratum rank median fills nulls; all-null stratum keeps nulls") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)), ("a", None),
+      ("b", Some(7L)), ("b", None),
+      ("c", None)).map { case (s, v) => (s, v.map(Long.box).orNull) }
+      .toDF("s", "v")
+    val got = Stats.imputeMedian(df, "v", Seq("s"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getBoolean(2)))
+    // a: median of (10,20,30) = 20 (rank ceil(1.5)=2); b: median 7
+    assert(got.count { case ("a", v, imp) => imp && v == 20L; case _ => false } == 1)
+    assert(got.count { case ("b", v, imp) => imp && v == 7L; case _ => false } == 1)
+    // c has nothing to impute from: null survives, flag false
+    assert(got.collect { case ("c", v, imp) => (v, imp) }.toSeq == Seq((null, false)))
+    assert(got.count(_._2 == null) == 1)
+  }
+
+  test("winsorize: clamps into the [p-lo, p-hi] band; nulls stay null") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(v => ("a", Long.box(v))) :+ (("a", null.asInstanceOf[java.lang.Long])))
+      .toDF("s", "v")
+    val got = Stats.winsorize(df, col("v"), Seq("s"), loP = 0.05, hiP = 0.95)
+      .collect().map(r => (if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    // bands: lo = value at rank 5 = 5, hi = rank 95 = 95
+    assert(got(1L) == 5L && got(4L) == 5L && got(5L) == 5L)
+    assert(got(50L) == 50L)
+    assert(got(95L) == 95L && got(96L) == 95L && got(100L) == 95L)
+    assert(got(null) == null, "null value must stay null, not clamp to a band edge")
+  }
+
   test("weightedQuantileProfile: uniform weights reduce to quantileProfile") {
     import spark.implicits._
     val df = (1L to 97L).map(i => (i, 1L)).toDF("v", "id")
