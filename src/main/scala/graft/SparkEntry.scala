@@ -1262,6 +1262,28 @@ object SparkEntry {
         T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
         col("n_chars"), Seq("lang"), loP = 0.05, hiP = 0.95)),
 
+    // silhouette-style per-class separation: margin = own-centroid cosine
+    // minus best other-centroid cosine, negative ⇒ mislabel/overlap
+    // signal; rounded cosines, decimal-summed margins, one division
+    "q173_centroid_margin" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      VectorOps.centroidMargin(emb, VectorOps.labelCentroids(emb))
+    }),
+
+    // incremental materialized aggregate: three disjoint batches'
+    // partials merged then served ≡ one direct grouped aggregate over the
+    // whole table (the oracle) — counts/decimal-sums/min/max are all
+    // mergeable, averages derive at read time
+    "q174_matagg_serve" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val parts = (0 to 2).map(i =>
+        graft.ops.MaterializedAgg.partials(
+          li.where(col("l_orderkey") % 3 === i),
+          groupCols = Seq("l_returnflag", "l_linestatus"),
+          valueCols = Seq("l_quantity", "l_extendedprice")))
+      graft.ops.MaterializedAgg.serve(graft.ops.MaterializedAgg.merge(parts))
+    }),
+
     // SCD-2 validity intervals: per-user event-type history collapsed to
     // change points, each stamped [valid_from, valid_to) — null-safe
     // change test, unique-id tie-break, integer epochs: engine-exact
@@ -4128,6 +4150,51 @@ object SparkEntry {
         |  CASE WHEN d.n_chars IS NOT NULL
         |    THEN greatest(b.lo, least(b.hi, d.n_chars)) END AS winsorized
         |FROM documents d LEFT JOIN b ON b.lang = d.lang""".stripMargin,
+
+    // q60's rounded-centroid scoring, own-vs-best-other max split, decimal
+    // margin rollup
+    "q173_centroid_margin" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label,
+        |        unnest(list_transform(range(len(v)), i -> {'pos': i, 'x': v[i + 1]})) AS u
+        |      FROM e),
+        |cv AS (
+        |  SELECT label AS c_label, list(m ORDER BY pos) AS cvec
+        |  FROM (SELECT label, u.pos AS pos, round(avg(u.x), 6) AS m FROM x GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, cv.c_label,
+        |    round(list_dot_product(e.v, cv.cvec)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.cvec, cv.cvec))),
+        |      6) AS s
+        |  FROM e, cv),
+        |m AS (
+        |  SELECT vec_id, label,
+        |    round(max(CASE WHEN label = c_label THEN s END)
+        |      - max(CASE WHEN label <> c_label THEN s END), 6) AS margin
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(margin AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+        |    AS mean_margin,
+        |  CAST(sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_confused
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // the whole-table grouped aggregate IS the oracle for the merged
+    // incremental state
+    "q174_matagg_serve" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |    AS sum_l_quantity,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+        |    / count(l_quantity), 6) AS avg_l_quantity,
+        |  min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |    AS sum_l_extendedprice,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE)
+        |    / count(l_extendedprice), 6) AS avg_l_extendedprice,
+        |  min(l_extendedprice) AS min_l_extendedprice,
+        |  max(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     // lag/lead windows with the identical (t, event_id) tie-break
     "q154_event_scd2" ->

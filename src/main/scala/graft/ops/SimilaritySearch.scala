@@ -114,6 +114,52 @@ object VectorOps {
         col(idCol), col(labelCol), col("cos_to_centroid"),
         (col("cos_to_centroid") < tau).as("is_outlier"))
   }
+
+  /** Per-class separation report (a silhouette-style cluster-quality
+    * metric in cosine space): for every vector, `own` = cosine to its OWN
+    * label's centroid and `other` = best cosine to any OTHER centroid;
+    * `margin = own − other` (negative ⇒ the point sits closer to another
+    * class — a mislabel/overlap signal). Rolled up per label:
+    * `(label, n, mean_margin, n_confused)`.
+    *
+    * Portability discipline: per-row cosines round to 6 before the
+    * subtraction, margins decimal-sum (order-free), the mean is ONE
+    * division off the exact sum. Shape follows [[nearestCentroid]]:
+    * centroids reassemble to |labels| tiny array rows and broadcast; the
+    * per-vector work is a map-side |labels|-way fanout + codegen cosine;
+    * the only shuffles carry (id, label)-grained scalars.
+    */
+  def centroidMargin(
+      df: DataFrame,
+      centroids: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      scale: Int = 6
+  ): DataFrame = {
+    val cvecs = centroids
+      .groupBy(col(labelCol).as("_c_label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("_o"))
+      .select(col("_c_label"), transform(col("_o"), x => x.getField("mean")).as("_cvec"))
+    val scored = df.crossJoin(broadcast(cvecs))
+      .withColumn("_s",
+        round(VectorOps.cosine(col(vecCol).cast("array<double>"), col("_cvec")), scale))
+    val margins = scored
+      .groupBy(col(idCol), col(labelCol))
+      .agg(
+        max(when(col(labelCol) === col("_c_label"), col("_s"))).as("_own"),
+        max(when(col(labelCol) =!= col("_c_label"), col("_s"))).as("_other"))
+      .withColumn("margin", round(col("_own") - col("_other"), scale))
+    margins
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n"),
+        // exact decimal sum → double FIRST, then ONE double division (a
+        // decimal division would drag engine-specific scale rules in)
+        round(sum(col("margin").cast("decimal(38,12)")).cast("double") / count(lit(1)),
+          scale).as("mean_margin"),
+        sum(when(col("margin") < 0, 1L).otherwise(0L)).as("n_confused"))
+  }
 }
 
 /** Approximate-nearest-neighbor search over an embedding column.

@@ -31,6 +31,7 @@ object PlanAudit {
   private val bnlAllowlist: Set[String] = Set(
     "q54_text_bm25",              // query-term literals probe the postings
     "q60_embed_nearest_centroid", // broadcast centroid table
+    "q173_centroid_margin",       // same broadcast |labels|-row centroid fanout as q60
     "q83_knn_join",               // query batch broadcast into TopKAgg
     "q101_heavy_hitters",         // one-row sketch crossJoin
     "q102_decontaminate_semantic", // eval side broadcast — exactness is the contract

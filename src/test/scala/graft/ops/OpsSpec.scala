@@ -906,6 +906,24 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(out(4L)._1 === 1.0)
   }
 
+  test("centroidMargin: clean classes get positive margins; a mislabel counts confused") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Seq(1.0f, 0.0f)),
+      (2L, "a", Seq(1.0f, 0.1f)),
+      (3L, "b", Seq(0.0f, 1.0f)),
+      (4L, "b", Seq(0.1f, 1.0f)),
+      (5L, "a", Seq(0.0f, 1.0f))  // labeled a, sits on b's axis → negative margin
+    ).toDF("vec_id", "label", "embedding")
+    val out = VectorOps.centroidMargin(df, VectorOps.labelCentroids(df))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out("b")._1 == 2L && out("b")._3 == 0L && out("b")._2 > 0.0,
+      s"clean class b separates: $out")
+    assert(out("a")._1 == 3L && out("a")._3 == 1L,
+      s"exactly the mislabeled point confuses: $out")
+  }
+
   test("labelCentroids: per-(label, dim) means, exploded shape, counts") {
     import spark.implicits._
     val df = Seq(
