@@ -1270,6 +1270,28 @@ object SparkEntry {
       VectorOps.centroidMargin(emb, VectorOps.labelCentroids(emb))
     }),
 
+    // item co-visitation (recommender candidate generation): canonical
+    // item pairs sharing users, binary-cosine scored off exact counts;
+    // deduped (user, item) frame, per-user hub cap, tracked-persisted
+    // self-join
+    "q175_covisitation" -> ((s, dir) =>
+      graft.ops.EventAnalytics.coVisitation(
+        T(s, dir, "events"),
+        item = get_json_object(col("props"), "$.k").cast("long"),
+        minSupport = 5L)),
+
+    // calibration curve of the q95 hashed-ngram classifier against the
+    // lang='en' label: 10 equal-count score bins, observed positive rate
+    // vs mean score — exact-integer rates, decimal-summed mean scores
+    "q176_calibration" -> ((s, dir) => {
+      val scores = TextAnalysis.hashedNgramScore(T(s, dir, "documents"), hash = activeHash)
+      val labeled = scores.join(
+        T(s, dir, "documents").select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      graft.ops.Stats.calibrationCurve(
+        labeled, col("score"), col("y"), bins = 10, tieCol = col("doc_id"))
+    }),
+
     // incremental materialized aggregate: three disjoint batches'
     // partials merged then served ≡ one direct grouped aggregate over the
     // whole table (the oracle) — counts/decimal-sums/min/max are all
@@ -4195,6 +4217,50 @@ object SparkEntry {
         |  min(l_extendedprice) AS min_l_extendedprice,
         |  max(l_extendedprice) AS max_l_extendedprice
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    // identical dedup, hub cap, canonical pair join and one-sqrt score
+    "q175_covisitation" ->
+      """WITH ui0 AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |), ui AS (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn FROM ui0)
+        |  WHERE rn <= 1000
+        |), ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n_item FROM ui GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT p.item_a, p.item_b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  round(CAST(p.n_ab AS DOUBLE) / sqrt(CAST(ia.n_item * ib.n_item AS DOUBLE)), 6)
+        |    AS score
+        |FROM p
+        |JOIN ic ia ON ia.i = p.item_a
+        |JOIN ic ib ON ib.i = p.item_b""".stripMargin,
+
+    // the shared q95 scoring CTE, ntile-binned with the same (score,
+    // doc_id) tie order, exact-integer positive rates
+    "q176_calibration" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lab AS (
+         |  SELECT s.doc_id, s.score, (d.lang = 'en') AS y
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |), b AS (
+         |  SELECT score, y,
+         |    CAST(ntile(10) OVER (ORDER BY score, doc_id) - 1 AS BIGINT) AS bin
+         |  FROM lab
+         |)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(score AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+         |    AS mean_score,
+         |  round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS positive_rate
+         |FROM b GROUP BY 1""".stripMargin,
 
     // lag/lead windows with the identical (t, event_id) tie-break
     "q154_event_scd2" ->

@@ -303,6 +303,56 @@ object EventAnalytics {
       .withColumn("is_anomaly", when(col("z").isNotNull, abs(col("z")) > threshold))
   }
 
+  /** Item co-visitation (collaborative-filtering candidate generation):
+    * for item pairs interacted with by the same user, the co-count and
+    * the binary-cosine score `n_ab / √(n_a·n_b)` — "users who touched
+    * this also touched that", the first stage of any recommender.
+    * Pairs are canonical (`item_a < item_b`); `minSupport` drops the
+    * noise tail.
+    *
+    * Scale shape: events first collapse to the deduped (user, item)
+    * frame; a user with a pathological item count would contribute
+    * O(items²) pairs, so each user's item list caps at
+    * `maxItemsPerUser` (deterministic — lowest item ids kept; same skew
+    * discipline as the same-value clique cap). The capped frame is
+    * tracked-persisted (it feeds BOTH sides of the pair self-join —
+    * Spark does not CSE across join branches) and the join shuffles on
+    * the user key. The score is one sqrt + one division off exact
+    * integer counts.
+    */
+  def coVisitation(
+      events: DataFrame,
+      item: Column,
+      minSupport: Long = 1L,
+      maxItemsPerUser: Int = 1000,
+      userCol: String = "user_id",
+      scale: Int = 6
+  ): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxItemsPerUser >= 2, s"maxItemsPerUser must be >= 2, got $maxItemsPerUser")
+    val w = Window.partitionBy(col("_u")).orderBy(col("_i"))
+    val ui = graft.Caches.track(
+      events.select(col(userCol).as("_u"), item.as("_i"))
+        .where(col("_i").isNotNull)
+        .distinct()
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= maxItemsPerUser)
+        .drop("_rn"))
+    val itemCounts = ui.groupBy(col("_i").as("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = ui.select(col("_u"), col("_i").as("item_a"))
+      .join(ui.select(col("_u"), col("_i").as("item_b")), Seq("_u"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    pairs
+      .join(itemCounts.select(col("item").as("item_a"), col("n_item").as("n_a")), Seq("item_a"))
+      .join(itemCounts.select(col("item").as("item_b"), col("n_item").as("n_b")), Seq("item_b"))
+      .withColumn("score",
+        round(col("n_ab").cast("double") / sqrt((col("n_a") * col("n_b")).cast("double")),
+          scale))
+  }
+
   /** Rolling distinct actives (DAU/WAU/MAU): per observed time bucket, the
     * EXACT distinct `userCol` count over the trailing `window` buckets —
     * the "7-day active users" dashboard series, where a naive per-day

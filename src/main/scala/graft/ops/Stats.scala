@@ -450,6 +450,37 @@ object Stats {
       .select(strata ++ Seq(col("p"), col("q")): _*)
   }
 
+  /** Calibration curve of a scoring model against a binary label — the
+    * classifier-eval staple "when the model says 0.8, is it right 80% of
+    * the time?": equal-count score bins ([[ntileBins]] over
+    * `(score, tie)`), each reporting size, mean score and observed
+    * positive rate. Monotone rates ⇒ the score RANKS well; rate ≈ mean
+    * score ⇒ it is CALIBRATED.
+    *
+    * Portability: the label rate is exact-integer/n (one division); the
+    * mean score decimal-sums the already-rounded scores then divides
+    * once. The global ntile is the q107 discipline — exactness of the
+    * equal-count binning is the contract, and the binned frame is the
+    * model-eval sample, not the corpus.
+    */
+  def calibrationCurve(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int,
+      tieCol: Column,
+      scale: Int = 6
+  ): DataFrame = {
+    val binned = ntileBins(
+      df.withColumn("_cal_s", score).withColumn("_cal_y", label.cast("int")),
+      bins, Seq(col("_cal_s"), tieCol))
+    binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      round(sum(col("_cal_s").cast("decimal(38,12)")).cast("double") / count(lit(1)),
+        scale).as("mean_score"),
+      round(sum(col("_cal_y")).cast("double") / count(lit(1)), scale).as("positive_rate"))
+  }
+
   /** Null imputation with the per-stratum MEDIAN (the rank-based type-1
     * median — an actual data value, so the filled column stays
     * engine-exact where a mean would be float-summed): returns the frame

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
@@ -177,6 +178,38 @@ class EventAnalyticsSpec extends SparkSpec {
     val winIdx = plan.indexOf("Window")
     assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
       s"window must run over aggregated buckets:\n$plan")
+  }
+
+  test("coVisitation: canonical pairs, support filter, cosine score, repeat events collapse") {
+    import spark.implicits._
+    // users→items: u1:{1,2}, u2:{1,2}, u3:{1,3} (u3's duplicate event collapses)
+    val df = Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (3L, 3L)).toDF("user_id", "item")
+    val got = EventAnalytics.coVisitation(df, col("item"), minSupport = 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // (1,2): n_ab 2, n_1=3, n_2=2 → 2/sqrt(6)=0.816497; (1,3): 1/sqrt(3)=0.57735
+    assert(got((1L, 2L)) == ((2L, 3L, 2L, 0.816497)))
+    assert(got((1L, 3L)) == ((1L, 3L, 1L, 0.57735)))
+    assert(!got.contains((2L, 3L)), "no shared user for (2,3)")
+    // support filter drops singletons
+    val sup = EventAnalytics.coVisitation(df, col("item"), minSupport = 2L)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(sup == Set((1L, 2L)))
+    graft.Caches.clear()
+  }
+
+  test("coVisitation: the hub cap bounds a pathological user's pair fanout") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (1L, i)).toDF("user_id", "item")
+    val got = EventAnalytics.coVisitation(df, col("item"),
+      minSupport = 1L, maxItemsPerUser = 5)
+    // capped to the 5 lowest item ids → C(5,2)=10 pairs
+    assert(got.count() == 10L)
+    assert(got.agg(max(col("item_b"))).head().getLong(0) == 5L)
+    graft.Caches.clear()
   }
 
   test("rollingDistinct: window union of users, dau exact, repeat events collapse") {

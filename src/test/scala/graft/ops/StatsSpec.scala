@@ -271,6 +271,23 @@ class StatsSpec extends SparkSpec {
     assert(got == Map(0.1 -> 10L, 0.3 -> 20L, 0.5 -> 30L))
   }
 
+  test("calibrationCurve: a perfectly calibrated score reproduces its rate per bin") {
+    import spark.implicits._
+    // 100 rows, score = i/100; label true iff i > 50 (rank-aligned)
+    val df = (1L to 100L).map(i => (i, i / 100.0, i > 50)).toDF("id", "s", "y")
+    val got = Stats.calibrationCurve(df, col("s"), col("y"), bins = 4, tieCol = col("id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got.values.forall(_._1 == 25L), "equal-count bins")
+    // bin 0: scores .01..[.25] mean .13, rate 0; bin 3: .76..1.0 mean .88, rate 1
+    assert(got(0L)._2 == 0.13 && got(0L)._3 == 0.0)
+    assert(got(3L)._2 == 0.88 && got(3L)._3 == 1.0)
+    // bin 2: scores .51..0.75 → labels i>50 all true
+    assert(got(2L)._3 == 1.0)
+    assert(got(1L)._3 == 0.0)
+  }
+
   test("imputeMedian: per-stratum rank median fills nulls; all-null stratum keeps nulls") {
     import spark.implicits._
     val df = Seq(
