@@ -1292,6 +1292,47 @@ object SparkEntry {
         labeled, col("score"), col("y"), bins = 10, tieCol = col("doc_id"))
     }),
 
+    // exact ROC-AUC of the q95 classifier vs the lang='en' label: the
+    // Mann-Whitney midrank formulation — all-integer until ONE division;
+    // rows collapse to the |distinct scores| frame before the ordered
+    // window
+    "q177_auc" -> ((s, dir) => {
+      val scores = TextAnalysis.hashedNgramScore(T(s, dir, "documents"), hash = activeHash)
+      val labeled = scores.join(
+        T(s, dir, "documents").select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      graft.ops.Stats.auc(labeled, col("score"), col("y"))
+    }),
+
+    // operating points: precision/recall/F1 at a 5-threshold sweep —
+    // exact tp/fp/fn integers, scalar IEEE metric arithmetic per row
+    "q178_pr_thresholds" -> ((s, dir) => {
+      val scores = TextAnalysis.hashedNgramScore(T(s, dir, "documents"), hash = activeHash)
+      val labeled = scores.join(
+        T(s, dir, "documents").select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      graft.ops.Stats.prAtThresholds(
+        labeled, col("score"), col("y"), Seq(0.3, 0.4, 0.5, 0.6, 0.7))
+    }),
+
+    // SCD2 point-in-time serving: each purchase's pre-purchase state —
+    // changeIntervals over the NON-purchase stream builds the dimension
+    // history, the as-of join reads it at the purchase timestamp (one
+    // union-scan shuffle, never a range join), rolled up per state
+    "q179_scd2_lookup" -> ((s, dir) => {
+      val ev = E(s, dir)
+      val hist = graft.ops.EventAnalytics.changeIntervals(
+        ev.where(col("event_type") =!= "purchase"), Seq("user_id"), "event_type")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.AsOfJoin.backward(purchases,
+          hist.select(col("user_id"), col("valid_from").as("ts"),
+            col("event_type").as("state")),
+          Seq("user_id"), "ts", rightCols = Seq("state"), prefix = "m_")
+        .groupBy(coalesce(col("m_state"), lit("none")).as("state"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // incremental materialized aggregate: three disjoint batches'
     // partials merged then served ≡ one direct grouped aggregate over the
     // whole table (the oracle) — counts/decimal-sums/min/max are all
@@ -4241,6 +4282,84 @@ object SparkEntry {
         |FROM p
         |JOIN ic ia ON ia.i = p.item_a
         |JOIN ic ib ON ib.i = p.item_b""".stripMargin,
+
+    // midrank algebra replayed over the distinct-score groups
+    "q177_auc" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lab AS (
+         |  SELECT s.score AS sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |), g AS (
+         |  SELECT sc, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS np
+         |  FROM lab GROUP BY 1
+         |), r AS (
+         |  SELECT sc, cnt, np,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY sc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+         |  FROM g
+         |), t AS (
+         |  SELECT CAST(sum(np) AS BIGINT) AS npos,
+         |    CAST(sum(cnt - np) AS BIGINT) AS nneg,
+         |    CAST(sum(np * (2 * prior + cnt + 1)) AS BIGINT) AS m2
+         |  FROM r
+         |)
+         |SELECT npos AS n_pos, nneg AS n_neg,
+         |  round(CASE WHEN npos > 0 AND nneg > 0 THEN
+         |    CAST(m2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) END, 6) AS auc
+         |FROM t""".stripMargin,
+
+    // identical tp/fp/fn counting; the F1 spells out the unrounded p·r
+    // composition so both engines run the same scalar arithmetic
+    "q178_pr_thresholds" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lab AS (
+         |  SELECT s.score AS sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |), th(threshold) AS (
+         |  VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.4 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+         |         (CAST(0.6 AS DOUBLE)), (CAST(0.7 AS DOUBLE))
+         |), c AS (
+         |  SELECT th.threshold,
+         |    CAST(sum(CASE WHEN sc >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN sc >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN sc < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM lab, th GROUP BY 1
+         |)
+         |SELECT threshold, tp, fp, fn,
+         |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6)
+         |    AS "precision",
+         |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6)
+         |    AS recall,
+         |  round(CASE WHEN tp > 0 THEN
+         |    CAST(2 AS DOUBLE) * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+         |      / ((CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / (tp + fn))) END, 6)
+         |    AS f1
+         |FROM c""".stripMargin,
+
+    // the q154 change-point build over the non-purchase stream + the q46
+    // LATERAL top-1 read at the purchase timestamp
+    "q179_scd2_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events
+        |), ne AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_type, t,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |  FROM ne
+        |), ch AS (
+        |  SELECT user_id, event_type AS state, t AS vf FROM c
+        |  WHERE prev IS NULL OR event_type <> prev
+        |), p AS (
+        |  SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT coalesce(m.state, 'none') AS state, CAST(count(*) AS BIGINT) AS n
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT ch.state FROM ch
+        |  WHERE ch.user_id = p.user_id AND ch.vf <= p.t
+        |  ORDER BY ch.vf DESC, ch.state DESC LIMIT 1) m ON TRUE
+        |GROUP BY 1""".stripMargin,
 
     // the shared q95 scoring CTE, ntile-binned with the same (score,
     // doc_id) tie order, exact-integer positive rates

@@ -481,6 +481,72 @@ object Stats {
       round(sum(col("_cal_y")).cast("double") / count(lit(1)), scale).as("positive_rate"))
   }
 
+  /** Exact ROC-AUC of a score against a binary label — the Mann-Whitney
+    * U formulation with MIDRANKS for score ties, all-integer until one
+    * final division:
+    * `AUC = (Σ_pos 2·midrank − n₊(n₊+1)) / (2·n₊·n₋)` where
+    * `2·midrank = 2·prior + cnt + 1` per distinct-score group. Returns
+    * one row `(n_pos, n_neg, auc)`; NULL auc when either class is empty.
+    *
+    * Scale shape: rows collapse to the |distinct scores| frame FIRST
+    * (one aggregate shuffle — with 6-decimal scores this is bounded far
+    * below the data), and the ordered prior-count window runs over that
+    * collapsed frame only; the final fold is a scalar aggregate.
+    */
+  def auc(df: DataFrame, score: Column, label: Column, scale: Int = 6): DataFrame = {
+    val base = df
+      .select(score.as("_s"), label.cast("int").cast("long").as("_y"))
+      .where(col("_s").isNotNull)
+    val groups = base.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s")).rowsBetween(Long.MinValue, -1L)
+    val ranked = groups.withColumn("_prior", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+    ranked.agg(
+        sum(col("_np")).as("_npos"),
+        sum(col("_cnt") - col("_np")).as("_nneg"),
+        sum(col("_np") * (lit(2L) * col("_prior") + col("_cnt") + 1L)).as("_m2"))
+      .select(
+        col("_npos").as("n_pos"),
+        col("_nneg").as("n_neg"),
+        when(col("_npos") > 0 && col("_nneg") > 0,
+          round((col("_m2") - col("_npos") * (col("_npos") + 1L)).cast("double")
+            / (lit(2L) * col("_npos") * col("_nneg")), scale)).as("auc"))
+  }
+
+  /** Precision / recall / F1 at a literal threshold sweep (`score >= t`
+    * predicts positive): `(threshold, tp, fp, fn, precision, recall,
+    * f1)` — the operating-point companion to [[auc]]. Counts are exact
+    * integers; each derived metric is scalar IEEE arithmetic per
+    * threshold row (NULL where undefined). The sweep rides a literal
+    * explode — one aggregate shuffle of |thresholds| × classes scalars.
+    */
+  def prAtThresholds(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      thresholds: Seq[Double],
+      scale: Int = 6
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "prAtThresholds needs at least one threshold")
+    val exploded = df
+      .select(score.as("_s"), label.cast("int").cast("long").as("_y"))
+      .where(col("_s").isNotNull)
+      .select(col("_s"), col("_y"),
+        explode(array(thresholds.map(lit(_)): _*)).as("threshold"))
+    val counts = exploded.groupBy(col("threshold")).agg(
+      sum(when(col("_s") >= col("threshold") && col("_y") === 1L, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("_s") >= col("threshold") && col("_y") === 0L, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("_s") < col("threshold") && col("_y") === 1L, 1L).otherwise(0L)).as("fn"))
+    val p = col("tp").cast("double") / (col("tp") + col("fp"))
+    val r = col("tp").cast("double") / (col("tp") + col("fn"))
+    counts.select(
+      col("threshold"), col("tp"), col("fp"), col("fn"),
+      round(when(col("tp") + col("fp") > 0, p), scale).as("precision"),
+      round(when(col("tp") + col("fn") > 0, r), scale).as("recall"),
+      round(when(col("tp") > 0, lit(2.0) * p * r / (p + r)), scale).as("f1"))
+  }
+
   /** Null imputation with the per-stratum MEDIAN (the rank-based type-1
     * median — an actual data value, so the filled column stays
     * engine-exact where a mean would be float-summed): returns the frame

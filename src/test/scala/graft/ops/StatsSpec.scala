@@ -271,6 +271,39 @@ class StatsSpec extends SparkSpec {
     assert(got == Map(0.1 -> 10L, 0.3 -> 20L, 0.5 -> 30L))
   }
 
+  test("auc: perfect separation = 1, anti-separation = 0, random-ish mid, ties midrank") {
+    import spark.implicits._
+    val perfect = Seq((0.1, false), (0.2, false), (0.8, true), (0.9, true))
+      .toDF("s", "y")
+    assert(Stats.auc(perfect, col("s"), col("y")).head().getDouble(2) == 1.0)
+    val anti = Seq((0.9, false), (0.8, false), (0.1, true), (0.2, true)).toDF("s", "y")
+    assert(Stats.auc(anti, col("s"), col("y")).head().getDouble(2) == 0.0)
+    // hand-computed with ties: scores (.5,.5,.5,.9), labels (F,T,F,T)
+    // midrank of the .5 group = 2 → pos ranks 2 + 4 = 6; U = 6 - 2*3/2 = 3
+    // AUC = 3 / (2*2) = 0.75
+    val ties = Seq((0.5, false), (0.5, true), (0.5, false), (0.9, true)).toDF("s", "y")
+    val r = Stats.auc(ties, col("s"), col("y")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getDouble(2) == 0.75)
+    // degenerate: one class only → NULL
+    val one = Seq((0.5, true), (0.9, true)).toDF("s", "y")
+    assert(Stats.auc(one, col("s"), col("y")).head().isNullAt(2))
+  }
+
+  test("prAtThresholds: hand-computed confusion counts and metrics") {
+    import spark.implicits._
+    val df = Seq((0.9, true), (0.8, false), (0.6, true), (0.4, true), (0.2, false))
+      .toDF("s", "y")
+    val got = Stats.prAtThresholds(df, col("s"), col("y"), Seq(0.5, 0.95))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getDouble(5)))).toMap
+    // t=0.5: predicted {.9,.8,.6} → tp=2 fp=1 fn=1; p=2/3 r=2/3
+    assert(got(0.5) == ((2L, 1L, 1L, 0.666667, 0.666667)))
+    // t=0.95: nothing predicted → tp=0 fp=0 fn=3; precision NULL, recall 0
+    assert(got(0.95) == ((0L, 0L, 3L, null, 0.0)))
+  }
+
   test("calibrationCurve: a perfectly calibrated score reproduces its rate per bin") {
     import spark.implicits._
     // 100 rows, score = i/100; label true iff i > 50 (rank-aligned)
