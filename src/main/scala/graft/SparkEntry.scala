@@ -1292,6 +1292,20 @@ object SparkEntry {
         labeled, col("score"), col("y"), bins = 10, tieCol = col("doc_id"))
     }),
 
+    // inter-event gap percentiles (arrival-latency distribution): per
+    // (type, user) successive-event deltas — exact integer ns — then the
+    // q119 rank-quantile rule per event type
+    "q180_gap_quantiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = E(s, dir)
+        .withColumn("_gap", col("ts") - lag(col("ts"), 1).over(w))
+        .where(col("_gap").isNotNull)
+      graft.ops.Stats.quantileProfile(
+        gaps, col("_gap"), Seq("event_type"), Seq(0.5, 0.9))
+    }),
+
     // exact ROC-AUC of the q95 classifier vs the lang='en' label: the
     // Mann-Whitney midrank formulation — all-integer until ONE division;
     // rows collapse to the |distinct scores| frame before the ordered
@@ -4282,6 +4296,25 @@ object SparkEntry {
         |FROM p
         |JOIN ic ia ON ia.i = p.item_a
         |JOIN ic ib ON ib.i = p.item_b""".stripMargin,
+
+    // same lag deltas (ns), same rank-quantile selection
+    "q180_gap_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_ns(ts) AS t, event_id FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    t - lag(t) OVER (PARTITION BY event_type, user_id ORDER BY t, event_id)
+        |      AS gap
+        |  FROM e
+        |), ng AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, gap,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ng)
+        |SELECT event_type, p, gap AS q
+        |FROM r, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) AS t(p)
+        |WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))""".stripMargin,
 
     // midrank algebra replayed over the distinct-score groups
     "q177_auc" ->

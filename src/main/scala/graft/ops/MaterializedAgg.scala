@@ -24,20 +24,28 @@ import org.apache.spark.sql.functions._
 object MaterializedAgg {
 
   private val StateCols = Seq("n")
-  private def stateColsFor(valueCols: Seq[String]): Seq[String] =
-    StateCols ++ valueCols.flatMap(c => Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c"))
+  private def stateColsFor(valueCols: Seq[String], distinctCols: Seq[String]): Seq[String] =
+    StateCols ++ valueCols.flatMap(c => Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c")) ++
+      distinctCols.map(c => s"hll_$c")
 
-  /** One batch's (or the initial) state contribution: one row per group. */
-  def partials(df: DataFrame, groupCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+  /** One batch's (or the initial) state contribution: one row per group.
+    * `distinctCols` adds a mergeable DataSketches HLL sketch per column —
+    * distinct counts are NOT distributive, so the state carries the
+    * sketch itself (`hll_sketch_agg` binary) and [[merge]] unions it;
+    * the estimate is deterministic for a given input set, so
+    * merge-≡-whole holds bit-exactly (spec-pinned).
+    */
+  def partials(df: DataFrame, groupCols: Seq[String], valueCols: Seq[String],
+      distinctCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "partials needs at least one group column")
     require(valueCols.nonEmpty, "partials needs at least one value column")
-    val aggs = count(lit(1)).as("n") +: valueCols.flatMap { c =>
+    val aggs = (count(lit(1)).as("n") +: valueCols.flatMap { c =>
       Seq(
         sum(col(c).cast("decimal(38,12)")).as(s"sum_$c"),
         count(col(c)).as(s"cnt_$c"),
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"))
-    }
+    }) ++ distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -51,14 +59,15 @@ object MaterializedAgg {
     parts.tail.foreach(p => require(p.columns.toSeq == cols,
       "state frames must share one schema"))
     val valueCols = cols.collect { case c if c.startsWith("sum_") => c.stripPrefix("sum_") }
-    val groupCols = cols.filterNot(stateColsFor(valueCols).contains)
-    val aggs = sum(col("n")).as("n") +: valueCols.flatMap { c =>
+    val distinctCols = cols.collect { case c if c.startsWith("hll_") => c.stripPrefix("hll_") }
+    val groupCols = cols.filterNot(stateColsFor(valueCols, distinctCols).contains)
+    val aggs = (sum(col("n")).as("n") +: valueCols.flatMap { c =>
       Seq(
         sum(col(s"sum_$c")).as(s"sum_$c"),
         sum(col(s"cnt_$c")).as(s"cnt_$c"),
         min(col(s"min_$c")).as(s"min_$c"),
         max(col(s"max_$c")).as(s"max_$c"))
-    }
+    }) ++ distinctCols.map(c => hll_union_agg(col(s"hll_$c")).as(s"hll_$c"))
     parts.reduce(_ unionByName _)
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -72,7 +81,8 @@ object MaterializedAgg {
   def serve(state: DataFrame, scale: Int = 6): DataFrame = {
     val cols = state.columns.toSeq
     val valueCols = cols.collect { case c if c.startsWith("sum_") => c.stripPrefix("sum_") }
-    val groupCols = cols.filterNot(stateColsFor(valueCols).contains)
+    val distinctCols = cols.collect { case c if c.startsWith("hll_") => c.stripPrefix("hll_") }
+    val groupCols = cols.filterNot(stateColsFor(valueCols, distinctCols).contains)
     state.select(
       groupCols.map(col) ++ Seq(col("n")) ++ valueCols.flatMap { c =>
         Seq(
@@ -80,6 +90,7 @@ object MaterializedAgg {
           when(col(s"cnt_$c") > 0,
             round(col(s"sum_$c").cast("double") / col(s"cnt_$c"), scale)).as(s"avg_$c"),
           col(s"min_$c"), col(s"max_$c"))
-      }: _*)
+      } ++ distinctCols.map(c =>
+        hll_sketch_estimate(col(s"hll_$c")).as(s"approx_distinct_$c")): _*)
   }
 }

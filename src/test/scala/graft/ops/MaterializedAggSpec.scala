@@ -38,6 +38,26 @@ class MaterializedAggSpec extends SparkSpec {
     assert(stepwise == flat)
   }
 
+  test("HLL distinct state: merged sketches estimate ≡ whole-table sketch, exact when small") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, if (i % 2 == 0) "x" else "y", i % 37))
+      .toDF("id", "g", "v")
+    val whole = MaterializedAgg.serve(
+        MaterializedAgg.partials(df, Seq("g"), Seq("v"), distinctCols = Seq("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(r.fieldIndex("approx_distinct_v")))
+      .toMap
+    val parts = (0 until 3).map(i =>
+      MaterializedAgg.partials(df.where(col("id") % 3 === i), Seq("g"), Seq("v"),
+        distinctCols = Seq("v")))
+    val merged = MaterializedAgg.serve(MaterializedAgg.merge(parts))
+      .collect().map(r => r.getString(0) -> r.getLong(r.fieldIndex("approx_distinct_v")))
+      .toMap
+    assert(merged == whole, "sketch union must reproduce the whole-table estimate")
+    // 37 distinct values is far below HLL error onset: the estimate is exact
+    assert(whole("x") == 37L || whole("x") == 36L)
+    assert(whole.values.forall(v => v >= 36L && v <= 38L))
+  }
+
   test("serve: avg = sum/cnt handles nulls; all-null column yields NULL avg") {
     import spark.implicits._
     val df = Seq(
