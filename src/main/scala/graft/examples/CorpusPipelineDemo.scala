@@ -139,6 +139,28 @@ object CorpusPipelineDemo {
       positives = Some(pairs.select("id_a", "id_b")))
     println(f"[pipeline] contrastive negatives    ${negs.count()}%7d pairs")
 
+    // 10b. quality-model evaluation loop: score the release with the
+    // hashed-ngram classifier, check ranking (AUC), calibration and an
+    // operating point against the lang='en' proxy label — then cut the
+    // final corpus to a token budget, best quality first
+    val scored = TextAnalysis.hashedNgramScore(mixed)
+      .join(mixed.select(col("doc_id"), (col("lang") === "en").as("y")), Seq("doc_id"))
+    val aucRow = graft.ops.Stats.auc(scored, col("score"), col("y")).head()
+    println(f"[pipeline] quality model             auc=${aucRow.getDouble(2)}%.4f " +
+      s"(pos=${aucRow.getLong(0)} neg=${aucRow.getLong(1)})")
+    val cal = graft.ops.Stats.calibrationCurve(scored, col("score"), col("y"),
+        bins = 4, tieCol = col("doc_id"))
+      .orderBy("bin").collect()
+      .map(r => f"${r.getDouble(2)}%.2f→${r.getDouble(3)}%.2f")
+    println("[pipeline] calibration (score→rate): " + cal.mkString(" "))
+    val budgeted = Sampling.tokenBudget(
+      scored.join(mixed.select("doc_id", "text"), Seq("doc_id"))
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text"))),
+      tokens = col("n_tok"), budget = 20000L,
+      sortCols = Seq(col("score").desc, col("doc_id")))
+    println(f"[pipeline] token-budget cut          ${budgeted.count()}%7d docs " +
+      "(best-quality-first, 20k tokens)")
+
     // 11. serve the release's embeddings through the IVFADC index (the
     // vectors ship separately in the embeddings table)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
