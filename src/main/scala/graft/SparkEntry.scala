@@ -1292,6 +1292,22 @@ object SparkEntry {
         labeled, col("score"), col("y"), bins = 10, tieCol = col("doc_id"))
     }),
 
+    // time-to-convert distribution per funnel transition: the q97 funnel's
+    // stage deltas (exact integer µs) through the rank-quantile profile —
+    // "how long from view to click, click to purchase"
+    "q181_funnel_timing" -> ((s, dir) => {
+      val f = graft.ops.EventAnalytics.funnel(
+        E(s, dir).withColumn("tsu", expr("ts div 1000")),
+        steps = Seq("view", "click", "purchase"),
+        windowTs = 604800000000L, tsCol = "tsu")
+      val t12 = f.where(col("ts_2").isNotNull)
+        .select(lit("view>click").as("step"), (col("ts_2") - col("ts_1")).as("dt"))
+      val t23 = f.where(col("ts_3").isNotNull)
+        .select(lit("click>purchase").as("step"), (col("ts_3") - col("ts_2")).as("dt"))
+      graft.ops.Stats.quantileProfile(
+        t12.unionByName(t23), col("dt"), Seq("step"), Seq(0.5, 0.9))
+    }),
+
     // inter-event gap percentiles (arrival-latency distribution): per
     // (type, user) successive-event deltas — exact integer ns — then the
     // q119 rank-quantile rule per event type
@@ -4296,6 +4312,31 @@ object SparkEntry {
         |FROM p
         |JOIN ic ia ON ia.i = p.item_a
         |JOIN ic ib ON ib.i = p.item_b""".stripMargin,
+
+    // q97's funnel CTE, stage deltas unioned, q119 rank-quantile rule
+    "q181_funnel_timing" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |s1 AS (SELECT user_id, min(tsu) AS ts_1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, ts_1, min(tsu) AS ts_2
+        |       FROM s1 JOIN e ON s1.user_id = e.user_id
+        |       WHERE event_type = 'click' AND tsu > ts_1 AND tsu <= ts_1 + 604800000000
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, ts_2, min(tsu) AS ts_3
+        |       FROM s2 JOIN e ON s2.user_id = e.user_id
+        |       WHERE event_type = 'purchase' AND tsu > ts_2 AND tsu <= ts_1 + 604800000000
+        |       GROUP BY 1, 2),
+        |d AS (
+        |  SELECT 'view>click' AS step, ts_2 - ts_1 AS dt FROM s2
+        |  UNION ALL
+        |  SELECT 'click>purchase', ts_3 - ts_2 FROM s3
+        |), r AS (
+        |  SELECT step, dt,
+        |    row_number() OVER (PARTITION BY step ORDER BY dt) AS rn,
+        |    count(*) OVER (PARTITION BY step) AS n
+        |  FROM d)
+        |SELECT step, p, dt AS q
+        |FROM r, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) AS t(p)
+        |WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))""".stripMargin,
 
     // same lag deltas (ns), same rank-quantile selection
     "q180_gap_quantiles" ->
