@@ -1292,6 +1292,21 @@ object SparkEntry {
         labeled, col("score"), col("y"), bins = 10, tieCol = col("doc_id"))
     }),
 
+    // strongly connected components (directed): supplier→part edges on odd
+    // line numbers, part→supplier on even — pairs traded with both
+    // parities form 2-cycles that merge into large SCCs; the DF
+    // forward-backward coloring loop (GraphX-twin spec-pinned)
+    "q182_graph_scc" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").where(col("l_partkey") % 20 === 0)
+      val fwd = li.where(col("l_linenumber") % 2 === 1)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 10000000L).as("dst")).distinct()
+      val bwd = li.where(col("l_linenumber") % 2 === 0)
+        .select((col("l_partkey").cast("long") + 10000000L).as("src"),
+          col("l_suppkey").cast("long").as("dst")).distinct()
+      graft.graph.GraphQueries.sccDF(s, fwd.unionByName(bwd))
+    }),
+
     // time-to-convert distribution per funnel transition: the q97 funnel's
     // stage deltas (exact integer µs) through the rank-quantile profile —
     // "how long from view to click, click to purchase"
@@ -4312,6 +4327,30 @@ object SparkEntry {
         |FROM p
         |JOIN ic ia ON ia.i = p.item_a
         |JOIN ic ib ON ib.i = p.item_b""".stripMargin,
+
+    // transitive closure on the bounded subgraph; scc = min over the
+    // mutually-reachable set (self included via least)
+    "q182_graph_scc" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+        |    CAST(l_partkey AS BIGINT) + 10000000 AS p, l_linenumber % 2 AS par
+        |  FROM lineitem WHERE l_partkey % 20 = 0
+        |), e AS (
+        |  SELECT s AS src, p AS dst FROM base WHERE par = 1
+        |  UNION
+        |  SELECT p, s FROM base WHERE par = 0
+        |), v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+        |)
+        |SELECT v.id, CAST(least(v.id, coalesce(min(m.u), v.id)) AS BIGINT) AS scc
+        |FROM v LEFT JOIN (
+        |  SELECT a.src AS vtx, a.dst AS u
+        |  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
+        |) m ON m.vtx = v.id
+        |GROUP BY v.id""".stripMargin,
 
     // q97's funnel CTE, stage deltas unioned, q119 rank-quantile rule
     "q181_funnel_timing" ->

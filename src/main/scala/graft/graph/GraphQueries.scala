@@ -1294,4 +1294,131 @@ object GraphQueries {
       }
     labels
   }
+
+  /** Strongly connected components (GraphX twin): `(id, scc)` with `scc`
+    * = the LOWEST vertex id in the component — GraphX's contract, shared
+    * by [[sccDF]] (spec-pinned equal). Iterative vertex programs belong
+    * in GraphX where vertex state is co-partitioned; the DF twin exists
+    * for the spill-safe large-graph path.
+    */
+  def scc(spark: SparkSession, edges: DataFrame, numIter: Int = 20): DataFrame =
+    graft.Caches.trackNewRdds(spark) {
+      import spark.implicits._
+      val eRdd: RDD[Edge[Unit]] = edges
+        .select(col(EdgeColumns.Src).cast("long"), col(EdgeColumns.Dst).cast("long"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      val g = Graph.fromEdges(eRdd, ())
+      org.apache.spark.graphx.lib.StronglyConnectedComponents.run(g, numIter)
+        .vertices.toDF("id", "scc")
+    }
+
+  /** DataFrame strongly connected components — the forward-backward
+    * COLORING algorithm as checkpointed DF loops, the directed
+    * counterpart of [[componentLabels]]:
+    *
+    *   1. ''color'': propagate the MINIMUM reaching vertex id forward to
+    *      a fixpoint — `color(v) = min(ancestors(v) ∪ {v})`. Every color
+    *      value `c` that appears is its own color (`color(c) = c`): the
+    *      pivots.
+    *   2. ''mark'': within each color class, propagate backward from the
+    *      pivot. A marked vertex reaches its pivot (backward edge walk)
+    *      and is reached by it (same color) — mutual reachability, so
+    *      the marked set IS the pivot's SCC; assign `scc = color`.
+    *   3. remove assigned vertices and their incident edges; repeat. Each
+    *      round closes at least one SCC per surviving color class, so
+    *      rounds are bounded by the longest pivot chain, not |V|.
+    *
+    * Scale shape: both inner fixpoints are slim `(id, color/mark)` frames
+    * joined against the directed edge list — one key shuffle per
+    * iteration, checkpoint-truncated lineage every round (the q75/q155
+    * cadence rules), nothing collected to the driver. Semantics identical
+    * to [[scc]] (spec-pinned on random digraphs); isolated vertices and
+    * self-loops label as their own singleton SCC.
+    */
+  def sccDF(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxRounds: Int = 25,
+      maxIter: Int = 50
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+
+    var rem = materialize(
+      edges.select(
+          col(EdgeColumns.Src).cast("long").as("src"),
+          col(EdgeColumns.Dst).cast("long").as("dst"))
+        .where(col("src") =!= col("dst")).distinct())
+    var verts = materialize(
+      edges.select(col(EdgeColumns.Src).cast("long").as("id"))
+        .union(edges.select(col(EdgeColumns.Dst).cast("long").as("id")))
+        .distinct())
+    var assigned: List[DataFrame] = Nil
+    var round = 0
+    var remaining = verts.count()
+    while (round < maxRounds && remaining > 0) {
+      // 1. forward min-color fixpoint over the surviving subgraph.
+      // Colors only DECREASE, so the exact decimal color sum is a
+      // fixpoint signature — one cheap aggregate per iteration instead
+      // of a change-detection join.
+      def colorSum(c: DataFrame): java.math.BigDecimal =
+        c.agg(sum(col("color").cast("decimal(38,0)"))).head.getDecimal(0)
+      var colors = materialize(verts.select(col("id"), col("id").as("color")))
+      var curSum = colorSum(colors)
+      var stable = false
+      var it = 0
+      while (!stable && it < maxIter) {
+        val pushed = rem
+          .join(colors.select(col("id").as("src"), col("color")), Seq("src"))
+          .select(col("dst").as("id"), col("color"))
+        val next = materialize(
+          colors.union(pushed).groupBy("id").agg(min("color").as("color")))
+        val nextSum = colorSum(next)
+        colors.unpersist(false)
+        colors = next
+        stable = nextSum.compareTo(curSum) == 0
+        curSum = nextSum
+        it += 1
+      }
+      // 2. backward mark within the color class, from the pivots
+      val colSrc = colors.select(col("id").as("src"), col("color").as("_cs"))
+      val colDst = colors.select(col("id").as("dst"), col("color").as("_cd"))
+      val sameColor = materialize(
+        rem.join(colSrc, Seq("src")).join(colDst, Seq("dst"))
+          .where(col("_cs") === col("_cd"))
+          .select(col("src"), col("dst"), col("_cs").as("color")))
+      var marked = materialize(
+        colors.where(col("id") === col("color")).select(col("id"), col("color")))
+      stable = false
+      it = 0
+      while (!stable && it < maxIter) {
+        val pulled = sameColor
+          .join(marked.select(col("id").as("dst"), col("color")), Seq("dst", "color"))
+          .select(col("src").as("id"), col("color"))
+        val next = materialize(marked.union(pulled).distinct())
+        val grew = next.count() > marked.count()
+        marked.unpersist(false)
+        marked = next
+        stable = !grew
+        it += 1
+      }
+      val done = materialize(marked.select(col("id"), col("color").as("scc")))
+      assigned ::= done
+      verts = materialize(verts.join(done, Seq("id"), "left_anti"))
+      rem = materialize(
+        rem.join(done.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(done.select(col("id").as("dst")), Seq("dst"), "left_anti"))
+      sameColor.unpersist(false)
+      colors.unpersist(false)
+      remaining = verts.count()
+      round += 1
+    }
+    if (remaining > 0) {
+      // maxRounds backstop (the kCore discipline): close the remnant
+      // best-effort as singletons rather than loop forever
+      assigned ::= verts.select(col("id"), col("id").as("scc"))
+    }
+    assigned.reduce(_ unionByName _)
+  }
 }
