@@ -1307,6 +1307,93 @@ object SparkEntry {
       graft.graph.GraphQueries.sccDF(s, fwd.unionByName(bwd))
     }),
 
+    // coordinated (join-preserving) sampling: customer and orders filtered
+    // by the SAME (seed, custkey) hash rule — referential closure holds by
+    // construction (the ORPHAN segment would catch any sampled order whose
+    // customer was dropped; it never appears), with zero joins in the
+    // sampling itself — each table is a map-side filter on its own key copy
+    "q183_coordinated_sample" -> ((s, dir) => {
+      val Seq(cust, ord) = graft.ops.Sampling.coordinatedSample(
+        Seq(
+          (T(s, dir, "customer"), col("c_custkey")),
+          (T(s, dir, "orders"), col("o_custkey"))),
+        fraction = 0.3, seed = 42, hash = activeHash)
+      ord.join(cust.select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("ORPHAN")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+    }),
+
+    // 2-D pareto frontier per return flag: (quantity, extendedprice) points
+    // no other point weakly dominates — collapse-first (distinct points →
+    // best price per quantity), then one running-max scan over ≤|distinct
+    // qty| rows; raw parquet doubles compare engine-identically
+    "q184_skyline" -> ((s, dir) =>
+      graft.ops.Stats.skyline(
+        T(s, dir, "lineitem").withColumnRenamed("l_returnflag", "flag"),
+        x = col("l_quantity"), y = col("l_extendedprice"),
+        keys = Seq("flag"))),
+
+    // referential-integrity audit over three FKs, one row each; the first
+    // relation's parent is pruned (custkey % 7 = 0 customers dropped) so
+    // the orphan counter is exercised against a known-dirty dimension
+    "q185_fk_orphans" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val li = T(s, dir, "lineitem")
+      graft.ops.Validate.fkOrphans(
+          orders, col("o_custkey"),
+          T(s, dir, "customer").where(col("c_custkey") % 7 =!= 0), col("c_custkey"),
+          "orders>customer_pruned")
+        .unionByName(graft.ops.Validate.fkOrphans(
+          li, col("l_orderkey"), orders, col("o_orderkey"), "lineitem>orders"))
+        .unionByName(graft.ops.Validate.fkOrphans(
+          li, col("l_partkey"), T(s, dir, "part"), col("p_partkey"), "lineitem>part"))
+    }),
+
+    // exact per-key mode (majority vote): each nation's most common market
+    // segment — count collapse + one max(struct) election, ties to the
+    // greatest segment, no window sort anywhere
+    "q186_mode_by" -> ((s, dir) =>
+      graft.ops.Stats.modeBy(
+        T(s, dir, "customer")
+          .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey")),
+        value = col("c_mktsegment"), keys = Seq("n_name"))),
+
+    // CUBE grouping sets — all four aggregation grains (flag×status, per
+    // flag, per status, grand total) in ONE pass over the scan (q35's
+    // rollup completed to the full lattice)
+    "q187_cube" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))),
+
+    // tf/df-weighted cosine similarity join (the weighted complement of
+    // q19's binary Jaccard): inverse-df weights are exact rational
+    // divisions, dot/norm sums decimal-cast order-free, hot terms df>55
+    // structurally out of the candidate join
+    "q188_weighted_cosine" -> ((s, dir) =>
+      TextAnalysis.weightedCosinePairs(
+        T(s, dir, "documents").where(col("lang") === "de"),
+        threshold = 0.8, maxDocFreq = 55L)),
+
+    // Welch's t-test on document length between en and de — one aggregate
+    // scan of exact decimal moments, then scalar IEEE statistics in a
+    // pinned formula order the oracle mirrors text-for-text
+    "q189_welch_ttest" -> ((s, dir) =>
+      graft.ops.Stats.welchTtest(
+        T(s, dir, "documents").where(col("lang").isin("en", "de")),
+        value = col("n_chars"), label = col("lang") === "en")),
+
+    // per-language token-distribution entropy (corpus diversity): exact
+    // integer counts, decimal-summed c·ln c terms, three scalar ops
+    "q190_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(T(s, dir, "documents"), keys = Seq("lang"))),
+
     // time-to-convert distribution per funnel transition: the q97 funnel's
     // stage deltas (exact integer µs) through the rank-quantile profile —
     // "how long from view to click, click to purchase"
@@ -4330,6 +4417,155 @@ object SparkEntry {
 
     // transitive closure on the bounded subgraph; scc = min over the
     // mutually-reachable set (self included via least)
+    // the full grouping lattice, NULL grain markers coalesced like q35
+    "q187_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // the weighted inverted-index join replayed: identical tokenizer, the
+    // same df cap on weights AND norms, decimal-cast term sums, and the
+    // threshold applied to the UNROUNDED cosine
+    "q188_weighted_cosine" ->
+      raw"""WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'de'),
+        |toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM d),
+        |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |        HAVING count(*) <= 55),
+        |w AS (SELECT doc_id, tf.token, CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS w
+        |      FROM tf JOIN dfx ON tf.token = dfx.token),
+        |nrm AS (SELECT doc_id, sum(CAST(w * w AS DECIMAL(38,18))) AS n2 FROM w GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    sum(CAST(a.w * b.w AS DECIMAL(38,18))) AS dot
+        |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT id1, id2,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cs
+        |  FROM pairs JOIN nrm na ON na.doc_id = id1 JOIN nrm nb ON nb.doc_id = id2)
+        |SELECT id1, id2, round(cs, 6) AS cosine FROM c WHERE cs >= 0.8""".stripMargin,
+
+    // the decimal moments and every derived scalar in the same textual
+    // order as the Spark formula chain
+    "q189_welch_ttest" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN y THEN CAST(v AS DECIMAL(38,12)) END) AS sa,
+        |    sum(CASE WHEN NOT y THEN CAST(v AS DECIMAL(38,12)) END) AS sb,
+        |    sum(CASE WHEN y THEN CAST(v * v AS DECIMAL(38,12)) END) AS qa,
+        |    sum(CASE WHEN NOT y THEN CAST(v * v AS DECIMAL(38,12)) END) AS qb
+        |  FROM d
+        |), s1 AS (
+        |  SELECT n_a, n_b, CAST(sa AS DOUBLE) / n_a AS ma, CAST(sb AS DOUBLE) / n_b AS mb,
+        |    qa, qb FROM m
+        |), s2 AS (
+        |  SELECT n_a, n_b, ma, mb,
+        |    CASE WHEN n_a >= 2 THEN (CAST(qa AS DOUBLE) - n_a * ma * ma) / (n_a - 1) END AS va,
+        |    CASE WHEN n_b >= 2 THEN (CAST(qb AS DOUBLE) - n_b * mb * mb) / (n_b - 1) END AS vb
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT n_a, n_b, ma, mb, va / n_a AS ea, vb / n_b AS eb FROM s2
+        |), s4 AS (
+        |  SELECT n_a, n_b, ma, mb, ea, eb, ea + eb AS se2 FROM s3
+        |)
+        |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(se2), 6) AS t_stat,
+        |  round(se2 * se2 / (ea * ea / (n_a - 1) + eb * eb / (n_b - 1)), 6) AS dof
+        |FROM s4""".stripMargin,
+
+    // exact counts → decimal-summed c·ln c → the same three scalar ops
+    "q190_token_entropy" ->
+      raw"""WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents
+        |), t AS (SELECT lang, token FROM toks WHERE token <> ''),
+        |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |g AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS vocab,
+        |    sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS s
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT lang, n AS n_tokens, vocab,
+        |  round(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n, 6) AS entropy,
+        |  round(CASE WHEN vocab > 1
+        |    THEN (ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n) / ln(CAST(vocab AS DOUBLE)) END, 6)
+        |    AS norm_entropy
+        |FROM g""".stripMargin,
+
+    // the q45 hash rule applied to BOTH tables' copies of the entity key;
+    // the LEFT JOIN + ORPHAN segment proves referential closure in-query
+    "q183_coordinated_sample" ->
+      s"""WITH sc AS (
+         |  SELECT c_custkey, c_mktsegment FROM customer
+         |  WHERE ${md5l("'42:' || CAST(c_custkey AS VARCHAR)")} % 1000000 < 300000
+         |), so AS (
+         |  SELECT o_custkey FROM orders
+         |  WHERE ${md5l("'42:' || CAST(o_custkey AS VARCHAR)")} % 1000000 < 300000
+         |)
+         |SELECT coalesce(c_mktsegment, 'ORPHAN') AS segment,
+         |  count(*) AS n_orders,
+         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+         |FROM so LEFT JOIN sc ON sc.c_custkey = so.o_custkey
+         |GROUP BY 1""".stripMargin,
+
+    // independent dominance check: collapse to best-price-per-quantity
+    // (only those can sit on the frontier), then literal NOT EXISTS
+    "q184_skyline" ->
+      """WITH pt AS (
+        |  SELECT l_returnflag AS flag, l_quantity AS x, l_extendedprice AS y,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT flag, x, y, n FROM pt
+        |  QUALIFY row_number() OVER (PARTITION BY flag, x ORDER BY y DESC) = 1
+        |)
+        |SELECT flag, x, y, n FROM best a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM best b
+        |  WHERE b.flag = a.flag AND b.x >= a.x AND b.y >= a.y
+        |    AND (b.x > a.x OR b.y > a.y))""".stripMargin,
+
+    // NOT IN semantics spelled as a left join on the distinct parent keys
+    "q185_fk_orphans" ->
+      """WITH r1 AS (
+        |  SELECT 'orders>customer_pruned' AS relation, count(*) AS n_child,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM orders LEFT JOIN (
+        |    SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 7 <> 0
+        |  ) p ON p.k = o_custkey
+        |), r2 AS (
+        |  SELECT 'lineitem>orders', count(*),
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON p.k = l_orderkey
+        |), r3 AS (
+        |  SELECT 'lineitem>part', count(*),
+        |    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON p.k = l_partkey
+        |)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3""".stripMargin,
+
+    // the same election as a window rank: max count, ties to greatest value
+    "q186_mode_by" ->
+      """WITH c AS (
+        |  SELECT n_name, c_mktsegment AS mode, count(*) AS n
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT n_name, mode, n FROM c
+        |QUALIFY row_number() OVER (PARTITION BY n_name ORDER BY n DESC, mode DESC) = 1""".stripMargin,
+
     "q182_graph_scc" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,

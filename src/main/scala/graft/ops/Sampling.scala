@@ -74,6 +74,28 @@ object Sampling {
       hash: HashFamily = XxHash): DataFrame =
     df.where(bucket(key, seed, hash) < lit(thresholdOf(fraction)))
 
+  /** Coordinated (join-preserving) sampling: filter EVERY table by the same
+    * `(seed, entity-key)` hash rule, so an entity's rows survive or drop
+    * together across all of them. Sampling a fact star at the user/customer
+    * grain ("keep 10% of users WITH all their orders and events") this way
+    * needs zero joins and zero shuffles — each table applies the same
+    * map-side filter on its own copy of the entity key, and referential
+    * closure between any two sampled tables holds by construction (a child
+    * row's key passes iff the parent's does, since it is the same hash of
+    * the same value). Contrast `df.sample`, whose independent coin flips per
+    * table destroy every cross-table join.
+    *
+    * Each `(table, key)` pair names the entity-key column AS PRESENT in that
+    * table (e.g. `c_custkey` in customer, `o_custkey` in orders); a table
+    * that does not carry the entity key must first be joined to a slim
+    * key-map — that join is the caller's, not this operator's.
+    */
+  def coordinatedSample(tables: Seq[(DataFrame, Column)], fraction: Double,
+      seed: Int = 42, hash: HashFamily = XxHash): Seq[DataFrame] = {
+    val threshold = lit(thresholdOf(fraction))
+    tables.map { case (df, key) => df.where(bucket(key, seed, hash) < threshold) }
+  }
+
   /** Stratified sample: per-stratum rate from `rates`, `defaultRate` for
     * unlisted strata. The rate lookup is a broadcast-free literal map
     * (`element_at` on a map literal — constant-folded per row, no join).

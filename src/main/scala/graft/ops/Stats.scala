@@ -679,4 +679,105 @@ object Stats {
       .agg(count(lit(1)).as("n_rows"), countDistinct(rhs).as("n_rhs"))
       .where(col("n_rhs") > 1)
   }
+
+  /** Exact per-key mode — the majority-vote aggregation behind noisy-label
+    * resolution (k annotators per doc → one label), canonical-value
+    * election in entity resolution, and "most common category per group"
+    * profiling. Returns `(keys…, mode, n)` with `n` the winning count.
+    *
+    * Ties break DETERMINISTICALLY toward the greatest value: the count
+    * frame collapses to one `max(struct(n, value))` partial aggregate per
+    * key — lexicographic struct ordering elects max-count-then-max-value,
+    * so the result is engine- and partitioning-stable without a window
+    * sort. Two partial-agg shuffles, the second over the already-collapsed
+    * `(key, value)` frame; no row ever carries more than the key, the
+    * value and a count.
+    */
+  def modeBy(df: DataFrame, value: Column, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "modeBy needs at least one key column")
+    df.groupBy((keys.map(col) :+ value.as("_v")): _*)
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(col("_n"), col("_v"))).as("_m"))
+      .select((keys.map(col) :+ col("_m._v").as("mode") :+ col("_m._n").as("n")): _*)
+  }
+
+  /** 2-D skyline (pareto frontier, maximize both): the points no other
+    * point in the same group dominates — `(x', y')` dominates `(x, y)` iff
+    * `x' ≥ x ∧ y' ≥ y` and they differ in at least one coordinate. The
+    * multi-criteria selection shape ("longest documents at the highest
+    * quality", "cheapest supplier at the fastest ship date" after
+    * negation), returned as `(keys…, x, y, n)` with `n` the input
+    * multiplicity of the exact point.
+    *
+    * Scale shape: the input collapses FIRST — one partial-agg shuffle to
+    * distinct `(keys, x, y)` points, a second to the best y per x (only
+    * `(x, max y(x))` can sit on the frontier) — and only then does a
+    * single running-max window scan over the ≤|distinct x| collapsed rows
+    * mark the frontier: a point survives iff its y strictly exceeds every
+    * y at strictly greater x. The window partition is |distinct x| rows
+    * per group, never the data.
+    */
+  def skyline(df: DataFrame, x: Column, y: Column, keys: Seq[String] = Nil): DataFrame = {
+    val p = df.groupBy((keys.map(col) :+ x.as("x") :+ y.as("y")): _*)
+      .agg(count(lit(1)).as("n"))
+    val best = p.groupBy((keys.map(col) :+ col("x")): _*)
+      .agg(max(struct(col("y"), col("n"))).as("_b"))
+      .select((keys.map(col) :+ col("x") :+ col("_b.y").as("y") :+ col("_b.n").as("n")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    best.withColumn("_rm", max(col("y")).over(w))
+      .where(col("_rm").isNull || col("y") > col("_rm"))
+      .drop("_rm")
+  }
+
+  /** Welch's unequal-variance two-sample t-test — the A/B significance
+    * check run before trusting a metric delta (did the new mix change mean
+    * document length? did the experiment arm move conversion latency?).
+    * `label` splits rows into group A (true) and B (false); returns one
+    * row `(n_a, n_b, mean_a, mean_b, t_stat, dof)` with the
+    * Welch–Satterthwaite degrees of freedom. The caller maps `t`/`dof` to
+    * a p-value with their table of choice — the incomplete beta does not
+    * belong in a data engine.
+    *
+    * ONE aggregate scan (the Validate one-pass discipline): conditional
+    * sums collect per-group `n`, `Σx`, `Σx²` with the moment sums
+    * decimal-cast term-by-term — exact and order-free, so partitioning
+    * cannot move the moments — and every derived statistic is then scalar
+    * IEEE arithmetic in a pinned textual order off those exact aggregates.
+    * Groups with fewer than 2 rows yield NULL statistics (undefined
+    * variance), not a sentinel.
+    */
+  def welchTtest(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
+    val d = df.select(value.cast("double").as("_v"), label.as("_y"))
+      .where(col("_v").isNotNull && col("_y").isNotNull)
+    val m = d.agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_y"), col("_v").cast("decimal(38,12)"))).as("_sa"),
+      sum(when(!col("_y"), col("_v").cast("decimal(38,12)"))).as("_sb"),
+      sum(when(col("_y"), (col("_v") * col("_v")).cast("decimal(38,12)"))).as("_qa"),
+      sum(when(!col("_y"), (col("_v") * col("_v")).cast("decimal(38,12)"))).as("_qb"))
+    // pinned evaluation order — the oracle mirrors these formulas text-for-text
+    m.withColumn("_ma", col("_sa").cast("double") / col("n_a"))
+      .withColumn("_mb", col("_sb").cast("double") / col("n_b"))
+      .withColumn("_va",
+        when(col("n_a") >= 2,
+          (col("_qa").cast("double") - col("n_a") * col("_ma") * col("_ma")) / (col("n_a") - 1)))
+      .withColumn("_vb",
+        when(col("n_b") >= 2,
+          (col("_qb").cast("double") - col("n_b") * col("_mb") * col("_mb")) / (col("n_b") - 1)))
+      .withColumn("_ea", col("_va") / col("n_a"))
+      .withColumn("_eb", col("_vb") / col("n_b"))
+      .withColumn("_se2", col("_ea") + col("_eb"))
+      .select(
+        col("n_a"), col("n_b"),
+        round(col("_ma"), scale).as("mean_a"),
+        round(col("_mb"), scale).as("mean_b"),
+        round((col("_ma") - col("_mb")) / sqrt(col("_se2")), scale).as("t_stat"),
+        round(col("_se2") * col("_se2") /
+          (col("_ea") * col("_ea") / (col("n_a") - 1) +
+            col("_eb") * col("_eb") / (col("n_b") - 1)), scale).as("dof"))
+  }
 }

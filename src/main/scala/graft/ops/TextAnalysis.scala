@@ -529,6 +529,108 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Weighted-cosine document similarity join: pairs `(id1 < id2)` whose
+    * tf/df-weighted token vectors have cosine ≥ `threshold` — the weighted
+    * complement of the binary n-gram Jaccard join ([[graft.ops.Dedup.ngramJaccardPairs]]):
+    * shared RARE terms count for much more than shared stopwords.
+    *
+    * Term weight is `tf/df` (inverse document frequency, linear form) —
+    * chosen over `ln`-idf deliberately: tf and df are exact integers, so
+    * each weight is ONE correctly-rounded IEEE division and the whole
+    * decision is engine-portable, where `ln` is an ulp lottery (the q134
+    * lift-not-PMI rule). Dot products and norms are summed as
+    * `DECIMAL(38,18)`-cast terms — a double product never lands on a
+    * decimal half-grid, so the cast rounds identically everywhere and the
+    * sums are exact and order-free (partitioning cannot flip a result).
+    * The final cosine is three correctly-rounded scalar ops.
+    *
+    * Scale shape: the candidate generator is the inverted-index self-join
+    * on the token — a token seen in `d` documents contributes `d²` pair
+    * rows, so `maxDocFreq` structurally excludes hot terms from the JOIN
+    * (they still weigh into norms: dropping a stopword from a document's
+    * norm would inflate its cosines). Join frames are slim
+    * `(id, token, w)` postings; the weighted frame feeds norms plus both
+    * join sides and is tracked-persisted (Spark does not CSE across join
+    * branches); release via [[graft.Caches.clear]].
+    */
+  def weightedCosinePairs(
+      df: DataFrame,
+      threshold: Double,
+      maxDocFreq: Long = Long.MaxValue,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      scale: Int = 6
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val toks = df
+      .select(col(idCol).as("_id"), explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val tf = toks.groupBy(col("_id"), col("token")).agg(count(lit(1)).as("_tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDocFreq)
+    val w = graft.Caches.track(
+      tf.join(dfT, Seq("token"))
+        .select(col("_id"), col("token"),
+          (col("_tf").cast("double") / col("_df").cast("double")).as("_w"),
+          col("_df")))
+    val norms = w.groupBy(col("_id"))
+      .agg(sum((col("_w") * col("_w")).cast("decimal(38,18)")).as("_n2"))
+    // df = 1 terms cannot produce a pair — keep them out of the join, in the norms
+    val joinable = w.where(col("_df") >= 2)
+    val a = joinable.select(col("_id").as("id1"), col("token"), col("_w").as("_w1"))
+    val b = joinable.select(col("_id").as("id2"), col("token"), col("_w").as("_w2"))
+    val dot = a.join(b, Seq("token")).where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum((col("_w1") * col("_w2")).cast("decimal(38,18)")).as("_dot"))
+    dot
+      .join(norms.select(col("_id").as("id1"), col("_n2").as("_na")), Seq("id1"))
+      .join(norms.select(col("_id").as("id2"), col("_n2").as("_nb")), Seq("id2"))
+      .withColumn("_cos", col("_dot").cast("double") /
+        (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))))
+      .where(col("_cos") >= lit(threshold))
+      .select(col("id1"), col("id2"), round(col("_cos"), scale).as("cosine"))
+  }
+
+  /** Token-distribution Shannon entropy per stratum — the corpus-diversity
+    * probe ("is this source a copy-paste farm?", "did the mix collapse
+    * the distribution?"): returns `(keys…, n_tokens, vocab, entropy,
+    * norm_entropy)` with `entropy = ln N − (Σ c·ln c)/N` in nats and
+    * `norm_entropy = entropy / ln(vocab)` (NULL for a single-token
+    * vocabulary, where it is undefined — the q146 NULL-not-sentinel rule).
+    *
+    * The corpus collapses to per-`(keys, token)` exact integer counts
+    * first (two pre-combined shuffles, output bounded by |keys|·|vocab|);
+    * each `c·ln c` term is decimal-cast before the sum so partition order
+    * cannot move the total, and the entropy itself is three scalar IEEE
+    * ops off exact aggregates, rounded at `scale`.
+    */
+  def tokenEntropy(
+      df: DataFrame,
+      keys: Seq[String],
+      textCol: String = "text",
+      scale: Int = 6
+  ): DataFrame = {
+    require(keys.nonEmpty, "tokenEntropy needs at least one stratum column")
+    val toks = df
+      .select((keys.map(col) :+
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token")): _*)
+      .where(col("token") =!= "")
+    val counts = toks.groupBy((keys.map(col) :+ col("token")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val ent = log(col("_n").cast("double")) - col("_s").cast("double") / col("_n")
+    counts.groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("_c")).as("_n"),
+        count(lit(1)).as("vocab"),
+        sum((col("_c").cast("double") * log(col("_c").cast("double")))
+          .cast("decimal(38,12)")).as("_s"))
+      .select((keys.map(col) :+ col("_n").as("n_tokens") :+ col("vocab") :+
+        round(ent, scale).as("entropy") :+
+        round(when(col("vocab") > 1, ent / log(col("vocab").cast("double"))), scale)
+          .as("norm_entropy")): _*)
+  }
+
   /** Per-document vocabulary coverage / OOV rate against the top-`topN`
     * vocabulary by term frequency (ties by token — deterministic): returns
     * `(idCol, n_tokens, n_oov, oov_rate)` — the tokenizer-coverage check

@@ -445,6 +445,26 @@ class SamplingSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("coordinatedSample: referential closure across tables; per-table ≡ hashSample") {
+    import spark.implicits._
+    val parent = (1L to 300L).map(i => (i, s"p$i")).toDF("pid", "pv")
+    // child keys cover a subset of parents, many rows per key
+    val child = (1L to 900L).map(i => (i, i % 300 + 1)).toDF("cid", "pid")
+    val Seq(sp, sc) = Sampling.coordinatedSample(
+      Seq((parent, col("pid")), (child, col("pid"))), fraction = 0.4, seed = 7)
+    // every sampled child's key appears among the sampled parents: closure
+    val orphans = sc.join(sp.select("pid"), Seq("pid"), "left_anti").count()
+    assert(orphans == 0L)
+    // and each side is exactly the single-table hashSample under the same rule
+    assert(sp.collect().toSet ==
+      Sampling.hashSample(parent, col("pid"), 0.4, seed = 7).collect().toSet)
+    assert(sc.collect().toSet ==
+      Sampling.hashSample(child, col("pid"), 0.4, seed = 7).collect().toSet)
+    // the sample is not empty and not everything
+    val n = sp.count()
+    assert(n > 0 && n < 300)
+  }
+
   test("tokenBudget plans the distributed prefix sum, not a single-partition window") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("doc_id", "tok")

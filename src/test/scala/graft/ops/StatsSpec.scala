@@ -363,4 +363,83 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
     assert(wq == q)
   }
+
+  test("modeBy: majority wins; ties break toward the greatest value; keys independent") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"),           // clear majority x
+      ("b", "p"), ("b", "q"),                       // tie → greatest value q
+      ("c", "z")                                    // singleton
+    ).toDF("k", "v")
+    val got = Stats.modeBy(df, col("v"), Seq("k"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> (("x", 2L)), "b" -> (("q", 1L)), "c" -> (("z", 1L))))
+  }
+
+  test("modeBy is partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (s"k${i % 7}", s"v${(i * 13) % 5}"))
+    val df1 = rows.toDF("k", "v").repartition(1)
+    val df17 = rows.toDF("k", "v").repartition(17)
+    val a = Stats.modeBy(df1, col("v"), Seq("k")).collect().toSet
+    val b = Stats.modeBy(df17, col("v"), Seq("k")).collect().toSet
+    assert(a == b)
+  }
+
+  test("skyline: equals brute-force dominance on a pseudorandom point set") {
+    import spark.implicits._
+    // deterministic pseudorandom points with plenty of x/y ties
+    val pts = (1 to 400).map { i =>
+      (s"g${i % 2}", ((i * 7919) % 23).toDouble, ((i * 104729) % 19).toDouble)
+    }
+    val df = pts.toDF("g", "x", "y")
+    val got = Stats.skyline(df, col("x"), col("y"), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+    val distinct = pts.groupBy(identity).map { case (p, l) => (p._1, p._2, p._3, l.size.toLong) }
+    val brute = distinct.filter { case (g, x, y, _) =>
+      !distinct.exists { case (g2, x2, y2, _) =>
+        g2 == g && x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }.toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("welchTtest: hand-computed statistics; partitioning-invariant") {
+    import spark.implicits._
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (2.0, false), (4.0, false), (6.0, false), (8.0, false)).toDF("v", "y")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A=(1,2,3): m=2, var=1; B=(2,4,6,8): m=5, var=20/3
+    val ea = (1.0 / 3)
+    val eb = (20.0 / 3) / 4
+    val se2 = ea + eb
+    val expT = r6((2.0 - 5.0) / math.sqrt(se2))
+    val expD = r6(se2 * se2 / (ea * ea / 2 + eb * eb / 3))
+    val r = Stats.welchTtest(df, col("v"), col("y")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == expT && r.getDouble(5) == expD)
+    val r17 = Stats.welchTtest(df.repartition(17), col("v"), col("y")).collect().head
+    assert(r17 == r)
+  }
+
+  test("welchTtest: a singleton group yields NULL statistics, not a sentinel") {
+    import spark.implicits._
+    val df = Seq((1.0, true), (2.0, false), (3.0, false)).toDF("v", "y")
+    val r = Stats.welchTtest(df, col("v"), col("y")).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 2.5)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("skyline: single group, duplicate frontier points keep their multiplicity") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (1.0, 5.0), (2.0, 4.0), (2.0, 3.0), (0.5, 6.0), (1.5, 4.5))
+      .toDF("x", "y")
+    val got = Stats.skyline(df, col("x"), col("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+    // (1,5)x2, (2,4), (0.5,6), (1.5,4.5) are mutually non-dominated;
+    // (2,3) is dominated by (2,4)
+    assert(got == Set((1.0, 5.0, 2L), (2.0, 4.0, 1L), (0.5, 6.0, 1L), (1.5, 4.5, 1L)))
+  }
 }

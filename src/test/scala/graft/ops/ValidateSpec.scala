@@ -107,4 +107,26 @@ class ValidateSpec extends SparkSpec {
       Validate.counters(df, Seq(NotNull("s"), Unique("id")))
     }
   }
+
+  test("fkOrphans: planted orphans and null FKs counted separately") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), Some(98L), None, None)
+      .toDF("fk")
+    val r = Validate.fkOrphans(child, col("fk"), parent, col("pk"), "c>p")
+      .collect().head
+    assert(r.getString(0) == "c>p")
+    assert(r.getLong(1) == 7L)  // all child rows
+    assert(r.getLong(2) == 2L)  // null FKs
+    assert(r.getLong(3) == 2L)  // 99, 98
+  }
+
+  test("fkOrphans: clean FK reports zero; duplicate parent keys don't double-count") {
+    import spark.implicits._
+    val parent = Seq(1L, 1L, 2L, 2L).toDF("pk") // dup keys — distinct-collapsed
+    val child = Seq(1L, 2L, 2L, 1L).toDF("fk")
+    val r = Validate.fkOrphans(child, col("fk"), parent, col("pk"), "clean")
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 0L, 0L)))
+  }
 }
