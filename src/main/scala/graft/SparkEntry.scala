@@ -1394,6 +1394,31 @@ object SparkEntry {
     "q190_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(T(s, dir, "documents"), keys = Seq("lang"))),
 
+    // DAG longest-path levels over the k → 2k / 2k+1 binary tree on part
+    // keys: max-relaxation DF wavefront loop, rounds = tree depth (~11),
+    // cycle-guarded by the round budget
+    "q191_dag_levels" -> ((s, dir) => {
+      val keys = T(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+      val kids = keys.select(col("k").as("src"), (col("k") * 2).as("dst"))
+        .unionByName(keys.select(col("k").as("src"), (col("k") * 2 + 1).as("dst")))
+      val e = kids.join(keys.select(col("k").as("dst")), Seq("dst"), "left_semi")
+      graft.graph.GraphQueries.dagLevels(s, e)
+    }),
+
+    // directed reciprocity of the q182 parity graph: pairs traded with
+    // both line-number parities form 2-cycles — one swapped-key self-join,
+    // one exact-integer ratio
+    "q192_reciprocity" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").where(col("l_partkey") % 20 === 0)
+      val fwd = li.where(col("l_linenumber") % 2 === 1)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 10000000L).as("dst"))
+      val bwd = li.where(col("l_linenumber") % 2 === 0)
+        .select((col("l_partkey").cast("long") + 10000000L).as("src"),
+          col("l_suppkey").cast("long").as("dst"))
+      graft.graph.GraphQueries.reciprocity(fwd.unionByName(bwd))
+    }),
+
     // time-to-convert distribution per funnel transition: the q97 funnel's
     // stage deltas (exact integer µs) through the rank-quantile profile —
     // "how long from view to click, click to purchase"
@@ -4498,6 +4523,46 @@ object SparkEntry {
         |    THEN (ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n) / ln(CAST(vocab AS DOUBLE)) END, 6)
         |    AS norm_entropy
         |FROM g""".stripMargin,
+
+    // independent walk: per-root recursive descent, level = max path
+    // length (the tree has one parent per node, so the walk is linear)
+    "q191_dag_levels" ->
+      """WITH RECURSIVE keys AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+        |e AS (
+        |  SELECT k AS src, k * 2 AS dst FROM keys
+        |  WHERE k * 2 IN (SELECT k FROM keys) AND k * 2 <> k
+        |  UNION ALL
+        |  SELECT k, k * 2 + 1 FROM keys WHERE k * 2 + 1 IN (SELECT k FROM keys)
+        |),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |roots AS (SELECT id FROM v WHERE id NOT IN (SELECT dst FROM e)),
+        |walk AS (
+        |  SELECT id, 0 AS l FROM roots
+        |  UNION ALL
+        |  SELECT e.dst, l + 1 FROM walk JOIN e ON e.src = walk.id
+        |)
+        |SELECT id, CAST(max(l) AS BIGINT) AS level FROM walk GROUP BY 1""".stripMargin,
+
+    // q182's edge construction, reciprocity via EXISTS on the swapped pair
+    "q192_reciprocity" ->
+      """WITH base AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+        |    CAST(l_partkey AS BIGINT) + 10000000 AS p, l_linenumber % 2 AS par
+        |  FROM lineitem WHERE l_partkey % 20 = 0
+        |), e AS (
+        |  SELECT s AS src, p AS dst FROM base WHERE par = 1
+        |  UNION
+        |  SELECT p, s FROM base WHERE par = 0
+        |), v AS (SELECT src AS x FROM e UNION SELECT dst FROM e),
+        |r AS (
+        |  SELECT count(*) AS n_edges,
+        |    CAST(sum(CASE WHEN EXISTS (
+        |      SELECT 1 FROM e r2 WHERE r2.src = e.dst AND r2.dst = e.src)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+        |  FROM e)
+        |SELECT (SELECT count(*) FROM v) AS n_vertices, n_edges, n_reciprocal,
+        |  round(CAST(n_reciprocal AS DOUBLE) / n_edges, 6) AS reciprocity
+        |FROM r""".stripMargin,
 
     // the q45 hash rule applied to BOTH tables' copies of the entity key;
     // the LEFT JOIN + ORPHAN segment proves referential closure in-query

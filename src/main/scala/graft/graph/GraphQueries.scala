@@ -1421,4 +1421,104 @@ object GraphQueries {
     }
     assigned.reduce(_ unionByName _)
   }
+
+  /** Longest-path level per vertex in a DAG — topological layering: a
+    * vertex with no in-edges sits at level 0, every other vertex at
+    * `1 + max(level of its predecessors)`. The critical-path / stage-depth
+    * query over dependency graphs (pipeline DAGs, derivation chains,
+    * citation depth), and the scheduling complement of [[shortestPaths]]'s
+    * min-relaxation.
+    *
+    * Max-relaxation DF loop in the [[relaxDistances]] family: per round,
+    * only the rows whose level IMPROVED last round propagate — each
+    * wavefront is one slim equi-join + max-aggregate + |V|-row merge, so a
+    * round touches O(frontier out-edges), and the number of rounds is the
+    * DAG's depth, not |V|. Lineage is truncated on the checkpoint cadence.
+    *
+    * Acyclicity is the caller's contract and is ENFORCED by the round
+    * budget: in a cycle the level keeps climbing and the loop cannot reach
+    * a fixed point, so exhausting `maxIter` with a non-empty frontier
+    * throws `IllegalStateException` (a cycle, or a genuine path longer
+    * than the budget) instead of returning wrong levels.
+    */
+  def dagLevels(
+      spark: SparkSession,
+      edges: DataFrame,
+      idCol: String = "id",
+      maxIter: Int = 100
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val e = materialize(
+      edges.select(col(EdgeColumns.Src).cast("long").as("src"),
+          col(EdgeColumns.Dst).cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val verts = e.select(col("src").as("vid")).union(e.select(col("dst").as("vid"))).distinct()
+    var levels = materialize(verts.withColumn("lvl", lit(0L)))
+    var levelsCheckpoint = levels
+    var frontier = levels
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val cand = e
+        .join(frontier.select(col("vid").as("src"), col("lvl")), Seq("src"))
+        .groupBy(col("dst").as("vid"))
+        .agg(max(col("lvl") + 1).as("_c"))
+      val next = materialize(
+        levels.join(cand, Seq("vid"), "left")
+          .select(col("vid"),
+            greatest(col("lvl"), coalesce(col("_c"), lit(0L))).as("lvl"),
+            (coalesce(col("_c"), lit(-1L)) > col("lvl")).as("_imp")))
+      val nImp = next.where(col("_imp")).count()
+      if (nImp == 0L) {
+        next.unpersist(blocking = false)
+        done = true
+      } else {
+        frontier = next.where(col("_imp")).select(col("vid"), col("lvl"))
+        val prev = levelsCheckpoint
+        levels = next.select(col("vid"), col("lvl"))
+        levelsCheckpoint = next
+        if (prev ne next) prev.unpersist(blocking = false)
+        it += 1
+      }
+    }
+    if (!done) {
+      throw new IllegalStateException(
+        s"dagLevels did not converge within maxIter=$maxIter rounds: the edge set " +
+          "contains a cycle (levels would climb forever), or a genuine path exceeds " +
+          "the budget — raise maxIter only if the input is provably acyclic")
+    }
+    levels.select(col("vid").as(idCol), col("lvl").as("level"))
+  }
+
+  /** Directed-graph reciprocity summary: of the distinct non-loop edges,
+    * how many have their reverse present? Returns one row
+    * `(n_vertices, n_edges, n_reciprocal, reciprocity)` — the
+    * "is this graph really directed?" probe (follower graphs ~0.5+,
+    * citation DAGs ~0, the q182 parity construction in between), and the
+    * precursor to choosing the undirected vs directed algorithm family.
+    *
+    * One self-join of the distinct edge list on the swapped key pair plus
+    * two scalar aggregates; `reciprocity` is one exact-integer division.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = graft.Caches.track(
+      edges.select(col(EdgeColumns.Src).cast("long").as("src"),
+          col(EdgeColumns.Dst).cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("_r", lit(1))
+    val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().agg(count(lit(1)).as("n_vertices"))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("_r").isNotNull, 1L).otherwise(0L)).as("n_reciprocal"))
+      .crossJoin(verts)
+      .select(col("n_vertices"), col("n_edges"), col("n_reciprocal"),
+        round(col("n_reciprocal").cast("double") / col("n_edges"), 6).as("reciprocity"))
+  }
 }
