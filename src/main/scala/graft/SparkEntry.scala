@@ -1405,6 +1405,40 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // poissonized-bootstrap CI for mean document length: B=200 replicates
+    // via integer-grid Poisson(1) draws (no exp() in the decision),
+    // decimal-exact replicate means, rank-rule quantiles — the error bar
+    // without materializing a single resample
+    "q193_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Stats.bootstrapMeanCI(
+        T(s, dir, "documents"), value = col("n_chars"), key = col("doc_id"),
+        b = 200, hash = activeHash)),
+
+    // quantile normalization of document length across languages: every
+    // stratum mapped onto the global distribution by exact integer rank
+    // arithmetic; the global rank table is sorted zipWithIndex, never a
+    // single-partition window
+    "q194_quantile_normalize" -> ((s, dir) =>
+      graft.ops.Stats.quantileNormalize(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        value = col("n_chars"), strataCols = Seq("lang"), tieCol = col("doc_id"))),
+
+    // pairwise-cosine distribution over a 12% coordinated sample of the
+    // embedding space (collapse-risk / density diagnostic): the all-pairs
+    // stage is BOUNDED BY THE SAMPLE (broadcast side ~√pairs), then the
+    // q106 histogram — the documented-bounded-broadcast class (q83/q102)
+    "q195_embed_dist_hist" -> ((s, dir) => {
+      val sm = graft.ops.Sampling.hashSample(
+        T(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        col("vec_id"), 0.12, seed = 42, hash = activeHash)
+      val a = sm.select(col("vec_id").as("id1"), col("v").as("v1"))
+      val b = sm.select(col("vec_id").as("id2"), col("v").as("v2"))
+      val pairs = a.crossJoin(broadcast(b)).where(col("id1") < col("id2"))
+        .select(VectorOps.cosine(col("v1"), col("v2")).as("c"))
+      graft.ops.Stats.histogram(pairs, col("c"), lo = -1.0, hi = 1.0, bins = 20)
+    }),
+
     // directed reciprocity of the q182 parity graph: pairs traded with
     // both line-number parities form 2-cycles — one swapped-key self-join,
     // one exact-integer ratio
@@ -4523,6 +4557,72 @@ object SparkEntry {
         |    THEN (ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n) / ln(CAST(vocab AS DOUBLE)) END, 6)
         |    AS norm_entropy
         |FROM g""".stripMargin,
+
+    // same integer-grid Poisson draws (thresholds interpolated from the
+    // one Scala definition), decimal-exact means, rank-rule quantiles
+    "q193_bootstrap_ci" ->
+      s"""WITH reps AS (
+         |  SELECT CAST(n_chars AS DOUBLE) AS v, doc_id, r.r AS r
+         |  FROM documents, (SELECT unnest(range(200)) AS r) r
+         |  WHERE n_chars IS NOT NULL
+         |), u AS (
+         |  SELECT r, v,
+         |    ${md5l("'42:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)")}
+         |      % 1000000 AS u
+         |  FROM reps
+         |), w AS (
+         |  SELECT r, v, CASE
+         |    ${graft.ops.Stats.poissonThresholds.zipWithIndex
+               .map { case (t, i) => s"WHEN u < $t THEN $i" }.mkString(" ")}
+         |    ELSE ${graft.ops.Stats.poissonThresholds.length} END AS w
+         |  FROM u
+         |), m AS (
+         |  SELECT r, CAST(sum(CAST(v * w AS DECIMAL(38,12))) AS DOUBLE)
+         |    / CAST(sum(w) AS BIGINT) AS m
+         |  FROM w WHERE w > 0 GROUP BY r
+         |), rk AS (
+         |  SELECT m, row_number() OVER (ORDER BY m) AS rn, count(*) OVER () AS n FROM m
+         |)
+         |SELECT p, m AS q
+         |FROM rk, (VALUES (CAST(0.025 AS DOUBLE)), (CAST(0.975 AS DOUBLE))) t(p)
+         |WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))""".stripMargin,
+
+    // the same two rank frames; the target global rank is exact integer
+    // arithmetic ('//' ⇄ Spark's `div`)
+    "q194_quantile_normalize" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |), g AS (
+        |  SELECT n_chars AS gv,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS grk
+        |  FROM documents
+        |), t AS (SELECT count(*) AS nt FROM documents)
+        |SELECT s.doc_id, s.lang, s.n_chars, g.gv AS normalized
+        |FROM s, t, g
+        |WHERE g.grk = (s.rn * t.nt + s.n - 1) // s.n""".stripMargin,
+
+    // the q45 sample rule on vec_id, DuckDB's sequential-fold dot product
+    // (bit-compatible with the native cosine), the q106 bin formula
+    "q195_embed_dist_hist" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE ${md5l("'42:' || CAST(vec_id AS VARCHAR)")} % 1000000 < 120000
+         |), p AS (
+         |  SELECT list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |), b AS (
+         |  SELECT CAST(least(greatest(floor((c - CAST(-1.0 AS DOUBLE)) / CAST(0.1 AS DOUBLE)), 0), 19) AS BIGINT) AS bin
+         |  FROM p
+         |)
+         |SELECT bin,
+         |  round(CAST(-1.0 AS DOUBLE) + bin * CAST(0.1 AS DOUBLE), 6) AS bin_lo,
+         |  round(CAST(-1.0 AS DOUBLE) + (bin + 1) * CAST(0.1 AS DOUBLE), 6) AS bin_hi,
+         |  count(*) AS n
+         |FROM b GROUP BY 1""".stripMargin,
 
     // independent walk: per-root recursive descent, level = max path
     // length (the tree has one parent per node, so the walk is linear)

@@ -732,6 +732,114 @@ object Stats {
       .drop("_rm")
   }
 
+  /** Cumulative Poisson(1) distribution quantized to the 1e-6 sampling
+    * grid ([[Sampling.Granularity]]): `thresholds(k)` is the grid tick
+    * below which a uniform draw maps to a resample weight of ≤ k. Integer
+    * ticks make the weight assignment EXACTLY portable across engines —
+    * no `exp()` ulp lottery in the decision — while the ≤ 5·10⁻⁷
+    * quantization of each probability is far below bootstrap noise.
+    * Truncated where the tail probability drops under the grid
+    * (weight ≤ 9 covers 1 − 3·10⁻⁷ of the mass).
+    */
+  val poissonThresholds: Seq[Long] = {
+    val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L, 40320L)
+    fact.scanLeft(0.0)((acc, f) => acc + math.exp(-1.0) / f).tail
+      .map(c => math.round(c * Sampling.Granularity))
+  }
+
+  /** Poissonized-bootstrap confidence interval for the mean of `value`:
+    * `b` resample replicates, each weighting every row by an independent
+    * Poisson(1) count, yield `b` replicate means whose rank-based
+    * quantiles at `levels` are the CI bounds — returned as `(p, q)` rows
+    * (the [[quantileProfile]] contract). The error-bar machinery for any
+    * corpus-scale metric ("mean quality 0.62 ± what?") without ever
+    * materializing a resample.
+    *
+    * Distributed-bootstrap shape: a map-side explode to `b` replicate
+    * rows per input row (no shuffle until the aggregate), one
+    * partial-aggregated shuffle to `b` replicate moments, and a window
+    * over the `b`-row means frame. Determinism: the Poisson draw is the
+    * inverse CDF at a seeded-hash uniform on the [[Sampling.bucket]]
+    * grid against [[poissonThresholds]] — integer-vs-integer compares,
+    * reproducible across runs, partitionings, and engines; replicate
+    * means are decimal-exact sums with ONE final division. Zero-weight
+    * rows drop before the shuffle (≈ 37% of the exploded frame).
+    */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      value: Column,
+      key: Column,
+      b: Int = 200,
+      levels: Seq[Double] = Seq(0.025, 0.975),
+      seed: Int = 42,
+      hash: HashFamily = XxHash
+  ): DataFrame = {
+    require(b >= 2, s"need at least 2 replicates, got $b")
+    val reps = df.select(value.cast("double").as("_v"), key.cast("string").as("_k"))
+      .where(col("_v").isNotNull)
+      .withColumn("_r", explode(sequence(lit(0), lit(b - 1))))
+    val u = pmod(hash.seeded(seed, concat(col("_k"), lit(":"), col("_r").cast("string"))),
+      lit(Sampling.Granularity))
+    val w = poissonThresholds.zipWithIndex
+      .foldRight(lit(poissonThresholds.length): Column) { case ((t, i), acc) =>
+        when(u < t, lit(i)).otherwise(acc)
+      }
+    val means = reps.withColumn("_w", w)
+      .where(col("_w") > 0)
+      .groupBy(col("_r"))
+      .agg(
+        sum((col("_v") * col("_w")).cast("decimal(38,12)")).as("_s"),
+        sum(col("_w").cast("long")).as("_n"))
+      .select(col("_r"), (col("_s").cast("double") / col("_n")).as("_m"))
+    quantileProfile(means, col("_m"), Nil, levels)
+  }
+
+  /** Quantile normalization across strata: each row's value maps to the
+    * GLOBAL value at the same within-stratum quantile rank — after it,
+    * every stratum has (up to rank granularity) the global distribution.
+    * The cross-source score-calibration step: quality scores from
+    * different classifiers/sources become comparable before one corpus-
+    * wide threshold is applied.
+    *
+    * Exact and engine-portable by construction: within-stratum rank `rn`
+    * of `n` maps to global rank `⌈rn·N/n⌉`, computed in INTEGER
+    * arithmetic (`(rn·N + n − 1) div n` — callers at the 10⁹×10⁹ row
+    * scale where `rn·N` would overflow a long must pre-aggregate), and
+    * the normalized value is an ACTUAL data value at that rank, never an
+    * interpolation. `tieCol` fixes both rank orders deterministically.
+    *
+    * Scale shape: the stratum ranks are partitioned windows; the global
+    * rank table avoids the single-partition global window via the sorted
+    * `RDD.zipWithIndex` idiom ([[graft.ids.ZipWithIndex]] — one sort
+    * shuffle + a parallel offset map), and the mapping is one equi-join
+    * on the rank. The rank table is tracked-persisted (it feeds the join
+    * build side and the `N` scalar); release via [[graft.Caches.clear]].
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      value: Column,
+      strataCols: Seq[String],
+      tieCol: Column): DataFrame = {
+    require(strataCols.nonEmpty, "quantileNormalize needs at least one stratum column")
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*).orderBy(value, tieCol)
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+    val ranked = df.withColumn("_rn", row_number().over(ws).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wn))
+    val g = graft.Caches.track(
+      graft.ids.ZipWithIndex.zipWithIndex(
+        df.select(value.as("_gv"), tieCol.as("_gt")).orderBy(col("_gv"), col("_gt")),
+        colName = "_grk"
+      ).select(col("_grk"), col("_gv")))
+    val nTotal = g.count()
+    ranked
+      .withColumn("_num", col("_rn") * lit(nTotal) + col("_n") - lit(1L))
+      .withColumn("_grk", expr("_num div _n"))
+      .join(g, Seq("_grk"))
+      .select(df.columns.map(col) :+ col("_gv").as("normalized"): _*)
+  }
+
   /** Welch's unequal-variance two-sample t-test — the A/B significance
     * check run before trusting a metric delta (did the new mix change mean
     * document length? did the experiment arm move conversion latency?).

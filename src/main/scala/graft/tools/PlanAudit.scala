@@ -45,7 +45,9 @@ object PlanAudit {
     "q151_source_diversity",      // one-row totals broadcast
     "q152_embed_drift",           // one-row scalar crossJoins
     "q153_source_overlap_est",    // |keys|² group matrix — the requested output
-    "q155_graph_hits"             // one-row norm crossJoins
+    "q155_graph_hits",            // one-row norm crossJoins
+    "q195_embed_dist_hist",       // all-pairs bounded by the hash sample — the diagnostic's contract
+    "q192_reciprocity"            // one-row vertex-count crossJoin (the q148 scalar-attach class)
   )
 
   def main(args: Array[String]): Unit = {

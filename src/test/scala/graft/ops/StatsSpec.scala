@@ -404,6 +404,50 @@ class StatsSpec extends SparkSpec {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("poissonThresholds: a valid CDF grid (strictly rising, → granularity)") {
+    val t = Stats.poissonThresholds
+    assert(t.size == 9)
+    assert(t == t.sorted && t.distinct == t)
+    assert(t.head == 367879L) // e⁻¹ on the 1e6 grid
+    assert(t.last <= Sampling.Granularity && t.last >= Sampling.Granularity - 2)
+  }
+
+  test("bootstrapMeanCI: brackets the true mean, deterministic, partition-invariant") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, (i % 50).toDouble)).toDF("id", "v")
+    val ci = Stats.bootstrapMeanCI(df, col("v"), col("id"), b = 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val lo = ci(0.025); val hi = ci(0.975)
+    val mean = (0 until 50).map(_.toDouble).sum / 50.0 // 24.5
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] should bracket $mean")
+    assert(hi - lo < 10.0, s"CI [$lo, $hi] implausibly wide")
+    val ci2 = Stats.bootstrapMeanCI(df.repartition(13), col("v"), col("id"), b = 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(ci2 == ci)
+  }
+
+  test("quantileNormalize: one stratum is the identity; two strata map onto global ranks") {
+    import spark.implicits._
+    val one = (1L to 20L).map(i => (i, "s", i * 3.0)).toDF("id", "g", "v")
+    val idy = Stats.quantileNormalize(one, col("v"), Seq("g"), col("id"))
+      .collect().map(r => r.getDouble(2) -> r.getDouble(3))
+    assert(idy.forall { case (v, n) => v == n })
+    graft.Caches.clear()
+    // strata of equal size: each stratum's ranks map to 2rn-th global value
+    val two = ((1L to 5L).map(i => (i, "a", i * 10.0)) ++
+      (6L to 10L).map(i => (i, "b", i * 1.0))).toDF("id", "g", "v")
+    val got = Stats.quantileNormalize(two, col("v"), Seq("g"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    // global sorted values: 6,7,8,9,10,10,20,30,40,50 (rank 1..10)
+    // stratum a (10..50, rn 1..5 of n=5) → global ranks 2,4,6,8,10 → 7,9,10,30,50
+    val globalSorted = Seq(6.0, 7.0, 8.0, 9.0, 10.0, 10.0, 20.0, 30.0, 40.0, 50.0)
+    assert(got(1L) == globalSorted(1) && got(2L) == globalSorted(3) &&
+      got(3L) == globalSorted(5) && got(4L) == globalSorted(7) &&
+      got(5L) == globalSorted(9))
+    assert(got(6L) == globalSorted(1) && got(10L) == globalSorted(9))
+    graft.Caches.clear()
+  }
+
   test("welchTtest: hand-computed statistics; partitioning-invariant") {
     import spark.implicits._
     val df = Seq((1.0, true), (2.0, true), (3.0, true),
