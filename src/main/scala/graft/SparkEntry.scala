@@ -1405,6 +1405,35 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // golden-record assembly: q50's near-dup clusters collapsed to one
+    // canonical record each — majority lang/source (ties to greatest),
+    // longest text, smallest id, evidence count; the survivorship step
+    // that completes match → cluster → merge
+    "q196_golden_record" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val labels = Dedup.clusters(s, Dedup.prefixJaccardPairs(docs, threshold = 0.7),
+        docs = Some(docs))
+      val labeled = docs.join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+      Dedup.goldenRecords(labeled, "cluster_id", modeCols = Seq("lang", "source"),
+        maxCols = Seq("n_chars"), minCols = Seq("doc_id"))
+    }),
+
+    // exact two-sample KS statistic on document length, en vs de: the
+    // supremum is maximized as an INTEGER cross-product — no float until
+    // the single final division
+    "q197_ks_test" -> ((s, dir) =>
+      graft.ops.Stats.ksTest(
+        T(s, dir, "documents").where(col("lang").isin("en", "de")),
+        value = col("n_chars"), label = col("lang") === "en")),
+
+    // Gini concentration of user activity per event type: rank-form
+    // Gini over exact integer counts, decimal i·x products, one division
+    "q198_gini" -> ((s, dir) => {
+      val cnt = T(s, dir, "events").groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+      graft.ops.Stats.gini(cnt, col("n_ev"), Seq("event_type"))
+    }),
+
     // poissonized-bootstrap CI for mean document length: B=200 replicates
     // via integer-grid Poisson(1) draws (no exp() in the decision),
     // decimal-exact replicate means, rank-rule quantiles — the error bar
@@ -4557,6 +4586,102 @@ object SparkEntry {
         |    THEN (ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n) / ln(CAST(vocab AS DOUBLE)) END, 6)
         |    AS norm_entropy
         |FROM g""".stripMargin,
+
+    // q50's transitive closure + per-field elections: count-window mode
+    // (ties to greatest), extremes, evidence count
+    "q196_golden_record" ->
+      raw"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), j AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.7
+        |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.7
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+        |), m AS (
+        |  SELECT coalesce(c.cluster, d.doc_id) AS cluster_id,
+        |    d.doc_id, d.lang, d.source, d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |), lm AS (
+        |  SELECT cluster_id, lang AS mode_lang
+        |  FROM (SELECT cluster_id, lang, count(*) AS n FROM m GROUP BY 1, 2)
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, lang DESC) = 1
+        |), sm AS (
+        |  SELECT cluster_id, source AS mode_source
+        |  FROM (SELECT cluster_id, source, count(*) AS n FROM m GROUP BY 1, 2)
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, source DESC) = 1
+        |), agg AS (
+        |  SELECT cluster_id, count(*) AS n_members,
+        |    CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+        |    CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT agg.cluster_id, n_members, max_n_chars, min_doc_id, mode_lang, mode_source
+        |FROM agg JOIN lm USING (cluster_id) JOIN sm USING (cluster_id)""".stripMargin,
+
+    // the integer-supremum replay: distinct-value collapse, cumulative
+    // counts, max |c_a·n_b − c_b·n_a|, one division (twice spelled — the
+    // rounded d and the unrounded d feeding ks_stat, as in the Spark plan)
+    "q197_ks_test" ->
+      """WITH d AS (
+        |  SELECT n_chars AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT v, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM d GROUP BY 1
+        |), cum AS (
+        |  SELECT v,
+        |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |  FROM g
+        |), t AS (
+        |  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM d
+        |), mx AS (
+        |  SELECT CAST(max(abs(f1 * t.n_b - f2 * t.n_a)) AS BIGINT) AS num
+        |  FROM cum, t
+        |)
+        |SELECT t.n_a, t.n_b,
+        |  round(CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |    THEN CAST(num AS DOUBLE) / (t.n_a * t.n_b) END, 6) AS d,
+        |  round((CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |    THEN CAST(num AS DOUBLE) / (t.n_a * t.n_b) END)
+        |    * sqrt(CAST(t.n_a * t.n_b AS DOUBLE) / (t.n_a + t.n_b)), 6) AS ks_stat
+        |FROM mx, t""".stripMargin,
+
+    // the rank-form Gini replayed: integer counts, decimal i·x sums
+    "q198_gini" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS i
+        |  FROM c
+        |), a AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS total,
+        |    sum(CAST(i * x AS DECIMAL(38,0))) AS s1
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT event_type, n, total,
+        |  round(CASE WHEN total > 0
+        |    THEN (CAST(2.0 AS DOUBLE) * CAST(s1 AS DOUBLE) - CAST(n + 1 AS DOUBLE) * total)
+        |      / (CAST(n AS DOUBLE) * total) END, 6) AS gini
+        |FROM a""".stripMargin,
 
     // same integer-grid Poisson draws (thresholds interpolated from the
     // one Scala definition), decimal-exact means, rank-rule quantiles

@@ -974,4 +974,41 @@ object Dedup {
       .withColumn("_cos", VectorOps.cosine(col("v_a"), col("v_b")))
       .where(col("_cos") >= threshold)
   }
+
+  /** Golden-record assembly — the survivorship step of entity resolution:
+    * collapse each cluster of matched records into ONE canonical record,
+    * field by field. `modeCols` elect the majority value per cluster
+    * (ties toward the greatest — [[graft.ops.Stats.modeBy]]'s
+    * deterministic contract), `maxCols`/`minCols` take the extreme
+    * (freshest timestamp, longest text, smallest id), and `n_members`
+    * records the evidence count. Pair with [[clusters]] /
+    * [[incrementalClusters]] for the labels and the pair generators for
+    * the matches — this is the last joint of the match → cluster → merge
+    * chain.
+    *
+    * Scale shape: one partial-aggregated shuffle for the extremes plus
+    * one per mode column over the already-collapsed `(cluster, value)`
+    * count frame; every join is on the cluster key against frames of at
+    * most |clusters| rows. No window, no data-sized state.
+    */
+  def goldenRecords(
+      labeled: DataFrame,
+      clusterCol: String,
+      modeCols: Seq[String],
+      maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(modeCols.nonEmpty || maxCols.nonEmpty || minCols.nonEmpty,
+      "goldenRecords needs at least one field-election column")
+    val aggs = (count(lit(1)).as("n_members") +:
+      (maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+        minCols.map(c => min(col(c)).as(s"min_$c")))).toList
+    val base = labeled.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+    modeCols.foldLeft(base) { (acc, c) =>
+      acc.join(
+        graft.ops.Stats.modeBy(labeled, col(c), Seq(clusterCol))
+          .select(col(clusterCol), col("mode").as(s"mode_$c")),
+        Seq(clusterCol))
+    }
+  }
 }

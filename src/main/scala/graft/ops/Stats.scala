@@ -840,6 +840,89 @@ object Stats {
       .select(df.columns.map(col) :+ col("_gv").as("normalized"): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT: `D = max |F_A − F_B|`
+    * over the empirical CDFs of the two groups split by `label`. The
+    * distribution-level complement of [[welchTtest]] (a mean can match
+    * while the shapes diverge — mixture collapse, truncation, bimodality).
+    * Returns one row `(n_a, n_b, d, ks_stat)` where
+    * `ks_stat = D·√(n_a·n_b/(n_a+n_b))` — compare against the usual
+    * 1.36/1.63 critical values.
+    *
+    * Engine-portable with no float in the MAXIMIZATION: the candidate
+    * suprema are rationals `c_a/n_a − c_b/n_b`, maximized as the exact
+    * integer `|c_a·n_b − c_b·n_a|` and divided ONCE at the end. Callers
+    * at the scale where `c·n` overflows a long (n_a·n_b ≥ 2⁶³) must
+    * pre-bin.
+    *
+    * Scale shape: collapse-first — the data reduces to one row per
+    * DISTINCT value (partial-agg shuffle) before the single ordered
+    * cumulative window, so the window's partition is |distinct values|,
+    * not |rows|; group totals ride a one-row crossJoin (the documented
+    * scalar-attach class).
+    */
+  def ksTest(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
+    val d = df.select(value.as("_v"), label.as("_y"))
+      .where(col("_v").isNotNull && col("_y").isNotNull)
+    val g = d.groupBy(col("_v")).agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("_c1"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("_c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = g.select(col("_v"),
+      sum(col("_c1")).over(w).as("_f1"), sum(col("_c2")).over(w).as("_f2"))
+    val tot = d.agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("n_b"))
+    cum.crossJoin(tot)
+      .agg(
+        max(abs(col("_f1") * col("n_b") - col("_f2") * col("n_a"))).as("_num"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("d",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("_num").cast("double") / (col("n_a") * col("n_b"))))
+      .select(col("n_a"), col("n_b"), round(col("d"), scale).as("d"),
+        round(col("d") * sqrt((col("n_a") * col("n_b")).cast("double") /
+          (col("n_a") + col("n_b"))), scale).as("ks_stat"))
+  }
+
+  /** Gini coefficient of `value` per stratum — the concentration /
+    * inequality monitor ("do 1% of users generate 90% of events?", "how
+    * unequal are per-source token masses?"). Uses the rank form
+    * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` over ascending-sorted
+    * non-negative values — exact integer/decimal accumulations
+    * (rank-by-value ties cannot move the sum: tied ranks multiply equal
+    * values), ONE final division. NULL where the stratum total is zero.
+    * Returns `(strataCols…, n, total, gini)`.
+    *
+    * Scale shape: one partitioned rank window + one partial-aggregated
+    * shuffle; the `i·x` products are decimal-cast so rank·value cannot
+    * overflow at any scale.
+    */
+  def gini(
+      df: DataFrame,
+      value: Column,
+      strataCols: Seq[String],
+      scale: Int = 6): DataFrame = {
+    val strata = strataCols.map(col)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*).orderBy(value)
+    val ranked = df.where(value.isNotNull)
+      .withColumn("_x", value.cast("long"))
+      .withColumn("_i", row_number().over(ws).cast("long"))
+    ranked
+      .groupBy(strata: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_x")).as("total"),
+        sum((col("_i") * col("_x")).cast("decimal(38,0)")).as("_s1"))
+      .withColumn("gini",
+        when(col("total") > 0,
+          (lit(2.0) * col("_s1").cast("double") -
+            (col("n") + 1).cast("double") * col("total")) /
+            (col("n").cast("double") * col("total"))))
+      .select(strata ++ Seq(col("n"), col("total"), round(col("gini"), scale).as("gini")): _*)
+  }
+
   /** Welch's unequal-variance two-sample t-test — the A/B significance
     * check run before trusting a metric delta (did the new mix change mean
     * document length? did the experiment arm move conversion latency?).

@@ -133,4 +133,26 @@ class ClustersSpec extends SparkSpec {
     assert(Dedup.prefixJaccardPairs(kept, threshold = 0.5).count() == 0)
     assert(kept.count() == 3) // {0,1,2} -> 0, {3,4} -> 3, {5} -> 5
   }
+
+  test("goldenRecords: per-cluster mode/max/min elections with deterministic ties") {
+    import spark.implicits._
+    val labeled = Seq(
+      // cluster 1: lang majority en, source tie (s1 vs s2) → greatest s2
+      (1L, "en", "s1", 100L, 11L),
+      (1L, "en", "s2", 300L, 12L),
+      (1L, "de", "s2", 200L, 13L),
+      (1L, "de", "s1", 250L, 14L),
+      (1L, "en", "s1", 120L, 15L),
+      (1L, "fr", "s2", 90L, 16L),
+      // cluster 2: singleton
+      (2L, "zh", "s9", 42L, 20L)
+    ).toDF("cluster_id", "lang", "source", "n_chars", "doc_id")
+    val got = Dedup.goldenRecords(labeled, "cluster_id",
+        modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"), minCols = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got(1L) == ((6L, 300L, 11L, "en", "s2")))
+    assert(got(2L) == ((1L, 42L, 20L, "zh", "s9")))
+  }
 }

@@ -448,6 +448,37 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("ksTest: hand-computed D on overlapping step CDFs; identical samples → 0") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: F_A−F_B peaks at v=2 (2/4 − 0/4 = 0.5)
+    val df = (Seq(1, 2, 3, 4).map(v => (v, true)) ++ Seq(3, 4, 5, 6).map(v => (v, false)))
+      .toDF("v", "y")
+    val r = Stats.ksTest(df, col("v"), col("y")).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == r6(0.5 * math.sqrt(16.0 / 8)))
+    // identical distributions: D = 0
+    val same = (Seq(1, 2, 3).map(v => (v, true)) ++ Seq(1, 2, 3).map(v => (v, false)))
+      .toDF("v", "y")
+    assert(Stats.ksTest(same, col("v"), col("y")).collect().head.getDouble(2) == 0.0)
+  }
+
+  test("gini: uniform → 0; full concentration → (n−1)/n; hand case") {
+    import spark.implicits._
+    val uniform = (1 to 10).map(i => ("u", 7L)).toDF("g", "x")
+    val concentrated = (("c", 100L) +: (1 to 9).map(_ => ("c", 0L))).toDF("g", "x")
+    val hand = Seq(("h", 1L), ("h", 2L), ("h", 3L)).toDF("g", "x")
+    val got = Stats.gini(uniform.unionByName(concentrated).unionByName(hand),
+        col("x"), Seq("g"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("u") == ((10L, 70L, 0.0)))
+    assert(got("c") == ((10L, 100L, 0.9)))
+    // sorted 1,2,3: G = (2·(1+4+9) − 4·6)/(3·6) = (28−24)/18
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("h") == ((3L, 6L, r6(4.0 / 18.0))))
+  }
+
   test("welchTtest: hand-computed statistics; partitioning-invariant") {
     import spark.implicits._
     val df = Seq((1.0, true), (2.0, true), (3.0, true),
