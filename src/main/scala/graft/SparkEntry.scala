@@ -1405,6 +1405,41 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // PSI drift score of the length distribution, en (reference) vs de
+    // (current): fixed q106 grid, contributions only where both sides
+    // populated, decimal-cast sum — the standard model-monitoring metric
+    "q199_psi" -> ((s, dir) =>
+      graft.ops.Stats.psi(
+        T(s, dir, "documents").where(col("lang").isin("en", "de")),
+        value = col("n_chars"), label = col("lang") === "en",
+        lo = 0.0, hi = 600.0, bins = 12)),
+
+    // RFM segmentation of customers from their orders: collapse-first to
+    // one row per customer, then three tie-broken ntile quartiles; the
+    // timestamp rides as exact integer µs (engine-portable)
+    "q200_rfm" -> ((s, dir) =>
+      graft.ops.EventAnalytics.rfm(
+        T(s, dir, "orders"), user = col("o_custkey"),
+        ts = unix_micros(col("o_orderdate").cast("timestamp")), amount = col("o_totalprice"),
+        bins = 4)),
+
+    // the q196 golden-record table served from MERGED PER-BATCH PARTIALS
+    // (corpus split by id parity): its oracle is q196's SQL verbatim, so
+    // hash equality proves merge ≡ one-shot assembly
+    "q201_golden_partials" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val labels = Dedup.clusters(s, Dedup.prefixJaccardPairs(docs, threshold = 0.7),
+        docs = Some(docs))
+      val labeled = docs.join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+      val st = Dedup.goldenMerge(Seq(
+        Dedup.goldenPartials(labeled.where(col("doc_id") % 2 === 0), "cluster_id",
+          modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"), minCols = Seq("doc_id")),
+        Dedup.goldenPartials(labeled.where(col("doc_id") % 2 =!= 0), "cluster_id",
+          modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"), minCols = Seq("doc_id"))),
+        "cluster_id")
+      Dedup.goldenFromPartials(st, "cluster_id")
+    }),
+
     // golden-record assembly: q50's near-dup clusters collapsed to one
     // canonical record each — majority lang/source (ties to greatest),
     // longest text, smallest id, evidence count; the survivorship step
@@ -2395,6 +2430,53 @@ object SparkEntry {
     * hash that makes the sketch queries (q18/q22/q29) oracle-checkable.
     */
   private def md5l(e: String): String = graft.ops.Md5Hash.duckdbPlain(e)
+
+  /** q196's oracle, shared verbatim with q201 (the merged-partials serving
+    * face must produce the identical golden-record table): q50's
+    * transitive closure + per-field elections — count-window mode with
+    * ties to the greatest value, extremes, evidence count.
+    */
+  private lazy val goldenRecordOracle: String =
+    raw"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+      |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)
+      |), j AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+      |  FROM sh a JOIN sh b ON a.id < b.id
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.7
+      |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.7
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+      |), m AS (
+      |  SELECT coalesce(c.cluster, d.doc_id) AS cluster_id,
+      |    d.doc_id, d.lang, d.source, d.n_chars
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      |), lm AS (
+      |  SELECT cluster_id, lang AS mode_lang
+      |  FROM (SELECT cluster_id, lang, count(*) AS n FROM m GROUP BY 1, 2)
+      |  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, lang DESC) = 1
+      |), sm AS (
+      |  SELECT cluster_id, source AS mode_source
+      |  FROM (SELECT cluster_id, source, count(*) AS n FROM m GROUP BY 1, 2)
+      |  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, source DESC) = 1
+      |), agg AS (
+      |  SELECT cluster_id, count(*) AS n_members,
+      |    CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+      |    CAST(min(doc_id) AS BIGINT) AS min_doc_id
+      |  FROM m GROUP BY 1
+      |)
+      |SELECT agg.cluster_id, n_members, max_n_chars, min_doc_id, mode_lang, mode_source
+      |FROM agg JOIN lm USING (cluster_id) JOIN sm USING (cluster_id)""".stripMargin
 
   /** q95's oracle, shared verbatim with q120 (the served-weights face must
     * produce the identical table).
@@ -4589,47 +4671,52 @@ object SparkEntry {
 
     // q50's transitive closure + per-field elections: count-window mode
     // (ties to greatest), extremes, evidence count
-    "q196_golden_record" ->
-      raw"""WITH RECURSIVE sh AS (
-        |  SELECT doc_id AS id,
-        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
-        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |        FROM documents)
-        |), j AS (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-        |  FROM sh a JOIN sh b ON a.id < b.id
-        |), edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.7
-        |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.7
-        |), reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        |), comp AS (
-        |  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
-        |), m AS (
-        |  SELECT coalesce(c.cluster, d.doc_id) AS cluster_id,
-        |    d.doc_id, d.lang, d.source, d.n_chars
-        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-        |), lm AS (
-        |  SELECT cluster_id, lang AS mode_lang
-        |  FROM (SELECT cluster_id, lang, count(*) AS n FROM m GROUP BY 1, 2)
-        |  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, lang DESC) = 1
-        |), sm AS (
-        |  SELECT cluster_id, source AS mode_source
-        |  FROM (SELECT cluster_id, source, count(*) AS n FROM m GROUP BY 1, 2)
-        |  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, source DESC) = 1
-        |), agg AS (
-        |  SELECT cluster_id, count(*) AS n_members,
-        |    CAST(max(n_chars) AS BIGINT) AS max_n_chars,
-        |    CAST(min(doc_id) AS BIGINT) AS min_doc_id
-        |  FROM m GROUP BY 1
+    "q196_golden_record" -> goldenRecordOracle,
+
+    // q196's oracle VERBATIM: hash equality proves the merged-partials
+    // serving path ≡ the one-shot assembly (the q120 discipline)
+    "q201_golden_partials" -> goldenRecordOracle,
+
+    // per-bin shares on the q106 grid, contributions (p−q)·ln(p/q) only
+    // where both sides are populated, decimal-cast before the sum
+    "q199_psi" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(least(greatest(floor((v - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)), 0), 11) AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM d
+        |), c AS (
+        |  SELECT n_a, n_b,
+        |    CASE WHEN ca > 0 AND cb > 0
+        |      THEN (CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)
+        |        * ln((CAST(ca AS DOUBLE) / n_a) / (CAST(cb AS DOUBLE) / n_b)) END AS contrib
+        |  FROM g, t
         |)
-        |SELECT agg.cluster_id, n_members, max_n_chars, min_doc_id, mode_lang, mode_source
-        |FROM agg JOIN lm USING (cluster_id) JOIN sm USING (cluster_id)""".stripMargin,
+        |SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+        |  CAST(sum(CASE WHEN contrib IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bins_used,
+        |  CAST(sum(CASE WHEN contrib IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bins_dropped,
+        |  round(CAST(sum(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+        |FROM c""".stripMargin,
+
+    // the same collapsed actor frame and the q107 ntile rule ×3
+    "q200_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS user_id, max(epoch_us(o_orderdate)) AS recency,
+        |    count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT user_id, recency, frequency, monetary,
+        |  CAST(ntile(4) OVER (ORDER BY recency, user_id) - 1 AS BIGINT) AS r_bin,
+        |  CAST(ntile(4) OVER (ORDER BY frequency, user_id) - 1 AS BIGINT) AS f_bin,
+        |  CAST(ntile(4) OVER (ORDER BY monetary, user_id) - 1 AS BIGINT) AS m_bin
+        |FROM base""".stripMargin,
 
     // the integer-supremum replay: distinct-value collapse, cumulative
     // counts, max |c_a·n_b − c_b·n_a|, one division (twice spelled — the

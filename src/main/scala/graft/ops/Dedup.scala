@@ -1011,4 +1011,74 @@ object Dedup {
         Seq(clusterCol))
     }
   }
+
+  /** Mergeable survivorship state for [[goldenRecords]]: per-batch partial
+    * aggregates whose merge is exact — counts and extremes are sums/max/min,
+    * and the mode election distributes over summed `(cluster, value)`
+    * count tables. At 100 TB the golden-record table maintains itself from
+    * per-batch partials (each bounded by |clusters seen in the batch| ×
+    * |distinct field values|), never by rescanning members — the
+    * MaterializedAgg discipline applied to entity resolution.
+    */
+  case class GoldenState(extremes: DataFrame, modeCounts: Seq[(String, DataFrame)])
+
+  /** One batch's [[GoldenState]] — same field semantics as
+    * [[goldenRecords]] (`modeCols` majority with ties to greatest,
+    * `maxCols`/`minCols` extremes, `n_members` evidence count).
+    */
+  def goldenPartials(
+      labeled: DataFrame,
+      clusterCol: String,
+      modeCols: Seq[String],
+      maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil
+  ): GoldenState = {
+    require(modeCols.nonEmpty || maxCols.nonEmpty || minCols.nonEmpty,
+      "goldenPartials needs at least one field-election column")
+    val aggs = (count(lit(1)).as("n_members") +:
+      (maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+        minCols.map(c => min(col(c)).as(s"min_$c")))).toList
+    val ext = labeled.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+    val modes = modeCols.map(c =>
+      c -> labeled.groupBy(col(clusterCol), col(c)).agg(count(lit(1)).as("_n")))
+    GoldenState(ext, modes)
+  }
+
+  /** Exact merge of per-batch states: `n_members` sums, `max_*`/`min_*`
+    * re-extremize (the column-name prefix IS the merge function — partial
+    * max of maxes is the max), mode count tables sum per
+    * `(cluster, value)`. Associative and batch-split-invariant
+    * (spec-pinned: merge ≡ whole).
+    */
+  def goldenMerge(parts: Seq[GoldenState], clusterCol: String): GoldenState = {
+    require(parts.nonEmpty, "goldenMerge needs at least one partial state")
+    val extAll = parts.map(_.extremes).reduce(_ unionByName _)
+    val aggs = extAll.columns.filterNot(_ == clusterCol).map {
+      case c @ "n_members" => sum(col(c)).as(c)
+      case c if c.startsWith("max_") => max(col(c)).as(c)
+      case c if c.startsWith("min_") => min(col(c)).as(c)
+      case c => throw new IllegalArgumentException(s"unmergeable extremes column $c")
+    }.toList
+    val ext = extAll.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+    val fields = parts.head.modeCounts.map(_._1)
+    val modes = fields.map { f =>
+      val tables = parts.map(p => p.modeCounts.collectFirst { case (`f`, t) => t }
+        .getOrElse(throw new IllegalArgumentException(s"state missing mode field $f")))
+      f -> tables.reduce(_ unionByName _)
+        .groupBy(col(clusterCol), col(f)).agg(sum(col("_n")).as("_n"))
+    }
+    GoldenState(ext, modes)
+  }
+
+  /** Serves the golden-record table from (merged) partials — identical
+    * output, column for column, to [[goldenRecords]] over the union of the
+    * contributing batches (the q201 oracle is q196's verbatim).
+    */
+  def goldenFromPartials(st: GoldenState, clusterCol: String): DataFrame =
+    st.modeCounts.foldLeft(st.extremes) { case (acc, (f, counts)) =>
+      val elected = counts.groupBy(col(clusterCol))
+        .agg(max(struct(col("_n"), col(f))).as("_m"))
+        .select(col(clusterCol), col(s"_m.$f").as(s"mode_$f"))
+      acc.join(elected, Seq(clusterCol))
+    }
 }

@@ -426,4 +426,38 @@ object EventAnalytics {
       .orderBy(col("n").desc, col("path"))
       .limit(k)
   }
+
+  /** RFM segmentation — recency / frequency / monetary quartile scores per
+    * actor, the classic value-segmentation grid (and, for corpus work, the
+    * "recently active, prolific, high-value contributor" facet of source
+    * scoring). Per `user`: `recency = max(ts)`, `frequency = count`,
+    * `monetary = round(Σ amount, 2)` (round-before-rank — an ulp of float
+    * summation must not flip a bin), then three equal-frequency `ntile`
+    * bins 0..bins−1, each tie-broken by the user id so the assignment is
+    * exact and engine-portable (the q107 ntile discipline). Pass a NUMERIC
+    * `ts` (e.g. `unix_micros`) — raw timestamp columns differ in physical
+    * representation across engines.
+    *
+    * Scale shape: the event stream collapses to one row per user in a
+    * single partial-aggregated shuffle BEFORE any ordering; the three
+    * ntile windows then rank the |users| frame. Callers whose collapsed
+    * actor frame itself strains one partition should bin via
+    * [[graft.ops.Stats.quantileProfile]] thresholds instead.
+    */
+  def rfm(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      amount: Column,
+      bins: Int = 4): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val base = df.groupBy(user.as("user_id"))
+      .agg(max(ts).as("recency"), count(lit(1)).as("frequency"),
+        round(sum(amount), 2).as("monetary"))
+    def w(c: Column) = Window.orderBy(c, col("user_id"))
+    base
+      .withColumn("r_bin", (ntile(bins).over(w(col("recency"))) - 1).cast("long"))
+      .withColumn("f_bin", (ntile(bins).over(w(col("frequency"))) - 1).cast("long"))
+      .withColumn("m_bin", (ntile(bins).over(w(col("monetary"))) - 1).cast("long"))
+  }
 }

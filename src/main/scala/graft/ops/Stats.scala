@@ -885,6 +885,62 @@ object Stats {
           (col("n_a") + col("n_b"))), scale).as("ks_stat"))
   }
 
+  /** Population Stability Index between the `label`=true (A, e.g. the
+    * reference period) and `label`=false (B, the current period)
+    * distributions of `value`, over the fixed grid `[lo, hi)` ×`bins`
+    * (the q106 histogram formula, edge bins clamped):
+    * `PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ)` — the industry-standard drift score
+    * (<0.1 stable, 0.1–0.25 drifting, >0.25 act), complementing the
+    * chi-square monitor with a magnitude-scaled, symmetric measure.
+    *
+    * Bins empty on EITHER side are excluded from the sum (ln is
+    * undefined; an epsilon hack would make the score grid-size-dependent)
+    * and reported in `bins_dropped` — a drop is itself a drift signal.
+    * Returns one row `(n_a, n_b, bins_used, bins_dropped, psi)`.
+    * Shares are exact-integer ratios; per-bin contributions are
+    * decimal-cast before the sum, so partitioning cannot move the total.
+    *
+    * Scale shape: one partial-aggregated shuffle to ≤ `bins` rows, a
+    * one-row totals crossJoin (the documented scalar-attach class), one
+    * final aggregate.
+    */
+  def psi(
+      df: DataFrame,
+      value: Column,
+      label: Column,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      scale: Int = 6): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val d = df.select(value.cast("double").as("_v"), label.as("_y"))
+      .where(col("_v").isNotNull && col("_y").isNotNull)
+    val bin = least(
+      greatest(floor((col("_v") - lit(lo)) / lit(w)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val g = d.groupBy(bin.as("bin")).agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("_ca"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("_cb"))
+    val tot = d.agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("n_b"))
+    g.crossJoin(tot)
+      .withColumn("_p", col("_ca").cast("double") / col("n_a"))
+      .withColumn("_q", col("_cb").cast("double") / col("n_b"))
+      .withColumn("_contrib",
+        when(col("_ca") > 0 && col("_cb") > 0,
+          (col("_p") - col("_q")) * log(col("_p") / col("_q"))))
+      .agg(
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(when(col("_contrib").isNotNull, 1L).otherwise(0L)).as("bins_used"),
+        sum(when(col("_contrib").isNull, 1L).otherwise(0L)).as("bins_dropped"),
+        sum(col("_contrib").cast("decimal(38,12)")).as("_s"))
+      .select(col("n_a"), col("n_b"), col("bins_used"), col("bins_dropped"),
+        round(col("_s").cast("double"), scale).as("psi"))
+  }
+
   /** Gini coefficient of `value` per stratum — the concentration /
     * inequality monitor ("do 1% of users generate 90% of events?", "how
     * unequal are per-source token masses?"). Uses the rank form

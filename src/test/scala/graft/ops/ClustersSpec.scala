@@ -155,4 +155,25 @@ class ClustersSpec extends SparkSpec {
     assert(got(1L) == ((6L, 300L, 11L, "en", "s2")))
     assert(got(2L) == ((1L, 42L, 20L, "zh", "s9")))
   }
+
+  test("golden partials: merge of any batch split ≡ one-shot goldenRecords") {
+    import spark.implicits._
+    val labeled = (1 to 60).map { i =>
+      ((i % 5).toLong, s"l${i % 3}", s"s${i % 4}", (i * 7 % 100).toLong, i.toLong)
+    }.toDF("cluster_id", "lang", "source", "n_chars", "doc_id")
+    val whole = Dedup.goldenRecords(labeled, "cluster_id",
+      modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"), minCols = Seq("doc_id"))
+    def part(f: org.apache.spark.sql.DataFrame) =
+      Dedup.goldenPartials(f, "cluster_id",
+        modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"), minCols = Seq("doc_id"))
+    // three uneven batches, one of them empty for a stratum
+    val served = Dedup.goldenFromPartials(
+      Dedup.goldenMerge(Seq(
+        part(labeled.where(col("doc_id") % 3 === 0)),
+        part(labeled.where(col("doc_id") % 3 === 1)),
+        part(labeled.where(col("doc_id") % 3 === 2))), "cluster_id"),
+      "cluster_id")
+    assert(served.columns.toSeq == whole.columns.toSeq)
+    assert(served.collect().toSet == whole.collect().toSet)
+  }
 }

@@ -255,4 +255,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("user_id", "ts_1", "ts_2", "ts_3", "steps_completed"))
   }
+
+  test("rfm: hand-computed quartile bins with tie-broken ntile ranks") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10L, 5.0), (1L, 30L, 5.0), // u1: r=30 f=2 m=10
+      (2L, 20L, 1.0),                 // u2: r=20 f=1 m=1
+      (3L, 40L, 2.0),                 // u3: r=40 f=1 m=2
+      (4L, 50L, 100.0)                // u4: r=50 f=1 m=100
+    ).toDF("u", "ts", "amt")
+    val got = EventAnalytics.rfm(orders, col("u"), col("ts"), col("amt"), bins = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // recency order 20,30,40,50 → u2,u1 | u3,u4; frequency ties break by id:
+    // (1,u2),(1,u3),(1,u4),(2,u1) → u2,u3 | u4,u1; monetary 1,2,10,100
+    assert(got == Map(
+      1L -> ((0L, 1L, 1L)),
+      2L -> ((0L, 0L, 0L)),
+      3L -> ((1L, 0L, 0L)),
+      4L -> ((1L, 1L, 1L))))
+  }
 }

@@ -448,6 +448,36 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("psi: hand-computed contributions; one-sided bins dropped and counted") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A={1,1,3}, B={1,3,3} on [0,4)×2: contributions (1/3)ln2 each
+    val df = (Seq(1, 1, 3).map(v => (v, true)) ++ Seq(1, 3, 3).map(v => (v, false)))
+      .toDF("v", "y")
+    val r = Stats.psi(df, col("v"), col("y"), lo = 0.0, hi = 4.0, bins = 2)
+      .collect().head
+    val p0 = 2.0 / 3; val q0 = 1.0 / 3
+    val c0 = (p0 - q0) * math.log(p0 / q0)
+    val p1 = 1.0 / 3; val q1 = 2.0 / 3
+    val c1 = (p1 - q1) * math.log(p1 / q1)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 0L)
+    assert(r.getDouble(4) == r6(c0 + c1))
+    // A={1,1,5}, B={1,3} on [0,6)×3: bin1 (B only) and bin2 (A only) drop
+    val df2 = (Seq(1, 1, 5).map(v => (v, true)) ++ Seq(1, 3).map(v => (v, false)))
+      .toDF("v", "y")
+    val r2 = Stats.psi(df2, col("v"), col("y"), lo = 0.0, hi = 6.0, bins = 3)
+      .collect().head
+    assert(r2.getLong(2) == 1L && r2.getLong(3) == 2L)
+    val pa = 2.0 / 3; val qa = 1.0 / 2
+    assert(r2.getDouble(4) == r6((pa - qa) * math.log(pa / qa)))
+    // identical distributions: psi exactly 0 (contributions all ln(1))
+    val same = (Seq(1, 3).map(v => (v, true)) ++ Seq(1, 3).map(v => (v, false)))
+      .toDF("v", "y")
+    assert(Stats.psi(same, col("v"), col("y"), 0.0, 4.0, 2)
+      .collect().head.getDouble(4) == 0.0)
+  }
+
   test("ksTest: hand-computed D on overlapping step CDFs; identical samples → 0") {
     import spark.implicits._
     // A = {1,2,3,4}, B = {3,4,5,6}: F_A−F_B peaks at v=2 (2/4 − 0/4 = 0.5)
