@@ -1405,6 +1405,30 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // CUSUM change-point scores over the daily click series: sequential
+    // drift detector on the COLLAPSED series (30 rows at sf0.01), exact
+    // decimal mean, bit-reproducible IEEE recurrence
+    "q202_cusum" -> ((s, dir) => {
+      val series = E(s, dir).where(col("event_type") === "click")
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.EventAnalytics.cusum(series, col("day"), col("x"), k = 5.0, h = 15.0)
+    }),
+
+    // grid-quantiles served from MERGED per-batch histogram states (id
+    // parity split): mergeable-by-sum counts, all-integer rank rule —
+    // the MaterializedAgg discipline for distribution dashboards
+    "q203_hist_quantiles" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val st = graft.ops.Stats.histMerge(Seq(
+        graft.ops.Stats.histPartials(docs.where(col("doc_id") % 2 === 0),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12),
+        graft.ops.Stats.histPartials(docs.where(col("doc_id") % 2 =!= 0),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12)))
+      graft.ops.Stats.quantilesFromHist(st, lo = 0.0, hi = 600.0, bins = 12,
+        ps = Seq(0.5, 0.9, 0.99))
+    }),
+
     // PSI drift score of the length distribution, en (reference) vs de
     // (current): fixed q106 grid, contributions only where both sides
     // populated, decimal-cast sum — the standard model-monitoring metric
@@ -4676,6 +4700,52 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // the recurrence replayed row-by-row as a recursive CTE in series
+    // order — same exact decimal mean, same IEEE step arithmetic
+    "q202_cusum" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS t, CAST(count(*) AS DOUBLE) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu FROM s
+        |), r AS (SELECT t, x, row_number() OVER (ORDER BY t) AS rn FROM s),
+        |c AS (
+        |  SELECT rn, t, x,
+        |    greatest(CAST(0.0 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE) + (x - (SELECT mu FROM tot) - CAST(5.0 AS DOUBLE))) AS sp,
+        |    greatest(CAST(0.0 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE) + ((SELECT mu FROM tot) - x - CAST(5.0 AS DOUBLE))) AS sn
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.t, r.x,
+        |    greatest(CAST(0.0 AS DOUBLE), c.sp + (r.x - (SELECT mu FROM tot) - CAST(5.0 AS DOUBLE))),
+        |    greatest(CAST(0.0 AS DOUBLE), c.sn + ((SELECT mu FROM tot) - r.x - CAST(5.0 AS DOUBLE)))
+        |  FROM c JOIN r ON r.rn = c.rn + 1
+        |)
+        |SELECT t, x, round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
+        |  (sp > CAST(15.0 AS DOUBLE) OR sn > CAST(15.0 AS DOUBLE)) AS alarm
+        |FROM c""".stripMargin,
+
+    // merge-invariance is the Spark-side claim (spec-pinned); the oracle
+    // computes the same grid, cumulative ranks and bin bounds directly
+    "q203_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT CAST(least(greatest(floor(CAST(n_chars AS DOUBLE) / 50.0), 0), 11) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1
+        |), c AS (
+        |  SELECT bin, n,
+        |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER () AS nt
+        |  FROM b
+        |)
+        |SELECT p, bin,
+        |  round(bin * CAST(50.0 AS DOUBLE), 6) AS q_lo,
+        |  round((bin + 1) * CAST(50.0 AS DOUBLE), 6) AS q_hi
+        |FROM c, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) t(p)
+        |WHERE cum >= greatest(1, CAST(ceil(p * nt) AS BIGINT))
+        |  AND cum - n < greatest(1, CAST(ceil(p * nt) AS BIGINT))""".stripMargin,
 
     // per-bin shares on the q106 grid, contributions (p−q)·ln(p/q) only
     // where both sides are populated, decimal-cast before the sum

@@ -444,6 +444,63 @@ object EventAnalytics {
     * actor frame itself strains one partition should bin via
     * [[graft.ops.Stats.quantileProfile]] thresholds instead.
     */
+  /** Tabular CUSUM change-point scores over an (already collapsed) series:
+    * `cusum_pos/neg` accumulate deviations beyond the slack `k` from the
+    * series' own exact mean, reset at zero, and `alarm` fires where either
+    * exceeds `h` — the classic sequential drift detector that catches
+    * SMALL persistent shifts a per-point z-score never sees (complement of
+    * the spike-oriented anomaly monitor). Returns
+    * `(t, x, cusum_pos, cusum_neg, alarm)` in series order.
+    *
+    * The recurrence `S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ − k))` is inherently
+    * sequential, so this runs as ONE sorted-partition pass — sound here
+    * and only here because the input is a COLLAPSED series (hourly/daily
+    * buckets: 10⁴ rows for a year of hours, bounded at any corpus scale),
+    * never raw events; collapse first, like the q103 time-series shape.
+    * μ is an exact decimal mean; each step is the same IEEE arithmetic in
+    * series order in every engine, so scores are reproducible bit for bit.
+    */
+  def cusum(
+      series: DataFrame,
+      tsCol: Column,
+      valueCol: Column,
+      k: Double,
+      h: Double,
+      scale: Int = 6): DataFrame = {
+    require(k >= 0.0, s"slack k must be >= 0, got $k")
+    require(h > 0.0, s"alarm threshold h must be > 0, got $h")
+    val spark = series.sparkSession
+    val d = series.select(tsCol.cast("long").as("t"), valueCol.cast("double").as("x"))
+    val tot = d.agg(
+      sum(col("x").cast("decimal(38,6)")).as("_s"), count(lit(1)).as("_n"))
+    val sorted = d.crossJoin(broadcast(tot))
+      .withColumn("_mu", col("_s").cast("double") / col("_n"))
+      .select(col("t"), col("x"), col("_mu"))
+      .repartition(1)
+      .sortWithinPartitions(col("t"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_sp", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_sn", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("alarm", org.apache.spark.sql.types.BooleanType)))
+    val rows = sorted.rdd.mapPartitions { it =>
+      var sp = 0.0
+      var sn = 0.0
+      it.map { r =>
+        val x = r.getDouble(1)
+        val mu = r.getDouble(2)
+        sp = math.max(0.0, sp + (x - mu - k))
+        sn = math.max(0.0, sn + (mu - x - k))
+        org.apache.spark.sql.Row(r.getLong(0), x, sp, sn, sp > h || sn > h)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .select(col("t"), col("x"),
+        round(col("_sp"), scale).as("cusum_pos"),
+        round(col("_sn"), scale).as("cusum_neg"), col("alarm"))
+  }
+
   def rfm(
       df: DataFrame,
       user: Column,

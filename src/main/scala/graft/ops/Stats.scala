@@ -885,6 +885,52 @@ object Stats {
           (col("n_a") + col("n_b"))), scale).as("ks_stat"))
   }
 
+  /** Per-batch mergeable histogram state on the fixed `[lo, hi)`×`bins`
+    * grid — exact `(bin, n)` counts whose merge is a plain sum
+    * ([[histMerge]]), the quantile-serving face of the MaterializedAgg
+    * discipline: at 100 TB the length/score distribution dashboard reads
+    * ≤`bins` rows per batch and never rescans the corpus. Serve with
+    * [[quantilesFromHist]].
+    */
+  def histPartials(df: DataFrame, value: Column, lo: Double, hi: Double,
+      bins: Int): DataFrame =
+    histogram(df, value, lo, hi, bins).select(col("bin"), col("n"))
+
+  /** Exact merge of [[histPartials]] states (same grid): counts sum. */
+  def histMerge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "histMerge needs at least one partial state")
+    parts.reduce(_ unionByName _).groupBy(col("bin")).agg(sum(col("n")).as("n"))
+  }
+
+  /** Grid-resolution quantiles from a (merged) histogram state: for each
+    * probe `p`, the bin containing the rank-`⌈p·N⌉` value — returned as
+    * `(p, bin, q_lo, q_hi)` bounds with guaranteed error ≤ one bin width.
+    * All-integer rank arithmetic (the [[quantileProfile]] rank rule
+    * applied to cumulative bin counts); the window runs over ≤`bins`
+    * rows.
+    */
+  def quantilesFromHist(hist: DataFrame, lo: Double, hi: Double, bins: Int,
+      ps: Seq[Double], scale: Int = 6): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"probes must be in (0, 1], got $ps")
+    val w = (hi - lo) / bins
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    hist
+      .withColumn("cum", sum(col("n")).over(wc))
+      .withColumn("_nt", sum(col("n")).over(wAll))
+      .select(explode(array(ps.map(lit(_)): _*)).as("p"),
+        col("bin"), col("n"), col("cum"), col("_nt"))
+      .withColumn("_rk", greatest(lit(1L), ceil(col("p") * col("_nt")).cast("long")))
+      .where(col("cum") >= col("_rk") && col("cum") - col("n") < col("_rk"))
+      .select(col("p"), col("bin"),
+        round(lit(lo) + col("bin") * lit(w), scale).as("q_lo"),
+        round(lit(lo) + (col("bin") + 1) * lit(w), scale).as("q_hi"))
+  }
+
   /** Population Stability Index between the `label`=true (A, e.g. the
     * reference period) and `label`=false (B, the current period)
     * distributions of `value`, over the fixed grid `[lo, hi)` ×`bins`

@@ -256,6 +256,22 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq("user_id", "ts_1", "ts_2", "ts_3", "steps_completed"))
   }
 
+  test("cusum: hand-computed recurrence, resets at zero, alarms past h") {
+    import spark.implicits._
+    // x = 10,10,10,22,22,10 → μ = 14 exactly; k = 2, h = 5
+    val series = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 22L), (5L, 22L), (6L, 10L))
+      .toDF("t", "x")
+    val got = EventAnalytics.cusum(series, col("t"), col("x"), k = 2.0, h = 5.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((0.0, 2.0, false)))
+    assert(got(2L) == ((0.0, 4.0, false)))
+    assert(got(3L) == ((0.0, 6.0, true)))  // slow negative drift caught
+    assert(got(4L) == ((6.0, 0.0, true)))  // upward shift; S⁻ resets
+    assert(got(5L) == ((12.0, 0.0, true)))
+    assert(got(6L) == ((6.0, 2.0, true)))
+  }
+
   test("rfm: hand-computed quartile bins with tie-broken ntile ranks") {
     import spark.implicits._
     val orders = Seq(

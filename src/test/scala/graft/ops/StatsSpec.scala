@@ -448,6 +448,27 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("hist partials: any batch split merges to the direct histogram; quantile bins exact") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val direct = Stats.histogram(df, col("v"), 0.0, 100.0, 10).select("bin", "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Stats.histMerge(Seq(
+        Stats.histPartials(df.where(col("id") % 3 === 0), col("v"), 0.0, 100.0, 10),
+        Stats.histPartials(df.where(col("id") % 3 === 1), col("v"), 0.0, 100.0, 10),
+        Stats.histPartials(df.where(col("id") % 3 === 2), col("v"), 0.0, 100.0, 10)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+    // rank 50 (p=.5) → value 50 → bin 5 ([50,60)); rank 90 → value 90 → bin 9
+    val q = Stats.quantilesFromHist(
+        Stats.histMerge(Seq(Stats.histPartials(df, col("v"), 0.0, 100.0, 10))),
+        0.0, 100.0, 10, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(q(0.5) == ((5L, 50.0, 60.0)))
+    assert(q(0.9) == ((9L, 90.0, 100.0)))
+  }
+
   test("psi: hand-computed contributions; one-sided bins dropped and counted") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
