@@ -1405,6 +1405,26 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // linear multi-touch attribution over a 7-day lookback: every view /
+    // click before a purchase splits the credit 1/n — exact rational
+    // shares, decimal-cast sums, interval-join shape
+    "q204_linear_attribution" -> ((s, dir) =>
+      graft.ops.EventAnalytics.linearAttribution(
+        E(s, dir), touchTypes = Seq("view", "click"), convType = "purchase",
+        windowTs = 604800000000000L)),
+
+    // code-vs-prose screen with PLANTED code (docs ≡ 0 mod 7 get a
+    // snippet appended in BOTH engines — the q68 planted-PII discipline,
+    // so the detector is verified doing real work): exact integer
+    // signals, one division, codegen projections only
+    "q205_code_screen" -> ((s, dir) => {
+      val planted = T(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" def main() { return x; } import os; if (a<b) { y=2; }")))
+          .otherwise(col("text")))
+      TextAnalysis.codeScore(planted)
+    }),
+
     // CUSUM change-point scores over the daily click series: sequential
     // drift detector on the COLLAPSED series (30 rows at sf0.01), exact
     // decimal mean, bit-reproducible IEEE recurrence
@@ -4700,6 +4720,46 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // same per-user interval join, same 1/n rational shares
+    "q204_linear_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events),
+        |conv AS (SELECT user_id, t AS ct, event_id AS cid FROM e WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, event_type AS tt, t AS tts FROM e
+        |          WHERE event_type IN ('view', 'click')),
+        |p AS (
+        |  SELECT cid, tt FROM conv JOIN touch USING (user_id)
+        |  WHERE tts < ct AND tts >= ct - 604800000000000
+        |), n AS (SELECT cid, CAST(count(*) AS BIGINT) AS nt FROM p GROUP BY 1)
+        |SELECT tt AS channel, count(*) AS n_touches,
+        |  round(CAST(sum(CAST(CAST(1.0 AS DOUBLE) / nt AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |    AS credit
+        |FROM p JOIN n USING (cid) GROUP BY 1""".stripMargin,
+
+    // identical plant, identical regex counts (RE2 ⇄ Java agree on these
+    // classes), one division, threshold on the unrounded score
+    "q205_code_screen" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' def main() { return x; } import os; if (a<b) { y=2; }'
+        |      ELSE text END AS text
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[{}();=<>]')) AS BIGINT) AS sym_count,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b(def|class|return|import|val|var|if|else|for|while)\b')) AS BIGINT) AS kw_count,
+        |    CAST(length(text) AS BIGINT) AS l
+        |  FROM d
+        |), sc AS (
+        |  SELECT doc_id, sym_count, kw_count,
+        |    CASE WHEN l > 0 THEN CAST(2 * sym_count + 3 * kw_count AS DOUBLE) / l END AS s
+        |  FROM sig
+        |)
+        |SELECT doc_id, sym_count, kw_count, round(s, 6) AS score,
+        |  (s > CAST(0.02 AS DOUBLE)) AS is_code
+        |FROM sc""".stripMargin,
 
     // the recurrence replayed row-by-row as a recursive CTE in series
     // order — same exact decimal mean, same IEEE step arithmetic

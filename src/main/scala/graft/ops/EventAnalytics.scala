@@ -444,6 +444,47 @@ object EventAnalytics {
     * actor frame itself strains one partition should bin via
     * [[graft.ops.Stats.quantileProfile]] thresholds instead.
     */
+  /** Linear multi-touch attribution: every touch inside the lookback
+    * window before a conversion shares the credit EQUALLY (1/n per touch)
+    * — the fairness-baseline complement of last-touch attribution, and the
+    * shape that generalizes to position-weighted models (swap the 1/n for
+    * any per-rank weight). Returns `(channel, n_touches, credit)` where
+    * `credit` sums each touch's exact-rational `1/n` share,
+    * decimal-cast before the sum so partitioning cannot move totals.
+    *
+    * Scale shape: conversions ⋈ touches is a per-user equi-join with a
+    * time-range residual (the interval-join discipline — one user-key
+    * shuffle, windows bound the per-user blowup); the per-conversion touch
+    * count is a partial aggregate on the conversion id, re-attached by one
+    * slim join.
+    */
+  def linearAttribution(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      convType: String,
+      windowTs: Long,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      scale: Int = 6): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(windowTs > 0, s"windowTs must be positive, got $windowTs")
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(userCol).as("_u"), col(tsCol).as("_ct"), col(idCol).as("_cid"))
+    val touch = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("_u"), col(typeCol).as("_tt"), col(tsCol).as("_tts"))
+    val pairs = conv.join(touch, Seq("_u"))
+      .where(col("_tts") < col("_ct") && col("_tts") >= col("_ct") - lit(windowTs))
+    val n = pairs.groupBy(col("_cid")).agg(count(lit(1)).as("_nt"))
+    pairs.join(n, Seq("_cid"))
+      .withColumn("_credit", lit(1.0) / col("_nt"))
+      .groupBy(col("_tt").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("_credit").cast("decimal(38,12)")).cast("double"), scale)
+          .as("credit"))
+  }
+
   /** Tabular CUSUM change-point scores over an (already collapsed) series:
     * `cusum_pos/neg` accumulate deviations beyond the slack `k` from the
     * series' own exact mean, reset at zero, and `alarm` fires where either

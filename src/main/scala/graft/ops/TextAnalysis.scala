@@ -631,6 +631,35 @@ object TextAnalysis {
           .as("norm_entropy")): _*)
   }
 
+  /** Code-vs-prose heuristic score — the corpus-composition screen an LLM
+    * data pipeline runs before routing documents to code- or text-specific
+    * processing (and before a code-stripping quality filter). Two exact
+    * integer signals per document — `sym_count` (code punctuation
+    * `{}();=<>`) and `kw_count` (word-bounded keyword hits) — combine as
+    * `(2·sym + 3·kw)/length`, ONE division off exact integers, so the
+    * decision is engine-portable; `is_code` compares the unrounded score.
+    * Pure codegen projections over the scan, no shuffle, no UDF.
+    */
+  def codeScore(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.02,
+      scale: Int = 6
+  ): DataFrame = {
+    val sym = size(regexp_extract_all(col(textCol), lit("[{}();=<>]"), lit(0))).cast("long")
+    val kw = size(regexp_extract_all(col(textCol),
+      lit("\\b(def|class|return|import|val|var|if|else|for|while)\\b"), lit(0))).cast("long")
+    val len = length(col(textCol)).cast("long")
+    df.select(col(idCol), sym.as("sym_count"), kw.as("kw_count"), len.as("_len"))
+      .withColumn("_score",
+        when(col("_len") > 0,
+          (lit(2L) * col("sym_count") + lit(3L) * col("kw_count")).cast("double") / col("_len")))
+      .select(col(idCol), col("sym_count"), col("kw_count"),
+        round(col("_score"), scale).as("score"),
+        (col("_score") > lit(threshold)).as("is_code"))
+  }
+
   /** Per-document vocabulary coverage / OOV rate against the top-`topN`
     * vocabulary by term frequency (ties by token — deterministic): returns
     * `(idCol, n_tokens, n_oov, oov_rate)` — the tokenizer-coverage check

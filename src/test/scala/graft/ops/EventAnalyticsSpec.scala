@@ -256,6 +256,23 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq("user_id", "ts_1", "ts_2", "ts_3", "steps_completed"))
   }
 
+  test("linearAttribution: equal shares, window exclusion, touchless conversions drop") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: view@10, click@20 → purchase@30 (window 25): both in → 0.5 each
+      (1L, "view", 10L, 101L), (1L, "click", 20L, 102L), (1L, "purchase", 30L, 103L),
+      // u2: view@0 OUTSIDE window of purchase@100 (window 25) → drops;
+      // purchase has no touches → contributes nothing
+      (2L, "view", 0L, 201L), (2L, "purchase", 100L, 202L),
+      // u3: two views then purchase → view gets 2×(1/2)
+      (3L, "view", 80L, 301L), (3L, "view", 90L, 302L), (3L, "purchase", 95L, 303L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.linearAttribution(e, Seq("view", "click"), "purchase",
+        windowTs = 25L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("view" -> ((3L, 1.5)), "click" -> ((1L, 0.5))))
+  }
+
   test("cusum: hand-computed recurrence, resets at zero, alarms past h") {
     import spark.implicits._
     // x = 10,10,10,22,22,10 → μ = 14 exactly; k = 2, h = 5

@@ -681,6 +681,82 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"top-N probe must broadcast:\n$plan")
   }
+
+  test("weightedCosinePairs: hand-computed cosine; no-overlap docs produce no pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.weightedCosinePairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // w(d1)=(a:2/2, b:1/2), w(d2)=(a:1/2, b:1/2) → dot .75, n1 1.25, n2 .5
+    val exp = BigDecimal(0.75 / (math.sqrt(1.25) * math.sqrt(0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 2L, exp)))
+  }
+
+  test("weightedCosinePairs: df cap drops hot terms from the join AND the norms") {
+    import spark.implicits._
+    val docs = Seq((1L, "h a a b"), (2L, "h a b"), (3L, "h z z")).toDF("doc_id", "text")
+    // uncapped: h (df 3) links all three docs
+    val all = TextAnalysis.weightedCosinePairs(docs, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // cap 2 removes h everywhere: the (d1,d2) cosine must equal the corpus
+    // WITHOUT h — not just lose the h pairs
+    val capped = TextAnalysis.weightedCosinePairs(docs, threshold = 0.01, maxDocFreq = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exp = BigDecimal(0.75 / (math.sqrt(1.25) * math.sqrt(0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(capped == Seq((1L, 2L, exp)))
+    graft.Caches.clear()
+  }
+
+  test("weightedCosinePairs: identical docs score 1; df=1 terms weigh into norms") {
+    import spark.implicits._
+    val same = Seq((1L, "p q"), (2L, "p q")).toDF("doc_id", "text")
+    val one = TextAnalysis.weightedCosinePairs(same, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(one == Seq((1L, 2L, 1.0)))
+    // a df=1 token inflates its doc's norm and LOWERS the cosine, even
+    // though it can never produce a candidate pair itself
+    val rare = Seq((1L, "p q r"), (2L, "p q")).toDF("doc_id", "text")
+    val c = TextAnalysis.weightedCosinePairs(rare, threshold = 0.1)
+      .collect().map(r => r.getDouble(2)).head
+    assert(c < 1.0)
+    graft.Caches.clear()
+  }
+
+  test("codeScore: exact signal counts; code flags, prose doesn't") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "def f() { return 1; }"),
+      (2L, "plain words only here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.codeScore(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // symbols: ( ) { ; } = 5; keywords: def, return = 2; len = 21
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((5L, 2L, r6(16.0 / 21.0), true)))
+    assert(got(2L) == ((0L, 0L, 0.0, false)))
+  }
+
+  test("tokenEntropy: hand-computed H and normalized H; degenerate vocab → NULL norm") {
+    import spark.implicits._
+    val docs = Seq(("X", "a a b"), ("X", "b c"), ("Y", "z z z")).toDF("lang", "text")
+    val got = TextAnalysis.tokenEntropy(docs, keys = Seq("lang"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    // X: counts a=2 b=2 c=1, n=5 → H = ln5 − (2ln2 + 2ln2 + 0)/5
+    val hx = math.log(5.0) - (2.0 * math.log(2.0) * 2.0) / 5.0
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("X") == ((5L, 3L, r6(hx), r6(hx / math.log(3.0)))))
+    // Y: one distinct token → H = 0 (up to the decimal-term rounding, which
+    // may surface as -0.0 — boxed Double equality distinguishes the two),
+    // normalized H undefined
+    val y = got("Y")
+    assert(y._1 == 3L && y._2 == 1L && math.abs(y._3) == 0.0 && y._4 == null)
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
@@ -1175,66 +1251,5 @@ class MultimodalSpec extends SparkSpec {
     val idx = Multimodal.sampleFrames(df, "payload", everyNth = 2).select("frame_idx")
       .collect().map(_.getInt(0)).toSeq
     assert(idx == Seq(0, 2))
-  }
-
-  test("weightedCosinePairs: hand-computed cosine; no-overlap docs produce no pair") {
-    import spark.implicits._
-    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
-    val got = TextAnalysis.weightedCosinePairs(docs, threshold = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    // w(d1)=(a:2/2, b:1/2), w(d2)=(a:1/2, b:1/2) → dot .75, n1 1.25, n2 .5
-    val exp = BigDecimal(0.75 / (math.sqrt(1.25) * math.sqrt(0.5)))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got == Seq((1L, 2L, exp)))
-  }
-
-  test("weightedCosinePairs: df cap drops hot terms from the join AND the norms") {
-    import spark.implicits._
-    val docs = Seq((1L, "h a a b"), (2L, "h a b"), (3L, "h z z")).toDF("doc_id", "text")
-    // uncapped: h (df 3) links all three docs
-    val all = TextAnalysis.weightedCosinePairs(docs, threshold = 0.01)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L)))
-    // cap 2 removes h everywhere: the (d1,d2) cosine must equal the corpus
-    // WITHOUT h — not just lose the h pairs
-    val capped = TextAnalysis.weightedCosinePairs(docs, threshold = 0.01, maxDocFreq = 2L)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    val exp = BigDecimal(0.75 / (math.sqrt(1.25) * math.sqrt(0.5)))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(capped == Seq((1L, 2L, exp)))
-    graft.Caches.clear()
-  }
-
-  test("weightedCosinePairs: identical docs score 1; df=1 terms weigh into norms") {
-    import spark.implicits._
-    val same = Seq((1L, "p q"), (2L, "p q")).toDF("doc_id", "text")
-    val one = TextAnalysis.weightedCosinePairs(same, threshold = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(one == Seq((1L, 2L, 1.0)))
-    // a df=1 token inflates its doc's norm and LOWERS the cosine, even
-    // though it can never produce a candidate pair itself
-    val rare = Seq((1L, "p q r"), (2L, "p q")).toDF("doc_id", "text")
-    val c = TextAnalysis.weightedCosinePairs(rare, threshold = 0.1)
-      .collect().map(r => r.getDouble(2)).head
-    assert(c < 1.0)
-    graft.Caches.clear()
-  }
-
-  test("tokenEntropy: hand-computed H and normalized H; degenerate vocab → NULL norm") {
-    import spark.implicits._
-    val docs = Seq(("X", "a a b"), ("X", "b c"), ("Y", "z z z")).toDF("lang", "text")
-    val got = TextAnalysis.tokenEntropy(docs, keys = Seq("lang"))
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3),
-          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
-    // X: counts a=2 b=2 c=1, n=5 → H = ln5 − (2ln2 + 2ln2 + 0)/5
-    val hx = math.log(5.0) - (2.0 * math.log(2.0) * 2.0) / 5.0
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got("X") == ((5L, 3L, r6(hx), r6(hx / math.log(3.0)))))
-    // Y: one distinct token → H = 0 (up to the decimal-term rounding, which
-    // may surface as -0.0 — boxed Double equality distinguishes the two),
-    // normalized H undefined
-    val y = got("Y")
-    assert(y._1 == 3L && y._2 == 1L && math.abs(y._3) == 0.0 && y._4 == null)
   }
 }
