@@ -1405,6 +1405,15 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // Neyman (variance-optimal) stratified sample: budget split
+    // n_h ∝ N_h·σ_h from exact decimal moments, largest-remainder seats,
+    // the q163 hash-rank draw — big AND noisy strata get the rows
+    "q206_neyman_sample" -> ((s, dir) =>
+      graft.ops.Sampling.neymanQuota(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        strataCol = "lang", value = col("n_chars"), total = 120L,
+        key = col("doc_id"), seed = 42, hash = activeHash)),
+
     // linear multi-touch attribution over a 7-day lookback: every view /
     // click before a purchase splits the credit 1/n — exact rational
     // shares, decimal-cast sums, interval-join shape
@@ -4720,6 +4729,48 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // the allocation replayed layer by layer (mu → var → weights →
+    // shares → largest remainder), then the q163 rank-draw rule
+    "q206_neyman_sample" ->
+      s"""WITH m AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(n_chars AS DECIMAL(38,12))) AS s,
+         |    sum(CAST(n_chars * n_chars AS DECIMAL(38,12))) AS q
+         |  FROM documents GROUP BY 1
+         |), mu AS (SELECT lang, n, q, CAST(s AS DOUBLE) / n AS mu FROM m),
+         |v AS (
+         |  SELECT lang, n, greatest(CAST(0.0 AS DOUBLE),
+         |    (CAST(q AS DOUBLE) - n * mu * mu) / n) AS var
+         |  FROM mu
+         |), w AS (SELECT lang, n, n * sqrt(var) AS wt FROM v),
+         |a AS (SELECT lang, n, wt, sum(wt) OVER () AS tw FROM w),
+         |sh AS (
+         |  SELECT lang, n,
+         |    CASE WHEN tw > 0 THEN 120 * wt / tw ELSE CAST(0.0 AS DOUBLE) END AS share
+         |  FROM a
+         |), b AS (
+         |  SELECT lang, n, CAST(floor(share) AS BIGINT) AS base,
+         |    share - CAST(floor(share) AS BIGINT) AS frac
+         |  FROM sh
+         |), c AS (
+         |  SELECT lang, n, base, frac,
+         |    row_number() OVER (ORDER BY frac DESC, lang) AS rr,
+         |    120 - sum(base) OVER () AS leftover
+         |  FROM b
+         |), quota AS (
+         |  SELECT lang, least(n, base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END) AS quota
+         |  FROM c
+         |), r AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000, doc_id
+         |    ) AS rn
+         |  FROM documents
+         |)
+         |SELECT r.doc_id, r.lang, r.source, r.n_chars
+         |FROM r JOIN quota ON quota.lang = r.lang
+         |WHERE r.rn <= quota.quota""".stripMargin,
 
     // same per-user interval join, same 1/n rational shares
     "q204_linear_attribution" ->

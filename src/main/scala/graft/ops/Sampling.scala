@@ -503,6 +503,63 @@ object Sampling {
       .drop("_qs_rank", "_quota")
   }
 
+  /** Variance-optimal (Neyman) stratified allocation: a total budget of
+    * `total` rows split across strata `n_h ∝ N_h·σ_h` — big AND noisy
+    * strata get the samples, so the stratified mean estimator's variance
+    * is minimized at the same budget (the statistically-right way to
+    * audit a heterogeneous corpus, vs [[quotaSample]]'s proportional
+    * allocation). σ_h is the population σ from EXACT decimal moments;
+    * fractional seats resolve by largest remainder (ties by remainder
+    * then stratum — deterministic), each quota clipped at the stratum
+    * size; membership is the same per-stratum hash-rank draw as
+    * [[quotaSample]], so each stratum's sample is a PREFIX of its fixed
+    * hash-rank order — a stratum whose quota grows only gains rows
+    * (though largest-remainder seat counts themselves are not monotone
+    * in `total`: the Alabama paradox applies here as in any
+    * apportionment).
+    *
+    * A zero-variance stratum gets weight 0 and NO rows — its mean is
+    * known exactly from the moments already in hand; that is the Neyman
+    * optimum, not an omission (give such strata a floor by unioning a
+    * [[topKPerKey]] row if a witness per stratum is required).
+    *
+    * Scale shape: one moments shuffle to |strata| rows, the |strata|-row
+    * allocation window, one broadcast join back, and the per-stratum
+    * rank window — identical cost profile to [[quotaSample]].
+    */
+  def neymanQuota(df: DataFrame, strataCol: String, value: Column, total: Long,
+      key: Column, seed: Int = 42, hash: HashFamily = XxHash): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val m = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("_n"),
+      sum(value.cast("decimal(38,12)")).as("_s"),
+      sum((value * value).cast("decimal(38,12)")).as("_q"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_frac").desc, col(strataCol))
+    val quotas = m
+      .withColumn("_mu", col("_s").cast("double") / col("_n"))
+      .withColumn("_var", greatest(lit(0.0),
+        (col("_q").cast("double") - col("_n") * col("_mu") * col("_mu")) / col("_n")))
+      .withColumn("_w", col("_n") * sqrt(col("_var")))
+      .withColumn("_wtot", sum(col("_w")).over(wAll))
+      .withColumn("_share",
+        when(col("_wtot") > 0, lit(total) * col("_w") / col("_wtot")).otherwise(lit(0.0)))
+      .withColumn("_base", floor(col("_share")).cast("long"))
+      .withColumn("_frac", col("_share") - col("_base"))
+      .withColumn("_left", lit(total) - sum(col("_base")).over(wAll))
+      .withColumn("_rr", row_number().over(wRem))
+      .select(col(strataCol),
+        least(col("_n"),
+          col("_base") + when(col("_rr") <= col("_left"), 1L).otherwise(0L)).as("_quota"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(bucket(key, seed, hash), key)
+    df.withColumn("_nq_rank", row_number().over(wRank))
+      .join(broadcast(quotas), Seq(strataCol))
+      .where(col("_nq_rank") <= col("_quota"))
+      .drop("_nq_rank", "_quota")
+  }
+
   /** Token-budget corpus cut: keeps the prefix of `sortCols` order whose
     * cumulative `tokens` stays within `budget` — "as much data as fits in
     * the training budget, best first". The cumulative sum is the

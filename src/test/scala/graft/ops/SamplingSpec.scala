@@ -445,6 +445,28 @@ class SamplingSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("neymanQuota: allocation tracks N·σ; zero-variance strata get nothing; total exact") {
+    import spark.implicits._
+    // stratum a: values ±30 around 100 (σ=30); b: ±10 around 100 (σ=10);
+    // z: constant (σ=0). Equal sizes → allocation a:b ≈ 3:1, z = 0.
+    val rows =
+      (1L to 40L).map(i => (i, "a", if (i % 2 == 0) 130L else 70L)) ++
+      (41L to 80L).map(i => (i, "b", if (i % 2 == 0) 110L else 90L)) ++
+      (81L to 120L).map(i => (i, "z", 100L))
+    val df = rows.toDF("id", "g", "v")
+    val got = Sampling.neymanQuota(df, "g", col("v"), total = 40L, key = col("id"))
+    val byG = got.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG.getOrElse("z", 0L) == 0L)
+    assert(byG("a") == 30L && byG("b") == 10L) // exact 3:1 on these weights
+    assert(byG.values.sum == 40L)
+    // per-stratum prefix property: a bigger budget keeps every row whose
+    // stratum quota did not shrink (here quotas grow with T)
+    val more = Sampling.neymanQuota(df, "g", col("v"), total = 60L, key = col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val base = got.select("id").collect().map(_.getLong(0)).toSet
+    assert(base.subsetOf(more))
+  }
+
   test("coordinatedSample: referential closure across tables; per-table ≡ hashSample") {
     import spark.implicits._
     val parent = (1L to 300L).map(i => (i, s"p$i")).toDF("pid", "pv")
