@@ -1405,6 +1405,38 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // Q-Q comparison of the en vs de length distributions at the deciles:
+    // two rank-rule quantile profiles joined on p — the distribution-
+    // shape face of the q197 KS scalar
+    "q207_qq_compare" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ps = (1 to 9).map(_ / 10.0)
+      val qa = graft.ops.Stats.quantileProfile(
+        docs.where(col("lang") === "en"), col("n_chars"), Nil, ps)
+        .select(col("p"), col("q").as("q_en"))
+      val qb = graft.ops.Stats.quantileProfile(
+        docs.where(col("lang") === "de"), col("n_chars"), Nil, ps)
+        .select(col("p"), col("q").as("q_de"))
+      qa.join(qb, Seq("p")).withColumn("diff", col("q_en") - col("q_de"))
+    }),
+
+    // nearest-direction as-of join: each click's closest purchase within
+    // ±2h (ties prefer at-or-before) — two union scans, never a per-key
+    // nested loop
+    "q208_asof_nearest" -> ((s, dir) => {
+      val ev = E(s, dir).withColumn("tsu", expr("ts div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tsu"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("event_id"))
+      graft.ops.AsOfJoin.nearest(clicks, purchases, Seq("user_id"), "tsu",
+          rightCols = Seq("event_id", "tsu"), prefix = "purchase_",
+          tolerance = Some(7200000000L))
+        .select(col("event_id"), col("user_id"), col("tsu").as("click_ts"),
+          coalesce(col("purchase_event_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("purchase_tsu"), lit(-1L)).as("purchase_ts"))
+    }),
+
     // Neyman (variance-optimal) stratified sample: budget split
     // n_h ∝ N_h·σ_h from exact decimal moments, largest-remainder seats,
     // the q163 hash-rank draw — big AND noisy strata get the rows
@@ -4729,6 +4761,44 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // two rank-rule quantile tables joined on the probe grid
+    "q207_qq_compare" ->
+      """WITH en AS (
+        |  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents WHERE lang = 'en'
+        |), de AS (
+        |  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents WHERE lang = 'de'
+        |), ps AS (
+        |  SELECT CAST(x AS DOUBLE) / 10 AS p FROM (SELECT unnest(range(1, 10)) AS x)
+        |), qa AS (
+        |  SELECT p, n_chars AS q_en FROM en, ps
+        |  WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
+        |), qb AS (
+        |  SELECT p, n_chars AS q_de FROM de, ps
+        |  WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
+        |)
+        |SELECT qa.p, q_en, q_de, q_en - q_de AS diff
+        |FROM qa JOIN qb ON qa.p = qb.p""".stripMargin,
+
+    // LATERAL top-1 by (|Δ|, direction, payload) — the arbitration rule
+    // spelled as one ordering
+    "q208_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsu AS click_ts,
+        |  coalesce(m.event_id, -1) AS purchase_id, coalesce(m.tsu, -1) AS purchase_ts
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT p.event_id, p.tsu FROM p
+        |  WHERE p.user_id = c.user_id AND abs(p.tsu - c.tsu) <= 7200000000
+        |  ORDER BY abs(p.tsu - c.tsu) ASC,
+        |    CASE WHEN p.tsu <= c.tsu THEN 0 ELSE 1 END ASC, p.event_id DESC
+        |  LIMIT 1) m ON TRUE""".stripMargin,
 
     // the allocation replayed layer by layer (mu → var → weights →
     // shares → largest remainder), then the q163 rank-draw rule

@@ -66,6 +66,41 @@ object AsOfJoin {
   ): DataFrame =
     unionScan(left, right, keyCols, timeCol, rightCols, prefix, tolerance, forwardDir = true)
 
+  /** Nearest right row by |Δtime| per key, in EITHER direction — the
+    * symmetric completion of the as-of family (pandas
+    * `merge_asof(direction='nearest')`): compose the backward and forward
+    * scans and keep the closer match; an exact distance tie prefers the
+    * at-or-before row, and ties within one direction follow that
+    * direction's payload-struct order. `tolerance` bounds |Δ| on both
+    * sides. Cost: two union scans — still two |L|+|R| key shuffles,
+    * never a per-key nested loop.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      rightCols: Seq[String],
+      prefix: String = "matched_",
+      tolerance: Option[Long] = None
+  ): DataFrame = {
+    // both passes re-expose the matched time so the arbitration can
+    // compute distances even when the caller didn't ask for it
+    val cols = (timeCol +: rightCols).distinct
+    val b = unionScan(left, right, keyCols, timeCol, cols, "_asof_b_", tolerance,
+      forwardDir = false)
+    val f = unionScan(b, right, keyCols, timeCol, cols, "_asof_f_", tolerance,
+      forwardDir = true)
+    val bt = col(s"_asof_b_$timeCol")
+    val ft = col(s"_asof_f_$timeCol")
+    val useB = ft.isNull || (bt.isNotNull && (col(timeCol) - bt) <= (ft - col(timeCol)))
+    val out = rightCols.foldLeft(f) { (acc, c) =>
+      acc.withColumn(s"$prefix$c",
+        when(useB, col(s"_asof_b_$c")).otherwise(col(s"_asof_f_$c")))
+    }
+    out.drop((cols.map(c => s"_asof_b_$c") ++ cols.map(c => s"_asof_f_$c")): _*)
+  }
+
   private def unionScan(
       left: DataFrame,
       right: DataFrame,

@@ -136,4 +136,36 @@ class AsOfJoinSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles == 1, s"expected exactly one key shuffle, got $shuffles:\n$plan")
   }
+
+  test("nearest: closer side wins; exact tie prefers at-or-before; tolerance bounds both") {
+    import spark.implicits._
+    val l = Seq(("A", 10L), ("A", 21L), ("A", 30L), ("B", 5L), ("C", 9L))
+      .toDF("k", "t")
+    val r = Seq(
+      ("A", 8L, 1L),   // 2 behind the t=10 left
+      ("A", 11L, 2L),  // 1 ahead of t=10 → wins there
+      ("A", 19L, 3L),  // 2 behind t=21
+      ("A", 23L, 4L),  // 2 ahead of t=21 — exact tie → behind (3) wins
+      ("B", 50L, 5L)   // 45 ahead of B's t=5 — outside tolerance 40
+    ).toDF("k", "t", "rid")
+    val out = AsOfJoin.nearest(l, r, Seq("k"), "t", Seq("rid"),
+        tolerance = Some(40L))
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    assert(out == Set(
+      ("A", 10L, 2L),  // ahead at distance 1 beats behind at 2
+      ("A", 21L, 3L),  // tie at distance 2 → at-or-before preferred
+      ("A", 30L, 4L),  // only behind in range
+      ("B", 5L, -1L),  // tolerance null-out
+      ("C", 9L, -1L))) // no right rows at all
+  }
+
+  test("nearest without tolerance falls back across any distance; time re-exposure works") {
+    import spark.implicits._
+    val l = Seq(("B", 5L)).toDF("k", "t")
+    val r = Seq(("B", 50L, 5L)).toDF("k", "t", "rid")
+    val out = AsOfJoin.nearest(l, r, Seq("k"), "t", Seq("rid", "t"), prefix = "m_")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).head
+    assert(out == ((5L, 5L, 50L))) // (t, m_rid, m_t)
+  }
 }
