@@ -1405,6 +1405,21 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // full core decomposition (every vertex's core NUMBER) by H-index
+    // iteration on the nation-clique graph — converges in one round
+    // there, giving the oracle the clique closed form (core = n − 1)
+    "q209_graph_core_numbers" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      graft.graph.GraphQueries.coreNumbers(s, e)
+    }),
+
+    // Gopher duplicate-n-gram coverage: fraction of token characters
+    // inside ANY within-doc repeated 3-gram — exact position-union
+    // arithmetic, one division
+    "q210_dup_ngram_coverage" -> ((s, dir) =>
+      TextAnalysis.dupNgramCoverage(T(s, dir, "documents"), n = 3)),
+
     // Q-Q comparison of the en vs de length distributions at the deciles:
     // two rank-rule quantile profiles joined on p — the distribution-
     // shape face of the q197 KS scalar
@@ -4761,6 +4776,48 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // clique closed form: every member of an n-clique has core n − 1
+    // (nations with a single supplier produce no edges and are absent)
+    "q209_graph_core_numbers" ->
+      """WITH c AS (SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY 1)
+        |SELECT s.s_suppkey AS id, CAST(c.n - 1 AS BIGINT) AS core
+        |FROM supplier s JOIN c ON s.s_nationkey = c.s_nationkey
+        |WHERE c.n >= 2""".stripMargin,
+
+    // the same normalized token positions, gram windows, duplicate
+    // starts, position union and character mass
+    "q210_dup_ngram_coverage" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(range(len(toks))) AS p, toks FROM d
+        |), tok AS (SELECT doc_id, p, toks[p + 1] AS tk FROM pos),
+        |g AS (
+        |  SELECT doc_id, p AS start,
+        |    toks[p + 1] || ' ' || toks[p + 2] || ' ' || toks[p + 3] AS gram
+        |  FROM pos WHERE p + 3 <= len(toks)
+        |), dup AS (
+        |  SELECT doc_id, gram FROM g GROUP BY 1, 2 HAVING count(*) >= 2
+        |), ds AS (SELECT g.doc_id, g.start FROM g JOIN dup USING (doc_id, gram)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, start + o.o AS p
+        |  FROM ds, (SELECT unnest(range(3)) AS o) o
+        |), tl AS (SELECT doc_id, p, length(tk) AS l FROM tok),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(l) AS BIGINT) AS total
+        |  FROM tl GROUP BY 1
+        |), cv AS (
+        |  SELECT tl.doc_id, CAST(count(*) AS BIGINT) AS nc, CAST(sum(l) AS BIGINT) AS cov
+        |  FROM cov JOIN tl USING (doc_id, p) GROUP BY 1
+        |)
+        |SELECT tot.doc_id, n_tokens, coalesce(nc, 0) AS n_covered,
+        |  round(CASE WHEN total > 0
+        |    THEN CAST(coalesce(cov, 0) AS DOUBLE) / total END, 6) AS dup_char_frac
+        |FROM tot LEFT JOIN cv USING (doc_id)""".stripMargin,
 
     // two rank-rule quantile tables joined on the probe grid
     "q207_qq_compare" ->

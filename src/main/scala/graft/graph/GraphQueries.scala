@@ -1422,6 +1422,73 @@ object GraphQueries {
     assigned.reduce(_ unionByName _)
   }
 
+  /** Full core decomposition — every vertex's core NUMBER (the largest k
+    * whose k-core contains it), not just membership at one k
+    * ([[kCore]]): the degeneracy profile that grades near-dup hubs,
+    * community cores and crawl-frontier quality in one pass family.
+    *
+    * H-index iteration (Lü et al., "The H-index of a network node",
+    * 2016): start at the degree, repeatedly replace each vertex's value
+    * with the H-index of its neighbors' values — the largest h such that
+    * ≥ h neighbors hold ≥ h. The sequence is monotone non-increasing and
+    * its fixed point IS the core number, so convergence is detected by a
+    * scalar sum (strictly decreasing until fixed — no change-detection
+    * join). Per round: one edge⋈values join, one degree-bounded
+    * per-vertex window for the H-index, one |V|-row merge — all
+    * spillable shuffles in the [[pageRankDF]] family, lineage truncated
+    * per round.
+    */
+  def coreNumbers(
+      spark: SparkSession,
+      edges: DataFrame,
+      idCol: String = "id",
+      maxIter: Int = 100
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val e = materialize(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"))))
+    var c = materialize(
+      e.groupBy("src").agg(count(lit(1)).as("c"))
+        .select(col("src").as("vid"), col("c")))
+    var cSum = c.agg(sum(col("c"))).head.getLong(0)
+    var done = false
+    var it = 0
+    while (!done && it < maxIter) {
+      val nb = e.join(c.select(col("vid").as("dst"), col("c").as("_cv")), Seq("dst"))
+        .select(col("src"), col("_cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("_cv").desc)
+      val h = nb.withColumn("_rn", row_number().over(w).cast("long"))
+        .groupBy(col("src"))
+        .agg(max(least(col("_rn"), col("_cv"))).as("_h"))
+      val next = materialize(
+        c.join(h.select(col("src").as("vid"), col("_h")), Seq("vid"))
+          .select(col("vid"), least(col("c"), col("_h")).as("c")))
+      val nextSum = next.agg(sum(col("c"))).head.getLong(0)
+      val prev = c
+      c = next
+      prev.unpersist(blocking = false)
+      if (nextSum == cSum) done = true // monotone: equal sum ⟺ no change
+      cSum = nextSum
+      it += 1
+    }
+    if (!done) {
+      log.warn(
+        s"coreNumbers exited via maxIter=$maxIter before the H-index fixed point; " +
+          "returned values are valid UPPER BOUNDS on core numbers — re-run with " +
+          "a larger maxIter for exact values")
+    }
+    c.select(col("vid").as(idCol), col("c").as("core"))
+  }
+
   /** Longest-path level per vertex in a DAG — topological layering: a
     * vertex with no in-edges sits at level 0, every other vertex at
     * `1 + max(level of its predecessors)`. The critical-path / stage-depth

@@ -631,6 +631,65 @@ object TextAnalysis {
           .as("norm_entropy")): _*)
   }
 
+  /** Within-document duplicate-n-gram coverage — the Gopher repetition
+    * rule's character-mass form: what fraction of a document's token
+    * characters sit inside an n-gram that occurs AT LEAST TWICE in the
+    * same document? (`topNgramStats` measures the single most frequent
+    * gram; this measures the union of ALL repeated ones — the two
+    * thresholds Gopher applies side by side.) Returns
+    * `(idCol, n_tokens, n_covered, dup_char_frac)` with the fraction over
+    * token characters (separators excluded), NULL for token-less text.
+    *
+    * Exact integers end to end: grams via per-document `lead` windows
+    * (degree-bounded partitions), duplicate starts by one (doc, gram)
+    * count, coverage as a distinct position union, ONE final division.
+    * Text is whitespace-normalized FIRST so token positions are identical
+    * in any engine; the token frame feeds three branches and is
+    * tracked-persisted (release via [[graft.Caches.clear]]). `concat_ws`
+    * silently shortens tail grams (it skips NULL leads — the q166 trap),
+    * so a validity flag on the last lead gates them out.
+    */
+  def dupNgramCoverage(
+      df: DataFrame,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      scale: Int = 6
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = graft.Caches.track(
+      df.select(col(idCol).as("_id"),
+        posexplode(split(regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " "))
+          .as(Seq("_p", "_tok"))))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_p"))
+    val grams = toks
+      .withColumn("_gram", concat_ws(" ",
+        (0 until n).map(i => if (i == 0) col("_tok") else lead(col("_tok"), i).over(wDoc)): _*))
+      .withColumn("_valid",
+        if (n == 1) lit(true) else lead(col("_tok"), n - 1).over(wDoc).isNotNull)
+      .where(col("_valid"))
+      .select(col("_id"), col("_p"), col("_gram"))
+    val dup = grams.groupBy(col("_id"), col("_gram"))
+      .agg(count(lit(1)).as("_c")).where(col("_c") >= 2)
+    val covered = grams.join(dup.select(col("_id"), col("_gram")), Seq("_id", "_gram"))
+      .select(col("_id"),
+        explode(array((0 until n).map(i => col("_p") + i): _*)).as("_p"))
+      .distinct()
+    val tl = toks.select(col("_id"), col("_p"), length(col("_tok")).cast("long").as("_l"))
+    val tot = tl.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_l")).as("_total"))
+    val cv = covered.join(tl, Seq("_id", "_p"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("_nc"), sum(col("_l")).as("_cov"))
+    tot.join(cv, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_tokens"),
+        coalesce(col("_nc"), lit(0L)).as("n_covered"),
+        round(when(col("_total") > 0,
+          coalesce(col("_cov"), lit(0L)).cast("double") / col("_total")), scale)
+          .as("dup_char_frac"))
+  }
+
   /** Code-vs-prose heuristic score — the corpus-composition screen an LLM
     * data pipeline runs before routing documents to code- or text-specific
     * processing (and before a code-stripping quality filter). Two exact

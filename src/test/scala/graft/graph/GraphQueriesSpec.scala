@@ -382,6 +382,77 @@ class GraphQueriesSpec extends SparkSpec {
       assert(math.abs(rank - viaGx(id)) < 1e-6, s"vertex $id: df=$rank gx=${viaGx(id)}")
     }
   }
+
+  test("dagLevels: diamond DAG takes the LONGEST path; multiple roots; duplicates ignored") {
+    import spark.implicits._
+    // 1 → 2 → 3 → 4 and the shortcut 1 → 4: level(4) must be 3, not 2;
+    // 10 → 3 is a second root feeding mid-DAG
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 4L), (10L, 3L))
+      .toDF("src", "dst")
+    val got = GraphQueries.dagLevels(spark, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    graft.Caches.clear()
+  }
+
+  test("dagLevels: a cycle fails loudly instead of returning wrong levels") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      GraphQueries.dagLevels(spark, e, maxIter = 10)
+    }
+    assert(ex.getMessage.contains("cycle"))
+    graft.Caches.clear()
+  }
+
+  test("dagLevels: deep chain converges in depth rounds; self-loops dropped") {
+    import spark.implicits._
+    val chain = (1L until 30L).map(i => (i, i + 1)) :+ ((5L, 5L))
+    val got = GraphQueries.dagLevels(spark, chain.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 30L).map(i => i -> (i - 1)).toMap)
+    graft.Caches.clear()
+  }
+
+  test("coreNumbers: triangle+tail and star hand cases") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), // triangle, tail at 4
+      (5L, 6L), (5L, 7L), (5L, 8L))                      // star
+      .toDF("src", "dst")
+    val got = GraphQueries.coreNumbers(spark, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L))
+    graft.Caches.clear()
+  }
+
+  test("coreNumbers ≡ iterated kCore membership on a pseudorandom graph") {
+    import spark.implicits._
+    val e = (1 to 300).map { i =>
+      (((i * 7919) % 40).toLong, ((i * 104729) % 40).toLong)
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    val core = GraphQueries.coreNumbers(spark, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- 1 to 4) {
+      val members = GraphQueries.kCore(spark, e, k = k)
+        .collect().map(_.getLong(0)).toSet
+      val expect = core.filter(_._2 >= k).keySet
+      assert(members == expect, s"k=$k: kCore=$members vs core-numbers=$expect")
+    }
+    graft.Caches.clear()
+  }
+
+  test("reciprocity: hand-built graph; loops dropped, duplicates collapsed") {
+    import spark.implicits._
+    // distinct non-loop edges: 1→2, 2→1 (reciprocal pair), 2→3, 3→4
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (7L, 7L))
+      .toDF("src", "dst")
+    val r = GraphQueries.reciprocity(e).collect().head
+    assert(r.getLong(0) == 4L) // vertices 1,2,3,4 (7 only had a loop)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.5)
+    graft.Caches.clear()
+  }
 }
 
 class IvfSpec extends SparkSpec {
@@ -424,48 +495,5 @@ class IvfSpec extends SparkSpec {
     val brute = SimilaritySearch.bruteForceTopK(df, q, k = 300).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     got.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
-  }
-
-  test("dagLevels: diamond DAG takes the LONGEST path; multiple roots; duplicates ignored") {
-    import spark.implicits._
-    // 1 → 2 → 3 → 4 and the shortcut 1 → 4: level(4) must be 3, not 2;
-    // 10 → 3 is a second root feeding mid-DAG
-    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 4L), (10L, 3L))
-      .toDF("src", "dst")
-    val got = GraphQueries.dagLevels(spark, e)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
-    graft.Caches.clear()
-  }
-
-  test("dagLevels: a cycle fails loudly instead of returning wrong levels") {
-    import spark.implicits._
-    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
-    val ex = intercept[IllegalStateException] {
-      GraphQueries.dagLevels(spark, e, maxIter = 10)
-    }
-    assert(ex.getMessage.contains("cycle"))
-    graft.Caches.clear()
-  }
-
-  test("dagLevels: deep chain converges in depth rounds; self-loops dropped") {
-    import spark.implicits._
-    val chain = (1L until 30L).map(i => (i, i + 1)) :+ ((5L, 5L))
-    val got = GraphQueries.dagLevels(spark, chain.toDF("src", "dst"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == (1L to 30L).map(i => i -> (i - 1)).toMap)
-    graft.Caches.clear()
-  }
-
-  test("reciprocity: hand-built graph; loops dropped, duplicates collapsed") {
-    import spark.implicits._
-    // distinct non-loop edges: 1→2, 2→1 (reciprocal pair), 2→3, 3→4
-    val e = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (7L, 7L))
-      .toDF("src", "dst")
-    val r = GraphQueries.reciprocity(e).collect().head
-    assert(r.getLong(0) == 4L) // vertices 1,2,3,4 (7 only had a loop)
-    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
-    assert(r.getDouble(3) == 0.5)
-    graft.Caches.clear()
   }
 }

@@ -725,6 +725,23 @@ class TextAnalysisSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("dupNgramCoverage: hand positions, no-repeat zero, short-doc no grams") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c d"),   // "a b c" repeats at 0 and 3 → covers pos 0..5
+      (2L, "x y z"),           // no repeated 3-gram
+      (3L, "hello")            // too short for any 3-gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramCoverage(df, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((7L, 6L, r6(6.0 / 7.0)))) // 1-char tokens: frac = 6/7
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    graft.Caches.clear()
+  }
+
   test("codeScore: exact signal counts; code flags, prose doesn't") {
     import spark.implicits._
     val df = Seq(
