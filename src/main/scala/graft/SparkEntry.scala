@@ -1405,6 +1405,33 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // purged temporal split: train < day 18, embargo [18, 20), test ≥ 20
+    // (relative to corpus start) — the look-ahead-leakage-safe time split
+    "q211_temporal_split" -> ((s, dir) => {
+      val ev = E(s, dir).select(col("event_id"), col("ts"))
+      val rel = ev.crossJoin(broadcast(ev.agg(min(col("ts")).as("_m"))))
+      graft.ops.Sampling.temporalSplit(rel, col("ts") - col("_m"),
+          cutoff = 20L * 86400000000000L, embargo = 2L * 86400000000000L)
+        .select(col("event_id"), col("split"))
+    }),
+
+    // Spearman rank correlation of quantity vs extended price per return
+    // flag: exact average ranks (half-integers), decimal rank moments,
+    // pinned Pearson closed form
+    "q212_spearman" -> ((s, dir) =>
+      graft.ops.Stats.spearmanCorr(
+        T(s, dir, "lineitem"), x = col("l_quantity"), y = col("l_extendedprice"),
+        strataCols = Seq("l_returnflag"))),
+
+    // 4-truss of the nation-clique graph: degree-oriented triangle
+    // enumeration, per-edge support peeling — cliques of n ≥ 4 survive
+    // whole with support n − 2 (the oracle's closed form)
+    "q213_graph_ktruss" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      graft.graph.GraphQueries.kTruss(s, e, k = 4)
+    }),
+
     // full core decomposition (every vertex's core NUMBER) by H-index
     // iteration on the nation-clique graph — converges in one round
     // there, giving the oracle the clique closed form (core = n − 1)
@@ -4776,6 +4803,61 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // the same relative-day CASE off the same scalar minimum
+    "q211_temporal_split" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) AS t FROM events),
+        |m AS (SELECT min(t) AS m0 FROM e)
+        |SELECT event_id,
+        |  CASE WHEN t - m.m0 < 1555200000000000 THEN 'train'
+        |       WHEN t - m.m0 >= 1728000000000000 THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |FROM e, m""".stripMargin,
+
+    // average ranks replayed (rank() + (ties−1)/2), decimal moments,
+    // the same closed-form arithmetic order
+    "q212_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS DOUBLE)
+        |      + CAST(count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS DOUBLE)
+        |        / CAST(2.0 AS DOUBLE) AS rx,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS DOUBLE)
+        |      + CAST(count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS DOUBLE)
+        |        / CAST(2.0 AS DOUBLE) AS ry
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rx AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(ry AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(rx * ry AS DECIMAL(38,12))) AS sxy,
+        |    sum(CAST(rx * rx AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(ry * ry AS DECIMAL(38,12))) AS syy
+        |  FROM r GROUP BY 1
+        |), f AS (
+        |  SELECT l_returnflag, n,
+        |    n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+        |    n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+        |  FROM a
+        |)
+        |SELECT l_returnflag, n,
+        |  round(CASE WHEN dx > 0 AND dy > 0 THEN num / (sqrt(dx) * sqrt(dy)) END, 6)
+        |    AS spearman
+        |FROM f""".stripMargin,
+
+    // clique closed form: every edge of an n-clique (n ≥ k) closes n − 2
+    // triangles; smaller cliques peel away entirely
+    "q213_graph_ktruss" ->
+      """WITH c AS (SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY 1)
+        |SELECT CAST(least(a.s_suppkey, b.s_suppkey) AS BIGINT) AS src,
+        |  CAST(greatest(a.s_suppkey, b.s_suppkey) AS BIGINT) AS dst,
+        |  CAST(c.n - 2 AS BIGINT) AS support
+        |FROM supplier a
+        |JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        |JOIN c ON c.s_nationkey = a.s_nationkey
+        |WHERE c.n >= 4""".stripMargin,
 
     // clique closed form: every member of an n-clique has core n − 1
     // (nations with a single supplier produce no edges and are absent)

@@ -1489,6 +1489,98 @@ object GraphQueries {
     c.select(col("vid").as(idCol), col("c").as("core"))
   }
 
+  /** k-truss decomposition membership: the maximal subgraph whose EVERY
+    * edge closes at least `k − 2` triangles *within the subgraph* — the
+    * edge-level analog of [[kCore]] and the standard "cohesive community
+    * skeleton" filter (a k-truss is a subgraph of the (k−1)-core but far
+    * stricter: it demands mutual neighbors, not just degree). Returns the
+    * surviving canonical edges as `(src, dst, support)` with
+    * `src < dst` and `support` their triangle count in the final truss.
+    *
+    * Peeling loop: per round, enumerate triangles with the
+    * degree-oriented wedge closure (the [[triangleCountsDF]] discipline —
+    * hubs point inward, Σd⁺² stays O(m^{3/2})), explode each triangle to
+    * its three canonical edges, count per edge, drop edges under
+    * `k − 2`, repeat until the edge count is stable (a scalar per
+    * round). Deletions cascade exactly as the peeling semantics require;
+    * every frame is a slim spillable shuffle, lineage truncated per
+    * round.
+    */
+  def kTruss(
+      spark: SparkSession,
+      edges: DataFrame,
+      k: Int,
+      maxIter: Int = 100
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    def supportOf(e: DataFrame): DataFrame = {
+      val bidir = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val deg = bidir.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+      val keyed = bidir
+        .join(deg.select(col("src"), col("_d").as("_ds")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("_d").as("_dd")), Seq("dst"))
+      val o = keyed.where(col("_ds") < col("_dd") ||
+          (col("_ds") === col("_dd") && col("src") < col("dst")))
+        .select(col("src").as("u"), col("dst").as("v"),
+          struct(col("_dd"), col("dst")).as("_kv"))
+      val w1 = o.select(col("u"), col("v").as("x"), col("_kv").as("_kx"))
+      val w2 = o.select(col("u"), col("v").as("y"), col("_kv").as("_ky"))
+      val wedges = w1.join(w2, Seq("u")).where(col("_kx") < col("_ky"))
+      val closer = o.select(col("u").as("x"), col("v").as("y"))
+      val tri = wedges.join(closer, Seq("x", "y"))
+        .select(col("u"), col("x"), col("y"))
+      tri.select(explode(array(
+          struct(least(col("u"), col("x")).as("a"), greatest(col("u"), col("x")).as("b")),
+          struct(least(col("u"), col("y")).as("a"), greatest(col("u"), col("y")).as("b")),
+          struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))))
+          .as("_e"))
+        .select(col("_e.a").as("a"), col("_e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    }
+    var e = materialize(
+      edges.select(col(EdgeColumns.Src).cast("long").as("s"),
+          col(EdgeColumns.Dst).cast("long").as("d"))
+        .where(col("s") =!= col("d"))
+        .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+        .distinct())
+    var eCount = e.count()
+    var support = materialize(supportOf(e))
+    var done = false
+    var it = 0
+    while (!done && it < maxIter && eCount > 0) {
+      // edges absent from the support frame close zero triangles
+      val keep =
+        if (k == 2) e
+        else e.join(support.where(col("sup") >= k - 2).select(col("a"), col("b")),
+          Seq("a", "b"), "left_semi")
+      val keepM = materialize(keep)
+      val nc = keepM.count()
+      if (nc == eCount) {
+        keepM.unpersist(blocking = false)
+        done = true
+      } else {
+        e.unpersist(blocking = false)
+        support.unpersist(blocking = false)
+        e = keepM
+        eCount = nc
+        support = materialize(supportOf(e))
+        it += 1
+      }
+    }
+    if (!done && eCount > 0) {
+      log.warn(
+        s"kTruss exited via maxIter=$maxIter before the peeling fixed point; " +
+          "the returned subgraph may still contain under-supported edges")
+    }
+    e.join(support, Seq("a", "b"), "left")
+      .select(col("a").as(EdgeColumns.Src), col("b").as(EdgeColumns.Dst),
+        coalesce(col("sup"), lit(0L)).as("support"))
+  }
+
   /** Longest-path level per vertex in a DAG — topological layering: a
     * vertex with no in-edges sits at level 0, every other vertex at
     * `1 + max(level of its predecessors)`. The critical-path / stage-depth

@@ -503,6 +503,23 @@ object Sampling {
       .drop("_qs_rank", "_quota")
   }
 
+  /** Purged temporal split for time-series training data: rows strictly
+    * before `cutoff − embargo` are `train`, rows at-or-after `cutoff` are
+    * `test`, and the embargo band between them is labeled `embargo` and
+    * meant to be DROPPED — the gap prevents look-ahead leakage through
+    * features computed over trailing windows (a trailing 7-day feature on
+    * the last train row would otherwise read test-period events). Labels
+    * instead of filters, so one pass feeds all sinks
+    * ([[trainTestSplit]]'s contract); a pure map-side projection.
+    */
+  def temporalSplit(df: DataFrame, ts: Column, cutoff: Long, embargo: Long = 0L): DataFrame = {
+    require(embargo >= 0, s"embargo must be >= 0, got $embargo")
+    df.withColumn("split",
+      when(ts < lit(cutoff - embargo), "train")
+        .when(ts >= lit(cutoff), "test")
+        .otherwise("embargo"))
+  }
+
   /** Variance-optimal (Neyman) stratified allocation: a total budget of
     * `total` rows split across strata `n_h ∝ N_h·σ_h` — big AND noisy
     * strata get the samples, so the stratified mean estimator's variance

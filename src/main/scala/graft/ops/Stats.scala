@@ -1025,6 +1025,58 @@ object Stats {
       .select(strata ++ Seq(col("n"), col("total"), round(col("gini"), scale).as("gini")): _*)
   }
 
+  /** Spearman rank correlation per stratum — the monotone-association
+    * monitor robust to outliers and nonlinearity (Pearson on length vs
+    * quality is wrecked by one 10 MB document; Spearman is not). Ties get
+    * the conventional AVERAGE rank, computed exactly as
+    * `rank() + (|tie group| − 1)/2` — half-integers are exact in both
+    * doubles and decimals, so the rank frame is engine-identical — and
+    * the correlation is then the Pearson closed form over decimal-cast
+    * rank moments in pinned IEEE order (the linearFit discipline). NULL
+    * where either side's ranks are constant. Returns
+    * `(strataCols…, n, spearman)`.
+    *
+    * Scale shape: two partitioned rank windows + one moments aggregate;
+    * nothing wider than the stratum ever sorts together.
+    */
+  def spearmanCorr(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      strataCols: Seq[String] = Nil,
+      scale: Int = 6): DataFrame = {
+    val strata = strataCols.map(col)
+    def avgRank(c: Column): Column = {
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*).orderBy(c)
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy((strata :+ c): _*)
+      rank().over(wr).cast("double") +
+        (count(lit(1)).over(wt) - lit(1L)).cast("double") / lit(2.0)
+    }
+    val ranked = df.where(x.isNotNull && y.isNotNull)
+      .withColumn("_rx", avgRank(x))
+      .withColumn("_ry", avgRank(y))
+    val agg = ranked.groupBy(strata: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("_rx").cast("decimal(38,12)")).as("_sx"),
+      sum(col("_ry").cast("decimal(38,12)")).as("_sy"),
+      sum((col("_rx") * col("_ry")).cast("decimal(38,12)")).as("_sxy"),
+      sum((col("_rx") * col("_rx")).cast("decimal(38,12)")).as("_sxx"),
+      sum((col("_ry") * col("_ry")).cast("decimal(38,12)")).as("_syy"))
+    agg
+      .withColumn("_num",
+        col("n") * col("_sxy").cast("double") -
+          col("_sx").cast("double") * col("_sy").cast("double"))
+      .withColumn("_dx",
+        col("n") * col("_sxx").cast("double") -
+          col("_sx").cast("double") * col("_sx").cast("double"))
+      .withColumn("_dy",
+        col("n") * col("_syy").cast("double") -
+          col("_sy").cast("double") * col("_sy").cast("double"))
+      .select((strata :+ col("n") :+
+        round(when(col("_dx") > 0 && col("_dy") > 0,
+          col("_num") / (sqrt(col("_dx")) * sqrt(col("_dy")))), scale).as("spearman")): _*)
+  }
+
   /** Welch's unequal-variance two-sample t-test — the A/B significance
     * check run before trusting a metric delta (did the new mix change mean
     * document length? did the experiment arm move conversion latency?).

@@ -49,7 +49,8 @@ object PlanAudit {
     "q195_embed_dist_hist",       // all-pairs bounded by the hash sample — the diagnostic's contract
     "q192_reciprocity",           // one-row vertex-count crossJoin (the q148 scalar-attach class)
     "q197_ks_test",               // one-row group-totals crossJoin (same scalar-attach class)
-    "q199_psi"                    // one-row group-totals crossJoin (same scalar-attach class)
+    "q199_psi",                   // one-row group-totals crossJoin (same scalar-attach class)
+    "q211_temporal_split"         // one-row corpus-start crossJoin (same scalar-attach class)
   )
 
   def main(args: Array[String]): Unit = {

@@ -442,6 +442,32 @@ class GraphQueriesSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("kTruss: K4 survives at k=4, pendant triangle peels; k=3 keeps both; k=2 keeps all") {
+    import spark.implicits._
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val e = (k4 ++ Seq((4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L))).toDF("src", "dst")
+    val t4 = GraphQueries.kTruss(spark, e, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet == k4.toSet)
+    assert(t4.values.forall(_ == 2L)) // every K4 edge closes 2 triangles
+    val t3 = GraphQueries.kTruss(spark, e, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 == k4.toSet ++ Set((4L, 5L), (5L, 6L), (4L, 6L))) // pendant edge 6-7 out
+    val t2 = GraphQueries.kTruss(spark, e, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t2.size == e.distinct.count())
+    graft.Caches.clear()
+  }
+
+  test("kTruss: deletions cascade — a diamond empties at k=4") {
+    import spark.implicits._
+    // K4 minus edge (1,2): (3,4) has support 2, the rest 1 — dropping the
+    // rest leaves (3,4) with 0, which must then drop too
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphQueries.kTruss(spark, e, k = 4).count() == 0L)
+    graft.Caches.clear()
+  }
+
   test("reciprocity: hand-built graph; loops dropped, duplicates collapsed") {
     import spark.implicits._
     // distinct non-loop edges: 1→2, 2→1 (reciprocal pair), 2→3, 3→4

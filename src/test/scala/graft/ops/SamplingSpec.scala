@@ -445,6 +445,19 @@ class SamplingSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("temporalSplit: band boundaries are inclusive/exclusive exactly as documented") {
+    import spark.implicits._
+    val df = Seq(1L, 79L, 80L, 99L, 100L, 150L).toDF("t")
+    val got = Sampling.temporalSplit(df, col("t"), cutoff = 100L, embargo = 20L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "train", 79L -> "train", 80L -> "embargo",
+      99L -> "embargo", 100L -> "test", 150L -> "test"))
+    // zero embargo degenerates to a plain two-way time split
+    val two = Sampling.temporalSplit(df, col("t"), cutoff = 100L)
+      .collect().map(r => r.getString(1)).toSet
+    assert(two == Set("train", "test"))
+  }
+
   test("neymanQuota: allocation tracks N·σ; zero-variance strata get nothing; total exact") {
     import spark.implicits._
     // stratum a: values ±30 around 100 (σ=30); b: ±10 around 100 (σ=10);

@@ -499,6 +499,27 @@ class StatsSpec extends SparkSpec {
       .collect().head.getDouble(4) == 0.0)
   }
 
+  test("spearmanCorr: monotone → 1, inverse → −1, ties averaged, constant → NULL") {
+    import spark.implicits._
+    val mono = (1 to 20).map(i => ("m", i.toDouble, (i * i).toDouble))
+    val inv = (1 to 20).map(i => ("i", i.toDouble, (100 - i).toDouble))
+    val const = (1 to 5).map(i => ("c", i.toDouble, 7.0))
+    val df = (mono ++ inv ++ const).toDF("g", "x", "y")
+    val got = Stats.spearmanCorr(df, col("x"), col("y"), Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(got("m") == 1.0 && got("i") == -1.0 && got("c") == null)
+    // tie handling: x = (1,2,2,3), y = (1,2,3,4): rx = (1, 2.5, 2.5, 4)
+    // hand Spearman = 0.9486832980505138 → round 0.948683
+    val ties = Seq(("t", 1.0, 1.0), ("t", 2.0, 2.0), ("t", 2.0, 3.0), ("t", 3.0, 4.0))
+      .toDF("g", "x", "y")
+    val s = Stats.spearmanCorr(ties, col("x"), col("y"), Seq("g")).collect().head
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // moments: Σrx=10, Σry=10, Σrxry=29.5, Σrx²=29.5, Σry²=30
+    // num = 4·29.5−100 = 18, dx = 18, dy = 20 → 18/(√18·√20)
+    assert(s.getDouble(2) == r6(18.0 / (math.sqrt(18.0) * math.sqrt(20.0))))
+  }
+
   test("ksTest: hand-computed D on overlapping step CDFs; identical samples → 0") {
     import spark.implicits._
     // A = {1,2,3,4}, B = {3,4,5,6}: F_A−F_B peaks at v=2 (2/4 − 0/4 = 0.5)
