@@ -1,0 +1,120 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EventAnalytics, Sampling, Stats, Validate}
+
+/** End-to-end analytics/monitoring story over the synthetic star schema —
+  * the composition narrative behind the statistics operators, the way the
+  * CorpusPipelineDemo is the narrative behind the corpus ones: integrity
+  * gate → cohort split → significance tests → drift monitors → change-point
+  * watch → attribution → segmentation → distribution dashboard, each stage
+  * one library operator.
+  *
+  * Run: `sbt "runMain graft.examples.AnalyticsDemo"` — prints one
+  * `[analytics]` line per stage and ends with `ANALYTICS-DONE`.
+  */
+object AnalyticsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+
+    def obs(stage: String, detail: String): Unit =
+      println(f"[analytics] $stage%-26s $detail")
+
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val eventsRaw = spark.read.parquet(s"$dir/events.parquet")
+    val events = eventsRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => eventsRaw
+      case _ => eventsRaw.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+
+    // 1. referential-integrity gate: a broken FK poisons every join below
+    val fk = Validate.fkOrphans(orders, col("o_custkey"), customer, col("c_custkey"),
+        "orders>customer")
+      .unionByName(Validate.fkOrphans(lineitem, col("l_orderkey"), orders,
+        col("o_orderkey"), "lineitem>orders"))
+    val orphanTotal = fk.agg(sum(col("n_orphans"))).head.getLong(0)
+    require(orphanTotal == 0L, s"integrity gate failed: $orphanTotal orphans")
+    obs("integrity gate", "PASS (2 FKs, 0 orphans)")
+
+    // 2. cohort split: a deterministic user-grain A/B assignment that keeps
+    // every user's events together (the join-preserving sampler's rule)
+    val assigned = Sampling.trainTestSplit(events, col("user_id"), testFraction = 0.5)
+      .withColumnRenamed("split", "cohort")
+    val cohorts = assigned.groupBy("cohort").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    obs("cohort split", cohorts)
+
+    // 3. engagement significance: does per-user event count differ between
+    // cohorts? Mean-level (Welch) and distribution-level (KS) side by side
+    val perUser = assigned.groupBy(col("cohort"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    val labeled = perUser.withColumn("_y", col("cohort") === "test")
+    val w = Stats.welchTtest(labeled, col("n_ev"), col("_y")).head
+    obs("welch t-test", f"t=${w.getDouble(4)}%.3f dof=${w.getDouble(5)}%.1f")
+    val ks = Stats.ksTest(labeled, col("n_ev"), col("_y")).head
+    obs("ks test", f"D=${ks.getDouble(2)}%.4f ks_stat=${ks.getDouble(3)}%.3f")
+
+    // 4. drift monitor: PSI of the activity distribution between cohorts —
+    // a random split should sit far below the 0.1 watch threshold
+    val psi = Stats.psi(labeled, col("n_ev"), col("_y"), lo = 0.0, hi = 120.0, bins = 12).head
+    obs("psi drift", f"psi=${psi.getDouble(4)}%.4f bins=${psi.getLong(2)}")
+    require(psi.getDouble(4) < 0.1, "random cohorts should not drift")
+
+    // 5. change-point watch on the daily click series
+    val series = events.where(col("event_type") === "click")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val alarms = EventAnalytics.cusum(series, col("day"), col("x"), k = 5.0, h = 15.0)
+      .where(col("alarm")).count()
+    obs("cusum watch", s"$alarms alarm days")
+
+    // 6. funnel + linear attribution over the same stream
+    val funnel = EventAnalytics.funnel(
+      events.withColumn("tsu", expr("ts div 1000")),
+      steps = Seq("view", "click", "purchase"), windowTs = 604800000000L, tsCol = "tsu")
+    val conv = funnel.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("steps_completed") === 3, 1L).otherwise(0L)).as("c")).head
+    obs("funnel", s"${conv.getLong(1)}/${conv.getLong(0)} users convert")
+    val attr = EventAnalytics.linearAttribution(events, Seq("view", "click"),
+        "purchase", windowTs = 604800000000000L)
+      .collect().map(r => f"${r.getString(0)}=${r.getDouble(2)}%.1f").sorted.mkString(" ")
+    obs("attribution", attr)
+
+    // 7. customer value segmentation (RFM quartiles off orders)
+    val rfm = EventAnalytics.rfm(orders, col("o_custkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")), col("o_totalprice"))
+    val topSegment = rfm.where(col("r_bin") === 3 && col("f_bin") === 3 && col("m_bin") === 3)
+      .count()
+    obs("rfm segmentation", s"$topSegment customers in the 3/3/3 cell")
+
+    // 8. distribution dashboard: mergeable histogram state (two "batches")
+    // served as grid quantiles + a bootstrap CI on the mean
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hist = Stats.histMerge(Seq(
+      Stats.histPartials(docs.where(col("doc_id") % 2 === 0), col("n_chars"), 0.0, 600.0, 12),
+      Stats.histPartials(docs.where(col("doc_id") % 2 =!= 0), col("n_chars"), 0.0, 600.0, 12)))
+    val med = Stats.quantilesFromHist(hist, 0.0, 600.0, 12, Seq(0.5)).head
+    obs("hist-state median", s"[${med.getDouble(2)}, ${med.getDouble(3)})")
+    val ci = Stats.bootstrapMeanCI(docs, col("n_chars"), col("doc_id"), b = 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    obs("bootstrap mean CI", f"[${ci(0.025)}%.1f, ${ci(0.975)}%.1f]")
+
+    graft.Caches.clear()
+    println("ANALYTICS-DONE")
+    spark.stop()
+  }
+}
