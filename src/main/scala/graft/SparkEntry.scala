@@ -1405,6 +1405,18 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // the q199 PSI served from two persisted-shape histogram STATES
+    // (en-hist vs de-hist on the same grid): its oracle is q199's SQL
+    // VERBATIM — hash equality proves state-served ≡ inline
+    "q214_psi_from_state" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Stats.psiFromHists(
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "en"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12),
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "de"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12))
+    }),
+
     // purged temporal split: train < day 18, embargo [18, 20), test ≥ 20
     // (relative to corpus start) — the look-ahead-leakage-safe time split
     "q211_temporal_split" -> ((s, dir) => {
@@ -2557,6 +2569,35 @@ object SparkEntry {
     * hash that makes the sketch queries (q18/q22/q29) oracle-checkable.
     */
   private def md5l(e: String): String = graft.ops.Md5Hash.duckdbPlain(e)
+
+  /** q199's oracle, shared verbatim with q214 (the histogram-state PSI
+    * must produce the identical row).
+    */
+  private lazy val psiOracle: String =
+    """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(least(greatest(floor((v - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)), 0), 11) AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM d
+        |), c AS (
+        |  SELECT n_a, n_b,
+        |    CASE WHEN ca > 0 AND cb > 0
+        |      THEN (CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)
+        |        * ln((CAST(ca AS DOUBLE) / n_a) / (CAST(cb AS DOUBLE) / n_b)) END AS contrib
+        |  FROM g, t
+        |)
+        |SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+        |  CAST(sum(CASE WHEN contrib IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bins_used,
+        |  CAST(sum(CASE WHEN contrib IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bins_dropped,
+        |  round(CAST(sum(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+        |FROM c""".stripMargin
 
   /** q196's oracle, shared verbatim with q201 (the merged-partials serving
     * face must produce the identical golden-record table): q50's
@@ -5069,31 +5110,10 @@ object SparkEntry {
 
     // per-bin shares on the q106 grid, contributions (p−q)·ln(p/q) only
     // where both sides are populated, decimal-cast before the sum
-    "q199_psi" ->
-      """WITH d AS (
-        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y FROM documents
-        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
-        |), g AS (
-        |  SELECT CAST(least(greatest(floor((v - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)), 0), 11) AS BIGINT) AS bin,
-        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cb
-        |  FROM d GROUP BY 1
-        |), t AS (
-        |  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-        |  FROM d
-        |), c AS (
-        |  SELECT n_a, n_b,
-        |    CASE WHEN ca > 0 AND cb > 0
-        |      THEN (CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)
-        |        * ln((CAST(ca AS DOUBLE) / n_a) / (CAST(cb AS DOUBLE) / n_b)) END AS contrib
-        |  FROM g, t
-        |)
-        |SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
-        |  CAST(sum(CASE WHEN contrib IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bins_used,
-        |  CAST(sum(CASE WHEN contrib IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bins_dropped,
-        |  round(CAST(sum(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
-        |FROM c""".stripMargin,
+    "q199_psi" -> psiOracle,
+
+    // q199's SQL VERBATIM: the state-served PSI must hash-match the inline path
+    "q214_psi_from_state" -> psiOracle,
 
     // the same collapsed actor frame and the q107 ntile rule ×3
     "q200_rfm" ->

@@ -969,9 +969,30 @@ object Stats {
     val g = d.groupBy(bin.as("bin")).agg(
       sum(when(col("_y"), 1L).otherwise(0L)).as("_ca"),
       sum(when(!col("_y"), 1L).otherwise(0L)).as("_cb"))
-    val tot = d.agg(
-      sum(when(col("_y"), 1L).otherwise(0L)).as("n_a"),
-      sum(when(!col("_y"), 1L).otherwise(0L)).as("n_b"))
+    psiOfBinCounts(g, scale)
+  }
+
+  /** PSI served from two (merged) [[histPartials]] STATES on the same
+    * grid — the deployment shape of [[psi]]: the reference period's
+    * histogram is persisted once, each new batch folds into the current
+    * state, and the drift score reads ≤`bins` rows per side instead of
+    * rescanning either period. Produces the IDENTICAL result to [[psi]]
+    * over the underlying rows (the q214 oracle is q199's SQL verbatim):
+    * the outer-joined bin counts ARE the per-bin counts the inline path
+    * aggregates.
+    */
+  def psiFromHists(histA: DataFrame, histB: DataFrame, scale: Int = 6): DataFrame = {
+    val g = histA.select(col("bin"), col("n").as("_ca"))
+      .join(histB.select(col("bin"), col("n").as("_cb")), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    psiOfBinCounts(g, scale)
+  }
+
+  /** Shared PSI core over a per-bin `(bin, _ca, _cb)` count frame. */
+  private def psiOfBinCounts(g: DataFrame, scale: Int): DataFrame = {
+    val tot = g.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
     g.crossJoin(tot)
       .withColumn("_p", col("_ca").cast("double") / col("n_a"))
       .withColumn("_q", col("_cb").cast("double") / col("n_b"))

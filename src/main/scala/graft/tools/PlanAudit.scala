@@ -50,7 +50,8 @@ object PlanAudit {
     "q192_reciprocity",           // one-row vertex-count crossJoin (the q148 scalar-attach class)
     "q197_ks_test",               // one-row group-totals crossJoin (same scalar-attach class)
     "q199_psi",                   // one-row group-totals crossJoin (same scalar-attach class)
-    "q211_temporal_split"         // one-row corpus-start crossJoin (same scalar-attach class)
+    "q211_temporal_split",        // one-row corpus-start crossJoin (same scalar-attach class)
+    "q214_psi_from_state"         // one-row bin-totals crossJoin (same scalar-attach class)
   )
 
   def main(args: Array[String]): Unit = {

@@ -499,6 +499,19 @@ class StatsSpec extends SparkSpec {
       .collect().head.getDouble(4) == 0.0)
   }
 
+  test("psiFromHists ≡ inline psi, including one-sided dropped bins") {
+    import spark.implicits._
+    val df = (Seq(1, 1, 5, 3).map(v => (v, true)) ++ Seq(1, 3, 3).map(v => (v, false)))
+      .toDF("v", "y")
+    val inline = Stats.psi(df, col("v"), col("y"), lo = 0.0, hi = 6.0, bins = 3)
+      .collect().head
+    val state = Stats.psiFromHists(
+        Stats.histPartials(df.where(col("y")), col("v"), 0.0, 6.0, 3),
+        Stats.histPartials(df.where(!col("y")), col("v"), 0.0, 6.0, 3))
+      .collect().head
+    assert(state == inline)
+  }
+
   test("spearmanCorr: monotone → 1, inverse → −1, ties averaged, constant → NULL") {
     import spark.implicits._
     val mono = (1 to 20).map(i => ("m", i.toDouble, (i * i).toDouble))
