@@ -136,6 +136,20 @@ final case class GraftShell(spark: SparkSession, config: GraftConfig) {
   def near(label: String, source: Long, numIter: Int = 10): DataFrame =
     graft.graph.GraphQueries.pageRankDF(spark, vertices.select("id"), edges(label),
       numIter = numIter, personalized = Some(source))
+
+  /** Core number of every vertex in one edge label's graph
+    * ([[graft.graph.GraphQueries.coreNumbers]]) — the full degeneracy
+    * profile, where [[kcore]] answers membership at one k.
+    */
+  def cores(label: String): DataFrame =
+    graft.graph.GraphQueries.coreNumbers(spark, edges(label))
+
+  /** k-truss of one edge label's graph
+    * ([[graft.graph.GraphQueries.kTruss]]) — the surviving edges with
+    * their triangle support; the community-skeleton filter.
+    */
+  def truss(label: String, k: Int): DataFrame =
+    graft.graph.GraphQueries.kTruss(spark, edges(label), k)
 }
 
 object GraftShell {

@@ -87,6 +87,11 @@ class GraftShellSpec extends SparkSpec {
     // exploration helpers pin loop checkpoints until release()
     assert(g.components("similarity").count() == 2)
     assert(g.pageRank("similarity", numIter = 4).count() == 2)
+    // the decomposition helpers: a single edge is a 2-clique — both
+    // vertices core 1, the edge survives only the trivial 2-truss
+    assert(g.cores("similarity").collect().map(_.getLong(1)).toSet == Set(1L))
+    assert(g.truss("similarity", k = 2).count() == 1)
+    assert(g.truss("similarity", k = 3).count() == 0)
     g.release()
     val afterExplore = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(afterExplore.isEmpty, s"release() left persisted RDDs: $afterExplore")
