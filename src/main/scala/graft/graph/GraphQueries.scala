@@ -434,29 +434,42 @@ object GraphQueries {
     var a: DataFrame = null
     var i = 0
     while (i < iters) {
-      // materialize EVERY half-step, each BEFORE the next consumes it:
-      // unlike the pageRankDF loop (cadence 4), each HITS half-step embeds
-      // a crossJoin'd norm-aggregate subtree, so an uncheckpointed plan
-      // deepens ~4 subtrees per round and Catalyst compile time blows up
-      // long before the data does (measured: cadence 4 at 40 iters blew a
-      // 180 s budget at sf0.01); materializing a first also keeps h's job
-      // from recomputing a's whole half-step inside its own plan
+      // Normalize and materialize only on the CADENCE (every 4th round and
+      // the last), not every half-step: per-step L2 normalization is a
+      // pure rescale, and a pure rescale never changes the direction the
+      // power iteration converges to — so deferring it to the cadence
+      // yields the same normalized fixed point while cutting the
+      // norm-aggregate crossJoins and checkpoints 4×. Off-cadence rounds
+      // are plain join+agg chains (no embedded scalar-aggregate subtrees,
+      // so Catalyst compile stays flat — the original per-step
+      // materialization existed precisely because crossJoin'd norm
+      // subtrees stacked ~4 per round); magnitudes grow ≤ ‖A‖² per round,
+      // far inside double range over any 4-round window. On cadence
+      // rounds `a` materializes BEFORE `h` is built from it, so the h job
+      // reads the checkpoint instead of recomputing a's chain.
+      // the dangling-vertex zero rows only matter where norms/output read
+      // the full universe — the inner edge joins ignore them and zeros
+      // add nothing to a norm, so the universe attaches on cadence only
+      val cadence = ((i + 1) % 4 == 0) || (i + 1) == iters
+      def withUniverse(df: DataFrame, c: String): DataFrame =
+        vertices.join(df, Seq("vid"), "left")
+          .select(col("vid"), coalesce(col(c), lit(0.0)).as(c))
       val aRaw = e.join(h.select(col("vid").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
-      val aAll = vertices.join(aRaw.select(col("dst").as("vid"), col("a")), Seq("vid"), "left")
-        .select(col("vid"), coalesce(col("a"), lit(0.0)).as("a"))
-      a = materialize(normalize(aAll, "a"))
+        .select(col("dst").as("vid"), col("a"))
+      a = if (cadence) materialize(normalize(withUniverse(aRaw, "a"), "a")) else aRaw
       val hRaw = e.join(a.select(col("vid").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
-      val hAll = vertices.join(hRaw.select(col("src").as("vid"), col("h")), Seq("vid"), "left")
-        .select(col("vid"), coalesce(col("h"), lit(0.0)).as("h"))
-      h = materialize(normalize(hAll, "h"))
+        .select(col("src").as("vid"), col("h"))
+      h = if (cadence) materialize(normalize(withUniverse(hRaw, "h"), "h")) else hRaw
       i += 1
-      val (prevH, prevA) = (hCheckpoint, aCheckpoint)
-      hCheckpoint = h
-      aCheckpoint = a
-      if (prevH != null) prevH.unpersist(blocking = false)
-      if (prevA != null) prevA.unpersist(blocking = false)
+      if (cadence) {
+        val (prevH, prevA) = (hCheckpoint, aCheckpoint)
+        hCheckpoint = h
+        aCheckpoint = a
+        if (prevH != null) prevH.unpersist(blocking = false)
+        if (prevA != null) prevA.unpersist(blocking = false)
+      }
     }
     vertices
       .join(h, Seq("vid")).join(a, Seq("vid"))
