@@ -333,16 +333,26 @@ object SimilaritySearch {
         .groupBy("query_id")
         .agg(org.apache.spark.sql.graft.TopKAgg.topKAgg(col("_s"), col("_nid"), k).as("_top"))
         .select(col("query_id"), explode(col("_top.neighbor_id")).as("neighbor_id")))
-    val mutual = nn.as("a")
-      .join(nn.as("b"),
-        col("a.query_id") === col("b.neighbor_id") &&
-          col("a.neighbor_id") === col("b.query_id"))
-      .where(col("a.query_id") < col("a.neighbor_id"))
-      .select(col("a.query_id").as("src"), col("a.neighbor_id").as("dst"))
-    val labels = graft.graph.GraphQueries.componentLabels(spark, mutual)
+    val labels = graft.graph.GraphQueries.componentLabels(spark, mutualEdges(nn))
     df.select(col(idCol).cast("long").as(idCol))
       .join(labels, col(idCol) === col("vid"), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+
+  /** The mutual filter alone: a directed `(query_id, neighbor_id)` kNN
+    * frame → canonical undirected mutual edges (`src < dst`, kept iff
+    * each endpoint claims the other). This is the piece to pair with
+    * IVF/IVFADC/LSH-generated neighbor frames at the scale where
+    * [[mutualKnnClusters]]'s exact broadcast path cannot run — then
+    * cluster with [[graft.graph.GraphQueries.componentLabels]]. One
+    * self-equi-join of the slim pair frame on the swapped key.
+    */
+  def mutualEdges(nn: DataFrame): DataFrame = {
+    val a = nn.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val b = nn.select(col("neighbor_id").as("src"), col("query_id").as("dst"))
+    a.join(b, Seq("src", "dst"))
+      .where(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane i is the

@@ -115,4 +115,16 @@ class PrivacyDriftSpec extends SparkSpec {
       assert(members.keySet.min == cid)
     }
   }
+
+  test("mutualEdges: only reciprocal kNN pairs survive, canonical order") {
+    import spark.implicits._
+    val nn = Seq(
+      (1L, 2L), (2L, 1L), // mutual
+      (3L, 1L),           // asymmetric (hub attraction) — dies
+      (4L, 5L), (5L, 4L), (5L, 6L)
+    ).toDF("query_id", "neighbor_id")
+    val got = SimilaritySearch.mutualEdges(nn)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (4L, 5L)))
+  }
 }
