@@ -1405,6 +1405,12 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // Cramér's V association between language and source: exact
+    // contingency cells, pinned-order χ² contributions, one sqrt
+    "q215_cramers_v" -> ((s, dir) =>
+      graft.ops.Stats.cramersV(
+        T(s, dir, "documents"), a = col("lang"), b = col("source"))),
+
     // the q199 PSI served from two persisted-shape histogram STATES
     // (en-hist vs de-hist on the same grid): its oracle is q199's SQL
     // VERBATIM — hash equality proves state-served ≡ inline
@@ -4844,6 +4850,37 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // cells → margins → expected → contributions in the same pinned order
+    "q215_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+        |), rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS c
+        |  FROM cells
+        |), grid AS (
+        |  SELECT rt.lang, ct.source, ra, cb, coalesce(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source
+        |), x AS (
+        |  SELECT o, CAST(ra AS DOUBLE) * cb / n AS e, n, r, c
+        |  FROM grid, tot
+        |), s AS (
+        |  SELECT any_value(n) AS n, any_value(r) AS r, any_value(c) AS c,
+        |    sum(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+        |      AS DECIMAL(38,12))) AS s2
+        |  FROM x
+        |)
+        |SELECT n, r, c, round(CAST(s2 AS DOUBLE), 6) AS chi2,
+        |  round(CASE WHEN least(r, c) >= 2
+        |    THEN sqrt(CAST(s2 AS DOUBLE) / CAST(n * least(r - 1, c - 1) AS DOUBLE)) END, 6)
+        |    AS cramers_v
+        |FROM s""".stripMargin,
 
     // the same relative-day CASE off the same scalar minimum
     "q211_temporal_split" ->

@@ -1046,6 +1046,46 @@ object Stats {
       .select(strata ++ Seq(col("n"), col("total"), round(col("gini"), scale).as("gini")): _*)
   }
 
+  /** Cramér's V association between two categorical columns — "are
+    * language and source independent, and how far from it?" on a 0..1
+    * scale (the normalized χ² the drift monitors' cousin answers for a
+    * PAIR of dimensions rather than one dimension across time). Returns
+    * one row `(n, r, c, chi2, cramers_v)`; V is NULL when either side is
+    * constant (association undefined).
+    *
+    * Exact integer contingency counts (one partial-agg shuffle to
+    * |r|·|c| cells, margins re-aggregated from the cells); expected
+    * counts and χ² contributions are pinned-order IEEE scalars per cell,
+    * decimal-cast before the sum so partitioning cannot move the total;
+    * the one-row totals ride the documented scalar-attach crossJoin.
+    */
+  def cramersV(df: DataFrame, a: Column, b: Column, scale: Int = 6): DataFrame = {
+    val cells = df.where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("_a"), b.as("_b")).agg(count(lit(1)).as("_o"))
+    val rowT = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val colT = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val tot = cells.agg(sum(col("_o")).as("n"),
+      countDistinct(col("_a")).as("r"), countDistinct(col("_b")).as("c"))
+    // complete the r×c grid: EMPTY cells still expect e > 0 and contribute
+    // (0−e)²/e — a present-cells-only sum understates χ² (the margin
+    // cross is |r|·|c| rows, bounded by design for categorical dims)
+    rowT.crossJoin(colT)
+      .join(cells, Seq("_a", "_b"), "left")
+      .withColumn("_o", coalesce(col("_o"), lit(0L)))
+      .crossJoin(tot)
+      .withColumn("_e", col("_ra").cast("double") * col("_cb") / col("n"))
+      .withColumn("_d", col("_o").cast("double") - col("_e"))
+      .withColumn("_contrib", col("_d") * col("_d") / col("_e"))
+      .agg(first(col("n")).as("n"), first(col("r")).as("r"), first(col("c")).as("c"),
+        sum(col("_contrib").cast("decimal(38,12)")).as("_s"))
+      .select(col("n"), col("r"), col("c"),
+        round(col("_s").cast("double"), scale).as("chi2"),
+        round(when(least(col("r"), col("c")) >= 2,
+          sqrt(col("_s").cast("double") /
+            (col("n") * least(col("r") - 1, col("c") - 1)).cast("double"))), scale)
+          .as("cramers_v"))
+  }
+
   /** Spearman rank correlation per stratum — the monotone-association
     * monitor robust to outliers and nonlinearity (Pearson on length vs
     * quality is wrecked by one 10 MB document; Spearman is not). Ties get

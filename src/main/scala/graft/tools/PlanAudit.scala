@@ -51,7 +51,8 @@ object PlanAudit {
     "q197_ks_test",               // one-row group-totals crossJoin (same scalar-attach class)
     "q199_psi",                   // one-row group-totals crossJoin (same scalar-attach class)
     "q211_temporal_split",        // one-row corpus-start crossJoin (same scalar-attach class)
-    "q214_psi_from_state"         // one-row bin-totals crossJoin (same scalar-attach class)
+    "q214_psi_from_state",        // one-row bin-totals crossJoin (same scalar-attach class)
+    "q215_cramers_v"              // one-row contingency-totals crossJoin (same scalar-attach class)
   )
 
   def main(args: Array[String]): Unit = {

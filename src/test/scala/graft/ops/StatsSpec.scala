@@ -512,6 +512,27 @@ class StatsSpec extends SparkSpec {
     assert(state == inline)
   }
 
+  test("cramersV: hand 2×2, perfect association → 1, independence → 0, constant → NULL") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // x: 30×b1 + 10×b2; y: 10×b1 + 30×b2 → e = 20 per cell, χ² = 20, V = 0.5
+    val hand = (Seq.fill(30)(("x", "b1")) ++ Seq.fill(10)(("x", "b2")) ++
+      Seq.fill(10)(("y", "b1")) ++ Seq.fill(30)(("y", "b2"))).toDF("a", "b")
+    val h = Stats.cramersV(hand, col("a"), col("b")).collect().head
+    assert(h.getLong(0) == 80L && h.getLong(1) == 2L && h.getLong(2) == 2L)
+    assert(h.getDouble(3) == 20.0 && h.getDouble(4) == r6(math.sqrt(20.0 / 80.0)))
+    // diagonal-only 2×2: V = 1
+    val diag = (Seq.fill(5)(("x", "b1")) ++ Seq.fill(7)(("y", "b2"))).toDF("a", "b")
+    assert(Stats.cramersV(diag, col("a"), col("b")).collect().head.getDouble(4) == 1.0)
+    // exact independence: V = 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("b1", "b2"); _ <- 1 to 3 }
+      yield (a, b)).toDF("a", "b")
+    assert(Stats.cramersV(ind, col("a"), col("b")).collect().head.getDouble(4) == 0.0)
+    // constant side: undefined
+    val const = Seq(("x", "b1"), ("x", "b2")).toDF("a", "b")
+    assert(Stats.cramersV(const, col("a"), col("b")).collect().head.isNullAt(4))
+  }
+
   test("spearmanCorr: monotone → 1, inverse → −1, ties averaged, constant → NULL") {
     import spark.implicits._
     val mono = (1 to 20).map(i => ("m", i.toDouble, (i * i).toDouble))
