@@ -1471,7 +1471,11 @@ object GraphQueries {
     var c = materialize(
       e.groupBy("src").agg(count(lit(1)).as("c"))
         .select(col("src").as("vid"), col("c")))
-    var cSum = c.agg(sum(col("c"))).head.getLong(0)
+    def sumOf(df: DataFrame): Long = {
+      val row = df.agg(sum(col("c"))).head
+      if (row.isNullAt(0)) 0L else row.getLong(0) // empty graph → no vertices
+    }
+    var cSum = sumOf(c)
     var done = false
     var it = 0
     while (!done && it < maxIter) {
@@ -1485,7 +1489,7 @@ object GraphQueries {
       val next = materialize(
         c.join(h.select(col("src").as("vid"), col("_h")), Seq("vid"))
           .select(col("vid"), least(col("c"), col("_h")).as("c")))
-      val nextSum = next.agg(sum(col("c"))).head.getLong(0)
+      val nextSum = sumOf(next)
       val prev = c
       c = next
       prev.unpersist(blocking = false)

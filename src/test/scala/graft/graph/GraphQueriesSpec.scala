@@ -414,6 +414,15 @@ class GraphQueriesSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("decomposition ops tolerate an empty edge set (the sparse-SF contract)") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphQueries.coreNumbers(spark, none).count() == 0L)
+    assert(GraphQueries.kTruss(spark, none, k = 3).count() == 0L)
+    assert(GraphQueries.dagLevels(spark, none).count() == 0L)
+    graft.Caches.clear()
+  }
+
   test("coreNumbers: triangle+tail and star hand cases") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), // triangle, tail at 4
