@@ -1405,6 +1405,15 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // densest-subgraph 2-approx (Charikar peel, Bahmani rounds) on the
+    // nation-clique graph: the peel provably lands on the union of the
+    // LARGEST cliques at density (n_max−1)/2 — the oracle's closed form
+    "q216_densest_subgraph" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      graft.graph.GraphQueries.densestSubgraph(s, e)
+    }),
+
     // Cramér's V association between language and source: exact
     // contingency cells, pinned-order χ² contributions, one sqrt
     "q215_cramers_v" -> ((s, dir) =>
@@ -4850,6 +4859,16 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // the closed form: union of the maximum-size cliques, density
+    // (n_max − 1)/2 — exactly what the peel's best snapshot records
+    "q216_densest_subgraph" ->
+      """WITH c AS (SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY 1),
+        |m AS (SELECT max(n) AS mx FROM c WHERE n >= 2)
+        |SELECT CAST(s.s_suppkey AS BIGINT) AS id,
+        |  CAST(m.mx - 1 AS DOUBLE) / 2 AS density
+        |FROM supplier s JOIN c ON s.s_nationkey = c.s_nationkey, m
+        |WHERE c.n = m.mx AND c.n >= 2""".stripMargin,
 
     // cells → margins → expected → contributions in the same pinned order
     "q215_cramers_v" ->

@@ -1598,6 +1598,81 @@ object GraphQueries {
         coalesce(col("sup"), lit(0L)).as("support"))
   }
 
+  /** Densest-subgraph 2-approximation (Charikar's greedy peel in the
+    * O(log n)-round distributed form of Bahmani et al., VLDB 2012): per
+    * round, record the current density `|E|/|V|`, then remove EVERY
+    * vertex whose degree is ≤ 2·density (the average degree) and repeat;
+    * the best-density snapshot seen is within 2× of the true densest
+    * subgraph. The "find the hottest community / boilerplate nucleus /
+    * spam ring" extractor. Returns the snapshot's vertices as
+    * `(idCol, density)` with the shared density value on every row
+    * (one exact |E|,|V| pair → one division).
+    *
+    * Determinism: the removal rule is a pure degree threshold and
+    * densities compare as exact cross-multiplied integers
+    * (`2·E_new·V_best > 2·E_best·V_new`), so the snapshot — including
+    * tie behavior (first best wins, which keeps the LARGEST subgraph at
+    * equal density) — is partitioning- and engine-stable. Per round: a
+    * degree aggregate, one scalar, two semi-joins — kCore's exact cost
+    * profile, O(log n) rounds by the standard argument.
+    */
+  def densestSubgraph(
+      spark: SparkSession,
+      edges: DataFrame,
+      idCol: String = "id",
+      maxIter: Int = 100
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    var e = materialize(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"))))
+    var best: DataFrame = null // materialized snapshot of the best round's vertices
+    var bestE = 0L
+    var bestV = 0L
+    var it = 0
+    var emptied = false
+    while (!emptied && it < maxIter) {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val stats = deg.agg(count(lit(1)), sum(col("deg"))).head
+      val nV = stats.getLong(0)
+      val twoE = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      if (nV == 0L) emptied = true
+      else {
+        // exact density compare, BigInt so E·V cannot overflow at any scale:
+        // E/V > bestE/bestV ⟺ 2E·bestV > 2·bestE·V
+        if (best == null || BigInt(twoE) * bestV > BigInt(2L) * bestE * nV) {
+          val prev = best
+          best = materialize(deg.select(col("src")))
+          bestE = twoE / 2 // the bidirectional frame double-counts
+          bestV = nV
+          if (prev != null) prev.unpersist(blocking = false)
+        }
+        // avg degree = 2E/V; remove deg ≤ avg, as exact integers: deg·V ≤ 2E
+        // (decimal product — deg·V would graze long range on 10⁹-vertex graphs)
+        val keep = deg.where(col("deg").cast("decimal(38,0)") * lit(nV) > lit(twoE))
+          .select(col("src").as("_kv"))
+        e = e.join(keep.select(col("_kv").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("_kv").as("dst")), Seq("dst"), "left_semi")
+        it += 1
+        if (it % 4 == 0) e = materialize(e)
+      }
+    }
+    if (best == null) {
+      import spark.implicits._
+      Seq.empty[(Long, Double)].toDF(idCol, "density")
+    } else {
+      best.select(col("src").as(idCol),
+        (lit(bestE).cast("double") / lit(bestV)).as("density"))
+    }
+  }
+
   /** Longest-path level per vertex in a DAG — topological layering: a
     * vertex with no in-edges sits at level 0, every other vertex at
     * `1 + max(level of its predecessors)`. The critical-path / stage-depth

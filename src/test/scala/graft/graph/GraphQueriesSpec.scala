@@ -451,6 +451,30 @@ class GraphQueriesSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("densestSubgraph: largest clique beats smaller ones; equal maxima both kept; star snapshot") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    // K5 (density 2.0) vs K3 (density 1.0): the peel lands on K5 alone
+    val e1 = (clique(1L to 5L) ++ clique(Seq(10L, 11L, 12L))).toDF("src", "dst")
+    val g1 = GraphQueries.densestSubgraph(spark, e1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g1.keySet == (1L to 5L).toSet && g1.values.forall(_ == 2.0))
+    // two equal K4s: both survive to the best round
+    val e2 = (clique(1L to 4L) ++ clique(21L to 24L)).toDF("src", "dst")
+    val g2 = GraphQueries.densestSubgraph(spark, e2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g2.keySet == ((1L to 4L) ++ (21L to 24L)).toSet && g2.values.forall(_ == 1.5))
+    // star S5: whole star is the densest snapshot (5 edges / 6 vertices)
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val g3 = GraphQueries.densestSubgraph(spark, star)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g3.keySet == (0L to 5L).toSet && g3.values.forall(_ == 5.0 / 6.0))
+    // empty graph → empty result, no throw
+    assert(GraphQueries.densestSubgraph(spark,
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
+    graft.Caches.clear()
+  }
+
   test("kTruss: K4 survives at k=4, pendant triangle peels; k=3 keeps both; k=2 keeps all") {
     import spark.implicits._
     val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
