@@ -1405,6 +1405,23 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // Benford first-digit screen on order totals: digits from the exact
+    // integer-part STRING (no log10 in the extraction), exact shares,
+    // closed-form expectations
+    "q217_benford" -> ((s, dir) =>
+      graft.ops.Stats.benford(T(s, dir, "orders"), value = col("o_totalprice"))),
+
+    // Zipf rank-frequency fit over the corpus vocabulary: log-log
+    // regression through the decimal-moment linearFit — slope ≈ −α
+    "q218_zipf_fit" -> ((s, dir) => {
+      val vocab = TextAnalysis.vocabulary(T(s, dir, "documents"))
+      val ranked = vocab.withColumn("_rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("token"))).cast("long"))
+      graft.ops.Stats.linearFit(ranked,
+        x = log(col("_rk").cast("double")), y = log(col("tf").cast("double")))
+    }),
+
     // densest-subgraph 2-approx (Charikar peel, Bahmani rounds) on the
     // nation-clique graph: the peel provably lands on the union of the
     // LARGEST cliques at density (n_max−1)/2 — the oracle's closed form
@@ -4859,6 +4876,55 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // digits from the integer-part string; expected constants
+    // interpolated from the one Scala definition (round-trip literals)
+    "q217_benford" ->
+      s"""WITH d AS (
+         |  SELECT substr(CAST(CAST(floor(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND CAST(o_totalprice AS DOUBLE) >= 1.0
+         |), t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM d)
+         |SELECT digit, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(count(*) AS DOUBLE) / t.nt, 6) AS share,
+         |  round(CASE digit ${(1 to 9).map(dd =>
+               s"WHEN '$dd' THEN CAST(${math.log10(1.0 + 1.0 / dd)} AS DOUBLE)").mkString(" ")}
+             END, 6) AS expected,
+         |  round(CAST(count(*) AS DOUBLE) / t.nt - CASE digit ${(1 to 9).map(dd =>
+               s"WHEN '$dd' THEN CAST(${math.log10(1.0 + 1.0 / dd)} AS DOUBLE)").mkString(" ")}
+             END, 6) AS deviation
+         |FROM d, t GROUP BY digit, t.nt""".stripMargin,
+
+    // the q66 vocabulary, ranked, ln'd, through the q108 decimal-moment
+    // regression shape
+    "q218_zipf_fit" ->
+      raw"""WITH v AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+         |    FROM documents
+         |  ) WHERE token <> '' GROUP BY token
+         |), r AS (
+         |  SELECT
+         |    CAST(ln(CAST(row_number() OVER (ORDER BY tf DESC, token) AS DOUBLE)) AS DECIMAL(18,6)) AS xd,
+         |    CAST(ln(CAST(tf AS DOUBLE)) AS DECIMAL(18,6)) AS yd
+         |  FROM v
+         |), s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
+         |    CAST(sum(xd * yd) AS DOUBLE) AS sxy,
+         |    CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+         |    CAST(sum(yd * yd) AS DOUBLE) AS syy
+         |  FROM r)
+         |SELECT n,
+         |  round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |    THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         |    END, 6) AS corr,
+         |  round(CASE WHEN (n * sxx - sx * sx) > 0
+         |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+         |  round(CASE WHEN (n * sxx - sx * sx) > 0
+         |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         |    END, 6) AS intercept
+         |FROM s""".stripMargin,
 
     // the closed form: union of the maximum-size cliques, density
     // (n_max − 1)/2 — exactly what the peel's best snapshot records

@@ -1046,6 +1046,34 @@ object Stats {
       .select(strata ++ Seq(col("n"), col("total"), round(col("gini"), scale).as("gini")): _*)
   }
 
+  /** Benford first-digit deviation — the synthetic-data / fraud screen:
+    * naturally-occurring magnitudes follow `P(d) = log₁₀(1 + 1/d)`, and
+    * fabricated or templated numbers don't. Returns one row per leading
+    * digit `(digit, n, share, expected, deviation)` for values ≥ 1 (the
+    * law's domain), `deviation = share − expected`.
+    *
+    * The digit is extracted from the STRING of the integer part
+    * (`floor` is exact, integer→text is engine-identical) — never via
+    * `log₁₀`, whose ulp at an exact power of ten could flip the floor in
+    * one engine and not the other. Shares are exact-integer ratios with
+    * one division; expected values are the nine closed-form constants.
+    */
+  def benford(df: DataFrame, value: Column, scale: Int = 6): DataFrame = {
+    val expectedMap = map((1 to 9).flatMap(d =>
+      Seq(lit(d.toString), lit(math.log10(1.0 + 1.0 / d)))): _*)
+    val d = df.select(value.cast("double").as("_v"))
+      .where(col("_v").isNotNull && col("_v") >= 1.0)
+      .select(substring(floor(col("_v")).cast("long").cast("string"), 1, 1).as("digit"))
+    val tot = d.agg(count(lit(1)).as("_n"))
+    d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("_n"))
+      .withColumn("expected", element_at(expectedMap, col("digit")))
+      .select(col("digit"), col("n"), round(col("share"), scale).as("share"),
+        round(col("expected"), scale).as("expected"),
+        round(col("share") - col("expected"), scale).as("deviation"))
+  }
+
   /** Cramér's V association between two categorical columns — "are
     * language and source independent, and how far from it?" on a 0..1
     * scale (the normalized χ² the drift monitors' cousin answers for a

@@ -512,6 +512,19 @@ class StatsSpec extends SparkSpec {
     assert(state == inline)
   }
 
+  test("benford: string-extracted digits, exact shares, sub-1 values excluded") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(1.5, 19.0, 100.0, 2.2, 0.5, 0.01).toDF("v") // last two out of domain
+    val got = Stats.benford(df, col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val e1 = math.log10(2.0); val e2 = math.log10(1.5)
+    assert(got("1") == ((3L, 0.75, r6(e1), r6(0.75 - e1))))
+    assert(got("2") == ((1L, 0.25, r6(e2), r6(0.25 - e2))))
+    assert(got.size == 2)
+  }
+
   test("cramersV: hand 2×2, perfect association → 1, independence → 0, constant → NULL") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
