@@ -1405,6 +1405,29 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // Kaplan-Meier retention: per-user activity spans, churn = went quiet
+    // 3+ days before corpus end (later quitters are CENSORED, not
+    // churned) — collapsed time axis, censoring-aware product recurrence
+    "q219_survival" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val u = days.groupBy(col("user_id")).agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"))
+      val obs = u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
+        .select((col("_ld") - col("_fd")).as("dur"),
+          (col("_ld") <= col("_md") - 3).as("ev"))
+      graft.ops.EventAnalytics.kaplanMeier(obs, col("dur"), col("ev"))
+    }),
+
+    // cumulative gains / lift of the q95 classifier against the lang=en
+    // label: top-score deciles, exact integer counts, pinned divisions
+    "q220_gains" -> ((s, dir) => {
+      val scores = TextAnalysis.hashedNgramScore(T(s, dir, "documents"), hash = activeHash)
+      val labeled = scores.join(
+        T(s, dir, "documents").select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      graft.ops.Stats.gainsTable(labeled, col("score"), col("y"),
+        bins = 10, tieCol = col("doc_id"))
+    }),
+
     // Benford first-digit screen on order totals: digits from the exact
     // integer-part STRING (no log10 in the extraction), exact shares,
     // closed-form expectations
@@ -4876,6 +4899,64 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // spans → per-duration counts → at-risk windows → the product
+    // recurrence stepped in duration order with identical IEEE ops
+    "q219_survival" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |mx AS (SELECT max(ld) AS md FROM u),
+        |obs AS (SELECT ld - fd AS t, (ld <= mx.md - 3) AS ev FROM u, mx),
+        |g AS (
+        |  SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1
+        |), r AS (
+        |  SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+        |    CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior,
+        |    CAST(sum(d + c) OVER () AS BIGINT) AS nt
+        |  FROM g
+        |), k AS (
+        |  SELECT rn, t, nt - prior AS n_risk, d, c,
+        |    CAST(1.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / (nt - prior)) AS s
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.t, r.nt - r.prior, r.d, r.c,
+        |    k.s * (CAST(1.0 AS DOUBLE) - CAST(r.d AS DOUBLE) / (r.nt - r.prior))
+        |  FROM k JOIN r ON r.rn = k.rn + 1
+        |)
+        |SELECT t, n_risk, d AS n_events, c AS n_censored, round(s, 6) AS survival
+        |FROM k""".stripMargin,
+
+    // the q95 scoring CTE, top-score decile ntile, cumulative windows
+    "q220_gains" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lab AS (
+         |  SELECT s.doc_id, s.score, CASE WHEN d.lang = 'en' THEN TRUE ELSE FALSE END AS y
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |), b AS (
+         |  SELECT CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS bin, y
+         |  FROM lab
+         |), g AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |  FROM b GROUP BY 1
+         |), c AS (
+         |  SELECT bin, n, pos,
+         |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         |    CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+         |    CAST(sum(pos) OVER () AS BIGINT) AS tp,
+         |    CAST(sum(n) OVER () AS BIGINT) AS tn
+         |  FROM g
+         |)
+         |SELECT bin, n, pos, cum_pos,
+         |  round(CASE WHEN tp > 0 THEN CAST(cum_pos AS DOUBLE) / tp END, 6) AS gain,
+         |  round((CASE WHEN tp > 0 THEN CAST(cum_pos AS DOUBLE) / tp END)
+         |    / (CAST(cn AS DOUBLE) / tn), 6) AS lift
+         |FROM c""".stripMargin,
 
     // digits from the integer-part string; expected constants
     // interpolated from the one Scala definition (round-trip literals)

@@ -444,6 +444,64 @@ object EventAnalytics {
     * actor frame itself strains one partition should bin via
     * [[graft.ops.Stats.quantileProfile]] thresholds instead.
     */
+  /** Kaplan–Meier survival curve — the censoring-aware retention/churn
+    * estimator (plain "fraction still active at t" is WRONG when users
+    * joined at different times: the late joiners aren't churned, they're
+    * censored). Input: one observation per subject with `duration` and
+    * `event` (true = the event happened, false = censored at that
+    * duration). Returns one row per distinct duration
+    * `(t, n_risk, n_events, n_censored, survival)` with
+    * `S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)`.
+    *
+    * Scale shape: subjects collapse FIRST to per-duration counts (one
+    * partial-agg shuffle, output bounded by |distinct durations|); the
+    * at-risk counts are one cumulative window over that collapsed frame,
+    * and the product recurrence — inherently sequential — runs as one
+    * sorted-partition fold (the cusum discipline: legitimate only
+    * because the frame is the collapsed time axis, never subjects).
+    * Each step is the same IEEE arithmetic in the same order in any
+    * engine, so the curve is reproducible bit for bit.
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      scale: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    val d = df.select(duration.cast("long").as("t"), event.cast("boolean").as("e"))
+      .where(col("t").isNotNull && col("e").isNotNull)
+    val g = d.groupBy(col("t")).agg(
+      sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+    val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val withRisk = g
+      .withColumn("_prior", coalesce(sum(col("d") + col("c")).over(wPrior), lit(0L)))
+      .withColumn("_nt", sum(col("d") + col("c")).over(wAll))
+      .withColumn("n_risk", col("_nt") - col("_prior"))
+      .select(col("t"), col("n_risk"), col("d"), col("c"))
+      .repartition(1)
+      .sortWithinPartitions(col("t"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_risk", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_censored", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_s", org.apache.spark.sql.types.DoubleType)))
+    val rows = withRisk.rdd.mapPartitions { it =>
+      var s = 1.0
+      it.map { r =>
+        val nRisk = r.getLong(1)
+        val dEv = r.getLong(2)
+        s = s * (1.0 - dEv.toDouble / nRisk)
+        org.apache.spark.sql.Row(r.getLong(0), nRisk, dEv, r.getLong(3), s)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        round(col("_s"), scale).as("survival"))
+  }
+
   /** Linear multi-touch attribution: every touch inside the lookback
     * window before a conversion shares the credit EQUALLY (1/n per touch)
     * — the fairness-baseline complement of last-touch attribution, and the

@@ -1046,6 +1046,49 @@ object Stats {
       .select(strata ++ Seq(col("n"), col("total"), round(col("gini"), scale).as("gini")): _*)
   }
 
+  /** Cumulative gains / lift table — the "how much better than random is
+    * the top decile" classifier report that completes the eval family
+    * (AUC = the whole curve's area, calibration = probability quality,
+    * THIS = targeting efficiency). Rows are scored into `bins`
+    * equal-count buckets from the TOP score down (tie-broken by
+    * `tieCol` — the q107 ntile discipline), and each row reports
+    * `(bin, n, pos, cum_pos, gain, lift)`: `gain` = share of all
+    * positives captured through this bin, `lift` = that share over the
+    * share of rows seen. Exact integer counts; two divisions per output
+    * row in pinned order.
+    *
+    * Scale shape: one global ntile over (score, tie) — rows collapse to
+    * `bins` aggregates before the (≤ bins)-row cumulative window.
+    */
+  def gainsTable(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int = 10,
+      tieCol: Column,
+      scale: Int = 6): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(score.desc, tieCol)
+    val binned = df.where(label.isNotNull)
+      .withColumn("_bin", (ntile(bins).over(w) - 1).cast("long"))
+      .groupBy(col("_bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("pos"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("_bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    binned
+      .withColumn("_cn", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("pos")).over(wc))
+      .withColumn("_tp", sum(col("pos")).over(wAll))
+      .withColumn("_tn", sum(col("n")).over(wAll))
+      .withColumn("gain",
+        when(col("_tp") > 0, col("cum_pos").cast("double") / col("_tp")))
+      .select(col("_bin").as("bin"), col("n"), col("pos"), col("cum_pos"),
+        round(col("gain"), scale).as("gain"),
+        round(col("gain") / (col("_cn").cast("double") / col("_tn")), scale).as("lift"))
+  }
+
   /** Benford first-digit deviation — the synthetic-data / fraud screen:
     * naturally-occurring magnitudes follow `P(d) = log₁₀(1 + 1/d)`, and
     * fabricated or templated numbers don't. Returns one row per leading

@@ -256,6 +256,17 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq("user_id", "ts_1", "ts_2", "ts_3", "steps_completed"))
   }
 
+  test("kaplanMeier: hand-computed curve; censoring reduces risk set without an event") {
+    import spark.implicits._
+    val obs = Seq((1L, true), (1L, true), (2L, false), (3L, true)).toDF("dur", "ev")
+    val got = EventAnalytics.kaplanMeier(obs, col("dur"), col("ev"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((4L, 2L, 0L, 0.5)))   // S = 1 − 2/4
+    assert(got(2L) == ((2L, 0L, 1L, 0.5)))   // censoring: no survival drop
+    assert(got(3L) == ((1L, 1L, 0L, 0.0)))   // last subject churns
+  }
+
   test("linearAttribution: equal shares, window exclusion, touchless conversions drop") {
     import spark.implicits._
     val e = Seq(

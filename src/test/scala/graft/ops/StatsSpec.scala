@@ -512,6 +512,21 @@ class StatsSpec extends SparkSpec {
     assert(state == inline)
   }
 
+  test("gainsTable: hand-computed deciles, gains and lift") {
+    import spark.implicits._
+    // scores 10..1; positives at ranks 1,2,3 and 7; 5 bins of 2
+    val df = (1 to 10).map(i => (i.toLong, (11 - i).toDouble, Set(1, 2, 3, 7)(i)))
+      .toDF("id", "score", "y")
+    val got = Stats.gainsTable(df, col("score"), col("y"), bins = 5, tieCol = col("id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(0L) == ((2L, 2L, 2L, 0.5, 2.5)))
+    assert(got(1L) == ((2L, 1L, 3L, 0.75, 1.875)))
+    assert(got(2L) == ((2L, 0L, 3L, 0.75, 1.25)))
+    assert(got(3L) == ((2L, 1L, 4L, 1.0, 1.25)))
+    assert(got(4L) == ((2L, 0L, 4L, 1.0, 1.0)))
+  }
+
   test("benford: string-extracted digits, exact shares, sub-1 values excluded") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
