@@ -1405,6 +1405,24 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // EXACTLY balanced stratified k-fold: per-language round-robin over
+    // hash-rank order — fold sizes within one of each other per stratum,
+    // where the plain hash kFold only balances in expectation
+    "q221_stratified_kfold" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedKFold(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        strataCol = "lang", key = col("doc_id"), k = 5, hash = activeHash)),
+
+    // Newman modularity of the LPA communities on the clique graph:
+    // exact intra-edge/degree integers, pinned per-community arithmetic,
+    // decimal-summed contributions
+    "q222_modularity" -> ((s, dir) => {
+      val v = T(s, dir, "supplier").select(col("s_suppkey").as("id"), col("s_nationkey"))
+      val e = new SimilarityClassifier(SimilarityConfig("s_nationkey")).classify(v.limit(0), v)
+      val labels = graft.graph.GraphQueries.labelPropagation(s, e, numIter = 2)
+      graft.graph.GraphQueries.modularity(s, e, labels)
+    }),
+
     // Kaplan-Meier retention: per-user activity spans, churn = went quiet
     // 3+ days before corpus end (later quitters are CENSORED, not
     // churned) — collapsed time axis, censoring-aware product recurrence
@@ -4899,6 +4917,29 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // the same per-stratum hash-rank order, round-robin fold assignment
+    "q221_stratified_kfold" ->
+      s"""SELECT doc_id, lang,
+         |  (row_number() OVER (PARTITION BY lang
+         |     ORDER BY ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000, doc_id
+         |   ) - 1) % 5 AS fold
+         |FROM documents""".stripMargin,
+
+    // the clique closed form: LPA labels each clique by its min id, so
+    // communities are the n≥2 cliques with e_c = n(n−1)/2, d_c = 2e_c
+    "q222_modularity" ->
+      """WITH c AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n FROM supplier GROUP BY 1),
+        |k AS (SELECT s_nationkey, n, n * (n - 1) // 2 AS ec FROM c WHERE n >= 2),
+        |t AS (SELECT CAST(sum(ec) AS BIGINT) AS m FROM k),
+        |q AS (
+        |  SELECT CAST(ec AS DOUBLE) / t.m
+        |    - (CAST(2 * ec AS DOUBLE) / (2 * t.m)) * (CAST(2 * ec AS DOUBLE) / (2 * t.m)) AS qq
+        |  FROM k, t
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_communities, t.m AS m,
+        |  round(CAST(sum(CAST(qq AS DECIMAL(38,12))) AS DOUBLE), 6) AS modularity
+        |FROM q, t GROUP BY t.m""".stripMargin,
 
     // spans → per-duration counts → at-risk windows → the product
     // recurrence stepped in duration order with identical IEEE ops

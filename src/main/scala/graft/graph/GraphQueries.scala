@@ -1598,6 +1598,63 @@ object GraphQueries {
         coalesce(col("sup"), lit(0L)).as("support"))
   }
 
+  /** Newman modularity of a vertex partition — the score that says
+    * whether a community labeling ([[labelPropagation]], [[kCore]]-guided
+    * cuts, external clusterings) actually beats random:
+    * `Q = Σ_c [ e_c/m − (d_c/2m)² ]` over communities, with `e_c` the
+    * intra-community edge count, `d_c` the community degree sum and `m`
+    * the total undirected edge count. Returns one row
+    * `(n_communities, m, modularity)`.
+    *
+    * Everything is exact integers until the per-community scalar
+    * arithmetic (two divisions + one square in pinned order), and the
+    * community contributions are decimal-cast before the sum — the usual
+    * engine-portability discipline. Unlabeled endpoints count as their
+    * own singleton communities (labels frame contract:
+    * `(idCol, labelCol)`). One join of the canonical edge list against
+    * the label frame per endpoint + two grouped aggregates.
+    */
+  def modularity(
+      spark: SparkSession,
+      edges: DataFrame,
+      labels: DataFrame,
+      idCol: String = "id",
+      labelCol: String = "label",
+      scale: Int = 6
+  ): DataFrame = {
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val lab = labels.select(col(idCol).cast("long").as("_v"), col(labelCol).cast("long").as("_l"))
+    val e = graft.Caches.track(canon
+      .join(lab.select(col("_v").as("a"), col("_l").as("_la")), Seq("a"), "left")
+      .join(lab.select(col("_v").as("b"), col("_l").as("_lb")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("_la"), col("a")).as("_la"),
+        coalesce(col("_lb"), col("b")).as("_lb")))
+    val m = e.count()
+    if (m == 0L) {
+      import spark.implicits._
+      return Seq((0L, 0L)).toDF("n_communities", "m")
+        .withColumn("modularity", lit(null).cast("double"))
+    }
+    val intra = e.where(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("_c")).agg(count(lit(1)).as("_ec"))
+    val degs = e.select(col("_la").as("_c")).union(e.select(col("_lb").as("_c")))
+      .groupBy(col("_c")).agg(count(lit(1)).as("_dc"))
+    degs.join(intra, Seq("_c"), "left")
+      .withColumn("_ec", coalesce(col("_ec"), lit(0L)))
+      .withColumn("_q",
+        col("_ec").cast("double") / lit(m) -
+          (col("_dc").cast("double") / lit(2L * m)) * (col("_dc").cast("double") / lit(2L * m)))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("_q").cast("decimal(38,12)")).as("_s"))
+      .select(col("n_communities"), lit(m).as("m"),
+        round(col("_s").cast("double"), scale).as("modularity"))
+  }
+
   /** Densest-subgraph 2-approximation (Charikar's greedy peel in the
     * O(log n)-round distributed form of Bahmani et al., VLDB 2012): per
     * round, record the current density `|E|/|V|`, then remove EVERY

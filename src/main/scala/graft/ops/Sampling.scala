@@ -503,6 +503,23 @@ object Sampling {
       .drop("_qs_rank", "_quota")
   }
 
+  /** EXACTLY balanced stratified k-fold assignment: within each stratum,
+    * rows take folds round-robin in hash-rank order — every stratum's
+    * fold sizes differ by at most one, where plain [[kFold]]'s
+    * independent hash draw only balances in expectation (a small stratum
+    * can land 80/20 by luck, which wrecks per-language eval variance).
+    * Deterministic in (seed, key): reproducible across runs, engines and
+    * partitionings. One partitioned rank window per stratum — no global
+    * sort, no RNG state.
+    */
+  def stratifiedKFold(df: DataFrame, strataCol: String, key: Column, k: Int,
+      seed: Int = 42, hash: HashFamily = XxHash): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(bucket(key, seed, hash), key)
+    df.withColumn("fold", pmod(row_number().over(w).cast("long") - 1L, lit(k.toLong)))
+  }
+
   /** Purged temporal split for time-series training data: rows strictly
     * before `cutoff − embargo` are `train`, rows at-or-after `cutoff` are
     * `test`, and the embargo band between them is labeled `embargo` and

@@ -451,6 +451,27 @@ class GraphQueriesSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("modularity: two triangles → 0.5 with the right labels; one blob → 0; worse split scores lower") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    def labels(m: Map[Long, Long]) = m.toSeq.toDF("id", "label")
+    val perfect = GraphQueries.modularity(spark, e,
+      labels(Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))).head
+    assert(perfect.getLong(0) == 2L && perfect.getLong(1) == 6L && perfect.getDouble(2) == 0.5)
+    val blob = GraphQueries.modularity(spark, e,
+      labels((1L to 6L).map(_ -> 1L).toMap)).head
+    assert(blob.getDouble(2) == 0.0)
+    val worse = GraphQueries.modularity(spark, e,
+      labels(Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))).head
+    assert(worse.getDouble(2) < 0.5)
+    // unlabeled endpoints default to singleton communities
+    val partial = GraphQueries.modularity(spark, e,
+      labels(Map(1L -> 1L, 2L -> 1L, 3L -> 1L))).head
+    assert(partial.getLong(0) == 4L)
+    graft.Caches.clear()
+  }
+
   test("densestSubgraph: largest clique beats smaller ones; equal maxima both kept; star snapshot") {
     import spark.implicits._
     def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)

@@ -445,6 +445,23 @@ class SamplingSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("stratifiedKFold: folds exactly balanced per stratum; deterministic") {
+    import spark.implicits._
+    // stratum sizes 7 and 5 with k=3: sizes must be {3,2,2} and {2,2,1}
+    val df = ((1L to 7L).map(i => (i, "a")) ++ (8L to 12L).map(i => (i, "b")))
+      .toDF("id", "g")
+    val got = Sampling.stratifiedKFold(df, "g", col("id"), k = 3)
+    val sizes = got.groupBy("g", "fold").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert((0 to 2).map(f => sizes(("a", f.toLong))).sorted == Seq(2L, 2L, 3L))
+    assert((0 to 2).map(f => sizes.getOrElse(("b", f.toLong), 0L)).sorted == Seq(1L, 2L, 2L))
+    // deterministic across partitionings
+    val a = got.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = Sampling.stratifiedKFold(df.repartition(7), "g", col("id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("temporalSplit: band boundaries are inclusive/exclusive exactly as documented") {
     import spark.implicits._
     val df = Seq(1L, 79L, 80L, 99L, 100L, 150L).toDF("t")
