@@ -1405,6 +1405,21 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // lagged cross-correlation of the daily view and purchase series:
+    // literal lag axis, one bucket-key join per lag, decimal moments
+    "q223_cross_correlation" -> ((s, dir) => {
+      val ev = E(s, dir)
+      def series(t: String, cName: String) = ev.where(col("event_type") === t)
+        .groupBy(expr("ts div 86400000000000").as("t")).agg(count(lit(1)).as(cName))
+      graft.ops.EventAnalytics.crossCorrelation(
+        series("view", "x"), series("purchase", "y"), maxLag = 3)
+    }),
+
+    // the minhash-LSH tuning table: p = 1 − (1 − jʳ)ᵇ for every valid
+    // split of a 16-hash signature — the S-curve the q18 generator
+    // realizes physically
+    "q224_lsh_curve" -> ((s, dir) => graft.ops.Dedup.lshOperatingCurve(16)),
+
     // EXACTLY balanced stratified k-fold: per-language round-robin over
     // hash-rank order — fold sizes within one of each other per stratum,
     // where the plain hash kFold only balances in expectation
@@ -4917,6 +4932,45 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // same lag axis, shifted bucket join, q108 moment discipline
+    "q223_cross_correlation" ->
+      """WITH x AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS t,
+        |    CAST(CAST(count(*) AS BIGINT) AS DECIMAL(18,6)) AS xd
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), y AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS t,
+        |    CAST(CAST(count(*) AS BIGINT) AS DECIMAL(18,6)) AS yd
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), l AS (SELECT CAST(unnest(range(-3, 4)) AS BIGINT) AS lag),
+        |p AS (
+        |  SELECT l.lag, x.xd, y.yd
+        |  FROM x CROSS JOIN l JOIN y ON y.t = x.t + l.lag
+        |), a AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
+        |    CAST(sum(xd * yd) AS DOUBLE) AS sxy,
+        |    CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+        |    CAST(sum(yd * yd) AS DOUBLE) AS syy
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT lag, n,
+        |  round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    END, 6) AS corr
+        |FROM a""".stripMargin,
+
+    // the closed form over the divisor splits and the probe grid
+    "q224_lsh_curve" ->
+      """WITH b AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS bands),
+        |s AS (SELECT bands, 16 // bands AS rows_per_band FROM b),
+        |j AS (SELECT CAST(x AS DOUBLE) AS j
+        |      FROM (SELECT unnest([0.3, 0.5, 0.7, 0.8, 0.9]) AS x))
+        |SELECT bands, rows_per_band, j,
+        |  round(CAST(1.0 AS DOUBLE)
+        |    - pow(CAST(1.0 AS DOUBLE) - pow(j, rows_per_band), bands), 6) AS p_candidate
+        |FROM s, j""".stripMargin,
 
     // the same per-stratum hash-rank order, round-robin fold assignment
     "q221_stratified_kfold" ->

@@ -975,6 +975,34 @@ object Dedup {
       .where(col("_cos") >= threshold)
   }
 
+  /** MinHash-LSH operating curve — the tuning table behind every
+    * bands/rows choice: for a signature of `numHashes` hashes split as
+    * `b` bands × `r` rows, a pair at Jaccard `j` becomes a candidate
+    * with `p = 1 − (1 − jʳ)ᵇ`. One row per (valid split, probe j) —
+    * scan the table, pick the split whose S-curve knee sits at your
+    * dedup threshold. Pure literal arithmetic (|splits|·|probes| rows,
+    * no data touched); the same closed form the [[minhashLsh]]
+    * candidate generator realizes physically.
+    */
+  def lshOperatingCurve(
+      numHashes: Int,
+      probes: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.8, 0.9),
+      scale: Int = 6): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(probes.nonEmpty && probes.forall(p => p > 0.0 && p < 1.0),
+      s"probes must be in (0,1), got $probes")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val splits = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b.toLong, (numHashes / b).toLong))
+    splits.toDF("bands", "rows_per_band")
+      .select(col("bands"), col("rows_per_band"),
+        explode(array(probes.map(lit(_)): _*)).as("j"))
+      .withColumn("p_candidate",
+        round(lit(1.0) - pow(lit(1.0) - pow(col("j"), col("rows_per_band")), col("bands")),
+          scale))
+  }
+
   /** Golden-record assembly — the survivorship step of entity resolution:
     * collapse each cluster of matched records into ONE canonical record,
     * field by field. `modeCols` elect the majority value per cluster

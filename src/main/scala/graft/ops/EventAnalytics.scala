@@ -444,6 +444,51 @@ object EventAnalytics {
     * actor frame itself strains one partition should bin via
     * [[graft.ops.Stats.quantileProfile]] thresholds instead.
     */
+  /** Lagged cross-correlation of two (already collapsed) time series —
+    * "do purchases follow views, and by how many buckets?": for each lag
+    * `k ∈ [−maxLag, maxLag]`, the Pearson correlation of `x(t)` against
+    * `y(t + k)` over the buckets where both exist. The peak's lag is the
+    * lead/lag estimate; returns `(lag, n, corr)`.
+    *
+    * The lag axis rides a literal-array explode (no join against a lag
+    * table), the shifted pairing is ONE equi-join on the bucket key, and
+    * each lag's correlation uses the decimal-moment linearFit discipline
+    * — exact sums, pinned closed form, NULL on constant sides. Inputs
+    * are collapsed series (`(t, value)`, one row per bucket), so every
+    * frame is |buckets|·|lags| at most.
+    */
+  def crossCorrelation(
+      seriesX: DataFrame,
+      seriesY: DataFrame,
+      maxLag: Int,
+      scale: Int = 6): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val x = seriesX.select(col("t").cast("long").as("t"),
+      col("x").cast("decimal(18,6)").as("_xd"))
+    val y = seriesY.select(col("t").cast("long").as("_ty"),
+      col("y").cast("decimal(18,6)").as("_yd"))
+    val lags = explode(array((-maxLag to maxLag).map(l => lit(l.toLong)): _*)).as("lag")
+    val paired = x.select(col("t"), col("_xd"), lags)
+      .withColumn("_ty", col("t") + col("lag"))
+      .join(y, Seq("_ty"))
+    val agg = paired.groupBy(col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("_xd")).as("_sx"), sum(col("_yd")).as("_sy"),
+      sum(col("_xd") * col("_yd")).as("_sxy"),
+      sum(col("_xd") * col("_xd")).as("_sxx"),
+      sum(col("_yd") * col("_yd")).as("_syy"))
+    val n = col("n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val sxx = col("_sxx").cast("double"); val syy = col("_syy").cast("double")
+    val covN = n * sxy - sx * sy
+    val varXN = n * sxx - sx * sx
+    val varYN = n * syy - sy * sy
+    agg.select(col("lag"), col("n"),
+      round(when(varXN > 0 && varYN > 0, covN / (sqrt(varXN) * sqrt(varYN))), scale)
+        .as("corr"))
+  }
+
   /** Kaplan–Meier survival curve — the censoring-aware retention/churn
     * estimator (plain "fraction still active at t" is WRONG when users
     * joined at different times: the late joiners aren't churned, they're

@@ -156,6 +156,21 @@ class ClustersSpec extends SparkSpec {
     assert(got(2L) == ((1L, 42L, 20L, "zh", "s9")))
   }
 
+  test("lshOperatingCurve: closed form, monotone in j, b=1 and r=1 edges") {
+    val got = Dedup.lshOperatingCurve(16, probes = Seq(0.5, 0.9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // b=1, r=16: p = j^16
+    assert(got((1L, 16L, 0.5)) == r6(math.pow(0.5, 16)))
+    // b=16, r=1: p = 1 − (1−j)^16
+    assert(got((16L, 1L, 0.9)) == r6(1.0 - math.pow(1.0 - 0.9, 16)))
+    // the production q18 split (4 bands × 4 rows) at j=0.9
+    assert(got((4L, 4L, 0.9)) == r6(1.0 - math.pow(1.0 - math.pow(0.9, 4), 4)))
+    // monotone: higher j never lowers p for a fixed split
+    assert(got((4L, 4L, 0.9)) >= got((4L, 4L, 0.5)))
+  }
+
   test("golden partials: merge of any batch split ≡ one-shot goldenRecords") {
     import spark.implicits._
     val labeled = (1 to 60).map { i =>

@@ -256,6 +256,24 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq("user_id", "ts_1", "ts_2", "ts_3", "steps_completed"))
   }
 
+  test("crossCorrelation: shifted copy peaks at its lag; constant side → NULL") {
+    import spark.implicits._
+    // y is x shifted by +2 buckets: corr at lag 2 must be exactly 1
+    val base = (0L to 20L).map(t => (t, math.sin(t.toDouble) * 10 + t))
+    val x = base.toDF("t", "x")
+    val y = base.map { case (t, v) => (t + 2, v) }.toDF("t", "y")
+    val got = EventAnalytics.crossCorrelation(x, y, maxLag = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(got(2L) == 1.0)
+    assert(got.keySet == (-1L to 3L).toSet ++ Set(-3L, -2L)) // all lags with overlap
+    // a constant series has zero variance → NULL at every lag
+    val const = (0L to 20L).map(t => (t, 5.0)).toDF("t", "y")
+    val g2 = EventAnalytics.crossCorrelation(x, const, maxLag = 1)
+      .collect().map(r => r.get(2))
+    assert(g2.forall(_ == null))
+  }
+
   test("kaplanMeier: hand-computed curve; censoring reduces risk set without an event") {
     import spark.implicits._
     val obs = Seq((1L, true), (1L, true), (2L, false), (3L, true)).toDF("dur", "ev")
