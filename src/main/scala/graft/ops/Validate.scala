@@ -232,6 +232,30 @@ object Validate {
     * union cheaply. Rows per relation, never per violation: pair with an
     * anti-join sample when the offending keys themselves are wanted.
     */
+  /** Schema contract check: diff a frame's actual schema against the
+    * expected `(column → Spark SQL type name)` map. Returns one row per
+    * column in either side — `(column, status, expected_type, actual_type)`
+    * with status `ok` / `type_mismatch` / `missing` (expected, absent) /
+    * `extra` (present, unexpected) — the ingest-gate complement of the
+    * row-level [[report]]: a upstream producer silently widening a column
+    * or dropping one fails HERE, before any data-level check runs.
+    * Driver-side metadata only; no job is launched.
+    */
+  def expectSchema(df: DataFrame, expected: Map[String, String]): DataFrame = {
+    val actual = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    val rows = (expected.keySet ++ actual.keySet).toSeq.sorted.map { c =>
+      (expected.get(c), actual.get(c)) match {
+        case (Some(e), Some(a)) if e == a => (c, "ok", e, a)
+        case (Some(e), Some(a))           => (c, "type_mismatch", e, a)
+        case (Some(e), None)              => (c, "missing", e, null)
+        case (None, Some(a))              => (c, "extra", null, a)
+        case _                            => throw new IllegalStateException("unreachable")
+      }
+    }
+    import df.sparkSession.implicits._
+    rows.toDF("column", "status", "expected_type", "actual_type")
+  }
+
   def fkOrphans(child: DataFrame, fk: Column, parent: DataFrame, pk: Column,
       relation: String): DataFrame = {
     val keys = parent.select(pk.as("_fk")).where(col("_fk").isNotNull)

@@ -92,4 +92,22 @@ class ReaderSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("PartitionFilters") || df.inputFiles.length == 1)
   }
+
+  test("schema evolution: mergeSchema option surfaces a late-added column, null-filled for old days") {
+    import spark.implicits._
+    val dir = tempDir("reader-evolve") + "/data"
+    // day 1 written WITHOUT the quality column, day 2 WITH it
+    Seq((1L, "a")).toDF("id", "v")
+      .write.parquet(s"$dir/year=2019/month=2/day=1")
+    Seq((2L, "b", 0.9)).toDF("id", "v", "quality")
+      .write.parquet(s"$dir/year=2019/month=2/day=2")
+    val reader = new PartitionedReader(spark, ReaderConfig(dir,
+      options = Map("mergeSchema" -> "true")))
+    val pm = PartitionManager(LocalDate.of(2019, 2, 1), 2, padded = false)
+    val df = reader.read(pm)
+    assert(df.columns.contains("quality"))
+    val rows = df.select("id", "quality").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(0.9)))
+  }
 }

@@ -108,6 +108,19 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("expectSchema: ok / type_mismatch / missing / extra, one row each") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 0.5)).toDF("id", "name", "score")
+    val got = Validate.expectSchema(df, Map(
+      "id" -> "long", "name" -> "integer", "added_later" -> "string"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(got("id") == (("ok", "long", "long")))
+    assert(got("name") == (("type_mismatch", "integer", "string")))
+    assert(got("added_later") == (("missing", "string", null)))
+    assert(got("score") == (("extra", null, "double")))
+  }
+
   test("fkOrphans: planted orphans and null FKs counted separately") {
     import spark.implicits._
     val parent = Seq(1L, 2L, 3L).toDF("pk")
