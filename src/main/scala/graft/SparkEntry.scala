@@ -1405,6 +1405,12 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // one-way ANOVA on document length across ALL languages — SSB/SSW
+    // from exact decimal moments, pinned scalar arithmetic, one F
+    "q225_anova" -> ((s, dir) =>
+      graft.ops.Stats.anovaF(
+        T(s, dir, "documents"), value = col("n_chars"), groupCol = col("lang"))),
+
     // lagged cross-correlation of the daily view and purchase series:
     // literal lag axis, one bucket-key join per lag, decimal moments
     "q223_cross_correlation" -> ((s, dir) => {
@@ -4932,6 +4938,39 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // per-group moments → pinned means → decimal-summed SSB/SSW → F
+    "q225_anova" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, lang AS g FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |), grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(v AS DECIMAL(38,12))) AS sg,
+        |    sum(CAST(v * v AS DECIMAL(38,12))) AS qg
+        |  FROM d GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |    sum(sg) AS st
+        |  FROM grp
+        |), x AS (
+        |  SELECT ng, qg, CAST(sg AS DOUBLE) / ng AS mg, CAST(st AS DOUBLE) / n AS m,
+        |    k, n FROM grp, tot
+        |), c AS (
+        |  SELECT k, n,
+        |    CAST(ng * (mg - m) * (mg - m) AS DECIMAL(38,12)) AS ssb,
+        |    CAST(CAST(qg AS DOUBLE) - ng * mg * mg AS DECIMAL(38,12)) AS ssw
+        |  FROM x
+        |), s AS (
+        |  SELECT any_value(k) AS k, any_value(n) AS n,
+        |    sum(ssb) AS b, sum(ssw) AS w
+        |  FROM c
+        |)
+        |SELECT k, n, k - 1 AS df1, n - k AS df2,
+        |  round(CASE WHEN k - 1 > 0 AND n - k > 0 AND CAST(w AS DOUBLE) > 0
+        |    THEN (CAST(b AS DOUBLE) / (k - 1)) / (CAST(w AS DOUBLE) / (n - k)) END, 6)
+        |    AS f_stat
+        |FROM s""".stripMargin,
 
     // same lag axis, shifted bucket join, q108 moment discipline
     "q223_cross_correlation" ->

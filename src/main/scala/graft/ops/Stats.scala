@@ -1046,6 +1046,47 @@ object Stats {
       .select(strata ++ Seq(col("n"), col("total"), round(col("gini"), scale).as("gini")): _*)
   }
 
+  /** One-way ANOVA F statistic — "does document length differ across ALL
+    * five languages?" in one test, where pairwise [[welchTtest]]s would
+    * need k(k−1)/2 comparisons and a multiplicity correction. Returns one
+    * row `(k, n, df1, df2, f_stat)` with
+    * `F = (SSB/(k−1)) / (SSW/(N−k))`; NULL where undefined (k < 2 or
+    * N ≤ k or zero within-group variance).
+    *
+    * Per-group exact decimal moments (n, Σx, Σx²) in one partial-agg
+    * shuffle; group means and the grand mean are pinned IEEE scalars;
+    * the between/within contributions are decimal-cast before their
+    * k-row sums, so nothing depends on partition order. Totals ride the
+    * documented one-row crossJoin.
+    */
+  def anovaF(df: DataFrame, value: Column, groupCol: Column, scale: Int = 6): DataFrame = {
+    val d = df.select(value.cast("double").as("_v"), groupCol.as("_g"))
+      .where(col("_v").isNotNull && col("_g").isNotNull)
+    val g = d.groupBy(col("_g")).agg(
+      count(lit(1)).as("_ng"),
+      sum(col("_v").cast("decimal(38,12)")).as("_sg"),
+      sum((col("_v") * col("_v")).cast("decimal(38,12)")).as("_qg"))
+    val tot = g.agg(
+      count(lit(1)).as("k"), sum(col("_ng")).as("n"), sum(col("_sg")).as("_st"))
+    g.crossJoin(tot)
+      .withColumn("_mg", col("_sg").cast("double") / col("_ng"))
+      .withColumn("_m", col("_st").cast("double") / col("n"))
+      .withColumn("_ssb",
+        col("_ng") * (col("_mg") - col("_m")) * (col("_mg") - col("_m")))
+      .withColumn("_ssw",
+        col("_qg").cast("double") - col("_ng") * col("_mg") * col("_mg"))
+      .agg(
+        first(col("k")).as("k"), first(col("n")).as("n"),
+        sum(col("_ssb").cast("decimal(38,12)")).as("_b"),
+        sum(col("_ssw").cast("decimal(38,12)")).as("_w"))
+      .withColumn("df1", col("k") - 1L)
+      .withColumn("df2", col("n") - col("k"))
+      .select(col("k"), col("n"), col("df1"), col("df2"),
+        round(when(col("df1") > 0 && col("df2") > 0 && col("_w").cast("double") > 0,
+          (col("_b").cast("double") / col("df1")) /
+            (col("_w").cast("double") / col("df2"))), scale).as("f_stat"))
+  }
+
   /** Cumulative gains / lift table — the "how much better than random is
     * the top decile" classifier report that completes the eval family
     * (AUC = the whole curve's area, calibration = probability quality,

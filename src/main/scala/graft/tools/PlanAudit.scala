@@ -53,7 +53,8 @@ object PlanAudit {
     "q211_temporal_split",        // one-row corpus-start crossJoin (same scalar-attach class)
     "q214_psi_from_state",        // one-row bin-totals crossJoin (same scalar-attach class)
     "q215_cramers_v",             // one-row contingency-totals crossJoin (same scalar-attach class)
-    "q217_benford"                // one-row digit-total crossJoin (same scalar-attach class)
+    "q217_benford",               // one-row digit-total crossJoin (same scalar-attach class)
+    "q225_anova"                  // one-row grand-totals crossJoin (same scalar-attach class)
   )
 
   def main(args: Array[String]): Unit = {

@@ -527,6 +527,23 @@ class StatsSpec extends SparkSpec {
     assert(got(4L) == ((2L, 0L, 4L, 1.0, 1.0)))
   }
 
+  test("anovaF: hand-computed F; identical groups → 0; zero within-variance → NULL") {
+    import spark.implicits._
+    // a=(1,2,3), b=(4,5,6): SSB = 13.5, SSW = 4, F = 13.5/(4/4) = 13.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0))
+      .toDF("g", "v")
+    val r = Stats.anovaF(df, col("v"), col("g")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == 13.5)
+    // identical group means → F = 0
+    val same = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    assert(Stats.anovaF(same, col("v"), col("g")).collect().head.getDouble(4) == 0.0)
+    // all-constant values: SSW = 0 → NULL (not infinity)
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Stats.anovaF(const, col("v"), col("g")).collect().head.isNullAt(4))
+  }
+
   test("benford: string-extracted digits, exact shares, sub-1 values excluded") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
