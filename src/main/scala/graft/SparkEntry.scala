@@ -1405,6 +1405,21 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // trending terms per bucket — the serving math of StreamingTrending
+    // (whose incremental state ≡ this by the straddle/replay specs):
+    // bucketed token counts, top-3 by count with greatest-token ties
+    "q226_trending_terms" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(expr("doc_id div 100").as("bucket"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val counts = docs.groupBy(col("bucket"), col("token")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("n").desc, col("token").desc)
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+    }),
+
     // one-way ANOVA on document length across ALL languages — SSB/SSW
     // from exact decimal moments, pinned scalar arithmetic, one F
     "q225_anova" -> ((s, dir) =>
@@ -4938,6 +4953,20 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // same bucketed counts and tie-broken per-bucket rank
+    "q226_trending_terms" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id // 100 AS bucket,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT bucket, token, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE token <> '' GROUP BY 1, 2
+        |)
+        |SELECT bucket, token, n,
+        |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY n DESC, token DESC) AS BIGINT) AS rank
+        |FROM c QUALIFY rank <= 3""".stripMargin,
 
     // per-group moments → pinned means → decimal-summed SSB/SSW → F
     "q225_anova" ->
