@@ -113,6 +113,25 @@ object AnalyticsDemo {
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     obs("bootstrap mean CI", f"[${ci(0.025)}%.1f, ${ci(0.975)}%.1f]")
 
+    // 9. k-group significance + lead/lag structure
+    val f = Stats.anovaF(docs, col("n_chars"), col("lang")).head
+    obs("anova across langs", f"F=${f.getDouble(4)}%.2f df=(${f.getLong(2)},${f.getLong(3)})")
+    def daily(t: String, cName: String) = events.where(col("event_type") === t)
+      .groupBy(expr("ts div 86400000000000").as("t")).agg(count(lit(1)).as(cName))
+    val xc = EventAnalytics.crossCorrelation(daily("view", "x"), daily("purchase", "y"), 3)
+      .collect().filter(!_.isNullAt(2)).maxBy(_.getDouble(2))
+    obs("view→purchase xcorr", f"peak lag=${xc.getLong(0)} corr=${xc.getDouble(2)}%.3f")
+
+    // 10. retention survival + targeting efficiency
+    val days = events.select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val u = days.groupBy(col("user_id")).agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"))
+    val surv = EventAnalytics.kaplanMeier(
+      u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
+        .select((col("_ld") - col("_fd")).as("dur"), (col("_ld") <= col("_md") - 10).as("ev")),
+      col("dur"), col("ev"))
+    val tail = surv.orderBy(col("t").desc).head
+    obs("km survival tail", f"S(${tail.getLong(0)})=${tail.getDouble(4)}%.3f")
+
     graft.Caches.clear()
     println("ANALYTICS-DONE")
     spark.stop()
