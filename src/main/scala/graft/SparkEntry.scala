@@ -1405,6 +1405,14 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // DAU/WAU stickiness — how much of the weekly audience shows up
+    // daily (the product-health ratio off the exact rolling actives)
+    "q227_stickiness" -> ((s, dir) =>
+      graft.ops.EventAnalytics.rollingDistinct(
+          E(s, dir), bucketTs = 86400000000000L, window = 7)
+        .withColumn("stickiness",
+          round(col("dau").cast("double") / col("rolling_active"), 6))),
+
     // trending terms per bucket — the serving math of StreamingTrending
     // (whose incremental state ≡ this by the straddle/replay specs):
     // bucketed token counts, top-3 by count with greatest-token ties
@@ -4953,6 +4961,23 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // q170's exact rolling actives with one ratio on top
+    "q227_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS b
+        |  FROM events
+        |), obs AS (SELECT DISTINCT b FROM du),
+        |roll AS (
+        |  SELECT o.b, CAST(count(DISTINCT du.user_id) AS BIGINT) AS rolling_active
+        |  FROM obs o JOIN du ON du.b BETWEEN o.b - 6 AND o.b
+        |  GROUP BY o.b
+        |), d AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY b
+        |)
+        |SELECT d.b AS bucket, d.dau, r.rolling_active,
+        |  round(CAST(d.dau AS DOUBLE) / r.rolling_active, 6) AS stickiness
+        |FROM d JOIN roll r ON r.b = d.b""".stripMargin,
 
     // same bucketed counts and tie-broken per-bucket rank
     "q226_trending_terms" ->
