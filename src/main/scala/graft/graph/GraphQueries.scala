@@ -1611,8 +1611,12 @@ object GraphQueries {
     * community contributions are decimal-cast before the sum — the usual
     * engine-portability discipline. Unlabeled endpoints count as their
     * own singleton communities (labels frame contract:
-    * `(idCol, labelCol)`). One join of the canonical edge list against
-    * the label frame per endpoint + two grouped aggregates.
+    * `(idCol, labelCol)`), keyed in a DISJOINT space — a
+    * `(is_singleton, id-or-label)` struct — so a caller label space that
+    * overlaps vertex ids (e.g. cluster ids 0..k−1) can never silently
+    * absorb an unlabeled vertex into community 0..k−1. One join of the
+    * canonical edge list against the label frame per endpoint + two
+    * grouped aggregates.
     */
   def modularity(
       spark: SparkSession,
@@ -1628,12 +1632,18 @@ object GraphQueries {
       .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
       .distinct()
     val lab = labels.select(col(idCol).cast("long").as("_v"), col(labelCol).cast("long").as("_l"))
+    // singleton fallbacks get key (true, vertex-id), caller labels
+    // (false, label) — structurally collision-free however the caller's
+    // label space is numbered
+    def commKey(l: Column, v: Column): Column =
+      when(l.isNotNull, struct(lit(false).as("_sg"), l.as("_k")))
+        .otherwise(struct(lit(true).as("_sg"), v.as("_k")))
     val e = graft.Caches.track(canon
       .join(lab.select(col("_v").as("a"), col("_l").as("_la")), Seq("a"), "left")
       .join(lab.select(col("_v").as("b"), col("_l").as("_lb")), Seq("b"), "left")
       .select(col("a"), col("b"),
-        coalesce(col("_la"), col("a")).as("_la"),
-        coalesce(col("_lb"), col("b")).as("_lb")))
+        commKey(col("_la"), col("a")).as("_la"),
+        commKey(col("_lb"), col("b")).as("_lb")))
     val m = e.count()
     if (m == 0L) {
       import spark.implicits._
@@ -1671,7 +1681,18 @@ object GraphQueries {
     * tie behavior (first best wins, which keeps the LARGEST subgraph at
     * equal density) — is partitioning- and engine-stable. Per round: a
     * degree aggregate, one scalar, two semi-joins — kCore's exact cost
-    * profile, O(log n) rounds by the standard argument.
+    * profile.
+    *
+    * Round count: this peels at the ε=0 threshold (`deg·V ≤ 2E` exactly),
+    * which keeps the snapshot within 2× but does NOT carry Bahmani's
+    * O(log n) round bound — that bound needs the 2(1+ε)·density cut with
+    * ε > 0 (each round then removes a constant fraction of vertices). In
+    * practice the average-degree cut empties real graphs in a few dozen
+    * rounds, but an adversarial degree sequence can exhaust `maxIter`; if
+    * that happens the best snapshot SEEN is returned (still a valid lower
+    * bound on the densest density, just without the 2-approx certificate)
+    * and a warning is logged. Callers needing the certificate on hostile
+    * inputs should raise `maxIter`.
     */
   def densestSubgraph(
       spark: SparkSession,
@@ -1720,6 +1741,12 @@ object GraphQueries {
         it += 1
         if (it % 4 == 0) e = materialize(e)
       }
+    }
+    if (!emptied) {
+      log.warn(
+        s"densestSubgraph: maxIter=$maxIter exhausted before the graph emptied — " +
+          "returning the best snapshot seen (a valid density lower bound, but the " +
+          "2-approximation certificate requires peeling to empty; raise maxIter)")
     }
     if (best == null) {
       import spark.implicits._

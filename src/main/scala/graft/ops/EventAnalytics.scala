@@ -427,23 +427,6 @@ object EventAnalytics {
       .limit(k)
   }
 
-  /** RFM segmentation — recency / frequency / monetary quartile scores per
-    * actor, the classic value-segmentation grid (and, for corpus work, the
-    * "recently active, prolific, high-value contributor" facet of source
-    * scoring). Per `user`: `recency = max(ts)`, `frequency = count`,
-    * `monetary = round(Σ amount, 2)` (round-before-rank — an ulp of float
-    * summation must not flip a bin), then three equal-frequency `ntile`
-    * bins 0..bins−1, each tie-broken by the user id so the assignment is
-    * exact and engine-portable (the q107 ntile discipline). Pass a NUMERIC
-    * `ts` (e.g. `unix_micros`) — raw timestamp columns differ in physical
-    * representation across engines.
-    *
-    * Scale shape: the event stream collapses to one row per user in a
-    * single partial-aggregated shuffle BEFORE any ordering; the three
-    * ntile windows then rank the |users| frame. Callers whose collapsed
-    * actor frame itself strains one partition should bin via
-    * [[graft.ops.Stats.quantileProfile]] thresholds instead.
-    */
   /** Lagged cross-correlation of two (already collapsed) time series —
     * "do purchases follow views, and by how many buckets?": for each lag
     * `k ∈ [−maxLag, maxLag]`, the Pearson correlation of `x(t)` against
@@ -645,6 +628,23 @@ object EventAnalytics {
         round(col("_sn"), scale).as("cusum_neg"), col("alarm"))
   }
 
+  /** RFM segmentation — recency / frequency / monetary quartile scores per
+    * actor, the classic value-segmentation grid (and, for corpus work, the
+    * "recently active, prolific, high-value contributor" facet of source
+    * scoring). Per `user`: `recency = max(ts)`, `frequency = count`,
+    * `monetary = round(Σ amount, 2)` (round-before-rank — an ulp of float
+    * summation must not flip a bin), then three equal-frequency `ntile`
+    * bins 0..bins−1, each tie-broken by the user id so the assignment is
+    * exact and engine-portable (the q107 ntile discipline). Pass a NUMERIC
+    * `ts` (e.g. `unix_micros`) — raw timestamp columns differ in physical
+    * representation across engines.
+    *
+    * Scale shape: the event stream collapses to one row per user in a
+    * single partial-aggregated shuffle BEFORE any ordering; the three
+    * ntile windows then rank the |users| frame. Callers whose collapsed
+    * actor frame itself strains one partition should bin via
+    * [[graft.ops.Stats.quantileProfile]] thresholds instead.
+    */
   def rfm(
       df: DataFrame,
       user: Column,

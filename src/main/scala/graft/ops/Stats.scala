@@ -1017,6 +1017,14 @@ object Stats {
     * values), ONE final division. NULL where the stratum total is zero.
     * Returns `(strataCols…, n, total, gini)`.
     *
+    * The accumulation grid follows the RESOLVED input type: integral
+    * columns sum as exact longs with `decimal(38,0)` rank products
+    * (`total` stays a `bigint`); fractional columns (double / float /
+    * decimal) sum on a `decimal(38,12)` grid instead and report `total`
+    * as a rounded double — never a silent `cast("long")`, which would
+    * truncate every score in [0,1] to zero and rank by a value the sum
+    * no longer sees.
+    *
     * Scale shape: one partitioned rank window + one partial-aggregated
     * shuffle; the `i·x` products are decimal-cast so rank·value cannot
     * overflow at any scale.
@@ -1026,24 +1034,33 @@ object Stats {
       value: Column,
       strataCols: Seq[String],
       scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types._
     val strata = strataCols.map(col)
+    val integral = df.select(value.as("_x")).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(strata: _*).orderBy(value)
     val ranked = df.where(value.isNotNull)
-      .withColumn("_x", value.cast("long"))
+      .withColumn("_x", if (integral) value.cast("long") else value.cast("decimal(38,12)"))
       .withColumn("_i", row_number().over(ws).cast("long"))
-    ranked
+    val aggd = ranked
       .groupBy(strata: _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col("_x")).as("total"),
-        sum((col("_i") * col("_x")).cast("decimal(38,0)")).as("_s1"))
+        sum(col("_x")).as("_tot"),
+        sum((col("_i") * col("_x")).cast(if (integral) "decimal(38,0)" else "decimal(38,12)"))
+          .as("_s1"))
       .withColumn("gini",
-        when(col("total") > 0,
+        when(col("_tot") > 0,
           (lit(2.0) * col("_s1").cast("double") -
-            (col("n") + 1).cast("double") * col("total")) /
-            (col("n").cast("double") * col("total"))))
-      .select(strata ++ Seq(col("n"), col("total"), round(col("gini"), scale).as("gini")): _*)
+            (col("n") + 1).cast("double") * col("_tot").cast("double")) /
+            (col("n").cast("double") * col("_tot").cast("double"))))
+    val totalOut =
+      if (integral) col("_tot").as("total")
+      else round(col("_tot").cast("double"), scale).as("total")
+    aggd.select(strata ++ Seq(col("n"), totalOut, round(col("gini"), scale).as("gini")): _*)
   }
 
   /** One-way ANOVA F statistic — "does document length differ across ALL

@@ -546,9 +546,15 @@ object TextAnalysis {
     *
     * Scale shape: the candidate generator is the inverted-index self-join
     * on the token — a token seen in `d` documents contributes `d²` pair
-    * rows, so `maxDocFreq` structurally excludes hot terms from the JOIN
-    * (they still weigh into norms: dropping a stopword from a document's
-    * norm would inflate its cosines). Join frames are slim
+    * rows, so `maxDocFreq` structurally excludes hot terms from the
+    * vocabulary ENTIRELY: they are dropped before the weight frame is
+    * built, so they appear in neither the join nor the norms. The cosine
+    * is therefore computed in the capped vocabulary's subspace — dropping
+    * a stopword from both a document's dot products and its norm keeps
+    * the measure internally consistent (a norm-only retention would
+    * deflate every cosine by mass no pair can ever match on). Callers who
+    * want full-vocabulary norms should leave `maxDocFreq` unset and
+    * pre-filter stopwords upstream instead. Join frames are slim
     * `(id, token, w)` postings; the weighted frame feeds norms plus both
     * join sides and is tracked-persisted (Spark does not CSE across join
     * branches); release via [[graft.Caches.clear]].

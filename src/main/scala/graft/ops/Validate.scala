@@ -217,21 +217,6 @@ object Validate {
   def allPass(reportDf: DataFrame): Boolean =
     reportDf.agg(min(col("pass"))).head.getBoolean(0)
 
-  /** Referential-integrity audit for one foreign key: how many child rows
-    * reference a parent key that does not exist? Returns one row —
-    * `(relation, n_child, n_null_fk, n_orphans)` — where `n_orphans` counts
-    * non-null child keys absent from the parent (SQL `IS NOT NULL AND NOT
-    * IN`), and null FKs are reported separately rather than conflated (a
-    * null FK is "unknown parent", not "missing parent").
-    *
-    * One pass: the parent collapses to its distinct key set (partial-agg
-    * shuffle on the key), the child left-joins it with a hit marker, and a
-    * single aggregate counts the three buckets. At scale the join is a plain
-    * hash/sort-merge equi-join on the key — broadcastable when the parent
-    * dimension is small — and the output is one row, so audits over many FKs
-    * union cheaply. Rows per relation, never per violation: pair with an
-    * anti-join sample when the offending keys themselves are wanted.
-    */
   /** Schema contract check: diff a frame's actual schema against the
     * expected `(column → Spark SQL type name)` map. Returns one row per
     * column in either side — `(column, status, expected_type, actual_type)`
@@ -256,6 +241,21 @@ object Validate {
     rows.toDF("column", "status", "expected_type", "actual_type")
   }
 
+  /** Referential-integrity audit for one foreign key: how many child rows
+    * reference a parent key that does not exist? Returns one row —
+    * `(relation, n_child, n_null_fk, n_orphans)` — where `n_orphans` counts
+    * non-null child keys absent from the parent (SQL `IS NOT NULL AND NOT
+    * IN`), and null FKs are reported separately rather than conflated (a
+    * null FK is "unknown parent", not "missing parent").
+    *
+    * One pass: the parent collapses to its distinct key set (partial-agg
+    * shuffle on the key), the child left-joins it with a hit marker, and a
+    * single aggregate counts the three buckets. At scale the join is a plain
+    * hash/sort-merge equi-join on the key — broadcastable when the parent
+    * dimension is small — and the output is one row, so audits over many FKs
+    * union cheaply. Rows per relation, never per violation: pair with an
+    * anti-join sample when the offending keys themselves are wanted.
+    */
   def fkOrphans(child: DataFrame, fk: Column, parent: DataFrame, pk: Column,
       relation: String): DataFrame = {
     val keys = parent.select(pk.as("_fk")).where(col("_fk").isNotNull)

@@ -469,6 +469,11 @@ class GraphQueriesSpec extends SparkSpec {
     val partial = GraphQueries.modularity(spark, e,
       labels(Map(1L -> 1L, 2L -> 1L, 3L -> 1L))).head
     assert(partial.getLong(0) == 4L)
+    // singleton keys live in a disjoint space: labeling ONLY vertex 4 with
+    // label 5 must NOT merge it with unlabeled vertex 5's singleton —
+    // 6 communities ({4:lab5} + five singletons), not 5
+    val collide = GraphQueries.modularity(spark, e, labels(Map(4L -> 5L))).head
+    assert(collide.getLong(0) == 6L)
     graft.Caches.clear()
   }
 

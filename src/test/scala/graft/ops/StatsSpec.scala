@@ -630,6 +630,24 @@ class StatsSpec extends SparkSpec {
     assert(got("h") == ((3L, 6L, r6(4.0 / 18.0))))
   }
 
+  test("gini: fractional inputs sum exactly (no silent long truncation)") {
+    import spark.implicits._
+    // scores in [0,1] — the old cast("long") collapsed all of these to 0
+    // (total 0 → NULL gini); the decimal path keeps the exact rank form
+    val frac = Seq(("f", 0.1), ("f", 0.2), ("f", 0.3)).toDF("g", "x")
+    val r = Stats.gini(frac, col("x"), Seq("g")).collect().head
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == r6(0.6)) // total reported as rounded double
+    // same shape as (1,2,3) scaled by 0.1 — Gini is scale-invariant
+    assert(r.getDouble(3) == r6(4.0 / 18.0))
+    // mixed fractional values must not truncate-and-misrank
+    val mixed = Seq(("m", 1.5), ("m", 1.4), ("m", 0.1)).toDF("g", "x")
+    val m = Stats.gini(mixed, col("x"), Seq("g")).collect().head
+    // sorted 0.1,1.4,1.5: G = (2·(0.1+2.8+4.5) − 4·3)/(3·3) = 2.8/9
+    assert(m.getDouble(3) == r6(2.8 / 9.0))
+  }
+
   test("welchTtest: hand-computed statistics; partitioning-invariant") {
     import spark.implicits._
     val df = Seq((1.0, true), (2.0, true), (3.0, true),
