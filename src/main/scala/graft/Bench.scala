@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   * far shows the line truncated at the front and `parsed: null`), so query
   * keys are shortened to their unique `qNN` prefix and the per-run arrays /
   * medians / full names go to stderr (`[bench] ...` lines + one
-  * `[bench-detail] {json}` line) where size is unconstrained.
+  * `[bench-detail] {json}` line) where size is unconstrained — AND, since
+  * round 10, to `BENCH_DETAIL.json` (env `SPARK_GRAFT_BENCH_DETAIL`) so the
+  * committed round record stays complete regardless of tail truncation.
   *
   * Each query is forced with `count()` (full plan execution, no result
   * transfer). A short warmup action absorbs JVM/classloader startup so the
@@ -183,6 +185,19 @@ object Bench {
     writeBaseline(baselinePath, allBaselines + (sfKey -> merged))
 
     val loadEnd = loadAvg(osBean)
+    // self-contained round record: the driver keeps only a fixed-size tail
+    // of stdout (r9 lost per-query times for q100–q173 to truncation), so
+    // the FULL detail — per-query min/median, every run, per-query loadavg,
+    // retry flags — also lands in a file next to the baseline
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val qsMinFull  = full(r => f"${r._2}%.3f")
+    val retriedFull = results.filter(_._6).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val detailJson =
+      f"""{"sf":"$sfDir","hash":"${sys.props("graft.hash")}","n_runs":$runs,"total_min":$total%.3f,"total_median":$totalMedian%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"retried":$retriedFull,"queries_min":$qsMinFull,"queries_median":$qsMedian,"runs":$qsRuns,"load_avg_per_query":$qsLoad}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
+    catch {
+      case e: Throwable => System.err.println(s"[bench] detail write skipped: ${e.getMessage}")
+    }
     println(
       f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"n_runs":$runs,"total_median":$totalMedian%.3f,"n_retried":${retried.size},"retried":"${retried.mkString(",")}","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
     spark.stop()

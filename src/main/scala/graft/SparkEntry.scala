@@ -793,10 +793,14 @@ object SparkEntry {
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
         .where(col("token") =!= "")
       val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      // limit-BEFORE-rank (the keySkewReport pattern): orderBy+limit plans
+      // TakeOrderedAndProject map-side heaps; the rank window then runs on
+      // the 20-row frame only, instead of ranking the whole vocabulary in
+      // one partition and filtering after
       val top = exact
+        .orderBy(col("n").desc, col("token")).limit(20)
         .withColumn("rnk", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))))
-        .where(col("rnk") <= 20)
       top
         .crossJoin(broadcast(graft.ops.CountMin.sketch(toks, col("token"), hash = activeHash)))
         .select(col("token"), col("n"),
@@ -1405,6 +1409,31 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // two-sample KS served from histogram STATES (the q214 grid): the
+    // corpus-scale CDF comparison — each side folds batches via histMerge,
+    // the statistic reads ≤bins rows per side; integer-maximized like q197
+    "q228_ks_from_state" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Stats.ksFromHists(
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "en"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12),
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "de"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12))
+    }),
+
+    // ROC-AUC served from the labeled score-histogram STATE: the q177
+    // classifier eval at corpus scale — scores pre-bin to a [0,1)×20
+    // grid (bin = midrank tie group), state mergeable by scoreHistMerge
+    "q229_auc_from_state" -> ((s, dir) => {
+      val scores = TextAnalysis.hashedNgramScore(T(s, dir, "documents"), hash = activeHash)
+      val labeled = scores.join(
+        T(s, dir, "documents").select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      graft.ops.Stats.aucFromHist(
+        graft.ops.Stats.scoreHistPartials(labeled, col("score"), col("y"),
+          lo = 0.0, hi = 1.0, bins = 20))
+    }),
+
     // DAU/WAU stickiness — how much of the weekly audience shows up
     // daily (the product-health ratio off the exact rolling actives)
     "q227_stickiness" -> ((s, dir) =>
@@ -1500,9 +1529,11 @@ object SparkEntry {
     // regression through the decimal-moment linearFit — slope ≈ −α
     "q218_zipf_fit" -> ((s, dir) => {
       val vocab = TextAnalysis.vocabulary(T(s, dir, "documents"))
-      val ranked = vocab.withColumn("_rk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("tf").desc, col("token"))).cast("long"))
+      // global frequency rank over the |vocab| frame via the prefix-sum
+      // (weight 1 in a total order IS the rank) — |vocab| grows with the
+      // corpus, so no single-partition rank window
+      val ranked = graft.ops.Stats.runningTotal(
+        vocab, Seq(col("tf").desc, col("token")), lit(1L), "_rk")
       graft.ops.Stats.linearFit(ranked,
         x = log(col("_rk").cast("double")), y = log(col("tf").cast("double")))
     }),
@@ -4961,6 +4992,65 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // the q214 binning replayed, then the q197 integer-maximized KS over
+    // bin CDFs — the state-served statistic is the exact KS of the
+    // binned distributions
+    "q228_ks_from_state" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(least(greatest(floor((v - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)), 0), 11) AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM d GROUP BY 1
+        |), cum AS (
+        |  SELECT bin,
+        |    CAST(sum(c1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |    CAST(sum(c2) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+        |  FROM g
+        |), t AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n_a, CAST(sum(c2) AS BIGINT) AS n_b FROM g
+        |), mx AS (
+        |  SELECT CAST(max(abs(f1 * t.n_b - f2 * t.n_a)) AS BIGINT) AS num
+        |  FROM cum, t
+        |)
+        |SELECT t.n_a, t.n_b,
+        |  round(CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |    THEN CAST(num AS DOUBLE) / (t.n_a * t.n_b) END, 6) AS d,
+        |  round((CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |    THEN CAST(num AS DOUBLE) / (t.n_a * t.n_b) END)
+        |    * sqrt(CAST(t.n_a * t.n_b AS DOUBLE) / (t.n_a + t.n_b)), 6) AS ks_stat
+        |FROM mx, t""".stripMargin,
+
+    // the q177 scoring CTE binned to the [0,1)x20 grid, then the midrank
+    // Mann-Whitney over bins — all-integer until one division
+    "q229_auc_from_state" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lab AS (
+         |  SELECT s.score AS sc, (d.lang = 'en') AS y
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |), g AS (
+         |  SELECT CAST(least(greatest(floor((sc - CAST(0.0 AS DOUBLE)) / CAST(0.05 AS DOUBLE)), 0), 19) AS BIGINT) AS bin,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         |  FROM lab GROUP BY 1
+         |), r AS (
+         |  SELECT bin, np, nn,
+         |    CAST(coalesce(sum(nn) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+         |  FROM g
+         |), t AS (
+         |  SELECT CAST(sum(np) AS BIGINT) AS npos, CAST(sum(nn) AS BIGINT) AS nneg,
+         |    CAST(sum(np * (2 * below + nn)) AS BIGINT) AS m2
+         |  FROM r
+         |)
+         |SELECT npos AS n_pos, nneg AS n_neg,
+         |  round(CASE WHEN npos > 0 AND nneg > 0 THEN
+         |    CAST(m2 AS DOUBLE) / (2 * npos * nneg) END, 6) AS auc
+         |FROM t""".stripMargin,
 
     // q170's exact rolling actives with one ratio on top
     "q227_stickiness" ->

@@ -641,9 +641,9 @@ object EventAnalytics {
     *
     * Scale shape: the event stream collapses to one row per user in a
     * single partial-aggregated shuffle BEFORE any ordering; the three
-    * ntile windows then rank the |users| frame. Callers whose collapsed
-    * actor frame itself strains one partition should bin via
-    * [[graft.ops.Stats.quantileProfile]] thresholds instead.
+    * global ntiles then ride [[graft.ops.Stats.globalNtile]]'s
+    * range-partition prefix-sum rank — the |users| frame is itself
+    * corpus-sized at scale, so it never collapses into one partition.
     */
   def rfm(
       df: DataFrame,
@@ -655,10 +655,12 @@ object EventAnalytics {
     val base = df.groupBy(user.as("user_id"))
       .agg(max(ts).as("recency"), count(lit(1)).as("frequency"),
         round(sum(amount), 2).as("monetary"))
-    def w(c: Column) = Window.orderBy(c, col("user_id"))
-    base
-      .withColumn("r_bin", (ntile(bins).over(w(col("recency"))) - 1).cast("long"))
-      .withColumn("f_bin", (ntile(bins).over(w(col("frequency"))) - 1).cast("long"))
-      .withColumn("m_bin", (ntile(bins).over(w(col("monetary"))) - 1).cast("long"))
+    // three GLOBAL ntiles over the |users| frame: each rides the
+    // globalNtile prefix-sum rank — the collapsed actor frame is still
+    // corpus-sized at scale, so no single-partition rank window
+    Seq("recency" -> "r_bin", "frequency" -> "f_bin", "monetary" -> "m_bin")
+      .foldLeft(base) { case (acc, (v, out)) =>
+        graft.ops.Stats.globalNtile(acc, bins, Seq(col(v), col("user_id")), out)
+      }
   }
 }

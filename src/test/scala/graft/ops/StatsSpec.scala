@@ -630,6 +630,101 @@ class StatsSpec extends SparkSpec {
     assert(got("h") == ((3L, 6L, r6(4.0 / 18.0))))
   }
 
+  test("globalNtile ≡ window ntile for every (n, bins) shape, incl. desc order") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random values with ties, many partitions
+    val df = (1 to 103).map(i => (i.toLong, (i * 37) % 10)).toDF("id", "v")
+      .repartition(7)
+    for (bins <- Seq(1, 3, 4, 10, 103, 200)) {
+      val want = df.withColumn("bin",
+          (ntile(bins).over(Window.orderBy(col("v"), col("id"))) - 1).cast("long"))
+        .select(col("id"), col("bin")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Stats.globalNtile(df, bins, Seq(col("v"), col("id")))
+        .select(col("id"), col("bin")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"bins=$bins")
+      graft.Caches.clear()
+    }
+    // descending order (the gainsTable shape) matches the window form too
+    val wantD = df.withColumn("bin",
+        (ntile(4).over(Window.orderBy(col("v").desc, col("id"))) - 1).cast("long"))
+      .select(col("id"), col("bin")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotD = Stats.globalNtile(df, 4, Seq(col("v").desc, col("id")))
+      .select(col("id"), col("bin")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotD == wantD)
+    // empty frame: no rows, no blowup
+    assert(Stats.globalNtile(df.where(lit(false)), 4, Seq(col("id"))).count() == 0L)
+    graft.Caches.clear()
+  }
+
+  test("runningTotals: k cumulative sums in one pass ≡ k runningTotal calls") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, (i % 7).toLong, (i % 3).toLong))
+      .toDF("id", "w1", "w2").repartition(5)
+    val both = Stats.runningTotals(df, Seq(col("id")),
+        Seq(col("w1") -> "c1", col("w2") -> "c2"))
+      .select(col("id"), col("c1"), col("c2")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val one1 = Stats.runningTotal(df, Seq(col("id")), col("w1"), "c1")
+      .select(col("id"), col("c1")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one2 = Stats.runningTotal(df, Seq(col("id")), col("w2"), "c2")
+      .select(col("id"), col("c2")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 50L).foreach { i => assert(both(i) == ((one1(i), one2(i)))) }
+    // exact closed form for the last row: full sums
+    assert(both(50L)._1 == (1 to 50).map(_ % 7).sum.toLong)
+    assert(both(50L)._2 == (1 to 50).map(_ % 3).sum.toLong)
+    graft.Caches.clear()
+  }
+
+  test("ksFromHists: ≡ ksTest on bin-aligned values; merge ≡ whole") {
+    import spark.implicits._
+    val rows = (Seq(1, 2, 3, 4, 4, 5).map(v => (v, true)) ++
+      Seq(3, 4, 5, 6, 7, 7).map(v => (v, false)))
+    val df = rows.toDF("v", "y")
+    // grid [0,8)×8 puts every distinct integer in its own bin → the binned
+    // KS is the exact KS
+    def st(lbl: Boolean, d: org.apache.spark.sql.DataFrame) =
+      Stats.histPartials(d.where(col("y") === lbl), col("v"), 0.0, 8.0, 8)
+    val exact  = Stats.ksTest(df, col("v"), col("y")).collect().head
+    val binned = Stats.ksFromHists(st(true, df), st(false, df)).collect().head
+    assert(binned.getLong(0) == exact.getLong(0) && binned.getLong(1) == exact.getLong(1))
+    assert(binned.getDouble(2) == exact.getDouble(2))
+    assert(binned.getDouble(3) == exact.getDouble(3))
+    // mergeable-state contract: per-batch partials folded with histMerge
+    // serve the identical statistic
+    val (b1, b2) = (rows.take(4).toDF("v", "y"), rows.drop(4).toDF("v", "y"))
+    val mergedA = Stats.histMerge(Seq(st(true, b1), st(true, b2)))
+    val mergedB = Stats.histMerge(Seq(st(false, b1), st(false, b2)))
+    val served = Stats.ksFromHists(mergedA, mergedB).collect().head
+    assert(served == binned)
+    graft.Caches.clear()
+  }
+
+  test("aucFromHist: ≡ auc on bin-aligned scores; scoreHistMerge ≡ inline") {
+    import spark.implicits._
+    // scores on the 0.1 grid in [0,1)×10 → one distinct score per bin
+    val rows = Seq((0.1, 0), (0.2, 0), (0.2, 1), (0.4, 0), (0.5, 1),
+      (0.7, 1), (0.7, 0), (0.8, 1))
+    val df = rows.toDF("s", "y")
+    val exact = Stats.auc(df, col("s"), col("y")).collect().head
+    val state = Stats.scoreHistPartials(df, col("s"), col("y") === 1,
+      lo = 0.0, hi = 1.0, bins = 10)
+    val served = Stats.aucFromHist(state).collect().head
+    assert(served.getLong(0) == exact.getLong(0) && served.getLong(1) == exact.getLong(1))
+    assert(served.getDouble(2) == exact.getDouble(2))
+    // merge ≡ inline
+    val (b1, b2) = (rows.take(3).toDF("s", "y"), rows.drop(3).toDF("s", "y"))
+    def st(d: org.apache.spark.sql.DataFrame) =
+      Stats.scoreHistPartials(d, col("s"), col("y") === 1, 0.0, 1.0, 10)
+    val merged = Stats.scoreHistMerge(Seq(st(b1), st(b2)))
+    assert(Stats.aucFromHist(merged).collect().head == served)
+    // degenerate single-class state → NULL auc
+    val onePos = Stats.scoreHistPartials(df.where(col("y") === 1), col("s"),
+      col("y") === 1, 0.0, 1.0, 10)
+    assert(Stats.aucFromHist(onePos).collect().head.isNullAt(2))
+    graft.Caches.clear()
+  }
+
   test("gini: fractional inputs sum exactly (no silent long truncation)") {
     import spark.implicits._
     // scores in [0,1] — the old cast("long") collapsed all of these to 0
