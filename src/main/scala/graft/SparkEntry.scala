@@ -1409,6 +1409,43 @@ object SparkEntry {
       graft.graph.GraphQueries.dagLevels(s, e)
     }),
 
+    // the q143 corpus-scale face end-to-end: IvfIndex → cell-restricted
+    // batch kNN (no corpus broadcast) → mutualEdges → componentLabels.
+    // Verify gates mutual-edge recall of the nprobe=4/8 probe against the
+    // exact path (same index, nprobe=k probes everything — spec-pinned
+    // ≡ the q143 broadcast path); bench times the approx pipeline alone
+    "q230_mutual_knn_approx" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val approx = SimilaritySearch.mutualKnnClustersApprox(
+        s, emb, k = 4, SimilaritySearch.IvfIndex(k = 8, nprobe = 4))
+      if (benchMode) approx
+      else {
+        val (indexed, cents) = SimilaritySearch.IvfIndex(k = 8, nprobe = 8).index(emb)
+        val tracked = graft.Caches.track(indexed)
+        def edgesAt(nprobe: Int) = SimilaritySearch.mutualEdges(
+          SimilaritySearch.IvfIndex(k = 8, nprobe = nprobe)
+            .knnJoin(tracked, cents, emb, 4,
+              excludeSelf = true, broadcastQueries = false)
+            .select(col("query_id"), col("neighbor_id")))
+        val exactE  = edgesAt(8).cache()
+        val approxE = edgesAt(4).cache()
+        val nExact = exactE.count()
+        val nHit   = approxE.join(exactE, Seq("src", "dst"), "left_semi").count()
+        val nRows  = approx.count()
+        val nEmb   = emb.count()
+        exactE.unpersist(); approxE.unpersist()
+        // measured 0.73 at sf0.01 on uniform-random embeddings (the
+        // no-cluster-structure worst case) — gate at the q27 convention:
+        // half the probes must keep at least half the exact mutual edges.
+        // (range(1), not a local Seq.toDF: the gate row should still be a
+        // codegen'd plan so the audit's zero-span check keeps meaning)
+        s.range(1).select(
+          lit(nEmb).as("n_vertices"),
+          lit(nRows == nEmb).as("all_labeled"),
+          lit(nExact == 0L || nHit * 2 >= nExact).as("recall_pass"))
+      }
+    }),
+
     // two-sample KS served from histogram STATES (the q214 grid): the
     // corpus-scale CDF comparison — each side folds batches via histMerge,
     // the statistic reads ≤bins rows per side; integer-maximized like q197
@@ -4992,6 +5029,15 @@ object SparkEntry {
     // q196's oracle VERBATIM: hash equality proves the merged-partials
     // serving path ≡ the one-shot assembly (the q120 discipline)
     "q201_golden_partials" -> goldenRecordOracle,
+
+    // recall-gate pattern (q27/q127 class): KMeans cells aren't
+    // SQL-expressible, so the oracle pins the gate row — with the vertex
+    // count data-derived rather than constant
+    "q230_mutual_knn_approx" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+        |  CAST(TRUE AS BOOLEAN) AS all_labeled,
+        |  CAST(TRUE AS BOOLEAN) AS recall_pass
+        |FROM embeddings""".stripMargin,
 
     // the q214 binning replayed, then the q197 integer-maximized KS over
     // bin CDFs — the state-served statistic is the exact KS of the

@@ -355,6 +355,42 @@ object SimilaritySearch {
       .select(col("src"), col("dst"))
   }
 
+  /** The corpus-scale face of [[mutualKnnClusters]] — the documented IVF
+    * hand-off wired end-to-end: [[IvfIndex.index]] → the cell-restricted
+    * batch [[IvfIndex.knnJoin]] (self excluded before ranking, both sides
+    * shuffled on the cell key — NO corpus-sized broadcast anywhere) →
+    * [[mutualEdges]] → [[graft.graph.GraphQueries.componentLabels]].
+    * Same contract as the exact path: `(idCol, cluster_id)` for every
+    * input row, singletons labeled by their own id, cluster_id = the
+    * component's minimum member id.
+    *
+    * Approximation lives ONLY in the cell restriction: scores are exact
+    * cosines, so with `nprobe = index.k` (probe everything) the result
+    * equals [[mutualKnnClusters]] verbatim (spec-pinned), and at
+    * `nprobe < k` a mutual edge is lost only when either endpoint's
+    * probed cells miss the other — the recall knob the q230 gate
+    * measures against the exact path.
+    */
+  def mutualKnnClustersApprox(
+      spark: SparkSession,
+      df: DataFrame,
+      k: Int,
+      index: IvfIndex,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val (indexed, _centroids) = index.index(df, vecCol)
+    val tracked = graft.Caches.track(indexed)
+    val nn = index.knnJoin(tracked, _centroids, df, k, vecCol, idCol, idCol,
+        excludeSelf = true, broadcastQueries = false)
+      .select(col("query_id"), col("neighbor_id"))
+    val labels = graft.graph.GraphQueries.componentLabels(spark, mutualEdges(nn))
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(labels, col(idCol) === col("vid"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane i is the
     * hash of the string "plane-i-j" scaled to [-1, 1). Fully reproducible
     * across runs/engines — no RNG state. With [[Md5Hash]] the components
@@ -705,6 +741,71 @@ object SimilaritySearch {
         .select(col(idCol), round(VectorOps.cosine(col(vecCol).cast("array<double>"), q), 6).as("score"))
         .orderBy(col("score").desc, col(idCol))
         .limit(topK)
+    }
+
+    /** Batch k-NN join through the IVF index — every query row gets its
+      * approximate top-`topK` EXACT-cosine neighbors at cell-restricted
+      * cost: the query's `nprobe` nearest cells are selected MAP-SIDE (a
+      * k-entry literal centroid struct array sorted and sliced per row —
+      * the [[graft.ops.ProductQuant]] knnJoin discipline, no shuffle, no
+      * driver round-trip), the corpus joins on the `cell` key so only
+      * probed cells' rows are scored, and the per-query shortlist is the
+      * bounded [[org.apache.spark.sql.graft.TopKAgg]] partial aggregate.
+      *
+      * Unlike the ADC path this scores the ORIGINAL vectors — the only
+      * approximation is the cell restriction, so recall is governed by
+      * `nprobe/k` alone and `nprobe = k` reproduces the exact
+      * [[SimilaritySearch.knnJoin]] verbatim (spec-pinned). A neighbor
+      * lives in exactly one cell, so probing several cells cannot
+      * duplicate a candidate.
+      *
+      * `broadcastQueries = false` is the corpus×corpus (self-join) shape:
+      * both sides shuffle on the cell key instead of broadcasting a
+      * corpus-sized probe frame. At that scale size `k` with the corpus
+      * (the usual k ≈ √n rule) so cells stay partition-sized.
+      */
+    def knnJoin(
+        indexed: DataFrame,
+        centroids: Array[Array[Double]],
+        queries: DataFrame,
+        topK: Int,
+        vecCol: String = "embedding",
+        idCol: String = "vec_id",
+        queryIdCol: String = "vec_id",
+        excludeSelf: Boolean = false,
+        broadcastQueries: Boolean = true
+    ): DataFrame = {
+      require(topK > 0, s"topK must be positive, got $topK")
+      val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct(
+          (lit(c2) - lit(2.0) * VectorOps.dot(col("_qn"), VectorOps.vecLit(c.toSeq))).as("d"),
+          lit(i).as("cell"))
+      }
+      val sortedCells = array_sort(array(cellStructs: _*))
+      val probedCells = array(
+        (0 until math.min(nprobe, centroids.length))
+          .map(i => element_at(sortedCells, i + 1).getField("cell")): _*)
+      val q0 = queries.select(
+          col(queryIdCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("_qv"))
+        .withColumn("_qn", l2normalize(col("_qv")))
+        .withColumn("cell", explode(probedCells))
+        .select(col("query_id"), col("_qv"), col("cell"))
+      val q = if (broadcastQueries) broadcast(q0) else q0
+      val c = indexed.select(col("cell"),
+        col(idCol).cast("long").as("_nid"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      val scored = c.join(q, Seq("cell"))
+      val kept = if (excludeSelf) scored.where(col("_nid") =!= col("query_id")) else scored
+      kept
+        .select(col("query_id"), col("_nid"),
+          round(VectorOps.cosine(col("_cv"), col("_qv")), 6).as("_s"))
+        .groupBy("query_id")
+        .agg(org.apache.spark.sql.graft.TopKAgg.topKAgg(col("_s"), col("_nid"), topK).as("_top"))
+        .select(col("query_id"), posexplode(col("_top")).as(Seq("_r", "_e")))
+        .select(col("query_id"), col("_e.neighbor_id").as("neighbor_id"),
+          col("_e.score").as("score"), (col("_r") + 1).cast("int").as("rank"))
     }
 
     /** Persist a built index: the cell-assigned frame written PARTITIONED

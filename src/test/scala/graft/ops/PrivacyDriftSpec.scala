@@ -116,6 +116,31 @@ class PrivacyDriftSpec extends SparkSpec {
     }
   }
 
+  test("mutualKnnClustersApprox: nprobe = k probes every cell → ≡ exact path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val exact = SimilaritySearch.mutualKnnClusters(spark, rows, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // probing ALL cells removes the only approximation — the IVF-fed
+    // pipeline (index → cell-join kNN → mutualEdges → componentLabels)
+    // must reproduce the exact clustering verbatim
+    val all = SimilaritySearch.mutualKnnClustersApprox(spark, rows, k = 2,
+        SimilaritySearch.IvfIndex(k = 4, nprobe = 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == exact)
+    // a restricted probe still labels EVERY row with component-minimum ids
+    val narrow = SimilaritySearch.mutualKnnClustersApprox(spark, rows, k = 2,
+        SimilaritySearch.IvfIndex(k = 4, nprobe = 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow.size == 40)
+    narrow.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.min == cid)
+    }
+    graft.Caches.clear()
+  }
+
   test("mutualEdges: only reciprocal kNN pairs survive, canonical order") {
     import spark.implicits._
     val nn = Seq(
