@@ -405,12 +405,22 @@ object GraphQueries {
     * norm aggregates broadcast back; checkpoint cadence truncates
     * lineage; edge frame materialized once. Nothing pinned in cached
     * RDDs beyond the tracked loop state.
+    *
+    * `init` warm-starts the iteration from a previous result (this
+    * function's own `(idCol, hub, authority)` output; vertices absent
+    * from it — the graph grew — start at 1.0, the pageRankDF rule): the
+    * power iteration converges to the principal singular direction from
+    * any start with a nonzero component along it, so a near-converged
+    * hub vector needs a cadence or two instead of 30 rounds. Only the
+    * hub column seeds (each round recomputes `a` from `h` first, so a
+    * stored authority vector would be overwritten before it is read).
     */
   def hits(
       spark: SparkSession,
       edges: DataFrame,
       iters: Int = 30,
-      idCol: String = "id"
+      idCol: String = "id",
+      init: Option[DataFrame] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     def materialize(df: DataFrame): DataFrame =
@@ -428,7 +438,13 @@ object GraphQueries {
         .select(col("vid"),
           (col(c) / when(col("_n2") > 0, sqrt(col("_n2")))).as(c))
     }
-    var h = vertices.withColumn("h", lit(1.0))
+    var h = init match {
+      case None => vertices.withColumn("h", lit(1.0))
+      case Some(prev) =>
+        val p = prev.select(col(idCol).cast("long").as("ivid"), col("hub").cast("double").as("ih"))
+        vertices.join(p, vertices("vid") === p("ivid"), "left")
+          .select(vertices("vid"), coalesce(col("ih"), lit(1.0)).as("h"))
+    }
     var hCheckpoint: DataFrame = null
     var aCheckpoint: DataFrame = null
     var a: DataFrame = null

@@ -58,6 +58,50 @@ case class StreamingTrending(
       .trigger(trigger)
       .start()
 
+  /** State compaction — bounds the counts table in BOTH growth
+    * dimensions, which plain ingest never does (per-batch partitions
+    * accumulate forever, and straddling batches keep a bucket's counts
+    * split across many partial rows):
+    *
+    *   - partials merge into ONE consolidated row per `(bucket, token)`,
+    *     stored under the reserved `ingest_batch = -1` partition;
+    *   - buckets more than `retentionBuckets` behind the max observed
+    *     bucket are dropped entirely (the [[StreamingFpDedup]] retention
+    *     discipline applied to the count state).
+    *
+    * Every serving face reads MERGED counts, so compaction never changes
+    * a served result within retention (spec-pinned). Whole-table atomic
+    * swap under the maintenance lock ([[graft.io.AtomicSwap]]): a crash
+    * mid-compaction leaves the previous state intact, and a concurrent
+    * compaction fails fast instead of corrupting.
+    *
+    * Replay contract: a batch replayed AFTER its rows were consolidated
+    * would re-add them under its own partition id — run compaction only
+    * once the stream's checkpoint has committed the batches being folded
+    * (between runs for `Trigger.AvailableNow` jobs), the same maintenance
+    * window the IdManager compactor documents.
+    */
+  def compact(retentionBuckets: Long = Long.MaxValue): Unit = {
+    require(retentionBuckets > 0, s"retentionBuckets must be positive, got $retentionBuckets")
+    val dir = new org.apache.hadoop.fs.Path(countsPath)
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+      graft.io.AtomicSwap.heal(fs, dir)
+      val cur = currentCounts()
+      val maxRow = cur.agg(max(col("bucket"))).head()
+      if (!maxRow.isNullAt(0)) {
+        val floor = maxRow.getLong(0) - (retentionBuckets - 1)
+        val merged = cur.where(col("bucket") >= floor)
+          .withColumn("ingest_batch", lit(-1L))
+        val scratch = graft.io.AtomicSwap.scratch(dir)
+        merged.write.partitionBy("ingest_batch")
+          .mode(SaveMode.Overwrite).parquet(scratch.toString)
+        graft.io.AtomicSwap.swapIn(fs, dir)
+      }
+    }
+  }
+
   /** The merged count table `(bucket, token, n)` — straddling batches'
     * partial rows summed.
     */

@@ -159,6 +159,69 @@ class GraphQueriesSpec extends SparkSpec {
     assert(math.abs(got.values.map(x => x._2 * x._2).sum - 1.0) < 1e-9)
   }
 
+  test("hits: warm start from own output ≡ cold continuation; grown graph converges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .distinct.filter(e => e._1 != e._2)
+    val e = edges.toDF("src", "dst")
+    val cold28 = GraphQueries.hits(spark, e, iters = 28)
+    val cold32 = GraphQueries.hits(spark, e, iters = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // 28 and 32 are both cadence rounds, so warm(4) resumes from exactly
+    // the state cold(32) had after round 28 — the tail rounds coincide
+    val warm4 = GraphQueries.hits(spark, e, iters = 4, init = Some(cold28))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(warm4.keySet == cold32.keySet)
+    warm4.foreach { case (id, (h, a)) =>
+      assert(math.abs(h - cold32(id)._1) < 1e-9, s"hub $id")
+      assert(math.abs(a - cold32(id)._2) < 1e-9, s"authority $id")
+    }
+    // vertices absent from init (grown graph) seed at 1.0 and the warm run
+    // still lands on the grown graph's own fixed point
+    val grown = (edges ++ Seq((40L, 1L), (1L, 40L), (40L, 2L))).toDF("src", "dst")
+    val warmGrown = GraphQueries.hits(spark, grown, iters = 32, init = Some(cold28))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val coldGrown = GraphQueries.hits(spark, grown, iters = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(warmGrown.keySet == coldGrown.keySet)
+    warmGrown.foreach { case (id, (h, a)) =>
+      assert(math.abs(h - coldGrown(id)._1) < 1e-4, s"grown hub $id")
+      assert(math.abs(a - coldGrown(id)._2) < 1e-4, s"grown authority $id")
+    }
+    graft.Caches.clear()
+  }
+
+  test("pageRankDF personalized: warm start continues to the same fixed point") {
+    import spark.implicits._
+    val rng   = new scala.util.Random(11)
+    val ids   = (1L to 60L)
+    // bidirectional (dangling-free) so the personalized mass sum is
+    // conserved at 1 and the normalized output IS the raw fixed point —
+    // the exact-continuation contract (the standard warm spec's caveat);
+    // dangling graphs resume approximately, per the pageRankDF scaladoc
+    val pairs = Seq.fill(200)((ids(rng.nextInt(ids.size)), ids(rng.nextInt(ids.size))))
+      .filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val edges = pairs.toDF("src", "dst")
+    val v     = ids.toDF("id")
+    val src   = 7L
+    val cold30df = GraphQueries.pageRankDF(spark, v, edges, numIter = 30,
+      personalized = Some(src))
+    val cold30 = cold30df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a converged personalized vector re-entered as initRanks stays put:
+    // the personalized contraction has the same unique fixed point
+    val warm10 = GraphQueries.pageRankDF(spark, v, edges, numIter = 10,
+        personalized = Some(src), initRanks = Some(cold30df))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(warm10.keySet == cold30.keySet)
+    warm10.foreach { case (id, rank) =>
+      assert(math.abs(rank - cold30(id)) < 1e-6, s"vertex $id: warm=$rank cold=${cold30(id)}")
+    }
+    assert(math.abs(warm10.values.sum - 1.0) < 1e-9)
+    graft.Caches.clear()
+  }
+
   test("clusteringCoefficient: hand-computed square-with-diagonal; degree<2 NULL") {
     import spark.implicits._
     // square 1-2-3-4 plus diagonal 1-3; pendant 5 off vertex 4; isolated 9

@@ -47,4 +47,36 @@ class StreamingTrendingSpec extends SparkSpec {
     val after = mon.currentCounts().collect().map(_.toString).sorted.toSeq
     assert(after == before)
   }
+
+  test("compact: bounds state — partials consolidate, stale buckets drop, serving unchanged") {
+    val work = tempDir("graft-trending4")
+    val mon = StreamingTrending(spark, s"$work/counts", bucketTs = 10L)
+    // buckets 0..3 across four batches; bucket 0 split over two batches
+    mon.ingestBatch(docs((1L, "spark data spark"), (11L, "data ok")), 0L)
+    mon.ingestBatch(docs((2L, "spark ok"), (21L, "fresh new")), 1L)
+    mon.ingestBatch(docs((31L, "fresh fresh surge")), 2L)
+    mon.ingestBatch(docs((35L, "surge surge")), 3L)
+    val fullBefore = mon.currentCounts().collect().map(_.toString).sorted.toSeq
+    val trendBefore = mon.trending(k = 2).collect().map(_.toString).sorted.toSeq
+    // unlimited retention: pure consolidation — every serving face identical
+    mon.compact()
+    assert(mon.currentCounts().collect().map(_.toString).sorted.toSeq == fullBefore)
+    assert(mon.trending(k = 2).collect().map(_.toString).sorted.toSeq == trendBefore)
+    // state is now bounded: one consolidated row per (bucket, token), all
+    // under the reserved partition — no per-batch partials left
+    val raw = spark.read.parquet(s"$work/counts")
+    assert(raw.select(col("ingest_batch").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(-1L))
+    assert(raw.count() == raw.select(col("bucket"), col("token")).distinct().count())
+    // retention: keep the last 2 buckets behind max (buckets 2..3);
+    // in-retention serving rows are unchanged, older buckets are gone
+    val inRetention = mon.trending(k = 2).where(col("bucket") >= 2L)
+      .collect().map(_.toString).sorted.toSeq
+    mon.compact(retentionBuckets = 2L)
+    assert(mon.currentCounts().agg(min(col("bucket"))).head.getLong(0) == 2L)
+    assert(mon.trending(k = 2).collect().map(_.toString).sorted.toSeq == inRetention)
+    // further batches keep landing after compaction (partition -1 coexists)
+    mon.ingestBatch(docs((41L, "post compact")), 4L)
+    assert(mon.currentCounts().where(col("bucket") === 4L).count() == 2L)
+  }
 }
