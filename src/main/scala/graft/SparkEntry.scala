@@ -1471,6 +1471,40 @@ object SparkEntry {
           lo = 0.0, hi = 1.0, bins = 20))
     }),
 
+    // Jensen–Shannon divergence from the same histogram states: the
+    // bounded symmetric drift score (≤ ln 2, one-sided bins contribute
+    // finitely — the PSI complement with no dropped bins)
+    "q231_js_divergence" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Stats.jsDivergenceFromHists(
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "en"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12),
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "de"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12))
+    }),
+
+    // 1-D Wasserstein (earth mover's) from the states: drift that knows
+    // how FAR the mass moved, in value units — integer CDF cross-products
+    // (the q197 discipline: KS takes their max, EMD their sum)
+    "q232_emd_from_state" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Stats.emdFromHists(
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "en"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12),
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "de"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12),
+        lo = 0.0, hi = 600.0, bins = 12)
+    }),
+
+    // Lorenz curve of per-user event mass: the q198 Gini's curve —
+    // equal-population deciles via the globalNtile prefix-sum rank,
+    // exact cumulative masses, shares as single divisions
+    "q233_lorenz" -> ((s, dir) => {
+      val cnt = E(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+      graft.ops.Stats.lorenzCurve(cnt, col("n_ev"), bins = 10, tieCol = col("user_id"))
+    }),
+
     // DAU/WAU stickiness — how much of the weekly audience shows up
     // daily (the product-health ratio off the exact rolling actives)
     "q227_stickiness" -> ((s, dir) =>
@@ -5097,6 +5131,85 @@ object SparkEntry {
          |  round(CASE WHEN npos > 0 AND nneg > 0 THEN
          |    CAST(m2 AS DOUBLE) / (2 * npos * nneg) END, 6) AS auc
          |FROM t""".stripMargin,
+
+    // the q214 binning, JS terms with 0·ln0 = 0 by CASE, decimal-summed,
+    // one final halving
+    "q231_js_divergence" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(least(greatest(floor((v - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)), 0), 11) AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM g
+        |), terms AS (
+        |  SELECT n_a, n_b,
+        |    (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / n_a)
+        |        * ln((CAST(ca AS DOUBLE) / n_a)
+        |          / ((CAST(ca AS DOUBLE) / n_a + CAST(cb AS DOUBLE) / n_b) / 2))
+        |      ELSE CAST(0.0 AS DOUBLE) END)
+        |    + (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / n_b)
+        |        * ln((CAST(cb AS DOUBLE) / n_b)
+        |          / ((CAST(ca AS DOUBLE) / n_a + CAST(cb AS DOUBLE) / n_b) / 2))
+        |      ELSE CAST(0.0 AS DOUBLE) END) AS term
+        |  FROM g, t
+        |)
+        |SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+        |  round(CASE WHEN any_value(n_a) > 0 AND any_value(n_b) > 0
+        |    THEN CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) / 2 END, 6) AS js
+        |FROM terms""".stripMargin,
+
+    // the q228 CDF cross-products SUMMED instead of maxed, scaled once by
+    // width/(n_a·n_b)
+    "q232_emd_from_state" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(least(greatest(floor((v - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)), 0), 11) AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM d GROUP BY 1
+        |), cum AS (
+        |  SELECT bin,
+        |    CAST(sum(c1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |    CAST(sum(c2) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+        |  FROM g
+        |), t AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n_a, CAST(sum(c2) AS BIGINT) AS n_b FROM g
+        |), s AS (
+        |  SELECT sum(CAST(abs(f1 * t.n_b - f2 * t.n_a) AS DECIMAL(38,0))) AS sm
+        |  FROM cum, t
+        |)
+        |SELECT t.n_a, t.n_b,
+        |  round(CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |    THEN CAST(sm AS DOUBLE) * 50.0 / CAST(t.n_a * t.n_b AS DOUBLE) END, 6) AS emd
+        |FROM s, t""".stripMargin,
+
+    // per-user event mass, ntile-binned with the same (v, user_id) tie
+    // order, exact cumulative masses, single-division shares
+    "q233_lorenz" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT v, CAST(ntile(10) OVER (ORDER BY v, user_id) - 1 AS BIGINT) AS bin
+        |  FROM c
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS total
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT bin, n, total,
+        |  CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |  CAST(sum(total) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_total,
+        |  round(CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / sum(n) OVER (), 6) AS pop_share,
+        |  round(CASE WHEN sum(total) OVER () > 0
+        |    THEN CAST(sum(total) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / sum(total) OVER () END, 6) AS value_share
+        |FROM g""".stripMargin,
 
     // q170's exact rolling actives with one ratio on top
     "q227_stickiness" ->

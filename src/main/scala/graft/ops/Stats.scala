@@ -1123,15 +1123,20 @@ object Stats {
     val cum = g.select(col("bin"),
       sum(col("_c1")).over(w).as("_f1"), sum(col("_c2")).over(w).as("_f2"))
     val tot = g.agg(sum(col("_c1")).as("n_a"), sum(col("_c2")).as("n_b"))
+    // decimal BEFORE the cross-products: this face's counts are
+    // corpus-sized by design, so F·n would overflow a long exactly where
+    // the state path is supposed to take over from the exact one
     cum.crossJoin(tot)
       .agg(
-        max(abs(col("_f1") * col("n_b") - col("_f2") * col("n_a"))).as("_num"),
+        max(abs(col("_f1").cast("decimal(38,0)") * col("n_b") -
+          col("_f2").cast("decimal(38,0)") * col("n_a"))).as("_num"),
         first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       .withColumn("d",
         when(col("n_a") > 0 && col("n_b") > 0,
-          col("_num").cast("double") / (col("n_a") * col("n_b"))))
+          col("_num").cast("double") /
+            (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double")))
       .select(col("n_a"), col("n_b"), round(col("d"), scale).as("d"),
-        round(col("d") * sqrt((col("n_a") * col("n_b")).cast("double") /
+        round(col("d") * sqrt((col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double") /
           (col("n_a") + col("n_b"))), scale).as("ks_stat"))
   }
 
@@ -1189,6 +1194,124 @@ object Stats {
         when(col("_np") > 0 && col("_nn") > 0,
           round(col("_m2").cast("double") / (lit(2L) * col("_np") * col("_nn")), scale))
           .as("auc"))
+  }
+
+  /** Jensen–Shannon divergence between two (merged) [[histPartials]]
+    * STATES on the same grid — the bounded, symmetric drift score that
+    * completes the state-served family ([[psiFromHists]] is unbounded and
+    * drops one-sided bins; JS is ≤ ln 2, symmetric, and one-sided bins
+    * contribute finitely): `JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)` with
+    * `m = (p+q)/2`, natural log. Zero-count bins contribute 0 on their
+    * side (`0·ln 0 = 0` by continuity — no epsilon hack, so the score is
+    * grid-extension-invariant). Returns `(n_a, n_b, js)`; NULL when
+    * either side is empty. Shares are exact-integer ratios; per-bin terms
+    * are decimal-cast before the sum (partitioning cannot move the
+    * total); the frame is ≤2·bins rows end to end.
+    */
+  def jsDivergenceFromHists(histA: DataFrame, histB: DataFrame, scale: Int = 6): DataFrame = {
+    val g = histA.select(col("bin"), col("n").as("_ca"))
+      .join(histB.select(col("bin"), col("n").as("_cb")), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val tot = g.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
+    g.crossJoin(tot)
+      // guarded shares: an EMPTY side must yield the NULL result row, not
+      // an ANSI divide-by-zero in the eagerly-evaluated projection
+      .withColumn("_p",
+        when(col("n_a") > 0, col("_ca").cast("double") / col("n_a")).otherwise(0.0))
+      .withColumn("_q",
+        when(col("n_b") > 0, col("_cb").cast("double") / col("n_b")).otherwise(0.0))
+      .withColumn("_m", (col("_p") + col("_q")) / 2.0)
+      .withColumn("_term",
+        when(col("_ca") > 0 && col("n_a") > 0,
+          col("_p") * log(col("_p") / col("_m"))).otherwise(0.0) +
+          when(col("_cb") > 0 && col("n_b") > 0,
+            col("_q") * log(col("_q") / col("_m"))).otherwise(0.0))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("_term").cast("decimal(38,12)")).as("_s"))
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("_s").cast("double") / 2.0), scale).as("js"))
+  }
+
+  /** 1-D Wasserstein-1 (earth mover's) distance between two (merged)
+    * [[histPartials]] STATES on the same `[lo, hi)`×`bins` grid — the
+    * drift score that knows HOW FAR mass moved, where PSI/JS only know
+    * THAT it moved (shifting every document 10 chars longer barely moves
+    * JS but moves EMD by exactly 10): on an equal-width grid,
+    * `EMD = Σ_bins |F_a(b) − F_b(b)| · width` over the bin CDFs. The CDF
+    * differences are exact integers (`|F_a·n_b − F_b·n_a|`, the
+    * [[ksTest]] discipline — KS takes their max, EMD their sum), summed
+    * as decimals with ONE final scale by `width / (n_a·n_b)`. Returns
+    * `(n_a, n_b, emd)` in VALUE units; NULL when either side is empty;
+    * the cumulative runs over ≤bins rows (bounded-window class).
+    */
+  def emdFromHists(histA: DataFrame, histB: DataFrame, lo: Double, hi: Double,
+      bins: Int, scale: Int = 6): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val g = histA.select(col("bin"), col("n").as("_c1"))
+      .join(histB.select(col("bin"), col("n").as("_c2")), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("_c1"), lit(0L)).as("_c1"),
+        coalesce(col("_c2"), lit(0L)).as("_c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = g.select(col("bin"),
+      sum(col("_c1")).over(w).as("_f1"), sum(col("_c2")).over(w).as("_f2"))
+    val tot = g.agg(sum(col("_c1")).as("n_a"), sum(col("_c2")).as("n_b"))
+    cum.crossJoin(tot)
+      .agg(
+        sum(abs(col("_f1").cast("decimal(38,0)") * col("n_b") -
+          col("_f2").cast("decimal(38,0)") * col("n_a"))).as("_s"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("_s").cast("double") * lit(width) /
+            (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double")), scale)
+          .as("emd"))
+  }
+
+  /** Lorenz curve of a non-negative quantity — the curve behind [[gini]]
+    * ("the bottom 80% of users hold x% of the events"): rows sort
+    * ascending by `value` into `bins` equal-POPULATION buckets
+    * ([[globalNtile]]'s distributed prefix-sum rank — never a
+    * single-partition window), and each bucket reports its exact
+    * population and value mass plus the cumulative shares. Returns
+    * `(bin, n, total, cum_n, cum_total, pop_share, value_share)`;
+    * a perfectly equal distribution has `value_share = pop_share`
+    * everywhere, concentration bows the curve down-right.
+    *
+    * `tieCol` must make (value, tie) a total order. Integral inputs sum
+    * exactly as longs; the shares are single divisions over the ≤bins-row
+    * collapsed frame (bounded-window class).
+    */
+  def lorenzCurve(
+      df: DataFrame,
+      value: Column,
+      bins: Int,
+      tieCol: Column,
+      scale: Int = 6): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val binned = globalNtile(
+        df.where(value.isNotNull), bins, Seq(value, tieCol), "_lz_bin")
+      .groupBy(col("_lz_bin"))
+      .agg(count(lit(1)).as("n"), sum(value.cast("long")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_lz_bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    binned
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_total", sum(col("total")).over(w))
+      .withColumn("_tn", sum(col("n")).over(wAll))
+      .withColumn("_tt", sum(col("total")).over(wAll))
+      .select(col("_lz_bin").as("bin"), col("n"), col("total"),
+        col("cum_n"), col("cum_total"),
+        round(col("cum_n").cast("double") / col("_tn"), scale).as("pop_share"),
+        round(when(col("_tt") > 0, col("cum_total").cast("double") / col("_tt")), scale)
+          .as("value_share"))
   }
 
   /** Shared PSI core over a per-bin `(bin, _ca, _cb)` count frame. */

@@ -60,7 +60,9 @@ object PlanAudit {
     "q215_cramers_v",             // one-row contingency-totals crossJoin (same scalar-attach class)
     "q217_benford",               // one-row digit-total crossJoin (same scalar-attach class)
     "q225_anova",                 // one-row grand-totals crossJoin (same scalar-attach class)
-    "q228_ks_from_state"          // one-row bin-totals crossJoin (same scalar-attach class)
+    "q228_ks_from_state",         // one-row bin-totals crossJoin (same scalar-attach class)
+    "q231_js_divergence",         // one-row bin-totals crossJoin (same scalar-attach class)
+    "q232_emd_from_state"         // one-row bin-totals crossJoin (same scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -79,7 +81,9 @@ object PlanAudit {
     "q206_neyman_sample",  // seat allocation over the |strata|-row moments frame
     "q220_gains",          // cumulative over the ≤bins-row binned frame (the ntile itself is prefix-sum)
     "q228_ks_from_state",  // bin-CDF cumulative over the ≤bins-row state
-    "q229_auc_from_state"  // neg-below cumulative over the ≤bins-row state
+    "q229_auc_from_state", // neg-below cumulative over the ≤bins-row state
+    "q232_emd_from_state", // bin-CDF cumulative over the ≤bins-row state
+    "q233_lorenz"          // cumulative shares over the ≤bins-row binned frame (ntile is prefix-sum)
   )
 
   /** Count of window nodes whose partition spec is EMPTY — each one plans

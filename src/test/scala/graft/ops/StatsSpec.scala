@@ -725,6 +725,63 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("jsDivergenceFromHists: 0 on identical, ln 2 on disjoint, hand case") {
+    import spark.implicits._
+    def hist(counts: (Long, Long)*) = counts.toDF("bin", "n")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val same = Stats.jsDivergenceFromHists(hist(0L -> 2L, 1L -> 3L), hist(0L -> 4L, 1L -> 6L))
+      .collect().head
+    assert(same.getDouble(2) == 0.0) // identical SHAPES (scale-free)
+    val disjoint = Stats.jsDivergenceFromHists(hist(0L -> 2L), hist(1L -> 2L)).collect().head
+    assert(disjoint.getDouble(2) == r6(math.log(2.0)))
+    // A = (.5, .5), B = (1, 0): m = (.75, .25)
+    val hand = Stats.jsDivergenceFromHists(hist(0L -> 1L, 1L -> 1L), hist(0L -> 1L)).collect().head
+    val want = 0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)) +
+      0.5 * math.log(1.0 / 0.75)
+    assert(hand.getDouble(2) == r6(want))
+    // empty side → NULL
+    assert(Stats.jsDivergenceFromHists(hist(0L -> 1L), hist()).collect().head.isNullAt(2))
+  }
+
+  test("emdFromHists: mass shifted one bin moves EMD by one bin width; merge ≡ whole") {
+    import spark.implicits._
+    def hist(counts: (Long, Long)*) = counts.toDF("bin", "n")
+    val shifted = Stats.emdFromHists(hist(0L -> 4L), hist(1L -> 4L),
+      lo = 0.0, hi = 4.0, bins = 4).collect().head
+    assert(shifted.getDouble(2) == 1.0)
+    // same shift on a width-2 grid doubles the distance
+    val wide = Stats.emdFromHists(hist(0L -> 4L), hist(1L -> 4L),
+      lo = 0.0, hi = 8.0, bins = 4).collect().head
+    assert(wide.getDouble(2) == 2.0)
+    assert(Stats.emdFromHists(hist(0L -> 3L, 2L -> 1L), hist(0L -> 3L, 2L -> 1L),
+      0.0, 4.0, 4).collect().head.getDouble(2) == 0.0)
+    // mergeable-state contract
+    val whole = Stats.emdFromHists(hist(0L -> 4L, 1L -> 2L), hist(1L -> 6L),
+      0.0, 4.0, 4).collect().head
+    val served = Stats.emdFromHists(
+      Stats.histMerge(Seq(hist(0L -> 1L, 1L -> 2L), hist(0L -> 3L))),
+      hist(1L -> 6L), 0.0, 4.0, 4).collect().head
+    assert(served == whole)
+  }
+
+  test("lorenzCurve: hand case; equal distribution sits on the diagonal") {
+    import spark.implicits._
+    val df = Seq(1L, 1L, 1L, 1L, 2L, 2L, 2L, 10L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Stats.lorenzCurve(df, col("v"), bins = 4, tieCol = col("id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // ascending buckets of 2: totals 2,2,4,12 → cum 2,4,8,20
+    assert(got(0L) == ((2L, 2L, 2L, 0.25, 0.1)))
+    assert(got(1L) == ((2L, 2L, 4L, 0.5, 0.2)))
+    assert(got(2L) == ((2L, 4L, 8L, 0.75, 0.4)))
+    assert(got(3L) == ((2L, 12L, 20L, 1.0, 1.0)))
+    val equal = (0 until 8).map(i => (i.toLong, 5L)).toDF("id", "v")
+    Stats.lorenzCurve(equal, col("v"), bins = 4, tieCol = col("id"))
+      .collect().foreach(r => assert(r.getDouble(5) == r.getDouble(6)))
+    graft.Caches.clear()
+  }
+
   test("gini: fractional inputs sum exactly (no silent long truncation)") {
     import spark.implicits._
     // scores in [0,1] — the old cast("long") collapsed all of these to 0
