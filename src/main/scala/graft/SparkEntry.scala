@@ -1599,7 +1599,9 @@ object SparkEntry {
     // Zipf rank-frequency fit over the corpus vocabulary: log-log
     // regression through the decimal-moment linearFit — slope ≈ −α
     "q218_zipf_fit" -> ((s, dir) => {
-      val vocab = TextAnalysis.vocabulary(T(s, dir, "documents"))
+      // tracked: the explode-heavy vocabulary agg feeds the prefix-sum's
+      // sample + sums + consumer jobs
+      val vocab = graft.Caches.track(TextAnalysis.vocabulary(T(s, dir, "documents")))
       // global frequency rank over the |vocab| frame via the prefix-sum
       // (weight 1 in a total order IS the rank) — |vocab| grows with the
       // corpus, so no single-partition rank window

@@ -652,9 +652,11 @@ object EventAnalytics {
       amount: Column,
       bins: Int = 4): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val base = df.groupBy(user.as("user_id"))
+    // tracked: the event-stream aggregate feeds the first prefix-sum's
+    // sample + sums jobs (later passes derive from each other's caches)
+    val base = graft.Caches.track(df.groupBy(user.as("user_id"))
       .agg(max(ts).as("recency"), count(lit(1)).as("frequency"),
-        round(sum(amount), 2).as("monetary"))
+        round(sum(amount), 2).as("monetary")))
     // three GLOBAL ntiles over the |users| frame: each rides the
     // globalNtile prefix-sum rank — the collapsed actor frame is still
     // corpus-sized at scale, so no single-partition rank window

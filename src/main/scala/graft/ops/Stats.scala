@@ -123,10 +123,13 @@ object Stats {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"probes must be in (0, 1], got $ps")
     if (strataCols.isEmpty) {
-      val (ranked, grand) = prefixSumsCore(df, Seq(value), Seq(lit(1L) -> "_rn"))
+      // narrowed to the value alone: the prefix-sum shuffles and caches
+      // only the one live column, not the caller's full row
+      val slim = df.select(value.as("_qp_v"))
+      val (ranked, grand) = prefixSumsCore(slim, Seq(col("_qp_v")), Seq(lit(1L) -> "_rn"))
       val n = grand("_rn")
       ranked
-        .select(explode(array(ps.map(lit(_)): _*)).as("p"), col("_rn"), value.as("q"))
+        .select(explode(array(ps.map(lit(_)): _*)).as("p"), col("_rn"), col("_qp_v").as("q"))
         .where(col("_rn") === greatest(lit(1L), ceil(col("p") * lit(n)).cast("long")))
         .select(col("p"), col("q"))
     } else {
@@ -496,9 +499,12 @@ object Stats {
       tieCol: Column,
       scale: Int = 6
   ): DataFrame = {
-    val binned = ntileBins(
-      df.withColumn("_cal_s", score).withColumn("_cal_y", label.cast("int")),
-      bins, Seq(col("_cal_s"), tieCol))
+    // narrow to the three live columns, then track: the frame feeds the
+    // global ntile's sample/sums/consumer jobs, and without the cache the
+    // scoring chain upstream would run once per job
+    val slim = graft.Caches.track(
+      df.select(score.as("_cal_s"), label.cast("int").as("_cal_y"), tieCol.as("_cal_t")))
+    val binned = ntileBins(slim, bins, Seq(col("_cal_s"), col("_cal_t")))
     binned.groupBy(col("bin")).agg(
       count(lit(1)).as("n"),
       round(sum(col("_cal_s").cast("decimal(38,12)")).cast("double") / count(lit(1)),
@@ -526,8 +532,11 @@ object Stats {
     val base = df
       .select(score.as("_s"), label.cast("int").cast("long").as("_y"))
       .where(col("_s").isNotNull)
-    val groups = base.groupBy(col("_s"))
-      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_np"))
+    // tracked: the collapsed frame feeds the prefix-sum's sample + sums +
+    // consumer JOBS — without the cache the upstream scoring chain runs
+    // once per job (the NOTES no-cross-job-CSE discipline)
+    val groups = graft.Caches.track(base.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_np")))
     val ranked = runningTotal(groups, Seq(col("_s")), col("_cnt"), "_cum")
       .withColumn("_prior", col("_cum") - col("_cnt"))
     ranked.agg(
@@ -690,6 +699,10 @@ object Stats {
     require(weights.nonEmpty, "prefix sums need at least one weight column")
     val spark = df.sparkSession
     val tmpNames = weights.indices.map(i => s"_ps_w$i")
+    // NOT caching the input: the range partitioner's boundary sampling
+    // re-runs the input lineage, but that pass is column-pruned to the
+    // sort keys — measured CHEAPER than materializing an input cache
+    // (which re-ran the full-width frame into storage first)
     val withW = weights.zip(tmpNames).foldLeft(df) { case (d, ((w, _), n)) =>
       d.withColumn(n, coalesce(w.cast("long"), lit(0L)))
     }
@@ -970,9 +983,11 @@ object Stats {
   def ksTest(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
     val d = df.select(value.as("_v"), label.as("_y"))
       .where(col("_v").isNotNull && col("_y").isNotNull)
-    val g = d.groupBy(col("_v")).agg(
+    // tracked: feeds the prefix-sum's sample/sums/consumer jobs plus the
+    // totals aggregate — one upstream scan instead of four
+    val g = graft.Caches.track(d.groupBy(col("_v")).agg(
       sum(when(col("_y"), 1L).otherwise(0L)).as("_c1"),
-      sum(when(!col("_y"), 1L).otherwise(0L)).as("_c2"))
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("_c2")))
     val cum = runningTotals(g, Seq(col("_v")),
         Seq(col("_c1") -> "_f1", col("_c2") -> "_f2"))
       .select(col("_v"), col("_f1"), col("_f2"))
@@ -1454,11 +1469,13 @@ object Stats {
       tieCol: Column,
       scale: Int = 6): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val binned = globalNtile(
-        df.where(label.isNotNull), bins, Seq(score.desc, tieCol), "_bin")
+    // narrow + tracked for the same multi-job reason as calibrationCurve
+    val slim = graft.Caches.track(df.where(label.isNotNull)
+      .select(score.as("_g_s"), label.as("_g_y"), tieCol.as("_g_t")))
+    val binned = globalNtile(slim, bins, Seq(col("_g_s").desc, col("_g_t")), "_bin")
       .groupBy(col("_bin"))
       .agg(count(lit(1)).as("n"),
-        sum(when(label, 1L).otherwise(0L)).as("pos"))
+        sum(when(col("_g_y"), 1L).otherwise(0L)).as("pos"))
     val wc = org.apache.spark.sql.expressions.Window.orderBy(col("_bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
