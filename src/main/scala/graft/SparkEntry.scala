@@ -1626,6 +1626,13 @@ object SparkEntry {
       graft.ops.Stats.cramersV(
         T(s, dir, "documents"), a = col("lang"), b = col("source"))),
 
+    // mutual information + entropies + NMI on the same pair — the
+    // magnitude-in-nats face of the q215 association question; decimal
+    // count products inside the ln (corpus-safe), decimal-summed terms
+    "q234_mutual_information" -> ((s, dir) =>
+      graft.ops.Stats.mutualInformation(
+        T(s, dir, "documents"), a = col("lang"), b = col("source"))),
+
     // the q199 PSI served from two persisted-shape histogram STATES
     // (en-hist vs de-hist on the same grid): its oracle is q199's SQL
     // VERBATIM — hash equality proves state-served ≡ inline
@@ -5455,6 +5462,37 @@ object SparkEntry {
         |  CAST(m.mx - 1 AS DOUBLE) / 2 AS density
         |FROM supplier s JOIN c ON s.s_nationkey = c.s_nationkey, m
         |WHERE c.n = m.mx AND c.n >= 2""".stripMargin,
+
+    // same cells/margins, MI terms with decimal count products inside the
+    // ln, entropies per margin, one sqrt for the NMI
+    "q234_mutual_information" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+        |), ra AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT source, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |mi AS (
+        |  SELECT any_value(t.n) AS n,
+        |    sum(CAST((CAST(c.o AS DOUBLE) / t.n)
+        |      * ln(CAST(c.o * t.n AS DOUBLE) / CAST(ra.ra * cb.cb AS DOUBLE))
+        |      AS DECIMAL(38,12))) AS m
+        |  FROM cells c JOIN ra ON ra.lang = c.lang JOIN cb ON cb.source = c.source, t
+        |), ha AS (
+        |  SELECT sum(CAST(-(CAST(ra AS DOUBLE) / t.n) * ln(CAST(ra AS DOUBLE) / t.n)
+        |    AS DECIMAL(38,12))) AS h FROM ra, t
+        |), hb AS (
+        |  SELECT sum(CAST(-(CAST(cb AS DOUBLE) / t.n) * ln(CAST(cb AS DOUBLE) / t.n)
+        |    AS DECIMAL(38,12))) AS h FROM cb, t
+        |)
+        |SELECT mi.n,
+        |  round(CAST(ha.h AS DOUBLE), 6) AS h_a,
+        |  round(CAST(hb.h AS DOUBLE), 6) AS h_b,
+        |  round(CAST(mi.m AS DOUBLE), 6) AS mi,
+        |  round(CASE WHEN ha.h > 0 AND hb.h > 0
+        |    THEN CAST(mi.m AS DOUBLE) / sqrt(CAST(ha.h AS DOUBLE) * CAST(hb.h AS DOUBLE))
+        |    END, 6) AS nmi
+        |FROM mi, ha, hb""".stripMargin,
 
     // cells → margins → expected → contributions in the same pinned order
     "q215_cramers_v" ->

@@ -1532,6 +1532,57 @@ object Stats {
     * decimal-cast before the sum so partitioning cannot move the total;
     * the one-row totals ride the documented scalar-attach crossJoin.
     */
+  /** Mutual information between two categorical columns, with both
+    * marginal entropies and the normalized score — the information-
+    * theoretic face of the [[cramersV]] association question ("how many
+    * BITS does knowing the source tell you about the language?" — χ²
+    * answers significance, MI answers magnitude in nats):
+    * `MI = Σ_xy p_xy · ln(p_xy·n² / (n_x·n_y·n))`, entropies
+    * `H = −Σ p·ln p`, `NMI = MI / √(H_a·H_b)` (NULL when either side is
+    * constant — nothing to inform about). Returns one row
+    * `(n, h_a, h_b, mi, nmi)`.
+    *
+    * Exact integer contingency counts (one partial-agg shuffle, margins
+    * re-aggregated from the cells — the cramersV plumbing); each cell's
+    * ln argument is formed from DECIMAL count products (corpus-sized
+    * `n_xy·n` would overflow a long exactly at the scale this runs at),
+    * the p factors are single exact-integer divisions, and all three sums
+    * are decimal-cast before folding so partitioning cannot move them.
+    * Only PRESENT cells contribute (0·ln 0 = 0), so no grid completion is
+    * needed — the frame is ≤|a|·|b| cells end to end.
+    */
+  def mutualInformation(df: DataFrame, a: Column, b: Column, scale: Int = 6): DataFrame = {
+    val cells = df.where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("_a"), b.as("_b")).agg(count(lit(1)).as("_o"))
+    val rowT = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val colT = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val tot  = cells.agg(sum(col("_o")).as("n"))
+    val joined = cells
+      .join(rowT, Seq("_a"))
+      .join(colT, Seq("_b"))
+      .crossJoin(tot)
+    val pxy = col("_o").cast("double") / col("n")
+    val miTerm = pxy * log(
+      (col("_o").cast("decimal(38,0)") * col("n")).cast("double") /
+        (col("_ra").cast("decimal(38,0)") * col("_cb")).cast("double"))
+    val mi = joined
+      .agg(first(col("n")).as("n"), sum(miTerm.cast("decimal(38,12)")).as("_mi"))
+    def entropy(margin: DataFrame, c: String): DataFrame = margin
+      .crossJoin(tot)
+      .agg(sum((-(col(c).cast("double") / col("n")) *
+        log(col(c).cast("double") / col("n"))).cast("decimal(38,12)")).as(s"_h$c"))
+    mi.crossJoin(entropy(rowT, "_ra")).crossJoin(entropy(colT, "_cb"))
+      .select(
+        col("n"),
+        round(col("_h_ra").cast("double"), scale).as("h_a"),
+        round(col("_h_cb").cast("double"), scale).as("h_b"),
+        round(col("_mi").cast("double"), scale).as("mi"),
+        round(when(col("_h_ra") > 0 && col("_h_cb") > 0,
+          col("_mi").cast("double") /
+            sqrt(col("_h_ra").cast("double") * col("_h_cb").cast("double"))), scale)
+          .as("nmi"))
+  }
+
   def cramersV(df: DataFrame, a: Column, b: Column, scale: Int = 6): DataFrame = {
     val cells = df.where(a.isNotNull && b.isNotNull)
       .groupBy(a.as("_a"), b.as("_b")).agg(count(lit(1)).as("_o"))

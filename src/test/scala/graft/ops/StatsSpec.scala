@@ -725,6 +725,25 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("mutualInformation: 0 when independent, H when determined, NULL NMI on constant side") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent: all 4 combinations equally likely → MI 0, H = ln 2 each
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val i = Stats.mutualInformation(indep, col("a"), col("b")).collect().head
+    assert(i.getLong(0) == 4L)
+    assert(i.getDouble(1) == r6(math.log(2.0)) && i.getDouble(2) == r6(math.log(2.0)))
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0)
+    // perfectly dependent: MI = H, NMI = 1
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val d = Stats.mutualInformation(dep, col("a"), col("b")).collect().head
+    assert(d.getDouble(3) == r6(math.log(2.0)) && d.getDouble(4) == 1.0)
+    // constant b: zero entropy on one side → MI 0, NMI undefined
+    val const = Seq(("x", "u"), ("y", "u")).toDF("a", "b")
+    val c = Stats.mutualInformation(const, col("a"), col("b")).collect().head
+    assert(c.getDouble(3) == 0.0 && c.isNullAt(4))
+  }
+
   test("jsDivergenceFromHists: 0 on identical, ln 2 on disjoint, hand case") {
     import spark.implicits._
     def hist(counts: (Long, Long)*) = counts.toDF("bin", "n")
