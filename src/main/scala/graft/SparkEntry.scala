@@ -1633,6 +1633,16 @@ object SparkEntry {
       graft.ops.Stats.mutualInformation(
         T(s, dir, "documents"), a = col("lang"), b = col("source"))),
 
+    // info-gain sweep: which metadata column best predicts the language?
+    // source (categorical) vs a 400-char length band — one MI pass per
+    // feature, Theil's U from the rounded mi/h_label (engine-portable)
+    "q235_info_gain" -> ((s, dir) =>
+      graft.ops.Stats.infoGainProfile(
+        T(s, dir, "documents"), label = col("lang"),
+        features = Seq(
+          "source" -> col("source"),
+          "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
+
     // the q199 PSI served from two persisted-shape histogram STATES
     // (en-hist vs de-hist on the same grid): its oracle is q199's SQL
     // VERBATIM — hash equality proves state-served ≡ inline
@@ -5493,6 +5503,47 @@ object SparkEntry {
         |    THEN CAST(mi.m AS DOUBLE) / sqrt(CAST(ha.h AS DOUBLE) * CAST(hb.h AS DOUBLE))
         |    END, 6) AS nmi
         |FROM mi, ha, hb""".stripMargin,
+
+    // one q234-shaped MI pipeline per feature, sharing the cells/margins
+    // CTEs keyed by feature name; b values are compared only for grouping
+    // so a uniform VARCHAR cast is safe; u divides the ROUNDED mi/h_label
+    // exactly as the Spark face does
+    "q235_info_gain" ->
+      """WITH f AS (
+        |  SELECT 'source' AS feature, lang AS a, CAST(source AS VARCHAR) AS b
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'len_band', lang, CAST(CAST(floor(n_chars/400.0) AS BIGINT) AS VARCHAR)
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |), cells AS (
+        |  SELECT feature, a, b, CAST(count(*) AS BIGINT) AS o FROM f GROUP BY 1, 2, 3
+        |), ra AS (SELECT feature, a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1, 2),
+        |cb AS (SELECT feature, b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1, 2),
+        |t AS (SELECT feature, CAST(sum(o) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |mi AS (
+        |  SELECT c.feature, any_value(t.n) AS n,
+        |    sum(CAST((CAST(c.o AS DOUBLE) / t.n)
+        |      * ln(CAST(c.o * t.n AS DOUBLE) / CAST(ra.ra * cb.cb AS DOUBLE))
+        |      AS DECIMAL(38,12))) AS m
+        |  FROM cells c
+        |  JOIN ra ON ra.feature = c.feature AND ra.a = c.a
+        |  JOIN cb ON cb.feature = c.feature AND cb.b = c.b
+        |  JOIN t ON t.feature = c.feature
+        |  GROUP BY 1
+        |), ha AS (
+        |  SELECT ra.feature, sum(CAST(-(CAST(ra AS DOUBLE) / t.n) * ln(CAST(ra AS DOUBLE) / t.n)
+        |    AS DECIMAL(38,12))) AS h FROM ra JOIN t ON t.feature = ra.feature GROUP BY 1
+        |), hb AS (
+        |  SELECT cb.feature, sum(CAST(-(CAST(cb AS DOUBLE) / t.n) * ln(CAST(cb AS DOUBLE) / t.n)
+        |    AS DECIMAL(38,12))) AS h FROM cb JOIN t ON t.feature = cb.feature GROUP BY 1
+        |)
+        |SELECT mi.feature, mi.n,
+        |  round(CAST(ha.h AS DOUBLE), 6) AS h_label,
+        |  round(CAST(hb.h AS DOUBLE), 6) AS h_feature,
+        |  round(CAST(mi.m AS DOUBLE), 6) AS mi,
+        |  round(CASE WHEN round(CAST(ha.h AS DOUBLE), 6) > 0
+        |    THEN round(CAST(mi.m AS DOUBLE), 6) / round(CAST(ha.h AS DOUBLE), 6) END, 6) AS u
+        |FROM mi JOIN ha ON ha.feature = mi.feature JOIN hb ON hb.feature = mi.feature""".stripMargin,
 
     // cells → margins → expected → contributions in the same pinned order
     "q215_cramers_v" ->

@@ -1583,6 +1583,33 @@ object Stats {
           .as("nmi"))
   }
 
+  /** Information-gain screen over CANDIDATE FEATURES: one row per named
+    * feature column with the label's entropy, the feature's entropy, their
+    * mutual information, and Theil's uncertainty coefficient
+    * `U(label|feature) = MI / H(label)` — the fraction of label entropy
+    * the feature explains (0 = useless, 1 = the feature determines the
+    * label). The feature-selection AND leakage screen in one sweep: a
+    * metadata column with U ≈ 1 against a train/eval split label is a
+    * leak; against a quality label it's your best cheap classifier input.
+    *
+    * Each feature is one independent [[mutualInformation]] pass (a
+    * cells-shuffle each, no barrier between them — Spark schedules the
+    * union's legs concurrently), so the sweep costs |features| scans and
+    * the result is |features| rows. `u` divides the ALREADY-ROUNDED mi and
+    * h_label (so an engine re-deriving it from this frame's columns gets
+    * bit-identical values) and is NULL when the label is constant.
+    */
+  def infoGainProfile(df: DataFrame, label: Column,
+      features: Seq[(String, Column)], scale: Int = 6): DataFrame = {
+    require(features.nonEmpty, "features must be non-empty")
+    features.map { case (name, f) =>
+      mutualInformation(df, label, f, scale)
+        .select(lit(name).as("feature"), col("n"),
+          col("h_a").as("h_label"), col("h_b").as("h_feature"), col("mi"),
+          round(when(col("h_a") > 0, col("mi") / col("h_a")), scale).as("u"))
+    }.reduce(_ union _)
+  }
+
   def cramersV(df: DataFrame, a: Column, b: Column, scale: Int = 6): DataFrame = {
     val cells = df.where(a.isNotNull && b.isNotNull)
       .groupBy(a.as("_a"), b.as("_b")).agg(count(lit(1)).as("_o"))

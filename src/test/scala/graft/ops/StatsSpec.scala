@@ -744,6 +744,24 @@ class StatsSpec extends SparkSpec {
     assert(c.getDouble(3) == 0.0 && c.isNullAt(4))
   }
 
+  test("infoGainProfile: determining feature u=1, independent u=0, constant label u NULL") {
+    import spark.implicits._
+    // label fully determined by f1, independent of f2
+    val df = Seq(
+      ("en", "wiki", 0L), ("en", "wiki", 1L),
+      ("de", "news", 0L), ("de", "news", 1L)).toDF("lang", "src", "band")
+    val out = Stats.infoGainProfile(df, col("lang"),
+      Seq("src" -> col("src"), "band" -> col("band"))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("src").getDouble(5) == 1.0)   // u: src determines lang
+    assert(out("band").getDouble(5) == 0.0)  // u: band independent of lang
+    assert(out("src").getDouble(2) == out("band").getDouble(2)) // same h_label
+    // constant label → zero entropy → u undefined
+    val const = Seq(("en", "a"), ("en", "b")).toDF("lang", "src")
+    val c = Stats.infoGainProfile(const, col("lang"), Seq("src" -> col("src"))).collect().head
+    assert(c.getDouble(4) == 0.0 && c.isNullAt(5))
+  }
+
   test("jsDivergenceFromHists: 0 on identical, ln 2 on disjoint, hand case") {
     import spark.implicits._
     def hist(counts: (Long, Long)*) = counts.toDF("bin", "n")
