@@ -62,7 +62,9 @@ object PlanAudit {
     "q225_anova",                 // one-row grand-totals crossJoin (same scalar-attach class)
     "q228_ks_from_state",         // one-row bin-totals crossJoin (same scalar-attach class)
     "q231_js_divergence",         // one-row bin-totals crossJoin (same scalar-attach class)
-    "q232_emd_from_state"         // one-row bin-totals crossJoin (same scalar-attach class)
+    "q232_emd_from_state",        // one-row bin-totals crossJoin (same scalar-attach class)
+    "q234_mutual_information",    // one-row contingency-total crossJoins (same scalar-attach class)
+    "q235_info_gain"              // q234's per-feature one-row total crossJoins
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
