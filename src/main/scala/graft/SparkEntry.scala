@@ -1643,6 +1643,27 @@ object SparkEntry {
           "source" -> col("source"),
           "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
 
+    // retrieval eval closing the ANN loop: exact kNN (q83's mod-100 query
+    // batch, k=6 so the guaranteed-rank-1 self-match can be dropped and
+    // re-ranked to a clean top-5) scored against same-label relevance —
+    // recall@5 / reciprocal rank / nDCG@5 per query
+    "q236_retrieval_metrics" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+      val ranked = graft.ops.SimilaritySearch.knnJoin(queries, emb, k = 6)
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("r2", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("score").desc, col("neighbor_id"))))
+      val truth = queries.select(col("vec_id").as("query_id"), col("label"))
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), Seq("label"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+      graft.ops.SimilaritySearch.retrievalMetrics(ranked, truth, k = 5,
+        docCol = "neighbor_id", rankCol = "r2")
+    }),
+
     // the q199 PSI served from two persisted-shape histogram STATES
     // (en-hist vs de-hist on the same grid): its oracle is q199's SQL
     // VERBATIM — hash equality proves state-served ≡ inline
@@ -5544,6 +5565,45 @@ object SparkEntry {
         |  round(CASE WHEN round(CAST(ha.h AS DOUBLE), 6) > 0
         |    THEN round(CAST(mi.m AS DOUBLE), 6) / round(CAST(ha.h AS DOUBLE), 6) END, 6) AS u
         |FROM mi JOIN ha ON ha.feature = mi.feature JOIN hb ON hb.feature = mi.feature""".stripMargin,
+
+    // q83's scoring CTE minus the self-match, ranked per query; relevance
+    // = same label; DCG terms ln2/ln(rank+1) decimal-summed like the Spark
+    // face, one double division per metric
+    "q236_retrieval_metrics" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e WHERE vec_id % 100 = 0),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id,
+        |    round(list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+        |      AS score
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |topk AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |    FROM s) WHERE rank <= 5),
+        |rel AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id
+        |  FROM q JOIN e ON e.label = q.ql AND e.vec_id <> q.query_id),
+        |ideal AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+        |    sum(CASE WHEN ir <= 5 THEN CAST(ln(2.0) / ln(ir + 1) AS DECIMAL(38,12)) END) AS idcg
+        |  FROM (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS ir
+        |        FROM rel)
+        |  GROUP BY 1),
+        |h AS (
+        |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS hits, min(t.rank) AS first_rank,
+        |    sum(CAST(ln(2.0) / ln(t.rank + 1) AS DECIMAL(38,12))) AS dcg
+        |  FROM topk t JOIN rel ON rel.query_id = t.query_id AND rel.doc_id = t.doc_id
+        |  GROUP BY 1)
+        |SELECT i.query_id, i.n_relevant,
+        |  COALESCE(h.hits, 0) AS hits,
+        |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / i.n_relevant, 6) AS recall,
+        |  round(COALESCE(CAST(1.0 AS DOUBLE) / h.first_rank, CAST(0.0 AS DOUBLE)), 6) AS rr,
+        |  round(COALESCE(CAST(h.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)), 6) AS ndcg
+        |FROM ideal i LEFT JOIN h ON h.query_id = i.query_id""".stripMargin,
 
     // cells → margins → expected → contributions in the same pinned order
     "q215_cramers_v" ->

@@ -237,6 +237,70 @@ object SimilaritySearch {
         (col("_r") + 1).cast("int").as("rank"))
   }
 
+  /** Retrieval-quality metrics per query — the EVAL face of the ANN/kNN
+    * family ("is the index actually surfacing the right documents?"):
+    * joins a retriever's ranked results against a relevance-truth table
+    * and scores each query with recall@k (`hits / n_relevant` — the
+    * standard uncapped denominator), reciprocal rank (`1 / first relevant
+    * rank`, 0 when nothing relevant lands in the top k; average the
+    * column for MRR), and nDCG@k (`DCG / ideal DCG`, log2 discounts;
+    * binary relevance unless `gradeCol` supplies graded judgments —
+    * ideal order is grade-desc, doc-id tie-break). Queries with NO
+    * relevant documents are excluded (every metric is 0/0 there).
+    *
+    * Scale shape: the results frame is already ≤rank-bounded per query,
+    * truth matching is one equi-join on (query, doc), and both the ideal
+    * window and the per-query aggregates partition BY QUERY (bounded by
+    * that query's truth size — never a global window). Discount terms
+    * `g·ln2/ln(rank+1)` are decimal-cast before summing so partitioning
+    * cannot move DCG, and the final DCG/IDCG ratio is one double
+    * division rounded at `scale` — engine-portable modulo the documented
+    * ulp-of-ln residual risk class (q71).
+    *
+    * Returns `(queryCol, n_relevant, hits, recall, rr, ndcg)`.
+    */
+  def retrievalMetrics(
+      results: DataFrame,
+      truth: DataFrame,
+      k: Int,
+      queryCol: String = "query_id",
+      docCol: String = "doc_id",
+      rankCol: String = "rank",
+      gradeCol: Option[String] = None,
+      scale: Int = 6
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ln2 = math.log(2.0)
+    val grade = gradeCol.map(col).getOrElse(lit(1.0)).cast("double")
+    val rel = truth.where(grade > 0)
+      .select(col(queryCol).as("_q"), col(docCol).as("_d"), grade.as("_g"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_q")).orderBy(col("_g").desc, col("_d"))
+    val ideal = rel.withColumn("_ir", row_number().over(iw))
+      .groupBy(col("_q")).agg(
+        count(lit(1)).as("n_relevant"),
+        sum(when(col("_ir") <= k,
+          (col("_g") * lit(ln2) / log(col("_ir") + 1)).cast("decimal(38,12)")))
+          .as("_idcg"))
+    val hits = results.where(col(rankCol) <= k)
+      .select(col(queryCol).as("_q"), col(docCol).as("_d"),
+        col(rankCol).cast("int").as("_r"))
+      .join(rel, Seq("_q", "_d"))
+      .groupBy(col("_q")).agg(
+        count(lit(1)).as("hits"),
+        min(col("_r")).as("_first"),
+        sum((col("_g") * lit(ln2) / log(col("_r") + 1)).cast("decimal(38,12)"))
+          .as("_dcg"))
+    ideal.join(hits, Seq("_q"), "left")
+      .select(col("_q").as(queryCol), col("n_relevant"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_relevant"), scale)
+          .as("recall"),
+        round(coalesce(lit(1.0) / col("_first"), lit(0.0)), scale).as("rr"),
+        round(coalesce(col("_dcg").cast("double") / col("_idcg").cast("double"),
+          lit(0.0)), scale).as("ndcg"))
+  }
+
   /** Embedding-space drift between two corpus snapshots — the semantic
     * face of the distribution monitors ([[graft.ops.Stats.chiSquareDrift]]
     * watches categorical mixes; this watches WHERE the embedding mass

@@ -38,6 +38,7 @@ object PlanAudit {
     "q60_embed_nearest_centroid", // broadcast centroid table
     "q173_centroid_margin",       // same broadcast |labels|-row centroid fanout as q60
     "q83_knn_join",               // query batch broadcast into TopKAgg
+    "q236_retrieval_metrics",     // q83's query-batch broadcast feeding the eval
     "q101_heavy_hitters",         // one-row sketch crossJoin
     "q102_decontaminate_semantic", // eval side broadcast — exactness is the contract
     "q127_ann_ivfpq_knn",         // literal centroid struct array broadcast

@@ -881,6 +881,39 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(!plan.contains("Window"), "knnJoin must not fall back to a window sort")
   }
 
+  test("retrievalMetrics: hand case, graded ideal, no-truth queries dropped") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = math.log(2.0) / math.log(3.0) // log2 discount at rank 2
+    val results = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 20L, 3), // the rank-3 hit is past k=2
+      (2L, 7L, 1), (2L, 40L, 2),
+      (3L, 10L, 1),                             // no truth → dropped
+      (4L, 8L, 1), (4L, 9L, 2)                  // all misses
+    ).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 40L), (4L, 50L))
+      .toDF("query_id", "doc_id")
+    val out = SimilaritySearch.retrievalMetrics(results, truth, k = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    val q1 = out(1L)
+    assert(q1.getLong(1) == 3L && q1.getLong(2) == 1L)
+    assert(q1.getDouble(3) == r6(1.0 / 3))          // recall: 1 of 3 relevant
+    assert(q1.getDouble(4) == 1.0)                  // rr: hit at rank 1
+    assert(q1.getDouble(5) == r6(1.0 / (1.0 + d2))) // dcg=1, idcg=1+d2
+    val q2 = out(2L)
+    assert(q2.getDouble(3) == 1.0 && q2.getDouble(4) == 0.5 && q2.getDouble(5) == r6(d2))
+    val q4 = out(4L)
+    assert(q4.getLong(2) == 0L && q4.getDouble(3) == 0.0 &&
+      q4.getDouble(4) == 0.0 && q4.getDouble(5) == 0.0)
+    // graded judgments: the ideal ranking puts the grade-3 doc first
+    val gres = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val gtruth = Seq((1L, 10L, 1.0), (1L, 20L, 3.0)).toDF("query_id", "doc_id", "g")
+    val g = SimilaritySearch.retrievalMetrics(gres, gtruth, k = 2, gradeCol = Some("g"))
+      .collect().head
+    assert(g.getDouble(5) == r6((1.0 + 3.0 * d2) / (3.0 + d2)))
+  }
+
   test("randomProjection: deterministic under repartition, map-side, JL norm preservation") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
