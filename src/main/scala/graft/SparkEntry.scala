@@ -1643,6 +1643,15 @@ object SparkEntry {
           "source" -> col("source"),
           "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
 
+    // long-run journey mass: power iteration over q99's transition chain,
+    // 10 pinned rounds from uniform (a deterministic contract the oracle
+    // replays verbatim), absorbing self-loops on dangling states
+    "q237_markov_stationary" -> ((s, dir) =>
+      graft.ops.EventAnalytics.markovStationary(
+        graft.ops.EventAnalytics.transitionCounts(
+          E(s, dir).withColumn("tsu", expr("ts div 1000")), tsCol = "tsu"),
+        iterations = 10)),
+
     // retrieval eval closing the ANN loop: exact kNN (q83's mod-100 query
     // batch, k=6 so the guaranteed-rank-1 self-match can be dropped and
     // re-ranked to a clean top-5) scored against same-label relevance —
@@ -5565,6 +5574,48 @@ object SparkEntry {
         |  round(CASE WHEN round(CAST(ha.h AS DOUBLE), 6) > 0
         |    THEN round(CAST(mi.m AS DOUBLE), 6) / round(CAST(ha.h AS DOUBLE), 6) END, 6) AS u
         |FROM mi JOIN ha ON ha.feature = mi.feature JOIN hb ON hb.feature = mi.feature""".stripMargin,
+
+    // q99's transition CTE → row-stochastic P (self-loops for dangling
+    // states) → ten unrolled xᵢ₊₁ = Pᵀxᵢ steps, each a decimal-summed
+    // product aggregate exactly as the Spark loop runs them
+    "q237_markov_stationary" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |pr AS (SELECT event_type AS f,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS t
+        |      FROM e),
+        |c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pr
+        |      WHERE f IS NOT NULL AND t IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT f AS s FROM c UNION SELECT t FROM c),
+        |cc AS (SELECT * FROM c
+        |       UNION ALL
+        |       SELECT s, s, CAST(1 AS BIGINT) FROM st WHERE s NOT IN (SELECT f FROM c)),
+        |p AS (SELECT f, t,
+        |        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY f) AS DOUBLE) AS prob
+        |      FROM cc),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+        |x0 AS (SELECT s, CAST(1.0 AS DOUBLE) / k AS p FROM st, k),
+        |x1 AS (SELECT p.t AS s, CAST(sum(CAST(x0.p * p.prob AS DECIMAL(38,12))) AS DOUBLE) AS p
+        |       FROM x0 JOIN p ON p.f = x0.s GROUP BY 1),
+        |x2 AS (SELECT p.t AS s, CAST(sum(CAST(x1.p * p.prob AS DECIMAL(38,12))) AS DOUBLE) AS p
+        |       FROM x1 JOIN p ON p.f = x1.s GROUP BY 1),
+        |x3 AS (SELECT p.t AS s, CAST(sum(CAST(x2.p * p.prob AS DECIMAL(38,12))) AS DOUBLE) AS p
+        |       FROM x2 JOIN p ON p.f = x2.s GROUP BY 1),
+        |x4 AS (SELECT p.t AS s, CAST(sum(CAST(x3.p * p.prob AS DECIMAL(38,12))) AS DOUBLE) AS p
+        |       FROM x3 JOIN p ON p.f = x3.s GROUP BY 1),
+        |x5 AS (SELECT p.t AS s, CAST(sum(CAST(x4.p * p.prob AS DECIMAL(38,12))) AS DOUBLE) AS p
+        |       FROM x4 JOIN p ON p.f = x4.s GROUP BY 1),
+        |x6 AS (SELECT p.t AS s, CAST(sum(CAST(x5.p * p.prob AS DECIMAL(38,12))) AS DOUBLE) AS p
+        |       FROM x5 JOIN p ON p.f = x5.s GROUP BY 1),
+        |x7 AS (SELECT p.t AS s, CAST(sum(CAST(x6.p * p.prob AS DECIMAL(38,12))) AS DOUBLE) AS p
+        |       FROM x6 JOIN p ON p.f = x6.s GROUP BY 1),
+        |x8 AS (SELECT p.t AS s, CAST(sum(CAST(x7.p * p.prob AS DECIMAL(38,12))) AS DOUBLE) AS p
+        |       FROM x7 JOIN p ON p.f = x7.s GROUP BY 1),
+        |x9 AS (SELECT p.t AS s, CAST(sum(CAST(x8.p * p.prob AS DECIMAL(38,12))) AS DOUBLE) AS p
+        |       FROM x8 JOIN p ON p.f = x8.s GROUP BY 1),
+        |x10 AS (SELECT p.t AS s, CAST(sum(CAST(x9.p * p.prob AS DECIMAL(38,12))) AS DOUBLE) AS p
+        |       FROM x9 JOIN p ON p.f = x9.s GROUP BY 1)
+        |SELECT st.s AS state, round(COALESCE(x10.p, CAST(0.0 AS DOUBLE)), 6) AS p
+        |FROM st LEFT JOIN x10 ON x10.s = st.s""".stripMargin,
 
     // q83's scoring CTE minus the self-match, ranked per query; relevance
     // = same label; DCG terms ln2/ln(rank+1) decimal-summed like the Spark

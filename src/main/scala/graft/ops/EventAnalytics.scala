@@ -132,6 +132,64 @@ object EventAnalytics {
       round(col("n").cast("double") / sum(col("n")).over(totals).cast("double"), 6).as("p"))
   }
 
+  /** Stationary distribution of the [[transitionCounts]] Markov chain —
+    * "where do user journeys spend their time in the long run": power
+    * iteration `x ← Pᵀx` from the uniform start over a FIXED number of
+    * rounds (a deterministic contract, not a convergence test — two
+    * engines running the same `iterations` produce the same frame;
+    * geometric convergence makes 10–20 rounds plenty on mixing chains).
+    * States with no outgoing transitions get a self-loop (the absorbing
+    * convention — mass parks there instead of leaking), so every row of P
+    * is stochastic and total mass stays exactly 1. Null from/to types are
+    * excluded. Returns `(state, p)` for EVERY state, zero-mass states
+    * included.
+    *
+    * Scale shape: P is the transitions frame itself (|observed pairs|
+    * rows, probabilities by a from-partitioned window on exact integer
+    * counts), x is |states| rows, and each round is one equi-join on the
+    * from key + one partial-agg shuffle on the to key — pageRankDF's cost
+    * profile without the teleport. Per-round sums run over
+    * `decimal(38,12)`-cast double products so partitioning cannot move
+    * them (the chain is replayable verbatim in ANSI SQL), and frames
+    * materialize on a cadence so lineage stays bounded.
+    */
+  def markovStationary(
+      transitions: DataFrame,
+      iterations: Int = 10,
+      fromCol: String = "from_type",
+      toCol: String = "to_type",
+      nCol: String = "n",
+      scale: Int = 6
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = transitions.sparkSession
+    graft.Caches.trackNewRdds(spark) {
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val c = transitions.where(col(fromCol).isNotNull && col(toCol).isNotNull)
+      .select(col(fromCol).as("_f"), col(toCol).as("_t"), col(nCol).cast("long").as("_n"))
+    val states = c.select(col("_f").as("_s")).union(c.select(col("_t"))).distinct()
+    val dangling = states
+      .join(c.select(col("_f")).distinct(), col("_s") === col("_f"), "left_anti")
+      .select(col("_s").as("_f"), col("_s").as("_t"), lit(1L).as("_n"))
+    val p = c.union(dangling).select(col("_f"), col("_t"),
+      (col("_n").cast("double") /
+        sum(col("_n")).over(Window.partitionBy(col("_f"))).cast("double")).as("_prob"))
+    val nStates = states.agg(count(lit(1)).as("_k"))
+    var x = states.crossJoin(nStates).select(col("_s"), (lit(1.0) / col("_k")).as("_p"))
+    for (i <- 1 to iterations) {
+      x = p.join(x, col("_f") === col("_s"))
+        .groupBy(col("_t"))
+        .agg(sum((col("_p") * col("_prob")).cast("decimal(38,12)")).cast("double").as("_p"))
+        .select(col("_t").as("_s"), col("_p"))
+      if (i % 4 == 0 && i < iterations) x = materialize(x)
+    }
+    states.join(x, Seq("_s"), "left")
+      .select(col("_s").as("state"), round(coalesce(col("_p"), lit(0.0)), scale).as("p"))
+    }
+  }
+
   /** Bucketed event time series with a trailing moving average: events
     * collapse to `(series, bucket, n)` counts (bucket = `ts div bucketTs`,
     * epoch-aligned integer division), then a per-series window adds

@@ -71,6 +71,28 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("markovStationary: fixed points, absorbing self-loop, convergence, repartition-stable") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // doubly-stochastic cycle: uniform is a fixed point at every iteration
+    val cycle = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)).toDF("from_type", "to_type", "n")
+    assert(asMap(EventAnalytics.markovStationary(cycle, iterations = 7)) ==
+      Map("a" -> 0.333333, "b" -> 0.333333, "c" -> 0.333333))
+    // absorbing: b has no outgoing row → self-loop parks all mass there
+    val absorb = Seq(("a", "b", 5L)).toDF("from_type", "to_type", "n")
+    assert(asMap(EventAnalytics.markovStationary(absorb, iterations = 3)) ==
+      Map("a" -> 0.0, "b" -> 1.0))
+    // mixing chain: a→a 0.5 / a→b 0.5, b→a 1.0 — stationary (2/3, 1/3)
+    val mix = Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "a", 2L)).toDF("from_type", "to_type", "n")
+    val m = asMap(EventAnalytics.markovStationary(mix, iterations = 40))
+    assert(math.abs(m("a") - 2.0 / 3) < 1e-5 && math.abs(m("b") - 1.0 / 3) < 1e-5)
+    assert(math.abs(m.values.sum - 1.0) < 1e-5)
+    // partitioning cannot move the decimal-summed rounds
+    assert(asMap(EventAnalytics.markovStationary(mix.repartition(13), iterations = 40)) == m)
+    graft.Caches.clear()
+  }
+
   test("timeSeries: trailing MA over present buckets, per series, ordered") {
     import spark.implicits._
     val df = Seq(
