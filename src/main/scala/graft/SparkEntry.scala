@@ -1643,6 +1643,12 @@ object SparkEntry {
           "source" -> col("source"),
           "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
 
+    // FD discovery sweep over the documents metadata columns: 6 ordered
+    // pairs, holds + g3 deletion-error each (doc metadata archaeology)
+    "q238_fd_discover" -> ((s, dir) =>
+      graft.ops.Stats.fdDiscover(
+        T(s, dir, "documents"), Seq("lang", "source", "n_chars"))),
+
     // long-run journey mass: power iteration over q99's transition chain,
     // 10 pinned rounds from uniform (a deterministic contract the oracle
     // replays verbatim), absorbing self-loops on dangling states
@@ -2967,7 +2973,26 @@ object SparkEntry {
       .mkString("CAST(", " + ", " AS BIGINT)")
 
   /** DuckDB-equivalent SQL per query (same column names; see class docs). */
+  /** One fdDiscover oracle leg per ordered column pair — generated so the
+    * six legs stay structurally identical to the Spark face's union legs
+    * (cells → per-determinant maxima → one summary row).
+    */
+  private def fdDiscoverSql(cols: Seq[String]): String =
+    (for { a <- cols; b <- cols if a != b } yield
+      s"""SELECT '$a' AS determinant, '$b' AS dependent,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN db > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+         |  sum(CASE WHEN db > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+         |  round(CAST(1.0 AS DOUBLE) - CAST(sum(mx) AS DOUBLE) / CAST(sum(na) AS DOUBLE), 6) AS g3
+         |FROM (SELECT a, sum(n) AS na, max(n) AS mx, count(*) AS db
+         |      FROM (SELECT $a AS a, $b AS b, CAST(count(*) AS BIGINT) AS n
+         |            FROM documents GROUP BY 1, 2)
+         |      GROUP BY 1)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+
   def oracleSql: Map[String, String] = Map(
+    // the generated six-leg union mirrors the Spark face's union legs
+    "q238_fd_discover" -> fdDiscoverSql(Seq("lang", "source", "n_chars")),
     "q01_scan_derive" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag AS flag,
         |       l_orderkey || '_' || l_linenumber AS rowkey

@@ -798,6 +798,46 @@ object Stats {
       .where(col("n_rhs") > 1)
   }
 
+  /** Functional-dependency DISCOVERY across ordered column pairs — the
+    * profiling complement of [[fdViolations]] (which audits one GIVEN
+    * dependency): for every pair `a → b` over `cols`, whether the
+    * dependency holds exactly and how badly it fails when it doesn't,
+    * measured by the standard g3 error — the minimum fraction of rows to
+    * delete for it to hold, `1 − Σ_a max_b count(a,b) / n`. The schema
+    * archaeologist for inherited tables ("is source_id really determined
+    * by url_host?") and a redundant-column screen before feature
+    * selection. Nulls are values on both sides (a null determinant group
+    * is observable; a null dependent disagrees with a non-null one).
+    *
+    * Returns one row per ordered pair: `(determinant, dependent,
+    * n_groups, violating_groups, holds, g3)`.
+    *
+    * Scale shape: each pair costs two partial-agg shuffles over frames
+    * that collapse to |a×b cells| then |a groups| rows — the corpus never
+    * shuffles raw; the k(k−1) pairs are independent union legs Spark
+    * schedules concurrently. Exact integer counts end to end, one double
+    * division per pair.
+    */
+  def fdDiscover(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
+    require(cols.distinct.size == cols.size, "cols must be distinct")
+    require(cols.size >= 2, "fdDiscover needs at least two columns")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    pairs.map { case (a, b) =>
+      val cells = df.groupBy(col(a).as("_a"), col(b).as("_b")).agg(count(lit(1)).as("_n"))
+      cells.groupBy(col("_a"))
+        .agg(sum(col("_n")).as("_na"), max(col("_n")).as("_mx"), count(lit(1)).as("_db"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("_db") > 1, 1L).otherwise(0L)).as("violating_groups"),
+          sum(col("_na")).as("_n"), sum(col("_mx")).as("_keep"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_groups"), col("violating_groups"),
+          (col("violating_groups") === 0L).as("holds"),
+          round(lit(1.0) - col("_keep").cast("double") / col("_n").cast("double"), scale)
+            .as("g3"))
+    }.reduce(_ union _)
+  }
+
   /** Exact per-key mode — the majority-vote aggregation behind noisy-label
     * resolution (k annotators per doc → one label), canonical-value
     * election in entity resolution, and "most common category per group"

@@ -744,6 +744,27 @@ class StatsSpec extends SparkSpec {
     assert(c.getDouble(3) == 0.0 && c.isNullAt(4))
   }
 
+  test("fdDiscover: exact FD holds, g3 counts minimum deletions, nulls are values") {
+    import spark.implicits._
+    // id → cat holds (id unique); cat → id fails on both cat groups:
+    // x keeps max 2 of 3 rows, y keeps 1 of 1 → g3 = 1 - 3/4
+    val df = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "x", "b"), (4L, "y", null))
+      .toDF("id", "cat", "v")
+    val out = Stats.fdDiscover(df, Seq("id", "cat", "v")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 6)
+    val idCat = out(("id", "cat"))
+    assert(idCat.getBoolean(4) && idCat.getLong(2) == 4L && idCat.getLong(3) == 0L
+      && idCat.getDouble(5) == 0.0)
+    val catId = out(("cat", "id"))
+    assert(!catId.getBoolean(4) && catId.getLong(3) == 1L && catId.getDouble(5) == 0.5)
+    // cat → v: x maps to {a,a,b} (keep 2), y maps to {null} (one value) → g3 = 1 - 3/4
+    val catV = out(("cat", "v"))
+    assert(!catV.getBoolean(4) && catV.getLong(3) == 1L && catV.getDouble(5) == 0.25)
+    // v → cat: null determinant is its own observable group; a,b,null all single-cat
+    assert(out(("v", "cat")).getBoolean(4))
+  }
+
   test("infoGainProfile: determining feature u=1, independent u=0, constant label u NULL") {
     import spark.implicits._
     // label fully determined by f1, independent of f2
