@@ -1643,6 +1643,14 @@ object SparkEntry {
           "source" -> col("source"),
           "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
 
+    // daily seasonality over q103's hourly buckets: 2×MA trend (period 24
+    // is even), per-phase detrended means, residual — "is that spike real
+    // or just that hour of day"
+    "q239_seasonal_decompose" -> ((s, dir) =>
+      graft.ops.EventAnalytics.seasonalDecompose(
+        E(s, dir).withColumn("tsu", expr("ts div 1000")),
+        bucketTs = 3600000000L, period = 24, tsCol = "tsu")),
+
     // FD discovery sweep over the documents metadata columns: 6 ordered
     // pairs, holds + g3 deletion-error each (doc metadata archaeology)
     "q238_fd_discover" -> ((s, dir) =>
@@ -5599,6 +5607,32 @@ object SparkEntry {
         |  round(CASE WHEN round(CAST(ha.h AS DOUBLE), 6) > 0
         |    THEN round(CAST(mi.m AS DOUBLE), 6) / round(CAST(ha.h AS DOUBLE), 6) END, 6) AS u
         |FROM mi JOIN ha ON ha.feature = mi.feature JOIN hb ON hb.feature = mi.feature""".stripMargin,
+
+    // q103's bucket CTE → 2×MA trend via paired RANGE frames (25-bucket
+    // guard), decimal-summed phase means of the detrended values,
+    // residual from the two rounded parts
+    "q239_seasonal_decompose" ->
+      """WITH c AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, bucket, n,
+        |    round(CASE WHEN count(n) OVER w = 25
+        |      THEN CAST(sum(n) OVER w + sum(n) OVER wi AS DOUBLE) / 48 END, 6) AS trend
+        |  FROM c
+        |  WINDOW w  AS (PARTITION BY event_type ORDER BY bucket
+        |                RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+        |         wi AS (PARTITION BY event_type ORDER BY bucket
+        |                RANGE BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
+        |p AS (
+        |  SELECT event_type, bucket % 24 AS ph,
+        |    sum(CAST(n - trend AS DECIMAL(38,12))) AS sd, CAST(count(*) AS BIGINT) AS sc
+        |  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT event_type, ph, round(CAST(sd AS DOUBLE) / sc, 6) AS seasonal FROM p)
+        |SELECT t.event_type, t.bucket, t.n, t.trend, s.seasonal,
+        |  round(t.n - t.trend - s.seasonal, 6) AS residual
+        |FROM t LEFT JOIN s ON s.event_type = t.event_type AND s.ph = t.bucket % 24""".stripMargin,
 
     // q99's transition CTE → row-stochastic P (self-loops for dangling
     // states) → ten unrolled xᵢ₊₁ = Pᵀxᵢ steps, each a decimal-summed

@@ -219,6 +219,68 @@ object EventAnalytics {
     counts.withColumn("ma", round(avg(col("n")).over(w), 6))
   }
 
+  /** Classic additive seasonal decomposition of the bucketed event series
+    * (`n = trend + seasonal + residual`) — "is Monday traffic really up,
+    * or is that just Mondays?": trend is the centered moving average over
+    * one full period (the textbook 2×MA when the period is even, so both
+    * phase ends weigh half), seasonal is the per-phase mean of the
+    * detrended values (`phase = bucket mod period`), residual is what's
+    * left. Trend is NULL until a full period surrounds the bucket (series
+    * edges), and phases are positional in BUCKET VALUE, so a missing
+    * bucket voids the trend window around it (the count guard) instead of
+    * silently misaligning phases.
+    *
+    * Determinism: counts are exact integers, trend is one integer-sum
+    * division rounded at `scale`, detrended values are then ≤scale-decimal
+    * exacts summed as `decimal(38,12)` (partitioning cannot move the
+    * phase means), and residuals subtract the two already-rounded parts.
+    * Cost: the count collapse, one per-series window pass (RANGE frames
+    * over the bucket value), one |series×period|-row aggregate joined
+    * back — the stream never shuffles twice.
+    *
+    * Returns `(seriesCol, bucket, n, trend, seasonal, residual)`.
+    */
+  def seasonalDecompose(
+      events: DataFrame,
+      bucketTs: Long,
+      period: Int,
+      seriesCol: String = "event_type",
+      tsCol: String = "ts",
+      scale: Int = 6
+  ): DataFrame = {
+    require(bucketTs > 0, s"bucketTs must be positive, got $bucketTs")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val counts = events
+      .groupBy(col(seriesCol), expr(s"`$tsCol` div $bucketTs").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val h = period / 2
+    val full = Window.partitionBy(col(seriesCol)).orderBy(col("bucket"))
+      .rangeBetween(-h.toLong, h.toLong)
+    val trendCol =
+      if (period % 2 == 1)
+        when(count(col("n")).over(full) === period,
+          sum(col("n")).over(full).cast("double") / period)
+      else {
+        val inner = Window.partitionBy(col(seriesCol)).orderBy(col("bucket"))
+          .rangeBetween(-(h - 1).toLong, (h - 1).toLong)
+        when(count(col("n")).over(full) === period + 1,
+          (sum(col("n")).over(full) + sum(col("n")).over(inner)).cast("double")
+            / (2 * period))
+      }
+    val t = counts
+      .withColumn("trend", round(trendCol, scale))
+      .withColumn("_ph", pmod(col("bucket"), lit(period.toLong)))
+    val phaseMeans = t.where(col("trend").isNotNull)
+      .groupBy(col(seriesCol), col("_ph"))
+      .agg(sum((col("n") - col("trend")).cast("decimal(38,12)")).as("_sd"),
+        count(lit(1)).as("_sc"))
+      .select(col(seriesCol), col("_ph"),
+        round(col("_sd").cast("double") / col("_sc"), scale).as("seasonal"))
+    t.join(phaseMeans, Seq(seriesCol, "_ph"), "left")
+      .select(col(seriesCol), col("bucket"), col("n"), col("trend"), col("seasonal"),
+        round(col("n") - col("trend") - col("seasonal"), scale).as("residual"))
+  }
+
   /** Change-point validity intervals (the SCD-2 dimension-history build):
     * collapse a per-key event stream to the rows where `valueCol`
     * CHANGED, each stamped `[valid_from, valid_to)` — `valid_to` is the

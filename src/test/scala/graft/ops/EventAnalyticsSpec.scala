@@ -71,6 +71,41 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("seasonalDecompose: odd and 2×MA even trends, phase means, gap voids trend") {
+    import spark.implicits._
+    // bucketTs=10: counts per bucket [3,6,3,3,6,3] — pure period-3 signal
+    def burst(b: Long, k: Int) = Seq.tabulate(k)(i => (b * 10 + i, "a"))
+    val ev = (burst(0, 3) ++ burst(1, 6) ++ burst(2, 3) ++ burst(3, 3) ++
+      burst(4, 6) ++ burst(5, 3)).toDF("ts", "event_type")
+    val got = EventAnalytics.seasonalDecompose(ev, bucketTs = 10, period = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(got(0L) == ((None, Some(-1.0), None)))            // edge: no trend
+    assert(got(1L) == ((Some(4.0), Some(2.0), Some(0.0))))   // interior, phase 1 high
+    assert(got(2L) == ((Some(4.0), Some(-1.0), Some(0.0))))
+    assert(got(4L) == ((Some(4.0), Some(2.0), Some(0.0))))
+    assert(got(5L) == ((None, Some(-1.0), None)))
+    // even period: 2×MA weighs the frame ends half — [1,3,1,3,1] decomposes flat
+    val ev2 = (burst(0, 1) ++ burst(1, 3) ++ burst(2, 1) ++ burst(3, 3) ++ burst(4, 1))
+      .toDF("ts", "event_type")
+    val g2 = EventAnalytics.seasonalDecompose(ev2, bucketTs = 10, period = 2)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(g2(1L) == ((Some(2.0), Some(1.0), Some(0.0))))
+    assert(g2(2L) == ((Some(2.0), Some(-1.0), Some(0.0))))
+    assert(g2(3L) == ((Some(2.0), Some(1.0), Some(0.0))))
+    // a missing bucket voids the trend window that would span it
+    val gap = (burst(0, 3) ++ burst(1, 6) ++ burst(3, 3)).toDF("ts", "event_type")
+    val g3 = EventAnalytics.seasonalDecompose(gap, bucketTs = 10, period = 3)
+      .collect().map(r => r.getLong(1) -> Option(r.get(3))).toMap
+    assert(g3.values.forall(_.isEmpty))
+    // partitioning cannot move the decimal-summed phase means
+    val re = EventAnalytics.seasonalDecompose(ev.repartition(13), bucketTs = 10, period = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(re == got)
+  }
+
   test("markovStationary: fixed points, absorbing self-loop, convergence, repartition-stable") {
     import spark.implicits._
     def asMap(df: org.apache.spark.sql.DataFrame) =
