@@ -1643,6 +1643,12 @@ object SparkEntry {
           "source" -> col("source"),
           "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
 
+    // water-filling cap: char-mass budget 140k over the 20 sources — the
+    // level lands at ~7095, capping 16 sources and keeping 4 whole
+    "q240_water_fill" -> ((s, dir) =>
+      graft.ops.Sampling.waterFillBudget(
+        T(s, dir, "documents"), Seq("source"), col("n_chars"), budget = 140000.0)),
+
     // daily seasonality over q103's hourly buckets: 2×MA trend (period 24
     // is even), per-phase detrended means, residual — "is that spike real
     // or just that hour of day"
@@ -5607,6 +5613,35 @@ object SparkEntry {
         |  round(CASE WHEN round(CAST(ha.h AS DOUBLE), 6) > 0
         |    THEN round(CAST(mi.m AS DOUBLE), 6) / round(CAST(ha.h AS DOUBLE), 6) END, 6) AS u
         |FROM mi JOIN ha ON ha.feature = mi.feature JOIN hb ON hb.feature = mi.feature""".stripMargin,
+
+    // mass-ascending interval scan on exact decimal prefix sums; the
+    // first valid interval's level via min_by; one-row level attach
+    "q240_water_fill" ->
+      """WITH sz AS (
+        |  SELECT source, sum(CAST(n_chars AS DECIMAL(38,6))) AS w
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0 GROUP BY 1),
+        |r AS (
+        |  SELECT source, w,
+        |    row_number() OVER ow AS rn,
+        |    sum(w) OVER (ORDER BY w, source ROWS UNBOUNDED PRECEDING) AS cum,
+        |    COALESCE(lag(w) OVER ow, CAST(0 AS DECIMAL(38,6))) AS prev,
+        |    CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM sz
+        |  WINDOW ow AS (ORDER BY w, source)),
+        |c AS (
+        |  SELECT rn,
+        |    (CAST(140000 AS DOUBLE) - CAST(cum - w AS DOUBLE)) / (k - rn + 1) AS t
+        |  FROM r
+        |  WHERE CAST(prev AS DOUBLE)
+        |      <= (CAST(140000 AS DOUBLE) - CAST(cum - w AS DOUBLE)) / (k - rn + 1)
+        |    AND (CAST(140000 AS DOUBLE) - CAST(cum - w AS DOUBLE)) / (k - rn + 1)
+        |      <= CAST(w AS DOUBLE)),
+        |tv AS (SELECT min_by(t, rn) AS t FROM c)
+        |SELECT r.source, CAST(r.w AS DOUBLE) AS w,
+        |  round(CASE WHEN tv.t IS NOT NULL THEN least(CAST(r.w AS DOUBLE), tv.t)
+        |    ELSE CAST(r.w AS DOUBLE) END, 6) AS alloc,
+        |  (tv.t IS NOT NULL AND CAST(r.w AS DOUBLE) > tv.t) AS capped
+        |FROM r, tv""".stripMargin,
 
     // q103's bucket CTE → 2×MA trend via paired RANGE frames (25-bucket
     // guard), decimal-summed phase means of the detrended values,

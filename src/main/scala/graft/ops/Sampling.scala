@@ -637,4 +637,63 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     Stats.runningTotal(df, sortCols, tokens, out).where(col(out) <= budget)
   }
+
+  /** Water-filling budget allocation across strata — the corpus-mixing
+    * cap: find the unique level `t` with `Σ min(wᵢ, t) = budget` and give
+    * every stratum `min(wᵢ, t)` — big sources are capped at the common
+    * water line, small sources keep their full mass (contrast
+    * [[toTargetMixByTokens]], which needs target shares up front; this
+    * needs only the budget). Closed form, no iteration: sort strata by
+    * mass ascending — in the interval where the line lands after the i
+    * smallest are kept whole, `t = (budget − Σ_{j≤i} wⱼ) / (k − i)`; scan
+    * the ≤k candidate intervals and keep the first valid one. A budget
+    * covering everything leaves every stratum uncapped.
+    *
+    * Returns one row per stratum: `(strataCols…, w, alloc, capped)`.
+    *
+    * Scale shape: the corpus collapses to |strata| rows in one
+    * partial-agg shuffle BEFORE the global windows (same bounded-frame
+    * contract as quotaSample/neymanQuota — |strata| is report-sized by
+    * definition), the interval scan is pure column arithmetic on exact
+    * decimal prefix sums (a windowed double sum would be at the mercy of
+    * the engine's summation tree), and the elected level rides a one-row
+    * scalar-attach crossJoin. Ties in mass order break by the strata
+    * values; the first valid interval is elected by `min_by` on the scan
+    * rank, so equal-`t` boundary candidates cannot flap.
+    */
+  def waterFillBudget(
+      df: DataFrame,
+      strataCols: Seq[String],
+      weight: Column,
+      budget: Double,
+      scale: Int = 6
+  ): DataFrame = {
+    require(strataCols.nonEmpty, "strataCols must be non-empty")
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val strata = strataCols.map(col)
+    val sizes = df.where(weight.isNotNull && weight > 0)
+      .groupBy(strata: _*)
+      .agg(sum(weight.cast("decimal(38,6)")).as("w"))
+    val ow = Window.orderBy(col("w") +: strata: _*)
+    val ranked = sizes
+      .withColumn("_rn", row_number().over(ow))
+      .withColumn("_cum", sum(col("w"))
+        .over(ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_prev", coalesce(lag(col("w"), 1).over(ow), lit(0).cast("decimal(38,6)")))
+      .crossJoin(sizes.agg(count(lit(1)).as("_k")))
+      .withColumn("_t",
+        (lit(budget) - (col("_cum") - col("w")).cast("double"))
+          / (col("_k") - col("_rn") + 1))
+    val level = ranked
+      .where(col("_prev").cast("double") <= col("_t") &&
+        col("_t") <= col("w").cast("double"))
+      .agg(min_by(col("_t"), col("_rn")).as("_lvl"))
+    ranked.crossJoin(level)
+      .select(strata ++ Seq(
+        col("w").cast("double").as("w"),
+        round(when(col("_lvl").isNotNull, least(col("w").cast("double"), col("_lvl")))
+          .otherwise(col("w").cast("double")), scale).as("alloc"),
+        (col("_lvl").isNotNull && col("w").cast("double") > col("_lvl")).as("capped")): _*)
+  }
 }

@@ -65,7 +65,8 @@ object PlanAudit {
     "q231_js_divergence",         // one-row bin-totals crossJoin (same scalar-attach class)
     "q232_emd_from_state",        // one-row bin-totals crossJoin (same scalar-attach class)
     "q234_mutual_information",    // one-row contingency-total crossJoins (same scalar-attach class)
-    "q235_info_gain"              // q234's per-feature one-row total crossJoins
+    "q235_info_gain",             // q234's per-feature one-row total crossJoins
+    "q240_water_fill"             // one-row |strata|-count and water-level crossJoins
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -86,7 +87,8 @@ object PlanAudit {
     "q228_ks_from_state",  // bin-CDF cumulative over the ≤bins-row state
     "q229_auc_from_state", // neg-below cumulative over the ≤bins-row state
     "q232_emd_from_state", // bin-CDF cumulative over the ≤bins-row state
-    "q233_lorenz"          // cumulative shares over the ≤bins-row binned frame (ntile is prefix-sum)
+    "q233_lorenz",         // cumulative shares over the ≤bins-row binned frame (ntile is prefix-sum)
+    "q240_water_fill"      // interval scan over the |strata|-row mass frame (q163/q206 class)
   )
 
   /** Count of window nodes whose partition spec is EMPTY — each one plans

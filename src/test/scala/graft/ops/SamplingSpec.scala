@@ -525,4 +525,32 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"tokenBudget must not use a global window:\n$plan")
     graft.Caches.clear()
   }
+
+  test("waterFillBudget: exact level, uncapped small strata, covering budget, determinism") {
+    import spark.implicits._
+    // masses 10/20/40/80 (=150). budget 100: keep 10 and 20 whole,
+    // level t = (100-30)/2 = 35 caps 40 and 80
+    val df = (Seq.fill(1)(("a", 10.0)) ++ Seq.fill(2)(("b", 10.0)) ++
+      Seq.fill(4)(("c", 10.0)) ++ Seq.fill(8)(("d", 10.0))).toDF("src", "m")
+    val got = Sampling.waterFillBudget(df, Seq("src"), col("m"), budget = 100.0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got("a") == ((10.0, 10.0, false)) && got("b") == ((20.0, 20.0, false)))
+    assert(got("c") == ((40.0, 35.0, true)) && got("d") == ((80.0, 35.0, true)))
+    // allocations hit the budget exactly
+    assert(got.values.map(_._2).sum == 100.0)
+    // budget below the smallest stratum: everyone capped at budget/k
+    val low = Sampling.waterFillBudget(df, Seq("src"), col("m"), budget = 20.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(low.values.forall(_ == 5.0))
+    // budget covering everything: no cap, full masses back
+    val free = Sampling.waterFillBudget(df, Seq("src"), col("m"), budget = 1000.0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(free == Map("a" -> ((10.0, false)), "b" -> ((20.0, false)),
+      "c" -> ((40.0, false)), "d" -> ((80.0, false))))
+    // partitioning cannot move the decimal prefix sums
+    val re = Sampling.waterFillBudget(df.repartition(7), Seq("src"), col("m"), budget = 100.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(re == got.map { case (k, v) => k -> v._2 })
+  }
 }
