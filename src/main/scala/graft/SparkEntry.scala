@@ -1643,6 +1643,12 @@ object SparkEntry {
           "source" -> col("source"),
           "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
 
+    // per-term χ² against the language label: top-5 marker terms per
+    // language from the 2×2 doc-presence contingency (minDf 3)
+    "q241_term_chi2" -> ((s, dir) =>
+      graft.ops.TextAnalysis.termLabelChi2(
+        T(s, dir, "documents"), minDf = 3L, topK = 5)),
+
     // water-filling cap: char-mass budget 140k over the 20 sources — the
     // level lands at ~7095, capping 16 sources and keeping 4 whole
     "q240_water_fill" -> ((s, dir) =>
@@ -5613,6 +5619,38 @@ object SparkEntry {
         |  round(CASE WHEN round(CAST(ha.h AS DOUBLE), 6) > 0
         |    THEN round(CAST(mi.m AS DOUBLE), 6) / round(CAST(ha.h AS DOUBLE), 6) END, 6) AS u
         |FROM mi JOIN ha ON ha.feature = mi.feature JOIN hb ON hb.feature = mi.feature""".stripMargin,
+
+    // q66's tokenizer distinct'd per doc → (term,label) cells + margins →
+    // decimal ad−bc, double square, two pinned divisions; rank compares
+    // the ROUNDED score with token tie-break
+    "q241_term_chi2" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents WHERE lang IS NOT NULL),
+        |toks AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(regexp_split_to_array(t, '\s+')) AS token FROM d),
+        |tl AS (SELECT token, lang AS label, CAST(count(*) AS BIGINT) AS df_in
+        |       FROM toks WHERE token <> '' GROUP BY 1, 2),
+        |tt AS (SELECT token, CAST(sum(df_in) AS BIGINT) AS df_all FROM tl GROUP BY 1),
+        |ll AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS nl FROM d GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |sc AS (
+        |  SELECT tl.label, tl.token, tl.df_in, tt.df_all,
+        |    round(CAST(n AS DOUBLE)
+        |      * CAST(CAST(df_in AS DECIMAL(38,0)) * (n - df_all - (nl - df_in))
+        |             - CAST(df_all - df_in AS DECIMAL(38,0)) * (nl - df_in) AS DOUBLE)
+        |      * CAST(CAST(df_in AS DECIMAL(38,0)) * (n - df_all - (nl - df_in))
+        |             - CAST(df_all - df_in AS DECIMAL(38,0)) * (nl - df_in) AS DOUBLE)
+        |      / (CAST(df_all AS DOUBLE) * (n - df_all))
+        |      / (CAST(nl AS DOUBLE) * (n - nl)), 6) AS chi2
+        |  FROM tl JOIN tt ON tt.token = tl.token JOIN ll ON ll.label = tl.label, nn
+        |  WHERE df_all >= 3 AND df_all < n AND nl < n),
+        |r AS (
+        |  SELECT label, token, df_in, df_all, chi2,
+        |    CAST(row_number() OVER (PARTITION BY label ORDER BY chi2 DESC, token) AS INT)
+        |      AS rank
+        |  FROM sc)
+        |SELECT * FROM r WHERE rank <= 5""".stripMargin,
 
     // mass-ascending interval scan on exact decimal prefix sums; the
     // first valid interval's level via min_by; one-row level attach

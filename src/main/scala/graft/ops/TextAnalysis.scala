@@ -529,6 +529,71 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Per-term χ² feature selection against a document label — the
+    * TERM-level complement of [[graft.ops.Stats.infoGainProfile]]'s
+    * column-level screen ("which words actually mark a language /
+    * quality class?" — the classic feature filter feeding a
+    * [[hashedNgramClassifier]]-style model): for every (term, label)
+    * pair PRESENT in the corpus, the 2×2 document-presence contingency
+    * `{has term, lacks term} × {label, other labels}` scored
+    * `χ² = n(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`, keeping each label's
+    * `topK` terms. Present pairs only (a term a class never uses is
+    * absence evidence this ranking doesn't chase); terms in EVERY
+    * document carry no signal and are excluded, as is everything under
+    * `minDf`.
+    *
+    * Exactness: all four cells derive from integer doc counts; `ad−bc`
+    * forms as a DECIMAL product difference (corpus doc counts overflow a
+    * long product exactly where this runs) and one double squaring +
+    * two pinned divisions finish the score — rank order compares the
+    * ROUNDED score (ties by token), so the cut is engine-portable.
+    *
+    * Scale shape: the one corpus-sized shuffle is the distinct
+    * (doc, token) explode (the [[vocabulary]] discipline); everything
+    * after runs on |vocab×labels| cells joined to two margin frames and
+    * a one-row total. The per-label top-k rides a label-partitioned
+    * rank window (WindowGroupLimit prunes it map-side) — never global.
+    *
+    * Returns `(label, token, df_in, df_all, chi2, rank)`.
+    */
+  def termLabelChi2(
+      df: DataFrame,
+      labelCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minDf: Long = 2L,
+      topK: Int = 10,
+      scale: Int = 6
+  ): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val base = df.where(col(labelCol).isNotNull)
+      .select(col(idCol).as("_id"), col(labelCol).as("label"),
+        lower(trim(col(textCol))).as("_t"))
+    val toks = base
+      .select(col("_id"), col("label"), explode(split(col("_t"), "\\s+")).as("token"))
+      .where(col("token") =!= "").distinct()
+    val tl = toks.groupBy(col("token"), col("label")).agg(count(lit(1)).as("df_in"))
+    val tt = tl.groupBy(col("token")).agg(sum(col("df_in")).as("df_all"))
+    val ll = base.groupBy(col("label")).agg(count(lit(1)).as("_nl"))
+    val nn = base.agg(count(lit(1)).as("_n"))
+    val j = tl.join(tt, Seq("token")).join(ll, Seq("label")).crossJoin(nn)
+      .where(col("df_all") >= minDf && col("df_all") < col("_n") && col("_nl") < col("_n"))
+    val a = col("df_in")
+    val b = col("df_all") - a
+    val c = col("_nl") - a
+    val d = col("_n") - col("df_all") - c
+    val diff = (a.cast("decimal(38,0)") * d - b.cast("decimal(38,0)") * c).cast("double")
+    val chi2 = round(col("_n").cast("double") * diff * diff
+      / (col("df_all").cast("double") * (col("_n") - col("df_all")))
+      / (col("_nl").cast("double") * (col("_n") - col("_nl"))), scale)
+    val scored = j.select(col("label"), col("token"), col("df_in"), col("df_all"),
+      chi2.as("chi2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("chi2").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= topK)
+  }
+
   /** Weighted-cosine document similarity join: pairs `(id1 < id2)` whose
     * tf/df-weighted token vectors have cosine ≥ `threshold` — the weighted
     * complement of the binary n-gram Jaccard join ([[graft.ops.Dedup.ngramJaccardPairs]]):

@@ -66,7 +66,8 @@ object PlanAudit {
     "q232_emd_from_state",        // one-row bin-totals crossJoin (same scalar-attach class)
     "q234_mutual_information",    // one-row contingency-total crossJoins (same scalar-attach class)
     "q235_info_gain",             // q234's per-feature one-row total crossJoins
-    "q240_water_fill"             // one-row |strata|-count and water-level crossJoins
+    "q240_water_fill",            // one-row |strata|-count and water-level crossJoins
+    "q241_term_chi2"              // one-row doc-total crossJoin (same scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

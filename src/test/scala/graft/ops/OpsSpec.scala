@@ -609,6 +609,28 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextAnalysis.topTokens(docs, k = 0))
   }
 
+  test("termLabelChi2: perfect discriminators score n, balanced terms 0, degenerates excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "the apple banana"), (2L, "x", "the apple cherry"),
+      (3L, "y", "the dog banana"), (4L, "y", "the dog cherry")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.termLabelChi2(docs, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))).toMap
+    // apple marks x exactly: a=2,b=0,c=0,d=2 → χ² = n = 4; dog marks y
+    assert(got(("x", "apple")) == ((2L, 2L, 4.0, 1)))
+    assert(got(("y", "dog")) == ((2L, 2L, 4.0, 1)))
+    // balanced terms score 0; rank-2 tie broken by token (banana < cherry)
+    assert(got(("x", "banana"))._3 == 0.0 && got(("x", "banana"))._4 == 2)
+    // 'the' is in every doc → no signal → excluded entirely
+    assert(!got.keySet.exists(_._2 == "the"))
+    assert(got.size == 4) // topK=2 per label
+    // a single-label corpus has no contrast to score
+    val mono = docs.withColumn("lang", lit("x"))
+    assert(TextAnalysis.termLabelChi2(mono).count() == 0L)
+  }
+
   test("vocabulary: tf/df counts, normalization, minDf floor") {
     import spark.implicits._
     val docs = Seq(
