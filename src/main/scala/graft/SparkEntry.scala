@@ -1643,6 +1643,34 @@ object SparkEntry {
           "source" -> col("source"),
           "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
 
+    // betweenness over the event-type transition graph (undirected):
+    // numSources ≥ |V| degrades sampled Brandes to EXACT, and the oracle
+    // computes the same number through the pairwise σ_sv·σ_vt/σ_st form —
+    // two independent algorithms agreeing is the check
+    "q242_betweenness" -> ((s, dir) => {
+      val tc = graft.ops.EventAnalytics.transitionCounts(
+        E(s, dir).withColumn("tsu", expr("ts div 1000")), tsCol = "tsu")
+      // undirected pair mass ≥ 785 keeps the BUSY half of the transition
+      // pairs (the complete 5-type graph has all-zero betweenness — the
+      // thresholded one routes around the dropped edges)
+      val pairs = tc.where(col("from_type") =!= col("to_type"))
+        .groupBy(least(col("from_type"), col("to_type")).as("a"),
+          greatest(col("from_type"), col("to_type")).as("b"))
+        .agg(sum(col("n")).as("w")).where(col("w") >= 785)
+      val types = pairs.select(col("a").as("t"))
+        .union(pairs.select(col("b"))).distinct()
+      // |event types|-row frame: name-rank ids (bounded global window)
+      val m = types.withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("t"))).cast("long"))
+      val edges = pairs
+        .join(m.select(col("t").as("a"), col("id").as("src")), Seq("a"))
+        .join(m.select(col("t").as("b"), col("id").as("dst")), Seq("b"))
+        .select("src", "dst")
+      graft.graph.GraphQueries.approxBetweenness(s, edges, numSources = 64)
+        .join(m, Seq("id"))
+        .select(col("t").as("state"), col("bc"))
+    }),
+
     // per-term χ² against the language label: top-5 marker terms per
     // language from the 2×2 doc-presence contingency (minDf 3)
     "q241_term_chi2" -> ((s, dir) =>
@@ -5619,6 +5647,51 @@ object SparkEntry {
         |  round(CASE WHEN round(CAST(ha.h AS DOUBLE), 6) > 0
         |    THEN round(CAST(mi.m AS DOUBLE), 6) / round(CAST(ha.h AS DOUBLE), 6) END, 6) AS u
         |FROM mi JOIN ha ON ha.feature = mi.feature JOIN hb ON hb.feature = mi.feature""".stripMargin,
+
+    // pairwise Brandes check: walks UNROLLED to 4 steps (≤5 states, so
+    // shortest dist ≤ 4; a recursive CTE re-evaluates the upstream window
+    // chain per iteration in DuckDB and never returns) → all-pairs
+    // (dist, σ) → BC(v) = Σ σ_sv·σ_vt/σ_st over distance-composing
+    // ordered pairs, halved for undirected
+    "q242_betweenness" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |pr AS (SELECT event_type AS f,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS t
+        |      FROM e0),
+        |pairs AS (
+        |  SELECT least(f, t) AS a, greatest(f, t) AS b
+        |  FROM pr WHERE f IS NOT NULL AND t IS NOT NULL AND f <> t
+        |  GROUP BY 1, 2 HAVING count(*) >= 785),
+        |ty AS (SELECT a AS s FROM pairs UNION SELECT b FROM pairs),
+        |m AS (SELECT s AS state, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS id FROM ty),
+        |cn AS (SELECT ma.id AS a, mb.id AS b
+        |       FROM pairs JOIN m ma ON ma.state = pairs.a JOIN m mb ON mb.state = pairs.b),
+        |ed AS (SELECT a AS src, b AS dst FROM cn UNION ALL SELECT b, a FROM cn),
+        |w1 AS (SELECT m.id AS s, e1.dst AS v, 1 AS dist FROM m JOIN ed e1 ON e1.src = m.id),
+        |w2 AS (SELECT w1.s, e2.dst AS v, 2 AS dist FROM w1 JOIN ed e2 ON e2.src = w1.v),
+        |w3 AS (SELECT w2.s, e3.dst AS v, 3 AS dist FROM w2 JOIN ed e3 ON e3.src = w2.v),
+        |w4 AS (SELECT w3.s, e4.dst AS v, 4 AS dist FROM w3 JOIN ed e4 ON e4.src = w3.v),
+        |walks AS (
+        |  SELECT id AS s, id AS v, 0 AS dist FROM m
+        |  UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2
+        |  UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4),
+        |ap AS (SELECT s, v, dist, CAST(count(*) AS BIGINT) AS paths
+        |       FROM walks GROUP BY 1, 2, 3),
+        |sp AS (SELECT s, v, min(dist) AS d FROM ap GROUP BY 1, 2),
+        |sig AS (SELECT ap.s, ap.v, sp.d, ap.paths AS sigma
+        |        FROM ap JOIN sp ON sp.s = ap.s AND sp.v = ap.v AND sp.d = ap.dist),
+        |bcsum AS (
+        |  SELECT sv.v AS id,
+        |    sum(CAST(CAST(sv.sigma * vt.sigma AS DOUBLE) / st.sigma AS DECIMAL(38,12))) AS x
+        |  FROM sig st
+        |  JOIN sig sv ON sv.s = st.s
+        |  JOIN sig vt ON vt.s = sv.v AND vt.v = st.v
+        |  WHERE sv.v <> st.s AND sv.v <> st.v AND st.s <> st.v
+        |    AND sv.d + vt.d = st.d
+        |  GROUP BY 1)
+        |SELECT m.state, round(COALESCE(CAST(bc.x AS DOUBLE), CAST(0.0 AS DOUBLE)) / 2, 6) AS bc
+        |FROM m LEFT JOIN bcsum bc ON bc.id = m.id""".stripMargin,
 
     // q66's tokenizer distinct'd per doc → (term,label) cells + margins →
     // decimal ad−bc, double square, two pinned divisions; rank compares

@@ -1872,4 +1872,124 @@ object GraphQueries {
       .select(col("n_vertices"), col("n_edges"), col("n_reciprocal"),
         round(col("n_reciprocal").cast("double") / col("n_edges"), 6).as("reciprocity"))
   }
+
+  /** Betweenness centrality by multi-source Brandes (undirected,
+    * unweighted), sampled: run the forward BFS + backward dependency
+    * accumulation from `numSources` hash-elected pivot vertices AT ONCE
+    * (frames keyed `(source, vertex)` — rounds are bounded by the
+    * DIAMETER, not sources × diameter) and scale by `|V|/numSources`
+    * (Bader et al.'s estimator; `numSources ≥ |V|` degrades to exact
+    * Brandes). Forward: level-synchronous frontier carrying the
+    * shortest-path COUNT σ (level-uniform, so a per-(source, vertex) sum
+    * per round is exact). Backward: walk the levels top-down,
+    * `δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ_w)`; betweenness is
+    * `Σ_s δ_s(v) / 2` (each unordered pair counted once).
+    *
+    * Determinism: pivots are `bucket(id, seed)`-ordered (the sampler
+    * discipline — a pure function of ids), σ is an exact decimal count,
+    * each δ term is decimal(38,12)-cast before its per-vertex sum, and
+    * the final scale/halving is one double multiply — partitioning
+    * cannot move anything. The backward recursion is an exact
+    * rearrangement of the pairwise σ_sv·σ_vt/σ_st sum (Brandes 2001), so
+    * an engine computing THAT form agrees to well below the rounding.
+    *
+    * Scale shape: per forward round one equi-join frontier×edges + one
+    * partial-agg + one anti-join against settled (shortestPaths' exact
+    * cost, ×numSources rows); per backward LEVEL one three-way equi-join
+    * of level slices. State is O(numSources · |V|) rows — the sampling
+    * knob is precisely what bounds it at corpus scale. Vertices
+    * unreachable from every pivot report 0 (left join), isolated
+    * vertices don't appear (no edges, no centrality).
+    */
+  def approxBetweenness(
+      spark: SparkSession,
+      edges: DataFrame,
+      numSources: Int,
+      seed: Int = 42,
+      idCol: String = "id",
+      maxDist: Int = 50,
+      scale: Int = 6
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(numSources >= 1, s"numSources must be >= 1, got $numSources")
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val e = materialize(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"))))
+    val verts = e.select(col("src").as("v")).distinct()
+    val nV = verts.count() // bounded scalar (vertex count)
+    if (nV == 0L) {
+      import spark.implicits._
+      Seq.empty[(Long, Double)].toDF(idCol, "bc")
+    } else {
+      val pivots = materialize(
+        verts.orderBy(graft.ops.Sampling.bucket(col("v"), seed, graft.ops.XxHash), col("v"))
+          .limit(numSources).select(col("v").as("s")))
+      val nS = pivots.count() // = min(numSources, |V|), bounded scalar
+      // forward: settled(s, v, lvl, sigma) — sigma exact decimal counts
+      var settled = materialize(pivots.select(col("s"), col("s").as("v"),
+        lit(0).as("lvl"), lit(1).cast("decimal(38,0)").as("sigma")))
+      var frontier = settled
+      var lvl = 0
+      var done = false
+      while (!done && lvl < maxDist) {
+        val next = materialize(
+          frontier.join(e, col("v") === col("src"))
+            .groupBy(col("s"), col("dst").as("_w"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .withColumnRenamed("_w", "v")
+            .join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+            .withColumn("lvl", lit(lvl + 1))
+            .select(col("s"), col("v"), col("lvl"), col("sigma")))
+        if (next.isEmpty) { next.unpersist(blocking = false); done = true }
+        else {
+          settled = settled.union(next)
+          frontier = next
+          lvl += 1
+          if (lvl % 4 == 0) settled = materialize(settled)
+        }
+      }
+      if (!done) {
+        log.warn(s"approxBetweenness: diameter exceeds maxDist=$maxDist from some pivot; " +
+          "paths beyond that radius are not accumulated — raise maxDist")
+      }
+      settled = materialize(settled)
+      // backward: δ by descending level; every settled row gets a δ row
+      var delta = settled.where(col("lvl") === lvl)
+        .select(col("s"), col("v"), col("lvl"), col("sigma"), lit(0.0).as("delta"))
+      var acc = delta
+      var curLvl = lvl - 1
+      while (curLvl >= 0) {
+        val cur = settled.where(col("lvl") === curLvl)
+        val succ = delta.select(col("s").as("_ss"), col("v").as("_w"),
+          col("sigma").as("_sw"), col("delta").as("_dw"))
+        val contrib = cur.join(e, col("v") === col("src"))
+          .join(succ, col("s") === col("_ss") && col("dst") === col("_w"))
+          .groupBy(col("s"), col("v"))
+          .agg(sum(((col("sigma").cast("double") / col("_sw").cast("double"))
+            * (lit(1.0) + col("_dw"))).cast("decimal(38,12)")).cast("double").as("_c"))
+        delta = materialize(
+          cur.join(contrib, Seq("s", "v"), "left")
+            .select(col("s"), col("v"), col("lvl"), col("sigma"),
+              coalesce(col("_c"), lit(0.0)).as("delta")))
+        acc = acc.union(delta)
+        curLvl -= 1
+      }
+      val factor = nV.toDouble / nS
+      acc.where(col("v") =!= col("s"))
+        .groupBy(col("v"))
+        .agg(sum(col("delta").cast("decimal(38,12)")).as("_bc"))
+        .join(verts, Seq("v"), "right")
+        .select(col("v").as(idCol),
+          round(coalesce(col("_bc").cast("double"), lit(0.0)) * lit(factor) / 2, scale)
+            .as("bc"))
+    }
+  }
 }

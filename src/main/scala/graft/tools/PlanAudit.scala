@@ -89,7 +89,8 @@ object PlanAudit {
     "q229_auc_from_state", // neg-below cumulative over the ≤bins-row state
     "q232_emd_from_state", // bin-CDF cumulative over the ≤bins-row state
     "q233_lorenz",         // cumulative shares over the ≤bins-row binned frame (ntile is prefix-sum)
-    "q240_water_fill"      // interval scan over the |strata|-row mass frame (q163/q206 class)
+    "q240_water_fill",     // interval scan over the |strata|-row mass frame (q163/q206 class)
+    "q242_betweenness"     // state-id ranking over the |event types|-row frame
   )
 
   /** Count of window nodes whose partition spec is EMPTY — each one plans

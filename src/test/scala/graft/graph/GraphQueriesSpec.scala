@@ -601,6 +601,34 @@ class GraphQueriesSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.5)
     graft.Caches.clear()
   }
+
+  test("approxBetweenness: path/star/cycle closed forms at full pivots, disconnected zeros") {
+    import spark.implicits._
+    def bc(edges: Seq[(Long, Long)], k: Int) =
+      GraphQueries.approxBetweenness(spark, edges.toDF("src", "dst"), numSources = k)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // path 1-2-3-4: pairs (1,3),(1,4) pass 2; (1,4),(2,4) pass 3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(bc(path, 4) == Map(1L -> 0.0, 2L -> 2.0, 3L -> 2.0, 4L -> 0.0))
+    // star: every leaf pair routes through the hub — C(4,2) = 6
+    val star = (1L to 4L).map(i => (0L, i))
+    assert(bc(star, 5) == Map(0L -> 6.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+    // 4-cycle: each opposite pair has TWO shortest paths (σ splits 1/2 each way)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(bc(cycle, 4) == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 0.5))
+    // disconnected components never contribute cross-pairs
+    val two = path ++ Seq((10L, 11L))
+    val d = bc(two, 6)
+    assert(d(2L) == 2.0 && d(10L) == 0.0 && d(11L) == 0.0)
+    // sampled pivots scale by |V|/k and stay deterministic under repartition
+    val est = GraphQueries.approxBetweenness(spark, path.toDF("src", "dst"), numSources = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val est2 = GraphQueries.approxBetweenness(
+      spark, path.toDF("src", "dst").repartition(7), numSources = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est == est2 && est.values.forall(_ >= 0.0))
+    graft.Caches.clear()
+  }
 }
 
 class IvfSpec extends SparkSpec {
@@ -644,4 +672,5 @@ class IvfSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     got.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
   }
+
 }
