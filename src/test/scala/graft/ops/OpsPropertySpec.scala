@@ -232,4 +232,89 @@ class OpsPropertySpec extends SparkSpec {
       assert(got === Set((2L, 1L, 1.0)), s"n=$n cut=$cut")
     }
   }
+
+  test("property: mutual information bounds — 0 ≤ MI ≤ min(H), NMI in [0,1]") {
+    val tblGen = for {
+      n    <- Gen.choose(2, 80)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 4), Gen.choose(0, 3)))
+    } yield rows
+    samples(tblGen, 8).foreach { rows =>
+      val df = rows.map { case (a, b) => (s"a$a", s"b$b") }.toDF("a", "b")
+      val r = Stats.mutualInformation(df, col("a"), col("b"), scale = 9).collect().head
+      val (ha, hb, mi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(mi >= -1e-9, s"MI negative: $mi for ${rows.take(6)}…")
+      assert(mi <= math.min(ha, hb) + 1e-9, s"MI exceeds min entropy for ${rows.take(6)}…")
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= -1e-9 && r.getDouble(4) <= 1 + 1e-9)
+    }
+  }
+
+  test("property: waterFillBudget allocates exactly min(budget, total), caps monotone") {
+    val gen = for {
+      k  <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(k, Gen.choose(1, 500))
+      b  <- Gen.choose(1, 3000)
+    } yield (ws, b)
+    samples(gen, 10).foreach { case (ws, b) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (s"s$i", w.toDouble) }.toDF("src", "m")
+      val out = Sampling.waterFillBudget(df, Seq("src"), col("m"), budget = b.toDouble)
+        .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+      val total = ws.sum.toDouble
+      val allocated = out.map(_._2).sum
+      assert(math.abs(allocated - math.min(b.toDouble, total)) < 1e-4,
+        s"alloc $allocated vs ${math.min(b.toDouble, total)} for ws=$ws b=$b")
+      // capped strata all share one level; uncapped keep their full mass
+      out.foreach { case (w, alloc, capped) =>
+        if (capped) assert(alloc < w) else assert(alloc == w)
+      }
+      val levels = out.filter(_._3).map(_._2).distinct
+      assert(levels.size <= 1, s"capped allocations disagree: $levels")
+    }
+  }
+
+  test("property: approxBetweenness at full pivots matches the pairwise sigma form") {
+    val gen = for {
+      ne <- Gen.choose(1, 20)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(1L, 9L), Gen.choose(1L, 9L)))
+    } yield es
+    samples(gen, 6).foreach { es =>
+      val edges = es.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = graft.graph.GraphQueries
+          .approxBetweenness(spark, edges.toDF("src", "dst"), numSources = 9)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        // reference: driver-side BFS σ/dist + pairwise accumulation
+        val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+          .distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val verts = adj.keySet.toSeq.sorted
+        def bfs(s: Long): Map[Long, (Int, Long)] = {
+          var res = Map(s -> ((0, 1L)))
+          var frontier = Set(s)
+          var d = 0
+          while (frontier.nonEmpty) {
+            val next = scala.collection.mutable.Map[Long, Long]()
+            frontier.foreach { v =>
+              adj(v).foreach { w =>
+                if (!res.contains(w)) next(w) = next.getOrElse(w, 0L) + res(v)._2
+              }
+            }
+            d += 1
+            res = res ++ next.map { case (w, sig) => w -> ((d, sig)) }
+            frontier = next.keySet.toSet
+          }
+          res
+        }
+        val sp = verts.map(v => v -> bfs(v)).toMap
+        val exp = verts.map { v =>
+          val x = (for {
+            s <- verts if s != v; t <- verts if t != v && t != s
+            dsv <- sp(s).get(v); dvt <- sp(v).get(t); dst <- sp(s).get(t)
+            if dsv._1 + dvt._1 == dst._1
+          } yield dsv._2.toDouble * dvt._2 / dst._2).sum / 2
+          v -> math.rint(x * 1e6) / 1e6
+        }.toMap
+        assert(got == exp, s"edges=$edges")
+      }
+    }
+    graft.Caches.clear()
+  }
 }
