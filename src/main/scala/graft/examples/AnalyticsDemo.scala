@@ -132,6 +132,31 @@ object AnalyticsDemo {
     val tail = surv.orderBy(col("t").desc).head
     obs("km survival tail", f"S(${tail.getLong(0)})=${tail.getDouble(4)}%.3f")
 
+    // 11. information structure: which metadata column predicts lang, and
+    // which words mark each language
+    val ig = Stats.infoGainProfile(docs, col("lang"),
+      Seq("source" -> col("source"), "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    obs("info gain (Theil U)", ig.map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
+    val marker = graft.ops.TextAnalysis.termLabelChi2(docs, topK = 1)
+      .orderBy(col("chi2").desc).head
+    obs("top marker term", f"'${marker.getString(1)}' for ${marker.getString(0)} " +
+      f"chi2=${marker.getDouble(4)}%.1f")
+
+    // 12. temporal structure: daily seasonality + the journeys' long-run mass
+    val seas = EventAnalytics.seasonalDecompose(
+      events.withColumn("tsu", expr("ts div 1000")), bucketTs = 3600000000L,
+      period = 24, tsCol = "tsu")
+    val peak = seas.where(col("seasonal").isNotNull)
+      .groupBy(pmod(col("bucket"), lit(24L)).as("hour"))
+      .agg(round(avg(col("seasonal")), 3).as("s")).orderBy(col("s").desc).head
+    obs("seasonal peak hour", s"hour=${peak.getLong(0)} avg seasonal=${peak.getDouble(1)}")
+    val stat = EventAnalytics.markovStationary(
+      EventAnalytics.transitionCounts(events.withColumn("tsu", expr("ts div 1000")),
+        tsCol = "tsu"), iterations = 10)
+      .orderBy(col("p").desc).head
+    obs("journey attractor", s"${stat.getString(0)} p=${stat.getDouble(1)}")
+
     graft.Caches.clear()
     println("ANALYTICS-DONE")
     spark.stop()
