@@ -150,6 +150,13 @@ final case class GraftShell(spark: SparkSession, config: GraftConfig) {
     */
   def truss(label: String, k: Int): DataFrame =
     graft.graph.GraphQueries.kTruss(spark, edges(label), k)
+
+  /** Sampled-Brandes betweenness over one edge label's graph
+    * ([[graft.graph.GraphQueries.approxBetweenness]]) — the broker-vertex
+    * ranking; `pivots ≥ |V|` makes it exact.
+    */
+  def betweenness(label: String, pivots: Int = 64): DataFrame =
+    graft.graph.GraphQueries.approxBetweenness(spark, edges(label), pivots)
 }
 
 object GraftShell {
@@ -171,7 +178,8 @@ object GraftShell {
          |  edges    : ${config.edgeBasePath} (labels: ${shell.edgeLabels.mkString(", ")})
          |  helpers  : .vertices .edges(label) .info .run(date) .sql(q) .release()
          |             .degrees(label) .components(label) .pageRank(label) .triangles(label) .kcore(label, k)
-         |             .communities(label) .distances(label, seeds) .near(label, source)""".stripMargin)
+         |             .communities(label) .distances(label, seeds) .near(label, source)
+         |             .cores(label) .truss(label, k) .betweenness(label)""".stripMargin)
     shell
   }
 }
