@@ -1643,6 +1643,17 @@ object SparkEntry {
           "source" -> col("source"),
           "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
 
+    // the q177 classifier scored per SOURCE — the sliced-eval scoreboard;
+    // slice-partitioned cumulative (no prefix-sum machinery needed)
+    "q243_auc_by_slice" -> ((s, dir) => {
+      val scores = TextAnalysis.hashedNgramScore(T(s, dir, "documents"), hash = activeHash)
+      val labeled = scores.join(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      graft.ops.Stats.aucBySlice(labeled, col("score"), col("y"), Seq("source"))
+    }),
+
     // betweenness over the event-type transition graph (undirected):
     // numSources ≥ |V| degrades sampled Brandes to EXACT, and the oracle
     // computes the same number through the pairwise σ_sv·σ_vt/σ_st form —
@@ -5647,6 +5658,32 @@ object SparkEntry {
         |  round(CASE WHEN round(CAST(ha.h AS DOUBLE), 6) > 0
         |    THEN round(CAST(mi.m AS DOUBLE), 6) / round(CAST(ha.h AS DOUBLE), 6) END, 6) AS u
         |FROM mi JOIN ha ON ha.feature = mi.feature JOIN hb ON hb.feature = mi.feature""".stripMargin,
+
+    // q177's midrank algebra with every frame keyed by source
+    "q243_auc_by_slice" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lab AS (
+         |  SELECT d.source, s.score AS sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |), g AS (
+         |  SELECT source, sc, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS np
+         |  FROM lab GROUP BY 1, 2
+         |), r AS (
+         |  SELECT source, sc, cnt, np,
+         |    CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY sc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+         |  FROM g
+         |), t AS (
+         |  SELECT source, CAST(sum(np) AS BIGINT) AS npos,
+         |    CAST(sum(cnt - np) AS BIGINT) AS nneg,
+         |    CAST(sum(np * (2 * prior + cnt + 1)) AS BIGINT) AS m2
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT source, npos AS n_pos, nneg AS n_neg,
+         |  round(CASE WHEN npos > 0 AND nneg > 0 THEN
+         |    CAST(m2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) END, 6) AS auc
+         |FROM t""".stripMargin,
 
     // pairwise Brandes check: walks UNROLLED to 4 steps (≤5 states, so
     // shortest dist ≤ 4; a recursive CTE re-evaluates the upstream window

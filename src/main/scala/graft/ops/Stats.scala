@@ -551,6 +551,44 @@ object Stats {
             / (lit(2L) * col("_npos") * col("_nneg")), scale)).as("auc"))
   }
 
+  /** ROC-AUC per SLICE — the sliced-eval scoreboard ("the classifier is
+    * fine globally but useless on src7"): [[auc]]'s exact integer midrank
+    * Mann-Whitney, computed independently inside every slice. Unlike the
+    * global face (which needs the [[runningTotal]] prefix-sum to avoid a
+    * single-partition rank), the per-slice cumulative is a window
+    * PARTITIONED BY the slice columns — the natural scale-safe shape, no
+    * prefix-sum machinery needed. Scores collapse to per-(slice, score)
+    * integer counts before the window, so the ordered step runs on
+    * |distinct scores| rows per slice, never raw rows. NULL AUC where a
+    * slice lacks a class. Returns `(sliceCols…, n_pos, n_neg, auc)`.
+    */
+  def aucBySlice(df: DataFrame, score: Column, label: Column,
+      sliceCols: Seq[String], scale: Int = 6): DataFrame = {
+    require(sliceCols.nonEmpty, "sliceCols must be non-empty")
+    val slices = sliceCols.map(col)
+    val base = df
+      .select(slices ++ Seq(score.as("_s"), label.cast("int").cast("long").as("_y")): _*)
+      .where(col("_s").isNotNull)
+    val groups = base.groupBy(slices :+ col("_s"): _*)
+      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(slices: _*).orderBy(col("_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = groups.withColumn("_cum", sum(col("_cnt")).over(w))
+      .withColumn("_prior", col("_cum") - col("_cnt"))
+    ranked.groupBy(slices: _*).agg(
+        sum(col("_np")).as("_npos"),
+        sum(col("_cnt") - col("_np")).as("_nneg"),
+        sum(col("_np") * (lit(2L) * col("_prior") + col("_cnt") + 1L)).as("_m2"))
+      .select(slices ++ Seq(
+        col("_npos").as("n_pos"),
+        col("_nneg").as("n_neg"),
+        when(col("_npos") > 0 && col("_nneg") > 0,
+          round((col("_m2") - col("_npos") * (col("_npos") + 1L)).cast("double")
+            / (lit(2L) * col("_npos") * col("_nneg")), scale)).as("auc")): _*)
+  }
+
   /** Precision / recall / F1 at a literal threshold sweep (`score >= t`
     * predicts positive): `(threshold, tp, fp, fn, precision, recall,
     * f1)` — the operating-point companion to [[auc]]. Counts are exact

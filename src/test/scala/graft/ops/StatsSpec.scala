@@ -744,6 +744,31 @@ class StatsSpec extends SparkSpec {
     assert(c.getDouble(3) == 0.0 && c.isNullAt(4))
   }
 
+  test("aucBySlice: per-slice hand values, tie midranks, one-class NULL, ≡ global on one slice") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 0.9, 1), ("A", 0.8, 1), ("A", 0.7, 0), ("A", 0.1, 0), // separable → 1.0
+      ("B", 0.9, 0), ("B", 0.1, 1),                               // inverted → 0.0
+      ("C", 0.5, 1), ("C", 0.5, 0),                               // full tie → 0.5
+      ("D", 0.4, 1), ("D", 0.6, 1)                                // one class → NULL
+    ).toDF("src", "s", "y")
+    val got = Stats.aucBySlice(df, col("s"), col("y"), Seq("src")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("A").getDouble(3) == 1.0 && got("B").getDouble(3) == 0.0)
+    assert(got("C").getDouble(3) == 0.5 && got("D").isNullAt(3))
+    assert(got("A").getLong(1) == 2L && got("A").getLong(2) == 2L)
+    // a constant slice reproduces the global midrank AUC exactly
+    val rnd = new scala.util.Random(7)
+    val big = Seq.tabulate(200)(i =>
+      ("all", math.rint(rnd.nextDouble() * 20) / 20, if (rnd.nextBoolean()) 1 else 0))
+      .toDF("src", "s", "y")
+    val sliced = Stats.aucBySlice(big, col("s"), col("y"), Seq("src")).collect().head
+    val global = Stats.auc(big, col("s"), col("y")).collect().head
+    assert(sliced.getDouble(3) == global.getDouble(2))
+    assert(sliced.getLong(1) == global.getLong(0) && sliced.getLong(2) == global.getLong(1))
+    graft.Caches.clear()
+  }
+
   test("fdDiscover: exact FD holds, g3 counts minimum deletions, nulls are values") {
     import spark.implicits._
     // id → cat holds (id unique); cat → id fails on both cat groups:
