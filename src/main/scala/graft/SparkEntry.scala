@@ -1643,6 +1643,10 @@ object SparkEntry {
           "source" -> col("source"),
           "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
 
+    // Flesch + FK grade per doc from portable regexp group counts
+    "q244_readability" -> ((s, dir) =>
+      graft.ops.TextAnalysis.readability(T(s, dir, "documents"))),
+
     // the q177 classifier scored per SOURCE — the sliced-eval scoreboard;
     // slice-partitioned cumulative (no prefix-sum machinery needed)
     "q243_auc_by_slice" -> ((s, dir) => {
@@ -5658,6 +5662,26 @@ object SparkEntry {
         |  round(CASE WHEN round(CAST(ha.h AS DOUBLE), 6) > 0
         |    THEN round(CAST(mi.m AS DOUBLE), 6) / round(CAST(ha.h AS DOUBLE), 6) END, 6) AS u
         |FROM mi JOIN ha ON ha.feature = mi.feature JOIN hb ON hb.feature = mi.feature""".stripMargin,
+
+    // same three regexp group counts; sentence floor via greatest
+    "q244_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+        |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables,
+        |  round(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+        |    206.835
+        |      - 1.015 * (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |          / len(regexp_extract_all(text, '\S+'))) END, 6) AS flesch,
+        |  round(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+        |    0.39 * (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |      + 11.8 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |          / len(regexp_extract_all(text, '\S+')))
+        |      - 15.59 END, 6) AS fk_grade
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // q177's midrank algebra with every frame keyed by source
     "q243_auc_by_slice" ->

@@ -529,6 +529,43 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Flesch readability per document — the classic prose-difficulty
+    * screen rounding out the quality drawer (Gopher screens structure,
+    * the bigram LM screens fluency; this screens AUDIENCE level):
+    * `flesch = 206.835 − 1.015·words/sentences − 84.6·syllables/words`
+    * plus the Flesch–Kincaid grade twin. All three inputs are regexp
+    * GROUP counts (`\S+` words, `[.!?]+` sentence breaks floored at 1,
+    * `[aeiouy]+` vowel-group syllables over the lowercased text — the
+    * standard hyphenation-free approximation), so the whole scorer is a
+    * map-side codegen projection with zero shuffles, and both engines
+    * count identical groups. NULL scores on wordless docs; null texts
+    * are excluded.
+    *
+    * Returns `(idCol, words, sentences, syllables, flesch, fk_grade)`.
+    */
+  def readability(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      scale: Int = 6
+  ): DataFrame = {
+    val words = regexp_count(col(textCol), lit("\\S+")).cast("long")
+    val sents = greatest(regexp_count(col(textCol), lit("[.!?]+")).cast("long"), lit(1L))
+    val sylls = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), words.as("words"), sents.as("sentences"), sylls.as("syllables"))
+      .select(col(idCol), col("words"), col("sentences"), col("syllables"),
+        round(when(col("words") > 0,
+          lit(206.835)
+            - lit(1.015) * (col("words").cast("double") / col("sentences"))
+            - lit(84.6) * (col("syllables").cast("double") / col("words"))), scale)
+          .as("flesch"),
+        round(when(col("words") > 0,
+          lit(0.39) * (col("words").cast("double") / col("sentences"))
+            + lit(11.8) * (col("syllables").cast("double") / col("words"))
+            - lit(15.59)), scale).as("fk_grade"))
+  }
+
   /** Per-term χ² feature selection against a document label — the
     * TERM-level complement of [[graft.ops.Stats.infoGainProfile]]'s
     * column-level screen ("which words actually mark a language /

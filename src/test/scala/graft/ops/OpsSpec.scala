@@ -609,6 +609,25 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextAnalysis.topTokens(docs, k = 0))
   }
 
+  test("readability: hand Flesch/FK values, sentence floor, wordless NULL, null text dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 vowel groups
+      (2L, "no punctuation here"),       // sentence floor: 1
+      (3L, ""),                          // wordless → NULL scores
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    val d1 = got(1L)
+    assert(d1.getLong(1) == 6L && d1.getLong(2) == 2L && d1.getLong(3) == 6L)
+    assert(math.abs(d1.getDouble(4) - (206.835 - 1.015 * 3 - 84.6 * 1)) < 1e-9) // 119.19
+    assert(math.abs(d1.getDouble(5) - (0.39 * 3 + 11.8 - 15.59)) < 1e-9)
+    assert(got(2L).getLong(2) == 1L) // floor
+    assert(got(3L).getLong(1) == 0L && got(3L).isNullAt(4) && got(3L).isNullAt(5))
+  }
+
   test("termLabelChi2: perfect discriminators score n, balanced terms 0, degenerates excluded") {
     import spark.implicits._
     val docs = Seq(
