@@ -1665,13 +1665,16 @@ object SparkEntry {
     "q242_betweenness" -> ((s, dir) => {
       val tc = graft.ops.EventAnalytics.transitionCounts(
         E(s, dir).withColumn("tsu", expr("ts div 1000")), tsCol = "tsu")
-      // undirected pair mass ≥ 785 keeps the BUSY half of the transition
-      // pairs (the complete 5-type graph has all-zero betweenness — the
-      // thresholded one routes around the dropped edges)
-      val pairs = tc.where(col("from_type") =!= col("to_type"))
+      // keep the BUSY transition pairs — ≥ 0.96 × the max undirected pair
+      // mass (relative, so it holds at every SF; the complete 5-type graph
+      // has all-zero betweenness — the thresholded one routes around the
+      // dropped edges: 5 of 10 pairs survive at sf0.01)
+      val pc = tc.where(col("from_type") =!= col("to_type"))
         .groupBy(least(col("from_type"), col("to_type")).as("a"),
           greatest(col("from_type"), col("to_type")).as("b"))
-        .agg(sum(col("n")).as("w")).where(col("w") >= 785)
+        .agg(sum(col("n")).as("w"))
+      val pairs = pc.crossJoin(pc.agg(max(col("w")).as("_mx")))
+        .where(col("w") >= lit(0.96) * col("_mx"))
       val types = pairs.select(col("a").as("t"))
         .union(pairs.select(col("b"))).distinct()
       // |event types|-row frame: name-rank ids (bounded global window)
@@ -5720,10 +5723,12 @@ object SparkEntry {
         |pr AS (SELECT event_type AS f,
         |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS t
         |      FROM e0),
-        |pairs AS (
-        |  SELECT least(f, t) AS a, greatest(f, t) AS b
+        |pc AS (
+        |  SELECT least(f, t) AS a, greatest(f, t) AS b, CAST(count(*) AS BIGINT) AS w
         |  FROM pr WHERE f IS NOT NULL AND t IS NOT NULL AND f <> t
-        |  GROUP BY 1, 2 HAVING count(*) >= 785),
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT max(w) AS mxw FROM pc),
+        |pairs AS (SELECT a, b FROM pc, mx WHERE w >= CAST(0.96 AS DOUBLE) * mxw),
         |ty AS (SELECT a AS s FROM pairs UNION SELECT b FROM pairs),
         |m AS (SELECT s AS state, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS id FROM ty),
         |cn AS (SELECT ma.id AS a, mb.id AS b

@@ -67,7 +67,8 @@ object PlanAudit {
     "q234_mutual_information",    // one-row contingency-total crossJoins (same scalar-attach class)
     "q235_info_gain",             // q234's per-feature one-row total crossJoins
     "q240_water_fill",            // one-row |strata|-count and water-level crossJoins
-    "q241_term_chi2"              // one-row doc-total crossJoin (same scalar-attach class)
+    "q241_term_chi2",             // one-row doc-total crossJoin (same scalar-attach class)
+    "q242_betweenness"            // one-row max-pair-mass threshold crossJoin (same class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
