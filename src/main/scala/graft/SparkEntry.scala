@@ -1643,6 +1643,31 @@ object SparkEntry {
           "source" -> col("source"),
           "len_band" -> floor(col("n_chars") / lit(400)).cast("long")))),
 
+    // harmonic closeness on q242's thresholded transition graph — the
+    // "close to everything" complement of betweenness, same exact-face
+    // contract (pivots ≥ |V|)
+    "q245_closeness" -> ((s, dir) => {
+      val tc = graft.ops.EventAnalytics.transitionCounts(
+        E(s, dir).withColumn("tsu", expr("ts div 1000")), tsCol = "tsu")
+      val pc = tc.where(col("from_type") =!= col("to_type"))
+        .groupBy(least(col("from_type"), col("to_type")).as("a"),
+          greatest(col("from_type"), col("to_type")).as("b"))
+        .agg(sum(col("n")).as("w"))
+      val pairs = pc.crossJoin(pc.agg(max(col("w")).as("_mx")))
+        .where(col("w") >= lit(0.96) * col("_mx"))
+      val types = pairs.select(col("a").as("t"))
+        .union(pairs.select(col("b"))).distinct()
+      val m = types.withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("t"))).cast("long"))
+      val edges = pairs
+        .join(m.select(col("t").as("a"), col("id").as("src")), Seq("a"))
+        .join(m.select(col("t").as("b"), col("id").as("dst")), Seq("b"))
+        .select("src", "dst")
+      graft.graph.GraphQueries.approxCloseness(s, edges, numSources = 64)
+        .join(m, Seq("id"))
+        .select(col("t").as("state"), col("n_reached"), col("harmonic"))
+    }),
+
     // Flesch + FK grade per doc from portable regexp group counts
     "q244_readability" -> ((s, dir) =>
       graft.ops.TextAnalysis.readability(T(s, dir, "documents"))),
@@ -5665,6 +5690,43 @@ object SparkEntry {
         |  round(CASE WHEN round(CAST(ha.h AS DOUBLE), 6) > 0
         |    THEN round(CAST(mi.m AS DOUBLE), 6) / round(CAST(ha.h AS DOUBLE), 6) END, 6) AS u
         |FROM mi JOIN ha ON ha.feature = mi.feature JOIN hb ON hb.feature = mi.feature""".stripMargin,
+
+    // q242's graph + all-pairs min-dist CTEs; H(v) = Σ 1/d over reached
+    // pairs, decimal-summed terms
+    "q245_closeness" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |pr AS (SELECT event_type AS f,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS t
+        |      FROM e0),
+        |pc AS (
+        |  SELECT least(f, t) AS a, greatest(f, t) AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM pr WHERE f IS NOT NULL AND t IS NOT NULL AND f <> t
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT max(w) AS mxw FROM pc),
+        |pairs AS (SELECT a, b FROM pc, mx WHERE w >= CAST(0.96 AS DOUBLE) * mxw),
+        |ty AS (SELECT a AS s FROM pairs UNION SELECT b FROM pairs),
+        |m AS (SELECT s AS state, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS id FROM ty),
+        |cn AS (SELECT ma.id AS a, mb.id AS b
+        |       FROM pairs JOIN m ma ON ma.state = pairs.a JOIN m mb ON mb.state = pairs.b),
+        |ed AS (SELECT a AS src, b AS dst FROM cn UNION ALL SELECT b, a FROM cn),
+        |w1 AS (SELECT m.id AS s, e1.dst AS v, 1 AS dist FROM m JOIN ed e1 ON e1.src = m.id),
+        |w2 AS (SELECT w1.s, e2.dst AS v, 2 AS dist FROM w1 JOIN ed e2 ON e2.src = w1.v),
+        |w3 AS (SELECT w2.s, e3.dst AS v, 3 AS dist FROM w2 JOIN ed e3 ON e3.src = w2.v),
+        |w4 AS (SELECT w3.s, e4.dst AS v, 4 AS dist FROM w3 JOIN ed e4 ON e4.src = w3.v),
+        |walks AS (
+        |  SELECT id AS s, id AS v, 0 AS dist FROM m
+        |  UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2
+        |  UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4),
+        |sp AS (SELECT s, v, min(dist) AS d FROM walks GROUP BY 1, 2),
+        |hc AS (
+        |  SELECT v AS id, CAST(count(*) AS BIGINT) AS n_reached,
+        |    sum(CAST(CAST(1.0 AS DOUBLE) / d AS DECIMAL(38,12))) AS h
+        |  FROM sp WHERE d > 0 GROUP BY 1)
+        |SELECT m.state,
+        |  COALESCE(hc.n_reached, 0) AS n_reached,
+        |  round(COALESCE(CAST(hc.h AS DOUBLE), CAST(0.0 AS DOUBLE)), 6) AS harmonic
+        |FROM m LEFT JOIN hc ON hc.id = m.id""".stripMargin,
 
     // same three regexp group counts; sentence floor via greatest
     "q244_readability" ->

@@ -1873,6 +1873,90 @@ object GraphQueries {
         round(col("n_reciprocal").cast("double") / col("n_edges"), 6).as("reciprocity"))
   }
 
+  /** Harmonic closeness centrality, sampled (undirected, unweighted):
+    * `H(v) = Σ_{t≠v} 1/d(v,t)` estimated from `numSources` hash-elected
+    * pivots as `(|V|/k) · Σ_{pivots s≠v} 1/d(s,v)` (distances are
+    * symmetric, so pivot-to-v distances estimate v's own sum; Boldi &
+    * Vigna's preferred closeness variant — unreachable pairs contribute
+    * 0 instead of poisoning the mean). `numSources ≥ |V|` degrades to
+    * exact. The "who is CLOSE to everything" complement of
+    * [[approxBetweenness]]'s "who do paths RUN THROUGH".
+    *
+    * Same scale shape and determinism as the betweenness forward phase:
+    * one multi-source level-synchronous BFS (rounds = diameter, state =
+    * O(numSources·|V|) rows), 1/d terms decimal(38,12)-cast before the
+    * per-vertex sum, one double scale multiply, hash-deterministic
+    * pivots. Returns `(idCol, n_reached, harmonic)` — `n_reached` is the
+    * number of pivots that reach v (self excluded); vertices no pivot
+    * reaches report 0/0.0.
+    */
+  def approxCloseness(
+      spark: SparkSession,
+      edges: DataFrame,
+      numSources: Int,
+      seed: Int = 42,
+      idCol: String = "id",
+      maxDist: Int = 50,
+      scale: Int = 6
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(numSources >= 1, s"numSources must be >= 1, got $numSources")
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val canon = edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"), col(EdgeColumns.Dst).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val e = materialize(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"))))
+    val verts = e.select(col("src").as("v")).distinct()
+    val nV = verts.count() // bounded scalar
+    if (nV == 0L) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double)].toDF(idCol, "n_reached", "harmonic")
+    } else {
+      val pivots = materialize(
+        verts.orderBy(graft.ops.Sampling.bucket(col("v"), seed, graft.ops.XxHash), col("v"))
+          .limit(numSources).select(col("v").as("s")))
+      val nS = pivots.count()
+      var settled = materialize(pivots.select(col("s"), col("s").as("v"), lit(0).as("lvl")))
+      var frontier = settled
+      var lvl = 0
+      var done = false
+      while (!done && lvl < maxDist) {
+        val next = materialize(
+          frontier.join(e, col("v") === col("src"))
+            .select(col("s"), col("dst").as("v")).distinct()
+            .join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+            .withColumn("lvl", lit(lvl + 1)))
+        if (next.isEmpty) { next.unpersist(blocking = false); done = true }
+        else {
+          settled = settled.union(next)
+          frontier = next
+          lvl += 1
+          if (lvl % 4 == 0) settled = materialize(settled)
+        }
+      }
+      if (!done) {
+        log.warn(s"approxCloseness: diameter exceeds maxDist=$maxDist from some pivot; " +
+          "farther pairs contribute nothing — raise maxDist for exactness")
+      }
+      val factor = nV.toDouble / nS
+      settled.where(col("lvl") > 0)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum((lit(1.0) / col("lvl")).cast("decimal(38,12)")).as("_h"))
+        .join(verts, Seq("v"), "right")
+        .select(col("v").as(idCol),
+          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+          round(coalesce(col("_h").cast("double"), lit(0.0)) * lit(factor), scale)
+            .as("harmonic"))
+    }
+  }
+
   /** Betweenness centrality by multi-source Brandes (undirected,
     * unweighted), sampled: run the forward BFS + backward dependency
     * accumulation from `numSources` hash-elected pivot vertices AT ONCE

@@ -602,6 +602,35 @@ class GraphQueriesSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("approxCloseness: path/star closed forms at full pivots, unreachable contribute 0") {
+    import spark.implicits._
+    def hc(edges: Seq[(Long, Long)], k: Int) =
+      GraphQueries.approxCloseness(spark, edges.toDF("src", "dst"), numSources = k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // path 1-2-3-4: H(1) = 1 + 1/2 + 1/3; H(2) = 1 + 1 + 1/2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val p = hc(path, 4)
+    assert(p(1L) == ((3L, r6(1.0 + 0.5 + 1.0 / 3))) && p(4L) == p(1L))
+    assert(p(2L) == ((3L, 2.5)) && p(3L) == ((3L, 2.5)))
+    // star: center sees 4 at d=1; each leaf 1 + 3/2
+    val star = (1L to 4L).map(i => (0L, i))
+    val s = hc(star, 5)
+    assert(s(0L) == ((4L, 4.0)) && s(1L) == ((4L, 2.5)))
+    // disconnected pair: cross-component pairs add nothing
+    val two = path ++ Seq((10L, 11L))
+    val d = hc(two, 6)
+    assert(d(10L) == ((1L, 1.0)) && d(2L) == ((3L, 2.5)))
+    // sampled estimate deterministic under repartition, nonnegative
+    val est = GraphQueries.approxCloseness(spark, path.toDF("src", "dst"), numSources = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val est2 = GraphQueries.approxCloseness(
+      spark, path.toDF("src", "dst").repartition(5), numSources = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(est == est2 && est.values.forall(_ >= 0.0))
+    graft.Caches.clear()
+  }
+
   test("approxBetweenness: path/star/cycle closed forms at full pivots, disconnected zeros") {
     import spark.implicits._
     def bc(edges: Seq[(Long, Long)], k: Int) =
