@@ -157,6 +157,12 @@ final case class GraftShell(spark: SparkSession, config: GraftConfig) {
     */
   def betweenness(label: String, pivots: Int = 64): DataFrame =
     graft.graph.GraphQueries.approxBetweenness(spark, edges(label), pivots)
+
+  /** Sampled harmonic closeness over one edge label's graph
+    * ([[graft.graph.GraphQueries.approxCloseness]]).
+    */
+  def closeness(label: String, pivots: Int = 64): DataFrame =
+    graft.graph.GraphQueries.approxCloseness(spark, edges(label), pivots)
 }
 
 object GraftShell {
@@ -179,7 +185,7 @@ object GraftShell {
          |  helpers  : .vertices .edges(label) .info .run(date) .sql(q) .release()
          |             .degrees(label) .components(label) .pageRank(label) .triangles(label) .kcore(label, k)
          |             .communities(label) .distances(label, seeds) .near(label, source)
-         |             .cores(label) .truss(label, k) .betweenness(label)""".stripMargin)
+         |             .cores(label) .truss(label, k) .betweenness(label) .closeness(label)""".stripMargin)
     shell
   }
 }
