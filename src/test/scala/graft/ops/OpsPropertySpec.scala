@@ -271,6 +271,40 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: approxCloseness at full pivots matches driver BFS harmonic sums") {
+    val gen = for {
+      ne <- Gen.choose(1, 20)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(1L, 9L), Gen.choose(1L, 9L)))
+    } yield es
+    samples(gen, 5).foreach { es =>
+      val edges = es.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = graft.graph.GraphQueries
+          .approxCloseness(spark, edges.toDF("src", "dst"), numSources = 9)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+          .distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val verts = adj.keySet.toSeq.sorted
+        def dists(s: Long): Map[Long, Int] = {
+          var res = Map(s -> 0); var frontier = Set(s); var d = 0
+          while (frontier.nonEmpty) {
+            d += 1
+            val next = frontier.flatMap(adj).filterNot(res.contains)
+            next.foreach(w => res += w -> d)
+            frontier = next
+          }
+          res
+        }
+        val exp = verts.map { v =>
+          val ds = dists(v).filter(_._2 > 0)
+          v -> ((ds.size.toLong, math.rint(ds.values.map(1.0 / _).sum * 1e6) / 1e6))
+        }.toMap
+        assert(got == exp, s"edges=$edges")
+      }
+    }
+    graft.Caches.clear()
+  }
+
   test("property: approxBetweenness at full pivots matches the pairwise sigma form") {
     val gen = for {
       ne <- Gen.choose(1, 20)
