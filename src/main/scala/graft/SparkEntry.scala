@@ -1672,6 +1672,14 @@ object SparkEntry {
     "q244_readability" -> ((s, dir) =>
       graft.ops.TextAnalysis.readability(T(s, dir, "documents"))),
 
+    // q189's A/B question asked nonparametrically: Mann-Whitney U on the
+    // en-vs-de length distributions — integer midrank algebra over the
+    // distinct-length frame, tie-corrected z, rank-biserial effect size
+    "q246_mann_whitney" -> ((s, dir) =>
+      graft.ops.Stats.mannWhitney(
+        T(s, dir, "documents").where(col("lang").isin("en", "de")),
+        value = col("n_chars"), label = col("lang") === "en")),
+
     // the q177 classifier scored per SOURCE — the sliced-eval scoreboard;
     // slice-partitioned cumulative (no prefix-sum machinery needed)
     "q243_auc_by_slice" -> ((s, dir) => {
@@ -5201,6 +5209,48 @@ object SparkEntry {
         |  round((ma - mb) / sqrt(se2), 6) AS t_stat,
         |  round(se2 * se2 / (ea * ea / (n_a - 1) + eb * eb / (n_b - 1)), 6) AS dof
         |FROM s4""".stripMargin,
+
+    // q246: the same A/B split through the rank lens — distinct-value
+    // midrank cumulative (the q177 algebra), tie-corrected z, every scalar
+    // in the Spark chain's textual order; BIGINT products suffice at
+    // oracle SF (the Spark side carries the corpus-safe decimals)
+    "q246_mann_whitney" ->
+      """WITH d AS (
+        |  SELECT n_chars AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS na
+        |  FROM d GROUP BY 1
+        |), r AS (
+        |  SELECT v, cnt, na,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM g
+        |), m AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |         CAST(sum(cnt - na) AS BIGINT) AS n_b,
+        |         CAST(sum(na * (2 * prior + cnt + 1)) AS BIGINT) AS m2,
+        |         CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt*cnt*cnt - cnt END), 0) AS BIGINT) AS tie
+        |  FROM r
+        |), s1 AS (
+        |  SELECT n_a, n_b, tie,
+        |    CAST(m2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u,
+        |    CAST(n_a * n_b AS DOUBLE) AS nab,
+        |    CAST(n_a + n_b AS DOUBLE) AS nn
+        |  FROM m
+        |), s2 AS (
+        |  SELECT n_a, n_b, u, nab, nn,
+        |    nab / CAST(12.0 AS DOUBLE) * ((nn + 1) - CAST(tie AS DOUBLE) / (nn * (nn - 1))) AS vr
+        |  FROM s1
+        |)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(u, 6) END AS u_stat,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND vr > 0
+        |    THEN round((u - nab / 2) / sqrt(vr), 6) END AS z_stat,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
+        |FROM s2""".stripMargin,
 
     // exact counts → decimal-summed c·ln c → the same three scalar ops
     "q190_token_entropy" ->

@@ -1815,4 +1815,62 @@ object Stats {
           (col("_ea") * col("_ea") / (col("n_a") - 1) +
             col("_eb") * col("_eb") / (col("n_b") - 1)), scale).as("dof"))
   }
+
+  /** Mann–Whitney U rank-sum test — the NONPARAMETRIC complement of
+    * [[welchTtest]] (trust it when the metric is heavy-tailed or ordinal
+    * and a mean-based t is the wrong question: "did the new mix shift the
+    * length DISTRIBUTION?"). `label` splits rows into group A (true) and
+    * B (false); returns one row
+    * `(n_a, n_b, u_stat, z_stat, r_rb)` where `u_stat` is group A's U,
+    * `z_stat` the tie-corrected normal approximation
+    * `z = (U − n_a·n_b/2) / σ`, `σ² = n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1)))`,
+    * and `r_rb = 2U/(n_a·n_b) − 1` the rank-biserial effect size (≡
+    * 2·AUC−1). The caller maps `z` to a p-value with their table of
+    * choice (the [[welchTtest]] contract).
+    *
+    * Rank algebra is [[auc]]'s exact integer midrank form: rows collapse
+    * to per-distinct-value `(cnt, n_a)` groups FIRST, the prior-count
+    * cumulative runs over that collapsed frame via the [[runningTotal]]
+    * range-partition prefix-sum (never a single-partition window — a
+    * continuous value column keeps |distinct| ≈ |rows|), and
+    * `2·ΣR_A = Σ n_a·(2·prior + cnt + 1)` plus the tie sum `Σ(t³−t)` are
+    * folded as DECIMAL products (a corpus-scale `n_a·n` exceeds a long
+    * exactly where this runs). Every derived statistic is then scalar
+    * IEEE arithmetic in a pinned textual order. NULL statistics when
+    * either group is empty or the variance degenerates (all values tied),
+    * not a sentinel.
+    */
+  def mannWhitney(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
+    val base = df.select(value.as("_v"), label.as("_y"))
+      .where(col("_v").isNotNull && col("_y").isNotNull)
+    // tracked: the collapsed frame feeds the prefix-sum's sample + sums +
+    // consumer jobs (the NOTES no-cross-job-CSE discipline)
+    val groups = graft.Caches.track(base.groupBy(col("_v"))
+      .agg(count(lit(1)).as("_cnt"), sum(when(col("_y"), 1L).otherwise(0L)).as("_na")))
+    val ranked = runningTotal(groups, Seq(col("_v")), col("_cnt"), "_cum")
+      .withColumn("_prior", col("_cum") - col("_cnt"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = ranked.agg(
+      sum(col("_na")).as("n_a"),
+      sum(col("_cnt") - col("_na")).as("n_b"),
+      sum(dec(col("_na")) * dec(lit(2L) * col("_prior") + col("_cnt") + lit(1L))).as("_m2"),
+      coalesce(
+        sum(when(col("_cnt") > 1L,
+          dec(col("_cnt")) * dec(col("_cnt")) * dec(col("_cnt")) - dec(col("_cnt")))),
+        lit(0L).cast("decimal(38,0)")).as("_tie"))
+    // pinned evaluation order — the oracle mirrors these formulas text-for-text
+    m.withColumn("_u", (col("_m2") - dec(col("n_a")) * dec(col("n_a") + lit(1L))).cast("double") / 2)
+      .withColumn("_nab", (dec(col("n_a")) * dec(col("n_b"))).cast("double"))
+      .withColumn("_n", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("_var",
+        col("_nab") / 12.0 *
+          ((col("_n") + 1) - col("_tie").cast("double") / (col("_n") * (col("_n") - 1))))
+      .select(
+        col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(col("_u"), scale)).as("u_stat"),
+        when(col("n_a") > 0 && col("n_b") > 0 && col("_var") > 0,
+          round((col("_u") - col("_nab") / 2) / sqrt(col("_var")), scale)).as("z_stat"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(lit(2.0) * col("_u") / col("_nab") - 1, scale)).as("r_rb"))
+  }
 }

@@ -902,6 +902,36 @@ class StatsSpec extends SparkSpec {
     assert(r17 == r)
   }
 
+  test("mannWhitney: hand-computed midrank U with ties; partitioning-invariant") {
+    import spark.implicits._
+    // A = {1,2,2,5}, B = {2,3,5,5,6}: midranks 1, 3,3, 7 → ΣR_A = 14
+    val df = Seq((1.0, true), (2.0, true), (2.0, true), (5.0, true),
+      (2.0, false), (3.0, false), (5.0, false), (5.0, false), (6.0, false)).toDF("v", "y")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Stats.mannWhitney(df, col("v"), col("y")).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 4.0) // U = ΣR_A − n_a(n_a+1)/2 = 14 − 10
+    // two tie groups of 3 → Σ(t³−t) = 48
+    val vr = 20.0 / 12.0 * ((9.0 + 1) - 48.0 / (9.0 * 8.0))
+    assert(r.getDouble(3) == r6((4.0 - 10.0) / math.sqrt(vr)))
+    assert(r.getDouble(4) == r6(2.0 * 4.0 / 20.0 - 1)) // rank-biserial −0.6
+    val r17 = Stats.mannWhitney(df.repartition(17), col("v"), col("y")).collect().head
+    assert(r17 == r)
+  }
+
+  test("mannWhitney: all-tied values → NULL z (zero variance); empty group → NULL stats") {
+    import spark.implicits._
+    val tied = Seq((7.0, true), (7.0, true), (7.0, false)).toDF("v", "y")
+    val t = Stats.mannWhitney(tied, col("v"), col("y")).collect().head
+    assert(t.getLong(0) == 2L && t.getLong(1) == 1L)
+    assert(t.getDouble(2) == 1.0 && t.isNullAt(3)) // U from midranks; σ² = 0
+    assert(t.getDouble(4) == 0.0) // effect size defined: exactly no separation
+    val solo = Seq((1.0, true), (2.0, true)).toDF("v", "y")
+    val s = Stats.mannWhitney(solo, col("v"), col("y")).collect().head
+    assert(s.getLong(0) == 2L && s.getLong(1) == 0L)
+    assert(s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
+  }
+
   test("welchTtest: a singleton group yields NULL statistics, not a sentinel") {
     import spark.implicits._
     val df = Seq((1.0, true), (2.0, false), (3.0, false)).toDF("v", "y")
