@@ -1680,6 +1680,31 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // minimum spanning forest of the FULL weighted transition graph
+    // (Borůvka, (w,a,b)-tie-broken) — the oracle derives the same edge
+    // set through the cycle property ("in the forest iff endpoints not
+    // connected by strictly smaller edges"), two independent algorithms
+    // agreeing; name-rank ids make the id order ≡ the name order
+    "q247_mst" -> ((s, dir) => {
+      val tc = graft.ops.EventAnalytics.transitionCounts(
+        E(s, dir).withColumn("tsu", expr("ts div 1000")), tsCol = "tsu")
+      val pc = tc.where(col("from_type") =!= col("to_type"))
+        .groupBy(least(col("from_type"), col("to_type")).as("a"),
+          greatest(col("from_type"), col("to_type")).as("b"))
+        .agg(sum(col("n")).as("w"))
+      val types = pc.select(col("a").as("t")).union(pc.select(col("b"))).distinct()
+      val m = types.withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("t"))).cast("long"))
+      val edges = pc
+        .join(m.select(col("t").as("a"), col("id").as("src")), Seq("a"))
+        .join(m.select(col("t").as("b"), col("id").as("dst")), Seq("b"))
+        .select(col("src"), col("dst"), col("w").as("weight"))
+      graft.graph.GraphQueries.minSpanningForest(s, edges)
+        .join(m.select(col("t").as("state_a"), col("id").as("src")), Seq("src"))
+        .join(m.select(col("t").as("state_b"), col("id").as("dst")), Seq("dst"))
+        .select(col("state_a"), col("state_b"), col("weight"))
+    }),
+
     // the q177 classifier scored per SOURCE — the sliced-eval scoreboard;
     // slice-partitioned cumulative (no prefix-sum machinery needed)
     "q243_auc_by_slice" -> ((s, dir) => {
@@ -5251,6 +5276,40 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
         |FROM s2""".stripMargin,
+
+    // q247: MSF via the CYCLE PROPERTY of the (w,a,b)-perturbed order —
+    // an edge is in the forest iff its endpoints are NOT connected using
+    // only strictly-smaller edges; reachability unrolled to 4 steps
+    // (≤5 states) over each candidate's smaller-edge subgraph
+    "q247_mst" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |pr AS (SELECT event_type AS f,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS t
+        |      FROM e0),
+        |pc AS (
+        |  SELECT least(f, t) AS a, greatest(f, t) AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM pr WHERE f IS NOT NULL AND t IS NOT NULL AND f <> t
+        |  GROUP BY 1, 2),
+        |sm AS (
+        |  SELECT c.a AS ca, c.b AS cb, e.a AS x, e.b AS y FROM pc c JOIN pc e
+        |    ON (e.w < c.w OR (e.w = c.w AND (e.a < c.a OR (e.a = c.a AND e.b < c.b))))
+        |  UNION ALL
+        |  SELECT c.a, c.b, e.b, e.a FROM pc c JOIN pc e
+        |    ON (e.w < c.w OR (e.w = c.w AND (e.a < c.a OR (e.a = c.a AND e.b < c.b))))),
+        |r1 AS (SELECT DISTINCT ca, cb, y AS v FROM sm WHERE x = ca),
+        |r2 AS (SELECT DISTINCT r1.ca, r1.cb, s.y AS v FROM r1
+        |       JOIN sm s ON s.ca = r1.ca AND s.cb = r1.cb AND s.x = r1.v),
+        |r3 AS (SELECT DISTINCT r2.ca, r2.cb, s.y AS v FROM r2
+        |       JOIN sm s ON s.ca = r2.ca AND s.cb = r2.cb AND s.x = r2.v),
+        |r4 AS (SELECT DISTINCT r3.ca, r3.cb, s.y AS v FROM r3
+        |       JOIN sm s ON s.ca = r3.ca AND s.cb = r3.cb AND s.x = r3.v),
+        |reach AS (SELECT ca, cb, v FROM r1 UNION SELECT ca, cb, v FROM r2
+        |  UNION SELECT ca, cb, v FROM r3 UNION SELECT ca, cb, v FROM r4),
+        |hit AS (SELECT DISTINCT ca, cb FROM reach WHERE v = cb)
+        |SELECT c.a AS state_a, c.b AS state_b, c.w AS weight
+        |FROM pc c LEFT JOIN hit ON hit.ca = c.a AND hit.cb = c.b
+        |WHERE hit.ca IS NULL""".stripMargin,
 
     // exact counts → decimal-summed c·ln c → the same three scalar ops
     "q190_token_entropy" ->

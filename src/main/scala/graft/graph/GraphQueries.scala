@@ -2076,4 +2076,90 @@ object GraphQueries {
             .as("bc"))
     }
   }
+
+  /** Minimum spanning forest by distributed Borůvka: every component
+    * elects its lightest incident inter-component edge, the elected edges
+    * join the forest, and the hook graph over component ids is contracted
+    * via [[componentLabels]] — components at least HALVE per round, so the
+    * loop is `O(log |V|)` rounds regardless of data volume (the classic
+    * MST recipe for bulk-synchronous engines; Kruskal's global edge sort
+    * and Prim's sequential frontier both fight the execution model).
+    *
+    * Ties: edges are elected by the STRICT total order
+    * `(weight, src, dst)` (struct-min is lexicographic), which is
+    * Borůvka's distinct-weights precondition restored by perturbation —
+    * the result is THE unique MSF of that order (and therefore *a* valid
+    * MSF of `weight` alone), deterministic under any partitioning. An
+    * engine testing the same order's cycle property — "an edge is in the
+    * forest iff its endpoints are NOT connected by strictly smaller
+    * edges" — derives the identical edge set, which is exactly how the
+    * oracle checks this.
+    *
+    * Scale shape: per round two label equi-joins + one struct-min
+    * aggregate (partial-agg combines map-side, so the shuffle carries at
+    * most |components| candidate rows per partition) + the contraction's
+    * star rounds on a frame that never exceeds |components| edges.
+    * Parallel edges collapse to their min weight up front; self-loops
+    * drop. Returns `(src, dst, weight)` with `src < dst`; an empty or
+    * all-loop input yields an empty forest.
+    */
+  def minSpanningForest(
+      spark: SparkSession,
+      edges: DataFrame,
+      weightCol: String = "weight",
+      maxIter: Int = 30
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val canon = materialize(edges
+      .select(col(EdgeColumns.Src).cast("long").as("s"),
+        col(EdgeColumns.Dst).cast("long").as("d"), col(weightCol).as("w"))
+      .where(col("s") =!= col("d") && col("w").isNotNull)
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w")))
+    val emptyForest =
+      canon.limit(0).select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
+    var labels = materialize(
+      canon.select(col("a").as("v")).union(canon.select(col("b"))).distinct()
+        .select(col("v"), col("v").as("c")))
+    var forest: DataFrame = null
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val la = labels.select(col("v").as("a"), col("c").as("_ca"))
+      val lb = labels.select(col("v").as("b"), col("c").as("_cb"))
+      val xe = materialize(canon.join(la, "a").join(lb, "b")
+        .where(col("_ca") =!= col("_cb")))
+      if (xe.isEmpty) { xe.unpersist(blocking = false); done = true }
+      else {
+        // each component's lightest incident edge in the (w, a, b) order;
+        // the other endpoint's component rides along for the hook graph
+        val cands = xe.select(col("_ca").as("_c"),
+            struct(col("w"), col("a"), col("b"), col("_cb").as("_oc")).as("_cand"))
+          .union(xe.select(col("_cb").as("_c"),
+            struct(col("w"), col("a"), col("b"), col("_ca").as("_oc")).as("_cand")))
+        val sel = materialize(cands.groupBy(col("_c")).agg(min(col("_cand")).as("_m"))
+          .select(col("_c"), col("_m.w").as("w"), col("_m.a").as("a"),
+            col("_m.b").as("b"), col("_m._oc").as("_oc")))
+        // an edge elected from both sides appears once in the forest
+        val newEdges = sel.select(col("a"), col("b"), col("w")).distinct()
+        forest = materialize(if (forest == null) newEdges else forest.union(newEdges))
+        val roots = componentLabels(spark,
+          sel.select(col("_c").as(EdgeColumns.Src), col("_oc").as(EdgeColumns.Dst)))
+        labels = materialize(labels.join(
+            roots.select(col("vid").as("c"), col("component").as("_nc")), Seq("c"), "left")
+          .select(col("v"), coalesce(col("_nc"), col("c")).as("c")))
+        xe.unpersist(blocking = false)
+        iter += 1
+      }
+    }
+    if (!done) {
+      log.warn(s"minSpanningForest exited via maxIter=$maxIter with inter-component " +
+        "edges remaining — the result is a valid partial forest, not spanning")
+    }
+    if (forest == null) emptyForest
+    else forest.select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
+  }
 }

@@ -658,6 +658,53 @@ class GraphQueriesSpec extends SparkSpec {
     assert(est == est2 && est.values.forall(_ >= 0.0))
     graft.Caches.clear()
   }
+
+  test("minSpanningForest: closed forms — tie-break order, parallel/self edges, forest") {
+    import spark.implicits._
+    def msf(edges: Seq[(Long, Long, Long)]) =
+      GraphQueries.minSpanningForest(spark, edges.toDF("src", "dst", "weight"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // triangle + pendant: the heaviest triangle edge is the one cut
+    val tri = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L), (3L, 4L, 5L))
+    assert(msf(tri) == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 5L)))
+    // all weights equal: the (w, a, b) order keeps (1,2),(1,3), drops (2,3)
+    val tie = Seq((1L, 2L, 7L), (1L, 3L, 7L), (2L, 3L, 7L))
+    assert(msf(tie) == Set((1L, 2L, 7L), (1L, 3L, 7L)))
+    // parallel edges collapse to their min weight; self-loops drop
+    val par = Seq((1L, 2L, 9L), (2L, 1L, 4L), (2L, 2L, 1L), (2L, 3L, 6L))
+    assert(msf(par) == Set((1L, 2L, 4L), (2L, 3L, 6L)))
+    // disconnected input: a forest, one tree per component
+    val disc = Seq((1L, 2L, 1L), (10L, 11L, 2L), (11L, 12L, 3L), (10L, 12L, 9L))
+    assert(msf(disc) == Set((1L, 2L, 1L), (10L, 11L, 2L), (11L, 12L, 3L)))
+    graft.Caches.clear()
+  }
+
+  test("minSpanningForest: random graphs match driver Kruskal under the same total order") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 12 + rng.nextInt(8)
+      val edges = for {
+        a <- 1 to n; b <- (a + 1) to n
+        if rng.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong, (1 + rng.nextInt(12)).toLong)
+      val got = GraphQueries.minSpanningForest(spark, edges.toDF("src", "dst", "weight"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // Kruskal under the identical (w, a, b) perturbed order — both
+      // algorithms must land on THE unique MSF of that order
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      val exp = scala.collection.mutable.Set[(Long, Long, Long)]()
+      edges.sortBy { case (a, b, w) => (w, a, b) }.foreach { case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { parent(ra) = rb; exp += ((a, b, w)) }
+      }
+      assert(got == exp.toSet, s"trial $trial: got ${got.size}, expected ${exp.size}")
+      graft.Caches.clear()
+    }
+  }
 }
 
 class IvfSpec extends SparkSpec {
