@@ -1680,6 +1680,22 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // chance-corrected agreement of the q136 language classifier against
+    // the metadata label — multiclass Cohen's kappa off the contingency
+    // cells; kappa from the ROUNDED po/pe (the q235 quotient discipline)
+    "q248_kappa" -> ((s, dir) =>
+      graft.ops.Stats.cohenKappa(
+        T(s, dir, "documents"),
+        a = col("lang"), b = TextAnalysis.langId(col("text")))),
+
+    // the same classifier judged as the BINARY "is it English?" detector:
+    // Matthews correlation from the exact confusion counts
+    "q249_mcc" -> ((s, dir) =>
+      graft.ops.Stats.matthewsCorr(
+        T(s, dir, "documents"),
+        pred = TextAnalysis.langId(col("text")) === "en",
+        label = col("lang") === "en")),
+
     // minimum spanning forest of the FULL weighted transition graph
     // (Borůvka, (w,a,b)-tie-broken) — the oracle derives the same edge
     // set through the cycle property ("in the forest iff endpoints not
@@ -3043,6 +3059,29 @@ object SparkEntry {
       |)
       |SELECT agg.cluster_id, n_members, max_n_chars, min_doc_id, mode_lang, mode_source
       |FROM agg JOIN lm USING (cluster_id) JOIN sm USING (cluster_id)""".stripMargin
+
+  /** q136's language-prediction CTE chain (ending in `pred(a, b)` = truth
+    * label, predicted label), shared by the q248/q249 agreement oracles.
+    */
+  private lazy val langIdPredOracle: String =
+    """m0 AS (SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+      |       FROM documents),
+      |m AS (
+      |  SELECT lang,
+      |    len(list_filter(ltoks, x -> x IN ('the','and','of','is'))) AS s_en,
+      |    len(list_filter(ltoks, x -> x IN ('der','die','und','das'))) AS s_de,
+      |    len(list_filter(ltoks, x -> x IN ('le','la','et','les'))) AS s_fr,
+      |    len(list_filter(ltoks, x -> x IN ('el','los','que','y'))) AS s_es
+      |  FROM m0),
+      |pred AS (
+      |  SELECT lang AS a,
+      |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+      |      CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+      |           WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+      |           WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+      |           ELSE 'es' END
+      |    ELSE 'und' END AS b
+      |  FROM m)""".stripMargin
 
   /** q95's oracle, shared verbatim with q120 (the served-weights face must
     * produce the identical table).
@@ -5276,6 +5315,46 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
         |FROM s2""".stripMargin,
+
+    // q248: the q136 prediction CTE → contingency cells → margins; kappa
+    // divides the already-rounded po/pe (the q235 quotient discipline)
+    "q248_kappa" ->
+      s"""WITH ${langIdPredOracle},
+         |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM pred
+         |          WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |               CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS diag
+         |        FROM cells),
+         |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         |pe AS (SELECT CAST(coalesce(sum(ra.ra * cb.cb), 0) AS BIGINT) AS px
+         |       FROM ra JOIN cb ON cb.b = ra.a),
+         |s1 AS (SELECT n, round(CAST(diag AS DOUBLE) / n, 6) AS po,
+         |              round(CAST(px AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe
+         |       FROM tot, pe)
+         |SELECT n, po, pe,
+         |  CASE WHEN pe < 1 THEN round((po - pe) / (1 - pe), 6) END AS kappa
+         |FROM s1""".stripMargin,
+
+    // q249: the same prediction CTE collapsed to the binary confusion;
+    // MCC in the Spark chain's textual order (BIGINT products at oracle SF)
+    "q249_mcc" ->
+      s"""WITH ${langIdPredOracle},
+         |d AS (SELECT (b = 'en') AS p, (a = 'en') AS y FROM pred
+         |      WHERE (b = 'en') IS NOT NULL AND (a = 'en') IS NOT NULL),
+         |m1 AS (SELECT
+         |  CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM d)
+         |SELECT tp, fp, tn, fn,
+         |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+         |    THEN round(CAST(tp * tn - fp * fn AS DOUBLE)
+         |      / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+         |        * CAST((tn + fp) * (tn + fn) AS DOUBLE)), 6)
+         |  END AS mcc
+         |FROM m1""".stripMargin,
 
     // q247: MSF via the CYCLE PROPERTY of the (w,a,b)-perturbed order —
     // an edge is in the forest iff its endpoints are NOT connected using

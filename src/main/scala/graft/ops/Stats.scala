@@ -1873,4 +1873,76 @@ object Stats {
         when(col("n_a") > 0 && col("n_b") > 0,
           round(lit(2.0) * col("_u") / col("_nab") - 1, scale)).as("r_rb"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelings of the same rows (classifier vs metadata truth, two
+    * annotators, two model versions): one row
+    * `(n, po, pe, kappa)` with `po` the observed agreement `Σdiag/n`,
+    * `pe` the chance agreement `Σ_k rowMarg_k·colMarg_k / n²`, and
+    * `kappa = (po − pe)/(1 − pe)` computed from the ROUNDED po/pe (the
+    * q235 Theil's-U discipline — a re-deriving engine lands on the
+    * identical quotient). NULL kappa when `pe` rounds to 1 (degenerate:
+    * both raters constant).
+    *
+    * Rows collapse to the contingency cells FIRST (one partial-agg
+    * shuffle bounded by |categories|²); margins and the diagonal fold
+    * from the cell frame; the margin products are DECIMAL (corpus-scale
+    * `rowMarg·colMarg` exceeds a long exactly where this runs). The two
+    * one-row scalar attaches are broadcastable by size.
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column, scale: Int = 6): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.Caches.track(
+      df.select(a.as("_a"), b.as("_b"))
+        .where(col("_a").isNotNull && col("_b").isNotNull)
+        .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o")))
+    val tot = cells.agg(
+      sum(col("_o")).as("n"),
+      sum(when(col("_a") === col("_b"), col("_o")).otherwise(0L)).as("_diag"))
+    val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    // pe pairs category k's row margin with the SAME k's column margin —
+    // categories absent on either side contribute 0 (inner join)
+    val pe = ra.join(cb, col("_a") === col("_b"))
+      .agg(coalesce(sum(dec(col("_ra")) * dec(col("_cb"))), dec(lit(0L))).as("_px"))
+    tot.crossJoin(pe)
+      .withColumn("_po", round(col("_diag").cast("double") / col("n"), scale))
+      .withColumn("_pe",
+        round(col("_px").cast("double") / (dec(col("n")) * dec(col("n"))).cast("double"), scale))
+      .select(
+        col("n"), col("_po").as("po"), col("_pe").as("pe"),
+        when(col("_pe") < 1,
+          round((col("_po") - col("_pe")) / (lit(1) - col("_pe")), scale)).as("kappa"))
+  }
+
+  /** Matthews correlation coefficient — the single-number binary
+    * confusion summary that stays honest under class imbalance (a 99%-
+    * negative corpus gives accuracy 0.99 to the constant classifier; MCC
+    * gives it 0): one row `(tp, fp, tn, fn, mcc)` with
+    * `mcc = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))`, NULL
+    * when any marginal is empty (undefined, not a sentinel).
+    *
+    * ONE conditional-sum scan (the [[welchTtest]] discipline); the four
+    * counts are exact longs, the cross products DECIMAL (corpus-scale
+    * `tp·tn` exceeds a long), and the final quotient is scalar IEEE
+    * arithmetic in a pinned textual order.
+    */
+  def matthewsCorr(df: DataFrame, pred: Column, label: Column, scale: Int = 6): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = df.select(pred.as("_p"), label.as("_y"))
+      .where(col("_p").isNotNull && col("_y").isNotNull)
+    val m = d.agg(
+      sum(when(col("_p") && col("_y"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("_p") && !col("_y"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("_p") && !col("_y"), 1L).otherwise(0L)).as("tn"),
+      sum(when(!col("_p") && col("_y"), 1L).otherwise(0L)).as("fn"))
+    m.select(
+      col("tp"), col("fp"), col("tn"), col("fn"),
+      when((col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0 &&
+          (col("tn") + col("fp")) > 0 && (col("tn") + col("fn")) > 0,
+        round((dec(col("tp")) * dec(col("tn")) - dec(col("fp")) * dec(col("fn"))).cast("double")
+          / sqrt((dec(col("tp") + col("fp")) * dec(col("tp") + col("fn"))).cast("double")
+            * (dec(col("tn") + col("fp")) * dec(col("tn") + col("fn"))).cast("double")),
+          scale)).as("mcc"))
+  }
 }

@@ -69,7 +69,8 @@ object PlanAudit {
     "q240_water_fill",            // one-row |strata|-count and water-level crossJoins
     "q241_term_chi2",             // one-row doc-total crossJoin (same scalar-attach class)
     "q242_betweenness",           // one-row max-pair-mass threshold crossJoin (same class)
-    "q245_closeness"              // same one-row threshold crossJoin on the same graph build
+    "q245_closeness",             // same one-row threshold crossJoin on the same graph build
+    "q248_kappa"                  // one-row observed×chance-agreement crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -93,7 +94,8 @@ object PlanAudit {
     "q233_lorenz",         // cumulative shares over the ≤bins-row binned frame (ntile is prefix-sum)
     "q240_water_fill",     // interval scan over the |strata|-row mass frame (q163/q206 class)
     "q242_betweenness",    // state-id ranking over the |event types|-row frame
-    "q245_closeness"       // same |event types|-row state-id ranking
+    "q245_closeness",      // same |event types|-row state-id ranking
+    "q247_mst"             // same |event types|-row state-id ranking
   )
 
   /** Count of window nodes whose partition spec is EMPTY — each one plans

@@ -932,6 +932,36 @@ class StatsSpec extends SparkSpec {
     assert(s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
   }
 
+  test("cohenKappa: textbook 2×2 agreement; degenerate constant raters → NULL") {
+    import spark.implicits._
+    // 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no: po = 0.7, pe = 0.5, κ = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = Stats.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).collect().head
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.7 && r.getDouble(2) == 0.5 && r.getDouble(3) == 0.4)
+    // both raters constant: pe = 1 → kappa undefined, NULL not NaN
+    val const = Seq.fill(5)(("x", "x")).toDF("a", "b")
+    val c = Stats.cohenKappa(const, col("a"), col("b")).collect().head
+    assert(c.getDouble(1) == 1.0 && c.getDouble(2) == 1.0 && c.isNullAt(3))
+    graft.Caches.clear()
+  }
+
+  test("matthewsCorr: hand confusion; perfect prediction → 1; empty marginal → NULL") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(3)((false, false)) ++ Seq.fill(2)((false, true))
+    val r = Stats.matthewsCorr(rows.toDF("p", "y"), col("p"), col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 1L, 3L, 2L)))
+    assert(r.getDouble(4) == r6((4.0 * 3 - 1.0 * 2) / math.sqrt(5.0 * 6 * 4 * 5)))
+    val perfect = Seq((true, true), (true, true), (false, false)).toDF("p", "y")
+    assert(Stats.matthewsCorr(perfect, col("p"), col("y")).collect().head.getDouble(4) == 1.0)
+    // classifier that always says positive: tn + fn = 0 → undefined
+    val allPos = Seq((true, true), (true, false)).toDF("p", "y")
+    assert(Stats.matthewsCorr(allPos, col("p"), col("y")).collect().head.isNullAt(4))
+  }
+
   test("welchTtest: a singleton group yields NULL statistics, not a sentinel") {
     import spark.implicits._
     val df = Seq((1.0, true), (2.0, false), (3.0, false)).toDF("v", "y")
