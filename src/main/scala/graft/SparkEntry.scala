@@ -1680,6 +1680,14 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // time-decayed activity level per event type: half-per-bucket EWMA —
+    // every weight and term is a power-of-two scaling, so the whole table
+    // is exact in both engines; gap buckets surface with n = 0
+    "q250_ewma" -> ((s, dir) =>
+      graft.ops.EventAnalytics.ewmaSmooth(
+        E(s, dir).withColumn("tsu", expr("ts div 1000")),
+        bucketTs = 3600000000L, tsCol = "tsu")),
+
     // chance-corrected agreement of the q136 language classifier against
     // the metadata label — multiclass Cohen's kappa off the contingency
     // cells; kappa from the ROUNDED po/pe (the q235 quotient discipline)
@@ -5315,6 +5323,28 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
         |FROM s2""".stripMargin,
+
+    // q250: each bucket count explodes into its maxLag+1 future
+    // contributions with exact dyadic weights n/2^k; decimal(38,18) holds
+    // 2^-16 exactly, so the sum is order-free and engine-identical
+    "q250_ewma" ->
+      """WITH c AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT event_type, bucket + k AS t,
+        |    CAST(CAST(n AS DOUBLE) / CAST(1 << k AS DOUBLE) AS DECIMAL(38,18)) AS term,
+        |    CASE WHEN k = 0 THEN n END AS own
+        |  FROM c CROSS JOIN (SELECT unnest(range(0, 17)) AS k) ks),
+        |g AS (SELECT event_type, t, sum(term) AS s,
+        |      CAST(coalesce(sum(own), 0) AS BIGINT) AS n
+        |      FROM contrib GROUP BY 1, 2),
+        |mx AS (SELECT event_type, max(bucket) AS mb FROM c GROUP BY 1)
+        |SELECT g.event_type, g.t AS bucket, g.n,
+        |  round(CAST(g.s AS DOUBLE) / (CAST(2 AS DOUBLE) - CAST(1 AS DOUBLE) / 65536), 6) AS ewma
+        |FROM g JOIN mx ON mx.event_type = g.event_type
+        |WHERE g.t <= mx.mb""".stripMargin,
 
     // q248: the q136 prediction CTE → contingency cells → margins; kappa
     // divides the already-rounded po/pe (the q235 quotient discipline)

@@ -281,6 +281,62 @@ object EventAnalytics {
         round(col("n") - col("trend") - col("seasonal"), scale).as("residual"))
   }
 
+  /** Exponentially-weighted moving average of the per-series bucket
+    * counts — the time-decayed activity level behind "what is this
+    * series doing NOW" dashboards (the unweighted cousin is
+    * [[timeSeries]]'s flat moving average):
+    * `ewma(t) = Σ_{k=0..maxLag} n(t−k)·2⁻ᵏ / (2 − 2^{−maxLag})`, so a
+    * missing bucket correctly contributes ZERO events (gaps decay the
+    * level instead of being skipped) and gap buckets inside a series'
+    * span get a smoothed row with `n = 0`.
+    *
+    * The decay base is pinned at ½ per bucket (choose the bucket width
+    * to set the half-life) because every weight `2⁻ᵏ` and every term
+    * `n·2⁻ᵏ` is then EXACT in IEEE doubles (scaling by a power of two)
+    * and, for `maxLag ≤ 18`, exact in `decimal(38,18)` — the term sum is
+    * order-free and the whole table engine-portable. An arbitrary decay
+    * would float-round per term and per sum order.
+    *
+    * Scale shape: no window, no join in the hot path — each count row
+    * EXPLODES into its `maxLag+1` future contributions (map-side ×17 for
+    * the default), one partial-aggregated shuffle on `(series, bucket)`
+    * collapses them; the per-series max-bucket frame that trims the
+    * decay tail past the last event is a broadcast of |series| rows.
+    */
+  def ewmaSmooth(
+      events: DataFrame,
+      bucketTs: Long,
+      maxLag: Int = 16,
+      seriesCol: String = "event_type",
+      tsCol: String = "ts",
+      scale: Int = 6
+  ): DataFrame = {
+    require(bucketTs > 0, s"bucketTs must be positive, got $bucketTs")
+    require(maxLag >= 1 && maxLag <= 18,
+      s"maxLag must be in [1, 18] (2^-k exactness bound in decimal(38,18)), got $maxLag")
+    // tracked: feeds both the contribution explode and the max-bucket frame
+    // (Spark does not CSE common subplans across join branches)
+    val counts = graft.Caches.track(events
+      .groupBy(col(seriesCol), expr(s"`$tsCol` div $bucketTs").as("bucket"))
+      .agg(count(lit(1)).as("n")))
+    val contrib = counts
+      .select(col(seriesCol), col("bucket"), col("n"),
+        explode(sequence(lit(0), lit(maxLag))).as("k"))
+      .select(col(seriesCol), (col("bucket") + col("k")).as("t"),
+        (col("n").cast("double") / expr("cast(shiftleft(1L, k) as double)"))
+          .cast("decimal(38,18)").as("_term"),
+        when(col("k") === 0, col("n")).as("_own"))
+    val g = contrib.groupBy(col(seriesCol), col("t"))
+      .agg(sum(col("_term")).as("_s"),
+        coalesce(sum(col("_own")), lit(0L)).as("n"))
+    val mx = counts.groupBy(col(seriesCol)).agg(max(col("bucket")).as("_mb"))
+    val norm = 2.0 - 1.0 / (1L << maxLag) // dyadic: exact in both engines
+    g.join(broadcast(mx), Seq(seriesCol))
+      .where(col("t") <= col("_mb"))
+      .select(col(seriesCol), col("t").as("bucket"), col("n"),
+        round(col("_s").cast("double") / lit(norm), scale).as("ewma"))
+  }
+
   /** Change-point validity intervals (the SCD-2 dimension-history build):
     * collapse a per-key event stream to the rows where `valueCol`
     * CHANGED, each stamped `[valid_from, valid_to)` — `valid_to` is the

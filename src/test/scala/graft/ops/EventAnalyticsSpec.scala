@@ -71,6 +71,26 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("ewmaSmooth: exact dyadic decay, gap bucket surfaces with n=0, tail trimmed") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // buckets (width 10): n = [4, 2, gap, 8]; maxLag 2 → norm = 1.75
+    val ts = Seq.fill(4)(1L) ++ Seq.fill(2)(11L) ++ Seq.fill(8)(31L)
+    val df = ts.map(t => ("a", t)).toDF("event_type", "ts")
+    val got = EventAnalytics.ewmaSmooth(df, bucketTs = 10L, maxLag = 2)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L)) // nothing past the last bucket
+    assert(got(0L) == ((4L, r6(4.0 / 1.75))))
+    assert(got(1L) == ((2L, r6((2.0 + 2.0) / 1.75))))
+    assert(got(2L) == ((0L, r6((1.0 + 1.0) / 1.75)))) // gap: decayed level, zero events
+    assert(got(3L) == ((8L, r6((8.0 + 0.5) / 1.75))))
+    // partitioning cannot move the dyadic-exact sums
+    val g17 = EventAnalytics.ewmaSmooth(df.repartition(17), bucketTs = 10L, maxLag = 2)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(g17 == got)
+    graft.Caches.clear()
+  }
+
   test("seasonalDecompose: odd and 2×MA even trends, phase means, gap voids trend") {
     import spark.implicits._
     // bucketTs=10: counts per bucket [3,6,3,3,6,3] — pure period-3 signal
