@@ -1680,6 +1680,14 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // t-closeness: does any source's language mix diverge from the
+    // corpus-wide mix enough to leak membership? TVD per source with the
+    // absent-value tail folded closed-form
+    "q251_t_closeness" -> ((s, dir) =>
+      graft.ops.Privacy.tCloseness(
+        T(s, dir, "documents"), quasiCols = Seq("source"),
+        sensitive = "lang", t = 0.2)),
+
     // time-decayed activity level per event type: half-per-bucket EWMA —
     // every weight and term is a power-of-two scaling, so the whole table
     // is exact in both engines; gap buckets surface with n = 0
@@ -5323,6 +5331,37 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
         |FROM s2""".stripMargin,
+
+    // q251: group/global sensitive distributions off the same cell
+    // counts; the absent-value remainder is 1 − Σ m_v/N; t_close
+    // compares the ROUNDED distance (portable)
+    "q251_t_closeness" ->
+      """WITH cells AS (
+        |  SELECT source, lang AS v, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |mv AS (SELECT v, CAST(sum(o) AS BIGINT) AS m FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |terms AS (
+        |  SELECT c.source, c.o, mv.m, tot.n,
+        |    CAST(sum(c.o) OVER (PARTITION BY c.source) AS BIGINT) AS group_size
+        |  FROM cells c JOIN mv ON mv.v = c.v, tot),
+        |ad AS (
+        |  SELECT source, group_size, m, n,
+        |    abs(CAST(o AS DOUBLE) / group_size - CAST(m AS DOUBLE) / n) AS ad
+        |  FROM terms),
+        |g AS (
+        |  SELECT source, group_size,
+        |    sum(CAST(ad AS DECIMAL(38,12))) AS s,
+        |    CAST(sum(m) AS BIGINT) AS sm,
+        |    any_value(n) AS n
+        |  FROM ad GROUP BY 1, 2),
+        |f AS (
+        |  SELECT source, group_size,
+        |    round((CAST(s AS DOUBLE) + (1 - CAST(sm AS DOUBLE) / n)) / 2, 6) AS t_distance
+        |  FROM g)
+        |SELECT source, group_size, t_distance,
+        |  t_distance <= CAST(0.2 AS DOUBLE) AS t_close
+        |FROM f""".stripMargin,
 
     // q250: each bucket count explodes into its maxLag+1 future
     // contributions with exact dyadic weights n/2^k; decimal(38,18) holds

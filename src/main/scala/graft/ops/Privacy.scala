@@ -61,4 +61,61 @@ object Privacy {
     val cond = quasiCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
     df.join(broadcast(risky), cond, "left_semi")
   }
+
+  /** t-closeness audit — the escalation past [[kAnonymity]]'s l-diversity
+    * (a group can hold l distinct diagnoses and still be 99% "cancer";
+    * diversity passes, disclosure happens anyway): per quasi-identifier
+    * combination, the TOTAL-VARIATION distance between the group's
+    * sensitive-value distribution and the whole table's,
+    * `t(g) = ½ Σ_v |p_v|g − p_v|`, with `t_close = t(g) ≤ t` on the
+    * rounded distance (engine-portable compare). Returns
+    * `(quasi…, group_size, t_distance, t_close)`.
+    *
+    * Values absent from a group contribute their full global mass; that
+    * tail is folded CLOSED-FORM as `1 − Σ_{v∈g} m_v/N` instead of a
+    * sparse-dense outer join — the per-group work stays proportional to
+    * the values the group actually has. Null sensitive values are
+    * excluded (disclose nothing); null quasi values group as their own
+    * combination ([[kAnonymity]]'s contract) — group sizes ride a window
+    * PARTITIONED by the quasi key, so no join has to match null keys.
+    *
+    * Scale shape: one cells shuffle on `(quasi…, v)`, one margins
+    * shuffle on `v`, a one-row total attach, and a partitioned window —
+    * each |p−q| term is a handful of IEEE ops off exact counts,
+    * decimal-summed per group (order-free).
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitive: String,
+      t: Double,
+      scale: Int = 6
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(t >= 0.0 && t <= 1.0, s"t must be in [0, 1], got $t")
+    val qs = quasiCols.map(col)
+    // tracked: feeds the margins aggregate, the total, and the term join
+    val cells = graft.Caches.track(
+      df.where(col(sensitive).isNotNull)
+        .groupBy(qs :+ col(sensitive).as("_v"): _*)
+        .agg(count(lit(1)).as("_o")))
+    val mv = cells.groupBy(col("_v")).agg(sum(col("_o")).as("_m"))
+    val tot = cells.agg(sum(col("_o")).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qs: _*)
+    val terms = cells.join(mv, Seq("_v")).crossJoin(tot)
+      .withColumn("group_size", sum(col("_o")).over(w))
+      .withColumn("_ad",
+        abs(col("_o").cast("double") / col("group_size")
+          - col("_m").cast("double") / col("_n")))
+    terms.groupBy(qs :+ col("group_size"): _*)
+      .agg(
+        sum(col("_ad").cast("decimal(38,12)")).as("_s"),
+        sum(col("_m")).as("_sm"),
+        first(col("_n")).as("_tn"))
+      .withColumn("t_distance",
+        round((col("_s").cast("double")
+          + (lit(1) - col("_sm").cast("double") / col("_tn"))) / 2, scale))
+      .select(qs ++ Seq(col("group_size"), col("t_distance"),
+        (col("t_distance") <= t).as("t_close")): _*)
+  }
 }

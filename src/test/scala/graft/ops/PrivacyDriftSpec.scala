@@ -23,6 +23,27 @@ class PrivacyDriftSpec extends SparkSpec {
     assert(got((None, "b")) == ((2L, 2L, true, true)))
   }
 
+  test("tCloseness: hand TVD with absent-value tail; null sensitive excluded; null quasi groups") {
+    import spark.implicits._
+    // global mix: x 0.6, y 0.2, z 0.2 (N = 5); a null sensitive row disclosed nothing
+    val df = Seq(
+      (Some("A"), Some("x")), (Some("A"), Some("x")), (Some("A"), Some("y")),
+      (Some("A"), None),
+      (Some("B"), Some("x")), (Some("B"), Some("z"))).toDF("g", "v")
+    val got = Privacy.tCloseness(df, Seq("g"), "v", t = 0.25)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // A: ½(|2/3−0.6| + |1/3−0.2| + 0.2 absent-z) = 0.2; B: ½(0.1 + 0.3 + 0.2) = 0.3
+    assert(got("A") == ((3L, 0.2, true)))
+    assert(got("B") == ((2L, 0.3, false)))
+    // null quasi value is a combination an attacker observes too
+    val withNull = df.union(Seq((None: Option[String], Some("x"))).toDF("g", "v"))
+    val g2 = Privacy.tCloseness(withNull, Seq("g"), "v", t = 0.5)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(g2(None) == 1L && g2(Some("A")) == 3L)
+    graft.Caches.clear()
+  }
+
   test("riskyRows: exactly the members of sub-k combinations, null-safe") {
     import spark.implicits._
     val df = Seq(
