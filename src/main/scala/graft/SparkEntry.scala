@@ -1680,6 +1680,14 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // Kendall's τ-b between quantity and the 10k price band — the pair-
+    // concordance face of q212's rank question, quadratic only in the
+    // bounded contingency cells
+    "q252_kendall" -> ((s, dir) =>
+      graft.ops.Stats.kendallTauB(
+        T(s, dir, "lineitem"),
+        x = col("l_quantity"), y = floor(col("l_extendedprice") / 10000))),
+
     // t-closeness: does any source's language mix diverge from the
     // corpus-wide mix enough to leak membership? TVD per source with the
     // absent-value tail folded closed-form
@@ -5331,6 +5339,35 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
         |FROM s2""".stripMargin,
+
+    // q252: the same cell-pair fold — strict upper triangle on x,
+    // concordant/discordant masses, tie-corrected denominator; BIGINT
+    // products at oracle SF (the Spark side carries corpus-safe decimals)
+    "q252_kendall" ->
+      """WITH d AS (
+        |  SELECT l_quantity AS x, floor(l_extendedprice / 10000) AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN b.y > a.y THEN a.o * b.o END), 0) AS BIGINT) AS c,
+        |    CAST(coalesce(sum(CASE WHEN b.y < a.y THEN a.o * b.o END), 0) AS BIGINT) AS dd
+        |  FROM cells a JOIN cells b ON b.x > a.x),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |tx AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) AS tx2
+        |       FROM (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) AS ty2
+        |       FROM (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells GROUP BY y)),
+        |s1 AS (SELECT n, c, dd,
+        |       CAST(n * (n - 1) AS DOUBLE) / 2 AS n0,
+        |       CAST(tx2 AS DOUBLE) / 2 AS n1,
+        |       CAST(ty2 AS DOUBLE) / 2 AS n2
+        |       FROM cd, nn, tx, ty)
+        |SELECT n,
+        |  CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0 THEN
+        |    round((CAST(c AS DOUBLE) - CAST(dd AS DOUBLE)) / sqrt((n0 - n1) * (n0 - n2)), 6)
+        |  END AS tau_b
+        |FROM s1""".stripMargin,
 
     // q251: group/global sensitive distributions off the same cell
     // counts; the absent-value remainder is 1 − Σ m_v/N; t_close

@@ -1915,6 +1915,53 @@ object Stats {
           round((col("_po") - col("_pe")) / (lit(1) - col("_pe")), scale)).as("kappa"))
   }
 
+  /** Kendall's τ-b — rank correlation by pair CONCORDANCE with the
+    * tie-corrected denominator (the [[spearmanCorr]] companion: Spearman
+    * measures monotone fit of the rank values, Kendall the probability a
+    * random pair sorts the same way on both axes):
+    * `τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂))` with `n₀ = n(n−1)/2` and
+    * `n₁/n₂` the per-axis tie-pair counts. One row `(n, tau_b)`; NULL
+    * when either axis is constant.
+    *
+    * Rows collapse to the CONTINGENCY CELLS first; C and D then fold
+    * over cell PAIRS (strict upper triangle on x), so the quadratic is
+    * in |distinct x|·|distinct y| — never in rows. That makes bounded /
+    * binned inputs the contract (categories, integer grades, pre-binned
+    * continuous values — the [[aucFromHist]] discipline); a raw
+    * continuous column keeps |cells| ≈ |rows| and belongs in
+    * [[spearmanCorr]] instead. All pair products are DECIMAL (corpus
+    * cell masses multiply past a long); the final quotient is pinned
+    * scalar IEEE arithmetic.
+    */
+  def kendallTauB(df: DataFrame, x: Column, y: Column, scale: Int = 6): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.Caches.track(
+      df.select(x.as("_x"), y.as("_y"))
+        .where(col("_x").isNotNull && col("_y").isNotNull)
+        .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_o")))
+    val b = cells.select(col("_x").as("_x2"), col("_y").as("_y2"), col("_o").as("_o2"))
+    val cd = cells.join(b, col("_x2") > col("_x")).agg(
+      coalesce(sum(when(col("_y2") > col("_y"), dec(col("_o")) * dec(col("_o2")))),
+        dec(lit(0L))).as("_c"),
+      coalesce(sum(when(col("_y2") < col("_y"), dec(col("_o")) * dec(col("_o2")))),
+        dec(lit(0L))).as("_d"))
+    val n = cells.agg(sum(col("_o")).as("n"))
+    val tx = cells.groupBy(col("_x")).agg(sum(col("_o")).as("_t"))
+      .agg(coalesce(sum(dec(col("_t")) * dec(col("_t") - 1)), dec(lit(0L))).as("_tx2"))
+    val ty = cells.groupBy(col("_y")).agg(sum(col("_o")).as("_t"))
+      .agg(coalesce(sum(dec(col("_t")) * dec(col("_t") - 1)), dec(lit(0L))).as("_ty2"))
+    // pinned evaluation order — the oracle mirrors these formulas text-for-text
+    cd.crossJoin(n).crossJoin(tx).crossJoin(ty)
+      .withColumn("_n0", (dec(col("n")) * dec(col("n") - 1)).cast("double") / 2)
+      .withColumn("_n1", col("_tx2").cast("double") / 2)
+      .withColumn("_n2", col("_ty2").cast("double") / 2)
+      .select(col("n"),
+        when((col("_n0") - col("_n1")) > 0 && (col("_n0") - col("_n2")) > 0,
+          round((col("_c").cast("double") - col("_d").cast("double"))
+            / sqrt((col("_n0") - col("_n1")) * (col("_n0") - col("_n2"))), scale))
+          .as("tau_b"))
+  }
+
   /** Matthews correlation coefficient — the single-number binary
     * confusion summary that stays honest under class imbalance (a 99%-
     * negative corpus gives accuracy 0.99 to the constant classifier; MCC

@@ -71,7 +71,8 @@ object PlanAudit {
     "q242_betweenness",           // one-row max-pair-mass threshold crossJoin (same class)
     "q245_closeness",             // same one-row threshold crossJoin on the same graph build
     "q248_kappa",                 // one-row observed×chance-agreement crossJoin (scalar-attach class)
-    "q251_t_closeness"            // one-row corpus-total crossJoin (same scalar-attach class)
+    "q251_t_closeness",           // one-row corpus-total crossJoin (same scalar-attach class)
+    "q252_kendall"                // |cells|² upper-triangle pair fold (the q153 bounded-matrix class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -932,6 +932,20 @@ class StatsSpec extends SparkSpec {
     assert(s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
   }
 
+  test("kendallTauB: monotone ±1, hand tie-corrected value, constant axis → NULL") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def tau(rows: Seq[(Int, Int)]) =
+      Stats.kendallTauB(rows.toDF("x", "y"), col("x"), col("y")).collect().head
+    assert(tau(Seq((1, 5), (2, 6), (3, 7))).getDouble(1) == 1.0)
+    assert(tau(Seq((1, 7), (2, 6), (3, 5))).getDouble(1) == -1.0)
+    // cells (1,1)×2, (2,2), (3,1): C=2, D=1, n0=6, n1=1, n2=3
+    val t = tau(Seq((1, 1), (1, 1), (2, 2), (3, 1)))
+    assert(t.getLong(0) == 4L && t.getDouble(1) == r6(1.0 / math.sqrt(15.0)))
+    assert(tau(Seq((1, 1), (1, 2), (1, 3))).isNullAt(1)) // constant x
+    graft.Caches.clear()
+  }
+
   test("cohenKappa: textbook 2×2 agreement; degenerate constant raters → NULL") {
     import spark.implicits._
     // 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no: po = 0.7, pe = 0.5, κ = 0.4
