@@ -1680,6 +1680,11 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // RAKE keyphrases: stopword-delimited candidate runs, deg/freq word
+    // scores, decimal-summed phrase scores, top-20 on the rounded score
+    "q253_rake" -> ((s, dir) =>
+      graft.ops.TextAnalysis.rakeKeyphrases(T(s, dir, "documents"))),
+
     // Kendall's τ-b between quantity and the 10k price band — the pair-
     // concordance face of q212's rank question, quadratic only in the
     // bounded contingency cells
@@ -5339,6 +5344,42 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
         |FROM s2""".stripMargin,
+
+    // q253: parallel-unnest tokens with ordinals, stopword-boundary
+    // segment ids, deg/freq word scores, decimal phrase sums; the cut is
+    // row_number over (rounded score, phrase) — Spark's TakeOrdered twin
+    "q253_rake" ->
+      raw"""WITH toks AS (
+         |  SELECT doc_id, unnest(a) AS tok, unnest(range(1, len(a) + 1)) AS pos
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+         |        FROM documents WHERE text IS NOT NULL)),
+         |t1 AS (SELECT doc_id, pos, tok,
+         |        (tok IN ('the','a','an','and','or','of','to','in','is','it')
+         |         OR NOT regexp_matches(tok, '[a-z0-9]')) AS stop
+         |       FROM toks WHERE tok <> ''),
+         |seg AS (SELECT doc_id, pos, tok, stop,
+         |        sum(CASE WHEN stop THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos) AS ph
+         |        FROM t1),
+         |words AS (SELECT doc_id, ph, pos, tok FROM seg WHERE NOT stop),
+         |wlen AS (SELECT doc_id, ph, pos, tok,
+         |         CAST(count(*) OVER (PARTITION BY doc_id, ph) AS BIGINT) AS len FROM words),
+         |ws AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq, CAST(sum(len) AS BIGINT) AS deg
+         |       FROM wlen GROUP BY 1),
+         |ph AS (SELECT w.doc_id, w.ph,
+         |        CAST(count(*) AS BIGINT) AS n_words,
+         |        string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+         |        sum(CAST(CAST(ws.deg AS DOUBLE) / ws.freq AS DECIMAL(38,12))) AS ps
+         |       FROM words w JOIN ws ON ws.tok = w.tok
+         |       GROUP BY 1, 2
+         |       HAVING count(*) <= 4),
+         |agg AS (SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+         |        CAST(count(*) AS BIGINT) AS n_occurrences,
+         |        round(CAST(max(ps) AS DOUBLE), 6) AS score
+         |        FROM ph GROUP BY 1, 2)
+         |SELECT phrase, n_words, n_occurrences, score
+         |FROM agg
+         |QUALIFY row_number() OVER (ORDER BY score DESC, phrase) <= 20""".stripMargin,
 
     // q252: the same cell-pair fold — strict upper triangle on x,
     // concordant/discordant masses, tie-corrected denominator; BIGINT

@@ -1418,4 +1418,72 @@ object TextAnalysis {
         round((col("c_ab") * lit(n)).cast("double") / (col("c_a") * col("c_b")).cast("double"), 6)
           .as("lift"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the corpus-level
+    * "what is this collection about" summary: candidate phrases are the
+    * maximal stopword-free token runs (stopwords and symbol-only tokens
+    * delimit), each word scores `deg/freq` (degree = Σ length of the
+    * phrases it appears in — words that live inside LONG phrases beat
+    * words that only stand alone), and a phrase scores the sum of its
+    * words. Returns the global `topK` distinct phrases as
+    * `(phrase, n_words, n_occurrences, score)`, ranked on the ROUNDED
+    * score with the phrase text as tie-break (engine-portable cut).
+    *
+    * Determinism: phrase membership and degree are exact integers; each
+    * word score is one double division; the per-phrase sum is
+    * decimal(38,12)-cast term-by-term (order-free — identical phrase
+    * text always reproduces the identical score, which is why the
+    * distinct-phrase collapse can take `max`).
+    *
+    * Scale shape: tokenization is a map-side posexplode; segment ids
+    * ride a window PARTITIONED by document (never global); word scores
+    * are one |vocab|-bounded aggregate joined back to the slim
+    * `(doc, phrase, pos, tok)` frame; the final cut is a TakeOrdered
+    * top-k, not a global sort. Phrases longer than `maxPhraseLen` drop
+    * (unbounded runs would make degree quadratic in run length).
+    */
+  def rakeKeyphrases(
+      df: DataFrame,
+      topK: Int = 20,
+      maxPhraseLen: Int = 4,
+      stopwords: Seq[String] = defaultStopwords,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      scale: Int = 6
+  ): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxPhraseLen >= 1, s"maxPhraseLen must be >= 1, got $maxPhraseLen")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("_pos", "_tok")))
+      .where(col("_tok") =!= "")
+      .withColumn("_stop",
+        col("_tok").isin(stopwords: _*) || !col("_tok").rlike("[a-z0-9]"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("_id").orderBy("_pos")
+    // tracked: the word frame feeds both the degree aggregate and the
+    // phrase assembly join (no cross-branch subplan CSE)
+    val words = graft.Caches.track(
+      toks.withColumn("_ph", sum(col("_stop").cast("int")).over(wDoc))
+        .where(!col("_stop"))
+        .select(col("_id"), col("_ph"), col("_pos"), col("_tok")))
+    val wPhrase = org.apache.spark.sql.expressions.Window.partitionBy("_id", "_ph")
+    val wscore = words.withColumn("_len", count(lit(1)).over(wPhrase))
+      .groupBy(col("_tok"))
+      .agg(count(lit(1)).as("_freq"), sum(col("_len")).as("_deg"))
+      .select(col("_tok"), (col("_deg").cast("double") / col("_freq")).as("_ws"))
+    val phrases = words.join(wscore, Seq("_tok"))
+      .groupBy(col("_id"), col("_ph"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        array_join(transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x.getField("_tok")), " ").as("phrase"),
+        sum(col("_ws").cast("decimal(38,12)")).as("_ps"))
+      .where(col("n_words") <= maxPhraseLen)
+    phrases.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("_ps")).as("_psm"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        round(col("_psm").cast("double"), scale).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
 }

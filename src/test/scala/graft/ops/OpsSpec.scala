@@ -352,6 +352,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(en._3 - math.rint(qs.sum / 3 * 1e6) / 1e6) < 1e-9, s"mean: ${en._3} vs $qs")
   }
 
+  test("rakeKeyphrases: deg/freq scoring, stopword+symbol boundaries, rounded-score cut") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // apple: freq 3, deg 2+2+1=5 → ws 5/3; red/green: ws 2 → the two-word
+    // phrases tie at 2 + 5/3 and cut by phrase text ascending
+    val docs = Seq((1L, "the red apple and green apple"), (2L, "apple")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(docs, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("green apple", 2L, 1L, r6(2.0 + 5.0 / 3)),
+      ("red apple", 2L, 1L, r6(2.0 + 5.0 / 3))))
+    // symbol-only tokens delimit like stopwords; repeats collapse with a count
+    val sym = Seq((1L, "alpha beta ### alpha beta")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.rakeKeyphrases(sym, topK = 1).collect().head
+    assert(g2.getString(0) == "alpha beta" && g2.getLong(2) == 2L && g2.getDouble(3) == 4.0)
+    graft.Caches.clear()
+  }
+
   test("cooccurrenceLift: hand-computed marginals and ratios; threshold prunes") {
     import spark.implicits._
     // slots: (a,b),(b,a),(a,b) from doc1 + (a,b) from doc2 → N=4
