@@ -1680,6 +1680,17 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // Theil-Sen robust trend of each event type's hourly volume — the
+    // outlier-proof twin of q108's least-squares fit; type-1 medians are
+    // picked values, so the whole row is engine-exact
+    "q254_theil_sen" -> ((s, dir) => {
+      val counts = E(s, dir).withColumn("tsu", expr("ts div 1000"))
+        .groupBy(col("event_type"), expr("tsu div 3600000000").as("x"))
+        .agg(count(lit(1)).as("yv"))
+      graft.ops.Stats.theilSenFit(counts,
+        x = col("x"), y = col("yv"), strataCols = Seq("event_type"))
+    }),
+
     // RAKE keyphrases: stopword-delimited candidate runs, deg/freq word
     // scores, decimal-summed phrase scores, top-20 on the rounded score
     "q253_rake" -> ((s, dir) =>
@@ -5344,6 +5355,39 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
         |FROM s2""".stripMargin,
+
+    // q254: pairwise slopes over the bounded hourly series, type-1
+    // median picks by rank — no float summation anywhere, so the fit is
+    // bit-identical across engines
+    "q254_theil_sen" ->
+      """WITH c AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS x,
+        |    CAST(count(*) AS BIGINT) AS yv
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, x, CAST(yv AS DOUBLE) AS y FROM c),
+        |sp AS (
+        |  SELECT a.event_type, (b2.y - a.y) / CAST(b2.x - a.x AS DOUBLE) AS sl
+        |  FROM b a JOIN b b2 ON b2.event_type = a.event_type AND b2.x > a.x),
+        |ms AS (
+        |  SELECT event_type, sl AS slope, m AS n_pairs FROM (
+        |    SELECT event_type, sl,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY sl) AS rn,
+        |      CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |    FROM sp)
+        |  WHERE rn = (m + 1) // 2),
+        |rs AS (
+        |  SELECT b.event_type, b.y - ms.slope * CAST(b.x AS DOUBLE) AS r
+        |  FROM b JOIN ms ON ms.event_type = b.event_type),
+        |mi AS (
+        |  SELECT event_type, r AS icept FROM (
+        |    SELECT event_type, r,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+        |      CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |    FROM rs)
+        |  WHERE rn = (m + 1) // 2)
+        |SELECT ms.event_type, ms.n_pairs, round(ms.slope, 6) AS slope,
+        |  round(mi.icept, 6) AS intercept
+        |FROM ms JOIN mi ON mi.event_type = ms.event_type""".stripMargin,
 
     // q253: parallel-unnest tokens with ordinals, stopword-boundary
     // segment ids, deg/freq word scores, decimal phrase sums; the cut is

@@ -1915,6 +1915,67 @@ object Stats {
           round((col("_po") - col("_pe")) / (lit(1) - col("_pe")), scale)).as("kappa"))
   }
 
+  /** Theil–Sen robust line fit — the median-of-pairwise-slopes estimator
+    * ([[linearFit]]'s outlier-proof sibling: one corrupted bucket drags a
+    * least-squares slope arbitrarily far, but moves this one only past
+    * the 29% breakdown point). Per stratum:
+    * `slope = median{ (y_j − y_i)/(x_j − x_i) : x_j > x_i }`,
+    * `intercept = median{ y_i − slope·x_i }`. Returns
+    * `(strata…, n_pairs, slope, intercept)`.
+    *
+    * Both medians are the rank-based TYPE-1 pick (`rn = (m+1) div 2` in
+    * the value order) — an ACTUAL computed value, no float averaging, so
+    * the result is engine-exact: every pairwise slope is one double
+    * subtraction and division off exact inputs, and an engine ordering
+    * the same values picks the same median. Pairs with equal x are
+    * excluded (vertical — standard Theil–Sen).
+    *
+    * The pair fold is quadratic in the PER-STRATUM row count — the
+    * contract is pre-aggregated bounded series (per-bucket counts, daily
+    * rollups: the [[kendallTauB]] discipline), never raw events; the
+    * median windows are PARTITIONED by the strata. With empty
+    * `strataCols` the windows degrade to single-partition — bounded
+    * input is then doubly the contract.
+    */
+  def theilSenFit(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      strataCols: Seq[String] = Nil,
+      scale: Int = 6
+  ): DataFrame = {
+    val ss = strataCols.map(col)
+    val base = graft.Caches.track(
+      df.select(ss ++ Seq(x.cast("long").as("_x"), y.cast("double").as("_y")): _*)
+        .where(col("_x").isNotNull && col("_y").isNotNull))
+    val right = base.select(ss ++ Seq(col("_x").as("_x2"), col("_y").as("_y2")): _*)
+    val paired =
+      if (strataCols.isEmpty) base.crossJoin(right)
+      else base.join(right, strataCols)
+    val sp = paired.where(col("_x2") > col("_x"))
+      .select(ss :+ ((col("_y2") - col("_y")) / (col("_x2") - col("_x")).cast("double"))
+        .as("_sl"): _*)
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(ss: _*).orderBy(col("_sl"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(ss: _*)
+    val med = graft.Caches.track(
+      sp.withColumn("_rn", row_number().over(wOrd))
+        .withColumn("_m", count(lit(1)).over(wAll))
+        .where(col("_rn") === expr("(_m + 1) div 2"))
+        .select(ss ++ Seq(col("_m").as("n_pairs"), col("_sl").as("_slope")): _*))
+    val resid = (if (strataCols.isEmpty) base.crossJoin(med) else base.join(med, strataCols))
+      .withColumn("_r", col("_y") - col("_slope") * col("_x").cast("double"))
+    val wrOrd = org.apache.spark.sql.expressions.Window.partitionBy(ss: _*).orderBy(col("_r"))
+    val mi = resid
+      .withColumn("_rn", row_number().over(wrOrd))
+      .withColumn("_mr", count(lit(1)).over(wAll))
+      .where(col("_rn") === expr("(_mr + 1) div 2"))
+      .select(ss :+ col("_r").as("_icept"): _*)
+    val joined = if (strataCols.isEmpty) med.crossJoin(mi) else med.join(mi, strataCols)
+    joined.select(ss ++ Seq(col("n_pairs"),
+      round(col("_slope"), scale).as("slope"),
+      round(col("_icept"), scale).as("intercept")): _*)
+  }
+
   /** Kendall's τ-b — rank correlation by pair CONCORDANCE with the
     * tie-corrected denominator (the [[spearmanCorr]] companion: Spearman
     * measures monotone fit of the rank values, Kendall the probability a

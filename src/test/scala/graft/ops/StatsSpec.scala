@@ -932,6 +932,20 @@ class StatsSpec extends SparkSpec {
     assert(s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
   }
 
+  test("theilSenFit: median slope shrugs off an outlier; exact line recovered; per-stratum") {
+    import spark.implicits._
+    // slopes of (0,1),(1,3),(2,4),(3,100): {2, 1.5, 33, 1, 48.5, 96} → median 2
+    // residuals y − 2x: {1, 1, 0, 94} → type-1 median intercept 1
+    val df = Seq(("a", 0L, 1.0), ("a", 1L, 3.0), ("a", 2L, 4.0), ("a", 3L, 100.0),
+      ("b", 0L, 5.0), ("b", 1L, 7.0), ("b", 2L, 9.0)).toDF("g", "x", "y")
+    val got = Stats.theilSenFit(df, col("x"), col("y"), Seq("g"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got("a") == ((6L, 2.0, 1.0)))
+    assert(got("b") == ((3L, 2.0, 5.0))) // exact line recovered exactly
+    graft.Caches.clear()
+  }
+
   test("kendallTauB: monotone ±1, hand tie-corrected value, constant axis → NULL") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
