@@ -1680,6 +1680,15 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // out-of-fold target encoding of source by mean doc length — the
+    // leakage-safe mean-encoding table (q131's folds; smoothed toward
+    // the global mean so own-fold-only categories degrade to the prior)
+    "q255_target_encoding" -> ((s, dir) =>
+      graft.ops.Sampling.targetEncode(
+        T(s, dir, "documents"), category = col("source"),
+        target = col("n_chars"), key = col("doc_id"), k = 5,
+        smoothing = 10.0, hash = activeHash)),
+
     // Theil-Sen robust trend of each event type's hourly volume — the
     // outlier-proof twin of q108's least-squares fit; type-1 medians are
     // picked values, so the whole row is engine-exact
@@ -5355,6 +5364,25 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
         |FROM s2""".stripMargin,
+
+    // q255: q131's md5 fold hash, per-(category, fold) decimal target
+    // sums, leave-own-fold-out mean smoothed toward the global mean in
+    // the Spark chain's textual order
+    "q255_target_encoding" ->
+      s"""WITH d AS (
+         |  SELECT source AS category, CAST(n_chars AS DOUBLE) AS y,
+         |    ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |cf AS (SELECT category, fold, sum(CAST(y AS DECIMAL(38,12))) AS sf,
+         |       CAST(count(*) AS BIGINT) AS nf
+         |       FROM d GROUP BY 1, 2),
+         |c AS (SELECT category, sum(sf) AS s, CAST(sum(nf) AS BIGINT) AS n FROM cf GROUP BY 1),
+         |g AS (SELECT sum(sf) AS sa, CAST(sum(nf) AS BIGINT) AS na FROM cf)
+         |SELECT cf.category, cf.fold, cf.nf AS n_in, c.n - cf.nf AS n_out,
+         |  round((CAST(c.s - cf.sf AS DOUBLE)
+         |      + CAST(10.0 AS DOUBLE) * (CAST(g.sa AS DOUBLE) / g.na))
+         |    / (CAST(c.n - cf.nf AS DOUBLE) + CAST(10.0 AS DOUBLE)), 6) AS te
+         |FROM cf JOIN c ON c.category = cf.category, g""".stripMargin,
 
     // q254: pairwise slopes over the bounded hourly series, type-1
     // median picks by rank — no float summation anywhere, so the fit is

@@ -434,6 +434,55 @@ object Sampling {
     df.withColumn("fold", pmod(hash.seeded(seed, key), lit(k.toLong)))
   }
 
+  /** Leakage-safe OUT-OF-FOLD target encoding — the mean-encoding table
+    * for a high-cardinality categorical feature, built so no row's own
+    * target leaks into the mean it trains against (the classic target-
+    * leak: encode with the full-data mean and the model memorizes the
+    * label through the encoding). Folds are [[kFold]]'s deterministic
+    * hash; each `(category, fold)` cell gets the mean over the OTHER
+    * folds, smoothed toward the global mean:
+    * `te = (S_c − S_{c,f} + α·ḡ) / (n_c − n_{c,f} + α)` — a category
+    * seen only inside the row's own fold degrades smoothly to ḡ (the
+    * α-prior is the whole numerator), never to a NULL or a leak.
+    *
+    * Returns the COMPACT encoding table
+    * `(category, fold, n_in, n_out, te)` (|categories|·k rows — the
+    * mergeable-state serving discipline: training joins it back on
+    * `(category, fold)`, inference joins the all-data variant). Target
+    * sums are decimal(38,12) term-casts (order-free); every derived
+    * mean is pinned scalar IEEE off those exact sums. One aggregate
+    * shuffle on `(category, fold)`; everything above it folds from that
+    * frame, and the global row is a one-row scalar attach.
+    */
+  def targetEncode(
+      df: DataFrame,
+      category: Column,
+      target: Column,
+      key: Column,
+      k: Int = 5,
+      smoothing: Double = 10.0,
+      seed: Int = 42,
+      hash: HashFamily = XxHash,
+      scale: Int = 6
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(smoothing > 0.0, s"smoothing must be positive, got $smoothing")
+    val cf = graft.Caches.track(
+      df.select(category.as("category"), target.cast("double").as("_y"),
+          pmod(hash.seeded(seed, key), lit(k.toLong)).as("fold"))
+        .where(col("_y").isNotNull)
+        .groupBy(col("category"), col("fold"))
+        .agg(sum(col("_y").cast("decimal(38,12)")).as("_sf"), count(lit(1)).as("_nf")))
+    val c = cf.groupBy(col("category")).agg(sum(col("_sf")).as("_s"), sum(col("_nf")).as("_n"))
+    val g = cf.agg(sum(col("_sf")).as("_sa"), sum(col("_nf")).as("_na"))
+    cf.join(c, Seq("category")).crossJoin(g)
+      .withColumn("_gm", col("_sa").cast("double") / col("_na"))
+      .select(col("category"), col("fold"),
+        col("_nf").as("n_in"), (col("_n") - col("_nf")).as("n_out"),
+        round(((col("_s") - col("_sf")).cast("double") + lit(smoothing) * col("_gm"))
+          / ((col("_n") - col("_nf")).cast("double") + lit(smoothing)), scale).as("te"))
+  }
+
   /** Deterministic contrastive negative sampling: for every anchor id, `m`
     * pseudo-random partner ids drawn uniformly from the corpus — the
     * negative-pair generator of contrastive/embedding training (positives

@@ -352,6 +352,37 @@ class SamplingSpec extends SparkSpec {
     assert(!all.contains(200L) && !all.contains(201L))
   }
 
+  test("targetEncode: out-of-fold algebra vs driver reference; lone-fold category → prior") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0), (4L, "b", 100.0),
+      (5L, "b", 50.0), (6L, "c", 7.0)).toDF("id", "cat", "y")
+    val alpha = 2.0
+    val enc = Sampling.targetEncode(df, col("cat"), col("y"), col("id"),
+        k = 2, smoothing = alpha)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // driver reference off the SAME deterministic fold assignment
+    val rows = Sampling.kFold(df, col("id"), k = 2).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+    val gm = rows.map(t => BigDecimal(t._2)).sum.toDouble / rows.length
+    rows.groupBy(_._1).foreach { case (cat, rs) =>
+      val s = rs.map(t => BigDecimal(t._2)).sum
+      rs.groupBy(_._3).foreach { case (fold, fr) =>
+        val sf = fr.map(t => BigDecimal(t._2)).sum
+        val exp = r6(((s - sf).toDouble + alpha * gm) / ((rs.length - fr.length) + alpha))
+        val got = enc((cat, fold))
+        assert(got == ((fr.length.toLong, (rs.length - fr.length).toLong, exp)),
+          s"($cat, $fold): $got vs $exp")
+      }
+    }
+    // a category confined to one fold trains against the pure prior
+    val cCells = enc.filter(_._1._1 == "c")
+    assert(cCells.size == 1 && cCells.head._2._2 == 0L && cCells.head._2._3 == r6(gm))
+    graft.Caches.clear()
+  }
+
   test("kFold: every row gets one fold in [0,k); deterministic, partition-invariant, all folds populated") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("id")
