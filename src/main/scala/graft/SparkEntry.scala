@@ -1680,6 +1680,14 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // decision-stump best split: the single most informative n_chars
+    // threshold for "is it English?" — candidate scores off the prefix-
+    // sum CDF, rounded-score rank, TakeOrdered arg-min
+    "q256_best_split" -> ((s, dir) =>
+      graft.ops.Stats.bestSplit(
+        T(s, dir, "documents"),
+        feature = col("n_chars"), label = col("lang") === "en")),
+
     // out-of-fold target encoding of source by mean doc length — the
     // leakage-safe mean-encoding table (q131's folds; smoothed toward
     // the global mean so own-fold-only categories degrade to the prior)
@@ -5364,6 +5372,37 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
         |FROM s2""".stripMargin,
+
+    // q256: the same distinct-value CDF, weighted Gini per candidate in
+    // the Spark chain's textual order, ORDER BY (score, v) LIMIT 1
+    "q256_best_split" ->
+      """WITH d AS (
+        |  SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND (lang = 'en') IS NOT NULL),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS np
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT v, cnt, np,
+        |      CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cn,
+        |      CAST(sum(np) OVER (ORDER BY v) AS BIGINT) AS cp FROM g),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS p FROM g),
+        |s AS (
+        |  SELECT r.v, r.cn, t.n, t.p,
+        |    CAST(r.cp AS DOUBLE) / r.cn AS pl,
+        |    CAST(t.p - r.cp AS DOUBLE) / (t.n - r.cn) AS pr
+        |  FROM r, t WHERE r.cn < t.n),
+        |sc AS (
+        |  SELECT v, cn, n, p,
+        |    round((CAST(cn AS DOUBLE) / n) * (1 - pl*pl - (1-pl)*(1-pl))
+        |      + (CAST(n - cn AS DOUBLE) / n) * (1 - pr*pr - (1-pr)*(1-pr)), 6) AS score
+        |  FROM s),
+        |b AS (SELECT * FROM sc ORDER BY score, v LIMIT 1),
+        |b2 AS (SELECT v, cn, n, score,
+        |       round(1 - (CAST(p AS DOUBLE)/n)*(CAST(p AS DOUBLE)/n)
+        |         - (1 - CAST(p AS DOUBLE)/n)*(1 - CAST(p AS DOUBLE)/n), 6) AS g0
+        |       FROM b)
+        |SELECT v AS threshold, cn AS n_left, n - cn AS n_right,
+        |  score AS gini_split, g0 AS gini_parent, round(g0 - score, 6) AS gain
+        |FROM b2""".stripMargin,
 
     // q255: q131's md5 fold hash, per-(category, fold) decimal target
     // sums, leave-own-fold-out mean smoothed toward the global mean in

@@ -1915,6 +1915,53 @@ object Stats {
           round((col("_po") - col("_pe")) / (lit(1) - col("_pe")), scale)).as("kappa"))
   }
 
+  /** Decision-stump split finder — the single most informative threshold
+    * of a numeric feature against a binary label ("below how many chars
+    * does non-English concentrate?"): evaluates every candidate split
+    * `x ≤ v` at the distinct feature values, scores each by the
+    * class-weighted GINI impurity
+    * `(n_L/n)·g_L + (n_R/n)·g_R`, `g = 1 − p² − (1−p)²`, and returns the
+    * single best row
+    * `(threshold, n_left, n_right, gini_split, gini_parent, gain)` —
+    * ranked on the ROUNDED score with the threshold as tie-break (the
+    * engine-portable cut), `gain` the rounded-difference quotient
+    * discipline. Splits that empty one side are not candidates; fewer
+    * than two distinct values → empty result (no split exists).
+    *
+    * Scale shape: rows collapse to the |distinct value| frame first, the
+    * left-side cumulative (count, positives) pair rides ONE
+    * [[runningTotals]] range-partition prefix-sum pass (never a single-
+    * partition window), totals are a one-row scalar attach, each score
+    * is pinned scalar IEEE off exact integers, and the arg-min is a
+    * TakeOrdered limit 1.
+    */
+  def bestSplit(df: DataFrame, feature: Column, label: Column, scale: Int = 6): DataFrame = {
+    val base = df.select(feature.as("_v"), label.cast("int").cast("long").as("_y"))
+      .where(col("_v").isNotNull && col("_y").isNotNull)
+    // tracked: feeds the prefix-sum's sample + sums + consumer jobs
+    val groups = graft.Caches.track(base.groupBy(col("_v"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_np")))
+    val ranked = runningTotals(groups, Seq(col("_v")),
+      Seq(col("_cnt") -> "_cn", col("_np") -> "_cp"))
+    val tot = ranked.agg(sum(col("_cnt")).as("_n"), sum(col("_np")).as("_p"))
+    val one = lit(1)
+    def gini(p: Column): Column = one - p * p - (one - p) * (one - p)
+    val scored = ranked.crossJoin(tot)
+      .where(col("_cn") < col("_n"))
+      .withColumn("_pl", col("_cp").cast("double") / col("_cn"))
+      .withColumn("_pr", (col("_p") - col("_cp")).cast("double") / (col("_n") - col("_cn")))
+      .withColumn("score",
+        round((col("_cn").cast("double") / col("_n")) * gini(col("_pl"))
+          + ((col("_n") - col("_cn")).cast("double") / col("_n")) * gini(col("_pr")), scale))
+    scored.orderBy(col("score"), col("_v")).limit(1)
+      .withColumn("_p0", col("_p").cast("double") / col("_n"))
+      .withColumn("_g0", round(gini(col("_p0")), scale))
+      .select(col("_v").as("threshold"),
+        col("_cn").as("n_left"), (col("_n") - col("_cn")).as("n_right"),
+        col("score").as("gini_split"), col("_g0").as("gini_parent"),
+        round(col("_g0") - col("score"), scale).as("gain"))
+  }
+
   /** Theil–Sen robust line fit — the median-of-pairwise-slopes estimator
     * ([[linearFit]]'s outlier-proof sibling: one corrupted bucket drags a
     * least-squares slope arbitrarily far, but moves this one only past

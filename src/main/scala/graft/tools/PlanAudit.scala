@@ -73,7 +73,8 @@ object PlanAudit {
     "q248_kappa",                 // one-row observed×chance-agreement crossJoin (scalar-attach class)
     "q251_t_closeness",           // one-row corpus-total crossJoin (same scalar-attach class)
     "q252_kendall",               // |cells|² upper-triangle pair fold (the q153 bounded-matrix class)
-    "q255_target_encoding"        // one-row global-mean crossJoin (scalar-attach class)
+    "q255_target_encoding",       // one-row global-mean crossJoin (scalar-attach class)
+    "q256_best_split"             // one-row class-totals crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -932,6 +932,23 @@ class StatsSpec extends SparkSpec {
     assert(s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
   }
 
+  test("bestSplit: perfect separator found, tie → smaller threshold, single value → empty") {
+    import spark.implicits._
+    // x ≤ 2 separates perfectly: gini_split 0, parent 1−9/16−1/16 = 0.375
+    val df = Seq((1L, true), (1L, true), (2L, true), (3L, false)).toDF("v", "y")
+    val r = Stats.bestSplit(df, col("v"), col("y")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.375 && r.getDouble(5) == 0.375)
+    // v=1 and v=2 both score 1/3 → the rounded-score tie picks the smaller threshold
+    val tie = Seq((1L, false), (2L, true), (3L, false)).toDF("v", "y")
+    val t = Stats.bestSplit(tie, col("v"), col("y")).collect().head
+    assert(t.getLong(0) == 1L)
+    // a constant feature has no split
+    val const = Seq((7L, true), (7L, false)).toDF("v", "y")
+    assert(Stats.bestSplit(const, col("v"), col("y")).count() == 0L)
+    graft.Caches.clear()
+  }
+
   test("theilSenFit: median slope shrugs off an outlier; exact line recovered; per-stratum") {
     import spark.implicits._
     // slopes of (0,1),(1,3),(2,4),(3,100): {2, 1.5, 33, 1, 48.5, 96} → median 2
