@@ -1680,6 +1680,15 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // 6-step hitting probability of 'purchase' per starting state — the
+    // conversion question asked of q237's chain; fixed rounds, oracle
+    // replays the recursion unrolled
+    "q257_hitting_prob" -> ((s, dir) => {
+      val tc = graft.ops.EventAnalytics.transitionCounts(
+        E(s, dir).withColumn("tsu", expr("ts div 1000")), tsCol = "tsu")
+      graft.ops.EventAnalytics.hittingProbability(tc, target = "purchase", steps = 6)
+    }),
+
     // decision-stump best split: the single most informative n_chars
     // threshold for "is it English?" — candidate scores off the prefix-
     // sum CDF, rounded-score rank, TakeOrdered arg-min
@@ -5372,6 +5381,44 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(CAST(2.0 AS DOUBLE) * u / nab - 1, 6) END AS r_rb
         |FROM s2""".stripMargin,
+
+    // q257: q237's chain build + the hitting recursion unrolled 6 steps;
+    // the target pins to literal 1 each stage exactly as the Spark loop
+    "q257_hitting_prob" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |pr AS (SELECT event_type AS f,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS t
+        |      FROM e),
+        |c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pr
+        |      WHERE f IS NOT NULL AND t IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT f AS s FROM c UNION SELECT t FROM c),
+        |cc AS (SELECT * FROM c
+        |       UNION ALL
+        |       SELECT s, s, CAST(1 AS BIGINT) FROM st WHERE s NOT IN (SELECT f FROM c)),
+        |p AS (SELECT f, t,
+        |        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY f) AS DOUBLE) AS prob
+        |      FROM cc),
+        |h0 AS (SELECT s, CASE WHEN s = 'purchase' THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS h FROM st),
+        |h1 AS (SELECT p.f AS s, CASE WHEN p.f = 'purchase' THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(sum(CAST(p.prob * h0.h AS DECIMAL(38,12))) AS DOUBLE) END AS h
+        |       FROM p JOIN h0 ON h0.s = p.t GROUP BY p.f),
+        |h2 AS (SELECT p.f AS s, CASE WHEN p.f = 'purchase' THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(sum(CAST(p.prob * h1.h AS DECIMAL(38,12))) AS DOUBLE) END AS h
+        |       FROM p JOIN h1 ON h1.s = p.t GROUP BY p.f),
+        |h3 AS (SELECT p.f AS s, CASE WHEN p.f = 'purchase' THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(sum(CAST(p.prob * h2.h AS DECIMAL(38,12))) AS DOUBLE) END AS h
+        |       FROM p JOIN h2 ON h2.s = p.t GROUP BY p.f),
+        |h4 AS (SELECT p.f AS s, CASE WHEN p.f = 'purchase' THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(sum(CAST(p.prob * h3.h AS DECIMAL(38,12))) AS DOUBLE) END AS h
+        |       FROM p JOIN h3 ON h3.s = p.t GROUP BY p.f),
+        |h5 AS (SELECT p.f AS s, CASE WHEN p.f = 'purchase' THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(sum(CAST(p.prob * h4.h AS DECIMAL(38,12))) AS DOUBLE) END AS h
+        |       FROM p JOIN h4 ON h4.s = p.t GROUP BY p.f),
+        |h6 AS (SELECT p.f AS s, CASE WHEN p.f = 'purchase' THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(sum(CAST(p.prob * h5.h AS DECIMAL(38,12))) AS DOUBLE) END AS h
+        |       FROM p JOIN h5 ON h5.s = p.t GROUP BY p.f)
+        |SELECT s AS state, round(h, 6) AS h FROM h6""".stripMargin,
 
     // q256: the same distinct-value CDF, weighted Gini per candidate in
     // the Spark chain's textual order, ORDER BY (score, v) LIMIT 1

@@ -190,6 +190,61 @@ object EventAnalytics {
     }
   }
 
+  /** k-step HITTING probability of a target state — "how likely does a
+    * session in state s reach `purchase` within k more transitions?",
+    * the absorbing complement of [[markovStationary]]'s long-run mix
+    * (that asks where mass settles; this asks what converts). The row-
+    * stochastic chain is the same build (per-state normalized transition
+    * counts, dangling states self-loop); the recursion
+    * `h_k(s) = 1 if s = target else Σ_t P(s→t)·h_{k−1}(t)` runs a FIXED
+    * `steps` rounds — a deterministic contract an oracle can replay by
+    * unrolling, not a convergence loop.
+    *
+    * Determinism: probabilities are exact-count ratios (one division),
+    * each round's products are decimal(38,12)-cast before the per-state
+    * sum (order-free), and the target pin is an exact literal 1.0 —
+    * partitioning cannot move anything. Per round: one equi-join of the
+    * |edges| frame against the |states| vector + one partial-agg shuffle.
+    */
+  def hittingProbability(
+      transitions: DataFrame,
+      target: String,
+      steps: Int = 6,
+      fromCol: String = "from_type",
+      toCol: String = "to_type",
+      nCol: String = "n",
+      scale: Int = 6
+  ): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val spark = transitions.sparkSession
+    graft.Caches.trackNewRdds(spark) {
+      def materialize(df: DataFrame): DataFrame =
+        if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      val c = transitions.where(col(fromCol).isNotNull && col(toCol).isNotNull)
+        .select(col(fromCol).as("_f"), col(toCol).as("_t"), col(nCol).cast("long").as("_n"))
+      val states = c.select(col("_f").as("_s")).union(c.select(col("_t"))).distinct()
+      val dangling = states
+        .join(c.select(col("_f")).distinct(), col("_s") === col("_f"), "left_anti")
+        .select(col("_s").as("_f"), col("_s").as("_t"), lit(1L).as("_n"))
+      // the chain is probed every round — materialize once
+      val p = materialize(c.union(dangling).select(col("_f"), col("_t"),
+        (col("_n").cast("double") /
+          sum(col("_n")).over(Window.partitionBy(col("_f"))).cast("double")).as("_prob")))
+      var h = states.select(col("_s"),
+        when(col("_s") === target, lit(1.0)).otherwise(lit(0.0)).as("_h"))
+      for (i <- 1 to steps) {
+        h = p.join(h, col("_t") === col("_s"))
+          .groupBy(col("_f"))
+          .agg(sum((col("_prob") * col("_h")).cast("decimal(38,12)")).cast("double").as("_hs"))
+          .select(col("_f").as("_s"),
+            when(col("_f") === target, lit(1.0)).otherwise(col("_hs")).as("_h"))
+        if (i % 4 == 0 && i < steps) h = materialize(h)
+      }
+      h.select(col("_s").as("state"), round(col("_h"), scale).as("h"))
+    }
+  }
+
   /** Bucketed event time series with a trailing moving average: events
     * collapse to `(series, bucket, n)` counts (bucket = `ts div bucketTs`,
     * epoch-aligned integer division), then a per-series window adds

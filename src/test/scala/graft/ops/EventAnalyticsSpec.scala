@@ -71,6 +71,21 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("hittingProbability: hand chain, dangling target self-loops, fixed-step contract") {
+    import spark.implicits._
+    // A → {T, B} evenly, B → A, T dangling: h3 = (A 0.75, B 0.5, T 1)
+    val tc = Seq(("A", "T", 1L), ("A", "B", 1L), ("B", "A", 1L))
+      .toDF("from_type", "to_type", "n")
+    val got = EventAnalytics.hittingProbability(tc, target = "T", steps = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("A" -> 0.75, "B" -> 0.5, "T" -> 1.0))
+    // more steps only raise hitting mass; all bounded by 1
+    val g6 = EventAnalytics.hittingProbability(tc, target = "T", steps = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(g6("A") >= got("A") && g6("B") >= got("B") && g6.values.forall(_ <= 1.0))
+    graft.Caches.clear()
+  }
+
   test("ewmaSmooth: exact dyadic decay, gap bucket surfaces with n=0, tail trimmed") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
