@@ -82,6 +82,100 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ------------------------------------------------- eval / weighting drawer 2
+
+    // per-class precision/recall/F1 of the q136 language classifier —
+    // the multiclass scoreboard (WHERE it fails, class by class)
+    "q258_prf_report" -> ((s, dir) =>
+      graft.ops.Stats.classificationReport(
+        T(s, dir, "documents"),
+        pred = TextAnalysis.langId(col("text")), label = col("lang"))),
+
+    // McNemar paired test: langId vs the hashed-ngram model as "is it
+    // English?" detectors on the SAME documents — only the discordant
+    // pairs carry evidence
+    "q259_mcnemar" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scores = TextAnalysis.hashedNgramScore(docs, hash = activeHash)
+      val j = docs.select(col("doc_id"), col("lang"), col("text"))
+        .join(scores, Seq("doc_id"))
+      graft.ops.Stats.mcnemarTest(j,
+        predA = TextAnalysis.langId(col("text")) === "en",
+        predB = col("score") > 0.0,
+        label = col("lang") === "en")
+    }),
+
+    // probability quality of the hashed-ngram score min-max squashed
+    // into [0,1]: Brier + log-loss + ECE in one row
+    "q260_prob_eval" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scores = TextAnalysis.hashedNgramScore(docs, hash = activeHash)
+      val mm = scores.agg(min(col("score")).as("_lo"), max(col("score")).as("_hi"))
+      val p = scores.crossJoin(broadcast(mm))
+        .withColumn("_p", when(col("_hi") > col("_lo"),
+          (col("score") - col("_lo")) / (col("_hi") - col("_lo"))).otherwise(lit(0.5)))
+      val lab = p.join(
+        docs.select(col("doc_id"), (col("lang") === "en").as("_y")), Seq("doc_id"))
+      graft.ops.Stats.probEvalReport(lab, col("_p"), col("_y"))
+    }),
+
+    // A/B read: do even-id users convert to purchase more than odd-id
+    // users? pooled z + Wilson intervals off per-user conversion flags
+    "q261_ab_test" -> ((s, dir) => {
+      val per = E(s, dir).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("_cv"))
+        .select(when(col("user_id") % 2 === 0, "even").otherwise("odd").as("_v"),
+          (col("_cv") === 1L).as("_s"))
+      graft.ops.Stats.twoProportionTest(per, col("_v"), col("_s"))
+    }),
+
+    // entropy l-diversity of language inside each source — does knowing
+    // the source effectively disclose the language?
+    "q262_l_diversity" -> ((s, dir) =>
+      graft.ops.Privacy.entropyLDiversity(
+        T(s, dir, "documents"), quasiCols = Seq("source"), sensitive = "lang", l = 2.0)),
+
+    // Brown–Forsythe: do doc-length SPREADS differ across languages?
+    // (q225 asked about the means; this is the variance prerequisite)
+    "q263_brown_forsythe" -> ((s, dir) =>
+      graft.ops.Stats.brownForsythe(
+        T(s, dir, "documents"), value = col("n_chars"), groupCol = col("lang"))),
+
+    // Nelson–Aalen cumulative hazard of the q219 churn observations —
+    // the additive twin of the Kaplan–Meier curve
+    "q264_nelson_aalen" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val u = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"))
+      val obs = u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
+        .select((col("_ld") - col("_fd")).as("dur"),
+          (col("_ld") <= col("_md") - 3).as("ev"))
+      graft.ops.EventAnalytics.nelsonAalen(obs, col("dur"), col("ev"))
+    }),
+
+    // sample ACF of the hourly event volume at lags 0..12 (gap hours
+    // filled with 0 so the lag pairing sees the true axis)
+    "q265_acf" -> ((s, dir) => {
+      val hours = E(s, dir).select(expr("ts div 3600000000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("x"))
+      val bounds = hours.agg(min(col("h")).as("_lo"), max(col("h")).as("_hi"))
+      val axis = bounds.select(explode(sequence(col("_lo"), col("_hi"))).as("t"))
+      val series = axis.join(hours.withColumnRenamed("h", "t"), Seq("t"), "left")
+        .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
+      graft.ops.EventAnalytics.autocorrelation(series, maxLag = 12)
+    }),
+
+    // Dunning G² collocations: the 20 most significant adjacent bigrams
+    // (q134's lift rewards rare coincidences; G² demands evidence)
+    "q266_collocations" -> ((s, dir) =>
+      TextAnalysis.collocationsG2(T(s, dir, "documents"), topK = 20, minPairCount = 20L)),
+
+    // raking: IPF cell weights balancing source × language to uniform
+    // margins — the "fix my training mix" table
+    "q267_raking" -> ((s, dir) =>
+      graft.ops.Sampling.ipfWeights(
+        T(s, dir, "documents"), rowCol = col("source"), colCol = col("lang"), rounds = 3)),
+
     // ---------------------------------------------------------- reference surface
 
     // S2/P1-P3: projection + rename + SQL-expression derived column
@@ -3222,6 +3316,342 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // the generated six-leg union mirrors the Spark face's union legs
     "q238_fd_discover" -> fdDiscoverSql(Seq("lang", "source", "n_chars")),
+
+    // q258: the q248 contingency cells → per-class margins → P/R/F1; the
+    // full outer join keeps never-predicted and hallucinated classes
+    "q258_prf_report" ->
+      s"""WITH ${langIdPredOracle},
+         |cells AS (SELECT b AS p, a AS y, CAST(count(*) AS BIGINT) AS o FROM pred
+         |          WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2),
+         |pm AS (SELECT p AS clazz,
+         |         CAST(sum(CASE WHEN p = y THEN o ELSE 0 END) AS BIGINT) AS tpp,
+         |         CAST(sum(CASE WHEN p <> y THEN o ELSE 0 END) AS BIGINT) AS fpp
+         |       FROM cells GROUP BY 1),
+         |ym AS (SELECT y AS clazz, CAST(sum(o) AS BIGINT) AS support,
+         |         CAST(sum(CASE WHEN p <> y THEN o ELSE 0 END) AS BIGINT) AS fnn
+         |       FROM cells GROUP BY 1),
+         |j AS (SELECT coalesce(pm.clazz, ym.clazz) AS clazz,
+         |        coalesce(tpp, 0) AS tp, coalesce(fpp, 0) AS fp,
+         |        coalesce(fnn, 0) AS fn, coalesce(support, 0) AS support
+         |      FROM pm FULL OUTER JOIN ym ON ym.clazz = pm.clazz),
+         |mt AS (SELECT clazz, tp, fp, fn, support,
+         |        CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+         |        CASE WHEN support > 0 THEN round(CAST(tp AS DOUBLE) / support, 6) END AS rec
+         |      FROM j)
+         |SELECT clazz, tp, fp, fn, support, prec AS "precision", rec AS recall,
+         |  CASE WHEN prec IS NOT NULL AND rec IS NOT NULL AND prec + rec > 0
+         |    THEN round(2 * prec * rec / (prec + rec), 6) END AS f1
+         |FROM mt""".stripMargin,
+
+    // q259: doc-aligned langId prediction (the q136 CTE with doc_id kept)
+    // vs the hashed-ngram detector; only the 4 agreement cells matter
+    "q259_mcnemar" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), l0 AS (SELECT doc_id, lang,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks FROM documents),
+         |l1 AS (SELECT doc_id, lang,
+         |    len(list_filter(ltoks, x -> x IN ('the','and','of','is'))) AS s_en,
+         |    len(list_filter(ltoks, x -> x IN ('der','die','und','das'))) AS s_de,
+         |    len(list_filter(ltoks, x -> x IN ('le','la','et','les'))) AS s_fr,
+         |    len(list_filter(ltoks, x -> x IN ('el','los','que','y'))) AS s_es
+         |  FROM l0),
+         |lp AS (SELECT doc_id, lang,
+         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+         |      CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |           WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |           WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |           ELSE 'es' END
+         |    ELSE 'und' END AS p
+         |  FROM l1),
+         |d AS (SELECT ((lp.p = 'en') = (lp.lang = 'en')) AS ra,
+         |             ((s.score > 0.0) = (lp.lang = 'en')) AS rb
+         |      FROM lp JOIN scored s ON s.doc_id = lp.doc_id
+         |      WHERE lp.lang IS NOT NULL),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_right,
+         |  CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_wrong,
+         |  CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |  CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM d)
+         |SELECT n, n_both_right, n_both_wrong, b, c,
+         |  CASE WHEN b + c > 0
+         |    THEN round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) / (b + c), 6)
+         |  END AS chi2
+         |FROM m""".stripMargin,
+
+    // q260: min-max squash of the q177 score into [0,1], then the three
+    // probability-quality scalars off decimal-summed per-bin partials
+    "q260_prob_eval" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lab AS (
+         |  SELECT s.score AS sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |), mm AS (SELECT min(sc) AS lo, max(sc) AS hi FROM lab),
+         |p0 AS (SELECT CASE WHEN mm.hi > mm.lo
+         |          THEN (sc - mm.lo) / (mm.hi - mm.lo) ELSE 0.5 END AS praw,
+         |        CAST(y AS BIGINT) AS y
+         |       FROM lab, mm),
+         |p1 AS (SELECT CAST(round(praw, 6) AS DECIMAL(7,6)) AS p, y FROM p0),
+         |t AS (SELECT p, y,
+         |        least(greatest(CAST(p AS DOUBLE), CAST(0.000001 AS DOUBLE)),
+         |              CAST(0.999999 AS DOUBLE)) AS pc,
+         |        CAST(least(floor(CAST(p AS DOUBLE) * 10), CAST(9 AS DOUBLE)) AS BIGINT) AS bin
+         |       FROM p1),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         |        sum(p) AS sp,
+         |        sum(CAST((p - CAST(y AS DECIMAL(1,0))) * (p - CAST(y AS DECIMAL(1,0)))
+         |          AS DECIMAL(38,12))) AS ssq,
+         |        sum(CAST(-(y * ln(pc) + (1 - y) * ln(1.0 - pc)) AS DECIMAL(38,12))) AS sll
+         |       FROM t GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n,
+         |  round(CAST(sum(ssq) AS DOUBLE) / sum(n), 6) AS brier,
+         |  round(CAST(sum(sll) AS DOUBLE) / sum(n), 6) AS log_loss,
+         |  round(CAST(sum(abs(CAST(sy AS DECIMAL(20,6)) - CAST(sp AS DECIMAL(20,6))))
+         |    AS DOUBLE) / sum(n), 6) AS ece
+         |FROM b""".stripMargin,
+
+    // q261: per-user conversion flags → two-variant margins → pooled z +
+    // Wilson intervals, every scalar in the Spark chain's textual order
+    "q261_ab_test" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS vk, cv FROM per),
+        |g AS (SELECT vk, CAST(count(*) AS BIGINT) AS n, CAST(sum(cv) AS BIGINT) AS x
+        |      FROM v GROUP BY 1),
+        |t AS (SELECT min(vk) AS variant_a, max(vk) AS variant_b,
+        |        min_by(n, vk) AS n_a, min_by(x, vk) AS x_a,
+        |        max_by(n, vk) AS n_b, max_by(x, vk) AS x_b
+        |      FROM g),
+        |c AS (SELECT *, CAST(1.959963984540054 AS DOUBLE) AS zq,
+        |        CAST(x_a AS DOUBLE) / n_a AS ra, CAST(x_b AS DOUBLE) / n_b AS rb,
+        |        CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp
+        |      FROM t)
+        |SELECT variant_a, variant_b, n_a, x_a, n_b, x_b,
+        |  round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
+        |  round(rb - ra, 6) AS lift,
+        |  CASE WHEN pp > 0 AND pp < 1 THEN
+        |    round((rb - ra) / sqrt(pp * (CAST(1.0 AS DOUBLE) - pp)
+        |      * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 6)
+        |  END AS z,
+        |  round(((ra + zq * zq / (CAST(2.0 AS DOUBLE) * n_a))
+        |    - zq * sqrt(ra * (CAST(1.0 AS DOUBLE) - ra) / n_a
+        |        + zq * zq / (CAST(4.0 AS DOUBLE) * n_a * n_a)))
+        |    / (CAST(1.0 AS DOUBLE) + zq * zq / n_a), 6) AS lo_a,
+        |  round(((ra + zq * zq / (CAST(2.0 AS DOUBLE) * n_a))
+        |    + zq * sqrt(ra * (CAST(1.0 AS DOUBLE) - ra) / n_a
+        |        + zq * zq / (CAST(4.0 AS DOUBLE) * n_a * n_a)))
+        |    / (CAST(1.0 AS DOUBLE) + zq * zq / n_a), 6) AS hi_a,
+        |  round(((rb + zq * zq / (CAST(2.0 AS DOUBLE) * n_b))
+        |    - zq * sqrt(rb * (CAST(1.0 AS DOUBLE) - rb) / n_b
+        |        + zq * zq / (CAST(4.0 AS DOUBLE) * n_b * n_b)))
+        |    / (CAST(1.0 AS DOUBLE) + zq * zq / n_b), 6) AS lo_b,
+        |  round(((rb + zq * zq / (CAST(2.0 AS DOUBLE) * n_b))
+        |    + zq * sqrt(rb * (CAST(1.0 AS DOUBLE) - rb) / n_b
+        |        + zq * zq / (CAST(4.0 AS DOUBLE) * n_b * n_b)))
+        |    / (CAST(1.0 AS DOUBLE) + zq * zq / n_b), 6) AS hi_b
+        |FROM c""".stripMargin,
+
+    // q262: cells → ln n − Σ c·ln c / n with the decimal-summed terms
+    // (the q190 discipline); the flag compares the ROUNDED effective l
+    "q262_l_diversity" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS group_size,
+        |        CAST(count(*) AS BIGINT) AS n_sensitive,
+        |        sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS s
+        |      FROM cells GROUP BY 1),
+        |e AS (SELECT source, group_size, n_sensitive,
+        |        round(ln(CAST(group_size AS DOUBLE))
+        |          - CAST(s AS DOUBLE) / group_size, 6) AS entropy,
+        |        round(exp(ln(CAST(group_size AS DOUBLE))
+        |          - CAST(s AS DOUBLE) / group_size), 6) AS effective_l
+        |      FROM g)
+        |SELECT source, group_size, n_sensitive, entropy, effective_l,
+        |  (effective_l >= 2.0) AS l_diverse
+        |FROM e""".stripMargin,
+
+    // q263: per-language TYPE-1 median (rank pick — an actual value),
+    // absolute deviations, then the q225 ANOVA fold verbatim on them
+    "q263_brown_forsythe" ->
+      """WITH d0 AS (
+        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS m
+        |      FROM d0),
+        |med AS (SELECT g, x AS mv FROM r WHERE rn = (m + 1) // 2),
+        |d AS (SELECT d0.g, abs(d0.x - med.mv) AS v FROM d0 JOIN med ON med.g = d0.g),
+        |grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(v AS DECIMAL(38,12))) AS sg,
+        |    sum(CAST(v * v AS DECIMAL(38,12))) AS qg
+        |  FROM d GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |    sum(sg) AS st
+        |  FROM grp),
+        |x AS (
+        |  SELECT ng, qg, CAST(sg AS DOUBLE) / ng AS mg, CAST(st AS DOUBLE) / n AS m,
+        |    k, n FROM grp, tot),
+        |cc AS (
+        |  SELECT k, n,
+        |    CAST(ng * (mg - m) * (mg - m) AS DECIMAL(38,12)) AS ssb,
+        |    CAST(CAST(qg AS DOUBLE) - ng * mg * mg AS DECIMAL(38,12)) AS ssw
+        |  FROM x),
+        |s AS (
+        |  SELECT any_value(k) AS k, any_value(n) AS n,
+        |    sum(ssb) AS b, sum(ssw) AS w
+        |  FROM cc)
+        |SELECT k, n, k - 1 AS df1, n - k AS df2,
+        |  round(CASE WHEN k - 1 > 0 AND n - k > 0 AND CAST(w AS DOUBLE) > 0
+        |    THEN (CAST(b AS DOUBLE) / (k - 1)) / (CAST(w AS DOUBLE) / (n - k)) END, 6)
+        |    AS f_stat
+        |FROM s""".stripMargin,
+
+    // q264: the q219 observation frame → per-duration counts → at-risk
+    // cumulative → round-6 decimal hazards summed in duration order
+    "q264_nelson_aalen" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |mx AS (SELECT max(ld) AS md FROM u),
+        |obs AS (SELECT ld - fd AS t, (ld <= mx.md - 3) AS ev FROM u, mx),
+        |g AS (SELECT t,
+        |        CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |        CAST(sum(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |      FROM obs GROUP BY 1),
+        |r AS (SELECT t, d, c,
+        |        CAST(sum(d + c) OVER () AS BIGINT)
+        |          - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS n_risk
+        |      FROM g),
+        |h AS (SELECT t, n_risk, d, c,
+        |        CAST(round(CAST(d AS DOUBLE) / n_risk, 6) AS DECIMAL(18,6)) AS hz
+        |      FROM r)
+        |SELECT t, n_risk, d AS n_events, c AS n_censored,
+        |  CAST(hz AS DOUBLE) AS hazard,
+        |  CAST(sum(hz) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS cum_hazard
+        |FROM h""".stripMargin,
+
+    // q265: dense hourly axis (gaps = 0) → exact decimal moments → the
+    // n²-cleared rational ACF, the same scalar expression per lag
+    "q265_acf" ->
+      """WITH hh AS (SELECT epoch_ns(ts) // 3600000000000 AS h FROM events),
+        |cg AS (SELECT h, CAST(count(*) AS BIGINT) AS x FROM hh GROUP BY 1),
+        |bb AS (SELECT min(h) AS lo, max(h) AS hi FROM cg),
+        |axis AS (SELECT unnest(range(bb.lo, bb.hi + 1)) AS t FROM bb),
+        |s AS (SELECT axis.t, CAST(coalesce(cg.x, 0) AS DECIMAL(18,6)) AS xd
+        |      FROM axis LEFT JOIN cg ON cg.h = axis.t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(xd) AS s1,
+        |          sum(xd * xd) AS s2 FROM s),
+        |lg AS (SELECT unnest(range(0, 13)) AS lag),
+        |p AS (SELECT lg.lag, a.xd AS x1, b2.xd AS x2
+        |      FROM lg CROSS JOIN s a JOIN s b2 ON b2.t = a.t + lg.lag),
+        |per AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |          sum(x1 * x2) AS ck, sum(x1 + x2) AS pk
+        |        FROM p GROUP BY 1)
+        |SELECT per.lag, per.n_pairs,
+        |  round(CASE WHEN CAST(tot.n AS DOUBLE) * tot.n * CAST(tot.s2 AS DOUBLE)
+        |        - CAST(tot.n AS DOUBLE) * CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE) > 0
+        |    THEN (CAST(tot.n AS DOUBLE) * tot.n * CAST(per.ck AS DOUBLE)
+        |        - CAST(tot.n AS DOUBLE) * CAST(tot.s1 AS DOUBLE) * CAST(per.pk AS DOUBLE)
+        |        + CAST(per.n_pairs AS DOUBLE) * CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE))
+        |      / (CAST(tot.n AS DOUBLE) * tot.n * CAST(tot.s2 AS DOUBLE)
+        |        - CAST(tot.n AS DOUBLE) * CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE))
+        |  END, 6) AS acf
+        |FROM per, tot""".stripMargin,
+
+    // q266: the q134 bigram frame → 2×2 cells → 4-term G² in textual
+    // order, TakeOrdered on (rounded g2, w1, w2)
+    "q266_collocations" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT toks[CAST(i.i AS INT) + 1] AS w1, toks[CAST(i.i AS INT) + 2] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i
+        |  WHERE len(toks) >= 2
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |cp AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY 1, 2
+        |  HAVING count(*) >= 20
+        |), cl AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM p GROUP BY 1),
+        |cr AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM p GROUP BY 1),
+        |cells AS (
+        |  SELECT cp.w1, cp.w2, c12, c1, c2, nn.n,
+        |    c12 AS k11, c1 - c12 AS k12, c2 - c12 AS k21, nn.n - c1 - c2 + c12 AS k22
+        |  FROM cp JOIN cl ON cl.w1 = cp.w1 JOIN cr ON cr.w2 = cp.w2, nn)
+        |SELECT w1, w2, c12, c1, c2,
+        |  round(CAST(2.0 AS DOUBLE) * (
+        |    (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE)
+        |       * ln(CAST(k11 AS DOUBLE) * CAST(n AS DOUBLE)
+        |         / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0.0 END)
+        |    + (CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE)
+        |       * ln(CAST(k12 AS DOUBLE) * CAST(n AS DOUBLE)
+        |         / (CAST(c1 AS DOUBLE) * CAST(n - c2 AS DOUBLE))) ELSE 0.0 END)
+        |    + (CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE)
+        |       * ln(CAST(k21 AS DOUBLE) * CAST(n AS DOUBLE)
+        |         / (CAST(n - c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0.0 END)
+        |    + (CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE)
+        |       * ln(CAST(k22 AS DOUBLE) * CAST(n AS DOUBLE)
+        |         / (CAST(n - c1 AS DOUBLE) * CAST(n - c2 AS DOUBLE))) ELSE 0.0 END)), 6) AS g2
+        |FROM cells
+        |ORDER BY g2 DESC, w1, w2
+        |LIMIT 20""".stripMargin,
+
+    // q267: 3 unrolled row+column IPF sweeps, each pass re-rounded to
+    // scale 9 and decimal-cast so every margin sum is an exact fold
+    "q267_raking" ->
+      """WITH cells0 AS (
+        |  SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |        CAST(count(DISTINCT r) AS BIGINT) AS nr,
+        |        CAST(count(DISTINCT c) AS BIGINT) AS nc
+        |      FROM cells0),
+        |w0 AS (SELECT r, c, n,
+        |        CAST(round(CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) AS w FROM cells0),
+        |r1m AS (SELECT r, sum(w) AS rs FROM w0 GROUP BY 1),
+        |w1 AS (SELECT w0.r, w0.c, w0.n,
+        |        CAST(round(CAST(w0.w AS DOUBLE) * (CAST(t.tn AS DOUBLE) / t.nr)
+        |          / CAST(r1m.rs AS DOUBLE), 9) AS DECIMAL(28,9)) AS w
+        |       FROM w0 JOIN r1m ON r1m.r = w0.r, t),
+        |c1m AS (SELECT c, sum(w) AS cs FROM w1 GROUP BY 1),
+        |w2 AS (SELECT w1.r, w1.c, w1.n,
+        |        CAST(round(CAST(w1.w AS DOUBLE) * (CAST(t.tn AS DOUBLE) / t.nc)
+        |          / CAST(c1m.cs AS DOUBLE), 9) AS DECIMAL(28,9)) AS w
+        |       FROM w1 JOIN c1m ON c1m.c = w1.c, t),
+        |r2m AS (SELECT r, sum(w) AS rs FROM w2 GROUP BY 1),
+        |w3 AS (SELECT w2.r, w2.c, w2.n,
+        |        CAST(round(CAST(w2.w AS DOUBLE) * (CAST(t.tn AS DOUBLE) / t.nr)
+        |          / CAST(r2m.rs AS DOUBLE), 9) AS DECIMAL(28,9)) AS w
+        |       FROM w2 JOIN r2m ON r2m.r = w2.r, t),
+        |c2m AS (SELECT c, sum(w) AS cs FROM w3 GROUP BY 1),
+        |w4 AS (SELECT w3.r, w3.c, w3.n,
+        |        CAST(round(CAST(w3.w AS DOUBLE) * (CAST(t.tn AS DOUBLE) / t.nc)
+        |          / CAST(c2m.cs AS DOUBLE), 9) AS DECIMAL(28,9)) AS w
+        |       FROM w3 JOIN c2m ON c2m.c = w3.c, t),
+        |r3m AS (SELECT r, sum(w) AS rs FROM w4 GROUP BY 1),
+        |w5 AS (SELECT w4.r, w4.c, w4.n,
+        |        CAST(round(CAST(w4.w AS DOUBLE) * (CAST(t.tn AS DOUBLE) / t.nr)
+        |          / CAST(r3m.rs AS DOUBLE), 9) AS DECIMAL(28,9)) AS w
+        |       FROM w4 JOIN r3m ON r3m.r = w4.r, t),
+        |c3m AS (SELECT c, sum(w) AS cs FROM w5 GROUP BY 1),
+        |w6 AS (SELECT w5.r, w5.c, w5.n,
+        |        CAST(round(CAST(w5.w AS DOUBLE) * (CAST(t.tn AS DOUBLE) / t.nc)
+        |          / CAST(c3m.cs AS DOUBLE), 9) AS DECIMAL(28,9)) AS w
+        |       FROM w5 JOIN c3m ON c3m.c = w5.c, t)
+        |SELECT r AS row_key, c AS col_key, n,
+        |  round(CAST(w AS DOUBLE), 6) AS weight,
+        |  round(CAST(w AS DOUBLE) / n, 6) AS factor
+        |FROM w6""".stripMargin,
     "q01_scan_derive" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag AS flag,
         |       l_orderkey || '_' || l_linenumber AS rowkey

@@ -703,6 +703,61 @@ object EventAnalytics {
         .as("corr"))
   }
 
+  /** Sample autocorrelation function — "does this hour predict the next
+    * hour? the same hour tomorrow?" — the textbook estimator
+    * `r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²` with the GLOBAL
+    * mean and variance in the denominator (so r decays with lag and
+    * |r_k| ≤ 1; [[crossCorrelation]] of a series with itself instead
+    * renormalizes per lag — a different, windowed question). Input: a
+    * regular series `(t, x)` on a contiguous integer time axis — fill
+    * gap buckets with 0 (or the series mean) BEFORE calling, or the lag
+    * pairing silently skips them. Returns `(lag, n_pairs, acf)` for lags
+    * 0..maxLag (lag 0 is exactly 1.0 — the built-in sanity row).
+    *
+    * Determinism: x is decimal-cast at scale 6, every per-lag aggregate
+    * (ΣxᵗxᵗᵏΣ, pair sums) and the global moments are EXACT decimal sums;
+    * the closed form clears the rational mean by n²
+    * (`num = n²·C_k − n·S₁·P_k + m_k·S₁²`, `den = n²·S₂ − n·S₁²`) and
+    * evaluates it as a fixed scalar IEEE expression off those exact
+    * inputs — engine-portable, partitioning-free.
+    *
+    * Scale shape: one self equi-join on the shifted time key (the series
+    * is already collapsed to |buckets| rows — the [[crossCorrelation]]
+    * contract), one partial-aggregated |lags|-row fold, one scalar
+    * attach.
+    */
+  def autocorrelation(
+      series: DataFrame,
+      maxLag: Int,
+      scale: Int = 6): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val x = graft.Caches.track(
+      series.select(col("t").cast("long").as("t"),
+        col("x").cast("decimal(18,6)").as("_xd")))
+    val tot = x.agg(
+      count(lit(1)).as("_n"),
+      sum(col("_xd")).as("_s1"),
+      sum(col("_xd") * col("_xd")).as("_s2"))
+    val lags = explode(array((0 to maxLag).map(l => lit(l.toLong)): _*)).as("lag")
+    val paired = x.select(col("t"), col("_xd"), lags)
+      .withColumn("_tk", col("t") + col("lag"))
+      .join(x.select(col("t").as("_tk"), col("_xd").as("_xk")), Seq("_tk"))
+    val perLag = paired.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("_xd") * col("_xk")).as("_ck"),
+      sum(col("_xd") + col("_xk")).as("_pk"))
+    val n = col("_n").cast("double")
+    val s1 = col("_s1").cast("double"); val s2 = col("_s2").cast("double")
+    val ck = col("_ck").cast("double"); val pk = col("_pk").cast("double")
+    val m = col("n_pairs").cast("double")
+    val num = n * n * ck - n * s1 * pk + m * s1 * s1
+    val den = n * n * s2 - n * s1 * s1
+    perLag.crossJoin(broadcast(tot))
+      .select(col("lag"), col("n_pairs"),
+        round(when(den > 0, num / den), scale).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   /** Kaplan–Meier survival curve — the censoring-aware retention/churn
     * estimator (plain "fraction still active at t" is WRONG when users
     * joined at different times: the late joiners aren't churned, they're
@@ -759,6 +814,46 @@ object EventAnalytics {
     spark.createDataFrame(rows, outSchema)
       .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
         round(col("_s"), scale).as("survival"))
+  }
+
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive twin:
+    * instead of the survival product `Π(1 − dᵢ/nᵢ)` it accumulates the
+    * hazard SUM `H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ`, the estimator whose slope is
+    * readable as an instantaneous event rate (flat = nobody churning,
+    * steepening = accelerating churn) and whose variance behaves better
+    * than −ln S(t) at small risk sets. Same input contract as
+    * [[kaplanMeier]]: one row per subject, `(duration, event)`. Returns
+    * `(t, n_risk, n_events, n_censored, hazard, cum_hazard)`.
+    *
+    * Scale shape: subjects collapse FIRST to the |distinct duration|
+    * frame (one partial-agg shuffle); the at-risk count and the hazard
+    * cumulative are windows over that bounded collapsed time axis (the
+    * [[kaplanMeier]] / cusum allowlist shape — never a window over
+    * subjects). Each per-time hazard dᵢ/nᵢ is rounded to `scale` and
+    * decimal-cast before the cumulative sum, so the running total is
+    * partitioning- and engine-exact.
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      scale: Int = 6): DataFrame = {
+    val d = df.select(duration.cast("long").as("t"), event.cast("boolean").as("e"))
+      .where(col("t").isNotNull && col("e").isNotNull)
+    val g = d.groupBy(col("t")).agg(
+      sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+    val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    g.withColumn("_prior", coalesce(sum(col("d") + col("c")).over(wPrior), lit(0L)))
+      .withColumn("_nt", sum(col("d") + col("c")).over(wAll))
+      .withColumn("n_risk", col("_nt") - col("_prior"))
+      .withColumn("_h",
+        round(col("d").cast("double") / col("n_risk"), scale).cast("decimal(18,6)"))
+      .select(col("t"), col("n_risk"), col("d").as("n_events"), col("c").as("n_censored"),
+        col("_h").cast("double").as("hazard"),
+        sum(col("_h")).over(wCum).cast("double").as("cum_hazard"))
   }
 
   /** Linear multi-touch attribution: every touch inside the lookback

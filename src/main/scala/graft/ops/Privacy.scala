@@ -118,4 +118,52 @@ object Privacy {
       .select(qs ++ Seq(col("group_size"), col("t_distance"),
         (col("t_distance") <= t).as("t_close")): _*)
   }
+
+  /** Entropy ℓ-diversity audit (Machanavajjhala et al. 2007) — the gap
+    * between [[kAnonymity]]'s distinct-ℓ and [[tCloseness]]: a group
+    * holding ℓ distinct sensitive values passes distinct-ℓ even when one
+    * value carries 99% of the mass; entropy-ℓ requires the group's
+    * sensitive DISTRIBUTION to carry at least `ln ℓ` nats
+    * (`−Σ p_v ln p_v ≥ ln ℓ` ⟺ effective diversity `e^H ≥ ℓ`). Returns
+    * one row per quasi combination
+    * `(quasi…, group_size, n_sensitive, entropy, effective_l,
+    * l_diverse)`, the compare on the ROUNDED effective ℓ
+    * (engine-portable).
+    *
+    * Determinism: group entropy folds the exact identity
+    * `H = ln n − (Σ c·ln c)/n` with each `c·ln c` decimal-cast before
+    * the sum (the token-entropy discipline) — order-free and exact.
+    *
+    * Scale shape: one cells shuffle on `(quasi…, v)` whose output is
+    * |combinations|×|values| bounded, then one |cells|-row fold — the
+    * audit costs one scan at any table size. Null sensitive values are
+    * excluded (disclose nothing); null quasi values group as their own
+    * combination.
+    */
+  def entropyLDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitive: String,
+      l: Double = 2.0,
+      scale: Int = 6
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(l >= 1.0, s"l must be >= 1, got $l")
+    val qs = quasiCols.map(col)
+    val cells = df.where(col(sensitive).isNotNull)
+      .groupBy(qs :+ col(sensitive).as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val ent = (log(col("group_size").cast("double"))
+      - col("_s").cast("double") / col("group_size"))
+    cells.groupBy(qs: _*)
+      .agg(
+        sum(col("_c")).as("group_size"),
+        count(lit(1)).as("n_sensitive"),
+        sum((col("_c").cast("double") * log(col("_c").cast("double")))
+          .cast("decimal(38,12)")).as("_s"))
+      .withColumn("entropy", round(ent, scale))
+      .withColumn("effective_l", round(exp(ent), scale))
+      .select(qs ++ Seq(col("group_size"), col("n_sensitive"), col("entropy"),
+        col("effective_l"), (col("effective_l") >= l).as("l_diverse")): _*)
+  }
 }

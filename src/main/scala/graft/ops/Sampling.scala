@@ -745,4 +745,80 @@ object Sampling {
           .otherwise(col("w").cast("double")), scale).as("alloc"),
         (col("_lvl").isNotNull && col("w").cast("double") > col("_lvl")).as("capped")): _*)
   }
+
+  /** Raking (iterative proportional fitting) — reweight a corpus so BOTH
+    * marginals hit a target at once: "equal mass per source AND equal
+    * mass per language" cannot be done by two independent per-stratum
+    * scalings (fixing one margin breaks the other); IPF alternates
+    * row-scale / column-scale passes and converges to the unique
+    * minimum-KL reweighting with both margins matched. Targets here are
+    * the UNIFORM margins (total mass N split evenly across the observed
+    * row values, then across the observed column values) — the "balance
+    * my training mix" ask. Returns one row per observed cell:
+    * `(row_key, col_key, n, weight, factor)` where `weight` is the raked
+    * cell mass after `rounds` row+column sweeps (Σweight = N up to the
+    * final column pass, exactly) and `factor = weight/n` is the
+    * per-example multiplier a sampler consumes downstream.
+    *
+    * Determinism: the state lives on the |rows|×|cols| CELL frame, never
+    * on examples; after every scaling pass the cell mass is rounded to
+    * scale 9 and decimal-cast, so each margin sum is an exact decimal
+    * fold (order-free) and every pass is the same scalar IEEE expression
+    * in any engine — the whole table is engine-exact.
+    *
+    * Scale shape: ONE data-size shuffle (the cells partial aggregate);
+    * the `rounds` sweeps run entirely on the bounded cell frame
+    * (per-pass: one |rows|- or |cols|-row margin aggregate + one slim
+    * broadcast-back join). Each pass joins the cell frame with an
+    * aggregate OF ITSELF, so the frame is materialized per sweep — the
+    * self-referencing lineage would otherwise double the analyzed plan
+    * every pass (2^rounds nodes: the densestSubgraph loop discipline).
+    * Fixed `rounds`, not convergence-tested — callers wanting tighter
+    * margins raise `rounds` (IPF converges geometrically; 3 sweeps land
+    * well inside round-6 display scale on real mixes).
+    */
+  def ipfWeights(
+      df: DataFrame,
+      rowCol: Column,
+      colCol: Column,
+      rounds: Int = 3,
+      scale: Int = 6
+  ): DataFrame = graft.Caches.trackNewRdds(df.sparkSession) {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    def materialize(d: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) d.checkpoint()
+      else d.localCheckpoint()
+    val dec = (c: Column) => round(c, 9).cast("decimal(28,9)")
+    var cells = materialize(
+      df.select(rowCol.as("_r"), colCol.as("_c"))
+        .where(col("_r").isNotNull && col("_c").isNotNull)
+        .groupBy(col("_r"), col("_c")).agg(count(lit(1)).as("n"))
+        .withColumn("_w", dec(col("n").cast("double"))))
+    val tot = cells.agg(
+      sum(col("n")).as("_tn"),
+      countDistinct(col("_r")).as("_nr"),
+      countDistinct(col("_c")).as("_nc")).head()
+    val targetRow = tot.getLong(0).toDouble / tot.getLong(1)
+    val targetCol = tot.getLong(0).toDouble / tot.getLong(2)
+    for (_ <- 1 to rounds) {
+      val rm = cells.groupBy(col("_r")).agg(sum(col("_w")).as("_rs"))
+      val rowPass = materialize(
+        cells.join(broadcast(rm), Seq("_r"))
+          .withColumn("_w",
+            dec(col("_w").cast("double") * lit(targetRow) / col("_rs").cast("double")))
+          .drop("_rs"))
+      cells.unpersist(blocking = false)
+      val cm = rowPass.groupBy(col("_c")).agg(sum(col("_w")).as("_cs"))
+      cells = materialize(
+        rowPass.join(broadcast(cm), Seq("_c"))
+          .withColumn("_w",
+            dec(col("_w").cast("double") * lit(targetCol) / col("_cs").cast("double")))
+          .drop("_cs"))
+      rowPass.unpersist(blocking = false)
+    }
+    cells.select(col("_r").as("row_key"), col("_c").as("col_key"), col("n"),
+      round(col("_w").cast("double"), scale).as("weight"),
+      round(col("_w").cast("double") / col("n"), scale).as("factor"))
+  }
 }

@@ -2100,4 +2100,225 @@ object Stats {
             * (dec(col("tn") + col("fp")) * dec(col("tn") + col("fn"))).cast("double")),
           scale)).as("mcc"))
   }
+
+  /** Per-class precision / recall / F1 — the multiclass scoreboard that
+    * [[cohenKappa]] (agreement) and [[matthewsCorr]] (binary quality)
+    * don't give: WHERE the classifier fails, class by class. Returns one
+    * row per class in the union of predicted and true label spaces:
+    * `(class, tp, fp, fn, support, precision, recall, f1)` — classes the
+    * model never predicts still appear (precision NULL, recall 0), and
+    * hallucinated classes it predicts but that never occur appear too
+    * (support 0, recall NULL).
+    *
+    * Scale shape: rows collapse to the |P|×|Y| contingency cells in one
+    * partial-aggregated shuffle; every per-class count is a margin of
+    * that bounded frame (two |cells|-row aggregates + one outer join on
+    * the class key), so the report costs one scan at any corpus size.
+    * tp/fp/fn are exact integers; the three metrics are scalar IEEE
+    * quotients off those integers, rounded — engine-portable. F1 divides
+    * the ROUNDED precision/recall (the quotient discipline), guarded to
+    * the rows where both exist and don't sum to zero.
+    */
+  def classificationReport(
+      df: DataFrame, pred: Column, label: Column, scale: Int = 6): DataFrame = {
+    val cells = graft.Caches.track(
+      df.select(pred.as("_p"), label.as("_y"))
+        .where(col("_p").isNotNull && col("_y").isNotNull)
+        .groupBy(col("_p"), col("_y")).agg(count(lit(1)).as("_o")))
+    // predicted-side margin: tp + fp per predicted class
+    val pm = cells.groupBy(col("_p").as("clazz")).agg(
+      sum(when(col("_p") === col("_y"), col("_o")).otherwise(0L)).as("_tpp"),
+      sum(when(col("_p") =!= col("_y"), col("_o")).otherwise(0L)).as("fp"))
+    // true-side margin: tp + fn per true class
+    val ym = cells.groupBy(col("_y").as("clazz")).agg(
+      sum(col("_o")).as("support"),
+      sum(when(col("_p") =!= col("_y"), col("_o")).otherwise(0L)).as("fn"))
+    val joined = pm.join(ym, Seq("clazz"), "full_outer")
+      .select(col("clazz"),
+        coalesce(col("_tpp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"),
+        coalesce(col("support"), lit(0L)).as("support"))
+    val prec = when(col("tp") + col("fp") > 0,
+      round(col("tp").cast("double") / (col("tp") + col("fp")), scale))
+    val rec = when(col("support") > 0,
+      round(col("tp").cast("double") / col("support"), scale))
+    joined
+      .withColumn("precision", prec)
+      .withColumn("recall", rec)
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+            (col("precision") + col("recall")) > 0,
+          round(lit(2) * col("precision") * col("recall")
+            / (col("precision") + col("recall")), scale)))
+  }
+
+  /** McNemar's paired-classifier test — "is model A actually better than
+    * model B, or did they just disagree randomly?" on the SAME examples
+    * (an unpaired two-proportion test wastes the pairing and answers a
+    * weaker question). Counts the discordant pairs
+    * `b` (A right, B wrong) and `c` (A wrong, B right) and returns one
+    * row `(n, n_both_right, n_both_wrong, b, c, chi2)` with the
+    * continuity-corrected statistic `χ² = (|b−c|−1)² / (b+c)` (df=1;
+    * NULL when b+c = 0 — the models never disagree, nothing to test).
+    *
+    * One scan, one 4-cell aggregate: every count is an exact integer and
+    * the statistic is three scalar IEEE ops off them — engine-portable,
+    * partition-free.
+    */
+  def mcnemarTest(
+      df: DataFrame, predA: Column, predB: Column, label: Column,
+      scale: Int = 6): DataFrame = {
+    val d = df.select((predA === label).as("_ra"), (predB === label).as("_rb"))
+      .where(col("_ra").isNotNull && col("_rb").isNotNull)
+    val m = d.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_ra") && col("_rb"), 1L).otherwise(0L)).as("n_both_right"),
+      sum(when(!col("_ra") && !col("_rb"), 1L).otherwise(0L)).as("n_both_wrong"),
+      sum(when(col("_ra") && !col("_rb"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("_ra") && col("_rb"), 1L).otherwise(0L)).as("c"))
+    m.select(col("n"), col("n_both_right"), col("n_both_wrong"), col("b"), col("c"),
+      when(col("b") + col("c") > 0,
+        round(((abs(col("b") - col("c")) - lit(1)) * (abs(col("b") - col("c")) - lit(1)))
+          .cast("double") / (col("b") + col("c")), scale)).as("chi2"))
+  }
+
+  /** Probability-quality scoreboard — Brier score, log-loss and expected
+    * calibration error of a [0,1] probability against a binary label, in
+    * ONE row `(n, brier, log_loss, ece)`. [[calibrationCurve]] draws the
+    * reliability diagram; this is the scalar summary you gate a model
+    * promotion on.
+    *
+    * Determinism: the probability is rounded to `scale` digits FIRST and
+    * every per-row term is decimal-cast before summation (the token-
+    * entropy discipline), so totals are partitioning- and engine-exact:
+    *   - brier    = Σ (p−y)² / n        — exact decimal squares;
+    *   - log_loss = Σ −ln(p̂ᵢ) / n       — p̂ clamped into
+    *     [10⁻⁶, 1−10⁻⁶] so a confident miss costs ln 10⁶, not ∞; each ln
+    *     is one libm call on an identical double, decimal-cast at scale
+    *     12;
+    *   - ece      = Σ_b |Σy − Σp| / n   — over `bins` equal-width
+    *     probability bins (p = 1.0 clamps into the top bin); the inner
+    *     difference is exact (integer minus scale-6 decimal).
+    * One scan, one bounded-bin aggregate, one scalar fold.
+    */
+  def probEvalReport(
+      df: DataFrame, prob: Column, label: Column, bins: Int = 10,
+      scale: Int = 6): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    // decimal(7,6) holds any [0,1] probability at display scale EXACTLY and
+    // keeps the (p−y)² product inside precision 38 (a wider type would trip
+    // Spark's precision-loss scale reduction and silently round the squares)
+    val p = round(prob.cast("double"), 6).cast("decimal(7,6)")
+    val d = df.select(p.as("_p"), label.cast("int").cast("long").as("_y"))
+      .where(col("_p").isNotNull && col("_y").isNotNull)
+    val eps = 1e-6
+    val pc = least(greatest(col("_p").cast("double"), lit(eps)), lit(1 - eps))
+    val llTerm = -(col("_y") * log(pc) + (lit(1L) - col("_y")) * log(lit(1.0) - pc))
+    val diff = col("_p") - col("_y").cast("decimal(1,0)") // decimal(8,6), exact
+    val binned = d
+      .withColumn("_bin", least(floor(col("_p").cast("double") * bins), lit((bins - 1).toDouble))
+        .cast("long"))
+      .withColumn("_sq", (diff * diff).cast("decimal(38,12)"))
+      .withColumn("_ll", llTerm.cast("decimal(38,12)"))
+      .groupBy(col("_bin")).agg(
+        count(lit(1)).as("_n"), sum(col("_y")).as("_sy"),
+        sum(col("_p")).as("_sp"), sum(col("_sq")).as("_ssq"), sum(col("_ll")).as("_sll"))
+    binned.agg(
+      sum(col("_n")).as("n"),
+      sum(col("_ssq")).as("_tsq"),
+      sum(col("_sll")).as("_tll"),
+      sum(abs(col("_sy").cast("decimal(20,6)") - col("_sp"))).as("_tce"))
+      .select(col("n"),
+        round(col("_tsq").cast("double") / col("n"), scale).as("brier"),
+        round(col("_tll").cast("double") / col("n"), scale).as("log_loss"),
+        round(col("_tce").cast("double") / col("n"), scale).as("ece"))
+  }
+
+  /** Two-proportion z-test — the A/B-test read: did variant B convert
+    * better than variant A, beyond what chance explains? Input: one row
+    * per SUBJECT with a variant key and a boolean success. Returns one
+    * row `(variant_a, variant_b, n_a, x_a, n_b, x_b, rate_a, rate_b,
+    * lift, z, lo_a, hi_a, lo_b, hi_b)` — the pooled-variance z statistic
+    * plus each variant's Wilson 95% score interval (the interval that
+    * stays sane at extreme rates, unlike the Wald ±1.96·√(p̂q̂/n)).
+    * Variant A is the lexicographically smaller key (deterministic
+    * orientation); requires EXACTLY two variants.
+    *
+    * One scan, one 2-row aggregate, scalar IEEE arithmetic off exact
+    * integer counts — engine-portable, partition-free. z is NULL when
+    * the pooled rate is degenerate (0 or 1: no variance, nothing to
+    * test).
+    */
+  def twoProportionTest(
+      df: DataFrame, variant: Column, success: Column, scale: Int = 6): DataFrame = {
+    val per = df.select(variant.as("_v"), success.cast("boolean").as("_s"))
+      .where(col("_v").isNotNull && col("_s").isNotNull)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_n"),
+        sum(when(col("_s"), 1L).otherwise(0L)).as("_x"))
+    val two = per.agg(
+      count(lit(1)).as("_k"),
+      min(col("_v")).as("variant_a"), max(col("_v")).as("variant_b"),
+      min_by(col("_n"), col("_v")).as("n_a"), min_by(col("_x"), col("_v")).as("x_a"),
+      max_by(col("_n"), col("_v")).as("n_b"), max_by(col("_x"), col("_v")).as("x_b"))
+    val z196 = 1.959963984540054 // Φ⁻¹(0.975)
+    def wilson(x: Column, n: Column): (Column, Column) = {
+      val ph = x.cast("double") / n
+      val z2 = lit(z196 * z196)
+      val denom = lit(1.0) + z2 / n
+      val center = ph + z2 / (lit(2.0) * n)
+      val half = lit(z196) * sqrt(ph * (lit(1.0) - ph) / n + z2 / (lit(4.0) * n * n))
+      (round((center - half) / denom, scale), round((center + half) / denom, scale))
+    }
+    val pPool = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(pPool * (lit(1.0) - pPool)
+      * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val rateA = col("x_a").cast("double") / col("n_a")
+    val rateB = col("x_b").cast("double") / col("n_b")
+    val (loA, hiA) = wilson(col("x_a"), col("n_a"))
+    val (loB, hiB) = wilson(col("x_b"), col("n_b"))
+    val sized = two.where(col("_k") === 2)
+    if (sized.isEmpty) {
+      throw new IllegalArgumentException(
+        "twoProportionTest needs exactly two variants in the variant column")
+    }
+    sized.select(
+      col("variant_a"), col("variant_b"),
+      col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(rateA, scale).as("rate_a"), round(rateB, scale).as("rate_b"),
+      round(rateB - rateA, scale).as("lift"),
+      when(pPool > 0 && pPool < 1, round((rateB - rateA) / se, scale)).as("z"),
+      loA.as("lo_a"), hiA.as("hi_a"), loB.as("lo_b"), hiB.as("hi_b"))
+  }
+
+  /** Brown–Forsythe homogeneity-of-variance test — [[anovaF]] asks "do
+    * the group MEANS differ?"; this asks the prerequisite question "do
+    * the group SPREADS differ?" (classic Levene with the median center —
+    * the robust form that survives heavy tails). Per group the center is
+    * the TYPE-1 median (an actual data value picked by rank, the
+    * [[theilSenFit]] discipline — engine-exact, no interpolation);
+    * each row becomes its absolute deviation |x − med_g|, and the
+    * returned row is [[anovaF]]'s `(k, n, f_stat)` computed on those
+    * deviations: F = [Σnᵢ(z̄ᵢ−z̄)²/(k−1)] / [ΣΣ(z−z̄ᵢ)²/(n−k)].
+    *
+    * Scale shape: the median pick is one rank window PARTITIONED by the
+    * group + one slim |groups|-row broadcast-back; deviations are a
+    * projection; the F is [[anovaF]]'s exact-decimal moment fold. Two
+    * shuffles total, both on the group key.
+    */
+  def brownForsythe(
+      df: DataFrame, value: Column, groupCol: Column, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.as("_g"), value.cast("double").as("_x"))
+      .where(col("_g").isNotNull && col("_x").isNotNull)
+    val w = Window.partitionBy(col("_g")).orderBy(col("_x"))
+    val meds = base
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(col("_g"))))
+      .where(col("_rn") === expr("(_m + 1) div 2"))
+      .select(col("_g"), col("_x").as("_med"))
+    val dev = base.join(broadcast(meds), Seq("_g"))
+      .select(col("_g"), abs(col("_x") - col("_med")).as("_z"))
+    anovaF(dev, col("_z"), col("_g"), scale)
+  }
 }

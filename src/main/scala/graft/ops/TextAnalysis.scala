@@ -1419,6 +1419,72 @@ object TextAnalysis {
           .as("lift"))
   }
 
+  /** Collocation mining by Dunning's log-likelihood ratio (G², Dunning
+    * 1993) — the statistically-honest upgrade of [[cooccurrenceLift]]:
+    * lift rewards rare coincidences (two hapaxes that co-occur once get
+    * a huge lift), G² asks "how IMPLAUSIBLE is independence given the
+    * evidence?", which is what makes it the standard collocation score.
+    * Over adjacent token bigrams it builds each candidate's 2×2 table
+    * `(k₁₁=c₁₂, k₁₂=c₁−c₁₂, k₂₁=c₂−c₁₂, k₂₂=N−c₁−c₂+c₁₂)` and scores
+    * `G² = 2·Σ k·ln(k·N / (rowsum·colsum))` (zero cells contribute 0 —
+    * the x·ln x → 0 limit). Returns the global `topK` bigrams as
+    * `(w1, w2, c12, c1, c2, g2)` ranked on the ROUNDED score with
+    * `(w1, w2)` as tie-break — the engine-portable cut.
+    *
+    * Determinism: every table cell is an exact integer; G² is a fixed
+    * 4-term scalar IEEE expression (each term one ln off an exact
+    * rational) evaluated in textual order, then rounded — identical in
+    * any engine.
+    *
+    * Scale shape: one map-side bigram explode → one partial-aggregated
+    * shuffle per margin (pair / left / right — each output bounded by
+    * vocabulary, and the pair frame is `minPairCount`-pruned before the
+    * margin joins); N is one scalar; the cut is a TakeOrdered top-k,
+    * never a global sort.
+    */
+  def collocationsG2(
+      df: DataFrame,
+      topK: Int = 20,
+      minPairCount: Long = 5L,
+      textCol: String = "text",
+      scale: Int = 6
+  ): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val pairs = graft.Caches.track(
+      df.select(toks.as("_t"))
+        .where(size(col("_t")) >= 2)
+        .select(col("_t"), explode(sequence(lit(0), size(col("_t")) - 2)).as("_i"))
+        .select(
+          element_at(col("_t"), col("_i") + 1).as("w1"),
+          element_at(col("_t"), col("_i") + 2).as("w2")))
+    val n = pairs.count()
+    val cp = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minPairCount)
+    val cl = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val cr = pairs.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val cells = cp.join(cl, Seq("w1")).join(cr, Seq("w2"))
+      .withColumn("_k11", col("c12"))
+      .withColumn("_k12", col("c1") - col("c12"))
+      .withColumn("_k21", col("c2") - col("c12"))
+      .withColumn("_k22", lit(n) - col("c1") - col("c2") + col("c12"))
+    // k·ln(k·N / (rowTot·colTot)); the k = 0 cell contributes exactly 0
+    def term(k: Column, rowTot: Column, colTot: Column): Column =
+      when(k > 0,
+        k.cast("double") * log(k.cast("double") * lit(n.toDouble)
+          / (rowTot.cast("double") * colTot.cast("double"))))
+        .otherwise(lit(0.0))
+    val g2 = lit(2.0) * (
+      term(col("_k11"), col("c1"), col("c2"))
+        + term(col("_k12"), col("c1"), lit(n) - col("c2"))
+        + term(col("_k21"), lit(n) - col("c1"), col("c2"))
+        + term(col("_k22"), lit(n) - col("c1"), lit(n) - col("c2")))
+    cells.select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+      round(g2, scale).as("g2"))
+      .orderBy(col("g2").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010) — the corpus-level
     * "what is this collection about" summary: candidate phrases are the
     * maximal stopword-free token runs (stopwords and symbol-only tokens

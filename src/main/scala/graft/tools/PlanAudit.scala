@@ -74,7 +74,11 @@ object PlanAudit {
     "q251_t_closeness",           // one-row corpus-total crossJoin (same scalar-attach class)
     "q252_kendall",               // |cells|² upper-triangle pair fold (the q153 bounded-matrix class)
     "q255_target_encoding",       // one-row global-mean crossJoin (scalar-attach class)
-    "q256_best_split"             // one-row class-totals crossJoin (scalar-attach class)
+    "q256_best_split",            // one-row class-totals crossJoin (scalar-attach class)
+    "q260_prob_eval",             // one-row min/max score crossJoin (scalar-attach class)
+    "q263_brown_forsythe",        // anovaF's one-row grand-totals crossJoin (the q225 class)
+    "q264_nelson_aalen",          // one-row max-duration crossJoin (the q219 obs-frame class)
+    "q265_acf"                    // one-row global-moments crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -99,7 +103,8 @@ object PlanAudit {
     "q240_water_fill",     // interval scan over the |strata|-row mass frame (q163/q206 class)
     "q242_betweenness",    // state-id ranking over the |event types|-row frame
     "q245_closeness",      // same |event types|-row state-id ranking
-    "q247_mst"             // same |event types|-row state-id ranking
+    "q247_mst",            // same |event types|-row state-id ranking
+    "q264_nelson_aalen"    // at-risk + hazard cumulatives over the ≤|distinct durations| collapsed axis (the kaplanMeier class)
   )
 
   /** Count of window nodes whose partition spec is EMPTY — each one plans

@@ -429,4 +429,34 @@ class EventAnalyticsSpec extends SparkSpec {
       3L -> ((1L, 0L, 0L)),
       4L -> ((1L, 1L, 1L))))
   }
+
+  test("nelsonAalen: hand-computed hazards; censoring shrinks the risk set eventlessly") {
+    import spark.implicits._
+    val obs = Seq((1L, true), (1L, true), (2L, false), (3L, true), (3L, false))
+      .toDF("dur", "ev")
+    val got = EventAnalytics.nelsonAalen(obs, col("dur"), col("ev"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // t=1: risk 5, d 2 → h .4 ; t=2: risk 3, d 0 → h 0 ; t=3: risk 2, d 1 → h .5
+    assert(got == Map(
+      1L -> ((5L, 2L, 0L, 0.4, 0.4)),
+      2L -> ((3L, 0L, 1L, 0.0, 0.4)),
+      3L -> ((2L, 1L, 1L, 0.5, 0.9))))
+  }
+
+  test("autocorrelation: lag 0 is exactly 1; an alternating series flips sign; constant → NULL") {
+    import spark.implicits._
+    val alt = (0L until 8L).map(t => (t, (t % 2).toDouble)).toDF("t", "x")
+    val got = EventAnalytics.autocorrelation(alt, maxLag = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))))
+      .toMap
+    assert(got(0L)._1 == 8L && got(0L)._2 == 1.0)
+    assert(got(1L)._1 == 7L && got(1L)._2 < 0.0)
+    assert(got(2L)._1 == 6L && got(2L)._2 > 0.0)
+    // constant series: zero variance → NULL, never a division blowup
+    val const = (0L until 6L).map(t => (t, 3.0)).toDF("t", "x")
+    val c = EventAnalytics.autocorrelation(const, maxLag = 1).collect()
+    assert(c.forall(_.isNullAt(2)))
+    graft.Caches.clear()
+  }
 }

@@ -386,6 +386,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pruned == Set(("a", "b")))
   }
 
+  test("collocationsG2: hand 2×2 cells; a bound pair beats an equally-frequent free mix") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // "u v" always bound; "p"/"q" co-occur only by chance against filler
+    val docs = (Seq.fill(4)("u v") ++ Seq("p q", "p r", "s q", "s r")).toDF("text")
+    val got = TextAnalysis.collocationsG2(docs, topK = 10, minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // 8 bigrams total; (u,v): k11=4 k12=0 k21=0 k22=4 →
+    // G² = 2·(4·ln(4·8/(4·4)) + 4·ln(4·8/(4·4))) = 16·ln 2
+    assert(got(("u", "v"))._4 == r6(2.0 * (4 * math.log(2.0) + 4 * math.log(2.0))))
+    assert(got(("u", "v"))._1 == 4L)
+    // (p,q): observed 1, expected 2·2/8 = 0.5 — some evidence, far less
+    assert(got(("p", "q"))._4 < got(("u", "v"))._4)
+    // the ranked cut keeps the bound pair first
+    val top = TextAnalysis.collocationsG2(docs, topK = 1, minPairCount = 1L).collect().head
+    assert((top.getString(0), top.getString(1)) == (("u", "v")))
+    graft.Caches.clear()
+  }
+
   test("punct and stopword ratios on a known sentence") {
     val r = one("the cat, the hat!")
     // punct chars: ',' '!' → 2/17; tokens: the cat, the hat! → stopwords 'the' x2 of 4

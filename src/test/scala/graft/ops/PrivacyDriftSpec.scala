@@ -173,4 +173,25 @@ class PrivacyDriftSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (4L, 5L)))
   }
+
+  test("entropyLDiversity: uniform group maxes effective l; skew passes distinct-l yet fails") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(
+      ("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"), // uniform over 4 values
+      ("s", "a"), ("s", "a"), ("s", "a"), ("s", "b") // 2 distinct, one dominant
+    ).toDF("g", "v")
+    val got = Privacy.entropyLDiversity(df, Seq("g"), "v", l = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got("u") == ((4L, 4L, 4.0, true))) // e^{ln 4} exactly
+    // H = ln 4 − (3 ln 3)/4 → e^H = 4/3^{3/4} ≈ 1.7548 < 2: distinct-l 2 passes, entropy fails
+    val eff = r6(math.exp(math.log(4.0) - 3 * math.log(3.0) / 4))
+    assert(got("s") == ((4L, 2L, eff, false)))
+    // null sensitive rows disclose nothing and don't count
+    val withNull = Privacy.entropyLDiversity(
+      Seq(("u", Some("a")), ("u", Some("b")), ("u", None)).toDF("g", "v"), Seq("g"), "v")
+      .collect().head
+    assert(withNull.getLong(1) == 2L && withNull.getLong(2) == 2L)
+  }
 }

@@ -584,4 +584,35 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(re == got.map { case (k, v) => k -> v._2 })
   }
+
+  test("ipfWeights: both margins converge to uniform; mass conserved; partition-stable") {
+    import spark.implicits._
+    // skewed 2×2 mix: source r1 is 6/8 of the corpus, lang c1 is 5/8
+    val rows = Seq.fill(4)(("r1", "c1")) ++ Seq.fill(2)(("r1", "c2")) ++
+      Seq.fill(1)(("r2", "c1")) ++ Seq.fill(1)(("r2", "c2"))
+    val df = rows.toDF("src", "lang")
+    val w = Sampling.ipfWeights(df, col("src"), col("lang"), rounds = 8)
+    val cells = w.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(cells.size == 4)
+    // total mass N = 8 survives raking (the last pass scales columns to target)
+    val totalW = cells.values.map(_._2).sum
+    assert(math.abs(totalW - 8.0) < 1e-3)
+    // column margins exactly at target 8/2 = 4 after the final column pass
+    val colMass = cells.groupBy(_._1._2).view.mapValues(_.values.map(_._2).sum)
+    assert(colMass.values.forall(m => math.abs(m - 4.0) < 1e-6))
+    // row margins converge to 4 (8 sweeps is far past display precision)
+    val rowMass = cells.groupBy(_._1._1).view.mapValues(_.values.map(_._2).sum)
+    assert(rowMass.values.forall(m => math.abs(m - 4.0) < 1e-3))
+    // factor is the per-example multiplier weight/n
+    val facs = w.collect().map(r => (r.getDouble(3), r.getLong(2), r.getDouble(4)))
+    facs.foreach { case (wt, n, fac) =>
+      assert(math.abs(fac - wt / n) < 5e-6)
+    }
+    // partitioning cannot move the decimal-cast per-pass sums
+    val re = Sampling.ipfWeights(df.repartition(7), col("src"), col("lang"), rounds = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(re == cells.map { case (k, v) => k -> v._2 })
+    graft.Caches.clear()
+  }
 }

@@ -1026,4 +1026,98 @@ class StatsSpec extends SparkSpec {
     // (2,3) is dominated by (2,4)
     assert(got == Set((1.0, 5.0, 2L), (2.0, 4.0, 1L), (0.5, 6.0, 1L), (1.5, 4.5, 1L)))
   }
+
+  test("classificationReport: hand margins; hallucinated and never-predicted classes surface") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // truth: a a a b b ; pred: a b a c b → c is hallucinated (support 0)
+    val df = Seq(("a", "a"), ("b", "a"), ("a", "a"), ("c", "b"), ("b", "b")).toDF("p", "y")
+    val rep = Stats.classificationReport(df, col("p"), col("y"))
+    val counts = rep.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(counts == Set(("a", 2L, 0L, 1L, 3L), ("b", 1L, 1L, 1L, 2L), ("c", 0L, 1L, 0L, 0L)))
+    val a = rep.where(col("clazz") === "a").collect().head
+    assert(a.getDouble(5) == 1.0 && a.getDouble(6) == r6(2.0 / 3))
+    assert(a.getDouble(7) == r6(2 * 1.0 * r6(2.0 / 3) / (1.0 + r6(2.0 / 3))))
+    val c = rep.where(col("clazz") === "c").collect().head
+    assert(c.getDouble(5) == 0.0 && c.isNullAt(6) && c.isNullAt(7)) // recall undefined at support 0
+    // a class present in truth but never predicted: precision NULL, recall 0
+    val never = Stats.classificationReport(
+      Seq(("a", "a"), ("a", "b")).toDF("p", "y"), col("p"), col("y"))
+      .where(col("clazz") === "b").collect().head
+    assert(never.getLong(1) == 0L && never.getLong(2) == 0L && never.getLong(4) == 1L)
+    assert(never.isNullAt(5) && never.getDouble(6) == 0.0)
+  }
+
+  test("mcnemarTest: discordant-pair counts and the continuity-corrected statistic") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // both right ×3, both wrong ×2, A-only right ×4, B-only right ×1
+    val rows = Seq.fill(3)((1, 1, 1)) ++ Seq.fill(2)((0, 0, 1)) ++
+      Seq.fill(4)((1, 0, 1)) ++ Seq.fill(1)((0, 1, 1))
+    val df = rows.toDF("pa", "pb", "y")
+    val r = Stats.mcnemarTest(df, col("pa"), col("pb"), col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10L, 3L, 2L, 4L, 1L)))
+    assert(r.getDouble(5) == r6(math.pow(math.abs(4 - 1) - 1, 2) / 5.0)) // 0.8
+    // models that never disagree → b + c = 0 → NULL statistic
+    val same = Seq((1, 1, 1), (0, 0, 1)).toDF("pa", "pb", "y")
+    assert(Stats.mcnemarTest(same, col("pa"), col("pb"), col("y")).collect().head.isNullAt(5))
+  }
+
+  test("probEvalReport: perfect confident probabilities; half-certain brier; exact ECE") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perfect = Seq((1.0, true), (1.0, true), (0.0, false), (0.0, false)).toDF("p", "y")
+    val pr = Stats.probEvalReport(perfect, col("p"), col("y")).collect().head
+    assert(pr.getLong(0) == 4L && pr.getDouble(1) == 0.0 && pr.getDouble(3) == 0.0)
+    assert(pr.getDouble(2) == r6(-math.log(0.999999))) // the clamp's floor cost
+    // p = 0.5 everywhere, half the labels positive: brier 0.25, ece 0
+    val half = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false)).toDF("p", "y")
+    val hr = Stats.probEvalReport(half, col("p"), col("y")).collect().head
+    assert(hr.getDouble(1) == 0.25 && hr.getDouble(3) == 0.0)
+    assert(hr.getDouble(2) == r6(-math.log(0.5)))
+    // systematic overconfidence: p = 0.9 but only half positive → ece = 0.4
+    val over = Seq((0.9, true), (0.9, false)).toDF("p", "y")
+    assert(Stats.probEvalReport(over, col("p"), col("y")).collect().head.getDouble(3) == 0.4)
+  }
+
+  test("twoProportionTest: hand z; Wilson intervals bracket the rates; 2-variant contract") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Seq(("a", true), ("a", false), ("a", false), ("a", false)) ++
+      Seq(("b", true), ("b", true), ("b", true), ("b", false))
+    val r = Stats.twoProportionTest(rows.toDF("v", "s"), col("v"), col("s")).collect().head
+    assert((r.getString(0), r.getString(1)) == (("a", "b")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == ((4L, 1L, 4L, 3L)))
+    assert(r.getDouble(6) == 0.25 && r.getDouble(7) == 0.75 && r.getDouble(8) == 0.5)
+    assert(r.getDouble(9) == r6(0.5 / math.sqrt(0.5 * 0.5 * (0.25 + 0.25))))
+    val (loA, hiA, loB, hiB) =
+      (r.getDouble(10), r.getDouble(11), r.getDouble(12), r.getDouble(13))
+    assert(loA >= 0 && loA < 0.25 && hiA > 0.25 && hiA <= 1)
+    assert(loB >= 0 && loB < 0.75 && hiB > 0.75 && hiB <= 1)
+    intercept[IllegalArgumentException] {
+      Stats.twoProportionTest(
+        Seq(("a", true), ("b", true), ("c", false)).toDF("v", "s"), col("v"), col("s"))
+    }
+  }
+
+  test("brownForsythe: spread difference detected; zero deviations → NULL F") {
+    import spark.implicits._
+    // medians both 10; deviations (10,0,10) vs (1,0,1)
+    val df = Seq(("w", 0.0), ("w", 10.0), ("w", 20.0), ("t", 9.0), ("t", 10.0), ("t", 11.0))
+      .toDF("g", "v")
+    val r = Stats.brownForsythe(df, col("v"), col("g")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(4) > 0.0)
+    // every value equals its group median → all deviations 0 → ssw = 0 → NULL
+    val const = Seq(("w", 5.0), ("w", 5.0), ("t", 7.0), ("t", 7.0)).toDF("g", "v")
+    assert(Stats.brownForsythe(const, col("v"), col("g")).collect().head.isNullAt(4))
+    // even group size picks the TYPE-1 (lower-middle) value, not an average
+    val even = Seq(("w", 1.0), ("w", 2.0), ("w", 100.0), ("w", 200.0),
+      ("t", 1.0), ("t", 2.0), ("t", 100.0), ("t", 200.0)).toDF("g", "v")
+    val re = Stats.brownForsythe(even, col("v"), col("g")).collect().head
+    // identical groups → identical deviation sets → between-group SS = 0 → F = 0
+    assert(re.getDouble(4) == 0.0)
+  }
 }
