@@ -176,6 +176,35 @@ object SparkEntry {
       graft.ops.Sampling.ipfWeights(
         T(s, dir, "documents"), rowCol = col("source"), colCol = col("lang"), rounds = 3)),
 
+    // split-conformal length bands per language: q131's hash fold 0
+    // calibrates the 90% threshold, the other folds check coverage
+    "q268_conformal" -> ((s, dir) => {
+      val folded = graft.ops.Sampling.kFold(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        key = col("doc_id"), k = 5, hash = activeHash)
+      graft.ops.Stats.conformalQuantile(folded,
+        score = col("n_chars"), isCal = col("fold") === 0, groupCols = Seq("lang"))
+    }),
+
+    // recurring 3-step behavior motifs mined from anywhere in the stream
+    // (q166 ranks each user's leading path; this slides the window)
+    "q269_seq_patterns" -> ((s, dir) =>
+      graft.ops.EventAnalytics.frequentEpisodes(
+        E(s, dir).withColumn("tsu", expr("ts div 1000")), n = 3, topK = 20,
+        tsCol = "tsu")),
+
+    // TextRank keywords: PageRank over the adjacent-bigram word graph —
+    // the company-you-keep counterpart of RAKE's phrase scoring
+    "q270_textrank" -> ((s, dir) =>
+      TextAnalysis.textRank(T(s, dir, "documents"), topK = 20, minPairCount = 20L)),
+
+    // Hill tail index of doc length per language — how heavy is the long
+    // tail the token-budget planner must survive?
+    "q271_hill_tail" -> ((s, dir) =>
+      graft.ops.Stats.hillEstimator(
+        T(s, dir, "documents"), value = col("n_chars"), k = 30,
+        strataCols = Seq("lang"))),
+
     // ---------------------------------------------------------- reference surface
 
     // S2/P1-P3: projection + rename + SQL-expression derived column
@@ -3605,6 +3634,118 @@ object SparkEntry {
         |FROM cells
         |ORDER BY g2 DESC, w1, w2
         |LIMIT 20""".stripMargin,
+
+    // q268: q131's fold-0 calibration rows → TYPE-1 rank pick at
+    // ⌈(n+1)·0.9⌉ → eval-side coverage fold
+    "q268_conformal" ->
+      s"""WITH f AS (
+         |  SELECT lang, n_chars,
+         |    (${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 5 = 0) AS cal
+         |  FROM documents),
+         |calr AS (
+         |  SELECT lang, CAST(n_chars AS DOUBLE) AS s,
+         |    row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM f WHERE cal AND n_chars IS NOT NULL),
+         |q AS (
+         |  SELECT lang, CAST(any_value(n) AS BIGINT) AS n_cal,
+         |    max(CASE WHEN rn = ((n + 1) * 9 + 9) // 10 THEN s END) AS q0
+         |  FROM calr GROUP BY 1),
+         |ev AS (SELECT lang, CAST(n_chars AS DOUBLE) AS s FROM f
+         |       WHERE NOT cal AND n_chars IS NOT NULL),
+         |cv AS (
+         |  SELECT ev.lang, CAST(count(*) AS BIGINT) AS n_eval,
+         |    CAST(sum(CASE WHEN q.q0 IS NULL OR ev.s <= q.q0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS covn
+         |  FROM ev JOIN q ON q.lang = ev.lang GROUP BY 1)
+         |SELECT q.lang, q.n_cal, coalesce(cv.n_eval, 0) AS n_eval,
+         |  round(q.q0, 6) AS qhat,
+         |  round(CASE WHEN cv.n_eval IS NOT NULL
+         |    THEN CAST(covn AS DOUBLE) / cv.n_eval END, 6) AS coverage
+         |FROM q LEFT JOIN cv ON cv.lang = q.lang""".stripMargin,
+
+    // q269: two leads over the per-user window → sliding trigrams →
+    // (users, occurrences) support, TakeOrdered on the documented order
+    "q269_seq_patterns" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |r AS (SELECT user_id, event_type AS t0,
+        |        lead(event_type, 1) OVER w AS t1,
+        |        lead(event_type, 2) OVER w AS t2
+        |      FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |ep AS (SELECT user_id, t0 || '>' || t1 || '>' || t2 AS episode
+        |       FROM r WHERE t1 IS NOT NULL AND t2 IS NOT NULL),
+        |g AS (SELECT episode, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |        CAST(count(*) AS BIGINT) AS n_occurrences
+        |      FROM ep GROUP BY 1)
+        |SELECT episode, n_users, n_occurrences FROM g
+        |ORDER BY n_users DESC, n_occurrences DESC, episode
+        |LIMIT 20""".stripMargin,
+
+    // q270: the q134 bigram frame → undirected weighted word graph → 4
+    // unrolled PageRank rounds with decimal-summed contributions
+    "q270_textrank" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT toks[CAST(i.i AS INT) + 1] AS w1, toks[CAST(i.i AS INT) + 2] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i
+        |  WHERE len(toks) >= 2
+        |), cp AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2
+        |  HAVING count(*) >= 20
+        |), cpf AS (SELECT * FROM cp WHERE w1 <> w2),
+        |und AS (
+        |  SELECT src, dst, CAST(sum(c) AS BIGINT) AS w FROM (
+        |    SELECT w1 AS src, w2 AS dst, c FROM cpf
+        |    UNION ALL SELECT w2 AS src, w1 AS dst, c FROM cpf)
+        |  GROUP BY 1, 2),
+        |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM und GROUP BY 1),
+        |f AS (SELECT und.src, und.dst, CAST(und.w AS DOUBLE) / CAST(st.s AS DOUBLE) AS fr
+        |      FROM und JOIN st ON st.src = und.src),
+        |r0 AS (SELECT DISTINCT src AS word, CAST(1.0 AS DOUBLE) AS r FROM f),
+        |r1 AS (SELECT f.dst AS word,
+        |        round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)
+        |          * CAST(sum(CAST(f.fr * r0.r AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+        |       FROM f JOIN r0 ON r0.word = f.src GROUP BY 1),
+        |r2 AS (SELECT f.dst AS word,
+        |        round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)
+        |          * CAST(sum(CAST(f.fr * r1.r AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+        |       FROM f JOIN r1 ON r1.word = f.src GROUP BY 1),
+        |r3 AS (SELECT f.dst AS word,
+        |        round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)
+        |          * CAST(sum(CAST(f.fr * r2.r AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+        |       FROM f JOIN r2 ON r2.word = f.src GROUP BY 1),
+        |r4 AS (SELECT f.dst AS word,
+        |        round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)
+        |          * CAST(sum(CAST(f.fr * r3.r AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+        |       FROM f JOIN r3 ON r3.word = f.src GROUP BY 1)
+        |SELECT word, round(r, 6) AS "rank" FROM r4
+        |ORDER BY "rank" DESC, word
+        |LIMIT 20""".stripMargin,
+
+    // q271: per-language top-31 order statistics → decimal-summed
+    // ln(x/x_tail) → hill and the Pareto alpha off the rounded hill
+    "q271_hill_tail" ->
+      """WITH b AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+        |r AS (SELECT lang, x,
+        |        row_number() OVER (PARTITION BY lang ORDER BY x DESC) AS rn
+        |      FROM b),
+        |tp AS (SELECT lang, x, rn FROM r WHERE rn <= 31),
+        |tl AS (SELECT lang, CAST(count(*) AS BIGINT) AS m, min(x) AS x_tail
+        |       FROM tp GROUP BY 1),
+        |ok AS (SELECT lang, x_tail FROM tl WHERE m = 31),
+        |s AS (SELECT tp.lang, ok.x_tail,
+        |        sum(CAST(ln(tp.x / ok.x_tail) AS DECIMAL(38,12))) AS sl
+        |      FROM tp JOIN ok ON ok.lang = tp.lang WHERE tp.rn <= 30
+        |      GROUP BY 1, 2),
+        |h AS (SELECT lang, x_tail, round(CAST(sl AS DOUBLE) / 30, 6) AS hill FROM s)
+        |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
+        |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
+        |FROM h""".stripMargin,
 
     // q267: 3 unrolled row+column IPF sweeps, each pass re-rounded to
     // scale 9 and decimal-cast so every margin sum is an exact fold

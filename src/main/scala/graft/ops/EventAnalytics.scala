@@ -703,6 +703,47 @@ object EventAnalytics {
         .as("corr"))
   }
 
+  /** Frequent consecutive episodes — the n-step behavioral motifs that
+    * recur ANYWHERE in user streams ([[topPaths]] ranks each user's
+    * single leading path; this mines every sliding window, so a motif
+    * buried mid-session still surfaces). Each user's stream, ordered by
+    * `(ts, id)`, yields one candidate per position via n−1 lead()s;
+    * support is counted BOTH ways: `n_users` (distinct users exhibiting
+    * the motif — the robust signal) and `n_occurrences` (raw frequency —
+    * inflatable by one obsessive user, which is why it's the tiebreak,
+    * not the rank). Returns the global `topK` as
+    * `(episode, n_users, n_occurrences)`, ranked
+    * `(n_users desc, n_occurrences desc, episode)` — fully deterministic.
+    *
+    * Scale shape: the leads ride ONE window PARTITIONED by user (the
+    * sessionize discipline — never global), candidates collapse in one
+    * partial-aggregated shuffle on the episode string (distinct-user
+    * support via one Expand), and the cut is a TakeOrdered top-k.
+    */
+  def frequentEpisodes(
+      events: DataFrame,
+      n: Int = 3,
+      topK: Int = 20,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(n >= 2 && n <= 8, s"episode length must be in [2, 8], got $n")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = (1 until n).map(i => lead(col(typeCol), i).over(w).as(s"_t$i"))
+    val withLeads = events.select(
+      col(userCol).as("_u") +: col(typeCol).as("_t0") +: steps: _*)
+    val full = (1 until n).map(i => col(s"_t$i").isNotNull).reduce(_ && _)
+    val eps = withLeads.where(full)
+      .select(col("_u"),
+        concat_ws(">", (0 until n).map(i => col(s"_t$i")): _*).as("episode"))
+    eps.groupBy(col("episode"))
+      .agg(countDistinct(col("_u")).as("n_users"), count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_users").desc, col("n_occurrences").desc, col("episode"))
+      .limit(topK)
+  }
+
   /** Sample autocorrelation function — "does this hour predict the next
     * hour? the same hour tomorrow?" — the textbook estimator
     * `r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²` with the GLOBAL

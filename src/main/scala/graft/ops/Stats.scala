@@ -2321,4 +2321,124 @@ object Stats {
       .select(col("_g"), abs(col("_x") - col("_med")).as("_z"))
     anovaF(dev, col("_z"), col("_g"), scale)
   }
+
+  /** Split-conformal calibration — the distribution-free prediction-band
+    * recipe: given a CALIBRATION sample of nonconformity scores, the
+    * threshold `q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration score`
+    * guarantees ≥ 1−α coverage on exchangeable future points, no model
+    * assumptions. Input: one row per example with a score, a group key
+    * and an `isCal` flag (the caller's leakage-safe split — q131's
+    * hash folds are the house source). Returns one row per group:
+    * `(group…, n_cal, n_eval, qhat, coverage)` where `coverage` is the
+    * realized fraction of EVAL scores ≤ q̂ — the empirical check that
+    * should land at ≥ 1−α up to sampling noise.
+    *
+    * q̂ is a TYPE-1 rank pick (an actual calibration score — the
+    * [[theilSenFit]] median discipline), with the rank computed in exact
+    * integer arithmetic (`⌈(n+1)(1−α)⌉` via integer ceil-division on the
+    * rational α = aNum/aDen). A calibration group too small for the rank
+    * (⌈(n+1)(1−α)⌉ > n) has an INFINITE conformal band: q̂ is NULL and
+    * coverage 1.0 by convention.
+    *
+    * Scale shape: the rank pick is one row_number window PARTITIONED by
+    * the group; eval rows join the slim |groups|-row q̂ frame broadcast;
+    * coverage is one partial-aggregated fold. Never a global window.
+    */
+  def conformalQuantile(
+      df: DataFrame,
+      score: Column,
+      isCal: Column,
+      groupCols: Seq[String],
+      alphaNum: Int = 1,
+      alphaDen: Int = 10,
+      scale: Int = 6): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"alpha must be in (0,1): got $alphaNum/$alphaDen")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val base = df.select(gs :+ score.cast("double").as("_s") :+
+      isCal.cast("boolean").as("_cal"): _*)
+      .where(col("_s").isNotNull && col("_cal").isNotNull)
+    val cal = base.where(col("_cal"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("_s"))
+    // rank = ceil((n+1)·(1−α)) = ((n+1)·(aDen−aNum) + aDen − 1) div aDen
+    val need = expr(s"((_n + 1) * ${alphaDen - alphaNum} + ${alphaDen - 1}) div $alphaDen")
+    val qhat = cal
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(gs: _*)))
+      .withColumn("_need", need)
+      .groupBy(gs: _*)
+      .agg(
+        first(col("_n")).as("n_cal"),
+        max(when(col("_rn") === col("_need"), col("_s"))).as("qhat"))
+    val cov = base.where(!col("_cal"))
+      .join(broadcast(qhat), groupCols)
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("qhat").isNull || col("_s") <= col("qhat"), 1L).otherwise(0L)).as("_cov"))
+    qhat.join(cov, groupCols, "left")
+      .select(gs ++ Seq(col("n_cal"), coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        round(col("qhat"), scale).as("qhat"),
+        round(when(col("n_eval").isNotNull,
+          col("_cov").cast("double") / col("n_eval")), scale).as("coverage")): _*)
+  }
+
+  /** Hill tail-index estimator — "how heavy is the tail?" for corpus
+    * length / frequency distributions ([[zipfFit]] reads the RANK law;
+    * this reads the TAIL law, and the two disagree exactly when the
+    * distribution isn't a clean power law). Per stratum, over the top
+    * `k+1` order statistics `x₍₁₎ ≥ … ≥ x₍ₖ₊₁₎`:
+    * `hill = (1/k)·Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎)` and `alpha = 1/hill` (the
+    * Pareto exponent; larger alpha = lighter tail). Returns
+    * `(strata…, k, x_tail, hill, alpha)`; strata with fewer than `k+1`
+    * positive values are dropped (the estimator needs the full window),
+    * and an all-ties window (hill = 0) yields NULL alpha.
+    *
+    * Determinism: the top-(k+1) VALUE multiset is order-unique (ties at
+    * the boundary pick identical values whichever rows rank), each
+    * `ln(x/x_tail)` is one libm call decimal-cast before the sum (the
+    * token-entropy discipline) — engine-exact.
+    *
+    * Scale shape: one rank window PARTITIONED by the stratum prunes to
+    * ≤(k+1)·|strata| rows before anything else; the fold is one
+    * partial-aggregated shuffle on the stratum key.
+    */
+  def hillEstimator(
+      df: DataFrame,
+      value: Column,
+      k: Int,
+      strataCols: Seq[String] = Nil,
+      scale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val gs = strataCols.map(col)
+    val keyed = if (strataCols.nonEmpty) df.select(gs :+ value.cast("double").as("_x"): _*)
+      else df.select(lit(1).as("_k0"), value.cast("double").as("_x"))
+    val keys = if (strataCols.nonEmpty) strataCols else Seq("_k0")
+    val base = keyed.where(col("_x").isNotNull && col("_x") > 0)
+    // per-stratum: a PARTITIONED rank window cuts to k+1 rows per group;
+    // global: a TakeOrdered limit cuts FIRST, then the rank runs on the
+    // (k+1)-row frame (the bounded single-partition allowlist class —
+    // never a whole-corpus global sort)
+    val top = graft.Caches.track(
+      if (strataCols.nonEmpty) {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_x").desc)
+        base.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k + 1)
+      } else {
+        val cut = base.orderBy(col("_x").desc).limit(k + 1)
+        cut.withColumn("_rn",
+          row_number().over(Window.partitionBy(col("_k0")).orderBy(col("_x").desc)))
+      })
+    val tail = top.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_m"), min(col("_x")).as("x_tail"))
+      .where(col("_m") === k + 1)
+    top.join(broadcast(tail), keys)
+      .where(col("_rn") <= k)
+      .groupBy(keys.map(col) :+ col("x_tail"): _*)
+      .agg(sum(log(col("_x") / col("x_tail")).cast("decimal(38,12)")).as("_sl"))
+      .withColumn("hill", round(col("_sl").cast("double") / k, scale))
+      .select(gs ++ Seq(lit(k).as("k"), col("x_tail"), col("hill"),
+        round(when(col("hill") > 0, lit(1.0) / col("hill")), scale).as("alpha")): _*)
+  }
 }

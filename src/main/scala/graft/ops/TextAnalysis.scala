@@ -1485,6 +1485,73 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** TextRank keywords (Mihalcea & Tarau 2004) — PageRank over the word
+    * adjacency graph: a word matters when it keeps company with words
+    * that matter, which surfaces backbone vocabulary that raw frequency
+    * (`topTokens`) and phrase scoring ([[rakeKeyphrases]]) both miss.
+    * Adjacent-bigram counts ≥ `minPairCount` become an undirected
+    * weighted graph; `iters` rounds of
+    * `r(v) ← (1−d) + d·Σ_u w_uv/strength(u)·r(u)` (uniform init 1.0);
+    * the global `topK` words return as `(word, rank)`, ranked on the
+    * ROUNDED rank with the word as tie-break.
+    *
+    * Determinism: each neighbor contribution `(w_uv/S_u)·r_u` is one
+    * scalar IEEE product decimal(38,12)-cast before the per-vertex sum
+    * (order-free), and each round's rank is re-rounded to 12 digits —
+    * the whole fixed-point prefix is engine-exact, so a SQL engine
+    * unrolling the same `iters` rounds reproduces the table bit for bit.
+    *
+    * Scale shape: one bigram-explode shuffle, then everything lives on
+    * the `minPairCount`-pruned |vocab|-bounded edge frame (persisted —
+    * it feeds every round); each round is one equi-join + one partial
+    * aggregate on that bounded frame, `iters` is fixed (TextRank needs
+    * no convergence test for ranking stability), and the cut is a
+    * TakeOrdered top-k. Rank lineage grows linearly in `iters` (the
+    * rank frame enters each round once — no self-join doubling).
+    */
+  def textRank(
+      df: DataFrame,
+      topK: Int = 20,
+      minPairCount: Long = 5L,
+      damping: Double = 0.85,
+      iters: Int = 4,
+      textCol: String = "text",
+      scale: Int = 6): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val pairs = df.select(toks.as("_t"))
+      .where(size(col("_t")) >= 2)
+      .select(col("_t"), explode(sequence(lit(0), size(col("_t")) - 2)).as("_i"))
+      .select(
+        element_at(col("_t"), col("_i") + 1).as("w1"),
+        element_at(col("_t"), col("_i") + 2).as("w2"))
+    val cp = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minPairCount && col("w1") =!= col("w2"))
+    val und = cp.select(col("w1").as("src"), col("w2").as("dst"), col("_c"))
+      .unionByName(cp.select(col("w2").as("src"), col("w1").as("dst"), col("_c")))
+      .groupBy("src", "dst").agg(sum(col("_c")).as("_w"))
+    val strength = und.groupBy("src").agg(sum(col("_w")).as("_s"))
+    val frac = graft.Caches.track(
+      und.join(strength, Seq("src"))
+        .select(col("src"), col("dst"),
+          (col("_w").cast("double") / col("_s").cast("double")).as("_f")))
+    var ranks = frac.select(col("src").as("word")).distinct()
+      .withColumn("_r", lit(1.0))
+    for (_ <- 1 to iters) {
+      ranks = frac.join(ranks, frac("src") === ranks("word"))
+        .select(col("dst").as("word"),
+          (col("_f") * col("_r")).cast("decimal(38,12)").as("_contrib"))
+        .groupBy("word")
+        .agg(round(lit(1.0 - damping) + lit(damping)
+          * sum(col("_contrib")).cast("double"), 12).as("_r"))
+    }
+    ranks.select(col("word"), round(col("_r"), scale).as("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(topK)
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010) — the corpus-level
     * "what is this collection about" summary: candidate phrases are the
     * maximal stopword-free token runs (stopwords and symbol-only tokens

@@ -459,4 +459,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c.forall(_.isNullAt(2)))
     graft.Caches.clear()
   }
+
+  test("frequentEpisodes: sliding windows beat per-user paths; user support outranks raw count") {
+    import spark.implicits._
+    // u1 does a>b>c twice (4 events overlap: a b c then a b c); u2 does a>b>c once;
+    // u3 does x>y>z three times in a row — more occurrences, but only ONE user
+    val ev = (Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (1L, 4L, "a"), (1L, 5L, "b"), (1L, 6L, "c")) ++
+      Seq((2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c")) ++
+      (0 until 3).flatMap(i => Seq((3L, i * 3 + 1L, "x"), (3L, i * 3 + 2L, "y"), (3L, i * 3 + 3L, "z"))))
+      .zipWithIndex.map { case ((u, t, ty), id) => (u, t, ty, id.toLong) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = EventAnalytics.frequentEpisodes(ev, n = 3, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a>b>c: 2 users / 3 occurrences beats x>y>z: 1 user / 3 occurrences
+    assert(got.head == (("a>b>c", 2L, 3L)))
+    assert(got.map(t => t._1 -> ((t._2, t._3))).toMap.get("x>y>z").contains((1L, 3L)))
+  }
 }

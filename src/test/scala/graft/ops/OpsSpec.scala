@@ -406,6 +406,27 @@ class TextAnalysisSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("textRank: the hub of a star outranks its leaves; symmetric pairs tie; repartition-stable") {
+    import spark.implicits._
+    // star: hub adjacent to 3 distinct leaves; plus an isolated symmetric pair
+    val docs = (Seq.fill(2)("hub l1") ++ Seq.fill(2)("hub l2") ++ Seq.fill(2)("hub l3") ++
+      Seq.fill(2)("p q")).toDF("text")
+    val got = TextAnalysis.textRank(docs, topK = 10, minPairCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.size == 6)
+    // every leaf sends its full mass to the hub; the hub splits its mass 3 ways
+    assert(Seq("l1", "l2", "l3").forall(l => got("hub") > got(l)))
+    // the symmetric pair's ranks are equal by symmetry
+    assert(got("p") == got("q"))
+    // leaves are mutually symmetric too
+    assert(got("l1") == got("l2") && got("l2") == got("l3"))
+    // decimal-summed contributions: partitioning cannot move a rank
+    val re = TextAnalysis.textRank(docs.repartition(7), topK = 10, minPairCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(re == got)
+    graft.Caches.clear()
+  }
+
   test("punct and stopword ratios on a known sentence") {
     val r = one("the cat, the hat!")
     // punct chars: ',' '!' → 2/17; tokens: the cat, the hat! → stopwords 'the' x2 of 4

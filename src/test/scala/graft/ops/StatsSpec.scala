@@ -1120,4 +1120,38 @@ class StatsSpec extends SparkSpec {
     // identical groups → identical deviation sets → between-group SS = 0 → F = 0
     assert(re.getDouble(4) == 0.0)
   }
+
+  test("conformalQuantile: exact rank pick, realized coverage, infinite band on tiny groups") {
+    import spark.implicits._
+    // group g: 9 calibration scores 1..9 → need = ⌈10·0.9⌉ = 9 → qhat = 9
+    val cal = (1 to 9).map(i => ("g", i.toDouble, true))
+    val ev = Seq(("g", 5.0, false), ("g", 9.0, false), ("g", 12.0, false), ("g", 9.5, false))
+    // group tiny: 3 calibration rows → need = ⌈4·0.9⌉ = 4 > 3 → NULL qhat, coverage 1
+    val tiny = Seq(("t", 1.0, true), ("t", 2.0, true), ("t", 3.0, true), ("t", 99.0, false))
+    val df = (cal ++ ev ++ tiny).toDF("g", "s", "cal")
+    val got = Stats.conformalQuantile(df, col("s"), col("cal"), Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3),
+          r.getDouble(4)))).toMap
+    // covered: 5 ≤ 9, 9 ≤ 9; uncovered: 12, 9.5 → coverage 2/4
+    assert(got("g") == ((9L, 4L, 9.0, 0.5)))
+    assert(got("t") == ((3L, 1L, -1.0, 1.0)))
+  }
+
+  test("hillEstimator: hand geometric sample; short strata dropped; k+1-th value is the anchor") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vals = Seq(16.0, 8.0, 4.0, 2.0, 1.0).map(("a", _)) ++ Seq(("b", 3.0), ("b", 1.0))
+    val got = Stats.hillEstimator(vals.toDF("g", "v"), col("v"), k = 2, strataCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    // stratum b has only 2 ≤ k rows → dropped; a: top-3 = 16,8,4, tail 4,
+    // hill = (ln 4 + ln 2)/2
+    assert(got.length == 1)
+    assert(got.head == (("a", 2, 4.0, r6((math.log(4.0) + math.log(2.0)) / 2))))
+    // all-ties window: hill = 0 → NULL alpha, no division blowup
+    val flat = Seq.fill(5)(("c", 7.0)).toDF("g", "v")
+    val fr = Stats.hillEstimator(flat, col("v"), k = 2, strataCols = Seq("g")).collect().head
+    assert(fr.getDouble(3) == 0.0 && fr.isNullAt(4))
+    graft.Caches.clear()
+  }
 }
