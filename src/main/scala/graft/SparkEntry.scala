@@ -205,6 +205,16 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // Mann–Kendall: does each event type's hourly volume carry a monotone
+    // trend beyond chance? (q254 fits the robust slope; this tests it)
+    "q272_mann_kendall" -> ((s, dir) => {
+      val counts = E(s, dir).withColumn("tsu", expr("ts div 1000"))
+        .groupBy(col("event_type"), expr("tsu div 3600000000").as("x"))
+        .agg(count(lit(1)).as("yv"))
+      graft.ops.Stats.mannKendall(counts,
+        x = col("x"), y = col("yv"), strataCols = Seq("event_type"))
+    }),
+
     // ---------------------------------------------------------- reference surface
 
     // S2/P1-P3: projection + rename + SQL-expression derived column
@@ -3746,6 +3756,36 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q272: hourly counts → sign-pair fold (quadratic in the bounded
+    // series) → tie-corrected variance → continuity-corrected z
+    "q272_mann_kendall" ->
+      """WITH e0 AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS x FROM events),
+        |c AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS y
+        |      FROM e0 GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |        CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+        |          AS BIGINT) AS s
+        |      FROM c a JOIN c b ON b.event_type = a.event_type AND a.x < b.x
+        |      GROUP BY 1),
+        |t AS (SELECT event_type, y, CAST(count(*) AS BIGINT) AS tt FROM c GROUP BY 1, 2),
+        |v AS (SELECT event_type, CAST(sum(tt) AS BIGINT) AS n,
+        |        sum(CAST(tt AS DECIMAL(12,0)) * CAST(tt - 1 AS DECIMAL(12,0))
+        |          * CAST(tt * 2 + 5 AS DECIMAL(12,0))) AS tc
+        |      FROM t GROUP BY 1),
+        |w AS (SELECT v.event_type, v.n, p.s,
+        |        (CAST(CAST(v.n AS DECIMAL(12,0)) * CAST(v.n - 1 AS DECIMAL(12,0))
+        |            * CAST(v.n * 2 + 5 AS DECIMAL(12,0)) AS DOUBLE)
+        |          - CAST(v.tc AS DOUBLE)) / CAST(18.0 AS DOUBLE) AS vs
+        |      FROM v JOIN p ON p.event_type = v.event_type)
+        |SELECT event_type, n, s, round(vs, 6) AS var_s,
+        |  CASE WHEN vs > 0 THEN
+        |    round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vs)
+        |               WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(vs)
+        |               ELSE 0.0 END, 6)
+        |  END AS z
+        |FROM w""".stripMargin,
 
     // q267: 3 unrolled row+column IPF sweeps, each pass re-rounded to
     // scale 9 and decimal-cast so every margin sum is an exact fold

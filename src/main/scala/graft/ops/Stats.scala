@@ -2404,6 +2404,71 @@ object Stats {
     * ≤(k+1)·|strata| rows before anything else; the fold is one
     * partial-aggregated shuffle on the stratum key.
     */
+  /** Mann–Kendall trend test — the significance companion of
+    * [[theilSenFit]]: Theil–Sen says HOW steep the robust trend is, this
+    * says whether a monotone trend EXISTS beyond chance, using only pair
+    * orderings (no linearity or distribution assumption — the standard
+    * test for "is this metric actually drifting?"). Per stratum over a
+    * bounded series `(x=time, y=value)`:
+    * `S = Σ_{xᵢ<xⱼ} sign(yⱼ − yᵢ)`,
+    * `Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18` (y-tie
+    * corrected), and the continuity-corrected
+    * `z = (S∓1)/√Var` (0 at S=0, NULL when Var = 0 — a constant series
+    * has no trend to test). Returns `(strata…, n, s, var_s, z)`.
+    *
+    * Everything up to the final two scalar ops is exact integer
+    * arithmetic (decimal-held), so the row is engine-portable. The pair
+    * fold is quadratic in the PER-STRATUM row count — the
+    * [[kendallTauB]]/[[theilSenFit]] bounded pre-aggregated-series
+    * contract (per-bucket counts, never raw events); pairs with equal x
+    * are excluded (no time order — standard MK).
+    */
+  def mannKendall(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      strataCols: Seq[String] = Nil,
+      scale: Int = 6): DataFrame = {
+    val gs = strataCols.map(col)
+    val base = graft.Caches.track(
+      df.select(gs :+ x.cast("long").as("_x") :+ y.cast("double").as("_y"): _*)
+        .where(col("_x").isNotNull && col("_y").isNotNull))
+    // aliased sides sidestep self-join column ambiguity
+    val l = base.select(strataCols.map(k => col(k).as(s"_gl_$k")) :+
+      col("_x").as("_xi") :+ col("_y").as("_yi"): _*)
+    val r = base.select(strataCols.map(k => col(k).as(s"_gr_$k")) :+
+      col("_x").as("_xj") :+ col("_y").as("_yj"): _*)
+    val pairCond = (strataCols.map(k => col(s"_gl_$k") === col(s"_gr_$k")) :+
+      (col("_xi") < col("_xj"))).reduce(_ && _)
+    val sgn = when(col("_yj") > col("_yi"), 1L)
+      .when(col("_yj") < col("_yi"), -1L).otherwise(0L)
+    val sAgg =
+      if (strataCols.nonEmpty)
+        l.join(r, pairCond).groupBy(strataCols.map(k => col(s"_gl_$k")): _*)
+          .agg(sum(sgn).as("s"))
+          .select(strataCols.map(k => col(s"_gl_$k").as(k)) :+ col("s"): _*)
+      else l.join(r, col("_xi") < col("_xj")).agg(sum(sgn).as("s"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ties = base.groupBy(gs :+ col("_y"): _*).agg(count(lit(1)).as("_t"))
+      .groupBy(gs: _*)
+      .agg(
+        sum(col("_t")).as("n"),
+        sum(dec(col("_t")) * dec(col("_t") - 1) * dec(col("_t") * 2 + 5)).as("_tc"))
+      .withColumn("_vnum",
+        dec(col("n")) * dec(col("n") - 1) * dec(col("n") * 2 + 5) - col("_tc"))
+    val joined =
+      if (strataCols.nonEmpty) ties.join(sAgg, strataCols)
+      else ties.crossJoin(sAgg)
+    val varS = col("_vnum").cast("double") / 18.0
+    joined.select(gs ++ Seq(col("n"), col("s"),
+      round(varS, scale).as("var_s"),
+      when(varS > 0,
+        round(
+          when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+            .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+            .otherwise(lit(0.0)), scale)).as("z")): _*)
+  }
+
   def hillEstimator(
       df: DataFrame,
       value: Column,

@@ -1154,4 +1154,23 @@ class StatsSpec extends SparkSpec {
     assert(fr.getDouble(3) == 0.0 && fr.isNullAt(4))
     graft.Caches.clear()
   }
+
+  test("mannKendall: monotone series hit ±(n−1 choose …) S; constant series → NULL z") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (1 to 4).map(i => ("up", i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => ("down", i.toLong, (10 - i).toDouble)) ++
+      (1 to 4).map(i => ("flat", i.toLong, 5.0))
+    val got = Stats.mannKendall(rows.toDF("g", "x", "y"),
+      x = col("x"), y = col("y"), strataCols = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    val varNoTies = 4.0 * 3 * 13 / 18
+    assert(got("up") == ((4L, 6L, r6(varNoTies), r6(5.0 / math.sqrt(varNoTies)))))
+    assert(got("down") == ((4L, -6L, r6(varNoTies), r6(-5.0 / math.sqrt(varNoTies)))))
+    // constant: every pair ties → S = 0 AND the tie correction zeroes Var
+    assert(got("flat")._2 == 0L && got("flat")._3 == 0.0 && got("flat")._4.isNaN)
+    graft.Caches.clear()
+  }
 }
