@@ -205,6 +205,61 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // Cochran's Q omnibus over THREE "is it English?" detectors (langId,
+    // hashed-ngram, length≥500) on the same docs — q259's k-way extension
+    "q273_cochran_q" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scores = TextAnalysis.hashedNgramScore(docs, hash = activeHash)
+      val j = docs.select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .join(scores, Seq("doc_id"))
+      val y = col("lang") === "en"
+      val base = j.select(col("doc_id"),
+        ((TextAnalysis.langId(col("text")) === "en") === y).as("ok_langid"),
+        ((col("score") > 0.0) === y).as("ok_ngram"),
+        ((col("n_chars") >= 500) === y).as("ok_len"))
+      val long = base.select(col("doc_id"), lit("langid").as("clf"), col("ok_langid").as("ok"))
+        .unionByName(base.select(col("doc_id"), lit("ngram").as("clf"), col("ok_ngram").as("ok")))
+        .unionByName(base.select(col("doc_id"), lit("len").as("clf"), col("ok_len").as("ok")))
+      graft.ops.Stats.cochranQ(long,
+        subject = col("doc_id"), treatment = col("clf"), success = col("ok"))
+    }),
+
+    // Wald–Wolfowitz runs test on the hourly volume series — does the
+    // load streak above/below its median, or mix randomly?
+    "q274_runs_test" -> ((s, dir) => {
+      val hours = E(s, dir).select(expr("ts div 3600000000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("x"))
+      graft.ops.Stats.runsTest(hours, tCol = col("h"), xCol = col("x"))
+    }),
+
+    // seasonal-naive vs last-hour baselines per event type (MASE < 1 ⇔
+    // the 24h pattern beats momentum); dense axis, gap hours = 0
+    "q275_mase" -> ((s, dir) => {
+      val hours = E(s, dir)
+        .select(col("event_type"), expr("ts div 3600000000000").as("h"))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
+      val bounds = hours.agg(min(col("h")).as("_lo"), max(col("h")).as("_hi"))
+      val axis = bounds.select(explode(sequence(col("_lo"), col("_hi"))).as("t"))
+      val dense = hours.select(col("event_type")).distinct()
+        .crossJoin(broadcast(axis))
+        .join(hours.withColumnRenamed("h", "t"), Seq("event_type", "t"), "left")
+        .select(col("event_type"), col("t"), coalesce(col("x"), lit(0L)).as("x"))
+      graft.ops.EventAnalytics.maseBacktest(dense, season = 24,
+        strataCols = Seq("event_type"))
+    }),
+
+    // single best level-shift split of the hourly volume series — the
+    // retrospective complement of q202's online CUSUM; prefix-sum G(i)
+    "q276_changepoint" -> ((s, dir) => {
+      val hours = E(s, dir).select(expr("ts div 3600000000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("x"))
+      val bounds = hours.agg(min(col("h")).as("_lo"), max(col("h")).as("_hi"))
+      val axis = bounds.select(explode(sequence(col("_lo"), col("_hi"))).as("t"))
+      val dense = axis.join(hours.withColumnRenamed("h", "t"), Seq("t"), "left")
+        .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
+      graft.ops.Stats.changepoint(dense, tCol = col("t"), xCol = col("x"))
+    }),
+
     // Mann–Kendall: does each event type's hourly volume carry a monotone
     // trend beyond chance? (q254 fits the robust slope; this tests it)
     "q272_mann_kendall" -> ((s, dir) => {
@@ -3756,6 +3811,152 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q273: the q259 doc-aligned predictions ×3 → long form → row/column
+    // margins → Q off exact decimal squares
+    "q273_cochran_q" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), l0 AS (SELECT doc_id, lang,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks FROM documents),
+         |l1 AS (SELECT doc_id, lang,
+         |    len(list_filter(ltoks, x -> x IN ('the','and','of','is'))) AS s_en,
+         |    len(list_filter(ltoks, x -> x IN ('der','die','und','das'))) AS s_de,
+         |    len(list_filter(ltoks, x -> x IN ('le','la','et','les'))) AS s_fr,
+         |    len(list_filter(ltoks, x -> x IN ('el','los','que','y'))) AS s_es
+         |  FROM l0),
+         |lp AS (SELECT doc_id, lang,
+         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+         |      CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |           WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |           WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |           ELSE 'es' END
+         |    ELSE 'und' END AS p
+         |  FROM l1),
+         |base AS (SELECT lp.doc_id,
+         |    ((lp.p = 'en') = (lp.lang = 'en')) AS ok_langid,
+         |    ((s.score > 0.0) = (lp.lang = 'en')) AS ok_ngram,
+         |    ((d.n_chars >= 500) = (lp.lang = 'en')) AS ok_len
+         |  FROM lp JOIN scored s ON s.doc_id = lp.doc_id
+         |  JOIN documents d ON d.doc_id = lp.doc_id),
+         |lng AS (SELECT doc_id, 'langid' AS clf, ok_langid AS ok FROM base
+         |  UNION ALL SELECT doc_id, 'ngram', ok_ngram FROM base
+         |  UNION ALL SELECT doc_id, 'len', ok_len FROM base),
+         |rws AS (SELECT doc_id, CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS r,
+         |          CAST(count(*) AS BIGINT) AS kk
+         |        FROM lng WHERE ok IS NOT NULL GROUP BY 1),
+         |ra AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS sr,
+         |        sum(CAST(r AS DECIMAL(12,0)) * CAST(r AS DECIMAL(12,0))) AS sr2,
+         |        min(kk) AS kmin, max(kk) AS kmax
+         |       FROM rws),
+         |cm AS (SELECT clf, CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |       FROM lng WHERE ok IS NOT NULL GROUP BY 1),
+         |ca AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS sc,
+         |        sum(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0))) AS sc2
+         |       FROM cm)
+         |SELECT ca.k, ra.n,
+         |  CASE WHEN ra.kmin = ca.k AND ra.kmax = ca.k
+         |      AND CAST(CAST(ca.k AS DECIMAL(8,0)) * CAST(ra.sr AS DECIMAL(15,0))
+         |        - CAST(ra.sr2 AS DECIMAL(25,0)) AS DOUBLE) > 0
+         |    THEN round(CAST(ca.k - 1 AS DOUBLE)
+         |      * CAST(CAST(ca.k AS DECIMAL(8,0)) * CAST(ca.sc2 AS DECIMAL(25,0))
+         |          - CAST(ca.sc AS DECIMAL(15,0)) * CAST(ca.sc AS DECIMAL(15,0)) AS DOUBLE)
+         |      / CAST(CAST(ca.k AS DECIMAL(8,0)) * CAST(ra.sr AS DECIMAL(15,0))
+         |          - CAST(ra.sr2 AS DECIMAL(25,0)) AS DOUBLE), 6)
+         |  END AS q,
+         |  (ra.kmin = ca.k AND ra.kmax = ca.k) AS balanced
+         |FROM ra, ca""".stripMargin,
+
+    // q274: bucketed series → type-1 median cut (equals excluded) → run
+    // count via one ordered lag → the classic normal approximation
+    "q274_runs_test" ->
+      """WITH hh AS (SELECT epoch_ns(ts) // 3600000000000 AS h FROM events),
+        |c AS (SELECT h AS t, CAST(count(*) AS BIGINT) AS xr FROM hh GROUP BY 1),
+        |b0 AS (SELECT t, CAST(xr AS DOUBLE) AS x FROM c),
+        |r AS (SELECT t, x, row_number() OVER (ORDER BY x) AS rn,
+        |        count(*) OVER () AS m FROM b0),
+        |med AS (SELECT x AS mv FROM r WHERE rn = (m + 1) // 2),
+        |kept AS (SELECT t, x, (x > med.mv) AS b FROM b0, med WHERE x <> med.mv),
+        |lagged AS (SELECT b, lag(b) OVER (ORDER BY t) AS pb FROM kept),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN pb IS NOT NULL AND pb <> b THEN 1 ELSE 0 END) + 1
+        |      AS BIGINT) AS runs
+        |  FROM lagged),
+        |m2 AS (SELECT n1, n2, runs,
+        |    CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + CAST(1.0 AS DOUBLE) AS mu,
+        |    CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+        |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1)) AS sig2
+        |  FROM agg)
+        |SELECT n1, n2, runs,
+        |  round(CASE WHEN n1 > 0 AND n2 > 0 THEN mu END, 6) AS mu,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND sig2 > 0
+        |    THEN round((CAST(runs AS DOUBLE) - mu) / sqrt(sig2), 6) END AS z
+        |FROM m2""".stripMargin,
+
+    // q275: dense per-type hourly axis → two ordered lags in one window
+    // → decimal-exact absolute-error sums → the MASE quotient
+    "q275_mase" ->
+      """WITH hh AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h FROM events),
+        |c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS x FROM hh GROUP BY 1, 2),
+        |bb AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+        |axis AS (SELECT unnest(range(bb.lo, bb.hi + 1)) AS t FROM bb),
+        |ty AS (SELECT DISTINCT event_type FROM c),
+        |dense AS (
+        |  SELECT ty.event_type, axis.t,
+        |    CAST(round(CAST(coalesce(c.x, 0) AS DOUBLE), 6) AS DECIMAL(18,6)) AS xd
+        |  FROM ty CROSS JOIN axis
+        |  LEFT JOIN c ON c.event_type = ty.event_type AND c.h = axis.t),
+        |lg AS (SELECT event_type, xd,
+        |        lag(xd, 24) OVER w AS xs, lag(xd, 1) OVER w AS x1
+        |      FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY t)),
+        |f AS (SELECT event_type, xd, xs, x1 FROM lg
+        |      WHERE xs IS NOT NULL AND x1 IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(abs(xd - xs)) AS DOUBLE), 6) AS sae_seasonal,
+        |  round(CAST(sum(abs(xd - x1)) AS DOUBLE), 6) AS sae_naive,
+        |  round(CASE WHEN CAST(sum(abs(xd - x1)) AS DOUBLE) > 0
+        |    THEN CAST(sum(abs(xd - xs)) AS DOUBLE) / CAST(sum(abs(xd - x1)) AS DOUBLE)
+        |  END, 6) AS mase
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // q276: dense axis → prefix sums → the CUSUM closed form G(i) →
+    // arg-max on (rounded score, t)
+    "q276_changepoint" ->
+      """WITH hh AS (SELECT epoch_ns(ts) // 3600000000000 AS h FROM events),
+        |c AS (SELECT h, CAST(count(*) AS BIGINT) AS x FROM hh GROUP BY 1),
+        |bb AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+        |axis AS (SELECT unnest(range(bb.lo, bb.hi + 1)) AS t FROM bb),
+        |dense AS (
+        |  SELECT axis.t,
+        |    CAST(round(CAST(coalesce(c.x, 0) AS DOUBLE), 6) AS DECIMAL(18,6)) AS xd
+        |  FROM axis LEFT JOIN c ON c.h = axis.t),
+        |pf AS (SELECT t, xd,
+        |        sum(xd) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS s,
+        |        CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+        |      FROM dense),
+        |tot AS (SELECT sum(xd) AS sn, CAST(count(*) AS BIGINT) AS n FROM dense),
+        |sc AS (SELECT pf.t, pf.i, tot.n, pf.s, tot.sn,
+        |        round((CAST(tot.n AS DOUBLE) * CAST(pf.s AS DOUBLE)
+        |            - CAST(pf.i AS DOUBLE) * CAST(tot.sn AS DOUBLE))
+        |          * (CAST(tot.n AS DOUBLE) * CAST(pf.s AS DOUBLE)
+        |            - CAST(pf.i AS DOUBLE) * CAST(tot.sn AS DOUBLE))
+        |          / (CAST(tot.n AS DOUBLE) * CAST(pf.i AS DOUBLE)
+        |            * (CAST(tot.n AS DOUBLE) - CAST(pf.i AS DOUBLE))), 6) AS g
+        |      FROM pf, tot WHERE pf.i < tot.n)
+        |SELECT t AS t_split, i, n, g AS score,
+        |  round(CAST(s AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_left,
+        |  round(CAST(sn - s AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)), 6)
+        |    AS mean_right
+        |FROM sc ORDER BY g DESC, t LIMIT 1""".stripMargin,
 
     // q272: hourly counts → sign-pair fold (quadratic in the bounded
     // series) → tie-corrected variance → continuity-corrected z

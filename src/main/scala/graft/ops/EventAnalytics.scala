@@ -703,6 +703,46 @@ object EventAnalytics {
         .as("corr"))
   }
 
+  /** Seasonal-naive forecast backtest (MASE numerator/denominator) — "is
+    * yesterday-same-hour a better predictor than the last hour?" the
+    * zero-parameter baselines every real forecast must beat, scored as
+    * `mase = Σ|xₜ − xₜ₋ₛₑₐₛₒₙ| / Σ|xₜ − xₜ₋₁|` over the positions where
+    * both lags exist (mase < 1 ⇔ the seasonal pattern is real). Input: a
+    * DENSE regular series `(strata…, t, x)` — fill gap buckets before
+    * calling or the lags silently skip them. Returns
+    * `(strata…, n, sae_seasonal, sae_naive, mase)`.
+    *
+    * Both error sums fold decimal-cast absolute differences (order-free,
+    * engine-exact off the scale-6 decimal input); the two lags ride ONE
+    * window PARTITIONED by the strata — a bounded per-series sort, never
+    * a global one.
+    */
+  def maseBacktest(
+      series: DataFrame,
+      season: Int,
+      strataCols: Seq[String] = Nil,
+      scale: Int = 6): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    val gs = strataCols.map(col)
+    val base = series.select(gs :+ col("t").cast("long").as("_t") :+
+      round(col("x").cast("double"), 6).cast("decimal(18,6)").as("_x"): _*)
+    val w = Window.partitionBy(gs: _*).orderBy(col("_t"))
+    val lagged = base
+      .withColumn("_xs", lag(col("_x"), season).over(w))
+      .withColumn("_x1", lag(col("_x"), 1).over(w))
+      .where(col("_xs").isNotNull && col("_x1").isNotNull)
+    lagged.groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(abs(col("_x") - col("_xs"))).as("_ss"),
+        sum(abs(col("_x") - col("_x1"))).as("_sn"))
+      .select(gs ++ Seq(col("n"),
+        round(col("_ss").cast("double"), scale).as("sae_seasonal"),
+        round(col("_sn").cast("double"), scale).as("sae_naive"),
+        round(when(col("_sn").cast("double") > 0,
+          col("_ss").cast("double") / col("_sn").cast("double")), scale).as("mase")): _*)
+  }
+
   /** Frequent consecutive episodes — the n-step behavioral motifs that
     * recur ANYWHERE in user streams ([[topPaths]] ranks each user's
     * single leading path; this mines every sliding window, so a motif

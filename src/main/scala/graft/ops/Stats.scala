@@ -2423,6 +2423,148 @@ object Stats {
     * contract (per-bucket counts, never raw events); pairs with equal x
     * are excluded (no time order — standard MK).
     */
+  /** Cochran's Q — [[mcnemarTest]] generalized to k paired classifiers:
+    * "do these k models have the same accuracy on the SAME examples?"
+    * (running k² pairwise McNemars inflates the false-positive rate; Q is
+    * the one-shot omnibus). Input is LONG form — one row per
+    * (subject, treatment) with a boolean success; every subject must
+    * carry all k treatments (`balanced` flags violations and Q is NULL
+    * on an unbalanced panel rather than silently wrong).
+    * `Q = (k−1)·[k·ΣCⱼ² − (ΣCⱼ)²] / [k·ΣRᵢ − ΣRᵢ²]` (χ², df = k−1).
+    *
+    * Scale shape: one shuffle per margin (subjects / treatments), both
+    * partial-aggregated; every term is an exact integer (decimal-held
+    * squares), the final Q one scalar IEEE quotient. Returns one row
+    * `(k, n, q, balanced)`.
+    */
+  def cochranQ(
+      df: DataFrame,
+      subject: Column,
+      treatment: Column,
+      success: Column,
+      scale: Int = 6): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = graft.Caches.track(
+      df.select(subject.as("_i"), treatment.as("_j"),
+        success.cast("boolean").cast("int").cast("long").as("_x"))
+        .where(col("_i").isNotNull && col("_j").isNotNull && col("_x").isNotNull))
+    val rows = base.groupBy(col("_i")).agg(sum(col("_x")).as("_r"), count(lit(1)).as("_kk"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_r")).as("_sr"),
+        sum(dec(col("_r")) * dec(col("_r"))).as("_sr2"),
+        min(col("_kk")).as("_kmin"), max(col("_kk")).as("_kmax"))
+    val colsAgg = base.groupBy(col("_j")).agg(sum(col("_x")).as("_c"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("_c")).as("_sc"),
+        sum(dec(col("_c")) * dec(col("_c"))).as("_sc2"))
+    val j = rows.crossJoin(colsAgg)
+      .withColumn("balanced", col("_kmin") === col("k") && col("_kmax") === col("k"))
+    val num = (dec(col("k")) * col("_sc2") - dec(col("_sc")) * dec(col("_sc"))).cast("double")
+    val den = (dec(col("k")) * dec(col("_sr")) - col("_sr2")).cast("double")
+    j.select(col("k"), col("n"),
+      when(col("balanced") && den > 0,
+        round((col("k") - 1).cast("double") * num / den, scale)).as("q"),
+      col("balanced"))
+  }
+
+  /** Wald–Wolfowitz runs test — "is this sequence random, or does it
+    * streak?" over a BOUNDED ordered series (per-bucket counts — the
+    * [[mannKendall]] contract): values are cut at the TYPE-1 median
+    * (rank pick — engine-exact), median-equal points are excluded (the
+    * standard treatment), and the run count
+    * `R = 1 + Σ[bₜ ≠ bₜ₋₁]` compares against
+    * `μ = 2n₁n₂/(n₁+n₂) + 1`,
+    * `σ² = 2n₁n₂(2n₁n₂−n₁−n₂) / [(n₁+n₂)²(n₁+n₂−1)]`. Too few points on
+    * either side (n₁·n₂ = 0) or σ² = 0 → NULL z. Returns one row
+    * `(n1, n2, runs, mu, z)`.
+    *
+    * The rank pick and the lag ride single-partition windows over the
+    * COLLAPSED series — the bounded-frame allowlist class (this is a
+    * |buckets|-row diagnostic, never a per-event scan).
+    */
+  def runsTest(
+      series: DataFrame,
+      tCol: Column,
+      xCol: Column,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = series.select(tCol.cast("long").as("_t"), xCol.cast("double").as("_x"))
+      .where(col("_t").isNotNull && col("_x").isNotNull)
+    val wOrd = Window.orderBy(col("_x"))
+    val wAll = Window.partitionBy()
+    val med = base
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_m", count(lit(1)).over(wAll))
+      .where(col("_rn") === expr("(_m + 1) div 2"))
+      .select(col("_x").as("_med"))
+    val kept = graft.Caches.track(
+      base.crossJoin(broadcast(med))
+        .where(col("_x") =!= col("_med"))
+        .withColumn("_b", col("_x") > col("_med")))
+    val wT = Window.orderBy(col("_t"))
+    val runs = kept
+      .withColumn("_prev", lag(col("_b"), 1).over(wT))
+      .agg(
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("_b"), 1L).otherwise(0L)).as("n2"),
+        (sum(when(col("_prev").isNotNull && col("_prev") =!= col("_b"), 1L)
+          .otherwise(0L)) + 1L).as("runs"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nn = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / nn + lit(1.0)
+    val sig2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) / (nn * nn * (nn - 1))
+    runs.select(col("n1"), col("n2"), col("runs"),
+      round(when(col("n1") > 0 && col("n2") > 0, mu), scale).as("mu"),
+      when(col("n1") > 0 && col("n2") > 0 && sig2 > 0,
+        round((col("runs").cast("double") - mu) / sqrt(sig2), scale)).as("z"))
+  }
+
+  /** Single changepoint by binary segmentation — WHERE did the level of a
+    * series shift? ([[graft.ops.EventAnalytics.cusum]] monitors drift
+    * online; this finds the best retrospective split.) For every cut
+    * after position i the between-segment sum of squares reduction has
+    * the closed CUSUM form
+    * `G(i) = (n·Sᵢ − i·Sₙ)² / (n·i·(n−i))` — maximizing G is exactly
+    * minimizing the two-segment squared error. Returns the single best
+    * row `(t_split, i, n, score, mean_left, mean_right)`: the LAST index
+    * of the left segment, ranked on the ROUNDED score with t as
+    * tie-break (the [[bestSplit]] arg-max discipline).
+    *
+    * Scale shape: the prefix sums Sᵢ and the index i ride ONE
+    * [[runningTotals]] range-partition pass — this works on a series of
+    * ANY length, never a single-partition window; the totals are a
+    * one-row scalar attach and the arg-max a TakeOrdered limit 1. Every
+    * input to G is an exact decimal; G itself is pinned scalar IEEE.
+    */
+  def changepoint(
+      series: DataFrame,
+      tCol: Column,
+      xCol: Column,
+      scale: Int = 6): DataFrame = {
+    val base = series.select(tCol.cast("long").as("_t"),
+      xCol.cast("double").as("_x"))
+      .where(col("_t").isNotNull && col("_x").isNotNull)
+      .withColumn("_xd", round(col("_x"), 6).cast("decimal(18,6)"))
+    val ranked = graft.Caches.track(runningTotals(base, Seq(col("_t")),
+      Seq(col("_xd") -> "_s", lit(1L) -> "_i")))
+    val tot = ranked.agg(sum(col("_xd")).as("_sn"), count(lit(1)).as("_n"))
+    val n = col("_n").cast("double")
+    val i = col("_i").cast("double")
+    val num = n * col("_s").cast("double") - i * col("_sn").cast("double")
+    val g = (num * num) / (n * i * (n - i))
+    ranked.crossJoin(broadcast(tot))
+      .where(col("_i") < col("_n"))
+      .withColumn("_g", round(g, scale))
+      .orderBy(col("_g").desc, col("_t"))
+      .limit(1)
+      .select(col("_t").as("t_split"), col("_i").cast("long").as("i"),
+        col("_n").cast("long").as("n"), col("_g").as("score"),
+        round(col("_s").cast("double") / i, scale).as("mean_left"),
+        round((col("_sn") - col("_s")).cast("double") / (n - i), scale).as("mean_right"))
+  }
+
   def mannKendall(
       df: DataFrame,
       x: Column,

@@ -78,7 +78,11 @@ object PlanAudit {
     "q260_prob_eval",             // one-row min/max score crossJoin (scalar-attach class)
     "q263_brown_forsythe",        // anovaF's one-row grand-totals crossJoin (the q225 class)
     "q264_nelson_aalen",          // one-row max-duration crossJoin (the q219 obs-frame class)
-    "q265_acf"                    // one-row global-moments crossJoin (scalar-attach class)
+    "q265_acf",                   // one-row global-moments crossJoin (scalar-attach class)
+    "q273_cochran_q",             // one-row row-margins × column-margins crossJoin (scalar-attach class)
+    "q274_runs_test",             // one-row median broadcast crossJoin (scalar-attach class)
+    "q275_mase",                  // types × hour-axis dense fill — |types|·|buckets| bounded expansion
+    "q276_changepoint"            // one-row series-totals crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -104,7 +108,8 @@ object PlanAudit {
     "q242_betweenness",    // state-id ranking over the |event types|-row frame
     "q245_closeness",      // same |event types|-row state-id ranking
     "q247_mst",            // same |event types|-row state-id ranking
-    "q264_nelson_aalen"    // at-risk + hazard cumulatives over the ≤|distinct durations| collapsed axis (the kaplanMeier class)
+    "q264_nelson_aalen",   // at-risk + hazard cumulatives over the ≤|distinct durations| collapsed axis (the kaplanMeier class)
+    "q274_runs_test"       // median rank pick + run lag over the ≤|buckets| collapsed series
   )
 
   /** Count of window nodes whose partition spec is EMPTY — each one plans

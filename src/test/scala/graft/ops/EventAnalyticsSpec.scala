@@ -476,4 +476,18 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.head == (("a>b>c", 2L, 3L)))
     assert(got.map(t => t._1 -> ((t._2, t._3))).toMap.get("x>y>z").contains((1L, 3L)))
   }
+
+  test("maseBacktest: a perfect seasonal pattern scores 0; a constant series → NULL") {
+    import spark.implicits._
+    // period-2 pattern: lag-2 predicts exactly, lag-1 always misses by 4
+    val season = (0 until 6).map(t => ("s", t.toLong, if (t % 2 == 0) 1.0 else 5.0))
+    val const = (0 until 6).map(t => ("c", t.toLong, 3.0))
+    val got = EventAnalytics.maseBacktest(
+      (season ++ const).toDF("g", "t", "x"), season = 2, strataCols = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(got("s") == ((4L, 0.0, 16.0, 0.0)))
+    assert(got("c")._2 == 0.0 && got("c")._3 == 0.0 && got("c")._4.isNaN)
+  }
 }

@@ -1173,4 +1173,57 @@ class StatsSpec extends SparkSpec {
     assert(got("flat")._2 == 0L && got("flat")._3 == 0.0 && got("flat")._4.isNaN)
     graft.Caches.clear()
   }
+
+  test("cochranQ: textbook panel; unbalanced panel → NULL with the flag down") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 4 subjects × 3 treatments; column totals C = (3, 2, 1), row sums R = (3, 2, 1, 0)
+    val rows = Seq(
+      (1L, "a", true), (1L, "b", true), (1L, "c", true),
+      (2L, "a", true), (2L, "b", true), (2L, "c", false),
+      (3L, "a", true), (3L, "b", false), (3L, "c", false),
+      (4L, "a", false), (4L, "b", false), (4L, "c", false))
+    val r = Stats.cochranQ(rows.toDF("i", "j", "x"), col("i"), col("j"), col("x"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L && r.getBoolean(3))
+    // Q = (k−1)(k·ΣC² − (ΣC)²)/(k·ΣR − ΣR²) = 2·(3·14 − 36)/(3·6 − 14) = 12/4
+    assert(r.getDouble(2) == r6(2.0 * (3 * 14 - 36) / (3 * 6 - 14)))
+    val unbal = Stats.cochranQ(
+      rows.drop(1).toDF("i", "j", "x"), col("i"), col("j"), col("x")).collect().head
+    assert(unbal.isNullAt(2) && !unbal.getBoolean(3))
+    graft.Caches.clear()
+  }
+
+  test("runsTest: perfect alternation maxes runs; median-equal points excluded") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1,9 alternating ×4 each, plus one median-equal point that must drop:
+    // median pick of 9 values sorted (1,1,1,1,5,9,9,9,9) at rank 5 = 5 → excluded
+    val xs = Seq(1.0, 9.0, 1.0, 9.0, 1.0, 9.0, 1.0, 9.0, 5.0)
+    val series = xs.zipWithIndex.map { case (x, t) => (t.toLong, x) }.toDF("t", "x")
+    val r = Stats.runsTest(series, col("t"), col("x")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 8L)))
+    val mu = 2.0 * 4 * 4 / 8 + 1.0 // 5
+    val sig2 = 2.0 * 4 * 4 * (2.0 * 4 * 4 - 4 - 4) / (8.0 * 8 * 7)
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == r6((8 - mu) / math.sqrt(sig2)))
+    // one-sided series (all above/below impossible post-median-cut with
+    // distinct values, but a 2-point series keeps σ² = 0) → NULL z
+    val two = Seq((0L, 1.0), (1L, 2.0)).toDF("t", "x")
+    assert(Stats.runsTest(two, col("t"), col("x")).collect().head.isNullAt(4))
+    graft.Caches.clear()
+  }
+
+  test("changepoint: plants the level shift at the true boundary; means recovered") {
+    import spark.implicits._
+    // 10 points at level 2, then 10 at level 12 — split after t=9
+    val xs = (0 until 10).map(t => (t.toLong, 2.0)) ++ (10 until 20).map(t => (t.toLong, 12.0))
+    val r = Stats.changepoint(xs.toDF("t", "x"), col("t"), col("x")).collect().head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 10L && r.getLong(2) == 20L)
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 12.0)
+    // constant series: every split scores 0; tie-break picks the earliest t
+    val const = (0 until 6).map(t => (t.toLong, 3.0)).toDF("t", "x")
+    val c = Stats.changepoint(const, col("t"), col("x")).collect().head
+    assert(c.getDouble(3) == 0.0 && c.getLong(0) == 0L)
+    graft.Caches.clear()
+  }
 }
