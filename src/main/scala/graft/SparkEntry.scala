@@ -205,6 +205,31 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // approximate GROUP BY from a 10% hash sample — Horvitz–Thompson
+    // totals with ±1.96·SE bars, the 100×-cheaper dashboard answer
+    "q277_approx_groupby" -> ((s, dir) =>
+      graft.ops.Sampling.approxAggregate(
+        T(s, dir, "orders"), key = col("o_orderkey"), value = col("o_totalprice"),
+        groupCols = Seq("o_orderpriority"), fraction = 0.1, hash = activeHash)),
+
+    // incremental join-view maintenance: V₁ = V₀ ∪ (ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB)
+    // over hash-split customer/orders batches; the maintained view's
+    // rollup must equal the full-join recompute (the oracle)
+    "q278_ivm_join" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val ords = T(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      val cNewP = graft.ops.Sampling.bucket(col("c_custkey"), 7, activeHash) < 200000L
+      val oNewP = graft.ops.Sampling.bucket(col("o_orderkey"), 8, activeHash) < 200000L
+      val v0 = cust.where(!cNewP).join(ords.where(!oNewP), Seq("c_custkey"))
+      val dv = graft.ops.ChangeCapture.deltaJoin(
+        cust.where(!cNewP), cust.where(cNewP),
+        ords.where(!oNewP), ords.where(oNewP), Seq("c_custkey"))
+      v0.unionByName(dv)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice").cast("decimal(28,6)")), 2).as("revenue"))
+    }),
+
     // Cochran's Q omnibus over THREE "is it English?" detectors (langId,
     // hashed-ngram, length≥500) on the same docs — q259's k-way extension
     "q273_cochran_q" -> ((s, dir) => {
@@ -3811,6 +3836,42 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q277: the q45 hash-sample rule → HT estimator with sample-only
+    // variance, every scalar in the Spark chain's textual order
+    "q277_approx_groupby" ->
+      s"""WITH smp AS (
+         |  SELECT o_orderpriority, o_totalprice AS v FROM orders
+         |  WHERE ${md5l("'42:' || CAST(o_orderkey AS VARCHAR)")} % 1000000 < 100000
+         |    AND o_totalprice IS NOT NULL),
+         |a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sample,
+         |        sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS s,
+         |        sum(CAST(v * v AS DECIMAL(38,12))) AS s2
+         |      FROM smp GROUP BY 1),
+         |c AS (SELECT *, CAST(1.959963984540054 AS DOUBLE) AS zq,
+         |        CAST(10.0 AS DOUBLE) * CAST(10.0 AS DOUBLE)
+         |          * (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) AS vf
+         |      FROM a)
+         |SELECT o_orderpriority, n_sample,
+         |  round(CAST(n_sample AS DOUBLE) * CAST(10.0 AS DOUBLE), 6) AS est_count,
+         |  round(CAST(n_sample AS DOUBLE) * CAST(10.0 AS DOUBLE)
+         |    - zq * sqrt(CAST(n_sample AS DOUBLE) * vf), 6) AS count_lo,
+         |  round(CAST(n_sample AS DOUBLE) * CAST(10.0 AS DOUBLE)
+         |    + zq * sqrt(CAST(n_sample AS DOUBLE) * vf), 6) AS count_hi,
+         |  round(CAST(s AS DOUBLE) * CAST(10.0 AS DOUBLE), 6) AS est_sum,
+         |  round(CAST(s AS DOUBLE) * CAST(10.0 AS DOUBLE)
+         |    - zq * sqrt(CAST(s2 AS DOUBLE) * vf), 6) AS sum_lo,
+         |  round(CAST(s AS DOUBLE) * CAST(10.0 AS DOUBLE)
+         |    + zq * sqrt(CAST(s2 AS DOUBLE) * vf), 6) AS sum_hi
+         |FROM c""".stripMargin,
+
+    // q278: the maintained view over old∪new IS the full join (the two
+    // splits partition both tables) — the oracle recomputes it flat
+    "q278_ivm_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS revenue
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // q273: the q259 doc-aligned predictions ×3 → long form → row/column
     // margins → Q off exact decimal squares

@@ -85,4 +85,33 @@ object ChangeCapture {
           when(col(opCol) === "D", col(s"_o_$c")).otherwise(col(s"_n_$c")).as(c)
         } :+ col(opCol): _*)
   }
+
+  /** Incremental JOIN-view maintenance (insert-only deltas): the new rows
+    * a materialized join view `V = A ⋈ B` gains when batches ΔA and ΔB
+    * land is exactly
+    * `ΔV = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB`
+    * — the classic delta-rule decomposition, disjoint by construction
+    * (each term is keyed by which SIDE of the pair is new), so
+    * `V₁ = V₀ ∪ ΔV` with plain appends and no dedup pass. This is the
+    * join analogue of [[MaterializedAgg]]'s mergeable aggregate states:
+    * maintaining a 100-TB join view costs |Δ|-sized joins per batch,
+    * never a re-join of the bases.
+    *
+    * Scale shape: the two base-side joins shuffle ONLY their delta side
+    * when the base is bucketed/pre-partitioned on the key (broadcast the
+    * delta when it is dim-sized); ΔA ⋈ ΔB is delta × delta. Updates and
+    * deletes ride [[changeLog]]/[[applyChanges]] upstream — this rule is
+    * the append fast path (the common log-structured corpus case).
+    */
+  def deltaJoin(
+      aOld: DataFrame,
+      aDelta: DataFrame,
+      bOld: DataFrame,
+      bDelta: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "deltaJoin needs at least one key column")
+    aDelta.join(bOld, keyCols)
+      .unionByName(aOld.join(bDelta, keyCols))
+      .unionByName(aDelta.join(bDelta, keyCols))
+  }
 }

@@ -821,4 +821,65 @@ object Sampling {
       round(col("_w").cast("double"), scale).as("weight"),
       round(col("_w").cast("double") / col("n"), scale).as("factor"))
   }
+
+  /** Approximate GROUP BY from a hash sample (AQP) — scan `fraction` of
+    * the data, answer with error bars: the Horvitz–Thompson estimator
+    * under Bernoulli(hash) sampling scales each sampled row by 1/f, and
+    * its variance is estimable FROM THE SAMPLE ALONE
+    * (`V̂(T̂) = Σ_{i∈s} xᵢ²·(1−f)/f²`), so the scan never touches the
+    * other (1−f) of the corpus — the point of AQP at 100 TB: a 1%
+    * sample answers a dashboard query 100× cheaper with honest ±z·SE
+    * intervals. Returns per group
+    * `(group…, n_sample, est_count, count_lo, count_hi, est_sum,
+    * sum_lo, sum_hi)` (95% normal intervals).
+    *
+    * Determinism: membership is the [[hashSample]] rule (key-hash
+    * threshold — reproducible across runs, engines, partitionings; the
+    * SAME sample every time, so the "approximate" answer is itself
+    * exactly reproducible); the sample sums fold decimal-cast values;
+    * the estimator is pinned scalar IEEE off those exact sums. Groups
+    * with no sampled row are absent — the estimator has no evidence
+    * they exist (the standard small-group AQP caveat).
+    *
+    * Scale shape: one map-side hash filter (no shuffle to sample), one
+    * partial-aggregated shuffle on the group key over the f-sized
+    * stream.
+    */
+  def approxAggregate(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      groupCols: Seq[String],
+      fraction: Double,
+      seed: Int = 42,
+      hash: HashFamily = XxHash,
+      scale: Int = 6): DataFrame = {
+    val thr = thresholdOf(fraction)
+    require(thr > 0 && thr < Granularity,
+      s"fraction must leave a non-trivial sample, got $fraction")
+    val inv = Granularity.toDouble / thr
+    val gs = groupCols.map(col)
+    val sampled = df.where(bucket(key, seed, hash) < lit(thr))
+      .select(gs :+ value.cast("double").as("_v"): _*)
+      .where(col("_v").isNotNull)
+    val agg = sampled.groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n_sample"),
+        sum(round(col("_v"), 6).cast("decimal(28,6)")).as("_s"),
+        sum((col("_v") * col("_v")).cast("decimal(38,12)")).as("_s2"))
+    val z = 1.959963984540054 // Φ⁻¹(0.975)
+    val vf = lit(inv) * lit(inv) * (lit(1.0) - lit(fraction))
+    val estC = col("n_sample").cast("double") * lit(inv)
+    val seC = sqrt(col("n_sample").cast("double") * vf)
+    val estT = col("_s").cast("double") * lit(inv)
+    val seT = sqrt(col("_s2").cast("double") * vf)
+    agg.select(gs ++ Seq(
+      col("n_sample"),
+      round(estC, scale).as("est_count"),
+      round(estC - lit(z) * seC, scale).as("count_lo"),
+      round(estC + lit(z) * seC, scale).as("count_hi"),
+      round(estT, scale).as("est_sum"),
+      round(estT - lit(z) * seT, scale).as("sum_lo"),
+      round(estT + lit(z) * seT, scale).as("sum_hi")): _*)
+  }
 }

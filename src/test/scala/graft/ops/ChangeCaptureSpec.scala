@@ -79,4 +79,23 @@ class ChangeCaptureSpec extends SparkSpec {
     // broadcast (small delta) or one exchange — never a sort of the snapshot
     assert(plan.contains("Window"), plan)
   }
+
+  test("deltaJoin: V0 ∪ ΔV is exactly the recomputed join; terms are disjoint") {
+    import spark.implicits._
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "a4")).toDF("k", "av")
+    val b = Seq((1L, "b1"), (1L, "b1x"), (2L, "b2"), (3L, "b3"), (5L, "b5")).toDF("k", "bv")
+    // arbitrary old/new splits of BOTH sides
+    val aOld = a.where(col("k") <= 2); val aNew = a.where(col("k") > 2)
+    val bOld = b.where(col("bv") =!= "b1x" && col("k") <= 2)
+    val bNew = b.where(!(col("bv") =!= "b1x" && col("k") <= 2))
+    val v0 = aOld.join(bOld, Seq("k"))
+    val dv = ChangeCapture.deltaJoin(aOld, aNew, bOld, bNew, Seq("k"))
+    val maintained = v0.unionByName(dv)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val full = a.join(b, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(maintained.toSeq == full.toSeq)
+    // disjointness: appends need no dedup — ΔV is exactly the complement of V0
+    assert(dv.count() == full.length - v0.count())
+  }
 }

@@ -615,4 +615,38 @@ class SamplingSpec extends SparkSpec {
     assert(re == cells.map { case (k, v) => k -> v._2 })
     graft.Caches.clear()
   }
+
+  test("approxAggregate: HT estimator ≡ driver math on the op's own sample; CIs bracket") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = (1L to 400L).map(k => (k, if (k % 2 == 0) "even" else "odd", (k % 7).toDouble))
+      .toDF("k", "g", "v")
+    val f = 0.5
+    val got = Sampling.approxAggregate(df, col("k"), col("v"), Seq("g"), fraction = f)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // recompute from the SAME hash-rule sample with driver arithmetic
+    val sample = Sampling.hashSample(df, col("k"), f)
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    val z = 1.959963984540054
+    val inv = 2.0; val vf = inv * inv * (1.0 - f)
+    sample.groupBy(_._1).foreach { case (g, rows) =>
+      val n = rows.length.toDouble
+      val s = rows.map(_._2).sum // exact: small integers
+      val s2 = rows.map(x => x._2 * x._2).sum
+      val (gn, estC, cLo, cHi, estT, tLo, tHi) = got(g)
+      assert(gn == rows.length.toLong && estC == r6(n * inv))
+      assert(cLo == r6(n * inv - z * math.sqrt(n * vf)))
+      assert(cHi == r6(n * inv + z * math.sqrt(n * vf)))
+      assert(estT == r6(s * inv))
+      assert(tLo == r6(s * inv - z * math.sqrt(s2 * vf)))
+      assert(tHi == r6(s * inv + z * math.sqrt(s2 * vf)))
+      assert(tLo < estT && estT < tHi)
+    }
+    // the deterministic sample makes the "approximate" answer reproducible
+    val re = Sampling.approxAggregate(df.repartition(7), col("k"), col("v"), Seq("g"),
+      fraction = f).collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(re == got.map { case (k, v) => k -> v._5 })
+  }
 }
