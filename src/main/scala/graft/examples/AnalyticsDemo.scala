@@ -157,6 +157,51 @@ object AnalyticsDemo {
       .orderBy(col("p").desc).head
     obs("journey attractor", s"${stat.getString(0)} p=${stat.getDouble(1)}")
 
+    // 13. trend watch on the hourly volume: is there a monotone drift,
+    // and where did the level shift?
+    val hours = events.select(expr("ts div 3600000000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+    val axis = hours.agg(min(col("h")).as("_lo"), max(col("h")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("t"))
+    val dense = axis.join(hours.withColumnRenamed("h", "t"), Seq("t"), "left")
+      .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
+    val mk = Stats.mannKendall(dense, col("t"), col("x")).head
+    obs("mann-kendall trend", f"S=${mk.getLong(1)} " +
+      (if (mk.isNullAt(3)) "z=n/a" else f"z=${mk.getDouble(3)}%.2f"))
+    val cp = Stats.changepoint(dense, col("t"), col("x")).head
+    obs("changepoint", f"after t=${cp.getLong(0)} " +
+      f"level ${cp.getDouble(4)}%.1f→${cp.getDouble(5)}%.1f score=${cp.getDouble(3)}%.1f")
+
+    // 14. experiment + cheap dashboard: the A/B read and the 10%-scan
+    // approximate revenue rollup with honest error bars
+    val per = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("_cv"))
+      .select(when(col("user_id") % 2 === 0, "even").otherwise("odd").as("v"),
+        (col("_cv") === 1L).as("s"))
+    val ab = Stats.twoProportionTest(per, col("v"), col("s")).head
+    obs("a/b purchase", f"rates ${ab.getDouble(6)}%.3f vs ${ab.getDouble(7)}%.3f " +
+      (if (ab.isNullAt(9)) "z=n/a" else f"z=${ab.getDouble(9)}%.2f"))
+    val aqp = Sampling.approxAggregate(orders, col("o_orderkey"), col("o_totalprice"),
+      Seq("o_orderpriority"), fraction = 0.1).orderBy(col("est_sum").desc).head
+    obs("aqp revenue (10% scan)", f"${aqp.getString(0)} " +
+      f"est=${aqp.getDouble(5)}%.0f ci=[${aqp.getDouble(6)}%.0f, ${aqp.getDouble(7)}%.0f]")
+
+    // 15. forecastability + mix repair: does the 24h pattern beat
+    // momentum, and what weights balance source × language?
+    val typedHours = events.select(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
+    val typedDense = typedHours.select(col("event_type")).distinct()
+      .crossJoin(broadcast(axis))
+      .join(typedHours.withColumnRenamed("h", "t"), Seq("event_type", "t"), "left")
+      .select(col("event_type"), col("t"), coalesce(col("x"), lit(0L)).as("x"))
+    val bestMase = EventAnalytics.maseBacktest(typedDense, season = 24,
+      strataCols = Seq("event_type")).where(col("mase").isNotNull)
+      .orderBy(col("mase")).head
+    obs("most seasonal stream", f"${bestMase.getString(0)} mase=${bestMase.getDouble(4)}%.3f")
+    val rak = Sampling.ipfWeights(docs, col("source"), col("lang"), rounds = 3)
+      .agg(round(min(col("factor")), 3).as("mn"), round(max(col("factor")), 3).as("mx")).head
+    obs("raking factor range", s"[${rak.getDouble(0)}, ${rak.getDouble(1)}] to uniform margins")
+
     graft.Caches.clear()
     println("ANALYTICS-DONE")
     spark.stop()
