@@ -205,6 +205,26 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // hybrid-retrieval fusion: the q54 BM25 leg and the hashed-ngram
+    // model leg merged by reciprocal rank — no score calibration at all
+    "q279_rrf_fusion" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val lexical = graft.ops.SimilaritySearch.topKRanking(
+        TextAnalysis.bm25(docs, Seq("join", "scan", "filter")),
+        score = col("bm25"), id = col("doc_id"), topK = 50)
+      val model = graft.ops.SimilaritySearch.topKRanking(
+        TextAnalysis.hashedNgramScore(docs, hash = activeHash),
+        score = col("score"), id = col("doc_id"), topK = 50)
+      graft.ops.SimilaritySearch.rrfFuse(Seq(lexical, model), k = 60, topK = 10)
+    }),
+
+    // systematic sample: every 7th document in doc_id order (offset 3) —
+    // the evenly-spaced coverage slice, positioned by the prefix-sum rank
+    "q280_systematic" -> ((s, dir) =>
+      graft.ops.Sampling.systematicSample(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        orderCol = col("doc_id"), every = 7L, offset = 3L)),
+
     // approximate GROUP BY from a 10% hash sample — Horvitz–Thompson
     // totals with ±1.96·SE bars, the 100×-cheaper dashboard answer
     "q277_approx_groupby" -> ((s, dir) =>
@@ -3836,6 +3856,61 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q279: both legs' rankings replicated (q54's BM25 CTEs + the q95
+    // scored CTE), cut at 50, fused by decimal-summed 1/(60+rank)
+    "q279_rrf_fusion" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lens AS (
+         |  SELECT doc_id AS id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS dl
+         |  FROM documents
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM lens
+         |), tf AS (
+         |  SELECT doc_id AS id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents)
+         |  WHERE tok IN ('join', 'scan', 'filter')
+         |  GROUP BY 1, 2
+         |), dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |bm AS (
+         |  SELECT id AS doc_id,
+         |    round(sum(
+         |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |        * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))
+         |    ), 6) AS bm25
+         |  FROM tf JOIN dfreq USING (tok) JOIN lens USING (id), stats
+         |  GROUP BY 1
+         |), ra AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm)
+         |  WHERE rank <= 50
+         |), rb AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |    FROM scored)
+         |  WHERE rank <= 50
+         |), u AS (
+         |  SELECT doc_id, CAST(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE)
+         |    + CAST(rank AS DOUBLE)) AS DECIMAL(28,12)) AS t FROM ra
+         |  UNION ALL
+         |  SELECT doc_id, CAST(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE)
+         |    + CAST(rank AS DOUBLE)) AS DECIMAL(28,12)) FROM rb
+         |), g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_systems, sum(t) AS s
+         |         FROM u GROUP BY 1)
+         |SELECT doc_id, n_systems, round(CAST(s AS DOUBLE), 6) AS rrf
+         |FROM g ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // q280: the prefix-sum rank ≡ row_number in the same unique order
+    "q280_systematic" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE (rn - 1) % 7 = 3""".stripMargin,
 
     // q277: the q45 hash-sample rule → HT estimator with sample-only
     // variance, every scalar in the Spark chain's textual order

@@ -845,6 +845,31 @@ object Sampling {
     * partial-aggregated shuffle on the group key over the f-sized
     * stream.
     */
+  /** Systematic sampling — every `every`-th row in a total key order
+    * (starting at `offset`), the evenly-spaced sample that guarantees
+    * coverage of the whole key range where a Bernoulli hash sample can
+    * cluster by chance (the classic survey-sampling design; also the
+    * "one doc per stride" debugging slice). The caller's `orderCol` must
+    * be a unique total order (tie-break before calling).
+    *
+    * Scale shape: the global position comes from [[Stats.runningTotal]]'s
+    * range-partition prefix-sum — an any-size frame never collapses into
+    * a single-partition rank window — and the keep test is one map-side
+    * modulus on that rank. Deterministic: same data, same stride, same
+    * rows, any partitioning.
+    */
+  def systematicSample(
+      df: DataFrame,
+      orderCol: Column,
+      every: Long,
+      offset: Long = 0L): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    require(offset >= 0 && offset < every, s"offset must be in [0, every), got $offset")
+    Stats.runningTotal(df, Seq(orderCol), lit(1L), "_sys_rank")
+      .where(pmod(col("_sys_rank") - 1, lit(every)) === offset)
+      .drop("_sys_rank")
+  }
+
   def approxAggregate(
       df: DataFrame,
       key: Column,

@@ -1109,4 +1109,58 @@ object SimilaritySearch {
         .limit(k)
     }
   }
+
+  /** Cut a scored frame to its top-K and attach the 1-based `rank` —
+    * the ranking shape [[rrfFuse]] consumes. TakeOrdered does the cut
+    * (per-partition heaps, never a global sort); the rank window then
+    * runs over the ≤topK-row survivor frame — the bounded
+    * single-partition allowlist class. Ties break on the id, so the
+    * ranking is engine-portable when the score is rounded.
+    */
+  def topKRanking(
+      df: DataFrame, score: Column, id: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    df.select(id.as("doc_id"), score.as("_sc"))
+      .orderBy(col("_sc").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("_sc").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — combine retrieval
+    * systems by RANK, not score: BM25 points and cosine similarities are
+    * incommensurable, but `rrf(d) = Σ_systems 1/(k + rank_s(d))` needs no
+    * calibration at all and robustly beats either input list — the
+    * standard way hybrid (lexical + dense) search merges its two legs.
+    * Input: one `(doc_id, rank)` frame per system ([[topKRanking]]'s
+    * shape). Returns the fused `topK` as `(doc_id, n_systems, rrf)`,
+    * ranked on the ROUNDED score with the id as tie-break.
+    *
+    * Each 1/(k+rank) term is one scalar IEEE division decimal-cast
+    * before the per-document sum (order-free across systems — the
+    * union's partitioning cannot move a fused score), so the fused table
+    * is engine-portable. Cost: |systems| · topK_input rows total — the
+    * fusion is free next to the rankings that feed it.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int = 60,
+      topK: Int = 10,
+      scale: Int = 6): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = rankings.map { r =>
+      r.select(col("doc_id"),
+        (lit(1.0) / (lit(k.toDouble) + col("rank").cast("double")))
+          .cast("decimal(28,12)").as("_t"))
+    }.reduce(_ unionByName _)
+    terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_systems"), sum(col("_t")).as("_s"))
+      .select(col("doc_id"), col("n_systems"),
+        round(col("_s").cast("double"), scale).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

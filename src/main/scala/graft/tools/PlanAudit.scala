@@ -82,7 +82,8 @@ object PlanAudit {
     "q273_cochran_q",             // one-row row-margins × column-margins crossJoin (scalar-attach class)
     "q274_runs_test",             // one-row median broadcast crossJoin (scalar-attach class)
     "q275_mase",                  // types × hour-axis dense fill — |types|·|buckets| bounded expansion
-    "q276_changepoint"            // one-row series-totals crossJoin (scalar-attach class)
+    "q276_changepoint",           // one-row series-totals crossJoin (scalar-attach class)
+    "q279_rrf_fusion"             // q54's one-row corpus-scalar (N/Σdl) attach inside the BM25 leg
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -109,7 +110,8 @@ object PlanAudit {
     "q245_closeness",      // same |event types|-row state-id ranking
     "q247_mst",            // same |event types|-row state-id ranking
     "q264_nelson_aalen",   // at-risk + hazard cumulatives over the ≤|distinct durations| collapsed axis (the kaplanMeier class)
-    "q274_runs_test"       // median rank pick + run lag over the ≤|buckets| collapsed series
+    "q274_runs_test",      // median rank pick + run lag over the ≤|buckets| collapsed series
+    "q279_rrf_fusion"      // per-system rank over the ≤topK TakeOrdered survivor frames
   )
 
   /** Count of window nodes whose partition spec is EMPTY — each one plans

@@ -1239,6 +1239,28 @@ class SimilaritySearchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert((exact & quant).size >= 4)
   }
+
+  test("rrfFuse: consensus docs beat single-system winners; hand RRF arithmetic") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 10 is rank 2 in BOTH systems; 1 and 2 top one system each
+    val sysA = Seq((1L, 1), (10L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val sysB = Seq((2L, 1), (10L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val got = SimilaritySearch.rrfFuse(Seq(sysA, sysB), k = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.head._1 == 10L && got.head._2 == 2L)
+    assert(got.head._3 == r6(1.0 / 62 + 1.0 / 62))
+    val single = got.find(_._1 == 1L).get
+    assert(single._2 == 1L && single._3 == r6(1.0 / 61))
+    // rank-1-in-one-system loses to rank-2-in-both: 2/62 > 1/61
+    assert(got.head._3 > single._3)
+    // topKRanking: the cut + rank agrees with a global row_number
+    val scoredDf = (1L to 20L).map(i => (i, (i % 5).toDouble)).toDF("id", "s")
+    val ranked = SimilaritySearch.topKRanking(scoredDf, col("s"), col("id"), topK = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // order: s desc, id asc → 4,9,14,19 (s=4) then 3,8 (s=3)
+    assert(ranked == Map(4L -> 1, 9L -> 2, 14L -> 3, 19L -> 4, 3L -> 5, 8L -> 6))
+  }
 }
 
 class GramMatrixSpec extends SparkSpec {

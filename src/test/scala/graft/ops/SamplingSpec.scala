@@ -649,4 +649,20 @@ class SamplingSpec extends SparkSpec {
       fraction = f).collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
     assert(re == got.map { case (k, v) => k -> v._5 })
   }
+
+  test("systematicSample: exact stride positions, partition-invariant, offset contract") {
+    import spark.implicits._
+    val df = (1L to 50L).map(k => (k, s"row$k")).toDF("k", "v")
+    val got = Sampling.systematicSample(df, col("k"), every = 7L, offset = 3L)
+      .collect().map(_.getLong(0)).sorted
+    // rank-1 positions with (rank-1) % 7 == 3 → ranks 4, 11, 18, …
+    assert(got.toSeq == Seq(4L, 11L, 18L, 25L, 32L, 39L, 46L))
+    val re = Sampling.systematicSample(df.repartition(9), col("k"), every = 7L, offset = 3L)
+      .collect().map(_.getLong(0)).sorted
+    assert(re.toSeq == got.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.systematicSample(df, col("k"), every = 5L, offset = 5L)
+    }
+    graft.Caches.clear()
+  }
 }
