@@ -205,6 +205,21 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // session-relative ML features per event: ordinal, time since start,
+    // session size, next-event label mask — q30's frame engineered
+    "q281_session_features" -> ((s, dir) =>
+      graft.ops.Sessionize.sessionFeatures(
+        graft.ops.Sessionize.byGap(E(s, dir), gap = 28800000000000L))
+        .select(col("user_id"), col("event_id"), col("session_seq"),
+          col("event_index"), col("dt_since_start"), col("session_events"),
+          col("is_last"))),
+
+    // last-5 chronological behavior history per user — the sequence-model
+    // serving table (rank cut BEFORE assembly, struct-sorted arrays)
+    "q282_last_history" -> ((s, dir) =>
+      graft.ops.EventAnalytics.lastNHistory(
+        E(s, dir).withColumn("tsu", expr("ts div 1000")), n = 5, tsCol = "tsu")),
+
     // hybrid-retrieval fusion: the q54 BM25 leg and the hashed-ngram
     // model leg merged by reciprocal rank — no score calibration at all
     "q279_rrf_fusion" -> ((s, dir) => {
@@ -3856,6 +3871,42 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q281: q30's session assignment + the per-session feature windows
+    "q281_session_features" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 28800000000000 THEN 1
+        |         ELSE 0 END AS st
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+        |      AS BIGINT) AS session_seq
+        |  FROM s)
+        |SELECT user_id, event_id, session_seq,
+        |  row_number() OVER ws AS event_index,
+        |  epoch_ns(ts) - min(epoch_ns(ts)) OVER wp AS dt_since_start,
+        |  CAST(count(*) OVER wp AS BIGINT) AS session_events,
+        |  (row_number() OVER ws = count(*) OVER wp) AS is_last
+        |FROM sess
+        |WINDOW ws AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id),
+        |       wp AS (PARTITION BY user_id, session_seq)""".stripMargin,
+
+    // q282: rank cut per user, then chronological list assembly
+    "q282_last_history" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |r AS (SELECT user_id, event_type, tsu, event_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY tsu DESC, event_id DESC)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS total
+        |      FROM e0)
+        |SELECT user_id, CAST(any_value(total) AS BIGINT) AS n_events_total,
+        |  list(event_type ORDER BY tsu, event_id) AS history
+        |FROM r WHERE rn <= 5 GROUP BY 1""".stripMargin,
 
     // q279: both legs' rankings replicated (q54's BM25 CTEs + the q95
     // scored CTE), cut at 50, fused by decimal-summed 1/(60+rank)

@@ -703,6 +703,38 @@ object EventAnalytics {
         .as("corr"))
   }
 
+  /** Last-n user history assembly — the `(user, [recent behavior])`
+    * feature table a sequence/recommendation model trains and serves on:
+    * each user's most recent `n` event types in CHRONOLOGICAL order, plus
+    * their total event count. The rank cut happens BEFORE any array is
+    * built (a per-user window keeps ≤n rows per user — never a
+    * collect-then-slice, which would buffer whole user histories), and
+    * the array is assembled by sorting `(ts, id, type)` structs — an
+    * order the engine can reproduce anywhere, so the same user always
+    * gets the identical history array.
+    */
+  def lastNHistory(
+      events: DataFrame,
+      n: Int,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol).desc, col(idCol).desc)
+    val recent = events
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_total", count(lit(1)).over(Window.partitionBy(col(userCol))))
+      .where(col("_rn") <= n)
+    recent.groupBy(col(userCol))
+      .agg(
+        first(col("_total")).as("n_events_total"),
+        transform(
+          array_sort(collect_list(struct(
+            col(tsCol).as("t"), col(idCol).as("i"), col(typeCol).as("y")))),
+          x => x.getField("y")).as("history"))
+  }
+
   /** Seasonal-naive forecast backtest (MASE numerator/denominator) — "is
     * yesterday-same-hour a better predictor than the last hour?" the
     * zero-parameter baselines every real forecast must beat, scored as

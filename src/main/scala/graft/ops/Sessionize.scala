@@ -37,6 +37,34 @@ object Sessionize {
       .withColumn("session_id", concat(col(userCol).cast("string"), lit("#"), col("session_seq").cast("string")))
   }
 
+  /** Session-relative FEATURE columns for sequence-model training — the
+    * standard per-event engineering a behavioral model consumes: the
+    * event's 1-based ordinal inside its session, time since session
+    * start, the session's event count, and an is-last flag (the
+    * next-event-prediction label mask). Input is [[byGap]]'s output (the
+    * frame must carry `session_seq`); ties inside a session break on
+    * `idCol`.
+    *
+    * All four columns ride windows PARTITIONED by `(user, session_seq)`
+    * sharing one sort — a single per-user shuffle that reuses [[byGap]]'s
+    * partitioning, nothing global.
+    */
+  def sessionFeatures(
+      sessionized: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(col(tsCol), col(idCol))
+    val wAll = Window.partitionBy(col(userCol), col("session_seq"))
+    sessionized
+      .withColumn("event_index", row_number().over(w))
+      .withColumn("dt_since_start", col(tsCol) - min(col(tsCol)).over(wAll))
+      .withColumn("session_events", count(lit(1)).over(wAll))
+      .withColumn("is_last", col("event_index") === col("session_events"))
+  }
+
   /** Per-session aggregate: bounds, event count, value sum. */
   def sessionStats(
       sessionized: DataFrame,

@@ -490,4 +490,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got("s") == ((4L, 0.0, 16.0, 0.0)))
     assert(got("c")._2 == 0.0 && got("c")._3 == 0.0 && got("c")._4.isNaN)
   }
+
+  test("lastNHistory: chronological last-n slice per user; rank cut before assembly") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "d"), (2L, 9L, 5L, "z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.lastNHistory(ev, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    // user 1 has 4 events; the LAST 3 in chronological order are b,c,d
+    assert(got(1L) == ((4L, Seq("b", "c", "d"))))
+    assert(got(2L) == ((1L, Seq("z"))))
+    // equal-ts ties break on event_id — deterministic under repartition
+    val tied = Seq((3L, 5L, 1L, "x"), (3L, 5L, 2L, "y"), (3L, 5L, 3L, "w"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val t1 = EventAnalytics.lastNHistory(tied, n = 2).collect().head.getSeq[String](2)
+    val t2 = EventAnalytics.lastNHistory(tied.repartition(5), n = 2)
+      .collect().head.getSeq[String](2)
+    assert(t1 == Seq("y", "w") && t2 == t1)
+  }
 }

@@ -24,6 +24,20 @@ class SessionizeSpec extends SparkSpec {
     assert(stats((2L, 0L)) == ((0L, 0L, 1L, 5.0)))
   }
 
+  test("sessionFeatures: ordinal, dt from session start, size, last-event mask") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 10L), (1L, 5L, 11L), (1L, 100L, 12L), (2L, 7L, 13L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Sessionize.sessionFeatures(Sessionize.byGap(df, gap = 10L))
+      .collect().map(r => r.getLong(2) ->
+        ((r.getInt(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))).toMap
+    // columns: user, ts, id, session_seq, session_id, event_index, dt, n, is_last
+    assert(got(10L) == ((1, 0L, 2L, false))) // first of the 2-event session
+    assert(got(11L) == ((2, 5L, 2L, true))) // last of it, 5 ticks in
+    assert(got(12L) == ((1, 0L, 1L, true))) // singleton session: first AND last
+    assert(got(13L) == ((1, 0L, 1L, true)))
+  }
+
   test("feature extraction: histogram shares sum to 1 and match byte distribution") {
     import spark.implicits._
     val df = Seq((1L, "aaaa")).toDF("doc_id", "text")
