@@ -205,6 +205,13 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // MMR-diversified retrieval: the q21 pool re-ranked to trade
+    // relevance against redundancy — plain top-k's near-dup antidote
+    "q283_mmr" -> ((s, dir) =>
+      graft.ops.SimilaritySearch.mmrDiversify(
+        T(s, dir, "embeddings"), SparkEntry.benchQueryVec,
+        k = 5, poolSize = 20, lambda = 0.7)),
+
     // session-relative ML features per event: ordinal, time since start,
     // session size, next-event label mask — q30's frame engineered
     "q281_session_features" -> ((s, dir) =>
@@ -3871,6 +3878,56 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q283: the q21 candidate pool + round-6 pairwise sims → the greedy
+    // unrolled five picks, each argmax on (rounded step score, id)
+    "q283_mmr" ->
+      """WITH q AS (SELECT list_transform(range(1, 65), i -> sin(CAST(i AS DOUBLE))) AS qv),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cand AS (SELECT vec_id, v,
+        |          round(list_dot_product(v, qv)
+        |            / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+        |            AS rel
+        |        FROM e, q ORDER BY rel DESC, vec_id LIMIT 20),
+        |sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |          round(list_dot_product(a.v, b.v)
+        |            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        |            6) AS s
+        |        FROM cand a JOIN cand b ON b.vec_id <> a.vec_id),
+        |p1 AS (SELECT vec_id, rel, round(CAST(0.7 AS DOUBLE) * rel, 6) AS mmr
+        |      FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+        |g2 AS (SELECT c.vec_id, c.rel, max(s.s) AS ms FROM cand c
+        |       JOIN sims s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM p1)
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1) GROUP BY 1, 2),
+        |p2 AS (SELECT vec_id, rel, round(CAST(0.7 AS DOUBLE) * rel
+        |          - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms, 6) AS mmr
+        |      FROM g2 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |k2 AS (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2),
+        |g3 AS (SELECT c.vec_id, c.rel, max(s.s) AS ms FROM cand c
+        |       JOIN sims s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM k2)
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM k2) GROUP BY 1, 2),
+        |p3 AS (SELECT vec_id, rel, round(CAST(0.7 AS DOUBLE) * rel
+        |          - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms, 6) AS mmr
+        |      FROM g3 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |k3 AS (SELECT vec_id FROM k2 UNION ALL SELECT vec_id FROM p3),
+        |g4 AS (SELECT c.vec_id, c.rel, max(s.s) AS ms FROM cand c
+        |       JOIN sims s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM k3)
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM k3) GROUP BY 1, 2),
+        |p4 AS (SELECT vec_id, rel, round(CAST(0.7 AS DOUBLE) * rel
+        |          - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms, 6) AS mmr
+        |      FROM g4 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |k4 AS (SELECT vec_id FROM k3 UNION ALL SELECT vec_id FROM p4),
+        |g5 AS (SELECT c.vec_id, c.rel, max(s.s) AS ms FROM cand c
+        |       JOIN sims s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM k4)
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM k4) GROUP BY 1, 2),
+        |p5 AS (SELECT vec_id, rel, round(CAST(0.7 AS DOUBLE) * rel
+        |          - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms, 6) AS mmr
+        |      FROM g5 ORDER BY mmr DESC, vec_id LIMIT 1)
+        |SELECT 1 AS pick, vec_id, rel, mmr FROM p1
+        |UNION ALL SELECT 2, vec_id, rel, mmr FROM p2
+        |UNION ALL SELECT 3, vec_id, rel, mmr FROM p3
+        |UNION ALL SELECT 4, vec_id, rel, mmr FROM p4
+        |UNION ALL SELECT 5, vec_id, rel, mmr FROM p5""".stripMargin,
 
     // q281: q30's session assignment + the per-session feature windows
     "q281_session_features" ->

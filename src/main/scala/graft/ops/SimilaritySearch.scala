@@ -1110,6 +1110,76 @@ object SimilaritySearch {
     }
   }
 
+  /** Maximal marginal relevance (Carbonell & Goldstein 1998) — diversify
+    * a retrieval pool: plain top-k returns near-duplicates of the single
+    * best hit; MMR greedily picks
+    * `argmax_c λ·rel(c) − (1−λ)·max_{p∈picked} sim(c, p)`, trading
+    * relevance against redundancy (λ=1 ⇔ plain top-k, λ→0 ⇔ pure
+    * diversity). Returns `(pick, id, rel, mmr)` for the `k` picks in
+    * selection order, each step ranked on the ROUNDED score with the id
+    * as tie-break (the first step's diversity term is 0, so pick 1 is
+    * the relevance argmax).
+    *
+    * Scale split: the DISTRIBUTED part is the pool cut — one scan scoring
+    * `round(cos, 6)` against the literal query + a TakeOrdered
+    * `poolSize` — exactly [[bruteForceTopK]]'s shape (swap in an IVF/PQ
+    * probe for the scan at corpus scale); the greedy phase is inherently
+    * sequential and runs on the DRIVER over the ≤poolSize pool (the
+    * bounded-endgame discipline — `require`-guarded, never silent). All
+    * driver arithmetic (index-order dot folds, round-6 sims and step
+    * scores) mirrors the engine recipe bit for bit, so a SQL engine
+    * unrolling the same greedy reproduces every pick.
+    */
+  def mmrDiversify(
+      df: DataFrame,
+      queryVec: Seq[Double],
+      k: Int,
+      poolSize: Int = 20,
+      lambda: Double = 0.7,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      scale: Int = 6): DataFrame = {
+    require(k >= 1 && k <= poolSize, s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
+    require(lambda > 0 && lambda <= 1, s"lambda must be in (0,1], got $lambda")
+    require(poolSize <= 100000, s"the greedy phase is driver-resident; poolSize=$poolSize")
+    val spark = df.sparkSession
+    val q = VectorOps.vecLit(queryVec)
+    val pool = df.select(
+      col(idCol).cast("long").as("_id"),
+      round(VectorOps.cosine(col(vecCol).cast("array<double>"), q), scale).as("_rel"),
+      col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(col("_rel").desc, col("_id"))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def r6(x: Double) = BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val one = 1.0 - lambda
+    val vecById = pool.map(p => p._1 -> p._3).toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(pool.map(p => p._1 -> p): _*)
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      val best = remaining.values.map { case (id, rel, v) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => cos(v, vecById(p._2))).max
+        (id, rel, r6(lambda * rel - one * maxSim))
+      }.reduceLeft { (a, b) =>
+        if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a
+      }
+      picked += ((step, best._1, best._2, best._3))
+      remaining.remove(best._1)
+      step += 1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("pick", idCol, "rel", "mmr")
+  }
+
   /** Cut a scored frame to its top-K and attach the 1-based `rank` —
     * the ranking shape [[rrfFuse]] consumes. TakeOrdered does the cut
     * (per-partition heaps, never a global sort); the rank window then

@@ -114,6 +114,16 @@ object PlanAudit {
     "q279_rrf_fusion"      // per-system rank over the ≤topK TakeOrdered survivor frames
   )
 
+  /** Queries whose RESULT frame is a driver-local table (LocalTableScan —
+    * zero codegen subtrees by construction) because the distributed scan
+    * ran eagerly during query construction and a bounded driver endgame
+    * produced the final rows. The audit can't see the eager phase's plan;
+    * the operator's scaladoc documents the split.
+    */
+  private val codegenExempt: Set[String] = Set(
+    "q283_mmr" // TakeOrdered pool scan (the q21 shape) + ≤poolSize driver greedy
+  )
+
   /** Count of window nodes whose partition spec is EMPTY — each one plans
     * the whole input into a single partition. Tree-walk, not string-parse:
     * the node's OWN partitionSpec is the signal (a window's string form
@@ -176,7 +186,8 @@ object PlanAudit {
         val unpartWin = unpartitionedWindows(df)
         val newBnl = bnl > 0 && !bnlAllowlist.contains(name)
         val newWin = unpartWin > 0 && !windowAllowlist.contains(name)
-        if (cart > 0 || newBnl || newWin || wsc == 0) {
+        val noCodegen = wsc == 0 && !codegenExempt.contains(name)
+        if (cart > 0 || newBnl || newWin || noCodegen) {
           findings += 1
           println(s"[audit] FLAG $name cartesian=$cart bnl=$bnl (allowed=${!newBnl}) " +
             s"unpartWindow=$unpartWin (allowed=${!newWin}) codegenSpans=$wsc")

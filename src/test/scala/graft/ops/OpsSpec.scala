@@ -1240,6 +1240,28 @@ class SimilaritySearchSpec extends SparkSpec {
     assert((exact & quant).size >= 4)
   }
 
+  test("mmrDiversify: near-dup of pick 1 demoted; lambda=1 degrades to plain top-k") {
+    import spark.implicits._
+    // query along e1; ids 1,2 nearly identical high-relevance near-dups;
+    // id 3 moderately relevant but orthogonal to them in the tail dims
+    val rows = Seq(
+      (1L, Seq(1.0, 0.10, 0.0)),
+      (2L, Seq(1.0, 0.11, 0.0)),
+      (3L, Seq(0.8, 0.0, 0.6)),
+      (4L, Seq(0.1, 1.0, 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0)
+    val mmr = SimilaritySearch.mmrDiversify(df, q, k = 3, poolSize = 4, lambda = 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(mmr(0) == ((1, 1L))) // the relevance argmax opens
+    assert(mmr(1)._2 == 3L) // the near-dup 2 is demoted below the diverse 3
+    val plain = SimilaritySearch.mmrDiversify(df, q, k = 3, poolSize = 4, lambda = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    val topk = SimilaritySearch.bruteForceTopK(df, q, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain == topk)
+  }
+
   test("rrfFuse: consensus docs beat single-system winners; hand RRF arithmetic") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
