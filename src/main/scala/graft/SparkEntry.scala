@@ -205,6 +205,20 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // rendezvous sharding: which serving node owns each document —
+    // highest-random-weight routing, minimal disruption on resharding
+    "q284_rendezvous" -> ((s, dir) =>
+      graft.ops.Sampling.rendezvousAssign(
+        T(s, dir, "documents").select(col("doc_id")),
+        key = col("doc_id"), shards = Seq("s0", "s1", "s2", "s3"),
+        hash = activeHash)),
+
+    // skew diagnosis + salting plan for the event-type key: how many
+    // reducers does each hot key need at 1000 rows/task?
+    "q285_salt_plan" -> ((s, dir) =>
+      graft.ops.SkewJoin.saltPlan(
+        E(s, dir), keys = Seq("event_type"), targetPerTask = 1000L)),
+
     // MMR-diversified retrieval: the q21 pool re-ranked to trade
     // relevance against redundancy — plain top-k's near-dup antidote
     "q283_mmr" -> ((s, dir) =>
@@ -3878,6 +3892,32 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q284: per-shard hash scores → greatest → first-listed tie-break
+    "q284_rendezvous" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    ${md5l("'42:' || 's0#' || CAST(doc_id AS VARCHAR)")} AS h0,
+         |    ${md5l("'42:' || 's1#' || CAST(doc_id AS VARCHAR)")} AS h1,
+         |    ${md5l("'42:' || 's2#' || CAST(doc_id AS VARCHAR)")} AS h2,
+         |    ${md5l("'42:' || 's3#' || CAST(doc_id AS VARCHAR)")} AS h3
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN h0 = greatest(h0, h1, h2, h3) THEN 's0'
+         |       WHEN h1 = greatest(h0, h1, h2, h3) THEN 's1'
+         |       WHEN h2 = greatest(h0, h1, h2, h3) THEN 's2'
+         |       ELSE 's3' END AS shard
+         |FROM sc""".stripMargin,
+
+    // q285: per-key counts + one-row total → exact ceil-division factors
+    "q285_salt_plan" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+        |SELECT event_type, n,
+        |  round(CAST(n AS DOUBLE) / tt, 6) AS share,
+        |  CAST((n + 999) // 1000 AS BIGINT) AS salt_factor
+        |FROM c, t WHERE n >= 1""".stripMargin,
 
     // q283: the q21 candidate pool + round-6 pairwise sims → the greedy
     // unrolled five picks, each argmax on (rounded step score, id)

@@ -822,6 +822,37 @@ object Sampling {
       round(col("_w").cast("double") / col("n"), scale).as("factor"))
   }
 
+  /** Rendezvous (highest-random-weight) sharding — assign each key to
+    * the shard whose `hash(shard # key)` score is highest: the stable
+    * routing rule whose defining property is MINIMAL DISRUPTION — adding
+    * a shard moves only the keys the NEW shard wins (≈ 1/(n+1) of them),
+    * where a `key mod n` rule reshuffles almost everything. The serving
+    * layer's answer to "which node owns this document/user/cache entry".
+    * Ties break toward the earlier shard in `shards` (deterministic);
+    * the hash family is pluggable like the samplers'.
+    *
+    * Pure map-side projection — |shards| hash evaluations per row, no
+    * shuffle, no state; the assignment is a function of (seed, shard
+    * names, key) alone, so it reproduces across runs and engines.
+    */
+  def rendezvousAssign(
+      df: DataFrame,
+      key: Column,
+      shards: Seq[String],
+      seed: Int = 42,
+      hash: HashFamily = XxHash): DataFrame = {
+    require(shards.nonEmpty, "rendezvousAssign needs at least one shard")
+    require(shards.distinct.size == shards.size, "shard names must be unique")
+    val scores = shards.map(s =>
+      s -> hash.seeded(seed, concat(lit(s + "#"), key.cast("string"))))
+    val top = greatest(scores.map(_._2): _*)
+    val pick = scores.tail.foldLeft(
+      when(scores.head._2 === top, scores.head._1): Column) {
+      case (acc, (name, sc)) => acc.when(sc === top, name)
+    }
+    df.withColumn("shard", pick)
+  }
+
   /** Approximate GROUP BY from a hash sample (AQP) — scan `fraction` of
     * the data, answer with error bars: the Horvitz–Thompson estimator
     * under Bernoulli(hash) sampling scales each sampled row by 1/f, and

@@ -55,4 +55,35 @@ object SkewJoin {
     val r = right.withColumn(saltCol, explode(lit((0 until salts).toArray)))
     l.join(r, keys :+ saltCol, joinType).drop(saltCol)
   }
+
+  /** Skew diagnosis + salting plan — the measurement [[saltedJoin]]'s
+    * `salts` parameter should come from, instead of a guess: per join
+    * key, its row count, its share of the table, and
+    * `salt_factor = ⌈n / targetPerTask⌉` — the number of reducers that
+    * key needs (factor 1 ⇔ no salting needed; the max factor over the
+    * hot keys is the `salts` to pass). `minRows` prunes the long tail so
+    * the plan stays a small driver-consumable table.
+    *
+    * One partial-aggregated shuffle on the key + a one-row total attach;
+    * exact integer ceil-division — the advisor costs one scan at any
+    * fact-table size.
+    */
+  def saltPlan(
+      df: DataFrame,
+      keys: Seq[String],
+      targetPerTask: Long,
+      minRows: Long = 1L,
+      scale: Int = 6
+  ): DataFrame = {
+    require(keys.nonEmpty, "saltPlan needs at least one key column")
+    require(targetPerTask >= 1, s"targetPerTask must be >= 1, got $targetPerTask")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("_t"))
+    counts.crossJoin(broadcast(tot))
+      .where(col("n") >= minRows)
+      .select(keys.map(col) ++ Seq(
+        col("n"),
+        round(col("n").cast("double") / col("_t"), scale).as("share"),
+        expr(s"(n + ${targetPerTask - 1}) div $targetPerTask").as("salt_factor")): _*)
+  }
 }

@@ -650,6 +650,25 @@ class SamplingSpec extends SparkSpec {
     assert(re == got.map { case (k, v) => k -> v._5 })
   }
 
+  test("rendezvousAssign: minimal disruption on reshard; deterministic; all shards used") {
+    import spark.implicits._
+    val df = (1L to 400L).map(k => Tuple1(k)).toDF("k")
+    val three = Sampling.rendezvousAssign(df, col("k"), Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val four = Sampling.rendezvousAssign(df, col("k"), Seq("a", "b", "c", "d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the defining property: a key either keeps its shard or moves to the NEW one
+    four.foreach { case (k, s) => assert(s == three(k) || s == "d") }
+    val moved = four.count { case (k, s) => s != three(k) }
+    // expected ≈ 1/4 of keys; generous band, zero would mean d never wins
+    assert(moved > 40 && moved < 180, s"moved=$moved")
+    assert(three.values.toSet == Set("a", "b", "c"))
+    // pure projection: repartitioning cannot move an assignment
+    val re = Sampling.rendezvousAssign(df.repartition(7), col("k"), Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == three)
+  }
+
   test("systematicSample: exact stride positions, partition-invariant, offset contract") {
     import spark.implicits._
     val df = (1L to 50L).map(k => (k, s"row$k")).toDF("k", "v")

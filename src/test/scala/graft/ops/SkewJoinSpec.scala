@@ -61,4 +61,19 @@ class SkewJoinSpec extends SparkSpec {
       SkewJoin.saltedJoin(facts, dim, Seq("k"), col("row_id"), salts = 0)
     }
   }
+
+  test("saltPlan: exact ceil factors, shares sum to 1, minRows prunes the tail") {
+    import spark.implicits._
+    val df = (Seq.fill(2500)("hot") ++ Seq.fill(999)("warm") ++ Seq.fill(1)("cold"))
+      .toDF("k")
+    val got = SkewJoin.saltPlan(df, Seq("k"), targetPerTask = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got("hot") == ((2500L, math.rint(2500.0 / 3500 * 1e6) / 1e6, 3L)))
+    assert(got("warm")._3 == 1L && got("cold")._3 == 1L)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5)
+    val pruned = SkewJoin.saltPlan(df, Seq("k"), targetPerTask = 1000L, minRows = 10L)
+      .collect().map(_.getString(0)).toSet
+    assert(pruned == Set("hot", "warm"))
+  }
 }
