@@ -205,6 +205,16 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // Good–Turing smoothing table: adjusted counts per frequency class +
+    // the unseen-mass estimate (the r=1 row's share), exact integers in
+    "q286_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(T(s, dir, "documents"))),
+
+    // Heaps'-law vocabulary growth at 10 nested corpus fractions in ONE
+    // pass — a token first exists at its docs' minimum sample bucket
+    "q287_heaps_curve" -> ((s, dir) =>
+      TextAnalysis.heapsCurve(T(s, dir, "documents"), steps = 10, hash = activeHash)),
+
     // rendezvous sharding: which serving node owns each document —
     // highest-random-weight routing, minimal disruption on resharding
     "q284_rendezvous" -> ((s, dir) =>
@@ -3892,6 +3902,41 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q286: token counts → count-of-counts → the (r+1)·N_{r+1}/N_r table
+    "q286_good_turing" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), tc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks WHERE tok <> '' GROUP BY 1
+        |), ff AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY 1),
+        |tot AS (SELECT sum(CAST(r AS DECIMAL(38,0)) * n_r) AS n FROM ff)
+        |SELECT ff.r, ff.n_r,
+        |  round(CAST(ff.r + 1 AS DOUBLE) * nx.n_r / ff.n_r, 6) AS r_star,
+        |  round(CAST(CAST(ff.r AS DECIMAL(38,0)) * ff.n_r AS DOUBLE)
+        |    / CAST(tot.n AS DOUBLE), 6) AS mass_share
+        |FROM ff LEFT JOIN ff nx ON nx.r = ff.r + 1, tot""".stripMargin,
+
+    // q287: md5-bucketed docs → per-token min bucket → cross-multiplied
+    // integer thresholds at the 10 nested fractions
+    "q287_heaps_curve" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ${md5l("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents
+         |), tk AS (
+         |  SELECT b, unnest(toks) AS tok FROM d
+         |), mb AS (
+         |  SELECT tok, min(b) AS mb FROM tk WHERE tok <> '' GROUP BY 1
+         |), st AS (SELECT unnest(range(1, 11)) AS step),
+         |v AS (SELECT st.step, CAST(count(*) AS BIGINT) AS vocab
+         |      FROM st JOIN mb ON mb.mb * 10 < st.step * 1000000 GROUP BY 1),
+         |dc AS (SELECT st.step, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM st JOIN d ON d.b * 10 < st.step * 1000000 GROUP BY 1)
+         |SELECT dc.step, dc.n_docs, CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab
+         |FROM dc LEFT JOIN v ON v.step = dc.step""".stripMargin,
 
     // q284: per-shard hash scores → greatest → first-listed tie-break
     "q284_rendezvous" ->

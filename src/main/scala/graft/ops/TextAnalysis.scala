@@ -1485,6 +1485,89 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Good–Turing frequency smoothing — the classical unseen-mass
+    * estimate a language model needs: a word seen `r` times should be
+    * credited an adjusted count `r* = (r+1)·N_{r+1}/N_r` (where `N_r` =
+    * how many distinct words occur exactly r times), and the probability
+    * mass reserved for NEVER-seen words is `N_1/N` — readable directly
+    * off this table's r=1 row. Returns one row per observed frequency:
+    * `(r, n_r, r_star, mass_share)` with `r_star` NULL where `N_{r+1}`
+    * is empty (the highest frequencies — smooth or back off there) and
+    * `mass_share = r·N_r/N`, the fraction of all tokens this frequency
+    * class carries.
+    *
+    * Scale shape: token counts are one partial-aggregated shuffle; the
+    * count-of-counts collapse bounds everything after it at |distinct
+    * frequencies| rows, and the `r+1` lookup is a slim self equi-join on
+    * that bounded frame. Exact integers throughout; the two ratios are
+    * scalar IEEE off them.
+    */
+  def goodTuring(
+      df: DataFrame,
+      textCol: String = "text",
+      scale: Int = 6): DataFrame = {
+    val toks = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
+    val counts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_c"))
+    val freqOfFreq = graft.Caches.track(
+      counts.groupBy(col("_c").as("r")).agg(count(lit(1)).as("n_r")))
+    val tot = freqOfFreq.agg(sum(col("r").cast("decimal(38,0)") * col("n_r")).as("_n"))
+    val next = freqOfFreq.select((col("r") - 1).as("r"), col("n_r").as("_n_next"))
+    freqOfFreq.join(next, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1).cast("double") * col("_n_next") / col("n_r"), scale)
+          .as("r_star"),
+        round((col("r").cast("decimal(38,0)") * col("n_r")).cast("double")
+          / col("_n").cast("double"), scale).as("mass_share"))
+  }
+
+  /** Heaps'-law vocabulary growth curve — how fast does vocabulary grow
+    * with corpus size? (the budgeting question behind tokenizer and
+    * embedding-table sizing). Measured at `steps` nested corpus
+    * fractions in ONE pass over the tokens: because the hash samples
+    * NEST (the f-sample contains every smaller sample), a token first
+    * appears at its documents' MINIMUM sample bucket — so
+    * `vocab(f) = #{tokens: min_bucket < f·G}` and every fraction reads
+    * off the same |vocab|-row min frame. Returns
+    * `(step, n_docs, vocab)` for f = step/steps.
+    *
+    * Scale shape: one explode + one token-key shuffle for the min
+    * frame; the per-step counts ride a literal step explode over slim
+    * frames (|vocab|·steps and |docs|·steps keyed rows). The threshold
+    * test cross-multiplies (`mb·steps < step·G`) — exact integers, no
+    * division anywhere.
+    */
+  def heapsCurve(
+      df: DataFrame,
+      steps: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      seed: Int = 42,
+      hash: HashFamily = XxHash): DataFrame = {
+    require(steps >= 1 && steps <= 1000, s"steps must be in [1, 1000], got $steps")
+    val g = graft.ops.Sampling.Granularity
+    val stepArr = explode(array((1 to steps).map(i => lit(i.toLong)): _*)).as("step")
+    val base = graft.Caches.track(df.select(
+      col(idCol).as("_id"),
+      graft.ops.Sampling.bucket(col(idCol), seed, hash).as("_b"),
+      split(lower(trim(col(textCol))), "\\s+").as("_t")))
+    val minB = base
+      .select(col("_b"), explode(col("_t")).as("_tok"))
+      .where(col("_tok") =!= "")
+      .groupBy(col("_tok")).agg(min(col("_b")).as("_mb"))
+    // cross-multiplied integer compare: _mb < step·G/steps without division
+    val vocabBySt = minB.select(col("_mb"), stepArr)
+      .where(col("_mb") * steps < col("step") * g)
+      .groupBy(col("step")).agg(count(lit(1)).as("vocab"))
+    val docsBySt = base.select(col("_b"), stepArr)
+      .where(col("_b") * steps < col("step") * g)
+      .groupBy(col("step")).agg(count(lit(1)).as("n_docs"))
+    docsBySt.join(vocabBySt, Seq("step"), "left")
+      .select(col("step"), col("n_docs"), coalesce(col("vocab"), lit(0L)).as("vocab"))
+  }
+
   /** TextRank keywords (Mihalcea & Tarau 2004) — PageRank over the word
     * adjacency graph: a word matters when it keeps company with words
     * that matter, which surfaces backbone vocabulary that raw frequency

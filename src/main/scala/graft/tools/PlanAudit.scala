@@ -84,7 +84,8 @@ object PlanAudit {
     "q275_mase",                  // types × hour-axis dense fill — |types|·|buckets| bounded expansion
     "q276_changepoint",           // one-row series-totals crossJoin (scalar-attach class)
     "q279_rrf_fusion",            // q54's one-row corpus-scalar (N/Σdl) attach inside the BM25 leg
-    "q285_salt_plan"              // one-row table-total crossJoin (scalar-attach class)
+    "q285_salt_plan",             // one-row table-total crossJoin (scalar-attach class)
+    "q286_good_turing"            // one-row token-total crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -1240,6 +1240,36 @@ class SimilaritySearchSpec extends SparkSpec {
     assert((exact & quant).size >= 4)
   }
 
+  test("goodTuring: textbook count-of-counts table; top frequency has no r_star") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq("a a a b b c").toDF("text")
+    val got = TextAnalysis.goodTuring(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((1L, 2.0, r6(1.0 / 6)))) // r*=2·N2/N1; unseen mass = N1/N = 1/6
+    assert(got(2L) == ((1L, 3.0, r6(2.0 / 6))))
+    assert(got(3L)._1 == 1L && got(3L)._2.isNaN && got(3L)._3 == 0.5)
+  }
+
+  test("heapsCurve: nested fractions grow monotonically; the last step is the full corpus") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"w$i w${i % 7} common")).toDF("doc_id", "text")
+    val got = TextAnalysis.heapsCurve(docs, steps = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.length == 10)
+    got.sliding(2).foreach { case Array((_, d1, v1), (_, d2, v2)) =>
+      assert(d1 <= d2 && v1 <= v2)
+    }
+    // step 10 sees every document and therefore the full vocabulary
+    assert(got.last._2 == 60L)
+    val fullVocab = docs.select(explode(split(lower(trim(col("text"))), "\\s+")))
+      .distinct().count()
+    assert(got.last._3 == fullVocab)
+    graft.Caches.clear()
+  }
+
   test("mmrDiversify: near-dup of pick 1 demoted; lambda=1 degrades to plain top-k") {
     import spark.implicits._
     // query along e1; ids 1,2 nearly identical high-relevance near-dups;
