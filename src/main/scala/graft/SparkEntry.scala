@@ -205,6 +205,31 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // Hellinger + Bhattacharyya from the q231 histogram states — the
+    // metric-form divergence completing the drift drawer
+    "q288_hellinger" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Stats.hellingerFromHists(
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "en"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12),
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "de"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12))
+    }),
+
+    // Murphy decomposition of the q260 probability: is the Brier bad
+    // because of calibration (REL) or weak discrimination (RES)?
+    "q289_brier_decomp" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scores = TextAnalysis.hashedNgramScore(docs, hash = activeHash)
+      val mm = scores.agg(min(col("score")).as("_lo"), max(col("score")).as("_hi"))
+      val p = scores.crossJoin(broadcast(mm))
+        .withColumn("_pr", when(col("_hi") > col("_lo"),
+          (col("score") - col("_lo")) / (col("_hi") - col("_lo"))).otherwise(lit(0.5)))
+      val lab = p.join(
+        docs.select(col("doc_id"), (col("lang") === "en").as("_y")), Seq("doc_id"))
+      graft.ops.Stats.brierDecomposition(lab, col("_pr"), col("_y"))
+    }),
+
     // Good–Turing smoothing table: adjusted counts per frequency class +
     // the unseen-mass estimate (the r=1 row's share), exact integers in
     "q286_good_turing" -> ((s, dir) =>
@@ -3902,6 +3927,75 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q288: the q231 grid → per-bin √(p·q) decimal-summed → BC and H
+    "q288_hellinger" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(least(greatest(floor((v - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)), 0), 11) AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM g
+        |), terms AS (
+        |  SELECT n_a, n_b,
+        |    sqrt((CAST(ca AS DOUBLE) / n_a) * (CAST(cb AS DOUBLE) / n_b)) AS term
+        |  FROM g, t
+        |), s AS (
+        |  SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+        |    CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS bc0
+        |  FROM terms)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN bc0 END, 6) AS bc,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    sqrt(greatest(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE) - bc0)) END, 6)
+        |    AS hellinger
+        |FROM s""".stripMargin,
+
+    // q289: the q260 probability pipeline → ≤bins partials → REL/RES
+    // terms decimal-cast per bin, the base rate a one-row attach
+    "q289_brier_decomp" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lab AS (
+         |  SELECT s.score AS sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |), mm AS (SELECT min(sc) AS lo, max(sc) AS hi FROM lab),
+         |p0 AS (SELECT CASE WHEN mm.hi > mm.lo
+         |          THEN (sc - mm.lo) / (mm.hi - mm.lo) ELSE 0.5 END AS praw,
+         |        CAST(y AS BIGINT) AS y
+         |       FROM lab, mm),
+         |p1 AS (SELECT CAST(round(praw, 6) AS DECIMAL(7,6)) AS p, y FROM p0),
+         |b AS (SELECT CAST(least(floor(CAST(p AS DOUBLE) * 10), CAST(9 AS DOUBLE)) AS BIGINT)
+         |        AS bin,
+         |        CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         |        sum(p) AS sp,
+         |        sum(CAST((p - CAST(y AS DECIMAL(1,0))) * (p - CAST(y AS DECIMAL(1,0)))
+         |          AS DECIMAL(38,12))) AS ssq
+         |      FROM p1 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sy) AS BIGINT) AS ty FROM b),
+         |terms AS (
+         |  SELECT t.tn, t.ty, b.ssq,
+         |    CAST(CAST(b.n AS DOUBLE)
+         |      * (CAST(b.sp AS DOUBLE) / b.n - CAST(b.sy AS DOUBLE) / b.n)
+         |      * (CAST(b.sp AS DOUBLE) / b.n - CAST(b.sy AS DOUBLE) / b.n)
+         |      AS DECIMAL(38,12)) AS rel,
+         |    CAST(CAST(b.n AS DOUBLE)
+         |      * (CAST(b.sy AS DOUBLE) / b.n - CAST(t.ty AS DOUBLE) / t.tn)
+         |      * (CAST(b.sy AS DOUBLE) / b.n - CAST(t.ty AS DOUBLE) / t.tn)
+         |      AS DECIMAL(38,12)) AS res
+         |  FROM b, t)
+         |SELECT any_value(tn) AS n,
+         |  round(CAST(sum(ssq) AS DOUBLE) / any_value(tn), 6) AS brier,
+         |  round(CAST(sum(rel) AS DOUBLE) / any_value(tn), 6) AS reliability,
+         |  round(CAST(sum(res) AS DOUBLE) / any_value(tn), 6) AS resolution,
+         |  round((CAST(any_value(ty) AS DOUBLE) / any_value(tn))
+         |    * (CAST(1.0 AS DOUBLE) - CAST(any_value(ty) AS DOUBLE) / any_value(tn)), 6)
+         |    AS uncertainty
+         |FROM terms""".stripMargin,
 
     // q286: token counts → count-of-counts → the (r+1)·N_{r+1}/N_r table
     "q286_good_turing" ->

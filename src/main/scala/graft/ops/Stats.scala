@@ -1328,6 +1328,91 @@ object Stats {
           col("_s").cast("double") / 2.0), scale).as("js"))
   }
 
+  /** Hellinger distance + Bhattacharyya coefficient between two (merged)
+    * [[histPartials]] STATES on the same grid — the divergence that is a
+    * true METRIC (symmetric AND triangle-inequality, unlike PSI/KL) and
+    * stays bounded in [0,1] on disjoint supports (unlike PSI's ∞):
+    * `BC = Σ √(p_b·q_b)`, `H = √(1 − BC)`. The remaining face of the
+    * drift drawer (PSI = penalty, JS = information, EMD = distance in
+    * value units, KS = worst gap, THIS = the metric form). Per-bin
+    * √-products of exact rationals are decimal-cast before the sum
+    * (order-free); NULL on an empty side. Returns `(n_a, n_b, bc,
+    * hellinger)`.
+    */
+  def hellingerFromHists(
+      histA: DataFrame, histB: DataFrame, scale: Int = 6): DataFrame = {
+    val g = histA.select(col("bin"), col("n").as("_ca"))
+      .join(histB.select(col("bin"), col("n").as("_cb")), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val tot = g.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
+    g.crossJoin(tot)
+      .withColumn("_p",
+        when(col("n_a") > 0, col("_ca").cast("double") / col("n_a")).otherwise(0.0))
+      .withColumn("_q",
+        when(col("n_b") > 0, col("_cb").cast("double") / col("n_b")).otherwise(0.0))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(sqrt(col("_p") * col("_q")).cast("decimal(38,12)")).as("_bc"))
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("_bc").cast("double")), scale).as("bc"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          sqrt(greatest(lit(0.0), lit(1.0) - col("_bc").cast("double")))), scale)
+          .as("hellinger"))
+  }
+
+  /** Murphy decomposition of the Brier score — WHY is the model's
+    * probability bad? `Brier = REL − RES + UNC`: reliability (how far
+    * each bin's confidence sits from its realized rate — calibration
+    * error, lower better), resolution (how much the bins separate the
+    * base rate — discrimination, HIGHER better), uncertainty (the base
+    * rate's own variance — the data's floor, untouchable by the model).
+    * [[probEvalReport]] scores; this explains. Same binning discipline
+    * (probability rounded to 6 then decimal(7,6)); returns one row
+    * `(n, brier, reliability, resolution, uncertainty)` with the Brier
+    * recomputed directly from the exact per-row squares — the identity
+    * holds up to float rounding and the spec pins it.
+    *
+    * Scale shape: one scan → ≤bins partials (exact decimal sums) → a
+    * one-row base-rate attach → a ≤bins-row fold with every per-bin term
+    * decimal-cast (order-free).
+    */
+  def brierDecomposition(
+      df: DataFrame, prob: Column, label: Column, bins: Int = 10,
+      scale: Int = 6): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val p = round(prob.cast("double"), 6).cast("decimal(7,6)")
+    val d = df.select(p.as("_p"), label.cast("int").cast("long").as("_y"))
+      .where(col("_p").isNotNull && col("_y").isNotNull)
+    val diff = col("_p") - col("_y").cast("decimal(1,0)")
+    val binned = d
+      .withColumn("_bin",
+        least(floor(col("_p").cast("double") * bins), lit((bins - 1).toDouble)).cast("long"))
+      .withColumn("_sq", (diff * diff).cast("decimal(38,12)"))
+      .groupBy(col("_bin")).agg(
+        count(lit(1)).as("_n"), sum(col("_y")).as("_sy"),
+        sum(col("_p")).as("_sp"), sum(col("_sq")).as("_ssq"))
+    val tot = binned.agg(sum(col("_n")).as("n"), sum(col("_sy")).as("_ty"))
+    val conf = col("_sp").cast("double") / col("_n")
+    val acc = col("_sy").cast("double") / col("_n")
+    val base = col("_ty").cast("double") / col("n")
+    binned.crossJoin(broadcast(tot))
+      .withColumn("_rel",
+        (col("_n").cast("double") * (conf - acc) * (conf - acc)).cast("decimal(38,12)"))
+      .withColumn("_res",
+        (col("_n").cast("double") * (acc - base) * (acc - base)).cast("decimal(38,12)"))
+      .agg(first(col("n")).as("n"), first(col("_ty")).as("_ty"),
+        sum(col("_ssq")).as("_tsq"), sum(col("_rel")).as("_trel"),
+        sum(col("_res")).as("_tres"))
+      .select(col("n"),
+        round(col("_tsq").cast("double") / col("n"), scale).as("brier"),
+        round(col("_trel").cast("double") / col("n"), scale).as("reliability"),
+        round(col("_tres").cast("double") / col("n"), scale).as("resolution"),
+        round((col("_ty").cast("double") / col("n"))
+          * (lit(1.0) - col("_ty").cast("double") / col("n")), scale).as("uncertainty"))
+  }
+
   /** 1-D Wasserstein-1 (earth mover's) distance between two (merged)
     * [[histPartials]] STATES on the same `[lo, hi)`×`bins` grid — the
     * drift score that knows HOW FAR mass moved, where PSI/JS only know

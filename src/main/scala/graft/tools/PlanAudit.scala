@@ -85,7 +85,9 @@ object PlanAudit {
     "q276_changepoint",           // one-row series-totals crossJoin (scalar-attach class)
     "q279_rrf_fusion",            // q54's one-row corpus-scalar (N/Σdl) attach inside the BM25 leg
     "q285_salt_plan",             // one-row table-total crossJoin (scalar-attach class)
-    "q286_good_turing"            // one-row token-total crossJoin (scalar-attach class)
+    "q286_good_turing",           // one-row token-total crossJoin (scalar-attach class)
+    "q288_hellinger",             // one-row side-totals crossJoin (the q231/q232 state class)
+    "q289_brier_decomp"           // one-row min/max + base-rate attaches (the q260 class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

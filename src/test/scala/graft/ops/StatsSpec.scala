@@ -1174,6 +1174,37 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("hellingerFromHists: identical states → 0; disjoint supports → exactly 1") {
+    import spark.implicits._
+    val a = Seq((0L, 5L), (1L, 5L)).toDF("bin", "n")
+    val b = Seq((2L, 3L), (3L, 7L)).toDF("bin", "n")
+    val same = Stats.hellingerFromHists(a, a).collect().head
+    assert(same.getDouble(2) == 1.0 && same.getDouble(3) == 0.0)
+    val disj = Stats.hellingerFromHists(a, b).collect().head
+    assert(disj.getDouble(2) == 0.0 && disj.getDouble(3) == 1.0)
+    // half-overlap hand value: p=(.5,.5,0), q=(0,.5,.5) → BC=.5, H=√.5
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c = Seq((1L, 5L), (2L, 5L)).toDF("bin", "n")
+    val half = Stats.hellingerFromHists(a, c).collect().head
+    assert(half.getDouble(2) == 0.5 && half.getDouble(3) == r6(math.sqrt(0.5)))
+  }
+
+  test("brierDecomposition: Murphy identity holds on a hand panel; perfect model has 0 REL") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // two bins: p=0.25 (1 of 4 positive — perfectly calibrated),
+    // p=0.75 (3 of 4 positive — perfectly calibrated)
+    val rows = Seq((0.25, true), (0.25, false), (0.25, false), (0.25, false),
+      (0.75, true), (0.75, true), (0.75, true), (0.75, false))
+    val r = Stats.brierDecomposition(rows.toDF("p", "y"), col("p"), col("y")).collect().head
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(2) == 0.0) // calibrated → zero reliability penalty
+    assert(r.getDouble(4) == 0.25) // base rate 1/2 → UNC = .25
+    // Murphy: brier = REL − RES + UNC
+    assert(math.abs(r.getDouble(1) - (r.getDouble(2) - r.getDouble(3) + r.getDouble(4))) < 2e-6)
+    assert(r.getDouble(1) == r6((3 * 0.0625 + 0.5625 + 3 * 0.0625 + 0.5625) / 8))
+  }
+
   test("cochranQ: textbook panel; unbalanced panel → NULL with the flag down") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
