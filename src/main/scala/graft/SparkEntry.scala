@@ -205,6 +205,33 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // overdispersion check: is each event type's hourly volume Poisson
+    // (vmr≈1) or bursty? — the alert-band sizing prerequisite
+    "q290_dispersion" -> ((s, dir) => {
+      val hours = E(s, dir)
+        .select(col("event_type"), expr("ts div 3600000000000").as("h"))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
+      val axis = hours.agg(min(col("h")).as("_lo"), max(col("h")).as("_hi"))
+        .select(explode(sequence(col("_lo"), col("_hi"))).as("t"))
+      val dense = hours.select(col("event_type")).distinct()
+        .crossJoin(broadcast(axis))
+        .join(hours.withColumnRenamed("h", "t"), Seq("event_type", "t"), "left")
+        .select(col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+      graft.ops.Stats.dispersionIndex(dense,
+        value = col("x"), strataCols = Seq("event_type"))
+    }),
+
+    // Chapman capture–recapture: estimate the distinct-token universe
+    // from two independent 20% hash samples — no full countDistinct scan
+    "q291_capture_recapture" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "").distinct()
+      val a = toks.where(graft.ops.Sampling.bucket(col("tok"), 7, activeHash) < 200000L)
+      val b = toks.where(graft.ops.Sampling.bucket(col("tok"), 8, activeHash) < 200000L)
+      graft.ops.Stats.captureRecapture(a, b)
+    }),
+
     // Hellinger + Bhattacharyya from the q231 histogram states — the
     // metric-form divergence completing the drift drawer
     "q288_hellinger" -> ((s, dir) => {
@@ -3927,6 +3954,65 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q290: the q275 dense axis → exact decimal moments → vmr and the
+    // chi-square dispersion statistic in pinned scalar order
+    "q290_dispersion" ->
+      """WITH hh AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h FROM events),
+        |c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS x FROM hh GROUP BY 1, 2),
+        |bb AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+        |axis AS (SELECT unnest(range(bb.lo, bb.hi + 1)) AS t FROM bb),
+        |ty AS (SELECT DISTINCT event_type FROM c),
+        |dense AS (
+        |  SELECT ty.event_type, CAST(coalesce(c.x, 0) AS DOUBLE) AS x
+        |  FROM ty CROSS JOIN axis
+        |  LEFT JOIN c ON c.event_type = ty.event_type AND c.h = axis.t),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(x AS DECIMAL(38,12))) AS sx,
+        |        sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
+        |      FROM dense GROUP BY 1),
+        |m2 AS (SELECT event_type, n,
+        |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS variance
+        |      FROM a)
+        |SELECT event_type, n, round(mean, 6) AS mean,
+        |  round(CASE WHEN n > 1 THEN variance END, 6) AS variance,
+        |  round(CASE WHEN n > 1 AND mean > 0 THEN variance / mean END, 6) AS vmr,
+        |  round(CASE WHEN n > 1 AND mean > 0
+        |    THEN (CAST(n AS DOUBLE) - 1) * variance / mean END, 6) AS d
+        |FROM m2""".stripMargin,
+
+    // q291: two md5-sampled token sets → exact overlap → Chapman N̂ ± CI
+    "q291_capture_recapture" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT tok FROM (
+         |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |    FROM documents) WHERE tok <> ''),
+         |sa AS (SELECT tok FROM toks
+         |       WHERE ${md5l("'7:' || tok")} % 1000000 < 200000),
+         |sb AS (SELECT tok FROM toks
+         |       WHERE ${md5l("'8:' || tok")} % 1000000 < 200000),
+         |cnts AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sa) AS n_a,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sb) AS n_b,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sa
+         |     WHERE tok IN (SELECT tok FROM sb)) AS m),
+         |est AS (SELECT n_a, n_b, m,
+         |    CAST(CAST(n_a + 1 AS DECIMAL(20,0)) * CAST(n_b + 1 AS DECIMAL(20,0)) AS DOUBLE)
+         |      / CAST(m + 1 AS DOUBLE) - CAST(1.0 AS DOUBLE) AS nh,
+         |    CAST(CAST(n_a + 1 AS DECIMAL(20,0)) * CAST(n_b + 1 AS DECIMAL(20,0)) AS DOUBLE)
+         |      * CAST(CAST(n_a - m AS DECIMAL(20,0)) * CAST(n_b - m AS DECIMAL(20,0)) AS DOUBLE)
+         |      / (CAST(CAST(m + 1 AS DECIMAL(20,0)) * CAST(m + 1 AS DECIMAL(20,0)) AS DOUBLE)
+         |        * CAST(m + 2 AS DOUBLE)) AS vn,
+         |    CAST(1.959963984540054 AS DOUBLE) AS zq
+         |  FROM cnts)
+         |SELECT n_a, n_b, m, round(nh, 6) AS n_hat,
+         |  round(nh - zq * sqrt(vn), 6) AS lo,
+         |  round(nh + zq * sqrt(vn), 6) AS hi
+         |FROM est""".stripMargin,
 
     // q288: the q231 grid → per-bin √(p·q) decimal-summed → BC and H
     "q288_hellinger" ->

@@ -2508,6 +2508,84 @@ object Stats {
     * contract (per-bucket counts, never raw events); pairs with equal x
     * are excluded (no time order — standard MK).
     */
+  /** Index of dispersion — is a count series Poisson-ish (variance ≈
+    * mean), or does it burst (variance ≫ mean — the overdispersion that
+    * invalidates Poisson rate assumptions and argues for negative-
+    * binomial modeling / wider alert bands)? Per stratum over a bucketed
+    * count series: `(strata…, n, mean, variance, vmr, d)` with the
+    * sample variance, `vmr = s²/x̄` (≈1 Poisson, >1 bursty, <1 regular)
+    * and `d = (n−1)·s²/x̄` (the χ²_{n−1} dispersion statistic). NULL
+    * ratios on a zero-mean or singleton stratum.
+    *
+    * Exact decimal moments (the [[linearFit]] discipline: Σx, Σx² exact,
+    * only the closed-form ratios drop to pinned doubles); one
+    * partial-aggregated |strata|-row shuffle.
+    */
+  def dispersionIndex(
+      df: DataFrame,
+      value: Column,
+      strataCols: Seq[String] = Nil,
+      scale: Int = 6): DataFrame = {
+    val gs = strataCols.map(col)
+    val base = df.select(gs :+ value.cast("double").as("_x"): _*)
+      .where(col("_x").isNotNull)
+    val agg = base.groupBy(gs: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("_x").cast("decimal(38,12)")).as("_sx"),
+      sum((col("_x") * col("_x")).cast("decimal(38,12)")).as("_sxx"))
+    val n = col("n").cast("double")
+    val sx = col("_sx").cast("double"); val sxx = col("_sxx").cast("double")
+    val mean = sx / n
+    val variance = (n * sxx - sx * sx) / (n * (n - 1))
+    agg.select(gs ++ Seq(col("n"),
+      round(mean, scale).as("mean"),
+      round(when(col("n") > 1, variance), scale).as("variance"),
+      round(when(col("n") > 1 && mean > 0, variance / mean), scale).as("vmr"),
+      round(when(col("n") > 1 && mean > 0, (n - 1) * variance / mean), scale)
+        .as("d")): _*)
+  }
+
+  /** Chapman capture–recapture estimate — "how big is the universe, from
+    * two overlapping samples?" (`N̂ = (n_A+1)(n_B+1)/(m+1) − 1` with the
+    * small-sample bias correction): the mark-recapture estimator the
+    * ecology literature built, applied here to corpus unknowns — feed it
+    * two INDEPENDENT hash samples of distinct keys (different seeds!)
+    * and it estimates the distinct-key total without a full-scan
+    * countDistinct; the third family next to Good–Turing (frequency
+    * smoothing) and HLL (sketch cardinality). Returns one row
+    * `(n_a, n_b, m, n_hat, lo, hi)` with the 95% normal interval off
+    * Chapman's variance. NULL estimate when the samples don't overlap
+    * (m = 0 still yields the finite Chapman value; the VARIANCE guards
+    * itself).
+    *
+    * Inputs are key frames (one column); counts and the overlap are
+    * exact (two distinct-collapses + one equi-join), the estimator is
+    * pinned scalar IEEE off exact integers.
+    */
+  def captureRecapture(
+      sampleA: DataFrame,
+      sampleB: DataFrame,
+      scale: Int = 6): DataFrame = {
+    val a = sampleA.toDF("_k").distinct()
+    val b = sampleB.toDF("_k").distinct()
+    val ca = a.agg(count(lit(1)).as("n_a"))
+    val cb = b.agg(count(lit(1)).as("n_b"))
+    val cm = a.join(b, Seq("_k"), "left_semi").agg(count(lit(1)).as("m"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val nhat = (dec(col("n_a") + 1) * dec(col("n_b") + 1)).cast("double")
+      ./((col("m") + 1).cast("double")) - lit(1.0)
+    val varN = (dec(col("n_a") + 1) * dec(col("n_b") + 1)).cast("double")
+      .*((dec(col("n_a") - col("m")) * dec(col("n_b") - col("m"))).cast("double"))
+      ./(((dec(col("m") + 1) * dec(col("m") + 1)).cast("double")
+        * (col("m") + 2).cast("double")))
+    val z = 1.959963984540054
+    ca.crossJoin(cb).crossJoin(cm)
+      .select(col("n_a"), col("n_b"), col("m"),
+        round(nhat, scale).as("n_hat"),
+        round(nhat - lit(z) * sqrt(varN), scale).as("lo"),
+        round(nhat + lit(z) * sqrt(varN), scale).as("hi"))
+  }
+
   /** Cochran's Q — [[mcnemarTest]] generalized to k paired classifiers:
     * "do these k models have the same accuracy on the SAME examples?"
     * (running k² pairwise McNemars inflates the false-positive rate; Q is

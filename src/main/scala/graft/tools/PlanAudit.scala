@@ -87,7 +87,9 @@ object PlanAudit {
     "q285_salt_plan",             // one-row table-total crossJoin (scalar-attach class)
     "q286_good_turing",           // one-row token-total crossJoin (scalar-attach class)
     "q288_hellinger",             // one-row side-totals crossJoin (the q231/q232 state class)
-    "q289_brier_decomp"           // one-row min/max + base-rate attaches (the q260 class)
+    "q289_brier_decomp",          // one-row min/max + base-rate attaches (the q260 class)
+    "q290_dispersion",            // types × hour-axis dense fill (the q275 bounded class)
+    "q291_capture_recapture"      // three one-row count frames crossJoined (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -1174,6 +1174,39 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("dispersionIndex: Poisson-like vs bursty vs constant series") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // regular: 2,2,2,2 → var 0, vmr 0; bursty: 0,0,0,8 → mean 2, var 16, vmr 8
+    val rows = Seq.fill(4)(("flat", 2.0)) ++ Seq(("burst", 0.0), ("burst", 0.0),
+      ("burst", 0.0), ("burst", 8.0))
+    val got = Stats.dispersionIndex(rows.toDF("g", "x"), col("x"), Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(got("flat") == ((4L, 2.0, 0.0, 0.0)))
+    assert(got("burst") == ((4L, 2.0, 16.0, 8.0)))
+    // d = (n−1)·vmr
+    val d = Stats.dispersionIndex(rows.toDF("g", "x"), col("x"), Seq("g"))
+      .where(col("g") === "burst").collect().head.getDouble(5)
+    assert(d == r6(3.0 * 8.0))
+  }
+
+  test("captureRecapture: Chapman on hand samples; estimate brackets a known universe") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // universe 1..100; A = 1..40, B = 25..60 → m = 16
+    val a = (1 to 40).map(_.toLong).toDF("k")
+    val b = (25 to 60).map(_.toLong).toDF("k")
+    val r = Stats.captureRecapture(a, b).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((40L, 36L, 16L)))
+    val nhat = 41.0 * 37 / 17 - 1
+    assert(r.getDouble(3) == r6(nhat))
+    // the 95% band brackets the true N = 100 on this overlap
+    assert(r.getDouble(4) < 100.0 && 100.0 < r.getDouble(5))
+    graft.Caches.clear()
+  }
+
   test("hellingerFromHists: identical states → 0; disjoint supports → exactly 1") {
     import spark.implicits._
     val a = Seq((0L, 5L), (1L, 5L)).toDF("bin", "n")
