@@ -205,6 +205,21 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // resharding migration plan: 3 → 4 rendezvous shards — every moved
+    // key lands on the NEW shard (HRW's minimal-disruption contract)
+    "q292_reshard_plan" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      val before = graft.ops.Sampling.rendezvousAssign(
+        docs, col("doc_id"), Seq("s0", "s1", "s2"), hash = activeHash)
+        .withColumnRenamed("shard", "shard_old")
+      val after = graft.ops.Sampling.rendezvousAssign(
+        docs, col("doc_id"), Seq("s0", "s1", "s2", "s3"), hash = activeHash)
+        .withColumnRenamed("shard", "shard_new")
+      before.join(after, Seq("doc_id"))
+        .select(col("doc_id"), col("shard_old"), col("shard_new"),
+          (col("shard_old") =!= col("shard_new")).as("moved"))
+    }),
+
     // overdispersion check: is each event type's hourly volume Poisson
     // (vmr≈1) or bursty? — the alert-band sizing prerequisite
     "q290_dispersion" -> ((s, dir) => {
@@ -3954,6 +3969,32 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q292: both CASE chains of the q284 argmax, joined per key
+    "q292_reshard_plan" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    ${md5l("'42:' || 's0#' || CAST(doc_id AS VARCHAR)")} AS h0,
+         |    ${md5l("'42:' || 's1#' || CAST(doc_id AS VARCHAR)")} AS h1,
+         |    ${md5l("'42:' || 's2#' || CAST(doc_id AS VARCHAR)")} AS h2,
+         |    ${md5l("'42:' || 's3#' || CAST(doc_id AS VARCHAR)")} AS h3
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN h0 = greatest(h0, h1, h2) THEN 's0'
+         |       WHEN h1 = greatest(h0, h1, h2) THEN 's1'
+         |       ELSE 's2' END AS shard_old,
+         |  CASE WHEN h0 = greatest(h0, h1, h2, h3) THEN 's0'
+         |       WHEN h1 = greatest(h0, h1, h2, h3) THEN 's1'
+         |       WHEN h2 = greatest(h0, h1, h2, h3) THEN 's2'
+         |       ELSE 's3' END AS shard_new,
+         |  (CASE WHEN h0 = greatest(h0, h1, h2) THEN 's0'
+         |        WHEN h1 = greatest(h0, h1, h2) THEN 's1'
+         |        ELSE 's2' END
+         |   <> CASE WHEN h0 = greatest(h0, h1, h2, h3) THEN 's0'
+         |           WHEN h1 = greatest(h0, h1, h2, h3) THEN 's1'
+         |           WHEN h2 = greatest(h0, h1, h2, h3) THEN 's2'
+         |           ELSE 's3' END) AS moved
+         |FROM sc""".stripMargin,
 
     // q290: the q275 dense axis → exact decimal moments → vmr and the
     // chi-square dispersion statistic in pinned scalar order
