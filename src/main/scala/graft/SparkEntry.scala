@@ -205,6 +205,22 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // Mantel–Haenszel: controlling for language, do even-hash sources
+    // produce long documents? — the stratified 2×2 pooled honestly
+    "q293_mantel_haenszel" -> ((s, dir) =>
+      graft.ops.Stats.mantelHaenszel(
+        T(s, dir, "documents"),
+        stratum = col("lang"),
+        treated = graft.ops.Sampling.bucket(col("source"), 9, activeHash) % 2 === 0,
+        outcome = col("n_chars") >= 500)),
+
+    // near-zero-variance screen over the document metadata columns —
+    // which features are constants in disguise?
+    "q294_nzv" -> ((s, dir) =>
+      graft.ops.Stats.nzvScreen(
+        T(s, dir, "documents").withColumn("has_text", col("text").isNotNull),
+        cols = Seq("lang", "source", "n_chars", "has_text"))),
+
     // resharding migration plan: 3 → 4 rendezvous shards — every moved
     // key lands on the NEW shard (HRW's minimal-disruption contract)
     "q292_reshard_plan" -> ((s, dir) => {
@@ -3969,6 +3985,67 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q293: per-language 2×2 cells → decimal-summed ad/n and bc/n
+    "q293_mantel_haenszel" ->
+      s"""WITH d AS (
+         |  SELECT lang AS s,
+         |    ((${md5l("'9:' || source")} % 1000000) % 2 = 0) AS t,
+         |    (n_chars >= 500) AS y
+         |  FROM documents
+         |  WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL),
+         |cells AS (
+         |  SELECT s,
+         |    CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN t AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN NOT t AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM d GROUP BY 1),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_strata, CAST(sum(n) AS BIGINT) AS n,
+         |    sum(CAST(CAST(a * dd AS DOUBLE) / n AS DECIMAL(38,12))) AS ad,
+         |    sum(CAST(CAST(b * c AS DOUBLE) / n AS DECIMAL(38,12))) AS bc
+         |  FROM cells)
+         |SELECT n_strata, n,
+         |  round(CAST(ad AS DOUBLE), 6) AS sum_ad,
+         |  round(CAST(bc AS DOUBLE), 6) AS sum_bc,
+         |  round(CASE WHEN CAST(bc AS DOUBLE) > 0
+         |    THEN CAST(ad AS DOUBLE) / CAST(bc AS DOUBLE) END, 6) AS or_mh
+         |FROM agg""".stripMargin,
+
+    // q294: one counts leg per column, top-2 via LIMIT 2, caret's rule
+    "q294_nzv" ->
+      """WITH c1 AS (SELECT lang AS v, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd FROM c1),
+        |p1 AS (SELECT max(n) AS x1, CASE WHEN count(*) = 2 THEN min(n) END AS x2
+        |       FROM (SELECT n FROM c1 ORDER BY n DESC LIMIT 2)),
+        |l1 AS (SELECT 'lang' AS col, t1.n, t1.nd, round(CAST(x1 AS DOUBLE) / x2, 6) AS fr,
+        |         round(CAST(nd AS DOUBLE) / t1.n, 6) AS pu FROM t1, p1),
+        |c2 AS (SELECT source AS v, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd FROM c2),
+        |p2 AS (SELECT max(n) AS x1, CASE WHEN count(*) = 2 THEN min(n) END AS x2
+        |       FROM (SELECT n FROM c2 ORDER BY n DESC LIMIT 2)),
+        |l2 AS (SELECT 'source' AS col, t2.n, t2.nd, round(CAST(x1 AS DOUBLE) / x2, 6) AS fr,
+        |         round(CAST(nd AS DOUBLE) / t2.n, 6) AS pu FROM t2, p2),
+        |c3 AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t3 AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd FROM c3),
+        |p3 AS (SELECT max(n) AS x1, CASE WHEN count(*) = 2 THEN min(n) END AS x2
+        |       FROM (SELECT n FROM c3 ORDER BY n DESC LIMIT 2)),
+        |l3 AS (SELECT 'n_chars' AS col, t3.n, t3.nd, round(CAST(x1 AS DOUBLE) / x2, 6) AS fr,
+        |         round(CAST(nd AS DOUBLE) / t3.n, 6) AS pu FROM t3, p3),
+        |c4 AS (SELECT (text IS NOT NULL) AS v, CAST(count(*) AS BIGINT) AS n
+        |       FROM documents GROUP BY 1),
+        |t4 AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd FROM c4),
+        |p4 AS (SELECT max(n) AS x1, CASE WHEN count(*) = 2 THEN min(n) END AS x2
+        |       FROM (SELECT n FROM c4 ORDER BY n DESC LIMIT 2)),
+        |l4 AS (SELECT 'has_text' AS col, t4.n, t4.nd, round(CAST(x1 AS DOUBLE) / x2, 6) AS fr,
+        |         round(CAST(nd AS DOUBLE) / t4.n, 6) AS pu FROM t4, p4),
+        |u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+        |      UNION ALL SELECT * FROM l3 UNION ALL SELECT * FROM l4)
+        |SELECT col AS "column", n, nd AS n_distinct, fr AS freq_ratio, pu AS pct_unique,
+        |  (fr IS NOT NULL AND fr > 19.0 AND pu < 0.1) AS nzv
+        |FROM u""".stripMargin,
 
     // q292: both CASE chains of the q284 argmax, joined per key
     "q292_reshard_plan" ->

@@ -2508,6 +2508,85 @@ object Stats {
     * contract (per-bucket counts, never raw events); pairs with equal x
     * are excluded (no time order — standard MK).
     */
+  /** Mantel–Haenszel pooled odds ratio — the Simpson's-paradox-safe way
+    * to combine a 2×2 (treated × outcome) question ACROSS strata: the
+    * crude pooled table can reverse direction when strata differ in mix
+    * ([[twoProportionTest]] reads one table; this reads many honestly):
+    * `OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ)` over per-stratum cells
+    * `(a=t∧y, b=t∧¬y, c=¬t∧y, d=¬t∧¬y)`. Returns one row
+    * `(n_strata, n, sum_ad, sum_bc, or_mh)` — NULL when the denominator
+    * is 0 (no discordant control-side evidence).
+    *
+    * One cells shuffle on the stratum key (output |strata| rows), each
+    * rational term decimal-cast before the sums (order-free), one scalar
+    * quotient.
+    */
+  def mantelHaenszel(
+      df: DataFrame,
+      stratum: Column,
+      treated: Column,
+      outcome: Column,
+      scale: Int = 6): DataFrame = {
+    val base = df.select(stratum.as("_s"),
+      treated.cast("boolean").as("_t"), outcome.cast("boolean").as("_y"))
+      .where(col("_s").isNotNull && col("_t").isNotNull && col("_y").isNotNull)
+    val cells = base.groupBy(col("_s")).agg(
+      sum(when(col("_t") && col("_y"), 1L).otherwise(0L)).as("_a"),
+      sum(when(col("_t") && !col("_y"), 1L).otherwise(0L)).as("_b"),
+      sum(when(!col("_t") && col("_y"), 1L).otherwise(0L)).as("_c"),
+      sum(when(!col("_t") && !col("_y"), 1L).otherwise(0L)).as("_d"),
+      count(lit(1)).as("_n"))
+    cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("_n")).as("n"),
+      sum(((col("_a") * col("_d")).cast("double") / col("_n"))
+        .cast("decimal(38,12)")).as("_ad"),
+      sum(((col("_b") * col("_c")).cast("double") / col("_n"))
+        .cast("decimal(38,12)")).as("_bc"))
+      .select(col("n_strata"), col("n"),
+        round(col("_ad").cast("double"), scale).as("sum_ad"),
+        round(col("_bc").cast("double"), scale).as("sum_bc"),
+        round(when(col("_bc").cast("double") > 0,
+          col("_ad").cast("double") / col("_bc").cast("double")), scale).as("or_mh"))
+  }
+
+  /** Near-zero-variance feature screen (the caret `nearZeroVar` rule) —
+    * which columns carry no usable signal? Per listed column:
+    * `(column, n, n_distinct, freq_ratio, pct_unique, nzv)` where
+    * `freq_ratio` = most-common count over second-most-common (ties at
+    * the top give exactly 1; single-valued columns give NULL) and
+    * `nzv = freq_ratio > 19 ∧ pct_unique < 0.1` — a dominant mode plus a
+    * tiny vocabulary means the feature is a constant in disguise.
+    *
+    * One partial-aggregated shuffle per column (a bounded union of
+    * |cols| legs), each leg's top-2 via TakeOrdered on the collapsed
+    * value-counts frame — the top-2 COUNT VALUES are order-unique even
+    * when the keys tie. Exact integers; two scalar quotients per row.
+    */
+  def nzvScreen(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "nzvScreen needs at least one column")
+    val legs = cols.map { c =>
+      val counts = graft.Caches.track(
+        df.select(col(c).as("_v")).groupBy(col("_v")).agg(count(lit(1)).as("_n")))
+      val tot = counts.agg(
+        sum(col("_n")).as("n"), count(lit(1)).as("n_distinct"))
+      val top2 = counts.orderBy(col("_n").desc).limit(2)
+        .agg(max(col("_n")).as("_t1"),
+          when(count(lit(1)) === 2, min(col("_n"))).as("_t2"))
+      tot.crossJoin(top2).select(
+        lit(c).as("column"), col("n"), col("n_distinct"),
+        round(col("_t1").cast("double") / col("_t2"), scale).as("freq_ratio"),
+        round(col("n_distinct").cast("double") / col("n"), scale).as("pct_unique"))
+    }
+    legs.reduce(_ unionByName _)
+      .withColumn("nzv",
+        col("freq_ratio").isNotNull && col("freq_ratio") > 19.0
+          && col("pct_unique") < 0.1)
+  }
+
   /** Index of dispersion — is a count series Poisson-ish (variance ≈
     * mean), or does it burst (variance ≫ mean — the overdispersion that
     * invalidates Poisson rate assumptions and argues for negative-

@@ -1174,6 +1174,42 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("mantelHaenszel: recovers a common OR the crude pooled table reverses") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // stratum A: a=9 b=1 c=6 d=4 (OR 6); stratum B: a=4 b=6 c=1 d=9 (OR 6)
+    def cells(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val df = (cells("A", 9, 1, 6, 4) ++ cells("B", 4, 6, 1, 9)).toDF("s", "t", "y")
+    val r = Stats.mantelHaenszel(df, col("s"), col("t"), col("y")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 40L)
+    // OR_MH = (9·4/20 + 4·9/20) / (1·6/20 + 6·1/20) = 3.6/0.6 = 6
+    assert(r.getDouble(4) == r6(3.6 / 0.6))
+    // no control-side discordance → NULL, not a blowup
+    val degenerate = cells("A", 3, 0, 2, 0).toDF("s", "t", "y")
+    assert(Stats.mantelHaenszel(degenerate, col("s"), col("t"), col("y"))
+      .collect().head.isNullAt(4))
+  }
+
+  test("nzvScreen: dominant-mode column flagged; ties at the top give ratio 1") {
+    import spark.implicits._
+    val df = (1 to 100).map { i =>
+      (i.toLong, if (i <= 98) "x" else s"y$i", if (i % 2 == 0) "a" else "b")
+    }.toDF("id", "dominated", "balanced")
+    val got = Stats.nzvScreen(df, Seq("id", "dominated", "balanced"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3), r.getBoolean(5)))).toMap
+    // dominated: 98 vs 1 → ratio 98, 3 distinct of 100 → nzv
+    assert(got("dominated") == ((100L, 3L, 98.0, true)))
+    // balanced: 50 vs 50 → ratio 1 → keep
+    assert(got("balanced") == ((100L, 2L, 1.0, false)))
+    // id: unique everywhere → ratio 1, pct_unique 1 → keep
+    assert(got("id")._3 == 1.0 && !got("id")._4)
+    graft.Caches.clear()
+  }
+
   test("dispersionIndex: Poisson-like vs bursty vs constant series") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
