@@ -205,6 +205,28 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"), k = 30,
         strataCols = Seq("lang"))),
 
+    // covariate balance of the q293 arms: is the even-hash split actually
+    // balanced on length/tokens? |SMD| ≤ 0.1 is the health bar
+    "q295_smd_balance" -> ((s, dir) =>
+      graft.ops.Stats.smdBalance(
+        T(s, dir, "documents"),
+        treated = graft.ops.Sampling.bucket(col("source"), 9, activeHash) % 2 === 0,
+        covariates = Seq(
+          "n_chars" -> col("n_chars"),
+          "n_tokens" -> size(split(lower(trim(col("text"))), "\\s+")).cast("long")))),
+
+    // CUPED: how much post-period activity variance does the pre-period
+    // explain? — the experiment-sensitivity multiplier
+    "q296_cuped" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val m0 = days.agg(min(col("day")).as("_m0"))
+      val per = days.crossJoin(broadcast(m0))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("_m0") + 15, 1L).otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("_m0") + 15, 1L).otherwise(0L)).as("y"))
+      graft.ops.Stats.cuped(per, metric = col("y"), covariate = col("x"))
+    }),
+
     // Mantel–Haenszel: controlling for language, do even-hash sources
     // produce long documents? — the stratified 2×2 pooled honestly
     "q293_mantel_haenszel" -> ((s, dir) =>
@@ -3985,6 +4007,88 @@ object SparkEntry {
         |SELECT lang, CAST(30 AS INT) AS k, x_tail, hill,
         |  round(CASE WHEN hill > 0 THEN CAST(1.0 AS DOUBLE) / hill END, 6) AS alpha
         |FROM h""".stripMargin,
+
+    // q295: two unioned covariate legs → conditional decimal moments per
+    // arm → the pooled-SD standardized difference
+    "q295_smd_balance" ->
+      s"""WITH base AS (
+         |  SELECT ((${md5l("'9:' || source")} % 1000000) % 2 = 0) AS t,
+         |    n_chars, text
+         |  FROM documents WHERE source IS NOT NULL),
+         |ex AS (
+         |  SELECT 'n_chars' AS k, t, CAST(n_chars AS DOUBLE) AS v FROM base
+         |    WHERE n_chars IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'n_tokens', t,
+         |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE)
+         |  FROM base WHERE text IS NOT NULL),
+         |a AS (
+         |  SELECT k,
+         |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         |    sum(CAST(CASE WHEN t THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS sxt,
+         |    sum(CAST(CASE WHEN NOT t THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS sxc,
+         |    sum(CAST(CASE WHEN t THEN v * v ELSE 0.0 END AS DECIMAL(38,12))) AS qxt,
+         |    sum(CAST(CASE WHEN NOT t THEN v * v ELSE 0.0 END AS DECIMAL(38,12))) AS qxc
+         |  FROM ex GROUP BY 1),
+         |m AS (
+         |  SELECT k, n_t, n_c,
+         |    CAST(sxt AS DOUBLE) / n_t AS mt, CAST(sxc AS DOUBLE) / n_c AS mc,
+         |    (CAST(n_t AS DOUBLE) * CAST(qxt AS DOUBLE)
+         |      - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE))
+         |      / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1)) AS vt,
+         |    (CAST(n_c AS DOUBLE) * CAST(qxc AS DOUBLE)
+         |      - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE))
+         |      / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1)) AS vc
+         |  FROM a),
+         |s2 AS (
+         |  SELECT k, n_t, n_c, mt, mc,
+         |    round(CASE WHEN n_t > 1 AND n_c > 1 AND sqrt((vt + vc) / 2.0) > 0
+         |      THEN (mt - mc) / sqrt((vt + vc) / 2.0) END, 6) AS smd
+         |  FROM m)
+         |SELECT k AS covariate, n_t, n_c,
+         |  round(mt, 6) AS mean_t, round(mc, 6) AS mean_c, smd,
+         |  (abs(smd) <= 0.1) AS balanced
+         |FROM s2""".stripMargin,
+
+    // q296: per-user pre/post activity split at day 15 → five exact
+    // moments → theta / var_adj / rho² in pinned scalar order
+    "q296_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |m0 AS (SELECT min(day) AS d0 FROM e),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN day < m0.d0 + 15 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN day >= m0.d0 + 15 THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM e, m0 GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(CAST(y AS DOUBLE) AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,12))) AS syy,
+        |    sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,12))) AS sxy
+        |  FROM per),
+        |f AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+        |  FROM a)
+        |SELECT n,
+        |  round(CASE WHEN varxn > 0 THEN covn / varxn END, 6) AS theta,
+        |  round(CASE WHEN n > 1
+        |    THEN varyn / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) END, 6) AS var_y,
+        |  round(CASE WHEN n > 1 AND varxn > 0
+        |    THEN (varyn - covn * covn / varxn)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) END, 6) AS var_adj,
+        |  round(CASE WHEN n > 1 AND varxn > 0 AND varyn > 0
+        |    THEN covn * covn / (varxn * varyn) END, 6) AS reduction
+        |FROM f""".stripMargin,
 
     // q293: per-language 2×2 cells → decimal-summed ad/n and bc/n
     "q293_mantel_haenszel" ->

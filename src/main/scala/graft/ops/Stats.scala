@@ -2508,6 +2508,103 @@ object Stats {
     * contract (per-bucket counts, never raw events); pairs with equal x
     * are excluded (no time order — standard MK).
     */
+  /** Standardized-mean-difference covariate balance check — is the A/B
+    * split actually balanced on what matters? Per covariate,
+    * `SMD = (x̄_t − x̄_c) / √((s²_t + s²_c)/2)` — the unit-free imbalance
+    * score (|SMD| > 0.1 is the conventional re-randomize/stratify
+    * trigger). Returns one row per covariate:
+    * `(covariate, n_t, n_c, mean_t, mean_c, smd, balanced)`.
+    *
+    * Scale shape: covariates ride ONE struct explode (map-side), so the
+    * whole check is a single partial-aggregated shuffle on the covariate
+    * key with |covariates| output rows — never one scan per covariate.
+    * Exact decimal moments per arm (the [[linearFit]] discipline);
+    * pinned scalar SMD; NULL where an arm is degenerate (n < 2 or zero
+    * pooled variance).
+    */
+  def smdBalance(
+      df: DataFrame,
+      treated: Column,
+      covariates: Seq[(String, Column)],
+      threshold: Double = 0.1,
+      scale: Int = 6): DataFrame = {
+    require(covariates.nonEmpty, "smdBalance needs at least one covariate")
+    val exploded = df.select(treated.cast("boolean").as("_t"),
+      explode(array(covariates.map { case (n, c) =>
+        struct(lit(n).as("k"), c.cast("double").as("v"))
+      }: _*)).as("_s"))
+      .select(col("_t"), col("_s.k").as("_k"), col("_s.v").as("_v"))
+      .where(col("_t").isNotNull && col("_v").isNotNull)
+    val agg = exploded.groupBy(col("_k")).agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(!col("_t"), 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("_t"), col("_v")).otherwise(0.0).cast("decimal(38,12)")).as("_sxt"),
+      sum(when(!col("_t"), col("_v")).otherwise(0.0).cast("decimal(38,12)")).as("_sxc"),
+      sum(when(col("_t"), col("_v") * col("_v")).otherwise(0.0)
+        .cast("decimal(38,12)")).as("_qxt"),
+      sum(when(!col("_t"), col("_v") * col("_v")).otherwise(0.0)
+        .cast("decimal(38,12)")).as("_qxc"))
+    def mean(s: Column, n: Column) = s.cast("double") / n
+    def svar(q: Column, s: Column, n: Column) = {
+      val nd = n.cast("double")
+      (nd * q.cast("double") - s.cast("double") * s.cast("double")) / (nd * (nd - 1))
+    }
+    val mt = mean(col("_sxt"), col("n_t")); val mc = mean(col("_sxc"), col("n_c"))
+    val vt = svar(col("_qxt"), col("_sxt"), col("n_t"))
+    val vc = svar(col("_qxc"), col("_sxc"), col("n_c"))
+    val pooled = sqrt((vt + vc) / 2.0)
+    val smd = when(col("n_t") > 1 && col("n_c") > 1 && pooled > 0, (mt - mc) / pooled)
+    agg.select(col("_k").as("covariate"), col("n_t"), col("n_c"),
+      round(mt, scale).as("mean_t"), round(mc, scale).as("mean_c"),
+      round(smd, scale).as("smd"),
+      (abs(round(smd, scale)) <= threshold).as("balanced"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) — shrink an experiment
+    * metric's variance with a PRE-period covariate: adjusting
+    * `y' = y − θ(x − x̄)` with `θ = cov(x,y)/var(x)` removes exactly the
+    * variance the covariate explains (`var(y') = var(y)·(1 − ρ²)`), so
+    * the same experiment detects effects √(1−ρ²) smaller — the cheapest
+    * sensitivity win in A/B practice. Returns one row
+    * `(n, theta, var_y, var_adj, reduction)` — `reduction` is ρ², the
+    * fraction of metric variance the pre-period explains.
+    *
+    * One pass, five exact decimal moment sums, pinned scalar closed
+    * forms (`θ = (n·Σxy − ΣxΣy)/(n·Σxx − (Σx)²)`,
+    * `var_adj = var_y − θ·cov`); NULL when the covariate is constant.
+    */
+  def cuped(
+      df: DataFrame,
+      metric: Column,
+      covariate: Column,
+      scale: Int = 6): DataFrame = {
+    val d = df.select(metric.cast("double").as("_y"), covariate.cast("double").as("_x"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      sum(col("_x").cast("decimal(38,12)")).as("_sx"),
+      sum(col("_y").cast("decimal(38,12)")).as("_sy"),
+      sum((col("_x") * col("_x")).cast("decimal(38,12)")).as("_sxx"),
+      sum((col("_y") * col("_y")).cast("decimal(38,12)")).as("_syy"),
+      sum((col("_x") * col("_y")).cast("decimal(38,12)")).as("_sxy"))
+    val n = col("n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxx = col("_sxx").cast("double"); val syy = col("_syy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val covN = n * sxy - sx * sy   // n²·cov
+    val varXN = n * sxx - sx * sx  // n²·var_x
+    val varYN = n * syy - sy * sy  // n²·var_y
+    val theta = covN / varXN
+    val varY = varYN / (n * (n - 1))
+    val varAdj = (varYN - covN * covN / varXN) / (n * (n - 1))
+    agg.select(col("n"),
+      round(when(varXN > 0, theta), scale).as("theta"),
+      round(when(col("n") > 1, varY), scale).as("var_y"),
+      round(when(col("n") > 1 && varXN > 0, varAdj), scale).as("var_adj"),
+      round(when(col("n") > 1 && varXN > 0 && varYN > 0,
+        covN * covN / (varXN * varYN)), scale).as("reduction"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio — the Simpson's-paradox-safe way
     * to combine a 2×2 (treated × outcome) question ACROSS strata: the
     * crude pooled table can reverse direction when strata differ in mix

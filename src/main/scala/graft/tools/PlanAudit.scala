@@ -90,7 +90,8 @@ object PlanAudit {
     "q289_brier_decomp",          // one-row min/max + base-rate attaches (the q260 class)
     "q290_dispersion",            // types × hour-axis dense fill (the q275 bounded class)
     "q291_capture_recapture",     // three one-row count frames crossJoined (scalar-attach class)
-    "q294_nzv"                    // per-leg one-row totals × top-2 crossJoins (scalar-attach class)
+    "q294_nzv",                   // per-leg one-row totals × top-2 crossJoins (scalar-attach class)
+    "q296_cuped"                  // one-row corpus-start-day crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -1174,6 +1174,39 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("smdBalance: planted shift flagged; identical arms score 0") {
+    import spark.implicits._
+    // cov "shift": treated runs 10 higher; cov "same": identical distributions
+    val rows = (1 to 20).map(i => (true, 10.0 + i % 5, i % 3 * 1.0)) ++
+      (1 to 20).map(i => (false, (i % 5).toDouble, i % 3 * 1.0))
+    val got = Stats.smdBalance(rows.toDF("t", "shift", "same"), col("t"),
+      Seq("shift" -> col("shift"), "same" -> col("same")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got("shift")._1 == 20L && got("shift")._2 == 20L)
+    assert(got("shift")._3 > 0.1 && !got("shift")._4)
+    assert(got("same")._3 == 0.0 && got("same")._4)
+  }
+
+  test("cuped: perfectly-correlated covariate removes all variance; constant → NULL theta") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // y = 2x + 3 exactly → theta 2, reduction 1, var_adj 0
+    val perfect = (1 to 10).map(i => (i.toDouble, 2.0 * i + 3)).toDF("x", "y")
+    val p = Stats.cuped(perfect, col("y"), col("x")).collect().head
+    assert(p.getDouble(1) == 2.0 && p.getDouble(3) == 0.0 && p.getDouble(4) == 1.0)
+    // independent-ish: reduction strictly between 0 and 1, var_adj ≤ var_y
+    val mixed = Seq((1.0, 5.0), (2.0, 3.0), (3.0, 8.0), (4.0, 4.0), (5.0, 9.0))
+      .toDF("x", "y")
+    val m = Stats.cuped(mixed, col("y"), col("x")).collect().head
+    assert(m.getDouble(4) > 0 && m.getDouble(4) < 1 && m.getDouble(3) < m.getDouble(2))
+    assert(r6(m.getDouble(2) * (1 - m.getDouble(4))) == m.getDouble(3)
+      || math.abs(m.getDouble(2) * (1 - m.getDouble(4)) - m.getDouble(3)) < 1e-5)
+    // constant covariate: nothing to regress on
+    val const = Seq((7.0, 1.0), (7.0, 2.0), (7.0, 3.0)).toDF("x", "y")
+    assert(Stats.cuped(const, col("y"), col("x")).collect().head.isNullAt(1))
+  }
+
   test("mantelHaenszel: recovers a common OR the crude pooled table reverses") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
