@@ -19,6 +19,12 @@ def canon(v):
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(v).lower()
+    # Mirror the driver harness: its pandas-based compare cannot hash
+    # list/map/struct cells (r10 q282: "unhashable type: numpy.ndarray").
+    # str()-canonicalizing here would hide that class of failure, so
+    # reject complex cells outright — queries must emit atomic columns.
+    if isinstance(v, (list, tuple, dict, set)):
+        raise TypeError(f"non-atomic cell (driver compare cannot hash it): {type(v).__name__}")
     return str(v)
 
 def matrix_hash(cols, rows):

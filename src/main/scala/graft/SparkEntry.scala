@@ -351,10 +351,15 @@ object SparkEntry {
           col("is_last"))),
 
     // last-5 chronological behavior history per user — the sequence-model
-    // serving table (rank cut BEFORE assembly, struct-sorted arrays)
+    // serving table (rank cut BEFORE assembly, struct-sorted arrays).
+    // The query face string-joins the history column: the driver's
+    // pandas-based compare cannot hash list cells, so every queries()
+    // result must be atomic-typed (EntryContractSpec pins this); the
+    // array-returning API stays on lastNHistory itself.
     "q282_last_history" -> ((s, dir) =>
       graft.ops.EventAnalytics.lastNHistory(
-        E(s, dir).withColumn("tsu", expr("ts div 1000")), n = 5, tsCol = "tsu")),
+        E(s, dir).withColumn("tsu", expr("ts div 1000")), n = 5, tsCol = "tsu")
+        .withColumn("history", concat_ws("|", col("history")))),
 
     // hybrid-retrieval fusion: the q54 BM25 leg and the hashed-ngram
     // model leg merged by reciprocal rank — no score calibration at all
@@ -4449,7 +4454,7 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY user_id) AS total
         |      FROM e0)
         |SELECT user_id, CAST(any_value(total) AS BIGINT) AS n_events_total,
-        |  list(event_type ORDER BY tsu, event_id) AS history
+        |  string_agg(event_type, '|' ORDER BY tsu, event_id) AS history
         |FROM r WHERE rn <= 5 GROUP BY 1""".stripMargin,
 
     // q279: both legs' rankings replicated (q54's BM25 CTEs + the q95

@@ -38,6 +38,43 @@ class EntryContractSpec extends SparkSpec {
     }
   }
 
+  /** Columns whose type the driver's pandas-based compare cannot hash:
+    * list/map/struct cells raise `unhashable type: numpy.ndarray` in the
+    * harness (r10's q282). Every queries() face must be atomic-typed —
+    * string-join arrays (`concat_ws`) / json-serialize structs at the
+    * query face, keeping the richer types on the operator API itself.
+    */
+  private def complexColumns(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+  }
+
+  test("every query result column is atomic-typed (harness compare contract)") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) => complexColumns(fn(spark, dir)).map(c => s"$name -> $c")
+    }
+    assert(offenders.isEmpty,
+      s"non-atomic result columns (driver compare cannot hash them): " +
+        offenders.mkString("; "))
+  }
+
+  test("the atomic-type checker flags a deliberately array-returning frame") {
+    import org.apache.spark.sql.functions._
+    val bad = spark.range(3).select(
+      org.apache.spark.sql.functions.col("id"),
+      array(lit(1), lit(2)).as("xs"),
+      map(lit("k"), lit(1)).as("m"),
+      struct(lit(1).as("a")).as("st"))
+    assert(complexColumns(bad).size == 3)
+    assert(complexColumns(bad.select(concat_ws("|", col("xs")).as("xs"))).isEmpty)
+  }
+
   test("registered SQL functions evaluate the native expressions") {
     GraftFunctions.register(spark)
     val r = spark.sql(
