@@ -48,6 +48,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Plan epochs — bump a query's epoch when its PLAN CLASS deliberately
+    * changes (e.g. the r10 single-partition-window → range-partition
+    * prefix-sum rewrite traded fixed sf0.1 job overhead for the
+    * 100×-scale plan). The baseline key becomes `name#eN`, which orphans
+    * the pre-rewrite best-known: the outlier-retry logic then only fires
+    * on UNEXPLAINED slowdowns, not on every run of a deliberately-slowed
+    * query, and the fresh epoch accumulates its own monotone min.
+    * Stale epoch keys for a query are pruned at write time, so the file
+    * always records exactly one best-known per (sf, query).
+    */
+  private val planEpochs: Map[String, Int] = Map(
+    // r10 prefix-sum rewrite of the eval-stats rank/ntile/CDF family
+    "q107_ntile_bins" -> 1, "q176_calibration" -> 1, "q177_auc" -> 1,
+    "q197_ks_test" -> 1, "q200_rfm" -> 1, "q207_qq_compare" -> 1,
+    "q218_zipf_fit" -> 1, "q220_gains" -> 1)
+
+  /** Baseline key for a query: epoch-0 queries keep the bare name (the
+    * historical file format); epoch-N queries get `name#eN`. */
+  private def baselineKey(name: String): String =
+    planEpochs.get(name).filter(_ > 0).map(e => s"$name#e$e").getOrElse(name)
+
   /** First field of /proc/loadavg (1-min average); MXBean fallback off-Linux. */
   private def loadAvg(osBean: java.lang.management.OperatingSystemMXBean): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
@@ -147,7 +168,7 @@ object Bench {
       // outlier defense: worse than OUTLIER_X × best-known (and by more
       // than the jitter floor) → back off and give the query ONE more
       // chance on a hopefully-quieter box; keep the better min either way
-      val isOutlier = baseline.get(name).exists(b => sec > outlierX * b && sec - b > outlierFloor)
+      val isOutlier = baseline.get(baselineKey(name)).exists(b => sec > outlierX * b && sec - b > outlierFloor)
       if (isOutlier) {
         Thread.sleep(backoffMs)
         val (dt, _) = timeOnce(fn)
@@ -156,7 +177,7 @@ object Bench {
       }
       val sorted = allRuns.sorted
       val median = sorted(sorted.size / 2)
-      val flag   = if (isOutlier) f"  RETRIED (baseline ${baseline(name)}%.3f)" else ""
+      val flag   = if (isOutlier) f"  RETRIED (baseline ${baseline(baselineKey(name))}%.3f)" else ""
       System.err.println(
         f"[bench] $name%-22s min $sec%8.3f s  median $median%8.3f s (${allRuns.size} runs)  load=$qLoad%.2f  rows=${times.last._2}$flag")
       (name, sec, median, allRuns, qLoad, isOutlier)
@@ -178,9 +199,15 @@ object Bench {
       f"""[bench-detail] {"queries_median":$qsMedian,"runs":$qsRuns,"load_avg_per_query":$qsLoad}""")
 
     // merge this run into the best-known baseline (monotone min — a
-    // contended run can only leave it unchanged, never pollute it)
-    val merged = baseline ++ results.map { case (name, sec, _, _, _, _) =>
-      name -> math.min(sec, baseline.getOrElse(name, Double.MaxValue))
+    // contended run can only leave it unchanged, never pollute it),
+    // keyed by plan epoch; stale epoch keys for measured queries pruned
+    val staleKeys = results.flatMap { case (name, _, _, _, _, _) =>
+      val keep = baselineKey(name)
+      baseline.keys.filter(k => k != keep && (k == name || k.startsWith(name + "#")))
+    }.toSet
+    val merged = (baseline -- staleKeys) ++ results.map { case (name, sec, _, _, _, _) =>
+      val k = baselineKey(name)
+      k -> math.min(sec, baseline.getOrElse(k, Double.MaxValue))
     }.toMap
     writeBaseline(baselinePath, allBaselines + (sfKey -> merged))
 
