@@ -1462,9 +1462,15 @@ object Stats {
     * a perfectly equal distribution has `value_share = pop_share`
     * everywhere, concentration bows the curve down-right.
     *
-    * `tieCol` must make (value, tie) a total order. Integral inputs sum
-    * exactly as longs; the shares are single divisions over the ≤bins-row
-    * collapsed frame (bounded-window class).
+    * `tieCol` must make (value, tie) a total order. The accumulation grid
+    * follows the RESOLVED input type, [[gini]]'s discipline: integral
+    * columns sum exactly as longs (`total`/`cum_total` stay `bigint`);
+    * fractional columns (double / float / decimal) sum on a
+    * `decimal(38,12)` grid and report `total`/`cum_total` as rounded
+    * doubles — never a silent `cast("long")`, which would truncate every
+    * score in [0,1] to zero while still RANKING by the untruncated value.
+    * The shares are single divisions over the ≤bins-row collapsed frame
+    * (bounded-window class).
     */
   def lorenzCurve(
       df: DataFrame,
@@ -1472,23 +1478,31 @@ object Stats {
       bins: Int,
       tieCol: Column,
       scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types._
     require(bins >= 1, s"bins must be >= 1, got $bins")
+    val integral = df.select(value.as("_x")).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    val vx = if (integral) value.cast("long") else value.cast("decimal(38,12)")
     val binned = globalNtile(
         df.where(value.isNotNull), bins, Seq(value, tieCol), "_lz_bin")
       .groupBy(col("_lz_bin"))
-      .agg(count(lit(1)).as("n"), sum(value.cast("long")).as("total"))
+      .agg(count(lit(1)).as("n"), sum(vx).as("_total"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("_lz_bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    def massOut(c: Column, name: String): Column =
+      if (integral) c.as(name) else round(c.cast("double"), scale).as(name)
     binned
       .withColumn("cum_n", sum(col("n")).over(w))
-      .withColumn("cum_total", sum(col("total")).over(w))
+      .withColumn("_cum_total", sum(col("_total")).over(w))
       .withColumn("_tn", sum(col("n")).over(wAll))
-      .withColumn("_tt", sum(col("total")).over(wAll))
-      .select(col("_lz_bin").as("bin"), col("n"), col("total"),
-        col("cum_n"), col("cum_total"),
+      .withColumn("_tt", sum(col("_total")).over(wAll))
+      .select(col("_lz_bin").as("bin"), col("n"), massOut(col("_total"), "total"),
+        col("cum_n"), massOut(col("_cum_total"), "cum_total"),
         round(col("cum_n").cast("double") / col("_tn"), scale).as("pop_share"),
-        round(when(col("_tt") > 0, col("cum_total").cast("double") / col("_tt")), scale)
+        round(when(col("_tt") > 0, col("_cum_total").cast("double") / col("_tt")), scale)
           .as("value_share"))
   }
 
@@ -2068,6 +2082,11 @@ object Stats {
     * median windows are PARTITIONED by the strata. With empty
     * `strataCols` the windows degrade to single-partition — bounded
     * input is then doubly the contract.
+    *
+    * `x` rides as a double (exact for any integral time axis below 2⁵³
+    * and correct for a fractional one) — never a silent `cast("long")`,
+    * which would truncate fractional x before the pair slopes and
+    * orderings are computed.
     */
   def theilSenFit(
       df: DataFrame,
@@ -2078,7 +2097,7 @@ object Stats {
   ): DataFrame = {
     val ss = strataCols.map(col)
     val base = graft.Caches.track(
-      df.select(ss ++ Seq(x.cast("long").as("_x"), y.cast("double").as("_y")): _*)
+      df.select(ss ++ Seq(x.cast("double").as("_x"), y.cast("double").as("_y")): _*)
         .where(col("_x").isNotNull && col("_y").isNotNull))
     val right = base.select(ss ++ Seq(col("_x").as("_x2"), col("_y").as("_y2")): _*)
     val paired =
@@ -2330,10 +2349,11 @@ object Stats {
     * Variant A is the lexicographically smaller key (deterministic
     * orientation); requires EXACTLY two variants.
     *
-    * One scan, one 2-row aggregate, scalar IEEE arithmetic off exact
-    * integer counts — engine-portable, partition-free. z is NULL when
-    * the pooled rate is degenerate (0 or 1: no variance, nothing to
-    * test).
+    * One scan, one tracked-cached 1-row aggregate shared by the eager
+    * variant-cardinality guard and the result plan, scalar IEEE
+    * arithmetic off exact integer counts — engine-portable,
+    * partition-free. z is NULL when the pooled rate is degenerate
+    * (0 or 1: no variance, nothing to test).
     */
   def twoProportionTest(
       df: DataFrame, variant: Column, success: Column, scale: Int = 6): DataFrame = {
@@ -2341,11 +2361,16 @@ object Stats {
       .where(col("_v").isNotNull && col("_s").isNotNull)
       .groupBy(col("_v")).agg(count(lit(1)).as("_n"),
         sum(when(col("_s"), 1L).otherwise(0L)).as("_x"))
-    val two = per.agg(
+    // tracked-cached 1-row aggregate: the exactly-two-variants guard below
+    // is an eager action (the one deliberate one in this module — a wrong
+    // variant cardinality should fail loudly at call time, not emit an
+    // empty frame downstream), and the cache makes guard + result share
+    // ONE scan+aggregate instead of executing the lineage twice
+    val two = graft.Caches.track(per.agg(
       count(lit(1)).as("_k"),
       min(col("_v")).as("variant_a"), max(col("_v")).as("variant_b"),
       min_by(col("_n"), col("_v")).as("n_a"), min_by(col("_x"), col("_v")).as("x_a"),
-      max_by(col("_n"), col("_v")).as("n_b"), max_by(col("_x"), col("_v")).as("x_b"))
+      max_by(col("_n"), col("_v")).as("n_b"), max_by(col("_x"), col("_v")).as("x_b")))
     val z196 = 1.959963984540054 // Φ⁻¹(0.975)
     def wilson(x: Column, n: Column): (Column, Column) = {
       val ph = x.cast("double") / n
@@ -2488,25 +2513,6 @@ object Stats {
     * Scale shape: one rank window PARTITIONED by the stratum prunes to
     * ≤(k+1)·|strata| rows before anything else; the fold is one
     * partial-aggregated shuffle on the stratum key.
-    */
-  /** Mann–Kendall trend test — the significance companion of
-    * [[theilSenFit]]: Theil–Sen says HOW steep the robust trend is, this
-    * says whether a monotone trend EXISTS beyond chance, using only pair
-    * orderings (no linearity or distribution assumption — the standard
-    * test for "is this metric actually drifting?"). Per stratum over a
-    * bounded series `(x=time, y=value)`:
-    * `S = Σ_{xᵢ<xⱼ} sign(yⱼ − yᵢ)`,
-    * `Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18` (y-tie
-    * corrected), and the continuity-corrected
-    * `z = (S∓1)/√Var` (0 at S=0, NULL when Var = 0 — a constant series
-    * has no trend to test). Returns `(strata…, n, s, var_s, z)`.
-    *
-    * Everything up to the final two scalar ops is exact integer
-    * arithmetic (decimal-held), so the row is engine-portable. The pair
-    * fold is quadratic in the PER-STRATUM row count — the
-    * [[kendallTauB]]/[[theilSenFit]] bounded pre-aggregated-series
-    * contract (per-bucket counts, never raw events); pairs with equal x
-    * are excluded (no time order — standard MK).
     */
   /** Standardized-mean-difference covariate balance check — is the A/B
     * split actually balanced on what matters? Per covariate,
@@ -2904,6 +2910,28 @@ object Stats {
         round((col("_sn") - col("_s")).cast("double") / (n - i), scale).as("mean_right"))
   }
 
+  /** Mann–Kendall trend test — the significance companion of
+    * [[theilSenFit]]: Theil–Sen says HOW steep the robust trend is, this
+    * says whether a monotone trend EXISTS beyond chance, using only pair
+    * orderings (no linearity or distribution assumption — the standard
+    * test for "is this metric actually drifting?"). Per stratum over a
+    * bounded series `(x=time, y=value)`:
+    * `S = Σ_{xᵢ<xⱼ} sign(yⱼ − yᵢ)`,
+    * `Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18` (y-tie
+    * corrected), and the continuity-corrected
+    * `z = (S∓1)/√Var` (0 at S=0, NULL when Var = 0 — a constant series
+    * has no trend to test). Returns `(strata…, n, s, var_s, z)`.
+    *
+    * Everything up to the final two scalar ops is exact integer
+    * arithmetic (decimal-held), so the row is engine-portable. The pair
+    * fold is quadratic in the PER-STRATUM row count — the
+    * [[kendallTauB]]/[[theilSenFit]] bounded pre-aggregated-series
+    * contract (per-bucket counts, never raw events); pairs with equal x
+    * are excluded (no time order — standard MK). `x` rides as a double
+    * (exact for any integral time axis below 2⁵³, correct for a
+    * fractional one) — never a silent `cast("long")`, which would
+    * truncate fractional x before the pair orderings are computed.
+    */
   def mannKendall(
       df: DataFrame,
       x: Column,
@@ -2912,7 +2940,7 @@ object Stats {
       scale: Int = 6): DataFrame = {
     val gs = strataCols.map(col)
     val base = graft.Caches.track(
-      df.select(gs :+ x.cast("long").as("_x") :+ y.cast("double").as("_y"): _*)
+      df.select(gs :+ x.cast("double").as("_x") :+ y.cast("double").as("_y"): _*)
         .where(col("_x").isNotNull && col("_y").isNotNull))
     // aliased sides sidestep self-join column ambiguity
     val l = base.select(strataCols.map(k => col(k).as(s"_gl_$k")) :+

@@ -55,6 +55,15 @@ case class SessionClosed(
   * event-time timeout — RocksDB state-store territory at billions of
   * users, identical layout to Spark's own `sessionWindow`.
   *
+  * State-retention knob: with `retainOrdinals = true` (default) a timed-
+  * out user keeps a ~30 B tombstone (the ordinal counter) FOREVER, so
+  * `session_seq` stays batch-identical across timeouts — but state then
+  * grows with lifetime distinct users. `retainOrdinals = false` is the
+  * TTL escape hatch: the tombstone is removed at timeout, bounding state
+  * by the ACTIVE-user count, at the documented cost that a user's
+  * ordinals restart at 0 after each idle expiry (per-session aggregates
+  * are unaffected).
+  *
   * Batch face: on a static frame state dies with the query, so the fold
   * also FLUSHES the trailing open session per user — the batch result is
   * then total and ≡ `Sessionize.byGap → sessionStats` row for row (the
@@ -70,7 +79,8 @@ object StreamingSessionize {
       userCol: String = "user_id",
       tsCol: String = "ts",
       idCol: String = "event_id",
-      valueCol: String = "value"
+      valueCol: String = "value",
+      retainOrdinals: Boolean = true
   ): Dataset[SessionClosed] = {
     require(gapMs > 0, s"gapMs must be positive, got $gapMs")
     import spark.implicits._
@@ -93,10 +103,14 @@ object StreamingSessionize {
           def closed(s: SessState) =
             SessionClosed(user, s.nextSeq - 1, s.start, s.last, s.n, s.sum)
           if (state.hasTimedOut) {
-            // watermark passed last + gap: close the idle session, keep
-            // the ordinal counter so the user's next session numbers on
+            // watermark passed last + gap: close the idle session. The
+            // ordinal counter either stays as a ~30 B tombstone (ordinals
+            // preserved across timeouts, state grows with lifetime users)
+            // or is removed (state bounded by active users, ordinals
+            // restart after expiry) — the caller's retention choice.
             val s = state.get
-            state.update(s.copy(hasOpen = false))
+            if (retainOrdinals) state.update(s.copy(hasOpen = false))
+            else state.remove()
             if (s.hasOpen) Iterator.single(closed(s)) else Iterator.empty
           } else {
             var s = state.getOption.getOrElse(

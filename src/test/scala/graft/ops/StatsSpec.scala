@@ -865,6 +865,36 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("lorenzCurve: fractional values sum on the decimal grid (no long truncation)") {
+    import spark.implicits._
+    // scores in [0,1] — the old cast("long") summed every bucket to 0
+    // while still RANKING by the untruncated value
+    val df = (1 to 8).map(i => (i.toLong, i / 10.0)).toDF("id", "v")
+    val got = Stats.lorenzCurve(df, col("v"), bins = 4, tieCol = col("id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // ascending buckets of 2: totals .3,.7,1.1,1.5 → cum .3,1.0,2.1,3.6
+    assert(got(0L) == ((2L, 0.3, 0.3, 0.25, 0.083333)))
+    assert(got(1L) == ((2L, 0.7, 1.0, 0.5, 0.277778)))
+    assert(got(2L) == ((2L, 1.1, 2.1, 0.75, 0.583333)))
+    assert(got(3L) == ((2L, 1.5, 3.6, 1.0, 1.0)))
+    graft.Caches.clear()
+  }
+
+  test("theilSenFit/mannKendall: fractional x axis survives (no long truncation)") {
+    import spark.implicits._
+    // x in fractions of a day — the old cast("long") collapsed 0.25/0.5
+    // to 0, excluding those pairs as "equal x" and corrupting the slopes
+    val line = Seq((0.0, 1.0), (0.25, 1.5), (0.5, 2.0), (0.75, 2.5))
+      .toDF("x", "y")
+    val ts = Stats.theilSenFit(line, col("x"), col("y")).collect().head
+    assert(ts.getLong(0) == 6L, s"all 6 pairs must survive, got ${ts.getLong(0)}")
+    assert(ts.getDouble(1) == 2.0 && ts.getDouble(2) == 1.0)
+    val mk = Stats.mannKendall(line, col("x"), col("y")).collect().head
+    assert(mk.getLong(0) == 4L && mk.getLong(1) == 6L) // S = all 6 pairs concordant
+    graft.Caches.clear()
+  }
+
   test("gini: fractional inputs sum exactly (no silent long truncation)") {
     import spark.implicits._
     // scores in [0,1] — the old cast("long") collapsed all of these to 0

@@ -65,6 +65,36 @@ class StreamingSessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retainOrdinals=false removes the tombstone: ordinals restart after expiry") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long, Long, Double)](spark)
+    val ev = stream.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = StreamingSessionize.sessions(spark, ev, gapMs = 20L, retainOrdinals = false)
+      .writeStream.format("memory").queryName("sess_nottl").outputMode("append").start()
+    try {
+      stream.addData((1L, 0L, 1L, 1.0))
+      q.processAllAvailable()
+      stream.addData((2L, 1000L, 2L, 1.0))
+      q.processAllAvailable()
+      stream.addData((2L, 1100L, 3L, 1.0)) // lets u1's timeout fire → state removed
+      q.processAllAvailable()
+      val u1 = spark.table("sess_nottl").where(col("user_id") === 1).collect()
+      assert(u1.length == 1 && u1.head.getInt(1) == 0 && u1.head.getLong(4) == 1L)
+      // u1 returns AFTER the expiry: no tombstone left, seq restarts at 0
+      stream.addData((1L, 2000L, 4L, 5.0), (2L, 2000L, 5L, 1.0))
+      q.processAllAvailable()
+      stream.addData((1L, 2010L, 6L, 1.0), (2L, 3000L, 7L, 1.0))
+      q.processAllAvailable()
+      stream.addData((2L, 3100L, 8L, 1.0), (2L, 3200L, 9L, 1.0))
+      q.processAllAvailable()
+      val u1b = spark.table("sess_nottl").where(col("user_id") === 1).collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(4))).toSet
+      // both sessions carry seq 0 — the second restarted after removal
+      assert(u1b.map(_._1) == Set(0), s"got $u1b")
+      assert(u1b.map(_._2) == Set(0L, 2000L), s"got $u1b")
+    } finally q.stop()
+  }
+
   test("batch face ≡ ops.Sessionize.byGap + sessionStats, row for row") {
     import spark.implicits._
     val rows = Seq(
