@@ -1,0 +1,176 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1.0 scale-probe data generator: replicates the sf0.1 tables 10× with
+  * per-key-domain offsets (copy i shifts every key of a domain by
+  * i × the domain's sf0.1 cardinality, keeping keys dense and referential
+  * integrity intact — an offset order still points at its offset customer,
+  * an offset lineitem at its offset part/supplier). `nation`/`region` are
+  * copied UNCHANGED: dimensions don't multiply when the fact data grows
+  * 10×, which is exactly what makes the probe honest — per-dimension
+  * group counts stay fixed while group SIZES grow 10×.
+  *
+  * Two deliberate replication artifacts, recorded here and in
+  * BENCH_SCALE.json's notes:
+  *  - `documents.text` / `embeddings.embedding` repeat verbatim per copy
+  *    (offset ids, identical content), so every doc gains 9 exact
+  *    near-duplicates — dedup/ANN queries therefore measure a
+  *    duplicate-HEAVY corpus (bounded 10-copy clusters, not corpus²).
+  *  - same-dimension-key self-join families (the supplier same-nation
+  *    clique) grow quadratically in edges because group sizes grew 10× —
+  *    that is the operator's real data semantics at 10× scale, not a plan
+  *    artifact.
+  *
+  * Usage: runMain graft.tools.ScaleGen [sf01Dir] [outDir]
+  */
+object ScaleGen {
+  val Copies = 10
+
+  /** Key domains and their sf0.1 strides (table cardinalities). */
+  private val strides: Map[String, Long] = Map(
+    "custkey" -> 15000L, "orderkey" -> 150000L, "partkey" -> 20000L,
+    "suppkey" -> 1000L, "doc_id" -> 5000L, "vec_id" -> 2000L,
+    "event_id" -> 100000L, "user_id" -> 1500L)
+
+  /** Which columns of each table carry which key domain. */
+  private val tableKeys: Map[String, Seq[(String, String)]] = Map(
+    "customer" -> Seq("c_custkey" -> "custkey"),
+    "orders" -> Seq("o_orderkey" -> "orderkey", "o_custkey" -> "custkey"),
+    "lineitem" -> Seq("l_orderkey" -> "orderkey", "l_partkey" -> "partkey",
+      "l_suppkey" -> "suppkey"),
+    "part" -> Seq("p_partkey" -> "partkey"),
+    "supplier" -> Seq("s_suppkey" -> "suppkey"),
+    "documents" -> Seq("doc_id" -> "doc_id"),
+    "embeddings" -> Seq("vec_id" -> "vec_id"),
+    "events" -> Seq("event_id" -> "event_id", "user_id" -> "user_id"))
+
+  def replicate(df: DataFrame, keys: Seq[(String, String)]): DataFrame =
+    (0 until Copies).map { i =>
+      keys.foldLeft(df) { case (d, (colName, domain)) =>
+        val dt = df.schema(colName).dataType
+        d.withColumn(colName, (col(colName) + lit(i * strides(domain))).cast(dt))
+      }
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out  = args.lift(1).getOrElse("scale_probe/sf1.0")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val src = spark.read.parquet(s"$sf01/$t.parquet")
+      val scaled = tableKeys.get(t).map(replicate(src, _)).getOrElse(src)
+      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scalegen] $t: ${scaled.count()} rows")
+    }
+    println("SCALEGEN-DONE")
+    spark.stop()
+  }
+}
+
+/** sf1.0 scale probe — measures time(sf1.0)/time(sf0.1) for the most
+  * expensive queries and records per-query ratios in BENCH_SCALE.json.
+  * The 100×-plan claims elsewhere are plan-audited; this is the one
+  * MEASURED data point beyond sf0.1: with 10× rows, a scale-safe plan
+  * should land ≈≤10× wall-clock plus fixed overhead (iterative graph ops
+  * add rounds only if the DIAMETER grows — it doesn't under replication),
+  * while the documented quadratic families (same-dimension-key cliques,
+  * duplicate-heavy dedup) are expected and annotated super-linear.
+  *
+  * Runs each query twice per scale (bench mode, xxhash — the production
+  * path) and keeps the min; sf0.1 first, then sf1.0, so JIT/codegen warmth
+  * favors neither ratio direction systematically.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sf01Dir] [sf1Dir] [outPath] [q ...]
+  */
+object ScaleProbe {
+
+  /** Default probe set: the most expensive queries of the r10 full bench
+    * (BENCH_DETAIL.json queries_min, descending) — the tail of the suite
+    * is sub-second fixed overhead at sf0.1 and tells nothing about scale.
+    */
+  val DefaultQueries: Seq[String] = Seq(
+    "q155_graph_hits", "q121_graph_bfs", "q143_semantic_clusters",
+    "q133_graph_bipartite", "q126_graph_ppr", "q19_dedup_ngram",
+    "q258_prf_report", "q128_graph_landmarks", "q142_graph_sssp",
+    "q230_mutual_knn_approx", "q138_graph_bfs_warm",
+    "q150_graph_walks_weighted", "q156_graph_linkpred", "q141_graph_walks",
+    "q242_betweenness", "q182_graph_scc", "q191_dag_levels",
+    "q216_densest_subgraph", "q157_graph_assortativity",
+    "q75_graph_pagerank_df")
+
+  /** Expected-growth annotations for the documented super-linear families. */
+  val Expectations: Map[String, String] = Map(
+    "q126_graph_ppr" -> ("same-nation supplier clique: 10x suppliers over fixed 25 nations " +
+      "=> ~100x edges by data semantics; PPR cost tracks edges"),
+    "q19_dedup_ngram" -> "replicated corpus: every doc has 9 verbatim copies => 10x denser postings, ~45 pairs/doc",
+    "q143_semantic_clusters" -> "replicated embeddings: 10-copy identical-vector clusters in every LSH cell",
+    "q230_mutual_knn_approx" -> "replicated embeddings: IVF cells hold 10 copies of every vector",
+    "q156_graph_linkpred" -> "same-nation clique projection: wedge counts grow quadratically with group size",
+    "q216_densest_subgraph" -> "same-nation clique graph: ~100x edges by data semantics")
+
+  def main(args: Array[String]): Unit = {
+    System.setProperty("graft.hash", sys.env.getOrElse("SPARK_GRAFT_HASH", "xxhash"))
+    System.setProperty("graft.mode", "bench")
+    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sf1  = args.lift(1).getOrElse("scale_probe/sf1.0")
+    val out  = args.lift(2).getOrElse("BENCH_SCALE.json")
+    val names = if (args.length > 3) args.drop(3).toSeq else DefaultQueries
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def minTime(name: String, dir: String): (Double, Long) = {
+      var best = Double.MaxValue; var rows = -1L
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        val n  = try graft.SparkEntry.queries(name)(spark, dir).count()
+                 catch { case e: Throwable =>
+                   System.err.println(s"[scale] $name@$dir FAILED: ${e.getMessage}"); -1L }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        rows = n
+        graft.Caches.clear()
+      }
+      (best, rows)
+    }
+
+    val rows = names.map { name =>
+      val (t01, r01) = minTime(name, sf01)
+      val (t1, r1)   = minTime(name, sf1)
+      val ratio = t1 / t01
+      val note = Expectations.get(name)
+      System.err.println(
+        f"[scale] $name%-26s sf0.1 $t01%7.2fs (rows=$r01) sf1.0 $t1%7.2fs (rows=$r1) ratio ${ratio}%6.2fx" +
+          note.map(n => s"  [expected super-linear: $n]").getOrElse(""))
+      (name, t01, t1, ratio, r01, r1, note)
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qJson = rows.map { case (n, t01, t1, ratio, r01, r1, note) =>
+      f""""$n":{"sf01_sec":$t01%.3f,"sf1_sec":$t1%.3f,"ratio":$ratio%.2f,"rows_sf01":$r01,"rows_sf1":$r1""" +
+        note.map(x => s""","expected_superlinear":"${esc(x)}"""").getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val flagged = rows.filter { case (_, _, _, ratio, _, _, note) =>
+      ratio > 15.0 && note.isEmpty }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"sf01":"${esc(sf01)}","sf1":"${esc(sf1)}","data":"10x row replication of sf0.1 with per-key-domain offsets; nation/region dims unchanged; documents/embeddings content repeats verbatim per copy (duplicate-heavy by construction)","hash":"${sys.props("graft.hash")}","runs_per_scale":2,"flagged_unexplained_over_15x":$flagged,"queries":$qJson}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"SCALEPROBE-DONE flagged=$flagged")
+    spark.stop()
+  }
+}
