@@ -243,6 +243,32 @@ object SparkEntry {
         T(s, dir, "documents").withColumn("has_text", col("text").isNotNull),
         cols = Seq("lang", "source", "n_chars", "has_text"))),
 
+    // Benjamini–Hochberg over a deterministic per-doc p table (p = u²
+    // with u = (n_chars mod 1000)/1000 — a small-p-heavy mix so the
+    // step-up actually crosses): which "effects" survive FDR α = 0.05?
+    "q297_bh_fdr" -> ((s, dir) => {
+      val u = col("n_chars") % 1000
+      val pt = T(s, dir, "documents")
+        .select(col("doc_id"), round((u * u).cast("double") / 1000000.0, 6).as("p"))
+      graft.ops.Stats.bhFdr(pt, p = col("p"), tie = col("doc_id"),
+          alphaNum = 1, alphaDen = 20)
+        .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
+    }),
+
+    // Kish effective sample size of quantity-weighted lineitems per
+    // return flag — how many unweighted rows is the weighted set worth?
+    "q298_ess_weights" -> ((s, dir) =>
+      graft.ops.Stats.effectiveSampleSize(
+        T(s, dir, "lineitem"), weight = col("l_quantity"),
+        strataCols = Seq("l_returnflag"))),
+
+    // standardized effect size of English-vs-rest document length — is
+    // the shift big in σ units, not merely significant?
+    "q299_effect_size" -> ((s, dir) =>
+      graft.ops.Stats.cohensD(
+        T(s, dir, "documents"), value = col("n_chars"),
+        label = col("lang") === "en")),
+
     // resharding migration plan: 3 → 4 rendezvous shards — every moved
     // key lands on the NEW shard (HRW's minimal-disruption contract)
     "q292_reshard_plan" -> ((s, dir) => {
@@ -4155,6 +4181,74 @@ object SparkEntry {
         |SELECT col AS "column", n, nd AS n_distinct, fr AS freq_ratio, pu AS pct_unique,
         |  (fr IS NOT NULL AND fr > 19.0 AND pu < 0.1) AS nzv
         |FROM u""".stripMargin,
+
+    // q297: the step-up bound replicated in EXACT integer space —
+    // p = x²/1e6 with x = n_chars mod 1000, so p·(m·20) ≤ rank ⟺
+    // x²·m·20 ≤ rank·1e6, no decimal/float rounding on either engine
+    "q297_bh_fdr" ->
+      """WITH t AS (
+        |  SELECT doc_id, (n_chars % 1000) * (n_chars % 1000) AS pp FROM documents),
+        |r AS (SELECT doc_id, pp,
+        |        row_number() OVER (ORDER BY pp, doc_id) AS rn,
+        |        count(*) OVER () AS m FROM t),
+        |k AS (SELECT coalesce(max(CASE WHEN pp * 20 * m <= rn * 1000000
+        |                          THEN rn END), 0) AS kstar FROM r)
+        |SELECT doc_id, round(CAST(pp AS DOUBLE) / 1000000, 6) AS p,
+        |  CAST(rn AS BIGINT) AS p_rank, CAST(m AS BIGINT) AS m,
+        |  (rn <= kstar) AS reject
+        |FROM r, k""".stripMargin,
+
+    // q298: Kish ESS off two decimal moments, quotients in pinned order
+    "q298_ess_weights" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,12))) AS swd,
+        |    sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS sqd
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity >= 0
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round(CAST(swd AS DOUBLE), 6) AS sum_w,
+        |  round(CASE WHEN sqd > 0 THEN CAST(swd AS DOUBLE) * CAST(swd AS DOUBLE)
+        |    / CAST(sqd AS DOUBLE) END, 6) AS ess,
+        |  round(CASE WHEN sqd > 0 THEN n * CAST(sqd AS DOUBLE)
+        |    / (CAST(swd AS DOUBLE) * CAST(swd AS DOUBLE)) END, 6) AS deff
+        |FROM a""".stripMargin,
+
+    // q299: welch-style exact decimal moments → pooled SD → d and the
+    // Hedges small-sample debias, every scalar in pinned order
+    "q299_effect_size" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN lang = 'en'
+        |      THEN CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,12)) END) AS sa,
+        |    sum(CASE WHEN lang <> 'en'
+        |      THEN CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,12)) END) AS sb,
+        |    sum(CASE WHEN lang = 'en'
+        |      THEN CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+        |        AS DECIMAL(38,12)) END) AS qa,
+        |    sum(CASE WHEN lang <> 'en'
+        |      THEN CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+        |        AS DECIMAL(38,12)) END) AS qb
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |f AS (
+        |  SELECT n_a, n_b,
+        |    CAST(sa AS DOUBLE) / n_a AS ma, CAST(sb AS DOUBLE) / n_b AS mb,
+        |    CASE WHEN n_a >= 2 THEN CAST(qa AS DOUBLE)
+        |      - n_a * (CAST(sa AS DOUBLE) / n_a) * (CAST(sa AS DOUBLE) / n_a) END AS ssa,
+        |    CASE WHEN n_b >= 2 THEN CAST(qb AS DOUBLE)
+        |      - n_b * (CAST(sb AS DOUBLE) / n_b) * (CAST(sb AS DOUBLE) / n_b) END AS ssb
+        |  FROM a),
+        |g AS (SELECT n_a, n_b, ma, mb,
+        |        (ssa + ssb) / (n_a + n_b - 2) AS sp2 FROM f),
+        |h AS (SELECT n_a, n_b, ma, mb, sp2,
+        |        CASE WHEN sp2 > 0 THEN (ma - mb) / sqrt(sp2) END AS d FROM g)
+        |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(sqrt(sp2), 6) AS sd_pooled, round(d, 6) AS d,
+        |  round(d * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9)), 6) AS g
+        |FROM h""".stripMargin,
 
     // q292: both CASE chains of the q284 argmax, joined per key
     "q292_reshard_plan" ->

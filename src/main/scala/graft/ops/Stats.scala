@@ -2653,6 +2653,133 @@ object Stats {
           col("_ad").cast("double") / col("_bc").cast("double")), scale).as("or_mh"))
   }
 
+  /** Benjamini–Hochberg FDR correction — which of m simultaneous
+    * hypothesis tests survive at false-discovery rate α? The multiple-
+    * comparisons gate every metric sweep needs (a 1000-metric experiment
+    * read at per-test p<0.05 "finds" ~50 false effects; BH caps the
+    * EXPECTED false fraction among rejections at α). Standard step-up
+    * rule: sort p ascending, find the largest k with `p_(k) ≤ k·α/m`,
+    * reject ranks 1..k. Appends `(p_rank, m, reject)` to the input rows
+    * (null-p rows are excluded — an untested hypothesis can't be
+    * rejected).
+    *
+    * The threshold comparison runs in EXACT rational arithmetic —
+    * `p·m·αDen ≤ rank·αNum` on the decimal grid — so no float rounding
+    * can flip a boundary rank, and both engines agree bit-for-bit.
+    * `tie` must make (p, tie) a total order; ties in p are handled by
+    * the step-up rule itself (equal p share the outcome of the highest
+    * rank among them reaching the bound ⇒ using each row's own rank
+    * then rejecting rank ≤ k* is exactly the textbook rule).
+    *
+    * Scale shape: the global p-rank rides [[runningTotal]]'s range-
+    * partition prefix-sum (never a single-partition window); k* and m
+    * are ONE 1-row aggregate attached back as the documented scalar
+    * crossJoin. Works on a p table of any size.
+    */
+  def bhFdr(
+      df: DataFrame,
+      p: Column,
+      tie: Column,
+      alphaNum: Int = 1,
+      alphaDen: Int = 20,
+      scale: Int = 6): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"alpha must be in (0,1): got $alphaNum/$alphaDen")
+    val base = df.where(p.isNotNull)
+      .withColumn("_bh_p", p.cast("decimal(20,12)"))
+    val (ranked0, grand) = prefixSumsCore(
+      base, Seq(col("_bh_p"), tie), Seq(lit(1L) -> "p_rank"))
+    val m = grand("p_rank")
+    val ranked = graft.Caches.track(ranked0)
+    // exact rational step-up bound: p·(m·αDen) ≤ rank·αNum — the scalar
+    // m·αDen multiplies as ONE literal so the decimal product stays one
+    // widening away from the input grid
+    val pass = col("_bh_p") * lit(m * alphaDen) <=
+      (col("p_rank") * lit(alphaNum.toLong)).cast("decimal(38,12)")
+    val kStar = ranked.agg(
+      coalesce(max(when(pass, col("p_rank"))), lit(0L)).as("_k"))
+    ranked.crossJoin(broadcast(kStar))
+      .withColumn("m", lit(m))
+      .withColumn("reject", col("p_rank") <= col("_k"))
+      .drop("_k", "_bh_p")
+  }
+
+  /** Kish effective sample size / design effect of a weighted sample —
+    * "my importance-weighted corpus has 10M rows; how many UNWEIGHTED
+    * rows is it actually worth?" `ESS = (Σw)²/Σw²` and
+    * `deff = n/ESS ≥ 1` (1 ⇔ uniform weights; a handful of huge weights
+    * drives ESS toward the count of those rows — the standard diagnostic
+    * before trusting weighted estimates from [[Sampling]]'s temperature /
+    * target-mix outputs). Per stratum:
+    * `(strata…, n, sum_w, ess, deff)`; NULL ess/deff when Σw² = 0
+    * (all-zero weights carry no sample). Null/negative weights are
+    * excluded — a negative Kish weight has no sampling interpretation.
+    *
+    * One partial-aggregated shuffle on the strata key; both moments fold
+    * on the exact decimal grid, the two quotients are pinned scalar IEEE.
+    */
+  def effectiveSampleSize(
+      df: DataFrame,
+      weight: Column,
+      strataCols: Seq[String] = Nil,
+      scale: Int = 6): DataFrame = {
+    val gs = strataCols.map(col)
+    val base = df.select(gs :+ weight.cast("double").as("_w"): _*)
+      .where(col("_w").isNotNull && col("_w") >= 0)
+    val agg = base.groupBy(gs: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("_w").cast("decimal(38,12)")).as("_sw"),
+      sum((col("_w") * col("_w")).cast("decimal(38,12)")).as("_sq"))
+    val sw = col("_sw").cast("double"); val sq = col("_sq").cast("double")
+    agg.select(gs ++ Seq(col("n"),
+      round(sw, scale).as("sum_w"),
+      round(when(col("_sq") > 0, sw * sw / sq), scale).as("ess"),
+      round(when(col("_sq") > 0, col("n") * sq / (sw * sw)), scale).as("deff")): _*)
+  }
+
+  /** Cohen's d / Hedges' g standardized effect size — [[welchTtest]]
+    * says whether the difference is REAL; this says whether it is BIG
+    * (a significant t on 10M rows can be a practically-zero 0.001·σ
+    * shift). Pooled-SD form:
+    * `d = (x̄_a − x̄_b) / s_p`, `s_p² = ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2)`,
+    * and the small-sample-debiased `g = d·(1 − 3/(4(n_a+n_b) − 9))`.
+    * `label` splits rows into group A (true) and B (false); returns one
+    * row `(n_a, n_b, mean_a, mean_b, sd_pooled, d, g)` — NULL d/g when
+    * either group has n < 2 or the pooled variance is 0.
+    *
+    * [[welchTtest]]'s exact-decimal moment fold (one scan, one 1-row
+    * aggregate, pinned scalar evaluation order the oracle mirrors
+    * text-for-text) — engine-portable, partition-free.
+    */
+  def cohensD(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
+    val d = df.select(value.cast("double").as("_v"), label.cast("boolean").as("_y"))
+      .where(col("_v").isNotNull && col("_y").isNotNull)
+    val m = d.agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_y"), col("_v").cast("decimal(38,12)"))).as("_sa"),
+      sum(when(!col("_y"), col("_v").cast("decimal(38,12)"))).as("_sb"),
+      sum(when(col("_y"), (col("_v") * col("_v")).cast("decimal(38,12)"))).as("_qa"),
+      sum(when(!col("_y"), (col("_v") * col("_v")).cast("decimal(38,12)"))).as("_qb"))
+    m.withColumn("_ma", col("_sa").cast("double") / col("n_a"))
+      .withColumn("_mb", col("_sb").cast("double") / col("n_b"))
+      .withColumn("_ssa",
+        when(col("n_a") >= 2, col("_qa").cast("double") - col("n_a") * col("_ma") * col("_ma")))
+      .withColumn("_ssb",
+        when(col("n_b") >= 2, col("_qb").cast("double") - col("n_b") * col("_mb") * col("_mb")))
+      .withColumn("_sp2", (col("_ssa") + col("_ssb")) / (col("n_a") + col("n_b") - 2))
+      .withColumn("_d",
+        when(col("_sp2") > 0, (col("_ma") - col("_mb")) / sqrt(col("_sp2"))))
+      .select(
+        col("n_a"), col("n_b"),
+        round(col("_ma"), scale).as("mean_a"),
+        round(col("_mb"), scale).as("mean_b"),
+        round(sqrt(col("_sp2")), scale).as("sd_pooled"),
+        round(col("_d"), scale).as("d"),
+        round(col("_d") * (lit(1.0) -
+          lit(3.0) / (lit(4.0) * (col("n_a") + col("n_b")) - 9)), scale).as("g"))
+  }
+
   /** Near-zero-variance feature screen (the caret `nearZeroVar` rule) —
     * which columns carry no usable signal? Per listed column:
     * `(column, n, n_distinct, freq_ratio, pct_unique, nzv)` where

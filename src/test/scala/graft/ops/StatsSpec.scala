@@ -1204,6 +1204,61 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("bhFdr: textbook step-up incl. the later-rank-rescues-earlier case") {
+    import spark.implicits._
+    // m=5, α=1/4: bounds 0.05i — p₍₃₎=0.04 passes, p₍₄₎=0.30 fails ⇒ k*=3
+    val t1 = Seq((1L, 0.01), (2L, 0.02), (3L, 0.30), (4L, 0.04), (5L, 0.90))
+      .toDF("id", "p")
+    val r1 = Stats.bhFdr(t1, col("p"), col("id"), alphaNum = 1, alphaDen = 4)
+      .select("id", "p_rank", "m", "reject")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(r1 == Set((1L, 1L, 5L, true), (2L, 2L, 5L, true), (4L, 3L, 5L, true),
+      (3L, 4L, 5L, false), (5L, 5L, 5L, false)))
+    // step-up, not step-down: p₍₁₎=0.03 > 0.025 but p₍₂₎=0.049 ≤ 0.05
+    // ⇒ k*=2 rejects BOTH (the rule walks down from the largest passing k)
+    val t2 = Seq((1L, 0.03), (2L, 0.049)).toDF("id", "p")
+    val r2 = Stats.bhFdr(t2, col("p"), col("id"), alphaNum = 1, alphaDen = 20)
+      .select("reject").as[Boolean].collect()
+    assert(r2.toSeq == Seq(true, true))
+    // null p rows are excluded; empty frame degrades to empty
+    val t3 = Seq((1L, Some(0.5)), (2L, None)).toDF("id", "p")
+    assert(Stats.bhFdr(t3, col("p"), col("id")).count() == 1)
+    assert(Stats.bhFdr(t1.limit(0), col("p"), col("id")).isEmpty)
+    graft.Caches.clear()
+  }
+
+  test("effectiveSampleSize: uniform weights give ess=n, deff=1; skew collapses ess") {
+    import spark.implicits._
+    val uni = (1 to 8).map(i => ("u", 2.5)).toDF("g", "w")
+    val skew = Seq(("s", 1.0), ("s", 1.0), ("s", 1.0), ("s", 97.0)).toDF("g", "w")
+    val got = Stats.effectiveSampleSize(uni.union(skew), col("w"), Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("u") == ((8L, 20.0, 8.0, 1.0)))
+    // sw=100, sq=9412: ess = 10000/9412, deff = 4·9412/10000
+    assert(got("s") == ((4L, 100.0, 1.062473, 3.7648)))
+    // zero weights carry no sample: ess/deff NULL
+    val zero = Seq(("z", 0.0), ("z", 0.0)).toDF("g", "w")
+    val rz = Stats.effectiveSampleSize(zero, col("w"), Seq("g")).collect().head
+    assert(rz.isNullAt(3) && rz.isNullAt(4))
+  }
+
+  test("cohensD: hand pooled-SD case with the Hedges debias; degenerate group → NULL") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq((2.0, true), (4.0, true), (0.0, false), (2.0, false)).toDF("v", "y")
+    val r = Stats.cohensD(df, col("v"), col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert((r.getDouble(2), r.getDouble(3)) == ((3.0, 1.0)))
+    val d = 2.0 / math.sqrt(2.0)
+    assert(r.getDouble(4) == r6(math.sqrt(2.0)) && r.getDouble(5) == r6(d))
+    assert(r.getDouble(6) == r6(d * (1.0 - 3.0 / (4.0 * 4 - 9))))
+    // single-row group: pooled variance undefined → NULL d/g
+    val deg = Seq((2.0, true), (0.0, false), (2.0, false)).toDF("v", "y")
+    val rd = Stats.cohensD(deg, col("v"), col("y")).collect().head
+    assert(rd.isNullAt(5) && rd.isNullAt(6))
+  }
+
   test("smdBalance: planted shift flagged; identical arms score 0") {
     import spark.implicits._
     // cov "shift": treated runs 10 higher; cov "same": identical distributions
