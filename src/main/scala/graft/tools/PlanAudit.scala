@@ -91,7 +91,8 @@ object PlanAudit {
     "q290_dispersion",            // types × hour-axis dense fill (the q275 bounded class)
     "q291_capture_recapture",     // three one-row count frames crossJoined (scalar-attach class)
     "q294_nzv",                   // per-leg one-row totals × top-2 crossJoins (scalar-attach class)
-    "q296_cuped"                  // one-row corpus-start-day crossJoin (scalar-attach class)
+    "q296_cuped",                 // one-row corpus-start-day crossJoin (scalar-attach class)
+    "q297_bh_fdr"                 // one-row k* step-up-threshold crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
