@@ -269,6 +269,22 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"),
         label = col("lang") === "en")),
 
+    // outlier-robust doc-length center: 5% trimmed + winsorized means via
+    // the exact global prefix-sum rank — never a single-partition window
+    "q300_trimmed_mean" -> ((s, dir) =>
+      graft.ops.Stats.trimmedStats(
+        T(s, dir, "documents"), value = col("n_chars"),
+        tieCols = Seq(col("doc_id")), trimNum = 1, trimDen = 20)),
+
+    // the price below which half the QUANTITY mass sits — a weighted
+    // median, not a row median (type-1 pick on the cumulative weight)
+    "q301_weighted_median" -> ((s, dir) =>
+      graft.ops.Stats.weightedQuantile(
+        T(s, dir, "lineitem"), value = col("l_extendedprice"),
+        weight = col("l_quantity"),
+        tieCols = Seq(col("l_orderkey"), col("l_linenumber")),
+        qNum = 1, qDen = 2)),
+
     // resharding migration plan: 3 → 4 rendezvous shards — every moved
     // key lands on the NEW shard (HRW's minimal-disruption contract)
     "q292_reshard_plan" -> ((s, dir) => {
@@ -4249,6 +4265,52 @@ object SparkEntry {
         |  round(sqrt(sp2), 6) AS sd_pooled, round(d, 6) AS d,
         |  round(d * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9)), 6) AS g
         |FROM h""".stripMargin,
+
+    // q300: global rank window → tail cuts by integer division; the kept
+    // slice's min/max ARE the winsorization clamps
+    "q300_trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (
+        |  SELECT CAST(any_value(n) AS BIGINT) AS n,
+        |    CAST(any_value(n) * 1 // 20 AS BIGINT) AS cut,
+        |    sum(CAST(v AS DECIMAL(38,12))) AS s,
+        |    sum(CASE WHEN rn > n * 1 // 20 AND rn <= n - n * 1 // 20
+        |      THEN CAST(v AS DECIMAL(38,12)) END) AS st,
+        |    CAST(sum(CASE WHEN rn > n * 1 // 20 AND rn <= n - n * 1 // 20
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    min(CASE WHEN rn > n * 1 // 20 AND rn <= n - n * 1 // 20 THEN v END) AS vlo,
+        |    max(CASE WHEN rn > n * 1 // 20 AND rn <= n - n * 1 // 20 THEN v END) AS vhi
+        |  FROM r)
+        |SELECT n, n_kept, cut,
+        |  round(CAST(s AS DOUBLE) / n, 6) AS mean,
+        |  round(CASE WHEN n_kept > 0 THEN CAST(st AS DOUBLE) / n_kept END, 6)
+        |    AS mean_trimmed,
+        |  round(CASE WHEN n_kept > 0 THEN
+        |    CAST(st + CAST(cut * (vlo + vhi) AS DECIMAL(38,12)) AS DOUBLE) / n END, 6)
+        |    AS mean_winsorized
+        |FROM a""".stripMargin,
+
+    // q301: cumulative quantity mass in (price, order, line) order; the
+    // type-1 pick is the first row whose 2·cum ≥ total
+    "q301_weighted_median" ->
+      """WITH f AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_orderkey, l_linenumber,
+        |    CAST(round(CAST(l_quantity AS DOUBLE), 0) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |c AS (
+        |  SELECT v, l_orderkey, l_linenumber,
+        |    sum(w) OVER (ORDER BY v, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(w) OVER () AS sw
+        |  FROM f WHERE w >= 0)
+        |SELECT CAST(sw AS BIGINT) AS total_w, v AS q
+        |FROM c WHERE cw * 2 >= sw * 1
+        |ORDER BY v, l_orderkey, l_linenumber LIMIT 1""".stripMargin,
 
     // q292: both CASE chains of the q284 argmax, joined per key
     "q292_reshard_plan" ->

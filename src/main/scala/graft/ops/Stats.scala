@@ -2780,6 +2780,106 @@ object Stats {
           lit(3.0) / (lit(4.0) * (col("n_a") + col("n_b")) - 9)), scale).as("g"))
   }
 
+  /** Exact global trimmed + winsorized mean — the outlier-robust center
+    * the plain mean isn't ("mean doc length" where 0.1% of docs are 100×
+    * the median drags the mean; trimming drops the tails, winsorizing
+    * clamps them). This is the textbook COUNT-cut statistic — exactly
+    * `⌊n·trim⌋` rows off each tail of a TOTAL order — where
+    * [[Sampling.rankTrim]] / [[winsorize]] are the value-BAND forms
+    * (percent-rank bands keep tie groups atomically, so their cut counts
+    * drift on tied data; here ties are split by `tieCols` and the count
+    * is exact). Cuts `⌊n·trim⌋` rows off EACH tail of the (value, tie)
+    * order and returns one row
+    * `(n, n_kept, cut, mean, mean_trimmed, mean_winsorized)` — NULL
+    * robust means when the trim swallows everything (n − 2·cut ≤ 0).
+    *
+    * The global rank rides [[runningTotal]]'s range-partition prefix-sum
+    * (never a single-partition window); the kept range's min/max ARE the
+    * winsorization clamps (the kept slice starts exactly at rank cut+1),
+    * so no extra boundary lookups. All three sums fold on the exact
+    * decimal grid; `tieCols` must make (value, tie…) a total order.
+    */
+  def trimmedStats(
+      df: DataFrame,
+      value: Column,
+      tieCols: Seq[Column],
+      trimNum: Int = 1,
+      trimDen: Int = 20,
+      scale: Int = 6): DataFrame = {
+    require(trimNum >= 0 && trimDen > 2 * trimNum,
+      s"trim fraction must be in [0, 0.5): got $trimNum/$trimDen")
+    val base = df.select((value.cast("double").as("_tv") +: tieCols): _*)
+      .where(col("_tv").isNotNull)
+    val (ranked, grand) = prefixSumsCore(
+      base, col("_tv") +: tieCols, Seq(lit(1L) -> "_tr"))
+    val n = grand("_tr")
+    val cut = n * trimNum / trimDen
+    val tracked = graft.Caches.track(ranked)
+    val dec = col("_tv").cast("decimal(38,12)")
+    val kept = when(col("_tr") > cut && col("_tr") <= n - cut, lit(true))
+      .otherwise(lit(false))
+    tracked.agg(
+        sum(dec).as("_s"),
+        sum(when(kept, dec)).as("_st"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        min(when(kept, col("_tv"))).as("_vlo"),
+        max(when(kept, col("_tv"))).as("_vhi"))
+      .select(
+        lit(n).as("n"), col("n_kept"), lit(cut).as("cut"),
+        round(col("_s").cast("double") / lit(n), scale).as("mean"),
+        round(when(col("n_kept") > 0,
+          col("_st").cast("double") / col("n_kept")), scale).as("mean_trimmed"),
+        round(when(col("n_kept") > 0,
+          (col("_st") + (lit(cut) * (col("_vlo") + col("_vhi"))).cast("decimal(38,12)"))
+            .cast("double") / lit(n)), scale).as("mean_winsorized"))
+  }
+
+  /** Exact GLOBAL weighted quantile (type-1: the smallest value whose
+    * cumulative weight reaches q·W) — "the doc length below which half
+    * the TOKEN mass sits" is a weighted median, not a row median.
+    * [[weightedQuantileProfile]] is the per-STRATUM form (a partitioned
+    * window — bounded per stratum, but its empty-strata degenerate runs
+    * the whole corpus through ONE partition); this is the global form on
+    * the range-partition prefix-sum core, safe at any corpus size.
+    * Weights ride the prefix-sum LONG grid: fractional weights are scaled by
+    * `10^weightScale` and rounded (exact for money/quantity-grained
+    * weights at the right scale; 0 = integral weights pass through).
+    * Returns one row `(total_w, q)` — `total_w` in the scaled units —
+    * or an empty frame when the total weight is 0.
+    *
+    * One range-partition prefix-sum in (value, tie…) order; the pick is
+    * a filter + TakeOrdered limit 1, never a global sort. `tieCols` must
+    * complete a total order so the pick is engine-deterministic.
+    */
+  def weightedQuantile(
+      df: DataFrame,
+      value: Column,
+      weight: Column,
+      tieCols: Seq[Column],
+      qNum: Int,
+      qDen: Int,
+      weightScale: Int = 0): DataFrame = {
+    require(qNum > 0 && qDen >= qNum, s"quantile must be in (0,1]: got $qNum/$qDen")
+    require(weightScale >= 0 && weightScale <= 9,
+      s"weightScale must be in [0,9]: got $weightScale")
+    val mult = math.pow(10, weightScale)
+    val wLong = round(weight.cast("double") * lit(mult), 0).cast("long")
+    val base = df.select((value.cast("double").as("_qv") +: tieCols :+
+      wLong.as("_qw")): _*)
+      .where(col("_qv").isNotNull && col("_qw").isNotNull && col("_qw") >= 0)
+    val (ranked, grand) = prefixSumsCore(
+      base, col("_qv") +: tieCols, Seq(col("_qw") -> "_cw"))
+    val sw = grand("_cw")
+    if (sw == 0L)
+      ranked.limit(0).select(lit(0L).as("total_w"), col("_qv").as("q"))
+    else
+      ranked
+        .where(col("_cw") * qDen >= lit(sw) * qNum)
+        .orderBy((col("_qv") +: tieCols): _*)
+        .limit(1)
+        .select(lit(sw).as("total_w"), col("_qv").as("q"))
+  }
+
   /** Near-zero-variance feature screen (the caret `nearZeroVar` rule) —
     * which columns carry no usable signal? Per listed column:
     * `(column, n, n_distinct, freq_ratio, pct_unique, nzv)` where

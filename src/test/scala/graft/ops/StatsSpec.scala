@@ -1259,6 +1259,43 @@ class StatsSpec extends SparkSpec {
     assert(rd.isNullAt(5) && rd.isNullAt(6))
   }
 
+  test("trimmedStats: exact count cuts; ties split by the tie-break; winsorized clamp") {
+    import spark.implicits._
+    // n=5, trim 1/5 → cut 1: kept {2,3,4}; winsorized sum 9 + 1·(2+4) = 15
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val r = Stats.trimmedStats(df, col("v"), Seq(col("id")), trimNum = 1, trimDen = 5)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 3L, 1L)))
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) == ((22.0, 3.0, 3.0)))
+    // all-tied values: the count cut still removes exactly cut per tail
+    val ties = Seq.fill(4)(5.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val t = Stats.trimmedStats(ties, col("v"), Seq(col("id")), trimNum = 1, trimDen = 4)
+      .collect().head
+    assert(t.getLong(1) == 2L && t.getDouble(4) == 5.0 && t.getDouble(5) == 5.0)
+    intercept[IllegalArgumentException](
+      Stats.trimmedStats(df, col("v"), Seq(col("id")), trimNum = 1, trimDen = 2))
+    graft.Caches.clear()
+  }
+
+  test("weightedQuantile: type-1 pick on cumulative weight; micro-grid; empty on zero W") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, 1.0), (2L, 2.0, 1.0), (3L, 3.0, 8.0)).toDF("id", "v", "w")
+    def q(qn: Int, qd: Int) = Stats.weightedQuantile(
+      df, col("v"), col("w"), Seq(col("id")), qn, qd).collect().head
+    assert((q(1, 2).getLong(0), q(1, 2).getDouble(1)) == ((10L, 3.0)))
+    assert(q(1, 10).getDouble(1) == 1.0) // first row already holds 10% of mass
+    // fractional weights on the micro grid: 0.5 at scale 1 = 5 units
+    val frac = Seq((1L, 1.0, 0.5), (2L, 2.0, 0.5)).toDF("id", "v", "w")
+    val rf = Stats.weightedQuantile(
+      frac, col("v"), col("w"), Seq(col("id")), 1, 2, weightScale = 1).collect().head
+    assert((rf.getLong(0), rf.getDouble(1)) == ((10L, 1.0)))
+    val zero = Seq((1L, 1.0, 0.0)).toDF("id", "v", "w")
+    assert(Stats.weightedQuantile(zero, col("v"), col("w"), Seq(col("id")), 1, 2).isEmpty)
+    graft.Caches.clear()
+  }
+
   test("smdBalance: planted shift flagged; identical arms score 0") {
     import spark.implicits._
     // cov "shift": treated runs 10 higher; cov "same": identical distributions
