@@ -2316,6 +2316,25 @@ object SparkEntry {
         docCol = "neighbor_id", rankCol = "r2")
     }),
 
+    // average precision over the q236 ranking — the order-sensitive
+    // binary-label eval (MAP's per-query core)
+    "q302_avg_precision" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+      val ranked = graft.ops.SimilaritySearch.knnJoin(queries, emb, k = 6)
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("r2", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("score").desc, col("neighbor_id"))))
+      val truth = queries.select(col("vec_id").as("query_id"), col("label"))
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), Seq("label"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+      graft.ops.SimilaritySearch.averagePrecision(ranked, truth, k = 5,
+        docCol = "neighbor_id", rankCol = "r2")
+    }),
+
     // the q199 PSI served from two persisted-shape histogram STATES
     // (en-hist vs de-hist on the same grid): its oracle is q199's SQL
     // VERBATIM — hash equality proves state-served ≡ inline
@@ -8185,6 +8204,40 @@ object SparkEntry {
         |  round(COALESCE(CAST(h.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE),
         |    CAST(0.0 AS DOUBLE)), 6) AS ndcg
         |FROM ideal i LEFT JOIN h ON h.query_id = i.query_id""".stripMargin,
+
+    // q302: q236's ranking CTEs + the cumulative-hit precision fold
+    "q302_avg_precision" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e WHERE vec_id % 100 = 0),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id,
+        |    round(list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+        |      AS score
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |topk AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |    FROM s) WHERE rank <= 5),
+        |rel AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id
+        |  FROM q JOIN e ON e.label = q.ql AND e.vec_id <> q.query_id),
+        |hits AS (
+        |  SELECT t.query_id, t.rank,
+        |    count(*) OVER (PARTITION BY t.query_id ORDER BY t.rank
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM topk t JOIN rel ON rel.query_id = t.query_id AND rel.doc_id = t.doc_id),
+        |a AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS hits,
+        |    sum(CAST(CAST(cum AS DOUBLE) / rank AS DECIMAL(38,12))) AS sp
+        |  FROM hits GROUP BY 1),
+        |nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant FROM rel GROUP BY 1)
+        |SELECT nr.query_id, nr.n_relevant,
+        |  COALESCE(a.hits, 0) AS hits,
+        |  round(COALESCE(CAST(sp AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |    / least(nr.n_relevant, 5), 6) AS ap
+        |FROM nr LEFT JOIN a ON a.query_id = nr.query_id""".stripMargin,
 
     // cells → margins → expected → contributions in the same pinned order
     "q215_cramers_v" ->

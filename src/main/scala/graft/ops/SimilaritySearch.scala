@@ -301,6 +301,53 @@ object SimilaritySearch {
           lit(0.0)), scale).as("ndcg"))
   }
 
+  /** Average precision at k per query — [[retrievalMetrics]]'s missing
+    * fourth column and the per-query core of MAP, the ranking-eval
+    * summary that credits EVERY hit by the precision at its own rank
+    * (recall@k ignores order, RR sees only the first hit, nDCG needs
+    * graded labels — AP is the binary-label order-sensitive one):
+    * `AP@k = Σ_{hits at rank r ≤ k} P@r / min(n_relevant, k)` with
+    * `P@r` = hits-so-far/r. Returns `(queryCol, n_relevant, hits, ap)`
+    * per query with ≥1 relevant doc; zero-hit queries score 0.
+    *
+    * The cumulative hit count is a window PARTITIONED by query over ≤k
+    * result rows (bounded by construction); the per-hit precisions are
+    * decimal-summed, ONE division per query. Truth rows join the ≤k-row
+    * result cut — never the full corpus.
+    */
+  def averagePrecision(
+      results: DataFrame,
+      truth: DataFrame,
+      k: Int,
+      queryCol: String = "query_id",
+      docCol: String = "doc_id",
+      rankCol: String = "rank",
+      scale: Int = 6
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+    val rel = truth.select(col(queryCol).as("_q"), col(docCol).as("_d"))
+    val hits = results.where(col(rankCol) <= k)
+      .select(col(queryCol).as("_q"), col(docCol).as("_d"),
+        col(rankCol).cast("long").as("_r"))
+      .join(rel, Seq("_q", "_d"))
+    val cumW = w.partitionBy(col("_q")).orderBy(col("_r"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val perQuery = hits
+      .withColumn("_cum", count(lit(1)).over(cumW))
+      .groupBy(col("_q"))
+      .agg(
+        count(lit(1)).as("hits"),
+        sum((col("_cum").cast("double") / col("_r")).cast("decimal(38,12)"))
+          .as("_sp"))
+    val nrel = rel.groupBy(col("_q")).agg(count(lit(1)).as("n_relevant"))
+    nrel.join(perQuery, Seq("_q"), "left")
+      .select(col("_q").as(queryCol), col("n_relevant"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("_sp").cast("double"), lit(0.0)) /
+          least(col("n_relevant"), lit(k.toLong)), scale).as("ap"))
+  }
+
   /** Embedding-space drift between two corpus snapshots — the semantic
     * face of the distribution monitors ([[graft.ops.Stats.chiSquareDrift]]
     * watches categorical mixes; this watches WHERE the embedding mass

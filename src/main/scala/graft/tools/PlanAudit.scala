@@ -92,7 +92,8 @@ object PlanAudit {
     "q291_capture_recapture",     // three one-row count frames crossJoined (scalar-attach class)
     "q294_nzv",                   // per-leg one-row totals × top-2 crossJoins (scalar-attach class)
     "q296_cuped",                 // one-row corpus-start-day crossJoin (scalar-attach class)
-    "q297_bh_fdr"                 // one-row k* step-up-threshold crossJoin (scalar-attach class)
+    "q297_bh_fdr",                // one-row k* step-up-threshold crossJoin (scalar-attach class)
+    "q302_avg_precision"          // q236's query-batch broadcast knnJoin feeding the AP fold
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -1014,6 +1014,35 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(g.getDouble(5) == r6((1.0 + 3.0 * d2) / (3.0 + d2)))
   }
 
+  test("averagePrecision: per-hit precision fold; order sensitivity; zero-hit and cut ranks") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val results = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 20L, 3), // hits at ranks 1 and 3
+      (2L, 99L, 1), (2L, 40L, 2),               // hit only at rank 2
+      (4L, 8L, 1), (4L, 9L, 2)                  // all misses
+    ).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 31L),
+      (2L, 40L), (4L, 50L)).toDF("query_id", "doc_id")
+    val out = SimilaritySearch.averagePrecision(results, truth, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // q1: P@1=1, P@3=2/3 → AP = (1 + 2/3)/min(4,3)
+    assert(out(1L) == ((4L, 2L, r6((1.0 + 2.0 / 3) / 3))))
+    // q2: single hit at rank 2 → AP = (1/2)/min(1,3) = 0.5
+    assert(out(2L) == ((1L, 1L, 0.5)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+    // order sensitivity: the same hit set at better ranks scores higher
+    val better = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 99L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val ap2 = SimilaritySearch.averagePrecision(better, truth, k = 3)
+      .where(col("query_id") === 1).collect().head.getDouble(3)
+    assert(ap2 == r6(2.0 / 3) && ap2 > out(1L)._3)
+    // the rank-cut: a hit past k contributes nothing
+    val cut = SimilaritySearch.averagePrecision(results, truth, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cut(1L) == 0.5) // only the rank-1 hit counts: 1/min(4,2)
+  }
+
   test("randomProjection: deterministic under repartition, map-side, JL norm preservation") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
