@@ -2628,6 +2628,16 @@ object SparkEntry {
       graft.ops.Stats.auc(labeled, col("score"), col("y"))
     }),
 
+    // PR-AUC of the same scorer — the imbalance-honest companion of
+    // q177's ROC-AUC (step-interpolated average precision, ties one step)
+    "q303_pr_auc" -> ((s, dir) => {
+      val scores = TextAnalysis.hashedNgramScore(T(s, dir, "documents"), hash = activeHash)
+      val labeled = scores.join(
+        T(s, dir, "documents").select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      graft.ops.Stats.prAuc(labeled, col("score"), col("y"))
+    }),
+
     // operating points: precision/recall/F1 at a 5-threshold sweep —
     // exact tp/fp/fn integers, scalar IEEE metric arithmetic per row
     "q178_pr_thresholds" -> ((s, dir) => {
@@ -8869,6 +8879,37 @@ object SparkEntry {
          |  round(CASE WHEN npos > 0 AND nneg > 0 THEN
          |    CAST(m2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) END, 6) AS auc
          |FROM t""".stripMargin,
+
+    // q303: q177's grouped-count CTEs; descending cumulatives as
+    // total − cum + self; per-group term in the same pinned order
+    "q303_pr_auc" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lab AS (
+         |  SELECT s.score AS sc, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |), g AS (
+         |  SELECT sc, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS np
+         |  FROM lab GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS ntot, CAST(sum(np) AS BIGINT) AS ptot FROM g
+         |), r AS (
+         |  SELECT np,
+         |    t.ntot - CAST(sum(cnt) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      + cnt AS nge,
+         |    t.ptot - CAST(sum(np) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      + np AS pge,
+         |    t.ntot, t.ptot
+         |  FROM g, t
+         |), a AS (
+         |  SELECT any_value(ptot) AS ptot, any_value(ntot) AS ntot,
+         |    sum(CAST((CAST(np AS DOUBLE) * pge) / (CAST(ptot AS DOUBLE) * nge)
+         |      AS DECIMAL(38,12))) AS ap
+         |  FROM r
+         |)
+         |SELECT ptot AS n_pos, ntot - ptot AS n_neg,
+         |  round(CASE WHEN ptot > 0 THEN CAST(ap AS DOUBLE) END, 6) AS pr_auc
+         |FROM a""".stripMargin,
 
     // identical tp/fp/fn counting; the F1 spells out the unrounded p·r
     // composition so both engines run the same scalar arithmetic

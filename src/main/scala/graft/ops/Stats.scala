@@ -551,6 +551,42 @@ object Stats {
             / (lit(2L) * col("_npos") * col("_nneg")), scale)).as("auc"))
   }
 
+  /** Exact PR-AUC (average precision over thresholds) — [[auc]]'s
+    * companion for IMBALANCED labels, where ROC-AUC flatters ("0.95 ROC"
+    * on a 1:1000 class can still mean most flagged rows are false):
+    * `AP = Σ_g ΔR_g · P_g` over distinct-score groups in DESCENDING
+    * score order, with `ΔR_g = pos_g/n₊` and `P_g = P≥/N≥` the
+    * precision at the group's threshold (the step-interpolated area —
+    * sklearn's `average_precision_score` convention, ties collapsed to
+    * one step). Returns one row `(n_pos, n_neg, pr_auc)`; NULL when
+    * there are no positives (precision is undefined at every threshold).
+    *
+    * Scale shape: [[auc]]'s exactly — collapse to |distinct scores|
+    * groups first, ONE [[runningTotals]] range-partition prefix-sum for
+    * both cumulative counts (descending cumulatives are total − cum +
+    * self off the grand totals, no second sort), per-group terms are
+    * pinned scalar IEEE off exact longs, decimal-summed order-free.
+    */
+  def prAuc(df: DataFrame, score: Column, label: Column, scale: Int = 6): DataFrame = {
+    val base = df
+      .select(score.as("_s"), label.cast("int").cast("long").as("_y"))
+      .where(col("_s").isNotNull)
+    val groups = graft.Caches.track(base.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_np")))
+    val (ranked, grand) = prefixSumsCore(groups, Seq(col("_s")),
+      Seq(col("_cnt") -> "_cumn", col("_np") -> "_cump"))
+    val nTot = grand("_cumn")
+    val pTot = grand("_cump")
+    val nGe = lit(nTot) - col("_cumn") + col("_cnt") // rows scoring ≥ this group
+    val pGe = lit(pTot) - col("_cump") + col("_np")
+    val term = (col("_np").cast("double") * pGe) / (lit(pTot.toDouble) * nGe)
+    ranked.agg(sum(term.cast("decimal(38,12)")).as("_ap"))
+      .select(
+        lit(pTot).as("n_pos"), lit(nTot - pTot).as("n_neg"),
+        (if (pTot > 0) round(col("_ap").cast("double"), scale)
+         else lit(null).cast("double")).as("pr_auc"))
+  }
+
   /** ROC-AUC per SLICE — the sliced-eval scoreboard ("the classifier is
     * fine globally but useless on src7"): [[auc]]'s exact integer midrank
     * Mann-Whitney, computed independently inside every slice. Unlike the

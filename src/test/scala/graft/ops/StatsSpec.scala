@@ -1259,6 +1259,24 @@ class StatsSpec extends SparkSpec {
     assert(rd.isNullAt(5) && rd.isNullAt(6))
   }
 
+  test("prAuc: hand step area; tie groups collapse to one step; degenerate labels") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ap(rows: Seq[(Double, Boolean)]) =
+      Stats.prAuc(rows.toDF("s", "y"), col("s"), col("y")).collect().head
+    // thresholds desc: P@0.9 = 1/1 (ΔR ½), P@0.7 = 2/3 (ΔR ½)
+    val r = ap(Seq((0.9, true), (0.8, false), (0.7, true), (0.6, false)))
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == r6(0.5 + 1.0 / 3))
+    // tied scores are ONE threshold step: the 0.9 group has P = 1/2
+    val t = ap(Seq((0.9, true), (0.9, false), (0.5, true)))
+    assert(t.getDouble(2) == r6(0.25 + 1.0 / 3))
+    assert(ap(Seq((0.9, true), (0.1, false))).getDouble(2) == 1.0) // perfect ranking
+    assert(ap(Seq((0.9, false), (0.1, false))).isNullAt(2)) // no positives
+    assert(ap(Seq((0.9, true), (0.1, true))).getDouble(2) == 1.0) // no negatives: P≡1
+    graft.Caches.clear()
+  }
+
   test("trimmedStats: exact count cuts; ties split by the tie-break; winsorized clamp") {
     import spark.implicits._
     // n=5, trim 1/5 → cut 1: kept {2,3,4}; winsorized sum 9 + 1·(2+4) = 15
