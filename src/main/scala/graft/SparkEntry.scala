@@ -2868,6 +2868,53 @@ object SparkEntry {
         s, e, landmarks = Seq(1L, 2L, 3L), maxDist = 6)
     }),
 
+    // ANF / HyperBall k-hop reach on the q121 graph. Verify face: a
+    // q27-style self-verifying gate — 10 landmark vertices' HLL reach
+    // estimates vs landmarkDistances' EXACT balls at every hop, max
+    // relative error ≤ 15% (lgK=11 ⇒ σ ≈ 2.3%); bench face times the
+    // full per-hop reach rollup (the production read)
+    "q304_graph_anf" -> ((s, dir) => {
+      val raw = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("s0"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("d0"))
+      // the same undirected canonicalization landmarkDistances applies
+      val canon = raw.where(col("s0") =!= col("d0"))
+        .select(least(col("s0"), col("d0")).as("a"),
+          greatest(col("s0"), col("d0")).as("b")).distinct()
+      val bidir = canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst")))
+      val v = bidir.select(col("src").as("id")).distinct()
+      val anf = graft.graph.GraphQueries.neighborhoodFunction(
+        s, v, bidir, maxHops = 3, lgK = 11)
+      if (benchMode)
+        anf.groupBy(col("hop")).agg(
+          count(lit(1)).as("n_vertices"),
+          round(sum(col("reach_est")), 0).as("sum_reach"))
+      else {
+        val lms = (1L to 10L)
+        val exact = graft.graph.GraphQueries.landmarkDistances(
+            s, raw.select(col("s0").as("src"), col("d0").as("dst")),
+            landmarks = lms, maxDist = 3)
+          .groupBy(col("landmark"))
+          .agg(count(when(col("dist") <= 1, 1)).as("b1"),
+            count(when(col("dist") <= 2, 1)).as("b2"),
+            count(when(col("dist") <= 3, 1)).as("b3"))
+        val est = anf.where(col("id").isin(lms: _*))
+          .groupBy(col("id").as("landmark"))
+          .agg(max(when(col("hop") === 1, col("reach_est"))).as("e1"),
+            max(when(col("hop") === 2, col("reach_est"))).as("e2"),
+            max(when(col("hop") === 3, col("reach_est"))).as("e3"))
+        val rel = exact.join(est, Seq("landmark"))
+          .select(greatest(
+            abs(col("e1") / col("b1") - 1.0),
+            abs(col("e2") / col("b2") - 1.0),
+            abs(col("e3") / col("b3") - 1.0)).as("_err"))
+        val gate = rel.agg(count(lit(1)).as("_n"), max(col("_err")).as("_worst"))
+        gate.select(lit(3L).as("hops"), lit(10L).as("sources_checked"),
+          (col("_n") === 10L && col("_worst") <= 0.15).as("anf_pass"))
+      }
+    }),
+
     // language-ID confusion matrix (classifier-eval face): metadata lang ×
     // langId prediction with exact counts — where the heuristic is wrong,
     // per true class; |langs|×|preds| rows from one map-side-combined
@@ -5262,6 +5309,12 @@ object SparkEntry {
     // q116-style self-verifying gate: the Spark side asserts DF ≡ GraphX
     // personalized ranks to 1e-6 before emitting the row
     "q126_graph_ppr" -> "SELECT CAST(1 AS BIGINT) AS source_id, CAST(TRUE AS BOOLEAN) AS ppr_pass",
+
+    // q304: the gate row — the query itself proves the HLL reach
+    // estimates against landmarkDistances' exact balls (q126's pattern)
+    "q304_graph_anf" ->
+      ("SELECT CAST(3 AS BIGINT) AS hops, CAST(10 AS BIGINT) AS sources_checked, " +
+        "CAST(TRUE AS BOOLEAN) AS anf_pass"),
     "q127_ann_ivfpq_knn" -> "SELECT 5 AS n_queries, CAST(TRUE AS BOOLEAN) AS knn_recall_pass",
 
     "q19_dedup_ngram" ->

@@ -944,6 +944,62 @@ object GraphQueries {
     settled.select(col("vid").as(idCol), col("lm").as("landmark"), col("dist"))
   }
 
+  /** Approximate neighborhood function (ANF / HyperBall) — per-vertex
+    * k-hop REACH estimates via iterated HLL sketch unions, the canonical
+    * web-scale graph-statistics algorithm (effective diameter, reach
+    * curves, spid) where exact per-vertex balls are O(V·ball) and die at
+    * scale: `ball_h(v) = ball_{h-1}(v) ∪ ⋃_{(v,w)∈E} ball_{h-1}(w)`,
+    * with every ball a fixed-size DataSketches HLL (`hll_sketch_agg` /
+    * `hll_union_agg` — mergeable, deterministic for a given input set
+    * and lgK). Returns `(id, hop, reach_est)` for hop = 1..maxHops;
+    * `reach_est` counts the vertex itself (hop-0 ball = {v}).
+    *
+    * Edges are DIRECTED out-edges (union the swap for undirected reach).
+    * Scale shape: each round is ONE equi-join (state sketches shipped to
+    * in-edges: |E| sketch copies) + ONE partial-aggregated sketch-union
+    * shuffle keyed on the vertex — shuffle mass ≈ |E|·2^lgK bytes per
+    * round, the lgK knob trading accuracy (σ ≈ 1.04/√2^lgK) against
+    * bandwidth. Rounds are lineage-cut per hop (the [[shortestPaths]]
+    * loop discipline). HyperBall's register-delta compression is a
+    * further refinement this implementation deliberately skips — the
+    * sketch column is already fixed-width and partial-agg combines
+    * map-side.
+    */
+  def neighborhoodFunction(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxHops: Int,
+      lgK: Int = 12,
+      idCol: String = "id"
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val v = vertices.select(col(idCol).cast("long").as("id")).distinct()
+    val e = materialize(edges
+      .select(col(EdgeColumns.Src).cast("long").as("src"),
+        col(EdgeColumns.Dst).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct())
+    var state = materialize(
+      v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("_sk")))
+    val hops = (1 to maxHops).map { h =>
+      val contrib = e
+        .join(state.select(col("id").as("dst"), col("_sk")), Seq("dst"))
+        .select(col("src").as("id"), col("_sk"))
+      state = materialize(
+        state.unionAll(contrib)
+          .groupBy(col("id"))
+          .agg(hll_union_agg(col("_sk"), lit(true)).as("_sk")))
+      state.select(col("id"), lit(h).as("hop"),
+        hll_sketch_estimate(col("_sk")).cast("double").as("reach_est"))
+    }
+    hops.reduce(_ unionAll _)
+  }
+
   /** Connected components over an edge set; vertices absent from any edge
     * are singletons (their own component). Returns (id, component) where
     * component = smallest vertex id in the component (GraphX convention).

@@ -126,3 +126,50 @@ class ShortestPathsSpec extends SparkSpec {
     assert(runLm(edges, lms, maxDist = 3) == expect)
   }
 }
+
+class NeighborhoodFunctionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("neighborhoodFunction: small balls are exact (HLL sparse mode); path graph hops") {
+    // path 1—2—3—4, undirected (both directions passed explicitly)
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (canon ++ canon.map(_.swap)).toDF("src", "dst")
+    val v = e.select(col("src").as("id")).distinct()
+    val got = GraphQueries.neighborhoodFunction(spark, v, e, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> math.round(r.getDouble(2))).toMap
+    // hop 1: endpoint balls 2, inner balls 3
+    assert(got((1L, 1)) == 2L && got((2L, 1)) == 3L && got((3L, 1)) == 3L && got((4L, 1)) == 2L)
+    // hop 2: endpoints reach 3, inner reach all 4
+    assert(got((1L, 2)) == 3L && got((2L, 2)) == 4L && got((3L, 2)) == 4L && got((4L, 2)) == 3L)
+    // hop 3: everyone reaches everyone
+    assert(Seq(1L, 2L, 3L, 4L).forall(id => got((id, 3)) == 4L))
+    graft.Caches.clear()
+  }
+
+  test("neighborhoodFunction: directed out-reach; estimates track exact balls on a random graph") {
+    // directed: 1→2 only — ball(1)={1,2}, ball(2)={2}
+    val dir = Seq((1L, 2L)).toDF("src", "dst")
+    val vd = Seq(1L, 2L).toDF("id")
+    val d = GraphQueries.neighborhoodFunction(spark, vd, dir, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(2))).toMap
+    assert(d(1L) == 2L && d(2L) == 1L)
+    // pseudorandom undirected graph: hop-2 estimates vs exact BFS balls
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val bi = (es ++ es.map(_.swap)).distinct
+    val eDf = bi.toDF("src", "dst")
+    val vDf = eDf.select(col("src").as("id")).distinct()
+    val est = GraphQueries.neighborhoodFunction(spark, vDf, eDf, maxHops = 2)
+      .where(col("hop") === 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1 + 1)).toMap
+    val adj = bi.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    est.foreach { case (id, e2) =>
+      val b1 = adj.getOrElse(id, Set.empty) + id
+      val b2 = b1 ++ b1.flatMap(adj.getOrElse(_, Set.empty))
+      // balls ≤ 40 ≪ 2^12 registers — the sketch is still in exact sparse mode
+      assert(math.round(e2) == b2.size.toLong, s"vertex $id: est $e2 vs exact ${b2.size}")
+    }
+    graft.Caches.clear()
+  }
+}
