@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** Property-pins the round-11 eval additions against brute-force Scala
+  * references on random inputs: BH step-up rejections and PR-AUC step
+  * areas are easy to get subtly wrong (step-up vs step-down, tie
+  * handling, descending cumulatives), so the distributed forms are
+  * checked row-for-row against the textbook O(n²)-naive computations.
+  * Raw `Gen.apply` sampling (scalatestplus is not on this classpath).
+  */
+class EvalPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: bhFdr matches brute-force step-up on random p tables (incl. ties)") {
+    val gen = for {
+      n  <- Gen.choose(1, 60)
+      // thousandth-grid p values: ties are common, and the brute-force
+      // step-up check stays in exact integer space (the op compares on
+      // the decimal grid — a double-arithmetic reference could disagree
+      // by one ulp exactly at the boundary ranks)
+      pm <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0, 40), Gen.choose(0, 1000)))
+    } yield pm.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    samples(gen, 12).foreach { rows =>
+      val df = rows.map { case (id, pm) => (id, pm / 1000.0) }.toDF("id", "p")
+        .repartition(4)
+      val got = Stats.bhFdr(df, col("p"), col("id"), alphaNum = 1, alphaDen = 20)
+        .select("id", "reject").as[(Long, Boolean)].collect().toMap
+      // brute force: sort (p, id), largest k with p_(k) <= k/(20m) —
+      // checked as pm·m·20 <= k·1000, exact integers
+      val m = rows.size
+      val sorted = rows.sortBy { case (id, pm) => (pm, id) }
+      val kStar = (1 to m).reverse
+        .find(k => sorted(k - 1)._2.toLong * m * 20 <= k.toLong * 1000)
+        .getOrElse(0)
+      val want = sorted.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1 <= kStar) }.toMap
+      assert(got === want, s"m=$m kStar=$kStar rows=${rows.take(5)}…")
+    }
+  }
+
+  test("property: prAuc matches the brute-force threshold sweep on random scored labels") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gen = for {
+      n  <- Gen.choose(2, 80)
+      ss <- Gen.listOfN(n, Gen.choose(0, 20).map(_ / 20.0)) // heavy score ties
+      ys <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield ss.zip(ys)
+    samples(gen, 12).filter(_.exists(_._2)).foreach { rows =>
+      val df = rows.toDF("s", "y").repartition(4)
+      val got = Stats.prAuc(df, col("s"), col("y")).collect().head
+      // brute force: distinct scores desc, AP = sum over groups of
+      // (pos_g / nPos) * (cumPos / cumAll)
+      val nPos = rows.count(_._2).toLong
+      val groups = rows.groupBy(_._1).toSeq.sortBy(-_._1)
+        .map { case (s, g) => (g.size.toLong, g.count(_._2).toLong) }
+      var (cumAll, cumPos, ap) = (0L, 0L, 0.0)
+      groups.foreach { case (cnt, pos) =>
+        cumAll += cnt; cumPos += pos
+        ap += (pos.toDouble * cumPos) / (nPos.toDouble * cumAll)
+      }
+      assert(got.getLong(0) == nPos && got.getLong(1) == rows.size - nPos)
+      assert(math.abs(got.getDouble(2) - ap) < 2e-6,
+        s"got ${got.getDouble(2)} want ${r6(ap)} rows=${rows.take(5)}…")
+    }
+    graft.Caches.clear()
+  }
+}
