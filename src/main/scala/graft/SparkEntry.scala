@@ -2628,6 +2628,21 @@ object SparkEntry {
       graft.ops.Stats.auc(labeled, col("score"), col("y"))
     }),
 
+    // Qini / AUUC of the q177 scorer as an UPLIFT ranking: treated =
+    // q293's even-hash arm, outcome = long document — does the score
+    // rank incremental effect better than random targeting?
+    "q305_qini" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scores = TextAnalysis.hashedNgramScore(docs, hash = activeHash)
+      val labeled = scores.join(
+        docs.select(col("doc_id"),
+          (graft.ops.Sampling.bucket(col("source"), 9, activeHash) % 2 === 0).as("t"),
+          (col("n_chars") >= 500).as("y")),
+        Seq("doc_id"))
+      graft.ops.Stats.qini(labeled, score = col("score"), treated = col("t"),
+        outcome = col("y"), tie = col("doc_id"))
+    }),
+
     // PR-AUC of the same scorer — the imbalance-honest companion of
     // q177's ROC-AUC (step-interpolated average precision, ties one step)
     "q303_pr_auc" -> ((s, dir) => {
@@ -8932,6 +8947,39 @@ object SparkEntry {
          |  round(CASE WHEN npos > 0 AND nneg > 0 THEN
          |    CAST(m2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) END, 6) AS auc
          |FROM t""".stripMargin,
+
+    // q305: desc-window cumulative arms (≡ the op's reversed prefix
+    // sums on a total order); every scalar in the op's pinned order
+    "q305_qini" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), d AS (
+         |  SELECT s.score AS sc, s.doc_id AS id,
+         |    ((${md5l("'9:' || d0.source")} % 1000000) % 2 = 0) AS t,
+         |    (d0.n_chars >= 500) AS y
+         |  FROM scored s JOIN documents d0 ON d0.doc_id = s.doc_id
+         |  WHERE d0.source IS NOT NULL AND d0.n_chars IS NOT NULL
+         |), r AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) OVER w AS BIGINT) AS nt,
+         |    CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) OVER w AS BIGINT) AS yt,
+         |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) OVER w AS BIGINT) AS nc,
+         |    CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) OVER w AS BIGINT) AS yc
+         |  FROM d WINDOW w AS (ORDER BY sc DESC, id DESC ROWS UNBOUNDED PRECEDING)
+         |), a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(CAST(yt AS DOUBLE)
+         |      - CASE WHEN nc > 0 THEN (CAST(yc AS DOUBLE) * nt) / nc
+         |             ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,12))) AS sq,
+         |    max(nt) AS tnt, max(yt) AS tyt, max(nc) AS tnc, max(yc) AS tyc
+         |  FROM r)
+         |SELECT n, tnt AS n_treated, tnc AS n_control,
+         |  round(CAST(tyt AS DOUBLE) - (CAST(tyc AS DOUBLE) * tnt) / tnc, 6) AS q_final,
+         |  round(CAST(sq AS DOUBLE) / n, 6) AS auuc,
+         |  round(CAST(sq AS DOUBLE) / n
+         |    - (CAST(tyt AS DOUBLE) - (CAST(tyc AS DOUBLE) * tnt) / tnc)
+         |      * (n + 1) / (2 * n), 6) AS qini
+         |FROM a""".stripMargin,
 
     // q303: q177's grouped-count CTEs; descending cumulatives as
     // total − cum + self; per-group term in the same pinned order

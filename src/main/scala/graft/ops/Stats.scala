@@ -2916,6 +2916,70 @@ object Stats {
         .select(lit(sw).as("total_w"), col("_qv").as("q"))
   }
 
+  /** Qini coefficient / AUUC — the uplift-model eval ("does the model
+    * rank users by INCREMENTAL treatment effect?") that classification
+    * metrics cannot see: ranking everyone by score descending, the Qini
+    * value at prefix i is `Q(i) = Yᵀ(i) − Yᶜ(i)·Nᵀ(i)/Nᶜ(i)` (treated
+    * positives minus the control positives scaled to the treated
+    * exposure; 0 while the prefix has no controls), `AUUC = Σᵢ Q(i)/N`
+    * and `qini = AUUC − Q(N)·(N+1)/(2N)` — the area between the model
+    * curve and the random-targeting diagonal. Returns one row
+    * `(n, n_treated, n_control, q_final, auuc, qini)`; NULL summaries
+    * when either arm is empty.
+    *
+    * Scale shape: ONE [[runningTotals]] range-partition prefix-sum
+    * carries all four cumulative arms plus the rank in (score, tie)
+    * ascending order; the descending prefixes every Qini definition
+    * needs are `total − cum + self` off the grand totals (a TOTAL order
+    * reverses exactly — no second sort, no descending window). Per-row
+    * Q values are pinned scalar IEEE off exact longs, decimal-summed
+    * order-free; the two final scalars are literal arithmetic the oracle
+    * mirrors text-for-text.
+    */
+  def qini(
+      df: DataFrame,
+      score: Column,
+      treated: Column,
+      outcome: Column,
+      tie: Column,
+      scale: Int = 6): DataFrame = {
+    val base = df.select(score.as("_s"), treated.cast("boolean").as("_t"),
+        outcome.cast("boolean").as("_y"), tie)
+      .where(col("_s").isNotNull && col("_t").isNotNull && col("_y").isNotNull)
+      .withColumn("_wt", when(col("_t"), 1L).otherwise(0L))
+      .withColumn("_yt", when(col("_t") && col("_y"), 1L).otherwise(0L))
+      .withColumn("_wc", when(!col("_t"), 1L).otherwise(0L))
+      .withColumn("_yc", when(!col("_t") && col("_y"), 1L).otherwise(0L))
+    val (ranked, grand) = prefixSumsCore(base, Seq(col("_s"), tie),
+      Seq(col("_wt") -> "_cwt", col("_yt") -> "_cyt",
+        col("_wc") -> "_cwc", col("_yc") -> "_cyc", lit(1L) -> "_crn"))
+    val (nT, yT, nC, yC) =
+      (grand("_cwt"), grand("_cyt"), grand("_cwc"), grand("_cyc"))
+    val n = grand("_crn")
+    def desc(cum: String, self: String, total: Long): Column =
+      lit(total) - col(cum) + col(self)
+    val ntD = desc("_cwt", "_wt", nT); val ytD = desc("_cyt", "_yt", yT)
+    val ncD = desc("_cwc", "_wc", nC); val ycD = desc("_cyc", "_yc", yC)
+    val qRow = ytD.cast("double") -
+      when(ncD > 0, (ycD.cast("double") * ntD) / ncD)
+        .otherwise(lit(0.0).cast("double"))
+    val agg = ranked.agg(sum(qRow.cast("decimal(38,12)")).as("_sq"))
+    if (nT == 0L || nC == 0L || n == 0L)
+      agg.select(lit(n).as("n"), lit(nT).as("n_treated"), lit(nC).as("n_control"),
+        lit(null).cast("double").as("q_final"),
+        lit(null).cast("double").as("auuc"),
+        lit(null).cast("double").as("qini"))
+    else {
+      val qFinal = lit(yT.toDouble) - (lit(yC.toDouble) * lit(nT)) / lit(nC)
+      val auuc = col("_sq").cast("double") / lit(n)
+      val random = qFinal * (lit(n) + lit(1L)) / (lit(2L) * lit(n))
+      agg.select(lit(n).as("n"), lit(nT).as("n_treated"), lit(nC).as("n_control"),
+        round(qFinal, scale).as("q_final"),
+        round(auuc, scale).as("auuc"),
+        round(auuc - random, scale).as("qini"))
+    }
+  }
+
   /** Near-zero-variance feature screen (the caret `nearZeroVar` rule) —
     * which columns carry no usable signal? Per listed column:
     * `(column, n, n_distinct, freq_ratio, pct_unique, nzv)` where

@@ -45,6 +45,53 @@ class EvalPropertySpec extends SparkSpec {
     }
   }
 
+  test("qini: hand curve; degenerate single-arm inputs → NULL summaries") {
+    val rows = Seq((0.9, true, true, 1L), (0.8, false, false, 2L),
+      (0.7, true, false, 3L), (0.6, false, true, 4L))
+      .toDF("s", "t", "y", "id")
+    val r = Stats.qini(rows, col("s"), col("t"), col("y"), col("id")).collect().head
+    // Q(i) over desc prefixes: 1, 1, 1, 0 → AUUC 0.75; Q(N)=0 → qini 0.75
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 2L)))
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) == ((0.0, 0.75, 0.75)))
+    val oneArm = Seq((0.9, true, true, 1L), (0.8, true, false, 2L))
+      .toDF("s", "t", "y", "id")
+    val d = Stats.qini(oneArm, col("s"), col("t"), col("y"), col("id")).collect().head
+    assert(d.isNullAt(3) && d.isNullAt(4) && d.isNullAt(5))
+    graft.Caches.clear()
+  }
+
+  test("property: qini matches the brute-force desc-prefix curve on random cohorts") {
+    val gen = for {
+      n  <- Gen.choose(2, 60)
+      ss <- Gen.listOfN(n, Gen.choose(0, 15).map(_ / 15.0)) // tied scores
+      ts <- Gen.listOfN(n, Gen.oneOf(true, false))
+      ys <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield ss.lazyZip(ts).lazyZip(ys).toList.zipWithIndex
+      .map { case ((s, t, y), i) => (s, t, y, i.toLong) }
+    samples(gen, 12)
+      .filter(r => r.exists(_._2) && r.exists(!_._2))
+      .foreach { rows =>
+        val df = rows.toDF("s", "t", "y", "id").repartition(4)
+        val got = Stats.qini(df, col("s"), col("t"), col("y"), col("id"))
+          .collect().head
+        // brute force in descending (score, id) order
+        val desc = rows.sortBy { case (s, _, _, id) => (-s, -id) }
+        var (nt, yt, nc, yc, sq) = (0L, 0L, 0L, 0L, 0.0)
+        desc.foreach { case (_, t, y, _) =>
+          if (t) { nt += 1; if (y) yt += 1 } else { nc += 1; if (y) yc += 1 }
+          sq += yt.toDouble - (if (nc > 0) yc.toDouble * nt / nc else 0.0)
+        }
+        val n = rows.size
+        val qf = yt.toDouble - yc.toDouble * nt / nc
+        val auuc = sq / n
+        val qini = auuc - qf * (n + 1) / (2.0 * n)
+        assert(got.getLong(1) == nt && got.getLong(2) == nc)
+        assert(math.abs(got.getDouble(4) - auuc) < 2e-6, s"auuc ${got.getDouble(4)} vs $auuc")
+        assert(math.abs(got.getDouble(5) - qini) < 2e-6, s"qini ${got.getDouble(5)} vs $qini")
+      }
+    graft.Caches.clear()
+  }
+
   test("property: prAuc matches the brute-force threshold sweep on random scored labels") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val gen = for {
