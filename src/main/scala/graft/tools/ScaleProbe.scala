@@ -107,7 +107,7 @@ object ScaleProbe {
     "q150_graph_walks_weighted", "q156_graph_linkpred", "q141_graph_walks",
     "q242_betweenness", "q182_graph_scc", "q191_dag_levels",
     "q216_densest_subgraph", "q157_graph_assortativity",
-    "q75_graph_pagerank_df")
+    "q75_graph_pagerank_df", "q304_graph_anf")
 
   /** Expected-growth annotations for the documented super-linear families. */
   val Expectations: Map[String, String] = Map(
@@ -117,7 +117,10 @@ object ScaleProbe {
     "q143_semantic_clusters" -> "replicated embeddings: 10-copy identical-vector clusters in every LSH cell",
     "q230_mutual_knn_approx" -> "replicated embeddings: IVF cells hold 10 copies of every vector",
     "q156_graph_linkpred" -> "same-nation clique projection: wedge counts grow quadratically with group size",
-    "q216_densest_subgraph" -> "same-nation clique graph: ~100x edges by data semantics")
+    "q216_densest_subgraph" -> "same-nation clique graph: ~100x edges by data semantics",
+    "q304_graph_anf" -> ("HLL sketches flip sparse->dense as k-hop balls grow with graph " +
+      "connectivity: bytes-per-edge rises alongside edge count (HyperBall's cost model; " +
+      "lgK is the accuracy/bandwidth knob)"))
 
   def main(args: Array[String]): Unit = {
     System.setProperty("graft.hash", sys.env.getOrElse("SPARK_GRAFT_HASH", "xxhash"))
