@@ -202,6 +202,40 @@ object AnalyticsDemo {
       .agg(round(min(col("factor")), 3).as("mn"), round(max(col("factor")), 3).as("mx")).head
     obs("raking factor range", s"[${rak.getDouble(0)}, ${rak.getDouble(1)}] to uniform margins")
 
+    // 16. round-11 eval drawer: size the A/B effect instead of just
+    // significance-testing it, robust-center the revenue column, and
+    // FDR-gate a per-type metric sweep so 16 simultaneous tests don't
+    // manufacture discoveries
+    val eff = Stats.cohensD(lineitem, col("l_extendedprice"),
+      col("l_returnflag") === "R").head
+    obs("effect size R-vs-rest", (if (eff.isNullAt(5)) "d=n/a"
+      else f"d=${eff.getDouble(5)}%.4f g=${eff.getDouble(6)}%.4f") + " (price in σ units)")
+    val trm = Stats.trimmedStats(lineitem, col("l_extendedprice"),
+      Seq(col("l_orderkey"), col("l_linenumber"))).head
+    obs("robust price center", f"mean=${trm.getDouble(3)}%.0f " +
+      f"trimmed=${trm.getDouble(4)}%.0f winsorized=${trm.getDouble(5)}%.0f")
+    val wmed = Stats.weightedQuantile(lineitem, col("l_extendedprice"),
+      col("l_quantity"), Seq(col("l_orderkey"), col("l_linenumber")), 1, 2).head
+    obs("quantity-weighted median", f"half the quantity mass sits under ${wmed.getDouble(1)}%.0f")
+    // per-type purchase-rate z-tests vs the global rate → BH at α=0.05
+    val tot = events.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(when(col("event_type") === "purchase", 1.0).otherwise(0.0)).as("_k")).head
+    val p0 = tot.getDouble(1) / tot.getDouble(0)
+    val perType = events
+      .select(col("user_id") % 16 as "slice",
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("_y"))
+      .groupBy(col("slice")).agg(count(lit(1)).as("n"), sum(col("_y")).as("k"))
+      .select(col("slice"),
+        abs(col("k") / col("n") - p0)
+          .divide(sqrt(lit(p0 * (1 - p0)) / col("n"))).as("z"))
+      // two-sided normal p via the χ²₁ tail bound ≈ erfc — keep it simple:
+      // p = exp(−z²/2) is a monotone stand-in adequate for an FDR DEMO rank
+      .select(col("slice"), exp(col("z") * col("z") / -2.0).as("p"))
+    val fdr = Stats.bhFdr(perType, col("p"), col("slice"))
+    val nRej = fdr.where(col("reject")).count()
+    obs("fdr-gated slice sweep", s"$nRej of 16 user-slices deviate at FDR 0.05")
+
     graft.Caches.clear()
     println("ANALYTICS-DONE")
     spark.stop()
