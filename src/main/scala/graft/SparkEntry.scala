@@ -2628,6 +2628,14 @@ object SparkEntry {
       graft.ops.Stats.auc(labeled, col("score"), col("y"))
     }),
 
+    // market-basket pairs over order line items: which parts ship
+    // together beyond chance? (Apriori min-support pruning BEFORE the
+    // within-order self-join; canonical item_a < item_b orientation)
+    "q306_basket_pairs" -> ((s, dir) =>
+      graft.ops.EventAnalytics.basketPairs(
+        T(s, dir, "lineitem"), basket = col("l_orderkey"),
+        item = col("l_partkey"), minSupport = 2)),
+
     // Qini / AUUC of the q177 scorer as an UPLIFT ranking: treated =
     // q293's even-hash arm, outcome = long document — does the score
     // rank incremental effect better than random targeting?
@@ -8947,6 +8955,29 @@ object SparkEntry {
          |  round(CASE WHEN npos > 0 AND nneg > 0 THEN
          |    CAST(m2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) END, 6) AS auc
          |FROM t""".stripMargin,
+
+    // q306: distinct → min-support item prune → within-order pair join,
+    // ratios in the op's pinned order
+    "q306_basket_pairs" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM bi GROUP BY 1
+        |       HAVING count(*) >= 2),
+        |f AS (SELECT bi.b, bi.i FROM bi JOIN ic ON ic.i = bi.i),
+        |p AS (
+        |  SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM f a JOIN f c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.ia AS item_a, p.ib AS item_b, p.n_ab,
+        |  x.ni AS n_a, y.ni AS n_b,
+        |  round(CAST(p.n_ab AS DOUBLE) / nb.n, 6) AS support,
+        |  round(CAST(p.n_ab AS DOUBLE) / x.ni, 6) AS conf_a_b,
+        |  round(CAST(p.n_ab AS DOUBLE) / y.ni, 6) AS conf_b_a,
+        |  round((CAST(p.n_ab AS DOUBLE) * nb.n) / (CAST(x.ni AS DOUBLE) * y.ni), 6)
+        |    AS lift
+        |FROM p JOIN ic x ON x.i = p.ia JOIN ic y ON y.i = p.ib, nb""".stripMargin,
 
     // q305: desc-window cumulative arms (≡ the op's reversed prefix
     // sums on a total order); every scalar in the op's pinned order

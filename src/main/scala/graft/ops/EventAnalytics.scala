@@ -1104,4 +1104,64 @@ object EventAnalytics {
         graft.ops.Stats.globalNtile(acc, bins, Seq(col(v), col("user_id")), out)
       }
   }
+
+  /** Market-basket pair mining — support / confidence / lift for item
+    * PAIRS that co-occur in a basket ("parts ordered together", "event
+    * types co-occurring in a session"), the association-rule staple.
+    * Returns one row per surviving unordered pair
+    * `(item_a, item_b, n_ab, n_a, n_b, support, conf_a_b, conf_b_a,
+    * lift)` with `item_a < item_b`, `support = n_ab/N` (N = distinct
+    * baskets), `conf_x_y = P(y|x)` and
+    * `lift = n_ab·N/(n_a·n_b)` (>1 ⇔ the pair co-occurs beyond chance).
+    *
+    * Scale shape — the two classic guards are both applied BEFORE the
+    * quadratic step: items below `minSupport` baskets are pruned first
+    * (Apriori downward closure: a pair can never out-support its items),
+    * and baskets larger than `maxBasketSize` are dropped whole (one
+    * degenerate mega-basket otherwise contributes |b|² pairs; dropping
+    * is the standard practice and is reported honestly — N counts only
+    * kept baskets). After the guards: one distinct, two partial-agg
+    * shuffles, one within-basket self-join on the basket key, and the
+    * |items|-row count frame joined back. Ratios are pinned scalar IEEE
+    * off exact longs.
+    */
+  def basketPairs(
+      df: DataFrame,
+      basket: Column,
+      item: Column,
+      minSupport: Int,
+      maxBasketSize: Int = 10000,
+      scale: Int = 6): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val pairsIn = df.select(basket.as("_b"), item.as("_i"))
+      .where(col("_b").isNotNull && col("_i").isNotNull)
+      .distinct()
+    val sized = pairsIn.groupBy(col("_b")).agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBasketSize)
+    val kept = graft.Caches.track(
+      pairsIn.join(sized.select(col("_b")), Seq("_b")))
+    val nBaskets = graft.Caches.track(
+      kept.agg(countDistinct(col("_b")).as("_nb")))
+    val itemCounts = graft.Caches.track(
+      kept.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
+        .where(col("_ni") >= minSupport))
+    val frequent = kept.join(itemCounts.select(col("_i")), Seq("_i"))
+    val pairCounts = frequent.select(col("_b"), col("_i").as("_ia"))
+      .join(frequent.select(col("_b"), col("_i").as("_ib")), Seq("_b"))
+      .where(col("_ia") < col("_ib"))
+      .groupBy(col("_ia"), col("_ib")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    pairCounts
+      .join(itemCounts.select(col("_i").as("_ia"), col("_ni").as("n_a")), Seq("_ia"))
+      .join(itemCounts.select(col("_i").as("_ib"), col("_ni").as("n_b")), Seq("_ib"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("_ia").as("item_a"), col("_ib").as("item_b"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("_nb"), scale).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), scale).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("n_b"), scale).as("conf_b_a"),
+        round((col("n_ab").cast("double") * col("_nb")) /
+          (col("n_a").cast("double") * col("n_b")), scale).as("lift"))
+  }
 }

@@ -93,7 +93,8 @@ object PlanAudit {
     "q294_nzv",                   // per-leg one-row totals × top-2 crossJoins (scalar-attach class)
     "q296_cuped",                 // one-row corpus-start-day crossJoin (scalar-attach class)
     "q297_bh_fdr",                // one-row k* step-up-threshold crossJoin (scalar-attach class)
-    "q302_avg_precision"          // q236's query-batch broadcast knnJoin feeding the AP fold
+    "q302_avg_precision",         // q236's query-batch broadcast knnJoin feeding the AP fold
+    "q306_basket_pairs"           // one-row distinct-basket-total crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -510,4 +510,26 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().head.getSeq[String](2)
     assert(t1 == Seq("y", "w") && t2 == t1)
   }
+
+  test("basketPairs: hand lift; item+pair min-support pruning; mega-basket drop") {
+    import spark.implicits._
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (3L, 2L)) // duplicate row collapses
+      .toDF("b", "i")
+    val got = EventAnalytics.basketPairs(rows, col("b"), col("i"), minSupport = 2)
+      .collect()
+    // item 4 (support 1) pruned; pairs (1,3)/(2,3) support 1 pruned
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((1L, 2L, 3L, 3L, 3L)))
+    assert((r.getDouble(5), r.getDouble(6), r.getDouble(7)) == ((0.6, 1.0, 1.0)))
+    assert(r.getDouble(8) == 1.666667) // 3·5/(3·3)
+    // maxBasketSize drops the 3-item basket WHOLE: N=4, pair count 2
+    val capped = EventAnalytics.basketPairs(rows, col("b"), col("i"),
+      minSupport = 2, maxBasketSize = 2).collect().head
+    assert(capped.getLong(2) == 2L && capped.getDouble(5) == 0.5 &&
+      capped.getDouble(8) == 2.0) // 2·4/(2·2)
+    graft.Caches.clear()
+  }
 }
