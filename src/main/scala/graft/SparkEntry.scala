@@ -2628,6 +2628,20 @@ object SparkEntry {
       graft.ops.Stats.auc(labeled, col("score"), col("y"))
     }),
 
+    // log-rank survival A/B on q264's censored retention spans: do
+    // even-id users stay active longer than odd-id users, censoring-
+    // honestly? (hypergeometric O−E per event time)
+    "q307_logrank" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val u = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"))
+      val obs = u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
+        .select((col("_ld") - col("_fd")).as("dur"),
+          (col("_ld") <= col("_md") - 3).as("ev"),
+          (col("user_id") % 2 === 0).as("arm"))
+      graft.ops.EventAnalytics.logRankTest(obs, col("dur"), col("ev"), col("arm"))
+    }),
+
     // market-basket pairs over order line items: which parts ship
     // together beyond chance? (Apriori min-support pruning BEFORE the
     // within-order self-join; canonical item_a < item_b orientation)
@@ -8955,6 +8969,51 @@ object SparkEntry {
          |  round(CASE WHEN npos > 0 AND nneg > 0 THEN
          |    CAST(m2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) END, 6) AS auc
          |FROM t""".stripMargin,
+
+    // q307: q264's censored spans + an even/odd arm; at-risk counts via
+    // the total − prior windows; per-event-time O−E and hypergeometric V
+    // in the op's pinned order
+    "q307_logrank" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |mx AS (SELECT max(ld) AS md FROM u),
+        |obs AS (SELECT ld - fd AS t, (ld <= mx.md - 3) AS ev,
+        |          (user_id % 2 = 0) AS a FROM u, mx),
+        |g AS (SELECT t,
+        |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        |        CAST(sum(CASE WHEN a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |        CAST(sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d0
+        |      FROM obs GROUP BY 1),
+        |r AS (SELECT t, r1, r0, d1, d0,
+        |        CAST(sum(r1) OVER () AS BIGINT)
+        |          - CAST(coalesce(sum(r1) OVER wp, 0) AS BIGINT) AS n1,
+        |        CAST(sum(r0) OVER () AS BIGINT)
+        |          - CAST(coalesce(sum(r0) OVER wp, 0) AS BIGINT) AS n0,
+        |        CAST(sum(r1) OVER () AS BIGINT) AS ta,
+        |        CAST(sum(r0) OVER () AS BIGINT) AS tb,
+        |        CAST(sum(d1) OVER () AS BIGINT) AS ea,
+        |        CAST(sum(d0) OVER () AS BIGINT) AS eb
+        |      FROM g
+        |      WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT * FROM r WHERE d1 + d0 > 0),
+        |a AS (
+        |  SELECT any_value(ta) AS n_a, any_value(tb) AS n_b,
+        |    any_value(ea) AS events_a, any_value(eb) AS events_b,
+        |    sum(CAST(d1 - (CAST(d1 + d0 AS DOUBLE) * n1) / (n1 + n0)
+        |      AS DECIMAL(38,12))) AS oe,
+        |    sum(CAST(CASE WHEN n1 + n0 > 1 THEN
+        |      (CAST(d1 + d0 AS DOUBLE) * n1) / (n1 + n0) * n0 / (n1 + n0)
+        |        * ((n1 + n0) - (d1 + d0)) / ((n1 + n0) - 1)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,12))) AS vv
+        |  FROM v)
+        |SELECT n_a, n_b, events_a, events_b,
+        |  round(CAST(oe AS DOUBLE), 6) AS o_minus_e,
+        |  round(CAST(vv AS DOUBLE), 6) AS var_o,
+        |  round(CASE WHEN vv > 0
+        |    THEN CAST(oe AS DOUBLE) / sqrt(CAST(vv AS DOUBLE)) END, 6) AS z
+        |FROM a""".stripMargin,
 
     // q306: distinct → min-support item prune → within-order pair join,
     // ratios in the op's pinned order

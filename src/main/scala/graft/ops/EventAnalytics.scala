@@ -1105,6 +1105,69 @@ object EventAnalytics {
       }
   }
 
+  /** Log-rank (Mantel–Cox) test — the survival-curve A/B: "does arm A
+    * genuinely retain longer than arm B?" asked the censoring-honest way
+    * ([[kaplanMeier]] draws the two curves; this says whether their gap
+    * beats chance). At every distinct EVENT time the observed arm-A
+    * events are compared against the hypergeometric expectation given
+    * the at-risk sets: `z = Σ(O₁ⱼ − E₁ⱼ) / √ΣVⱼ` with
+    * `E₁ⱼ = dⱼ·n₁ⱼ/nⱼ` and
+    * `Vⱼ = dⱼ·(n₁ⱼ/nⱼ)·(n₀ⱼ/nⱼ)·(nⱼ−dⱼ)/(nⱼ−1)` (0 at nⱼ ≤ 1).
+    * Input: one row per subject `(duration, event, arm)` — the
+    * [[kaplanMeier]] contract plus a boolean arm. Returns one row
+    * `(n_a, n_b, events_a, events_b, o_minus_e, var_o, z)`; NULL z when
+    * the variance is 0 (no comparable event times).
+    *
+    * Scale shape: subjects collapse FIRST to per-duration per-arm counts
+    * (one partial-agg shuffle, |distinct durations| rows); the at-risk
+    * counts are the [[kaplanMeier]] windows over that bounded collapsed
+    * axis; per-time O−E and V are pinned scalar IEEE off exact longs,
+    * decimal-summed order-free.
+    */
+  def logRankTest(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      arm: Column,
+      scale: Int = 6): DataFrame = {
+    val d = df.select(duration.cast("long").as("t"), event.cast("boolean").as("e"),
+        arm.cast("boolean").as("a"))
+      .where(col("t").isNotNull && col("e").isNotNull && col("a").isNotNull)
+    val g = d.groupBy(col("t")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("r1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("r0"),
+      sum(when(col("a") && col("e"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("a") && col("e"), 1L).otherwise(0L)).as("d0"))
+    val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val risk = g
+      .withColumn("_n1", sum(col("r1")).over(wAll) -
+        coalesce(sum(col("r1")).over(wPrior), lit(0L)))
+      .withColumn("_n0", sum(col("r0")).over(wAll) -
+        coalesce(sum(col("r0")).over(wPrior), lit(0L)))
+      .withColumn("_ta", sum(col("r1")).over(wAll))
+      .withColumn("_tb", sum(col("r0")).over(wAll))
+      .withColumn("_ea", sum(col("d1")).over(wAll))
+      .withColumn("_eb", sum(col("d0")).over(wAll))
+      .where(col("d1") + col("d0") > 0)
+    val nj = col("_n1") + col("_n0")
+    val dj = col("d1") + col("d0")
+    val e1 = (dj.cast("double") * col("_n1")) / nj
+    val vj = when(nj > 1,
+      (dj.cast("double") * col("_n1")) / nj * col("_n0") / nj *
+        (nj - dj) / (nj - 1)).otherwise(lit(0.0).cast("double"))
+    risk.agg(
+        first(col("_ta")).as("n_a"), first(col("_tb")).as("n_b"),
+        first(col("_ea")).as("events_a"), first(col("_eb")).as("events_b"),
+        sum((col("d1") - e1).cast("decimal(38,12)")).as("_oe"),
+        sum(vj.cast("decimal(38,12)")).as("_v"))
+      .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+        round(col("_oe").cast("double"), scale).as("o_minus_e"),
+        round(col("_v").cast("double"), scale).as("var_o"),
+        round(when(col("_v") > 0,
+          col("_oe").cast("double") / sqrt(col("_v").cast("double"))), scale).as("z"))
+  }
+
   /** Market-basket pair mining — support / confidence / lift for item
     * PAIRS that co-occur in a basket ("parts ordered together", "event
     * types co-occurring in a session"), the association-rule staple.

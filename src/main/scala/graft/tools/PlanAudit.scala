@@ -94,7 +94,8 @@ object PlanAudit {
     "q296_cuped",                 // one-row corpus-start-day crossJoin (scalar-attach class)
     "q297_bh_fdr",                // one-row k* step-up-threshold crossJoin (scalar-attach class)
     "q302_avg_precision",         // q236's query-batch broadcast knnJoin feeding the AP fold
-    "q306_basket_pairs"           // one-row distinct-basket-total crossJoin (scalar-attach class)
+    "q306_basket_pairs",          // one-row distinct-basket-total crossJoin (scalar-attach class)
+    "q307_logrank"                // one-row max-duration crossJoin (the q264 obs-frame class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -122,7 +123,8 @@ object PlanAudit {
     "q247_mst",            // same |event types|-row state-id ranking
     "q264_nelson_aalen",   // at-risk + hazard cumulatives over the ≤|distinct durations| collapsed axis (the kaplanMeier class)
     "q274_runs_test",      // median rank pick + run lag over the ≤|buckets| collapsed series
-    "q279_rrf_fusion"      // per-system rank over the ≤topK TakeOrdered survivor frames
+    "q279_rrf_fusion",     // per-system rank over the ≤topK TakeOrdered survivor frames
+    "q307_logrank"         // at-risk/total cumulatives over the ≤|distinct durations| collapsed axis (the q264 class)
   )
 
   /** Queries whose RESULT frame is a driver-local table (LocalTableScan —

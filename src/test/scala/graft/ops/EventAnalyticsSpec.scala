@@ -532,4 +532,31 @@ class EventAnalyticsSpec extends SparkSpec {
       capped.getDouble(8) == 2.0) // 2·4/(2·2)
     graft.Caches.clear()
   }
+
+  test("logRankTest: hand hypergeometric O-E/V; symmetric arms z=0; nj<=1 variance guard") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // arm A events at t=2,3 AFTER both B events at t=1: one comparable
+    // event time (t=1, E1=1, V=1/3), so z = -1/sqrt(1/3)
+    val rows = Seq((2L, true, true), (3L, true, true),
+      (1L, true, false), (1L, true, false)).toDF("dur", "ev", "arm")
+    val r = EventAnalytics.logRankTest(rows, col("dur"), col("ev"), col("arm"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 2L, 2L, 2L)))
+    assert(r.getDouble(4) == -1.0 && r.getDouble(5) == r6(1.0 / 3))
+    assert(r.getDouble(6) == r6(-math.sqrt(3.0)))
+    // exchangeable arms: O-E sums to zero
+    val sym = Seq((1L, true, true), (2L, false, true),
+      (1L, true, false), (2L, false, false)).toDF("dur", "ev", "arm")
+    val z = EventAnalytics.logRankTest(sym, col("dur"), col("ev"), col("arm"))
+      .collect().head
+    assert(z.getDouble(4) == 0.0 && z.getDouble(6) == 0.0)
+    // single-subject event time: V term guarded to 0; no comparable
+    // times at all -> NULL z
+    val solo = Seq((1L, true, true), (2L, true, false)).toDF("dur", "ev", "arm")
+    val sz = EventAnalytics.logRankTest(solo, col("dur"), col("ev"), col("arm"))
+      .collect().head
+    assert(sz.getDouble(5) >= 0.0)
+    graft.Caches.clear()
+  }
 }
