@@ -2628,6 +2628,13 @@ object SparkEntry {
       graft.ops.Stats.auc(labeled, col("score"), col("y"))
     }),
 
+    // empirical-Bayes purchase-rate table: per-user rates shrunk toward
+    // the moment-fitted Beta prior — low-n users borrow the population
+    "q308_eb_rates" -> ((s, dir) =>
+      graft.ops.Stats.ebShrinkRates(
+        E(s, dir), keyCols = Seq("user_id"),
+        success = col("event_type") === "purchase")),
+
     // log-rank survival A/B on q264's censored retention spans: do
     // even-id users stay active longer than odd-id users, censoring-
     // honestly? (hypergeometric O−E per event time)
@@ -8969,6 +8976,37 @@ object SparkEntry {
          |  round(CASE WHEN npos > 0 AND nneg > 0 THEN
          |    CAST(m2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) END, 6) AS auc
          |FROM t""".stripMargin,
+
+    // q308: per-user counts → rounded rates → decimal moments → the
+    // method-of-moments Beta prior → pinned shrinkage arithmetic
+    "q308_eb_rates" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |pr AS (SELECT user_id, n, k,
+        |         round(CAST(k AS DOUBLE) / n, 6) AS rate FROM per),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS mm,
+        |    sum(CAST(rate AS DECIMAL(38,12))) AS sp,
+        |    sum(CAST(rate * rate AS DECIMAL(38,12))) AS sq
+        |  FROM pr),
+        |f AS (
+        |  SELECT CAST(sp AS DOUBLE) / mm AS mu,
+        |    CAST(sq AS DOUBLE) / mm
+        |      - (CAST(sp AS DOUBLE) / mm) * (CAST(sp AS DOUBLE) / mm) AS v
+        |  FROM m),
+        |p AS (
+        |  SELECT
+        |    round(mu * (CASE WHEN v > 0 AND v < mu * (1.0 - mu)
+        |      THEN mu * (1.0 - mu) / v - 1.0 END), 6) AS alpha,
+        |    round((1.0 - mu) * (CASE WHEN v > 0 AND v < mu * (1.0 - mu)
+        |      THEN mu * (1.0 - mu) / v - 1.0 END), 6) AS beta
+        |  FROM f)
+        |SELECT user_id, n, k, rate,
+        |  round(coalesce((k + alpha) / (n + alpha + beta), rate), 6) AS rate_shrunk,
+        |  alpha, beta
+        |FROM pr, p""".stripMargin,
 
     // q307: q264's censored spans + an even/odd arm; at-risk counts via
     // the total − prior windows; per-event-time O−E and hypergeometric V

@@ -2980,6 +2980,57 @@ object Stats {
     }
   }
 
+  /** Empirical-Bayes beta-binomial rate shrinkage — the per-key rate
+    * table every serving system actually wants ("this user's purchase
+    * rate", "this source's long-doc rate") with the small-sample keys
+    * pulled toward the population instead of screaming 0% or 100% off
+    * three observations: a Beta(α, β) prior is fitted by method of
+    * moments to the per-key raw rates (`α+β = μ(1−μ)/v − 1`,
+    * `α = μ·(α+β)`), and every key reports
+    * `rate_shrunk = (k + α)/(n + α + β)` — high-n keys keep their data,
+    * low-n keys borrow the prior. Returns
+    * `(key…, n, k, rate, rate_shrunk, alpha, beta)`; when the moment fit
+    * is degenerate (v = 0 or v ≥ μ(1−μ) — rates identical, or wilder
+    * than any beta) α/β are NULL and `rate_shrunk` falls back to the raw
+    * rate, the honest no-prior read.
+    *
+    * Portability: raw rates are rounded to `scale` BEFORE the decimal
+    * moment sums (both engines then fold identical values, order-free);
+    * μ, v, α, β are pinned scalar IEEE; the prior rides the documented
+    * one-row crossJoin attach — the per-key table never reshuffles.
+    */
+  def ebShrinkRates(
+      df: DataFrame,
+      keyCols: Seq[String],
+      success: Column,
+      scale: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "ebShrinkRates needs at least one key column")
+    val ks = keyCols.map(col)
+    val per = graft.Caches.track(
+      df.select(ks :+ success.cast("boolean").as("_s"): _*)
+        .where(col("_s").isNotNull)
+        .groupBy(ks: _*)
+        .agg(count(lit(1)).as("n"), sum(when(col("_s"), 1L).otherwise(0L)).as("k"))
+        .withColumn("rate", round(col("k").cast("double") / col("n"), scale)))
+    val mom = per.agg(
+      count(lit(1)).as("_m"),
+      sum(col("rate").cast("decimal(38,12)")).as("_sp"),
+      sum((col("rate") * col("rate")).cast("decimal(38,12)")).as("_sq"))
+    val mu = col("_sp").cast("double") / col("_m")
+    val v = col("_sq").cast("double") / col("_m") - mu * mu
+    val ab = when(v > 0 && v < mu * (lit(1.0) - mu),
+      mu * (lit(1.0) - mu) / v - lit(1.0))
+    val prior = mom.select(
+      round(mu * ab, scale).as("alpha"),
+      round((lit(1.0) - mu) * ab, scale).as("beta"))
+    per.crossJoin(broadcast(prior))
+      .select(ks ++ Seq(col("n"), col("k"), col("rate"),
+        round(coalesce(
+          (col("k") + col("alpha")) / (col("n") + col("alpha") + col("beta")),
+          col("rate")), scale).as("rate_shrunk"),
+        col("alpha"), col("beta")): _*)
+  }
+
   /** Near-zero-variance feature screen (the caret `nearZeroVar` rule) —
     * which columns carry no usable signal? Per listed column:
     * `(column, n, n_distinct, freq_ratio, pct_unique, nzv)` where

@@ -95,7 +95,8 @@ object PlanAudit {
     "q297_bh_fdr",                // one-row k* step-up-threshold crossJoin (scalar-attach class)
     "q302_avg_precision",         // q236's query-batch broadcast knnJoin feeding the AP fold
     "q306_basket_pairs",          // one-row distinct-basket-total crossJoin (scalar-attach class)
-    "q307_logrank"                // one-row max-duration crossJoin (the q264 obs-frame class)
+    "q307_logrank",               // one-row max-duration crossJoin (the q264 obs-frame class)
+    "q308_eb_rates"               // one-row Beta-prior crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

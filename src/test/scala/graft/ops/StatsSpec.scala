@@ -1259,6 +1259,30 @@ class StatsSpec extends SparkSpec {
     assert(rd.isNullAt(5) && rd.isNullAt(6))
   }
 
+  test("ebShrinkRates: shrinkage direction and magnitude; degenerate prior falls back") {
+    import spark.implicits._
+    // keys: a (1/10), b (9/10), c (1/2 on 2 trials) — c should shrink
+    // hardest toward the prior mean 0.5; a and b pull in symmetrically
+    val rows = (1 to 10).map(i => ("a", i == 1)) ++
+      (1 to 10).map(i => ("b", i != 1)) ++ Seq(("c", true), ("c", false))
+    val got = Stats.ebShrinkRates(rows.toDF("g", "s"), Seq("g"), col("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a")._1 == 10L && got("a")._2 == 0.1)
+    // prior mean is 0.5 by symmetry: every shrunk rate moves toward it
+    assert(got("a")._3 > 0.1 && got("a")._3 < 0.5)
+    assert(got("b")._3 < 0.9 && got("b")._3 > 0.5)
+    assert(got("c")._3 == 0.5) // already at the prior mean
+    // the low-n key moves further (relative to its distance) than high-n
+    assert((got("c")._3 - 0.5).abs <= (got("a")._3 - 0.1).abs)
+    // identical rates: v = 0 -> degenerate prior, raw rates returned
+    val flat = Seq(("x", true), ("x", false), ("y", true), ("y", false))
+      .toDF("g", "s")
+    val d = Stats.ebShrinkRates(flat, Seq("g"), col("s")).collect().head
+    assert(d.getDouble(4) == d.getDouble(3) && d.isNullAt(5) && d.isNullAt(6))
+    graft.Caches.clear()
+  }
+
   test("prAuc: hand step area; tie groups collapse to one step; degenerate labels") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
