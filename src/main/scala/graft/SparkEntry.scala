@@ -2628,6 +2628,36 @@ object SparkEntry {
       graft.ops.Stats.auc(labeled, col("score"), col("y"))
     }),
 
+    // isotonic (PAVA) recalibration of the q177 scorer. Verify face: a
+    // self-verifying gate — the calibrated rates must be monotone
+    // non-decreasing AND preserve the weighted mean (PAVA's defining
+    // properties; the exact fit is spec-pinned against brute force);
+    // bench face times the full curve build
+    "q309_isotonic" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scores = TextAnalysis.hashedNgramScore(docs, hash = activeHash)
+      val labeled = scores.join(
+        docs.select(col("doc_id"), (col("lang") === "en").as("y")), Seq("doc_id"))
+      val cal = graft.ops.Stats.isotonicCalibrate(
+        labeled, col("score"), col("y"), bins = 20, tieCol = col("doc_id"))
+      if (benchMode) cal
+      else {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+        val checked = cal
+          .withColumn("_prev", lag(col("rate_calibrated"), 1).over(w))
+          .agg(
+            count(lit(1)).as("_b"),
+            min(col("_prev").isNull || col("rate_calibrated") >= col("_prev"))
+              .as("_mono"),
+            abs(sum(col("n") * col("rate_calibrated")) -
+              sum(col("n") * col("positive_rate"))).as("_drift"),
+            sum(col("n")).as("_n"))
+        checked.select(lit(20L).as("bins"),
+          (col("_b") === 20L && col("_mono") &&
+            col("_drift") <= col("_n") * 1e-5).as("isotonic_pass"))
+      }
+    }),
+
     // empirical-Bayes purchase-rate table: per-user rates shrunk toward
     // the moment-fitted Beta prior — low-n users borrow the population
     "q308_eb_rates" -> ((s, dir) =>
@@ -5353,6 +5383,12 @@ object SparkEntry {
     // q116-style self-verifying gate: the Spark side asserts DF ≡ GraphX
     // personalized ranks to 1e-6 before emitting the row
     "q126_graph_ppr" -> "SELECT CAST(1 AS BIGINT) AS source_id, CAST(TRUE AS BOOLEAN) AS ppr_pass",
+
+    // q309: the gate row — monotonicity + weighted-mean preservation are
+    // PAVA's defining properties, proved by the query itself
+    "q309_isotonic" ->
+      ("SELECT CAST(20 AS BIGINT) AS bins, " +
+        "CAST(TRUE AS BOOLEAN) AS isotonic_pass"),
 
     // q304: the gate row — the query itself proves the HLL reach
     // estimates against landmarkDistances' exact balls (q126's pattern)

@@ -512,6 +512,64 @@ object Stats {
       round(sum(col("_cal_y")).cast("double") / count(lit(1)), scale).as("positive_rate"))
   }
 
+  /** Isotonic calibration (PAVA) of a score against a binary label — the
+    * standard monotone recalibration step before serving ("the model's
+    * 0.8 means 55% — remap it"): [[calibrationCurve]]'s equal-count bins
+    * are pooled by the pool-adjacent-violators algorithm into the
+    * weighted L2-OPTIMAL non-decreasing rate fit. Returns the curve with
+    * `rate_calibrated` appended:
+    * `(bin, n, mean_score, positive_rate, rate_calibrated)` — serve by
+    * score-bucket lookup (the |bins|-row table broadcasts anywhere).
+    *
+    * Scale shape: the heavy lifting is [[calibrationCurve]]'s — a
+    * distributed global ntile (prefix-sum rank) plus one partial-agg
+    * shuffle; PAVA itself is inherently sequential WITH BACKTRACKING, so
+    * it runs on the driver over the ≤bins collapsed rows (the q283-class
+    * documented bounded endgame — `bins` is capped to make the bound a
+    * contract, and the result is a LocalTableScan). Pooled rates are
+    * exact weighted means of the ROUNDED bin rates, re-rounded once.
+    */
+  def isotonicCalibrate(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int,
+      tieCol: Column,
+      scale: Int = 6): DataFrame = {
+    require(bins >= 1 && bins <= 100000,
+      s"bins must be in [1, 100000] (it bounds the driver endgame), got $bins")
+    val spark = df.sparkSession
+    val curve = calibrationCurve(df, score, label, bins, tieCol, scale)
+    val rows = curve.orderBy(col("bin")).collect() // ≤bins rows — documented
+    // PAVA: maintain a stack of blocks (weight, weighted rate sum); a new
+    // bin merges backward while its pooled mean undercuts its predecessor
+    final case class Block(var w: Double, var s: Double, var count: Int) {
+      def mean: Double = s / w
+    }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    rows.foreach { r =>
+      val n = r.getLong(1).toDouble
+      val rate = r.getDouble(3)
+      stack += Block(n, n * rate, 1)
+      while (stack.length > 1 && stack(stack.length - 2).mean >= stack.last.mean) {
+        val top = stack.remove(stack.length - 1)
+        val prev = stack.last
+        prev.w += top.w; prev.s += top.s; prev.count += top.count
+      }
+    }
+    val calibrated = stack.iterator.flatMap(b => Iterator.fill(b.count)(b.mean)).toArray
+    val out = rows.zip(calibrated).map { case (r, c) =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), BigDecimal(c).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    val schema = org.apache.spark.sql.types.StructType(curve.schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        "rate_calibrated", org.apache.spark.sql.types.DoubleType))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+
   /** Exact ROC-AUC of a score against a binary label — the Mann-Whitney
     * U formulation with MIDRANKS for score ties, all-integer until one
     * final division:

@@ -125,7 +125,8 @@ object PlanAudit {
     "q264_nelson_aalen",   // at-risk + hazard cumulatives over the ≤|distinct durations| collapsed axis (the kaplanMeier class)
     "q274_runs_test",      // median rank pick + run lag over the ≤|buckets| collapsed series
     "q279_rrf_fusion",     // per-system rank over the ≤topK TakeOrdered survivor frames
-    "q307_logrank"         // at-risk/total cumulatives over the ≤|distinct durations| collapsed axis (the q264 class)
+    "q307_logrank",        // at-risk/total cumulatives over the ≤|distinct durations| collapsed axis (the q264 class)
+    "q309_isotonic"        // monotonicity lag over the ≤bins LocalTableScan curve (the gate face)
   )
 
   /** Queries whose RESULT frame is a driver-local table (LocalTableScan —

@@ -1283,6 +1283,47 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("isotonicCalibrate: hand PAVA pools; property vs brute-force on random rates") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // brute-force PAVA: rescan-and-pool until monotone (O(n^2) reference)
+    def brute(rates: Seq[Double], ws: Seq[Double]): Seq[Double] = {
+      var blocks = rates.zip(ws).map { case (r, w) => (r * w, w) }.toVector
+      var changed = true
+      while (changed) {
+        changed = false
+        val i = blocks.indices.dropRight(1)
+          .find(i => blocks(i)._1 / blocks(i)._2 > blocks(i + 1)._1 / blocks(i + 1)._2)
+        i.foreach { j =>
+          val (s1, w1) = blocks(j); val (s2, w2) = blocks(j + 1)
+          blocks = (blocks.take(j) :+ ((s1 + s2, w1 + w2))) ++ blocks.drop(j + 2)
+          changed = true
+        }
+      }
+      blocks.flatMap { case (sm, w) => Seq.fill(math.round(w / 10.0).toInt)(sm / w) }
+    }
+    // raw rows: 10 per score group, k positives -> bin rate k/10; bins =
+    // #groups with equal sizes means one bin per distinct score
+    def build(ks: Seq[Int]) = ks.zipWithIndex.flatMap { case (k, g) =>
+      (0 until 10).map(i => ((g + 1) / 10.0, i < k, g.toLong * 10 + i))
+    }.toDF("s", "y", "id")
+    val hand = Stats.isotonicCalibrate(
+      build(Seq(3, 1, 2, 6, 5)), col("s"), col("y"), bins = 5, tieCol = col("id"))
+      .orderBy("bin").collect().map(_.getDouble(4)).toSeq
+    assert(hand == Seq(0.2, 0.2, 0.2, 0.55, 0.55))
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val ks = Seq.fill(2 + rnd.nextInt(8))(rnd.nextInt(11))
+      val got = Stats.isotonicCalibrate(
+        build(ks), col("s"), col("y"), bins = ks.size, tieCol = col("id"))
+        .orderBy("bin").collect().map(_.getDouble(4)).toSeq
+      val want = brute(ks.map(_ / 10.0), Seq.fill(ks.size)(10.0)).map(r6)
+      assert(got == want, s"ks=$ks got=$got want=$want")
+      assert(got.sliding(2).forall(p => p.size < 2 || p(0) <= p(1)))
+    }
+    graft.Caches.clear()
+  }
+
   test("prAuc: hand step area; tie groups collapse to one step; degenerate labels") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
