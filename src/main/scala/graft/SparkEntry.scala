@@ -2658,6 +2658,15 @@ object SparkEntry {
       }
     }),
 
+    // Cochran–Armitage: does the purchase rate TREND across the ordered
+    // hour-of-day doses? (the 1-df ordered question chi² can't ask)
+    "q310_ca_trend" -> ((s, dir) =>
+      graft.ops.Stats.cochranArmitage(
+        E(s, dir).select(
+          expr("(ts div 3600000000000) % 24").as("hod"),
+          (col("event_type") === "purchase").as("y")),
+        dose = col("hod"), success = col("y"))),
+
     // empirical-Bayes purchase-rate table: per-user rates shrunk toward
     // the moment-fitted Beta prior — low-n users borrow the population
     "q308_eb_rates" -> ((s, dir) =>
@@ -9012,6 +9021,34 @@ object SparkEntry {
          |  round(CASE WHEN npos > 0 AND nneg > 0 THEN
          |    CAST(m2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) END, 6) AS auc
          |FROM t""".stripMargin,
+
+    // q310: per-dose counts → decimal-weighted sums → pinned z
+    "q310_ca_trend" ->
+      """WITH d AS (
+        |  SELECT CAST((epoch_ns(ts) // 3600000000000) % 24 AS DOUBLE) AS w,
+        |    (event_type = 'purchase') AS s
+        |  FROM events),
+        |g AS (SELECT w, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |      FROM d GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_doses,
+        |    CAST(sum(n) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS k,
+        |    sum(CAST(w * k AS DECIMAL(38,12))) AS wk,
+        |    sum(CAST(w * n AS DECIMAL(38,12))) AS wn,
+        |    sum(CAST(w * w * n AS DECIMAL(38,12))) AS wwn
+        |  FROM g),
+        |f AS (
+        |  SELECT n_doses, n, k,
+        |    CAST(wk AS DOUBLE)
+        |      - (CAST(k AS DOUBLE) / n) * CAST(wn AS DOUBLE) AS num,
+        |    (CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)
+        |      * (CAST(wwn AS DOUBLE)
+        |         - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE) / CAST(n AS DOUBLE)) AS vr
+        |  FROM a)
+        |SELECT n_doses, n, k,
+        |  round(CASE WHEN vr > 0 THEN num / sqrt(vr) END, 6) AS z
+        |FROM f""".stripMargin,
 
     // q308: per-user counts → rounded rates → decimal moments → the
     // method-of-moments Beta prior → pinned shrinkage arithmetic

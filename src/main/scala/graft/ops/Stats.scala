@@ -3038,6 +3038,45 @@ object Stats {
     }
   }
 
+  /** Cochran–Armitage trend test — "does the success rate TREND with an
+    * ordered dose?" ([[chiSquareDrift]]-style tests ask only whether
+    * rates differ somewhere; this asks the one-degree-of-freedom ordered
+    * question — purchase rate by hour, quality rate by size bucket —
+    * and has far more power when the order is real):
+    * `z = Σwᵢ(kᵢ − nᵢ·p̄) / √(p̄(1−p̄)·(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N))` over dose
+    * groups with weights wᵢ = the dose values. Returns one row
+    * `(n_doses, n, k, z)`; NULL z when the variance is degenerate (one
+    * dose, or p̄ ∈ {0, 1}).
+    *
+    * One partial-agg shuffle to |doses| rows; the weighted sums fold
+    * decimal-cast per-group products (order-free), the final z is pinned
+    * scalar IEEE — engine-portable.
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      dose: Column,
+      success: Column,
+      scale: Int = 6): DataFrame = {
+    val base = df.select(dose.cast("double").as("_w"), success.cast("boolean").as("_s"))
+      .where(col("_w").isNotNull && col("_s").isNotNull)
+    val g = base.groupBy(col("_w")).agg(
+      count(lit(1)).as("_n"), sum(when(col("_s"), 1L).otherwise(0L)).as("_k"))
+    val agg = g.agg(
+      count(lit(1)).as("n_doses"),
+      sum(col("_n")).as("n"), sum(col("_k")).as("k"),
+      sum((col("_w") * col("_k")).cast("decimal(38,12)")).as("_wk"),
+      sum((col("_w") * col("_n")).cast("decimal(38,12)")).as("_wn"),
+      sum((col("_w") * col("_w") * col("_n")).cast("decimal(38,12)")).as("_wwn"))
+    val n = col("n").cast("double")
+    val pbar = col("k").cast("double") / n
+    val num = col("_wk").cast("double") - pbar * col("_wn").cast("double")
+    val vr = pbar * (lit(1.0) - pbar) *
+      (col("_wwn").cast("double") -
+        col("_wn").cast("double") * col("_wn").cast("double") / n)
+    agg.select(col("n_doses"), col("n"), col("k"),
+      round(when(vr > 0, num / sqrt(vr)), scale).as("z"))
+  }
+
   /** Empirical-Bayes beta-binomial rate shrinkage — the per-key rate
     * table every serving system actually wants ("this user's purchase
     * rate", "this source's long-doc rate") with the small-sample keys

@@ -1324,6 +1324,27 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("cochranArmitage: hand monotone trend; no-trend z~0; degenerate variance -> NULL") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doses 0/1/2 with rates 0.2/0.5/0.8 on n=10 each: textbook arithmetic
+    def rows(ks: Seq[Int]) = ks.zipWithIndex.flatMap { case (k, w) =>
+      (0 until 10).map(i => (w.toDouble, i < k)) }.toDF("w", "s")
+    val r = Stats.cochranArmitage(rows(Seq(2, 5, 8)), col("w"), col("s")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 30L, 15L)))
+    // num = Sum(w k) - pbar Sum(w n) = (5 + 16) - 0.5*30 = 6
+    // vr = 0.25 * (Sum(w^2 n) - (Sum(w n))^2/N) = 0.25*(50 - 30)=5
+    assert(r.getDouble(3) == r6(6.0 / math.sqrt(5.0)))
+    // flat rates: numerator exactly 0
+    val flat = Stats.cochranArmitage(rows(Seq(5, 5, 5)), col("w"), col("s")).collect().head
+    assert(flat.getDouble(3) == 0.0)
+    // single dose (zero weight spread) or all-success: variance 0 -> NULL
+    val one = Stats.cochranArmitage(rows(Seq(5)), col("w"), col("s")).collect().head
+    assert(one.isNullAt(3))
+    val all = Stats.cochranArmitage(rows(Seq(10, 10)), col("w"), col("s")).collect().head
+    assert(all.isNullAt(3))
+  }
+
   test("prAuc: hand step area; tie groups collapse to one step; degenerate labels") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
