@@ -4468,7 +4468,7 @@ object SparkEntry {
         |    sum(w) OVER () AS sw
         |  FROM f WHERE w >= 0)
         |SELECT CAST(sw AS BIGINT) AS total_w, v AS q
-        |FROM c WHERE cw * 2 >= sw * 1
+        |FROM c WHERE sw > 0 AND cw * 2 >= sw * 1
         |ORDER BY v, l_orderkey, l_linenumber LIMIT 1""".stripMargin,
 
     // q292: both CASE chains of the q284 argmax, joined per key
@@ -9129,9 +9129,11 @@ object SparkEntry {
     // q306: distinct → min-support item prune → within-order pair join,
     // ratios in the op's pinned order
     "q306_basket_pairs" ->
-      """WITH bi AS (
+      """WITH bi0 AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
         |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |keep AS (SELECT b FROM bi0 GROUP BY 1 HAVING count(*) <= 10000),
+        |bi AS (SELECT bi0.b, bi0.i FROM bi0 JOIN keep ON keep.b = bi0.b),
         |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
         |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM bi GROUP BY 1
         |       HAVING count(*) >= 2),

@@ -501,9 +501,14 @@ object Stats {
   ): DataFrame = {
     // narrow to the three live columns, then track: the frame feeds the
     // global ntile's sample/sums/consumer jobs, and without the cache the
-    // scoring chain upstream would run once per job
+    // scoring chain upstream would run once per job. Null score/label rows
+    // are excluded up front — an unscored or unlabeled row carries no
+    // calibration evidence, and keeping them would NULL a bin's
+    // positive_rate (count(*) counts them while sum skips them), which
+    // downstream consumers like isotonicCalibrate read as doubles.
     val slim = graft.Caches.track(
-      df.select(score.as("_cal_s"), label.cast("int").as("_cal_y"), tieCol.as("_cal_t")))
+      df.select(score.as("_cal_s"), label.cast("int").as("_cal_y"), tieCol.as("_cal_t"))
+        .where(col("_cal_s").isNotNull && col("_cal_y").isNotNull))
     val binned = ntileBins(slim, bins, Seq(col("_cal_s"), col("_cal_t")))
     binned.groupBy(col("bin")).agg(
       count(lit(1)).as("n"),
@@ -2779,8 +2784,13 @@ object Stats {
       scale: Int = 6): DataFrame = {
     require(alphaNum > 0 && alphaDen > alphaNum,
       s"alpha must be in (0,1): got $alphaNum/$alphaDen")
+    // decimal(13,12): p ∈ [0,1] needs one integer digit, so the product
+    // with the decimal(20,0) scalar m·αDen is decimal(34,12) — inside the
+    // 38-digit cap, hence EXACT. A wider cast (e.g. 20,12) would push the
+    // product to precision 41 and Spark would silently round it to scale 9,
+    // flipping boundary ranks on p grids finer than ~9 decimals.
     val base = df.where(p.isNotNull)
-      .withColumn("_bh_p", p.cast("decimal(20,12)"))
+      .withColumn("_bh_p", p.cast("decimal(13,12)"))
     val (ranked0, grand) = prefixSumsCore(
       base, Seq(col("_bh_p"), tie), Seq(lit(1L) -> "p_rank"))
     val m = grand("p_rank")

@@ -139,37 +139,48 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def minTime(name: String, dir: String): (Double, Long) = {
-      var best = Double.MaxValue; var rows = -1L
+    // A failed attempt contributes NEITHER its wall-clock nor its row
+    // count: folding a failure's elapsed time into `best` (or letting a
+    // late failure overwrite a good `rows`) would record a bogus
+    // timing/ratio with no failure marker. `failed` rides through to the
+    // JSON so a partially-failed probe is visible in BENCH_SCALE.json.
+    def minTime(name: String, dir: String): (Double, Long, Boolean) = {
+      var best = Double.MaxValue; var rows = -1L; var anyFail = false
       (1 to 2).foreach { _ =>
         val t0 = System.nanoTime()
         val n  = try graft.SparkEntry.queries(name)(spark, dir).count()
                  catch { case e: Throwable =>
                    System.err.println(s"[scale] $name@$dir FAILED: ${e.getMessage}"); -1L }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        rows = n
+        if (n >= 0L) {
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          rows = n
+        } else anyFail = true
         graft.Caches.clear()
       }
-      (best, rows)
+      (if (rows >= 0L) best else Double.NaN, rows, anyFail)
     }
 
     val rows = names.map { name =>
-      val (t01, r01) = minTime(name, sf01)
-      val (t1, r1)   = minTime(name, sf1)
+      val (t01, r01, f01) = minTime(name, sf01)
+      val (t1, r1, f1)    = minTime(name, sf1)
+      val failed = f01 || f1
       val ratio = t1 / t01
       val note = Expectations.get(name)
       System.err.println(
         f"[scale] $name%-26s sf0.1 $t01%7.2fs (rows=$r01) sf1.0 $t1%7.2fs (rows=$r1) ratio ${ratio}%6.2fx" +
+          (if (failed) "  [HAD FAILURES]" else "") +
           note.map(n => s"  [expected super-linear: $n]").getOrElse(""))
-      (name, t01, t1, ratio, r01, r1, note)
+      (name, t01, t1, ratio, r01, r1, note, failed)
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qJson = rows.map { case (n, t01, t1, ratio, r01, r1, note) =>
-      f""""$n":{"sf01_sec":$t01%.3f,"sf1_sec":$t1%.3f,"ratio":$ratio%.2f,"rows_sf01":$r01,"rows_sf1":$r1""" +
+    def num(d: Double) = if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
+    val qJson = rows.map { case (n, t01, t1, ratio, r01, r1, note, failed) =>
+      s""""$n":{"sf01_sec":${num(t01)},"sf1_sec":${num(t1)},"ratio":${if (ratio.isNaN || ratio.isInfinite) "null" else f"$ratio%.2f"},"rows_sf01":$r01,"rows_sf1":$r1""" +
+        (if (failed) ""","failed":true""" else "") +
         note.map(x => s""","expected_superlinear":"${esc(x)}"""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
-    val flagged = rows.filter { case (_, _, _, ratio, _, _, note) =>
-      ratio > 15.0 && note.isEmpty }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val flagged = rows.filter { case (_, _, _, ratio, _, _, note, failed) =>
+      failed || (ratio > 15.0 && note.isEmpty) }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val json =
       s"""{"sf01":"${esc(sf01)}","sf1":"${esc(sf1)}","data":"10x row replication of sf0.1 with per-key-domain offsets; nation/region dims unchanged; documents/embeddings content repeats verbatim per copy (duplicate-heavy by construction)","hash":"${sys.props("graft.hash")}","runs_per_scale":2,"flagged_unexplained_over_15x":$flagged,"queries":$qJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
