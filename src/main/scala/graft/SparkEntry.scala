@@ -2667,6 +2667,37 @@ object SparkEntry {
           (col("event_type") === "purchase").as("y")),
         dose = col("hod"), success = col("y"))),
 
+    // Kruskal–Wallis: do the three return-flag arms shift the quantity
+    // DISTRIBUTION? — q246's rank question asked across k groups, with
+    // the integer-quantity grid exercising the tie correction hard
+    "q311_kruskal_wallis" -> ((s, dir) =>
+      graft.ops.Stats.kruskalWallis(
+        T(s, dir, "lineitem"), value = col("l_quantity"),
+        group = col("l_returnflag"))),
+
+    // Wilcoxon signed-rank on q296's paired pre/post per-user activity:
+    // the within-subject rank test (did EACH user shift, not the pool?)
+    "q312_wilcoxon_signed" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val m0 = days.agg(min(col("day")).as("_m0"))
+      val per = days.crossJoin(broadcast(m0))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("_m0") + 15, 1L).otherwise(0L)).as("pre"),
+          sum(when(col("day") >= col("_m0") + 15, 1L).otherwise(0L)).as("post"))
+      graft.ops.Stats.wilcoxonSignedRank(per, x = col("post"), y = col("pre"))
+    }),
+
+    // Friedman: across users (blocks), do the five event types rank
+    // consistently by volume? — within-block midranks, tie-corrected
+    // χ²_F plus Kendall's W concordance
+    "q313_friedman" -> ((s, dir) => {
+      val counts = E(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Stats.friedmanTest(counts, block = col("user_id"),
+        treatment = col("event_type"), value = col("cnt"))
+    }),
+
     // empirical-Bayes purchase-rate table: per-user rates shrunk toward
     // the moment-fitted Beta prior — low-n users borrow the population
     "q308_eb_rates" -> ((s, dir) =>
@@ -9048,6 +9079,147 @@ object SparkEntry {
         |  FROM a)
         |SELECT n_doses, n, k,
         |  round(CASE WHEN vr > 0 THEN num / sqrt(vr) END, 6) AS z
+        |FROM f""".stripMargin,
+
+    // q311: q246's midrank algebra one group wider — per-(value,group)
+    // cells, value-level prefix ranks, HUGEINT-exact (2R_g)², decimal
+    // re-sum of the per-group IEEE terms, pinned H / tie correction
+    "q311_kruskal_wallis" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS g
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        |), cells AS (
+        |  SELECT v, g, CAST(count(*) AS BIGINT) AS cg FROM d GROUP BY 1, 2
+        |), vc AS (
+        |  SELECT v, CAST(sum(cg) AS BIGINT) AS cnt FROM cells GROUP BY 1
+        |), r AS (
+        |  SELECT v, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM vc
+        |), pg AS (
+        |  SELECT g, CAST(sum(cg) AS BIGINT) AS ng,
+        |    CAST(sum(cg * (2 * prior + cnt + 1)) AS BIGINT) AS r2
+        |  FROM cells JOIN r USING (v) GROUP BY 1
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    sum(CAST(CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE) / (ng * 4)
+        |      AS DECIMAL(38,12))) AS sr
+        |  FROM pg
+        |), tie AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN cnt > 1
+        |    THEN cnt*cnt*cnt - cnt END), 0) AS BIGINT) AS tie FROM vc
+        |), s1 AS (
+        |  SELECT k_groups, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sr AS DOUBLE) AS srd, CAST(tie AS DOUBLE) AS tied
+        |  FROM m, tie
+        |), s2 AS (
+        |  SELECT k_groups, n,
+        |    12.0 / (nd * (nd + 1)) * srd - 3.0 * (nd + 1) AS h,
+        |    1.0 - tied / (nd * nd * nd - nd) AS c
+        |  FROM s1
+        |)
+        |SELECT k_groups, n, round(h, 6) AS h,
+        |  CASE WHEN c > 0 THEN round(h / c, 6) END AS h_adj,
+        |  CASE WHEN c > 0 AND n > k_groups
+        |    THEN round((h / c - k_groups + 1) / CAST(n - k_groups AS DOUBLE), 6)
+        |  END AS epsilon_sq
+        |FROM s2""".stripMargin,
+
+    // q312: q296's pre/post per-user frame → |d| midrank cells →
+    // 2W⁺ on exact integers → tie-corrected z in pinned order
+    "q312_wilcoxon_signed" ->
+      """WITH days AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), m0 AS (SELECT min(day) AS m0 FROM days),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN day < m0.m0 + 15 THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN day >= m0.m0 + 15 THEN 1 ELSE 0 END) AS BIGINT) AS post
+        |  FROM days, m0 GROUP BY 1
+        |), d AS (
+        |  SELECT CAST(post AS DOUBLE) - CAST(pre AS DOUBLE) AS dd FROM per
+        |  WHERE CAST(post AS DOUBLE) - CAST(pre AS DOUBLE) <> 0
+        |), cells AS (
+        |  SELECT abs(dd) AS a, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM d GROUP BY 1
+        |), r AS (
+        |  SELECT a, cnt, np,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM cells
+        |), m AS (
+        |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+        |    CAST(sum(np * (2 * prior + cnt + 1)) AS BIGINT) AS w2,
+        |    CAST(coalesce(sum(CASE WHEN cnt > 1
+        |      THEN cnt*cnt*cnt - cnt END), 0) AS BIGINT) AS tie
+        |  FROM r
+        |), s1 AS (
+        |  SELECT n, CAST(w2 AS DOUBLE) / 2 AS wp, CAST(n AS DOUBLE) AS nd,
+        |    CAST(tie AS DOUBLE) AS tied
+        |  FROM m
+        |), s2 AS (
+        |  SELECT n, wp,
+        |    nd * (nd + 1) / 4 AS mu,
+        |    nd * (nd + 1) * (nd * 2 + 1) / 24 - tied / 48 AS vr,
+        |    nd * (nd + 1) / 2 AS s
+        |  FROM s1
+        |)
+        |SELECT n,
+        |  CASE WHEN n > 0 THEN round(wp, 6) END AS w_plus,
+        |  CASE WHEN n > 0 AND vr > 0 THEN round((wp - mu) / sqrt(vr), 6) END AS z_stat,
+        |  CASE WHEN n > 0 THEN round((wp * 2 - s) / s, 6) END AS r_rb
+        |FROM s2""".stripMargin,
+
+    // q313: per-(user,type) counts → complete blocks only → within-block
+    // doubled midranks (2·rank + ties − 1) → exact-integer Conover form
+    // (the /4 cancels between numerator and denominator)
+    "q313_friedman" ->
+      """WITH cells AS (
+        |  SELECT user_id AS b, event_type AS t, CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), k AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cells),
+        |ok AS (
+        |  SELECT b FROM cells, k GROUP BY b, k.k
+        |  HAVING count(*) = k.k AND count(DISTINCT t) = k.k
+        |), kept AS (
+        |  SELECT cells.b, cells.t, cells.v FROM cells JOIN ok ON ok.b = cells.b
+        |), rk AS (
+        |  SELECT b, t,
+        |    CAST(2 * rank() OVER (PARTITION BY b ORDER BY v)
+        |      + count(*) OVER (PARTITION BY b, v) - 1 AS BIGINT) AS r2
+        |  FROM kept
+        |), tot AS (
+        |  SELECT CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS a2,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS b_blocks,
+        |    (SELECT k FROM k) AS k_treatments
+        |  FROM rk
+        |), pt AS (
+        |  SELECT t, CAST(sum(r2) AS HUGEINT) AS rj2 FROM rk GROUP BY 1
+        |), num AS (
+        |  SELECT CAST(sum(
+        |    (rj2 - CAST(tot.b_blocks AS HUGEINT) * (tot.k_treatments + 1)) *
+        |    (rj2 - CAST(tot.b_blocks AS HUGEINT) * (tot.k_treatments + 1)))
+        |    AS HUGEINT) AS n4
+        |  FROM pt, tot
+        |), f AS (
+        |  SELECT tot.b_blocks, tot.k_treatments,
+        |    tot.a2 - CAST(tot.b_blocks AS HUGEINT) * tot.k_treatments *
+        |      ((tot.k_treatments + 1) * (tot.k_treatments + 1)) AS d4,
+        |    num.n4 AS n4
+        |  FROM tot, num
+        |)
+        |SELECT b_blocks, k_treatments,
+        |  CASE WHEN d4 > 0 THEN round(
+        |    CAST(k_treatments - 1 AS DOUBLE) * CAST(n4 AS DOUBLE)
+        |      / CAST(d4 AS DOUBLE), 6) END AS chi2_f,
+        |  CASE WHEN d4 > 0 AND b_blocks > 0 AND k_treatments > 1 THEN round(
+        |    CAST(k_treatments - 1 AS DOUBLE) * CAST(n4 AS DOUBLE)
+        |      / CAST(d4 AS DOUBLE)
+        |      / CAST(b_blocks * (k_treatments - 1) AS DOUBLE), 6) END AS kendall_w
         |FROM f""".stripMargin,
 
     // q308: per-user counts → rounded rates → decimal moments → the

@@ -3500,4 +3500,219 @@ object Stats {
       .select(gs ++ Seq(lit(k).as("k"), col("x_tail"), col("hill"),
         round(when(col("hill") > 0, lit(1.0) / col("hill")), scale).as("alpha")): _*)
   }
+
+  /** Kruskal–Wallis H test — the k-group generalization of
+    * [[mannWhitney]] ("did ANY of the k arms shift the metric's
+    * distribution?"), the nonparametric complement of [[anovaF]] for
+    * heavy-tailed or ordinal metrics. One row
+    * `(k_groups, n, h, h_adj, epsilon_sq)`: `H = 12/(N(N+1))·ΣR_g²/n_g −
+    * 3(N+1)` on midranks, `h_adj = H/(1 − Σ(t³−t)/(N³−N))` the standard
+    * tie correction (NULL when every value is tied — the statistic is
+    * undefined), and `epsilon_sq = (h_adj − k + 1)/(n − k)` the ε²
+    * effect size. The caller maps `h_adj` to a p-value against
+    * χ²(k−1) with their table of choice (the [[welchTtest]] contract).
+    *
+    * Rank algebra is [[mannWhitney]]'s exact integer midrank form, one
+    * group wider: rows collapse to per-(value, group) cells FIRST, the
+    * value-level totals ride the [[runningTotal]] range-partition
+    * prefix-sum (never a single-partition window), and the per-group
+    * doubled rank sum `2·R_g = Σ c_vg·(2·prior_v + cnt_v + 1)` plus the
+    * tie sum fold as exact DECIMAL integers (corpus-scale `(2R_g)²`
+    * exceeds a long exactly where this runs; each group's `R_g²/n_g`
+    * term is pinned scalar IEEE, re-summed on the decimal grid so the
+    * k-term fold has one canonical order in both engines).
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      value: Column,
+      group: Column,
+      scale: Int = 6): DataFrame = {
+    val base = df.select(value.as("_v"), group.as("_g"))
+      .where(col("_v").isNotNull && col("_g").isNotNull)
+    // tracked: cells feed both the value-level axis and the per-group fold
+    val cells = graft.Caches.track(
+      base.groupBy(col("_v"), col("_g")).agg(count(lit(1)).as("_cg")))
+    val vc = graft.Caches.track(
+      cells.groupBy(col("_v")).agg(sum(col("_cg")).as("_cnt")))
+    val ranked = runningTotal(vc, Seq(col("_v")), col("_cnt"), "_cum")
+      .withColumn("_prior", col("_cum") - col("_cnt"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // both sides of the join are keyed on the value — co-partitioned
+    val perGroup = cells
+      .join(ranked.select(col("_v"), col("_prior"), col("_cnt")), Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_cg")).as("_ng"),
+        sum(dec(col("_cg")) * dec(lit(2L) * col("_prior") + col("_cnt") + lit(1L))).as("_r2"))
+    val m = perGroup.agg(
+      count(lit(1)).as("k_groups"),
+      sum(col("_ng")).as("n"),
+      sum(((dec(col("_r2")) * dec(col("_r2"))).cast("double") / (col("_ng") * lit(4L)))
+        .cast("decimal(38,12)")).as("_sr"))
+    val tie = ranked.agg(
+      coalesce(
+        sum(when(col("_cnt") > 1L,
+          dec(col("_cnt")) * dec(col("_cnt")) * dec(col("_cnt")) - dec(col("_cnt")))),
+        lit(0L).cast("decimal(38,0)")).as("_tie"))
+    // pinned evaluation order — the oracle mirrors these formulas text-for-text
+    m.crossJoin(broadcast(tie))
+      .withColumn("_nd", col("n").cast("double"))
+      .withColumn("_h",
+        lit(12.0) / (col("_nd") * (col("_nd") + 1)) * col("_sr").cast("double") -
+          lit(3.0) * (col("_nd") + 1))
+      .withColumn("_c",
+        // guarded: n = 1 zeroes the denominator, and ANSI double division
+        // by zero THROWS rather than yielding Infinity
+        when(col("_nd") > 1,
+          lit(1.0) - col("_tie").cast("double") /
+            (col("_nd") * col("_nd") * col("_nd") - col("_nd"))))
+      .select(
+        col("k_groups"), col("n"),
+        round(col("_h"), scale).as("h"),
+        when(col("_c") > 0, round(col("_h") / col("_c"), scale)).as("h_adj"),
+        when(col("_c") > 0 && col("n") > col("k_groups"),
+          round((col("_h") / col("_c") - col("k_groups") + 1) /
+            (col("n") - col("k_groups")).cast("double"), scale)).as("epsilon_sq"))
+  }
+
+  /** Wilcoxon signed-rank test — the PAIRED nonparametric location test
+    * ("did each user's activity shift after the change?"), the
+    * within-subject complement of [[mannWhitney]] (which compares two
+    * independent samples) and the rank-based alternative to a paired t.
+    * `x`/`y` are the paired measurements per row; zero differences are
+    * excluded (the standard Wilcoxon treatment — a no-change pair carries
+    * no direction evidence). One row `(n, w_plus, z_stat, r_rb)`:
+    * `W+` = sum of |d|-midranks over positive differences,
+    * `z = (W+ − n(n+1)/4)/σ` with the tie-corrected
+    * `σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48`, and
+    * `r_rb = (2W+ − S)/S` (S = n(n+1)/2) the matched rank-biserial
+    * effect size. NULL z when the variance degenerates.
+    *
+    * Rank algebra is [[mannWhitney]]'s exact integer midrank form on
+    * |d|: rows collapse to per-distinct-|d| `(cnt, n_pos)` cells FIRST,
+    * the prior-count cumulative rides the [[runningTotal]] prefix-sum,
+    * and `2·W+ = Σ n_pos·(2·prior + cnt + 1)` plus the tie sum fold as
+    * DECIMAL integers. Derived statistics are pinned scalar IEEE.
+    */
+  def wilcoxonSignedRank(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      scale: Int = 6): DataFrame = {
+    val base = df
+      .select((x.cast("double") - y.cast("double")).as("_d"))
+      .where(col("_d").isNotNull && col("_d") =!= 0.0)
+    val cells = graft.Caches.track(
+      base.groupBy(abs(col("_d")).as("_a"))
+        .agg(count(lit(1)).as("_cnt"),
+          sum(when(col("_d") > 0, 1L).otherwise(0L)).as("_np")))
+    val ranked = runningTotal(cells, Seq(col("_a")), col("_cnt"), "_cum")
+      .withColumn("_prior", col("_cum") - col("_cnt"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = ranked.agg(
+      // n coalesces to 0: an all-zero-difference input leaves the collapsed
+      // frame empty, and the count must read 0, not NULL
+      coalesce(sum(col("_cnt")), lit(0L)).as("n"),
+      sum(dec(col("_np")) * dec(lit(2L) * col("_prior") + col("_cnt") + lit(1L))).as("_w2"),
+      coalesce(
+        sum(when(col("_cnt") > 1L,
+          dec(col("_cnt")) * dec(col("_cnt")) * dec(col("_cnt")) - dec(col("_cnt")))),
+        lit(0L).cast("decimal(38,0)")).as("_tie"))
+    // pinned evaluation order — the oracle mirrors these formulas text-for-text
+    m.withColumn("_wp", col("_w2").cast("double") / 2)
+      .withColumn("_nd", col("n").cast("double"))
+      .withColumn("_mu", col("_nd") * (col("_nd") + 1) / 4)
+      .withColumn("_var",
+        col("_nd") * (col("_nd") + 1) * (col("_nd") * 2 + 1) / 24 -
+          col("_tie").cast("double") / 48)
+      .withColumn("_s", col("_nd") * (col("_nd") + 1) / 2)
+      .select(
+        col("n"),
+        when(col("n") > 0, round(col("_wp"), scale)).as("w_plus"),
+        when(col("n") > 0 && col("_var") > 0,
+          round((col("_wp") - col("_mu")) / sqrt(col("_var")), scale)).as("z_stat"),
+        when(col("n") > 0,
+          round((col("_wp") * 2 - col("_s")) / col("_s"), scale)).as("r_rb"))
+  }
+
+  /** Friedman test — the BLOCKED nonparametric k-treatment test ("across
+    * users, do the k event types rank consistently by volume?"): rank the
+    * k treatments WITHIN each block (midranks on ties), then test whether
+    * the per-treatment rank sums could be a random shuffle. Uses the
+    * tie-corrected form (Conover):
+    * `χ²_F = (k−1)·Σ_j(R_j − b(k+1)/2)² / (A − C)` with
+    * `A = Σ r_ij²`, `C = bk(k+1)²/4`; `kendall_w = χ²_F/(b(k−1))` is
+    * Kendall's coefficient of concordance (0 = no agreement across
+    * blocks, 1 = identical rankings). One row
+    * `(b_blocks, k_treatments, chi2_f, kendall_w)`; NULL statistics when
+    * A = C (every block internally tied — the test is undefined). The
+    * caller maps `chi2_f` to a p-value against χ²(k−1).
+    *
+    * Contract: ONE observation per (block, treatment) cell; blocks
+    * missing a treatment (or carrying duplicate cells) are dropped whole
+    * — the classical test requires a complete design, and silently
+    * zero-filling would invent data. k is learned from the data (global
+    * distinct treatments, one broadcast scalar).
+    *
+    * Scale shape: ranks come from windows PARTITIONED BY BLOCK (each
+    * partition holds k rows — bounded by construction, distributed across
+    * blocks); doubled midranks `2r = 2·rank + t − 1` keep the algebra on
+    * exact integers, so the numerator `Σ_j(2R_j − b(k+1))²` and
+    * denominator `4A − 4C = Σ(2r)² − bk(k+1)²` fold as DECIMALS and the
+    * single quotient is pinned scalar IEEE (the /4 cancels exactly).
+    */
+  def friedmanTest(
+      df: DataFrame,
+      block: Column,
+      treatment: Column,
+      value: Column,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(block.as("_b"), treatment.as("_t"), value.as("_v"))
+      .where(col("_b").isNotNull && col("_t").isNotNull && col("_v").isNotNull)
+    val kRow = base.agg(countDistinct(col("_t")).as("_k"))
+    // complete blocks only: exactly k distinct treatments AND k rows
+    val blockOk = base.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_rows"), countDistinct(col("_t")).as("_kt"))
+      .crossJoin(broadcast(kRow))
+      .where(col("_rows") === col("_k") && col("_kt") === col("_k"))
+      .select(col("_b"), col("_k"))
+    val kept = base.join(blockOk, Seq("_b"))
+    // within-block midranks, doubled to stay integer: 2r = 2·rank + t − 1
+    val wRank = Window.partitionBy(col("_b")).orderBy(col("_v"))
+    val wTie = Window.partitionBy(col("_b"), col("_v"))
+    val ranked = graft.Caches.track(
+      kept.withColumn("_r2",
+        lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - lit(1L)))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perTreat = ranked.groupBy(col("_t"))
+      .agg(sum(dec(col("_r2"))).as("_rj2"), first(col("_k")).as("_k"),
+        count(lit(1)).as("_b_cnt"))
+    val tot = ranked.agg(
+      sum(dec(col("_r2")) * dec(col("_r2"))).as("_a2"),
+      countDistinct(col("_b")).as("b_blocks"),
+      first(col("_k")).as("k_treatments"))
+    // Σ_j (2R_j − b(k+1))² folds on the decimal grid; b and k ride along
+    val num = perTreat.crossJoin(broadcast(
+        tot.select(col("b_blocks").as("_bb"), col("k_treatments").as("_kk"))))
+      .agg(sum(
+        (col("_rj2") - dec(col("_bb")) * dec(col("_kk") + lit(1L))) *
+        (col("_rj2") - dec(col("_bb")) * dec(col("_kk") + lit(1L)))).as("_n4"))
+    // pinned evaluation order — the oracle mirrors these formulas
+    // text-for-text. The divisions live INSIDE the when guards: ANSI mode
+    // throws DIVIDE_BY_ZERO even for doubles, and CaseWhen branches are
+    // the only lazily-evaluated construct.
+    val chi = (col("k_treatments") - 1).cast("double") * col("_n4").cast("double") /
+      col("_d4").cast("double")
+    tot.crossJoin(broadcast(num))
+      .withColumn("_d4",
+        col("_a2") - dec(col("b_blocks")) * dec(col("k_treatments")) *
+          dec((col("k_treatments") + 1) * (col("k_treatments") + 1)))
+      .select(
+        col("b_blocks"), col("k_treatments"),
+        when(col("_d4") > 0, round(chi, scale)).as("chi2_f"),
+        when(col("_d4") > 0 && col("b_blocks") > 0 && col("k_treatments") > 1,
+          round(chi /
+            (col("b_blocks") * (col("k_treatments") - 1)).cast("double"),
+            scale)).as("kendall_w"))
+  }
 }

@@ -1585,4 +1585,80 @@ class StatsSpec extends SparkSpec {
     assert(c.getDouble(3) == 0.0 && c.getLong(0) == 0L)
     graft.Caches.clear()
   }
+
+  test("kruskalWallis: hand-computed tie-corrected H; partitioning-invariant") {
+    import spark.implicits._
+    // A={1,2}, B={2,3}, C={3,3,5}: midranks 1, 2.5, 2.5, 5, 5, 5, 7
+    // R_A=3.5 R_B=7.5 R_C=17 → ΣR²/n = 130.58333…; H = 12/56·ΣR²/n − 24
+    // ties Σ(t³−t) = 6+24 = 30 → c = 1 − 30/336
+    val df = Seq((1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b"),
+      (3.0, "c"), (3.0, "c"), (5.0, "c")).toDF("v", "g")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Stats.kruskalWallis(df, col("v"), col("g")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 7L)
+    val sr = 3.5 * 3.5 / 2 + 7.5 * 7.5 / 2 + 17.0 * 17.0 / 3
+    val h = 12.0 / (7.0 * 8) * sr - 3.0 * 8
+    val cc = 1.0 - 30.0 / 336
+    assert(r.getDouble(2) == r6(h))
+    assert(r.getDouble(3) == r6(h / cc))
+    assert(r.getDouble(4) == r6((h / cc - 3 + 1) / 4))
+    val r17 = Stats.kruskalWallis(df.repartition(17), col("v"), col("g")).collect().head
+    assert(r17 == r)
+    // all values tied → tie correction hits zero → NULL h_adj/ε²
+    val tied = Seq((7.0, "a"), (7.0, "a"), (7.0, "b")).toDF("v", "g")
+    val t = Stats.kruskalWallis(tied, col("v"), col("g")).collect().head
+    assert(t.isNullAt(3) && t.isNullAt(4))
+    graft.Caches.clear()
+  }
+
+  test("wilcoxonSignedRank: hand-computed paired W+ with ties; zero diffs excluded") {
+    import spark.implicits._
+    // d = {+1, −1, +2, +2, −3, 0}: the 0 drops; |d| midranks 1.5,1.5,3.5,3.5,5
+    // W+ = 1.5+3.5+3.5 = 8.5; μ=7.5; σ² = 13.75 − 12/48 = 13.5; r_rb = 2/15
+    val df = Seq((2.0, 1.0), (0.0, 1.0), (3.0, 1.0), (5.0, 3.0), (0.0, 3.0), (4.0, 4.0))
+      .toDF("x", "y")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Stats.wilcoxonSignedRank(df, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == 8.5)
+    assert(r.getDouble(2) == r6(1.0 / math.sqrt(13.5)))
+    assert(r.getDouble(3) == r6(2.0 / 15))
+    val r17 = Stats.wilcoxonSignedRank(df.repartition(17), col("x"), col("y")).collect().head
+    assert(r17 == r)
+    // all pairs equal → every diff drops → n=0, all stats NULL
+    val same = Seq((1.0, 1.0), (2.0, 2.0)).toDF("x", "y")
+    val s = Stats.wilcoxonSignedRank(same, col("x"), col("y")).collect().head
+    assert(s.getLong(0) == 0L && s.isNullAt(1) && s.isNullAt(2) && s.isNullAt(3))
+    graft.Caches.clear()
+  }
+
+  test("friedmanTest: hand-computed Conover form with within-block ties; incomplete blocks dropped") {
+    import spark.implicits._
+    // 3 blocks × 3 treatments, block2 has a within-block tie:
+    // ranks b1=(1,2,3) b2=(1.5,1.5,3) b3=(1,3,2) → R=(3.5,6.5,8)
+    // A=41.5 C=36 → χ² = 2·10.5/5.5; W = χ²/6
+    val rows = Seq(
+      (1L, "t1", 1.0), (1L, "t2", 2.0), (1L, "t3", 3.0),
+      (2L, "t1", 2.0), (2L, "t2", 2.0), (2L, "t3", 5.0),
+      (3L, "t1", 1.0), (3L, "t2", 3.0), (3L, "t3", 2.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = rows.toDF("b", "t", "v")
+    val r = Stats.friedmanTest(df, col("b"), col("t"), col("v")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == r6(21.0 / 5.5))
+    assert(r.getDouble(3) == r6(21.0 / 5.5 / 6))
+    // an incomplete block (missing t3) is dropped whole — result unchanged
+    val extra = (rows ++ Seq((4L, "t1", 9.0), (4L, "t2", 1.0))).toDF("b", "t", "v")
+    val e = Stats.friedmanTest(extra, col("b"), col("t"), col("v")).collect().head
+    assert(e == r)
+    val r17 = Stats.friedmanTest(df.repartition(17), col("b"), col("t"), col("v"))
+      .collect().head
+    assert(r17 == r)
+    // every block internally tied → A = C → NULL statistics
+    val flat = Seq((1L, "t1", 1.0), (1L, "t2", 1.0), (2L, "t1", 2.0), (2L, "t2", 2.0))
+      .toDF("b", "t", "v")
+    val f = Stats.friedmanTest(flat, col("b"), col("t"), col("v")).collect().head
+    assert(f.isNullAt(2) && f.isNullAt(3))
+    graft.Caches.clear()
+  }
 }
