@@ -2698,6 +2698,44 @@ object SparkEntry {
         treatment = col("event_type"), value = col("cnt"))
     }),
 
+    // Harrell's C on q307's censored retention spans: does per-user
+    // activity volume rank survival? (comparable = shorter side had the
+    // event; censoring-honest pair fold on the collapsed cell grid)
+    "q314_c_index" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val u = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+          count(lit(1)).as("_cnt"))
+      val obs = u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
+        .select((col("_ld") - col("_fd")).as("dur"),
+          (col("_ld") <= col("_md") - 3).as("ev"),
+          col("_cnt").cast("double").as("risk"))
+      graft.ops.EventAnalytics.concordanceIndex(
+        obs, time = col("dur"), event = col("ev"), risk = col("risk"))
+    }),
+
+    // Hosmer–Lemeshow on the q297-grid pseudo-probability vs English:
+    // is the (deliberately uncalibrated) score's miscalibration more
+    // than noise? decile bins, χ²(bins−2)
+    "q315_hosmer_lemeshow" -> ((s, dir) =>
+      graft.ops.Stats.hosmerLemeshow(
+        T(s, dir, "documents").select(
+          col("doc_id"),
+          ((col("n_chars") % 1000) / lit(1000.0)).as("p"),
+          (col("lang") === "en").as("y")),
+        score = col("p"), label = col("y"), bins = 10, tieCol = col("doc_id"))),
+
+    // Holm step-down on q297's p grid: the FWER-controlling cut —
+    // strictly fewer rejections than BH on the same inputs, by design
+    "q316_holm" -> ((s, dir) => {
+      val u = col("n_chars") % 1000
+      val pt = T(s, dir, "documents")
+        .select(col("doc_id"), round((u * u).cast("double") / 1000000.0, 6).as("p"))
+      graft.ops.Stats.holmBonferroni(pt, p = col("p"), tie = col("doc_id"),
+          alphaNum = 1, alphaDen = 20)
+        .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
+    }),
+
     // empirical-Bayes purchase-rate table: per-user rates shrunk toward
     // the moment-fitted Beta prior — low-n users borrow the population
     "q308_eb_rates" -> ((s, dir) =>
@@ -9221,6 +9259,81 @@ object SparkEntry {
         |      / CAST(d4 AS DOUBLE)
         |      / CAST(b_blocks * (k_treatments - 1) AS DOUBLE), 6) END AS kendall_w
         |FROM f""".stripMargin,
+
+    // q314: q307's per-user spans → (t, r, e) cells → censoring-honest
+    // pair fold (left side = event cells only) → pinned ratio
+    "q314_c_index" ->
+      """WITH days AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS fd, max(day) AS ld,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM days GROUP BY 1
+        |), mx AS (SELECT max(ld) AS md FROM u),
+        |obs AS (
+        |  SELECT ld - fd AS t, (ld <= mx.md - 3) AS e, CAST(cnt AS DOUBLE) AS r
+        |  FROM u, mx
+        |), cells AS (
+        |  SELECT t, r, e, CAST(count(*) AS BIGINT) AS c FROM obs GROUP BY 1, 2, 3
+        |), p AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CAST(a.c AS HUGEINT) * b.c), 0) AS HUGEINT) AS cmp,
+        |    CAST(coalesce(sum(CASE WHEN a.r > b.r
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) AS HUGEINT) AS conc,
+        |    CAST(coalesce(sum(CASE WHEN a.r = b.r
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) AS HUGEINT) AS tier
+        |  FROM (SELECT * FROM cells WHERE e) a JOIN cells b ON a.t < b.t
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs)
+        |SELECT nn.n, CAST(cmp AS BIGINT) AS comparable_pairs,
+        |  CAST(conc AS BIGINT) AS concordant, CAST(tier AS BIGINT) AS risk_ties,
+        |  CASE WHEN cmp > 0 THEN round(
+        |    (CAST(conc AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(tier AS DOUBLE))
+        |      / CAST(cmp AS DOUBLE), 6) END AS c_index
+        |FROM nn, p""".stripMargin,
+
+    // q315: ntile deciles over (p, doc_id) → per-bin o/e → pinned HL
+    // terms, degenerate bins excluded and counted honestly
+    "q315_hosmer_lemeshow" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars % 1000 AS DOUBLE) / 1000 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |), b AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY s, doc_id) - 1 AS BIGINT) AS bin, s, y
+        |  FROM d
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS o,
+        |    sum(CAST(s AS DECIMAL(38,12))) AS ss
+        |  FROM b GROUP BY 1
+        |), t AS (
+        |  SELECT n, o, CAST(ss AS DOUBLE) AS e FROM g
+        |), terms AS (
+        |  SELECT n, CASE WHEN e > 0 AND e < CAST(n AS DOUBLE) THEN
+        |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / (e * (1.0 - e / n))
+        |  END AS term FROM t
+        |)
+        |SELECT CAST(count(term) AS BIGINT) AS bins_used,
+        |  CAST(sum(n) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS hl_stat,
+        |  CAST(count(term) - 2 AS BIGINT) AS dof
+        |FROM terms""".stripMargin,
+
+    // q316: q297's integer p-grid, step-DOWN — the first failing rank
+    // caps every rejection below it
+    "q316_holm" ->
+      """WITH t AS (
+        |  SELECT doc_id, (n_chars % 1000) * (n_chars % 1000) AS pp FROM documents),
+        |r AS (SELECT doc_id, pp,
+        |        row_number() OVER (ORDER BY pp, doc_id) AS rn,
+        |        count(*) OVER () AS m FROM t),
+        |k AS (SELECT coalesce(min(CASE WHEN pp * ((m - rn + 1) * 20) > 1000000
+        |                          THEN rn END), (SELECT max(m) + 1 FROM r)) AS kstar
+        |      FROM r)
+        |SELECT doc_id, round(CAST(pp AS DOUBLE) / 1000000, 6) AS p,
+        |  CAST(rn AS BIGINT) AS p_rank, CAST(m AS BIGINT) AS m,
+        |  (rn < kstar) AS reject
+        |FROM r, k""".stripMargin,
 
     // q308: per-user counts → rounded rates → decimal moments → the
     // method-of-moments Beta prior → pinned shrinkage arithmetic

@@ -1168,6 +1168,58 @@ object EventAnalytics {
           col("_oe").cast("double") / sqrt(col("_v").cast("double"))), scale).as("z"))
   }
 
+  /** Harrell's concordance index — does a risk score RANK survival
+    * correctly under censoring? ("among user pairs where one provably
+    * outlasted the other, how often did the score call it?") The
+    * survival-eval staple alongside [[logRankTest]]: a pair (i, j) is
+    * comparable iff `t_i < t_j` and subject i had the EVENT (a censored
+    * shorter time proves nothing — i might have outlasted j unobserved);
+    * same-time pairs are excluded. Concordant when `risk_i > risk_j`
+    * (higher risk ⇒ shorter survival); tied risks count ½. One row
+    * `(n, comparable_pairs, concordant, risk_ties, c_index)` with
+    * `c_index = (concordant + 0.5·ties)/comparable` — 0.5 ⇔ random,
+    * 1.0 ⇔ perfect ranking; NULL when no pair is comparable.
+    *
+    * Scale shape: rows collapse to `(time, risk, event)` cells FIRST, so
+    * the quadratic pair fold runs on |cells|² — bounded by the value
+    * grid, not the row count (the kendallTauB bounded-matrix class;
+    * callers feed per-entity survival frames, which are |entities|-
+    * bounded by construction). Pair masses fold as exact DECIMAL
+    * integers; the single ratio is pinned scalar IEEE.
+    */
+  def concordanceIndex(
+      df: DataFrame,
+      time: Column,
+      event: Column,
+      risk: Column,
+      scale: Int = 6): DataFrame = {
+    val base = df.select(time.as("_t"), event.cast("boolean").as("_e"), risk.as("_r"))
+      .where(col("_t").isNotNull && col("_e").isNotNull && col("_r").isNotNull)
+    val cells = graft.Caches.track(
+      base.groupBy(col("_t"), col("_r"), col("_e")).agg(count(lit(1)).as("_c")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val l = cells.where(col("_e"))
+      .select(col("_t").as("_ti"), col("_r").as("_ri"), col("_c").as("_ci"))
+    val r = cells.select(col("_t").as("_tj"), col("_r").as("_rj"), col("_c").as("_cj"))
+    val agg = l.join(r, col("_ti") < col("_tj"))
+      .agg(
+        coalesce(sum(dec(col("_ci")) * dec(col("_cj"))), dec(lit(0L))).as("_cmp"),
+        coalesce(sum(when(col("_ri") > col("_rj"), dec(col("_ci")) * dec(col("_cj")))
+          .otherwise(dec(lit(0L)))), dec(lit(0L))).as("_conc"),
+        coalesce(sum(when(col("_ri") === col("_rj"), dec(col("_ci")) * dec(col("_cj")))
+          .otherwise(dec(lit(0L)))), dec(lit(0L))).as("_tie"))
+    base.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(agg))
+      .select(
+        col("n"),
+        col("_cmp").cast("long").as("comparable_pairs"),
+        col("_conc").cast("long").as("concordant"),
+        col("_tie").cast("long").as("risk_ties"),
+        when(col("_cmp") > 0,
+          round((col("_conc").cast("double") + lit(0.5) * col("_tie").cast("double")) /
+            col("_cmp").cast("double"), scale)).as("c_index"))
+  }
+
   /** Market-basket pair mining — support / confidence / lift for item
     * PAIRS that co-occur in a basket ("parts ordered together", "event
     * types co-occurring in a session"), the association-rule staple.

@@ -517,6 +517,56 @@ object Stats {
       round(sum(col("_cal_y")).cast("double") / count(lit(1)), scale).as("positive_rate"))
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit — the hypothesis-test companion of
+    * [[calibrationCurve]] ("is the model's miscalibration more than
+    * noise?"): equal-count score bins, each contributing
+    * `(o_g − e_g)² / (e_g·(1 − e_g/n_g))` where `o_g` is observed
+    * positives and `e_g = Σ score` the model-expected positives; the sum
+    * is the HL statistic, read against χ²(bins−2). One row
+    * `(bins_used, n, hl_stat, dof)`. Degenerate bins (e_g = 0 or
+    * e_g = n_g — the term's denominator vanishes) are excluded and
+    * reported honestly via `bins_used`; `dof = bins_used − 2`.
+    *
+    * Scale shape: the global equal-count ntile is [[globalNtile]]'s
+    * range-partition prefix-sum rank (the [[calibrationCurve]]
+    * discipline), one partial-agg shuffle to the ≤bins frame, per-bin
+    * terms in pinned scalar IEEE re-summed on the decimal grid so the
+    * fold order is canonical in both engines. Null score/label rows are
+    * excluded — they carry no calibration evidence.
+    */
+  def hosmerLemeshow(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int,
+      tieCol: Column,
+      scale: Int = 6): DataFrame = {
+    require(bins >= 3, s"bins must be >= 3 (dof = bins - 2), got $bins")
+    val slim = graft.Caches.track(
+      df.select(score.as("_hl_s"), label.cast("int").as("_hl_y"), tieCol.as("_hl_t"))
+        .where(col("_hl_s").isNotNull && col("_hl_y").isNotNull))
+    val binned = ntileBins(slim, bins, Seq(col("_hl_s"), col("_hl_t")))
+    val g = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("_n"),
+      sum(col("_hl_y")).as("_o"),
+      sum(col("_hl_s").cast("decimal(38,12)")).as("_ss"))
+    // pinned evaluation order — the oracle mirrors these formulas
+    // text-for-text; the division lives inside the when guard (ANSI)
+    val per = g.withColumn("_e", col("_ss").cast("double"))
+      .withColumn("_term",
+        when(col("_e") > 0 && col("_e") < col("_n").cast("double"),
+          (col("_o").cast("double") - col("_e")) * (col("_o").cast("double") - col("_e")) /
+            (col("_e") * (lit(1.0) - col("_e") / col("_n")))))
+    per.agg(
+        count(col("_term")).as("bins_used"),
+        sum(col("_n")).as("n"),
+        sum(col("_term").cast("decimal(38,12)")).as("_hl"))
+      .select(
+        col("bins_used"), col("n"),
+        round(col("_hl").cast("double"), scale).as("hl_stat"),
+        (col("bins_used") - 2).as("dof"))
+  }
+
   /** Isotonic calibration (PAVA) of a score against a binary label — the
     * standard monotone recalibration step before serving ("the model's
     * 0.8 means 55% — remap it"): [[calibrationCurve]]'s equal-count bins
@@ -2806,6 +2856,48 @@ object Stats {
       .withColumn("m", lit(m))
       .withColumn("reject", col("p_rank") <= col("_k"))
       .drop("_k", "_bh_p")
+  }
+
+  /** Holm–Bonferroni step-down correction — the FWER-controlling
+    * complement of [[bhFdr]] ("NO false rejection at all with probability
+    * ≥ 1−α", vs BH's bounded false FRACTION): sort p ascending, reject
+    * while `p_(k) ≤ α/(m−k+1)`, and STOP at the first failure — every
+    * later rank is accepted regardless (the step-down rule; uniformly
+    * more powerful than plain Bonferroni, no independence assumption).
+    * Appends `(p_rank, m, reject)`; null-p rows are excluded.
+    *
+    * The bound comparison runs in EXACT rational arithmetic on the
+    * decimal grid — `p·((m−k+1)·αDen) ≤ αNum` with p at decimal(13,12)
+    * so the product is decimal(34,12), inside the 38-digit cap (the
+    * [[bhFdr]] precision discipline). Scale shape is [[bhFdr]]'s: the
+    * global p-rank rides the range-partition prefix-sum, k* is ONE 1-row
+    * aggregate attached back as the documented scalar crossJoin.
+    */
+  def holmBonferroni(
+      df: DataFrame,
+      p: Column,
+      tie: Column,
+      alphaNum: Int = 1,
+      alphaDen: Int = 20,
+      scale: Int = 6): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"alpha must be in (0,1): got $alphaNum/$alphaDen")
+    val base = df.where(p.isNotNull)
+      .withColumn("_hb_p", p.cast("decimal(13,12)"))
+    val (ranked0, grand) = prefixSumsCore(
+      base, Seq(col("_hb_p"), tie), Seq(lit(1L) -> "p_rank"))
+    val m = grand("p_rank")
+    val ranked = graft.Caches.track(ranked0)
+    // step-down: the FIRST failing rank caps every rejection below it
+    val fail = col("_hb_p") *
+      ((lit(m) - col("p_rank") + 1) * lit(alphaDen.toLong)).cast("decimal(20,0)") >
+      lit(alphaNum.toLong).cast("decimal(38,12)")
+    val kStar = ranked.agg(
+      coalesce(min(when(fail, col("p_rank"))), lit(m + 1L)).as("_k"))
+    ranked.crossJoin(broadcast(kStar))
+      .withColumn("m", lit(m))
+      .withColumn("reject", col("p_rank") < col("_k"))
+      .drop("_k", "_hb_p")
   }
 
   /** Kish effective sample size / design effect of a weighted sample —

@@ -99,7 +99,9 @@ object PlanAudit {
     "q308_eb_rates",              // one-row Beta-prior crossJoin (scalar-attach class)
     "q311_kruskal_wallis",        // one-row tie-sum crossJoin (the q225 grand-totals class)
     "q312_wilcoxon_signed",       // one-row corpus-start-day crossJoin (the q296 class)
-    "q313_friedman"               // one-row k / blocks×k totals crossJoins (scalar-attach class)
+    "q313_friedman",              // one-row k / blocks×k totals crossJoins (scalar-attach class)
+    "q314_c_index",               // |cells|² censoring-honest pair fold (the q252 bounded-matrix class) + one-row scalar attaches
+    "q316_holm"                   // one-row k* step-down-threshold crossJoin (the q297 class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -559,4 +559,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(sz.getDouble(5) >= 0.0)
     graft.Caches.clear()
   }
+
+  test("concordanceIndex: hand-counted censoring-honest pairs; tied risk; no comparable -> NULL") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A(1,ev,5) B(2,ev,3) C(3,cens,4) D(1,cens,9):
+    // comparable = A→B (5>3 conc), A→C (5>4 conc), B→C (3<4 disc);
+    // t-ties and censored-shorter pairs excluded
+    val rows = Seq((1L, true, 5.0), (2L, true, 3.0), (3L, false, 4.0), (1L, false, 9.0))
+      .toDF("t", "e", "r")
+    val r = EventAnalytics.concordanceIndex(rows, col("t"), col("e"), col("r"))
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 2L && r.getLong(3) == 0L)
+    assert(r.getDouble(4) == r6(2.0 / 3))
+    val r17 = EventAnalytics.concordanceIndex(rows.repartition(17), col("t"), col("e"), col("r"))
+      .collect().head
+    assert(r17 == r)
+    // a tied risk counts half
+    val tied = Seq((1L, true, 5.0), (2L, false, 5.0)).toDF("t", "e", "r")
+    val tr = EventAnalytics.concordanceIndex(tied, col("t"), col("e"), col("r"))
+      .collect().head
+    assert(tr.getLong(1) == 1L && tr.getLong(3) == 1L && tr.getDouble(4) == 0.5)
+    // only censored subjects → zero comparable pairs → NULL c
+    val cens = Seq((1L, false, 1.0), (2L, false, 2.0)).toDF("t", "e", "r")
+    val cz = EventAnalytics.concordanceIndex(cens, col("t"), col("e"), col("r"))
+      .collect().head
+    assert(cz.getLong(1) == 0L && cz.isNullAt(4))
+    graft.Caches.clear()
+  }
 }

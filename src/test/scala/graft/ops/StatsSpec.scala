@@ -1661,4 +1661,45 @@ class StatsSpec extends SparkSpec {
     assert(f.isNullAt(2) && f.isNullAt(3))
     graft.Caches.clear()
   }
+
+  test("holmBonferroni: step-down stops at the first failure; never more rejections than BH") {
+    import spark.implicits._
+    // sorted p = .001, .03, .04 at α=.05, m=3: bounds .01667, .025, .05 —
+    // rank 2 fails, so rank 3 stays accepted EVEN THOUGH .04 ≤ .05
+    val df = Seq(("a", 0.001), ("b", 0.03), ("c", 0.04)).toDF("id", "p")
+    val r = Stats.holmBonferroni(df, col("p"), col("id"))
+      .collect().map(x => x.getString(0) -> x.getBoolean(4)).toMap
+    assert(r == Map("a" -> true, "b" -> false, "c" -> false))
+    // BH on the same grid rejects everything (.04 ≤ 3·.05/3 at rank 3):
+    // Holm ⊆ BH by construction
+    val bh = Stats.bhFdr(df, col("p"), col("id"))
+      .collect().map(x => x.getString(0) -> x.getBoolean(4)).toMap
+    assert(bh == Map("a" -> true, "b" -> true, "c" -> true))
+    // all pass → everything rejected; partitioning-invariant
+    val all = Seq(("a", 0.001), ("b", 0.002)).toDF("id", "p")
+    val ra = Stats.holmBonferroni(all.repartition(17), col("p"), col("id"))
+      .collect().map(_.getBoolean(4))
+    assert(ra.forall(identity))
+    graft.Caches.clear()
+  }
+
+  test("hosmerLemeshow: hand-computed 3-bin HL; degenerate zero-expectation bin excluded") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // bins of 2: e=(.3,.9,1.7), o=(0,1,2) →
+    // HL = .09/.255 + .01/.495 + .09/.255
+    val df = Seq((1L, 0.1, 0), (2L, 0.2, 0), (3L, 0.4, 0), (4L, 0.5, 1),
+      (5L, 0.8, 1), (6L, 0.9, 1)).toDF("id", "s", "y")
+    val r = Stats.hosmerLemeshow(df, col("s"), col("y"), bins = 3, tieCol = col("id"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L && r.getLong(3) == 1L)
+    assert(r.getDouble(2) == r6(0.09 / 0.255 + 0.01 / 0.495 + 0.09 / 0.255))
+    // a bin whose scores are all zero (e = 0) drops out of the statistic
+    val zed = Seq((1L, 0.0, 0), (2L, 0.0, 0), (3L, 0.5, 0), (4L, 0.5, 1),
+      (5L, 0.8, 1), (6L, 0.9, 1)).toDF("id", "s", "y")
+    val z = Stats.hosmerLemeshow(zed, col("s"), col("y"), bins = 3, tieCol = col("id"))
+      .collect().head
+    assert(z.getLong(0) == 2L && z.getLong(3) == 0L)
+    graft.Caches.clear()
+  }
 }
