@@ -43,6 +43,25 @@ object SparkEntry {
     }
   }
 
+  /** Gap-filled DAILY event-volume series `(t, x)` — the q265 hourly
+    * construction one granularity up, shared by the time-series
+    * diagnostics (q318 Durbin–Watson, q319 Ljung–Box): day buckets off
+    * the nano axis, missing days filled with 0 so consecutive-lag
+    * pairing sees the true axis.
+    */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame = {
+    val days = E(s, dir).select(expr("ts div 86400000000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val bounds = days.agg(min(col("d")).as("_lo"), max(col("d")).as("_hi"))
+    // axis starts at 0, not the epoch day: t² on the absolute axis
+    // overflows DuckDB's int64 decimal fast path, and a near-origin
+    // axis is better-conditioned for the moment fits either way
+    val axis = bounds.select(col("_lo"),
+      explode(sequence(col("_lo"), col("_hi"))).as("_d0"))
+    axis.join(days.withColumnRenamed("d", "_d0"), Seq("_d0"), "left")
+      .select((col("_d0") - col("_lo")).as("t"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
   /** Hash family for the sketch queries (q18/q22/q29). Defaults to
     * [[graft.ops.Md5Hash]] — the portable family the DuckDB oracles
     * replicate, which is what Verify (the correctness gate) must run.
@@ -2735,6 +2754,35 @@ object SparkEntry {
           alphaNum = 1, alphaDen = 20)
         .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
     }),
+
+    // Jarque–Bera on the quantity grid: is l_quantity Gaussian? (it's
+    // uniform — platykurtic, so the kurtosis arm must fire, not skew)
+    "q317_jarque_bera" -> ((s, dir) =>
+      graft.ops.Stats.jarqueBera(
+        T(s, dir, "lineitem"), value = col("l_quantity"), valueScale = 0)),
+
+    // Durbin–Watson on the daily event-volume trend fit: a weekday
+    // cycle the OLS line can't see leaves serially correlated residuals
+    "q318_durbin_watson" -> ((s, dir) =>
+      graft.ops.Stats.durbinWatson(dailySeries(s, dir))),
+
+    // Ljung–Box joint-whiteness Q over the first 7 lags of the same
+    // daily series — the one-number companion to q265's lag-by-lag ACF
+    "q319_ljung_box" -> ((s, dir) =>
+      graft.ops.Stats.ljungBox(dailySeries(s, dir), maxLag = 7)),
+
+    // Breusch–Pagan: extended price vs quantity is heteroscedastic BY
+    // CONSTRUCTION (price = qty × unit price ⇒ spread grows with qty)
+    "q320_breusch_pagan" -> ((s, dir) =>
+      graft.ops.Stats.breuschPagan(
+        T(s, dir, "lineitem"), x = col("l_quantity"),
+        y = col("l_extendedprice"))),
+
+    // Cook's distance: which 20 parts own the size→retail-price line?
+    "q321_cooks_distance" -> ((s, dir) =>
+      graft.ops.Stats.cooksDistance(
+        T(s, dir, "part"), x = col("p_size"), y = col("p_retailprice"),
+        id = col("p_partkey"), topK = 20)),
 
     // empirical-Bayes purchase-rate table: per-user rates shrunk toward
     // the moment-fitted Beta prior — low-n users borrow the population
@@ -9334,6 +9382,231 @@ object SparkEntry {
         |  CAST(rn AS BIGINT) AS p_rank, CAST(m AS BIGINT) AS m,
         |  (rn < kstar) AS reject
         |FROM r, k""".stripMargin,
+
+    // q317: integer-grid power sums S1..S4 in HUGEINT (the Spark side's
+    // decimal(38,0)), central-moment clearing and JB in pinned doubles
+    "q317_jarque_bera" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS g FROM lineitem
+        |  WHERE l_quantity IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(g AS HUGEINT)) AS s1,
+        |    sum(CAST(g AS HUGEINT) * g) AS s2,
+        |    sum(CAST(g AS HUGEINT) * g * g) AS s3,
+        |    sum(CAST(g AS HUGEINT) * g * g * g) AS s4
+        |  FROM d
+        |), f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+        |    CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+        |    CAST(s4 AS DOUBLE) AS s4
+        |  FROM s
+        |), g2 AS (
+        |  SELECT n, nd,
+        |    nd * s2 - s1 * s1 AS a,
+        |    nd * nd * s3 - 3.0 * nd * s1 * s2 + 2.0 * s1 * s1 * s1 AS b,
+        |    nd * nd * nd * s4 - 4.0 * nd * nd * s1 * s3
+        |      + 6.0 * nd * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1 AS c
+        |  FROM f)
+        |SELECT n,
+        |  round(CASE WHEN a > 0 THEN b / (a * sqrt(a)) END, 6) AS skewness,
+        |  round(CASE WHEN a > 0 THEN c / (a * a) - 3.0 END, 6) AS kurt_excess,
+        |  round(CASE WHEN a > 0 THEN nd / 6.0 *
+        |    ((b / (a * sqrt(a))) * (b / (a * sqrt(a)))
+        |     + (c / (a * a) - 3.0) * (c / (a * a) - 3.0) / 4.0) END, 6) AS jb
+        |FROM g2""".stripMargin,
+
+    // q318: q265's gap-filled axis one granularity up; exact decimal
+    // moment fit, consecutive-day residual pairs by equi-join
+    "q318_durbin_watson" ->
+      """WITH dd AS (SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |cg AS (SELECT d, CAST(count(*) AS BIGINT) AS x FROM dd GROUP BY 1),
+        |bb AS (SELECT min(d) AS lo, max(d) AS hi FROM cg),
+        |axis AS (SELECT bb.lo AS lo, unnest(range(bb.lo, bb.hi + 1)) AS d0 FROM bb),
+        |s AS (SELECT axis.d0 - axis.lo AS t, CAST(coalesce(cg.x, 0) AS DOUBLE) AS x
+        |      FROM axis LEFT JOIN cg ON cg.d = axis.d0),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(t AS DECIMAL(18,6))) AS st,
+        |    sum(CAST(x AS DECIMAL(18,6))) AS sx,
+        |    sum(CAST(t AS DECIMAL(18,6)) * CAST(t AS DECIMAL(18,6))) AS stt,
+        |    sum(CAST(t AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS stx
+        |  FROM s
+        |), f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, CAST(st AS DOUBLE) AS std,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(stt AS DOUBLE) AS sttd,
+        |    CAST(stx AS DOUBLE) AS stxd
+        |  FROM mom
+        |), fit AS (
+        |  SELECT n,
+        |    CASE WHEN nd * sttd - std * std > 0
+        |      THEN (nd * stxd - std * sxd) / (nd * sttd - std * std) END AS b,
+        |    CASE WHEN nd * sttd - std * std > 0
+        |      THEN (sxd - (nd * stxd - std * sxd) / (nd * sttd - std * std) * std)
+        |        / nd END AS a
+        |  FROM f
+        |), ee AS (
+        |  SELECT s.t, s.x - (fit.a + fit.b * CAST(s.t AS DOUBLE)) AS e
+        |  FROM s, fit
+        |), den AS (
+        |  SELECT sum(CAST(e * e AS DECIMAL(38,12))) AS den FROM ee
+        |), num AS (
+        |  SELECT coalesce(sum(CAST((b2.e - a2.e) * (b2.e - a2.e)
+        |    AS DECIMAL(38,12))), CAST(0 AS DECIMAL(38,12))) AS num
+        |  FROM ee a2 JOIN ee b2 ON b2.t = a2.t + 1)
+        |SELECT fit.n, round(fit.b, 6) AS slope, round(fit.a, 6) AS intercept,
+        |  round(CASE WHEN CAST(den.den AS DOUBLE) > 0
+        |    THEN CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) END, 6) AS dw
+        |FROM fit, den, num""".stripMargin,
+
+    // q319: q265's per-lag exact machinery UNROUNDED, the m r_k² terms
+    // decimal-re-summed, Q in pinned textual order
+    "q319_ljung_box" ->
+      """WITH dd AS (SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |cg AS (SELECT d, CAST(count(*) AS BIGINT) AS x FROM dd GROUP BY 1),
+        |bb AS (SELECT min(d) AS lo, max(d) AS hi FROM cg),
+        |axis AS (SELECT bb.lo AS lo, unnest(range(bb.lo, bb.hi + 1)) AS d0 FROM bb),
+        |s AS (SELECT axis.d0 - axis.lo AS t, CAST(coalesce(cg.x, 0) AS DECIMAL(19,6)) AS xd
+        |      FROM axis LEFT JOIN cg ON cg.d = axis.d0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(xd) AS s1,
+        |          sum(xd * xd) AS s2 FROM s),
+        |lg AS (SELECT unnest(range(1, 8)) AS lag),
+        |p AS (SELECT lg.lag, a.xd AS x1, b2.xd AS x2
+        |      FROM lg CROSS JOIN s a JOIN s b2 ON b2.t = a.t + lg.lag),
+        |per AS (SELECT lag, CAST(count(*) AS BIGINT) AS m,
+        |          sum(x1 * x2) AS ck, sum(x1 + x2) AS pk
+        |        FROM p GROUP BY 1),
+        |terms AS (
+        |  SELECT tot.n,
+        |    CASE WHEN CAST(tot.n AS DOUBLE) * tot.n * CAST(tot.s2 AS DOUBLE)
+        |           - CAST(tot.n AS DOUBLE) * CAST(tot.s1 AS DOUBLE)
+        |             * CAST(tot.s1 AS DOUBLE) > 0
+        |         AND tot.n - per.lag > 0
+        |      THEN ((CAST(tot.n AS DOUBLE) * tot.n * CAST(per.ck AS DOUBLE)
+        |          - CAST(tot.n AS DOUBLE) * CAST(tot.s1 AS DOUBLE)
+        |            * CAST(per.pk AS DOUBLE)
+        |          + CAST(per.m AS DOUBLE) * CAST(tot.s1 AS DOUBLE)
+        |            * CAST(tot.s1 AS DOUBLE))
+        |        / (CAST(tot.n AS DOUBLE) * tot.n * CAST(tot.s2 AS DOUBLE)
+        |          - CAST(tot.n AS DOUBLE) * CAST(tot.s1 AS DOUBLE)
+        |            * CAST(tot.s1 AS DOUBLE)))
+        |       * ((CAST(tot.n AS DOUBLE) * tot.n * CAST(per.ck AS DOUBLE)
+        |          - CAST(tot.n AS DOUBLE) * CAST(tot.s1 AS DOUBLE)
+        |            * CAST(per.pk AS DOUBLE)
+        |          + CAST(per.m AS DOUBLE) * CAST(tot.s1 AS DOUBLE)
+        |            * CAST(tot.s1 AS DOUBLE))
+        |        / (CAST(tot.n AS DOUBLE) * tot.n * CAST(tot.s2 AS DOUBLE)
+        |          - CAST(tot.n AS DOUBLE) * CAST(tot.s1 AS DOUBLE)
+        |            * CAST(tot.s1 AS DOUBLE)))
+        |       / (CAST(tot.n AS DOUBLE) - CAST(per.lag AS DOUBLE)) END AS term
+        |  FROM per, tot)
+        |SELECT n, CAST(7 AS INT) AS max_lag,
+        |  round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+        |    * CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS q_stat
+        |FROM terms GROUP BY n""".stripMargin,
+
+    // q320: pass-1 exact moment fit, pass-2 squared-residual moments as
+    // decimal-re-summed doubles; Koenker LM + classic BP pinned
+    "q320_breusch_pagan" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy
+        |  FROM d
+        |), f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM mom
+        |), fit AS (
+        |  SELECT n, sxd, sxxd, nd,
+        |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS b,
+        |    (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+        |      / nd AS a
+        |  FROM f WHERE nd * sxxd - sxd * sxd > 0
+        |), p2 AS (
+        |  SELECT fit.n, fit.b, fit.a, fit.sxd, fit.sxxd, fit.nd,
+        |    sum(CAST((d.y - (fit.a + fit.b * d.x)) * (d.y - (fit.a + fit.b * d.x))
+        |      AS DECIMAL(38,12))) AS sz,
+        |    sum(CAST(((d.y - (fit.a + fit.b * d.x)) * (d.y - (fit.a + fit.b * d.x)))
+        |      * ((d.y - (fit.a + fit.b * d.x)) * (d.y - (fit.a + fit.b * d.x)))
+        |      AS DECIMAL(38,12))) AS szz,
+        |    sum(CAST(((d.y - (fit.a + fit.b * d.x)) * (d.y - (fit.a + fit.b * d.x)))
+        |      * d.x AS DECIMAL(38,12))) AS szx
+        |  FROM d, fit GROUP BY 1, 2, 3, 4, 5, 6
+        |), g AS (
+        |  SELECT n, b, a, nd, sxd, sxxd,
+        |    CAST(sz AS DOUBLE) AS szd, CAST(szz AS DOUBLE) AS szzd,
+        |    CAST(szx AS DOUBLE) AS szxd
+        |  FROM p2)
+        |SELECT n, round(b, 6) AS slope, round(a, 6) AS intercept,
+        |  round(CASE WHEN nd * szzd - szd * szd > 0 AND nd * sxxd - sxd * sxd > 0
+        |    THEN (nd * szxd - szd * sxd) * (nd * szxd - szd * sxd)
+        |      / ((nd * szzd - szd * szd) * (nd * sxxd - sxd * sxd)) END, 6)
+        |    AS r2_aux,
+        |  round(CASE WHEN nd * szzd - szd * szd > 0 AND nd * sxxd - sxd * sxd > 0
+        |    THEN nd * ((nd * szxd - szd * sxd) * (nd * szxd - szd * sxd)
+        |      / ((nd * szzd - szd * szd) * (nd * sxxd - sxd * sxd))) END, 6) AS lm,
+        |  round(CASE WHEN nd * szzd - szd * szd > 0 AND nd * sxxd - sxd * sxd > 0
+        |        AND szd > 0
+        |    THEN ((nd * szxd - szd * sxd) * (nd * szxd - szd * sxd)
+        |      / ((nd * szzd - szd * szd) * (nd * sxxd - sxd * sxd)))
+        |      * (nd * nd * szzd / (szd * szd) - nd) / 2.0 END, 6) AS bp
+        |FROM g""".stripMargin,
+
+    // q321: one exact moment fold pins fit/x̄/Sxx/SSE; per-row e, h, D
+    // are the same IEEE expressions; top-20 on (rounded D, id)
+    "q321_cooks_distance" ->
+      """WITH d AS (
+        |  SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x,
+        |    CAST(p_retailprice AS DOUBLE) AS y
+        |  FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(18,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(18,6))) AS sy,
+        |    sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS sxx,
+        |    sum(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS sxy,
+        |    sum(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS syy
+        |  FROM d
+        |), f AS (
+        |  SELECT CAST(n AS DOUBLE) AS nd, n, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM mom
+        |), fit0 AS (
+        |  SELECT n, nd, sxd, sxxd, syd, sxyd, syyd,
+        |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS b
+        |  FROM f WHERE nd * sxxd - sxd * sxd > 0 AND n > 2
+        |), fit AS (
+        |  SELECT n, nd, b, (syd - b * sxd) / nd AS a, sxd / nd AS xbar,
+        |    (nd * sxxd - sxd * sxd) / nd AS sxxc,
+        |    (syyd - 2.0 * ((syd - b * sxd) / nd) * syd - 2.0 * b * sxyd
+        |      + nd * ((syd - b * sxd) / nd) * ((syd - b * sxd) / nd)
+        |      + 2.0 * ((syd - b * sxd) / nd) * b * sxd + b * b * sxxd)
+        |      / (nd - 2.0) AS s2
+        |  FROM fit0)
+        |SELECT d.id, d.x, d.y,
+        |  round(d.y - (fit.a + fit.b * d.x), 6) AS resid,
+        |  round(1.0 / fit.nd
+        |    + (d.x - fit.xbar) * (d.x - fit.xbar) / fit.sxxc, 6) AS leverage,
+        |  round(CASE WHEN fit.s2 > 0 THEN
+        |    (d.y - (fit.a + fit.b * d.x)) * (d.y - (fit.a + fit.b * d.x))
+        |      * (1.0 / fit.nd + (d.x - fit.xbar) * (d.x - fit.xbar) / fit.sxxc)
+        |      / (2.0 * fit.s2
+        |        * (1.0 - (1.0 / fit.nd + (d.x - fit.xbar) * (d.x - fit.xbar)
+        |            / fit.sxxc))
+        |        * (1.0 - (1.0 / fit.nd + (d.x - fit.xbar) * (d.x - fit.xbar)
+        |            / fit.sxxc))) END, 6) AS cooks_d
+        |FROM d, fit
+        |ORDER BY cooks_d DESC, id LIMIT 20""".stripMargin,
 
     // q308: per-user counts → rounded rates → decimal moments → the
     // method-of-moments Beta prior → pinned shrinkage arithmetic

@@ -3807,4 +3807,304 @@ object Stats {
             (col("b_blocks") * (col("k_treatments") - 1)).cast("double"),
             scale)).as("kendall_w"))
   }
+
+  /** Jarque–Bera normality test — "is this distribution even CLOSE to
+    * normal?" asked through the two moments a Gaussian pins to zero:
+    * `JB = n/6·(g₁² + g₂²/4)` with skewness `g₁ = m₃/m₂^{3/2}` and excess
+    * kurtosis `g₂ = m₄/m₂² − 3`. The pre-flight for every test in this
+    * file that ASSUMES normality (t, ANOVA, control charts): a heavy
+    * tail or lopsided distribution shows up here before it silently
+    * inflates a downstream p-value. Returns one row
+    * `(n, skewness, kurt_excess, jb)`; NULL where variance is 0.
+    *
+    * Determinism: values land on the integer grid `round(x·10^s)` and
+    * the four power sums S₁..S₄ accumulate as decimal(38,0) — EXACT in
+    * any summation order (the [[kendallTauB]] integer-decimal
+    * discipline; the caller picks `valueScale` so the grid is faithful —
+    * 0 for integer columns, 2 for cents). The central-moment clearing
+    * `A = n·S₂ − S₁²`, `B = n²·S₃ − 3n·S₁·S₂ + 2S₁³`,
+    * `C = n³·S₄ − 4n²·S₁·S₃ + 6n·S₁²·S₂ − 3S₁⁴` evaluates as ONE pinned
+    * IEEE scalar expression off those exact sums (skewness and kurtosis
+    * are scale-invariant, so the 10^s grid factor cancels and never
+    * needs de-scaling); `A^{3/2}` is written `A·√A` because `sqrt` is
+    * correctly rounded IEEE everywhere while `pow` is not.
+    *
+    * Scale shape: ONE conditional-sum scan (the [[welchTtest]]
+    * discipline), one 1-row result — no shuffle beyond the partial-agg
+    * fold. Magnitude contract: |x·10^s| ≲ 1e9 keeps S₄ inside 38 digits
+    * at 10¹² rows.
+    */
+  def jarqueBera(
+      df: DataFrame,
+      value: Column,
+      valueScale: Int = 0,
+      scale: Int = 6): DataFrame = {
+    require(valueScale >= 0 && valueScale <= 6,
+      s"valueScale must be in [0, 6], got $valueScale")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = dec(round(value.cast("double") * math.pow(10, valueScale).toLong, 0)
+      .cast("long"))
+    val sums = df.where(value.isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(g).as("_s1"),
+      sum(g * g).as("_s2"),
+      sum(g * g * g).as("_s3"),
+      sum(g * g * g * g).as("_s4"))
+    val n = col("n").cast("double")
+    val s1 = col("_s1").cast("double"); val s2 = col("_s2").cast("double")
+    val s3 = col("_s3").cast("double"); val s4 = col("_s4").cast("double")
+    val a = n * s2 - s1 * s1                                   // n²·m₂
+    val b = n * n * s3 - lit(3.0) * n * s1 * s2 + lit(2.0) * s1 * s1 * s1
+    val c = n * n * n * s4 - lit(4.0) * n * n * s1 * s3 +
+      lit(6.0) * n * s1 * s1 * s2 - lit(3.0) * s1 * s1 * s1 * s1
+    val skew = b / (a * sqrt(a))
+    val kurt = c / (a * a) - lit(3.0)
+    sums.select(col("n"),
+      round(when(a > 0, skew), scale).as("skewness"),
+      round(when(a > 0, kurt), scale).as("kurt_excess"),
+      round(when(a > 0, n / 6.0 * (skew * skew + kurt * kurt / 4.0)), scale)
+        .as("jb"))
+  }
+
+  /** Durbin–Watson statistic — "are the residuals of this trend fit
+    * serially correlated?" The stat every least-squares-over-time fit
+    * owes its reader: `DW = Σ(e_t − e_{t−1})² / Σe_t²` over the
+    * residuals of the OLS line of x on t, ≈ 2(1 − ρ₁) — near 2 means
+    * independent errors, toward 0 positive autocorrelation (the usual
+    * failure: a trend fit on a seasonal series), toward 4 negative.
+    * Input: a collapsed series `(t, x)` on a contiguous integer axis
+    * (the [[graft.ops.EventAnalytics.autocorrelation]] contract — fill
+    * gaps BEFORE calling or consecutive pairs silently skip them).
+    * Returns one row `(n, slope, intercept, dw)`.
+    *
+    * Determinism: the fit rides an exact decimal moment fold (t, x at
+    * decimal(18,6); the [[linearFit]] discipline) with slope/intercept
+    * as pinned IEEE scalars; each residual is then the SAME IEEE
+    * expression per row in any engine, the numerator pairs consecutive
+    * t by equi-join (no window), and both quadratic sums are
+    * decimal(38,12)-cast before summing — order-free.
+    *
+    * Scale shape: one moment fold + one self equi-join on `t+1` over
+    * the ALREADY-COLLAPSED series (|buckets| rows, never raw events) +
+    * one 1-row fold. The scalar fit attaches via broadcast crossJoin.
+    */
+  def durbinWatson(series: DataFrame, scale: Int = 6): DataFrame = {
+    val s = graft.Caches.track(series.select(
+      col("t").cast("long").as("t"),
+      col("x").cast("double").as("_x"))
+      .where(col("t").isNotNull && col("_x").isNotNull))
+    val td = col("t").cast("decimal(18,6)")
+    val xd = col("_x").cast("decimal(18,6)")
+    val mom = s.agg(
+      count(lit(1)).as("n"),
+      sum(td).as("_st"), sum(xd).as("_sx"),
+      sum(td * td).as("_stt"), sum(td * xd).as("_stx"))
+    val n = col("n").cast("double")
+    val st = col("_st").cast("double"); val sx = col("_sx").cast("double")
+    val stt = col("_stt").cast("double"); val stx = col("_stx").cast("double")
+    val varT = n * stt - st * st
+    val fit = mom.select(col("n"),
+      when(varT > 0, (n * stx - st * sx) / varT).as("_b"),
+      when(varT > 0, (sx - (n * stx - st * sx) / varT * st) / n).as("_a"))
+    val e = col("_x") - (col("_a") + col("_b") * col("t").cast("double"))
+    val withE = s.crossJoin(broadcast(fit)).select(
+      col("t"), col("n"), col("_a"), col("_b"), e.as("_e"))
+    val nxt = withE.select((col("t") - 1L).as("t"), col("_e").as("_e2"))
+    val den = withE.agg(
+      first(col("n")).as("n"),
+      round(first(col("_b")), scale).as("slope"),
+      round(first(col("_a")), scale).as("intercept"),
+      sum((col("_e") * col("_e")).cast("decimal(38,12)")).as("_den"))
+    val num = withE.join(nxt, Seq("t")).agg(
+      coalesce(sum(((col("_e2") - col("_e")) * (col("_e2") - col("_e")))
+        .cast("decimal(38,12)")), lit(0.0).cast("decimal(38,12)")).as("_num"))
+    den.crossJoin(broadcast(num)).select(
+      col("n"), col("slope"), col("intercept"),
+      round(when(col("_den").cast("double") > 0,
+        col("_num").cast("double") / col("_den").cast("double")), scale).as("dw"))
+  }
+
+  /** Ljung–Box portmanteau test — "is this series white noise, or is
+    * there structure across the first m lags JOINTLY?"
+    * `Q = n(n+2)·Σ_{k=1..m} r_k²/(n−k)`, χ²(m) under the null — the
+    * one-number companion to reading an ACF plot lag by lag (twenty
+    * |r_k| < 0.1 lags can still be jointly damning). Input: collapsed
+    * contiguous series `(t, x)` (the
+    * [[graft.ops.EventAnalytics.autocorrelation]] contract). Returns one
+    * row `(n, max_lag, q_stat)`.
+    *
+    * Determinism: the per-lag r_k reuse the autocorrelation estimator's
+    * exact-decimal machinery UNROUNDED (x at decimal(18,6); per-lag C_k,
+    * P_k and global S₁, S₂ exact; each r_k one pinned IEEE scalar —
+    * rounding r_k first, as reading q265's output would, loses the
+    * boundary digits Q then amplifies by n). The m per-lag terms
+    * decimal-cast before the final fold — order-free.
+    *
+    * Scale shape: identical to the ACF — one lag-exploded self
+    * equi-join over the collapsed series, one |lags|-row fold, one
+    * scalar attach, one ≤m-row reduction.
+    */
+  def ljungBox(series: DataFrame, maxLag: Int, scale: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val x = graft.Caches.track(
+      series.select(col("t").cast("long").as("t"),
+        col("x").cast("decimal(18,6)").as("_xd")))
+    val tot = x.agg(
+      count(lit(1)).as("_n"),
+      sum(col("_xd")).as("_s1"),
+      sum(col("_xd") * col("_xd")).as("_s2"))
+    val lags = explode(array((1 to maxLag).map(l => lit(l.toLong)): _*)).as("lag")
+    val paired = x.select(col("t"), col("_xd"), lags)
+      .withColumn("_tk", col("t") + col("lag"))
+      .join(x.select(col("t").as("_tk"), col("_xd").as("_xk")), Seq("_tk"))
+    val perLag = paired.groupBy(col("lag")).agg(
+      count(lit(1)).as("_m"),
+      sum(col("_xd") * col("_xk")).as("_ck"),
+      sum(col("_xd") + col("_xk")).as("_pk"))
+    val n = col("_n").cast("double")
+    val s1 = col("_s1").cast("double"); val s2 = col("_s2").cast("double")
+    val ck = col("_ck").cast("double"); val pk = col("_pk").cast("double")
+    val m = col("_m").cast("double")
+    val r = (n * n * ck - n * s1 * pk + m * s1 * s1) /
+      (n * n * s2 - n * s1 * s1)
+    val den = n * n * s2 - n * s1 * s1
+    perLag.crossJoin(broadcast(tot))
+      .select(col("_n"),
+        when(den > 0 && (col("_n") - col("lag")) > 0,
+          r * r / (n - col("lag").cast("double"))).as("_term"))
+      .agg(first(col("_n")).as("n"), lit(maxLag).as("max_lag"),
+        sum(col("_term").cast("decimal(38,12)")).as("_sum"))
+      .select(col("n"), col("max_lag"),
+        round(col("n").cast("double") * (col("n") + 2).cast("double") *
+          col("_sum").cast("double"), scale).as("q_stat"))
+  }
+
+  /** Breusch–Pagan / Koenker heteroscedasticity test — "does the error
+    * VARIANCE grow with x?" (OLS stays unbiased under heteroscedasticity
+    * but every stderr it reports is wrong — this is the check that says
+    * whether to trust them). Auxiliary regression of the squared
+    * residuals e² on x: Koenker's studentized `LM = n·R²_aux` (χ²(1),
+    * the robust default) plus the classic normality-assuming
+    * `BP = R²_aux·(n²·S_zz/S_z² − n)/2`. Returns one row
+    * `(n, slope, intercept, r2_aux, lm, bp)`.
+    *
+    * Determinism: pass 1 is [[linearFit]]'s exact decimal moment fold
+    * (slope/intercept pinned IEEE scalars); pass 2 attaches them via
+    * broadcast and computes per-row `z = e²` as the SAME IEEE expression
+    * everywhere, with Σz, Σz², Σzx decimal(38,12)-cast before summing —
+    * order-free — alongside pass 1's exact Σx, Σx². R²_aux is one
+    * pinned scalar ratio off those.
+    *
+    * Scale shape: two scans of the (x, y) projection + two 1-row
+    * folds; no shuffle wider than the partial-agg. The pass-1 scalars
+    * ride the documented broadcast crossJoin.
+    */
+  def breuschPagan(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      scale: Int = 6): DataFrame = {
+    val base = graft.Caches.track(
+      df.select(x.cast("double").as("_x"), y.cast("double").as("_y"))
+        .where(col("_x").isNotNull && col("_y").isNotNull))
+    val xd = col("_x").cast("decimal(18,6)")
+    val yd = col("_y").cast("decimal(18,6)")
+    val mom = base.agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("_sx"), sum(yd).as("_sy"),
+      sum(xd * xd).as("_sxx"), sum(xd * yd).as("_sxy"))
+    val n0 = col("n").cast("double")
+    val sx0 = col("_sx").cast("double"); val sy0 = col("_sy").cast("double")
+    val sxx0 = col("_sxx").cast("double"); val sxy0 = col("_sxy").cast("double")
+    val varX0 = n0 * sxx0 - sx0 * sx0
+    val b0 = (n0 * sxy0 - sx0 * sy0) / varX0
+    val fit = mom.where(varX0 > 0).select(
+      col("n"), col("_sx"), col("_sxx"),
+      b0.as("_b"), ((sy0 - b0 * sx0) / n0).as("_a"))
+    val z = (col("_y") - (col("_a") + col("_b") * col("_x"))) *
+      (col("_y") - (col("_a") + col("_b") * col("_x")))
+    val p2 = base.crossJoin(broadcast(fit)).agg(
+      first(col("n")).as("n"),
+      round(first(col("_b")), scale).as("slope"),
+      round(first(col("_a")), scale).as("intercept"),
+      first(col("_sx")).as("_sx"), first(col("_sxx")).as("_sxx"),
+      sum(z.cast("decimal(38,12)")).as("_sz"),
+      sum((z * z).cast("decimal(38,12)")).as("_szz"),
+      sum((z * col("_x")).cast("decimal(38,12)")).as("_szx"))
+    val n = col("n").cast("double")
+    val sx = col("_sx").cast("double"); val sxx = col("_sxx").cast("double")
+    val sz = col("_sz").cast("double"); val szz = col("_szz").cast("double")
+    val szx = col("_szx").cast("double")
+    val covNum = n * szx - sz * sx
+    val varZ = n * szz - sz * sz
+    val varX = n * sxx - sx * sx
+    val r2 = covNum * covNum / (varZ * varX)
+    p2.select(col("n"), col("slope"), col("intercept"),
+      round(when(varZ > 0 && varX > 0, r2), scale).as("r2_aux"),
+      round(when(varZ > 0 && varX > 0, n * r2), scale).as("lm"),
+      round(when(varZ > 0 && varX > 0 && sz > 0,
+        r2 * (n * n * szz / (sz * sz) - n) / 2.0), scale).as("bp"))
+  }
+
+  /** Cook's distance — WHICH points own this regression? Per-point
+    * influence for the simple OLS fit of y on x:
+    * `D_i = e_i²·h_i / (p·s²·(1−h_i)²)` with leverage
+    * `h_i = 1/n + (x_i−x̄)²/S_xx`, p = 2, `s² = SSE/(n−2)` — the
+    * diagnostic that separates "the trend is real" from "three weird
+    * rows drew the line". Returns the `topK` most influential rows
+    * `(id, x, y, resid, leverage, cooks_d)` ordered by
+    * (rounded D desc, id asc) — rounded-first so the cross-engine order
+    * is decided on the comparison grid, never on a ulp.
+    *
+    * Determinism: ONE exact decimal moment fold (n, Σx, Σy, Σx², Σxy,
+    * Σy² — the [[linearFit]] discipline) pins slope, intercept, x̄,
+    * S_xx and the moment-form SSE as IEEE scalars; every per-row value
+    * is then the same pinned expression in any engine.
+    *
+    * Scale shape: one fold + one broadcast-attached scan + a global
+    * top-K (TakeOrdered — never a full sort) of the scored frame.
+    */
+  def cooksDistance(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      id: Column,
+      topK: Int = 20,
+      scale: Int = 6): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val base = graft.Caches.track(
+      df.select(id.as("id"), x.cast("double").as("_x"), y.cast("double").as("_y"))
+        .where(col("_x").isNotNull && col("_y").isNotNull))
+    val xd = col("_x").cast("decimal(18,6)")
+    val yd = col("_y").cast("decimal(18,6)")
+    val mom = base.agg(
+      count(lit(1)).as("_n"),
+      sum(xd).as("_sx"), sum(yd).as("_sy"),
+      sum(xd * xd).as("_sxx"), sum(xd * yd).as("_sxy"),
+      sum(yd * yd).as("_syy"))
+    val n = col("_n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxx = col("_sxx").cast("double"); val sxy = col("_sxy").cast("double")
+    val syy = col("_syy").cast("double")
+    val varX = n * sxx - sx * sx
+    val b = (n * sxy - sx * sy) / varX
+    val a = (sy - b * sx) / n
+    // moment-form SSE: Σ(y − a − bx)² expanded so no second y-pass is needed
+    val sse = syy - lit(2.0) * a * sy - lit(2.0) * b * sxy +
+      n * a * a + lit(2.0) * a * b * sx + b * b * sxx
+    val fit = mom.where(varX > 0 && col("_n") > 2).select(
+      col("_n"), b.as("_b"), a.as("_a"), (sx / n).as("_xbar"),
+      (varX / n).as("_sxxc"), (sse / (n - 2.0)).as("_s2"))
+    val e = col("_y") - (col("_a") + col("_b") * col("_x"))
+    val h = lit(1.0) / col("_n").cast("double") +
+      (col("_x") - col("_xbar")) * (col("_x") - col("_xbar")) / col("_sxxc")
+    val d = e * e * h / (lit(2.0) * col("_s2") * (lit(1.0) - h) * (lit(1.0) - h))
+    base.crossJoin(broadcast(fit))
+      .select(col("id"), col("_x").as("x"), col("_y").as("y"),
+        round(e, scale).as("resid"),
+        round(h, scale).as("leverage"),
+        round(when(col("_s2") > 0, d), scale).as("cooks_d"))
+      .orderBy(col("cooks_d").desc, col("id"))
+      .limit(topK)
+  }
 }

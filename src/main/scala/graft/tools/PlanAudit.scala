@@ -101,7 +101,11 @@ object PlanAudit {
     "q312_wilcoxon_signed",       // one-row corpus-start-day crossJoin (the q296 class)
     "q313_friedman",              // one-row k / blocks×k totals crossJoins (scalar-attach class)
     "q314_c_index",               // |cells|² censoring-honest pair fold (the q252 bounded-matrix class) + one-row scalar attaches
-    "q316_holm"                   // one-row k* step-down-threshold crossJoin (the q297 class)
+    "q316_holm",                  // one-row k* step-down-threshold crossJoin (the q297 class)
+    "q318_durbin_watson",         // one-row axis-origin + fit-scalar crossJoins (scalar-attach class)
+    "q319_ljung_box",             // one-row global-moments crossJoin (the q265 class)
+    "q320_breusch_pagan",         // one-row pass-1 fit crossJoin (scalar-attach class)
+    "q321_cooks_distance"         // one-row fit/x̄/Sxx/SSE crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

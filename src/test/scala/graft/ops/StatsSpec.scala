@@ -1702,4 +1702,97 @@ class StatsSpec extends SparkSpec {
     assert(z.getLong(0) == 2L && z.getLong(3) == 0L)
     graft.Caches.clear()
   }
+
+  test("jarqueBera: symmetric uniform is pure kurtosis; skew fires on the lopsided set; grid-scale invariant") {
+    import spark.implicits._
+    // 1..5: m₃=0 so skew=0; m₄/m₂²=6.8/4 → excess −1.3; JB = 5/6·(1.69/4)
+    val u = Stats.jarqueBera(Seq(1, 2, 3, 4, 5).toDF("v"), col("v")).collect().head
+    assert(u.getLong(0) == 5L)
+    assert(u.getDouble(1) == 0.0 && u.getDouble(2) == -1.3)
+    assert(u.getDouble(3) == 0.352083)
+    // (1,1,1,1,10): hand-worked B/A^1.5 = 1.5, C/A² − 3 = 0.25
+    val sk = Stats.jarqueBera(Seq(1, 1, 1, 1, 10).toDF("v"), col("v")).collect().head
+    assert(sk.getDouble(1) == 1.5 && sk.getDouble(2) == 0.25)
+    assert(sk.getDouble(3) == 1.888021)
+    // skew/kurt are scale-invariant: the ×10 grid reproduces 1..5 exactly
+    val g = Stats.jarqueBera(Seq(0.1, 0.2, 0.3, 0.4, 0.5).toDF("v"), col("v"),
+      valueScale = 1).collect().head
+    assert(g.getDouble(1) == 0.0 && g.getDouble(2) == -1.3 && g.getDouble(3) == 0.352083)
+    // constant input → zero variance → all NULL
+    val c = Stats.jarqueBera(Seq(7, 7, 7).toDF("v"), col("v")).collect().head
+    assert(c.isNullAt(1) && c.isNullAt(2) && c.isNullAt(3))
+    // partitioning-invariant (exact decimal power sums)
+    val p = Stats.jarqueBera(Seq(1, 1, 1, 1, 10).toDF("v").repartition(17),
+      col("v")).collect().head
+    assert(p.getDouble(3) == 1.888021)
+  }
+
+  test("durbinWatson: hand-computed fit + lag-pair ratio; perfect fit yields NULL") {
+    import spark.implicits._
+    // t=0..5, x=(3,1,4,1,5,9): slope 39/35, intercept 22/21, DW hand-run
+    val s = (0 to 5).zip(Seq(3L, 1L, 4L, 1L, 5L, 9L))
+      .map { case (t, x) => (t.toLong, x) }.toDF("t", "x")
+    val r = Stats.durbinWatson(s).collect().head
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == 1.114286 && r.getDouble(2) == 1.047619)
+    assert(r.getDouble(3) == 2.027146)
+    // exact line → zero residuals → DW undefined, not 0/0
+    val line = (0 to 4).map(t => (t.toLong, 2L * t + 1L)).toDF("t", "x")
+    val l = Stats.durbinWatson(line).collect().head
+    assert(l.isNullAt(3))
+    // partitioning-invariant
+    val p = Stats.durbinWatson(s.repartition(17)).collect().head
+    assert(p.getDouble(3) == 2.027146)
+    graft.Caches.clear()
+  }
+
+  test("ljungBox: hand-computed two-lag Q; white-noise r_k small but jointly summed") {
+    import spark.implicits._
+    val s = (0 to 5).zip(Seq(3L, 1L, 4L, 1L, 5L, 9L))
+      .map { case (t, x) => (t.toLong, x) }.toDF("t", "x")
+    val r = Stats.ljungBox(s, maxLag = 2).collect().head
+    assert(r.getLong(0) == 6L && r.getInt(1) == 2)
+    assert(r.getDouble(2) == 0.338381)
+    // constant series → zero variance denominator → Q degenerates to 0
+    // (every term NULL-guarded out of the sum, never a division error)
+    val c = (0 to 4).map(t => (t.toLong, 5L)).toDF("t", "x")
+    val cc = Stats.ljungBox(c, maxLag = 2).collect().head
+    assert(cc.isNullAt(2) || cc.getDouble(2) == 0.0)
+    graft.Caches.clear()
+  }
+
+  test("breuschPagan: hand-computed Koenker LM and classic BP on a fan-shaped set") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.1), (2.0, 1.8), (3.0, 3.4), (4.0, 3.2), (5.0, 6.0),
+      (6.0, 4.8)).toDF("x", "y")
+    val r = Stats.breuschPagan(df, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == 0.882857 && r.getDouble(2) == 0.293333)
+    assert(r.getDouble(3) == 0.488226)
+    assert(r.getDouble(4) == 2.929357)
+    assert(r.getDouble(5) == 1.907947)
+    // partitioning-invariant (decimal re-summed pass-2 moments)
+    val p = Stats.breuschPagan(df.repartition(17), col("x"), col("y"))
+      .collect().head
+    assert(p.getDouble(4) == 2.929357)
+    graft.Caches.clear()
+  }
+
+  test("cooksDistance: the planted outlier owns the fit; leverage/resid hand-checked") {
+    import spark.implicits._
+    // y = 2x except y(5)=100: hand-worked D = e²h/(2s²(1−h)²)
+    val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0),
+      (4L, 4.0, 8.0), (5L, 5.0, 100.0)).toDF("id", "x", "y")
+    val rows = Stats.cooksDistance(df, col("x"), col("y"), col("id"), topK = 3)
+      .collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 5L && rows(0).getDouble(3) == 36.0 &&
+      rows(0).getDouble(4) == 0.6 && rows(0).getDouble(5) == 2.25)
+    assert(rows(1).getLong(0) == 1L && rows(1).getDouble(5) == 0.5625)
+    assert(rows(2).getLong(0) == 4L && rows(2).getDouble(5) == 0.367347)
+    // n ≤ 2 → s² undefined → empty frame, not a crash
+    val tiny = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0)).toDF("id", "x", "y")
+    assert(Stats.cooksDistance(tiny, col("x"), col("y"), col("id")).count() == 0L)
+    graft.Caches.clear()
+  }
 }
