@@ -2755,6 +2755,54 @@ object SparkEntry {
         .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
     }),
 
+    // Mood's median: do the three return-flag arms straddle the grand
+    // price median equally? (the assumption-free coarse cousin of q311)
+    "q322_moods_median" -> ((s, dir) =>
+      graft.ops.Stats.moodsMedianTest(
+        T(s, dir, "lineitem"), value = col("l_extendedprice"),
+        group = col("l_returnflag"))),
+
+    // Goodman–Kruskal γ + Somers' D on the (linenumber, quantity)
+    // ordinal grid — q252's tau-b with the tie policy made explicit
+    "q323_gk_gamma" -> ((s, dir) =>
+      graft.ops.Stats.gkGamma(
+        T(s, dir, "lineitem"), x = col("l_linenumber"), y = col("l_quantity"))),
+
+    // Goodman–Kruskal λ: does knowing the source CHANGE the best single
+    // guess of lang? (mode-based PRE — the blunt, readable complement
+    // of q235's entropy-based uncertainty coefficient)
+    "q324_gk_lambda" -> ((s, dir) =>
+      graft.ops.Stats.gkLambda(
+        T(s, dir, "documents"), x = col("source"), y = col("lang"))),
+
+    // point-biserial: English vs document length as an EFFECT SIZE
+    // (r², not a bare t that grows with n)
+    "q325_point_biserial" -> ((s, dir) =>
+      graft.ops.Stats.pointBiserial(
+        T(s, dir, "documents"), value = col("n_chars"),
+        flag = col("lang") === "en")),
+
+    // partial correlation: does quantity still track extended price
+    // once the discount is held fixed? (3-var confounder check)
+    "q326_partial_corr" -> ((s, dir) =>
+      graft.ops.Stats.partialCorr(
+        T(s, dir, "lineitem"), x = col("l_quantity"),
+        y = col("l_extendedprice"), z = col("l_discount"))),
+
+    // ICC(1,1): how much account-balance variance lives BETWEEN
+    // nations? — the design-effect input for clustered metrics
+    "q327_icc" -> ((s, dir) =>
+      graft.ops.Stats.iccOneWay(
+        T(s, dir, "customer"), value = col("c_acctbal"),
+        group = col("c_nationkey"))),
+
+    // Fleiss' κ over 4-line orders: do an order's four line slots
+    // "agree" on the return flag beyond the base-rate chance?
+    "q328_fleiss_kappa" -> ((s, dir) =>
+      graft.ops.Stats.fleissKappa(
+        T(s, dir, "lineitem"), item = col("l_orderkey"),
+        category = col("l_returnflag"), nRaters = 4)),
+
     // Jarque–Bera on the quantity grid: is l_quantity Gaussian? (it's
     // uniform — platykurtic, so the kurtosis arm must fire, not skew)
     "q317_jarque_bera" -> ((s, dir) =>
@@ -9607,6 +9655,279 @@ object SparkEntry {
         |            / fit.sxxc))) END, 6) AS cooks_d
         |FROM d, fit
         |ORDER BY cooks_d DESC, id LIMIT 20""".stripMargin,
+
+    // q322: q119's exact type-1 median rank pick, 2×k exact counts,
+    // χ² fold with pinned expectations (zero-margin → NULL)
+    "q322_moods_median" ->
+      """WITH d AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_returnflag AS g
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+        |), r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS nn
+        |  FROM d
+        |), med AS (
+        |  SELECT v AS m FROM r
+        |  WHERE rn = greatest(1, CAST(ceil(0.5 * nn) AS BIGINT))
+        |), cells AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN d.v > med.m THEN 1 ELSE 0 END) AS BIGINT) AS ab,
+        |    CAST(sum(CASE WHEN d.v <= med.m THEN 1 ELSE 0 END) AS BIGINT) AS be,
+        |    any_value(med.m) AS m
+        |  FROM d, med GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ab) AS BIGINT) AS ta,
+        |    CAST(sum(be) AS BIGINT) AS tb, any_value(m) AS m
+        |  FROM cells
+        |), terms AS (
+        |  SELECT tot.k, tot.ta, tot.tb, tot.m,
+        |    (CASE WHEN CAST(ab + be AS DOUBLE) * CAST(ta AS DOUBLE)
+        |            / CAST(ta + tb AS DOUBLE) > 0
+        |      THEN (CAST(ab AS DOUBLE) - CAST(ab + be AS DOUBLE) * CAST(ta AS DOUBLE)
+        |              / CAST(ta + tb AS DOUBLE))
+        |         * (CAST(ab AS DOUBLE) - CAST(ab + be AS DOUBLE) * CAST(ta AS DOUBLE)
+        |              / CAST(ta + tb AS DOUBLE))
+        |         / (CAST(ab + be AS DOUBLE) * CAST(ta AS DOUBLE)
+        |              / CAST(ta + tb AS DOUBLE)) ELSE 0.0 END)
+        |    + (CASE WHEN CAST(ab + be AS DOUBLE) * CAST(tb AS DOUBLE)
+        |            / CAST(ta + tb AS DOUBLE) > 0
+        |      THEN (CAST(be AS DOUBLE) - CAST(ab + be AS DOUBLE) * CAST(tb AS DOUBLE)
+        |              / CAST(ta + tb AS DOUBLE))
+        |         * (CAST(be AS DOUBLE) - CAST(ab + be AS DOUBLE) * CAST(tb AS DOUBLE)
+        |              / CAST(ta + tb AS DOUBLE))
+        |         / (CAST(ab + be AS DOUBLE) * CAST(tb AS DOUBLE)
+        |              / CAST(ta + tb AS DOUBLE)) ELSE 0.0 END) AS term
+        |  FROM cells, tot)
+        |SELECT any_value(k) AS k_groups, any_value(ta) + any_value(tb) AS n,
+        |  round(any_value(m), 6) AS grand_median,
+        |  round(CASE WHEN NOT (any_value(ta) = 0 OR any_value(tb) = 0)
+        |    THEN CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) END, 6) AS chi2,
+        |  any_value(k) - 1 AS df1
+        |FROM terms""".stripMargin,
+
+    // q323: q252's cell-pair fold with the tie policy split out —
+    // γ drops ties, Somers' D charges the dependent axis
+    "q323_gk_gamma" ->
+      """WITH d AS (
+        |  SELECT l_linenumber AS x, l_quantity AS y FROM lineitem
+        |  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN b.y > a.y THEN a.o * b.o END), 0) AS BIGINT) AS c,
+        |    CAST(coalesce(sum(CASE WHEN b.y < a.y THEN a.o * b.o END), 0) AS BIGINT) AS dd
+        |  FROM cells a JOIN cells b ON b.x > a.x),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |tx AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) AS tx2
+        |       FROM (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) AS ty2
+        |       FROM (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells GROUP BY y)),
+        |s1 AS (SELECT n, c, dd,
+        |       CAST(n * (n - 1) AS DOUBLE) / 2 AS n0,
+        |       CAST(tx2 AS DOUBLE) / 2 AS n1,
+        |       CAST(ty2 AS DOUBLE) / 2 AS n2
+        |       FROM cd, nn, tx, ty)
+        |SELECT n,
+        |  round(CASE WHEN (CAST(c AS DOUBLE) + CAST(dd AS DOUBLE)) > 0 THEN
+        |    (CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))
+        |      / (CAST(c AS DOUBLE) + CAST(dd AS DOUBLE)) END, 6) AS gamma,
+        |  round(CASE WHEN (n0 - n1) > 0 THEN
+        |    (CAST(c AS DOUBLE) - CAST(dd AS DOUBLE)) / (n0 - n1) END, 6)
+        |    AS somers_d_yx,
+        |  round(CASE WHEN (n0 - n2) > 0 THEN
+        |    (CAST(c AS DOUBLE) - CAST(dd AS DOUBLE)) / (n0 - n2) END, 6)
+        |    AS somers_d_xy
+        |FROM s1""".stripMargin,
+
+    // q324: exact cell/margin integers; Σ_x max_y vs the modal column,
+    // both directions, one pinned division each
+    "q324_gk_lambda" ->
+      """WITH cells AS (
+        |  SELECT source AS x, lang AS y, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |smy AS (SELECT CAST(sum(m) AS BIGINT) AS smy
+        |        FROM (SELECT max(o) AS m FROM cells GROUP BY x)),
+        |mcy AS (SELECT CAST(max(t) AS BIGINT) AS mcy
+        |        FROM (SELECT sum(o) AS t FROM cells GROUP BY y)),
+        |smx AS (SELECT CAST(sum(m) AS BIGINT) AS smx
+        |        FROM (SELECT max(o) AS m FROM cells GROUP BY y)),
+        |mcx AS (SELECT CAST(max(t) AS BIGINT) AS mcx
+        |        FROM (SELECT sum(o) AS t FROM cells GROUP BY x))
+        |SELECT n,
+        |  round(CASE WHEN (n - mcy) > 0 THEN
+        |    CAST(smy - mcy AS DOUBLE) / CAST(n - mcy AS DOUBLE) END, 6) AS lambda_yx,
+        |  round(CASE WHEN (n - mcx) > 0 THEN
+        |    CAST(smx - mcx AS DOUBLE) / CAST(n - mcx AS DOUBLE) END, 6) AS lambda_xy
+        |FROM nn, smy, mcy, smx, mcx""".stripMargin,
+
+    // q325: one conditional-sum scan; the DECIMAL(19,6) operand width
+    // keeps DuckDB's v² product on the hugeint path
+    "q325_point_biserial" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS f
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |), m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    sum(CASE WHEN f THEN CAST(v AS DECIMAL(19,6)) END) AS s1,
+        |    sum(CASE WHEN NOT f THEN CAST(v AS DECIMAL(19,6)) END) AS s0,
+        |    sum(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) AS sxx
+        |  FROM d
+        |), g AS (
+        |  SELECT n1, n0, CAST(n1 + n0 AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s0 AS DOUBLE) / n0 AS m0,
+        |    CAST(s1 AS DOUBLE) + CAST(s0 AS DOUBLE) AS sx,
+        |    CAST(sxx AS DOUBLE) AS sxxd
+        |  FROM m
+        |), h AS (
+        |  SELECT n1, n0, nd, m1, m0,
+        |    nd * sxxd - sx * sx AS varn,
+        |    (m1 - m0) * sqrt(CAST(n1 * n0 AS DOUBLE))
+        |      / sqrt(nd * sxxd - sx * sx) AS r
+        |  FROM g)
+        |SELECT n1 + n0 AS n, n1, n0,
+        |  round(CASE WHEN n1 > 0 THEN m1 END, 6) AS mean1,
+        |  round(CASE WHEN n0 > 0 THEN m0 END, 6) AS mean0,
+        |  round(CASE WHEN n1 > 0 AND n0 > 0 AND varn > 0 THEN r END, 6) AS r_pb,
+        |  round(CASE WHEN n1 > 0 AND n0 > 0 AND varn > 0 AND n1 + n0 > 2
+        |      AND r * r < 1
+        |    THEN r * sqrt((nd - 2.0) / (1.0 - r * r)) END, 6) AS t_stat
+        |FROM h""".stripMargin,
+
+    // q326: one 9-sum exact decimal fold (DECIMAL(19,6) operands for
+    // the hugeint product path), three pinned r's, the partial on top
+    "q326_partial_corr" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y, CAST(l_discount AS DOUBLE) AS z
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(z AS DECIMAL(19,6))) AS sz,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx,
+        |    sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS syy,
+        |    sum(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS szz,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS sxz,
+        |    sum(CAST(y AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS syz
+        |  FROM d
+        |), f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sz AS DOUBLE) AS szd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd, CAST(szz AS DOUBLE) AS szzd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxz AS DOUBLE) AS sxzd,
+        |    CAST(syz AS DOUBLE) AS syzd
+        |  FROM mom
+        |), rr AS (
+        |  SELECT n,
+        |    CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+        |      THEN (nd * sxyd - sxd * syd)
+        |        / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))
+        |    END AS rxy,
+        |    CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * szzd - szd * szd > 0
+        |      THEN (nd * sxzd - sxd * szd)
+        |        / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * szzd - szd * szd))
+        |    END AS rxz,
+        |    CASE WHEN nd * syyd - syd * syd > 0 AND nd * szzd - szd * szd > 0
+        |      THEN (nd * syzd - syd * szd)
+        |        / (sqrt(nd * syyd - syd * syd) * sqrt(nd * szzd - szd * szd))
+        |    END AS ryz
+        |  FROM f)
+        |SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        |  round(ryz, 6) AS r_yz,
+        |  round(CASE WHEN rxz * rxz < 1 AND ryz * ryz < 1 THEN
+        |    (rxy - rxz * ryz)
+        |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END, 6) AS r_xy_z
+        |FROM rr""".stripMargin,
+
+    // q327: q225's per-group moments + the Σn² term; mean squares, the
+    // unbalanced n₀ and the ICC in pinned order
+    "q327_icc" ->
+      """WITH d AS (
+        |  SELECT CAST(c_acctbal AS DOUBLE) AS v, c_nationkey AS g FROM customer
+        |  WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+        |), grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(v AS DECIMAL(38,12))) AS sg,
+        |    sum(CAST(v * v AS DECIMAL(38,12))) AS qg
+        |  FROM d GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |    sum(sg) AS st, sum(CAST(ng * ng AS DECIMAL(38,0))) AS sq
+        |  FROM grp
+        |), x AS (
+        |  SELECT ng, qg, CAST(sg AS DOUBLE) / ng AS mg, CAST(st AS DOUBLE) / n AS m,
+        |    k, n, sq FROM grp, tot
+        |), c AS (
+        |  SELECT k, n, sq,
+        |    CAST(ng * (mg - m) * (mg - m) AS DECIMAL(38,12)) AS ssb,
+        |    CAST(CAST(qg AS DOUBLE) - ng * mg * mg AS DECIMAL(38,12)) AS ssw
+        |  FROM x
+        |), s AS (
+        |  SELECT any_value(k) AS k, any_value(n) AS n, any_value(sq) AS sq,
+        |    sum(ssb) AS b, sum(ssw) AS w
+        |  FROM c
+        |), g2 AS (
+        |  SELECT k, n,
+        |    CAST(b AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0) AS msb,
+        |    CAST(w AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+        |    (CAST(n AS DOUBLE) - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0) AS n0
+        |  FROM s)
+        |SELECT k, n,
+        |  round(CASE WHEN k > 1 THEN msb END, 6) AS msb,
+        |  round(CASE WHEN n > k THEN msw END, 6) AS msw,
+        |  round(CASE WHEN k > 1 THEN n0 END, 6) AS n0,
+        |  round(CASE WHEN k > 1 AND n > k AND (msb + (n0 - 1.0) * msw) > 0
+        |    THEN (msb - msw) / (msb + (n0 - 1.0) * msw) END, 6) AS icc1
+        |FROM g2""".stripMargin,
+
+    // q328: exact (item, category) cells over the constant-panel
+    // filter; P̄ and P_e single pinned divisions off integer sums
+    "q328_fleiss_kappa" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS i, l_returnflag AS c FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+        |), per AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1
+        |), dropped AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN cnt <> 4 THEN 1 END), 0) AS BIGINT)
+        |    AS n_items_dropped
+        |  FROM per
+        |), kept AS (
+        |  SELECT base.i, base.c FROM base JOIN per ON per.i = base.i
+        |  WHERE per.cnt = 4
+        |), cells AS (
+        |  SELECT i, c, CAST(count(*) AS BIGINT) AS x FROM kept GROUP BY 1, 2
+        |), q AS (
+        |  SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qq
+        |  FROM cells
+        |), ct AS (
+        |  SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * t), 0) AS HUGEINT) AS ct2
+        |  FROM (SELECT CAST(sum(x) AS BIGINT) AS t FROM cells GROUP BY c)
+        |), g AS (
+        |  SELECT n_items, n_items_dropped,
+        |    (CAST(qq AS DOUBLE) - CAST(n_items AS DOUBLE) * 4.0)
+        |      / (CAST(n_items AS DOUBLE) * 4.0 * (4.0 - 1.0)) AS pbar,
+        |    CAST(ct2 AS DOUBLE)
+        |      / (CAST(n_items AS DOUBLE) * 4.0 * (CAST(n_items AS DOUBLE) * 4.0))
+        |      AS pe
+        |  FROM q, ct, dropped)
+        |SELECT n_items, n_items_dropped, CAST(4 AS INT) AS n_raters,
+        |  round(CASE WHEN n_items > 0 THEN pbar END, 6) AS p_bar,
+        |  round(CASE WHEN n_items > 0 THEN pe END, 6) AS p_e,
+        |  round(CASE WHEN n_items > 0 AND pe < 1.0
+        |    THEN (pbar - pe) / (1.0 - pe) END, 6) AS kappa
+        |FROM g""".stripMargin,
 
     // q308: per-user counts → rounded rates → decimal moments → the
     // method-of-moments Beta prior → pinned shrinkage arithmetic

@@ -4107,4 +4107,357 @@ object Stats {
       .orderBy(col("cooks_d").desc, col("id"))
       .limit(topK)
   }
+
+  /** Mood's median test — the blunt-but-assumption-free k-group location
+    * test: classify every value as above / not-above the GRAND median and
+    * χ²-test the resulting 2×k table (where [[kruskalWallis]] compares
+    * full rank distributions, this only asks "do the groups straddle the
+    * common middle equally?" — coarser, but immune to any tail shape and
+    * honest under heavy censoring-style rounding). Returns one row
+    * `(k_groups, n, grand_median, chi2, df1)`; χ² NULL when a margin is
+    * empty (all values on one side — e.g. > 50% of the data AT the
+    * median).
+    *
+    * Determinism: the grand median is [[quantileProfile]]'s exact type-1
+    * rank pick (an ACTUAL data value at rank ⌈n/2⌉ off the range-
+    * partition prefix-sum — engines agree exactly, no interpolation);
+    * the 2×k counts are exact longs, expectations and the χ² fold are
+    * pinned IEEE with the per-cell terms decimal-cast before the k-row
+    * sum.
+    *
+    * Scale shape: one prefix-sum pass for the median, one broadcast of
+    * the 1-row median, one partial-agg shuffle to the 2×k table, one
+    * k-row fold.
+    */
+  def moodsMedianTest(
+      df: DataFrame,
+      value: Column,
+      group: Column,
+      scale: Int = 6): DataFrame = {
+    val base = graft.Caches.track(
+      df.select(value.as("_v"), group.as("_g"))
+        .where(col("_v").isNotNull && col("_g").isNotNull))
+    val med = quantileProfile(base, col("_v"), Nil, Seq(0.5))
+      .select(col("q").cast("double").as("_med"))
+    val cells = base.crossJoin(broadcast(med))
+      .groupBy(col("_g"))
+      .agg(
+        sum(when(col("_v").cast("double") > col("_med"), 1L).otherwise(0L)).as("_ab"),
+        sum(when(col("_v").cast("double") <= col("_med"), 1L).otherwise(0L)).as("_be"),
+        first(col("_med")).as("_med"))
+    val tot = cells.agg(
+      count(lit(1)).as("k_groups"),
+      sum(col("_ab")).as("_ta"), sum(col("_be")).as("_tb"))
+    val n = (col("_ta") + col("_tb")).cast("double")
+    val ng = (col("_ab") + col("_be")).cast("double")
+    val ea = ng * col("_ta").cast("double") / n
+    val eb = ng * col("_tb").cast("double") / n
+    val term =
+      when(ea > 0, (col("_ab").cast("double") - ea) * (col("_ab").cast("double") - ea) / ea)
+        .otherwise(lit(0.0)) +
+      when(eb > 0, (col("_be").cast("double") - eb) * (col("_be").cast("double") - eb) / eb)
+        .otherwise(lit(0.0))
+    cells.crossJoin(broadcast(tot))
+      .agg(
+        first(col("k_groups")).as("k_groups"),
+        (first(col("_ta")) + first(col("_tb"))).as("n"),
+        round(first(col("_med")), scale).as("grand_median"),
+        sum(term.cast("decimal(38,12)")).as("_chi"),
+        (first(col("k_groups")) - 1L).as("df1"),
+        max(when(col("_ta") === 0 || col("_tb") === 0, true).otherwise(false))
+          .as("_degenerate"))
+      .select(col("k_groups"), col("n"), col("grand_median"),
+        round(when(!col("_degenerate"), col("_chi").cast("double")), scale).as("chi2"),
+        col("df1"))
+  }
+
+  /** Goodman–Kruskal γ + Somers' D — ordinal association with the tie
+    * policy made explicit, completing [[kendallTauB]]'s family: γ throws
+    * ALL tied pairs away ((C−D)/(C+D) — the optimist, biased high on
+    * coarse grids), Somers' D charges ties on the DEPENDENT axis only
+    * (`D_yx = (C−D)/(n₀−n₁)` for y given x, `D_xy` the transpose) —
+    * the directional effect size for an ordinal predictor. One row
+    * `(n, gamma, somers_d_yx, somers_d_xy)`; NULL where the denominator
+    * is empty (an axis fully tied).
+    *
+    * Scale shape and determinism are [[kendallTauB]]'s verbatim: rows
+    * collapse to contingency cells first, C/D fold over the strict
+    * upper-triangle cell pairs (quadratic in |cells|, never rows — the
+    * bounded/binned-input contract), pair products in decimal, final
+    * quotients pinned IEEE.
+    */
+  def gkGamma(df: DataFrame, x: Column, y: Column, scale: Int = 6): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.Caches.track(
+      df.select(x.as("_x"), y.as("_y"))
+        .where(col("_x").isNotNull && col("_y").isNotNull)
+        .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_o")))
+    val b = cells.select(col("_x").as("_x2"), col("_y").as("_y2"), col("_o").as("_o2"))
+    val cd = cells.join(b, col("_x2") > col("_x")).agg(
+      coalesce(sum(when(col("_y2") > col("_y"), dec(col("_o")) * dec(col("_o2")))),
+        dec(lit(0L))).as("_c"),
+      coalesce(sum(when(col("_y2") < col("_y"), dec(col("_o")) * dec(col("_o2")))),
+        dec(lit(0L))).as("_d"))
+    val n = cells.agg(sum(col("_o")).as("n"))
+    val tx = cells.groupBy(col("_x")).agg(sum(col("_o")).as("_t"))
+      .agg(coalesce(sum(dec(col("_t")) * dec(col("_t") - 1)), dec(lit(0L))).as("_tx2"))
+    val ty = cells.groupBy(col("_y")).agg(sum(col("_o")).as("_t"))
+      .agg(coalesce(sum(dec(col("_t")) * dec(col("_t") - 1)), dec(lit(0L))).as("_ty2"))
+    val cMd = col("_c").cast("double") - col("_d").cast("double")
+    cd.crossJoin(n).crossJoin(tx).crossJoin(ty)
+      .withColumn("_n0", (dec(col("n")) * dec(col("n") - 1)).cast("double") / 2)
+      .withColumn("_n1", col("_tx2").cast("double") / 2)
+      .withColumn("_n2", col("_ty2").cast("double") / 2)
+      .select(col("n"),
+        round(when((col("_c").cast("double") + col("_d").cast("double")) > 0,
+          cMd / (col("_c").cast("double") + col("_d").cast("double"))), scale)
+          .as("gamma"),
+        round(when((col("_n0") - col("_n1")) > 0, cMd / (col("_n0") - col("_n1"))),
+          scale).as("somers_d_yx"),
+        round(when((col("_n0") - col("_n2")) > 0, cMd / (col("_n0") - col("_n2"))),
+          scale).as("somers_d_xy"))
+  }
+
+  /** Goodman–Kruskal λ — categorical association as PROPORTIONAL
+    * REDUCTION IN ERROR of the modal guess: knowing X, how much better
+    * than "always predict Y's overall mode" does "predict the mode of Y
+    * within this X" get?
+    * `λ(Y|X) = (Σ_x max_y c_xy − max_y c_•y) / (n − max_y c_•y)`.
+    * The mode-based complement of the entropy-based uncertainty
+    * coefficient (infoGainScreen's `u`): λ = 0 says X never CHANGES the
+    * best single guess (possible even under real dependence — its known
+    * bluntness, which is also its interpretability). One row
+    * `(n, lambda_yx, lambda_xy)`; NULL when the majority class is
+    * everything (n = max).
+    *
+    * Exact longs end to end (cell counts, per-margin maxima, the two
+    * sums); one final pinned division each way. Scale shape: one cells
+    * shuffle, two |margin|-row max-folds per direction.
+    */
+  def gkLambda(df: DataFrame, x: Column, y: Column, scale: Int = 6): DataFrame = {
+    val cells = graft.Caches.track(
+      df.select(x.as("_x"), y.as("_y"))
+        .where(col("_x").isNotNull && col("_y").isNotNull)
+        .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_o")))
+    val n = cells.agg(sum(col("_o")).as("n"))
+    // Σ_x max_y and the overall max of the y margin (direction Y|X)
+    val sumMaxY = cells.groupBy(col("_x")).agg(max(col("_o")).as("_m"))
+      .agg(sum(col("_m")).as("_smy"))
+    val maxColY = cells.groupBy(col("_y")).agg(sum(col("_o")).as("_t"))
+      .agg(max(col("_t")).as("_mcy"))
+    val sumMaxX = cells.groupBy(col("_y")).agg(max(col("_o")).as("_m"))
+      .agg(sum(col("_m")).as("_smx"))
+    val maxColX = cells.groupBy(col("_x")).agg(sum(col("_o")).as("_t"))
+      .agg(max(col("_t")).as("_mcx"))
+    n.crossJoin(sumMaxY).crossJoin(maxColY).crossJoin(sumMaxX).crossJoin(maxColX)
+      .select(col("n"),
+        round(when((col("n") - col("_mcy")) > 0,
+          (col("_smy") - col("_mcy")).cast("double") /
+            (col("n") - col("_mcy")).cast("double")), scale).as("lambda_yx"),
+        round(when((col("n") - col("_mcx")) > 0,
+          (col("_smx") - col("_mcx")).cast("double") /
+            (col("n") - col("_mcx")).cast("double")), scale).as("lambda_xy"))
+  }
+
+  /** Point-biserial correlation — the effect size behind [[welchTtest]]:
+    * Pearson r between a BINARY arm flag and a continuous outcome,
+    * `r_pb = (M₁−M₀)·√(n₁n₀) / √(n·Σx² − (Σx)²)`, plus its t
+    * `t = r·√((n−2)/(1−r²))` — same null as the pooled t-test, but the
+    * magnitude is readable (share of variance = r²) where a bare t
+    * grows with n. One row `(n, n1, n0, mean1, mean0, r_pb, t_stat)`;
+    * NULL r where either arm is empty or the outcome is constant.
+    *
+    * ONE conditional-sum scan (the [[welchTtest]] discipline): per-arm
+    * counts and exact decimal sums, the global Σx² on the same pass;
+    * means and the closed form are pinned IEEE scalars.
+    */
+  def pointBiserial(
+      df: DataFrame,
+      value: Column,
+      flag: Column,
+      scale: Int = 6): DataFrame = {
+    val d = df.select(value.cast("double").as("_v"), flag.cast("boolean").as("_f"))
+      .where(col("_v").isNotNull && col("_f").isNotNull)
+    val vd = col("_v").cast("decimal(18,6)")
+    val m = d.agg(
+      sum(when(col("_f"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("_f"), 1L).otherwise(0L)).as("n0"),
+      sum(when(col("_f"), vd)).as("_s1"),
+      sum(when(!col("_f"), vd)).as("_s0"),
+      sum(vd * vd).as("_sxx"))
+    val n = (col("n1") + col("n0")).cast("double")
+    val m1 = col("_s1").cast("double") / col("n1")
+    val m0 = col("_s0").cast("double") / col("n0")
+    val sx = col("_s1").cast("double") + col("_s0").cast("double")
+    val varN = n * col("_sxx").cast("double") - sx * sx
+    val r = (m1 - m0) * sqrt((col("n1") * col("n0")).cast("double")) / sqrt(varN)
+    m.select(
+      (col("n1") + col("n0")).as("n"), col("n1"), col("n0"),
+      round(when(col("n1") > 0, m1), scale).as("mean1"),
+      round(when(col("n0") > 0, m0), scale).as("mean0"),
+      round(when(col("n1") > 0 && col("n0") > 0 && varN > 0, r), scale).as("r_pb"),
+      round(when(col("n1") > 0 && col("n0") > 0 && varN > 0 &&
+          (col("n1") + col("n0")) > 2 && r * r < 1,
+        r * sqrt((n - 2.0) / (lit(1.0) - r * r))), scale).as("t_stat"))
+  }
+
+  /** First-order partial correlation — "does x still track y once z is
+    * held fixed?" — the 3-variable confounder check:
+    * `r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))`. Returns one
+    * row `(n, r_xy, r_xz, r_yz, r_xy_z)` with all three pairwise r's
+    * shown (the partial without its parts invites misreading); rows with
+    * ANY null coordinate are excluded (complete-case — the three r's
+    * must come from the same n). NULL where any input r is undefined or
+    * a guard correlation is ±1.
+    *
+    * ONE exact decimal moment fold (3 sums + 6 product sums — the
+    * [[linearFit]] discipline widened a column); every r and the partial
+    * are pinned IEEE scalars off it.
+    */
+  def partialCorr(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      z: Column,
+      scale: Int = 6): DataFrame = {
+    val d = df.select(x.cast("double").as("_x"), y.cast("double").as("_y"),
+      z.cast("double").as("_z"))
+      .where(col("_x").isNotNull && col("_y").isNotNull && col("_z").isNotNull)
+    val xd = col("_x").cast("decimal(18,6)")
+    val yd = col("_y").cast("decimal(18,6)")
+    val zd = col("_z").cast("decimal(18,6)")
+    val mom = d.agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("_sx"), sum(yd).as("_sy"), sum(zd).as("_sz"),
+      sum(xd * xd).as("_sxx"), sum(yd * yd).as("_syy"), sum(zd * zd).as("_szz"),
+      sum(xd * yd).as("_sxy"), sum(xd * zd).as("_sxz"), sum(yd * zd).as("_syz"))
+    val n = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    def corr2(sab: String, sa: String, sb: String, saa: String, sbb: String) = {
+      val num = n * dd(sab) - dd(sa) * dd(sb)
+      val d1 = n * dd(saa) - dd(sa) * dd(sa)
+      val d2 = n * dd(sbb) - dd(sb) * dd(sb)
+      when(d1 > 0 && d2 > 0, num / (sqrt(d1) * sqrt(d2)))
+    }
+    val rxy = corr2("_sxy", "_sx", "_sy", "_sxx", "_syy")
+    val rxz = corr2("_sxz", "_sx", "_sz", "_sxx", "_szz")
+    val ryz = corr2("_syz", "_sy", "_sz", "_syy", "_szz")
+    mom.select(col("n"),
+      round(rxy, scale).as("r_xy"),
+      round(rxz, scale).as("r_xz"),
+      round(ryz, scale).as("r_yz"),
+      round(when(rxz * rxz < 1 && ryz * ryz < 1,
+        (rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))), scale)
+        .as("r_xy_z"))
+  }
+
+  /** One-way intraclass correlation ICC(1,1) — "how much of this
+    * measure's variance lives BETWEEN groups?" — the clustered-data
+    * pre-flight every per-user/per-shard metric needs (an ICC of 0.2
+    * with 1000-row groups silently inflates a naive t-test's effective n
+    * by ~200×: the design-effect input):
+    * `ICC = (MSB − MSW) / (MSB + (n₀−1)·MSW)` with ANOVA mean squares
+    * and the unbalanced-design group size `n₀ = (N − Σnᵢ²/N)/(k−1)`.
+    * One row `(k, n, msb, msw, n0, icc1)`; NULL where undefined.
+    *
+    * [[anovaF]]'s exact per-group decimal moments extended with the
+    * Σnᵢ² term; mean squares and the closed form are pinned IEEE.
+    * One partial-agg shuffle + a k-row fold.
+    */
+  def iccOneWay(
+      df: DataFrame,
+      value: Column,
+      group: Column,
+      scale: Int = 6): DataFrame = {
+    val d = df.select(value.cast("double").as("_v"), group.as("_g"))
+      .where(col("_v").isNotNull && col("_g").isNotNull)
+    val g = d.groupBy(col("_g")).agg(
+      count(lit(1)).as("_ng"),
+      sum(col("_v").cast("decimal(38,12)")).as("_sg"),
+      sum((col("_v") * col("_v")).cast("decimal(38,12)")).as("_qg"))
+    val tot = g.agg(
+      count(lit(1)).as("k"), sum(col("_ng")).as("n"), sum(col("_sg")).as("_st"),
+      sum((col("_ng") * col("_ng")).cast("decimal(38,0)")).as("_sq"))
+    val folded = g.crossJoin(broadcast(tot))
+      .withColumn("_mg", col("_sg").cast("double") / col("_ng"))
+      .withColumn("_m", col("_st").cast("double") / col("n"))
+      .withColumn("_ssb",
+        col("_ng") * (col("_mg") - col("_m")) * (col("_mg") - col("_m")))
+      .withColumn("_ssw",
+        col("_qg").cast("double") - col("_ng") * col("_mg") * col("_mg"))
+      .agg(
+        first(col("k")).as("k"), first(col("n")).as("n"),
+        first(col("_sq")).as("_sq"),
+        sum(col("_ssb").cast("decimal(38,12)")).as("_b"),
+        sum(col("_ssw").cast("decimal(38,12)")).as("_w"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val msb = col("_b").cast("double") / (kD - 1.0)
+    val msw = col("_w").cast("double") / (nD - kD)
+    val n0 = (nD - col("_sq").cast("double") / nD) / (kD - 1.0)
+    folded.select(col("k"), col("n"),
+      round(when(col("k") > 1, msb), scale).as("msb"),
+      round(when(col("n") > col("k"), msw), scale).as("msw"),
+      round(when(col("k") > 1, n0), scale).as("n0"),
+      round(when(col("k") > 1 && col("n") > col("k") &&
+          (msb + (n0 - 1.0) * msw) > 0,
+        (msb - msw) / (msb + (n0 - 1.0) * msw)), scale).as("icc1"))
+  }
+
+  /** Fleiss' κ — inter-rater agreement for n raters × k categories (the
+    * multi-rater generalization [[cohenKappa]]'s two-column contract
+    * can't reach): each ITEM carries exactly `nRaters` categorical
+    * ratings (items with any other count are excluded — Fleiss assumes a
+    * constant panel size; the excluded mass is reported as
+    * n_items_dropped, never silently eaten),
+    * `P̄ = (Σ_i Σ_c x_ic² − I·n) / (I·n·(n−1))`, `P_e = Σ_c p_c²`,
+    * `κ = (P̄−P_e)/(1−P_e)`. One row
+    * `(n_items, n_items_dropped, n_raters, p_bar, p_e, kappa)`.
+    *
+    * Exact integers everywhere that matters: cell counts x_ic, the
+    * global Σx², and the per-category column totals (whose squares fold
+    * in decimal), so P̄ and P_e are single pinned divisions; κ NULL at
+    * P_e = 1 (one category used — agreement is vacuous).
+    *
+    * Scale shape: one (item, category) cells shuffle, one per-item
+    * count for the panel filter (no row explosion), |categories|-row and
+    * 1-row folds.
+    */
+  def fleissKappa(
+      df: DataFrame,
+      item: Column,
+      category: Column,
+      nRaters: Int,
+      scale: Int = 6): DataFrame = {
+    require(nRaters >= 2, s"nRaters must be >= 2, got $nRaters")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(item.as("_i"), category.as("_c"))
+      .where(col("_i").isNotNull && col("_c").isNotNull)
+    val perItem = base.groupBy(col("_i")).agg(count(lit(1)).as("_cnt"))
+    val dropped = perItem.agg(
+      coalesce(sum(when(col("_cnt") =!= nRaters.toLong, 1L)), lit(0L))
+        .as("n_items_dropped"))
+    val kept = graft.Caches.track(
+      base.join(perItem.where(col("_cnt") === nRaters.toLong).select(col("_i")),
+        Seq("_i")))
+    val cells = graft.Caches.track(
+      kept.groupBy(col("_i"), col("_c")).agg(count(lit(1)).as("_x")))
+    val q = cells.agg(
+      countDistinct(col("_i")).as("n_items"),
+      sum(dec(col("_x")) * dec(col("_x"))).as("_q"))
+    val colT = cells.groupBy(col("_c")).agg(sum(col("_x")).as("_t"))
+      .agg(coalesce(sum(dec(col("_t")) * dec(col("_t"))), dec(lit(0L))).as("_ct2"))
+    val iD = col("n_items").cast("double")
+    val nD = lit(nRaters.toDouble)
+    val pBar = (col("_q").cast("double") - iD * nD) / (iD * nD * (nD - 1.0))
+    val pe = col("_ct2").cast("double") / (iD * nD * (iD * nD))
+    q.crossJoin(broadcast(colT)).crossJoin(broadcast(dropped))
+      .select(col("n_items"), col("n_items_dropped"),
+        lit(nRaters).as("n_raters"),
+        round(when(col("n_items") > 0, pBar), scale).as("p_bar"),
+        round(when(col("n_items") > 0, pe), scale).as("p_e"),
+        round(when(col("n_items") > 0 && pe < 1.0, (pBar - pe) / (lit(1.0) - pe)),
+          scale).as("kappa"))
+  }
 }

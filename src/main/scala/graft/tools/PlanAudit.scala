@@ -105,7 +105,12 @@ object PlanAudit {
     "q318_durbin_watson",         // one-row axis-origin + fit-scalar crossJoins (scalar-attach class)
     "q319_ljung_box",             // one-row global-moments crossJoin (the q265 class)
     "q320_breusch_pagan",         // one-row pass-1 fit crossJoin (scalar-attach class)
-    "q321_cooks_distance"         // one-row fit/x̄/Sxx/SSE crossJoin (scalar-attach class)
+    "q321_cooks_distance",        // one-row fit/x̄/Sxx/SSE crossJoin (scalar-attach class)
+    "q322_moods_median",          // one-row grand-median + 2×k-totals crossJoins (scalar-attach class)
+    "q323_gk_gamma",              // |cells|² upper-triangle pair fold (the q252 bounded-matrix class)
+    "q324_gk_lambda",             // four one-row margin-extrema crossJoins (scalar-attach class)
+    "q327_icc",                   // anovaF's one-row grand-totals crossJoin (the q225 class)
+    "q328_fleiss_kappa"           // one-row Σx²/column-total/dropped-count crossJoins (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -1795,4 +1795,107 @@ class StatsSpec extends SparkSpec {
     assert(Stats.cooksDistance(tiny, col("x"), col("y"), col("id")).count() == 0L)
     graft.Caches.clear()
   }
+
+  test("moodsMedianTest: perfectly separated groups hit the 2×k χ² maximum; degenerate margin → NULL") {
+    import spark.implicits._
+    // a=(1,2,3), b=(4,5,6): median = value at rank 3 = 3; table is
+    // (0,3)/(3,0) → every cell is 1.5 from expectation → χ² = 6
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6))
+      .toDF("g", "v")
+    val r = Stats.moodsMedianTest(df, col("v"), col("g")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 6.0 && r.getLong(4) == 1L)
+    // everything ≤ median (constant data) → a zero margin → χ² NULL
+    val c = Seq(("a", 5), ("a", 5), ("b", 5), ("b", 5)).toDF("g", "v")
+    val cr = Stats.moodsMedianTest(c, col("v"), col("g")).collect().head
+    assert(cr.isNullAt(3))
+    graft.Caches.clear()
+  }
+
+  test("gkGamma: hand-computed concordance; gamma drops ties, Somers' D charges the dependent axis") {
+    import spark.implicits._
+    // cells (1,1)×3 (1,2)×1 (2,1)×1 (2,2)×3: C=9, D=1, n=8,
+    // n0=28, tie-pairs 12 each axis → γ=0.8, D_yx=D_xy=0.5
+    val rows = Seq.fill(3)((1, 1)) ++ Seq((1, 2), (2, 1)) ++ Seq.fill(3)((2, 2))
+    val r = Stats.gkGamma(rows.toDF("x", "y"), col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(1) == 0.8 && r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5)
+    // fully tied y-axis: γ NULL (C+D=0), D_yx = 0 (x has no ties, so its
+    // denominator n₀−n₁ survives), D_xy NULL (every pair tied on y)
+    val flat = Seq((1, 1), (2, 1), (3, 1)).toDF("x", "y")
+    val f = Stats.gkGamma(flat, col("x"), col("y")).collect().head
+    assert(f.isNullAt(1) && f.getDouble(2) == 0.0 && f.isNullAt(3))
+    graft.Caches.clear()
+  }
+
+  test("gkLambda: the textbook asymmetric table — zero one way, half the errors the other") {
+    import spark.implicits._
+    // A:(p×10), B:(p×5,q×5): knowing x never changes the modal y guess
+    // (λ_yx=0) but knowing y halves the x errors (λ_xy=0.5)
+    val rows = Seq.fill(10)(("A", "p")) ++ Seq.fill(5)(("B", "p")) ++
+      Seq.fill(5)(("B", "q"))
+    val r = Stats.gkLambda(rows.toDF("x", "y"), col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 20L)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.5)
+    graft.Caches.clear()
+  }
+
+  test("pointBiserial: hand-computed r and t; empty arm → NULL") {
+    import spark.implicits._
+    val df = Seq((4, true), (5, true), (6, true), (1, false), (2, false),
+      (3, false)).toDF("v", "f")
+    val r = Stats.pointBiserial(df, col("v"), col("f")).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) == 0.87831 && r.getDouble(6) == 3.674235)
+    val one = Seq((1, true), (2, true)).toDF("v", "f")
+    val o = Stats.pointBiserial(one, col("v"), col("f")).collect().head
+    assert(o.isNullAt(5))
+  }
+
+  test("partialCorr: y = x + z makes the partial exactly 1; pairwise r's hand-checked") {
+    import spark.implicits._
+    val xs = Seq(1, 2, 3, 4, 5); val zs = Seq(2, 1, 4, 3, 5)
+    val df = xs.zip(zs).map { case (x, z) => (x, x + z, z) }.toDF("x", "y", "z")
+    val r = Stats.partialCorr(df, col("x"), col("y"), col("z")).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == 0.948683 && r.getDouble(2) == 0.8 &&
+      r.getDouble(3) == 0.948683)
+    assert(r.getDouble(4) == 1.0)
+    // constant z → r_xz undefined → partial NULL, pairwise r_xy intact
+    val cz = Seq((1, 2, 7), (2, 4, 7), (3, 5, 7)).toDF("x", "y", "z")
+    val c = Stats.partialCorr(cz, col("x"), col("y"), col("z")).collect().head
+    assert(!c.isNullAt(1) && c.isNullAt(2) && c.isNullAt(4))
+  }
+
+  test("iccOneWay: separated groups give ICC near 1; hand-computed mean squares") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 7), ("b", 8), ("b", 9))
+      .toDF("g", "v")
+    val r = Stats.iccOneWay(df, col("v"), col("g")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 54.0 && r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 0.946429)
+    // one group → between-groups undefined → NULLs, not a crash
+    val one = Seq(("a", 1), ("a", 2)).toDF("g", "v")
+    val o = Stats.iccOneWay(one, col("v"), col("g")).collect().head
+    assert(o.isNullAt(2) && o.isNullAt(5))
+  }
+
+  test("fleissKappa: two-item hand case; off-panel items dropped and counted") {
+    import spark.implicits._
+    // item1 (a,a,a), item2 (a,b,b): P̄=2/3, P_e=5/9, κ=0.25; item3 has
+    // only 2 ratings → excluded from the panel, counted in dropped
+    val df = Seq((1, "a"), (1, "a"), (1, "a"), (2, "a"), (2, "b"), (2, "b"),
+      (3, "a"), (3, "a")).toDF("i", "c")
+    val r = Stats.fleissKappa(df, col("i"), col("c"), nRaters = 3).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getInt(2) == 3)
+    assert(r.getDouble(3) == 0.666667 && r.getDouble(4) == 0.555556)
+    assert(r.getDouble(5) == 0.25)
+    // unanimous raters on one category → P_e = 1 → κ NULL (vacuous)
+    val u = Seq((1, "a"), (1, "a"), (2, "a"), (2, "a")).toDF("i", "c")
+    val ur = Stats.fleissKappa(u, col("i"), col("c"), nRaters = 2).collect().head
+    assert(ur.isNullAt(5))
+    graft.Caches.clear()
+  }
 }
