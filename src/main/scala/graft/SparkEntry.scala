@@ -2755,6 +2755,66 @@ object SparkEntry {
         .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
     }),
 
+    // Chao1: how many distinct tokens does the POPULATION hold, given
+    // the raggedness of this sample's frequency-table bottom?
+    "q329_chao1" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      graft.ops.Stats.chao1(toks, key = col("tok"))
+    }),
+
+    // per-language diversity profile: richness/Shannon/Pielou/Simpson/
+    // Berger–Parker in one card (H alone hides WHICH kind of low)
+    "q330_diversity" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "" && col("lang").isNotNull)
+      graft.ops.Stats.diversityProfile(toks, key = col("tok"),
+        strataCols = Seq("lang"))
+    }),
+
+    // Yule–Walker AR(2) on the daily volume: is there lag-2 structure
+    // beyond what lag 1 explains? (φ₂ IS the lag-2 PACF)
+    "q331_yule_walker" -> ((s, dir) =>
+      graft.ops.Stats.yuleWalkerAr2(dailySeries(s, dir))),
+
+    // Wald SPRT replay over the purchase stream: at which event could
+    // H₀ p=0.10 vs H₁ p=0.20 have STOPPED? (log coefficients are fixed
+    // double literals — both engines parse the same decimal strings)
+    "q332_sprt" -> ((s, dir) =>
+      graft.ops.Stats.sprtBinomial(
+        E(s, dir), success = col("event_type") === "purchase",
+        orderCols = Seq(col("ts"), col("event_id")),
+        l1 = 0.6931471805599453, l0 = -0.11778303565638339,
+        logA = 2.9444389791664403, logB = -2.9444389791664403)),
+
+    // directed association rules off q306's pair counts: confidence /
+    // lift / leverage / conviction / jaccard per direction
+    "q333_assoc_rules" -> ((s, dir) =>
+      graft.ops.EventAnalytics.associationRules(
+        T(s, dir, "lineitem"), basket = col("l_orderkey"),
+        item = col("l_partkey"), minSupport = 2)),
+
+    // Moran's I on the q157 supplier co-supply graph: do connected
+    // suppliers carry similar account balances? (value homophily,
+    // where q157's assortativity asks it of the topology)
+    "q334_morans_i" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+      val proj = graft.graph.GraphQueries.bipartiteProject(li, minShared = 150L)
+      val edges = proj.select(col("a").as("src"), col("b").as("dst"))
+        .union(proj.select(col("b").as("src"), col("a").as("dst")))
+      graft.ops.Stats.moransI(edges, T(s, dir, "supplier"),
+        id = col("s_suppkey").cast("long"), value = col("s_acctbal"))
+    }),
+
+    // Grubbs: is the single most extreme order total a formal outlier?
+    "q335_grubbs" -> ((s, dir) =>
+      graft.ops.Stats.grubbs(T(s, dir, "orders"), value = col("o_totalprice"))),
+
     // Mood's median: do the three return-flag arms straddle the grand
     // price median equally? (the assumption-free coarse cousin of q311)
     "q322_moods_median" -> ((s, dir) =>
@@ -9655,6 +9715,251 @@ object SparkEntry {
         |            / fit.sxxc))) END, 6) AS cooks_d
         |FROM d, fit
         |ORDER BY cooks_d DESC, id LIMIT 20""".stripMargin,
+
+    // q329: q286's token-count frame → frequency-of-frequency margins →
+    // the bias-corrected Chao1 and Good's coverage in pinned doubles
+    "q329_chao1" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), tc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks WHERE tok <> ''
+        |  GROUP BY 1
+        |), m AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS s_obs,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tc)
+        |SELECT n, s_obs, f1, f2,
+        |  round(CAST(s_obs AS DOUBLE) + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+        |    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1,
+        |  round(CASE WHEN n > 0
+        |    THEN 1.0 - CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE) END, 6) AS coverage
+        |FROM m""".stripMargin,
+
+    // q330: per-lang token cells → exact counts → each index the same
+    // IEEE term decimal-re-summed (the q234 entropy discipline)
+    "q330_diversity" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE lang IS NOT NULL
+        |), cells AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM toks
+        |  WHERE tok <> '' GROUP BY 1, 2
+        |), tt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |f AS (
+        |  SELECT cells.lang, any_value(tt.n) AS n,
+        |    CAST(count(*) AS BIGINT) AS richness,
+        |    sum(CAST(-(CAST(c AS DOUBLE) / CAST(tt.n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(tt.n AS DOUBLE)) AS DECIMAL(38,12))) AS h,
+        |    sum(CAST((CAST(c AS DOUBLE) / CAST(tt.n AS DOUBLE))
+        |      * (CAST(c AS DOUBLE) / CAST(tt.n AS DOUBLE)) AS DECIMAL(38,12))) AS d,
+        |    CAST(max(c) AS BIGINT) AS maxc
+        |  FROM cells JOIN tt ON tt.lang = cells.lang GROUP BY 1)
+        |SELECT lang, n, richness,
+        |  round(CAST(h AS DOUBLE), 6) AS shannon,
+        |  round(CASE WHEN richness > 1
+        |    THEN CAST(h AS DOUBLE) / ln(CAST(richness AS DOUBLE)) END, 6) AS pielou,
+        |  round(CAST(d AS DOUBLE), 6) AS simpson,
+        |  round(1.0 - CAST(d AS DOUBLE), 6) AS gini_simpson,
+        |  round(CASE WHEN CAST(d AS DOUBLE) > 0
+        |    THEN 1.0 / CAST(d AS DOUBLE) END, 6) AS inv_simpson,
+        |  round(CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS berger_parker
+        |FROM f""".stripMargin,
+
+    // q331: the q319 lag machinery at lags {1,2} UNROUNDED, then the
+    // Yule–Walker clearing in pinned scalar IEEE
+    "q331_yule_walker" ->
+      """WITH dd AS (SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |cg AS (SELECT d, CAST(count(*) AS BIGINT) AS x FROM dd GROUP BY 1),
+        |bb AS (SELECT min(d) AS lo, max(d) AS hi FROM cg),
+        |axis AS (SELECT bb.lo AS lo, unnest(range(bb.lo, bb.hi + 1)) AS d0 FROM bb),
+        |s AS (SELECT axis.d0 - axis.lo AS t, CAST(coalesce(cg.x, 0) AS DECIMAL(19,6)) AS xd
+        |      FROM axis LEFT JOIN cg ON cg.d = axis.d0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(xd) AS s1,
+        |          sum(xd * xd) AS s2 FROM s),
+        |lg AS (SELECT unnest(range(1, 3)) AS lag),
+        |p AS (SELECT lg.lag, a.xd AS x1, b2.xd AS x2
+        |      FROM lg CROSS JOIN s a JOIN s b2 ON b2.t = a.t + lg.lag),
+        |per AS (SELECT lag, CAST(count(*) AS BIGINT) AS m,
+        |          sum(x1 * x2) AS ck, sum(x1 + x2) AS pk
+        |        FROM p GROUP BY 1),
+        |w AS (
+        |  SELECT sum(CASE WHEN lag = 1 THEN ck END) AS ck1,
+        |    sum(CASE WHEN lag = 1 THEN pk END) AS pk1,
+        |    sum(CASE WHEN lag = 1 THEN m END) AS m1,
+        |    sum(CASE WHEN lag = 2 THEN ck END) AS ck2,
+        |    sum(CASE WHEN lag = 2 THEN pk END) AS pk2,
+        |    sum(CASE WHEN lag = 2 THEN m END) AS m2
+        |  FROM per
+        |), g AS (
+        |  SELECT tot.n, CAST(tot.n AS DOUBLE) AS nd,
+        |    CAST(tot.s1 AS DOUBLE) AS s1d, CAST(tot.s2 AS DOUBLE) AS s2d,
+        |    CAST(w.ck1 AS DOUBLE) AS ck1, CAST(w.pk1 AS DOUBLE) AS pk1,
+        |    CAST(w.m1 AS DOUBLE) AS m1,
+        |    CAST(w.ck2 AS DOUBLE) AS ck2, CAST(w.pk2 AS DOUBLE) AS pk2,
+        |    CAST(w.m2 AS DOUBLE) AS m2
+        |  FROM tot, w
+        |), rr AS (
+        |  SELECT n, nd * nd * s2d - nd * s1d * s1d AS den,
+        |    (nd * nd * ck1 - nd * s1d * pk1 + m1 * s1d * s1d)
+        |      / (nd * nd * s2d - nd * s1d * s1d) AS rho1,
+        |    (nd * nd * ck2 - nd * s1d * pk2 + m2 * s1d * s1d)
+        |      / (nd * nd * s2d - nd * s1d * s1d) AS rho2
+        |  FROM g
+        |), ph AS (
+        |  SELECT n, den, rho1, rho2, 1.0 - rho1 * rho1 AS omr2,
+        |    rho1 * (1.0 - rho2) / (1.0 - rho1 * rho1) AS phi1,
+        |    (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) AS phi2
+        |  FROM rr)
+        |SELECT n,
+        |  round(CASE WHEN den > 0 THEN rho1 END, 6) AS rho1,
+        |  round(CASE WHEN den > 0 THEN rho2 END, 6) AS rho2,
+        |  round(CASE WHEN den > 0 AND omr2 > 0 THEN phi1 END, 6) AS phi1,
+        |  round(CASE WHEN den > 0 AND omr2 > 0 THEN phi2 END, 6) AS phi2,
+        |  round(CASE WHEN den > 0 AND omr2 > 0
+        |    THEN 1.0 - phi1 * rho1 - phi2 * rho2 END, 6) AS var_ratio
+        |FROM ph""".stripMargin,
+
+    // q332: cumulative (t, k) on the (ts, event_id) total order; LLR
+    // off the SAME fixed double literals; first boundary crossing
+    "q332_sprt" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) AS tsn, event_id, (event_type = 'purchase') AS s
+        |  FROM events
+        |), r AS (
+        |  SELECT row_number() OVER (ORDER BY tsn, event_id) AS t,
+        |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k
+        |  FROM e
+        |), scored AS (
+        |  SELECT t, k,
+        |    CAST(k AS DOUBLE) * 0.6931471805599453
+        |      + CAST(t - k AS DOUBLE) * (-0.11778303565638339) AS llr
+        |  FROM r
+        |), fc AS (
+        |  SELECT min(t) AS tc FROM scored
+        |  WHERE llr >= 2.9444389791664403 OR llr <= -2.9444389791664403
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM e)
+        |SELECT tot.n, tot.k AS k_total,
+        |  CASE WHEN scored.llr >= 2.9444389791664403 THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision,
+        |  CAST(scored.t AS BIGINT) AS t_stop, scored.k AS k_stop,
+        |  round(scored.llr, 6) AS llr_stop
+        |FROM scored, fc, tot WHERE scored.t = fc.tc
+        |UNION ALL
+        |SELECT tot.n, tot.k, 'continue', tot.n, tot.k,
+        |  round(CAST(tot.k AS DOUBLE) * 0.6931471805599453
+        |    + CAST(tot.n - tot.k AS DOUBLE) * (-0.11778303565638339), 6)
+        |FROM tot, fc WHERE fc.tc IS NULL""".stripMargin,
+
+    // q333: q306's pair frame unioned per direction, the rule card's
+    // five ratios pinned off the same exact integers
+    "q333_assoc_rules" ->
+      """WITH bi0 AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |keep AS (SELECT b FROM bi0 GROUP BY 1 HAVING count(*) <= 10000),
+        |bi AS (SELECT bi0.b, bi0.i FROM bi0 JOIN keep ON keep.b = bi0.b),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM bi GROUP BY 1
+        |       HAVING count(*) >= 2),
+        |f AS (SELECT bi.b, bi.i FROM bi JOIN ic ON ic.i = bi.i),
+        |p AS (
+        |  SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM f a JOIN f c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |pp AS (
+        |  SELECT p.ia, p.ib, p.n_ab, x.ni AS na, y.ni AS nbi
+        |  FROM p JOIN ic x ON x.i = p.ia JOIN ic y ON y.i = p.ib),
+        |dir AS (
+        |  SELECT ia AS antecedent, ib AS consequent, n_ab, na AS n_ante,
+        |    nbi AS n_cons FROM pp
+        |  UNION ALL
+        |  SELECT ib, ia, n_ab, nbi, na FROM pp)
+        |SELECT antecedent, consequent, n_ab, n_ante, n_cons,
+        |  round(CAST(n_ab AS DOUBLE) / nb.n, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / n_ante, 6) AS confidence,
+        |  round((CAST(n_ab AS DOUBLE) * nb.n)
+        |    / (CAST(n_ante AS DOUBLE) * n_cons), 6) AS lift,
+        |  round(CAST(n_ab AS DOUBLE) / nb.n
+        |    - (CAST(n_ante AS DOUBLE) / nb.n) * (CAST(n_cons AS DOUBLE) / nb.n), 6)
+        |    AS leverage,
+        |  round(CASE WHEN CAST(n_ab AS DOUBLE) / n_ante < 1.0
+        |    THEN (1.0 - CAST(n_cons AS DOUBLE) / nb.n)
+        |      / (1.0 - CAST(n_ab AS DOUBLE) / n_ante) END, 6) AS conviction,
+        |  round(CAST(n_ab AS DOUBLE)
+        |    / CAST(n_ante + n_cons - n_ab AS DOUBLE), 6) AS jaccard
+        |FROM dir, nb""".stripMargin,
+
+    // q334: q157's projection CTEs; z off one exact mean; cross/square
+    // sums decimal-re-summed; the I ratio in the op's pinned order
+    "q334_morans_i" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS l, CAST(l_partkey AS BIGINT) AS r
+        |  FROM lineitem
+        |), pe AS (
+        |  SELECT x.l AS a, y.l AS b
+        |  FROM e x JOIN e y ON x.r = y.r AND x.l < y.l
+        |  GROUP BY 1, 2 HAVING count(*) >= 150
+        |), bi AS (
+        |  SELECT a AS u, b AS v FROM pe UNION ALL SELECT b, a FROM pe
+        |), vals AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS id, CAST(s_acctbal AS DOUBLE) AS v
+        |  FROM supplier WHERE s_suppkey IS NOT NULL AND s_acctbal IS NOT NULL
+        |), mn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+        |  FROM vals
+        |), z AS (SELECT id, v - mn.mu AS z FROM vals, mn),
+        |den AS (SELECT sum(CAST(z * z AS DECIMAL(38,12))) AS den FROM z),
+        |num AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    coalesce(sum(CAST(zu.z * zv.z AS DECIMAL(38,12))),
+        |      CAST(0 AS DECIMAL(38,12))) AS num
+        |  FROM bi JOIN z zu ON zu.id = bi.u JOIN z zv ON zv.id = bi.v)
+        |SELECT mn.n_nodes, num.n_edges,
+        |  round(CASE WHEN num.n_edges > 0 AND CAST(den.den AS DOUBLE) > 0
+        |    THEN CAST(mn.n_nodes AS DOUBLE) / CAST(num.n_edges AS DOUBLE)
+        |      * (CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)) END, 6)
+        |    AS morans_i,
+        |  round(CASE WHEN mn.n_nodes > 1
+        |    THEN -1.0 / (CAST(mn.n_nodes AS DOUBLE) - 1.0) END, 6) AS e_i
+        |FROM mn, num, den""".stripMargin,
+
+    // q335: one exact moment fold pins x̄/s; the witness is selected by
+    // EQUALITY on the max deviation, max(v) breaks the symmetric tie
+    "q335_grubbs" ->
+      """WITH d AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS DECIMAL(19,6))) AS s,
+        |    sum(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) AS q
+        |  FROM d
+        |), fit AS (
+        |  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CASE WHEN (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+        |      THEN sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS sd
+        |  FROM mom WHERE n > 1
+        |), dev AS (
+        |  SELECT fit.n, fit.mu, fit.sd, d.v, abs(d.v - fit.mu) AS ad
+        |  FROM d, fit
+        |), mx AS (SELECT max(ad) AS mx FROM dev)
+        |SELECT any_value(n) AS n, round(any_value(mu), 6) AS mean,
+        |  round(any_value(sd), 6) AS sd,
+        |  round(CASE WHEN any_value(sd) IS NOT NULL
+        |    THEN any_value(mx.mx) / any_value(sd) END, 6) AS g_stat,
+        |  max(v) AS outlier
+        |FROM dev, mx WHERE dev.ad = mx.mx""".stripMargin,
 
     // q322: q119's exact type-1 median rank pick, 2×k exact counts,
     // χ² fold with pinned expectations (zero-margin → NULL)

@@ -1279,4 +1279,65 @@ object EventAnalytics {
         round((col("n_ab").cast("double") * col("_nb")) /
           (col("n_a").cast("double") * col("n_b")), scale).as("lift"))
   }
+
+  /** Association RULES off the [[basketPairs]] counts — one row per
+    * DIRECTED rule `antecedent ⇒ consequent` with the full quality
+    * card: support, confidence, lift, leverage
+    * (`supp_ab − supp_a·supp_b` — the additive excess), conviction
+    * (`(1−supp_c)/(1−conf)` — how much MORE often the rule would have
+    * to fail under independence; NULL at conf = 1, its infinity), and
+    * Jaccard (`n_ab/(n_a+n_b−n_ab)` — symmetric overlap). basketPairs
+    * answers "which pairs co-occur beyond chance"; this ranks the
+    * DIRECTIONS you'd act on (stock B when A sells ≠ stock A when B
+    * sells unless the margins happen to agree).
+    *
+    * Same scale shape as basketPairs (Apriori min-support pruning
+    * BEFORE the within-basket self-join, canonical pair orientation,
+    * one basket-total broadcast); the direction union doubles only the
+    * FINAL bounded rule frame, never the row-level work. All ratios are
+    * pinned IEEE off exact integer counts.
+    */
+  def associationRules(
+      df: DataFrame,
+      basket: Column,
+      item: Column,
+      minSupport: Int,
+      maxBasketSize: Int = 10000,
+      scale: Int = 6): DataFrame = {
+    val pairs = basketPairs(df, basket, item, minSupport, maxBasketSize, scale)
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("support"))
+    // recover the basket total from one pair is unsound (support is
+    // rounded) — recompute it the same way basketPairs does
+    val pairsIn = df.select(basket.as("_b"), item.as("_i"))
+      .where(col("_b").isNotNull && col("_i").isNotNull)
+      .distinct()
+    val sized = pairsIn.groupBy(col("_b")).agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBasketSize)
+    val nBaskets = pairsIn.join(sized.select(col("_b")), Seq("_b"))
+      .agg(countDistinct(col("_b")).as("_nb"))
+    val directed = pairs.select(
+        col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("n_ab"), col("n_a").as("n_ante"), col("n_b").as("n_cons"))
+      .union(pairs.select(
+        col("item_b").as("antecedent"), col("item_a").as("consequent"),
+        col("n_ab"), col("n_b").as("n_ante"), col("n_a").as("n_cons")))
+    val nb = col("_nb").cast("double")
+    val conf = col("n_ab").cast("double") / col("n_ante")
+    val suppC = col("n_cons").cast("double") / nb
+    directed.crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"),
+        col("n_ab"), col("n_ante"), col("n_cons"),
+        round(col("n_ab").cast("double") / nb, scale).as("support"),
+        round(conf, scale).as("confidence"),
+        round((col("n_ab").cast("double") * col("_nb")) /
+          (col("n_ante").cast("double") * col("n_cons")), scale).as("lift"),
+        round(col("n_ab").cast("double") / nb -
+          (col("n_ante").cast("double") / nb) * suppC, scale).as("leverage"),
+        round(when(conf < 1.0, (lit(1.0) - suppC) / (lit(1.0) - conf)), scale)
+          .as("conviction"),
+        round(col("n_ab").cast("double") /
+          (col("n_ante") + col("n_cons") - col("n_ab")).cast("double"), scale)
+          .as("jaccard"))
+  }
 }

@@ -4460,4 +4460,309 @@ object Stats {
         round(when(col("n_items") > 0 && pe < 1.0, (pBar - pe) / (lit(1.0) - pe)),
           scale).as("kappa"))
   }
+
+  /** Chao1 species-richness estimate — "how many DISTINCT keys does the
+    * population hold, given what this sample showed?" — the vocabulary /
+    * entity budgeting question goodTuring's mass estimates don't answer
+    * (they re-rate seen frequencies; Chao1 extrapolates the UNSEEN
+    * count from how ragged the bottom of the frequency table is):
+    * `Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1))` (the bias-corrected form — defined
+    * even at f₂ = 0, where the classic f₁²/2f₂ breaks) with an
+    * observation-coverage side stat `Ĉ = 1 − f₁/n` (Good's estimator —
+    * the probability the NEXT token is a seen one). One row
+    * `(n, s_obs, f1, f2, chao1, coverage)`.
+    *
+    * Exact integers end to end (key counts, the frequency-of-frequency
+    * margins); two pinned divisions. Scale shape: one key-counts shuffle
+    * (bounded by |distinct keys|), one 1-row fold over it.
+    */
+  def chao1(df: DataFrame, key: Column, scale: Int = 6): DataFrame = {
+    val counts = df.select(key.as("_k")).where(col("_k").isNotNull)
+      .groupBy(col("_k")).agg(count(lit(1)).as("_c"))
+    val m = counts.agg(
+      sum(col("_c")).as("n"),
+      count(lit(1)).as("s_obs"),
+      sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("_c") === 2L, 1L).otherwise(0L)).as("f2"))
+    val f1 = col("f1").cast("double")
+    val f2 = col("f2").cast("double")
+    m.select(col("n"), col("s_obs"), col("f1"), col("f2"),
+      round(col("s_obs").cast("double") +
+        f1 * (f1 - 1.0) / (lit(2.0) * (f2 + 1.0)), scale).as("chao1"),
+      round(when(col("n") > 0, lit(1.0) - f1 / col("n").cast("double")), scale)
+        .as("coverage"))
+  }
+
+  /** Per-stratum diversity profile — the full index card ecology and
+    * corpus curation share: richness S, Shannon H (nats), Pielou
+    * evenness `J = H/ln S`, Simpson concentration `D = Σp²`, its
+    * Gini–Simpson (1−D) and inverse (1/D = Hill N₂) faces, and
+    * Berger–Parker dominance (max p). One row per stratum
+    * `(strataCols…, n, richness, shannon, pielou, simpson,
+    * gini_simpson, inv_simpson, berger_parker)` — H alone hides whether
+    * low diversity means few keys or one dominant key; the profile
+    * separates them.
+    *
+    * Determinism: per-(stratum, key) counts are exact longs; each
+    * entropy/concentration term is the same IEEE expression off those
+    * integers, decimal-cast before the per-stratum sums (order-free —
+    * the [[mutualInformation]] discipline); max p is exact-count max
+    * over the stratum divided once.
+    *
+    * Scale shape: one cells shuffle, one |cells|→|strata| partial-agg
+    * fold, one broadcast-joined totals frame. Output is |strata| rows.
+    */
+  def diversityProfile(
+      df: DataFrame,
+      key: Column,
+      strataCols: Seq[String],
+      scale: Int = 6): DataFrame = {
+    require(strataCols.nonEmpty, "diversityProfile needs at least one stratum column")
+    val strata = strataCols.map(col)
+    val cells = graft.Caches.track(
+      df.select((strata :+ key.as("_k")): _*)
+        .where(col("_k").isNotNull)
+        .groupBy((strata :+ col("_k")): _*).agg(count(lit(1)).as("_c")))
+    val totals = cells.groupBy(strata: _*).agg(sum(col("_c")).as("_n"))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    val folded = cells.join(totals, strataCols)
+      .groupBy(strata: _*)
+      .agg(
+        first(col("_n")).as("n"),
+        count(lit(1)).as("richness"),
+        sum((-p * log(p)).cast("decimal(38,12)")).as("_h"),
+        sum((p * p).cast("decimal(38,12)")).as("_d"),
+        max(col("_c")).as("_maxc"))
+    val h = col("_h").cast("double")
+    val d = col("_d").cast("double")
+    folded.select(strata ++ Seq(
+      col("n"), col("richness"),
+      round(h, scale).as("shannon"),
+      round(when(col("richness") > 1, h / log(col("richness").cast("double"))),
+        scale).as("pielou"),
+      round(d, scale).as("simpson"),
+      round(lit(1.0) - d, scale).as("gini_simpson"),
+      round(when(d > 0, lit(1.0) / d), scale).as("inv_simpson"),
+      round(col("_maxc").cast("double") / col("n").cast("double"), scale)
+        .as("berger_parker")): _*)
+  }
+
+  /** Yule–Walker AR(2) fit — the closed-form autoregression off the
+    * first two autocorrelations: `φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²)`,
+    * `φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²)` — and φ₂ IS the lag-2 partial
+    * autocorrelation (the "is there structure BEYOND what lag 1
+    * explains?" number an ACF plot can't show, because ρ₂ ≈ ρ₁² is
+    * exactly what a pure AR(1) produces). `var_ratio = 1 − φ₁ρ₁ − φ₂ρ₂`
+    * is the innovation-variance share left after the fit. Input:
+    * collapsed contiguous series `(t, x)` (the
+    * [[graft.ops.EventAnalytics.autocorrelation]] contract). One row
+    * `(n, rho1, rho2, phi1, phi2, var_ratio)`.
+    *
+    * ρ₁/ρ₂ reuse the ACF estimator's exact-decimal machinery UNROUNDED
+    * (the [[ljungBox]] discipline); the Yule–Walker clearing is pinned
+    * scalar IEEE. Same scale shape as the ACF: one 2-lag self equi-join
+    * over the collapsed series + scalar folds.
+    */
+  def yuleWalkerAr2(series: DataFrame, scale: Int = 6): DataFrame = {
+    val x = graft.Caches.track(
+      series.select(col("t").cast("long").as("t"),
+        col("x").cast("decimal(19,6)").as("_xd")))
+    val tot = x.agg(
+      count(lit(1)).as("n"),
+      sum(col("_xd")).as("_s1"),
+      sum(col("_xd") * col("_xd")).as("_s2"))
+    val lags = explode(array(lit(1L), lit(2L))).as("lag")
+    val paired = x.select(col("t"), col("_xd"), lags)
+      .withColumn("_tk", col("t") + col("lag"))
+      .join(x.select(col("t").as("_tk"), col("_xd").as("_xk")), Seq("_tk"))
+    val perLag = paired.groupBy(col("lag")).agg(
+      count(lit(1)).as("_m"),
+      sum(col("_xd") * col("_xk")).as("_ck"),
+      sum(col("_xd") + col("_xk")).as("_pk"))
+    val n = col("n").cast("double")
+    val s1 = col("_s1").cast("double"); val s2 = col("_s2").cast("double")
+    def r(ck: Column, pk: Column, m: Column) =
+      (n * n * ck.cast("double") - n * s1 * pk.cast("double") +
+        m.cast("double") * s1 * s1) / (n * n * s2 - n * s1 * s1)
+    // conditional 1-row widening (NOT pivot: literal-typed, no value
+    // matching to silently miss)
+    val wide = perLag.agg(
+      sum(when(col("lag") === 1L, col("_ck"))).as("ck1"),
+      sum(when(col("lag") === 1L, col("_pk"))).as("pk1"),
+      sum(when(col("lag") === 1L, col("_m"))).as("m1"),
+      sum(when(col("lag") === 2L, col("_ck"))).as("ck2"),
+      sum(when(col("lag") === 2L, col("_pk"))).as("pk2"),
+      sum(when(col("lag") === 2L, col("_m"))).as("m2"))
+    val den = n * n * s2 - n * s1 * s1
+    val rho1 = r(col("ck1"), col("pk1"), col("m1"))
+    val rho2 = r(col("ck2"), col("pk2"), col("m2"))
+    val oneMr2 = lit(1.0) - rho1 * rho1
+    val phi1 = rho1 * (lit(1.0) - rho2) / oneMr2
+    val phi2 = (rho2 - rho1 * rho1) / oneMr2
+    // the oneMr2 guard itself divides by den, so it must live INSIDE the
+    // den > 0 branch: ANSI mode evaluates a conjunct's operands eagerly
+    // and a flat `den > 0 && oneMr2 > 0` throws DIVIDE_BY_ZERO on a
+    // constant series
+    wide.crossJoin(broadcast(tot))
+      .select(col("n"),
+        round(when(den > 0, rho1), scale).as("rho1"),
+        round(when(den > 0, rho2), scale).as("rho2"),
+        round(when(den > 0, when(oneMr2 > 0, phi1)), scale).as("phi1"),
+        round(when(den > 0, when(oneMr2 > 0, phi2)), scale).as("phi2"),
+        round(when(den > 0, when(oneMr2 > 0,
+          lit(1.0) - phi1 * rho1 - phi2 * rho2)), scale).as("var_ratio"))
+  }
+
+  /** Wald SPRT over an ordered binary stream — "at which event could
+    * this A/B have STOPPED?" Sequential probability ratio test for a
+    * Bernoulli rate, H₀: p = p₀ vs H₁: p = p₁: after t trials with k
+    * successes `LLR_t = k·ln(p₁/p₀) + (t−k)·ln((1−p₁)/(1−p₀))`; accept
+    * H₁ at the first `LLR ≥ logA`, H₀ at the first `LLR ≤ logB`
+    * (Wald's `logA = ln((1−β)/α)`, `logB = ln(β/(1−α))`). One row
+    * `(n, k_total, decision, t_stop, k_stop, llr_stop)` — decision
+    * `continue` with the final state when no boundary was hit. The
+    * honest post-hoc replay: peeking at a fixed-horizon test inflates
+    * α; SPRT's boundaries are what licensed stopping WOULD have been.
+    *
+    * Determinism: the cumulative (t, k) ride the [[runningTotal]]
+    * range-partition prefix-sum in the caller-supplied total order
+    * (`orderCols` must include a unique tie-break); the two log
+    * coefficients are caller-fixed DOUBLE constants (computed once,
+    * embedded as literals — both engines parse the same decimal
+    * string), so every LLR is the same two-term IEEE expression off
+    * exact integers, and the first crossing is an integer argmin.
+    *
+    * Scale shape: one prefix-sum pass + one 1-row crossing fold + an
+    * equi-join back on the (unique) crossing rank. No window.
+    */
+  def sprtBinomial(
+      df: DataFrame,
+      success: Column,
+      orderCols: Seq[Column],
+      l1: Double,
+      l0: Double,
+      logA: Double,
+      logB: Double,
+      scale: Int = 6): DataFrame = {
+    require(logA > 0 && logB < 0, s"need logB < 0 < logA, got [$logB, $logA]")
+    val base = df.select((orderCols :+ success.cast("boolean").as("_s")): _*)
+      .where(col("_s").isNotNull)
+    val (ranked0, grand) = prefixSumsCore(base, orderCols,
+      Seq(lit(1L) -> "_t", when(col("_s"), 1L).otherwise(0L) -> "_k"))
+    val ranked = graft.Caches.track(ranked0)
+    val llr = col("_k").cast("double") * lit(l1) +
+      (col("_t") - col("_k")).cast("double") * lit(l0)
+    val scored = ranked.select(col("_t"), col("_k"), llr.as("_llr"))
+    val firstCross = scored
+      .where(col("_llr") >= lit(logA) || col("_llr") <= lit(logB))
+      .agg(min(col("_t")).as("_tc"))
+    val n = grand("_t"); val k = grand("_k")
+    val finalLlr = k.toDouble * l1 + (n - k).toDouble * l0
+    scored.crossJoin(broadcast(firstCross))
+      .where(col("_t") === col("_tc"))
+      .select(lit(n).as("n"), lit(k).as("k_total"),
+        when(col("_llr") >= lit(logA), lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        col("_t").as("t_stop"), col("_k").as("k_stop"),
+        round(col("_llr"), scale).as("llr_stop"))
+      .union(
+        firstCross.where(col("_tc").isNull)
+          .select(lit(n).as("n"), lit(k).as("k_total"),
+            lit("continue").as("decision"),
+            lit(n).as("t_stop"), lit(k).as("k_stop"),
+            round(lit(finalLlr), scale).as("llr_stop")))
+  }
+
+  /** Moran's I — network autocorrelation: "do connected nodes carry
+    * similar values?" — homophily measured on the VALUE (where
+    * assortativity's degree-correlation asks it of the topology):
+    * `I = (n/W)·(Σ_{(u,v)∈E} z_u z_v) / (Σ_u z_u²)` with `z = x − x̄`
+    * over the nodes and W the DIRECTED edge count (pass both
+    * orientations for an undirected graph — the standard symmetric
+    * weight matrix). Under the null E[I] = −1/(n−1), returned alongside
+    * for reading. One row `(n_nodes, n_edges, morans_i, e_i)`; edges
+    * whose endpoint has no value row drop via the inner joins (and
+    * shrink W with them — document the node frame as the universe).
+    *
+    * Determinism: x̄ from one exact decimal fold; every z is the same
+    * IEEE subtraction; the cross-product and square sums decimal-cast
+    * before summing — order-free; the final ratio pinned.
+    *
+    * Scale shape: one 1-row mean broadcast, two hash joins of edges
+    * against the |nodes| value frame, two 1-row folds. The node values
+    * frame is narrowed + tracked so its scan is shared.
+    */
+  def moransI(
+      edges: DataFrame,
+      values: DataFrame,
+      id: Column,
+      value: Column,
+      scale: Int = 6): DataFrame = {
+    val vals = graft.Caches.track(
+      values.select(id.as("_id"), value.cast("double").as("_v"))
+        .where(col("_id").isNotNull && col("_v").isNotNull))
+    val mean = vals.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("_v").cast("decimal(38,12)")).cast("double") / count(lit(1)))
+        .as("_mu"))
+    val z = vals.crossJoin(broadcast(mean))
+      .select(col("_id"), (col("_v") - col("_mu")).as("_z"))
+    val zTracked = graft.Caches.track(z)
+    val den = zTracked.agg(
+      sum((col("_z") * col("_z")).cast("decimal(38,12)")).as("_den"))
+    val num = edges.select(col("src").as("_su"), col("dst").as("_sv"))
+      .join(zTracked.select(col("_id").as("_su"), col("_z").as("_zu")), Seq("_su"))
+      .join(zTracked.select(col("_id").as("_sv"), col("_z").as("_zv")), Seq("_sv"))
+      .agg(count(lit(1)).as("n_edges"),
+        coalesce(sum((col("_zu") * col("_zv")).cast("decimal(38,12)")),
+          lit(0.0).cast("decimal(38,12)")).as("_num"))
+    mean.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("n_nodes"), col("n_edges"),
+        round(when(col("n_edges") > 0 && col("_den").cast("double") > 0,
+          col("n_nodes").cast("double") / col("n_edges").cast("double") *
+            (col("_num").cast("double") / col("_den").cast("double"))), scale)
+          .as("morans_i"),
+        round(when(col("n_nodes") > 1,
+          lit(-1.0) / (col("n_nodes").cast("double") - 1.0)), scale).as("e_i"))
+  }
+
+  /** Grubbs' test statistic — "is the single most extreme value an
+    * outlier?" `G = max|x − x̄| / s` (sample s, n−1) plus WHICH value it
+    * was — the one-outlier-at-a-time formal complement of
+    * robustOutliers' MAD screen (G has a known null distribution; the
+    * MAD screen is a filter). One row
+    * `(n, mean, sd, g_stat, outlier)`; NULL G where s = 0.
+    *
+    * Determinism: one exact decimal moment fold pins x̄ and s; per-row
+    * |x−x̄| is the same IEEE expression; the witness value is selected
+    * by EQUALITY on the max deviation (same doubles both engines) with
+    * max(value) breaking the symmetric two-sided tie.
+    */
+  def grubbs(df: DataFrame, value: Column, scale: Int = 6): DataFrame = {
+    val base = graft.Caches.track(
+      df.select(value.cast("double").as("_v")).where(col("_v").isNotNull))
+    val vd = col("_v").cast("decimal(18,6)")
+    val mom = base.agg(
+      count(lit(1)).as("n"), sum(vd).as("_s"), sum(vd * vd).as("_q"))
+    val n = col("n").cast("double")
+    val s1 = col("_s").cast("double"); val s2 = col("_q").cast("double")
+    val mu = s1 / n
+    val varS = (n * s2 - s1 * s1) / (n * (n - 1.0))
+    val fit = mom.where(col("n") > 1).select(
+      col("n"), mu.as("_mu"),
+      when(varS > 0, sqrt(varS)).as("_sd"))
+    val dev = base.crossJoin(broadcast(fit))
+      .select(col("n"), col("_mu"), col("_sd"),
+        col("_v"), abs(col("_v") - col("_mu")).as("_ad"))
+    val mx = dev.agg(max(col("_ad")).as("_mx"))
+    dev.crossJoin(broadcast(mx))
+      .where(col("_ad") === col("_mx"))
+      .agg(
+        first(col("n")).as("n"),
+        round(first(col("_mu")), scale).as("mean"),
+        round(first(col("_sd")), scale).as("sd"),
+        round(when(first(col("_sd")).isNotNull,
+          first(col("_mx")) / first(col("_sd"))), scale).as("g_stat"),
+        max(col("_v")).as("outlier"))
+  }
 }

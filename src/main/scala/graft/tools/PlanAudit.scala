@@ -110,7 +110,11 @@ object PlanAudit {
     "q323_gk_gamma",              // |cells|² upper-triangle pair fold (the q252 bounded-matrix class)
     "q324_gk_lambda",             // four one-row margin-extrema crossJoins (scalar-attach class)
     "q327_icc",                   // anovaF's one-row grand-totals crossJoin (the q225 class)
-    "q328_fleiss_kappa"           // one-row Σx²/column-total/dropped-count crossJoins (scalar-attach class)
+    "q328_fleiss_kappa",          // one-row Σx²/column-total/dropped-count crossJoins (scalar-attach class)
+    "q331_yule_walker",           // one-row global-moments crossJoin (the q265/q319 class)
+    "q333_assoc_rules",           // one-row basket-total crossJoin (the q306 class, both rule directions)
+    "q334_morans_i",              // one-row mean/num/den crossJoins (scalar-attach class)
+    "q335_grubbs"                 // one-row fit + max-deviation crossJoins (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -533,6 +533,28 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("associationRules: directed rule card — conviction asymmetric, NULL at conf 1") {
+    import spark.implicits._
+    // baskets {A,B} {A,B} {A,C}: A in 3, B in 2 (C pruned at support 1);
+    // pair (A,B) n_ab=2 over 3 baskets
+    val rows = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"),
+      (3L, "C")).toDF("b", "i")
+    val got = EventAnalytics.associationRules(rows, col("b"), col("i"),
+        minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 2)
+    val ab = got(("A", "B")) // A⇒B: conf 2/3, conviction (1−2/3)/(1−2/3)=1
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 3L && ab.getLong(4) == 2L)
+    assert(ab.getDouble(5) == 0.666667 && ab.getDouble(6) == 0.666667)
+    assert(ab.getDouble(7) == 1.0)      // lift 2·3/(3·2)
+    assert(ab.getDouble(8) == 0.0)      // leverage: independence exactly
+    assert(ab.getDouble(9) == 1.0)      // conviction = 1 (no better than chance)
+    assert(ab.getDouble(10) == 0.666667) // jaccard 2/3
+    val ba = got(("B", "A")) // B⇒A: conf 1 → conviction undefined (NULL)
+    assert(ba.getDouble(6) == 1.0 && ba.isNullAt(9))
+    graft.Caches.clear()
+  }
+
   test("logRankTest: hand hypergeometric O-E/V; symmetric arms z=0; nj<=1 variance guard") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -1898,4 +1898,106 @@ class StatsSpec extends SparkSpec {
     assert(ur.isNullAt(5))
     graft.Caches.clear()
   }
+
+  test("chao1: hand-computed richness off the ragged frequency-table bottom") {
+    import spark.implicits._
+    // counts a×1 b×1 c×2 d×3 → n=7, S=4, f1=2, f2=1 →
+    // chao1 = 4 + 2·1/(2·2) = 4.5, coverage = 1 − 2/7
+    val toks = Seq("a", "b", "c", "c", "d", "d", "d").toDF("k")
+    val r = Stats.chao1(toks, col("k")).collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L &&
+      r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 4.5 && r.getDouble(5) == 0.714286)
+    // no singletons at all → chao1 = S_obs (nothing unseen predicted)
+    val full = Seq("a", "a", "b", "b").toDF("k")
+    val f = Stats.chao1(full, col("k")).collect().head
+    assert(f.getDouble(4) == 2.0 && f.getDouble(5) == 1.0)
+  }
+
+  test("diversityProfile: hand-computed index card; uniform stratum maxes evenness") {
+    import spark.implicits._
+    val df = Seq(("s", "a"), ("s", "a"), ("s", "b"), ("s", "c"),
+      ("u", "x"), ("u", "y")).toDF("g", "k")
+    val got = Stats.diversityProfile(df, col("k"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = got("s")
+    assert(s.getLong(1) == 4L && s.getLong(2) == 3L)
+    assert(s.getDouble(3) == 1.039721 && s.getDouble(4) == 0.946395)
+    assert(s.getDouble(5) == 0.375 && s.getDouble(6) == 0.625)
+    assert(s.getDouble(7) == 2.666667 && s.getDouble(8) == 0.5)
+    // two keys once each: H = ln 2, Pielou exactly 1, BP = 0.5
+    val u = got("u")
+    assert(u.getDouble(4) == 1.0 && u.getDouble(8) == 0.5)
+    graft.Caches.clear()
+  }
+
+  test("yuleWalkerAr2: hand-run closed form; phi2 is the lag-2 PACF") {
+    import spark.implicits._
+    val s = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L).zipWithIndex
+      .map { case (x, t) => (t.toLong, x) }.toDF("t", "x")
+    val r = Stats.yuleWalkerAr2(s).collect().head
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(1) == -0.175236 && r.getDouble(2) == 0.044326)
+    assert(r.getDouble(3) == -0.172774 && r.getDouble(4) == 0.01405)
+    assert(r.getDouble(5) == 0.969101)
+    // constant series → zero-variance denominator → all NULL
+    val c = (0 to 5).map(t => (t.toLong, 4L)).toDF("t", "x")
+    val cr = Stats.yuleWalkerAr2(c).collect().head
+    assert(cr.isNullAt(1) && cr.isNullAt(3))
+    graft.Caches.clear()
+  }
+
+  test("sprtBinomial: success streak crosses the upper bound at the hand-computed step; no crossing → continue") {
+    import spark.implicits._
+    val l1 = 0.6931471805599453; val l0 = -0.11778303565638339
+    val a = 2.9444389791664403
+    // five straight successes: llr = 5·ln2 = 3.4657… first ≥ logA at t=5
+    val df = (1 to 5).map(i => (i.toLong, true)).toDF("ord", "s")
+    val r = Stats.sprtBinomial(df, col("s"), Seq(col("ord")), l1, l0, a, -a)
+      .collect().head
+    assert(r.getLong(0) == 5L && r.getString(2) == "accept_h1")
+    assert(r.getLong(3) == 5L && r.getLong(4) == 5L)
+    assert(r.getDouble(5) == 3.465736)
+    // 30 straight failures cross the LOWER bound at t = 25
+    val f = (1 to 30).map(i => (i.toLong, false)).toDF("ord", "s")
+    val rf = Stats.sprtBinomial(f, col("s"), Seq(col("ord")), l1, l0, a, -a)
+      .collect().head
+    assert(rf.getString(2) == "accept_h0" && rf.getLong(3) == 25L)
+    assert(rf.getDouble(5) == -2.944576)
+    // too few trials to decide → continue with the final state
+    val few = (1 to 3).map(i => (i.toLong, i % 2 == 0)).toDF("ord", "s")
+    val rc = Stats.sprtBinomial(few, col("s"), Seq(col("ord")), l1, l0, a, -a)
+      .collect().head
+    assert(rc.getString(2) == "continue" && rc.getLong(3) == 3L)
+    graft.Caches.clear()
+  }
+
+  test("moransI: homophilous pairs give I = 0.6 on the hand graph; disassortative flips the sign") {
+    import spark.implicits._
+    val vals = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    // neighbors with adjacent values: 1–2, 3–4 (both directions)
+    val e1 = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val r = Stats.moransI(e1, vals, col("id"), col("v")).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.6 && r.getDouble(3) == -0.333333)
+    // extremes wired together: 1–4, 2–3 → negative autocorrelation
+    val e2 = Seq((1L, 4L), (4L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r2 = Stats.moransI(e2, vals, col("id"), col("v")).collect().head
+    assert(r2.getDouble(2) < 0)
+    graft.Caches.clear()
+  }
+
+  test("grubbs: the planted extreme is the witness; hand-computed G") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val r = Stats.grubbs(df, col("v")).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == 22.0 && r.getDouble(2) == 43.617657)
+    assert(r.getDouble(3) == 1.788267 && r.getDouble(4) == 100.0)
+    // symmetric two-sided tie → max(value) wins deterministically
+    val sym = Seq(-5.0, 0.0, 5.0).toDF("v")
+    val sr = Stats.grubbs(sym, col("v")).collect().head
+    assert(sr.getDouble(4) == 5.0)
+    graft.Caches.clear()
+  }
 }
