@@ -2755,6 +2755,65 @@ object SparkEntry {
         .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
     }),
 
+    // ECE/MCE: q176's calibration curve collapsed to the two headline
+    // numbers (count-weighted mean gap + worst bin)
+    "q336_ece" -> ((s, dir) => {
+      val scores = TextAnalysis.hashedNgramScore(T(s, dir, "documents"), hash = activeHash)
+      val labeled = scores.join(
+        T(s, dir, "documents").select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      graft.ops.Stats.expectedCalibrationError(
+        labeled, col("score"), col("y"), bins = 10, tieCol = col("doc_id"))
+    }),
+
+    // power card: could the even/odd-user A/B even SEE a 2-point
+    // purchase-rate lift? (z quantiles as fixed double literals)
+    "q337_power_two_prop" -> ((s, dir) =>
+      graft.ops.Stats.powerTwoProportions(
+        E(s, dir), arm = col("user_id") % 2 === 0,
+        success = col("event_type") === "purchase", targetLift = 0.02)),
+
+    // rich-club coefficient over the q157 supplier co-supply graph:
+    // do the hub suppliers form their own dense club?
+    "q338_rich_club" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+      val proj = graft.graph.GraphQueries.bipartiteProject(li, minShared = 150L)
+      val edges = proj.select(col("a").as("src"), col("b").as("dst"))
+        .union(proj.select(col("b").as("src"), col("a").as("dst")))
+      graft.graph.GraphQueries.richClub(edges, ks = Seq(1L, 2L, 4L, 8L, 16L))
+    }),
+
+    // RMST at a 20-day horizon over q219's censored retention spans:
+    // how many of the next 20 days does the average user stay active?
+    "q339_rmst" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val u = days.groupBy(col("user_id")).agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"))
+      val obs = u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
+        .select((col("_ld") - col("_fd")).as("dur"),
+          (col("_ld") <= col("_md") - 3).as("ev"))
+      graft.ops.EventAnalytics.rmst(obs, col("dur"), col("ev"), tau = 20L)
+    }),
+
+    // Page's trend: does per-user activity DECAY monotonically across
+    // the three observation-window thirds? (the ordered alternative
+    // q313's Friedman can't privilege)
+    "q340_page_trend" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val m0 = days.agg(min(col("day")).as("_m0"))
+      val per = days.crossJoin(broadcast(m0))
+        .select(col("user_id"),
+          expr("least((day - _m0) div 10, 2)").as("period"))
+        .groupBy(col("user_id"), col("period")).agg(count(lit(1)).as("cnt"))
+      val grid = per.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(array(lit(0L), lit(1L), lit(2L))).as("period"))
+      val dense = grid.join(per, Seq("user_id", "period"), "left")
+        .select(col("user_id"), col("period"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      graft.ops.Stats.pageTrend(dense, block = col("user_id"),
+        dose = col("period"), value = col("cnt"))
+    }),
+
     // Chao1: how many distinct tokens does the POPULATION hold, given
     // the raggedness of this sample's frequency-table bottom?
     "q329_chao1" -> ((s, dir) => {
@@ -9715,6 +9774,187 @@ object SparkEntry {
         |            / fit.sxxc))) END, 6) AS cooks_d
         |FROM d, fit
         |ORDER BY cooks_d DESC, id LIMIT 20""".stripMargin,
+
+    // q336: q176's score/label frame → the same asc (score, id) ntile
+    // deciles → weighted-gap fold (decimal-re-summed) + max gap
+    "q336_ece" ->
+      s"""WITH scored AS (
+         |${ngramClassifierOracle}
+         |), lab AS (
+         |  SELECT s.doc_id, s.score,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |), b AS (
+         |  SELECT CAST(ntile(10) OVER (ORDER BY score, doc_id) - 1 AS BIGINT) AS bin,
+         |    score, y
+         |  FROM lab
+         |), g AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+         |    sum(CAST(score AS DECIMAL(38,12))) AS ss,
+         |    CAST(sum(y) AS BIGINT) AS sy
+         |  FROM b GROUP BY 1
+         |), t AS (
+         |  SELECT nb,
+         |    abs(CAST(ss AS DOUBLE) / nb - CAST(sy AS DOUBLE) / nb) AS gap
+         |  FROM g)
+         |SELECT CAST(count(*) AS BIGINT) AS bins_used,
+         |  CAST(sum(nb) AS BIGINT) AS n,
+         |  round(CASE WHEN sum(nb) > 0
+         |    THEN CAST(sum(CAST(CAST(nb AS DOUBLE) * gap AS DECIMAL(38,12))) AS DOUBLE)
+         |      / CAST(sum(nb) AS DOUBLE) END, 6) AS ece,
+         |  round(max(gap), 6) AS mce
+         |FROM t""".stripMargin,
+
+    // q337: exact arm counts; MDE and required-n in pinned IEEE off the
+    // SAME fixed z-sum double literal both engines parse
+    "q337_power_two_prop" ->
+      """WITH d AS (
+        |  SELECT (user_id % 2 = 0) AS a, (event_type = 'purchase') AS y FROM events
+        |), m AS (
+        |  SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM d
+        |), g AS (
+        |  SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(k AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p
+        |  FROM m)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_a + n_b > 0 THEN p END, 6) AS p_pool,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN 2.8015852181129683
+        |      * sqrt(2.0 * p * (1.0 - p) / (2.0 * na * nb / (na + nb))) END, 6)
+        |    AS mde_abs,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN CASE WHEN p > 0
+        |    THEN 2.8015852181129683
+        |      * sqrt(2.0 * p * (1.0 - p) / (2.0 * na * nb / (na + nb))) / p
+        |    END END, 6) AS mde_rel,
+        |  CASE WHEN n_a + n_b > 0
+        |    THEN CAST(ceil(2.0 * p * (1.0 - p)
+        |      * (2.8015852181129683 / 0.02) * (2.8015852181129683 / 0.02))
+        |      AS BIGINT) END AS n_req_per_arm
+        |FROM g""".stripMargin,
+
+    // q338: q157's projection; exact club sizes/edge counts per k off
+    // one degree frame; ordered-pair φ
+    "q338_rich_club" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS l, CAST(l_partkey AS BIGINT) AS r
+        |  FROM lineitem
+        |), pe AS (
+        |  SELECT x.l AS a, y.l AS b
+        |  FROM e x JOIN e y ON x.r = y.r AND x.l < y.l
+        |  GROUP BY 1, 2 HAVING count(*) >= 150
+        |), bi AS (
+        |  SELECT a AS u, b AS v FROM pe UNION ALL SELECT b, a FROM pe
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY 1
+        |), ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS k),
+        |cn AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM deg, ks WHERE deg > k GROUP BY 1
+        |), wd AS (
+        |  SELECT du.deg AS d1, dv.deg AS d2
+        |  FROM bi JOIN deg du ON du.u = bi.u JOIN deg dv ON dv.u = bi.v
+        |), ce AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+        |  FROM wd, ks WHERE d1 > k AND d2 > k GROUP BY 1)
+        |SELECT cn.k, cn.n_nodes,
+        |  CAST(coalesce(ce.n_edges, 0) AS BIGINT) AS n_edges,
+        |  round(CASE WHEN cn.n_nodes > 1
+        |    THEN CAST(coalesce(ce.n_edges, 0) AS DOUBLE)
+        |      / CAST(cn.n_nodes * (cn.n_nodes - 1) AS DOUBLE) END, 6) AS phi
+        |FROM cn LEFT JOIN ce ON ce.k = cn.k""".stripMargin,
+
+    // q339: q219's recursive-CTE KM replay; lag segments over the
+    // ROUNDED curve + the tail carried to the horizon
+    "q339_rmst" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |mx AS (SELECT max(ld) AS md FROM u),
+        |obs AS (SELECT ld - fd AS t, (ld <= mx.md - 3) AS ev FROM u, mx),
+        |g AS (
+        |  SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1
+        |), r AS (
+        |  SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+        |    CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior,
+        |    CAST(sum(d + c) OVER () AS BIGINT) AS nt
+        |  FROM g
+        |), k AS (
+        |  SELECT rn, t, nt - prior AS n_risk, d, c,
+        |    CAST(1.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / (nt - prior)) AS s
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.t, r.nt - r.prior, r.d, r.c,
+        |    k.s * (CAST(1.0 AS DOUBLE) - CAST(r.d AS DOUBLE) / (r.nt - r.prior))
+        |  FROM k JOIN r ON r.rn = k.rn + 1
+        |), nn AS (SELECT CAST(max(n_risk) AS BIGINT) AS n FROM k),
+        |cr AS (SELECT t, round(s, 6) AS survival FROM k WHERE t <= 20),
+        |seg AS (
+        |  SELECT t, survival,
+        |    coalesce(lag(t) OVER (ORDER BY t), 0) AS tp,
+        |    coalesce(lag(survival) OVER (ORDER BY t), 1.0) AS sp
+        |  FROM cr
+        |), area AS (
+        |  SELECT
+        |    coalesce(sum(CAST(sp * CAST(t - tp AS DOUBLE) AS DECIMAL(38,12))),
+        |      CAST(0.0 AS DECIMAL(38,12))) AS a,
+        |    coalesce(arg_max(survival, t), 1.0) AS slast,
+        |    coalesce(max(t), 0) AS tlast
+        |  FROM seg)
+        |SELECT CAST(20 AS BIGINT) AS tau, nn.n,
+        |  round(CAST(area.a AS DOUBLE)
+        |    + area.slast * CAST(20 - area.tlast AS DOUBLE), 6) AS rmst
+        |FROM nn, area""".stripMargin,
+
+    // q340: dense user×period grid → q313's doubled midranks → dose-
+    // ranked L fold on the integer grid → pinned z
+    "q340_page_trend" ->
+      """WITH days AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), m0 AS (SELECT min(day) AS m0 FROM days),
+        |per AS (
+        |  SELECT user_id, least((day - m0.m0) // 10, 2) AS period,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM days, m0 GROUP BY 1, 2
+        |), users AS (SELECT DISTINCT user_id FROM per),
+        |grid AS (SELECT user_id, unnest(range(0, 3)) AS period FROM users),
+        |dense AS (
+        |  SELECT grid.user_id, grid.period,
+        |    CAST(coalesce(per.cnt, 0) AS BIGINT) AS cnt
+        |  FROM grid LEFT JOIN per
+        |    ON per.user_id = grid.user_id AND per.period = grid.period
+        |), ranked AS (
+        |  SELECT user_id, period, cnt,
+        |    2 * rank() OVER (PARTITION BY user_id ORDER BY cnt)
+        |      + count(*) OVER (PARTITION BY user_id, cnt) - 1 AS r2
+        |  FROM dense
+        |), pt AS (
+        |  SELECT period, sum(CAST(r2 AS HUGEINT)) AS rj2 FROM ranked GROUP BY 1
+        |), wc AS (
+        |  SELECT period, rj2, row_number() OVER (ORDER BY period) AS c FROM pt
+        |), tot AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS b,
+        |    CAST(count(DISTINCT period) AS BIGINT) AS k
+        |  FROM ranked
+        |), l2 AS (
+        |  SELECT coalesce(sum(CAST(c AS HUGEINT) * rj2), 0) AS l2 FROM wc
+        |), f AS (
+        |  SELECT tot.b, tot.k, CAST(tot.b AS DOUBLE) AS bd, CAST(tot.k AS DOUBLE) AS kd,
+        |    CAST(l2.l2 AS DOUBLE) / 2.0 AS lstat
+        |  FROM tot, l2)
+        |SELECT b AS b_blocks, k AS k_treatments,
+        |  round(lstat, 6) AS l_stat,
+        |  round(CASE WHEN b > 0 AND k > 1 THEN
+        |    CASE WHEN bd * kd * kd * (kd + 1.0) * (kd * kd - 1.0) / 144.0 > 0 THEN
+        |      (lstat - bd * kd * (kd + 1.0) * (kd + 1.0) / 4.0)
+        |        / sqrt(bd * kd * kd * (kd + 1.0) * (kd * kd - 1.0) / 144.0)
+        |    END END, 6) AS z
+        |FROM f""".stripMargin,
 
     // q329: q286's token-count frame → frequency-of-frequency margins →
     // the bias-corrected Chao1 and Good's coverage in pinned doubles

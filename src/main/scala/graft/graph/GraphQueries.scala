@@ -2218,4 +2218,49 @@ object GraphQueries {
     if (forest == null) emptyForest
     else forest.select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
   }
+
+  /** Rich-club coefficient over a degree grid — "do the hubs form their
+    * own dense club?" For each threshold k,
+    * `φ(k) = E_{>k} / (N_{>k}·(N_{>k}−1))` over the DIRECTED edge frame
+    * (pass both orientations for an undirected graph: numerator and
+    * denominator then both count ordered pairs, so φ ∈ [0,1] and the
+    * undirected textbook value falls out exactly). Rising φ(k) with
+    * assortative hubs is the "rich club" signature
+    * ([[reciprocity]]/assortativity's structural cousin one level up).
+    * Returns one row per k in `ks`: `(k, n_nodes, n_edges, phi)`;
+    * φ NULL where the club has < 2 members.
+    *
+    * Exact integers end to end (degrees, club sizes, club edge counts);
+    * one pinned division per row. Scale shape: one degree aggregation,
+    * one |ks|-literal explode over the |nodes| frame and one over the
+    * edge frame (|ks| is a handful — the fan-out is bounded), one
+    * |ks|-row join. No window, no quadratic anything.
+    */
+  def richClub(edges: DataFrame, ks: Seq[Long], scale: Int = 6): DataFrame = {
+    require(ks.nonEmpty, "richClub needs at least one degree threshold")
+    val e = graft.Caches.track(
+      edges.select(col(EdgeColumns.Src).cast("long").as("src"),
+          col(EdgeColumns.Dst).cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val deg = graft.Caches.track(
+      e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg")))
+    val kCol = explode(array(ks.map(lit): _*)).as("k")
+    val clubN = deg.select(col("deg"), kCol)
+      .where(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val withDegs = e
+      .join(deg.select(col("v").as("src"), col("deg").as("_du")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("deg").as("_dv")), Seq("dst"))
+    val clubE = withDegs.select(col("_du"), col("_dv"), kCol)
+      .where(col("_du") > col("k") && col("_dv") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    clubN.join(clubE, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        round(when(col("n_nodes") > 1,
+          coalesce(col("n_edges"), lit(0L)).cast("double") /
+            (col("n_nodes") * (col("n_nodes") - 1)).cast("double")), scale)
+          .as("phi"))
+  }
 }

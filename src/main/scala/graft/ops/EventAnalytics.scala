@@ -929,6 +929,52 @@ object EventAnalytics {
         round(col("_s"), scale).as("survival"))
   }
 
+  /** Restricted mean survival time — the AREA under the [[kaplanMeier]]
+    * curve up to a pre-specified horizon τ: "how many of the next τ days
+    * does the average subject survive?" — the effect-size reading of a
+    * survival curve that median-survival can't give when the curve never
+    * crosses 0.5 (low churn) and a hazard ratio can't give without the
+    * proportional-hazards leap of faith.
+    * `RMST = Σᵢ S(tᵢ₋₁)·(tᵢ − tᵢ₋₁) + S(t_last)·(τ − t_last)` over event
+    * times ≤ τ, with S = 1 before the first. One row `(tau, n, rmst)`.
+    *
+    * Determinism: rides the KM curve's ROUNDED survival values (the
+    * curve is the published artifact — an area off unrounded internals
+    * would disagree with integrating the curve a reader sees); segment
+    * widths are exact longs; the products decimal-cast before the fold.
+    *
+    * Scale shape: [[kaplanMeier]]'s collapse-first discipline; the lag
+    * window runs over the ≤|distinct durations| collapsed curve (the
+    * bounded-window allowlist class).
+    */
+  def rmst(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      tau: Long,
+      scale: Int = 6): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    val curve = graft.Caches.track(kaplanMeier(df, duration, event, scale))
+    val n = curve.agg(coalesce(max(col("n_risk")), lit(0L)).as("n"))
+    val cr = curve.select(col("t"), col("survival")).where(col("t") <= tau)
+    val w = Window.orderBy(col("t"))
+    val seg = cr
+      .withColumn("_tp", coalesce(lag(col("t"), 1).over(w), lit(0L)))
+      .withColumn("_sp", coalesce(lag(col("survival"), 1).over(w), lit(1.0)))
+    val area = seg.agg(
+      coalesce(sum((col("_sp") * (col("t") - col("_tp")).cast("double"))
+        .cast("decimal(38,12)")), lit(0.0).cast("decimal(38,12)")).as("_a"),
+      // the tail segment: the LAST pre-τ state carries to the horizon
+      coalesce(max(struct(col("t"), col("survival"))).getField("survival"),
+        lit(1.0)).as("_sLast"),
+      coalesce(max(col("t")), lit(0L)).as("_tLast"))
+    n.crossJoin(broadcast(area))
+      .select(lit(tau).as("tau"), col("n"),
+        round(col("_a").cast("double") +
+          col("_sLast") * (lit(tau) - col("_tLast")).cast("double"), scale)
+          .as("rmst"))
+  }
+
   /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive twin:
     * instead of the survival product `Π(1 − dᵢ/nᵢ)` it accumulates the
     * hazard SUM `H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ`, the estimator whose slope is

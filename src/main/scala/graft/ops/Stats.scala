@@ -4726,6 +4726,162 @@ object Stats {
           lit(-1.0) / (col("n_nodes").cast("double") - 1.0)), scale).as("e_i"))
   }
 
+  /** Expected / maximum calibration error — [[calibrationCurve]]'s
+    * per-bin gaps collapsed to the two headline numbers:
+    * `ECE = Σ_b (n_b/n)·|conf_b − acc_b|` (the count-weighted average
+    * gap — what "the model is 3 points overconfident" means) and
+    * `MCE = max_b |conf_b − acc_b|` (the worst bin — what the risk
+    * reviewer asks for). Same equal-count `(score, tie)` ntile bins as
+    * the curve. One row `(bins_used, n, ece, mce)`.
+    *
+    * Determinism: per-bin sums are exact (decimal score mass, integer
+    * positives); conf/acc and each gap are pinned IEEE; the weighted
+    * terms are decimal-re-summed (order-free) and MCE is a max (order-
+    * free by construction). Uses the UNROUNDED bin stats — reading the
+    * curve's rounded outputs would shift ECE by up to 5e-7·bins.
+    *
+    * Scale shape: [[globalNtile]]'s prefix-sum rank, one ≤bins
+    * partial-agg fold, one 1-row reduction.
+    */
+  def expectedCalibrationError(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int,
+      tieCol: Column,
+      scale: Int = 6): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val slim = graft.Caches.track(
+      df.select(score.as("_s"), label.cast("int").as("_y"), tieCol.as("_t"))
+        .where(col("_s").isNotNull && col("_y").isNotNull))
+    val binned = ntileBins(slim, bins, Seq(col("_s"), col("_t")))
+    val perBin = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("_nb"),
+      sum(col("_s").cast("decimal(38,12)")).as("_ss"),
+      sum(col("_y")).as("_sy"))
+    val conf = col("_ss").cast("double") / col("_nb")
+    val acc = col("_sy").cast("double") / col("_nb")
+    val gap = abs(conf - acc)
+    perBin
+      .agg(
+        count(lit(1)).as("bins_used"),
+        sum(col("_nb")).as("n"),
+        sum((col("_nb").cast("double") * gap).cast("decimal(38,12)")).as("_w"),
+        max(gap).as("_mce"))
+      .select(col("bins_used"), col("n"),
+        round(when(col("n") > 0, col("_w").cast("double") / col("n").cast("double")),
+          scale).as("ece"),
+        round(col("_mce"), scale).as("mce"))
+  }
+
+  /** Two-proportion power card — "could this A/B even SEE the lift we
+    * care about?" From the observed arm sizes and pooled rate:
+    * `MDE = (z_α + z_β)·√(2p̄(1−p̄)/n_harm)` (the smallest absolute lift
+    * detectable at the given α/power, with `n_harm` the harmonic
+    * per-arm n — exact under unequal arms) and the required per-arm n
+    * for the caller's `targetLift`:
+    * `n_req = 2p̄(1−p̄)·((z_α+z_β)/Δ)²` (rounded UP). The pre-test
+    * honesty check every underpowered "no significant difference"
+    * readout needs. One row
+    * `(n_a, n_b, p_pool, mde_abs, mde_rel, n_req_per_arm)`.
+    *
+    * The z quantiles are CALLER-FIXED double literals (no Φ⁻¹ in either
+    * engine — both parse the same decimal strings; defaults are
+    * two-sided α = 0.05, power = 0.80). One conditional-sum scan;
+    * all closed forms pinned IEEE off exact integers.
+    */
+  def powerTwoProportions(
+      df: DataFrame,
+      arm: Column,
+      success: Column,
+      targetLift: Double,
+      zAlpha: Double = 1.959963984540054,
+      zBeta: Double = 0.8416212335729143,
+      scale: Int = 6): DataFrame = {
+    require(targetLift > 0, s"targetLift must be > 0, got $targetLift")
+    val d = df.select(arm.cast("boolean").as("_a"), success.cast("boolean").as("_y"))
+      .where(col("_a").isNotNull && col("_y").isNotNull)
+    val m = d.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_y"), 1L).otherwise(0L)).as("_k"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val p = col("_k").cast("double") / (na + nb)
+    val nHarm = lit(2.0) * na * nb / (na + nb)
+    val z = lit(zAlpha + zBeta)
+    val mde = z * sqrt(lit(2.0) * p * (lit(1.0) - p) / nHarm)
+    m.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") + col("n_b") > 0, p), scale).as("p_pool"),
+      round(when(col("n_a") > 0 && col("n_b") > 0, mde), scale).as("mde_abs"),
+      round(when(col("n_a") > 0 && col("n_b") > 0, when(p > 0, mde / p)), scale)
+        .as("mde_rel"),
+      when(col("n_a") + col("n_b") > 0,
+        ceil(lit(2.0) * p * (lit(1.0) - p) *
+          (z / lit(targetLift)) * (z / lit(targetLift))).cast("long"))
+        .as("n_req_per_arm"))
+  }
+
+  /** Page's trend test — the ORDERED alternative in the
+    * [[friedmanTest]] design: with treatments carrying a pre-specified
+    * dose order (period 1 < period 2 < …), `L = Σ_j c_j·R_j` (c_j the
+    * dose rank, R_j the within-block rank sums) is maximal when every
+    * block sorts the same way — strictly more powerful than Friedman's
+    * any-difference χ² when the hypothesis IS monotone (activity decays,
+    * dose escalates). Normal approximation
+    * `z = (L − b·k(k+1)²/4) / √(b·k²(k+1)(k²−1)/144)` (the classic
+    * no-tie variance; midrank ties make it mildly conservative —
+    * documented, standard practice). Complete blocks only (the Friedman
+    * contract). One row `(b_blocks, k_treatments, l_stat, z)`.
+    *
+    * Determinism: doubled midranks keep every rank integer
+    * ([[friedmanTest]]'s trick), the dose ranks are exact integers from
+    * the ≤k-row treatment frame, L folds on the decimal grid, and only
+    * the final z is IEEE in pinned order.
+    */
+  def pageTrend(
+      df: DataFrame,
+      block: Column,
+      dose: Column,
+      value: Column,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(block.as("_b"), dose.cast("double").as("_t"), value.as("_v"))
+      .where(col("_b").isNotNull && col("_t").isNotNull && col("_v").isNotNull)
+    val kRow = base.agg(countDistinct(col("_t")).as("_k"))
+    val blockOk = base.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_rows"), countDistinct(col("_t")).as("_kt"))
+      .crossJoin(broadcast(kRow))
+      .where(col("_rows") === col("_k") && col("_kt") === col("_k"))
+      .select(col("_b"), col("_k"))
+    val kept = base.join(blockOk, Seq("_b"))
+    val wRank = Window.partitionBy(col("_b")).orderBy(col("_v"))
+    val wTie = Window.partitionBy(col("_b"), col("_v"))
+    val ranked = graft.Caches.track(
+      kept.withColumn("_r2",
+        lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - lit(1L)))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perTreat = ranked.groupBy(col("_t")).agg(sum(dec(col("_r2"))).as("_rj2"))
+    // dose rank 1..k over the ≤k-row treatment frame — the one window
+    // class allowed to stay unpartitioned (bounded by construction)
+    val wDose = Window.orderBy(col("_t"))
+    val withC = perTreat.withColumn("_c", row_number().over(wDose).cast("long"))
+    val tot = ranked.agg(
+      countDistinct(col("_b")).as("b_blocks"),
+      first(col("_k")).as("k_treatments"))
+    val l2 = withC.agg(
+      coalesce(sum(dec(col("_c")) * col("_rj2")), dec(lit(0L))).as("_l2"))
+    val b = col("b_blocks").cast("double")
+    val k = col("k_treatments").cast("double")
+    val lStat = col("_l2").cast("double") / 2.0
+    val e = b * k * (k + 1.0) * (k + 1.0) / 4.0
+    val v = b * k * k * (k + 1.0) * (k * k - 1.0) / 144.0
+    tot.crossJoin(broadcast(l2))
+      .select(col("b_blocks"), col("k_treatments"),
+        round(lStat, scale).as("l_stat"),
+        round(when(col("b_blocks") > 0 && col("k_treatments") > 1,
+          when(v > 0, (lStat - e) / sqrt(v))), scale).as("z"))
+  }
+
   /** Grubbs' test statistic — "is the single most extreme value an
     * outlier?" `G = max|x − x̄| / s` (sample s, n−1) plus WHICH value it
     * was — the one-outlier-at-a-time formal complement of

@@ -114,7 +114,9 @@ object PlanAudit {
     "q331_yule_walker",           // one-row global-moments crossJoin (the q265/q319 class)
     "q333_assoc_rules",           // one-row basket-total crossJoin (the q306 class, both rule directions)
     "q334_morans_i",              // one-row mean/num/den crossJoins (scalar-attach class)
-    "q335_grubbs"                 // one-row fit + max-deviation crossJoins (scalar-attach class)
+    "q335_grubbs",                // one-row fit + max-deviation crossJoins (scalar-attach class)
+    "q339_rmst",                  // one-row n/area crossJoins (scalar-attach class)
+    "q340_page_trend"             // one-row k / L-fold crossJoins (the q313 class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -144,7 +146,9 @@ object PlanAudit {
     "q274_runs_test",      // median rank pick + run lag over the ≤|buckets| collapsed series
     "q279_rrf_fusion",     // per-system rank over the ≤topK TakeOrdered survivor frames
     "q307_logrank",        // at-risk/total cumulatives over the ≤|distinct durations| collapsed axis (the q264 class)
-    "q309_isotonic"        // monotonicity lag over the ≤bins LocalTableScan curve (the gate face)
+    "q309_isotonic",       // monotonicity lag over the ≤bins LocalTableScan curve (the gate face)
+    "q339_rmst",           // lag segments over the ≤|distinct durations| collapsed KM curve (the q264 class)
+    "q340_page_trend"      // dose rank over the ≤k-row treatment frame (bounded by construction)
   )
 
   /** Queries whose RESULT frame is a driver-local table (LocalTableScan —

@@ -749,4 +749,20 @@ class IvfSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
   }
 
+  test("richClub: triangle + pendant — the hub club is fully dense; singleton club is NULL") {
+    import spark.implicits._
+    // triangle 1-2-3 (deg 2,2,3 with pendant 4-1): at k=1 the club is
+    // {1,2,3} with all 6 ordered edges present → φ = 1; at k=2 only
+    // node 1 qualifies → NULL
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphQueries.richClub(edges, ks = Seq(1L, 2L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val k1 = got(1L)
+    assert(k1.getLong(1) == 3L && k1.getLong(2) == 6L && k1.getDouble(3) == 1.0)
+    val k2 = got(2L)
+    assert(k2.getLong(1) == 1L && k2.getLong(2) == 0L && k2.isNullAt(3))
+    graft.Caches.clear()
+  }
+
 }

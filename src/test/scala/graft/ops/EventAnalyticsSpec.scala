@@ -555,6 +555,22 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("rmst: hand area under the KM steps; horizon before any event gives tau") {
+    import spark.implicits._
+    // (1, event), (3, censored): S = 1 on [0,1), 0.5 from t=1 on →
+    // area to τ=5: 1·1 + 0.5·2 + 0.5·2 = 3
+    val obs = Seq((1L, true), (3L, false)).toDF("dur", "ev")
+    val r = EventAnalytics.rmst(obs, col("dur"), col("ev"), tau = 5L)
+      .collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getDouble(2) == 3.0)
+    // every observation beyond the horizon → S = 1 throughout → RMST = τ
+    val far = Seq((9L, true), (8L, false)).toDF("dur", "ev")
+    val f = EventAnalytics.rmst(far, col("dur"), col("ev"), tau = 5L)
+      .collect().head
+    assert(f.getDouble(2) == 5.0)
+    graft.Caches.clear()
+  }
+
   test("logRankTest: hand hypergeometric O-E/V; symmetric arms z=0; nj<=1 variance guard") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

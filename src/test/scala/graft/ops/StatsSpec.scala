@@ -1987,6 +1987,59 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("expectedCalibrationError: hand-computed weighted gap and worst bin") {
+    import spark.implicits._
+    // 2 bins of 2: (conf .15, acc 0) and (conf .85, acc .5) →
+    // ECE = (2·.15 + 2·.35)/4 = 0.25, MCE = 0.35
+    val df = Seq((1L, 0.1, false), (2L, 0.2, false), (3L, 0.8, true),
+      (4L, 0.9, false)).toDF("id", "s", "y")
+    val r = Stats.expectedCalibrationError(df, col("s"), col("y"), bins = 2,
+      tieCol = col("id")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.25 && r.getDouble(3) == 0.35)
+    // perfectly calibrated constant scorer: conf = acc in every bin
+    val cal = Seq((1L, 0.5, true), (2L, 0.5, false), (3L, 0.5, true),
+      (4L, 0.5, false)).toDF("id", "s", "y")
+    val c = Stats.expectedCalibrationError(cal, col("s"), col("y"), bins = 2,
+      tieCol = col("id")).collect().head
+    assert(c.getDouble(2) == 0.0 && c.getDouble(3) == 0.0)
+    graft.Caches.clear()
+  }
+
+  test("powerTwoProportions: hand MDE at p=0.1, balanced 100/100 arms") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (true, i <= 10)) ++
+      (1 to 100).map(i => (false, i <= 10))
+    val r = Stats.powerTwoProportions(rows.toDF("a", "y"), col("a"), col("y"),
+      targetLift = 0.02).collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 0.1)
+    assert(r.getDouble(3) == 0.118861 && r.getDouble(4) == 1.188612)
+    assert(r.getLong(5) == 3532L)
+    // empty arm → MDE undefined, pooled rate still reported
+    val one = Seq((true, true), (true, false)).toDF("a", "y")
+    val o = Stats.powerTwoProportions(one, col("a"), col("y"), targetLift = 0.02)
+      .collect().head
+    assert(o.isNullAt(3) && o.getDouble(2) == 0.5)
+  }
+
+  test("pageTrend: perfectly monotone blocks hit the hand-computed L and z") {
+    import spark.implicits._
+    // two users, values rise with the dose: L₂ = Σc·R₂ = 56 → L = 28;
+    // E = 24, V = b·k²(k+1)(k²−1)/144 = 4 → z = 2
+    val df = Seq((1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L),
+      (2L, 0L, 1L), (2L, 1L, 2L), (2L, 2L, 3L)).toDF("u", "p", "v")
+    val r = Stats.pageTrend(df, col("u"), col("p"), col("v")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 28.0 && r.getDouble(3) == 2.0)
+    // reversed order flips the sign symmetrically
+    val rev = Seq((1L, 0L, 3L), (1L, 1L, 2L), (1L, 2L, 1L),
+      (2L, 0L, 3L), (2L, 1L, 2L), (2L, 2L, 1L)).toDF("u", "p", "v")
+    val rr = Stats.pageTrend(rev, col("u"), col("p"), col("v")).collect().head
+    assert(rr.getDouble(2) == 20.0 && rr.getDouble(3) == -2.0)
+    graft.Caches.clear()
+  }
+
   test("grubbs: the planted extreme is the witness; hand-computed G") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
