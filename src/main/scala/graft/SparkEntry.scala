@@ -2755,6 +2755,46 @@ object SparkEntry {
         .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
     }),
 
+    // Jonckheere–Terpstra: do quantities RISE with the line number?
+    // (the ordered question q323's γ describes but doesn't test)
+    "q341_jonckheere" -> ((s, dir) =>
+      graft.ops.Stats.jonckheereTerpstra(
+        T(s, dir, "lineitem"), group = col("l_linenumber"),
+        value = col("l_quantity"))),
+
+    // forecast-error card: does the lag-7 weekly naive beat "same as
+    // yesterday" on daily volume? (U₂ < 1 = the seasonality is real)
+    "q342_forecast_errors" -> ((s, dir) =>
+      graft.ops.Stats.forecastErrors(dailySeries(s, dir), season = 7)),
+
+    // Bland–Altman: order total vs the tax-free lineitem reconstruction
+    // — the bias IS the tax mass, and the limits bound it
+    "q343_bland_altman" -> ((s, dir) => {
+      val est = T(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,12)")).cast("double").as("est"))
+      val paired = T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .join(est, col("o_orderkey") === col("l_orderkey"))
+      graft.ops.Stats.blandAltman(paired, x = col("o_totalprice"), y = col("est"))
+    }),
+
+    // Lin's CCC on the same pair: r is near 1, but the tax-shift bias
+    // factor drags concordance down — exactly the distinction CCC makes
+    "q344_lin_ccc" -> ((s, dir) => {
+      val est = T(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,12)")).cast("double").as("est"))
+      val paired = T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .join(est, col("o_orderkey") === col("l_orderkey"))
+      graft.ops.Stats.linCcc(paired, x = col("o_totalprice"), y = col("est"))
+    }),
+
+    // Deming (orthogonal) fit of retail price on size: the
+    // errors-in-both-variables line next to q321's OLS
+    "q345_deming" -> ((s, dir) =>
+      graft.ops.Stats.demingFit(
+        T(s, dir, "part"), x = col("p_size"), y = col("p_retailprice"))),
+
     // ECE/MCE: q176's calibration curve collapsed to the two headline
     // numbers (count-weighted mean gap + worst bin)
     "q336_ece" -> ((s, dir) => {
@@ -9774,6 +9814,202 @@ object SparkEntry {
         |            / fit.sxxc))) END, 6) AS cooks_d
         |FROM d, fit
         |ORDER BY cooks_d DESC, id LIMIT 20""".stripMargin,
+
+    // q341: (group, value) cells → doubled pair fold over the strict
+    // group-ordered triangle → tie-corrected three-term variance
+    "q341_jonckheere" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_linenumber AS DOUBLE) AS g, CAST(l_quantity AS DOUBLE) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2
+        |), jt2 AS (
+        |  SELECT coalesce(sum(CASE WHEN b.v > a.v THEN 2 * CAST(a.c AS HUGEINT) * b.c
+        |                           WHEN b.v = a.v THEN CAST(a.c AS HUGEINT) * b.c
+        |                      END), 0) AS jt2
+        |  FROM cells a JOIN cells b ON b.g > a.g
+        |), gm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_groups, CAST(sum(nn) AS BIGINT) AS n,
+        |    sum(CAST(nn AS HUGEINT) * nn) AS sn2,
+        |    sum(CAST(nn AS HUGEINT) * (nn - 1) * (2 * nn + 5)) AS sn25,
+        |    sum(CAST(nn AS HUGEINT) * (nn - 1)) AS sn1,
+        |    sum(CAST(nn AS HUGEINT) * (nn - 1) * (nn - 2)) AS sn12
+        |  FROM (SELECT g, CAST(sum(c) AS BIGINT) AS nn FROM cells GROUP BY 1)
+        |), vm AS (
+        |  SELECT
+        |    sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS st25,
+        |    sum(CAST(t AS HUGEINT) * (t - 1)) AS st1,
+        |    sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS st12
+        |  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1)
+        |), f AS (
+        |  SELECT k_groups, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+        |    CAST(sn2 AS DOUBLE) AS sn2, CAST(sn25 AS DOUBLE) AS sn25,
+        |    CAST(sn1 AS DOUBLE) AS sn1, CAST(sn12 AS DOUBLE) AS sn12,
+        |    CAST(st25 AS DOUBLE) AS st25, CAST(st1 AS DOUBLE) AS st1,
+        |    CAST(st12 AS DOUBLE) AS st12
+        |  FROM gm, vm, jt2
+        |), g2 AS (
+        |  SELECT k_groups, n, jt,
+        |    (nd * nd - sn2) / 4.0 AS e,
+        |    (nd * (nd - 1.0) * (2.0 * nd + 5.0) - sn25 - st25) / 72.0
+        |      + sn12 * st12 / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+        |      + sn1 * st1 / (8.0 * nd * (nd - 1.0)) AS v
+        |  FROM f WHERE n > 2)
+        |SELECT k_groups, n, round(jt, 6) AS jt,
+        |  round(CASE WHEN v > 0 THEN (jt - e) / sqrt(v) END, 6) AS z
+        |FROM g2""".stripMargin,
+
+    // q342: the q318 series; both naive lags by equi-join; every error
+    // sum decimal-re-summed; the five ratios pinned
+    "q342_forecast_errors" ->
+      """WITH dd AS (SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |cg AS (SELECT d, CAST(count(*) AS BIGINT) AS x FROM dd GROUP BY 1),
+        |bb AS (SELECT min(d) AS lo, max(d) AS hi FROM cg),
+        |axis AS (SELECT bb.lo AS lo, unnest(range(bb.lo, bb.hi + 1)) AS d0 FROM bb),
+        |s AS (SELECT axis.d0 - axis.lo AS t, CAST(coalesce(cg.x, 0) AS DOUBLE) AS x
+        |      FROM axis LEFT JOIN cg ON cg.d = axis.d0),
+        |j AS (
+        |  SELECT s.t, s.x, s7.x AS xs, s1.x AS x1
+        |  FROM s JOIN s s7 ON s.t = s7.t + 7 JOIN s s1 ON s.t = s1.t + 1
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x - xs AS DECIMAL(38,12))) AS se,
+        |    sum(CAST(abs(x - xs) AS DECIMAL(38,12))) AS sae,
+        |    sum(CAST((x - xs) * (x - xs) AS DECIMAL(38,12))) AS sse,
+        |    sum(CAST((x - x1) * (x - x1) AS DECIMAL(38,12))) AS sse1,
+        |    sum(CASE WHEN abs(x) + abs(xs) > 0
+        |      THEN CAST(2.0 * abs(x - xs) / (abs(x) + abs(xs)) AS DECIMAL(38,12))
+        |      END) AS ssm,
+        |    CAST(sum(CASE WHEN abs(x) + abs(xs) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS smape_n
+        |  FROM j)
+        |SELECT n,
+        |  round(CASE WHEN n > 0 THEN CAST(se AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS me,
+        |  round(CASE WHEN n > 0 THEN CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS mae,
+        |  round(CASE WHEN n > 0 THEN sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE))
+        |    END, 6) AS rmse,
+        |  round(CASE WHEN smape_n > 0
+        |    THEN CAST(ssm AS DOUBLE) / CAST(smape_n AS DOUBLE) END, 6) AS smape,
+        |  smape_n,
+        |  round(CASE WHEN CAST(sse1 AS DOUBLE) > 0
+        |    THEN sqrt(CAST(sse AS DOUBLE)) / sqrt(CAST(sse1 AS DOUBLE)) END, 6) AS u2
+        |FROM agg""".stripMargin,
+
+    // q343: exact per-order reconstruction (decimal-re-summed), one
+    // moment fold pins bias/sd/limits, outside mass by the same doubles
+    "q343_bland_altman" ->
+      """WITH est AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS est
+        |  FROM lineitem GROUP BY 1
+        |), p AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) - est AS d
+        |  FROM orders JOIN est ON est.l_orderkey = o_orderkey
+        |  WHERE o_totalprice IS NOT NULL AND est IS NOT NULL
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(d AS DECIMAL(19,6))) AS s,
+        |    sum(CAST(d AS DECIMAL(19,6)) * CAST(d AS DECIMAL(19,6))) AS q
+        |  FROM p
+        |), fit AS (
+        |  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+        |  FROM mom
+        |  WHERE n > 1 AND (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+        |), lim AS (
+        |  SELECT n, mu, sd, mu - 1.959963984540054 * sd AS lo,
+        |    mu + 1.959963984540054 * sd AS hi
+        |  FROM fit)
+        |SELECT any_value(lim.n) AS n, round(any_value(mu), 6) AS bias,
+        |  round(any_value(sd), 6) AS sd_diff,
+        |  round(any_value(lo), 6) AS loa_lo, round(any_value(hi), 6) AS loa_hi,
+        |  CAST(sum(CASE WHEN p.d < lim.lo OR p.d > lim.hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outside,
+        |  round(CAST(sum(CASE WHEN p.d < lim.lo OR p.d > lim.hi THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(any_value(lim.n) AS DOUBLE), 6) AS pct_outside
+        |FROM p, lim""".stripMargin,
+
+    // q344: the q343 pair through one moment fold; the n² factors
+    // cancel so the closed form reads the raw sums
+    "q344_lin_ccc" ->
+      """WITH est AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS est
+        |  FROM lineitem GROUP BY 1
+        |), p AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS x, est AS y
+        |  FROM orders JOIN est ON est.l_orderkey = o_orderkey
+        |  WHERE o_totalprice IS NOT NULL AND est IS NOT NULL
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS sx, sum(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx,
+        |    sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS syy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy
+        |  FROM p
+        |), f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM mom
+        |), g AS (
+        |  SELECT n, nd * sxyd - sxd * syd AS covn,
+        |    nd * sxxd - sxd * sxd AS vx, nd * syyd - syd * syd AS vy,
+        |    (sxd - syd) * (sxd - syd) AS bias2
+        |  FROM f)
+        |SELECT n,
+        |  round(CASE WHEN vx > 0 AND vy > 0
+        |    THEN covn / (sqrt(vx) * sqrt(vy)) END, 6) AS pearson_r,
+        |  round(CASE WHEN vx > 0 AND vy > 0 THEN CASE WHEN covn <> 0
+        |    THEN (2.0 * covn / (vx + vy + bias2))
+        |      / (covn / (sqrt(vx) * sqrt(vy))) END END, 6) AS c_b,
+        |  round(CASE WHEN vx + vy + bias2 > 0
+        |    THEN 2.0 * covn / (vx + vy + bias2) END, 6) AS ccc
+        |FROM g""".stripMargin,
+
+    // q345: one moment fold; the quadratic's positive root in pinned
+    // IEEE (√, not pow); NULL at zero covariance
+    "q345_deming" ->
+      """WITH d AS (
+        |  SELECT CAST(p_size AS DOUBLE) AS x, CAST(p_retailprice AS DOUBLE) AS y
+        |  FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS sx, sum(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx,
+        |    sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS syy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy
+        |  FROM d
+        |), f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM mom
+        |), g AS (
+        |  SELECT n, nd, sxd, syd,
+        |    nd * sxxd - sxd * sxd AS cxx, nd * syyd - syd * syd AS cyy,
+        |    nd * sxyd - sxd * syd AS cxy
+        |  FROM f
+        |), h AS (
+        |  SELECT n, nd, sxd, syd, cxy,
+        |    (cyy - 1.0 * cxx
+        |      + sqrt((cyy - 1.0 * cxx) * (cyy - 1.0 * cxx) + 4.0 * cxy * cxy))
+        |      / (2.0 * cxy) AS slope
+        |  FROM g)
+        |SELECT n,
+        |  round(CASE WHEN cxy <> 0 THEN slope END, 6) AS slope,
+        |  round(CASE WHEN cxy <> 0 THEN (syd - slope * sxd) / nd END, 6) AS intercept
+        |FROM h""".stripMargin,
 
     // q336: q176's score/label frame → the same asc (score, id) ntile
     // deciles → weighted-gap fold (decimal-re-summed) + max gap

@@ -4566,7 +4566,7 @@ object Stats {
   def yuleWalkerAr2(series: DataFrame, scale: Int = 6): DataFrame = {
     val x = graft.Caches.track(
       series.select(col("t").cast("long").as("t"),
-        col("x").cast("decimal(19,6)").as("_xd")))
+        col("x").cast("decimal(18,6)").as("_xd")))
     val tot = x.agg(
       count(lit(1)).as("n"),
       sum(col("_xd")).as("_s1"),
@@ -4882,6 +4882,249 @@ object Stats {
           when(v > 0, (lStat - e) / sqrt(v))), scale).as("z"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternatives test — [[kruskalWallis]]
+    * asks "do the k groups differ AT ALL?"; this asks the sharper
+    * question the dose design earned: "do values RISE with the group
+    * order?" `JT = Σ_{i<j} U_ij` (pairwise Mann–Whitney counts, ties ½)
+    * against `E = (N² − Σnᵢ²)/4` with the full tie-corrected variance
+    * (the three-term Kendall form over group sizes nᵢ and value-tie
+    * masses tⱼ). One row `(k_groups, n, jt, z)`.
+    *
+    * Determinism: rows collapse to the (group, value) CELLS first and
+    * JT folds over cell pairs DOUBLED (`2·c₁c₂` per strict win, `c₁c₂`
+    * per tie — integers end to end, the [[friedmanTest]] midrank trick
+    * one level up); every variance ingredient is an exact decimal sum
+    * of integer products; only the final z is IEEE in pinned order.
+    *
+    * Scale shape: one cells shuffle, then the pair fold runs over the
+    * strict upper triangle of the |cells| grid — quadratic in CELLS,
+    * never rows (the [[kendallTauB]] bounded/binned-input contract).
+    */
+  def jonckheereTerpstra(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      scale: Int = 6): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.Caches.track(
+      df.select(group.cast("double").as("_g"), value.cast("double").as("_v"))
+        .where(col("_g").isNotNull && col("_v").isNotNull)
+        .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c")))
+    val b = cells.select(col("_g").as("_g2"), col("_v").as("_v2"), col("_c").as("_c2"))
+    val jt2 = cells.join(b, col("_g2") > col("_g")).agg(
+      coalesce(sum(
+        when(col("_v2") > col("_v"), lit(2L) * dec(col("_c")) * dec(col("_c2")))
+          .when(col("_v2") === col("_v"), dec(col("_c")) * dec(col("_c2")))),
+        dec(lit(0L))).as("_jt2"))
+    val gM = cells.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+      .agg(
+        count(lit(1)).as("k_groups"), sum(col("_n")).as("n"),
+        sum(dec(col("_n")) * dec(col("_n"))).as("_sn2"),
+        sum(dec(col("_n")) * dec(col("_n") - 1) * dec(lit(2L) * col("_n") + 5))
+          .as("_sn25"),
+        sum(dec(col("_n")) * dec(col("_n") - 1)).as("_sn1"),
+        sum(dec(col("_n")) * dec(col("_n") - 1) * dec(col("_n") - 2)).as("_sn12"))
+    val vM = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_t"))
+      .agg(
+        sum(dec(col("_t")) * dec(col("_t") - 1) * dec(lit(2L) * col("_t") + 5))
+          .as("_st25"),
+        sum(dec(col("_t")) * dec(col("_t") - 1)).as("_st1"),
+        sum(dec(col("_t")) * dec(col("_t") - 1) * dec(col("_t") - 2)).as("_st12"))
+    val n = col("n").cast("double")
+    val jt = col("_jt2").cast("double") / 2.0
+    val e = (n * n - col("_sn2").cast("double")) / 4.0
+    val a = (n * (n - 1.0) * (lit(2.0) * n + 5.0) - col("_sn25").cast("double") -
+      col("_st25").cast("double")) / 72.0
+    val bTerm = col("_sn12").cast("double") * col("_st12").cast("double") /
+      (lit(36.0) * n * (n - 1.0) * (n - 2.0))
+    val cTerm = col("_sn1").cast("double") * col("_st1").cast("double") /
+      (lit(8.0) * n * (n - 1.0))
+    val v = a + bTerm + cTerm
+    gM.crossJoin(broadcast(vM)).crossJoin(broadcast(jt2))
+      .select(col("k_groups"), col("n"),
+        round(jt, scale).as("jt"),
+        round(when(col("n") > 2, when(v > 0, (jt - e) / sqrt(v))), scale).as("z"))
+  }
+
+  /** Forecast-error card vs the seasonal-naive baseline — the honest
+    * scoreboard for ANY forecast conversation: bias `ME`, `MAE`, `RMSE`,
+    * symmetric `sMAPE`, and Theil's `U₂ = RMSE_seasonal / RMSE_naive-1`
+    * (> 1 means the fancy seasonal lag loses to "same as yesterday" —
+    * the embarrassment check [[graft.ops.EventAnalytics.maseBacktest]]'s
+    * single MASE ratio hints at but doesn't itemize). Forecast = the
+    * lag-`season` value. Input: collapsed contiguous series `(t, x)`.
+    * One row `(n, me, mae, rmse, smape, smape_n, u2)` — `smape_n`
+    * counts the terms whose `|x|+|f| > 0` (zero/zero periods carry no
+    * sMAPE evidence; they are EXCLUDED and counted, never imputed).
+    *
+    * Determinism: lags pair by equi-join on `t−season` / `t−1` (no
+    * window); every per-row error is the same IEEE expression; all
+    * sums decimal-cast (order-free); final ratios pinned.
+    */
+  def forecastErrors(
+      series: DataFrame,
+      season: Int,
+      scale: Int = 6): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val s = graft.Caches.track(series.select(
+      col("t").cast("long").as("t"), col("x").cast("double").as("_x"))
+      .where(col("t").isNotNull && col("_x").isNotNull))
+    val joined = s
+      .join(s.select((col("t") + season).as("t"), col("_x").as("_xs")), Seq("t"))
+      .join(s.select((col("t") + 1).as("t"), col("_x").as("_x1")), Seq("t"))
+    val e = col("_x") - col("_xs")
+    val e1 = col("_x") - col("_x1")
+    val sm = abs(col("_x")) + abs(col("_xs"))
+    val agg = joined.agg(
+      count(lit(1)).as("n"),
+      sum(e.cast("decimal(38,12)")).as("_se"),
+      sum(abs(e).cast("decimal(38,12)")).as("_sae"),
+      sum((e * e).cast("decimal(38,12)")).as("_sse"),
+      sum((e1 * e1).cast("decimal(38,12)")).as("_sse1"),
+      sum(when(sm > 0, (lit(2.0) * abs(e) / sm).cast("decimal(38,12)"))).as("_ssm"),
+      sum(when(sm > 0, 1L).otherwise(0L)).as("smape_n"))
+    val n = col("n").cast("double")
+    agg.select(col("n"),
+      round(when(col("n") > 0, col("_se").cast("double") / n), scale).as("me"),
+      round(when(col("n") > 0, col("_sae").cast("double") / n), scale).as("mae"),
+      round(when(col("n") > 0, sqrt(col("_sse").cast("double") / n)), scale)
+        .as("rmse"),
+      round(when(col("smape_n") > 0,
+        col("_ssm").cast("double") / col("smape_n").cast("double")), scale)
+        .as("smape"),
+      col("smape_n"),
+      round(when(col("_sse1").cast("double") > 0,
+        sqrt(col("_sse").cast("double")) / sqrt(col("_sse1").cast("double"))),
+        scale).as("u2"))
+  }
+
+  /** Bland–Altman agreement analysis — do two MEASUREMENT METHODS agree
+    * well enough to swap? (correlation is the WRONG tool here: r = 0.99
+    * with a consistent +10% bias still breaks every downstream
+    * threshold). Mean difference (the bias), its SD, the limits of
+    * agreement `bias ± z·sd`, and the share of pairs OUTSIDE those
+    * limits (≈ 5% by construction at z = 1.96 under normality — more
+    * means heavy-tailed disagreement). One row
+    * `(n, bias, sd_diff, loa_lo, loa_hi, n_outside, pct_outside)`.
+    *
+    * Two scans: one exact decimal moment fold over d = x−y pins bias
+    * and sd (pinned IEEE), then a broadcast-attached pass counts the
+    * outside mass by comparing the same per-row doubles. The z is a
+    * caller-fixed double literal (no Φ⁻¹ in either engine).
+    */
+  def blandAltman(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      zLoa: Double = 1.959963984540054,
+      scale: Int = 6): DataFrame = {
+    val base = graft.Caches.track(
+      df.select((x.cast("double") - y.cast("double")).as("_d"))
+        .where(x.isNotNull && y.isNotNull))
+    val dd = col("_d").cast("decimal(18,6)")
+    val mom = base.agg(
+      count(lit(1)).as("n"), sum(dd).as("_s"), sum(dd * dd).as("_q"))
+    val n = col("n").cast("double")
+    val s1 = col("_s").cast("double"); val s2 = col("_q").cast("double")
+    val mu = s1 / n
+    val varS = (n * s2 - s1 * s1) / (n * (n - 1.0))
+    val fit = mom.where(col("n") > 1 && varS > 0).select(
+      col("n"), mu.as("_mu"), sqrt(varS).as("_sd"),
+      (mu - lit(zLoa) * sqrt(varS)).as("_lo"),
+      (mu + lit(zLoa) * sqrt(varS)).as("_hi"))
+    base.crossJoin(broadcast(fit))
+      .agg(
+        first(col("n")).as("n"),
+        round(first(col("_mu")), scale).as("bias"),
+        round(first(col("_sd")), scale).as("sd_diff"),
+        round(first(col("_lo")), scale).as("loa_lo"),
+        round(first(col("_hi")), scale).as("loa_hi"),
+        sum(when(col("_d") < col("_lo") || col("_d") > col("_hi"), 1L)
+          .otherwise(0L)).as("n_outside"))
+      .withColumn("pct_outside",
+        round(col("n_outside").cast("double") / col("n").cast("double"), scale))
+  }
+
+  /** Lin's concordance correlation coefficient — "how far do these
+    * paired measurements fall from the y = x line?" in one number:
+    * `ρ_c = 2·cov / (σ_x² + σ_y² + (x̄−ȳ)²)` — Pearson r times the bias
+    * factor `C_b`, so r = 0.99 with a level shift scores LOW here (the
+    * [[blandAltman]] question as a coefficient instead of limits). One
+    * row `(n, pearson_r, c_b, ccc)`.
+    *
+    * ONE exact decimal moment fold; the population-variance n² factors
+    * cancel algebraically, so the closed form reads the raw sums
+    * directly: `ρ_c = 2(nS_xy − S_xS_y) /
+    * ((nS_xx − S_x²) + (nS_yy − S_y²) + (S_x − S_y)²)` — pinned IEEE.
+    */
+  def linCcc(df: DataFrame, x: Column, y: Column, scale: Int = 6): DataFrame = {
+    val d = df.select(x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+    val xd = col("_x").cast("decimal(18,6)")
+    val yd = col("_y").cast("decimal(18,6)")
+    val mom = d.agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("_sx"), sum(yd).as("_sy"),
+      sum(xd * xd).as("_sxx"), sum(yd * yd).as("_syy"), sum(xd * yd).as("_sxy"))
+    val n = col("n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxx = col("_sxx").cast("double"); val syy = col("_syy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val covN = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val r = covN / (sqrt(vx) * sqrt(vy))
+    val ccc = lit(2.0) * covN / (vx + vy + (sx - sy) * (sx - sy))
+    mom.select(col("n"),
+      round(when(vx > 0 && vy > 0, r), scale).as("pearson_r"),
+      round(when(vx > 0 && vy > 0, when(covN =!= 0, ccc / r)), scale).as("c_b"),
+      round(when(vx + vy + (sx - sy) * (sx - sy) > 0, ccc), scale).as("ccc"))
+  }
+
+  /** Deming regression — the errors-in-BOTH-variables line OLS can't
+    * give (OLS attenuates the slope toward 0 when x carries noise; the
+    * method-comparison literature's standard fit). With error-variance
+    * ratio λ (= 1 for equal noise — orthogonal regression):
+    * `β = (S_yy − λS_xx + √((S_yy − λS_xx)² + 4λS_xy²)) / (2S_xy)` over
+    * CENTERED sums, `α = ȳ − βx̄`. Completes the regression family:
+    * [[linearFit]] (y-noise only), [[theilSenFit]] (outlier-robust),
+    * THIS (noise in both). One row `(n, slope, intercept)`; NULL where
+    * S_xy = 0 (no linear information).
+    *
+    * One exact decimal moment fold; the centered sums are cleared by n²
+    * consistently so the closed form reads `nS_xx − S_x²` etc. — all
+    * pinned IEEE, `√` not `pow`.
+    */
+  def demingFit(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      lambda: Double = 1.0,
+      scale: Int = 6): DataFrame = {
+    require(lambda > 0, s"lambda must be > 0, got $lambda")
+    val d = df.select(x.cast("double").as("_x"), y.cast("double").as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+    val xd = col("_x").cast("decimal(18,6)")
+    val yd = col("_y").cast("decimal(18,6)")
+    val mom = d.agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("_sx"), sum(yd).as("_sy"),
+      sum(xd * xd).as("_sxx"), sum(yd * yd).as("_syy"), sum(xd * yd).as("_sxy"))
+    val n = col("n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxx = col("_sxx").cast("double"); val syy = col("_syy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val cxx = n * sxx - sx * sx
+    val cyy = n * syy - sy * sy
+    val cxy = n * sxy - sx * sy
+    val disc = cyy - lit(lambda) * cxx
+    val slope = (disc + sqrt(disc * disc + lit(4.0 * lambda) * cxy * cxy)) /
+      (lit(2.0) * cxy)
+    mom.select(col("n"),
+      round(when(cxy =!= 0, slope), scale).as("slope"),
+      round(when(cxy =!= 0, (sy - slope * sx) / n), scale).as("intercept"))
+  }
+
   /** Grubbs' test statistic — "is the single most extreme value an
     * outlier?" `G = max|x − x̄| / s` (sample s, n−1) plus WHICH value it
     * was — the one-outlier-at-a-time formal complement of
@@ -4892,7 +5135,7 @@ object Stats {
     * Determinism: one exact decimal moment fold pins x̄ and s; per-row
     * |x−x̄| is the same IEEE expression; the witness value is selected
     * by EQUALITY on the max deviation (same doubles both engines) with
-    * max(value) breaking the symmetric two-sided tie.
+    * max(value) breaks the symmetric two-sided tie.
     */
   def grubbs(df: DataFrame, value: Column, scale: Int = 6): DataFrame = {
     val base = graft.Caches.track(

@@ -116,7 +116,9 @@ object PlanAudit {
     "q334_morans_i",              // one-row mean/num/den crossJoins (scalar-attach class)
     "q335_grubbs",                // one-row fit + max-deviation crossJoins (scalar-attach class)
     "q339_rmst",                  // one-row n/area crossJoins (scalar-attach class)
-    "q340_page_trend"             // one-row k / L-fold crossJoins (the q313 class)
+    "q340_page_trend",            // one-row k / L-fold crossJoins (the q313 class)
+    "q341_jonckheere",            // |cells|² group-ordered pair fold (the q252 bounded-matrix class) + one-row margin attaches
+    "q343_bland_altman"           // one-row bias/sd/limits crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -2040,6 +2040,75 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("jonckheereTerpstra: fully ordered groups hit the hand z; half-credit ties") {
+    import spark.implicits._
+    // A=(1,2) B=(3,4) C=(5,6): JT = 12, E = 6, V = (510−54)/72 → z hand
+    val df = Seq(("1", 1), ("1", 2), ("2", 3), ("2", 4), ("3", 5), ("3", 6))
+      .map { case (g, v) => (g.toInt, v) }.toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(df, col("g"), col("v")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 12.0 && r.getDouble(3) == 2.384158)
+    // cross-group tie counts half: A=(1,1), B=(1,2) → JT = ½+1+½+1 = 3
+    val t = Seq((1, 1), (1, 1), (2, 1), (2, 2)).toDF("g", "v")
+    val tr = Stats.jonckheereTerpstra(t, col("g"), col("v")).collect().head
+    assert(tr.getDouble(2) == 3.0)
+    graft.Caches.clear()
+  }
+
+  test("forecastErrors: hand card on a ramp; sMAPE skips zero/zero periods honestly") {
+    import spark.implicits._
+    // x = 1..6, season 2: e ≡ 2, e₁ ≡ 1 → ME=MAE=RMSE=2, U₂=2
+    val s = (0 to 5).map(t => (t.toLong, (t + 1).toLong)).toDF("t", "x")
+    val r = Stats.forecastErrors(s, season = 2).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 2.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 0.641667 && r.getLong(5) == 4L)
+    assert(r.getDouble(6) == 2.0)
+    // an all-zero stretch: those periods leave the sMAPE count
+    val z = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 5L)).toDF("t", "x")
+    val zr = Stats.forecastErrors(z, season = 2).collect().head
+    assert(zr.getLong(0) == 2L && zr.getLong(5) == 1L && zr.getDouble(4) == 2.0)
+    graft.Caches.clear()
+  }
+
+  test("blandAltman: hand bias/limits; everything inside at z=1.96 on the small set") {
+    import spark.implicits._
+    val df = Seq((2.0, 1.0), (4.0, 2.0), (6.0, 3.0), (20.0, 10.0)).toDF("x", "y")
+    val r = Stats.blandAltman(df, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 4.0 && r.getDouble(2) == 4.082483)
+    assert(r.getDouble(3) == -4.001519 && r.getDouble(4) == 12.001519)
+    assert(r.getLong(5) == 0L && r.getDouble(6) == 0.0)
+    graft.Caches.clear()
+  }
+
+  test("linCcc: perfect correlation with a scale bias scores low concordance") {
+    import spark.implicits._
+    // y = 2x: r = 1 exactly, but CCC = 0.363636 — the whole point
+    val df = Seq((1, 2), (2, 4), (3, 6)).toDF("x", "y")
+    val r = Stats.linCcc(df, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 0.363636 &&
+      r.getDouble(3) == 0.363636)
+    // identity pairs: full concordance
+    val id = Seq((1, 1), (2, 2), (3, 3)).toDF("x", "y")
+    val i = Stats.linCcc(id, col("x"), col("y")).collect().head
+    assert(i.getDouble(3) == 1.0)
+  }
+
+  test("demingFit: exact line recovered under orthogonal errors; constant x is NULL") {
+    import spark.implicits._
+    // y = 2x + 1: cyy−cxx = 18, disc = 900 → slope 2, intercept 1
+    val df = Seq((1, 3), (2, 5), (3, 7)).toDF("x", "y")
+    val r = Stats.demingFit(df, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 1.0)
+    // zero covariance → no linear information → NULL, not a division blowup
+    val flat = Seq((1, 5), (2, 5), (3, 5)).toDF("x", "y")
+    val f = Stats.demingFit(flat, col("x"), col("y")).collect().head
+    assert(f.isNullAt(1) && f.isNullAt(2))
+  }
+
   test("grubbs: the planted extreme is the witness; hand-computed G") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
