@@ -2755,6 +2755,47 @@ object SparkEntry {
         .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
     }),
 
+    // Quade: q313's blocks re-weighted by their value RANGE — wide
+    // users speak louder than flat ones
+    "q346_quade" -> ((s, dir) => {
+      val counts = E(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Stats.quadeTest(counts, block = col("user_id"),
+        treatment = col("event_type"), value = col("cnt"))
+    }),
+
+    // two-regressor OLS: order total ~ line count + total quantity,
+    // with the regressors' mutual VIF (they are correlated BY DESIGN)
+    "q347_ols2" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("x1"), sum(col("l_quantity")).cast("double").as("x2"))
+      val joined = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+      graft.ops.Stats.olsTwo(joined, x1 = col("x1"), x2 = col("x2"),
+        y = col("o_totalprice"))
+    }),
+
+    // winsorized correlation of quantity vs extended price at 5% — the
+    // clamp-audited robust r next to q108's plain fit
+    "q348_winsorized_corr" -> ((s, dir) =>
+      graft.ops.Stats.winsorizedCorr(
+        T(s, dir, "lineitem"), x = col("l_quantity"),
+        y = col("l_extendedprice"), trim = 0.05)),
+
+    // trend/seasonal strength of the hourly volume per event type —
+    // q239's component plot folded to the two FPP numbers
+    "q349_seasonal_strength" -> ((s, dir) =>
+      graft.ops.EventAnalytics.seasonalStrength(
+        E(s, dir).withColumn("tsu", expr("ts div 1000")),
+        bucketTs = 3600000000L, period = 24, tsCol = "tsu")),
+
+    // Newey–West: the autocorrelation-robust SE of the daily-volume
+    // mean, with the inflation factor over the naive s/√n
+    "q350_newey_west" -> ((s, dir) =>
+      graft.ops.Stats.neweyWest(dailySeries(s, dir), maxLag = 7)),
+
     // Jonckheere–Terpstra: do quantities RISE with the line number?
     // (the ordered question q323's γ describes but doesn't test)
     "q341_jonckheere" -> ((s, dir) =>
@@ -9814,6 +9855,269 @@ object SparkEntry {
         |            / fit.sxxc))) END, 6) AS cooks_d
         |FROM d, fit
         |ORDER BY cooks_d DESC, id LIMIT 20""".stripMargin,
+
+    // q346: q313's complete-block midranks × range-cell midranks →
+    // S₄ integer grid → the 4s cancel in the pinned F
+    "q346_quade" ->
+      """WITH cells AS (
+        |  SELECT user_id AS b, event_type AS t, CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), k AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cells),
+        |ok AS (
+        |  SELECT b FROM cells, k GROUP BY b, k.k
+        |  HAVING count(*) = k.k AND count(DISTINCT t) = k.k
+        |), kept AS (
+        |  SELECT cells.b, cells.t, cells.v FROM cells JOIN ok ON ok.b = cells.b
+        |), rk AS (
+        |  SELECT b, t,
+        |    CAST(2 * rank() OVER (PARTITION BY b ORDER BY v)
+        |      + count(*) OVER (PARTITION BY b, v) - 1 AS BIGINT) AS r2
+        |  FROM kept
+        |), rg AS (SELECT b, max(v) - min(v) AS rg FROM kept GROUP BY 1),
+        |rc AS (SELECT rg, CAST(count(*) AS BIGINT) AS cnt FROM rg GROUP BY 1),
+        |rr AS (
+        |  SELECT rg, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY rg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prior
+        |  FROM rc
+        |), q2 AS (SELECT rg, 2 * prior + cnt + 1 AS q2 FROM rr),
+        |bq AS (SELECT rg.b, q2.q2 FROM rg JOIN q2 ON q2.rg = rg.rg),
+        |s4 AS (
+        |  SELECT rk.b, rk.t,
+        |    CAST(bq.q2 AS HUGEINT) * (rk.r2 - ((SELECT k FROM k) + 1)) AS s4
+        |  FROM rk JOIN bq ON bq.b = rk.b
+        |), a4 AS (
+        |  SELECT CAST(sum(s4 * s4) AS HUGEINT) AS a4,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS b_blocks,
+        |    (SELECT k FROM k) AS k_treatments
+        |  FROM s4
+        |), t4 AS (
+        |  SELECT coalesce(CAST(sum(t4 * t4) AS HUGEINT), 0) AS b4
+        |  FROM (SELECT t, CAST(sum(s4) AS HUGEINT) AS t4 FROM s4 GROUP BY 1)
+        |), f AS (
+        |  SELECT b_blocks, k_treatments, CAST(b_blocks AS DOUBLE) AS bd,
+        |    CAST(a4.a4 AS DOUBLE) AS a4d, CAST(t4.b4 AS DOUBLE) AS b4d
+        |  FROM a4, t4)
+        |SELECT b_blocks, k_treatments,
+        |  round(CASE WHEN b_blocks > 1 AND k_treatments > 1 THEN
+        |    CASE WHEN bd * a4d - b4d > 0
+        |      THEN (bd - 1.0) * b4d / (bd * a4d - b4d) END END, 6) AS f_stat,
+        |  k_treatments - 1 AS df1,
+        |  (b_blocks - 1) * (k_treatments - 1) AS df2
+        |FROM f""".stripMargin,
+
+    // q347: one 9-sum fold (DECIMAL(19,6) hugeint operands), Cramer on
+    // the centered 2×2, R² and VIF in pinned order
+    "q347_ols2" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x1,
+        |    CAST(sum(l_quantity) AS DOUBLE) AS x2
+        |  FROM lineitem GROUP BY 1
+        |), d AS (
+        |  SELECT CAST(li.x1 AS DOUBLE) AS a, li.x2 AS b,
+        |    CAST(o_totalprice AS DOUBLE) AS y
+        |  FROM orders JOIN li ON li.l_orderkey = o_orderkey
+        |  WHERE o_totalprice IS NOT NULL
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(a AS DECIMAL(19,6))) AS s1, sum(CAST(b AS DECIMAL(19,6))) AS s2,
+        |    sum(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(a AS DECIMAL(19,6)) * CAST(a AS DECIMAL(19,6))) AS s11,
+        |    sum(CAST(b AS DECIMAL(19,6)) * CAST(b AS DECIMAL(19,6))) AS s22,
+        |    sum(CAST(a AS DECIMAL(19,6)) * CAST(b AS DECIMAL(19,6))) AS s12,
+        |    sum(CAST(a AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS s1y,
+        |    sum(CAST(b AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS s2y,
+        |    sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS syy
+        |  FROM d
+        |), f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(s11 AS DOUBLE) AS s11d,
+        |    CAST(s22 AS DOUBLE) AS s22d, CAST(s12 AS DOUBLE) AS s12d,
+        |    CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd,
+        |    CAST(syy AS DOUBLE) AS syyd
+        |  FROM mom
+        |), c AS (
+        |  SELECT n, nd, s1d, s2d, syd,
+        |    nd * s11d - s1d * s1d AS c11, nd * s22d - s2d * s2d AS c22,
+        |    nd * s12d - s1d * s2d AS c12, nd * s1yd - s1d * syd AS c1y,
+        |    nd * s2yd - s2d * syd AS c2y, nd * syyd - syd * syd AS cyy
+        |  FROM f
+        |), g AS (
+        |  SELECT n, nd, s1d, s2d, syd, c11, c22, c12, c1y, c2y, cyy,
+        |    c11 * c22 - c12 * c12 AS det,
+        |    (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+        |    (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+        |  FROM c)
+        |SELECT n,
+        |  round(CASE WHEN det > 0 THEN (syd - b1 * s1d - b2 * s2d) / nd END, 6)
+        |    AS b0,
+        |  round(CASE WHEN det > 0 THEN b1 END, 6) AS b1,
+        |  round(CASE WHEN det > 0 THEN b2 END, 6) AS b2,
+        |  round(CASE WHEN det > 0 THEN CASE WHEN cyy > 0
+        |    THEN (b1 * c1y + b2 * c2y) / cyy END END, 6) AS r2,
+        |  round(CASE WHEN c11 > 0 AND c22 > 0 THEN
+        |    CASE WHEN 1.0 - c12 * c12 / (c11 * c22) > 0
+        |      THEN 1.0 / (1.0 - c12 * c12 / (c11 * c22)) END END, 6) AS vif
+        |FROM g""".stripMargin,
+
+    // q348: two q119-style exact rank picks per margin, least/greatest
+    // clamps on the same doubles, q108's exact fold on the clamped pair
+    "q348_winsorized_corr" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), rx AS (
+        |  SELECT x, row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS nn
+        |  FROM d
+        |), cx AS (
+        |  SELECT
+        |    min(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * nn) AS BIGINT))
+        |      THEN x END) AS lox,
+        |    min(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * nn) AS BIGINT))
+        |      THEN x END) AS hix
+        |  FROM rx
+        |), ry AS (
+        |  SELECT y, row_number() OVER (ORDER BY y) AS rn, count(*) OVER () AS nn
+        |  FROM d
+        |), cy AS (
+        |  SELECT
+        |    min(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * nn) AS BIGINT))
+        |      THEN y END) AS loy,
+        |    min(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * nn) AS BIGINT))
+        |      THEN y END) AS hiy
+        |  FROM ry
+        |), cl AS (
+        |  SELECT least(greatest(d.x, cx.lox), cx.hix) AS xc,
+        |    least(greatest(d.y, cy.loy), cy.hiy) AS yc,
+        |    cx.lox, cx.hix, cy.loy, cy.hiy
+        |  FROM d, cx, cy
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    any_value(lox) AS lox, any_value(hix) AS hix,
+        |    any_value(loy) AS loy, any_value(hiy) AS hiy,
+        |    sum(CAST(xc AS DECIMAL(19,6))) AS sx, sum(CAST(yc AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(xc AS DECIMAL(19,6)) * CAST(xc AS DECIMAL(19,6))) AS sxx,
+        |    sum(CAST(yc AS DECIMAL(19,6)) * CAST(yc AS DECIMAL(19,6))) AS syy,
+        |    sum(CAST(xc AS DECIMAL(19,6)) * CAST(yc AS DECIMAL(19,6))) AS sxy
+        |  FROM cl
+        |), f AS (
+        |  SELECT n, lox, hix, loy, hiy, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |    CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM mom)
+        |SELECT n, round(lox, 6) AS lo_x, round(hix, 6) AS hi_x,
+        |  round(loy, 6) AS lo_y, round(hiy, 6) AS hi_y,
+        |  round(CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+        |    THEN (nd * sxyd - sxd * syd)
+        |      / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))
+        |    END, 6) AS corr_w
+        |FROM f""".stripMargin,
+
+    // q349: the q239 decomposition verbatim, filtered to complete
+    // component rows, then per-series exact variance folds → FPP F_T/F_S
+    "q349_seasonal_strength" ->
+      """WITH c AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, bucket, n,
+        |    round(CASE WHEN count(n) OVER w = 25
+        |      THEN CAST(sum(n) OVER w + sum(n) OVER wi AS DOUBLE) / 48 END, 6) AS trend
+        |  FROM c
+        |  WINDOW w  AS (PARTITION BY event_type ORDER BY bucket
+        |                RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+        |         wi AS (PARTITION BY event_type ORDER BY bucket
+        |                RANGE BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
+        |p AS (
+        |  SELECT event_type, bucket % 24 AS ph,
+        |    sum(CAST(n - trend AS DECIMAL(38,12))) AS sd, CAST(count(*) AS BIGINT) AS sc
+        |  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT event_type, ph, round(CAST(sd AS DOUBLE) / sc, 6) AS seasonal FROM p),
+        |dec AS (
+        |  SELECT t.event_type, t.trend, s.seasonal,
+        |    round(t.n - t.trend - s.seasonal, 6) AS residual
+        |  FROM t LEFT JOIN s ON s.event_type = t.event_type AND s.ph = t.bucket % 24
+        |  WHERE t.trend IS NOT NULL AND s.seasonal IS NOT NULL
+        |), agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    sum(CAST(residual AS DECIMAL(38,12))) AS s_r,
+        |    sum(CAST(residual * residual AS DECIMAL(38,12))) AS q_r,
+        |    sum(CAST(seasonal + residual AS DECIMAL(38,12))) AS s_sr,
+        |    sum(CAST((seasonal + residual) * (seasonal + residual)
+        |      AS DECIMAL(38,12))) AS q_sr,
+        |    sum(CAST(trend + residual AS DECIMAL(38,12))) AS s_tr,
+        |    sum(CAST((trend + residual) * (trend + residual)
+        |      AS DECIMAL(38,12))) AS q_tr
+        |  FROM dec GROUP BY 1
+        |), v AS (
+        |  SELECT event_type, n_buckets, CAST(n_buckets AS DOUBLE) AS nd,
+        |    CAST(q_r AS DOUBLE) AS qr, CAST(s_r AS DOUBLE) AS sr,
+        |    CAST(q_sr AS DOUBLE) AS qsr, CAST(s_sr AS DOUBLE) AS ssr,
+        |    CAST(q_tr AS DOUBLE) AS qtr, CAST(s_tr AS DOUBLE) AS str
+        |  FROM agg)
+        |SELECT event_type, n_buckets,
+        |  round(CASE WHEN nd * qtr - str * str > 0
+        |    THEN greatest(0.0, 1.0 - (nd * qr - sr * sr) / (nd * qtr - str * str))
+        |    END, 6) AS trend_strength,
+        |  round(CASE WHEN nd * qsr - ssr * ssr > 0
+        |    THEN greatest(0.0, 1.0 - (nd * qr - sr * sr) / (nd * qsr - ssr * ssr))
+        |    END, 6) AS seasonal_strength
+        |FROM v""".stripMargin,
+
+    // q350: the q319 lag machinery with Bartlett weights; γ₀ and the
+    // kernel sum pinned; LRV floored at 0 before the √
+    "q350_newey_west" ->
+      """WITH dd AS (SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |cg AS (SELECT d, CAST(count(*) AS BIGINT) AS x FROM dd GROUP BY 1),
+        |bb AS (SELECT min(d) AS lo, max(d) AS hi FROM cg),
+        |axis AS (SELECT bb.lo AS lo, unnest(range(bb.lo, bb.hi + 1)) AS d0 FROM bb),
+        |s AS (SELECT axis.d0 - axis.lo AS t, CAST(coalesce(cg.x, 0) AS DECIMAL(19,6)) AS xd
+        |      FROM axis LEFT JOIN cg ON cg.d = axis.d0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(xd) AS s1,
+        |          sum(xd * xd) AS s2 FROM s),
+        |lg AS (SELECT unnest(range(1, 8)) AS lag),
+        |p AS (SELECT lg.lag, a.xd AS x1, b2.xd AS x2
+        |      FROM lg CROSS JOIN s a JOIN s b2 ON b2.t = a.t + lg.lag),
+        |per AS (SELECT lag, CAST(count(*) AS BIGINT) AS m,
+        |          sum(x1 * x2) AS ck, sum(x1 + x2) AS pk
+        |        FROM p GROUP BY 1),
+        |terms AS (
+        |  SELECT
+        |    CAST((1.0 - CAST(per.lag AS DOUBLE) / 8.0)
+        |      * ((CAST(tot.n AS DOUBLE) * tot.n * CAST(per.ck AS DOUBLE)
+        |          - CAST(tot.n AS DOUBLE) * CAST(tot.s1 AS DOUBLE)
+        |            * CAST(per.pk AS DOUBLE)
+        |          + CAST(per.m AS DOUBLE) * CAST(tot.s1 AS DOUBLE)
+        |            * CAST(tot.s1 AS DOUBLE))
+        |        / (CAST(tot.n AS DOUBLE) * tot.n * CAST(tot.n AS DOUBLE)))
+        |      AS DECIMAL(38,12)) AS term
+        |  FROM per, tot
+        |), ks AS (
+        |  SELECT coalesce(sum(term), CAST(0.0 AS DECIMAL(38,12))) AS ks FROM terms
+        |), g AS (
+        |  SELECT tot.n, CAST(tot.n AS DOUBLE) AS nd,
+        |    (CAST(tot.n AS DOUBLE) * CAST(tot.s2 AS DOUBLE)
+        |      - CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE))
+        |      / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)) AS g0,
+        |    CAST(ks.ks AS DOUBLE) AS ksd
+        |  FROM tot, ks
+        |), h AS (
+        |  SELECT n, nd, g0, greatest(g0 + 2.0 * ksd, 0.0) AS lrv FROM g)
+        |SELECT n, CAST(7 AS INT) AS max_lag,
+        |  round(CASE WHEN n > 0 THEN g0 END, 6) AS gamma0,
+        |  round(CASE WHEN n > 0 THEN lrv END, 6) AS lrv,
+        |  round(CASE WHEN n > 0 THEN sqrt(lrv / nd) END, 6) AS se_mean,
+        |  round(CASE WHEN n > 0 THEN CASE WHEN g0 >= 0 THEN sqrt(g0 / nd) END END, 6)
+        |    AS se_naive,
+        |  round(CASE WHEN n > 0 THEN CASE WHEN g0 > 0 THEN lrv / g0 END END, 6)
+        |    AS inflation
+        |FROM h""".stripMargin,
 
     // q341: (group, value) cells → doubled pair fold over the strict
     // group-ordered triangle → tie-corrected three-term variance

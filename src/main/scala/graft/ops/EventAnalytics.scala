@@ -336,6 +336,55 @@ object EventAnalytics {
         round(col("n") - col("trend") - col("seasonal"), scale).as("residual"))
   }
 
+  /** Trend / seasonal strength indices — [[seasonalDecompose]]'s
+    * components folded to the two FPP-standard numbers per series:
+    * `F_T = max(0, 1 − Var(R)/Var(T+R))` and
+    * `F_S = max(0, 1 − Var(R)/Var(S+R))` — "how much of this series is
+    * trend, how much is the weekly/daily cycle, how much is noise?" in
+    * [0,1] each (the one-line answer the component plot buries). One
+    * row per series `(seriesCol, n_buckets, trend_strength,
+    * seasonal_strength)`; NULL where the reference variance is 0.
+    *
+    * Determinism: runs on the decomposition's ROUNDED components (the
+    * published artifact — strengths must agree with integrating the
+    * frame a reader sees); population variances via exact decimal
+    * moment folds, the shared n² clearing cancels in each ratio, and
+    * the final expressions are pinned IEEE.
+    */
+  def seasonalStrength(
+      events: DataFrame,
+      bucketTs: Long,
+      period: Int,
+      seriesCol: String = "event_type",
+      tsCol: String = "ts",
+      scale: Int = 6): DataFrame = {
+    val comp = graft.Caches.track(
+      seasonalDecompose(events, bucketTs, period, seriesCol, tsCol, scale)
+        .where(col("trend").isNotNull && col("seasonal").isNotNull))
+    val r = col("residual")
+    val sr = col("seasonal") + col("residual")
+    val tr = col("trend") + col("residual")
+    val agg = comp.groupBy(col(seriesCol)).agg(
+      count(lit(1)).as("n_buckets"),
+      sum(r.cast("decimal(38,12)")).as("_s_r"),
+      sum((r * r).cast("decimal(38,12)")).as("_q_r"),
+      sum(sr.cast("decimal(38,12)")).as("_s_sr"),
+      sum((sr * sr).cast("decimal(38,12)")).as("_q_sr"),
+      sum(tr.cast("decimal(38,12)")).as("_s_tr"),
+      sum((tr * tr).cast("decimal(38,12)")).as("_q_tr"))
+    val n = col("n_buckets").cast("double")
+    def v(pre: String) =
+      n * col(s"_q$pre").cast("double") -
+        col(s"_s$pre").cast("double") * col(s"_s$pre").cast("double")
+    agg.select(col(seriesCol), col("n_buckets"),
+      round(when(v("_tr") > 0,
+        greatest(lit(0.0), lit(1.0) - v("_r") / v("_tr"))), scale)
+        .as("trend_strength"),
+      round(when(v("_sr") > 0,
+        greatest(lit(0.0), lit(1.0) - v("_r") / v("_sr"))), scale)
+        .as("seasonal_strength"))
+  }
+
   /** Exponentially-weighted moving average of the per-series bucket
     * counts — the time-decayed activity level behind "what is this
     * series doing NOW" dashboards (the unweighted cousin is

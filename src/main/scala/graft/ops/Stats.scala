@@ -5125,6 +5125,257 @@ object Stats {
       round(when(cxy =!= 0, (sy - slope * sx) / n), scale).as("intercept"))
   }
 
+  /** Quade test — [[friedmanTest]] weighted by how much each block can
+    * actually TELL you: blocks are ranked by their value RANGE (a user
+    * whose counts barely move carries little evidence about treatment
+    * order; Quade lets the wide blocks speak louder, which beats
+    * Friedman's one-block-one-vote at small k). With within-block
+    * midranks r_ij and block-range midranks Q_i,
+    * `S_ij = Q_i·(r_ij − (k+1)/2)`, `F = (b−1)·B/(A−B)` with
+    * `A = ΣS²`, `B = Σ_j T_j²/b` — read against F(k−1, (b−1)(k−1)).
+    * One row `(b_blocks, k_treatments, f_stat, df1, df2)`; NULL when
+    * A = B (every block sorts identically — the statistic is its own
+    * infinity, reported as NULL not a sentinel).
+    *
+    * Determinism: BOTH rank layers ride the doubled-midrank integer
+    * trick (within-block ranks via the friedman windows; block-range
+    * ranks via the kruskal-style value-cell prefix counts — never a
+    * global row window), so S is exactly 4·S_textbook on the integer
+    * grid, A and ΣT² are exact decimal sums, and the 4s cancel in F:
+    * `F = (b−1)·ΣT₄² / (b·ΣS₄² − ΣT₄²)` — one pinned IEEE ratio.
+    *
+    * Scale shape: one complete-block filter, one |blocks|-row range
+    * frame collapsed to range CELLS for the global midrank (the
+    * [[kruskalWallis]] discipline), partitioned within-block windows,
+    * k-row and 1-row folds.
+    */
+  def quadeTest(
+      df: DataFrame,
+      block: Column,
+      treatment: Column,
+      value: Column,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(block.as("_b"), treatment.as("_t"),
+      value.cast("double").as("_v"))
+      .where(col("_b").isNotNull && col("_t").isNotNull && col("_v").isNotNull)
+    val kRow = base.agg(countDistinct(col("_t")).as("_k"))
+    val blockOk = base.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_rows"), countDistinct(col("_t")).as("_kt"))
+      .crossJoin(broadcast(kRow))
+      .where(col("_rows") === col("_k") && col("_kt") === col("_k"))
+      .select(col("_b"), col("_k"))
+    val kept = graft.Caches.track(base.join(blockOk, Seq("_b")))
+    // block ranges → range CELLS → global midranks (2Q = 2·prior+cnt+1)
+    val ranges = graft.Caches.track(
+      kept.groupBy(col("_b")).agg((max(col("_v")) - min(col("_v"))).as("_rg")))
+    val rgCells = ranges.groupBy(col("_rg")).agg(count(lit(1)).as("_cnt"))
+    val (rgRanked, _) = prefixSumsCore(rgCells, Seq(col("_rg")),
+      Seq(col("_cnt") -> "_cum"))
+    val q2 = rgRanked.select(col("_rg"),
+      (lit(2L) * (col("_cum") - col("_cnt")) + col("_cnt") + 1L).as("_q2"))
+    val withQ = ranges.join(q2, Seq("_rg")).select(col("_b"), col("_q2"))
+    // within-block doubled midranks
+    val wRank = Window.partitionBy(col("_b")).orderBy(col("_v"))
+    val wTie = Window.partitionBy(col("_b"), col("_v"))
+    val ranked = kept
+      .withColumn("_r2",
+        lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - lit(1L))
+      .join(withQ, Seq("_b"))
+    // S₄ = q₂·(r₂ − (k+1)) = 4·Q·(r − (k+1)/2) — exact integers
+    val s4 = (dec(col("_q2")) * dec(col("_r2") - (col("_k") + 1)))
+    val folded = graft.Caches.track(
+      ranked.select(col("_b"), col("_t"), col("_k"), s4.as("_s4")))
+    val a4 = folded.agg(
+      sum(col("_s4") * col("_s4")).as("_a4"),
+      countDistinct(col("_b")).as("b_blocks"),
+      first(col("_k")).as("k_treatments"))
+    val t4 = folded.groupBy(col("_t")).agg(sum(col("_s4")).as("_t4"))
+      .agg(coalesce(sum(col("_t4") * col("_t4")), dec(lit(0L)) * dec(lit(0L)))
+        .as("_b4"))
+    val b = col("b_blocks").cast("double")
+    val k = col("k_treatments").cast("double")
+    val a4d = col("_a4").cast("double")
+    val b4d = col("_b4").cast("double")
+    val den = b * a4d - b4d
+    a4.crossJoin(broadcast(t4))
+      .select(col("b_blocks"), col("k_treatments"),
+        round(when(col("b_blocks") > 1 && col("k_treatments") > 1,
+          when(den > 0, (b - 1.0) * b4d / den)), scale).as("f_stat"),
+        (col("k_treatments") - 1L).as("df1"),
+        ((col("b_blocks") - 1L) * (col("k_treatments") - 1L)).as("df2"))
+  }
+
+  /** Two-regressor least squares — `y ~ b0 + b1·x1 + b2·x2` in closed
+    * form off one moment fold (Cramer on the 2×2 centered normal
+    * equations), with R² and the regressors' mutual VIF
+    * `1/(1−r₁₂²)` — the "is x2 just x1 again?" collinearity light that
+    * decides whether b1/b2 are readable at all. The multiple-regression
+    * step [[linearFit]] (one x) and [[partialCorr]] (association only)
+    * stop short of. One row `(n, b0, b1, b2, r2, vif)`; NULL
+    * coefficients where the centered determinant is 0 (perfectly
+    * collinear regressors).
+    *
+    * ONE exact decimal moment fold (3 sums + 6 product sums); the
+    * centered second moments, determinant, and coefficients are pinned
+    * IEEE scalars in textual order.
+    */
+  def olsTwo(
+      df: DataFrame,
+      x1: Column,
+      x2: Column,
+      y: Column,
+      scale: Int = 6): DataFrame = {
+    val d = df.select(x1.cast("double").as("_a"), x2.cast("double").as("_b"),
+      y.cast("double").as("_y"))
+      .where(col("_a").isNotNull && col("_b").isNotNull && col("_y").isNotNull)
+    val ad = col("_a").cast("decimal(18,6)")
+    val bd = col("_b").cast("decimal(18,6)")
+    val yd = col("_y").cast("decimal(18,6)")
+    val mom = d.agg(
+      count(lit(1)).as("n"),
+      sum(ad).as("_s1"), sum(bd).as("_s2"), sum(yd).as("_sy"),
+      sum(ad * ad).as("_s11"), sum(bd * bd).as("_s22"), sum(ad * bd).as("_s12"),
+      sum(ad * yd).as("_s1y"), sum(bd * yd).as("_s2y"),
+      sum(yd * yd).as("_syy"))
+    val n = col("n").cast("double")
+    def g(c: String) = col(c).cast("double")
+    val c11 = n * g("_s11") - g("_s1") * g("_s1")
+    val c22 = n * g("_s22") - g("_s2") * g("_s2")
+    val c12 = n * g("_s12") - g("_s1") * g("_s2")
+    val c1y = n * g("_s1y") - g("_s1") * g("_sy")
+    val c2y = n * g("_s2y") - g("_s2") * g("_sy")
+    val cyy = n * g("_syy") - g("_sy") * g("_sy")
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c2y * c11 - c1y * c12) / det
+    mom.select(col("n"),
+      round(when(det > 0, (g("_sy") - b1 * g("_s1") - b2 * g("_s2")) / n), scale)
+        .as("b0"),
+      round(when(det > 0, b1), scale).as("b1"),
+      round(when(det > 0, b2), scale).as("b2"),
+      round(when(det > 0, when(cyy > 0, (b1 * c1y + b2 * c2y) / cyy)), scale)
+        .as("r2"),
+      round(when(c11 > 0 && c22 > 0,
+        when(lit(1.0) - c12 * c12 / (c11 * c22) > 0,
+          lit(1.0) / (lit(1.0) - c12 * c12 / (c11 * c22)))), scale).as("vif"))
+  }
+
+  /** Winsorized Pearson correlation — [[linearFit]]'s corr with both
+    * margins clamped at their own type-1 quantiles `[t, 1−t]` before
+    * the moment fold: one wild (x, y) pair can hold plain r hostage;
+    * clamping caps any single row's leverage while keeping every row's
+    * vote (the correlation-shaped cousin of [[winsorize]] /
+    * trimmedStats). Returns one row
+    * `(n, lo_x, hi_x, lo_y, hi_y, corr_w)` — the clamps are shown
+    * because a winsorized r without its clamps can't be audited.
+    *
+    * Determinism: the four clamps are [[quantileProfile]]'s exact
+    * type-1 rank picks (ACTUAL data values — no interpolation);
+    * clamping is least/greatest on the same doubles; the fold is
+    * [[linearFit]]'s exact decimal discipline.
+    *
+    * Scale shape: two prefix-sum quantile passes (one per margin) +
+    * one broadcast clamp attach + one moment fold.
+    */
+  def winsorizedCorr(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      trim: Double = 0.05,
+      scale: Int = 6): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")
+    val base = graft.Caches.track(
+      df.select(x.cast("double").as("_x"), y.cast("double").as("_y"))
+        .where(col("_x").isNotNull && col("_y").isNotNull))
+    def clamps(c: String, lo: String, hi: String) =
+      quantileProfile(base.select(col(c)), col(c), Nil, Seq(trim, 1 - trim))
+        .groupBy()
+        .agg(min(when(col("p") === trim, col("q"))).as(lo),
+          min(when(col("p") === lit(1 - trim), col("q"))).as(hi))
+    val cx = clamps("_x", "_lox", "_hix")
+    val cy = clamps("_y", "_loy", "_hiy")
+    val clamped = base.crossJoin(broadcast(cx)).crossJoin(broadcast(cy))
+      .select(
+        least(greatest(col("_x"), col("_lox")), col("_hix")).as("_cx"),
+        least(greatest(col("_y"), col("_loy")), col("_hiy")).as("_cy"),
+        col("_lox"), col("_hix"), col("_loy"), col("_hiy"))
+    val xd = col("_cx").cast("decimal(18,6)")
+    val yd = col("_cy").cast("decimal(18,6)")
+    val mom = clamped.agg(
+      count(lit(1)).as("n"),
+      first(col("_lox")).as("_lo_x"), first(col("_hix")).as("_hi_x"),
+      first(col("_loy")).as("_lo_y"), first(col("_hiy")).as("_hi_y"),
+      sum(xd).as("_sx"), sum(yd).as("_sy"),
+      sum(xd * xd).as("_sxx"), sum(yd * yd).as("_syy"), sum(xd * yd).as("_sxy"))
+    val n = col("n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val vx = n * col("_sxx").cast("double") - sx * sx
+    val vy = n * col("_syy").cast("double") - sy * sy
+    val covN = n * col("_sxy").cast("double") - sx * sy
+    mom.select(col("n"),
+      round(col("_lo_x"), scale).as("lo_x"), round(col("_hi_x"), scale).as("hi_x"),
+      round(col("_lo_y"), scale).as("lo_y"), round(col("_hi_y"), scale).as("hi_y"),
+      round(when(vx > 0 && vy > 0, covN / (sqrt(vx) * sqrt(vy))), scale)
+        .as("corr_w"))
+  }
+
+  /** Newey–West long-run variance of a series mean — the
+    * autocorrelation-robust standard error a time-series mean owes its
+    * reader (the naive `s/√n` understates a positively-autocorrelated
+    * series' uncertainty by the inflation factor this op reports):
+    * `LRV = γ₀ + 2·Σ_{k=1..m} (1 − k/(m+1))·γ_k` (Bartlett kernel —
+    * positive semi-definite by construction). Input: collapsed
+    * contiguous series `(t, x)` (the ACF contract). One row
+    * `(n, max_lag, gamma0, lrv, se_mean, se_naive, inflation)`;
+    * LRV is floored at 0 (a deep negative-correlation series can push
+    * the truncated sum below zero — reported as 0, never √negative).
+    *
+    * The per-lag autocovariances reuse the ACF estimator's exact
+    * machinery UNROUNDED (`γ_k·n³ = n²C_k − n·S₁·P_k + m_k·S₁²` off
+    * exact decimal sums — the [[ljungBox]] discipline); the m kernel
+    * terms decimal-re-sum; every final ratio is pinned IEEE.
+    */
+  def neweyWest(series: DataFrame, maxLag: Int, scale: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val x = graft.Caches.track(
+      series.select(col("t").cast("long").as("t"),
+        col("x").cast("decimal(18,6)").as("_xd")))
+    val tot = x.agg(
+      count(lit(1)).as("n"),
+      sum(col("_xd")).as("_s1"),
+      sum(col("_xd") * col("_xd")).as("_s2"))
+    val lags = explode(array((1 to maxLag).map(l => lit(l.toLong)): _*)).as("lag")
+    val paired = x.select(col("t"), col("_xd"), lags)
+      .withColumn("_tk", col("t") + col("lag"))
+      .join(x.select(col("t").as("_tk"), col("_xd").as("_xk")), Seq("_tk"))
+    val perLag = paired.groupBy(col("lag")).agg(
+      count(lit(1)).as("_m"),
+      sum(col("_xd") * col("_xk")).as("_ck"),
+      sum(col("_xd") + col("_xk")).as("_pk"))
+    val n = col("n").cast("double")
+    val s1 = col("_s1").cast("double"); val s2 = col("_s2").cast("double")
+    val gk = (n * n * col("_ck").cast("double") -
+      n * s1 * col("_pk").cast("double") +
+      col("_m").cast("double") * s1 * s1) / (n * n * n)
+    val w = lit(1.0) - col("lag").cast("double") / lit((maxLag + 1).toDouble)
+    val kernelSum = perLag.crossJoin(broadcast(tot))
+      .select((w * gk).cast("decimal(38,12)").as("_term"))
+      .agg(coalesce(sum(col("_term")), lit(0.0).cast("decimal(38,12)")).as("_ks"))
+    val gamma0 = (n * s2 - s1 * s1) / (n * n)
+    val lrv = greatest(gamma0 + lit(2.0) * col("_ks").cast("double"), lit(0.0))
+    tot.crossJoin(broadcast(kernelSum))
+      .select(col("n"), lit(maxLag).as("max_lag"),
+        round(when(col("n") > 0, gamma0), scale).as("gamma0"),
+        round(when(col("n") > 0, lrv), scale).as("lrv"),
+        round(when(col("n") > 0, sqrt(lrv / n)), scale).as("se_mean"),
+        round(when(col("n") > 0, when(gamma0 >= 0, sqrt(gamma0 / n))), scale)
+          .as("se_naive"),
+        round(when(col("n") > 0, when(gamma0 > 0, lrv / gamma0)), scale)
+          .as("inflation"))
+  }
+
   /** Grubbs' test statistic — "is the single most extreme value an
     * outlier?" `G = max|x − x̄| / s` (sample s, n−1) plus WHICH value it
     * was — the one-outlier-at-a-time formal complement of

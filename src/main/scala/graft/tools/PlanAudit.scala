@@ -118,7 +118,10 @@ object PlanAudit {
     "q339_rmst",                  // one-row n/area crossJoins (scalar-attach class)
     "q340_page_trend",            // one-row k / L-fold crossJoins (the q313 class)
     "q341_jonckheere",            // |cells|² group-ordered pair fold (the q252 bounded-matrix class) + one-row margin attaches
-    "q343_bland_altman"           // one-row bias/sd/limits crossJoin (scalar-attach class)
+    "q343_bland_altman",          // one-row bias/sd/limits crossJoin (scalar-attach class)
+    "q346_quade",                 // one-row k / A4·B4 fold crossJoins (the q313 class)
+    "q348_winsorized_corr",       // two one-row clamp crossJoins (scalar-attach class)
+    "q350_newey_west"             // one-row global-moments + kernel-sum crossJoins (the q319 class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

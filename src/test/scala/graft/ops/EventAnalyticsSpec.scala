@@ -555,6 +555,29 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("seasonalStrength: pure trend+cycle series scores 1 on both; flat trend goes NULL") {
+    import spark.implicits._
+    // x_b = b + 4·(b mod 2) + 1 decomposes EXACTLY: trend b+3, seasonal
+    // ±2, residual 0 → both strengths exactly 1 on the interior buckets
+    val mixed = (0 to 7).flatMap { b =>
+      val x = b + 4 * (b % 2) + 1
+      Seq.fill(x)(("a", b.toLong))
+    }.toDF("event_type", "ts")
+    val r = EventAnalytics.seasonalStrength(mixed, bucketTs = 1L, period = 2)
+      .collect().head
+    assert(r.getString(0) == "a" && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
+    // pure alternation: trend is CONSTANT → Var(T+R) = 0 → trend
+    // strength undefined (NULL), seasonal strength still 1
+    val alt = (0 to 7).flatMap { b =>
+      Seq.fill(1 + 2 * (b % 2))(("a", b.toLong))
+    }.toDF("event_type", "ts")
+    val a = EventAnalytics.seasonalStrength(alt, bucketTs = 1L, period = 2)
+      .collect().head
+    assert(a.isNullAt(2) && a.getDouble(3) == 1.0)
+    graft.Caches.clear()
+  }
+
   test("rmst: hand area under the KM steps; horizon before any event gives tau") {
     import spark.implicits._
     // (1, event), (3, censored): S = 1 on [0,1), 0.5 from t=1 on →

@@ -2109,6 +2109,74 @@ class StatsSpec extends SparkSpec {
     assert(f.isNullAt(1) && f.isNullAt(2))
   }
 
+  test("quadeTest: wide blocks dominate the hand F; identical sorts go NULL not infinite") {
+    import spark.implicits._
+    // b1=(1,2,3) range 2, b2=(10,30,20) range 20: S₄ grid hand-folded →
+    // A₄=160, B₄=224 → F = 1·224/(2·160−224) = 2.333333
+    val df = Seq((1, "t1", 1), (1, "t2", 2), (1, "t3", 3),
+      (2, "t1", 10), (2, "t2", 30), (2, "t3", 20)).toDF("b", "t", "v")
+    val r = Stats.quadeTest(df, col("b"), col("t"), col("v")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.333333)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L)
+    // identical sorts AND identical ranges → S_ij equal across blocks →
+    // A = B (the Cauchy–Schwarz equality case) → F undefined → NULL
+    val same = Seq((1, "t1", 1), (1, "t2", 2), (2, "t1", 11), (2, "t2", 12))
+      .toDF("b", "t", "v")
+    val s = Stats.quadeTest(same, col("b"), col("t"), col("v")).collect().head
+    assert(s.isNullAt(2))
+    graft.Caches.clear()
+  }
+
+  test("olsTwo: exact plane recovered; VIF hand-checked on correlated regressors") {
+    import spark.implicits._
+    // y = 1 + 2a + 3b exactly; corr(a,b)² = 0.36 → VIF = 1.5625
+    val df = Seq((1, 2), (2, 1), (3, 4), (4, 3))
+      .map { case (a, b) => (a, b, 1.0 + 2.0 * a + 3.0 * b) }.toDF("a", "b", "y")
+    val r = Stats.olsTwo(df, col("a"), col("b"), col("y")).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 2.0 && r.getDouble(3) == 3.0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.5625)
+    // perfectly collinear regressors → singular normal equations → NULLs
+    val col2 = Seq((1, 2, 5.0), (2, 4, 8.0), (3, 6, 11.0)).toDF("a", "b", "y")
+    val c = Stats.olsTwo(col2, col("a"), col("b"), col("y")).collect().head
+    assert(c.isNullAt(1) && c.isNullAt(2) && c.isNullAt(5))
+  }
+
+  test("winsorizedCorr: one wild pair clamps back onto the identity line") {
+    import spark.implicits._
+    // identity except (10, 100): at trim 0.1 both clamps land on rank 9
+    // → the wild pair becomes (9, 9) → corr_w exactly 1
+    val rows = (1 to 9).map(i => (i.toDouble, i.toDouble)) :+ ((10.0, 100.0))
+    val r = Stats.winsorizedCorr(rows.toDF("x", "y"), col("x"), col("y"),
+      trim = 0.1).collect().head
+    assert(r.getLong(0) == 10L)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 9.0)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 9.0)
+    assert(r.getDouble(5) == 1.0)
+    // the plain fold on the same pairs is held hostage by the outlier
+    val plain = Stats.linearFit(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    assert(plain.getDouble(1) < 0.9)
+    graft.Caches.clear()
+  }
+
+  test("neweyWest: hand LRV on a ramp — positive autocorrelation inflates the SE") {
+    import spark.implicits._
+    // x = 1..6, m = 1: γ₀ = 35/12, γ₁ hand → LRV = 4.375, inflation 1.5
+    val s = (0 to 5).map(t => (t.toLong, (t + 1).toLong)).toDF("t", "x")
+    val r = Stats.neweyWest(s, maxLag = 1).collect().head
+    assert(r.getLong(0) == 6L && r.getInt(1) == 1)
+    assert(r.getDouble(2) == 2.916667 && r.getDouble(3) == 4.375)
+    assert(r.getDouble(4) == 0.853913 && r.getDouble(5) == 0.697217)
+    assert(r.getDouble(6) == 1.5)
+    // constant series: γ₀ = 0 → LRV 0, inflation NULL (not 0/0)
+    val c = (0 to 4).map(t => (t.toLong, 7L)).toDF("t", "x")
+    val cr = Stats.neweyWest(c, maxLag = 1).collect().head
+    assert(cr.getDouble(3) == 0.0 && cr.isNullAt(6))
+    graft.Caches.clear()
+  }
+
   test("grubbs: the planted extreme is the witness; hand-computed G") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
