@@ -2755,6 +2755,32 @@ object SparkEntry {
         .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
     }),
 
+    // KM with Greenwood bands on q219's spans: the survival curve plus
+    // the uncertainty its reader eventually asks for
+    "q351_km_ci" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val u = days.groupBy(col("user_id")).agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"))
+      val obs = u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
+        .select((col("_ld") - col("_fd")).as("dur"),
+          (col("_ld") <= col("_md") - 3).as("ev"))
+      graft.ops.EventAnalytics.kaplanMeierCi(obs, col("dur"), col("ev"))
+    }),
+
+    // Davies–Bouldin over the labeled embedding partition: compact AND
+    // separated, as one number (the q118 counts say neither)
+    "q352_davies_bouldin" -> ((s, dir) =>
+      VectorOps.daviesBouldin(T(s, dir, "embeddings"))),
+
+    // simplified silhouette per label: where do points sit relative to
+    // their own vs the nearest foreign prototype?
+    "q353_silhouette" -> ((s, dir) =>
+      VectorOps.silhouetteSimplified(T(s, dir, "embeddings"))),
+
+    // Calinski–Harabasz: the between/within variance F-ratio leg of the
+    // cluster-validity family — exact moments, no rounded prototypes
+    "q354_calinski" -> ((s, dir) =>
+      VectorOps.calinskiHarabasz(T(s, dir, "embeddings"))),
+
     // Quade: q313's blocks re-weighted by their value RANGE — wide
     // users speak louder than flat ones
     "q346_quade" -> ((s, dir) => {
@@ -9855,6 +9881,156 @@ object SparkEntry {
         |            / fit.sxxc))) END, 6) AS cooks_d
         |FROM d, fit
         |ORDER BY cooks_d DESC, id LIMIT 20""".stripMargin,
+
+    // q351: q219's recursive replay + the additive Greenwood cumsum
+    // over the collapsed axis; bands off the ROUNDED survival
+    "q351_km_ci" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |mx AS (SELECT max(ld) AS md FROM u),
+        |obs AS (SELECT ld - fd AS t, (ld <= mx.md - 3) AS ev FROM u, mx),
+        |g AS (
+        |  SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1
+        |), r AS (
+        |  SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+        |    CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior,
+        |    CAST(sum(d + c) OVER () AS BIGINT) AS nt
+        |  FROM g
+        |), k AS (
+        |  SELECT rn, t, nt - prior AS n_risk, d, c,
+        |    CAST(1.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / (nt - prior)) AS s
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.t, r.nt - r.prior, r.d, r.c,
+        |    k.s * (CAST(1.0 AS DOUBLE) - CAST(r.d AS DOUBLE) / (r.nt - r.prior))
+        |  FROM k JOIN r ON r.rn = k.rn + 1
+        |), cur AS (
+        |  SELECT t, n_risk, d, c, round(s, 6) AS survival,
+        |    CASE WHEN n_risk - d > 0
+        |      THEN CAST(d AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE) * (CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE)))
+        |      ELSE 0.0 END AS term
+        |  FROM k
+        |), w AS (
+        |  SELECT t, n_risk, d, c, survival,
+        |    survival * sqrt(CAST(sum(CAST(term AS DECIMAL(38,12)))
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)) AS seraw
+        |  FROM cur)
+        |SELECT t, n_risk, d AS n_events, c AS n_censored, survival,
+        |  round(seraw, 6) AS se,
+        |  round(greatest(survival - 1.959963984540054 * seraw, 0.0), 6) AS ci_lo,
+        |  round(least(survival + 1.959963984540054 * seraw, 1.0), 6) AS ci_hi
+        |FROM w""".stripMargin,
+
+    // q352: q59's rounded prototypes; exploded squared sums per point /
+    // per centroid pair, decimal-re-summed; worst-pair ratio per cluster
+    "q352_davies_bouldin" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, label,
+        |        unnest(list_transform(range(len(v)), i -> {'pos': i, 'x': v[i + 1]})) AS u
+        |      FROM e),
+        |xx AS (SELECT vec_id, label, u.pos AS pos, u.x AS x FROM x),
+        |c AS (SELECT label AS cl, pos, round(avg(x), 6) AS mean FROM xx GROUP BY 1, 2),
+        |p AS (
+        |  SELECT xx.vec_id, xx.label,
+        |    sum(CAST((xx.x - c.mean) * (xx.x - c.mean) AS DECIMAL(38,18))) AS sq
+        |  FROM xx JOIN c ON c.cl = xx.label AND c.pos = xx.pos GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT label,
+        |    CAST(sum(CAST(sqrt(CAST(sq AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)
+        |      / count(*) AS s
+        |  FROM p GROUP BY 1
+        |), pd AS (
+        |  SELECT a.cl AS c1, b.cl AS c2,
+        |    sqrt(CAST(sum(CAST((a.mean - b.mean) * (a.mean - b.mean)
+        |      AS DECIMAL(38,18))) AS DOUBLE)) AS d
+        |  FROM c a JOIN c b ON b.pos = a.pos AND b.cl <> a.cl GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT c1, max(CASE WHEN d > 0 THEN (s1.s + s2.s) / d END) AS r
+        |  FROM pd JOIN sc s1 ON s1.label = pd.c1 JOIN sc s2 ON s2.label = pd.c2
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |  round(CASE WHEN count(*) > 1 AND NOT bool_or(r IS NULL)
+        |    THEN CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) END, 6) AS db_index
+        |FROM rt""".stripMargin,
+
+    // q353: the same prototypes fanned out per point; a/b by min over
+    // the bounded candidate set; boundary convention s=0 at a=b=0
+    "q353_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, label,
+        |        unnest(list_transform(range(len(v)), i -> {'pos': i, 'x': v[i + 1]})) AS u
+        |      FROM e),
+        |xx AS (SELECT vec_id, label, u.pos AS pos, u.x AS x FROM x),
+        |c AS (SELECT label AS cand, pos, round(avg(x), 6) AS mean
+        |      FROM xx GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT xx.vec_id, xx.label AS own, c.cand,
+        |    sqrt(CAST(sum(CAST((xx.x - c.mean) * (xx.x - c.mean)
+        |      AS DECIMAL(38,18))) AS DOUBLE)) AS dist
+        |  FROM xx JOIN c ON c.pos = xx.pos GROUP BY 1, 2, 3
+        |), pp AS (
+        |  SELECT vec_id, own,
+        |    min(CASE WHEN cand = own THEN dist END) AS a,
+        |    min(CASE WHEN cand <> own THEN dist END) AS b
+        |  FROM pc GROUP BY 1, 2
+        |), ps AS (
+        |  SELECT own, CASE WHEN greatest(a, b) > 0
+        |    THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+        |  FROM pp)
+        |SELECT own AS label, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6)
+        |    AS mean_sil,
+        |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+        |FROM ps GROUP BY 1""".stripMargin,
+
+    // q354: per-(label, component) exact moments → anovaF's W/B
+    // decomposition per dimension → the pinned F-ratio
+    "q354_calinski" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, label,
+        |        unnest(list_transform(range(len(v)), i -> {'pos': i, 'x': v[i + 1]})) AS u
+        |      FROM e),
+        |xx AS (SELECT label, u.pos AS pos, u.x AS x FROM x),
+        |cell AS (
+        |  SELECT label AS cl, pos, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(38,18))) AS s1,
+        |    sum(CAST(x * x AS DECIMAL(38,18))) AS s2
+        |  FROM xx GROUP BY 1, 2
+        |), gl AS (
+        |  SELECT pos, CAST(sum(n) AS BIGINT) AS nt, sum(s1) AS st FROM cell GROUP BY 1
+        |), j AS (
+        |  SELECT
+        |    CAST(cell.s2 AS DOUBLE) - CAST(cell.s1 AS DOUBLE)
+        |      * (CAST(cell.s1 AS DOUBLE) / CAST(cell.n AS DOUBLE)) AS wterm,
+        |    CAST(cell.n AS DOUBLE)
+        |      * (CAST(cell.s1 AS DOUBLE) / CAST(cell.n AS DOUBLE)
+        |         - CAST(gl.st AS DOUBLE) / CAST(gl.nt AS DOUBLE))
+        |      * (CAST(cell.s1 AS DOUBLE) / CAST(cell.n AS DOUBLE)
+        |         - CAST(gl.st AS DOUBLE) / CAST(gl.nt AS DOUBLE)) AS bterm
+        |  FROM cell JOIN gl ON gl.pos = cell.pos
+        |), agg AS (
+        |  SELECT sum(CAST(wterm AS DECIMAL(38,18))) AS w,
+        |    sum(CAST(bterm AS DECIMAL(38,18))) AS b
+        |  FROM j
+        |), dims AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nc) AS BIGINT) AS n
+        |  FROM (SELECT cl, max(n) AS nc FROM cell GROUP BY 1))
+        |SELECT dims.n, dims.k,
+        |  round(CAST(agg.b AS DOUBLE), 6) AS b_ss,
+        |  round(CAST(agg.w AS DOUBLE), 6) AS w_ss,
+        |  round(CASE WHEN dims.k > 1 AND dims.n > dims.k THEN
+        |    CASE WHEN CAST(agg.w AS DOUBLE) > 0 THEN
+        |      (CAST(agg.b AS DOUBLE) / (CAST(dims.k AS DOUBLE) - 1.0))
+        |        / (CAST(agg.w AS DOUBLE)
+        |           / (CAST(dims.n AS DOUBLE) - CAST(dims.k AS DOUBLE)))
+        |    END END, 6) AS ch
+        |FROM dims, agg""".stripMargin,
 
     // q346: q313's complete-block midranks × range-cell midranks →
     // S₄ integer grid → the 4s cancel in the pinned F

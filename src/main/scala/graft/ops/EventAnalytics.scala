@@ -336,6 +336,48 @@ object EventAnalytics {
         round(col("n") - col("trend") - col("seasonal"), scale).as("residual"))
   }
 
+  /** Kaplan–Meier curve with Greenwood confidence bands — the
+    * [[kaplanMeier]] estimate plus the uncertainty every curve reader
+    * eventually asks for: Greenwood's
+    * `Var(S(t)) = S(t)²·Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ))`, plain-scale bands
+    * `S ∓ z·se` clamped to [0,1] (z a caller-fixed double literal — no
+    * Φ⁻¹ in either engine). Returns
+    * `(t, n_risk, n_events, n_censored, survival, se, ci_lo, ci_hi)`.
+    * A time where everyone at risk dies (nᵢ = dᵢ) contributes 0 to the
+    * variance sum — S is 0 from there on and the band collapses with it
+    * (the standard convention; Greenwood is undefined past extinction).
+    *
+    * Scale shape and determinism: [[kaplanMeier]]'s collapse-first
+    * discipline verbatim; the variance cumulative is an ADDITIVE window
+    * over the ≤|distinct durations| collapsed axis (bounded-window
+    * class) of per-time terms decimal-cast at (38,12); se multiplies
+    * the curve's ROUNDED survival (the published artifact), and the
+    * clamps are least/greatest on the same doubles.
+    */
+  def kaplanMeierCi(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      zCi: Double = 1.959963984540054,
+      scale: Int = 6): DataFrame = {
+    val curve = kaplanMeier(df, duration, event, scale)
+    val nr = col("n_risk").cast("double")
+    val d = col("n_events").cast("double")
+    val term = when(col("n_risk") - col("n_events") > 0,
+      d / (nr * (nr - d))).otherwise(lit(0.0))
+    val w = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    val withVar = curve
+      .withColumn("_gw", sum(term.cast("decimal(38,12)")).over(w))
+      .withColumn("_se", col("survival") * sqrt(col("_gw").cast("double")))
+    withVar.select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+      col("survival"),
+      round(col("_se"), scale).as("se"),
+      round(greatest(col("survival") - lit(zCi) * col("_se"), lit(0.0)), scale)
+        .as("ci_lo"),
+      round(least(col("survival") + lit(zCi) * col("_se"), lit(1.0)), scale)
+        .as("ci_hi"))
+  }
+
   /** Trend / seasonal strength indices — [[seasonalDecompose]]'s
     * components folded to the two FPP-standard numbers per series:
     * `F_T = max(0, 1 − Var(R)/Var(T+R))` and

@@ -52,6 +52,170 @@ object VectorOps {
       .groupBy(col(labelCol), col("pos"))
       .agg(round(avg(col("x")), scale).as("mean"), count(lit(1)).as("n_vectors"))
 
+  /** Davies–Bouldin index over the labeled embedding partition — "are
+    * these clusters compact AND separated?" in one number (lower =
+    * better): `DB = (1/k)·Σᵢ max_{j≠i} (sᵢ+sⱼ)/dᵢⱼ` with sᵢ the mean
+    * member-to-centroid Euclidean distance and dᵢⱼ the centroid gap —
+    * the cluster-validity gate a clustering step owes its consumer
+    * (cluster COUNTS say nothing about cluster QUALITY). One row
+    * `(k, db_index)`; NULL when k < 2 or any centroid pair coincides.
+    *
+    * Determinism: centroids are [[labelCentroids]]' ROUNDED means (the
+    * published prototypes — indices must agree with the frame a reader
+    * sees); every squared-component term rides the EXPLODED relational
+    * form and decimal-re-sums per point / per pair (the q152 embedding
+    * discipline — never a per-row array fold whose IEEE order another
+    * engine can't replicate); per-point √ is one correctly-rounded op.
+    *
+    * Scale shape: one (label,pos) centroid shuffle, one exploded
+    * point-component join keyed (label,pos) + per-point fold (no
+    * per-class fanout — each point meets only its OWN centroid), a
+    * k²·dim bounded pair frame, k-row and 1-row folds.
+    */
+  def daviesBouldin(
+      df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      scale: Int = 6): DataFrame = {
+    val cents = graft.Caches.track(
+      labelCentroids(df, labelCol, vecCol, scale)
+        .select(col(labelCol).as("_cl"), col("pos"), col("mean")))
+    val pts = df.select(col(idCol).as("_id"), col(labelCol).as("_cl"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "_x")))
+    val perPoint = pts.join(cents, Seq("_cl", "pos"))
+      .groupBy(col("_id"), col("_cl"))
+      .agg(sum(((col("_x") - col("mean")) * (col("_x") - col("mean")))
+        .cast("decimal(38,18)")).as("_sq"))
+      .select(col("_cl"), sqrt(col("_sq").cast("double")).as("_dist"))
+    val scatter = graft.Caches.track(
+      perPoint.groupBy(col("_cl"))
+        .agg((sum(col("_dist").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("_s")))
+    val pairs = cents
+      .join(cents.select(col("_cl").as("_cl2"), col("pos"),
+        col("mean").as("_m2")), Seq("pos"))
+      .where(col("_cl2") =!= col("_cl"))
+      .groupBy(col("_cl"), col("_cl2"))
+      .agg(sum(((col("mean") - col("_m2")) * (col("mean") - col("_m2")))
+        .cast("decimal(38,18)")).as("_d2"))
+      .select(col("_cl"), col("_cl2"), sqrt(col("_d2").cast("double")).as("_d"))
+    val ratios = pairs
+      .join(scatter, Seq("_cl"))
+      .join(scatter.select(col("_cl").as("_cl2"), col("_s").as("_s2")), Seq("_cl2"))
+      .groupBy(col("_cl"))
+      .agg(max(when(col("_d") > 0, (col("_s") + col("_s2")) / col("_d")))
+        .as("_r"))
+    ratios.agg(count(lit(1)).as("k"),
+        sum(col("_r").cast("decimal(38,18)")).as("_sum"),
+        max(col("_r").isNull).as("_anyNull"))
+      .select(col("k"),
+        round(when(col("k") > 1 && !col("_anyNull"),
+          col("_sum").cast("double") / col("k").cast("double")), scale)
+          .as("db_index"))
+  }
+
+  /** Simplified silhouette (centroid-based) per cluster — each point's
+    * `s = (b − a)/max(a, b)` with a = distance to its OWN prototype and
+    * b = the nearest FOREIGN prototype (the medoid-free variant that
+    * scales: true silhouette is all-pairs): s near 1 = well-placed,
+    * near 0 = boundary, negative = the point sits closer to another
+    * cluster than its own — the per-cluster mislabel rate's continuous
+    * cousin. One row per label
+    * `(label, n, mean_sil, n_negative)`.
+    *
+    * Determinism: rounded prototypes, exploded-relational squared sums
+    * per (point, candidate) decimal-re-summed, b by min over the
+    * bounded candidate set, the final means decimal-re-summed — the
+    * [[daviesBouldin]] discipline point-for-point.
+    *
+    * Scale shape: the per-point work is a |labels|-way fanout of the
+    * EXPLODED components joined on pos (k·dim rows per point, k and dim
+    * both bounded), one (point, candidate) fold, one per-point fold,
+    * one |labels|-row fold.
+    */
+  def silhouetteSimplified(
+      df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      scale: Int = 6): DataFrame = {
+    val cents = graft.Caches.track(
+      labelCentroids(df, labelCol, vecCol, scale)
+        .select(col(labelCol).as("_cand"), col("pos"), col("mean")))
+    val pts = df.select(col(idCol).as("_id"), col(labelCol).as("_own"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "_x")))
+    val perCand = pts.join(broadcast(cents), Seq("pos"))
+      .groupBy(col("_id"), col("_own"), col("_cand"))
+      .agg(sum(((col("_x") - col("mean")) * (col("_x") - col("mean")))
+        .cast("decimal(38,18)")).as("_sq"))
+      .select(col("_id"), col("_own"), col("_cand"),
+        sqrt(col("_sq").cast("double")).as("_dist"))
+    val perPoint = perCand.groupBy(col("_id"), col("_own"))
+      .agg(
+        min(when(col("_cand") === col("_own"), col("_dist"))).as("_a"),
+        min(when(col("_cand") =!= col("_own"), col("_dist"))).as("_b"))
+      .select(col("_own"),
+        when(greatest(col("_a"), col("_b")) > 0,
+          (col("_b") - col("_a")) / greatest(col("_a"), col("_b")))
+          .otherwise(lit(0.0)).as("_s"))
+    perPoint.groupBy(col("_own").as(labelCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("_s").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), scale).as("mean_sil"),
+        sum(when(col("_s") < 0, 1L).otherwise(0L)).as("n_negative"))
+  }
+
+  /** Calinski–Harabasz index — the between/within dispersion F-ratio
+    * `CH = (B/(k−1)) / (W/(n−k))` over the labeled partition (higher =
+    * better-separated): the third leg of the cluster-validity family
+    * ([[daviesBouldin]] worst-pair compactness, [[silhouetteSimplified]]
+    * per-point placement, THIS the variance-decomposition headline).
+    * One row `(n, k, b_ss, w_ss, ch)`; NULL where undefined.
+    *
+    * Unlike the distance-based pair, CH needs NO rounded prototypes:
+    * W and B decompose per (label, component) into exact decimal
+    * moments (`W = Σ S₂ − S₁²/nᵢ`, `B = Σ nᵢ(S₁/nᵢ − S₁ᵗᵒᵗ/n)²`), each
+    * per-cell term one pinned IEEE expression decimal-re-summed — the
+    * anovaF discipline run once per embedding dimension.
+    */
+  def calinskiHarabasz(
+      df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      scale: Int = 6): DataFrame = {
+    val comps = df.select(col(labelCol).as("_cl"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "_x")))
+    val cell = graft.Caches.track(
+      comps.groupBy(col("_cl"), col("pos"))
+        .agg(count(lit(1)).as("_n"),
+          sum(col("_x").cast("decimal(38,18)")).as("_s1"),
+          sum((col("_x") * col("_x")).cast("decimal(38,18)")).as("_s2")))
+    val glob = cell.groupBy(col("pos"))
+      .agg(sum(col("_n")).as("_nt"), sum(col("_s1")).as("_st"))
+    val joined = cell.join(glob, Seq("pos"))
+    val nI = col("_n").cast("double")
+    val mI = col("_s1").cast("double") / nI
+    val mT = col("_st").cast("double") / col("_nt").cast("double")
+    val wTerm = col("_s2").cast("double") - col("_s1").cast("double") * mI
+    val bTerm = nI * (mI - mT) * (mI - mT)
+    val agg = joined.agg(
+      sum(wTerm.cast("decimal(38,18)")).as("_w"),
+      sum(bTerm.cast("decimal(38,18)")).as("_b"))
+    val dims = cell.groupBy(col("_cl")).agg(max(col("_n")).as("_nc"))
+      .agg(count(lit(1)).as("k"), sum(col("_nc")).as("n"))
+    val n = col("n").cast("double")
+    val k = col("k").cast("double")
+    val b = col("_b").cast("double")
+    val w = col("_w").cast("double")
+    dims.crossJoin(broadcast(agg))
+      .select(col("n"), col("k"),
+        round(b, scale).as("b_ss"),
+        round(w, scale).as("w_ss"),
+        round(when(col("k") > 1 && col("n") > col("k"),
+          when(w > 0, (b / (k - 1.0)) / (w / (n - k)))), scale).as("ch"))
+  }
+
   /** Nearest-class-mean assignment: each vector gets the label of the
     * centroid with the highest cosine similarity (ties → smallest label,
     * deterministic). `centroids` is a [[labelCentroids]]-shaped frame

@@ -121,7 +121,8 @@ object PlanAudit {
     "q343_bland_altman",          // one-row bias/sd/limits crossJoin (scalar-attach class)
     "q346_quade",                 // one-row k / A4·B4 fold crossJoins (the q313 class)
     "q348_winsorized_corr",       // two one-row clamp crossJoins (scalar-attach class)
-    "q350_newey_west"             // one-row global-moments + kernel-sum crossJoins (the q319 class)
+    "q350_newey_west",            // one-row global-moments + kernel-sum crossJoins (the q319 class)
+    "q354_calinski"               // one-row W/B moment crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -153,7 +154,8 @@ object PlanAudit {
     "q307_logrank",        // at-risk/total cumulatives over the ≤|distinct durations| collapsed axis (the q264 class)
     "q309_isotonic",       // monotonicity lag over the ≤bins LocalTableScan curve (the gate face)
     "q339_rmst",           // lag segments over the ≤|distinct durations| collapsed KM curve (the q264 class)
-    "q340_page_trend"      // dose rank over the ≤k-row treatment frame (bounded by construction)
+    "q340_page_trend",     // dose rank over the ≤k-row treatment frame (bounded by construction)
+    "q351_km_ci"           // Greenwood cumsum over the ≤|distinct durations| collapsed axis (the q264 class)
   )
 
   /** Queries whose RESULT frame is a driver-local table (LocalTableScan —

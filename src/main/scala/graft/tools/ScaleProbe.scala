@@ -107,7 +107,12 @@ object ScaleProbe {
     "q150_graph_walks_weighted", "q156_graph_linkpred", "q141_graph_walks",
     "q242_betweenness", "q182_graph_scc", "q191_dag_levels",
     "q216_densest_subgraph", "q157_graph_assortativity",
-    "q75_graph_pagerank_df", "q304_graph_anf")
+    "q75_graph_pagerank_df", "q304_graph_anf",
+    // round-12 additions: the heaviest of the new operator families —
+    // token-level shuffles, pair folds, multi-pass prefix-sum clamps
+    "q329_chao1", "q330_diversity", "q333_assoc_rules", "q334_morans_i",
+    "q338_rich_club", "q341_jonckheere", "q346_quade",
+    "q348_winsorized_corr", "q322_moods_median", "q332_sprt")
 
   /** Expected-growth annotations for the documented super-linear families. */
   val Expectations: Map[String, String] = Map(

@@ -578,6 +578,27 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("kaplanMeierCi: hand Greenwood band; extinction collapses the band with S") {
+    import spark.implicits._
+    // (1, event), (3, censored): S(1)=0.5, gw=1/(2·1)=0.5 →
+    // se = 0.5·√0.5; the plain band clamps to [0, 1] at this n
+    val obs = Seq((1L, true), (3L, false)).toDF("dur", "ev")
+    val rows = EventAnalytics.kaplanMeierCi(obs, col("dur"), col("ev"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val t1 = rows(1L)
+    assert(t1.getDouble(4) == 0.5 && t1.getDouble(5) == 0.353553)
+    assert(t1.getDouble(6) == 0.0 && t1.getDouble(7) == 1.0)
+    // censoring adds no variance: t=3 carries t=1's se unchanged
+    assert(rows(3L).getDouble(5) == 0.353553)
+    // everyone dies at once: S = 0, the nᵢ=dᵢ term is excluded → band 0
+    val ext = Seq((1L, true), (1L, true)).toDF("dur", "ev")
+    val e = EventAnalytics.kaplanMeierCi(ext, col("dur"), col("ev"))
+      .collect().head
+    assert(e.getDouble(4) == 0.0 && e.getDouble(5) == 0.0 &&
+      e.getDouble(6) == 0.0 && e.getDouble(7) == 0.0)
+    graft.Caches.clear()
+  }
+
   test("rmst: hand area under the KM steps; horizon before any event gives tau") {
     import spark.implicits._
     // (1, event), (3, censored): S = 1 on [0,1), 0.5 from t=1 on →

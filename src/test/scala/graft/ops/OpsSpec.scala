@@ -1505,4 +1505,31 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(idx == Seq(0, 2))
   }
+
+  test("cluster validity trio: hand DB/silhouette/CH on two separated clusters") {
+    import spark.implicits._
+    // a = {(0,0),(0,2)}, b = {(10,0),(10,2)}: centroids (0,1)/(10,1),
+    // scatter 1 each, gap 10 → DB = 0.2; silhouette (√101−1)/√101;
+    // CH: W = 4, B = 100, k = 2, n = 4 → (100/1)/(4/2) = 50
+    val df = Seq(
+      (1L, "a", Seq(0.0, 0.0)), (2L, "a", Seq(0.0, 2.0)),
+      (3L, "b", Seq(10.0, 0.0)), (4L, "b", Seq(10.0, 2.0)))
+      .toDF("vec_id", "label", "embedding")
+    val db = VectorOps.daviesBouldin(df).collect().head
+    assert(db.getLong(0) == 2L && db.getDouble(1) == 0.2)
+    val sil = VectorOps.silhouetteSimplified(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(sil("a").getLong(1) == 2L && sil("a").getDouble(2) == 0.900496)
+    assert(sil("b").getDouble(2) == 0.900496 && sil("b").getLong(3) == 0L)
+    val ch = VectorOps.calinskiHarabasz(df).collect().head
+    assert(ch.getLong(0) == 4L && ch.getLong(1) == 2L)
+    assert(ch.getDouble(2) == 100.0 && ch.getDouble(3) == 4.0)
+    assert(ch.getDouble(4) == 50.0)
+    // one cluster: DB and CH undefined → NULL, silhouette b-side absent
+    val one = Seq((1L, "a", Seq(0.0, 0.0)), (2L, "a", Seq(0.0, 2.0)))
+      .toDF("vec_id", "label", "embedding")
+    assert(VectorOps.daviesBouldin(one).collect().head.isNullAt(1))
+    assert(VectorOps.calinskiHarabasz(one).collect().head.isNullAt(4))
+    graft.Caches.clear()
+  }
 }
