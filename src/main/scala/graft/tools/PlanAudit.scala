@@ -165,7 +165,9 @@ object PlanAudit {
     * the operator's scaladoc documents the split.
     */
   private val codegenExempt: Set[String] = Set(
-    "q283_mmr" // TakeOrdered pool scan (the q21 shape) + ≤poolSize driver greedy
+    "q283_mmr",             // TakeOrdered pool scan (the q21 shape) + ≤poolSize driver greedy
+    "q216_densest_subgraph", // Charikar peel loop runs EAGERLY at construction; the returned best-snapshot frame is local
+    "q222_modularity"        // LPA label loop runs eagerly at construction; the scored result frame is local
   )
 
   /** Count of window nodes whose partition spec is EMPTY — each one plans
