@@ -2755,6 +2755,17 @@ object SparkEntry {
         .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
     }),
 
+    // inequality card: Theil T/L, Atkinson(1), Hoover over order
+    // totals — the decomposable complements of q198's Gini
+    "q355_inequality" -> ((s, dir) =>
+      graft.ops.Stats.inequalityIndices(
+        T(s, dir, "orders"), value = col("o_totalprice"))),
+
+    // lexical richness: Yule's K + Herdan/Guiraud/Sichel off the q286
+    // frequency-of-frequency frame — size-invariant where TTR is not
+    "q356_lexical_richness" -> ((s, dir) =>
+      TextAnalysis.lexicalRichness(T(s, dir, "documents"))),
+
     // KM with Greenwood bands on q219's spans: the survival curve plus
     // the uncertainty its reader eventually asks for
     "q351_km_ci" -> ((s, dir) => {
@@ -9881,6 +9892,64 @@ object SparkEntry {
         |            / fit.sxxc))) END, 6) AS cooks_d
         |FROM d, fit
         |ORDER BY cooks_d DESC, id LIMIT 20""".stripMargin,
+
+    // q355: one exact log-moment fold + the broadcast-mean Hoover pass;
+    // all four indices pinned closed forms
+    "q355_inequality" ->
+      """WITH d AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |  WHERE CAST(o_totalprice AS DOUBLE) > 0
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(x * ln(x) AS DECIMAL(38,12))) AS sxlnx,
+        |    sum(CAST(ln(x) AS DECIMAL(38,12))) AS slnx
+        |  FROM d
+        |), f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS xd,
+        |    CAST(sxlnx AS DOUBLE) AS sxlnxd, CAST(slnx AS DOUBLE) AS slnxd,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+        |  FROM m WHERE n > 0
+        |), s AS (
+        |  SELECT f.n, f.nd, f.xd, f.sxlnxd, f.slnxd, f.mu,
+        |    CAST(sum(CAST(abs(d.x - f.mu) AS DECIMAL(38,12))) AS DOUBLE) AS sad
+        |  FROM d, f GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT n, round(mu, 6) AS mean,
+        |  round(sxlnxd / xd - ln(xd / nd), 6) AS theil_t,
+        |  round(ln(xd / nd) - slnxd / nd, 6) AS theil_l,
+        |  round(1.0 - exp(slnxd / nd) / mu, 6) AS atkinson_1,
+        |  round(sad / (2.0 * xd), 6) AS hoover
+        |FROM s""".stripMargin,
+
+    // q356: q286's frequency-of-frequency frame → four pinned
+    // closed-form richness indices off exact integers
+    "q356_lexical_richness" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), tc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks WHERE tok <> ''
+        |  GROUP BY 1
+        |), ff AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY 1),
+        |m AS (
+        |  SELECT sum(CAST(r AS DECIMAL(38,0)) * n_r) AS n,
+        |    CAST(sum(n_r) AS BIGINT) AS vocab,
+        |    sum(CAST(r AS DECIMAL(38,0)) * r * n_r) AS sf2,
+        |    CAST(coalesce(sum(CASE WHEN r = 2 THEN n_r END), 0) AS BIGINT) AS v2
+        |  FROM ff)
+        |SELECT CAST(n AS BIGINT) AS n_tokens, vocab,
+        |  round(CASE WHEN n > 0 THEN 10000.0
+        |    * (CAST(sf2 AS DOUBLE) - CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END, 6) AS yule_k,
+        |  round(CASE WHEN n > 1 AND vocab > 0
+        |    THEN ln(CAST(vocab AS DOUBLE)) / ln(CAST(n AS DOUBLE)) END, 6)
+        |    AS herdan_c,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(vocab AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) END, 6)
+        |    AS guiraud_r,
+        |  round(CASE WHEN vocab > 0
+        |    THEN CAST(v2 AS DOUBLE) / CAST(vocab AS DOUBLE) END, 6) AS sichel_s
+        |FROM m""".stripMargin,
 
     // q351: q219's recursive replay + the additive Greenwood cumsum
     // over the collapsed axis; bands off the ROUNDED survival

@@ -5321,6 +5321,59 @@ object Stats {
         .as("corr_w"))
   }
 
+  /** Inequality index card — the decomposable complements of [[gini]] /
+    * [[lorenzCurve]], each answering a question Gini folds away:
+    * Theil T `Σ(x/X)·ln(x/(X/n))` (top-sensitive, subgroup-decomposable
+    * — THE index for "how much inequality lives between vs within
+    * sources"), Theil L / mean-log-deviation `ln(X/n) − (1/n)Σln x`
+    * (bottom-sensitive), Atkinson(ε=1) `1 − geomean/mean` (the welfare
+    * reading: the share of total you could discard under perfect
+    * equality for equal welfare), and Hoover `Σ|x−μ|/(2X)` (the share
+    * that would have to MOVE). One row
+    * `(n, mean, theil_t, theil_l, atkinson_1, hoover)`. Contract:
+    * strictly positive values — non-positive rows are EXCLUDED (the
+    * logs are undefined there; n counts what entered).
+    *
+    * Determinism: one exact decimal fold (n, Σx, and the per-row
+    * `x·ln x` / `ln x` terms decimal-re-summed — the
+    * [[mutualInformation]] log discipline), then ONE broadcast-attached
+    * second pass for Hoover's Σ|x−μ| against the pinned mean; every
+    * closed form is scalar IEEE in textual order.
+    */
+  def inequalityIndices(
+      df: DataFrame,
+      value: Column,
+      scale: Int = 6): DataFrame = {
+    val base = graft.Caches.track(
+      df.select(value.cast("double").as("_x")).where(col("_x") > 0))
+    val m = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("_x").cast("decimal(19,6)")).as("_sx"),
+      sum((col("_x") * log(col("_x"))).cast("decimal(38,12)")).as("_sxlnx"),
+      sum(log(col("_x")).cast("decimal(38,12)")).as("_slnx"))
+    val n = col("n").cast("double")
+    val x = col("_sx").cast("double")
+    val mu = x / n
+    val fit = m.where(col("n") > 0).select(col("n"), col("_sx"),
+      col("_sxlnx"), col("_slnx"), mu.as("_mu"))
+    val second = base.crossJoin(broadcast(fit))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("_sx")).as("_sx"), first(col("_sxlnx")).as("_sxlnx"),
+        first(col("_slnx")).as("_slnx"), first(col("_mu")).as("_mu"),
+        sum(abs(col("_x") - col("_mu")).cast("decimal(38,12)")).as("_sad"))
+    val theilT = col("_sxlnx").cast("double") / x - log(x / n)
+    val theilL = log(x / n) - col("_slnx").cast("double") / n
+    val atk = lit(1.0) - exp(col("_slnx").cast("double") / n) / col("_mu")
+    val hoover = col("_sad").cast("double") / (lit(2.0) * x)
+    second.select(col("n"),
+      round(col("_mu"), scale).as("mean"),
+      round(theilT, scale).as("theil_t"),
+      round(theilL, scale).as("theil_l"),
+      round(atk, scale).as("atkinson_1"),
+      round(hoover, scale).as("hoover"))
+  }
+
   /** Newey–West long-run variance of a series mean — the
     * autocorrelation-robust standard error a time-series mean owes its
     * reader (the naive `s/√n` understates a positively-autocorrelated

@@ -1523,6 +1523,49 @@ object TextAnalysis {
           / col("_n").cast("double"), scale).as("mass_share"))
   }
 
+  /** Lexical richness card — the size-aware vocabulary diagnostics a
+    * raw type/token ratio can't give (TTR collapses as N grows by
+    * Heaps' law alone): Yule's K
+    * `10⁴·(Σ_f f²·V_f − N)/N²` (repeat-rate — size-INVARIANT, high =
+    * repetitive/templated text, the q56-repetition signal at corpus
+    * grain), Herdan's C `ln V/ln N`, Guiraud's R `V/√N`, and Sichel's S
+    * `V₂/V` (the dis-legomena share — stable across N, shifts under
+    * boilerplate). One row `(n_tokens, vocab, yule_k, herdan_c,
+    * guiraud_r, sichel_s)`.
+    *
+    * Everything folds from the [[goodTuring]] frequency-of-frequency
+    * frame: exact integer counts (`f²·V_f` in decimal — corpus scale),
+    * four pinned IEEE closed forms. One token shuffle + two bounded
+    * folds.
+    */
+  def lexicalRichness(
+      df: DataFrame,
+      textCol: String = "text",
+      scale: Int = 6): DataFrame = {
+    val toks = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
+    val counts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_c"))
+    val ff = counts.groupBy(col("_c").as("r")).agg(count(lit(1)).as("n_r"))
+    val m = ff.agg(
+      sum(col("r").cast("decimal(38,0)") * col("n_r")).as("_n"),
+      sum(col("n_r")).as("vocab"),
+      sum(col("r").cast("decimal(38,0)") * col("r") * col("n_r")).as("_sf2"),
+      coalesce(sum(when(col("r") === 2L, col("n_r"))), lit(0L)).as("_v2"))
+    val n = col("_n").cast("double")
+    val v = col("vocab").cast("double")
+    m.select(
+      col("_n").cast("long").as("n_tokens"), col("vocab"),
+      round(when(col("_n") > 0,
+        lit(10000.0) * (col("_sf2").cast("double") - n) / (n * n)), scale)
+        .as("yule_k"),
+      round(when(col("_n") > 1 && col("vocab") > 0, log(v) / log(n)), scale)
+        .as("herdan_c"),
+      round(when(col("_n") > 0, v / sqrt(n)), scale).as("guiraud_r"),
+      round(when(col("vocab") > 0,
+        col("_v2").cast("double") / v), scale).as("sichel_s"))
+  }
+
   /** Heaps'-law vocabulary growth curve — how fast does vocabulary grow
     * with corpus size? (the budgeting question behind tokenizer and
     * embedding-table sizing). Measured at `steps` nested corpus

@@ -122,7 +122,8 @@ object PlanAudit {
     "q346_quade",                 // one-row k / A4·B4 fold crossJoins (the q313 class)
     "q348_winsorized_corr",       // two one-row clamp crossJoins (scalar-attach class)
     "q350_newey_west",            // one-row global-moments + kernel-sum crossJoins (the q319 class)
-    "q354_calinski"               // one-row W/B moment crossJoin (scalar-attach class)
+    "q354_calinski",              // one-row W/B moment crossJoin (scalar-attach class)
+    "q355_inequality"             // one-row log-moments/mean crossJoin (scalar-attach class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

@@ -1282,6 +1282,22 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got(3L)._1 == 1L && got(3L)._2.isNaN && got(3L)._3 == 0.5)
   }
 
+  test("lexicalRichness: hand card on the goodTuring corpus") {
+    import spark.implicits._
+    // "a a a b b c": N=6, V=3, Σf²V_f = 14 → K = 10⁴·8/36; V₂/V = 1/3
+    val docs = Seq("a a a b b c").toDF("text")
+    val r = TextAnalysis.lexicalRichness(docs).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2222.222222)
+    assert(r.getDouble(3) == 0.613147)
+    assert(r.getDouble(4) == 1.224745)
+    assert(r.getDouble(5) == 0.333333)
+    // all-hapax corpus: K = 10⁴(V−N)/N² = 0, no dis-legomena
+    val hapax = Seq("x y z").toDF("text")
+    val h = TextAnalysis.lexicalRichness(hapax).collect().head
+    assert(h.getDouble(2) == 0.0 && h.getDouble(5) == 0.0)
+  }
+
   test("heapsCurve: nested fractions grow monotonically; the last step is the full corpus") {
     import spark.implicits._
     val docs = (1L to 60L).map(i => (i, s"w$i w${i % 7} common")).toDF("doc_id", "text")

@@ -2177,6 +2177,25 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("inequalityIndices: equality zeroes every index; hand card on the skewed set") {
+    import spark.implicits._
+    val eq = Seq(5.0, 5.0, 5.0, 5.0).toDF("x")
+    val e = Stats.inequalityIndices(eq, col("x")).collect().head
+    assert(e.getLong(0) == 4L && e.getDouble(1) == 5.0)
+    assert(e.getDouble(2) == 0.0 && e.getDouble(3) == 0.0 &&
+      e.getDouble(4) == 0.0 && e.getDouble(5) == 0.0)
+    // (1,1,1,1,6): hand-worked T/L/Atkinson/Hoover
+    val sk = Seq(1.0, 1.0, 1.0, 1.0, 6.0).toDF("x")
+    val s = Stats.inequalityIndices(sk, col("x")).collect().head
+    assert(s.getDouble(2) == 0.381909 && s.getDouble(3) == 0.334795)
+    assert(s.getDouble(4) == 0.284515 && s.getDouble(5) == 0.4)
+    // non-positive rows are excluded, not log-crashed
+    val z = Seq(0.0, -3.0, 2.0, 2.0).toDF("x")
+    val zr = Stats.inequalityIndices(z, col("x")).collect().head
+    assert(zr.getLong(0) == 2L && zr.getDouble(2) == 0.0)
+    graft.Caches.clear()
+  }
+
   test("grubbs: the planted extreme is the witness; hand-computed G") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
