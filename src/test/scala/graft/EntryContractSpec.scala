@@ -31,7 +31,8 @@ class EntryContractSpec extends SparkSpec {
       "q07_sim_selfjoin", "q08_sim_or_leaves", "q25_graph_degrees", "q39_twomode_supernova",
       "q93_graph_kcore", // same sparse supplier graph as q07/q25: no edges at sf0.001
       "q209_graph_core_numbers", "q213_graph_ktruss", "q216_densest_subgraph", // same empty clique graph
-      "q156_graph_linkpred") // minShared=150 projection: no 2-wedge non-adjacent pairs at sf0.001
+      "q156_graph_linkpred", // minShared=150 projection: no 2-wedge non-adjacent pairs at sf0.001
+      "q349_seasonal_strength") // events span < the 25-bucket centered trend window: every component row NULL-filtered (5 rows from sf0.01 up)
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
