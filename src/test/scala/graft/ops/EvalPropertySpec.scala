@@ -118,4 +118,51 @@ class EvalPropertySpec extends SparkSpec {
     }
     graft.Caches.clear()
   }
+
+  test("property: jonckheereTerpstra's JT matches the brute-force pair count (ties ½)") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // narrow grids force heavy group AND value ties — exactly where a
+    // cell-fold implementation can silently double- or zero-count
+    val gen = for {
+      n  <- Gen.choose(2, 40)
+      gs <- Gen.listOfN(n, Gen.choose(1, 4))
+      vs <- Gen.listOfN(n, Gen.choose(0, 6))
+    } yield gs.zip(vs)
+    samples(gen, 12).foreach { rows =>
+      val df = rows.toDF("g", "v").repartition(4)
+      val got = Stats.jonckheereTerpstra(df, col("g"), col("v")).collect().head
+      // brute force: every cross-group ordered pair, ties worth ½
+      val jt = (for {
+        (a, i) <- rows.zipWithIndex; (b, j) <- rows.zipWithIndex
+        if a._1 < b._1
+      } yield {
+        if (b._2 > a._2) 1.0 else if (b._2 == a._2) 0.5 else 0.0
+      }).sum
+      assert(got.getDouble(2) == r6(jt),
+        s"got ${got.getDouble(2)} want ${r6(jt)} rows=${rows.take(6)}…")
+      graft.Caches.clear()
+    }
+  }
+
+  test("property: gkGamma's C/D fold matches brute-force concordance on random grids") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gen = for {
+      n  <- Gen.choose(2, 40)
+      xs <- Gen.listOfN(n, Gen.choose(1, 5))
+      ys <- Gen.listOfN(n, Gen.choose(1, 5))
+    } yield xs.zip(ys)
+    samples(gen, 12).foreach { rows =>
+      val df = rows.toDF("x", "y").repartition(4)
+      val got = Stats.gkGamma(df, col("x"), col("y")).collect().head
+      var c = 0L; var d = 0L
+      for (i <- rows.indices; j <- rows.indices if i < j) {
+        val dx = rows(j)._1 - rows(i)._1; val dy = rows(j)._2 - rows(i)._2
+        if (dx != 0 && dy != 0) { if (dx.sign == dy.sign) c += 1 else d += 1 }
+      }
+      if (c + d == 0) assert(got.isNullAt(1), s"expected NULL γ, rows=${rows.take(6)}…")
+      else assert(got.getDouble(1) == r6((c - d).toDouble / (c + d).toDouble),
+        s"got ${got.getDouble(1)} want C=$c D=$d rows=${rows.take(6)}…")
+      graft.Caches.clear()
+    }
+  }
 }
