@@ -955,15 +955,24 @@ object GraphQueries {
     * `reach_est` counts the vertex itself (hop-0 ball = {v}).
     *
     * Edges are DIRECTED out-edges (union the swap for undirected reach).
-    * Scale shape: each round is ONE equi-join (state sketches shipped to
-    * in-edges: |E| sketch copies) + ONE partial-aggregated sketch-union
-    * shuffle keyed on the vertex — shuffle mass ≈ |E|·2^lgK bytes per
-    * round, the lgK knob trading accuracy (σ ≈ 1.04/√2^lgK) against
-    * bandwidth. Rounds are lineage-cut per hop (the [[shortestPaths]]
-    * loop discipline). HyperBall's register-delta compression is a
-    * further refinement this implementation deliberately skips — the
-    * sketch column is already fixed-width and partial-agg combines
-    * map-side.
+    * Scale shape — HyperBall's delta-frontier discipline: HLL union is
+    * monotone and idempotent, so a vertex whose sketch did NOT change in
+    * round h−1 can contribute nothing new to any neighbor in round h (the
+    * neighbor already absorbed its registers). Each round therefore joins
+    * edges against only the CHANGED sketches (the frontier), folds the
+    * contributions per target vertex map-side (`hll_union_agg`), and
+    * merges them into the standing state with one equi-join + pairwise
+    * `hll_union` — stabilized vertices ride through untouched. Shuffle
+    * mass is ≈ |E_frontier|·2^lgK bytes per round (not |E|), the lgK knob
+    * trading accuracy (σ ≈ 1.04/√2^lgK) against bandwidth, and the loop
+    * EXITS as soon as the frontier empties — `maxHops` is a bound, not a
+    * fixed cost (remaining hop snapshots replicate the converged state).
+    * Change detection compares the merged sketch to the old one on the
+    * serialized bytes: registers that differ cannot serialize equal, so a
+    * change is never missed; a representation-only difference (sparse →
+    * dense promotion) at worst re-ships one sketch one extra round.
+    * Rounds are lineage-cut per hop (the [[shortestPaths]] loop
+    * discipline).
     */
   def neighborhoodFunction(
       spark: SparkSession,
@@ -986,16 +995,35 @@ object GraphQueries {
       .distinct())
     var state = materialize(
       v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("_sk")))
-    val hops = (1 to maxHops).map { h =>
-      val contrib = e
-        .join(state.select(col("id").as("dst"), col("_sk")), Seq("dst"))
-        .select(col("src").as("id"), col("_sk"))
-      state = materialize(
-        state.unionAll(contrib)
-          .groupBy(col("id"))
-          .agg(hll_union_agg(col("_sk"), lit(true)).as("_sk")))
-      state.select(col("id"), lit(h).as("hop"),
+    // Round 0: every vertex just absorbed its own id — all are frontier.
+    var frontier = state
+    var frontierNonEmpty = true
+    def snapshot(st: DataFrame, h: Int): DataFrame =
+      st.select(col("id"), lit(h).as("hop"),
         hll_sketch_estimate(col("_sk")).cast("double").as("reach_est"))
+    val hops = (1 to maxHops).map { h =>
+      if (!frontierNonEmpty) snapshot(state, h) // converged: reach is final
+      else {
+        val contrib = e
+          .join(frontier.select(col("id").as("dst"), col("_sk")), Seq("dst"))
+          .select(col("src").as("id"), col("_sk"))
+        val delta = contrib.groupBy(col("id"))
+          .agg(hll_union_agg(col("_sk"), lit(true)).as("_dsk"))
+        // Full outer keeps the legacy contract: an edge source absent from
+        // `vertices` still materializes a state row once reached.
+        val merged = state.join(delta, Seq("id"), "full")
+          .select(col("id"), col("_sk").as("_osk"),
+            when(col("_sk").isNull, col("_dsk"))
+              .when(col("_dsk").isNull, col("_sk"))
+              .otherwise(hll_union(col("_sk"), col("_dsk")))
+              .as("_nsk"))
+        val next = materialize(merged.select(col("id"), col("_nsk").as("_sk"),
+          (col("_osk").isNull || !(col("_nsk") <=> col("_osk"))).as("_chg")))
+        state = next.select(col("id"), col("_sk"))
+        frontier = next.where(col("_chg")).select(col("id"), col("_sk"))
+        frontierNonEmpty = !frontier.isEmpty
+        snapshot(state, h)
+      }
     }
     hops.reduce(_ unionAll _)
   }

@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
+    // Time the bench face (SPARK_GRAFT_MODE=bench) or the verify face
+    // (default) — sbt's forked run drops -D flags, so the env var is the
+    // only reliable channel.
+    sys.env.get("SPARK_GRAFT_MODE").foreach(System.setProperty("graft.mode", _))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.tail.toSeq
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

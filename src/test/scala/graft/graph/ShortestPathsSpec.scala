@@ -172,4 +172,34 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     }
     graft.Caches.clear()
   }
+
+  test("neighborhoodFunction: converged frontier — hops past the diameter replicate the final reach") {
+    // star: center 0 ↔ leaves 1..5, diameter 2 — everyone saturates at hop 2,
+    // hops 3..5 must ride the early-exit path and still report full reach.
+    val canon = (1L to 5L).map(l => (0L, l))
+    val e = (canon ++ canon.map(_.swap)).toDF("src", "dst")
+    val v = (0L to 5L).toDF("id")
+    val got = GraphQueries.neighborhoodFunction(spark, v, e, maxHops = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> math.round(r.getDouble(2))).toMap
+    assert(got.size == 6 * 5, "every (vertex, hop) pair present after convergence")
+    (0L to 5L).foreach { id =>
+      (2 to 5).foreach(h => assert(got((id, h)) == 6L, s"vertex $id hop $h full reach"))
+    }
+    // hop 1: center sees all 6; each leaf sees itself + center
+    assert(got((0L, 1)) == 6L && (1L to 5L).forall(l => got((l, 1)) == 2L))
+    graft.Caches.clear()
+  }
+
+  test("neighborhoodFunction: edge source absent from the vertex set still materializes once reached") {
+    // 9 → 1 directed; vertices = {1} only — legacy contract: 9 appears in the
+    // state (without its own id in the ball) because it sources an edge.
+    val e = Seq((9L, 1L)).toDF("src", "dst")
+    val v = Seq(1L).toDF("id")
+    val got = GraphQueries.neighborhoodFunction(spark, v, e, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> math.round(r.getDouble(2))).toMap
+    // vertex 9's ball is {1} (its own id was never seeded) at both hops
+    assert(got((9L, 1)) == 1L && got((9L, 2)) == 1L)
+    assert(got((1L, 1)) == 1L && got((1L, 2)) == 1L)
+    graft.Caches.clear()
+  }
 }
