@@ -879,7 +879,9 @@ object Dedup {
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", VectorOps.cosine(col("v_a"), col("v_b")))
-      .where(col("cos") >= threshold)
+      // NaN guard: zero-vector cosine is NaN and Spark orders NaN above all
+      // doubles — undefined similarity must not pass the threshold.
+      .where(col("cos") >= threshold && !isnan(col("cos")))
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
@@ -966,13 +968,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Within-bucket qualifying pairs — EXACT-duplicate vectors collapse to
+    * one representative per (bucket, vector) family before the quadratic
+    * stage, and member pairs expand afterward. The output is identical to
+    * the naive all-pairs compare (cosine is a pure function of the two
+    * vectors, ids and filters are untouched; zero-vector pairs drop via
+    * the explicit NaN guard below), but k verbatim
+    * copies inside one bucket now cost 1 family-pair cosine instead of
+    * k², and the duplicate-heavy corpus is the EXPECTED corpus at scale.
+    * Expansion joins ride the slim (bucket, rep) key; the quadratic term
+    * is |families-per-bucket|², bounded by bucket width as before.
+    */
   private def semanticPairsOf(base: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val a = base.select(col("bucket"), col(idCol).as("id_a"), col("_v").as("v_a"))
-    val b = base.select(col("bucket"), col(idCol).as("id_b"), col("_v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"), col("_v"))
+    // labeled feeds three join branches — persist or the window recomputes per branch
+    val labeled = graft.Caches.track(
+      base.withColumn("_rep", min(col(idCol)).over(w)))
+    val famReps = labeled.where(col(idCol) === col("_rep"))
+    val fa = famReps.select(col("bucket"), col("_rep").as("_ra"), col("_v").as("v_a"))
+    val fb = famReps.select(col("bucket"), col("_rep").as("_rb"), col("_v").as("v_b"))
+    val famPairs = fa.join(fb, Seq("bucket"))
+      .where(col("_ra") <= col("_rb")) // self-pair carries within-family expansion
       .withColumn("_cos", VectorOps.cosine(col("v_a"), col("v_b")))
-      .where(col("_cos") >= threshold)
+      // NaN guard: cosine of a zero vector is NaN, and Spark ORDERS NaN above
+      // every double, so a bare >= would declare zero vectors similar to
+      // everything — undefined similarity is not similarity.
+      .where(col("_cos") >= threshold && !isnan(col("_cos")))
+      .select(col("bucket"), col("_ra"), col("_rb"), col("_cos"))
+    val ma = labeled.select(col("bucket"), col("_rep").as("_ra"), col(idCol).as("_ida"))
+    val mb = labeled.select(col("bucket"), col("_rep").as("_rb"), col(idCol).as("_idb"))
+    famPairs
+      .join(ma, Seq("bucket", "_ra"))
+      .join(mb, Seq("bucket", "_rb"))
+      .where(col("_ra") =!= col("_rb") || col("_ida") < col("_idb"))
+      .select(
+        least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"),
+        col("_cos"))
   }
 
   /** MinHash-LSH operating curve — the tuning table behind every

@@ -562,18 +562,56 @@ object SimilaritySearch {
         col("n_old"), col("n_new"))
   }
 
+  /** Collapse EXACT-duplicate vectors before any pairwise stage: one
+    * representative (the minimum id) per distinct vector, plus the
+    * id → representative membership map. This is the duplicate-heavy-
+    * corpus scale lever: k verbatim copies of a vector otherwise create
+    * k² cosine work inside every LSH cell / kNN candidate set, and real
+    * web-scale corpora ARE duplicate-heavy — collapsing makes pair work
+    * per duplicate family 1 instead of k², and membership expands back
+    * afterward. All-zero (and empty) vectors are left uncollapsed — their
+    * cosine is undefined, so grouping them would invent similarity no
+    * pairwise stage can confirm. One window shuffle keyed on the vector
+    * value itself (exact — no fingerprint collisions), slim state.
+    */
+  private[graft] def collapseExactDuplicates(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String
+  ): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+    val keyed = df.select(
+      col(idCol).cast("long").as("_mid"),
+      col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_fam",
+        when(exists(col("_v"), x => x =!= lit(0.0)), lit(0L)).otherwise(col("_mid")))
+    val labeled = keyed
+      .withColumn("_rep", min(col("_mid")).over(w.partitionBy(col("_fam"), col("_v"))))
+    val members = labeled.select(col("_mid"), col("_rep"))
+    val reps = labeled.where(col("_mid") === col("_rep"))
+      .select(col("_mid").as(idCol), col("_v").as(vecCol))
+    (reps, members)
+  }
+
   /** Mutual-kNN clustering — the unsupervised semantic-grouping step of a
     * training-data pipeline (topic-balance audits, per-cluster sampling
     * quotas, SemDeDup-style pruning at the CLUSTER level): vertices are
     * rows of `df`, an edge connects u and v iff EACH is among the other's
-    * top-`k` cosine neighbors (self excluded BEFORE ranking, so duplicate
-    * vectors cannot displace genuine neighbors), and clusters are the
-    * connected components of that mutual graph. Mutuality is the classic
-    * hub-filter: an asymmetric "v is near hub u" edge dies unless u also
-    * claims v, so broad attractors don't glue unrelated clusters. Returns
+    * top-`k` cosine neighbors, and clusters are the connected components
+    * of that mutual graph. Mutuality is the classic hub-filter: an
+    * asymmetric "v is near hub u" edge dies unless u also claims v, so
+    * broad attractors don't glue unrelated clusters. Returns
     * `(idCol, cluster_id)` for EVERY input row — vertices with no mutual
     * neighbor are singleton clusters labeled by their own id; cluster_id
     * is the component's minimum member id.
+    *
+    * EXACT duplicates are collapsed before the kNN stage
+    * ([[collapseExactDuplicates]]): each DISTINCT vector competes for
+    * neighbor slots exactly once (copies can neither displace genuine
+    * neighbors nor burn quadratic pair work), every copy joins its
+    * representative's cluster, and since the representative is the family
+    * minimum, cluster labels are unchanged where the two formulations
+    * agree. On a duplicate-free corpus the collapse is an exact no-op.
     *
     * Scale shape: neighbor generation is [[knnJoin]]'s bounded-heap
     * aggregate (documented broadcast of the query side — for corpora past
@@ -581,8 +619,9 @@ object SimilaritySearch {
     * and cluster with [[graft.graph.GraphQueries.componentLabels]]
     * directly); the mutual filter is ONE self-equi-join of the slim
     * (query, neighbor) frame on the swapped key pair; components ride the
-    * spillable CC-DF loop. Scores are rounded before ranking (knnJoin's
-    * rule), so the whole labeling is engine-exact.
+    * spillable CC-DF loop; duplicate families cost one vertex each, not
+    * k² pairs. Scores are rounded before ranking (knnJoin's rule), so the
+    * whole labeling is engine-exact.
     */
   def mutualKnnClusters(
       spark: SparkSession,
@@ -592,12 +631,14 @@ object SimilaritySearch {
       idCol: String = "vec_id"
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val q = df.select(
+    val (reps, members) = collapseExactDuplicates(df, vecCol, idCol)
+    val repsT = graft.Caches.track(reps)
+    val q = repsT.select(
       col(idCol).cast("long").as("query_id"),
-      col(vecCol).cast("array<double>").as("_qv"))
-    val c = df.select(
+      col(vecCol).as("_qv"))
+    val c = repsT.select(
       col(idCol).cast("long").as("_nid"),
-      col(vecCol).cast("array<double>").as("_cv"))
+      col(vecCol).as("_cv"))
     val nn = graft.Caches.track(
       c.crossJoin(broadcast(q))
         .where(col("_nid") =!= col("query_id"))
@@ -609,9 +650,10 @@ object SimilaritySearch {
         .agg(org.apache.spark.sql.graft.TopKAgg.topKAgg(col("_s"), col("_nid"), k).as("_top"))
         .select(col("query_id"), explode(col("_top.neighbor_id")).as("neighbor_id")))
     val labels = graft.graph.GraphQueries.componentLabels(spark, mutualEdges(nn))
-    df.select(col(idCol).cast("long").as(idCol))
-      .join(labels, col(idCol) === col("vid"), "left")
-      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+    members
+      .join(labels, col("_rep") === col("vid"), "left")
+      .select(col("_mid").as(idCol),
+        coalesce(col("component"), col("_rep")).as("cluster_id"))
   }
 
   /** The mutual filter alone: a directed `(query_id, neighbor_id)` kNN
@@ -644,7 +686,11 @@ object SimilaritySearch {
     * equals [[mutualKnnClusters]] verbatim (spec-pinned), and at
     * `nprobe < k` a mutual edge is lost only when either endpoint's
     * probed cells miss the other — the recall knob the q230 gate
-    * measures against the exact path.
+    * measures against the exact path. Exact duplicates collapse before
+    * indexing ([[collapseExactDuplicates]]) and expand into their
+    * representative's cluster afterward — the duplicate-heavy-corpus
+    * guard: k verbatim copies in one IVF cell would otherwise pay k²
+    * cosine work.
     */
   def mutualKnnClustersApprox(
       spark: SparkSession,
@@ -655,15 +701,18 @@ object SimilaritySearch {
       idCol: String = "vec_id"
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val (indexed, _centroids) = index.index(df, vecCol)
+    val (reps, members) = collapseExactDuplicates(df, vecCol, idCol)
+    val repsT = graft.Caches.track(reps)
+    val (indexed, _centroids) = index.index(repsT, vecCol)
     val tracked = graft.Caches.track(indexed)
-    val nn = index.knnJoin(tracked, _centroids, df, k, vecCol, idCol, idCol,
+    val nn = index.knnJoin(tracked, _centroids, repsT, k, vecCol, idCol, idCol,
         excludeSelf = true, broadcastQueries = false)
       .select(col("query_id"), col("neighbor_id"))
     val labels = graft.graph.GraphQueries.componentLabels(spark, mutualEdges(nn))
-    df.select(col(idCol).cast("long").as(idCol))
-      .join(labels, col(idCol) === col("vid"), "left")
-      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+    members
+      .join(labels, col("_rep") === col("vid"), "left")
+      .select(col("_mid").as(idCol),
+        coalesce(col("component"), col("_rep")).as("cluster_id"))
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane i is the

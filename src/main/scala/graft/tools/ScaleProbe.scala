@@ -119,13 +119,13 @@ object ScaleProbe {
     "q126_graph_ppr" -> ("same-nation supplier clique: 10x suppliers over fixed 25 nations " +
       "=> ~100x edges by data semantics; PPR cost tracks edges"),
     "q19_dedup_ngram" -> "replicated corpus: every doc has 9 verbatim copies => 10x denser postings, ~45 pairs/doc",
-    "q143_semantic_clusters" -> "replicated embeddings: 10-copy identical-vector clusters in every LSH cell",
-    "q230_mutual_knn_approx" -> "replicated embeddings: IVF cells hold 10 copies of every vector",
+    // q143/q230 annotations retired: exact-duplicate collapse
+    // (SimilaritySearch.collapseExactDuplicates) makes the replicated
+    // corpus near-linear — measured 0.9x/1.0x at 10x rows.
     "q156_graph_linkpred" -> "same-nation clique projection: wedge counts grow quadratically with group size",
-    "q216_densest_subgraph" -> "same-nation clique graph: ~100x edges by data semantics",
-    "q304_graph_anf" -> ("HLL sketches flip sparse->dense as k-hop balls grow with graph " +
-      "connectivity: bytes-per-edge rises alongside edge count (HyperBall's cost model; " +
-      "lgK is the accuracy/bandwidth knob)"))
+    "q216_densest_subgraph" -> "same-nation clique graph: ~100x edges by data semantics")
+    // q304 annotation retired: the delta-frontier rewrite measured 3.8x at
+    // 10x rows — inside the gate with no excuse needed.
 
   def main(args: Array[String]): Unit = {
     System.setProperty("graft.hash", sys.env.getOrElse("SPARK_GRAFT_HASH", "xxhash"))

@@ -48,6 +48,36 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(5L, 3L), s"highest-score representative per semantic group: $kept")
   }
 
+  test("semanticPairs: family collapse reproduces the naive all-pairs compare exactly") {
+    import spark.implicits._
+    // exact-duplicate families, near-dups, zero vectors, split across buckets
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 6).map(_ => Array.fill(4)(rnd.nextDouble() * 2 - 1))
+    val rows: Seq[(Long, String, Seq[Double])] = (0 until 30).map { i =>
+      val v =
+        if (i % 10 == 9) Array(0.0, 0.0, 0.0, 0.0)           // zero family
+        else if (i % 3 == 0) base(i % 6)                      // verbatim copies
+        else base(i % 6).map(x => x + (i % 7) * 1e-3)         // near-dups
+      (i.toLong, if (i % 2 == 0) "A" else "B", v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "blk", "embedding")
+    val got = Dedup.semanticPairs(df, bucketCol = col("blk"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def cos(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0.0 || nb == 0.0) None else Some(dot / (na * nb))
+    }
+    val brute = (for {
+      (ia, ba, va) <- rows; (ib, bb, vb) <- rows
+      if ba == bb && ia < ib
+      c <- cos(va, vb) if c >= 0.5
+    } yield (ia, ib,
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == brute, s"collapse/expand must equal all-pairs: got ${got.size} vs ${brute.size}")
+    graft.Caches.clear()
+  }
+
   test("semanticPairsMulti: independent hyperplane families strictly improve planted-pair recall") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

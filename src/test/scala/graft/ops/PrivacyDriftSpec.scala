@@ -137,6 +137,37 @@ class PrivacyDriftSpec extends SparkSpec {
     }
   }
 
+  test("mutualKnnClusters: exact duplicates collapse to one vertex and expand into the rep's cluster") {
+    import spark.implicits._
+    // duplicate family {1,2,3,4,5,6} of one vector (6 copies ≫ k) + a tight
+    // pair far away: with k=1 the copies must NOT consume neighbor slots —
+    // all six land in cluster 1, the pair stays its own cluster.
+    val fam = (1L to 6L).map(i => (i, Array(1.0f, 0.0f)))
+    val rows = (fam ++ Seq(
+      (10L, Array(0.0f, 1.0f)),
+      (11L, Array(0.1f, 0.99f)))).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.mutualKnnClusters(spark, rows, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 8)
+    (1L to 6L).foreach(i => assert(got(i) == 1L, s"copy $i joins the family cluster"))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    graft.Caches.clear()
+  }
+
+  test("collapseExactDuplicates: zero vectors never collapse; reps are family minima") {
+    import spark.implicits._
+    val rows = Seq(
+      (5L, Array(1.0f, 2.0f)), (3L, Array(1.0f, 2.0f)), // family rep = 3
+      (7L, Array(0.0f, 0.0f)), (8L, Array(0.0f, 0.0f)), // zero: stay apart
+      (9L, Array(4.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val (reps, members) = SimilaritySearch.collapseExactDuplicates(rows, "embedding", "vec_id")
+    val repIds = reps.collect().map(_.getLong(0)).toSet
+    assert(repIds == Set(3L, 7L, 8L, 9L))
+    val m = members.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(5L -> 3L, 3L -> 3L, 7L -> 7L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("mutualKnnClustersApprox: nprobe = k probes every cell → ≡ exact path") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
