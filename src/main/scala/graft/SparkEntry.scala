@@ -2777,6 +2777,45 @@ object SparkEntry {
       graft.ops.EventAnalytics.kaplanMeierCi(obs, col("dur"), col("ev"))
     }),
 
+    // duration-binned log-rank from mergeable survival STATES (the
+    // q228/q229 FromState discipline for the survival family): q307's
+    // spans coarsened to 5-day life-table bins, one slim state per arm —
+    // the face continuous-duration callers must use at corpus scale
+    "q357_logrank_binned" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val u = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"))
+      val obs = graft.Caches.track(
+        u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
+          .select((col("_ld") - col("_fd")).as("dur"),
+            (col("_ld") <= col("_md") - 3).as("ev"),
+            (col("user_id") % 2 === 0).as("arm")))
+      graft.ops.EventAnalytics.logRankFromStates(
+        graft.ops.EventAnalytics.survivalPartials(
+          obs.where(col("arm")), col("dur"), col("ev"), binWidth = 5L),
+        graft.ops.EventAnalytics.survivalPartials(
+          obs.where(!col("arm")), col("dur"), col("ev"), binWidth = 5L))
+    }),
+
+    // duration-binned KM from a MERGED survival state: q219's spans in
+    // 3-day bins, the state built as two halves and summed back
+    // (exercising the additive-merge contract the streaming monitor
+    // relies on) — the curve then reads |bins| rows, not |durations|
+    "q358_km_binned" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val u = days.groupBy(col("user_id")).agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"))
+      val obs = graft.Caches.track(
+        u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
+          .select(col("_fd"), (col("_ld") - col("_fd")).as("dur"),
+            (col("_ld") <= col("_md") - 3).as("ev")))
+      val state = graft.ops.EventAnalytics.survivalMerge(Seq(
+        graft.ops.EventAnalytics.survivalPartials(
+          obs.where(col("_fd") % 2 === 0), col("dur"), col("ev"), binWidth = 3L),
+        graft.ops.EventAnalytics.survivalPartials(
+          obs.where(col("_fd") % 2 =!= 0), col("dur"), col("ev"), binWidth = 3L)))
+      graft.ops.EventAnalytics.kaplanMeierFromState(state)
+    }),
+
     // Davies–Bouldin over the labeled embedding partition: compact AND
     // separated, as one number (the q118 counts say neither)
     "q352_davies_bouldin" -> ((s, dir) =>
@@ -11293,6 +11332,80 @@ object SparkEntry {
     // q307: q264's censored spans + an even/odd arm; at-risk counts via
     // the total − prior windows; per-event-time O−E and hypergeometric V
     // in the op's pinned order
+    // q357: q307's machinery verbatim on the 5-day life-table bin axis —
+    // the FromStates face must equal the grouped log-rank on binned t
+    "q357_logrank_binned" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |mx AS (SELECT max(ld) AS md FROM u),
+        |obs AS (SELECT (ld - fd) // 5 AS t, (ld <= mx.md - 3) AS ev,
+        |          (user_id % 2 = 0) AS a FROM u, mx),
+        |g AS (SELECT t,
+        |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        |        CAST(sum(CASE WHEN a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |        CAST(sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d0
+        |      FROM obs GROUP BY 1),
+        |r AS (SELECT t, r1, r0, d1, d0,
+        |        CAST(sum(r1) OVER () AS BIGINT)
+        |          - CAST(coalesce(sum(r1) OVER wp, 0) AS BIGINT) AS n1,
+        |        CAST(sum(r0) OVER () AS BIGINT)
+        |          - CAST(coalesce(sum(r0) OVER wp, 0) AS BIGINT) AS n0,
+        |        CAST(sum(r1) OVER () AS BIGINT) AS ta,
+        |        CAST(sum(r0) OVER () AS BIGINT) AS tb,
+        |        CAST(sum(d1) OVER () AS BIGINT) AS ea,
+        |        CAST(sum(d0) OVER () AS BIGINT) AS eb
+        |      FROM g
+        |      WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT * FROM r WHERE d1 + d0 > 0),
+        |a AS (
+        |  SELECT any_value(ta) AS n_a, any_value(tb) AS n_b,
+        |    any_value(ea) AS events_a, any_value(eb) AS events_b,
+        |    sum(CAST(d1 - (CAST(d1 + d0 AS DOUBLE) * n1) / (n1 + n0)
+        |      AS DECIMAL(38,12))) AS oe,
+        |    sum(CAST(CASE WHEN n1 + n0 > 1 THEN
+        |      (CAST(d1 + d0 AS DOUBLE) * n1) / (n1 + n0) * n0 / (n1 + n0)
+        |        * ((n1 + n0) - (d1 + d0)) / ((n1 + n0) - 1)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,12))) AS vv
+        |  FROM v)
+        |SELECT n_a, n_b, events_a, events_b,
+        |  round(CAST(oe AS DOUBLE), 6) AS o_minus_e,
+        |  round(CAST(vv AS DOUBLE), 6) AS var_o,
+        |  round(CASE WHEN vv > 0
+        |    THEN CAST(oe AS DOUBLE) / sqrt(CAST(vv AS DOUBLE)) END, 6) AS z
+        |FROM a""".stripMargin,
+
+    // q358: q219's recursive KM replay on the 3-day bin axis (the state
+    // split/merge is additive, so the oracle needs no half-split)
+    "q358_km_binned" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |mx AS (SELECT max(ld) AS md FROM u),
+        |obs AS (SELECT (ld - fd) // 3 AS t, (ld <= mx.md - 3) AS ev FROM u, mx),
+        |g AS (
+        |  SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1
+        |), r AS (
+        |  SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+        |    CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior,
+        |    CAST(sum(d + c) OVER () AS BIGINT) AS nt
+        |  FROM g
+        |), k AS (
+        |  SELECT rn, t, nt - prior AS n_risk, d, c,
+        |    CAST(1.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / (nt - prior)) AS s
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.t, r.nt - r.prior, r.d, r.c,
+        |    k.s * (CAST(1.0 AS DOUBLE) - CAST(r.d AS DOUBLE) / (r.nt - r.prior))
+        |  FROM k JOIN r ON r.rn = k.rn + 1
+        |)
+        |SELECT t, n_risk, d AS n_events, c AS n_censored, round(s, 6) AS survival
+        |FROM k""".stripMargin,
+
     "q307_logrank" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events

@@ -979,18 +979,85 @@ object EventAnalytics {
     * because the frame is the collapsed time axis, never subjects).
     * Each step is the same IEEE arithmetic in the same order in any
     * engine, so the curve is reproducible bit for bit.
+    *
+    * CONTRACT — the time axis must be coarse: every downstream window
+    * and the sequential fold run over |distinct durations| rows, so the
+    * estimator is scale-safe only when durations are integral and
+    * bounded (days, weeks, billing periods). Continuous or
+    * high-resolution durations (ms/ns timestamps) must pre-bin via
+    * [[survivalPartials]] and read the curve from
+    * [[kaplanMeierFromState]] — the standard actuarial/life-table
+    * coarsening, and the only shape whose state stays bounded at 100 TB.
     */
   def kaplanMeier(
       df: DataFrame,
       duration: Column,
       event: Column,
       scale: Int = 6): DataFrame = {
-    val spark = df.sparkSession
     val d = df.select(duration.cast("long").as("t"), event.cast("boolean").as("e"))
       .where(col("t").isNotNull && col("e").isNotNull)
     val g = d.groupBy(col("t")).agg(
       sum(when(col("e"), 1L).otherwise(0L)).as("d"),
       sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+    kmCore(g, scale)
+  }
+
+  /** Mergeable survival STATE: per-duration-bin event/censor counts —
+    * the q228/q229 `FromState` discipline applied to the survival
+    * family. `bin = floor(duration / binWidth)` (the life-table
+    * coarsening: every subject in a bin is treated as reaching the
+    * bin's time), one row per non-empty bin, combinable across batches /
+    * days / shards by plain summation ([[survivalMerge]]). Feed the
+    * merged state to [[kaplanMeierFromState]] / [[logRankFromStates]];
+    * every statistic then reads ≤|bins| rows no matter the corpus size.
+    * One partial-aggregated shuffle; output bounded by the bin grid.
+    */
+  def survivalPartials(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      binWidth: Long = 1L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.select((duration.cast("long") / lit(binWidth)).cast("long").as("bin"),
+        event.cast("boolean").as("e"))
+      .where(col("bin").isNotNull && col("e").isNotNull)
+      .groupBy(col("bin")).agg(
+        sum(when(col("e"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(!col("e"), 1L).otherwise(0L)).as("n_censored"))
+  }
+
+  /** Merge [[survivalPartials]] states (batches, shards, days) by
+    * summation — the additive-state property that makes the survival
+    * family streamable and incrementally maintainable. */
+  def survivalMerge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "survivalMerge needs at least one partial state")
+    parts.reduce(_ unionByName _).groupBy(col("bin")).agg(
+      sum(col("n_events")).as("n_events"),
+      sum(col("n_censored")).as("n_censored"))
+  }
+
+  /** Kaplan–Meier curve served from a (merged) [[survivalPartials]]
+    * state: identical estimator to [[kaplanMeier]] with the bin index as
+    * the time axis — the corpus-scale face for continuous durations,
+    * where the raw-duration estimator's |distinct durations| state would
+    * be unbounded. Returns `(t, n_risk, n_events, n_censored, survival)`
+    * with `t` = bin index; every window and the product fold run over
+    * ≤|bins| rows.
+    */
+  def kaplanMeierFromState(state: DataFrame, scale: Int = 6): DataFrame =
+    kmCore(
+      state.select(col("bin").cast("long").as("t"),
+        col("n_events").cast("long").as("d"),
+        col("n_censored").cast("long").as("c")),
+      scale)
+
+  /** The KM machinery over an already-collapsed `(t, d, c)` time axis:
+    * at-risk counts via the bounded prior-window, then the sequential
+    * survival product as one sorted single-partition fold (legitimate
+    * only because the input is the collapsed time axis, never
+    * subjects). */
+  private def kmCore(g: DataFrame, scale: Int): DataFrame = {
+    val spark = g.sparkSession
     val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
     val withRisk = g
@@ -1082,6 +1149,10 @@ object EventAnalytics {
     * subjects). Each per-time hazard dᵢ/nᵢ is rounded to `scale` and
     * decimal-cast before the cumulative sum, so the running total is
     * partitioning- and engine-exact.
+    *
+    * CONTRACT — same coarse-time-axis requirement as [[kaplanMeier]]:
+    * continuous durations must pre-bin ([[survivalPartials]]; the
+    * cumulative hazard over bins is the life-table hazard).
     */
   def nelsonAalen(
       df: DataFrame,
@@ -1260,6 +1331,13 @@ object EventAnalytics {
     * counts are the [[kaplanMeier]] windows over that bounded collapsed
     * axis; per-time O−E and V are pinned scalar IEEE off exact longs,
     * decimal-summed order-free.
+    *
+    * CONTRACT — same coarse-time-axis requirement as [[kaplanMeier]]:
+    * cost and window state scale with |distinct durations|. Continuous
+    * durations must pre-bin per arm via [[survivalPartials]] and test
+    * through [[logRankFromStates]] (the life-table coarsening: the
+    * hypergeometric O−E then compares bins, which is the standard
+    * grouped log-rank).
     */
   def logRankTest(
       df: DataFrame,
@@ -1275,6 +1353,39 @@ object EventAnalytics {
       sum(when(!col("a"), 1L).otherwise(0L)).as("r0"),
       sum(when(col("a") && col("e"), 1L).otherwise(0L)).as("d1"),
       sum(when(!col("a") && col("e"), 1L).otherwise(0L)).as("d0"))
+    logRankCore(g, scale)
+  }
+
+  /** Log-rank test served from two (merged) [[survivalPartials]] states —
+    * arm A and arm B each pre-binned to `(bin, n_events, n_censored)`:
+    * the corpus-scale face of [[logRankTest]] (the grouped/life-table
+    * log-rank over the bin axis). Identical statistic machinery; every
+    * window reads ≤|bins| rows, and the states merge additively across
+    * batches, so the A/B monitor is incrementally maintainable.
+    */
+  def logRankFromStates(
+      stateA: DataFrame,
+      stateB: DataFrame,
+      scale: Int = 6): DataFrame = {
+    val a = stateA.select(col("bin").cast("long").as("t"),
+      (col("n_events") + col("n_censored")).cast("long").as("r1"),
+      col("n_events").cast("long").as("d1"))
+    val b = stateB.select(col("bin").cast("long").as("t"),
+      (col("n_events") + col("n_censored")).cast("long").as("r0"),
+      col("n_events").cast("long").as("d0"))
+    val g = a.join(b, Seq("t"), "full")
+      .select(col("t"),
+        coalesce(col("r1"), lit(0L)).as("r1"),
+        coalesce(col("r0"), lit(0L)).as("r0"),
+        coalesce(col("d1"), lit(0L)).as("d1"),
+        coalesce(col("d0"), lit(0L)).as("d0"))
+    logRankCore(g, scale)
+  }
+
+  /** The Mantel–Cox machinery over an already-collapsed per-time per-arm
+    * `(t, r1, r0, d1, d0)` frame (r = subjects reaching exactly t,
+    * d = events at t). */
+  private def logRankCore(g: DataFrame, scale: Int): DataFrame = {
     val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
     val risk = g

@@ -123,7 +123,9 @@ object PlanAudit {
     "q348_winsorized_corr",       // two one-row clamp crossJoins (scalar-attach class)
     "q350_newey_west",            // one-row global-moments + kernel-sum crossJoins (the q319 class)
     "q354_calinski",              // one-row W/B moment crossJoin (scalar-attach class)
-    "q355_inequality"             // one-row log-moments/mean crossJoin (scalar-attach class)
+    "q355_inequality",            // one-row log-moments/mean crossJoin (scalar-attach class)
+    "q357_logrank_binned",        // one-row max-duration crossJoin (the q307 obs-frame class)
+    "q358_km_binned"              // one-row max-duration crossJoin (the q219 obs-frame class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -156,7 +158,9 @@ object PlanAudit {
     "q309_isotonic",       // monotonicity lag over the ≤bins LocalTableScan curve (the gate face)
     "q339_rmst",           // lag segments over the ≤|distinct durations| collapsed KM curve (the q264 class)
     "q340_page_trend",     // dose rank over the ≤k-row treatment frame (bounded by construction)
-    "q351_km_ci"           // Greenwood cumsum over the ≤|distinct durations| collapsed axis (the q264 class)
+    "q351_km_ci",          // Greenwood cumsum over the ≤|distinct durations| collapsed axis (the q264 class)
+    "q357_logrank_binned", // at-risk/total cumulatives over the ≤|bins| merged survival state — bounded by the bin grid, not |durations|
+    "q358_km_binned"       // at-risk cumulative over the ≤|bins| merged survival state (the q357 class)
   )
 
   /** Queries whose RESULT frame is a driver-local table (LocalTableScan —

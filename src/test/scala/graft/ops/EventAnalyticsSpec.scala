@@ -377,6 +377,48 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 1L, 0L, 0.0)))   // last subject churns
   }
 
+  test("survivalPartials/survivalMerge: binned counts; split-and-merge equals whole") {
+    import spark.implicits._
+    val obs = Seq((0L, true), (4L, true), (5L, false), (9L, true), (14L, false))
+      .toDF("dur", "ev")
+    // binWidth 5: bins {0: d=2 c=0, 1: d=1 c=1, 2: d=0 c=1}
+    val st = EventAnalytics.survivalPartials(obs, col("dur"), col("ev"), binWidth = 5L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(st == Map(0L -> ((2L, 0L)), 1L -> ((1L, 1L)), 2L -> ((0L, 1L))))
+    // additive merge: arbitrary split of the subjects reassembles the state
+    val h1 = EventAnalytics.survivalPartials(
+      obs.where(col("dur") < 5), col("dur"), col("ev"), binWidth = 5L)
+    val h2 = EventAnalytics.survivalPartials(
+      obs.where(col("dur") >= 5), col("dur"), col("ev"), binWidth = 5L)
+    val merged = EventAnalytics.survivalMerge(Seq(h1, h2))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(merged == st)
+  }
+
+  test("kaplanMeierFromState ≡ kaplanMeier on the binned axis; logRankFromStates ≡ logRankTest") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 80).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextBoolean(), i % 2 == 0)
+    }.toDF("dur", "ev", "arm")
+    val bw = 7L
+    // the state faces must equal the raw estimators fed pre-binned durations
+    val binned = rows.select((col("dur") / bw).cast("long").as("t"), col("ev"), col("arm"))
+    val kmState = EventAnalytics.kaplanMeierFromState(
+      EventAnalytics.survivalPartials(rows, col("dur"), col("ev"), bw))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val kmRaw = EventAnalytics.kaplanMeier(binned, col("t"), col("ev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(kmState == kmRaw)
+    val lrState = EventAnalytics.logRankFromStates(
+      EventAnalytics.survivalPartials(rows.where(col("arm")), col("dur"), col("ev"), bw),
+      EventAnalytics.survivalPartials(rows.where(!col("arm")), col("dur"), col("ev"), bw))
+      .collect().head
+    val lrRaw = EventAnalytics.logRankTest(binned, col("t"), col("ev"), col("arm"))
+      .collect().head
+    assert(lrState == lrRaw)
+  }
+
   test("linearAttribution: equal shares, window exclusion, touchless conversions drop") {
     import spark.implicits._
     val e = Seq(
