@@ -114,6 +114,24 @@ object Bench {
     val osBean    = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = loadAvg(osBean)
 
+    // Contention gate: a record taken on a busy box measures the NEIGHBORS,
+    // not the engine — the round-11 driver rerun flagged 4 contention
+    // phantoms. Above the threshold (fraction of available CPUs, default
+    // 0.5) the run is marked contended in the JSON record; with
+    // SPARK_GRAFT_BENCH_STRICT=1 it refuses outright so a committed record
+    // can never carry polluted numbers silently.
+    val loadGate  = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "0.5").toDouble
+    val contended = loadStart > loadGate * osBean.getAvailableProcessors
+    if (contended) {
+      System.err.println(
+        f"[bench] WARNING: start load $loadStart%.2f exceeds $loadGate%.2f x " +
+          f"${osBean.getAvailableProcessors} cpus — record will be marked contended")
+      if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
+        System.err.println("[bench] SPARK_GRAFT_BENCH_STRICT=1: refusing to run on a busy box")
+        sys.exit(2)
+      }
+    }
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -220,13 +238,13 @@ object Bench {
     val qsMinFull  = full(r => f"${r._2}%.3f")
     val retriedFull = results.filter(_._6).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val detailJson =
-      f"""{"sf":"$sfDir","hash":"${sys.props("graft.hash")}","n_runs":$runs,"total_min":$total%.3f,"total_median":$totalMedian%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"retried":$retriedFull,"queries_min":$qsMinFull,"queries_median":$qsMedian,"runs":$qsRuns,"load_avg_per_query":$qsLoad}"""
+      f"""{"sf":"$sfDir","hash":"${sys.props("graft.hash")}","n_runs":$runs,"total_min":$total%.3f,"total_median":$totalMedian%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"contended":$contended,"retried":$retriedFull,"queries_min":$qsMinFull,"queries_median":$qsMedian,"runs":$qsRuns,"load_avg_per_query":$qsLoad}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
     catch {
       case e: Throwable => System.err.println(s"[bench] detail write skipped: ${e.getMessage}")
     }
     println(
-      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"n_runs":$runs,"total_median":$totalMedian%.3f,"n_retried":${retried.size},"retried":"${retried.mkString(",")}","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"n_runs":$runs,"total_median":$totalMedian%.3f,"n_retried":${retried.size},"retried":"${retried.mkString(",")}","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"contended":$contended,"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

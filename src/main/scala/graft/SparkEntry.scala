@@ -274,6 +274,19 @@ object SparkEntry {
         .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("reject"))
     }),
 
+    // Benjamini–Yekutieli on the q297 p grid: the dependence-proof FDR
+    // step-up (same rank machinery, bound deflated by the ascending-
+    // folded harmonic c(m) — the oracle replays the identical IEEE fold
+    // via a recursive CTE)
+    "q360_by_fdr" -> ((s, dir) => {
+      val u = col("n_chars") % 1000
+      val pt = T(s, dir, "documents")
+        .select(col("doc_id"), round((u * u).cast("double") / 1000000.0, 6).as("p"))
+      graft.ops.Stats.byFdr(pt, p = col("p"), tie = col("doc_id"),
+          alphaNum = 1, alphaDen = 20)
+        .select(col("doc_id"), col("p"), col("p_rank"), col("m"), col("c_m"), col("reject"))
+    }),
+
     // Kish effective sample size of quantity-weighted lineitems per
     // return flag — how many unweighted rows is the weighted set worth?
     "q298_ess_weights" -> ((s, dir) =>
@@ -2816,6 +2829,54 @@ object SparkEntry {
       graft.ops.EventAnalytics.kaplanMeierFromState(state)
     }),
 
+    // Cox proportional hazards on the q357 binned states: the hazard
+    // ratio the log-rank can't give. Verify face: a q304-style gate —
+    // exact arm/event totals plus self-verification (Newton converged;
+    // β's sign agrees with the log-rank O−E; the two asymptotically-
+    // equivalent z statistics are close). Bench face: the full fit row.
+    "q359_cox" -> ((s, dir) => {
+      // time-to-first-purchase spans (q307's retention spans are 100%
+      // censored at sf0.01 — its row is the degenerate all-null, oracle-
+      // matched; a conversion clock gives the fit real events), censored
+      // at last-seen for never-purchasers
+      val days = E(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val u = days.groupBy(col("user_id")).agg(
+        min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pd"))
+      val obs = graft.Caches.track(
+        u.select(
+          (coalesce(col("_pd"), col("_ld")) - col("_fd")).as("dur"),
+          col("_pd").isNotNull.as("ev"),
+          (col("user_id") % 2 === 0).as("arm")))
+      val stA = graft.ops.EventAnalytics.survivalPartials(
+        obs.where(col("arm")), col("dur"), col("ev"), binWidth = 3L)
+      val stB = graft.ops.EventAnalytics.survivalPartials(
+        obs.where(!col("arm")), col("dur"), col("ev"), binWidth = 3L)
+      val cox = graft.ops.EventAnalytics.coxFromStates(stA, stB)
+      if (benchMode) cox
+      else {
+        val c = cox.collect().head
+        val lr = graft.ops.EventAnalytics.logRankFromStates(stA, stB).collect().head
+        val nEvents = c.getLong(2) + c.getLong(3)
+        val pass =
+          if (nEvents == 0) true // vacuous: nothing to fit, nothing to contradict
+          else {
+            val beta = if (c.isNullAt(4)) 0.0 else c.getDouble(4)
+            val zCox = if (c.isNullAt(7)) 0.0 else c.getDouble(7)
+            val zLr  = if (lr.isNullAt(6)) 0.0 else lr.getDouble(6)
+            val oe   = if (lr.isNullAt(4)) 0.0 else lr.getDouble(4)
+            val signOk = math.abs(oe) < 0.5 || (beta > 0) == (oe > 0)
+            val zOk = math.abs(zCox - zLr) <= 0.3 * math.max(1.0, math.abs(zLr))
+            c.getBoolean(9) && signOk && zOk
+          }
+        s.range(1).select(
+          lit(c.getLong(0)).as("n_a"), lit(c.getLong(1)).as("n_b"),
+          lit(c.getLong(2)).as("events_a"), lit(c.getLong(3)).as("events_b"),
+          lit(pass).as("cox_pass"))
+      }
+    }),
+
     // Davies–Bouldin over the labeled embedding partition: compact AND
     // separated, as one number (the q118 counts say neither)
     "q352_davies_bouldin" -> ((s, dir) =>
@@ -4813,6 +4874,32 @@ object SparkEntry {
         |  CAST(rn AS BIGINT) AS p_rank, CAST(m AS BIGINT) AS m,
         |  (rn <= kstar) AS reject
         |FROM r, k""".stripMargin,
+
+    // q360: q297's rank CTE + an ascending recursive harmonic fold —
+    // the SAME sequential IEEE adds byFdr runs on the driver, then the
+    // SAME pinned comparison shape (p·(m·αDen))·c ≤ rank·αNum
+    "q360_by_fdr" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, (n_chars % 1000) * (n_chars % 1000) AS pp FROM documents),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM t),
+        |h AS (
+        |  SELECT CAST(1 AS BIGINT) AS i, CAST(1.0 AS DOUBLE) AS c
+        |  UNION ALL
+        |  SELECT i + 1, c + CAST(1.0 AS DOUBLE) / (i + 1) FROM h
+        |  WHERE i + 1 <= (SELECT m FROM mm)),
+        |cm AS (SELECT c FROM h ORDER BY i DESC LIMIT 1),
+        |r AS (SELECT doc_id, pp,
+        |        row_number() OVER (ORDER BY pp, doc_id) AS rn,
+        |        count(*) OVER () AS m FROM t),
+        |k AS (SELECT coalesce(max(CASE WHEN
+        |          (CAST(pp AS DOUBLE) / 1000000 * CAST(m * 20 AS DOUBLE)) * cm.c
+        |            <= CAST(rn AS DOUBLE) * CAST(1 AS DOUBLE)
+        |        THEN rn END), 0) AS kstar FROM r, cm)
+        |SELECT doc_id, round(CAST(pp AS DOUBLE) / 1000000, 6) AS p,
+        |  CAST(rn AS BIGINT) AS p_rank, CAST(m AS BIGINT) AS m,
+        |  round(cm.c, 6) AS c_m,
+        |  (rn <= kstar) AS reject
+        |FROM r, k, cm""".stripMargin,
 
     // q298: Kish ESS off two decimal moments, quotients in pinned order
     "q298_ess_weights" ->
@@ -11332,6 +11419,25 @@ object SparkEntry {
     // q307: q264's censored spans + an even/odd arm; at-risk counts via
     // the total − prior windows; per-event-time O−E and hypergeometric V
     // in the op's pinned order
+    // q359: the gate row — exact totals from q357's obs CTE; the β/z
+    // self-verification happens inside the query (q304's pattern)
+    "q359_cox" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS fd, max(day) AS ld,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+        |  FROM e GROUP BY 1),
+        |obs AS (SELECT (coalesce(pd, ld) - fd) AS dur,
+        |          (pd IS NOT NULL) AS ev, (user_id % 2 = 0) AS a FROM u)
+        |SELECT
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS events_a,
+        |  CAST(sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS events_b,
+        |  CAST(TRUE AS BOOLEAN) AS cox_pass
+        |FROM obs""".stripMargin,
+
     // q357: q307's machinery verbatim on the 5-day life-table bin axis —
     // the FromStates face must equal the grouped log-rank on binned t
     "q357_logrank_binned" ->

@@ -1416,6 +1416,139 @@ object EventAnalytics {
           col("_oe").cast("double") / sqrt(col("_v").cast("double"))), scale).as("z"))
   }
 
+  /** Cox proportional hazards for a BINARY covariate — the hazard-ratio
+    * effect size the log-rank test can't give: `h₁(t) = h₀(t)·e^β`, with
+    * `e^β` the arm-A hazard ratio. Breslow tie handling; `β̂` solves the
+    * partial-likelihood score `U(β) = Σⱼ [d₁ⱼ − dⱼ·n₁ⱼe^β/(n₀ⱼ+n₁ⱼe^β)]
+    * = 0` by Newton–Raphson with information
+    * `I(β) = Σⱼ dⱼ·n₁ⱼn₀ⱼe^β/(n₀ⱼ+n₁ⱼe^β)²` (for a binary covariate the
+    * risk-set exponential sums collapse to these closed forms — no
+    * per-subject pass inside the loop). Newton starts at β = 0, where the
+    * first step is exactly the score test. Returns one row
+    * `(n_a, n_b, events_a, events_b, beta, hazard_ratio, se, z,
+    * iterations, converged)`; β is NULL under complete separation (all
+    * events in one arm — the MLE diverges) with `converged = false`.
+    *
+    * Scale shape: the distributed work is exactly the [[logRankTest]]
+    * collapse (one partial-agg shuffle to the per-time per-arm frame +
+    * the bounded at-risk windows); Newton then runs ON THE DRIVER over
+    * the COLLECTED event-time frame — legitimate only because that frame
+    * is ≤|distinct durations| rows, which is why the same coarse-time-
+    * axis contract applies: continuous durations must pre-bin via
+    * [[survivalPartials]] and fit through [[coxFromStates]]. The fold
+    * runs in ascending-t order with fixed tolerance — deterministic IEEE
+    * for a given collapsed frame.
+    */
+  def coxBinary(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      arm: Column,
+      maxIter: Int = 25,
+      scale: Int = 6): DataFrame = {
+    val d = df.select(duration.cast("long").as("t"), event.cast("boolean").as("e"),
+        arm.cast("boolean").as("a"))
+      .where(col("t").isNotNull && col("e").isNotNull && col("a").isNotNull)
+    val g = d.groupBy(col("t")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("r1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("r0"),
+      sum(when(col("a") && col("e"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("a") && col("e"), 1L).otherwise(0L)).as("d0"))
+    coxCore(g, maxIter, scale)
+  }
+
+  /** [[coxBinary]] served from two (merged) [[survivalPartials]] states —
+    * the corpus-scale face: the hazard ratio off the same bounded bin
+    * axis the binned log-rank reads. */
+  def coxFromStates(
+      stateA: DataFrame,
+      stateB: DataFrame,
+      maxIter: Int = 25,
+      scale: Int = 6): DataFrame = {
+    val a = stateA.select(col("bin").cast("long").as("t"),
+      (col("n_events") + col("n_censored")).cast("long").as("r1"),
+      col("n_events").cast("long").as("d1"))
+    val b = stateB.select(col("bin").cast("long").as("t"),
+      (col("n_events") + col("n_censored")).cast("long").as("r0"),
+      col("n_events").cast("long").as("d0"))
+    val g = a.join(b, Seq("t"), "full")
+      .select(col("t"),
+        coalesce(col("r1"), lit(0L)).as("r1"),
+        coalesce(col("r0"), lit(0L)).as("r0"),
+        coalesce(col("d1"), lit(0L)).as("d1"),
+        coalesce(col("d0"), lit(0L)).as("d0"))
+    coxCore(g, maxIter, scale)
+  }
+
+  private def coxCore(g: DataFrame, maxIter: Int, scale: Int): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    // the bounded collapsed event-time frame: (n1, n0, d1, d0) at event times
+    val risk = g
+      .withColumn("_n1", sum(col("r1")).over(wAll) -
+        coalesce(sum(col("r1")).over(wPrior), lit(0L)))
+      .withColumn("_n0", sum(col("r0")).over(wAll) -
+        coalesce(sum(col("r0")).over(wPrior), lit(0L)))
+      .where(col("d1") + col("d0") > 0)
+      .select(col("t"), col("_n1"), col("_n0"), col("d1"), col("d0"))
+      .orderBy(col("t"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totals = g.agg(
+        sum(col("r1")).as("na"), sum(col("r0")).as("nb"),
+        sum(col("d1")).as("ea"), sum(col("d0")).as("eb"))
+      .collect().head
+    val (na, nb, ea, eb) =
+      (totals.getLong(0), totals.getLong(1), totals.getLong(2), totals.getLong(3))
+
+    def scoreInfo(beta: Double): (Double, Double) = {
+      var u = 0.0; var inf = 0.0
+      val eb0 = math.exp(beta)
+      risk.foreach { case (n1, n0, d1, d0) =>
+        val dj = (d1 + d0).toDouble
+        val den = n0.toDouble + n1.toDouble * eb0
+        if (den > 0 && n1 + n0 > 0) {
+          u += d1.toDouble - dj * n1.toDouble * eb0 / den
+          inf += dj * n1.toDouble * n0.toDouble * eb0 / (den * den)
+        }
+      }
+      (u, inf)
+    }
+
+    // complete separation: every event in one arm → the MLE diverges
+    val separated = risk.nonEmpty && (risk.forall(_._3 == 0L) || risk.forall(_._4 == 0L))
+    var beta = 0.0; var it = 0; var converged = false
+    if (!separated && risk.nonEmpty) {
+      var continue = true
+      while (continue && it < maxIter) {
+        val (u, inf) = scoreInfo(beta)
+        if (inf <= 0) { continue = false }
+        else {
+          val step = u / inf
+          beta += math.max(-2.0, math.min(2.0, step)) // damped: e^β stays finite
+          it += 1
+          if (math.abs(step) < 1e-12) { converged = true; continue = false }
+        }
+      }
+    }
+    val ok = converged && !separated
+    val infAtHat = if (ok) scoreInfo(beta)._2 else 0.0
+    val se = if (ok && infAtHat > 0) math.sqrt(1.0 / infAtHat) else Double.NaN
+    def r6(x: Double): Option[Double] =
+      if (x.isNaN || x.isInfinite) None
+      else Some(BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq((na, nb, ea, eb,
+        if (ok) r6(beta) else None,
+        if (ok) r6(math.exp(beta)) else None,
+        if (ok) r6(se) else None,
+        if (ok && se > 0) r6(beta / se) else None,
+        it.toLong, ok))
+      .toDF("n_a", "n_b", "events_a", "events_b", "beta", "hazard_ratio",
+        "se", "z", "iterations", "converged")
+  }
+
   /** Harrell's concordance index — does a risk score RANK survival
     * correctly under censoring? ("among user pairs where one provably
     * outlasted the other, how often did the score call it?") The

@@ -2900,6 +2900,53 @@ object Stats {
       .drop("_k", "_hb_p")
   }
 
+  /** Benjamini–Yekutieli step-up correction — [[bhFdr]] under ARBITRARY
+    * dependence: the same step-up rule with the bound deflated by the
+    * harmonic constant `c(m) = Σ_{i=1..m} 1/i` (BH's FDR guarantee needs
+    * independence/PRDS; BY pays a log(m) power tax and holds always).
+    * Rejects ranks `k ≤ k* = max{k : p_(k) ≤ k·α/(m·c(m))}`. Appends
+    * `(p_rank, m, c_m, reject)`; null-p rows are excluded.
+    *
+    * Determinism: c(m) has no exact rational form a decimal grid can
+    * carry, so unlike [[bhFdr]] the bound is IEEE — but REPRODUCIBLY so:
+    * c(m) is folded in ascending-i order (each 1/i correctly rounded,
+    * each add sequential), and the comparison is evaluated in one pinned
+    * shape `(p·(m·αDen))·c(m) ≤ rank·αNum`, so any engine that folds the
+    * same ascending series and the same expression shape (the oracle's
+    * recursive CTE) makes the bit-identical decision. Scale shape is
+    * [[bhFdr]]'s verbatim: range-partition prefix-sum rank, one 1-row k*
+    * aggregate, scalar crossJoin; c(m) is one driver-side O(m) fold of
+    * the already-collected count — no extra distributed pass.
+    */
+  def byFdr(
+      df: DataFrame,
+      p: Column,
+      tie: Column,
+      alphaNum: Int = 1,
+      alphaDen: Int = 20,
+      scale: Int = 6): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"alpha must be in (0,1): got $alphaNum/$alphaDen")
+    val base = df.where(p.isNotNull)
+      .withColumn("_by_p", p.cast("decimal(13,12)"))
+    val (ranked0, grand) = prefixSumsCore(
+      base, Seq(col("_by_p"), tie), Seq(lit(1L) -> "p_rank"))
+    val m = grand("p_rank")
+    var cM = 0.0
+    var i = 1L
+    while (i <= m) { cM += 1.0 / i; i += 1 }
+    val ranked = graft.Caches.track(ranked0)
+    val pass = (col("_by_p").cast("double") * lit((m * alphaDen).toDouble)) * lit(cM) <=
+      col("p_rank").cast("double") * lit(alphaNum.toDouble)
+    val kStar = ranked.agg(
+      coalesce(max(when(pass, col("p_rank"))), lit(0L)).as("_k"))
+    ranked.crossJoin(broadcast(kStar))
+      .withColumn("m", lit(m))
+      .withColumn("c_m", round(lit(cM), scale))
+      .withColumn("reject", col("p_rank") <= col("_k"))
+      .drop("_k", "_by_p")
+  }
+
   /** Kish effective sample size / design effect of a weighted sample —
     * "my importance-weighted corpus has 10M rows; how many UNWEIGHTED
     * rows is it actually worth?" `ESS = (Σw)²/Σw²` and

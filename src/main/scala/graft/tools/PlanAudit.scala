@@ -125,7 +125,9 @@ object PlanAudit {
     "q354_calinski",              // one-row W/B moment crossJoin (scalar-attach class)
     "q355_inequality",            // one-row log-moments/mean crossJoin (scalar-attach class)
     "q357_logrank_binned",        // one-row max-duration crossJoin (the q307 obs-frame class)
-    "q358_km_binned"              // one-row max-duration crossJoin (the q219 obs-frame class)
+    "q358_km_binned",             // one-row max-duration crossJoin (the q219 obs-frame class)
+    "q359_cox",                   // one-row max-duration crossJoin (the q307 obs-frame class; bench face)
+    "q360_by_fdr"                 // one-row k* step-up-threshold crossJoin (the q297 class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

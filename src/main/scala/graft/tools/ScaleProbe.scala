@@ -92,6 +92,10 @@ object ScaleGen {
   * favors neither ratio direction systematically.
   *
   * Usage: runMain graft.tools.ScaleProbe [sf01Dir] [sf1Dir] [outPath] [q ...]
+  * Pass the single name `ALL` to probe the ENTIRE registry — the sweep
+  * that catches a super-linear sleeper hiding in the cheap tier.
+  * SPARK_GRAFT_PROBE_RUNS (default 2) sets attempts per scale (min kept);
+  * min-of-1 is the documented full-sweep setting.
   */
 object ScaleProbe {
 
@@ -133,7 +137,12 @@ object ScaleProbe {
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
     val sf1  = args.lift(1).getOrElse("scale_probe/sf1.0")
     val out  = args.lift(2).getOrElse("BENCH_SCALE.json")
-    val names = if (args.length > 3) args.drop(3).toSeq else DefaultQueries
+    val names =
+      if (args.length == 4 && args(3) == "ALL") graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 3) args.drop(3).toSeq
+      else DefaultQueries
+    val runsPerScale = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
+    require(runsPerScale >= 1, s"SPARK_GRAFT_PROBE_RUNS must be >= 1, got $runsPerScale")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -151,7 +160,7 @@ object ScaleProbe {
     // JSON so a partially-failed probe is visible in BENCH_SCALE.json.
     def minTime(name: String, dir: String): (Double, Long, Boolean) = {
       var best = Double.MaxValue; var rows = -1L; var anyFail = false
-      (1 to 2).foreach { _ =>
+      (1 to runsPerScale).foreach { _ =>
         val t0 = System.nanoTime()
         val n  = try graft.SparkEntry.queries(name)(spark, dir).count()
                  catch { case e: Throwable =>
@@ -187,7 +196,7 @@ object ScaleProbe {
     val flagged = rows.filter { case (_, _, _, ratio, _, _, note, failed) =>
       failed || (ratio > 15.0 && note.isEmpty) }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"sf01":"${esc(sf01)}","sf1":"${esc(sf1)}","data":"10x row replication of sf0.1 with per-key-domain offsets; nation/region dims unchanged; documents/embeddings content repeats verbatim per copy (duplicate-heavy by construction)","hash":"${sys.props("graft.hash")}","runs_per_scale":2,"flagged_unexplained_over_15x":$flagged,"queries":$qJson}"""
+      s"""{"sf01":"${esc(sf01)}","sf1":"${esc(sf1)}","data":"10x row replication of sf0.1 with per-key-domain offsets; nation/region dims unchanged; documents/embeddings content repeats verbatim per copy (duplicate-heavy by construction)","hash":"${sys.props("graft.hash")}","runs_per_scale":$runsPerScale,"flagged_unexplained_over_15x":$flagged,"queries":$qJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"SCALEPROBE-DONE flagged=$flagged")
     spark.stop()

@@ -65,6 +65,43 @@ class MetaServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/info dataType strings cover every schema type: binary/bool/ts/date/float pin exactly") {
+    import org.apache.spark.sql.functions._
+    val work = tempDir("meta-http-types")
+    // one vertex table exercising the full §1.2 type surface the
+    // reference's InfoService reports (InfoServiceSpec's schema contract)
+    spark.range(1).select(
+      col("id"),
+      lit(7).cast("int").as("i"),
+      lit("s").as("name"),
+      lit(1.5).as("d"),
+      lit(2.5f).as("f"),
+      lit(true).as("flag"),
+      lit(Array[Byte](1, 2)).as("payload"),
+      lit("2020-01-02 03:04:05").cast("timestamp").as("ts"),
+      lit("2020-01-02").cast("date").as("day")
+    ).write.parquet(s"$work/ids/vertices")
+
+    val info = SchemaInfo.describe(spark, s"$work/ids/vertices", s"$work/edges")
+    val types = info.vertexPropertyKeys.map(p => p.name -> p.dataType).toMap
+    assert(types == Map(
+      "id" -> "bigint", "i" -> "int", "name" -> "string", "d" -> "double",
+      "f" -> "float", "flag" -> "boolean", "payload" -> "binary",
+      "ts" -> "timestamp", "day" -> "date"), types.toString)
+
+    // the HTTP face serves the same pairs verbatim
+    val srv = new MetaServer(spark, s"$work/ids/vertices", s"$work/edges")
+    val port = srv.start()
+    try {
+      val (st, body) = httpGet(s"http://127.0.0.1:$port/info")
+      assert(st == 200)
+      types.foreach { case (n, t) =>
+        assert(body.contains(s""""name":"$n","dataType":"$t""""), s"missing $n:$t in $body")
+      }
+      assert(body.contains(""""vertexLabels":["alert"]"""), body)
+    } finally srv.stop()
+  }
+
   test("path overrides outside the allowed roots are refused (403 + envelope)") {
     import spark.implicits._
     val work = tempDir("meta-http-sec")

@@ -45,6 +45,35 @@ class EvalPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: byFdr matches brute-force BY step-up; never rejects more than bhFdr") {
+    val gen = for {
+      n  <- Gen.choose(1, 60)
+      pm <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0, 40), Gen.choose(0, 1000)))
+    } yield pm.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    samples(gen, 12).foreach { rows =>
+      val df = rows.map { case (id, pm) => (id, pm / 1000.0) }.toDF("id", "p")
+        .repartition(4)
+      val got = Stats.byFdr(df, col("p"), col("id"), alphaNum = 1, alphaDen = 20)
+        .select("id", "reject").as[(Long, Boolean)].collect().toMap
+      // brute force with the SAME ascending harmonic fold and comparison
+      // shape the op pins — the reference differs only in machinery
+      val m = rows.size
+      var cM = 0.0; (1 to m).foreach(i => cM += 1.0 / i)
+      val sorted = rows.sortBy { case (id, pm) => (pm, id) }
+      val kStar = (1 to m).reverse
+        .find { k =>
+          (sorted(k - 1)._2 / 1000.0 * (m * 20).toDouble) * cM <= k.toDouble * 1.0
+        }.getOrElse(0)
+      val want = sorted.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1 <= kStar) }.toMap
+      assert(got === want, s"m=$m kStar=$kStar cM=$cM rows=${rows.take(5)}…")
+      // BY is uniformly more conservative than BH (c(m) ≥ 1)
+      val bh = Stats.bhFdr(df, col("p"), col("id"), alphaNum = 1, alphaDen = 20)
+        .select("id", "reject").as[(Long, Boolean)].collect().toMap
+      got.foreach { case (id, rej) => assert(!rej || bh(id), s"BY rejected $id but BH did not") }
+    }
+  }
+
   test("qini: hand curve; degenerate single-arm inputs → NULL summaries") {
     val rows = Seq((0.9, true, true, 1L), (0.8, false, false, 2L),
       (0.7, true, false, 3L), (0.6, false, true, 4L))

@@ -419,6 +419,73 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(lrState == lrRaw)
   }
 
+  test("coxBinary: Newton beta maximizes the Breslow partial likelihood (ternary-search reference)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // arm A hazard genuinely higher: shorter durations, more events
+    val subjects = (0 until 120).map { i =>
+      val a = i % 2 == 0
+      val dur = (if (a) rnd.nextInt(20) else rnd.nextInt(35)).toLong
+      (dur, rnd.nextInt(10) < 8, a)
+    }
+    val got = EventAnalytics.coxBinary(
+      subjects.toDF("dur", "ev", "arm"), col("dur"), col("ev"), col("arm"))
+      .collect().head
+    assert(got.getBoolean(9), "must converge")
+    val beta = got.getDouble(4)
+
+    // independent reference: maximize logL(β) = Σⱼ [d1ⱼβ − dⱼ·ln(n0ⱼ+n1ⱼe^β)]
+    // computed straight from the subject list, by ternary search
+    val times = subjects.filter(_._2).map(_._1).distinct.sorted
+    def logL(b: Double): Double = times.map { t =>
+      val atRisk = subjects.filter(_._1 >= t)
+      val n1 = atRisk.count(_._3).toDouble
+      val n0 = atRisk.size - n1
+      val d1 = subjects.count(s => s._1 == t && s._2 && s._3).toDouble
+      val d  = subjects.count(s => s._1 == t && s._2).toDouble
+      d1 * b - d * math.log(n0 + n1 * math.exp(b))
+    }.sum
+    var lo = -3.0; var hi = 3.0
+    (0 until 200).foreach { _ =>
+      val m1 = lo + (hi - lo) / 3; val m2 = hi - (hi - lo) / 3
+      if (logL(m1) < logL(m2)) lo = m1 else hi = m2
+    }
+    val ref = (lo + hi) / 2
+    assert(math.abs(beta - ref) < 1e-3, s"newton $beta vs grid $ref")
+    assert(beta > 0, "arm A has the higher hazard by construction")
+  }
+
+  test("coxBinary: symmetric arms give beta ~ 0; complete separation refuses a fit") {
+    import spark.implicits._
+    // perfectly symmetric: every (dur, ev) appears once per arm
+    val sym = (1L to 30L).flatMap(t => Seq((t, t % 3 != 0, true), (t, t % 3 != 0, false)))
+    val s0 = EventAnalytics.coxBinary(
+      sym.toDF("dur", "ev", "arm"), col("dur"), col("ev"), col("arm")).collect().head
+    assert(s0.getBoolean(9) && math.abs(s0.getDouble(4)) < 1e-6, s0.toString)
+    // all events in arm A → the MLE diverges → null beta, converged=false
+    val sep = Seq((1L, true, true), (2L, true, true), (3L, false, false), (4L, false, false))
+    val s1 = EventAnalytics.coxBinary(
+      sep.toDF("dur", "ev", "arm"), col("dur"), col("ev"), col("arm")).collect().head
+    assert(!s1.getBoolean(9) && s1.isNullAt(4), s1.toString)
+  }
+
+  test("coxFromStates ≡ coxBinary on the binned axis") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 100).map { i =>
+      (rnd.nextInt(50).toLong, rnd.nextBoolean(), i % 3 == 0)
+    }.toDF("dur", "ev", "arm")
+    val bw = 6L
+    val fromStates = EventAnalytics.coxFromStates(
+      EventAnalytics.survivalPartials(rows.where(col("arm")), col("dur"), col("ev"), bw),
+      EventAnalytics.survivalPartials(rows.where(!col("arm")), col("dur"), col("ev"), bw))
+      .collect().head
+    val raw = EventAnalytics.coxBinary(
+      rows.select((col("dur") / bw).cast("long").as("t"), col("ev"), col("arm")),
+      col("t"), col("ev"), col("arm")).collect().head
+    assert(fromStates == raw)
+  }
+
   test("linearAttribution: equal shares, window exclusion, touchless conversions drop") {
     import spark.implicits._
     val e = Seq(
