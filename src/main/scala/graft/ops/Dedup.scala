@@ -578,31 +578,71 @@ object Dedup {
       maxDocFreq: Long = 1000
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // EXACT-duplicate collapse (the prefixJaccardPairs discipline): the
+    // co-occurrence join runs over one representative per identical-
+    // normalized-text family, member pairs expand afterward. Two parity
+    // subtleties the jaccard path doesn't have: (1) the hot-shingle prune
+    // compares DOCUMENT frequency, so df must count members (family size
+    // k), not families — otherwise collapsing changes the prune set and
+    // with it the containment values; (2) within-family ordered pairs have
+    // containment = |pruned shingles| / sz, a pure function of the family
+    // set, emitted without any join work.
+    val fam = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.ops.TextAnalysis.fingerprint(col("_txt")))
+    val labeled = graft.Caches.track(
+      df.select(col(idCol).as("id"), col(textCol).as("_txt"))
+        .withColumn("_rep", min(col("id")).over(fam))
+        .withColumn("_k", count(lit(1)).over(fam)))
+    val reps = labeled.where(col("id") === col("_rep"))
+
+    val toks = split(lower(trim(col("_txt"))), "\\s+")
     val postings = graft.Caches.track(
-      df.select(col(idCol).as("id"), toks.as("_toks"))
+      reps.select(col("id"), col("_k"), toks.as("_toks"))
         .select(
-          col("id"),
+          col("id"), col("_k"),
           col("_toks"),
           explode(sequence(lit(0), greatest(size(col("_toks")) - shingleWidth, lit(0)))).as("_i"))
-        .select(col("id"), array_join(slice(col("_toks"), col("_i") + 1, lit(shingleWidth)), " ").as("shingle"))
+        .select(col("id"), col("_k"),
+          array_join(slice(col("_toks"), col("_i") + 1, lit(shingleWidth)), " ").as("shingle"))
         .distinct())
     val sizes = postings.groupBy("id").agg(count(lit(1)).as("sz"))
-    val hot = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // member-weighted df: a family of k copies contributes k documents
+    val hot = postings.groupBy("shingle").agg(sum(col("_k")).as("df"))
       .where(col("df") > maxDocFreq)
       .select("shingle")
     val pruned = graft.Caches.track(
-      postings.join(broadcast(hot), Seq("shingle"), "left_anti"))
+      postings.select(col("id"), col("shingle"))
+        .join(broadcast(hot), Seq("shingle"), "left_anti"))
 
     val co = pruned.as("a")
       .join(pruned.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
-      .groupBy(col("a.id").as("src_id"), col("b.id").as("dst_id"))
+      .groupBy(col("a.id").as("_rsrc"), col("b.id").as("_rdst"))
       .agg(count(lit(1)).as("inter"))
 
-    co.join(sizes.withColumnRenamed("id", "src_id").withColumnRenamed("sz", "sz_src"), "src_id")
+    val repPairs = co
+      .join(sizes.select(col("id").as("_rsrc"), col("sz").as("sz_src")), "_rsrc")
       .withColumn("containment", round(col("inter") / col("sz_src"), 6))
       .where(col("containment") >= threshold)
-      .select("src_id", "dst_id", "containment")
+      .select("_rsrc", "_rdst", "containment")
+
+    val mem = labeled.select(col("_rep"), col("id"))
+    val cross = repPairs
+      .join(mem.select(col("_rep").as("_rsrc"), col("id").as("src_id")), Seq("_rsrc"))
+      .join(mem.select(col("_rep").as("_rdst"), col("id").as("dst_id")), Seq("_rdst"))
+      .select(col("src_id"), col("dst_id"), col("containment"))
+    // within-family: copies contain each other at |pruned|/sz (1.0 unless
+    // the prune removed family shingles), both orientations
+    val prunedSz = pruned.groupBy(col("id")).agg(count(lit(1)).as("_psz"))
+    val famVal = sizes.join(prunedSz, Seq("id"), "left")
+      .withColumn("containment", round(coalesce(col("_psz"), lit(0L)) / col("sz"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("id").as("_rep"), col("containment"))
+    val within = famVal
+      .join(mem.select(col("_rep"), col("id").as("src_id")), Seq("_rep"))
+      .join(mem.select(col("_rep"), col("id").as("dst_id")), Seq("_rep"))
+      .where(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"), col("containment"))
+    cross.unionAll(within)
   }
 
   /** High-threshold n-gram Jaccard via prefix filtering (the All-Pairs /
@@ -635,10 +675,29 @@ object Dedup {
       threshold: Double = 0.7
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    // EXACT-duplicate collapse before the candidate join: k verbatim copies
+    // of a document otherwise multiply every prefix posting list by k and
+    // the within-family candidate pairs by k² — and the duplicate-heavy
+    // corpus is the EXPECTED input of a dedup pipeline. Identical
+    // normalized texts ([[TextAnalysis.fingerprint]] — the same
+    // lower/trim/whitespace normalization the tokenizer below applies)
+    // have identical shingle sets, so the family is interchangeable: the
+    // machinery runs over one representative per family, cross-family
+    // member pairs expand with the family pair's jaccard (a pure function
+    // of the two shingle sets), and within-family pairs are jaccard 1.0
+    // by construction (≥ any legal threshold). Output is identical to the
+    // uncollapsed compare; candidate work drops from k² to 1 per family.
+    val fam = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.ops.TextAnalysis.fingerprint(col("_txt")))
+    val labeled = graft.Caches.track(
+      df.select(col(idCol).as("id"), col(textCol).as("_txt"))
+        .withColumn("_rep", min(col("id")).over(fam)))
+    val reps = labeled.where(col("id") === col("_rep")).select(col("id"), col("_txt"))
+
     // postings: the codegen explode shape (see ngramJaccardPairs)
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val postings = df
-      .select(col(idCol).as("id"), toks.as("_toks"))
+    val toks = split(lower(trim(col("_txt"))), "\\s+")
+    val postings = reps
+      .select(col("id"), toks.as("_toks"))
       .select(
         col("id"),
         col("_toks"),
@@ -675,7 +734,7 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    cand
+    val repPairs = cand
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn(
@@ -683,7 +742,20 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a").as("_ra"), col("id_b").as("_rb"), round(col("jaccard"), 6).as("jaccard"))
+
+    // expansion: members inherit their families' pair verdicts
+    val mem = labeled.select(col("_rep"), col("id"))
+    val cross = repPairs
+      .join(mem.select(col("_rep").as("_ra"), col("id").as("_ida")), Seq("_ra"))
+      .join(mem.select(col("_rep").as("_rb"), col("id").as("_idb")), Seq("_rb"))
+      .select(least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"), col("jaccard"))
+    val within = mem.select(col("_rep"), col("id").as("id_a"))
+      .join(mem.select(col("_rep"), col("id").as("id_b")), Seq("_rep"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    cross.unionAll(within)
   }
 
   /** Near-dup cluster formation — the keep/drop step that closes every dedup

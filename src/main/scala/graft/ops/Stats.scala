@@ -2122,6 +2122,187 @@ object Stats {
           round(lit(2.0) * col("_u") / col("_nab") - 1, scale)).as("r_rb"))
   }
 
+  /** Cliff's delta — the ordinal effect size behind [[mannWhitney]]'s
+    * p-value: `δ = P(a > b) − P(a < b)` over all cross-group pairs, the
+    * robust "how often does A beat B" reading that survives any monotone
+    * transform (where [[cohensD]] needs interval scale). Returns one row
+    * `(n_a, n_b, gt_pairs, lt_pairs, tie_pairs, delta)`; NULL delta when
+    * either group is empty. |δ| ≥ 0.474 is the conventional "large".
+    *
+    * NOT the quadratic pair fold: values collapse to cells, and the
+    * pair masses come from prefix sums over the value order —
+    * `gt = Σ_v cntB(v)·(n_a − cumA(≤v))` etc. — so the whole statistic is
+    * one cell collapse + the range-partition prefix sum + one fold, exact
+    * DECIMAL integers end to end. Corpus-scale safe where a cells² join
+    * would not be.
+    */
+  def cliffsDelta(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
+    val base = df.select(value.as("_v"), label.as("_y"))
+      .where(col("_v").isNotNull && col("_y").isNotNull)
+    val groups = graft.Caches.track(base.groupBy(col("_v"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("_cb")))
+    val ranked = runningTotal(groups, Seq(col("_v")), col("_ca"), "_cumA")
+      .withColumn("_priorA", col("_cumA") - col("_ca"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = ranked.agg(
+      sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"),
+      coalesce(sum(dec(col("_cb")) * dec(col("_priorA"))), dec(lit(0L))).as("_ltAcc"),
+      coalesce(sum(dec(col("_cb")) * dec(col("_cumA"))), dec(lit(0L))).as("_leAcc"),
+      coalesce(sum(dec(col("_cb")) * dec(col("_ca"))), dec(lit(0L))).as("_tie"))
+    // a < v pairs use the exclusive prefix; a > v pairs are the complement
+    m.withColumn("_lt", col("_ltAcc"))
+      .withColumn("_gt", dec(col("n_a")) * dec(col("n_b")) - col("_leAcc"))
+      .select(
+        col("n_a"), col("n_b"),
+        col("_gt").cast("long").as("gt_pairs"),
+        col("_lt").cast("long").as("lt_pairs"),
+        col("_tie").cast("long").as("tie_pairs"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round((col("_gt") - col("_lt")).cast("double") /
+            (dec(col("n_a")) * dec(col("n_b"))).cast("double"), scale)).as("delta"))
+  }
+
+  /** Hodges–Lehmann two-sample shift estimator — the MEDIAN of all
+    * cross-group pairwise differences `a − b`: the robust "how much does
+    * A exceed B" companion to [[cliffsDelta]]'s "how often" (it inverts
+    * the Mann–Whitney test; breakdown point 29%, where the mean
+    * difference breaks at one outlier). Returns one row
+    * `(n_a, n_b, n_pairs, hl_shift)` with the type-1 (lower) weighted
+    * median of the difference distribution — exact integer rank
+    * arithmetic, no interpolation, so any engine lands on the same pair
+    * difference. NULL when either group is empty.
+    *
+    * Scale shape: both sides collapse to value cells FIRST, the
+    * difference frame is |cellsA|·|cellsB| rows (the q252/kendallTauB
+    * bounded-matrix class — bounded by the value grid, not the corpus),
+    * each difference carrying its exact pair mass `ca·cb`; the median
+    * pick is one cumulative over the collapsed difference axis.
+    */
+  def hodgesLehmann(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
+    val base = df.select(value.cast("long").as("_v"), label.as("_y"))
+      .where(col("_v").isNotNull && col("_y").isNotNull)
+    val cells = graft.Caches.track(base.groupBy(col("_v"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("_cb")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val a = cells.where(col("_ca") > 0).select(col("_v").as("_va"), col("_ca"))
+    val b = cells.where(col("_cb") > 0).select(col("_v").as("_vb"), col("_cb"))
+    val diffs = graft.Caches.track(
+      a.crossJoin(b)
+        .groupBy((col("_va") - col("_vb")).as("_d"))
+        .agg(sum(dec(col("_ca")) * dec(col("_cb"))).as("_w")))
+    val ranked = runningTotal(diffs, Seq(col("_d")), col("_w").cast("long"), "_cum")
+    val tot = cells.agg(
+      sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+      (dec(sum(col("_ca"))) * dec(sum(col("_cb")))).cast("long").as("n_pairs"))
+    // type-1 lower median: the smallest difference whose cumulative pair
+    // mass reaches half the total (2·cum ≥ N — exact integers)
+    val pick = ranked.crossJoin(broadcast(tot))
+      .where(col("_cum") * 2 >= col("n_pairs"))
+      .agg(min(col("_d")).as("_hl"))
+    tot.crossJoin(broadcast(pick))
+      .select(col("n_a"), col("n_b"), col("n_pairs"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("_hl").cast("double")).as("hl_shift"))
+  }
+
+  /** Ansari–Bradley test — the rank test for a SCALE (dispersion)
+    * difference between two groups with equal medians: scores grow from
+    * both ends toward the middle (`s(r) = min(r, N+1−r)`), so a group
+    * whose values crowd the extremes collects LOW scores ⇔ wider spread.
+    * The dispersion complement of [[mannWhitney]]'s location test (run
+    * both: location shift moves MW, scale shift moves AB). Returns one
+    * row `(n_a, n_b, w_ab, z)` — `w_ab` is group A's score sum (midrank
+    * ties), z off the exact finite-sample moments of the linear rank
+    * statistic. NULL z when the score variance is 0.
+    *
+    * Exactness: midrank scores ride the DOUBLED integer grid
+    * (`2·midrank = 2·prior + cnt + 1`, so `2·s = min(2r, 2(N+1)−2r)` is
+    * an exact integer), the three score moments fold as DECIMAL, and the
+    * variance numerator `N·Σc·s² − (Σc·s)²` stays exact inside 38
+    * digits; the z quotient is pinned scalar IEEE. Scale shape is
+    * [[mannWhitney]]'s: one cell collapse + the prefix-sum rank + one
+    * fold.
+    */
+  def ansariBradley(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
+    val base = df.select(value.as("_v"), label.as("_y"))
+      .where(col("_v").isNotNull && col("_y").isNotNull)
+    val groups = graft.Caches.track(base.groupBy(col("_v"))
+      .agg(count(lit(1)).as("_cnt"), sum(when(col("_y"), 1L).otherwise(0L)).as("_na")))
+    val ranked = runningTotal(groups, Seq(col("_v")), col("_cnt"), "_cum")
+      .withColumn("_prior", col("_cum") - col("_cnt"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val withN = ranked.withColumn("_N", sum(col("_cnt")).over(wAll))
+    // doubled AB score: 2r = 2·prior+cnt+1; 2(N+1−r) = 2N+1−2·prior−cnt
+    val s2 = least(
+      lit(2L) * col("_prior") + col("_cnt") + lit(1L),
+      lit(2L) * col("_N") + lit(1L) - lit(2L) * col("_prior") - col("_cnt"))
+    val m = withN
+      .withColumn("_s2", s2)
+      .agg(
+        sum(col("_na")).as("n_a"),
+        sum(col("_cnt") - col("_na")).as("n_b"),
+        sum(dec(col("_na")) * dec(col("_s2"))).as("_w2"),
+        sum(dec(col("_cnt")) * dec(col("_s2"))).as("_t1"),
+        sum(dec(col("_cnt")) * dec(col("_s2")) * dec(col("_s2"))).as("_t2"))
+    // doubled-space moments: E[W2] = nA·T1/N; Var[W2] = nA·nB·(N·T2 − T1²)/(N²(N−1))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    m.withColumn("_e2", col("n_a").cast("double") * col("_t1").cast("double") / n)
+      .withColumn("_var2",
+        col("n_a").cast("double") * col("n_b").cast("double") *
+          (n * col("_t2").cast("double") - col("_t1").cast("double") * col("_t1").cast("double")) /
+          (n * n * (n - 1)))
+      .select(
+        col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("_w2").cast("double") / 2, scale)).as("w_ab"),
+        when(col("n_a") > 0 && col("n_b") > 0 && col("_var2") > 0,
+          round((col("_w2").cast("double") - col("_e2")) / sqrt(col("_var2")), scale)).as("z"))
+  }
+
+  /** Two-sample Cramér–von Mises from (merged) [[histPartials]] STATES —
+    * the whole-curve companion of [[ksFromHists]]: where KS reads the
+    * single worst CDF gap, CvM integrates the SQUARED gap over the
+    * combined distribution (`T = (n·m/N²)·Σ_b w_b·(F_A − F_B)²`, w = the
+    * combined bin mass), catching broad mild drift a one-point statistic
+    * dilutes. Same state contract: each side folds batches by
+    * [[histMerge]], the statistic reads ≤bins rows.
+    *
+    * Determinism: each bin's CDF gap is the exact integer cross-product
+    * `cumA·n_b − cumB·n_a` (the ksFromHists discipline) divided once;
+    * per-bin terms are pinned scalar IEEE summed on the decimal grid
+    * (order-free), and the final scaling is three pinned ops — a
+    * re-deriving engine reproduces T bit for bit.
+    */
+  def cvmFromHists(histA: DataFrame, histB: DataFrame, scale: Int = 6): DataFrame = {
+    val g = histA.select(col("bin"), col("n").as("_c1"))
+      .join(histB.select(col("bin"), col("n").as("_c2")), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("_c1"), lit(0L)).as("_c1"),
+        coalesce(col("_c2"), lit(0L)).as("_c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = g.select(col("bin"), col("_c1"), col("_c2"),
+      sum(col("_c1")).over(w).as("_f1"), sum(col("_c2")).over(w).as("_f2"))
+    val tot = g.agg(sum(col("_c1")).as("n_a"), sum(col("_c2")).as("n_b"))
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val dGap = (dec38(col("_f1")) * col("n_b") - dec38(col("_f2")) * col("n_a")).cast("double") /
+      (col("n_a").cast("double") * col("n_b"))
+    val term = (col("_c1") + col("_c2")).cast("double") * dGap * dGap
+    cum.crossJoin(tot)
+      .agg(
+        coalesce(sum(term.cast("decimal(38,12)")), lit(0).cast("decimal(38,12)")).as("_s"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("n_a").cast("double") * col("n_b") /
+            ((col("n_a") + col("n_b")).cast("double") * (col("n_a") + col("n_b"))) *
+            col("_s").cast("double"), scale)).as("t_stat"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * labelings of the same rows (classifier vs metadata truth, two
     * annotators, two model versions): one row

@@ -127,7 +127,9 @@ object ScaleProbe {
     // (SimilaritySearch.collapseExactDuplicates) makes the replicated
     // corpus near-linear — measured 0.9x/1.0x at 10x rows.
     "q156_graph_linkpred" -> "same-nation clique projection: wedge counts grow quadratically with group size",
-    "q216_densest_subgraph" -> "same-nation clique graph: ~100x edges by data semantics")
+    "q216_densest_subgraph" -> "same-nation clique graph: ~100x edges by data semantics",
+    "q213_graph_ktruss" -> ("same-nation clique graph: ~100x edges AND ~100x surviving truss rows " +
+      "by data semantics (output rows measured 102x) — 32x time is sub-linear in the edge growth"))
     // q304 annotation retired: the delta-frontier rewrite measured 3.8x at
     // 10x rows — inside the gate with no excuse needed.
 

@@ -161,6 +161,41 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("containmentPairs: exact-duplicate collapse reproduces brute force; df prune counts members") {
+    import spark.implicits._
+    val page = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val snippet = (1 to 10).map(i => s"tok$i").mkString(" ")
+    // families: 4 copies of the page (one uppercased — same fingerprint),
+    // 3 copies of the snippet, 1 unrelated doc
+    val rows: Seq[(Long, String)] =
+      (0L to 3L).map(i => i -> (if (i == 1L) page.toUpperCase else page)) ++
+      (10L to 12L).map(i => i -> snippet) ++ Seq(20L -> "u v w x y z u v w")
+    def sh(s: String): Set[String] =
+      s.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    def brute(maxDf: Long): Set[(Long, Long, Double)] = {
+      val dfOf = rows.flatMap { case (_, t) => sh(t) }.groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = (t: String) => sh(t).filter(g => dfOf(g) <= maxDf)
+      (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia != ib
+        inter = (keep(ta) intersect keep(tb)).size
+        c = BigDecimal(inter.toDouble / sh(ta).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= 0.9
+      } yield (ia, ib, c)).toSet
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute(1000), s"got ${got.size} vs ${brute(1000).size}")
+    // prune parity: maxDocFreq=3 — the page family alone (4 member docs)
+    // pushes its shingles over the cap, which only a MEMBER-counting df
+    // reproduces (4 families would not); snippet shingles sit at exactly
+    // 4+3=7 > 3 too, so the prune bites and containments drop
+    val pruned = Dedup.containmentPairs(df, threshold = 0.9, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == brute(3), s"pruned ${pruned.size} vs ${brute(3).size}")
+  }
+
   test("tfidfTopTerms: hand-computed scores, rounded-score ranking, topK bound") {
     import spark.implicits._
     val docs = Seq(

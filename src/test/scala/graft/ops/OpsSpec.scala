@@ -78,6 +78,39 @@ class DedupSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("prefixJaccardPairs: exact-duplicate collapse reproduces the naive compare exactly") {
+    import spark.implicits._
+    // duplicate families (verbatim + case/whitespace variants that
+    // normalize equal), near-dups, and short docs below the shingle width
+    val texts = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel",
+      "alpha bravo charlie delta echo foxtrot golf INDIA",
+      "kilo lima mike november oscar papa quebec",
+      "tiny doc",
+      "solo")
+    val rows: Seq[(Long, String)] = (0 until 25).map { i =>
+      val base = texts(i % 5)
+      val t = if (i % 3 == 0) base.toUpperCase + "  " else base // same fingerprint
+      (i.toLong, t)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive reference: all pairs, exact jaccard over the same shingles
+    def sh(t: String): Set[String] = {
+      val tk = t.trim.toLowerCase.split("\\s+").toSeq
+      (0 to math.max(tk.size - 3, 0)).map(i => tk.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      j = sh(ta).intersect(sh(tb)).size.toDouble / sh(ta).union(sh(tb)).size
+      if j >= 0.5
+    } yield (ia, ib,
+      BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    graft.Caches.clear()
+  }
+
   test("semanticPairsMulti: independent hyperplane families strictly improve planted-pair recall") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
