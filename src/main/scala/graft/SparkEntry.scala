@@ -301,6 +301,41 @@ object SparkEntry {
         T(s, dir, "documents"), value = col("n_chars"),
         label = col("lang") === "en")),
 
+    // Cliff's delta of the same contrast: the ordinal "how often does an
+    // English doc outsize a non-English one" — prefix-sum pair masses,
+    // exact integers, no quadratic fold
+    "q361_cliffs_delta" -> ((s, dir) =>
+      graft.ops.Stats.cliffsDelta(
+        T(s, dir, "documents"), value = col("n_chars"),
+        label = col("lang") === "en")),
+
+    // Hodges–Lehmann shift en vs de: the robust "by how much" companion —
+    // exact type-1 weighted median over the cell-collapsed difference axis
+    "q362_hodges_lehmann" -> ((s, dir) =>
+      graft.ops.Stats.hodgesLehmann(
+        T(s, dir, "documents").where(col("lang").isin("en", "de")),
+        value = col("n_chars"), label = col("lang") === "en")),
+
+    // Ansari–Bradley en vs de: same medians, different SPREAD? — the
+    // dispersion complement of q204's location test, doubled-midrank
+    // integer scores
+    "q363_ansari_bradley" -> ((s, dir) =>
+      graft.ops.Stats.ansariBradley(
+        T(s, dir, "documents").where(col("lang").isin("en", "de")),
+        value = col("n_chars"), label = col("lang") === "en")),
+
+    // Cramér–von Mises from q228's histogram STATES: the whole-curve
+    // drift statistic next to KS's single worst gap — same mergeable
+    // state, ≤bins rows read
+    "q364_cvm_from_state" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Stats.cvmFromHists(
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "en"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12),
+        graft.ops.Stats.histPartials(docs.where(col("lang") === "de"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 12))
+    }),
+
     // outlier-robust doc-length center: 5% trimmed + winsorized means via
     // the exact global prefix-sum rank — never a single-partition window
     "q300_trimmed_mean" -> ((s, dir) =>
@@ -4900,6 +4935,127 @@ object SparkEntry {
         |  round(cm.c, 6) AS c_m,
         |  (rn <= kstar) AS reject
         |FROM r, k, cm""".stripMargin,
+
+    // q361: cell collapse + one cumulative — pair masses from prefix sums,
+    // exact integers until the single delta division
+    "q361_cliffs_delta" ->
+      """WITH d AS (
+        |  SELECT n_chars AS v, (lang = 'en') AS y FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |), g AS (
+        |  SELECT v, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1
+        |), r AS (
+        |  SELECT v, ca, cb,
+        |    CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma
+        |  FROM g
+        |), m AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(cb * (cuma - ca)) AS BIGINT) AS lt,
+        |    CAST(sum(cb * cuma) AS BIGINT) AS le,
+        |    CAST(sum(cb * ca) AS BIGINT) AS tie
+        |  FROM r)
+        |SELECT n_a, n_b,
+        |  CAST(n_a * n_b - le AS BIGINT) AS gt_pairs, lt AS lt_pairs, tie AS tie_pairs,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST((n_a * n_b - le) - lt AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) END, 6) AS delta
+        |FROM m""".stripMargin,
+
+    // q362: the cell-collapsed pairwise-difference axis + the exact
+    // 2·cum ≥ N type-1 median pick
+    "q362_hodges_lehmann" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT v, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1
+        |), dif AS (
+        |  SELECT a.v - b.v AS dd, CAST(sum(a.ca * b.cb) AS BIGINT) AS w
+        |  FROM (SELECT v, ca FROM g WHERE ca > 0) a,
+        |       (SELECT v, cb FROM g WHERE cb > 0) b
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT dd,
+        |    CAST(sum(w) OVER (ORDER BY dd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM dif
+        |), t AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca) * sum(cb) AS BIGINT) AS n_pairs FROM g
+        |), p AS (SELECT min(dd) AS hl FROM r, t WHERE cum * 2 >= t.n_pairs)
+        |SELECT t.n_a, t.n_b, t.n_pairs,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN CAST(p.hl AS DOUBLE) END AS hl_shift
+        |FROM t, p""".stripMargin,
+
+    // q363: doubled-midrank AB scores (2r = 2·prior+cnt+1), exact integer
+    // moments, pinned z quotient
+    "q363_ansari_bradley" ->
+      """WITH d AS (
+        |  SELECT n_chars AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS na
+        |  FROM d GROUP BY 1
+        |), r AS (
+        |  SELECT v, cnt, na,
+        |    CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS nn
+        |  FROM g
+        |), s AS (
+        |  SELECT cnt, na,
+        |    least(2 * (cum - cnt) + cnt + 1, 2 * nn + 1 - 2 * (cum - cnt) - cnt) AS s2
+        |  FROM r
+        |), m AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(cnt - na) AS BIGINT) AS n_b,
+        |    CAST(sum(na * s2) AS BIGINT) AS w2,
+        |    CAST(sum(cnt * s2) AS BIGINT) AS t1,
+        |    CAST(sum(cnt * s2 * s2) AS BIGINT) AS t2x
+        |  FROM s)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(w2 AS DOUBLE) / 2 END, 6) AS w_ab,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 AND
+        |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+        |        (CAST(n_a + n_b AS DOUBLE) * CAST(t2x AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)) /
+        |        (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1)) > 0
+        |    THEN (CAST(w2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+        |          (CAST(n_a + n_b AS DOUBLE) * CAST(t2x AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)) /
+        |          (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1)))
+        |    END, 6) AS z
+        |FROM m""".stripMargin,
+
+    // q364: q228's hist-state CTE + the CvM squared-gap integral —
+    // exact integer gaps, pinned per-bin IEEE terms, decimal sum
+    "q364_cvm_from_state" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(least(greatest(floor((v - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)), 0), 11) AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM d GROUP BY 1
+        |), cum AS (
+        |  SELECT bin, c1, c2,
+        |    CAST(sum(c1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |    CAST(sum(c2) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+        |  FROM g
+        |), t AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n_a, CAST(sum(c2) AS BIGINT) AS n_b FROM g
+        |), s AS (
+        |  SELECT sum(CAST(CAST(c1 + c2 AS DOUBLE) *
+        |      (CAST(f1 * t.n_b - f2 * t.n_a AS DOUBLE) / (CAST(t.n_a AS DOUBLE) * t.n_b)) *
+        |      (CAST(f1 * t.n_b - f2 * t.n_a AS DOUBLE) / (CAST(t.n_a AS DOUBLE) * t.n_b))
+        |    AS DECIMAL(38,12))) AS acc
+        |  FROM cum, t)
+        |SELECT t.n_a, t.n_b,
+        |  round(CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |    THEN CAST(t.n_a AS DOUBLE) * t.n_b / (CAST(t.n_a + t.n_b AS DOUBLE) * (t.n_a + t.n_b))
+        |      * CAST(s.acc AS DOUBLE) END, 6) AS t_stat
+        |FROM s, t""".stripMargin,
 
     // q298: Kish ESS off two decimal moments, quotients in pinned order
     "q298_ess_weights" ->

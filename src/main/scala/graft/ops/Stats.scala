@@ -2234,8 +2234,11 @@ object Stats {
     val ranked = runningTotal(groups, Seq(col("_v")), col("_cnt"), "_cum")
       .withColumn("_prior", col("_cum") - col("_cnt"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    val withN = ranked.withColumn("_N", sum(col("_cnt")).over(wAll))
+    // N attaches as the documented one-row scalar crossJoin — never an
+    // unpartitioned window over the (corpus-sized for continuous values)
+    // cell frame
+    val nTot = groups.agg(sum(col("_cnt")).as("_N"))
+    val withN = ranked.crossJoin(broadcast(nTot))
     // doubled AB score: 2r = 2·prior+cnt+1; 2(N+1−r) = 2N+1−2·prior−cnt
     val s2 = least(
       lit(2L) * col("_prior") + col("_cnt") + lit(1L),

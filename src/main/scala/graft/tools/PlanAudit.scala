@@ -127,7 +127,10 @@ object PlanAudit {
     "q357_logrank_binned",        // one-row max-duration crossJoin (the q307 obs-frame class)
     "q358_km_binned",             // one-row max-duration crossJoin (the q219 obs-frame class)
     "q359_cox",                   // one-row max-duration crossJoin (the q307 obs-frame class; bench face)
-    "q360_by_fdr"                 // one-row k* step-up-threshold crossJoin (the q297 class)
+    "q360_by_fdr",                // one-row k* step-up-threshold crossJoin (the q297 class)
+    "q362_hodges_lehmann",        // |cellsA|×|cellsB| difference fold (the q252 bounded-matrix class) + one-row totals/median-pick attaches
+    "q363_ansari_bradley",        // one-row N-total crossJoin (scalar-attach class)
+    "q364_cvm_from_state"         // one-row side-totals crossJoin (the q228/q231 state class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -162,7 +165,8 @@ object PlanAudit {
     "q340_page_trend",     // dose rank over the ≤k-row treatment frame (bounded by construction)
     "q351_km_ci",          // Greenwood cumsum over the ≤|distinct durations| collapsed axis (the q264 class)
     "q357_logrank_binned", // at-risk/total cumulatives over the ≤|bins| merged survival state — bounded by the bin grid, not |durations|
-    "q358_km_binned"       // at-risk cumulative over the ≤|bins| merged survival state (the q357 class)
+    "q358_km_binned",      // at-risk cumulative over the ≤|bins| merged survival state (the q357 class)
+    "q364_cvm_from_state"  // bin-CDF cumulative over the ≤bins-row state (the q228 class)
   )
 
   /** Queries whose RESULT frame is a driver-local table (LocalTableScan —

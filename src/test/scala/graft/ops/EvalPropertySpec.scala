@@ -74,6 +74,91 @@ class EvalPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: cliffsDelta prefix-sum masses match brute-force pair counts (ties)") {
+    val gen = for {
+      n  <- Gen.choose(2, 50)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 12), Gen.oneOf(true, false)))
+    } yield xs
+    samples(gen, 10).foreach { xs =>
+      val df = xs.map { case (v, y) => (v, y) }.toDF("v", "y").repartition(3)
+      val r = Stats.cliffsDelta(df, col("v"), col("y")).collect().head
+      val as = xs.filter(_._2).map(_._1); val bs = xs.filterNot(_._2).map(_._1)
+      val gt = (for (a <- as; b <- bs if a > b) yield 1).size.toLong
+      val lt = (for (a <- as; b <- bs if a < b) yield 1).size.toLong
+      val tie = (for (a <- as; b <- bs if a == b) yield 1).size.toLong
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((gt, lt, tie)), xs.toString)
+      if (as.nonEmpty && bs.nonEmpty) {
+        val want = BigDecimal((gt - lt).toDouble / (as.size.toLong * bs.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(5) == want)
+      } else assert(r.isNullAt(5))
+    }
+  }
+
+  test("property: hodgesLehmann is the exact lower median of all pairwise differences") {
+    val gen = for {
+      n  <- Gen.choose(2, 40)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 20L), Gen.oneOf(true, false)))
+    } yield xs
+    samples(gen, 10).foreach { xs =>
+      val as = xs.filter(_._2).map(_._1); val bs = xs.filterNot(_._2).map(_._1)
+      val df = xs.toDF("v", "y").repartition(3)
+      val r = Stats.hodgesLehmann(df, col("v"), col("y")).collect().head
+      assert(r.getLong(2) == as.size.toLong * bs.size)
+      if (as.nonEmpty && bs.nonEmpty) {
+        val diffs = (for (a <- as; b <- bs) yield a - b).sorted
+        val lower = diffs((diffs.size + 1) / 2 - 1) // type-1 lower median
+        assert(r.getDouble(3) == lower.toDouble, s"as=$as bs=$bs diffs=$diffs")
+      } else assert(r.isNullAt(3))
+    }
+  }
+
+  test("property: ansariBradley W equals brute-force midrank min-scores") {
+    val gen = for {
+      n  <- Gen.choose(4, 50)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 10), Gen.oneOf(true, false)))
+    } yield xs
+    samples(gen, 10).foreach { xs =>
+      val df = xs.toDF("v", "y").repartition(3)
+      val r = Stats.ansariBradley(df, col("v"), col("y")).collect().head
+      val sorted = xs.map(_._1).sorted
+      val nn = sorted.size
+      // midrank of value v = mean of its 1-based positions; AB score =
+      // min(r, N+1-r) — compute per distinct value, sum over group A
+      def midrank(v: Int): Double = {
+        val ps = sorted.zipWithIndex.collect { case (x, i) if x == v => i + 1 }
+        ps.sum.toDouble / ps.size
+      }
+      def score(v: Int): Double = math.min(midrank(v), nn + 1 - midrank(v))
+      val w = xs.filter(_._2).map(x => score(x._1)).sum
+      val as = xs.count(_._2); val bs = nn - as
+      if (as > 0 && bs > 0) {
+        val want = BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(2) == want, s"xs=$xs w=$w got=${r.getDouble(2)}")
+      } else assert(r.isNullAt(2))
+    }
+  }
+
+  test("cvmFromHists: brute-force squared-gap integral; identical states → 0") {
+    val ha = Seq((0L, 4L), (1L, 6L), (2L, 2L)).toDF("bin", "n")
+    val hb = Seq((0L, 2L), (1L, 3L), (3L, 5L)).toDF("bin", "n")
+    val r = Stats.cvmFromHists(ha, hb).collect().head
+    // brute: bins 0..3, cA=(4,6,2,0) cB=(2,3,0,5); FA=(4,10,12,12)/12 FB=(2,5,5,10)/10
+    val cA = Seq(4L, 6L, 2L, 0L); val cB = Seq(2L, 3L, 0L, 5L)
+    val fA = cA.scanLeft(0L)(_ + _).tail; val fB = cB.scanLeft(0L)(_ + _).tail
+    val nA = 12.0; val nB = 10.0
+    val s = (0 until 4).map { i =>
+      val d = (fA(i) * 10 - fB(i) * 12).toDouble / (nA * nB)
+      (cA(i) + cB(i)).toDouble * d * d
+    }.sum
+    val want = BigDecimal(nA * nB / ((nA + nB) * (nA + nB)) * s)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1)) == ((12L, 10L)))
+    assert(r.getDouble(2) == want, s"got ${r.getDouble(2)} want $want")
+    val same = Stats.cvmFromHists(ha, ha).collect().head
+    assert(same.getDouble(2) == 0.0)
+  }
+
   test("qini: hand curve; degenerate single-arm inputs → NULL summaries") {
     val rows = Seq((0.9, true, true, 1L), (0.8, false, false, 2L),
       (0.7, true, false, 3L), (0.6, false, true, 4L))
