@@ -324,6 +324,14 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // Brunner–Munzel en vs de: the heteroskedasticity-honest rank test —
+    // q204's question asked without the equal-spread assumption q363
+    // just tested; doubled-midrank placements, exact integer moments
+    "q365_brunner_munzel" -> ((s, dir) =>
+      graft.ops.Stats.brunnerMunzel(
+        T(s, dir, "documents").where(col("lang").isin("en", "de")),
+        value = col("n_chars"), label = col("lang") === "en")),
+
     // Cramér–von Mises from q228's histogram STATES: the whole-curve
     // drift statistic next to KS's single worst gap — same mergeable
     // state, ≤bins rows read
@@ -5026,6 +5034,61 @@ object SparkEntry {
         |          (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1)))
         |    END, 6) AS z
         |FROM m""".stripMargin,
+
+    // q365: the doubled-midrank placement aggregates as exact integers,
+    // then the op's pinned double assembly text-for-text
+    "q365_brunner_munzel" ->
+      """WITH d AS (
+        |  SELECT n_chars AS v, (lang = 'en') AS y FROM documents
+        |  WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS na
+        |  FROM d GROUP BY 1
+        |), r AS (
+        |  SELECT v, cnt, na,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS cum,
+        |    CAST(sum(na) OVER w AS BIGINT) AS cuma
+        |  FROM g
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), e AS (
+        |  SELECT cnt, na, cnt - na AS nb,
+        |    2 * (cum - cnt) + cnt + 1 AS u,
+        |    (2 * (cum - cnt) + cnt + 1) - (2 * (cuma - na) + na + 1) AS da,
+        |    (2 * (cum - cnt) + cnt + 1)
+        |      - (2 * ((cum - cuma) - (cnt - na)) + (cnt - na) + 1) AS db
+        |  FROM r
+        |), m AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+        |    CAST(sum(na * u) AS BIGINT) AS u1, CAST(sum(nb * u) AS BIGINT) AS u2,
+        |    CAST(sum(na * da) AS BIGINT) AS t1, CAST(sum(nb * db) AS BIGINT) AS t2,
+        |    CAST(sum(na * da * da) AS BIGINT) AS sd1,
+        |    CAST(sum(nb * db * db) AS BIGINT) AS sd2
+        |  FROM e
+        |), f AS (
+        |  SELECT n_a, n_b,
+        |    (CAST(n_a AS DOUBLE) * CAST(sd1 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+        |      / (CAST(4.0 AS DOUBLE) * CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1)) AS s1sq,
+        |    (CAST(n_b AS DOUBLE) * CAST(sd2 AS DOUBLE) - CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE))
+        |      / (CAST(4.0 AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1)) AS s2sq,
+        |    CAST(u2 AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      - CAST(u1 AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(n_a AS DOUBLE)) AS rdiff,
+        |    CAST(n_a + n_b AS DOUBLE) AS nt
+        |  FROM m
+        |), v2 AS (
+        |  SELECT n_a, n_b, rdiff, nt, s1sq, s2sq,
+        |    CAST(n_a AS DOUBLE) * s1sq + CAST(n_b AS DOUBLE) * s2sq AS vsum
+        |  FROM f)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN rdiff / nt + 0.5 END, 6) AS p_hat,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 AND vsum > 0
+        |    THEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * rdiff / (nt * sqrt(vsum)) END, 6) AS w_stat,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 AND vsum > 0
+        |    THEN vsum * vsum /
+        |      ((CAST(n_a AS DOUBLE) * s1sq) * (CAST(n_a AS DOUBLE) * s1sq) / (CAST(n_a AS DOUBLE) - 1)
+        |       + (CAST(n_b AS DOUBLE) * s2sq) * (CAST(n_b AS DOUBLE) * s2sq) / (CAST(n_b AS DOUBLE) - 1))
+        |    END, 6) AS df
+        |FROM v2""".stripMargin,
 
     // q364: q228's hist-state CTE + the CvM squared-gap integral —
     // exact integer gaps, pinned per-bin IEEE terms, decimal sum

@@ -2306,6 +2306,77 @@ object Stats {
             col("_s").cast("double"), scale)).as("t_stat"))
   }
 
+  /** Brunner–Munzel test — the heteroskedasticity-honest two-sample rank
+    * test: like [[mannWhitney]] it asks whether `P(a < b) + ½P(a = b)`
+    * deviates from ½, but its variance comes from the PLACEMENTS of each
+    * group (Brunner & Munzel 2000), so unequal spreads/shapes don't
+    * invalidate the test the way they do the classic rank-sum (the
+    * Behrens–Fisher problem in rank form). Returns one row
+    * `(n_a, n_b, p_hat, w_stat, df)` — `p_hat` the relative effect
+    * `P(a < b) + ½P(a = b)` (0.5 ⇔ stochastic equality), `w_stat` the
+    * studentized statistic, `df` the Welch–Satterthwaite degrees of
+    * freedom. NULL w/df when either placement variance is 0 (e.g. a
+    * constant sample).
+    *
+    * Exactness: combined and within-group midranks ride the DOUBLED
+    * integer grid (`2·midrank = 2·prior + cnt + 1`), so every
+    * placement `2(R − R^{(i)})` is an exact integer; the six aggregates
+    * (rank sums, placement sums, placement squares) fold as DECIMAL,
+    * and p̂/W/df assemble in pinned scalar IEEE an oracle mirrors
+    * text-for-text. Scale shape is [[mannWhitney]]'s: one cell
+    * collapse + the range-partition prefix sum + one fold — no window
+    * over observations, no quadratic term.
+    */
+  def brunnerMunzel(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
+    val base = df.select(value.as("_v"), label.as("_y"))
+      .where(col("_v").isNotNull && col("_y").isNotNull)
+    val groups = graft.Caches.track(base.groupBy(col("_v"))
+      .agg(count(lit(1)).as("_cnt"), sum(when(col("_y"), 1L).otherwise(0L)).as("_na")))
+    val ranked = runningTotals(groups, Seq(col("_v")),
+        Seq(col("_cnt") -> "_cum", col("_na") -> "_cumA"))
+      .withColumn("_prior", col("_cum") - col("_cnt"))
+      .withColumn("_priorA", col("_cumA") - col("_na"))
+      .withColumn("_priorB", (col("_cum") - col("_cumA")) - (col("_cnt") - col("_na")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val u  = lit(2L) * col("_prior") + col("_cnt") + lit(1L)   // doubled combined midrank
+    val uA = lit(2L) * col("_priorA") + col("_na") + lit(1L)   // doubled within-A midrank
+    val nb = col("_cnt") - col("_na")
+    val uB = lit(2L) * col("_priorB") + nb + lit(1L)           // doubled within-B midrank
+    val dA = u - uA                                            // doubled A-placement
+    val dB = u - uB
+    val m = ranked.agg(
+      sum(col("_na")).as("n_a"),
+      sum(nb).as("n_b"),
+      sum(dec(col("_na")) * dec(u)).as("_u1"),
+      sum(dec(nb) * dec(u)).as("_u2"),
+      sum(dec(col("_na")) * dec(dA)).as("_t1"),
+      sum(dec(nb) * dec(dB)).as("_t2"),
+      sum(dec(col("_na")) * dec(dA) * dec(dA)).as("_sd1"),
+      sum(dec(nb) * dec(dB) * dec(dB)).as("_sd2"))
+    // pinned assembly — the oracle mirrors these formulas text-for-text
+    val n1 = col("n_a").cast("double"); val n2 = col("n_b").cast("double")
+    val nT = (col("n_a") + col("n_b")).cast("double")
+    m.withColumn("_s1sq",
+        (n1 * col("_sd1").cast("double") - col("_t1").cast("double") * col("_t1").cast("double")) /
+          (lit(4.0) * n1 * (n1 - 1)))
+      .withColumn("_s2sq",
+        (n2 * col("_sd2").cast("double") - col("_t2").cast("double") * col("_t2").cast("double")) /
+          (lit(4.0) * n2 * (n2 - 1)))
+      .withColumn("_rdiff",
+        col("_u2").cast("double") / (lit(2.0) * n2) - col("_u1").cast("double") / (lit(2.0) * n1))
+      .withColumn("_vsum", n1 * col("_s1sq") + n2 * col("_s2sq"))
+      .select(
+        col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("_rdiff") / nT + lit(0.5), scale)).as("p_hat"),
+        when(col("n_a") > 1 && col("n_b") > 1 && col("_vsum") > 0,
+          round(n1 * n2 * col("_rdiff") / (nT * sqrt(col("_vsum"))), scale)).as("w_stat"),
+        when(col("n_a") > 1 && col("n_b") > 1 && col("_vsum") > 0,
+          round(col("_vsum") * col("_vsum") /
+            ((n1 * col("_s1sq")) * (n1 * col("_s1sq")) / (n1 - 1) +
+             (n2 * col("_s2sq")) * (n2 * col("_s2sq")) / (n2 - 1)), scale)).as("df"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * labelings of the same rows (classifier vs metadata truth, two
     * annotators, two model versions): one row

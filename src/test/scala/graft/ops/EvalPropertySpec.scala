@@ -139,6 +139,49 @@ class EvalPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: brunnerMunzel matches a direct midrank/placement implementation") {
+    def brute(as: Seq[Int], bs: Seq[Int]): (Double, Double, Double) = {
+      val all = as ++ bs
+      def mid(x: Int, in: Seq[Int]): Double =
+        (in.count(_ < x) + 1 + in.count(_ <= x)).toDouble / 2
+      val n1 = as.size; val n2 = bs.size; val nT = (n1 + n2).toDouble
+      val ra = as.map(mid(_, all)); val rb = bs.map(mid(_, all))
+      val rbar1 = ra.sum / n1; val rbar2 = rb.sum / n2
+      val d1 = as.zip(ra).map { case (x, r) => r - mid(x, as) }
+      val d2 = bs.zip(rb).map { case (x, r) => r - mid(x, bs) }
+      def svar(d: Seq[Double], n: Int): Double = {
+        val m = d.sum / n; d.map(x => (x - m) * (x - m)).sum / (n - 1)
+      }
+      val s1 = svar(d1, n1); val s2 = svar(d2, n2)
+      val vsum = n1 * s1 + n2 * s2
+      val pHat = (rbar2 - rbar1) / nT + 0.5
+      val w = n1 * n2 * (rbar2 - rbar1) / (nT * math.sqrt(vsum))
+      val dfv = vsum * vsum /
+        ((n1 * s1) * (n1 * s1) / (n1 - 1) + (n2 * s2) * (n2 * s2) / (n2 - 1))
+      (pHat, w, dfv)
+    }
+    val gen = for {
+      n1 <- Gen.choose(3, 30); n2 <- Gen.choose(3, 30)
+      as <- Gen.listOfN(n1, Gen.choose(0, 15))
+      bs <- Gen.listOfN(n2, Gen.choose(0, 15))
+    } yield (as, bs)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    samples(gen, 10).foreach { case (as, bs) =>
+      val df = (as.map((_, true)) ++ bs.map((_, false))).toDF("v", "y").repartition(3)
+      val r = Stats.brunnerMunzel(df, col("v"), col("y")).collect().head
+      val (p, w, dfv) = brute(as, bs)
+      assert(r.getDouble(2) == r6(p), s"p_hat: ${r.getDouble(2)} vs $p")
+      if (!w.isNaN && !w.isInfinite) {
+        assert(math.abs(r.getDouble(3) - w) < 2e-6, s"w: ${r.getDouble(3)} vs $w as=$as bs=$bs")
+        assert(math.abs(r.getDouble(4) - dfv) < 2e-5, s"df: ${r.getDouble(4)} vs $dfv")
+      } else assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+    // constant samples: placement variance 0 → NULL w/df, p_hat defined
+    val const = (Seq.fill(5)((3, true)) ++ Seq.fill(4)((3, false))).toDF("v", "y")
+    val c = Stats.brunnerMunzel(const, col("v"), col("y")).collect().head
+    assert(c.getDouble(2) == 0.5 && c.isNullAt(3) && c.isNullAt(4))
+  }
+
   test("cvmFromHists: brute-force squared-gap integral; identical states → 0") {
     val ha = Seq((0L, 4L), (1L, 6L), (2L, 2L)).toDF("bin", "n")
     val hb = Seq((0L, 2L), (1L, 3L), (3L, 5L)).toDF("bin", "n")
