@@ -578,6 +578,21 @@ object SparkEntry {
       graft.ops.Stats.changepoint(dense, tCol = col("t"), xCol = col("x"))
     }),
 
+    // Holt linear-trend smoothing of the q276 dense hourly series: the
+    // level+trend tracker whose 1-step forecast residual feeds control
+    // charts — α=½, β=¼ (exact binary literals), sequential fold over
+    // the collapsed axis (the cusum class)
+    "q366_holt_linear" -> ((s, dir) => {
+      val hours = E(s, dir).select(expr("ts div 3600000000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("x"))
+      val bounds = hours.agg(min(col("h")).as("_lo"), max(col("h")).as("_hi"))
+      val axis = bounds.select(explode(sequence(col("_lo"), col("_hi"))).as("t"))
+      val dense = axis.join(hours.withColumnRenamed("h", "t"), Seq("t"), "left")
+        .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
+      graft.ops.EventAnalytics.holtLinear(dense, tsCol = col("t"), valueCol = col("x"),
+        alpha = 0.5, beta = 0.25)
+    }),
+
     // Mann–Kendall: does each event type's hourly volume carry a monotone
     // trend beyond chance? (q254 fits the robust slope; this tests it)
     "q272_mann_kendall" -> ((s, dir) => {
@@ -5727,6 +5742,32 @@ object SparkEntry {
 
     // q276: dense axis → prefix sums → the CUSUM closed form G(i) →
     // arg-max on (rounded score, t)
+    // q366: q276's dense-axis CTE + an ordered recursion replaying the
+    // EXACT Holt fold (α=0.5/β=0.25 and their complements are exact
+    // binary doubles — no literal-representation slack)
+    "q366_holt_linear" ->
+      """WITH RECURSIVE hh AS (SELECT epoch_ns(ts) // 3600000000000 AS h FROM events),
+        |c AS (SELECT h, CAST(count(*) AS BIGINT) AS x FROM hh GROUP BY 1),
+        |bb AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+        |axis AS (SELECT unnest(range(bb.lo, bb.hi + 1)) AS t FROM bb),
+        |dense AS (
+        |  SELECT axis.t, CAST(coalesce(c.x, 0) AS DOUBLE) AS x
+        |  FROM axis LEFT JOIN c ON c.h = axis.t),
+        |r AS (SELECT t, x, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn FROM dense),
+        |k AS (
+        |  SELECT rn, t, x, x AS l, CAST(0.0 AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS f
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.t, r.x,
+        |    0.5 * r.x + 0.5 * (k.l + k.b),
+        |    0.25 * ((0.5 * r.x + 0.5 * (k.l + k.b)) - k.l) + 0.75 * k.b,
+        |    k.l + k.b
+        |  FROM k JOIN r ON r.rn = k.rn + 1
+        |)
+        |SELECT t, x, round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(f, 6) AS forecast
+        |FROM k""".stripMargin,
+
     "q276_changepoint" ->
       """WITH hh AS (SELECT epoch_ns(ts) // 3600000000000 AS h FROM events),
         |c AS (SELECT h, CAST(count(*) AS BIGINT) AS x FROM hh GROUP BY 1),

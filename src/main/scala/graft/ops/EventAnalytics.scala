@@ -1275,6 +1275,64 @@ object EventAnalytics {
         round(col("_sn"), scale).as("cusum_neg"), col("alarm"))
   }
 
+  /** Holt linear-trend (double exponential) smoothing over an (already
+    * collapsed) series — the level+trend tracker a plain EWMA can't be:
+    * `ℓₜ = α·xₜ + (1−α)(ℓₜ₋₁+bₜ₋₁)`, `bₜ = β(ℓₜ−ℓₜ₋₁) + (1−β)bₜ₋₁`,
+    * initialized `ℓ₁ = x₁, b₁ = 0` (documented convention). Returns
+    * `(t, x, level, trend, forecast)` in series order, `forecast` the
+    * 1-step-ahead prediction `ℓₜ₋₁ + bₜ₋₁` (NULL at the first point) —
+    * subtract it from `x` for the residual a control chart consumes.
+    *
+    * The recurrence is inherently sequential, so this is the [[cusum]]
+    * class: ONE sorted-partition pass, sound only because the input is a
+    * COLLAPSED series (bounded buckets, never raw events). Each step is
+    * the same IEEE arithmetic in series order in any engine — an oracle
+    * replays it with an ordered recursion; pick α/β with exact binary
+    * representations (½, ¼, ⅛) and even the literals carry no
+    * representation slack.
+    */
+  def holtLinear(
+      series: DataFrame,
+      tsCol: Column,
+      valueCol: Column,
+      alpha: Double = 0.5,
+      beta: Double = 0.25,
+      scale: Int = 6): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    val spark = series.sparkSession
+    val sorted = series.select(tsCol.cast("long").as("t"), valueCol.cast("double").as("x"))
+      .repartition(1)
+      .sortWithinPartitions(col("t"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_l", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_b", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_f", org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows = sorted.rdd.mapPartitions { it =>
+      var l = 0.0; var b = 0.0; var first = true
+      it.map { r =>
+        val x = r.getDouble(1)
+        val f: Any =
+          if (first) { l = x; b = 0.0; first = false; null }
+          else {
+            val fc = l + b
+            val l2 = alpha * x + (1 - alpha) * (l + b)
+            b = beta * (l2 - l) + (1 - beta) * b
+            l = l2
+            fc
+          }
+        org.apache.spark.sql.Row(r.getLong(0), x, l, b, f)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .select(col("t"), col("x"),
+        round(col("_l"), scale).as("level"),
+        round(col("_b"), scale).as("trend"),
+        round(col("_f"), scale).as("forecast"))
+  }
+
   /** RFM segmentation — recency / frequency / monetary quartile scores per
     * actor, the classic value-segmentation grid (and, for corpus work, the
     * "recently active, prolific, high-value contributor" facet of source

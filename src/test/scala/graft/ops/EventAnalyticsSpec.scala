@@ -419,6 +419,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(lrState == lrRaw)
   }
 
+  test("holtLinear: hand-computed level/trend/forecast; tracks a pure linear ramp exactly in the limit") {
+    import spark.implicits._
+    // x = 10, 12, 11: l1=10 b1=0; l2=.5*12+.5*10=11, b2=.25*1+0=.25, f2=10;
+    // l3=.5*11+.5*11.25=11.125, b3=.25*.125+.75*.25=.21875, f3=11.25
+    val s = Seq((1L, 10.0), (2L, 12.0), (3L, 11.0)).toDF("t", "x")
+    val got = EventAnalytics.holtLinear(s, col("t"), col("x"), alpha = 0.5, beta = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got(1L) == ((10.0, 0.0, None)))
+    assert(got(2L) == ((11.0, 0.25, Some(10.0))))
+    assert(got(3L) == ((11.125, 0.21875, Some(11.25))))
+    // a long pure ramp: the 1-step forecast converges onto the ramp
+    val ramp = (1L to 120L).map(t => (t, 3.0 * t)).toDF("t", "x")
+    val tail = EventAnalytics.holtLinear(ramp, col("t"), col("x"))
+      .where(col("t") === 120L).collect().head
+    assert(math.abs(tail.getDouble(4) - 360.0) < 0.01,
+      s"converged forecast should sit on the ramp: ${tail.getDouble(4)}")
+  }
+
   test("coxBinary: Newton beta maximizes the Breslow partial likelihood (ternary-search reference)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
