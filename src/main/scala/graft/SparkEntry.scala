@@ -324,6 +324,23 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // blocking-quality eval: does cheap length-bucket blocking keep the
+    // REAL near-dup truth pairs (q48's exact jaccard ≥ 0.7 set) while
+    // avoiding the all-pairs compare? — pairs completeness + reduction
+    // ratio, the ER candidate-stage gate
+    "q367_blocking_eval" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val truth = Dedup.prefixJaccardPairs(docs, threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      val blk = graft.Caches.track(docs.select(col("doc_id"),
+        (col("n_chars") / 50).cast("long").as("_k")))
+      val cand = blk.select(col("_k"), col("doc_id").as("id_a"))
+        .join(blk.select(col("_k"), col("doc_id").as("id_b")), Seq("_k"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.blockingEval(docs, cand, truth)
+    }),
+
     // Brunner–Munzel en vs de: the heteroskedasticity-honest rank test —
     // q204's question asked without the equal-spread assumption q363
     // just tested; doubled-midrank placements, exact integer moments
@@ -5048,6 +5065,40 @@ object SparkEntry {
         |          (CAST(n_a + n_b AS DOUBLE) * CAST(t2x AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)) /
         |          (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1)))
         |    END, 6) AS z
+        |FROM m""".stripMargin,
+
+    // q367: q48's brute-force truth CTE + canonical-pair distinct counts
+    // + the pinned ratio shapes
+    "q367_blocking_eval" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), tru AS (
+        |  SELECT DISTINCT a.id AS ia, b.id AS ib
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+        |),
+        |blk AS (SELECT doc_id, n_chars // 50 AS k FROM documents),
+        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |         FROM blk a JOIN blk b ON a.k = b.k AND a.doc_id < b.doc_id),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nr FROM documents),
+        |m AS (SELECT nr,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS nc,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tru) AS nt,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |     FROM cand JOIN tru ON cand.ia = tru.ia AND cand.ib = tru.ib) AS nh
+        |  FROM n)
+        |SELECT nr AS n_records,
+        |  CAST(nr * (nr - 1) AS DOUBLE) / 2 AS total_possible,
+        |  nc AS n_candidates, nt AS n_truth, nh AS n_hit,
+        |  round(CASE WHEN nt > 0 THEN CAST(nh AS DOUBLE) / nt END, 6) AS pairs_completeness,
+        |  round(CASE WHEN nr > 1
+        |    THEN 1.0 - CAST(nc AS DOUBLE) / (CAST(nr * (nr - 1) AS DOUBLE) / 2) END, 6)
+        |    AS reduction_ratio
         |FROM m""".stripMargin,
 
     // q365: the doubled-midrank placement aggregates as exact integers,

@@ -1079,6 +1079,56 @@ object Dedup {
         col("_cos"))
   }
 
+  /** Blocking-quality evaluation — the two numbers every candidate
+    * generator (LSH bands, length buckets, prefix filters, IVF cells) is
+    * judged by in entity resolution: '''pairs completeness''' (what
+    * fraction of the TRUE pairs does the blocking still propose — recall
+    * at the candidate stage; a pair lost here is unrecoverable) and
+    * '''reduction ratio''' (what fraction of the n(n−1)/2 all-pairs
+    * work does it avoid). Inputs: the corpus (for n), a candidate pair
+    * frame, and a ground-truth pair frame — both canonicalized
+    * internally to unordered distinct pairs, so either orientation and
+    * duplicates are fine. Returns one row `(n_records, total_possible,
+    * n_candidates, n_truth, n_hit, pairs_completeness,
+    * reduction_ratio)`; NULL completeness when truth is empty.
+    *
+    * Scale shape: two distinct-collapses + one slim equi-join on the
+    * canonical pair key + three one-row aggregates. `total_possible` is
+    * a DOUBLE: n(n−1)/2 overflows a long past n ≈ 4.3e9, and at that
+    * scale it is a magnitude readout, not a countable — exact below 2⁵³
+    * pairs.
+    */
+  def blockingEval(
+      corpus: DataFrame,
+      candidates: DataFrame,
+      truth: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      scale: Int = 6): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col(aCol), col(bCol)).as("_pa"), greatest(col(aCol), col(bCol)).as("_pb"))
+      .where(col("_pa") =!= col("_pb"))
+      .distinct()
+    val cand = graft.Caches.track(canon(candidates))
+    val tru  = graft.Caches.track(canon(truth))
+    val nRec = corpus.select(col(idCol)).distinct().count()
+    val nCand = cand.count()
+    val nTruth = tru.count()
+    val nHit = cand.join(tru, Seq("_pa", "_pb"), "left_semi").count()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val total = (BigDecimal(nRec) * BigDecimal(nRec - 1) / 2).toDouble
+    Seq((nRec, total, nCand, nTruth, nHit)).toDF(
+        "n_records", "total_possible", "n_candidates", "n_truth", "n_hit")
+      .select(col("*"),
+        when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth"), scale)).as("pairs_completeness"),
+        when(col("total_possible") > 0,
+          round(lit(1.0) - col("n_candidates").cast("double") / col("total_possible"), scale))
+          .as("reduction_ratio"))
+  }
+
   /** MinHash-LSH operating curve — the tuning table behind every
     * bands/rows choice: for a signature of `numHashes` hashes split as
     * `b` bands × `r` rows, a pair at Jaccard `j` becomes a candidate

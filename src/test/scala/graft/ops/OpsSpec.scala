@@ -78,6 +78,22 @@ class DedupSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("blockingEval: hand counts; orientation and duplicate pairs canonicalize; empty truth → NULL") {
+    import spark.implicits._
+    val corpus = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // candidates carry a reversed duplicate (3,2)≡(2,3) and a self-pair to drop
+    val cand = Seq((1L, 2L), (2L, 3L), (3L, 2L), (4L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val truth = Seq((2L, 1L), (3L, 5L)).toDF("id_a", "id_b") // (1,2) hit, (3,5) missed
+    val r = Dedup.blockingEval(corpus, cand, truth).collect().head
+    // n=6 → total 15; canonical candidates {12,23,56} = 3; truth {12,35} = 2; hit 1
+    assert((r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((6L, 15.0, 3L, 2L, 1L)))
+    assert(r.getDouble(5) == 0.5 && r.getDouble(6) == 0.8)
+    val empty = Dedup.blockingEval(corpus, cand, truth.where(lit(false)))
+      .collect().head
+    assert(empty.isNullAt(5) && empty.getLong(3) == 0L)
+  }
+
   test("prefixJaccardPairs: exact-duplicate collapse reproduces the naive compare exactly") {
     import spark.implicits._
     // duplicate families (verbatim + case/whitespace variants that
