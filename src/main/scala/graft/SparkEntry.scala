@@ -324,6 +324,13 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // Welch's ANOVA of document length across ALL languages: the k-group
+    // mean test that doesn't assume the equal variances q225 does —
+    // weight-by-precision, Satterthwaite df
+    "q368_welch_anova" -> ((s, dir) =>
+      graft.ops.Stats.welchAnova(
+        T(s, dir, "documents"), value = col("n_chars"), groupCol = col("lang"))),
+
     // blocking-quality eval: does cheap length-bucket blocking keep the
     // REAL near-dup truth pairs (q48's exact jaccard ≥ 0.7 set) while
     // avoiding the all-pairs compare? — pairs completeness + reduction
@@ -5066,6 +5073,54 @@ object SparkEntry {
         |          (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1)))
         |    END, 6) AS z
         |FROM m""".stripMargin,
+
+    // q368: per-group decimal moments → pinned weight/fold arithmetic
+    // mirroring welchAnova text-for-text
+    "q368_welch_anova" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, lang AS g FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |), grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(v AS DECIMAL(38,12))) AS sg,
+        |    sum(CAST(v * v AS DECIMAL(38,12))) AS qg
+        |  FROM d GROUP BY 1
+        |), g2 AS (
+        |  SELECT ng,
+        |    CAST(sg AS DOUBLE) / ng AS mg,
+        |    (CAST(qg AS DOUBLE) - ng * (CAST(sg AS DOUBLE) / ng) * (CAST(sg AS DOUBLE) / ng))
+        |      / (ng - 1) AS s2
+        |  FROM grp
+        |), g3 AS (
+        |  SELECT ng, mg, s2, (ng > 1 AND s2 > 0) AS ok,
+        |    CASE WHEN ng > 1 AND s2 > 0 THEN CAST(ng AS DOUBLE) / s2 END AS w
+        |  FROM g2
+        |), t1 AS (
+        |  SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS k,
+        |    CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS k_dropped,
+        |    CAST(sum(CASE WHEN ok THEN ng ELSE 0 END) AS BIGINT) AS n,
+        |    sum(CASE WHEN ok THEN CAST(w AS DECIMAL(38,12)) END) AS ww,
+        |    sum(CASE WHEN ok THEN CAST(w * mg AS DECIMAL(38,12)) END) AS wm
+        |  FROM g3
+        |), t2 AS (
+        |  SELECT t1.k, t1.k_dropped, t1.n,
+        |    sum(CAST(g3.w * (g3.mg - CAST(t1.wm AS DOUBLE) / CAST(t1.ww AS DOUBLE))
+        |          * (g3.mg - CAST(t1.wm AS DOUBLE) / CAST(t1.ww AS DOUBLE))
+        |        AS DECIMAL(38,12))) AS a,
+        |    sum(CAST((1.0 - g3.w / CAST(t1.ww AS DOUBLE))
+        |          * (1.0 - g3.w / CAST(t1.ww AS DOUBLE)) / (g3.ng - 1)
+        |        AS DECIMAL(38,12))) AS lam
+        |  FROM g3, t1 WHERE g3.ok
+        |  GROUP BY 1, 2, 3)
+        |SELECT k, n, k_dropped, CAST(k - 1 AS BIGINT) AS df1,
+        |  round(CASE WHEN k > 1 AND CAST(lam AS DOUBLE) > 0
+        |    THEN (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)
+        |      / (CAST(3.0 AS DOUBLE) * CAST(lam AS DOUBLE)) END, 6) AS df2,
+        |  round(CASE WHEN k > 1 AND CAST(lam AS DOUBLE) > 0
+        |    THEN (CAST(a AS DOUBLE) / (CAST(k AS DOUBLE) - 1))
+        |      / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2) * CAST(lam AS DOUBLE)
+        |          / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)) END, 6) AS f_stat
+        |FROM t2""".stripMargin,
 
     // q367: q48's brute-force truth CTE + canonical-pair distinct counts
     // + the pinned ratio shapes

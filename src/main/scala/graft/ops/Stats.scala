@@ -1769,6 +1769,64 @@ object Stats {
             (col("_w").cast("double") / col("df2"))), scale).as("f_stat"))
   }
 
+  /** Welch's ANOVA — the k-group mean comparison that stays valid under
+    * UNEQUAL group variances (classic [[anovaF]] assumes homoskedasticity
+    * the way Student's t does; this is [[welch t]]'s k-group form):
+    * groups weight by `wᵢ = nᵢ/sᵢ²`, the statistic is
+    * `F* = [Σwᵢ(mᵢ−x̄w)²/(k−1)] / [1 + 2(k−2)Λ/(k²−1)]` with
+    * `Λ = Σ(1−wᵢ/W)²/(nᵢ−1)` and Satterthwaite `df₂ = (k²−1)/(3Λ)`.
+    * Returns one row `(k, n, k_dropped, df1, df2, f_stat)`; groups with
+    * fewer than 2 rows or ZERO variance have no defined weight and are
+    * EXCLUDED (counted in `k_dropped`); NULL f/df₂ when fewer than two
+    * usable groups remain or Λ = 0 (all groups identical).
+    *
+    * Scale shape is [[anovaF]]'s: one partial-agg shuffle to per-group
+    * exact decimal moments, then two one-row scalar attaches (the
+    * documented crossJoin class) — per-group weights and both folds are
+    * pinned scalar IEEE summed on the decimal grid, so a re-deriving
+    * engine reproduces the statistic and df₂ bit for bit.
+    */
+  def welchAnova(df: DataFrame, value: Column, groupCol: Column, scale: Int = 6): DataFrame = {
+    val d = df.select(value.cast("double").as("_v"), groupCol.as("_g"))
+      .where(col("_v").isNotNull && col("_g").isNotNull)
+    val g = graft.Caches.track(d.groupBy(col("_g")).agg(
+      count(lit(1)).as("_ng"),
+      sum(col("_v").cast("decimal(38,12)")).as("_sg"),
+      sum((col("_v") * col("_v")).cast("decimal(38,12)")).as("_qg")))
+    val g2 = g
+      .withColumn("_mg", col("_sg").cast("double") / col("_ng"))
+      .withColumn("_s2",
+        (col("_qg").cast("double") - col("_ng") * col("_mg") * col("_mg")) /
+          (col("_ng") - 1))
+      .withColumn("_ok", col("_ng") > 1 && col("_s2") > 0)
+      .withColumn("_w", when(col("_ok"), col("_ng").cast("double") / col("_s2")))
+    val t1 = g2.agg(
+      sum(when(col("_ok"), 1L).otherwise(0L)).as("k"),
+      sum(when(!col("_ok"), 1L).otherwise(0L)).as("k_dropped"),
+      sum(when(col("_ok"), col("_ng")).otherwise(0L)).as("n"),
+      sum(when(col("_ok"), col("_w").cast("decimal(38,12)"))).as("_wsum"),
+      sum(when(col("_ok"), (col("_w") * col("_mg")).cast("decimal(38,12)"))).as("_wm"))
+    val t2 = g2.where(col("_ok")).crossJoin(broadcast(t1))
+      .withColumn("_xw", col("_wm").cast("double") / col("_wsum").cast("double"))
+      .agg(
+        first(col("k")).as("k"), first(col("k_dropped")).as("k_dropped"),
+        first(col("n")).as("n"),
+        sum((col("_w") * (col("_mg") - col("_xw")) * (col("_mg") - col("_xw")))
+          .cast("decimal(38,12)")).as("_a"),
+        sum(((lit(1.0) - col("_w") / col("_wsum").cast("double")) *
+          (lit(1.0) - col("_w") / col("_wsum").cast("double")) / (col("_ng") - 1))
+          .cast("decimal(38,12)")).as("_lam"))
+    val kD = col("k").cast("double")
+    t2.withColumn("df1", col("k") - 1L)
+      .select(col("k"), col("n"), col("k_dropped"), col("df1"),
+        round(when(col("k") > 1 && col("_lam").cast("double") > 0,
+          (kD * kD - 1) / (lit(3.0) * col("_lam").cast("double"))), scale).as("df2"),
+        round(when(col("k") > 1 && col("_lam").cast("double") > 0,
+          (col("_a").cast("double") / (kD - 1)) /
+            (lit(1.0) + lit(2.0) * (kD - 2) * col("_lam").cast("double") / (kD * kD - 1))),
+          scale).as("f_stat"))
+  }
+
   /** Cumulative gains / lift table — the "how much better than random is
     * the top decile" classifier report that completes the eval family
     * (AUC = the whole curve's area, calibration = probability quality,

@@ -130,7 +130,8 @@ object PlanAudit {
     "q360_by_fdr",                // one-row k* step-up-threshold crossJoin (the q297 class)
     "q362_hodges_lehmann",        // |cellsA|×|cellsB| difference fold (the q252 bounded-matrix class) + one-row totals/median-pick attaches
     "q363_ansari_bradley",        // one-row N-total crossJoin (scalar-attach class)
-    "q364_cvm_from_state"         // one-row side-totals crossJoin (the q228/q231 state class)
+    "q364_cvm_from_state",        // one-row side-totals crossJoin (the q228/q231 state class)
+    "q368_welch_anova"            // one-row weight-totals crossJoin (the q225 grand-totals class)
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED
@@ -178,7 +179,8 @@ object PlanAudit {
   private val codegenExempt: Set[String] = Set(
     "q283_mmr",             // TakeOrdered pool scan (the q21 shape) + ≤poolSize driver greedy
     "q216_densest_subgraph", // Charikar peel loop runs EAGERLY at construction; the returned best-snapshot frame is local
-    "q222_modularity"        // LPA label loop runs eagerly at construction; the scored result frame is local
+    "q222_modularity",       // LPA label loop runs eagerly at construction; the scored result frame is local
+    "q367_blocking_eval"     // the four counts run EAGERLY at construction; the one-row eval frame is local (the q283 class)
   )
 
   /** Count of window nodes whose partition spec is EMPTY — each one plans

@@ -139,6 +139,41 @@ class EvalPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: welchAnova matches a direct implementation; zero-variance groups drop") {
+    val gen = for {
+      k  <- Gen.choose(2, 5)
+      xs <- Gen.listOfN(60, Gen.zip(Gen.choose(0, k - 1), Gen.choose(0, 30)))
+    } yield xs.map { case (g, v) => (s"g$g", v.toDouble) }
+    samples(gen, 8).foreach { xs =>
+      val byG = xs.groupBy(_._1).filter { case (_, vs) =>
+        vs.size > 1 && vs.map(_._2).distinct.size > 1 }
+      val df = xs.toDF("g", "v").repartition(3)
+      val r = Stats.welchAnova(df, col("v"), col("g")).collect().head
+      val k = byG.size
+      assert(r.getLong(0) == k.toLong)
+      if (k > 1) {
+        val stats = byG.values.map { vs =>
+          val n = vs.size; val m = vs.map(_._2).sum / n
+          val s2 = vs.map(x => (x._2 - m) * (x._2 - m)).sum / (n - 1)
+          (n, m, n / s2)
+        }.toSeq
+        val w = stats.map(_._3).sum
+        val xw = stats.map(s => s._3 * s._2).sum / w
+        val a = stats.map(s => s._3 * (s._2 - xw) * (s._2 - xw)).sum / (k - 1)
+        val lam = stats.map(s => (1 - s._3 / w) * (1 - s._3 / w) / (s._1 - 1)).sum
+        val f = a / (1 + 2.0 * (k - 2) * lam / (k.toDouble * k - 1))
+        val df2 = (k.toDouble * k - 1) / (3 * lam)
+        assert(math.abs(r.getDouble(5) - f) < 2e-6, s"f: ${r.getDouble(5)} vs $f")
+        assert(math.abs(r.getDouble(4) - df2) < 2e-4, s"df2: ${r.getDouble(4)} vs $df2")
+      }
+    }
+    // a constant group is excluded and counted, not NaN-poisoned
+    val mixed = (Seq.fill(6)(("c", 5.0)) ++
+      Seq(("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 4.0), ("b", 8.0), ("b", 6.0))).toDF("g", "v")
+    val m = Stats.welchAnova(mixed, col("v"), col("g")).collect().head
+    assert(m.getLong(0) == 2L && m.getLong(2) == 1L && !m.isNullAt(5))
+  }
+
   test("property: brunnerMunzel matches a direct midrank/placement implementation") {
     def brute(as: Seq[Int], bs: Seq[Int]): (Double, Double, Double) = {
       val all = as ++ bs
