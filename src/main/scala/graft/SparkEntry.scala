@@ -324,6 +324,44 @@ object SparkEntry {
         T(s, dir, "documents").where(col("lang").isin("en", "de")),
         value = col("n_chars"), label = col("lang") === "en")),
 
+    // Gehan–Breslow–Wilcoxon on q359's purchase-clock states: the
+    // EARLY-difference-weighted survival A/B (run next to q357's
+    // unweighted log-rank — disagreement means the curves cross)
+    "q369_gehan_wilcoxon" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val u = days.groupBy(col("user_id")).agg(
+        min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pd"))
+      val obs = graft.Caches.track(
+        u.select(
+          (coalesce(col("_pd"), col("_ld")) - col("_fd")).as("dur"),
+          col("_pd").isNotNull.as("ev"),
+          (col("user_id") % 2 === 0).as("arm")))
+      graft.ops.EventAnalytics.gehanWilcoxonFromStates(
+        graft.ops.EventAnalytics.survivalPartials(
+          obs.where(col("arm")), col("dur"), col("ev"), binWidth = 3L),
+        graft.ops.EventAnalytics.survivalPartials(
+          obs.where(!col("arm")), col("dur"), col("ev"), binWidth = 3L))
+    }),
+
+    // Nelson–Aalen from q358's split-and-merged survival state: the
+    // additive-hazard leg of the FromState family, ≤|bins| rows read
+    "q370_na_binned" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val u = days.groupBy(col("user_id")).agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"))
+      val obs = graft.Caches.track(
+        u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
+          .select(col("_fd"), (col("_ld") - col("_fd")).as("dur"),
+            (col("_ld") <= col("_md") - 3).as("ev")))
+      val state = graft.ops.EventAnalytics.survivalMerge(Seq(
+        graft.ops.EventAnalytics.survivalPartials(
+          obs.where(col("_fd") % 2 === 0), col("dur"), col("ev"), binWidth = 3L),
+        graft.ops.EventAnalytics.survivalPartials(
+          obs.where(col("_fd") % 2 =!= 0), col("dur"), col("ev"), binWidth = 3L)))
+      graft.ops.EventAnalytics.nelsonAalenFromState(state)
+    }),
+
     // Welch's ANOVA of document length across ALL languages: the k-group
     // mean test that doesn't assume the equal variances q225 does —
     // weight-by-precision, Satterthwaite df
@@ -5073,6 +5111,82 @@ object SparkEntry {
         |          (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1)))
         |    END, 6) AS z
         |FROM m""".stripMargin,
+
+    // q369: q357's machinery on the purchase-clock 3-day bins, O−E
+    // weighted by nⱼ and V by nⱼ² (the Gehan weights)
+    "q369_gehan_wilcoxon" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS fd, max(day) AS ld,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+        |  FROM e GROUP BY 1),
+        |obs AS (SELECT (coalesce(pd, ld) - fd) // 3 AS t,
+        |          (pd IS NOT NULL) AS ev, (user_id % 2 = 0) AS a FROM u),
+        |g AS (SELECT t,
+        |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        |        CAST(sum(CASE WHEN a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |        CAST(sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d0
+        |      FROM obs GROUP BY 1),
+        |r AS (SELECT t, r1, r0, d1, d0,
+        |        CAST(sum(r1) OVER () AS BIGINT)
+        |          - CAST(coalesce(sum(r1) OVER wp, 0) AS BIGINT) AS n1,
+        |        CAST(sum(r0) OVER () AS BIGINT)
+        |          - CAST(coalesce(sum(r0) OVER wp, 0) AS BIGINT) AS n0,
+        |        CAST(sum(r1) OVER () AS BIGINT) AS ta,
+        |        CAST(sum(r0) OVER () AS BIGINT) AS tb,
+        |        CAST(sum(d1) OVER () AS BIGINT) AS ea,
+        |        CAST(sum(d0) OVER () AS BIGINT) AS eb
+        |      FROM g
+        |      WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT * FROM r WHERE d1 + d0 > 0),
+        |a AS (
+        |  SELECT any_value(ta) AS n_a, any_value(tb) AS n_b,
+        |    any_value(ea) AS events_a, any_value(eb) AS events_b,
+        |    sum(CAST(CAST(n1 + n0 AS DOUBLE)
+        |      * (d1 - (CAST(d1 + d0 AS DOUBLE) * n1) / (n1 + n0))
+        |      AS DECIMAL(38,12))) AS oe,
+        |    sum(CAST(CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 AS DOUBLE)
+        |      * (CASE WHEN n1 + n0 > 1 THEN
+        |          (CAST(d1 + d0 AS DOUBLE) * n1) / (n1 + n0) * n0 / (n1 + n0)
+        |            * ((n1 + n0) - (d1 + d0)) / ((n1 + n0) - 1)
+        |          ELSE CAST(0.0 AS DOUBLE) END)
+        |      AS DECIMAL(38,12))) AS vv
+        |  FROM v)
+        |SELECT n_a, n_b, events_a, events_b,
+        |  round(CAST(oe AS DOUBLE), 6) AS o_minus_e,
+        |  round(CAST(vv AS DOUBLE), 6) AS var_o,
+        |  round(CASE WHEN vv > 0
+        |    THEN CAST(oe AS DOUBLE) / sqrt(CAST(vv AS DOUBLE)) END, 6) AS z
+        |FROM a""".stripMargin,
+
+    // q370: q264's NA replay on q358's 3-day bin axis (merge is additive
+    // so the half-split needs no oracle counterpart)
+    "q370_na_binned" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+        |mx AS (SELECT max(ld) AS md FROM u),
+        |obs AS (SELECT (ld - fd) // 3 AS t, (ld <= mx.md - 3) AS ev FROM u, mx),
+        |g AS (SELECT t,
+        |        CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |        CAST(sum(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |      FROM obs GROUP BY 1),
+        |r AS (SELECT t, d, c,
+        |        CAST(sum(d + c) OVER () AS BIGINT)
+        |          - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS n_risk
+        |      FROM g),
+        |h AS (SELECT t, n_risk, d, c,
+        |        CAST(round(CAST(d AS DOUBLE) / n_risk, 6) AS DECIMAL(18,6)) AS hz
+        |      FROM r)
+        |SELECT t, n_risk, d AS n_events, c AS n_censored,
+        |  CAST(hz AS DOUBLE) AS hazard,
+        |  CAST(sum(hz) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS cum_hazard
+        |FROM h""".stripMargin,
 
     // q368: per-group decimal moments → pinned weight/fold arithmetic
     // mirroring welchAnova text-for-text

@@ -1164,6 +1164,22 @@ object EventAnalytics {
     val g = d.groupBy(col("t")).agg(
       sum(when(col("e"), 1L).otherwise(0L)).as("d"),
       sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+    naCore(g, scale)
+  }
+
+  /** Nelson–Aalen cumulative hazard served from a (merged)
+    * [[survivalPartials]] state — the additive leg of the FromState
+    * survival family next to [[kaplanMeierFromState]] /
+    * [[logRankFromStates]] / [[coxFromStates]]: same estimator with the
+    * bin index as the time axis, every window over ≤|bins| rows. */
+  def nelsonAalenFromState(state: DataFrame, scale: Int = 6): DataFrame =
+    naCore(
+      state.select(col("bin").cast("long").as("t"),
+        col("n_events").cast("long").as("d"),
+        col("n_censored").cast("long").as("c")),
+      scale)
+
+  private def naCore(g: DataFrame, scale: Int): DataFrame = {
     val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy()
@@ -1440,10 +1456,62 @@ object EventAnalytics {
     logRankCore(g, scale)
   }
 
+  /** Gehan–Breslow–Wilcoxon test — the weighted log-rank that weights
+    * each event time by the at-risk count `nⱼ`, so EARLY differences
+    * (where nⱼ is large) dominate: the survival A/B for "does arm A
+    * churn less in the first weeks", where the unweighted [[logRankTest]]
+    * treats a day-1 and a day-300 gap equally (and is the more powerful
+    * test under proportional hazards — run both, disagreement means the
+    * curves CROSS). Same input contract and output schema as
+    * [[logRankTest]]: `(n_a, n_b, events_a, events_b, o_minus_e, var_o,
+    * z)` with `o_minus_e = Σnⱼ(O₁ⱼ−E₁ⱼ)` and `var_o = Σnⱼ²Vⱼ`. Same
+    * collapse-first scale shape; same coarse-time-axis contract
+    * ([[gehanWilcoxonFromStates]] is the binned face).
+    */
+  def gehanWilcoxonTest(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      arm: Column,
+      scale: Int = 6): DataFrame = {
+    val d = df.select(duration.cast("long").as("t"), event.cast("boolean").as("e"),
+        arm.cast("boolean").as("a"))
+      .where(col("t").isNotNull && col("e").isNotNull && col("a").isNotNull)
+    val g = d.groupBy(col("t")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("r1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("r0"),
+      sum(when(col("a") && col("e"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("a") && col("e"), 1L).otherwise(0L)).as("d0"))
+    logRankCore(g, scale, gehan = true)
+  }
+
+  /** [[gehanWilcoxonTest]] served from two (merged) [[survivalPartials]]
+    * states — the corpus-scale binned face, like [[logRankFromStates]]. */
+  def gehanWilcoxonFromStates(
+      stateA: DataFrame,
+      stateB: DataFrame,
+      scale: Int = 6): DataFrame = {
+    val a = stateA.select(col("bin").cast("long").as("t"),
+      (col("n_events") + col("n_censored")).cast("long").as("r1"),
+      col("n_events").cast("long").as("d1"))
+    val b = stateB.select(col("bin").cast("long").as("t"),
+      (col("n_events") + col("n_censored")).cast("long").as("r0"),
+      col("n_events").cast("long").as("d0"))
+    val g = a.join(b, Seq("t"), "full")
+      .select(col("t"),
+        coalesce(col("r1"), lit(0L)).as("r1"),
+        coalesce(col("r0"), lit(0L)).as("r0"),
+        coalesce(col("d1"), lit(0L)).as("d1"),
+        coalesce(col("d0"), lit(0L)).as("d0"))
+    logRankCore(g, scale, gehan = true)
+  }
+
   /** The Mantel–Cox machinery over an already-collapsed per-time per-arm
     * `(t, r1, r0, d1, d0)` frame (r = subjects reaching exactly t,
-    * d = events at t). */
-  private def logRankCore(g: DataFrame, scale: Int): DataFrame = {
+    * d = events at t). `gehan = true` weights each event time's O−E by
+    * `nⱼ` (and Vⱼ by `nⱼ²`) — the Gehan–Breslow–Wilcoxon variant; the
+    * classic path's expression shapes are untouched. */
+  private def logRankCore(g: DataFrame, scale: Int, gehan: Boolean = false): DataFrame = {
     val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
     val risk = g
@@ -1462,11 +1530,13 @@ object EventAnalytics {
     val vj = when(nj > 1,
       (dj.cast("double") * col("_n1")) / nj * col("_n0") / nj *
         (nj - dj) / (nj - 1)).otherwise(lit(0.0).cast("double"))
+    val oeTerm = if (gehan) nj.cast("double") * (col("d1") - e1) else col("d1") - e1
+    val vTerm  = if (gehan) nj.cast("double") * nj.cast("double") * vj else vj
     risk.agg(
         first(col("_ta")).as("n_a"), first(col("_tb")).as("n_b"),
         first(col("_ea")).as("events_a"), first(col("_eb")).as("events_b"),
-        sum((col("d1") - e1).cast("decimal(38,12)")).as("_oe"),
-        sum(vj.cast("decimal(38,12)")).as("_v"))
+        sum(oeTerm.cast("decimal(38,12)")).as("_oe"),
+        sum(vTerm.cast("decimal(38,12)")).as("_v"))
       .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
         round(col("_oe").cast("double"), scale).as("o_minus_e"),
         round(col("_v").cast("double"), scale).as("var_o"),

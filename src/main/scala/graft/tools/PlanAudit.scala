@@ -126,6 +126,7 @@ object PlanAudit {
     "q355_inequality",            // one-row log-moments/mean crossJoin (scalar-attach class)
     "q357_logrank_binned",        // one-row max-duration crossJoin (the q307 obs-frame class)
     "q358_km_binned",             // one-row max-duration crossJoin (the q219 obs-frame class)
+    "q370_na_binned",             // one-row max-duration crossJoin (the q219 obs-frame class)
     "q359_cox",                   // one-row max-duration crossJoin (the q307 obs-frame class; bench face)
     "q360_by_fdr",                // one-row k* step-up-threshold crossJoin (the q297 class)
     "q362_hodges_lehmann",        // |cellsA|×|cellsB| difference fold (the q252 bounded-matrix class) + one-row totals/median-pick attaches
@@ -167,6 +168,8 @@ object PlanAudit {
     "q351_km_ci",          // Greenwood cumsum over the ≤|distinct durations| collapsed axis (the q264 class)
     "q357_logrank_binned", // at-risk/total cumulatives over the ≤|bins| merged survival state — bounded by the bin grid, not |durations|
     "q358_km_binned",      // at-risk cumulative over the ≤|bins| merged survival state (the q357 class)
+    "q369_gehan_wilcoxon", // at-risk/total cumulatives over the ≤|bins| merged survival state (the q357 class)
+    "q370_na_binned",      // at-risk + hazard cumulatives over the ≤|bins| merged survival state (the q357 class)
     "q364_cvm_from_state"  // bin-CDF cumulative over the ≤bins-row state (the q228 class)
   )
 

@@ -395,6 +395,58 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(merged == st)
   }
 
+  test("gehanWilcoxon: brute-force weighted O-E/V; FromStates ≡ raw on the binned axis") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val subs = (0 until 90).map { i =>
+      val a = i % 2 == 0
+      ((if (a) rnd.nextInt(18) else rnd.nextInt(30)).toLong, rnd.nextInt(5) < 4, a)
+    }
+    val df = subs.toDF("dur", "ev", "arm")
+    val r = EventAnalytics.gehanWilcoxonTest(df, col("dur"), col("ev"), col("arm"))
+      .collect().head
+    // brute: per event time, nj-weighted hypergeometric O−E and nj²V
+    val times = subs.filter(_._2).map(_._1).distinct.sorted
+    var oe = 0.0; var vv = 0.0
+    times.foreach { t =>
+      val atRisk = subs.filter(_._1 >= t)
+      val n1 = atRisk.count(_._3).toDouble; val n0 = atRisk.size - n1; val nj = n1 + n0
+      val d1 = subs.count(s => s._1 == t && s._2 && s._3).toDouble
+      val dj = subs.count(s => s._1 == t && s._2).toDouble
+      oe += nj * (d1 - dj * n1 / nj)
+      if (nj > 1) vv += nj * nj * (dj * n1 / nj * n0 / nj * (nj - dj) / (nj - 1))
+    }
+    assert(math.abs(r.getDouble(4) - oe) < 1e-6, s"oe ${r.getDouble(4)} vs $oe")
+    assert(math.abs(r.getDouble(5) - vv) < 1e-5, s"v ${r.getDouble(5)} vs $vv")
+    // binned FromStates face ≡ raw test on the pre-binned axis
+    val bw = 4L
+    val fromStates = EventAnalytics.gehanWilcoxonFromStates(
+      EventAnalytics.survivalPartials(df.where(col("arm")), col("dur"), col("ev"), bw),
+      EventAnalytics.survivalPartials(df.where(!col("arm")), col("dur"), col("ev"), bw))
+      .collect().head
+    val raw = EventAnalytics.gehanWilcoxonTest(
+      df.select((col("dur") / bw).cast("long").as("t"), col("ev"), col("arm")),
+      col("t"), col("ev"), col("arm")).collect().head
+    assert(fromStates == raw)
+  }
+
+  test("nelsonAalenFromState ≡ nelsonAalen on the binned axis") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 70).map(_ => (rnd.nextInt(40).toLong, rnd.nextBoolean()))
+      .toDF("dur", "ev")
+    val bw = 6L
+    val st = EventAnalytics.nelsonAalenFromState(
+      EventAnalytics.survivalPartials(rows, col("dur"), col("ev"), bw))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    val raw = EventAnalytics.nelsonAalen(
+      rows.select((col("dur") / bw).cast("long").as("t"), col("ev")), col("t"), col("ev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(st == raw)
+  }
+
   test("kaplanMeierFromState ≡ kaplanMeier on the binned axis; logRankFromStates ≡ logRankTest") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
