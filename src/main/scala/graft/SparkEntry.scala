@@ -3573,6 +3573,37 @@ object SparkEntry {
         s, e, landmarks = Seq(1L, 2L, 3L), maxDist = 6)
     }),
 
+    // effective diameter off q304's ANF curve — the statistic HyperBall
+    // exists for: within how many hops can 90% of connected pairs reach
+    // each other? Verify face: a consistency gate (diameter in (0, maxHops],
+    // positive pair mass, monotone reach curve); bench face: the one-row
+    // diameter readout
+    "q371_eff_diameter" -> ((s, dir) => {
+      val raw = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("s0"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("d0"))
+      val canon = raw.where(col("s0") =!= col("d0"))
+        .select(least(col("s0"), col("d0")).as("a"),
+          greatest(col("s0"), col("d0")).as("b")).distinct()
+      val bidir = canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst")))
+      val v = bidir.select(col("src").as("id")).distinct()
+      val anf = graft.Caches.track(graft.graph.GraphQueries.neighborhoodFunction(
+        s, v, bidir, maxHops = 3, lgK = 11))
+      val ed = graft.graph.GraphQueries.effectiveDiameter(anf, q = 0.9)
+      if (benchMode) ed
+      else {
+        val r = ed.collect().head
+        val d = r.getDouble(2)
+        val curve = anf.groupBy(col("hop")).agg(sum(col("reach_est")).as("n"))
+          .orderBy(col("hop")).collect().map(_.getDouble(1))
+        val monotone = curve.zip(curve.tail).forall { case (a, b) => b >= a - 1e-6 }
+        s.range(1).select(
+          lit(r.getInt(0)).as("max_hop"),
+          lit(d > 0.0 && d <= r.getInt(0) && r.getLong(1) > 0L && monotone).as("ed_pass"))
+      }
+    }),
+
     // ANF / HyperBall k-hop reach on the q121 graph. Verify face: a
     // q27-style self-verifying gate — 10 landmark vertices' HLL reach
     // estimates vs landmarkDistances' EXACT balls at every hop, max
@@ -6406,6 +6437,11 @@ object SparkEntry {
     "q309_isotonic" ->
       ("SELECT CAST(20 AS BIGINT) AS bins, " +
         "CAST(TRUE AS BOOLEAN) AS isotonic_pass"),
+
+    // q371: the gate row — consistency of the diameter against its own
+    // curve (the ANF estimates themselves are q304's gated surface)
+    "q371_eff_diameter" ->
+      ("SELECT CAST(3 AS INTEGER) AS max_hop, CAST(TRUE AS BOOLEAN) AS ed_pass"),
 
     // q304: the gate row — the query itself proves the HLL reach
     // estimates against landmarkDistances' exact balls (q126's pattern)

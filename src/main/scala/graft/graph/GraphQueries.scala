@@ -1028,6 +1028,48 @@ object GraphQueries {
     hops.reduce(_ unionAll _)
   }
 
+  /** Effective diameter from a [[neighborhoodFunction]] output — the
+    * statistic HyperBall exists to compute: the (interpolated) hop count
+    * within which a `q` fraction of all CONNECTED vertex pairs can reach
+    * each other. The neighborhood function `N(h) = Σ_v reach_v(h)` counts
+    * reachable pairs within h hops; the effective diameter is the
+    * smallest h with `N(h) ≥ q·N(h_max)`, linearly interpolated between
+    * hop h−1 and h (Palmer/Faloutsos ANF convention, q = 0.9 classic).
+    * Returns one row `(max_hop, n_pairs_max, effective_diameter)` —
+    * `n_pairs_max` includes the self-pairs the hop-0 ball carries.
+    *
+    * Pure post-processing: one groupBy over the (|V|·hops)-row ANF frame
+    * plus a ≤hops-row window — the reach sums carry the HLL estimates'
+    * error, so the diameter inherits the sketch accuracy (σ ≈ 1.04/√2^lgK)
+    * but touches no edges. If the curve has not saturated by `maxHops`
+    * (N still growing at the last hop), the value is a LOWER bound —
+    * re-run the ANF with more hops; the delta-frontier loop stops early
+    * once converged, so generous bounds are cheap.
+    */
+  def effectiveDiameter(anf: DataFrame, q: Double = 0.9, scale: Int = 6): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"q must be in (0,1], got $q")
+    val byHop = anf.groupBy(col("hop").cast("int").as("hop"))
+      .agg(sum(col("reach_est")).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("hop"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // ≤hops rows: the bounded-window class
+    val curve = byHop
+      .withColumn("_prev", lag(col("_n"), 1).over(w))
+      .withColumn("_nmax", max(col("_n")).over(wAll))
+      .withColumn("_target", max(col("_n")).over(wAll) * lit(q))
+      .withColumn("_maxHop", max(col("hop")).over(wAll))
+    curve.where(col("_n") >= col("_target"))
+      .orderBy(col("hop")).limit(1)
+      .select(
+        col("_maxHop").as("max_hop"),
+        round(col("_nmax"), 0).cast("long").as("n_pairs_max"),
+        round(
+          when(col("_prev").isNull || col("_n") <= col("_prev"), col("hop").cast("double"))
+            .otherwise(col("hop") - lit(1.0) +
+              (col("_target") - col("_prev")) / (col("_n") - col("_prev"))),
+          scale).as("effective_diameter"))
+  }
+
   /** Connected components over an edge set; vertices absent from any edge
     * are singletons (their own component). Returns (id, component) where
     * component = smallest vertex id in the component (GraphX convention).

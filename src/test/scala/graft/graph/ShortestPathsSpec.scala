@@ -190,6 +190,32 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("effectiveDiameter: exact interpolation on small curves (HLL sparse mode is exact)") {
+    // path 1—2—3—4: N(1)=10, N(2)=14, N(3)=16; q=0.9 → target 14.4 →
+    // first hop ≥ target is 3, interpolated 2 + (14.4−14)/(16−14) = 2.2
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (canon ++ canon.map(_.swap)).toDF("src", "dst")
+    val v = e.select(col("src").as("id")).distinct()
+    val anf = GraphQueries.neighborhoodFunction(spark, v, e, maxHops = 3)
+    val r = GraphQueries.effectiveDiameter(anf, q = 0.9).collect().head
+    assert(r.getInt(0) == 3 && r.getLong(1) == 16L)
+    assert(math.abs(r.getDouble(2) - 2.2) < 1e-6, s"got ${r.getDouble(2)}")
+    graft.Caches.clear()
+    // star saturates at hop 2 with maxHops=5: N(1)=16, N(2..5)=36;
+    // target 32.4 → hop 2, interpolated 1 + (32.4−16)/(36−16) = 1.82
+    val sc = (1L to 5L).map(l => (0L, l))
+    val se = (sc ++ sc.map(_.swap)).toDF("src", "dst")
+    val sv = (0L to 5L).toDF("id")
+    val sanf = GraphQueries.neighborhoodFunction(spark, sv, se, maxHops = 5)
+    val sr = GraphQueries.effectiveDiameter(sanf, q = 0.9).collect().head
+    assert(sr.getInt(0) == 5 && sr.getLong(1) == 36L)
+    assert(math.abs(sr.getDouble(2) - 1.82) < 1e-6, s"got ${sr.getDouble(2)}")
+    // q = 1.0 on the saturated curve picks the first saturated hop exactly
+    val full = GraphQueries.effectiveDiameter(sanf, q = 1.0).collect().head
+    assert(full.getDouble(2) == 2.0, s"got ${full.getDouble(2)}")
+    graft.Caches.clear()
+  }
+
   test("neighborhoodFunction: edge source absent from the vertex set still materializes once reached") {
     // 9 → 1 directed; vertices = {1} only — legacy contract: 9 appears in the
     // state (without its own id in the ball) because it sources an edge.
