@@ -3296,17 +3296,21 @@ object SparkEntry {
         E(s, dir), keyCols = Seq("user_id"),
         success = col("event_type") === "purchase")),
 
-    // log-rank survival A/B on q264's censored retention spans: do
-    // even-id users stay active longer than odd-id users, censoring-
-    // honestly? (hypergeometric O−E per event time)
+    // log-rank survival A/B on time-to-first-purchase spans (q359's
+    // conversion clock — the retention clock is 100% censored at sf0.01,
+    // which made this row all-NULL: a gate nothing could fail; re-based
+    // round 13): do even-id users convert sooner than odd-id users,
+    // censoring-honestly? (hypergeometric O−E per event time)
     "q307_logrank" -> ((s, dir) => {
-      val days = E(s, dir).select(col("user_id"), expr("ts div 86400000000000").as("day"))
-      val u = days.groupBy(col("user_id"))
-        .agg(min(col("day")).as("_fd"), max(col("day")).as("_ld"))
-      val obs = u.crossJoin(broadcast(u.agg(max(col("_ld")).as("_md"))))
-        .select((col("_ld") - col("_fd")).as("dur"),
-          (col("_ld") <= col("_md") - 3).as("ev"),
-          (col("user_id") % 2 === 0).as("arm"))
+      val days = E(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val u = days.groupBy(col("user_id")).agg(
+        min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pd"))
+      val obs = u.select(
+        (coalesce(col("_pd"), col("_ld")) - col("_fd")).as("dur"),
+        col("_pd").isNotNull.as("ev"),
+        (col("user_id") % 2 === 0).as("arm"))
       graft.ops.EventAnalytics.logRankTest(obs, col("dur"), col("ev"), col("arm"))
     }),
 
@@ -11932,9 +11936,11 @@ object SparkEntry {
         |  alpha, beta
         |FROM pr, p""".stripMargin,
 
-    // q307: q264's censored spans + an even/odd arm; at-risk counts via
-    // the total − prior windows; per-event-time O−E and hypergeometric V
-    // in the op's pinned order
+    // q307: q359's purchase-clock spans + an even/odd arm; at-risk counts
+    // via the total − prior windows; per-event-time O−E and hypergeometric
+    // V in the op's pinned order (re-based round 13: the retention clock
+    // is 100% censored at sf0.01, which made the row all-NULL — a gate
+    // nothing could fail)
     // q359: the gate row — exact totals from q357's obs CTE; the β/z
     // self-verification happens inside the query (q304's pattern)
     "q359_cox" ->
@@ -12030,11 +12036,13 @@ object SparkEntry {
 
     "q307_logrank" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
-        |), u AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
-        |mx AS (SELECT max(ld) AS md FROM u),
-        |obs AS (SELECT ld - fd AS t, (ld <= mx.md - 3) AS ev,
-        |          (user_id % 2 = 0) AS a FROM u, mx),
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS fd, max(day) AS ld,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+        |  FROM e GROUP BY 1),
+        |obs AS (SELECT (coalesce(pd, ld) - fd) AS t, (pd IS NOT NULL) AS ev,
+        |          (user_id % 2 = 0) AS a FROM u),
         |g AS (SELECT t,
         |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS r1,
         |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS r0,

@@ -1038,6 +1038,13 @@ object GraphQueries {
     * Returns one row `(max_hop, n_pairs_max, effective_diameter)` —
     * `n_pairs_max` includes the self-pairs the hop-0 ball carries.
     *
+    * The hop-0 point `N(0) = |V|` (every hop-0 ball is the vertex itself)
+    * is synthesized into the curve from the ANF frame's per-hop row count,
+    * so a graph whose q-target is already met at hop 1 interpolates
+    * between hop 0 and hop 1 (Palmer/Faloutsos) instead of pinning to 1.0
+    * — dense/small-diameter graphs were upward-biased before this; a
+    * target met by the self-pairs alone yields 0.
+    *
     * Pure post-processing: one groupBy over the (|V|·hops)-row ANF frame
     * plus a ≤hops-row window — the reach sums carry the HLL estimates'
     * error, so the diameter inherits the sketch accuracy (σ ≈ 1.04/√2^lgK)
@@ -1048,8 +1055,14 @@ object GraphQueries {
     */
   def effectiveDiameter(anf: DataFrame, q: Double = 0.9, scale: Int = 6): DataFrame = {
     require(q > 0.0 && q <= 1.0, s"q must be in (0,1], got $q")
-    val byHop = anf.groupBy(col("hop").cast("int").as("hop"))
-      .agg(sum(col("reach_est")).as("_n"))
+    val perHop = anf.groupBy(col("hop").cast("int").as("hop"))
+      .agg(sum(col("reach_est")).as("_n"), count(lit(1)).as("_nv"))
+    // hop 0 synthesized off the earliest hop's vertex count (every hop
+    // carries one row per vertex, so any hop's count is |V|; the earliest
+    // is well-defined even on a sliced frame)
+    val hop0 = perHop.orderBy(col("hop")).limit(1)
+      .select(lit(0).as("hop"), col("_nv").cast("double").as("_n"))
+    val byHop = perHop.select(col("hop"), col("_n")).unionAll(hop0)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("hop"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     // ≤hops rows: the bounded-window class

@@ -44,6 +44,45 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact-duplicate family labels over a SLIM key projection — the shared
+    * engine behind every collapse-before-pairwise scale lever
+    * ([[prefixJaccardPairs]], [[containmentPairs]], [[semanticPairs]],
+    * [[graft.ops.SimilaritySearch.mutualKnnClusters]]).
+    *
+    * `slim` must carry a `_fid` column (the member id) plus the family-key
+    * columns `keys` — hashes or fingerprints, never the payload itself, so
+    * the family shuffle ships tens of bytes per row where the payload is
+    * kilobytes. Labeling is `groupBy(keys).agg(min(_fid), count)` — an
+    * aggregate with map-side partials, NOT a window sort — and the result
+    * is adaptive:
+    *
+    *  - `None` when every row is its own family (the duplicate-free
+    *    corpus): callers skip the collapse AND the member-expansion joins
+    *    entirely, so the lever's fixed cost on clean data is one slim
+    *    aggregate plus one limit-1 action.
+    *  - `Some(dupMembers)` otherwise: all `slim` columns plus `_rep`
+    *    (family representative = minimum member id) and `_k` (family
+    *    size), restricted to members of families with `_k > 1` and
+    *    persisted (tracked).
+    *
+    * The `_k > 1` restriction is the second half of the adaptivity: the
+    * frame's size is the corpus's DUPLICATE MASS, not its row count, so on
+    * a nearly-clean corpus (a handful of dup families in millions of rows)
+    * it is tiny and every downstream use — the rep filter as a left-anti
+    * join, expansions as left joins with `coalesce(member, rep)` — rides a
+    * runtime broadcast instead of reshuffling the corpus. On the raw-crawl
+    * corpus the lever exists for (30%+ duplicates BY DESIGN), the same
+    * joins AQE-plan as shuffles, which is then the right plan.
+    */
+  private[graft] def slimFamilies(slim: DataFrame, keys: Seq[String]): Option[DataFrame] = {
+    val fams = graft.Caches.track(
+      slim.groupBy(keys.map(col): _*)
+        .agg(min(col("_fid")).as("_rep"), count(lit(1)).as("_k"))
+        .where(col("_k") > 1L))
+    if (fams.isEmpty) None
+    else Some(graft.Caches.track(slim.join(fams, keys)))
+  }
+
   /** Word w-shingles of the normalized text, as a distinct array. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = split(lower(trim(text)), "\\s+")
@@ -586,14 +625,29 @@ object Dedup {
     // k), not families — otherwise collapsing changes the prune set and
     // with it the containment values; (2) within-family ordered pairs have
     // containment = |pruned shingles| / sz, a pure function of the family
-    // set, emitted without any join work.
-    val fam = org.apache.spark.sql.expressions.Window
-      .partitionBy(graft.ops.TextAnalysis.fingerprint(col("_txt")))
-    val labeled = graft.Caches.track(
-      df.select(col(idCol).as("id"), col(textCol).as("_txt"))
-        .withColumn("_rep", min(col("id")).over(fam))
-        .withColumn("_k", count(lit(1)).over(fam)))
-    val reps = labeled.where(col("id") === col("_rep"))
+    // set, emitted without any join work. Families are labeled on a slim
+    // (fingerprint, id) projection ([[slimFamilies]] — family = equal md5
+    // fingerprint, exactly the key the tokenizer normalizes by), so
+    // document bodies never enter the family shuffle; the rep filter is a
+    // left-anti join against non-representative duplicate members and _k
+    // attaches via a left join (both broadcast-sized when duplicates are
+    // rare); a duplicate-free corpus skips collapse and expansion outright.
+    val base = df.select(col(idCol).as("id"), col(textCol).as("_txt"))
+    val famOpt = slimFamilies(
+      base.select(col("id").as("_fid"),
+        graft.ops.TextAnalysis.fingerprint(col("_txt")).as("_fp")),
+      Seq("_fp"))
+    val reps = famOpt match {
+      case Some(dupMembers) =>
+        base
+          .join(dupMembers.where(col("_fid") =!= col("_rep")).select(col("_fid").as("id")),
+            Seq("id"), "left_anti")
+          .join(dupMembers.where(col("_fid") === col("_rep"))
+              .select(col("_fid").as("id"), col("_k")),
+            Seq("id"), "left")
+          .select(col("id"), col("_txt"), coalesce(col("_k"), lit(1L)).as("_k"))
+      case None => base.withColumn("_k", lit(1L))
+    }
 
     val toks = split(lower(trim(col("_txt"))), "\\s+")
     val postings = graft.Caches.track(
@@ -625,24 +679,35 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select("_rsrc", "_rdst", "containment")
 
-    val mem = labeled.select(col("_rep"), col("id"))
-    val cross = repPairs
-      .join(mem.select(col("_rep").as("_rsrc"), col("id").as("src_id")), Seq("_rsrc"))
-      .join(mem.select(col("_rep").as("_rdst"), col("id").as("dst_id")), Seq("_rdst"))
-      .select(col("src_id"), col("dst_id"), col("containment"))
-    // within-family: copies contain each other at |pruned|/sz (1.0 unless
-    // the prune removed family shingles), both orientations
-    val prunedSz = pruned.groupBy(col("id")).agg(count(lit(1)).as("_psz"))
-    val famVal = sizes.join(prunedSz, Seq("id"), "left")
-      .withColumn("containment", round(coalesce(col("_psz"), lit(0L)) / col("sz"), 6))
-      .where(col("containment") >= threshold)
-      .select(col("id").as("_rep"), col("containment"))
-    val within = famVal
-      .join(mem.select(col("_rep"), col("id").as("src_id")), Seq("_rep"))
-      .join(mem.select(col("_rep"), col("id").as("dst_id")), Seq("_rep"))
-      .where(col("src_id") =!= col("dst_id"))
-      .select(col("src_id"), col("dst_id"), col("containment"))
-    cross.unionAll(within)
+    famOpt match {
+      case None =>
+        repPairs.select(
+          col("_rsrc").as("src_id"), col("_rdst").as("dst_id"), col("containment"))
+      case Some(dupMembers) =>
+        // left-join + coalesce expansion: pairs with no duplicate-family
+        // endpoint pass through untouched, so cost tracks duplicate mass
+        val cross = repPairs
+          .join(dupMembers.select(col("_rep").as("_rsrc"), col("_fid").as("_xs")),
+            Seq("_rsrc"), "left")
+          .join(dupMembers.select(col("_rep").as("_rdst"), col("_fid").as("_xd")),
+            Seq("_rdst"), "left")
+          .select(coalesce(col("_xs"), col("_rsrc")).as("src_id"),
+            coalesce(col("_xd"), col("_rdst")).as("dst_id"), col("containment"))
+        // within-family: copies contain each other at |pruned|/sz (1.0 unless
+        // the prune removed family shingles), both orientations — the inner
+        // joins against dupMembers restrict famVal to multi-member families
+        val prunedSz = pruned.groupBy(col("id")).agg(count(lit(1)).as("_psz"))
+        val famVal = sizes.join(prunedSz, Seq("id"), "left")
+          .withColumn("containment", round(coalesce(col("_psz"), lit(0L)) / col("sz"), 6))
+          .where(col("containment") >= threshold)
+          .select(col("id").as("_rep"), col("containment"))
+        val within = famVal
+          .join(dupMembers.select(col("_rep"), col("_fid").as("src_id")), Seq("_rep"))
+          .join(dupMembers.select(col("_rep"), col("_fid").as("dst_id")), Seq("_rep"))
+          .where(col("src_id") =!= col("dst_id"))
+          .select(col("src_id"), col("dst_id"), col("containment"))
+        cross.unionAll(within)
+    }
   }
 
   /** High-threshold n-gram Jaccard via prefix filtering (the All-Pairs /
@@ -687,12 +752,23 @@ object Dedup {
     // of the two shingle sets), and within-family pairs are jaccard 1.0
     // by construction (≥ any legal threshold). Output is identical to the
     // uncollapsed compare; candidate work drops from k² to 1 per family.
-    val fam = org.apache.spark.sql.expressions.Window
-      .partitionBy(graft.ops.TextAnalysis.fingerprint(col("_txt")))
-    val labeled = graft.Caches.track(
-      df.select(col(idCol).as("id"), col(textCol).as("_txt"))
-        .withColumn("_rep", min(col("id")).over(fam)))
-    val reps = labeled.where(col("id") === col("_rep")).select(col("id"), col("_txt"))
+    // Families are labeled on a slim (fingerprint, id) projection
+    // ([[slimFamilies]]) — document bodies never enter the family shuffle;
+    // the rep filter is a left-anti join against the NON-representative
+    // duplicate members (broadcast-sized when duplicates are rare); on a
+    // duplicate-free corpus the collapse and expansion skip entirely.
+    val base = df.select(col(idCol).as("id"), col(textCol).as("_txt"))
+    val famOpt = slimFamilies(
+      base.select(col("id").as("_fid"),
+        graft.ops.TextAnalysis.fingerprint(col("_txt")).as("_fp")),
+      Seq("_fp"))
+    val reps = famOpt match {
+      case Some(dupMembers) =>
+        base.join(
+          dupMembers.where(col("_fid") =!= col("_rep")).select(col("_fid").as("id")),
+          Seq("id"), "left_anti")
+      case None => base
+    }
 
     // postings: the codegen explode shape (see ngramJaccardPairs)
     val toks = split(lower(trim(col("_txt"))), "\\s+")
@@ -744,18 +820,29 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a").as("_ra"), col("id_b").as("_rb"), round(col("jaccard"), 6).as("jaccard"))
 
-    // expansion: members inherit their families' pair verdicts
-    val mem = labeled.select(col("_rep"), col("id"))
-    val cross = repPairs
-      .join(mem.select(col("_rep").as("_ra"), col("id").as("_ida")), Seq("_ra"))
-      .join(mem.select(col("_rep").as("_rb"), col("id").as("_idb")), Seq("_rb"))
-      .select(least(col("_ida"), col("_idb")).as("id_a"),
-        greatest(col("_ida"), col("_idb")).as("id_b"), col("jaccard"))
-    val within = mem.select(col("_rep"), col("id").as("id_a"))
-      .join(mem.select(col("_rep"), col("id").as("id_b")), Seq("_rep"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    cross.unionAll(within)
+    // expansion: members inherit their families' pair verdicts. Pairs whose
+    // endpoint is NOT in a duplicate family (the common case on a nearly-
+    // clean corpus) pass through the left joins untouched — coalesce keeps
+    // the rep itself — so expansion cost is proportional to duplicate mass.
+    famOpt match {
+      case None =>
+        repPairs.select(col("_ra").as("id_a"), col("_rb").as("id_b"), col("jaccard"))
+      case Some(dupMembers) =>
+        val cross = repPairs
+          .join(dupMembers.select(col("_rep").as("_ra"), col("_fid").as("_xa")),
+            Seq("_ra"), "left")
+          .join(dupMembers.select(col("_rep").as("_rb"), col("_fid").as("_xb")),
+            Seq("_rb"), "left")
+          .withColumn("_ida", coalesce(col("_xa"), col("_ra")))
+          .withColumn("_idb", coalesce(col("_xb"), col("_rb")))
+          .select(least(col("_ida"), col("_idb")).as("id_a"),
+            greatest(col("_ida"), col("_idb")).as("id_b"), col("jaccard"))
+        val within = dupMembers.select(col("_rep"), col("_fid").as("id_a"))
+          .join(dupMembers.select(col("_rep"), col("_fid").as("id_b")), Seq("_rep"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+        cross.unionAll(within)
+    }
   }
 
   /** Near-dup cluster formation — the keep/drop step that closes every dedup
@@ -1049,34 +1136,73 @@ object Dedup {
     * copies inside one bucket now cost 1 family-pair cosine instead of
     * k², and the duplicate-heavy corpus is the EXPECTED corpus at scale.
     * Expansion joins ride the slim (bucket, rep) key; the quadratic term
-    * is |families-per-bucket|², bounded by bucket width as before.
+    * is |families-per-bucket|², bounded by bucket width as before. On a
+    * duplicate-free corpus ([[slimFamilies]] → None) the collapse and the
+    * expansion joins are skipped outright.
     */
   private def semanticPairsOf(base: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"), col("_v"))
-    // labeled feeds three join branches — persist or the window recomputes per branch
-    val labeled = graft.Caches.track(
-      base.withColumn("_rep", min(col(idCol)).over(w)))
-    val famReps = labeled.where(col(idCol) === col("_rep"))
-    val fa = famReps.select(col("bucket"), col("_rep").as("_ra"), col("_v").as("v_a"))
-    val fb = famReps.select(col("bucket"), col("_rep").as("_rb"), col("_v").as("v_b"))
-    val famPairs = fa.join(fb, Seq("bucket"))
-      .where(col("_ra") <= col("_rb")) // self-pair carries within-family expansion
-      .withColumn("_cos", VectorOps.cosine(col("v_a"), col("v_b")))
-      // NaN guard: cosine of a zero vector is NaN, and Spark ORDERS NaN above
-      // every double, so a bare >= would declare zero vectors similar to
-      // everything — undefined similarity is not similarity.
-      .where(col("_cos") >= threshold && !isnan(col("_cos")))
-      .select(col("bucket"), col("_ra"), col("_rb"), col("_cos"))
-    val ma = labeled.select(col("bucket"), col("_rep").as("_ra"), col(idCol).as("_ida"))
-    val mb = labeled.select(col("bucket"), col("_rep").as("_rb"), col(idCol).as("_idb"))
-    famPairs
-      .join(ma, Seq("bucket", "_ra"))
-      .join(mb, Seq("bucket", "_rb"))
-      .where(col("_ra") =!= col("_rb") || col("_ida") < col("_idb"))
-      .select(
-        least(col("_ida"), col("_idb")).as("id_a"),
-        greatest(col("_ida"), col("_idb")).as("id_b"),
-        col("_cos"))
+    // Families are labeled on a slim (bucket, vector-hash, id) projection
+    // ([[slimFamilies]]) — two independent 64/32-bit hashes of the vector
+    // (96 combined bits: a false family merge needs a simultaneous
+    // collision in both, ~2⁻⁹⁶ per candidate pair — negligible against
+    // float-level cosine jitter) — so embedding payloads never enter the
+    // family shuffle. On a duplicate-free corpus the collapse and the
+    // expansion joins skip entirely (the round-12 unconditional collapse
+    // cost two payload-keyed window sorts + two expansion joins even when
+    // no family had two members).
+    val famOpt = slimFamilies(
+      base.select(col(idCol).as("_fid"), col("bucket"),
+        xxhash64(col("_v")).as("_h1"), hash(col("_v")).as("_h2")),
+      Seq("bucket", "_h1", "_h2"))
+    famOpt match {
+      case None =>
+        val fa = base.select(col("bucket"), col(idCol).as("id_a"), col("_v").as("v_a"))
+        val fb = base.select(col("bucket"), col(idCol).as("id_b"), col("_v").as("v_b"))
+        fa.join(fb, Seq("bucket"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("_cos", VectorOps.cosine(col("v_a"), col("v_b")))
+          // NaN guard: cosine of a zero vector is NaN, and Spark ORDERS NaN
+          // above every double, so a bare >= would declare zero vectors
+          // similar to everything — undefined similarity is not similarity.
+          .where(col("_cos") >= threshold && !isnan(col("_cos")))
+          .select(col("id_a"), col("id_b"), col("_cos"))
+      case Some(dupMembers) =>
+        // rep filter = left-anti join against non-representative duplicate
+        // members (broadcast-sized when duplicates are rare); famReps feeds
+        // both sides of the pair self-join — persist, or it recomputes
+        val famReps = graft.Caches.track(
+          base.join(
+            dupMembers.where(col("_fid") =!= col("_rep")).select(col("_fid").as(idCol)),
+            Seq(idCol), "left_anti"))
+        val fa = famReps.select(col("bucket"), col(idCol).as("_ra"), col("_v").as("v_a"))
+        val fb = famReps.select(col("bucket"), col(idCol).as("_rb"), col("_v").as("v_b"))
+        val famPairs = fa.join(fb, Seq("bucket"))
+          .where(col("_ra") <= col("_rb")) // self-pair carries within-family expansion
+          .withColumn("_cos", VectorOps.cosine(col("v_a"), col("v_b")))
+          // NaN guard: see the duplicate-free branch — zero-vector families
+          // drop here via their NaN self-pair, so copies of the zero vector
+          // are never declared similar either. (Zero vectors are singleton
+          // families by construction — _fam = own id — so none reach the
+          // expansion either.)
+          .where(col("_cos") >= threshold && !isnan(col("_cos")))
+          .select(col("_ra"), col("_rb"), col("_cos"))
+        // left-join + coalesce expansion (family members share the rep's
+        // bucket, so the rep id alone is the join key): pairs with no
+        // duplicate-family endpoint pass through untouched; a singleton
+        // rep's self-pair expands to (id, id) and dies on _ida < _idb
+        famPairs
+          .join(dupMembers.select(col("_rep").as("_ra"), col("_fid").as("_xa")),
+            Seq("_ra"), "left")
+          .join(dupMembers.select(col("_rep").as("_rb"), col("_fid").as("_xb")),
+            Seq("_rb"), "left")
+          .withColumn("_ida", coalesce(col("_xa"), col("_ra")))
+          .withColumn("_idb", coalesce(col("_xb"), col("_rb")))
+          .where(col("_ra") =!= col("_rb") || col("_ida") < col("_idb"))
+          .select(
+            least(col("_ida"), col("_idb")).as("id_a"),
+            greatest(col("_ida"), col("_idb")).as("id_b"),
+            col("_cos"))
+    }
   }
 
   /** Blocking-quality evaluation — the two numbers every candidate

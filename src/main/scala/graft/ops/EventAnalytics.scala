@@ -1318,6 +1318,9 @@ object EventAnalytics {
     require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
     val spark = series.sparkSession
     val sorted = series.select(tsCol.cast("long").as("t"), valueCol.cast("double").as("x"))
+      // null t/x rows carry no observation and would NPE inside the fold
+      // (r.getDouble on a null) — filter first, like cusum/kaplanMeier
+      .where(col("t").isNotNull && col("x").isNotNull)
       .repartition(1)
       .sortWithinPartitions(col("t"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -571,26 +571,46 @@ object SimilaritySearch {
     * per duplicate family 1 instead of k², and membership expands back
     * afterward. All-zero (and empty) vectors are left uncollapsed — their
     * cosine is undefined, so grouping them would invent similarity no
-    * pairwise stage can confirm. One window shuffle keyed on the vector
-    * value itself (exact — no fingerprint collisions), slim state.
+    * pairwise stage can confirm.
+    *
+    * Families are labeled on a slim (id, two vector hashes) projection via
+    * [[graft.ops.Dedup.slimFamilies]] — a groupBy with map-side partials,
+    * never a window sort keyed on the vector payload — so embedding arrays
+    * never enter the family shuffle. The 96 combined hash bits make a
+    * false family merge (~2⁻⁹⁶ per pair) negligible against float-level
+    * cosine jitter. On a duplicate-free corpus the collapse skips
+    * entirely (reps = the input, members = the identity map, no shuffle);
+    * otherwise the rep filter is a left-anti join against the
+    * non-representative duplicate members and the member map a left join
+    * with coalesce — both sized by the corpus's duplicate mass, so they
+    * broadcast at runtime when duplicates are rare.
     */
   private[graft] def collapseExactDuplicates(
       df: DataFrame,
       vecCol: String,
       idCol: String
   ): (DataFrame, DataFrame) = {
-    val w = org.apache.spark.sql.expressions.Window
     val keyed = df.select(
       col(idCol).cast("long").as("_mid"),
       col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_fam",
         when(exists(col("_v"), x => x =!= lit(0.0)), lit(0L)).otherwise(col("_mid")))
-    val labeled = keyed
-      .withColumn("_rep", min(col("_mid")).over(w.partitionBy(col("_fam"), col("_v"))))
-    val members = labeled.select(col("_mid"), col("_rep"))
-    val reps = labeled.where(col("_mid") === col("_rep"))
-      .select(col("_mid").as(idCol), col("_v").as(vecCol))
-    (reps, members)
+    val slim = keyed.select(col("_mid").as("_fid"), col("_fam"),
+      xxhash64(col("_v")).as("_h1"), hash(col("_v")).as("_h2"))
+    graft.ops.Dedup.slimFamilies(slim, Seq("_fam", "_h1", "_h2")) match {
+      case None =>
+        (keyed.select(col("_mid").as(idCol), col("_v").as(vecCol)),
+          keyed.select(col("_mid"), col("_mid").as("_rep")))
+      case Some(dupMembers) =>
+        val reps = keyed
+          .join(dupMembers.where(col("_fid") =!= col("_rep")).select(col("_fid").as("_mid")),
+            Seq("_mid"), "left_anti")
+          .select(col("_mid").as(idCol), col("_v").as(vecCol))
+        val members = keyed.select(col("_mid"))
+          .join(dupMembers.select(col("_fid").as("_mid"), col("_rep")), Seq("_mid"), "left")
+          .select(col("_mid"), coalesce(col("_rep"), col("_mid")).as("_rep"))
+        (reps, members)
+    }
   }
 
   /** Mutual-kNN clustering — the unsupervised semantic-grouping step of a
@@ -636,9 +656,16 @@ object SimilaritySearch {
     val q = repsT.select(
       col(idCol).cast("long").as("query_id"),
       col(vecCol).as("_qv"))
-    val c = repsT.select(
+    val cRaw = repsT.select(
       col(idCol).cast("long").as("_nid"),
       col(vecCol).as("_cv"))
+    // The broadcast-crossJoin probe side carries ALL of the quadratic
+    // cosine work, so its parallelism IS the operator's parallelism — a
+    // small parquet corpus arrives as one scan partition and would run the
+    // whole O(n²/k) compare single-threaded. One slim shuffle of the probe
+    // side restores it; frames already at cluster parallelism skip it.
+    val par = spark.sparkContext.defaultParallelism
+    val c = if (cRaw.rdd.getNumPartitions < par) cRaw.repartition(par) else cRaw
     val nn = graft.Caches.track(
       c.crossJoin(broadcast(q))
         .where(col("_nid") =!= col("query_id"))

@@ -1778,7 +1778,10 @@ object Stats {
     * Returns one row `(k, n, k_dropped, df1, df2, f_stat)`; groups with
     * fewer than 2 rows or ZERO variance have no defined weight and are
     * EXCLUDED (counted in `k_dropped`); NULL f/df₂ when fewer than two
-    * usable groups remain or Λ = 0 (all groups identical).
+    * usable groups remain or Λ = 0 (all groups identical). The counts
+    * `(k, n, k_dropped)` are populated even then — `(0, 0, #groups)` when
+    * no group is usable — because they fold over ALL groups (t1), not the
+    * usable-only frame.
     *
     * Scale shape is [[anovaF]]'s: one partial-agg shuffle to per-group
     * exact decimal moments, then two one-row scalar attaches (the
@@ -1806,18 +1809,20 @@ object Stats {
       sum(when(col("_ok"), col("_ng")).otherwise(0L)).as("n"),
       sum(when(col("_ok"), col("_w").cast("decimal(38,12)"))).as("_wsum"),
       sum(when(col("_ok"), (col("_w") * col("_mg")).cast("decimal(38,12)"))).as("_wm"))
+    // counts come from t1 (aggregated over ALL groups, so they hold even
+    // when zero groups are usable and this frame is empty — first() over
+    // the filtered crossJoin would return NULL k/n/k_dropped there)
     val t2 = g2.where(col("_ok")).crossJoin(broadcast(t1))
       .withColumn("_xw", col("_wm").cast("double") / col("_wsum").cast("double"))
       .agg(
-        first(col("k")).as("k"), first(col("k_dropped")).as("k_dropped"),
-        first(col("n")).as("n"),
         sum((col("_w") * (col("_mg") - col("_xw")) * (col("_mg") - col("_xw")))
           .cast("decimal(38,12)")).as("_a"),
         sum(((lit(1.0) - col("_w") / col("_wsum").cast("double")) *
           (lit(1.0) - col("_w") / col("_wsum").cast("double")) / (col("_ng") - 1))
           .cast("decimal(38,12)")).as("_lam"))
     val kD = col("k").cast("double")
-    t2.withColumn("df1", col("k") - 1L)
+    t1.crossJoin(broadcast(t2))
+      .withColumn("df1", col("k") - 1L)
       .select(col("k"), col("n"), col("k_dropped"), col("df1"),
         round(when(col("k") > 1 && col("_lam").cast("double") > 0,
           (kD * kD - 1) / (lit(3.0) * col("_lam").cast("double"))), scale).as("df2"),
@@ -2229,8 +2234,16 @@ object Stats {
     * difference breaks at one outlier). Returns one row
     * `(n_a, n_b, n_pairs, hl_shift)` with the type-1 (lower) weighted
     * median of the difference distribution — exact integer rank
-    * arithmetic, no interpolation, so any engine lands on the same pair
-    * difference. NULL when either group is empty.
+    * arithmetic over the pair MASSES, no interpolation, so any engine
+    * lands on the same pair difference. NULL when either group is empty.
+    *
+    * Value grid: integral inputs (int/long/exact decimal) ride a long
+    * grid; fractional inputs keep their double values — differences are
+    * then exact IEEE subtractions, identical in any IEEE engine, and the
+    * rank arithmetic is unaffected because ranks accumulate pair COUNTS
+    * (always integers), never the values. (Earlier rounds cast every
+    * input to long, silently truncating fractional metrics toward zero —
+    * the estimator looked exact while answering a coarsened question.)
     *
     * Scale shape: both sides collapse to value cells FIRST, the
     * difference frame is |cellsA|·|cellsB| rows (the q252/kendallTauB
@@ -2239,7 +2252,15 @@ object Stats {
     * pick is one cumulative over the collapsed difference axis.
     */
   def hodgesLehmann(df: DataFrame, value: Column, label: Column, scale: Int = 6): DataFrame = {
-    val base = df.select(value.cast("long").as("_v"), label.as("_y"))
+    import org.apache.spark.sql.types._
+    val vType = df.select(value.as("_v")).schema.head.dataType
+    val isIntegral = vType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0                => true
+      case _                                             => false
+    }
+    val gridded = if (isIntegral) value.cast("long") else value.cast("double")
+    val base = df.select(gridded.as("_v"), label.as("_y"))
       .where(col("_v").isNotNull && col("_y").isNotNull)
     val cells = graft.Caches.track(base.groupBy(col("_v"))
       .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_ca"),

@@ -214,6 +214,40 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     val full = GraphQueries.effectiveDiameter(sanf, q = 1.0).collect().head
     assert(full.getDouble(2) == 2.0, s"got ${full.getDouble(2)}")
     graft.Caches.clear()
+    // hop-0 interpolation (the Palmer/Faloutsos convention below hop 1):
+    // triangle saturates AT hop 1 — N(0)=3, N(1)=N(2)=9; q=0.9 → target
+    // 8.1 → interpolated 0 + (8.1−3)/(9−3) = 0.85, not a 1.0 pin
+    val tc = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val te = (tc ++ tc.map(_.swap)).toDF("src", "dst")
+    val tv = (1L to 3L).toDF("id")
+    val tanf = GraphQueries.neighborhoodFunction(spark, tv, te, maxHops = 2)
+    val tr = GraphQueries.effectiveDiameter(tanf, q = 0.9).collect().head
+    assert(math.abs(tr.getDouble(2) - 0.85) < 1e-6, s"got ${tr.getDouble(2)}")
+    // a target the self-pairs alone satisfy lands exactly on hop 0
+    val t0 = GraphQueries.effectiveDiameter(tanf, q = 0.3).collect().head
+    assert(t0.getDouble(2) == 0.0, s"got ${t0.getDouble(2)}")
+    graft.Caches.clear()
+  }
+
+  test("hll_union with a no-new-data delta is serialization-stable after one settling round") {
+    // Pins neighborhoodFunction's change detector against library upgrades:
+    // the delta-frontier loop compares serialized sketch bytes, relying on
+    // the union with a subset delta being byte-identical once the
+    // representation has settled (at most ONE representation-only change —
+    // e.g. sparse→dense promotion — may follow the last register change).
+    // If this ever fails, stabilized vertices would silently re-ship every
+    // round up to maxHops (perf-only, but exactly the cost the frontier
+    // exists to avoid).
+    val sk = spark.range(0, 1000)
+      .agg(hll_sketch_agg(col("id"), lit(12)).as("sk"))
+    val delta = spark.range(0, 100) // strict subset: no new registers
+      .agg(hll_sketch_agg(col("id"), lit(12)).as("dsk"))
+    val r = sk.crossJoin(delta)
+      .select(hll_union(col("sk"), col("dsk")).as("u1"), col("dsk"))
+      .select(col("u1"), hll_union(col("u1"), col("dsk")).as("u2"))
+      .select((col("u1") <=> col("u2")).as("stable"))
+      .collect().head
+    assert(r.getBoolean(0), "second no-new-data union must serialize byte-identically")
   }
 
   test("neighborhoodFunction: edge source absent from the vertex set still materializes once reached") {
