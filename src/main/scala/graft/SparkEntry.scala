@@ -2997,6 +2997,77 @@ object SparkEntry {
       }
     }),
 
+    // Cox with EFRON tie handling on q359's purchase-clock states — the
+    // default of every mainstream survival package, so outputs compare
+    // directly. Verify face: a q359-style gate — exact totals, Newton
+    // converged, and β̂ LOCALLY MAXIMIZES an independently-recomputed
+    // Efron log partial likelihood (evaluated straight off the collected
+    // ≤bins state rows at β̂ and β̂ ± 1e-3). Bench face: the full fit row.
+    "q372_cox_efron" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val u = days.groupBy(col("user_id")).agg(
+        min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pd"))
+      val obs = graft.Caches.track(
+        u.select(
+          (coalesce(col("_pd"), col("_ld")) - col("_fd")).as("dur"),
+          col("_pd").isNotNull.as("ev"),
+          (col("user_id") % 2 === 0).as("arm")))
+      val stA = graft.Caches.track(graft.ops.EventAnalytics.survivalPartials(
+        obs.where(col("arm")), col("dur"), col("ev"), binWidth = 3L))
+      val stB = graft.Caches.track(graft.ops.EventAnalytics.survivalPartials(
+        obs.where(!col("arm")), col("dur"), col("ev"), binWidth = 3L))
+      val cox = graft.ops.EventAnalytics.coxFromStates(stA, stB, ties = "efron")
+      if (benchMode) cox
+      else {
+        val c = cox.collect().head
+        val nEvents = c.getLong(2) + c.getLong(3)
+        val pass =
+          if (nEvents == 0) true // vacuous: nothing to fit
+          else if (!c.getBoolean(9)) false
+          else {
+            // independent Efron loglik off the collected state rows
+            def tbl(st: org.apache.spark.sql.DataFrame) = st
+              .select(col("bin").cast("long"),
+                (col("n_events") + col("n_censored")).cast("long"),
+                col("n_events").cast("long"))
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            val a = tbl(stA).map(x => x._1 -> (x._2, x._3)).toMap
+            val b = tbl(stB).map(x => x._1 -> (x._2, x._3)).toMap
+            val ts = (a.keySet ++ b.keySet).toSeq.sorted
+            // at-risk = suffix sums of arrivals
+            val rows = ts.map { t =>
+              val n1 = ts.filter(_ >= t).map(x => a.get(x).map(_._1).getOrElse(0L)).sum
+              val n0 = ts.filter(_ >= t).map(x => b.get(x).map(_._1).getOrElse(0L)).sum
+              val d1 = a.get(t).map(_._2).getOrElse(0L)
+              val d0 = b.get(t).map(_._2).getOrElse(0L)
+              (n1, n0, d1, d0)
+            }
+            def logL(beta: Double): Double = {
+              val eb = math.exp(beta)
+              rows.map { case (n1, n0, d1, d0) =>
+                val d = (d1 + d0).toDouble
+                if (d == 0) 0.0
+                else {
+                  val sFull = n0.toDouble + n1.toDouble * eb
+                  val sd = d0.toDouble + d1.toDouble * eb
+                  d1 * beta -
+                    (0 until (d1 + d0).toInt).map(l => math.log(sFull - (l / d) * sd)).sum
+                }
+              }.sum
+            }
+            val beta = c.getDouble(4)
+            val l0 = logL(beta)
+            l0 >= logL(beta - 1e-3) && l0 >= logL(beta + 1e-3)
+          }
+        s.range(1).select(
+          lit(c.getLong(0)).as("n_a"), lit(c.getLong(1)).as("n_b"),
+          lit(c.getLong(2)).as("events_a"), lit(c.getLong(3)).as("events_b"),
+          lit(pass).as("efron_pass"))
+      }
+    }),
+
     // Davies–Bouldin over the labeled embedding partition: compact AND
     // separated, as one number (the q118 counts say neither)
     "q352_davies_bouldin" -> ((s, dir) =>
@@ -3605,6 +3676,55 @@ object SparkEntry {
         s.range(1).select(
           lit(r.getInt(0)).as("max_hop"),
           lit(d > 0.0 && d <= r.getInt(0) && r.getLong(1) > 0L && monotone).as("ed_pass"))
+      }
+    }),
+
+    // ANF warm start: resume converged reach sketches from a PERSISTED
+    // sketch table after 1% of edges arrive (addition-only — HLL union is
+    // monotone). The prior state builds once per JVM and round-trips
+    // through parquet (the memoized-index discipline, q27). Verify face:
+    // warm estimates ≡ cold rebuild EXACTLY at the shared fixed point
+    // (the q138 admissible-resume oracle trick). Bench face: the warm
+    // resume alone — the incremental cost a daily graph refresh pays.
+    "q373_anf_warm" -> ((s, dir) => {
+      import graft.graph.GraphQueries
+      val raw = T(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("s0"),
+        (col("l_suppkey").cast("long") + lit(10000000L)).as("d0"),
+        col("l_orderkey").cast("long").as("ok"))
+      def bidir(c: org.apache.spark.sql.DataFrame) =
+        c.select(col("a").as("src"), col("b").as("dst"))
+          .union(c.select(col("b").as("src"), col("a").as("dst")))
+      val allC = raw.where(col("s0") =!= col("d0"))
+        .select(least(col("s0"), col("d0")).as("a"),
+          greatest(col("s0"), col("d0")).as("b")).distinct()
+      val oldC = raw.where(col("s0") =!= col("d0") && col("ok") % 100 =!= 0)
+        .select(least(col("s0"), col("d0")).as("a"),
+          greatest(col("s0"), col("d0")).as("b")).distinct()
+      val addC = allC.join(oldC, Seq("a", "b"), "left_anti")
+      val vAll = bidir(allC).select(col("src").as("id")).distinct()
+      val priorPath = memo(s"anf-warm-prior:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("anf_prior").toString + "/sketches"
+        val vOld = bidir(oldC).select(col("src").as("id")).distinct()
+        GraphQueries.neighborhoodSketches(s, vOld, bidir(oldC), maxHops = 12, lgK = 11)
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+      val prior = s.read.parquet(priorPath)
+      val warm = GraphQueries.neighborhoodSketches(s, vAll, bidir(allC), maxHops = 12,
+        lgK = 11, initState = Some(prior), newEdges = Some(bidir(addC)))
+      if (benchMode)
+        warm.select(col("id"), hll_sketch_estimate(col("sketch")).as("reach_est"))
+      else {
+        val w = warm.select(col("id"),
+            hll_sketch_estimate(col("sketch")).cast("double").as("_e"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val c = GraphQueries.neighborhoodSketches(s, vAll, bidir(allC), maxHops = 12, lgK = 11)
+          .select(col("id"), hll_sketch_estimate(col("sketch")).cast("double").as("_e"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        s.range(1).select(
+          lit(c.size.toLong).as("n_vertices"),
+          lit(w == c).as("warm_pass"))
       }
     }),
 
@@ -6446,6 +6566,12 @@ object SparkEntry {
     // curve (the ANF estimates themselves are q304's gated surface)
     "q371_eff_diameter" ->
       ("SELECT CAST(3 AS INTEGER) AS max_hop, CAST(TRUE AS BOOLEAN) AS ed_pass"),
+
+    // q373: the gate row — warm-resume ≡ cold-rebuild equality is proved
+    // inside the query; the oracle pins the vertex universe
+    "q373_anf_warm" ->
+      ("SELECT CAST(count(DISTINCT l_partkey) + count(DISTINCT l_suppkey) AS BIGINT) " +
+        "AS n_vertices, CAST(TRUE AS BOOLEAN) AS warm_pass FROM lineitem"),
 
     // q304: the gate row — the query itself proves the HLL reach
     // estimates against landmarkDistances' exact balls (q126's pattern)
@@ -11958,6 +12084,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS events_a,
         |  CAST(sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS events_b,
         |  CAST(TRUE AS BOOLEAN) AS cox_pass
+        |FROM obs""".stripMargin,
+
+    // q372: the gate row — q359's exact totals; the Efron β̂'s local-max
+    // self-verification happens inside the query (q359's pattern)
+    "q372_cox_efron" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS fd, max(day) AS ld,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+        |  FROM e GROUP BY 1),
+        |obs AS (SELECT (coalesce(pd, ld) - fd) AS dur,
+        |          (pd IS NOT NULL) AS ev, (user_id % 2 = 0) AS a FROM u)
+        |SELECT
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS events_a,
+        |  CAST(sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS events_b,
+        |  CAST(TRUE AS BOOLEAN) AS efron_pass
         |FROM obs""".stripMargin,
 
     // q357: q307's machinery verbatim on the 5-day life-table bin axis —

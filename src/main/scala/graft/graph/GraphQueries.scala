@@ -961,9 +961,11 @@ object GraphQueries {
     * neighbor already absorbed its registers). Each round therefore joins
     * edges against only the CHANGED sketches (the frontier), folds the
     * contributions per target vertex map-side (`hll_union_agg`), and
-    * merges them into the standing state with one equi-join + pairwise
-    * `hll_union` — stabilized vertices ride through untouched. Shuffle
-    * mass is ≈ |E_frontier|·2^lgK bytes per round (not |E|), the lgK knob
+    * merges them into the standing state as an anti-join (untouched rows)
+    * plus an inner join + pairwise `hll_union` (updated rows) — both
+    * against the DELTA, which broadcasts at runtime once the frontier
+    * shrinks, so a steady-state round never reshuffles the standing state.
+    * Shuffle mass is ≈ |E_frontier|·2^lgK bytes per round (not |E|), the lgK knob
     * trading accuracy (σ ≈ 1.04/√2^lgK) against bandwidth, and the loop
     * EXITS as soon as the frontier empties — `maxHops` is a bound, not a
     * fixed cost (remaining hop snapshots replicate the converged state).
@@ -984,48 +986,149 @@ object GraphQueries {
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val v = vertices.select(col(idCol).cast("long").as("id")).distinct()
+    val state0 = v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("_sk"))
+    // Round 0: every vertex just absorbed its own id — all are frontier.
+    val (states, _) = hyperBallLoop(spark, edges, state0, None, maxHops)
+    states.zipWithIndex.map { case (st, i) =>
+      st.select(col("id"), lit(i + 1).as("hop"),
+        hll_sketch_estimate(col("_sk")).cast("double").as("reach_est"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The persistable state behind [[neighborhoodFunction]]: converged (or
+    * `maxHops`-bounded) per-vertex HLL reach sketches `(id, sketch)`.
+    * Write the frame to a table and feed it back as `initState` to RESUME
+    * after the graph GROWS — HLL union is monotone, so a prior run's
+    * converged sketches are a valid lower state for any edge/vertex
+    * ADDITION, and the loop re-propagates only what the additions change
+    * (edge DELETIONS invalidate the state — cold-start those).
+    * `newEdges`, when given, must be the edges added since `initState`
+    * was taken; it seeds the frontier with just the vertices those edges
+    * feed from, so a small increment costs rounds proportional to its
+    * blast radius instead of a full |E| round-1 join. Without it the
+    * whole state is conservatively re-frontiered (correct, still
+    * convergence-pruned after one round). Warm and cold converge to the
+    * SAME register state — per-vertex estimates are equal exactly, the
+    * spec- and oracle-pinned contract (the relaxDistances/q138
+    * admissible-resume pattern).
+    */
+  def neighborhoodSketches(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxHops: Int,
+      lgK: Int = 12,
+      idCol: String = "id",
+      initState: Option[DataFrame] = None,
+      newEdges: Option[DataFrame] = None
+  ): DataFrame = graft.Caches.trackNewRdds(spark) {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val v = vertices.select(col(idCol).cast("long").as("id")).distinct()
+    val selfSk = v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("_sk"))
+    val (state0, frontier0) = initState match {
+      case None => (selfSk, None)
+      case Some(init) =>
+        val prior = init.select(col(idCol).cast("long").as("id"), col("sketch").as("_sk"))
+        // new vertices start from their self-sketch; prior rows win —
+        // their sketch already contains the own id
+        val st = prior.unionAll(
+          selfSk.join(prior.select(col("id")), Seq("id"), "left_anti"))
+        val fr = newEdges.map { ne =>
+          // the sketches a new edge will PULL FROM (its dst side) must
+          // re-enter the frontier; brand-new vertices likewise
+          val touched = ne.select(col(EdgeColumns.Dst).cast("long").as("id")).distinct()
+            .unionAll(v.join(prior.select(col("id")), Seq("id"), "left_anti"))
+            .distinct()
+          st.join(touched, Seq("id"), "left_semi")
+        }
+        (st, fr.orElse(Some(st)))
+    }
+    val (_, finalState) = hyperBallLoop(spark, edges, state0, frontier0, maxHops)
+    finalState.select(col("id").as(idCol), col("_sk").as("sketch"))
+  }
+
+  /** The HyperBall delta-frontier loop shared by [[neighborhoodFunction]]
+    * and [[neighborhoodSketches]]: iterates `state0` (id, _sk) along
+    * `edges` for up to `maxHops` rounds, frontier-pruned and
+    * lineage-cut per round; `frontier0 = None` means every state row is
+    * round-0 frontier. Returns (per-hop state frames, final state).
+    */
+  private def hyperBallLoop(
+      spark: SparkSession,
+      edges: DataFrame,
+      state0: DataFrame,
+      frontier0: Option[DataFrame],
+      maxHops: Int
+  ): (IndexedSeq[DataFrame], DataFrame) = {
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    val v = vertices.select(col(idCol).cast("long").as("id")).distinct()
     val e = materialize(edges
       .select(col(EdgeColumns.Src).cast("long").as("src"),
         col(EdgeColumns.Dst).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct())
-    var state = materialize(
-      v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("_sk")))
-    // Round 0: every vertex just absorbed its own id — all are frontier.
-    var frontier = state
-    var frontierNonEmpty = true
-    def snapshot(st: DataFrame, h: Int): DataFrame =
-      st.select(col("id"), lit(h).as("hop"),
-        hll_sketch_estimate(col("_sk")).cast("double").as("reach_est"))
-    val hops = (1 to maxHops).map { h =>
-      if (!frontierNonEmpty) snapshot(state, h) // converged: reach is final
+    var state = materialize(state0)
+    var frontier = frontier0.getOrElse(state)
+    var frontierCount = Long.MaxValue // unknown until the first merge
+    var stateCount    = Long.MaxValue
+    val states = (1 to maxHops).map { _ =>
+      if (frontierCount == 0L) state // converged: reach is final
       else {
         val contrib = e
           .join(frontier.select(col("id").as("dst"), col("_sk")), Seq("dst"))
           .select(col("src").as("id"), col("_sk"))
         val delta = contrib.groupBy(col("id"))
           .agg(hll_union_agg(col("_sk"), lit(true)).as("_dsk"))
-        // Full outer keeps the legacy contract: an edge source absent from
-        // `vertices` still materializes a state row once reached.
-        val merged = state.join(delta, Seq("id"), "full")
-          .select(col("id"), col("_sk").as("_osk"),
-            when(col("_sk").isNull, col("_dsk"))
-              .when(col("_dsk").isNull, col("_sk"))
-              .otherwise(hll_union(col("_sk"), col("_dsk")))
-              .as("_nsk"))
-        val next = materialize(merged.select(col("id"), col("_nsk").as("_sk"),
-          (col("_osk").isNull || !(col("_nsk") <=> col("_osk"))).as("_chg")))
+        // Merge shape is ADAPTIVE on the measured frontier size. While the
+        // frontier is still a large fraction of the state (early rounds on
+        // a connected graph — the delta touches most vertices anyway), the
+        // round-12 full-outer rewrite is the right plan, and it also
+        // materializes edge sources absent from `vertices` (the legacy
+        // contract: such a vertex appears once reached). Once the frontier
+        // narrows, the anti+inner split lets the small delta broadcast and
+        // the standing sketches stream through unshuffled — only the slim
+        // id projection of the state enters the absent-source anti-join.
+        // Both shapes produce identical rows.
+        val merged =
+          // (compare via division: the sentinel Long.MaxValue would
+          // overflow a frontierCount * 4)
+          if (frontierCount >= stateCount / 4)
+            state.join(delta, Seq("id"), "full")
+              .select(col("id"), col("_sk").as("_osk"),
+                when(col("_sk").isNull, col("_dsk"))
+                  .when(col("_dsk").isNull, col("_sk"))
+                  .otherwise(hll_union(col("_sk"), col("_dsk")))
+                  .as("_nsk"))
+              .select(col("id"), col("_nsk").as("_sk"),
+                (col("_osk").isNull || !(col("_nsk") <=> col("_osk"))).as("_chg"))
+          else {
+            val untouched = state.join(delta, Seq("id"), "left_anti")
+              .select(col("id"), col("_sk"), lit(false).as("_chg"))
+            val updated = state.join(delta, Seq("id"))
+              .select(col("id"),
+                hll_union(col("_sk"), col("_dsk")).as("_nsk"), col("_sk").as("_osk"))
+              .select(col("id"), col("_nsk").as("_sk"),
+                (!(col("_nsk") <=> col("_osk"))).as("_chg"))
+            val newIds = delta.join(state.select(col("id")), Seq("id"), "left_anti")
+              .select(col("id"), col("_dsk").as("_sk"), lit(true).as("_chg"))
+            untouched.unionAll(updated).unionAll(newIds)
+          }
+        val next = materialize(merged)
         state = next.select(col("id"), col("_sk"))
         frontier = next.where(col("_chg")).select(col("id"), col("_sk"))
-        frontierNonEmpty = !frontier.isEmpty
-        snapshot(state, h)
+        // one pass over the checkpointed frame yields both the emptiness
+        // probe (the old isEmpty action) and the next round's shape inputs
+        val counts = next.agg(count(lit(1)),
+          sum(when(col("_chg"), 1L).otherwise(0L))).first()
+        stateCount = counts.getLong(0)
+        frontierCount = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+        state
       }
     }
-    hops.reduce(_ unionAll _)
+    (states, state)
   }
 
   /** Effective diameter from a [[neighborhoodFunction]] output — the

@@ -1549,8 +1549,10 @@ object EventAnalytics {
 
   /** Cox proportional hazards for a BINARY covariate — the hazard-ratio
     * effect size the log-rank test can't give: `h₁(t) = h₀(t)·e^β`, with
-    * `e^β` the arm-A hazard ratio. Breslow tie handling; `β̂` solves the
-    * partial-likelihood score `U(β) = Σⱼ [d₁ⱼ − dⱼ·n₁ⱼe^β/(n₀ⱼ+n₁ⱼe^β)]
+    * `e^β` the arm-A hazard ratio. Tie handling via `ties` — `"breslow"`
+    * (default) or `"efron"` (see [[coxCore]]'s contract note); under
+    * Breslow `β̂` solves the partial-likelihood score
+    * `U(β) = Σⱼ [d₁ⱼ − dⱼ·n₁ⱼe^β/(n₀ⱼ+n₁ⱼe^β)]
     * = 0` by Newton–Raphson with information
     * `I(β) = Σⱼ dⱼ·n₁ⱼn₀ⱼe^β/(n₀ⱼ+n₁ⱼe^β)²` (for a binary covariate the
     * risk-set exponential sums collapse to these closed forms — no
@@ -1576,7 +1578,8 @@ object EventAnalytics {
       event: Column,
       arm: Column,
       maxIter: Int = 25,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6,
+      ties: String = "breslow"): DataFrame = {
     val d = df.select(duration.cast("long").as("t"), event.cast("boolean").as("e"),
         arm.cast("boolean").as("a"))
       .where(col("t").isNotNull && col("e").isNotNull && col("a").isNotNull)
@@ -1585,7 +1588,7 @@ object EventAnalytics {
       sum(when(!col("a"), 1L).otherwise(0L)).as("r0"),
       sum(when(col("a") && col("e"), 1L).otherwise(0L)).as("d1"),
       sum(when(!col("a") && col("e"), 1L).otherwise(0L)).as("d0"))
-    coxCore(g, maxIter, scale)
+    coxCore(g, maxIter, scale, ties)
   }
 
   /** [[coxBinary]] served from two (merged) [[survivalPartials]] states —
@@ -1595,7 +1598,8 @@ object EventAnalytics {
       stateA: DataFrame,
       stateB: DataFrame,
       maxIter: Int = 25,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6,
+      ties: String = "breslow"): DataFrame = {
     val a = stateA.select(col("bin").cast("long").as("t"),
       (col("n_events") + col("n_censored")).cast("long").as("r1"),
       col("n_events").cast("long").as("d1"))
@@ -1608,10 +1612,27 @@ object EventAnalytics {
         coalesce(col("r0"), lit(0L)).as("r0"),
         coalesce(col("d1"), lit(0L)).as("d1"),
         coalesce(col("d0"), lit(0L)).as("d0"))
-    coxCore(g, maxIter, scale)
+    coxCore(g, maxIter, scale, ties)
   }
 
-  private def coxCore(g: DataFrame, maxIter: Int, scale: Int): DataFrame = {
+  /** Tie handling: `"breslow"` (default — every tied event sees the full
+    * risk-set denominator; the cheapest and the historical face) or
+    * `"efron"` (the default of every mainstream survival package: the
+    * l-th of dⱼ tied events sees the denominator with l/dⱼ of the tied
+    * events' own hazard removed — a strictly better approximation to the
+    * exact partial likelihood, at O(Σ dⱼ) driver work per Newton
+    * iteration instead of O(|event times|); on a coarse bin axis where
+    * dⱼ is large, that cost difference is material and Breslow remains
+    * the scale face).
+    *
+    * For the binary covariate both reduce to closed per-slot forms:
+    * with S = n₀+n₁e^β, Sd = d₀+d₁e^β, cₗ = l/dⱼ, the slot expectation is
+    * Eₗ = (n₁−cₗd₁)e^β / (S−cₗSd); U += d₁/dⱼ − Eₗ and I += Eₗ(1−Eₗ)
+    * (Breslow is the cₗ = 0 special case, dⱼ identical slots).
+    */
+  private def coxCore(g: DataFrame, maxIter: Int, scale: Int, ties: String = "breslow"): DataFrame = {
+    require(ties == "breslow" || ties == "efron", s"ties must be breslow|efron, got $ties")
+    val efron = ties == "efron"
     val spark = g.sparkSession
     import spark.implicits._
     val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
@@ -1641,8 +1662,26 @@ object EventAnalytics {
         val dj = (d1 + d0).toDouble
         val den = n0.toDouble + n1.toDouble * eb0
         if (den > 0 && n1 + n0 > 0) {
-          u += d1.toDouble - dj * n1.toDouble * eb0 / den
-          inf += dj * n1.toDouble * n0.toDouble * eb0 / (den * den)
+          if (!efron) {
+            u += d1.toDouble - dj * n1.toDouble * eb0 / den
+            inf += dj * n1.toDouble * n0.toDouble * eb0 / (den * den)
+          } else {
+            // Efron: the l-th tied event's risk set drops l/dⱼ of the tied
+            // events' own hazard; per-slot expectation/variance of the
+            // binary covariate, exact closed form
+            val sd = d0.toDouble + d1.toDouble * eb0
+            var l = 0L
+            while (l < d1 + d0) {
+              val c = l.toDouble / dj
+              val denL = den - c * sd
+              if (denL > 0) {
+                val eL = (n1.toDouble - c * d1.toDouble) * eb0 / denL
+                u += d1.toDouble / dj - eL
+                inf += eL * (1.0 - eL)
+              }
+              l += 1L
+            }
+          }
         }
       }
       (u, inf)

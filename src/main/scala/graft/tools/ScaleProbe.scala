@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleGen [sf01Dir] [outDir]
   */
 object ScaleGen {
-  val Copies = 10
+  /** Replication factor: 10 = the per-round sf1.0 probe; 100 (via
+    * SPARK_GRAFT_SCALE_COPIES) generates the heavy-tier sf10 probe set —
+    * strides stay the sf0.1 cardinalities, so any copy count keeps keys
+    * dense and referential integrity intact.
+    */
+  val Copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
 
   /** Key domains and their sf0.1 strides (table cardinalities). */
   private val strides: Map[String, Long] = Map(

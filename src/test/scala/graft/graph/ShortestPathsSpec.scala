@@ -229,6 +229,32 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("neighborhoodSketches: warm resume after edge additions ≡ cold rebuild (exact estimates)") {
+    import org.apache.spark.sql.DataFrame
+    def est(st: DataFrame): Map[Long, Double] = st
+      .select(col("id"), hll_sketch_estimate(col("sketch")).cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // old graph: directed path 1→2→3; additions close the loop and add a
+    // new vertex: 3→4, 4→1
+    val oldE = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val addE = Seq((3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val allE = oldE.unionAll(addE)
+    val oldV = (1L to 3L).toDF("id")
+    val allV = (1L to 4L).toDF("id")
+    val prior = GraphQueries.neighborhoodSketches(spark, oldV, oldE, maxHops = 6)
+    val cold = est(GraphQueries.neighborhoodSketches(spark, allV, allE, maxHops = 8))
+    val warmSeeded = est(GraphQueries.neighborhoodSketches(spark, allV, allE, maxHops = 8,
+      initState = Some(prior), newEdges = Some(addE)))
+    assert(warmSeeded == cold, s"seeded warm $warmSeeded vs cold $cold")
+    // conservative resume (no newEdges hint) reaches the same fixed point
+    val warmFull = est(GraphQueries.neighborhoodSketches(spark, allV, allE, maxHops = 8,
+      initState = Some(prior)))
+    assert(warmFull == cold, s"full-refrontier warm $warmFull vs cold $cold")
+    // every vertex reaches all 4 on the cycle (sparse HLL is exact here)
+    assert(cold.values.forall(v => math.round(v) == 4L), cold.toString)
+    graft.Caches.clear()
+  }
+
   test("hll_union with a no-new-data delta is serialization-stable after one settling round") {
     // Pins neighborhoodFunction's change detector against library upgrades:
     // the delta-frontier loop compares serialized sketch bytes, relying on

@@ -526,6 +526,53 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(beta > 0, "arm A has the higher hazard by construction")
   }
 
+  test("coxBinary ties=efron: Newton beta maximizes the Efron partial likelihood; differs from Breslow under ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // coarse duration grid on purpose: heavy ties are where Efron ≠ Breslow
+    val subjects = (0 until 120).map { i =>
+      val a = i % 2 == 0
+      val dur = (if (a) rnd.nextInt(5) else rnd.nextInt(8)).toLong
+      (dur, rnd.nextInt(10) < 8, a)
+    }
+    val got = EventAnalytics.coxBinary(
+      subjects.toDF("dur", "ev", "arm"), col("dur"), col("ev"), col("arm"),
+      ties = "efron").collect().head
+    assert(got.getBoolean(9), "must converge")
+    val beta = got.getDouble(4)
+
+    // independent reference: maximize the Efron log partial likelihood
+    // logL(β) = Σⱼ [d1ⱼβ − Σ_{l<dⱼ} ln(Sⱼ − (l/dⱼ)·Sdⱼ)] straight from the
+    // subject list, by ternary search
+    val times = subjects.filter(_._2).map(_._1).distinct.sorted
+    def logL(b: Double): Double = times.map { t =>
+      val eb = math.exp(b)
+      val atRisk = subjects.filter(_._1 >= t)
+      val n1 = atRisk.count(_._3).toDouble
+      val n0 = atRisk.size - n1
+      val d1 = subjects.count(s => s._1 == t && s._2 && s._3).toDouble
+      val d0 = subjects.count(s => s._1 == t && s._2 && !s._3).toDouble
+      val d  = d1 + d0
+      val s  = n0 + n1 * eb
+      val sd = d0 + d1 * eb
+      d1 * b - (0 until d.toInt).map(l => math.log(s - (l / d) * sd)).sum
+    }.sum
+    var lo = -3.0; var hi = 3.0
+    (0 until 200).foreach { _ =>
+      val m1 = lo + (hi - lo) / 3; val m2 = hi - (hi - lo) / 3
+      if (logL(m1) < logL(m2)) lo = m1 else hi = m2
+    }
+    val ref = (lo + hi) / 2
+    assert(math.abs(beta - ref) < 1e-3, s"newton $beta vs grid $ref")
+
+    // and it is NOT the Breslow answer on this tie-heavy grid
+    val breslow = EventAnalytics.coxBinary(
+      subjects.toDF("dur", "ev", "arm"), col("dur"), col("ev"), col("arm"))
+      .collect().head.getDouble(4)
+    assert(math.abs(beta - breslow) > 1e-4,
+      s"efron $beta should differ from breslow $breslow under heavy ties")
+  }
+
   test("coxBinary: symmetric arms give beta ~ 0; complete separation refuses a fit") {
     import spark.implicits._
     // perfectly symmetric: every (dur, ev) appears once per arm
