@@ -2827,6 +2827,14 @@ object SparkEntry {
         T(s, dir, "lineitem"), value = col("l_quantity"),
         group = col("l_returnflag"))),
 
+    // Dunn's post-hoc: q311 said SOME return-flag arm shifts quantity —
+    // WHICH pairs? Joint midranks, tie-corrected pooled variance, one z
+    // per unordered group pair (caller picks the multiplicity correction)
+    "q374_dunn" -> ((s, dir) =>
+      graft.ops.Stats.dunnTest(
+        T(s, dir, "lineitem"), value = col("l_quantity"),
+        group = col("l_returnflag"))),
+
     // Wilcoxon signed-rank on q296's paired pre/post per-user activity:
     // the within-subject rank test (did EACH user shift, not the pool?)
     "q312_wilcoxon_signed" -> ((s, dir) => {
@@ -3276,6 +3284,19 @@ object SparkEntry {
       val edges = proj.select(col("a").as("src"), col("b").as("dst"))
         .union(proj.select(col("b").as("src"), col("a").as("dst")))
       graft.ops.Stats.moransI(edges, T(s, dir, "supplier"),
+        id = col("s_suppkey").cast("long"), value = col("s_acctbal"))
+    }),
+
+    // Geary's C on q334's graph and values: the local-contrast sibling —
+    // squared differences along edges instead of deviation products
+    "q376_gearys_c" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+      val proj = graft.graph.GraphQueries.bipartiteProject(li, minShared = 150L)
+      val edges = proj.select(col("a").as("src"), col("b").as("dst"))
+        .union(proj.select(col("b").as("src"), col("a").as("dst")))
+      graft.ops.Stats.gearysC(edges, T(s, dir, "supplier"),
         id = col("s_suppkey").cast("long"), value = col("s_acctbal"))
     }),
 
@@ -4322,6 +4343,37 @@ object SparkEntry {
     // pattern: read the corpus once, shuffle only bucket-matching rows).
     // Same 16×4 banding as q18; the portable Md5Hash under Verify makes
     // band buckets and the verified jaccard oracle-checkable.
+    // persisted LSH index: q47's incremental probe served from an ON-DISK
+    // signature store (built+saved once per JVM — the IvfIndex memo
+    // discipline). Verify face: a q373-style gate — the disk probe's pair
+    // set must equal the fully-oracled in-memory incremental path's,
+    // hash-exact and non-empty. Bench face: the probe alone — the cost an
+    // ingest batch pays against a standing corpus index.
+    "q375_lsh_index" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val hash = activeHash
+      val idx = Dedup.LshIndex(numHashes = 16, shingleWidth = 3, hash = hash)
+      val path = memo(s"lsh-index-$hash:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("lsh_index").toString + "/index"
+        idx.save(docs.where(col("doc_id") < 300), p)
+        p
+      }
+      val newDocs = docs.where(col("doc_id") >= 300)
+      val probed = idx.probe(s, path, newDocs, bands = 4, verifyThreshold = 0.7)
+      if (benchMode) probed
+      else {
+        def pairSet(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val got = pairSet(probed)
+        val mem = pairSet(Dedup.incrementalMinhash(
+          newDocs, docs.where(col("doc_id") < 300),
+          numHashes = 16, bands = 4, verifyThreshold = 0.7, hash = hash))
+        s.range(1).select(
+          lit(got.size.toLong).as("n_pairs"),
+          lit(got.nonEmpty && got == mem).as("index_pass"))
+      }
+    }),
+
     "q47_dedup_incremental" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val hash = activeHash
@@ -4586,9 +4638,47 @@ object SparkEntry {
          |      GROUP BY 1)""".stripMargin)
       .mkString("\nUNION ALL\n")
 
+  /** q47's full DuckDB minhash-incremental replication — also the pair
+    * universe q375's disk-index gate counts (the index serves the SAME
+    * computation from parquet, so the two entries share one oracle text).
+    */
+  private def incrementalMinhashOracleSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+       |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents)
+       |), sig AS (
+       |  SELECT id,
+       |    list_transform(range(16), s ->
+       |      list_min(list_transform(sh, x -> ${md5l("CAST(s AS VARCHAR) || ':' || x")}))) AS sig
+       |  FROM sh
+       |), banded AS (
+       |  SELECT id, b.band AS band,
+       |    ${md5l("array_to_string(sig[(CAST(b.band AS INT) * 4 + 1):(CAST(b.band AS INT) * 4 + 4)], ',')")} AS bucket
+       |  FROM sig, (SELECT unnest(range(4)) AS band) b
+       |), pairs AS (
+       |  SELECT DISTINCT n.id AS new_id, h.id AS old_id
+       |  FROM banded n JOIN banded h ON n.band = h.band AND n.bucket = h.bucket
+       |  WHERE n.id >= 300 AND h.id < 300
+       |), j AS (
+       |  SELECT new_id, old_id,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+       |  FROM pairs JOIN sh sa ON sa.id = pairs.new_id JOIN sh sb ON sb.id = pairs.old_id
+       |)
+       |SELECT new_id, old_id, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // the generated six-leg union mirrors the Spark face's union legs
     "q238_fd_discover" -> fdDiscoverSql(Seq("lang", "source", "n_chars")),
+
+    // q375: the disk index serves q47's computation, so the gate's pair
+    // count is q47's oracle counted
+    "q375_lsh_index" ->
+      (s"SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(TRUE AS BOOLEAN) AS index_pass " +
+        s"FROM ($incrementalMinhashOracleSql)"),
 
     // q258: the q248 contingency cells → per-class margins → P/R/F1; the
     // full outer join keeps never-predicted and hallucinated classes
@@ -6474,33 +6564,7 @@ object SparkEntry {
     // candidates between new (>= 300) and history (< 300), exact-jaccard
     // verified at 0.7. The bloom prune on the Spark side is invisible here
     // by design — no false negatives ⇒ identical result set.
-    "q47_dedup_incremental" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id AS id,
-         |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
-         |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-         |        FROM documents)
-         |), sig AS (
-         |  SELECT id,
-         |    list_transform(range(16), s ->
-         |      list_min(list_transform(sh, x -> ${md5l("CAST(s AS VARCHAR) || ':' || x")}))) AS sig
-         |  FROM sh
-         |), banded AS (
-         |  SELECT id, b.band AS band,
-         |    ${md5l("array_to_string(sig[(CAST(b.band AS INT) * 4 + 1):(CAST(b.band AS INT) * 4 + 4)], ',')")} AS bucket
-         |  FROM sig, (SELECT unnest(range(4)) AS band) b
-         |), pairs AS (
-         |  SELECT DISTINCT n.id AS new_id, h.id AS old_id
-         |  FROM banded n JOIN banded h ON n.band = h.band AND n.bucket = h.bucket
-         |  WHERE n.id >= 300 AND h.id < 300
-         |), j AS (
-         |  SELECT new_id, old_id,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
-         |  FROM pairs JOIN sh sa ON sa.id = pairs.new_id JOIN sh sb ON sb.id = pairs.old_id
-         |)
-         |SELECT new_id, old_id, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin,
+    "q47_dedup_incremental" -> incrementalMinhashOracleSql,
 
     // Full SimHash replication: token md5-hashes → per-bit majority votes
     // (bits 0..59; the portable hash has 60 uniform bits, upper bits vote
@@ -10270,6 +10334,48 @@ object SparkEntry {
         |  END AS epsilon_sq
         |FROM s2""".stripMargin,
 
+    // q374: q311's midrank machinery + the k-row per-group summary
+    // self-joined — pairwise mean-rank gaps over the tie-corrected
+    // pooled variance, in the op's pinned order
+    "q374_dunn" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS g
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        |), cells AS (
+        |  SELECT v, g, CAST(count(*) AS BIGINT) AS cg FROM d GROUP BY 1, 2
+        |), vc AS (
+        |  SELECT v, CAST(sum(cg) AS BIGINT) AS cnt FROM cells GROUP BY 1
+        |), r AS (
+        |  SELECT v, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM vc
+        |), pg AS (
+        |  SELECT g, CAST(sum(cg) AS BIGINT) AS ng,
+        |    CAST(sum(cg * (2 * prior + cnt + 1)) AS BIGINT) AS r2
+        |  FROM cells JOIN r USING (v) GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN cnt > 1
+        |      THEN cnt*cnt*cnt - cnt END), 0) AS BIGINT) AS tie FROM vc
+        |), s1 AS (
+        |  SELECT a.g AS group_a, b.g AS group_b, a.ng AS n_a, b.ng AS n_b,
+        |    CAST(a.r2 AS DOUBLE) / (a.ng * 2) AS ma,
+        |    CAST(b.r2 AS DOUBLE) / (b.ng * 2) AS mb,
+        |    CAST(n AS DOUBLE) AS nd, CAST(tie AS DOUBLE) AS tied, n
+        |  FROM pg a JOIN pg b ON a.g < b.g, tot
+        |), s2 AS (
+        |  SELECT group_a, group_b, n_a, n_b, ma, mb,
+        |    CASE WHEN n > 1
+        |      THEN nd * (nd + 1) / 12 - tied / (12.0 * (nd - 1)) END AS s2
+        |  FROM s1
+        |)
+        |SELECT group_a, group_b, n_a, n_b,
+        |  round(ma, 6) AS mean_rank_a, round(mb, 6) AS mean_rank_b,
+        |  CASE WHEN s2 > 0 THEN
+        |    round((ma - mb) / sqrt(s2 * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+        |FROM s2""".stripMargin,
+
     // q312: q296's pre/post per-user frame → |d| midrank cells →
     // 2W⁺ on exact integers → tie-corrected z in pinned order
     "q312_wilcoxon_signed" ->
@@ -11725,6 +11831,41 @@ object SparkEntry {
         |    AS morans_i,
         |  round(CASE WHEN mn.n_nodes > 1
         |    THEN -1.0 / (CAST(mn.n_nodes AS DOUBLE) - 1.0) END, 6) AS e_i
+        |FROM mn, num, den""".stripMargin,
+
+    // q376: q334's CTE spine with the edge fold swapped to squared
+    // differences and the (n−1)/(2W) normalizer
+    "q376_gearys_c" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS l, CAST(l_partkey AS BIGINT) AS r
+        |  FROM lineitem
+        |), pe AS (
+        |  SELECT x.l AS a, y.l AS b
+        |  FROM e x JOIN e y ON x.r = y.r AND x.l < y.l
+        |  GROUP BY 1, 2 HAVING count(*) >= 150
+        |), bi AS (
+        |  SELECT a AS u, b AS v FROM pe UNION ALL SELECT b, a FROM pe
+        |), vals AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS id, CAST(s_acctbal AS DOUBLE) AS v
+        |  FROM supplier WHERE s_suppkey IS NOT NULL AND s_acctbal IS NOT NULL
+        |), mn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+        |  FROM vals
+        |), z AS (SELECT id, v, v - mn.mu AS z FROM vals, mn),
+        |den AS (SELECT sum(CAST(z * z AS DECIMAL(38,12))) AS den FROM z),
+        |num AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    coalesce(sum(CAST((zu.v - zv.v) * (zu.v - zv.v) AS DECIMAL(38,12))),
+        |      CAST(0 AS DECIMAL(38,12))) AS num
+        |  FROM bi JOIN z zu ON zu.id = bi.u JOIN z zv ON zv.id = bi.v)
+        |SELECT mn.n_nodes, num.n_edges,
+        |  round(CASE WHEN num.n_edges > 0 AND CAST(den.den AS DOUBLE) > 0
+        |      AND mn.n_nodes > 1
+        |    THEN (CAST(mn.n_nodes AS DOUBLE) - 1.0) / (2.0 * CAST(num.n_edges AS DOUBLE))
+        |      * (CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)) END, 6)
+        |    AS gearys_c,
+        |  CAST(1.0 AS DOUBLE) AS e_c
         |FROM mn, num, den""".stripMargin,
 
     // q335: one exact moment fold pins x̄/s; the witness is selected by

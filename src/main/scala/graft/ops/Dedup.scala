@@ -463,6 +463,119 @@ object Dedup {
       .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Persisted MinHash-LSH index — the ON-DISK face of
+    * [[incrementalFromSketches]], completing the daily-crawl story the
+    * same way [[graft.ops.SimilaritySearch.IvfIndex]] does for ANN: the
+    * corpus is sketched ONCE into a signature table `(id, sh, sig)`,
+    * every ingest batch [[probe]]s it (bloom-pruned band join + exact
+    * verify — nobody re-tokenizes 100 TB per run), and accepted batches
+    * [[append]] their sketches. Band rows derive from the stored `sig`
+    * map-side at probe time (bands/rows-per-band are serving knobs of the
+    * same signature, like IVF's nprobe), so the store stays one table.
+    *
+    * Durability discipline is IvfIndex's verbatim: [[save]]/[[compact]]
+    * write into a scratch dir and atomically swap the WHOLE index in
+    * (readers never observe a half-written store; a crash leaves the
+    * previous index intact); [[append]] adds parquet files under the same
+    * single-writer maintenance lock — file-atomic, batch-replayable by a
+    * pipeline that keys appends on its own batch ids. The `_meta` sidecar
+    * pins (numHashes, shingleWidth, hash family): a probe with mismatched
+    * sketch geometry would silently find nothing, so [[load]] fails fast
+    * instead.
+    */
+  case class LshIndex(
+      numHashes: Int = 16,
+      shingleWidth: Int = 3,
+      hash: HashFamily = XxHash) {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+
+    private def metaLine: String = s"$numHashes $shingleWidth $hash"
+
+    private def writeScratch(fs: FileSystem, dir: Path, sigs: DataFrame): Unit = {
+      val scratch = graft.io.AtomicSwap.scratch(dir)
+      sigs.write.mode("overwrite").parquet(s"$scratch/sigs")
+      val out = fs.create(new Path(s"$scratch/_meta"), true)
+      try out.write((metaLine + "\n").getBytes("UTF-8")) finally out.close()
+    }
+
+    /** Sketch `df` and atomically (re)write the index at `path`. */
+    def save(df: DataFrame, path: String, textCol: String = "text",
+        idCol: String = "doc_id"): Unit = {
+      val spark = df.sparkSession
+      val dir = new Path(path)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, hash)
+      graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        graft.io.AtomicSwap.heal(fs, dir)
+        writeScratch(fs, dir, sigs)
+        graft.io.AtomicSwap.swapIn(fs, dir)
+      }
+    }
+
+    /** Load the signature table, failing fast on geometry mismatch. */
+    def load(spark: SparkSession, path: String): DataFrame = {
+      val p  = new Path(s"$path/_meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+                   finally in.close()
+      require(stored == metaLine,
+        s"index at $path was built with ($stored), this handle is ($metaLine)")
+      spark.read.parquet(s"$path/sigs")
+    }
+
+    /** Candidate-and-verify a NEW batch against the stored corpus:
+      * `(new_id, old_id, jaccard ≥ verifyThreshold)` — exactly
+      * [[incrementalFromSketches]] with the history frames served from
+      * disk. `bands` must divide `numHashes` (the serving-time recall
+      * knob); `bloomItems` sizes the band-prune bloom.
+      */
+    def probe(
+        spark: SparkSession,
+        path: String,
+        newDf: DataFrame,
+        textCol: String = "text",
+        idCol: String = "doc_id",
+        bands: Int = 4,
+        verifyThreshold: Double = 0.7,
+        bloomItems: Long = 1000000L): DataFrame = {
+      val stored = graft.Caches.track(load(spark, path))
+      val newSigs = minhashSignatures(newDf, textCol, idCol, numHashes, shingleWidth, hash)
+      incrementalFromSketches(
+        newSigs,
+        bandBuckets(stored, numHashes, bands, hash),
+        stored.select(col("id"), col("sh")),
+        numHashes, bands, verifyThreshold, hash, bloomItems)
+    }
+
+    /** Sketch and append a batch's signatures into the store (no rewrite
+      * of standing files; callers own id uniqueness across batches). */
+    def append(spark: SparkSession, path: String, df: DataFrame,
+        textCol: String = "text", idCol: String = "doc_id"): Unit = {
+      val dir = new Path(path)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        load(spark, path) // geometry gate before any bytes land
+        minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, hash)
+          .write.mode("append").parquet(s"$path/sigs")
+      }
+    }
+
+    /** Rewrite an append-grown store into few files (the IvfIndex.compact
+      * small-files discipline), atomically. */
+    def compact(spark: SparkSession, path: String): Unit = {
+      val dir = new Path(path)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        graft.io.AtomicSwap.heal(fs, dir)
+        val sigs = load(spark, path).coalesce(
+          spark.sparkContext.defaultParallelism)
+        writeScratch(fs, dir, sigs)
+        graft.io.AtomicSwap.swapIn(fs, dir)
+      }
+    }
+  }
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
     * One shuffle on the doc id; the vote accumulation is the custom
     * [[org.apache.spark.sql.graft.SimHashAgg]] sketch aggregate (single

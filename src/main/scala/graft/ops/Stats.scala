@@ -4047,6 +4047,73 @@ object Stats {
             (col("n") - col("k_groups")).cast("double"), scale)).as("epsilon_sq"))
   }
 
+  /** Dunn's test — the post-hoc pairwise companion of [[kruskalWallis]]
+    * ("KW said SOME arm shifted; WHICH pairs differ?"): all N
+    * observations rank jointly (midranks), and each group pair gets
+    * `z_ij = (R̄_i − R̄_j) / √(S²·(1/n_i + 1/n_j))` with the tie-corrected
+    * pooled variance `S² = N(N+1)/12 − Σ(t³−t)/(12(N−1))`. Returns one
+    * row per unordered pair (group_a < group_b by the group's natural
+    * order): `(group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z)`.
+    * The caller maps z to p-values with their normal table and their
+    * multiplicity correction of choice — Bonferroni over k(k−1)/2 is
+    * Dunn's original, [[bhFdr]] the modern default (the [[welchTtest]]
+    * p-value contract). NULL z when S² degenerates (all values tied).
+    *
+    * Scale shape: [[kruskalWallis]]'s exact integer midrank machinery
+    * verbatim — per-(value, group) cell collapse, [[runningTotal]]
+    * range-partition prefix-sum, doubled rank sums as DECIMAL — then the
+    * pair frame is the k-row per-group summary self-joined (k groups,
+    * k² pairs — broadcast-sized by construction; group cardinality is a
+    * dimension, not the corpus). Mean ranks and z are pinned scalar
+    * IEEE off the exact integer folds.
+    */
+  def dunnTest(
+      df: DataFrame,
+      value: Column,
+      group: Column,
+      scale: Int = 6): DataFrame = {
+    val base = df.select(value.as("_v"), group.as("_g"))
+      .where(col("_v").isNotNull && col("_g").isNotNull)
+    val cells = graft.Caches.track(
+      base.groupBy(col("_v"), col("_g")).agg(count(lit(1)).as("_cg")))
+    val vc = graft.Caches.track(
+      cells.groupBy(col("_v")).agg(sum(col("_cg")).as("_cnt")))
+    val ranked = runningTotal(vc, Seq(col("_v")), col("_cnt"), "_cum")
+      .withColumn("_prior", col("_cum") - col("_cnt"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perGroup = graft.Caches.track(cells
+      .join(ranked.select(col("_v"), col("_prior"), col("_cnt")), Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_cg")).as("_ng"),
+        sum(dec(col("_cg")) * dec(lit(2L) * col("_prior") + col("_cnt") + lit(1L))).as("_r2")))
+    val tot = ranked.agg(
+      coalesce(sum(col("_cnt")), lit(0L)).as("_n"),
+      coalesce(
+        sum(when(col("_cnt") > 1L,
+          dec(col("_cnt")) * dec(col("_cnt")) * dec(col("_cnt")) - dec(col("_cnt")))),
+        lit(0L).cast("decimal(38,0)")).as("_tie"))
+    // pinned evaluation order — the oracle mirrors these formulas text-for-text
+    val a = perGroup.select(col("_g").as("group_a"), col("_ng").as("n_a"), col("_r2").as("_r2a"))
+    val b = perGroup.select(col("_g").as("group_b"), col("_ng").as("n_b"), col("_r2").as("_r2b"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_nd", col("_n").cast("double"))
+      .withColumn("_s2",
+        when(col("_n") > 1,
+          col("_nd") * (col("_nd") + 1) / 12 -
+            col("_tie").cast("double") / (lit(12.0) * (col("_nd") - 1))))
+      .withColumn("_ma", col("_r2a").cast("double") / (col("n_a") * lit(2L)))
+      .withColumn("_mb", col("_r2b").cast("double") / (col("n_b") * lit(2L)))
+      .select(
+        col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(col("_ma"), scale).as("mean_rank_a"),
+        round(col("_mb"), scale).as("mean_rank_b"),
+        when(col("_s2") > 0,
+          round((col("_ma") - col("_mb")) /
+            sqrt(col("_s2") * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), scale))
+          .as("z"))
+  }
+
   /** Wilcoxon signed-rank test — the PAIRED nonparametric location test
     * ("did each user's activity shift after the change?"), the
     * within-subject complement of [[mannWhitney]] (which compares two
@@ -5105,6 +5172,54 @@ object Stats {
           .as("morans_i"),
         round(when(col("n_nodes") > 1,
           lit(-1.0) / (col("n_nodes").cast("double") - 1.0)), scale).as("e_i"))
+  }
+
+  /** Geary's C — [[moransI]]'s local-contrast sibling: where Moran's I
+    * cross-multiplies deviations (global similarity), Geary squares the
+    * DIFFERENCE along each edge, so it is dominated by local contrast and
+    * more sensitive to small-neighborhood heterogeneity:
+    * `C = ((n−1)/(2W)) · Σ_{(u,v)∈E}(x_u − x_v)² / Σ_u z_u²` with
+    * `z = x − x̄` and W the directed edge count (pass both orientations
+    * for an undirected graph). Under the null E[C] = 1; C < 1 ⇔ positive
+    * autocorrelation (neighbors alike), C > 1 ⇔ negative. One row
+    * `(n_nodes, n_edges, gearys_c, e_c)`; edges with an unvalued endpoint
+    * drop via the inner joins, as in [[moransI]].
+    *
+    * Determinism and scale shape are [[moransI]]'s verbatim: one 1-row
+    * mean broadcast, two hash joins of edges against the tracked |nodes|
+    * value frame, decimal-cast folds, pinned final ratio.
+    */
+  def gearysC(
+      edges: DataFrame,
+      values: DataFrame,
+      id: Column,
+      value: Column,
+      scale: Int = 6): DataFrame = {
+    val vals = graft.Caches.track(
+      values.select(id.as("_id"), value.cast("double").as("_v"))
+        .where(col("_id").isNotNull && col("_v").isNotNull))
+    val mean = vals.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("_v").cast("decimal(38,12)")).cast("double") / count(lit(1)))
+        .as("_mu"))
+    val z = graft.Caches.track(
+      vals.crossJoin(broadcast(mean))
+        .select(col("_id"), col("_v"), (col("_v") - col("_mu")).as("_z")))
+    val den = z.agg(
+      sum((col("_z") * col("_z")).cast("decimal(38,12)")).as("_den"))
+    val num = edges.select(col("src").as("_su"), col("dst").as("_sv"))
+      .join(z.select(col("_id").as("_su"), col("_v").as("_vu")), Seq("_su"))
+      .join(z.select(col("_id").as("_sv"), col("_v").as("_vv")), Seq("_sv"))
+      .agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(((col("_vu") - col("_vv")) * (col("_vu") - col("_vv")))
+          .cast("decimal(38,12)")), lit(0.0).cast("decimal(38,12)")).as("_num"))
+    mean.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("n_nodes"), col("n_edges"),
+        round(when(col("n_edges") > 0 && col("_den").cast("double") > 0 && col("n_nodes") > 1,
+          (col("n_nodes").cast("double") - 1.0) / (lit(2.0) * col("n_edges").cast("double")) *
+            (col("_num").cast("double") / col("_den").cast("double"))), scale)
+          .as("gearys_c"),
+        lit(1.0).as("e_c"))
   }
 
   /** Expected / maximum calibration error — [[calibrationCurve]]'s

@@ -114,6 +114,7 @@ object PlanAudit {
     "q331_yule_walker",           // one-row global-moments crossJoin (the q265/q319 class)
     "q333_assoc_rules",           // one-row basket-total crossJoin (the q306 class, both rule directions)
     "q334_morans_i",              // one-row mean/num/den crossJoins (scalar-attach class)
+    "q376_gearys_c",              // q334's one-row mean/num/den crossJoins (scalar-attach class)
     "q335_grubbs",                // one-row fit + max-deviation crossJoins (scalar-attach class)
     "q339_rmst",                  // one-row n/area crossJoins (scalar-attach class)
     "q340_page_trend",            // one-row k / L-fold crossJoins (the q313 class)
@@ -132,7 +133,9 @@ object PlanAudit {
     "q362_hodges_lehmann",        // |cellsA|×|cellsB| difference fold (the q252 bounded-matrix class) + one-row totals/median-pick attaches
     "q363_ansari_bradley",        // one-row N-total crossJoin (scalar-attach class)
     "q364_cvm_from_state",        // one-row side-totals crossJoin (the q228/q231 state class)
-    "q368_welch_anova"            // one-row weight-totals crossJoin (the q225 grand-totals class)
+    "q368_welch_anova",           // one-row weight-totals crossJoin (the q225 grand-totals class)
+    "q372_cox_efron",             // q359's one-row state attaches (bench face)
+    "q374_dunn"                   // k-row per-group summary pair fold (k = group cardinality, a dimension — the q252 bounded-matrix class) + one-row totals attach
   )
 
   /** Queries whose unpartitioned window runs over a frame that is BOUNDED

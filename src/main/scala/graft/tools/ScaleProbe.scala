@@ -165,13 +165,37 @@ object ScaleProbe {
     // late failure overwrite a good `rows`) would record a bogus
     // timing/ratio with no failure marker. `failed` rides through to the
     // JSON so a partially-failed probe is visible in BENCH_SCALE.json.
+    //
+    // SPARK_GRAFT_PROBE_TIMEOUT_SEC (0 = off) bounds each attempt: the
+    // heavy-tier 100× probe sweeps queries whose DATA semantics may be
+    // quadratic at that replication (same-dimension-key cliques), and one
+    // runaway attempt must cost its budget, not the whole sweep. On
+    // timeout the query's job group is cancelled and the attempt records
+    // as failed.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT_SEC", "0").toLong
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    def attempt(name: String, dir: String): Long = {
+      val run = () => try graft.SparkEntry.queries(name)(spark, dir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $name@$dir FAILED: ${e.getMessage}"); -1L }
+      if (timeoutSec <= 0L) run()
+      else {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        val fut = scala.concurrent.Future(run())
+        try scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(timeoutSec, "s"))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            System.err.println(s"[scale] $name@$dir TIMED OUT after ${timeoutSec}s — cancelling")
+            spark.sparkContext.cancelJobGroup(name)
+            -1L
+        } finally spark.sparkContext.clearJobGroup()
+      }
+    }
     def minTime(name: String, dir: String): (Double, Long, Boolean) = {
       var best = Double.MaxValue; var rows = -1L; var anyFail = false
       (1 to runsPerScale).foreach { _ =>
         val t0 = System.nanoTime()
-        val n  = try graft.SparkEntry.queries(name)(spark, dir).count()
-                 catch { case e: Throwable =>
-                   System.err.println(s"[scale] $name@$dir FAILED: ${e.getMessage}"); -1L }
+        val n  = attempt(name, dir)
         if (n >= 0L) {
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
           rows = n
@@ -200,10 +224,14 @@ object ScaleProbe {
         (if (failed) ""","failed":true""" else "") +
         note.map(x => s""","expected_superlinear":"${esc(x)}"""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
+    // flag threshold: 15x for the default 10x-rows probe; the 100x probe
+    // passes SPARK_GRAFT_PROBE_FLAG_X=150 (same slack factor at its scale)
+    val flagX = sys.env.getOrElse("SPARK_GRAFT_PROBE_FLAG_X", "15").toDouble
+    val copiesNote = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10")
     val flagged = rows.filter { case (_, _, _, ratio, _, _, note, failed) =>
-      failed || (ratio > 15.0 && note.isEmpty) }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+      failed || (ratio > flagX && note.isEmpty) }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"sf01":"${esc(sf01)}","sf1":"${esc(sf1)}","data":"10x row replication of sf0.1 with per-key-domain offsets; nation/region dims unchanged; documents/embeddings content repeats verbatim per copy (duplicate-heavy by construction)","hash":"${sys.props("graft.hash")}","runs_per_scale":$runsPerScale,"flagged_unexplained_over_15x":$flagged,"queries":$qJson}"""
+      s"""{"sf01":"${esc(sf01)}","sf1":"${esc(sf1)}","data":"${copiesNote}x row replication of sf0.1 with per-key-domain offsets; nation/region dims unchanged; documents/embeddings content repeats verbatim per copy (duplicate-heavy by construction)","hash":"${sys.props("graft.hash")}","runs_per_scale":$runsPerScale,"flag_threshold_x":$flagX,"flagged_unexplained_over_${flagX.toLong}x":$flagged,"queries":$qJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"SCALEPROBE-DONE flagged=$flagged")
     spark.stop()

@@ -13,6 +13,44 @@ class DedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("LshIndex: disk roundtrip ≡ in-memory incremental; append visible; geometry gate; compact invariant") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog at noon",
+      3L -> "completely unrelated text about spark physical planning")
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog tonight",
+      11L -> "nothing in the corpus looks remotely like this row")
+    val late = docs(20L -> "nothing in the corpus looks remotely like this row")
+    val idx = Dedup.LshIndex(numHashes = 16, shingleWidth = 3)
+    val path = java.nio.file.Files.createTempDirectory("lsh_idx").toString + "/index"
+
+    idx.save(corpus, path)
+    def pairs(df: DataFrame) = idx.probe(spark, path, df, bands = 4, verifyThreshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairs(batch)
+    val mem = Dedup.incrementalMinhash(batch, corpus,
+        numHashes = 16, bands = 4, verifyThreshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == mem, s"disk probe $got must equal in-memory incremental $mem")
+    assert(got.map(p => (p._1, p._2)).contains((10L, 1L)), got.toString)
+
+    // appended batches are immediately probe-visible
+    idx.append(spark, path, batch)
+    val afterAppend = pairs(late)
+    assert(afterAppend.map(p => (p._1, p._2)) == Set((20L, 11L)), afterAppend.toString)
+
+    // compaction changes files, never results
+    idx.compact(spark, path)
+    assert(pairs(late) == afterAppend)
+
+    // a mismatched handle must refuse, not silently find nothing
+    intercept[IllegalArgumentException] {
+      Dedup.LshIndex(numHashes = 32, shingleWidth = 3).probe(spark, path, batch)
+    }
+    graft.Caches.clear()
+  }
+
   test("semanticDedup drops min-id-neighbor dups within a bucket only") {
     import spark.implicits._
     val e = Seq(

@@ -1586,6 +1586,32 @@ class StatsSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("dunnTest: hand-computed pairwise z off joint midranks; all-tied degenerates NULL") {
+    import spark.implicits._
+    // the kruskalWallis fixture: A={1,2}, B={2,3}, C={3,3,5}
+    // midranks 1, 2.5, 2.5, 5, 5, 5, 7 → R̄_A=1.75 R̄_B=3.75 R̄_C=17/3
+    // S² = 7·8/12 − 30/(12·6) = 4.25
+    val df = Seq((1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b"),
+      (3.0, "c"), (3.0, "c"), (5.0, "c")).toDF("v", "g")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Stats.dunnTest(df, col("v"), col("g")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(rows.size == 3)
+    val s2 = 7.0 * 8 / 12 - 30.0 / (12 * 6)
+    def z(ma: Double, mb: Double, na: Long, nb: Long) =
+      r6((ma - mb) / math.sqrt(s2 * (1.0 / na + 1.0 / nb)))
+    val (mA, mB, mC) = (1.75, 3.75, 17.0 / 3)
+    assert(rows(("a", "b")) == ((2L, 2L, r6(mA), r6(mB), z(mA, mB, 2, 2))))
+    assert(rows(("a", "c")) == ((2L, 3L, r6(mA), r6(mC), z(mA, mC, 2, 3))))
+    assert(rows(("b", "c")) == ((2L, 3L, r6(mB), r6(mC), z(mB, mC, 2, 3))))
+    // all values tied → S² = 0 → NULL z, mean ranks still real
+    val tied = Seq((7.0, "a"), (7.0, "a"), (7.0, "b")).toDF("v", "g")
+    val t = Stats.dunnTest(tied, col("v"), col("g")).collect().head
+    assert(t.isNullAt(6) && t.getDouble(4) == 2.0 && t.getDouble(5) == 2.0)
+    graft.Caches.clear()
+  }
+
   test("kruskalWallis: hand-computed tie-corrected H; partitioning-invariant") {
     import spark.implicits._
     // A={1,2}, B={2,3}, C={3,3,5}: midranks 1, 2.5, 2.5, 5, 5, 5, 7
@@ -1984,6 +2010,22 @@ class StatsSpec extends SparkSpec {
     val e2 = Seq((1L, 4L), (4L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
     val r2 = Stats.moransI(e2, vals, col("id"), col("v")).collect().head
     assert(r2.getDouble(2) < 0)
+    graft.Caches.clear()
+  }
+
+  test("gearysC: hand graph gives C = 0.3 under homophily, 1.5 under contrast") {
+    import spark.implicits._
+    // the moransI fixture: mean 2.5, Σz² = 5
+    val vals = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    // adjacent values wired: Σ(xu−xv)² = 4 → C = 3/(2·4) · 4/5 = 0.3 (< 1)
+    val e1 = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val r = Stats.gearysC(e1, vals, col("id"), col("v")).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.3 && r.getDouble(3) == 1.0)
+    // extremes wired: Σ(xu−xv)² = 20 → C = 3/8 · 4 = 1.5 (> 1)
+    val e2 = Seq((1L, 4L), (4L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r2 = Stats.gearysC(e2, vals, col("id"), col("v")).collect().head
+    assert(r2.getDouble(2) == 1.5)
     graft.Caches.clear()
   }
 
