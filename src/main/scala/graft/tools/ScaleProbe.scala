@@ -156,6 +156,13 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle files of FINISHED queries are only reclaimed when their
+      // RDDs are GC'd, and a probe heap big enough for the 100× tier GCs
+      // rarely — the first sf10 sweep filled the disk with 40+ GB of dead
+      // spill from EARLIER queries before q304's own shuffle even peaked.
+      // An aggressive periodic GC keeps the local dirs bounded to the
+      // running query's working set.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
