@@ -95,7 +95,6 @@ object PlanAudit {
     "q297_bh_fdr",                // one-row k* step-up-threshold crossJoin (scalar-attach class)
     "q302_avg_precision",         // q236's query-batch broadcast knnJoin feeding the AP fold
     "q306_basket_pairs",          // one-row distinct-basket-total crossJoin (scalar-attach class)
-    "q307_logrank",               // one-row max-duration crossJoin (the q264 obs-frame class)
     "q308_eb_rates",              // one-row Beta-prior crossJoin (scalar-attach class)
     "q311_kruskal_wallis",        // one-row tie-sum crossJoin (the q225 grand-totals class)
     "q312_wilcoxon_signed",       // one-row corpus-start-day crossJoin (the q296 class)

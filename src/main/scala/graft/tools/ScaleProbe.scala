@@ -133,6 +133,10 @@ object ScaleProbe {
     // corpus near-linear — measured 0.9x/1.0x at 10x rows.
     "q156_graph_linkpred" -> "same-nation clique projection: wedge counts grow quadratically with group size",
     "q216_densest_subgraph" -> "same-nation clique graph: ~100x edges by data semantics",
+    "q373_anf_warm" -> ("the probe's sf1.0 run pays the memoized COLD prior build once (the warm " +
+      "resume alone is the bench face) on top of HyperBall sparse->dense sketch growth (q304's model)"),
+    "q367_blocking_eval" -> ("candidate pairs grow with duplicate-family size^2 on the replicated " +
+      "corpus (bounded 10-copy families at 10x; ~10^4x at 100x, where it is disk-bound on one box)"),
     "q213_graph_ktruss" -> ("same-nation clique graph: ~100x edges AND ~100x surviving truss rows " +
       "by data semantics (output rows measured 102x) — 32x time is sub-linear in the edge growth"))
     // q304 annotation retired: the delta-frontier rewrite measured 3.8x at
