@@ -174,7 +174,24 @@ object Bench {
     val baseline     = allBaselines.getOrElse(sfKey, Map.empty)
     val outlierX     = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUTLIER_X", "3.0").toDouble
     val outlierFloor = 0.25 // sec — sub-second queries jitter ±2× on JVM noise alone
+    // Micro-query guard: a 0.097 s best-known cannot be gated by a 3×
+    // multiplicative rule — its own scheduler/JVM jitter exceeds 3× (r13's
+    // q310 flapped to a 9.3× median and burned its retry on pure noise).
+    // The multiplicative test therefore applies to max(baseline, this
+    // floor): a sub-0.3 s query only retries past 3 × 0.3 s = 0.9 s (a
+    // real order-of-magnitude regression), while a ≥ 1 s query's gate is
+    // exactly as before (max is the identity there).
+    val microFloor   = sys.env.getOrElse("SPARK_GRAFT_BENCH_MICRO_FLOOR", "0.3").toDouble
     val backoffMs    = sys.env.getOrElse("SPARK_GRAFT_BENCH_BACKOFF_MS", "3000").toLong
+    // JIT-convergence extension: a run array still strictly decreasing by
+    // >10% at the last run has NOT reached steady state (r13's q118
+    // recorded [6.8, 4.7, 3.8] while its same-JVM steady state was 2.67 s
+    // — the committed min overstated the query 1.4×). Such queries get up
+    // to `jitExtra` additional timed runs, continuing only while the array
+    // keeps dropping >10%, and are flagged `jit_converging` in the detail
+    // record so a reader knows the min is a converged number, not a
+    // third-run snapshot. SPARK_GRAFT_BENCH_JIT_EXTRA=0 disables.
+    val jitExtra     = sys.env.getOrElse("SPARK_GRAFT_BENCH_JIT_EXTRA", "2").toInt
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -197,11 +214,25 @@ object Bench {
       val qLoad  = loadAvg(osBean)
       val times  = (1 to runs).map(_ => timeOnce(fn))
       var allRuns = times.map(_._1)
-      var sec     = allRuns.min
+      // steady-state extension: while the tail of the run array is still
+      // dropping >10% per run, the JIT hasn't converged — keep timing
+      def stillConverging(rs: Seq[Double]): Boolean =
+        rs.size >= 2 && rs.last < 0.9 * rs(rs.size - 2) &&
+          rs.sliding(2).forall(p => p.size < 2 || p(1) < p(0))
+      var jitRuns = 0
+      while (runs >= 3 && jitRuns < jitExtra && stillConverging(allRuns)) {
+        allRuns = allRuns :+ timeOnce(fn)._1
+        jitRuns += 1
+      }
+      val jitConverging = jitRuns > 0
+      var sec = allRuns.min
       // outlier defense: worse than OUTLIER_X × best-known (and by more
       // than the jitter floor) → back off and give the query ONE more
-      // chance on a hopefully-quieter box; keep the better min either way
-      val isOutlier = baseline.get(baselineKey(name)).exists(b => sec > outlierX * b && sec - b > outlierFloor)
+      // chance on a hopefully-quieter box; keep the better min either way.
+      // The multiplicative side compares against max(baseline, microFloor)
+      // so micro-queries can't flap on their own jitter (see above).
+      val isOutlier = baseline.get(baselineKey(name)).exists(b =>
+        sec > outlierX * math.max(b, microFloor) && sec - b > outlierFloor)
       if (isOutlier) {
         Thread.sleep(backoffMs)
         val (dt, _) = timeOnce(fn)
@@ -210,13 +241,14 @@ object Bench {
       }
       val sorted = allRuns.sorted
       val median = sorted(sorted.size / 2)
-      val flag   = if (isOutlier) f"  RETRIED (baseline ${baseline(baselineKey(name))}%.3f)" else ""
+      val flag   = (if (isOutlier) f"  RETRIED (baseline ${baseline(baselineKey(name))}%.3f)" else "") +
+        (if (jitConverging) s"  JIT+$jitRuns" else "")
       System.err.println(
         f"[bench] $name%-22s min $sec%8.3f s  median $median%8.3f s (${allRuns.size} runs)  load=$qLoad%.2f  rows=${times.last._2}$flag")
-      (name, sec, median, allRuns, qLoad, isOutlier)
+      (name, sec, median, allRuns, qLoad, isOutlier, jitConverging)
     }
-    def obj(key: ((String, Double, Double, Seq[Double], Double, Boolean)) => String)(
-        f: ((String, Double, Double, Seq[Double], Double, Boolean)) => String): String =
+    def obj(key: ((String, Double, Double, Seq[Double], Double, Boolean, Boolean)) => String)(
+        f: ((String, Double, Double, Seq[Double], Double, Boolean, Boolean)) => String): String =
       results.map(r => "\"" + key(r) + "\":" + f(r)).mkString("{", ",", "}")
     // qNN prefix is unique per query and a third the bytes of the full name
     val short    = obj(_._1.takeWhile(_ != '_')) _
@@ -228,17 +260,18 @@ object Bench {
     val total       = results.map(_._2).sum
     val totalMedian = results.map(_._3).sum
     val retried     = results.filter(_._6).map(_._1.takeWhile(_ != '_'))
+    val jitQueries  = results.filter(_._7).map(_._1)
     System.err.println(
       f"""[bench-detail] {"queries_median":$qsMedian,"runs":$qsRuns,"load_avg_per_query":$qsLoad}""")
 
     // merge this run into the best-known baseline (monotone min — a
     // contended run can only leave it unchanged, never pollute it),
     // keyed by plan epoch; stale epoch keys for measured queries pruned
-    val staleKeys = results.flatMap { case (name, _, _, _, _, _) =>
+    val staleKeys = results.flatMap { case (name, _, _, _, _, _, _) =>
       val keep = baselineKey(name)
       baseline.keys.filter(k => k != keep && (k == name || k.startsWith(name + "#")))
     }.toSet
-    val merged = (baseline -- staleKeys) ++ results.map { case (name, sec, _, _, _, _) =>
+    val merged = (baseline -- staleKeys) ++ results.map { case (name, sec, _, _, _, _, _) =>
       val k = baselineKey(name)
       k -> math.min(sec, baseline.getOrElse(k, Double.MaxValue))
     }.toMap
@@ -252,11 +285,22 @@ object Bench {
     val qGate             = qloadX * osBean.getAvailableProcessors
     val contendedQueries  = results.filter(_._5 > qGate).map(_._1)
     val contendedFraction = if (results.isEmpty) 0.0 else contendedQueries.size.toDouble / results.size
-    val contended         = startContended || contendedFraction > qfrac
+    // Focused runs (SPARK_GRAFT_ONLY) string heavy queries back-to-back
+    // with none of the full sweep's light queries between them, so the
+    // 1-min loadavg self-inflates past the per-query gate on an otherwise
+    // idle box (the r13 judge's 11-query rerun flagged 45% from self-load
+    // alone). The per-query flags stay in the record for visibility, but
+    // the record-level contended verdict on a focused run falls back to
+    // the start-load check only — the fraction gate is calibrated against
+    // full-sweep self-load, which a focused run does not resemble.
+    val focused   = only.isDefined
+    val contended = startContended || (!focused && contendedFraction > qfrac)
     if (contendedQueries.nonEmpty)
       System.err.println(
         f"[bench] ${contendedQueries.size} queries sampled load > $qGate%.1f " +
-          f"(${contendedFraction * 100}%.1f%% of run): ${contendedQueries.take(20).mkString(",")}")
+          f"(${contendedFraction * 100}%.1f%% of run)" +
+          (if (focused) " [focused run: self-load expected, fraction gate suppressed]" else "") +
+          s": ${contendedQueries.take(20).mkString(",")}")
     // self-contained round record: the driver keeps only a fixed-size tail
     // of stdout (r9 lost per-query times for q100–q173 to truncation), so
     // the FULL detail — per-query min/median, every run, per-query loadavg,
@@ -264,8 +308,9 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val qsMinFull  = full(r => f"${r._2}%.3f")
     val retriedFull = results.filter(_._6).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val jitFull = jitQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailJson =
-      f"""{"sf":"$sfDir","hash":"${sys.props("graft.hash")}","n_runs":$runs,"total_min":$total%.3f,"total_median":$totalMedian%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"contended":$contended,"contended_fraction":$contendedFraction%.3f,"contended_queries":${contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"retried":$retriedFull,"queries_min":$qsMinFull,"queries_median":$qsMedian,"runs":$qsRuns,"load_avg_per_query":$qsLoad}"""
+      f"""{"sf":"$sfDir","hash":"${sys.props("graft.hash")}","n_runs":$runs,"total_min":$total%.3f,"total_median":$totalMedian%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"focused":$focused,"contended":$contended,"contended_fraction":$contendedFraction%.3f,"contended_queries":${contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"retried":$retriedFull,"jit_converging":$jitFull,"queries_min":$qsMinFull,"queries_median":$qsMedian,"runs":$qsRuns,"load_avg_per_query":$qsLoad}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
     catch {
       case e: Throwable => System.err.println(s"[bench] detail write skipped: ${e.getMessage}")

@@ -517,7 +517,9 @@ object Dedup {
       val p  = new Path(s"$path/_meta")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in = fs.open(p)
-      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+                     .nextOption().getOrElse(
+                       sys.error(s"index at $path has no readable _meta"))
                    finally in.close()
       require(stored == metaLine,
         s"index at $path was built with ($stored), this handle is ($metaLine)")
@@ -549,7 +551,17 @@ object Dedup {
     }
 
     /** Sketch and append a batch's signatures into the store (no rewrite
-      * of standing files; callers own id uniqueness across batches). */
+      * of standing files; callers own id uniqueness across batches).
+      *
+      * Unlike [[save]]/[[compact]], append is NOT index-level atomic: new
+      * parquet files land in the live `sigs/` directory one task-commit
+      * rename at a time, so a [[probe]] running concurrently may observe a
+      * partially committed batch, and a mid-append crash leaves a
+      * half-applied batch that [[graft.io.AtomicSwap.heal]] cannot roll
+      * back (it only heals save/compact scratch dirs). Callers must not
+      * probe concurrently with an append, and crash recovery requires
+      * batch-keyed replay (re-append the whole batch after deleting its
+      * files, or rebuild via [[save]]). */
     def append(spark: SparkSession, path: String, df: DataFrame,
         textCol: String = "text", idCol: String = "doc_id"): Unit = {
       val dir = new Path(path)
@@ -1292,11 +1304,14 @@ object Dedup {
         val famPairs = fa.join(fb, Seq("bucket"))
           .where(col("_ra") <= col("_rb")) // self-pair carries within-family expansion
           .withColumn("_cos", VectorOps.cosine(col("v_a"), col("v_b")))
-          // NaN guard: see the duplicate-free branch — zero-vector families
-          // drop here via their NaN self-pair, so copies of the zero vector
-          // are never declared similar either. (Zero vectors are singleton
-          // families by construction — _fam = own id — so none reach the
-          // expansion either.)
+          // NaN guard: see the duplicate-free branch. Identical zero
+          // vectors CAN form a duplicate family here (nothing in this
+          // function singles them out), but the family's entire output
+          // flows through its rep's pairs, and every pair touching a zero
+          // vector — including the self-pair that carries within-family
+          // expansion — has NaN cosine and dies on this filter. That NaN
+          // guard alone is what keeps zero-vector copies from being
+          // declared similar; do not weaken it without re-deriving this.
           .where(col("_cos") >= threshold && !isnan(col("_cos")))
           .select(col("_ra"), col("_rb"), col("_cos"))
         // left-join + coalesce expansion (family members share the rep's

@@ -191,15 +191,23 @@ object ScaleProbe {
           System.err.println(s"[scale] $name@$dir FAILED: ${e.getMessage}"); -1L }
       if (timeoutSec <= 0L) run()
       else {
-        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        val fut = scala.concurrent.Future(run())
+        // The job group is a thread-local Spark property and the query runs
+        // on a (reused) global-EC pool thread, so it MUST be set inside the
+        // Future body on the executing thread — setting it on the main
+        // thread only propagates at pool-thread CREATION, and a timed-out
+        // cancelJobGroup would then cancel nothing, leaving the runaway
+        // attempt polluting every later attempt's timing.
+        val fut = scala.concurrent.Future {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try run() finally spark.sparkContext.clearJobGroup()
+        }
         try scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(timeoutSec, "s"))
         catch {
           case _: java.util.concurrent.TimeoutException =>
             System.err.println(s"[scale] $name@$dir TIMED OUT after ${timeoutSec}s — cancelling")
             spark.sparkContext.cancelJobGroup(name)
             -1L
-        } finally spark.sparkContext.clearJobGroup()
+        }
       }
     }
     def minTime(name: String, dir: String): (Double, Long, Boolean) = {
