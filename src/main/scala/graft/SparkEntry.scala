@@ -3076,6 +3076,85 @@ object SparkEntry {
       }
     }),
 
+    // MULTI-covariate Cox PH on the purchase clock — the fit survival
+    // users reach for right after the binary arm: three low-cardinality
+    // covariates (the even/odd arm, a heavy-user flag off the log2
+    // event-count bucket, a user_id%3 segment) on q359's obs frame, both
+    // tie modes. Verify
+    // face: a q359-style gate — exact totals from SQL, Newton converged
+    // for BOTH tie modes, and each β̂ vector LOCALLY MAXIMIZES an
+    // independently-recomputed log partial likelihood (evaluated straight
+    // off the collected per-user obs rows — not the op's cell frame — at
+    // β̂ and β̂ ± 1e-3 along every coordinate axis). Bench face: the full
+    // Efron fit frame (the costlier tie mode).
+    "q377_cox_multi" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val u = days.groupBy(col("user_id")).agg(
+        min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pd"),
+        count(lit(1)).as("_ne"))
+      val obs = graft.Caches.track(
+        u.select(
+          (coalesce(col("_pd"), col("_ld")) - col("_fd")).as("dur"),
+          col("_pd").isNotNull.as("ev"),
+          (col("user_id") % 2).cast("double").as("arm"),
+          when(floor(log2(col("_ne"))) >= 6, 1.0).otherwise(0.0).as("heavy"),
+          (col("user_id") % 3).cast("double").as("segment")))
+      val covs = Seq("arm" -> col("arm"), "heavy" -> col("heavy"),
+        "segment" -> col("segment"))
+      val efron = graft.ops.EventAnalytics.coxMulti(
+        obs, (col("dur") / 3L).cast("long"), col("ev"), covs, ties = "efron")
+      if (benchMode) efron
+      else {
+        val breslow = graft.ops.EventAnalytics.coxMulti(
+          obs, (col("dur") / 3L).cast("long"), col("ev"), covs)
+        val subj = obs.select((col("dur") / 3L).cast("long"), col("ev"),
+            col("arm"), col("heavy"), col("segment"))
+          .collect()
+          .map(r => (r.getLong(0), r.getBoolean(1),
+            Array(r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        val nEvents = subj.count(_._2).toLong
+        // independent log partial likelihood off the raw per-user rows
+        def logL(b: Array[Double], efronTies: Boolean): Double = {
+          val times = subj.filter(_._2).map(_._1).distinct.sorted
+          times.map { t =>
+            val atRisk = subj.filter(_._1 >= t)
+            val ev = subj.filter(x => x._1 == t && x._2)
+            val d = ev.length.toDouble
+            def bx(x: Array[Double]) = b(0) * x(0) + b(1) * x(1) + b(2) * x(2)
+            val s0 = atRisk.map(x => math.exp(bx(x._3))).sum
+            val evTerm = ev.map(x => bx(x._3)).sum
+            if (!efronTies) evTerm - d * math.log(s0)
+            else {
+              val d0 = ev.map(x => math.exp(bx(x._3))).sum
+              evTerm - (0 until d.toInt).map(l => math.log(s0 - (l / d) * d0)).sum
+            }
+          }.sum
+        }
+        def gate(fit: org.apache.spark.sql.DataFrame, efronTies: Boolean): Boolean = {
+          val rows = fit.collect().map(r => r.getString(0) -> r).toMap
+          if (nEvents == 0) true // vacuous: nothing to fit
+          else if (!rows.values.forall(_.getBoolean(8))) false
+          else {
+            val b = Array(rows("arm").getDouble(1), rows("heavy").getDouble(1),
+              rows("segment").getDouble(1))
+            val l0 = logL(b, efronTies)
+            (0 until 3).forall { k =>
+              val up = b.clone(); up(k) += 1e-3
+              val dn = b.clone(); dn(k) -= 1e-3
+              l0 >= logL(up, efronTies) && l0 >= logL(dn, efronTies)
+            }
+          }
+        }
+        s.range(1).select(
+          lit(subj.length.toLong).as("n"), lit(nEvents).as("events"),
+          lit(3L).as("p"),
+          lit(gate(breslow, efronTies = false)).as("breslow_pass"),
+          lit(gate(efron, efronTies = true)).as("efron_pass"))
+      }
+    }),
+
     // Davies–Bouldin over the labeled embedding partition: compact AND
     // separated, as one number (the q118 counts say neither)
     "q352_davies_bouldin" -> ((s, dir) =>
@@ -12245,6 +12324,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS events_b,
         |  CAST(TRUE AS BOOLEAN) AS efron_pass
         |FROM obs""".stripMargin,
+
+    // q377: the gate row — q359's obs totals (arm-free); the per-axis
+    // local-max self-verification of BOTH tie modes happens inside the
+    // query (q372's pattern, generalized to the 3-covariate fit)
+    "q377_cox_multi" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type FROM events
+        |), u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+        |  FROM e GROUP BY 1)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS events,
+        |  CAST(3 AS BIGINT) AS p,
+        |  CAST(TRUE AS BOOLEAN) AS breslow_pass,
+        |  CAST(TRUE AS BOOLEAN) AS efron_pass
+        |FROM u""".stripMargin,
 
     // q357: q307's machinery verbatim on the 5-day life-table bin axis —
     // the FromStates face must equal the grouped log-rank on binned t

@@ -1719,6 +1719,266 @@ object EventAnalytics {
         "se", "z", "iterations", "converged")
   }
 
+  /** Cox proportional hazards with SEVERAL covariates (p ≤ 8) — the fit
+    * real survival users reach for immediately after [[coxBinary]]:
+    * `h(t|x) = h₀(t)·e^{βᵀx}` with a p-vector β, Newton–Raphson on the
+    * partial likelihood with the full p×p information matrix, tie
+    * handling `"breslow"` or `"efron"` (same contracts as [[coxCore]];
+    * under Efron the l-th of dⱼ tied events sees the risk sums with l/dⱼ
+    * of the tied events' own hazard removed — here applied to the vector
+    * sums S₁ and matrix sums S₂ as well as S₀).
+    *
+    * Returns ONE ROW PER COVARIATE
+    * `(covariate, beta, hazard_ratio, se, z, n, events, iterations,
+    * converged)` — `se` from the inverse information diagonal at β̂; all
+    * β NULL (converged = false) when Newton fails, the information is
+    * singular (collinear covariates), or the likelihood is unbounded.
+    *
+    * Scale shape — the [[coxBinary]] contract generalized: the
+    * distributed work is ONE partial-agg shuffle collapsing subjects to
+    * `(t, x₁..xₚ)` CELLS carrying (count, events); Newton then runs on
+    * the driver over the collected cell frame, sweeping it once per
+    * iteration in descending-t order so the risk-set sums S₀/S₁/S₂ are
+    * running accumulators (O(cells·p²) per iteration, no per-subject
+    * pass). Legitimate only because the cell count is bounded by the
+    * VALUE GRID, not the row count — the same coarse-axis contract as the
+    * binned log-rank: continuous durations AND continuous covariates must
+    * pre-bin (a `require` fails past `maxCells` rather than silently
+    * collecting a corpus). The driver fold is ascending-(t, x) sorted —
+    * deterministic IEEE for a given cell frame.
+    */
+  def coxMulti(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      covariates: Seq[(String, Column)],
+      maxIter: Int = 50,
+      scale: Int = 6,
+      ties: String = "breslow",
+      maxCells: Int = 100000): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 8,
+      s"coxMulti fits 1..8 covariates, got ${covariates.size}")
+    require(covariates.map(_._1).distinct.size == covariates.size,
+      "covariate names must be distinct")
+    require(ties == "breslow" || ties == "efron",
+      s"ties must be breslow|efron, got $ties")
+    val efron = ties == "efron"
+    val p = covariates.size
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val xNames = covariates.indices.map(i => s"_x$i")
+    val base = df.select(
+      duration.cast("long").as("_t") +: event.cast("boolean").as("_e") +:
+        covariates.zipWithIndex.map { case ((_, c), i) => c.cast("double").as(s"_x$i") }: _*)
+      .where(covariates.indices
+        .map(i => col(s"_x$i").isNotNull && !isnan(col(s"_x$i")))
+        .foldLeft(col("_t").isNotNull && col("_e").isNotNull)(_ && _))
+    // the ONE distributed pass: subjects → (t, x-vector) cells
+    val cellsDf = graft.Caches.track(
+      base.groupBy(col("_t") +: xNames.map(col): _*)
+        .agg(count(lit(1)).as("_n"), sum(when(col("_e"), 1L).otherwise(0L)).as("_d")))
+    val nCells = cellsDf.count()
+    require(nCells <= maxCells,
+      s"coxMulti collapsed to $nCells (t, x) cells > maxCells=$maxCells — " +
+        "bin continuous covariates/durations to a coarse grid first " +
+        "(the binned log-rank contract)")
+    // driver-sorted for a deterministic fold order
+    val cells = cellsDf.collect()
+      .map(r => (r.getLong(0), xNames.indices.map(i => r.getDouble(1 + i)).toArray,
+        r.getLong(1 + p), r.getLong(2 + p)))
+      .sortBy { case (t, x, _, _) => (-t, x.mkString(",")) }
+    val n = cells.map(_._3).sum
+    val nEvents = cells.map(_._4).sum
+
+    // one descending-t sweep: returns (score U, information I) at beta
+    def scoreInfo(beta: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+      val u = new Array[Double](p)
+      val inf = Array.fill(p, p)(0.0)
+      var s0 = 0.0
+      val s1 = new Array[Double](p)
+      val s2 = Array.fill(p, p)(0.0)
+      var i = 0
+      while (i < cells.length) {
+        val t = cells(i)._1
+        // absorb every cell at this t into the risk-set accumulators
+        var j = i
+        while (j < cells.length && cells(j)._1 == t) {
+          val (_, x, cn, _) = cells(j)
+          var bx = 0.0
+          var k = 0
+          while (k < p) { bx += beta(k) * x(k); k += 1 }
+          val w = cn.toDouble * math.exp(bx)
+          s0 += w
+          k = 0
+          while (k < p) {
+            s1(k) += w * x(k)
+            var l = 0
+            while (l < p) { s2(k)(l) += w * x(k) * x(l); l += 1 }
+            k += 1
+          }
+          j += 1
+        }
+        // events at t: risk set is exactly the accumulators (t' >= t)
+        val dj = (i until j).map(cells(_)._4).sum
+        if (dj > 0L) {
+          val sumXev = new Array[Double](p)
+          var d0 = 0.0
+          val d1 = new Array[Double](p)
+          val d2 = Array.fill(p, p)(0.0)
+          var q = i
+          while (q < j) {
+            val (_, x, _, cd) = cells(q)
+            if (cd > 0L) {
+              var k = 0
+              while (k < p) { sumXev(k) += cd.toDouble * x(k); k += 1 }
+              if (efron) {
+                var bx = 0.0
+                k = 0
+                while (k < p) { bx += beta(k) * x(k); k += 1 }
+                val w = cd.toDouble * math.exp(bx)
+                d0 += w
+                k = 0
+                while (k < p) {
+                  d1(k) += w * x(k)
+                  var l = 0
+                  while (l < p) { d2(k)(l) += w * x(k) * x(l); l += 1 }
+                  k += 1
+                }
+              }
+            }
+            q += 1
+          }
+          if (!efron) {
+            // Breslow: dⱼ identical slots against the full risk sums
+            if (s0 > 0) {
+              var k = 0
+              while (k < p) {
+                u(k) += sumXev(k) - dj.toDouble * s1(k) / s0
+                var l = 0
+                while (l < p) {
+                  inf(k)(l) += dj.toDouble * (s2(k)(l) / s0 - (s1(k) / s0) * (s1(l) / s0))
+                  l += 1
+                }
+                k += 1
+              }
+            }
+          } else {
+            var sl = 0L
+            while (sl < dj) {
+              val c = sl.toDouble / dj.toDouble
+              val a0 = s0 - c * d0
+              if (a0 > 0) {
+                var k = 0
+                while (k < p) {
+                  val mk = (s1(k) - c * d1(k)) / a0
+                  u(k) += sumXev(k) / dj.toDouble - mk
+                  var l = 0
+                  while (l < p) {
+                    val ml = (s1(l) - c * d1(l)) / a0
+                    inf(k)(l) += (s2(k)(l) - c * d2(k)(l)) / a0 - mk * ml
+                    l += 1
+                  }
+                  k += 1
+                }
+              }
+              sl += 1L
+            }
+          }
+        }
+        i = j
+      }
+      (u, inf)
+    }
+
+    // solve A·x = b by Gaussian elimination with partial pivoting;
+    // None when A is (numerically) singular — collinear covariates
+    def solve(a0: Array[Array[Double]], b0: Array[Double]): Option[Array[Double]] = {
+      val a = a0.map(_.clone())
+      val b = b0.clone()
+      val maxDiag = (0 until p).map(k => math.abs(a0(k)(k))).foldLeft(0.0)(math.max)
+      var k = 0
+      while (k < p) {
+        var piv = k
+        var r = k + 1
+        while (r < p) { if (math.abs(a(r)(k)) > math.abs(a(piv)(k))) piv = r; r += 1 }
+        if (math.abs(a(piv)(k)) <= 1e-12 * math.max(1.0, maxDiag)) return None
+        if (piv != k) {
+          val tmp = a(piv); a(piv) = a(k); a(k) = tmp
+          val tb = b(piv); b(piv) = b(k); b(k) = tb
+        }
+        r = k + 1
+        while (r < p) {
+          val f = a(r)(k) / a(k)(k)
+          var cc = k
+          while (cc < p) { a(r)(cc) -= f * a(k)(cc); cc += 1 }
+          b(r) -= f * b(k)
+          r += 1
+        }
+        k += 1
+      }
+      val x = new Array[Double](p)
+      k = p - 1
+      while (k >= 0) {
+        var s = b(k)
+        var cc = k + 1
+        while (cc < p) { s -= a(k)(cc) * x(cc); cc += 1 }
+        x(k) = s / a(k)(k)
+        k -= 1
+      }
+      Some(x)
+    }
+
+    val beta = new Array[Double](p)
+    var it = 0
+    var converged = false
+    var singular = false
+    if (nEvents > 0L && cells.nonEmpty) {
+      var continue = true
+      while (continue && it < maxIter) {
+        val (u, inf) = scoreInfo(beta)
+        solve(inf, u) match {
+          case None => singular = true; continue = false
+          case Some(step) =>
+            // damped: every component's e^{Δβ} stays finite per iteration
+            val mx = step.map(math.abs).foldLeft(0.0)(math.max)
+            val f = if (mx > 2.0) 2.0 / mx else 1.0
+            var k = 0
+            while (k < p) { beta(k) += f * step(k); k += 1 }
+            it += 1
+            if (mx < 1e-10) { converged = true; continue = false }
+        }
+      }
+    }
+    val ok = converged && !singular
+    // se from the inverse-information diagonal at beta-hat: solve I·v = e_k
+    val ses: Array[Double] =
+      if (!ok) Array.fill(p)(Double.NaN)
+      else {
+        val (_, infHat) = scoreInfo(beta)
+        covariates.indices.map { k =>
+          val ek = Array.tabulate(p)(i => if (i == k) 1.0 else 0.0)
+          solve(infHat, ek) match {
+            case Some(v) if v(k) > 0 => math.sqrt(v(k))
+            case _                   => Double.NaN
+          }
+        }.toArray
+      }
+    def r6(x: Double): Option[Double] =
+      if (x.isNaN || x.isInfinite) None
+      else Some(BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    covariates.zipWithIndex.map { case ((name, _), k) =>
+      val se = ses(k)
+      (name,
+        if (ok) r6(beta(k)) else None,
+        if (ok) r6(math.exp(beta(k))) else None,
+        if (ok) r6(se) else None,
+        if (ok && se > 0) r6(beta(k) / se) else None,
+        n, nEvents, it.toLong, ok)
+    }.toDF("covariate", "beta", "hazard_ratio", "se", "z",
+      "n", "events", "iterations", "converged")
+  }
+
   /** Harrell's concordance index — does a risk score RANK survival
     * correctly under censoring? ("among user pairs where one provably
     * outlasted the other, how often did the score call it?") The

@@ -604,6 +604,118 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(fromStates == raw)
   }
 
+  test("coxMulti p=1 binary covariate ≡ coxBinary (both tie modes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 150).map { i =>
+      val a = i % 2 == 0
+      ((if (a) rnd.nextInt(12) else rnd.nextInt(20)).toLong, rnd.nextInt(10) < 7, a)
+    }.toDF("dur", "ev", "arm")
+    for (ties <- Seq("breslow", "efron")) {
+      val bin = EventAnalytics.coxBinary(
+        rows, col("dur"), col("ev"), col("arm"), ties = ties).collect().head
+      val multi = EventAnalytics.coxMulti(
+        rows, col("dur"), col("ev"),
+        Seq("arm" -> col("arm").cast("int")), ties = ties).collect().head
+      assert(multi.getBoolean(8) && bin.getBoolean(9), s"$ties must converge")
+      // same rounded beta/hr/se/z — the p=1 fit IS the binary fit
+      assert(multi.getDouble(1) == bin.getDouble(4), s"$ties beta")
+      assert(multi.getDouble(2) == bin.getDouble(5), s"$ties hazard_ratio")
+      assert(multi.getDouble(3) == bin.getDouble(6), s"$ties se")
+      assert(multi.getDouble(4) == bin.getDouble(7), s"$ties z")
+      assert(multi.getLong(5) == bin.getLong(0) + bin.getLong(1), s"$ties n")
+      assert(multi.getLong(6) == bin.getLong(2) + bin.getLong(3), s"$ties events")
+    }
+  }
+
+  test("coxMulti: beta-hat maximizes the 2-covariate partial likelihood (independent loglik, both tie modes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // x1 drives the hazard, x2 is a correlated-but-weaker bucket covariate
+    val subjects = (0 until 200).map { i =>
+      val x1 = (i % 3).toDouble            // 0/1/2 exposure level
+      val x2 = (if (rnd.nextBoolean()) x1 else rnd.nextInt(3)).toDouble
+      val dur = (rnd.nextInt(18) + (3 - x1.toInt) * 4).toLong
+      (dur, rnd.nextInt(10) < 7, x1, x2)
+    }
+    val df = subjects.toDF("dur", "ev", "x1", "x2")
+    for (ties <- Seq("breslow", "efron")) {
+      val got = EventAnalytics.coxMulti(
+        df, col("dur"), col("ev"), Seq("x1" -> col("x1"), "x2" -> col("x2")),
+        ties = ties)
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(got("x1").getBoolean(8), s"$ties must converge")
+      val beta = Array(got("x1").getDouble(1), got("x2").getDouble(1))
+
+      // independent log partial likelihood straight from the subject list
+      val times = subjects.filter(_._2).map(_._1).distinct.sorted
+      def logL(b: Array[Double]): Double = times.map { t =>
+        val atRisk = subjects.filter(_._1 >= t)
+        val ev = subjects.filter(s => s._1 == t && s._2)
+        val d = ev.size.toDouble
+        val s0 = atRisk.map(s => math.exp(b(0) * s._3 + b(1) * s._4)).sum
+        val evTerm = ev.map(s => b(0) * s._3 + b(1) * s._4).sum
+        if (ties == "breslow") evTerm - d * math.log(s0)
+        else {
+          val d0 = ev.map(s => math.exp(b(0) * s._3 + b(1) * s._4)).sum
+          evTerm - (0 until d.toInt).map(l => math.log(s0 - (l / d) * d0)).sum
+        }
+      }.sum
+      val l0 = logL(beta)
+      val dirs = Seq((1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0),
+        (0.7071, 0.7071), (-0.7071, 0.7071), (0.7071, -0.7071), (-0.7071, -0.7071))
+      dirs.foreach { case (dx, dy) =>
+        val lp = logL(Array(beta(0) + 1e-3 * dx, beta(1) + 1e-3 * dy))
+        assert(l0 >= lp, s"$ties: logL not locally maximal along ($dx,$dy): $l0 < $lp")
+      }
+    }
+  }
+
+  test("coxMulti: translation-invariant in each covariate; collinear design refuses the fit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val df = (0 until 120).map { i =>
+      ((rnd.nextInt(15)).toLong, rnd.nextInt(10) < 7, (i % 4).toDouble, (i % 2).toDouble)
+    }.toDF("dur", "ev", "x1", "x2")
+    val a = EventAnalytics.coxMulti(
+      df, col("dur"), col("ev"), Seq("x1" -> col("x1"), "x2" -> col("x2")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(8))).toMap
+    // Cox partial likelihood depends on covariates only through differences
+    val b = EventAnalytics.coxMulti(
+      df, col("dur"), col("ev"),
+      Seq("x1" -> (col("x1") + lit(10.0)), "x2" -> (col("x2") - lit(3.0))))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(8))).toMap
+    assert(a("x1")._2 && b("x1")._2)
+    assert(math.abs(a("x1")._1 - b("x1")._1) <= 1e-5, s"${a("x1")} vs ${b("x1")}")
+    assert(math.abs(a("x2")._1 - b("x2")._1) <= 1e-5, s"${a("x2")} vs ${b("x2")}")
+
+    // x2 = 2*x1 exactly: singular information → no fit, null betas
+    val sing = EventAnalytics.coxMulti(
+      df, col("dur"), col("ev"),
+      Seq("x1" -> col("x1"), "x2" -> (col("x1") * lit(2.0))))
+      .collect()
+    assert(sing.forall(r => !r.getBoolean(8) && r.isNullAt(1)), sing.mkString("; "))
+  }
+
+  test("coxMulti: cell-cap require fires; efron differs from breslow under heavy ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val df = (0 until 100).map { i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(10) < 8, (i % 2).toDouble, rnd.nextInt(3).toDouble)
+    }.toDF("dur", "ev", "x1", "x2")
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.coxMulti(df, col("dur"), col("ev"),
+        Seq("x1" -> col("x1"), "x2" -> col("x2")), maxCells = 3)
+    }
+    assert(e.getMessage.contains("maxCells"))
+    val br = EventAnalytics.coxMulti(df, col("dur"), col("ev"),
+      Seq("x1" -> col("x1"), "x2" -> col("x2"))).collect().head.getDouble(1)
+    val ef = EventAnalytics.coxMulti(df, col("dur"), col("ev"),
+      Seq("x1" -> col("x1"), "x2" -> col("x2")), ties = "efron").collect().head.getDouble(1)
+    assert(math.abs(br - ef) > 1e-4,
+      s"efron $ef should differ from breslow $br on a 4-point duration grid")
+  }
+
   test("linearAttribution: equal shares, window exclusion, touchless conversions drop") {
     import spark.implicits._
     val e = Seq(
