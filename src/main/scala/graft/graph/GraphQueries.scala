@@ -989,7 +989,7 @@ object GraphQueries {
     val v = vertices.select(col(idCol).cast("long").as("id")).distinct()
     val state0 = v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("_sk"))
     // Round 0: every vertex just absorbed its own id — all are frontier.
-    val (states, _) = hyperBallLoop(spark, edges, state0, None, maxHops)
+    val (states, _, _) = hyperBallLoop(spark, edges, state0, None, maxHops)
     states.zipWithIndex.map { case (st, i) =>
       st.select(col("id"), lit(i + 1).as("hop"),
         hll_sketch_estimate(col("_sk")).cast("double").as("reach_est"))
@@ -1045,7 +1045,7 @@ object GraphQueries {
         }
         (st, fr.orElse(Some(st)))
     }
-    val (_, finalState) = hyperBallLoop(spark, edges, state0, frontier0, maxHops)
+    val (_, finalState, _) = hyperBallLoop(spark, edges, state0, frontier0, maxHops)
     finalState.select(col("id").as(idCol), col("_sk").as("sketch"))
   }
 
@@ -1054,14 +1054,31 @@ object GraphQueries {
     * `edges` for up to `maxHops` rounds, frontier-pruned and
     * lineage-cut per round; `frontier0 = None` means every state row is
     * round-0 frontier. Returns (per-hop state frames, final state).
+    *
+    * `narrowDen` is the adaptive-merge switch point (full-outer while
+    * `frontier ≥ state/narrowDen`, anti+inner below) — a test-only knob:
+    * the spec forces each branch (`1` ⇒ narrow from round 2, `MaxValue`
+    * ⇒ always full-outer) and pins their states equal; production
+    * callers always use the default 4. [[hyperBallBranchLog]] records
+    * the decision per round (true = full-outer) for the same spec.
     */
+  private[graft] def hyperBallBranchLog(
+      spark: SparkSession,
+      edges: DataFrame,
+      state0: DataFrame,
+      maxHops: Int,
+      narrowDen: Long
+  ): (IndexedSeq[DataFrame], DataFrame, Seq[Boolean]) =
+    hyperBallLoop(spark, edges, state0, None, maxHops, narrowDen)
+
   private def hyperBallLoop(
       spark: SparkSession,
       edges: DataFrame,
       state0: DataFrame,
       frontier0: Option[DataFrame],
-      maxHops: Int
-  ): (IndexedSeq[DataFrame], DataFrame) = {
+      maxHops: Int,
+      narrowDen: Long = 4L
+  ): (IndexedSeq[DataFrame], DataFrame, Seq[Boolean]) = {
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
@@ -1074,6 +1091,7 @@ object GraphQueries {
     var frontier = frontier0.getOrElse(state)
     var frontierCount = Long.MaxValue // unknown until the first merge
     var stateCount    = Long.MaxValue
+    val branchLog = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val states = (1 to maxHops).map { _ =>
       if (frontierCount == 0L) state // converged: reach is final
       else {
@@ -1092,10 +1110,12 @@ object GraphQueries {
         // the standing sketches stream through unshuffled — only the slim
         // id projection of the state enters the absent-source anti-join.
         // Both shapes produce identical rows.
+        val useFull = frontierCount >= stateCount / narrowDen
+        branchLog += useFull
         val merged =
           // (compare via division: the sentinel Long.MaxValue would
-          // overflow a frontierCount * 4)
-          if (frontierCount >= stateCount / 4)
+          // overflow a frontierCount * narrowDen)
+          if (useFull)
             state.join(delta, Seq("id"), "full")
               .select(col("id"), col("_sk").as("_osk"),
                 when(col("_sk").isNull, col("_dsk"))
@@ -1128,7 +1148,7 @@ object GraphQueries {
         state
       }
     }
-    (states, state)
+    (states, state, branchLog.toSeq)
   }
 
   /** Effective diameter from a [[neighborhoodFunction]] output — the

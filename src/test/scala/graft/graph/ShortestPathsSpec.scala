@@ -255,6 +255,53 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("hyperBall adaptive merge: forced narrow anti+inner ≡ forced full-outer ≡ default, per round") {
+    import org.apache.spark.sql.DataFrame
+    // Long-tail graph: K6 clique (1..6) + directed path 14→15→…→20 with
+    // 20→1 bridging into the clique. The clique converges in 2 rounds but
+    // the path head keeps gaining reach for ~8 — the narrow-frontier
+    // regime the anti+inner branch exists for, which tiny test graphs
+    // never reach (they converge before frontier < state/4).
+    val clique = for { a <- 1L to 6L; b <- 1L to 6L if a != b } yield (a, b)
+    val path = (14L until 20L).map(i => (i, i + 1)) :+ (20L, 1L)
+    val e = (clique ++ path).toDF("src", "dst")
+    val v = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val state0 = v.groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id"), lit(12)).as("_sk"))
+
+    def run(narrowDen: Long): (Seq[Map[Long, Double]], Map[Long, Seq[Byte]], Seq[Boolean]) = {
+      val (states, fin, log) =
+        GraphQueries.hyperBallBranchLog(spark, e, state0, maxHops = 10, narrowDen)
+      val perHop = states.map(_.select(col("id"),
+          hll_sketch_estimate(col("_sk")).cast("double"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      val bytes = fin.select(col("id"), col("_sk"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      (perHop, bytes, log)
+    }
+    val (hopsNarrow, bytesNarrow, logNarrow) = run(1L)           // narrow from round 2
+    val (hopsFull, bytesFull, logFull)       = run(Long.MaxValue) // always full-outer
+    val (hopsDef, bytesDef, logDef)          = run(4L)            // the production policy
+
+    assert(logFull.forall(identity), s"forced-full log took a narrow round: $logFull")
+    assert(logNarrow.count(!_) >= 3, s"forced-narrow log barely narrowed: $logNarrow")
+    // the production threshold must CROSS on this graph — both branches live
+    assert(logDef.contains(true) && logDef.contains(false),
+      s"default policy never switched branches: $logDef")
+
+    (hopsNarrow lazyZip hopsFull lazyZip hopsDef).zipWithIndex.foreach {
+      case ((n, f, d), h) =>
+        assert(n == f, s"hop ${h + 1}: narrow $n != full $f")
+        assert(d == f, s"hop ${h + 1}: default $d != full $f")
+    }
+    assert(bytesNarrow == bytesFull && bytesDef == bytesFull,
+      "final sketches must be byte-identical across merge branches")
+    // sanity: the path head really did keep growing (reaches all 13)
+    assert(math.round(hopsFull.last(14L)) == 13L, hopsFull.last.toString)
+    graft.Caches.clear()
+  }
+
   test("hll_union with a no-new-data delta is serialization-stable after one settling round") {
     // Pins neighborhoodFunction's change detector against library upgrades:
     // the delta-frontier loop compares serialized sketch bytes, relying on
