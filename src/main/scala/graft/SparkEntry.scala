@@ -4453,6 +4453,76 @@ object SparkEntry {
       }
     }),
 
+    // the persisted LSH index driving a CONSUMER across batches — the
+    // story q375's store exists for: labels are MAINTAINED batch over
+    // batch from index probes (probe → incrementalClusters → append), so
+    // nobody re-bands the corpus per ingest and batch 2's near-dups of
+    // batch 1 are found through the APPENDED (never rebuilt) store.
+    // Verify face: a q375-style gate — the final label table off the
+    // disk index must equal the inline incremental path's, hash-exact,
+    // with at least one multi-doc cluster (the probes found something).
+    // Bench face: the steady-state per-ingest cost — probe batch 2
+    // against the standing appended index + the label update (the
+    // bootstrap index/labels are memoized like the ANN indexes).
+    "q378_index_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val hash = activeHash
+      val idx = Dedup.LshIndex(numHashes = 16, shingleWidth = 3, hash = hash)
+      val hist = docs.where(col("doc_id") < 200)
+      val b1 = docs.where(col("doc_id") >= 200 && col("doc_id") < 300)
+      val b2 = docs.where(col("doc_id") >= 300)
+      val histPlusB1 = docs.where(col("doc_id") < 300)
+      // bootstrap + batch-1 maintenance, once per dataset+hash: save the
+      // history index, probe batch 1 (forced BEFORE the append mutates
+      // the store the probe reads), label, then append batch 1
+      val (path, labels1) = memo(s"lsh-index-inc-$hash:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("lsh_index_inc").toString + "/index"
+        idx.save(hist, p)
+        val labels0 = Dedup.clusters(s,
+          Dedup.minhashLsh(hist, numHashes = 16, bands = 4, shingleWidth = 3,
+            verifyThreshold = 0.7, hash = hash),
+          docs = Some(hist)).select(col("doc_id"), col("cluster_id"))
+        val p1 = idx.probe(s, p, b1, bands = 4, verifyThreshold = 0.7)
+          .select(col("new_id"), col("old_id"))
+        val l1 = Dedup.incrementalClusters(s, labels0, p1,
+          docs = Some(histPlusB1), aCol = "new_id", bCol = "old_id")
+          .select(col("doc_id"), col("cluster_id")).cache()
+        l1.count()
+        idx.append(s, p, b1)
+        (p, l1)
+      }
+      val p2 = idx.probe(s, path, b2, bands = 4, verifyThreshold = 0.7)
+        .select(col("new_id"), col("old_id"))
+      val served = Dedup.incrementalClusters(s, labels1, p2,
+        docs = Some(docs), aCol = "new_id", bCol = "old_id")
+      if (benchMode) served
+      else {
+        def lab(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        val got = lab(served)
+        // inline face: identical flow, history frames re-banded in memory
+        val labels0 = Dedup.clusters(s,
+          Dedup.minhashLsh(hist, numHashes = 16, bands = 4, shingleWidth = 3,
+            verifyThreshold = 0.7, hash = hash),
+          docs = Some(hist)).select(col("doc_id"), col("cluster_id"))
+        val q1 = Dedup.incrementalMinhash(b1, hist,
+          numHashes = 16, bands = 4, verifyThreshold = 0.7, hash = hash)
+          .select(col("new_id"), col("old_id"))
+        val m1 = Dedup.incrementalClusters(s, labels0, q1,
+          docs = Some(histPlusB1), aCol = "new_id", bCol = "old_id")
+          .select(col("doc_id"), col("cluster_id"))
+        val q2 = Dedup.incrementalMinhash(b2, histPlusB1,
+          numHashes = 16, bands = 4, verifyThreshold = 0.7, hash = hash)
+          .select(col("new_id"), col("old_id"))
+        val mem = lab(Dedup.incrementalClusters(s, m1, q2,
+          docs = Some(docs), aCol = "new_id", bCol = "old_id"))
+        val multi = got.groupBy(_._2).exists(_._2.size > 1)
+        s.range(1).select(
+          lit(got.size.toLong).as("n_docs"),
+          lit(got == mem && multi).as("index_pass"))
+      }
+    }),
+
     "q47_dedup_incremental" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val hash = activeHash
@@ -4758,6 +4828,15 @@ object SparkEntry {
     "q375_lsh_index" ->
       (s"SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(TRUE AS BOOLEAN) AS index_pass " +
         s"FROM ($incrementalMinhashOracleSql)"),
+
+    // q378: the gate row — the label table covers the whole document
+    // universe by construction; the index-served ≡ inline-incremental
+    // equality (and the nonvacuous multi-doc-cluster check) happens
+    // inside the query (q375's pattern, lifted from pairs to labels)
+    "q378_index_clusters" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(TRUE AS BOOLEAN) AS index_pass
+        |FROM documents""".stripMargin,
 
     // q258: the q248 contingency cells → per-class margins → P/R/F1; the
     // full outer join keeps never-predicted and hallucinated classes

@@ -51,6 +51,69 @@ class DedupSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("LshIndex feeds incrementalClusters across appended batches ≡ the inline incremental path") {
+    // the daily-crawl consumer story: labels are MAINTAINED from index
+    // probes — batch 2's dup of a batch-1 doc is only findable because
+    // batch 1 was APPENDED (not rebuilt) into the standing index
+    val history = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog at noon",
+      3L -> "completely unrelated text about spark physical planning")
+    val batch1 = docs(
+      10L -> "the quick brown fox jumps over the lazy dog tonight",
+      11L -> "a fresh paragraph on columnar shuffle layouts and codecs")
+    val batch2 = docs(
+      20L -> "a fresh paragraph on columnar shuffle layouts and codecs",
+      21L -> "yet another singleton that matches nothing anywhere")
+    val all = history.unionAll(batch1).unionAll(batch2)
+    val idx = Dedup.LshIndex(numHashes = 16, shingleWidth = 3)
+    val path = java.nio.file.Files.createTempDirectory("lsh_idx_inc").toString + "/index"
+    idx.save(history, path)
+
+    val labels0 = Dedup.clusters(spark,
+      Dedup.minhashLsh(history, numHashes = 16, bands = 4, shingleWidth = 3,
+        verifyThreshold = 0.7),
+      docs = Some(history)).select(col("doc_id"), col("cluster_id"))
+
+    def lab(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    // index-served: probe → label → append, twice
+    val p1 = idx.probe(spark, path, batch1, bands = 4, verifyThreshold = 0.7)
+      .select(col("new_id"), col("old_id")).cache()
+    p1.count() // force BEFORE the append mutates the store the probe reads
+    val l1 = Dedup.incrementalClusters(spark, labels0, p1,
+      docs = Some(history.unionAll(batch1)), aCol = "new_id", bCol = "old_id")
+    idx.append(spark, path, batch1)
+    val p2 = idx.probe(spark, path, batch2, bands = 4, verifyThreshold = 0.7)
+      .select(col("new_id"), col("old_id"))
+    val l2 = lab(Dedup.incrementalClusters(spark,
+      l1.select(col("doc_id"), col("cluster_id")), p2,
+      docs = Some(all), aCol = "new_id", bCol = "old_id"))
+
+    // inline: same flow, history frames re-banded in memory per batch
+    val q1 = Dedup.incrementalMinhash(batch1, history,
+      numHashes = 16, bands = 4, verifyThreshold = 0.7)
+      .select(col("new_id"), col("old_id"))
+    val m1 = Dedup.incrementalClusters(spark, labels0, q1,
+      docs = Some(history.unionAll(batch1)), aCol = "new_id", bCol = "old_id")
+    val q2 = Dedup.incrementalMinhash(batch2, history.unionAll(batch1),
+      numHashes = 16, bands = 4, verifyThreshold = 0.7)
+      .select(col("new_id"), col("old_id"))
+    val m2 = lab(Dedup.incrementalClusters(spark,
+      m1.select(col("doc_id"), col("cluster_id")), q2,
+      docs = Some(all), aCol = "new_id", bCol = "old_id"))
+
+    assert(l2 == m2, s"index-served $l2 must equal inline $m2")
+    // the cross-batch family proves the append is load-bearing
+    val byId = l2.map(t => t._1 -> t._2).toMap
+    assert(byId(20L) == byId(11L) && byId(20L) != 20L,
+      s"batch-2 doc 20 must join batch-1 doc 11's cluster: $l2")
+    assert(byId(10L) == byId(1L) && byId(2L) == byId(1L), l2.toString)
+    assert(byId(21L) == 21L && byId(3L) == 3L, l2.toString)
+    graft.Caches.clear()
+  }
+
   test("semanticDedup drops min-id-neighbor dups within a bucket only") {
     import spark.implicits._
     val e = Seq(
