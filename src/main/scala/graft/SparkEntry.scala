@@ -84,6 +84,16 @@ object SparkEntry {
     */
   private[graft] def benchMode: Boolean = sys.props.get("graft.mode").contains("bench")
 
+  /** Optional ANF per-round shuffle budget in MB (`graft.anf.budget.mb`
+    * property / `SPARK_GRAFT_ANF_BUDGET_MB` env) — set by the heavy-tier
+    * scale probe so q304's lgK auto-downgrades on a single box instead of
+    * filling the disk with dense sketches; unset under Verify/Bench, so
+    * default runs keep lgK=11 exactly. */
+  private[graft] def anfShuffleBudget: Option[Long] =
+    sys.props.get("graft.anf.budget.mb")
+      .orElse(sys.env.get("SPARK_GRAFT_ANF_BUDGET_MB"))
+      .map(_.trim.toLong << 20)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full reference pipeline shape: dense-id assignment + similarity
     * self-theta-join (SURVEY.md §2.3 J1, §2.4 A7).
@@ -3155,6 +3165,32 @@ object SparkEntry {
       }
     }),
 
+    // competing-risks cumulative incidence (Aalen–Johansen) on the
+    // conversion clock: the FIRST of {purchase, signup} ends each user's
+    // observation (tie → purchase, the fixed rule both faces share);
+    // users with neither are censored at last-seen. 1−KM of either cause
+    // alone would overstate it — the CIF decomposes the all-cause curve
+    // exactly (Σ_k CIF_k = 1 − Ŝ, spec-pinned). FULL-VALUE oracle: the
+    // recursive-CTE KM product (q219's pattern) lagged one row + exact
+    // DECIMAL per-cause increment sums.
+    "q379_cum_incidence" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val u = days.groupBy(col("user_id")).agg(
+        min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pd"),
+        min(when(col("event_type") === "signup", col("day"))).as("_sd"))
+      val first = least(coalesce(col("_pd"), col("_sd")), coalesce(col("_sd"), col("_pd")))
+      val obs = u.select(
+        (coalesce(first, col("_ld")) - col("_fd")).as("dur"),
+        when(col("_pd").isNotNull && (col("_sd").isNull || col("_pd") <= col("_sd")),
+            "purchase")
+          .when(col("_sd").isNotNull, "signup")
+          .otherwise(lit(null)).as("cause"))
+      graft.ops.EventAnalytics.cumulativeIncidence(
+        obs, col("dur"), col("cause"), binWidth = 3L)
+    }),
+
     // Davies–Bouldin over the labeled embedding partition: compact AND
     // separated, as one number (the q118 counts say neither)
     "q352_davies_bouldin" -> ((s, dir) =>
@@ -3844,8 +3880,13 @@ object SparkEntry {
       val bidir = canon.select(col("a").as("src"), col("b").as("dst"))
         .union(canon.select(col("b").as("src"), col("a").as("dst")))
       val v = bidir.select(col("src").as("id")).distinct()
+      // lgK 11 (σ≈2.3%) unless a shuffle budget caps it (anfAutoLgK):
+      // the heavy-tier scale probe sets graft.anf.budget.mb so the 100×
+      // run auto-downgrades instead of filling one box's disk with dense
+      // sketches; Verify/Bench leave it unset — estimates unchanged
       val anf = graft.graph.GraphQueries.neighborhoodFunction(
-        s, v, bidir, maxHops = 3, lgK = 11)
+        s, v, bidir, maxHops = 3, lgK = 11,
+        shuffleBudgetBytes = anfShuffleBudget)
       if (benchMode)
         anf.groupBy(col("hop")).agg(
           count(lit(1)).as("n_vertices"),
@@ -12421,6 +12462,50 @@ object SparkEntry {
         |  CAST(TRUE AS BOOLEAN) AS breslow_pass,
         |  CAST(TRUE AS BOOLEAN) AS efron_pass
         |FROM u""".stripMargin,
+
+    // q379: FULL-VALUE competing-risks oracle — q219's recursive-CTE KM
+    // product carried LAGGED (sp = Ŝ(t−), the previous row's update), the
+    // per-cause increments rounded at 12dp and summed as exact DECIMAL in
+    // the op's pinned order; tie rule (pd = sd → purchase) shared verbatim
+    "q379_cum_incidence" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS fd, max(day) AS ld,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd,
+        |    min(CASE WHEN event_type = 'signup' THEN day END) AS sd
+        |  FROM e GROUP BY 1),
+        |obs AS (SELECT
+        |    (coalesce(least(coalesce(pd, sd), coalesce(sd, pd)), ld) - fd) // 3 AS t,
+        |    CASE WHEN pd IS NOT NULL AND (sd IS NULL OR pd <= sd) THEN 'purchase'
+        |         WHEN sd IS NOT NULL THEN 'signup' END AS cause
+        |  FROM u),
+        |g AS (SELECT t,
+        |    CAST(sum(CASE WHEN cause IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN cause IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1),
+        |r AS (SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+        |    CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior,
+        |    CAST(sum(d + c) OVER () AS BIGINT) AS nt
+        |  FROM g),
+        |k AS (
+        |  SELECT rn, t, nt - prior AS n_risk, d, CAST(1.0 AS DOUBLE) AS sp
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.t, r.nt - r.prior, r.d,
+        |    k.sp * (CAST(1.0 AS DOUBLE) - CAST(k.d AS DOUBLE) / k.n_risk)
+        |  FROM k JOIN r ON r.rn = k.rn + 1
+        |),
+        |ev AS (SELECT t, cause, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM obs WHERE cause IS NOT NULL GROUP BY 1, 2),
+        |inc AS (SELECT ev.t, ev.cause, k.n_risk, ev.n_events,
+        |    CAST(round(round(k.sp, 6) * ev.n_events / k.n_risk, 12) AS DECIMAL(38,12)) AS i
+        |  FROM ev JOIN k ON k.t = ev.t)
+        |SELECT t, cause, n_risk, n_events,
+        |  round(CAST(sum(i) OVER (PARTITION BY cause ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS cif
+        |FROM inc""".stripMargin,
 
     // q357: q307's machinery verbatim on the 5-day life-table bin axis —
     // the FromStates face must equal the grouped log-rank on binned t

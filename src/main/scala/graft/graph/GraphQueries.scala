@@ -976,18 +976,64 @@ object GraphQueries {
     * Rounds are lineage-cut per hop (the [[shortestPaths]] loop
     * discipline).
     */
+  /** The largest lgK in [lgKMin, lgKMax] whose WORST-CASE per-round
+    * contribution shuffle — `contribRows` dense HLL_8 sketches of
+    * `2^lgK + 64` bytes (registers + serialization header) — fits
+    * `shuffleBudgetBytes`; `lgKMin` when none does. This is the ANF
+    * bandwidth knob automated: HyperBall's round-1 contribution join
+    * ships ≤|E| sketches (fewer once the frontier narrows), so
+    * `contribRows = |E|` bounds the peak and the accuracy trade is
+    * explicit — σ ≈ 1.04/√2^lgK, i.e. each lgK step down costs √2 in σ
+    * and halves the shuffle. A 100-TB deployment passes its aggregate
+    * cluster shuffle/disk budget; a single-box probe passes a fraction
+    * of its free disk (the regime where a dense lgK=11 state is the
+    * difference between completing and filling the disk).
+    */
+  def anfAutoLgK(
+      contribRows: Long,
+      shuffleBudgetBytes: Long,
+      lgKMax: Int = 12,
+      lgKMin: Int = 4): Int = {
+    require(lgKMin >= 4 && lgKMax <= 21 && lgKMin <= lgKMax,
+      s"need 4 <= lgKMin <= lgKMax <= 21, got [$lgKMin, $lgKMax]")
+    require(shuffleBudgetBytes > 0, s"budget must be positive, got $shuffleBudgetBytes")
+    val rows = math.max(contribRows, 1L)
+    (lgKMin to lgKMax).reverse
+      .find(k => rows <= shuffleBudgetBytes / ((1L << k) + 64L))
+      .getOrElse(lgKMin)
+  }
+
+  /** Resolve the effective lgK for an ANF run: the caller's `lgK` capped
+    * by [[anfAutoLgK]] under `shuffleBudgetBytes` (one count() over the
+    * edge frame — the worst-case round-1 contribution rows). */
+  private def resolveLgK(lgK: Int, edges: DataFrame, budget: Option[Long]): Int =
+    budget match {
+      case None => lgK
+      case Some(b) =>
+        val rows = edges.count()
+        val eff = anfAutoLgK(rows, b, lgKMax = lgK)
+        if (eff < lgK)
+          // operator telemetry: an explicit budget actively downgrading
+          // accuracy must be visible in the run log (σ ≈ 1.04/√2^lgK)
+          println(f"[anf] lgK $lgK -> $eff under budget ${b}%d B " +
+            f"($rows%d contribution rows; sigma ~ ${1.04 / math.sqrt(1L << eff)}%.4f)")
+        eff
+    }
+
   def neighborhoodFunction(
       spark: SparkSession,
       vertices: DataFrame,
       edges: DataFrame,
       maxHops: Int,
       lgK: Int = 12,
-      idCol: String = "id"
+      idCol: String = "id",
+      shuffleBudgetBytes: Option[Long] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val lgKEff = resolveLgK(lgK, edges, shuffleBudgetBytes)
     val v = vertices.select(col(idCol).cast("long").as("id")).distinct()
-    val state0 = v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("_sk"))
+    val state0 = v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgKEff)).as("_sk"))
     // Round 0: every vertex just absorbed its own id — all are frontier.
     val (states, _, _) = hyperBallLoop(spark, edges, state0, None, maxHops)
     states.zipWithIndex.map { case (st, i) =>
@@ -1021,12 +1067,19 @@ object GraphQueries {
       lgK: Int = 12,
       idCol: String = "id",
       initState: Option[DataFrame] = None,
-      newEdges: Option[DataFrame] = None
+      newEdges: Option[DataFrame] = None,
+      shuffleBudgetBytes: Option[Long] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    // Budget-capped lgK (see anfAutoLgK). Warm ≡ cold requires the SAME
+    // register geometry across resume: a persisted state's sketches keep
+    // their build-time lgK (hll_union merges mixed-lgK down, so a resume
+    // under a TIGHTER budget still converges — but estimate-exactness vs
+    // a cold rebuild is only contractual at equal lgK).
+    val lgKEff = resolveLgK(lgK, edges, shuffleBudgetBytes)
     val v = vertices.select(col(idCol).cast("long").as("id")).distinct()
-    val selfSk = v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgK)).as("_sk"))
+    val selfSk = v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgKEff)).as("_sk"))
     val (state0, frontier0) = initState match {
       case None => (selfSk, None)
       case Some(init) =>

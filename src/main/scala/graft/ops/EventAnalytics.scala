@@ -1036,6 +1036,112 @@ object EventAnalytics {
       sum(col("n_censored")).as("n_censored"))
   }
 
+  /** The competing-risks analogue of [[survivalPartials]]: collapse
+    * subjects to `(bin, cause, n)` cells where `cause` is the event type
+    * that ENDED the subject's observation (NULL ⇔ censored) — the
+    * additive, mergeable state behind [[cumulativeIncidenceFromState]].
+    * Same coarse-bin contract: one partial-agg shuffle, ≤|bins|·|causes|
+    * rows regardless of corpus size.
+    */
+  def competingPartials(
+      df: DataFrame,
+      duration: Column,
+      cause: Column,
+      binWidth: Long = 1L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.select((duration.cast("long") / lit(binWidth)).cast("long").as("bin"),
+        cause.cast("string").as("cause"))
+      .where(col("bin").isNotNull)
+      .groupBy(col("bin"), col("cause")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge [[competingPartials]] states by summation (the
+    * [[survivalMerge]] property with the cause key along for the ride). */
+  def competingMerge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "competingMerge needs at least one partial state")
+    parts.reduce(_ unionByName _).groupBy(col("bin"), col("cause"))
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Aalen–Johansen cumulative incidence from a (merged)
+    * [[competingPartials]] state — the competing-risks curve the
+    * Kaplan–Meier CANNOT give: when several event types compete (first
+    * purchase vs first churn; dedup-drop vs quality-drop), 1−KM of one
+    * cause treats the others as censoring and OVERSTATES every risk.
+    * The CIF is the honest decomposition:
+    * `CIF_k(t) = Σ_{t'≤ t} Ŝ(t'−)·d_k(t')/n(t')` with `Ŝ` the ALL-CAUSE
+    * KM — so `Σ_k CIF_k(t) = 1 − Ŝ(t)` exactly (spec-pinned identity).
+    *
+    * Returns one row per (event bin, cause) — the step-curve's corners:
+    * `(t, cause, n_risk, n_events, cif)`; bins where a cause had no
+    * events inherit the previous corner (no grid densification, so the
+    * frame is |event cells| rows and the plan needs no cross join).
+    *
+    * Determinism (the [[rmst]] discipline): increments ride the ROUNDED
+    * published Ŝ(t−) (a reader integrating the published KM must get
+    * this CIF), each increment is rounded at 12dp and summed as exact
+    * DECIMAL per cause — the one sequential IEEE fold is the all-cause
+    * KM product itself, oracle-replayed by the recursive-CTE pattern.
+    *
+    * Scale shape: [[kaplanMeierFromState]]'s — every window, the product
+    * fold, and the per-cause cumulative sums run over ≤|bins| (resp.
+    * ≤|bins|·|causes|) rows; the corpus only ever passes through the ONE
+    * [[competingPartials]] shuffle.
+    */
+  def cumulativeIncidenceFromState(state: DataFrame, scale: Int = 6): DataFrame = {
+    val spark = state.sparkSession
+    val st = graft.Caches.track(
+      state.select(col("bin").cast("long").as("t"),
+        col("cause").cast("string").as("cause"), col("n").cast("long").as("n")))
+    val g = st.groupBy(col("t")).agg(
+      sum(when(col("cause").isNotNull, col("n")).otherwise(0L)).as("d"),
+      sum(when(col("cause").isNull, col("n")).otherwise(0L)).as("c"))
+    // (t, n_risk, Ŝ(t−)): the kmCore sweep emitting the LAGGED product
+    val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val withRisk = g
+      .withColumn("_prior", coalesce(sum(col("d") + col("c")).over(wPrior), lit(0L)))
+      .withColumn("_nt", sum(col("d") + col("c")).over(wAll))
+      .withColumn("n_risk", col("_nt") - col("_prior"))
+      .select(col("t"), col("n_risk"), col("d"))
+      .repartition(1)
+      .sortWithinPartitions(col("t"))
+    val axisSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_risk", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_sp", org.apache.spark.sql.types.DoubleType)))
+    val axisRows = withRisk.rdd.mapPartitions { it =>
+      var s = 1.0
+      it.map { r =>
+        val nRisk = r.getLong(1)
+        val out = org.apache.spark.sql.Row(r.getLong(0), nRisk, s)
+        s = s * (1.0 - r.getLong(2).toDouble / nRisk)
+        out
+      }
+    }
+    val axis = spark.createDataFrame(axisRows, axisSchema)
+      .select(col("t"), col("n_risk"), round(col("_sp"), scale).as("_sp"))
+    val ev = st.where(col("cause").isNotNull)
+      .groupBy(col("t"), col("cause")).agg(sum(col("n")).as("n_events"))
+    val w = Window.partitionBy(col("cause")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.join(axis, Seq("t"))
+      .withColumn("_i",
+        round(col("_sp") * col("n_events") / col("n_risk"), 12).cast("decimal(38,12)"))
+      .select(col("t"), col("cause"), col("n_risk"), col("n_events"),
+        round(sum(col("_i")).over(w).cast("double"), scale).as("cif"))
+  }
+
+  /** [[cumulativeIncidenceFromState]] straight off subject rows —
+    * `cause` NULL ⇔ censored, any other value is a competing event type. */
+  def cumulativeIncidence(
+      df: DataFrame,
+      duration: Column,
+      cause: Column,
+      binWidth: Long = 1L,
+      scale: Int = 6): DataFrame =
+    cumulativeIncidenceFromState(competingPartials(df, duration, cause, binWidth), scale)
+
   /** Kaplan–Meier curve served from a (merged) [[survivalPartials]]
     * state: identical estimator to [[kaplanMeier]] with the bin index as
     * the time axis — the corpus-scale face for continuous durations,

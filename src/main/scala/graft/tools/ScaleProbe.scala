@@ -145,6 +145,19 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     System.setProperty("graft.hash", sys.env.getOrElse("SPARK_GRAFT_HASH", "xxhash"))
     System.setProperty("graft.mode", "bench")
+    // ANF shuffle budget: unless the caller pinned one, give the ANF
+    // family a THIRD of this box's free disk as its per-round budget —
+    // GraphQueries.anfAutoLgK then downgrades lgK at the 100× tier
+    // (where dense lgK=11 sketches previously filled the disk) and the
+    // operator logs the chosen lgK + σ; sf0.1 and the 10× tier fit
+    // lgK=11 inside any sane budget, so their numbers are unchanged.
+    if (sys.props.get("graft.anf.budget.mb").isEmpty &&
+        sys.env.get("SPARK_GRAFT_ANF_BUDGET_MB").isEmpty) {
+      val freeMb = new java.io.File(".").getUsableSpace >> 20
+      System.setProperty("graft.anf.budget.mb", (freeMb / 3).toString)
+      println(s"[scale] graft.anf.budget.mb defaulted to ${freeMb / 3} " +
+        s"(free disk ${freeMb >> 10} GB)")
+    }
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
     val sf1  = args.lift(1).getOrElse("scale_probe/sf1.0")
     val out  = args.lift(2).getOrElse("BENCH_SCALE.json")

@@ -255,6 +255,31 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("anfAutoLgK: budget arithmetic; a budget-capped run still matches exact small balls") {
+    import graft.graph.GraphQueries.anfAutoLgK
+    // 1M contribution rows against 1 GB: lgK=9 costs (512+64)·1M = 576 MB
+    // (fits), lgK=10 costs 1088 MB (does not)
+    assert(anfAutoLgK(1000000L, 1L << 30) == 9)
+    // generous budget keeps the caller's lgK; absurd row counts floor at 4
+    assert(anfAutoLgK(1000L, 1L << 30, lgKMax = 11) == 11)
+    assert(anfAutoLgK(Long.MaxValue / 2, 1L << 30) == 4)
+    // degenerate edge frame still resolves (rows clamped to 1)
+    assert(anfAutoLgK(0L, 1L << 30, lgKMax = 12) == 12)
+
+    // a budget that forces lgK down must not change SMALL-ball estimates:
+    // HLL sparse mode is exact below the register threshold at any lgK
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (canon ++ canon.map(_.swap)).toDF("src", "dst")
+    val v = e.select(col("src").as("id")).distinct()
+    def est(budget: Option[Long]) = GraphQueries.neighborhoodFunction(
+        spark, v, e, maxHops = 3, lgK = 12, shuffleBudgetBytes = budget)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> math.round(r.getDouble(2))).toMap
+    val full = est(None)
+    val capped = est(Some(6L * ((1L << 4) + 64L))) // 6 rows ⇒ exactly lgK=4 fits
+    assert(capped == full, s"budget-capped $capped vs default $full")
+    graft.Caches.clear()
+  }
+
   test("hyperBall adaptive merge: forced narrow anti+inner ≡ forced full-outer ≡ default, per round") {
     import org.apache.spark.sql.DataFrame
     // Long-tail graph: K6 clique (1..6) + directed path 14→15→…→20 with

@@ -716,6 +716,82 @@ class EventAnalyticsSpec extends SparkSpec {
       s"efron $ef should differ from breslow $br on a 4-point duration grid")
   }
 
+  test("cumulativeIncidence: hand-computed Aalen–Johansen corners") {
+    import spark.implicits._
+    val subj = Seq[(Long, Option[String])](
+      (1L, Some("a")), (1L, None),
+      (2L, Some("b")), (2L, Some("b")),
+      (3L, Some("a")), (3L, None), (3L, None),
+      (4L, Some("b")),
+      (5L, None), (5L, None))
+      .toDF("t", "cause")
+    val got = EventAnalytics.cumulativeIncidence(subj, col("t"), col("cause"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // S(t−) lag: 1, .9, .675, .5625 — corners computed by hand
+    assert(got((1L, "a")) == ((10L, 1L, 0.1)))
+    assert(got((2L, "b")) == ((8L, 2L, 0.225)))
+    assert(got((3L, "a")) == ((6L, 1L, 0.2125)))
+    assert(got((4L, "b")) == ((3L, 1L, 0.4125)))
+    assert(got.size == 4, got.toString)
+  }
+
+  test("cumulativeIncidence: sum over causes ≡ 1 − all-cause KM; single cause ≡ 1 − survival") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val subj = (0 until 300).map { _ =>
+      val t = rnd.nextInt(20).toLong
+      val cause = rnd.nextInt(4) match {
+        case 0 => Some("x"); case 1 => Some("y"); case 2 => Some("z"); case _ => None
+      }
+      (t, cause)
+    }.toDF("t", "cause")
+    val cif = EventAnalytics.cumulativeIncidence(subj, col("t"), col("cause"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4))
+    val km = EventAnalytics.kaplanMeierFromState(
+      EventAnalytics.survivalPartials(subj, col("t"), col("cause").isNotNull))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // carry each cause's last corner forward, check the identity at every
+    // event time: Σ_k CIF_k(t) = 1 − Ŝ(t)
+    val ts = cif.map(_._1._1).distinct.sorted
+    val causes = cif.map(_._1._2).distinct
+    val byKey = cif.toMap
+    var last = causes.map(_ -> 0.0).toMap
+    ts.foreach { t =>
+      last = causes.map(c => c -> byKey.getOrElse((t, c), last(c))).toMap
+      val lhs = last.values.sum
+      assert(math.abs(lhs - (1.0 - km(t))) <= 5e-6,
+        s"t=$t: sum CIF $lhs vs 1-KM ${1.0 - km(t)}")
+    }
+    // one cause only: the CIF IS the complement of the survival curve
+    val one = subj.select(col("t"),
+      when(col("cause").isNotNull, lit("e")).otherwise(lit(null)).as("cause"))
+    val cif1 = EventAnalytics.cumulativeIncidence(one, col("t"), col("cause"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    cif1.foreach { case (t, v) =>
+      assert(math.abs(v - (1.0 - km(t))) <= 5e-6, s"t=$t: $v vs ${1.0 - km(t)}")
+    }
+  }
+
+  test("competingMerge: split-state CIF ≡ whole-corpus CIF, exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, rnd.nextInt(15).toLong,
+        if (rnd.nextBoolean()) Some(if (rnd.nextBoolean()) "a" else "b") else None)
+    }
+    val df = rows.toDF("id", "t", "cause")
+    val whole = EventAnalytics.cumulativeIncidence(df, col("t"), col("cause"), binWidth = 2L)
+      .collect().toSet
+    val merged = EventAnalytics.cumulativeIncidenceFromState(
+      EventAnalytics.competingMerge(Seq(
+        EventAnalytics.competingPartials(df.where(col("id") % 3 === 0), col("t"), col("cause"), 2L),
+        EventAnalytics.competingPartials(df.where(col("id") % 3 === 1), col("t"), col("cause"), 2L),
+        EventAnalytics.competingPartials(df.where(col("id") % 3 === 2), col("t"), col("cause"), 2L))))
+      .collect().toSet
+    assert(merged == whole)
+  }
+
   test("linearAttribution: equal shares, window exclusion, touchless conversions drop") {
     import spark.implicits._
     val e = Seq(
