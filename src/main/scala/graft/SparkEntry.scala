@@ -3165,6 +3165,82 @@ object SparkEntry {
       }
     }),
 
+    // STRATIFIED Cox PH: q377's fit with the user_id%3 segment promoted
+    // from covariate to STRATUM — a free baseline hazard per segment, one
+    // shared (arm, heavy) β; risk sets never cross segments. Verify face:
+    // the q377 gate with the independently-recomputed likelihood summed
+    // PER STRATUM (the stratified partial likelihood factorizes). Bench
+    // face: the Efron stratified fit frame.
+    "q380_cox_stratified" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val u = days.groupBy(col("user_id")).agg(
+        min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pd"),
+        count(lit(1)).as("_ne"))
+      val obs = graft.Caches.track(
+        u.select(
+          (coalesce(col("_pd"), col("_ld")) - col("_fd")).as("dur"),
+          col("_pd").isNotNull.as("ev"),
+          (col("user_id") % 2).cast("double").as("arm"),
+          when(floor(log2(col("_ne"))) >= 6, 1.0).otherwise(0.0).as("heavy"),
+          (col("user_id") % 3).cast("string").as("segment")))
+      val covs = Seq("arm" -> col("arm"), "heavy" -> col("heavy"))
+      val efron = graft.ops.EventAnalytics.coxStratified(
+        obs, (col("dur") / 3L).cast("long"), col("ev"), covs,
+        strata = col("segment"), ties = "efron")
+      if (benchMode) efron
+      else {
+        val breslow = graft.ops.EventAnalytics.coxStratified(
+          obs, (col("dur") / 3L).cast("long"), col("ev"), covs,
+          strata = col("segment"))
+        val subj = obs.select(col("segment"), (col("dur") / 3L).cast("long"),
+            col("ev"), col("arm"), col("heavy"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+            Array(r.getDouble(3), r.getDouble(4))))
+        val nEvents = subj.count(_._3).toLong
+        // independent STRATIFIED log partial likelihood off raw rows
+        def logL(b: Array[Double], efronTies: Boolean): Double =
+          subj.map(_._1).distinct.sorted.map { st =>
+            val sub = subj.filter(_._1 == st)
+            val times = sub.filter(_._3).map(_._2).distinct.sorted
+            times.map { t =>
+              val atRisk = sub.filter(_._2 >= t)
+              val ev = sub.filter(x => x._2 == t && x._3)
+              val d = ev.length.toDouble
+              def bx(x: Array[Double]) = b(0) * x(0) + b(1) * x(1)
+              val s0 = atRisk.map(x => math.exp(bx(x._4))).sum
+              val evTerm = ev.map(x => bx(x._4)).sum
+              if (!efronTies) evTerm - d * math.log(s0)
+              else {
+                val d0 = ev.map(x => math.exp(bx(x._4))).sum
+                evTerm - (0 until d.toInt).map(l => math.log(s0 - (l / d) * d0)).sum
+              }
+            }.sum
+          }.sum
+        def gate(fit: org.apache.spark.sql.DataFrame, efronTies: Boolean): Boolean = {
+          val rows = fit.collect().map(r => r.getString(0) -> r).toMap
+          if (nEvents == 0) true
+          else if (!rows.values.forall(_.getBoolean(8))) false
+          else {
+            val b = Array(rows("arm").getDouble(1), rows("heavy").getDouble(1))
+            val l0 = logL(b, efronTies)
+            (0 until 2).forall { k =>
+              val up = b.clone(); up(k) += 1e-3
+              val dn = b.clone(); dn(k) -= 1e-3
+              l0 >= logL(up, efronTies) && l0 >= logL(dn, efronTies)
+            }
+          }
+        }
+        s.range(1).select(
+          lit(subj.length.toLong).as("n"), lit(nEvents).as("events"),
+          lit(3L).as("n_strata"),
+          lit(gate(breslow, efronTies = false)).as("breslow_pass"),
+          lit(gate(efron, efronTies = true)).as("efron_pass"))
+      }
+    }),
+
     // competing-risks cumulative incidence (Aalen–Johansen) on the
     // conversion clock: the FIRST of {purchase, signup} ends each user's
     // observation (tie → purchase, the fixed rule both faces share);
@@ -12459,6 +12535,24 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS events,
         |  CAST(3 AS BIGINT) AS p,
+        |  CAST(TRUE AS BOOLEAN) AS breslow_pass,
+        |  CAST(TRUE AS BOOLEAN) AS efron_pass
+        |FROM u""".stripMargin,
+
+    // q380: the gate row — q377's totals + the stratum count; the
+    // per-axis local-max self-verification of the PER-STRATUM-summed
+    // likelihood happens inside the query
+    "q380_cox_stratified" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type FROM events
+        |), u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+        |  FROM e GROUP BY 1)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS events,
+        |  CAST(count(DISTINCT user_id % 3) AS BIGINT) AS n_strata,
         |  CAST(TRUE AS BOOLEAN) AS breslow_pass,
         |  CAST(TRUE AS BOOLEAN) AS efron_pass
         |FROM u""".stripMargin,

@@ -80,8 +80,10 @@ object ExperimentDemo {
       .select(col("user_id"), expr("ts div 86400000000000").as("day"), col("event_type"))
     val u = days.groupBy(col("user_id")).agg(
       min(col("day")).as("fd"), max(col("day")).as("ld"),
-      min(when(col("event_type") === "purchase", col("day"))).as("pd"))
+      min(when(col("event_type") === "purchase", col("day"))).as("pd"),
+      min(when(col("event_type") === "signup", col("day"))).as("sd"))
     val obsSpans = u.select(
+      col("user_id"),
       (coalesce(col("pd"), col("ld")) - col("fd")).as("dur"),
       col("pd").isNotNull.as("ev"),
       (col("user_id") % 2 === 0).as("arm")).cache()
@@ -114,6 +116,31 @@ object ExperimentDemo {
     val rmstA = EventAnalytics.rmst(obsSpans.where(col("arm")), col("dur"), col("ev"), tau = 30L).head
     val rmstB = EventAnalytics.rmst(obsSpans.where(!col("arm")), col("dur"), col("ev"), tau = 30L).head
     obs("RMST@30", s"A=${rmstA.get(2)} B=${rmstB.get(2)} days purchase-free")
+
+    // 9. the adjusted fit once one covariate isn't enough: arm + a
+    // heavy-user flag, segment baselines stratified out (free per-segment
+    // hazard, one shared beta) — Efron ties, the package default
+    val adj = obsSpans.withColumn("heavy", (col("user_id") % 5 < 2).cast("double"))
+      .withColumn("segment", (col("user_id") % 3).cast("string"))
+    val fit = EventAnalytics.coxStratified(
+      adj, (col("dur") / 3L).cast("long"), col("ev"),
+      Seq("arm" -> col("arm").cast("double"), "heavy" -> col("heavy")),
+      strata = col("segment"), ties = "efron").collect()
+    obs("stratified Cox", fit.map(r =>
+      s"${r.getString(0)}: HR=${r.get(2)} z=${r.get(4)}").mkString(" ") +
+      s" converged=${fit.head.getBoolean(8)}")
+
+    // 10. when purchase COMPETES with signup for "first conversion", 1-KM
+    // of either alone overstates it — the CIF decomposes the risk honestly
+    val firstOf = u.select(
+      (coalesce(least(coalesce(col("pd"), col("sd")), coalesce(col("sd"), col("pd"))),
+        col("ld")) - col("fd")).as("dur"),
+      when(col("pd").isNotNull && (col("sd").isNull || col("pd") <= col("sd")), "purchase")
+        .when(col("sd").isNotNull, "signup").otherwise(lit(null)).as("cause"))
+    val cif = EventAnalytics.cumulativeIncidence(firstOf, col("dur"), col("cause"), binWidth = 3L)
+      .orderBy(col("t"), col("cause")).collect()
+    obs("competing-risks CIF", cif.takeRight(2).map(r =>
+      s"${r.getString(1)}@t=${r.getLong(0)}: ${r.getDouble(4)}").mkString(" "))
 
     println("EXPERIMENT-DONE")
     spark.stop()

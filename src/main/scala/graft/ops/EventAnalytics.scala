@@ -1861,9 +1861,32 @@ object EventAnalytics {
       maxIter: Int = 50,
       scale: Int = 6,
       ties: String = "breslow",
+      maxCells: Int = 100000): DataFrame =
+    coxStratified(df, duration, event, covariates, strata = lit(""),
+      maxIter, scale, ties, maxCells)
+
+  /** [[coxMulti]] with a STRATIFIED baseline — `h_s(t|x) = h₀ₛ(t)·e^{βᵀx}`:
+    * one shared β, a free baseline hazard PER STRATUM (site, cohort,
+    * device class — the nuisance a center effect would otherwise bias β
+    * through). The partial likelihood factorizes over strata, so the
+    * score/information are per-stratum sweeps SUMMED — risk sets never
+    * cross a stratum boundary. Same cell collapse with the stratum in the
+    * key (≤ maxCells total across strata, same coarse-grid contract);
+    * same output shape plus nothing — strata are integrated out.
+    * `coxMulti` is the single-stratum (constant `strata`) special case.
+    */
+  def coxStratified(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      covariates: Seq[(String, Column)],
+      strata: Column,
+      maxIter: Int = 50,
+      scale: Int = 6,
+      ties: String = "breslow",
       maxCells: Int = 100000): DataFrame = {
     require(covariates.nonEmpty && covariates.size <= 8,
-      s"coxMulti fits 1..8 covariates, got ${covariates.size}")
+      s"cox fits 1..8 covariates, got ${covariates.size}")
     require(covariates.map(_._1).distinct.size == covariates.size,
       "covariate names must be distinct")
     require(ties == "breslow" || ties == "efron",
@@ -1875,29 +1898,32 @@ object EventAnalytics {
 
     val xNames = covariates.indices.map(i => s"_x$i")
     val base = df.select(
-      duration.cast("long").as("_t") +: event.cast("boolean").as("_e") +:
+      strata.cast("string").as("_s") +: duration.cast("long").as("_t") +:
+        event.cast("boolean").as("_e") +:
         covariates.zipWithIndex.map { case ((_, c), i) => c.cast("double").as(s"_x$i") }: _*)
       .where(covariates.indices
         .map(i => col(s"_x$i").isNotNull && !isnan(col(s"_x$i")))
-        .foldLeft(col("_t").isNotNull && col("_e").isNotNull)(_ && _))
-    // the ONE distributed pass: subjects → (t, x-vector) cells
+        .foldLeft(col("_s").isNotNull && col("_t").isNotNull && col("_e").isNotNull)(_ && _))
+    // the ONE distributed pass: subjects → (stratum, t, x-vector) cells
     val cellsDf = graft.Caches.track(
-      base.groupBy(col("_t") +: xNames.map(col): _*)
+      base.groupBy(col("_s") +: col("_t") +: xNames.map(col): _*)
         .agg(count(lit(1)).as("_n"), sum(when(col("_e"), 1L).otherwise(0L)).as("_d")))
     val nCells = cellsDf.count()
     require(nCells <= maxCells,
-      s"coxMulti collapsed to $nCells (t, x) cells > maxCells=$maxCells — " +
+      s"cox collapsed to $nCells (stratum, t, x) cells > maxCells=$maxCells — " +
         "bin continuous covariates/durations to a coarse grid first " +
         "(the binned log-rank contract)")
-    // driver-sorted for a deterministic fold order
+    // driver-sorted for a deterministic fold order; strata swept in order
     val cells = cellsDf.collect()
-      .map(r => (r.getLong(0), xNames.indices.map(i => r.getDouble(1 + i)).toArray,
-        r.getLong(1 + p), r.getLong(2 + p)))
-      .sortBy { case (t, x, _, _) => (-t, x.mkString(",")) }
-    val n = cells.map(_._3).sum
-    val nEvents = cells.map(_._4).sum
+      .map(r => (r.getString(0), r.getLong(1),
+        xNames.indices.map(i => r.getDouble(2 + i)).toArray,
+        r.getLong(2 + p), r.getLong(3 + p)))
+      .sortBy { case (s, t, x, _, _) => (s, -t, x.mkString(",")) }
+    val n = cells.map(_._4).sum
+    val nEvents = cells.map(_._5).sum
 
-    // one descending-t sweep: returns (score U, information I) at beta
+    // one sweep: per-stratum descending-t risk accumulators, U/I summed
+    // across strata (the stratified partial likelihood factorizes)
     def scoreInfo(beta: Array[Double]): (Array[Double], Array[Array[Double]]) = {
       val u = new Array[Double](p)
       val inf = Array.fill(p, p)(0.0)
@@ -1906,11 +1932,18 @@ object EventAnalytics {
       val s2 = Array.fill(p, p)(0.0)
       var i = 0
       while (i < cells.length) {
-        val t = cells(i)._1
-        // absorb every cell at this t into the risk-set accumulators
+        val st = cells(i)._1
+        val t = cells(i)._2
+        if (i == 0 || cells(i - 1)._1 != st) {
+          // stratum boundary: its risk set starts empty
+          s0 = 0.0
+          java.util.Arrays.fill(s1, 0.0)
+          s2.foreach(row => java.util.Arrays.fill(row, 0.0))
+        }
+        // absorb every cell at this (stratum, t) into the accumulators
         var j = i
-        while (j < cells.length && cells(j)._1 == t) {
-          val (_, x, cn, _) = cells(j)
+        while (j < cells.length && cells(j)._1 == st && cells(j)._2 == t) {
+          val (_, _, x, cn, _) = cells(j)
           var bx = 0.0
           var k = 0
           while (k < p) { bx += beta(k) * x(k); k += 1 }
@@ -1925,8 +1958,8 @@ object EventAnalytics {
           }
           j += 1
         }
-        // events at t: risk set is exactly the accumulators (t' >= t)
-        val dj = (i until j).map(cells(_)._4).sum
+        // events at (stratum, t): risk set = this stratum's accumulators
+        val dj = (i until j).map(cells(_)._5).sum
         if (dj > 0L) {
           val sumXev = new Array[Double](p)
           var d0 = 0.0
@@ -1934,7 +1967,7 @@ object EventAnalytics {
           val d2 = Array.fill(p, p)(0.0)
           var q = i
           while (q < j) {
-            val (_, x, _, cd) = cells(q)
+            val (_, _, x, _, cd) = cells(q)
             if (cd > 0L) {
               var k = 0
               while (k < p) { sumXev(k) += cd.toDouble * x(k); k += 1 }

@@ -716,6 +716,71 @@ class EventAnalyticsSpec extends SparkSpec {
       s"efron $ef should differ from breslow $br on a 4-point duration grid")
   }
 
+  test("coxStratified: constant stratum ≡ coxMulti; strata never cross risk sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    val df = (0 until 150).map { i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(10) < 7, (i % 3).toDouble)
+    }.toDF("dur", "ev", "x1")
+    val multi = EventAnalytics.coxMulti(
+      df, col("dur"), col("ev"), Seq("x1" -> col("x1"))).collect().toSeq
+    val strat = EventAnalytics.coxStratified(
+      df, col("dur"), col("ev"), Seq("x1" -> col("x1")), strata = lit("z"))
+      .collect().toSeq
+    assert(strat == multi)
+  }
+
+  test("coxStratified: shared beta across shifted-baseline strata; pooled fit is confounded (both tie modes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(103)
+    // stratum B lives on a disjoint, much later time axis AND has a
+    // different covariate mix — pooling the baselines mixes B's whole
+    // cohort into every A-time risk set, confounding beta
+    val subjects = (0 until 240).map { i =>
+      val inB = i % 3 == 0
+      val x1 = (if (inB) i % 2 else i % 4).toDouble
+      val base = rnd.nextInt(15) + (4 - x1.toInt)
+      val dur = (if (inB) 1000 + base else base).toLong
+      (if (inB) "B" else "A", dur, rnd.nextInt(10) < 7, x1)
+    }
+    val df = subjects.toDF("s", "dur", "ev", "x1")
+    for (ties <- Seq("breslow", "efron")) {
+      val got = EventAnalytics.coxStratified(
+        df, col("dur"), col("ev"), Seq("x1" -> col("x1")), strata = col("s"),
+        ties = ties).collect().head
+      assert(got.getBoolean(8), s"$ties must converge")
+      val beta = got.getDouble(1)
+
+      // independent STRATIFIED log partial likelihood: per-stratum sums
+      def logL(b: Double): Double = Seq("A", "B").map { st =>
+        val sub = subjects.filter(_._1 == st)
+        val times = sub.filter(_._3).map(_._2).distinct.sorted
+        times.map { t =>
+          val atRisk = sub.filter(_._2 >= t)
+          val ev = sub.filter(x => x._2 == t && x._3)
+          val d = ev.size.toDouble
+          val s0 = atRisk.map(x => math.exp(b * x._4)).sum
+          val evTerm = ev.map(x => b * x._4).sum
+          if (ties == "breslow") evTerm - d * math.log(s0)
+          else {
+            val d0 = ev.map(x => math.exp(b * x._4)).sum
+            evTerm - (0 until d.toInt).map(l => math.log(s0 - (l / d) * d0)).sum
+          }
+        }.sum
+      }.sum
+      val l0 = logL(beta)
+      assert(l0 >= logL(beta + 1e-3) && l0 >= logL(beta - 1e-3),
+        s"$ties: stratified loglik not locally maximal at $beta")
+
+      // the pooled (single-baseline) fit lands somewhere else
+      val pooled = EventAnalytics.coxMulti(
+        df, col("dur"), col("ev"), Seq("x1" -> col("x1")), ties = ties)
+        .collect().head.getDouble(1)
+      assert(math.abs(pooled - beta) > 1e-3,
+        s"$ties: pooled $pooled should differ from stratified $beta on shifted baselines")
+    }
+  }
+
   test("cumulativeIncidence: hand-computed Aalen–Johansen corners") {
     import spark.implicits._
     val subj = Seq[(Long, Option[String])](
