@@ -3165,6 +3165,32 @@ object SparkEntry {
       }
     }),
 
+    // Fleming–Harrington G(1,1) weighted log-rank on q359's purchase-
+    // clock states: the tunable weighted-log-rank member between the
+    // unweighted q357 and Gehan's early-weight q369 — w = Ŝ(t−)(1−Ŝ(t−))
+    // peaks mid-curve. Integer exponents keep the weight a plain product
+    // in both engines (pow ulp is not pinned cross-engine), so this is a
+    // FULL-VALUE oracle: q357's window machinery + q219's recursive-CTE
+    // KM product carried lagged, weighted decimal sums in pinned order.
+    "q381_fleming_harrington" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val u = days.groupBy(col("user_id")).agg(
+        min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pd"))
+      val obs = graft.Caches.track(
+        u.select(
+          (coalesce(col("_pd"), col("_ld")) - col("_fd")).as("dur"),
+          col("_pd").isNotNull.as("ev"),
+          (col("user_id") % 2 === 0).as("arm")))
+      graft.ops.EventAnalytics.flemingHarringtonFromStates(
+        graft.ops.EventAnalytics.survivalPartials(
+          obs.where(col("arm")), col("dur"), col("ev"), binWidth = 3L),
+        graft.ops.EventAnalytics.survivalPartials(
+          obs.where(!col("arm")), col("dur"), col("ev"), binWidth = 3L),
+        rho = 1.0, gamma = 1.0)
+    }),
+
     // STRATIFIED Cox PH: q377's fit with the user_id%3 segment promoted
     // from covariate to STRATUM — a free baseline hazard per segment, one
     // shared (arm, heavy) β; risk sets never cross segments. Verify face:
@@ -12538,6 +12564,65 @@ object SparkEntry {
         |  CAST(TRUE AS BOOLEAN) AS breslow_pass,
         |  CAST(TRUE AS BOOLEAN) AS efron_pass
         |FROM u""".stripMargin,
+
+    // q381: FULL-VALUE weighted-log-rank oracle — q357's window
+    // machinery on q359's purchase clock, the pooled KM product replayed
+    // lagged by the recursive CTE (k.sp updated with the PREVIOUS event
+    // row's d/n), w = round(sp,6)·(1−round(sp,6)) as a plain product
+    // (integer exponents — pow ulp is not pinned cross-engine)
+    "q381_fleming_harrington" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS fd, max(day) AS ld,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+        |  FROM e GROUP BY 1),
+        |obs AS (SELECT (coalesce(pd, ld) - fd) // 3 AS t,
+        |          (pd IS NOT NULL) AS ev, (user_id % 2 = 0) AS a FROM u),
+        |g AS (SELECT t,
+        |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        |        CAST(sum(CASE WHEN a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |        CAST(sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d0
+        |      FROM obs GROUP BY 1),
+        |r AS (SELECT t, d1, d0,
+        |        CAST(sum(r1) OVER () AS BIGINT)
+        |          - CAST(coalesce(sum(r1) OVER wp, 0) AS BIGINT) AS n1,
+        |        CAST(sum(r0) OVER () AS BIGINT)
+        |          - CAST(coalesce(sum(r0) OVER wp, 0) AS BIGINT) AS n0,
+        |        CAST(sum(r1) OVER () AS BIGINT) AS ta,
+        |        CAST(sum(r0) OVER () AS BIGINT) AS tb,
+        |        CAST(sum(d1) OVER () AS BIGINT) AS ea,
+        |        CAST(sum(d0) OVER () AS BIGINT) AS eb
+        |      FROM g
+        |      WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT *, row_number() OVER (ORDER BY t) AS rn FROM r WHERE d1 + d0 > 0),
+        |k AS (
+        |  SELECT rn, t, n1, n0, d1, d0, ta, tb, ea, eb, CAST(1.0 AS DOUBLE) AS sp
+        |  FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.rn, v.t, v.n1, v.n0, v.d1, v.d0, v.ta, v.tb, v.ea, v.eb,
+        |    k.sp * (CAST(1.0 AS DOUBLE) - CAST(k.d1 + k.d0 AS DOUBLE) / (k.n1 + k.n0))
+        |  FROM k JOIN v ON v.rn = k.rn + 1
+        |),
+        |w AS (SELECT *, round(sp, 6) AS spr FROM k),
+        |agg AS (
+        |  SELECT any_value(ta) AS n_a, any_value(tb) AS n_b,
+        |    any_value(ea) AS events_a, any_value(eb) AS events_b,
+        |    sum(CAST((spr * (1 - spr)) * (d1 - (CAST(d1 + d0 AS DOUBLE) * n1) / (n1 + n0))
+        |      AS DECIMAL(38,12))) AS oe,
+        |    sum(CAST((spr * (1 - spr)) * (spr * (1 - spr)) * (CASE WHEN n1 + n0 > 1 THEN
+        |      (CAST(d1 + d0 AS DOUBLE) * n1) / (n1 + n0) * n0 / (n1 + n0)
+        |        * ((n1 + n0) - (d1 + d0)) / ((n1 + n0) - 1)
+        |      ELSE CAST(0.0 AS DOUBLE) END) AS DECIMAL(38,12))) AS vv
+        |  FROM w)
+        |SELECT n_a, n_b, events_a, events_b,
+        |  CAST(1.0 AS DOUBLE) AS rho, CAST(1.0 AS DOUBLE) AS gamma,
+        |  round(CAST(oe AS DOUBLE), 6) AS o_minus_e,
+        |  round(CAST(vv AS DOUBLE), 6) AS var_o,
+        |  round(CASE WHEN vv > 0
+        |    THEN CAST(oe AS DOUBLE) / sqrt(CAST(vv AS DOUBLE)) END, 6) AS z
+        |FROM agg""".stripMargin,
 
     // q380: the gate row — q377's totals + the stratum count; the
     // per-axis local-max self-verification of the PER-STRATUM-summed

@@ -110,6 +110,9 @@ object ExperimentDemo {
       "(Gehan up-weights EARLY gaps; a large split between the two flags crossing curves)")
     obs("Cox hazard ratio", s"HR=${cox.get(5)} beta=${cox.get(4)} z=${cox.get(7)} " +
       s"converged=${cox.get(9)}")
+    val fh = EventAnalytics.flemingHarringtonFromStates(stA, stB, rho = 0.0, gamma = 1.0).head
+    obs("FH(0,1) late-weight", s"z=${fh.get(8)} " +
+      "(up-weights LATE gaps — compare against z_lr when the effect is delayed)")
 
     // 8. the effect-size reading a stakeholder can price: mean purchase-
     // free days within the first 30, per arm

@@ -1615,6 +1615,128 @@ object EventAnalytics {
     logRankCore(g, scale, gehan = true)
   }
 
+  /** Fleming–Harrington G(ρ,γ) weighted log-rank — the tunable member of
+    * the weighted-log-rank family: each event time's O−E is weighted by
+    * `w = Ŝ(t−)^ρ · (1−Ŝ(t−))^γ` with `Ŝ` the POOLED Kaplan–Meier lagged
+    * one event time. ρ=γ=0 IS the log-rank (spec-pinned exact — w ≡ 1
+    * leaves the [[logRankCore]] arithmetic bit-identical); ρ>0 up-weights
+    * EARLY differences (like [[gehanWilcoxonTest]] but bounded weights),
+    * γ>0 up-weights LATE ones — the test to pre-register when the effect
+    * is expected to emerge after a delay (onboarding changes, long-term
+    * retention). Output: `(n_a, n_b, events_a, events_b, rho, gamma,
+    * o_minus_e, var_o, z)`.
+    *
+    * Determinism (the [[cumulativeIncidenceFromState]] discipline): the
+    * weight rides the ROUNDED published Ŝ(t−); the only sequential IEEE
+    * fold is the pooled KM product (oracle-replayed by the recursive-CTE
+    * pattern); weighted O−E / V terms decimal-sum order-free. With
+    * integer ρ/γ the weight is plain multiplication in both engines —
+    * fractional exponents ride `pow`, whose cross-engine ulp is not
+    * pinned (keep registry faces on integer exponents).
+    *
+    * Same collapse-first scale shape and coarse-time-axis contract as
+    * [[logRankTest]] / [[logRankFromStates]].
+    */
+  def flemingHarringtonTest(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      arm: Column,
+      rho: Double,
+      gamma: Double,
+      scale: Int = 6): DataFrame = {
+    val d = df.select(duration.cast("long").as("t"), event.cast("boolean").as("e"),
+        arm.cast("boolean").as("a"))
+      .where(col("t").isNotNull && col("e").isNotNull && col("a").isNotNull)
+    val g = d.groupBy(col("t")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("r1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("r0"),
+      sum(when(col("a") && col("e"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("a") && col("e"), 1L).otherwise(0L)).as("d0"))
+    fhCore(g, rho, gamma, scale)
+  }
+
+  /** [[flemingHarringtonTest]] served from two (merged)
+    * [[survivalPartials]] states — the corpus-scale binned face, like
+    * [[logRankFromStates]]. */
+  def flemingHarringtonFromStates(
+      stateA: DataFrame,
+      stateB: DataFrame,
+      rho: Double,
+      gamma: Double,
+      scale: Int = 6): DataFrame = {
+    val a = stateA.select(col("bin").cast("long").as("t"),
+      (col("n_events") + col("n_censored")).cast("long").as("r1"),
+      col("n_events").cast("long").as("d1"))
+    val b = stateB.select(col("bin").cast("long").as("t"),
+      (col("n_events") + col("n_censored")).cast("long").as("r0"),
+      col("n_events").cast("long").as("d0"))
+    val g = a.join(b, Seq("t"), "full")
+      .select(col("t"),
+        coalesce(col("r1"), lit(0L)).as("r1"),
+        coalesce(col("r0"), lit(0L)).as("r0"),
+        coalesce(col("d1"), lit(0L)).as("d1"),
+        coalesce(col("d0"), lit(0L)).as("d0"))
+    fhCore(g, rho, gamma, scale)
+  }
+
+  /** The G(ρ,γ) machinery over the collapsed `(t, r1, r0, d1, d0)` frame:
+    * [[logRankCore]]'s windows + one sequential pooled-KM sweep emitting
+    * the LAGGED Ŝ, then weighted decimal sums. */
+  private def fhCore(g: DataFrame, rho: Double, gamma: Double, scale: Int): DataFrame = {
+    require(rho >= 0.0 && gamma >= 0.0, s"rho/gamma must be >= 0, got ($rho, $gamma)")
+    val spark = g.sparkSession
+    val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val risk = g
+      .withColumn("_n1", sum(col("r1")).over(wAll) -
+        coalesce(sum(col("r1")).over(wPrior), lit(0L)))
+      .withColumn("_n0", sum(col("r0")).over(wAll) -
+        coalesce(sum(col("r0")).over(wPrior), lit(0L)))
+      .withColumn("_ta", sum(col("r1")).over(wAll))
+      .withColumn("_tb", sum(col("r0")).over(wAll))
+      .withColumn("_ea", sum(col("d1")).over(wAll))
+      .withColumn("_eb", sum(col("d0")).over(wAll))
+      .where(col("d1") + col("d0") > 0)
+      .select(col("t"), col("_n1"), col("_n0"), col("d1"), col("d0"),
+        col("_ta"), col("_tb"), col("_ea"), col("_eb"))
+      .repartition(1)
+      .sortWithinPartitions(col("t"))
+    val sch = org.apache.spark.sql.types.StructType(
+      risk.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_sp", org.apache.spark.sql.types.DoubleType))
+    val rows = risk.rdd.mapPartitions { it =>
+      var s = 1.0
+      it.map { r =>
+        val n = r.getLong(1) + r.getLong(2)
+        val d = r.getLong(3) + r.getLong(4)
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+        if (n > 0) s = s * (1.0 - d.toDouble / n)
+        out
+      }
+    }
+    val withSp = spark.createDataFrame(rows, sch)
+      .withColumn("_spr", round(col("_sp"), scale))
+    val nj = col("_n1") + col("_n0")
+    val dj = col("d1") + col("d0")
+    val e1 = (dj.cast("double") * col("_n1")) / nj
+    val vj = when(nj > 1,
+      (dj.cast("double") * col("_n1")) / nj * col("_n0") / nj *
+        (nj - dj) / (nj - 1)).otherwise(lit(0.0).cast("double"))
+    val w = pow(col("_spr"), lit(rho)) * pow(lit(1.0) - col("_spr"), lit(gamma))
+    withSp.agg(
+        first(col("_ta")).as("n_a"), first(col("_tb")).as("n_b"),
+        first(col("_ea")).as("events_a"), first(col("_eb")).as("events_b"),
+        sum((w * (col("d1") - e1)).cast("decimal(38,12)")).as("_oe"),
+        sum((w * w * vj).cast("decimal(38,12)")).as("_v"))
+      .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+        lit(rho).as("rho"), lit(gamma).as("gamma"),
+        round(col("_oe").cast("double"), scale).as("o_minus_e"),
+        round(col("_v").cast("double"), scale).as("var_o"),
+        round(when(col("_v") > 0,
+          col("_oe").cast("double") / sqrt(col("_v").cast("double"))), scale).as("z"))
+  }
+
   /** The Mantel–Cox machinery over an already-collapsed per-time per-arm
     * `(t, r1, r0, d1, d0)` frame (r = subjects reaching exactly t,
     * d = events at t). `gehan = true` weights each event time's O−E by

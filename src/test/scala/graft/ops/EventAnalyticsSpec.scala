@@ -716,6 +716,90 @@ class EventAnalyticsSpec extends SparkSpec {
       s"efron $ef should differ from breslow $br on a 4-point duration grid")
   }
 
+  test("flemingHarrington: rho=gamma=0 ≡ log-rank exactly; brute-force weighted reference at 4 exponent pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(107)
+    val subjects = (0 until 180).map { i =>
+      val a = i % 2 == 0
+      ((if (a) rnd.nextInt(14) else rnd.nextInt(18)).toLong, rnd.nextInt(10) < 7, a)
+    }
+    val df = subjects.toDF("dur", "ev", "arm")
+    val lr = EventAnalytics.logRankTest(df, col("dur"), col("ev"), col("arm"))
+      .collect().head
+    val fh00 = EventAnalytics.flemingHarringtonTest(
+      df, col("dur"), col("ev"), col("arm"), rho = 0.0, gamma = 0.0).collect().head
+    assert((0 to 3).forall(i => fh00.get(i) == lr.get(i)))
+    assert(fh00.getDouble(6) == lr.getDouble(4), "o_minus_e must be the log-rank's exactly")
+    assert(fh00.getDouble(7) == lr.getDouble(5) && fh00.getDouble(8) == lr.getDouble(6))
+
+    // brute-force reference straight off the subject list: pooled lagged
+    // KM, w = round(sp,6)^rho * (1-round(sp,6))^gamma, weighted O-E / V
+    def brute(rho: Double, gamma: Double): (Double, Double, Double) = {
+      val ts = subjects.map(_._1).distinct.sorted
+      var s = 1.0
+      var oe = BigDecimal(0); var vv = BigDecimal(0)
+      ts.foreach { t =>
+        val atRisk = subjects.filter(_._1 >= t)
+        val n1 = atRisk.count(_._3).toLong
+        val n0 = atRisk.size - n1
+        val d1 = subjects.count(x => x._1 == t && x._2 && x._3).toLong
+        val d0 = subjects.count(x => x._1 == t && x._2 && !x._3).toLong
+        val n = n1 + n0; val d = d1 + d0
+        if (d > 0) {
+          val spr = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val w = math.pow(spr, rho) * math.pow(1.0 - spr, gamma)
+          val e1 = d.toDouble * n1 / n
+          val vj = if (n > 1) d.toDouble * n1 / n * n0 / n * (n - d) / (n - 1) else 0.0
+          oe += BigDecimal(w * (d1 - e1)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          vv += BigDecimal(w * w * vj).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }
+        if (n > 0) s = s * (1.0 - d.toDouble / n)
+      }
+      def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val z = if (vv > 0) BigDecimal(oe.toDouble / math.sqrt(vv.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else Double.NaN
+      (r6(oe), r6(vv), z)
+    }
+    for ((rho, gamma) <- Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0))) {
+      val got = EventAnalytics.flemingHarringtonTest(
+        df, col("dur"), col("ev"), col("arm"), rho, gamma).collect().head
+      val (oe, vv, z) = brute(rho, gamma)
+      assert(math.abs(got.getDouble(6) - oe) <= 2e-6, s"($rho,$gamma) oe ${got.getDouble(6)} vs $oe")
+      assert(math.abs(got.getDouble(7) - vv) <= 2e-6, s"($rho,$gamma) v ${got.getDouble(7)} vs $vv")
+      assert(math.abs(got.getDouble(8) - z) <= 2e-6, s"($rho,$gamma) z ${got.getDouble(8)} vs $z")
+    }
+  }
+
+  test("flemingHarrington: gamma=1 out-scores the log-rank on late divergence; FromStates ≡ raw on the binned axis") {
+    import spark.implicits._
+    // arms identical through t<10, arm B keeps dying later: a LATE gap
+    val late = ((0 until 60).map { i =>
+      (math.min(i % 10, 9).toLong, i % 3 != 0, i % 2 == 0)
+    } ++ (0 until 40).map { i =>
+      val a = i % 2 == 0
+      ((if (a) 25 + (i % 6) else 12 + (i % 6)).toLong, true, a)
+    }).toDF("dur", "ev", "arm")
+    val z0 = math.abs(EventAnalytics.flemingHarringtonTest(
+      late, col("dur"), col("ev"), col("arm"), 0.0, 0.0).collect().head.getDouble(8))
+    val z01 = math.abs(EventAnalytics.flemingHarringtonTest(
+      late, col("dur"), col("ev"), col("arm"), 0.0, 1.0).collect().head.getDouble(8))
+    assert(z01 > z0, s"gamma=1 |z|=$z01 should beat log-rank |z|=$z0 on a late gap")
+
+    val rnd = new scala.util.Random(109)
+    val rows = (0 until 120).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextBoolean(), i % 3 == 0)
+    }.toDF("dur", "ev", "arm")
+    val bw = 4L
+    val fromStates = EventAnalytics.flemingHarringtonFromStates(
+      EventAnalytics.survivalPartials(rows.where(col("arm")), col("dur"), col("ev"), bw),
+      EventAnalytics.survivalPartials(rows.where(!col("arm")), col("dur"), col("ev"), bw),
+      rho = 1.0, gamma = 1.0).collect().head
+    val raw = EventAnalytics.flemingHarringtonTest(
+      rows.select((col("dur") / bw).cast("long").as("t"), col("ev"), col("arm")),
+      col("t"), col("ev"), col("arm"), rho = 1.0, gamma = 1.0).collect().head
+    assert(fromStates == raw)
+  }
+
   test("coxStratified: constant stratum ≡ coxMulti; strata never cross risk sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(101)
