@@ -4666,6 +4666,25 @@ object SparkEntry {
       }
     }),
 
+    // decontamination served from the SAME persisted LSH index as q375:
+    // the stored shingle sets ARE the training corpus's distinct 3-gram
+    // postings, so the eval sweep probes the on-disk store and the
+    // training text is never re-tokenized — the second index consumer
+    // (q378 maintains labels; this guards eval sets). FULL-VALUE oracle:
+    // the n-gram overlap verdict is exactly SQL-expressible.
+    "q382_index_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val hash = activeHash
+      val idx = Dedup.LshIndex(numHashes = 16, shingleWidth = 3, hash = hash)
+      val path = memo(s"lsh-index-$hash:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("lsh_index").toString + "/index"
+        idx.save(docs.where(col("doc_id") < 300), p)
+        p
+      }
+      graft.ops.Decontaminate.overlapFromIndex(s, idx, path,
+        docs.where(col("doc_id") >= 300), minShared = 20L)
+    }),
+
     "q47_dedup_incremental" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val hash = activeHash
@@ -4971,6 +4990,29 @@ object SparkEntry {
     "q375_lsh_index" ->
       (s"SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(TRUE AS BOOLEAN) AS index_pass " +
         s"FROM ($incrementalMinhashOracleSql)"),
+
+    // q382: FULL-VALUE index-decontamination oracle — q47's shingle CTE
+    // (the stored `sh` IS the distinct 3-gram set), postings join with a
+    // >= 20 shared-gram floor, verdict left-joined over the train universe
+    "q382_index_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)
+        |), tr AS (SELECT id AS doc_id, unnest(sh) AS gram FROM sh WHERE id < 300),
+        |ev AS (SELECT id AS eval_id, unnest(sh) AS gram FROM sh WHERE id >= 300),
+        |p AS (SELECT doc_id, eval_id, CAST(count(*) AS BIGINT) AS shared
+        |      FROM tr JOIN ev USING (gram) GROUP BY 1, 2 HAVING count(*) >= 20),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nm,
+        |          CAST(max(shared) AS BIGINT) AS ms FROM p GROUP BY 1)
+        |SELECT s.id AS doc_id,
+        |  CAST(coalesce(nm, 0) AS BIGINT) AS n_eval_matches,
+        |  CAST(coalesce(ms, 0) AS BIGINT) AS max_shared,
+        |  (nm IS NOT NULL) AS contaminated
+        |FROM sh s LEFT JOIN agg ON agg.doc_id = s.id
+        |WHERE s.id < 300""".stripMargin,
 
     // q378: the gate row — the label table covers the whole document
     // universe by construction; the index-served ≡ inline-incremental

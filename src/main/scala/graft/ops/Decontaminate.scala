@@ -125,6 +125,34 @@ object Decontaminate {
     toVerdict(train, idCol,
       overlapPairs(train, evalSet, textCol, idCol, n, minShared, bloomItems))
 
+  /** [[overlap]] with the TRAINING side served from a persisted
+    * MinHash-LSH index ([[graft.ops.Dedup.LshIndex]]): the stored `sh`
+    * column is exactly the corpus's distinct `shingleWidth`-token gram
+    * set (the same slice/join construction as [[gramPostings]], short
+    * docs included), so every eval sweep probes the ON-DISK postings and
+    * the training corpus is never re-tokenized — the decontamination
+    * twin of the index-served incremental-clusters consumer. The
+    * training universe for the verdict is the index's id set. Same
+    * output contract as [[overlap]]; same bloom-pruned probe shape.
+    */
+  def overlapFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      index: graft.ops.Dedup.LshIndex,
+      path: String,
+      evalSet: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minShared: Long = 1L,
+      bloomItems: Long = 1000000L
+  ): DataFrame = {
+    val stored = graft.Caches.track(index.load(spark, path))
+    val trainPost = stored.select(col("id").as("doc_id"), explode(col("sh")).as("gram"))
+    val evalPost = gramPostings(evalSet, textCol, idCol, index.shingleWidth)
+      .select(col("id").as("eval_id"), col("gram"))
+    toVerdict(stored.select(col("id")), "id",
+      probeCount(trainPost, evalPost, "gram", minShared, bloomItems))
+  }
+
   /** Exact-substring contamination evidence: (doc_id, eval_id, shared) —
     * `shared` counts distinct `window`-token spans appearing VERBATIM in
     * both documents (rolling md5 fingerprints,

@@ -91,6 +91,31 @@ class DecontaminateSpec extends SparkSpec {
     assert(out == Set((1L, 9L, 3L)), s"got $out")
   }
 
+  test("overlapFromIndex ≡ overlap at the index's shingle width; verdict over the index universe") {
+    import org.apache.spark.sql.functions.col
+    val train = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight at dusk",
+      2L -> "completely unrelated text about spark physical planning rules",
+      3L -> "short doc")
+    val eval = docs(
+      10L -> "witnesses saw the quick brown fox jumps over the lazy dog tonight",
+      11L -> "nothing here matches anything in the training corpus at all")
+    val idx = graft.ops.Dedup.LshIndex(numHashes = 16, shingleWidth = 3)
+    val path = java.nio.file.Files.createTempDirectory("lsh_idx_decon").toString + "/index"
+    idx.save(train, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val served = rows(Decontaminate.overlapFromIndex(
+      spark, idx, path, eval, minShared = 3L))
+    val inline = rows(Decontaminate.overlap(
+      train, eval, n = 3, minShared = 3L))
+    assert(served == inline, s"index-served $served vs inline $inline")
+    // doc 1 is quoted by eval 10; docs 2 and 3 are clean but PRESENT
+    val byId = served.map(t => t._1 -> t._4).toMap
+    assert(byId(1L) && !byId(2L) && !byId(3L), served.toString)
+    graft.Caches.clear()
+  }
+
   test("empty eval set flags nothing; everything survives") {
     val train = docs((1L, "a b c d"), (2L, "e f g h"))
     val ev    = docs()
