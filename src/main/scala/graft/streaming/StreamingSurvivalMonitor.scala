@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.EventAnalytics
+
+/** Incremental survival A/B monitoring over a stream of COMPLETED
+  * observation spans — the streaming face of the binned survival family
+  * ([[EventAnalytics.survivalPartials]] → KM / Nelson–Aalen / log-rank /
+  * Gehan / Fleming–Harrington / Cox, and [[EventAnalytics.competingPartials]]
+  * → the Aalen–Johansen CIF).
+  *
+  * The whole family's insight is that every estimator reads ONLY the
+  * additive per-`(arm, bin[, cause])` life-table counts, and sums are
+  * mergeable. So the monitor maintains exactly that table per
+  * micro-batch (each batch's contribution written to its own
+  * `ingest_batch=<id>` partition — dynamic-partition overwrite makes a
+  * replayed batch rewrite itself, not double-count: the
+  * [[StreamingDedupIngest]] / [[StreamingRateMonitor]] recovery
+  * contract), and every serving face merges ≤|arms|·|bins|·|causes|
+  * partial rows. Spans are never rescanned: at 100 TB of history the
+  * retention dashboard's log-rank reads a few hundred life-table rows.
+  *
+  * Input rows are completed spans `(durCol, eventCol, armCol[, causeCol])`
+  * — one per subject, emitted when the subject converts/churns or is
+  * censored at snapshot time. A bin straddling micro-batches merges its
+  * partials; arms are monitored jointly so one ingest pass feeds every
+  * two-sample face.
+  */
+case class StreamingSurvivalMonitor(
+    spark: SparkSession,
+    statePath: String,
+    binWidth: Long,
+    durCol: String = "dur",
+    eventCol: String = "ev",
+    armCol: String = "arm",
+    causeCol: Option[String] = None) {
+
+  require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+
+  /** Adds one micro-batch's per-arm life-table partials under its own
+    * batch partition (replay-idempotent). With `causeCol` set the state
+    * also carries per-cause event counts, so the CIF face is servable
+    * from the same table (`cause` NULL ⇔ censored, the
+    * [[EventAnalytics.competingPartials]] contract; the plain survival
+    * faces read `n_events` = any-cause).
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val causeExpr = causeCol match {
+      case Some(c) => when(col(eventCol).cast("boolean"), col(c).cast("string"))
+        .otherwise(lit(null))
+      case None => when(col(eventCol).cast("boolean"), lit("event"))
+        .otherwise(lit(null))
+    }
+    batch
+      // null ev is dropped, not censored (the survivalPartials contract)
+      .where(col(eventCol).cast("boolean").isNotNull)
+      .select(col(armCol).cast("boolean").as("arm"),
+        (col(durCol).cast("long") / lit(binWidth)).cast("long").as("bin"),
+        causeExpr.as("cause"))
+      .where(col("bin").isNotNull && col("arm").isNotNull)
+      .groupBy(col("arm"), col("bin"), col("cause"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write
+      .partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(statePath)
+  }
+
+  /** Starts the monitor over a file-source stream of completed spans. */
+  def start(schema: StructType, basePath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(basePath)
+      .writeStream
+      .foreachBatch(ingestBatch _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  private def merged(): DataFrame =
+    spark.read.parquet(statePath)
+      .groupBy(col("arm"), col("bin"), col("cause"))
+      .agg(sum(col("n")).as("n"))
+
+  /** One arm's merged [[EventAnalytics.survivalPartials]] state
+    * `(bin, n_events, n_censored)` — events = any cause. */
+  def stateOf(arm: Boolean): DataFrame =
+    merged().where(col("arm") === arm)
+      .groupBy(col("bin")).agg(
+        sum(when(col("cause").isNotNull, col("n")).otherwise(0L)).as("n_events"),
+        sum(when(col("cause").isNull, col("n")).otherwise(0L)).as("n_censored"))
+
+  /** One arm's merged [[EventAnalytics.competingPartials]] state
+    * `(bin, cause, n)` (requires `causeCol`). */
+  def competingStateOf(arm: Boolean): DataFrame = {
+    require(causeCol.isDefined, "competingStateOf needs causeCol at construction")
+    merged().where(col("arm") === arm).select(col("bin"), col("cause"), col("n"))
+  }
+
+  def kaplanMeier(arm: Boolean): DataFrame =
+    EventAnalytics.kaplanMeierFromState(stateOf(arm))
+
+  def nelsonAalen(arm: Boolean): DataFrame =
+    EventAnalytics.nelsonAalenFromState(stateOf(arm))
+
+  def logRank(): DataFrame =
+    EventAnalytics.logRankFromStates(stateOf(true), stateOf(false))
+
+  def gehanWilcoxon(): DataFrame =
+    EventAnalytics.gehanWilcoxonFromStates(stateOf(true), stateOf(false))
+
+  def flemingHarrington(rho: Double, gamma: Double): DataFrame =
+    EventAnalytics.flemingHarringtonFromStates(
+      stateOf(true), stateOf(false), rho, gamma)
+
+  def cox(ties: String = "breslow"): DataFrame =
+    EventAnalytics.coxFromStates(stateOf(true), stateOf(false), ties = ties)
+
+  /** Per-arm Aalen–Johansen cumulative incidence (requires `causeCol`). */
+  def cumulativeIncidence(arm: Boolean): DataFrame =
+    EventAnalytics.cumulativeIncidenceFromState(competingStateOf(arm))
+}
