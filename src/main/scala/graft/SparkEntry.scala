@@ -3901,8 +3901,10 @@ object SparkEntry {
       val bidir = canon.select(col("a").as("src"), col("b").as("dst"))
         .union(canon.select(col("b").as("src"), col("a").as("dst")))
       val v = bidir.select(col("src").as("id")).distinct()
+      // same budget knob as q304 — the ANF family shares the disk-fill
+      // hazard, so the heavy-tier probe must cap ALL of its members
       val anf = graft.Caches.track(graft.graph.GraphQueries.neighborhoodFunction(
-        s, v, bidir, maxHops = 3, lgK = 11))
+        s, v, bidir, maxHops = 3, lgK = 11, shuffleBudgetBytes = anfShuffleBudget))
       val ed = graft.graph.GraphQueries.effectiveDiameter(anf, q = 0.9)
       if (benchMode) ed
       else {
@@ -3944,13 +3946,19 @@ object SparkEntry {
       val priorPath = memo(s"anf-warm-prior:$dir") {
         val p = java.nio.file.Files.createTempDirectory("anf_prior").toString + "/sketches"
         val vOld = bidir(oldC).select(col("src").as("id")).distinct()
-        GraphQueries.neighborhoodSketches(s, vOld, bidir(oldC), maxHops = 12, lgK = 11)
+        // budget-capped like q304/q371: the cold prior build is the
+        // disk-heavy leg at the 100x tier (12 rounds of dense sketches).
+        // Warm ≡ cold exactness is only asserted in verify mode, where
+        // the budget is unset and lgK stays 11 everywhere.
+        GraphQueries.neighborhoodSketches(s, vOld, bidir(oldC), maxHops = 12, lgK = 11,
+            shuffleBudgetBytes = anfShuffleBudget)
           .write.mode("overwrite").parquet(p)
         p
       }
       val prior = s.read.parquet(priorPath)
       val warm = GraphQueries.neighborhoodSketches(s, vAll, bidir(allC), maxHops = 12,
-        lgK = 11, initState = Some(prior), newEdges = Some(bidir(addC)))
+        lgK = 11, initState = Some(prior), newEdges = Some(bidir(addC)),
+        shuffleBudgetBytes = anfShuffleBudget)
       if (benchMode)
         warm.select(col("id"), hll_sketch_estimate(col("sketch")).as("reach_est"))
       else {
@@ -4627,10 +4635,21 @@ object SparkEntry {
           docs = Some(hist)).select(col("doc_id"), col("cluster_id"))
         val p1 = idx.probe(s, p, b1, bands = 4, verifyThreshold = 0.7)
           .select(col("new_id"), col("old_id"))
-        val l1 = Dedup.incrementalClusters(s, labels0, p1,
+        // The pre-append snapshot must be REAL, not a soft cache barrier:
+        // the probe's lineage reads the store append() is about to mutate,
+        // and any recompute of a merely-cached plan after the append would
+        // silently relabel. Collect the bounded label table (≤ |hist∪b1|
+        // rows) and re-create it lineage-free.
+        val l1Rows = Dedup.incrementalClusters(s, labels0, p1,
           docs = Some(histPlusB1), aCol = "new_id", bCol = "old_id")
-          .select(col("doc_id"), col("cluster_id")).cache()
-        l1.count()
+          .select(col("doc_id"), col("cluster_id")).collect()
+        val l1 = s.createDataFrame(
+          s.sparkContext.parallelize(l1Rows.toSeq),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cluster_id",
+              org.apache.spark.sql.types.LongType))))
         idx.append(s, p, b1)
         (p, l1)
       }

@@ -1089,14 +1089,12 @@ object EventAnalytics {
     * [[competingPartials]] shuffle.
     */
   def cumulativeIncidenceFromState(state: DataFrame, scale: Int = 6): DataFrame = {
-    val spark = state.sparkSession
     val st = graft.Caches.track(
       state.select(col("bin").cast("long").as("t"),
         col("cause").cast("string").as("cause"), col("n").cast("long").as("n")))
     val g = st.groupBy(col("t")).agg(
       sum(when(col("cause").isNotNull, col("n")).otherwise(0L)).as("d"),
       sum(when(col("cause").isNull, col("n")).otherwise(0L)).as("c"))
-    // (t, n_risk, Ŝ(t−)): the kmCore sweep emitting the LAGGED product
     val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
     val withRisk = g
@@ -1104,22 +1102,7 @@ object EventAnalytics {
       .withColumn("_nt", sum(col("d") + col("c")).over(wAll))
       .withColumn("n_risk", col("_nt") - col("_prior"))
       .select(col("t"), col("n_risk"), col("d"))
-      .repartition(1)
-      .sortWithinPartitions(col("t"))
-    val axisSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("n_risk", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("_sp", org.apache.spark.sql.types.DoubleType)))
-    val axisRows = withRisk.rdd.mapPartitions { it =>
-      var s = 1.0
-      it.map { r =>
-        val nRisk = r.getLong(1)
-        val out = org.apache.spark.sql.Row(r.getLong(0), nRisk, s)
-        s = s * (1.0 - r.getLong(2).toDouble / nRisk)
-        out
-      }
-    }
-    val axis = spark.createDataFrame(axisRows, axisSchema)
+    val axis = withLaggedKm(withRisk, "n_risk", "d")
       .select(col("t"), col("n_risk"), round(col("_sp"), scale).as("_sp"))
     val ev = st.where(col("cause").isNotNull)
       .groupBy(col("t"), col("cause")).agg(sum(col("n")).as("n_events"))
@@ -1130,6 +1113,34 @@ object EventAnalytics {
         round(col("_sp") * col("n_events") / col("n_risk"), 12).cast("decimal(38,12)"))
       .select(col("t"), col("cause"), col("n_risk"), col("n_events"),
         round(sum(col("_i")).over(w).cast("double"), scale).as("cif"))
+  }
+
+  /** Appends the LAGGED pooled-KM product `_sp = Π_{t' < t}(1 − d/n)` to
+    * an already-collapsed event-time frame (one row per event time; other
+    * columns ride along): the ONE sequential IEEE fold the CIF and
+    * Fleming–Harrington faces share — a single-partition ascending-t
+    * sweep, emit-then-update, oracle-replayed by the recursive-CTE
+    * pattern. `nCol`/`dCol` must be LONG at-risk / event-count columns.
+    */
+  private def withLaggedKm(df: DataFrame, nCol: String, dCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartition(1).sortWithinPartitions(col("t"))
+    val nIdx = sorted.schema.fieldIndex(nCol)
+    val dIdx = sorted.schema.fieldIndex(dCol)
+    val sch = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_sp", org.apache.spark.sql.types.DoubleType))
+    val rows = sorted.rdd.mapPartitions { it =>
+      var s = 1.0
+      it.map { r =>
+        val n = r.getLong(nIdx)
+        val d = r.getLong(dIdx)
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+        if (n > 0) s = s * (1.0 - d.toDouble / n)
+        out
+      }
+    }
+    spark.createDataFrame(rows, sch)
   }
 
   /** [[cumulativeIncidenceFromState]] straight off subject rows —
@@ -1685,7 +1696,6 @@ object EventAnalytics {
     * the LAGGED Ŝ, then weighted decimal sums. */
   private def fhCore(g: DataFrame, rho: Double, gamma: Double, scale: Int): DataFrame = {
     require(rho >= 0.0 && gamma >= 0.0, s"rho/gamma must be >= 0, got ($rho, $gamma)")
-    val spark = g.sparkSession
     val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
     val risk = g
@@ -1699,23 +1709,9 @@ object EventAnalytics {
       .withColumn("_eb", sum(col("d0")).over(wAll))
       .where(col("d1") + col("d0") > 0)
       .select(col("t"), col("_n1"), col("_n0"), col("d1"), col("d0"),
-        col("_ta"), col("_tb"), col("_ea"), col("_eb"))
-      .repartition(1)
-      .sortWithinPartitions(col("t"))
-    val sch = org.apache.spark.sql.types.StructType(
-      risk.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "_sp", org.apache.spark.sql.types.DoubleType))
-    val rows = risk.rdd.mapPartitions { it =>
-      var s = 1.0
-      it.map { r =>
-        val n = r.getLong(1) + r.getLong(2)
-        val d = r.getLong(3) + r.getLong(4)
-        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
-        if (n > 0) s = s * (1.0 - d.toDouble / n)
-        out
-      }
-    }
-    val withSp = spark.createDataFrame(rows, sch)
+        col("_ta"), col("_tb"), col("_ea"), col("_eb"),
+        (col("_n1") + col("_n0")).as("_nn"), (col("d1") + col("d0")).as("_dd"))
+    val withSp = withLaggedKm(risk, "_nn", "_dd")
       .withColumn("_spr", round(col("_sp"), scale))
     val nj = col("_n1") + col("_n0")
     val dj = col("d1") + col("d0")

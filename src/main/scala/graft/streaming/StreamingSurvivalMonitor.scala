@@ -83,18 +83,61 @@ case class StreamingSurvivalMonitor(
       .trigger(trigger)
       .start()
 
-  private def merged(): DataFrame =
-    spark.read.parquet(statePath)
-      .groupBy(col("arm"), col("bin"), col("cause"))
-      .agg(sum(col("n")).as("n"))
+  /** The merged life table — an EMPTY same-schema frame before the first
+    * non-empty ingest (a monitor dashboard must render an empty curve,
+    * not crash on a store the stream hasn't created yet). Tracked-
+    * persisted: every two-sample face reads it twice (one arm each).
+    */
+  private def merged(): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
+    val raw =
+      if (hasData) spark.read.parquet(statePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("arm", org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("bin", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cause", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType))))
+    graft.Caches.track(
+      raw.groupBy(col("arm"), col("bin"), col("cause")).agg(sum(col("n")).as("n")))
+  }
 
-  /** One arm's merged [[EventAnalytics.survivalPartials]] state
-    * `(bin, n_events, n_censored)` — events = any cause. */
-  def stateOf(arm: Boolean): DataFrame =
-    merged().where(col("arm") === arm)
+  /** Rewrites the batch-partitioned store as ONE compacted partition
+    * (`ingest_batch=-1`) — the [[graft.ops.Dedup.LshIndex.compact]]
+    * small-files discipline: a minutely-triggered monitor accumulates one
+    * tiny partition dir per micro-batch forever, and every face pays the
+    * listing. CONTRACT: run only when no replay of already-ingested batch
+    * ids is possible (the stream's checkpoint has committed past them) —
+    * a post-compaction replay of an absorbed batch would double-count.
+    */
+  def compact(): Unit = {
+    val m = merged()
+    val rows = m.collect() // ≤ arms·bins·causes rows — the state is bounded
+    if (rows.isEmpty) return
+    val compacted = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), m.schema)
+    compacted
+      .withColumn("ingest_batch", lit(-1L))
+      .write
+      .partitionBy("ingest_batch")
+      .mode(SaveMode.Overwrite) // static overwrite: replaces the whole store
+      .parquet(statePath)
+  }
+
+  private def stateFrom(m: DataFrame, arm: Boolean): DataFrame =
+    m.where(col("arm") === arm)
       .groupBy(col("bin")).agg(
         sum(when(col("cause").isNotNull, col("n")).otherwise(0L)).as("n_events"),
         sum(when(col("cause").isNull, col("n")).otherwise(0L)).as("n_censored"))
+
+  /** One arm's merged [[EventAnalytics.survivalPartials]] state
+    * `(bin, n_events, n_censored)` — events = any cause. */
+  def stateOf(arm: Boolean): DataFrame = stateFrom(merged(), arm)
 
   /** One arm's merged [[EventAnalytics.competingPartials]] state
     * `(bin, cause, n)` (requires `causeCol`). */
@@ -109,18 +152,21 @@ case class StreamingSurvivalMonitor(
   def nelsonAalen(arm: Boolean): DataFrame =
     EventAnalytics.nelsonAalenFromState(stateOf(arm))
 
-  def logRank(): DataFrame =
-    EventAnalytics.logRankFromStates(stateOf(true), stateOf(false))
+  private def twoSample(f: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val m = merged() // one tracked scan feeds both arms
+    f(stateFrom(m, arm = true), stateFrom(m, arm = false))
+  }
+
+  def logRank(): DataFrame = twoSample(EventAnalytics.logRankFromStates(_, _))
 
   def gehanWilcoxon(): DataFrame =
-    EventAnalytics.gehanWilcoxonFromStates(stateOf(true), stateOf(false))
+    twoSample(EventAnalytics.gehanWilcoxonFromStates(_, _))
 
   def flemingHarrington(rho: Double, gamma: Double): DataFrame =
-    EventAnalytics.flemingHarringtonFromStates(
-      stateOf(true), stateOf(false), rho, gamma)
+    twoSample(EventAnalytics.flemingHarringtonFromStates(_, _, rho, gamma))
 
   def cox(ties: String = "breslow"): DataFrame =
-    EventAnalytics.coxFromStates(stateOf(true), stateOf(false), ties = ties)
+    twoSample(EventAnalytics.coxFromStates(_, _, ties = ties))
 
   /** Per-arm Aalen–Johansen cumulative incidence (requires `causeCol`). */
   def cumulativeIncidence(arm: Boolean): DataFrame =

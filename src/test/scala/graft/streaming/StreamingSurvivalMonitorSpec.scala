@@ -49,6 +49,37 @@ class StreamingSurvivalMonitorSpec extends SparkSpec {
       rows(EventAnalytics.coxFromStates(stA, stB, ties = "efron")))
   }
 
+  test("empty store serves empty faces (no crash before first ingest); compact preserves every face") {
+    val work = tempDir("graft-survmon-empty")
+    val mon = StreamingSurvivalMonitor(spark, s"$work/state", binWidth = 4L)
+    // nothing ingested yet: faces render empty, never PATH_NOT_FOUND
+    assert(mon.stateOf(true).collect().isEmpty)
+    assert(mon.kaplanMeier(false).collect().isEmpty)
+    // the Mantel–Cox agg over zero event rows is the all-NULL row
+    val lrEmpty = mon.logRank().collect().head
+    assert(lrEmpty.isNullAt(0) && lrEmpty.isNullAt(6), lrEmpty.toString)
+    // an all-filtered batch (null ev) writes nothing and still serves
+    mon.ingestBatch(spans((1L, true, true)).withColumn("ev",
+      org.apache.spark.sql.functions.lit(null).cast("boolean")), 0L)
+    assert(mon.stateOf(true).collect().isEmpty)
+
+    // compaction: many batches → one partition, every face unchanged
+    mon.ingestBatch(randomSpans(40, 0), 1L)
+    mon.ingestBatch(randomSpans(40, 3), 2L)
+    mon.ingestBatch(randomSpans(40, 7), 3L)
+    def faces() = (
+      mon.stateOf(true).collect().map(_.toString).sorted.toSeq,
+      mon.logRank().collect().map(_.toString).toSeq,
+      mon.flemingHarrington(1.0, 1.0).collect().map(_.toString).toSeq)
+    val before = faces()
+    mon.compact()
+    assert(faces() == before)
+    val parts = new java.io.File(s"$work/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+    assert(parts.length == 1 && parts.head.getName == "ingest_batch=-1", parts.mkString(","))
+    graft.Caches.clear()
+  }
+
   test("replaying a batch id overwrites its prior attempt; straddling bins merge") {
     val work = tempDir("graft-survmon2")
     val mon = StreamingSurvivalMonitor(spark, s"$work/state", binWidth = 4L)
