@@ -3261,7 +3261,10 @@ object SparkEntry {
         }
         s.range(1).select(
           lit(subj.length.toLong).as("n"), lit(nEvents).as("events"),
-          lit(3L).as("n_strata"),
+          // observed stratum count, not a hardcoded 3: the oracle computes
+          // count(DISTINCT user_id % 3), and a dataset where fewer residues
+          // occur must not diverge the faces for a non-Cox reason
+          lit(subj.map(_._1).distinct.length.toLong).as("n_strata"),
           lit(gate(breslow, efronTies = false)).as("breslow_pass"),
           lit(gate(efron, efronTies = true)).as("efron_pass"))
       }

@@ -1004,20 +1004,32 @@ object GraphQueries {
   }
 
   /** Resolve the effective lgK for an ANF run: the caller's `lgK` capped
-    * by [[anfAutoLgK]] under `shuffleBudgetBytes` (one count() over the
-    * edge frame — the worst-case round-1 contribution rows). */
-  private def resolveLgK(lgK: Int, edges: DataFrame, budget: Option[Long]): Int =
+    * by [[anfAutoLgK]] under `shuffleBudgetBytes` — from `edgeRowsHint`
+    * when the caller already knows |E|, else one count() over the edge
+    * frame (the worst-case round-1 contribution rows). The count() is
+    * skipped entirely when the plan's own size estimate already proves
+    * the budget admits `lgK`: every parquet/in-memory row occupies ≥ 1
+    * byte, so stats.sizeInBytes upper-bounds the row count, and a budget
+    * that admits that many rows at full width can never downgrade. */
+  private def resolveLgK(
+      lgK: Int, edges: DataFrame, budget: Option[Long],
+      edgeRowsHint: Option[Long] = None): Int =
     budget match {
       case None => lgK
       case Some(b) =>
-        val rows = edges.count()
-        val eff = anfAutoLgK(rows, b, lgKMax = lgK)
-        if (eff < lgK)
-          // operator telemetry: an explicit budget actively downgrading
-          // accuracy must be visible in the run log (σ ≈ 1.04/√2^lgK)
-          println(f"[anf] lgK $lgK -> $eff under budget ${b}%d B " +
-            f"($rows%d contribution rows; sigma ~ ${1.04 / math.sqrt(1L << eff)}%.4f)")
-        eff
+        val cap = b / ((1L << lgK) + 64L)
+        val statUpper = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (edgeRowsHint.isEmpty && statUpper <= BigInt(cap)) lgK
+        else {
+          val rows = edgeRowsHint.getOrElse(edges.count())
+          val eff = anfAutoLgK(rows, b, lgKMax = lgK)
+          if (eff < lgK)
+            // operator telemetry: an explicit budget actively downgrading
+            // accuracy must be visible in the run log (σ ≈ 1.04/√2^lgK)
+            println(f"[anf] lgK $lgK -> $eff under budget ${b}%d B " +
+              f"($rows%d contribution rows; sigma ~ ${1.04 / math.sqrt(1L << eff)}%.4f)")
+          eff
+        }
     }
 
   def neighborhoodFunction(
@@ -1027,11 +1039,12 @@ object GraphQueries {
       maxHops: Int,
       lgK: Int = 12,
       idCol: String = "id",
-      shuffleBudgetBytes: Option[Long] = None
+      shuffleBudgetBytes: Option[Long] = None,
+      edgeRowsHint: Option[Long] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
-    val lgKEff = resolveLgK(lgK, edges, shuffleBudgetBytes)
+    val lgKEff = resolveLgK(lgK, edges, shuffleBudgetBytes, edgeRowsHint)
     val v = vertices.select(col(idCol).cast("long").as("id")).distinct()
     val state0 = v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgKEff)).as("_sk"))
     // Round 0: every vertex just absorbed its own id — all are frontier.
@@ -1068,7 +1081,8 @@ object GraphQueries {
       idCol: String = "id",
       initState: Option[DataFrame] = None,
       newEdges: Option[DataFrame] = None,
-      shuffleBudgetBytes: Option[Long] = None
+      shuffleBudgetBytes: Option[Long] = None,
+      edgeRowsHint: Option[Long] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
@@ -1077,7 +1091,7 @@ object GraphQueries {
     // their build-time lgK (hll_union merges mixed-lgK down, so a resume
     // under a TIGHTER budget still converges — but estimate-exactness vs
     // a cold rebuild is only contractual at equal lgK).
-    val lgKEff = resolveLgK(lgK, edges, shuffleBudgetBytes)
+    val lgKEff = resolveLgK(lgK, edges, shuffleBudgetBytes, edgeRowsHint)
     val v = vertices.select(col(idCol).cast("long").as("id")).distinct()
     val selfSk = v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgKEff)).as("_sk"))
     val (state0, frontier0) = initState match {

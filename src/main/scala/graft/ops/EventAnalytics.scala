@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2003,17 +2003,52 @@ object EventAnalytics {
       scale: Int = 6,
       ties: String = "breslow",
       maxCells: Int = 100000): DataFrame = {
+    coxValidate(covariates, ties)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fit = new CoxCellFit(
+      coxCells(df, duration, event, covariates, strata, maxCells),
+      covariates.size, ties == "efron", maxIter)
+    def r6(x: Double): Option[Double] =
+      if (x.isNaN || x.isInfinite) None
+      else Some(BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    covariates.zipWithIndex.map { case ((name, _), k) =>
+      val se = fit.ses(k)
+      (name,
+        if (fit.ok) r6(fit.beta(k)) else None,
+        if (fit.ok) r6(math.exp(fit.beta(k))) else None,
+        if (fit.ok) r6(se) else None,
+        if (fit.ok && se > 0) r6(fit.beta(k) / se) else None,
+        fit.n, fit.nEvents, fit.iterations.toLong, fit.ok)
+    }.toDF("covariate", "beta", "hazard_ratio", "se", "z",
+      "n", "events", "iterations", "converged")
+  }
+
+  /** Shared argument validation for the cell-based Cox family. */
+  private def coxValidate(covariates: Seq[(String, Column)], ties: String): Unit = {
     require(covariates.nonEmpty && covariates.size <= 8,
       s"cox fits 1..8 covariates, got ${covariates.size}")
     require(covariates.map(_._1).distinct.size == covariates.size,
       "covariate names must be distinct")
     require(ties == "breslow" || ties == "efron",
       s"ties must be breslow|efron, got $ties")
-    val efron = ties == "efron"
-    val p = covariates.size
-    val spark = df.sparkSession
-    import spark.implicits._
+  }
 
+  /** The ONE distributed pass of the cell-based Cox family
+    * ([[coxMulti]]/[[coxStratified]]/[[coxBaseline]]/[[coxSchoenfeld]]):
+    * subjects collapse to `(stratum, t, x-vector)` cells carrying
+    * (count, events), require-capped at `maxCells` (the coarse-grid
+    * contract), collected and deterministically sorted stratum-asc /
+    * t-DESC / x-asc — the order every driver sweep walks so the
+    * per-stratum risk-set sums are running accumulators. */
+  private def coxCells(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      covariates: Seq[(String, Column)],
+      strata: Column,
+      maxCells: Int): Array[(String, Long, Array[Double], Long, Long)] = {
+    val p = covariates.size
     val xNames = covariates.indices.map(i => s"_x$i")
     val base = df.select(
       strata.cast("string").as("_s") +: duration.cast("long").as("_t") +:
@@ -2022,7 +2057,7 @@ object EventAnalytics {
       .where(covariates.indices
         .map(i => col(s"_x$i").isNotNull && !isnan(col(s"_x$i")))
         .foldLeft(col("_s").isNotNull && col("_t").isNotNull && col("_e").isNotNull)(_ && _))
-    // the ONE distributed pass: subjects → (stratum, t, x-vector) cells
+    // the ONE distributed pass: subjects -> (stratum, t, x-vector) cells
     val cellsDf = graft.Caches.track(
       base.groupBy(col("_s") +: col("_t") +: xNames.map(col): _*)
         .agg(count(lit(1)).as("_n"), sum(when(col("_e"), 1L).otherwise(0L)).as("_d")))
@@ -2032,167 +2067,175 @@ object EventAnalytics {
         "bin continuous covariates/durations to a coarse grid first " +
         "(the binned log-rank contract)")
     // driver-sorted for a deterministic fold order; strata swept in order
-    val cells = cellsDf.collect()
+    cellsDf.collect()
       .map(r => (r.getString(0), r.getLong(1),
         xNames.indices.map(i => r.getDouble(2 + i)).toArray,
         r.getLong(2 + p), r.getLong(3 + p)))
       .sortBy { case (s, t, x, _, _) => (s, -t, x.mkString(",")) }
-    val n = cells.map(_._4).sum
-    val nEvents = cells.map(_._5).sum
+  }
 
-    // one sweep: per-stratum descending-t risk accumulators, U/I summed
-    // across strata (the stratified partial likelihood factorizes)
-    def scoreInfo(beta: Array[Double]): (Array[Double], Array[Array[Double]]) = {
-      val u = new Array[Double](p)
-      val inf = Array.fill(p, p)(0.0)
-      var s0 = 0.0
-      val s1 = new Array[Double](p)
-      val s2 = Array.fill(p, p)(0.0)
-      var i = 0
-      while (i < cells.length) {
-        val st = cells(i)._1
-        val t = cells(i)._2
-        if (i == 0 || cells(i - 1)._1 != st) {
-          // stratum boundary: its risk set starts empty
-          s0 = 0.0
-          java.util.Arrays.fill(s1, 0.0)
-          s2.foreach(row => java.util.Arrays.fill(row, 0.0))
-        }
-        // absorb every cell at this (stratum, t) into the accumulators
-        var j = i
-        while (j < cells.length && cells(j)._1 == st && cells(j)._2 == t) {
-          val (_, _, x, cn, _) = cells(j)
-          var bx = 0.0
-          var k = 0
-          while (k < p) { bx += beta(k) * x(k); k += 1 }
-          val w = cn.toDouble * math.exp(bx)
-          s0 += w
-          k = 0
-          while (k < p) {
-            s1(k) += w * x(k)
-            var l = 0
-            while (l < p) { s2(k)(l) += w * x(k) * x(l); l += 1 }
-            k += 1
+  /** Driver-side Newton fit over collected Cox cells — the engine behind
+    * [[coxMulti]]/[[coxStratified]] and the post-fit faces
+    * ([[coxBaseline]], [[coxSchoenfeld]]). One sweep per evaluation:
+    * per-stratum descending-t risk accumulators, U/I summed across
+    * strata (the stratified partial likelihood factorizes); damped
+    * Newton steps; partial-pivot solve that refuses collinear designs.
+    */
+  private final class CoxCellFit(
+      val cells: Array[(String, Long, Array[Double], Long, Long)],
+      val p: Int,
+      val efron: Boolean,
+      maxIter: Int) {
+    val n: Long = cells.map(_._4).sum
+    val nEvents: Long = cells.map(_._5).sum
+
+      def scoreInfo(beta: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+        val u = new Array[Double](p)
+        val inf = Array.fill(p, p)(0.0)
+        var s0 = 0.0
+        val s1 = new Array[Double](p)
+        val s2 = Array.fill(p, p)(0.0)
+        var i = 0
+        while (i < cells.length) {
+          val st = cells(i)._1
+          val t = cells(i)._2
+          if (i == 0 || cells(i - 1)._1 != st) {
+            // stratum boundary: its risk set starts empty
+            s0 = 0.0
+            java.util.Arrays.fill(s1, 0.0)
+            s2.foreach(row => java.util.Arrays.fill(row, 0.0))
           }
-          j += 1
-        }
-        // events at (stratum, t): risk set = this stratum's accumulators
-        val dj = (i until j).map(cells(_)._5).sum
-        if (dj > 0L) {
-          val sumXev = new Array[Double](p)
-          var d0 = 0.0
-          val d1 = new Array[Double](p)
-          val d2 = Array.fill(p, p)(0.0)
-          var q = i
-          while (q < j) {
-            val (_, _, x, _, cd) = cells(q)
-            if (cd > 0L) {
-              var k = 0
-              while (k < p) { sumXev(k) += cd.toDouble * x(k); k += 1 }
-              if (efron) {
-                var bx = 0.0
-                k = 0
-                while (k < p) { bx += beta(k) * x(k); k += 1 }
-                val w = cd.toDouble * math.exp(bx)
-                d0 += w
-                k = 0
-                while (k < p) {
-                  d1(k) += w * x(k)
-                  var l = 0
-                  while (l < p) { d2(k)(l) += w * x(k) * x(l); l += 1 }
-                  k += 1
+          // absorb every cell at this (stratum, t) into the accumulators
+          var j = i
+          while (j < cells.length && cells(j)._1 == st && cells(j)._2 == t) {
+            val (_, _, x, cn, _) = cells(j)
+            var bx = 0.0
+            var k = 0
+            while (k < p) { bx += beta(k) * x(k); k += 1 }
+            val w = cn.toDouble * math.exp(bx)
+            s0 += w
+            k = 0
+            while (k < p) {
+              s1(k) += w * x(k)
+              var l = 0
+              while (l < p) { s2(k)(l) += w * x(k) * x(l); l += 1 }
+              k += 1
+            }
+            j += 1
+          }
+          // events at (stratum, t): risk set = this stratum's accumulators
+          val dj = (i until j).map(cells(_)._5).sum
+          if (dj > 0L) {
+            val sumXev = new Array[Double](p)
+            var d0 = 0.0
+            val d1 = new Array[Double](p)
+            val d2 = Array.fill(p, p)(0.0)
+            var q = i
+            while (q < j) {
+              val (_, _, x, _, cd) = cells(q)
+              if (cd > 0L) {
+                var k = 0
+                while (k < p) { sumXev(k) += cd.toDouble * x(k); k += 1 }
+                if (efron) {
+                  var bx = 0.0
+                  k = 0
+                  while (k < p) { bx += beta(k) * x(k); k += 1 }
+                  val w = cd.toDouble * math.exp(bx)
+                  d0 += w
+                  k = 0
+                  while (k < p) {
+                    d1(k) += w * x(k)
+                    var l = 0
+                    while (l < p) { d2(k)(l) += w * x(k) * x(l); l += 1 }
+                    k += 1
+                  }
                 }
               }
+              q += 1
             }
-            q += 1
-          }
-          if (!efron) {
-            // Breslow: dⱼ identical slots against the full risk sums
-            if (s0 > 0) {
-              var k = 0
-              while (k < p) {
-                u(k) += sumXev(k) - dj.toDouble * s1(k) / s0
-                var l = 0
-                while (l < p) {
-                  inf(k)(l) += dj.toDouble * (s2(k)(l) / s0 - (s1(k) / s0) * (s1(l) / s0))
-                  l += 1
-                }
-                k += 1
-              }
-            }
-          } else {
-            var sl = 0L
-            while (sl < dj) {
-              val c = sl.toDouble / dj.toDouble
-              val a0 = s0 - c * d0
-              if (a0 > 0) {
+            if (!efron) {
+              // Breslow: dⱼ identical slots against the full risk sums
+              if (s0 > 0) {
                 var k = 0
                 while (k < p) {
-                  val mk = (s1(k) - c * d1(k)) / a0
-                  u(k) += sumXev(k) / dj.toDouble - mk
+                  u(k) += sumXev(k) - dj.toDouble * s1(k) / s0
                   var l = 0
                   while (l < p) {
-                    val ml = (s1(l) - c * d1(l)) / a0
-                    inf(k)(l) += (s2(k)(l) - c * d2(k)(l)) / a0 - mk * ml
+                    inf(k)(l) += dj.toDouble * (s2(k)(l) / s0 - (s1(k) / s0) * (s1(l) / s0))
                     l += 1
                   }
                   k += 1
                 }
               }
-              sl += 1L
+            } else {
+              var sl = 0L
+              while (sl < dj) {
+                val c = sl.toDouble / dj.toDouble
+                val a0 = s0 - c * d0
+                if (a0 > 0) {
+                  var k = 0
+                  while (k < p) {
+                    val mk = (s1(k) - c * d1(k)) / a0
+                    u(k) += sumXev(k) / dj.toDouble - mk
+                    var l = 0
+                    while (l < p) {
+                      val ml = (s1(l) - c * d1(l)) / a0
+                      inf(k)(l) += (s2(k)(l) - c * d2(k)(l)) / a0 - mk * ml
+                      l += 1
+                    }
+                    k += 1
+                  }
+                }
+                sl += 1L
+              }
             }
           }
+          i = j
         }
-        i = j
+        (u, inf)
       }
-      (u, inf)
-    }
-
-    // solve A·x = b by Gaussian elimination with partial pivoting;
-    // None when A is (numerically) singular — collinear covariates
-    def solve(a0: Array[Array[Double]], b0: Array[Double]): Option[Array[Double]] = {
-      val a = a0.map(_.clone())
-      val b = b0.clone()
-      val maxDiag = (0 until p).map(k => math.abs(a0(k)(k))).foldLeft(0.0)(math.max)
-      var k = 0
-      while (k < p) {
-        var piv = k
-        var r = k + 1
-        while (r < p) { if (math.abs(a(r)(k)) > math.abs(a(piv)(k))) piv = r; r += 1 }
-        if (math.abs(a(piv)(k)) <= 1e-12 * math.max(1.0, maxDiag)) return None
-        if (piv != k) {
-          val tmp = a(piv); a(piv) = a(k); a(k) = tmp
-          val tb = b(piv); b(piv) = b(k); b(k) = tb
+      def solve(a0: Array[Array[Double]], b0: Array[Double]): Option[Array[Double]] = {
+        val a = a0.map(_.clone())
+        val b = b0.clone()
+        val maxDiag = (0 until p).map(k => math.abs(a0(k)(k))).foldLeft(0.0)(math.max)
+        var k = 0
+        while (k < p) {
+          var piv = k
+          var r = k + 1
+          while (r < p) { if (math.abs(a(r)(k)) > math.abs(a(piv)(k))) piv = r; r += 1 }
+          if (math.abs(a(piv)(k)) <= 1e-12 * math.max(1.0, maxDiag)) return None
+          if (piv != k) {
+            val tmp = a(piv); a(piv) = a(k); a(k) = tmp
+            val tb = b(piv); b(piv) = b(k); b(k) = tb
+          }
+          r = k + 1
+          while (r < p) {
+            val f = a(r)(k) / a(k)(k)
+            var cc = k
+            while (cc < p) { a(r)(cc) -= f * a(k)(cc); cc += 1 }
+            b(r) -= f * b(k)
+            r += 1
+          }
+          k += 1
         }
-        r = k + 1
-        while (r < p) {
-          val f = a(r)(k) / a(k)(k)
-          var cc = k
-          while (cc < p) { a(r)(cc) -= f * a(k)(cc); cc += 1 }
-          b(r) -= f * b(k)
-          r += 1
+        val x = new Array[Double](p)
+        k = p - 1
+        while (k >= 0) {
+          var s = b(k)
+          var cc = k + 1
+          while (cc < p) { s -= a(k)(cc) * x(cc); cc += 1 }
+          x(k) = s / a(k)(k)
+          k -= 1
         }
-        k += 1
+        Some(x)
       }
-      val x = new Array[Double](p)
-      k = p - 1
-      while (k >= 0) {
-        var s = b(k)
-        var cc = k + 1
-        while (cc < p) { s -= a(k)(cc) * x(cc); cc += 1 }
-        x(k) = s / a(k)(k)
-        k -= 1
-      }
-      Some(x)
-    }
-
     val beta = new Array[Double](p)
-    var it = 0
-    var converged = false
-    var singular = false
+    var iterations = 0
+    private var converged = false
+    private var singular = false
     if (nEvents > 0L && cells.nonEmpty) {
       var continue = true
-      while (continue && it < maxIter) {
+      while (continue && iterations < maxIter) {
         val (u, inf) = scoreInfo(beta)
         solve(inf, u) match {
           case None => singular = true; continue = false
@@ -2202,39 +2245,358 @@ object EventAnalytics {
             val f = if (mx > 2.0) 2.0 / mx else 1.0
             var k = 0
             while (k < p) { beta(k) += f * step(k); k += 1 }
-            it += 1
+            iterations += 1
             if (mx < 1e-10) { converged = true; continue = false }
         }
       }
     }
-    val ok = converged && !singular
-    // se from the inverse-information diagonal at beta-hat: solve I·v = e_k
-    val ses: Array[Double] =
+    val ok: Boolean = converged && !singular
+
+    /** Information matrix at β̂ — evaluated once, shared by the se
+      * extraction and the post-fit faces. */
+    lazy val infoAtHat: Array[Array[Double]] = scoreInfo(beta)._2
+
+    /** k-th column of the inverse information at β̂ (solve I·v = e_k);
+      * None when the information is singular. */
+    def invInfoCol(k: Int): Option[Array[Double]] = {
+      val ek = Array.tabulate(p)(i => if (i == k) 1.0 else 0.0)
+      solve(infoAtHat, ek)
+    }
+
+    // se from the inverse-information diagonal at beta-hat
+    lazy val ses: Array[Double] =
       if (!ok) Array.fill(p)(Double.NaN)
-      else {
-        val (_, infHat) = scoreInfo(beta)
-        covariates.indices.map { k =>
-          val ek = Array.tabulate(p)(i => if (i == k) 1.0 else 0.0)
-          solve(infHat, ek) match {
-            case Some(v) if v(k) > 0 => math.sqrt(v(k))
-            case _                   => Double.NaN
-          }
-        }.toArray
-      }
-    def r6(x: Double): Option[Double] =
-      if (x.isNaN || x.isInfinite) None
-      else Some(BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    covariates.zipWithIndex.map { case ((name, _), k) =>
-      val se = ses(k)
-      (name,
-        if (ok) r6(beta(k)) else None,
-        if (ok) r6(math.exp(beta(k))) else None,
-        if (ok) r6(se) else None,
-        if (ok && se > 0) r6(beta(k) / se) else None,
-        n, nEvents, it.toLong, ok)
-    }.toDF("covariate", "beta", "hazard_ratio", "se", "z",
-      "n", "events", "iterations", "converged")
+      else (0 until p).map { k =>
+        invInfoCol(k) match {
+          case Some(v) if v(k) > 0 => math.sqrt(v(k))
+          case _                   => Double.NaN
+        }
+      }.toArray
   }
+
+  /** Per-stratum risk-set sweeps shared by the post-fit faces: extend
+    * [[CoxCellFit]] with the baseline-hazard and Schoenfeld-residual
+    * extractions — both are by-products of the SAME descending-t
+    * accumulator walk the likelihood sweep already does, evaluated once
+    * at β̂ (no extra distributed work; the cells are already on the
+    * driver under the maxCells contract). */
+  private object CoxPostFit {
+
+    /** Baseline cumulative-hazard increments at `beta`: one
+      * `(stratum, t, h0)` per event time, in stratum-asc / t-ASC order.
+      * Breslow: h₀(tⱼ) = dⱼ / S₀(tⱼ); Efron: the l-th of dⱼ tied events
+      * sees the denominator with l/dⱼ of the tied events' own hazard
+      * removed — Σ_l 1/(S₀ − (l/dⱼ)·D₀), the increment matching the
+      * Efron likelihood slots (both reduce to dⱼ/S₀ when dⱼ = 1). */
+    def baselineIncrements(fit: CoxCellFit): Array[(String, Long, Double)] = {
+      val cells = fit.cells
+      val p = fit.p
+      val beta = fit.beta
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      var s0 = 0.0
+      var i = 0
+      while (i < cells.length) {
+        val st = cells(i)._1
+        val t = cells(i)._2
+        if (i == 0 || cells(i - 1)._1 != st) s0 = 0.0
+        var d0 = 0.0
+        var dj = 0L
+        var j = i
+        while (j < cells.length && cells(j)._1 == st && cells(j)._2 == t) {
+          val (_, _, x, cn, cd) = cells(j)
+          var bx = 0.0
+          var k = 0
+          while (k < p) { bx += beta(k) * x(k); k += 1 }
+          val ebx = math.exp(bx)
+          s0 += cn.toDouble * ebx
+          if (cd > 0L) { d0 += cd.toDouble * ebx; dj += cd }
+          j += 1
+        }
+        if (dj > 0L && s0 > 0.0) {
+          val h0 =
+            if (!fit.efron) dj.toDouble / s0
+            else {
+              var acc = 0.0
+              var l = 0L
+              while (l < dj) {
+                val den = s0 - (l.toDouble / dj.toDouble) * d0
+                if (den > 0) acc += 1.0 / den
+                l += 1L
+              }
+              acc
+            }
+          out += ((st, t, h0))
+        }
+        i = j
+      }
+      // descending-t sweep recorded newest-first: flip to ascending per stratum
+      out.toArray.groupBy(_._1).toArray.sortBy(_._1)
+        .flatMap { case (_, rows) => rows.reverse }
+    }
+
+    /** Schoenfeld residual vectors at `beta`: one `(stratum, t, dⱼ, sⱼ)`
+      * per event time — sⱼ = Σ_events x − dⱼ·x̄(tⱼ) (Breslow) or the
+      * Efron slot-mean sum; exactly the per-time increments of the score
+      * U, so Σⱼ sⱼ = U(β̂) ≈ 0 at the MLE (the classic residual-sum
+      * identity, spec-pinned). */
+    def schoenfeldResiduals(fit: CoxCellFit): Array[(String, Long, Long, Array[Double])] = {
+      val cells = fit.cells
+      val p = fit.p
+      val beta = fit.beta
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Array[Double])]
+      var s0 = 0.0
+      val s1 = new Array[Double](p)
+      var i = 0
+      while (i < cells.length) {
+        val st = cells(i)._1
+        val t = cells(i)._2
+        if (i == 0 || cells(i - 1)._1 != st) {
+          s0 = 0.0
+          java.util.Arrays.fill(s1, 0.0)
+        }
+        val sumXev = new Array[Double](p)
+        var d0 = 0.0
+        val d1 = new Array[Double](p)
+        var dj = 0L
+        var j = i
+        while (j < cells.length && cells(j)._1 == st && cells(j)._2 == t) {
+          val (_, _, x, cn, cd) = cells(j)
+          var bx = 0.0
+          var k = 0
+          while (k < p) { bx += beta(k) * x(k); k += 1 }
+          val ebx = math.exp(bx)
+          val w = cn.toDouble * ebx
+          s0 += w
+          var k2 = 0
+          while (k2 < p) { s1(k2) += w * x(k2); k2 += 1 }
+          if (cd > 0L) {
+            dj += cd
+            val wd = cd.toDouble * ebx
+            d0 += wd
+            var k3 = 0
+            while (k3 < p) {
+              sumXev(k3) += cd.toDouble * x(k3)
+              d1(k3) += wd * x(k3)
+              k3 += 1
+            }
+          }
+          j += 1
+        }
+        if (dj > 0L && s0 > 0.0) {
+          val r = new Array[Double](p)
+          if (!fit.efron) {
+            var k = 0
+            while (k < p) { r(k) = sumXev(k) - dj.toDouble * s1(k) / s0; k += 1 }
+          } else {
+            var k = 0
+            while (k < p) { r(k) = sumXev(k); k += 1 }
+            var l = 0L
+            while (l < dj) {
+              val c = l.toDouble / dj.toDouble
+              val den = s0 - c * d0
+              if (den > 0) {
+                var k4 = 0
+                while (k4 < p) { r(k4) -= (s1(k4) - c * d1(k4)) / den; k4 += 1 }
+              }
+              l += 1L
+            }
+          }
+          out += ((st, t, dj, r))
+        }
+        i = j
+      }
+      out.toArray
+    }
+
+    /** χ²(df) upper-5% critical values for df 1..8 — the engine's
+      * p-value convention (emit the statistic + df and the 0.05 verdict;
+      * callers map to exact p-values; the [[Stats.friedmanTest]]
+      * "caller maps chi2_f" contract). Abramowitz–Stegun table values. */
+    val chiSqCrit05: Array[Double] = Array(
+      3.841459, 5.991465, 7.814728, 9.487729,
+      11.070498, 12.591587, 14.067140, 15.507313)
+  }
+
+  /** Breslow/Efron cumulative baseline hazard off the SAME cell sweep as
+    * [[coxStratified]] — the post-fit product real users plot: fit β̂,
+    * then serve Ŝ(t|x) = S₀(t)^{exp(β̂ᵀx)} at covariate profiles.
+    * One row per (stratum, event time), ascending t:
+    * `(stratum, t, h0, cum_h0, baseline_surv)` with `h0` the per-time
+    * increment, `cum_h0 = H₀(t) = Σ_{tⱼ≤t} h₀(tⱼ)` (lifelines'
+    * `baseline_cumulative_hazard_`), `baseline_surv = exp(−H₀(t))`
+    * (`baseline_survival_`). EMPTY frame when the fit does not converge
+    * (collinear design / separation) — baseline values off a failed β̂
+    * would be noise; call [[coxStratified]] for the diagnosis.
+    *
+    * Scale shape: identical to [[coxMulti]] — the one distributed pass
+    * is the (stratum, t, x) cell collapse; the baseline extraction is a
+    * single extra driver sweep of the already-collected cells at β̂.
+    */
+  def coxBaseline(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      covariates: Seq[(String, Column)],
+      strata: Column = lit(""),
+      maxIter: Int = 50,
+      scale: Int = 6,
+      ties: String = "breslow",
+      maxCells: Int = 100000): DataFrame = {
+    coxValidate(covariates, ties)
+    val spark = df.sparkSession
+    val fit = new CoxCellFit(
+      coxCells(df, duration, event, covariates, strata, maxCells),
+      covariates.size, ties == "efron", maxIter)
+    coxBaselineRows(spark, fit, scale)
+  }
+
+  private def coxBaselineRows(
+      spark: SparkSession, fit: CoxCellFit, scale: Int): DataFrame = {
+    import spark.implicits._
+    val rows =
+      if (!fit.ok) Array.empty[(String, Long, Double, Double, Double)]
+      else {
+        var prevStratum: String = null
+        var cum = 0.0
+        CoxPostFit.baselineIncrements(fit).map { case (st, t, h0) =>
+          if (st != prevStratum) { cum = 0.0; prevStratum = st }
+          cum += h0
+          (st, t, rs(h0, scale), rs(cum, scale), rs(math.exp(-cum), scale))
+        }
+      }
+    rows.toSeq.toDF("stratum", "t", "h0", "cum_h0", "baseline_surv")
+  }
+
+  private def rs(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** [[coxBaseline]] for the two-arm binary fit served from two (merged)
+    * [[survivalPartials]] states — the corpus-scale / streaming face
+    * (the [[coxFromStates]] sibling): arm A is the x = 1 covariate, the
+    * shared bin axis is the time grid. Columns `(t, h0, cum_h0,
+    * baseline_surv)` — the baseline is the x = 0 (arm B) hazard. */
+  def coxBaselineFromStates(
+      stateA: DataFrame,
+      stateB: DataFrame,
+      maxIter: Int = 25,
+      scale: Int = 6,
+      ties: String = "breslow"): DataFrame = {
+    val spark = stateA.sparkSession
+    def side(state: DataFrame, x: Double) =
+      state.select(col("bin").cast("long"), col("n_events").cast("long"),
+          col("n_censored").cast("long"))
+        .collect()
+        .map(r => ("", r.getLong(0), Array(x), r.getLong(1) + r.getLong(2), r.getLong(1)))
+    val cells = (side(stateA, 1.0) ++ side(stateB, 0.0))
+      .sortBy { case (s, t, x, _, _) => (s, -t, x.mkString(",")) }
+    val fit = new CoxCellFit(cells, 1, ties == "efron", maxIter)
+    coxBaselineRows(spark, fit, scale).drop("stratum")
+  }
+
+  /** Grambsch–Therneau proportional-hazards diagnostic off the Schoenfeld
+    * residuals — "is the PH assumption even true?" (R `cox.zph`,
+    * lifelines `check_assumptions`). Fits β̂ on the same cell frame as
+    * [[coxStratified]], extracts per-event-time residual vectors sⱼ in
+    * the same sweep, and score-tests a time-varying coefficient
+    * β(t) = β + θ·g(t) at θ = 0 with the G–T averaged-information
+    * approximation: with v = Σⱼ (gⱼ−ḡ)·sⱼ and d = total events,
+    *
+    *   per-covariate  T_k = d·[(I⁻¹v)_k]² / ((I⁻¹)_kk · Σ(g−ḡ)²),  df 1
+    *   global         T   = d·(vᵀ I⁻¹ v) / Σ(g−ḡ)²,               df p
+    *
+    * (ḡ and Σ(g−ḡ)² are event-weighted — dⱼ events at tⱼ count dⱼ
+    * times). `transform` picks g: `"identity"` (g = t) or `"rank"`
+    * (event midranks — robust to time-scale outliers, the cox.zph
+    * option). One row per covariate plus a `GLOBAL` row:
+    * `(covariate, chisq, df, ph_violated, n, events, event_times,
+    * converged)` — `chisq` NULL (converged false) when the fit fails;
+    * `ph_violated = chisq > χ²₀.₀₅(df)` per the engine's emit-the-
+    * statistic convention (exact p-values are the caller's lookup).
+    *
+    * Scale shape: the cell collapse is the only distributed work; the
+    * residual extraction and the p×p solve are one driver sweep +
+    * O(p³) — same contract as the fit itself.
+    */
+  def coxSchoenfeld(
+      df: DataFrame,
+      duration: Column,
+      event: Column,
+      covariates: Seq[(String, Column)],
+      strata: Column = lit(""),
+      maxIter: Int = 50,
+      scale: Int = 6,
+      ties: String = "breslow",
+      maxCells: Int = 100000,
+      transform: String = "identity"): DataFrame = {
+    coxValidate(covariates, ties)
+    require(transform == "identity" || transform == "rank",
+      s"transform must be identity|rank, got $transform")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = covariates.size
+    val fit = new CoxCellFit(
+      coxCells(df, duration, event, covariates, strata, maxCells),
+      p, ties == "efron", maxIter)
+    val names = covariates.map(_._1) :+ "GLOBAL"
+    val dfs = covariates.map(_ => 1L) :+ p.toLong
+
+    val resid = if (fit.ok) CoxPostFit.schoenfeldResiduals(fit) else Array.empty[(String, Long, Long, Array[Double])]
+    val nTimes = resid.length.toLong
+    val stats: Option[Array[Double]] =
+      if (!fit.ok || resid.isEmpty) None
+      else {
+        val d = fit.nEvents.toDouble
+        // g per event time (global transform of the shared time axis)
+        val g: Array[Double] = transform match {
+          case "identity" => resid.map(_._2.toDouble)
+          case "rank" =>
+            // event midranks: events at a tied time share the midrank of
+            // their block in the pooled ascending-t event sequence
+            val byT = resid.map(r => (r._2, r._3)).groupBy(_._1).view
+              .mapValues(_.map(_._2).sum).toArray.sortBy(_._1)
+            var before = 0L
+            val rankOf = scala.collection.mutable.Map.empty[Long, Double]
+            byT.foreach { case (t, dt) =>
+              rankOf(t) = before.toDouble + (dt.toDouble + 1.0) / 2.0
+              before += dt
+            }
+            resid.map(r => rankOf(r._2))
+        }
+        val gBar = resid.indices.map(i => resid(i)._3.toDouble * g(i)).sum / d
+        val denG = resid.indices.map { i =>
+          val dg = g(i) - gBar
+          resid(i)._3.toDouble * dg * dg
+        }.sum
+        val v = new Array[Double](p)
+        resid.indices.foreach { i =>
+          val w = g(i) - gBar
+          var k = 0
+          while (k < p) { v(k) += w * resid(i)._4(k); k += 1 }
+        }
+        if (denG <= 0.0) None
+        else fit.solve(fit.infoAtHat, v).flatMap { w =>
+          val perCov = (0 until p).map { k =>
+            fit.invInfoCol(k) match {
+              case Some(colK) if colK(k) > 0 =>
+                d * w(k) * w(k) / (colK(k) * denG)
+              case _ => Double.NaN
+            }
+          }
+          val tGlobal = d * (0 until p).map(k => v(k) * w(k)).sum / denG
+          val all = perCov :+ tGlobal
+          if (all.exists(x => x.isNaN || x.isInfinite)) None else Some(all.toArray)
+        }
+      }
+    names.indices.map { i =>
+      val dfI = dfs(i)
+      val chi = stats.map(s => rs(s(i), scale))
+      (names(i), chi, dfI,
+        chi.map(_ > CoxPostFit.chiSqCrit05(dfI.toInt - 1)),
+        fit.n, fit.nEvents, nTimes, fit.ok && stats.isDefined)
+    }.toDF("covariate", "chisq", "df", "ph_violated",
+      "n", "events", "event_times", "converged")
+  }
+
 
   /** Harrell's concordance index — does a risk score RANK survival
     * correctly under censoring? ("among user pairs where one provably

@@ -124,6 +124,12 @@ case class StreamingSurvivalMonitor(
     compacted
       .withColumn("ingest_batch", lit(-1L))
       .write
+      // Pinned, not inherited: under a session-wide
+      // spark.sql.sources.partitionOverwriteMode=dynamic (the mode every
+      // ingestBatch explicitly requests), a bare Overwrite+partitionBy
+      // would rewrite ONLY ingest_batch=-1 and leave every old batch
+      // partition in place — all faces then double-count the history.
+      .option("partitionOverwriteMode", "static")
       .partitionBy("ingest_batch")
       .mode(SaveMode.Overwrite) // static overwrite: replaces the whole store
       .parquet(statePath)
@@ -167,6 +173,12 @@ case class StreamingSurvivalMonitor(
 
   def cox(ties: String = "breslow"): DataFrame =
     twoSample(EventAnalytics.coxFromStates(_, _, ties = ties))
+
+  /** Cumulative baseline hazard / baseline survival of the two-arm Cox
+    * fit served off the merged streamed partials (arm = true is the
+    * x = 1 covariate) — `(t, h0, cum_h0, baseline_surv)` per bin. */
+  def coxBaseline(ties: String = "breslow"): DataFrame =
+    twoSample(EventAnalytics.coxBaselineFromStates(_, _, ties = ties))
 
   /** Per-arm Aalen–Johansen cumulative incidence (requires `causeCol`). */
   def cumulativeIncidence(arm: Boolean): DataFrame =

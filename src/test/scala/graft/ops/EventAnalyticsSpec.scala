@@ -1233,4 +1233,194 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(cz.getLong(1) == 0L && cz.isNullAt(4))
     graft.Caches.clear()
   }
+
+  test("coxBaseline: Breslow H0 matches a naive subject-level recomputation at beta-hat; surv = exp(-H0)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val subjects = (0 until 140).map { i =>
+      val a = i % 2 == 0
+      ((if (a) rnd.nextInt(18) else rnd.nextInt(30)).toLong, rnd.nextInt(10) < 8, if (a) 1.0 else 0.0)
+    }
+    val df = subjects.toDF("dur", "ev", "x")
+    val covs = Seq("x" -> col("x"))
+    val fit = EventAnalytics.coxMulti(df, col("dur"), col("ev"), covs).collect().head
+    assert(fit.getBoolean(8), "fit must converge")
+    val beta = fit.getDouble(1)
+    val got = EventAnalytics.coxBaseline(df, col("dur"), col("ev"), covs)
+      .orderBy(col("t")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // naive recomputation straight off the subject list at the reported beta
+    val times = subjects.filter(_._2).map(_._1).distinct.sorted
+    var cum = 0.0
+    val ref = times.map { t =>
+      val s0 = subjects.filter(_._1 >= t).map(s => math.exp(beta * s._3)).sum
+      val d = subjects.count(s => s._1 == t && s._2).toDouble
+      val h0 = d / s0
+      cum += h0
+      (t, h0, cum)
+    }
+    assert(got.length == ref.length, s"${got.length} event times vs ${ref.length}")
+    got.zip(ref).foreach { case ((t, h0, ch, sv), (rt, rh0, rch)) =>
+      assert(t == rt)
+      assert(math.abs(h0 - rh0) < 1e-3, s"h0 at t=$t: $h0 vs $rh0")
+      assert(math.abs(ch - rch) < 1e-2, s"cum_h0 at t=$t: $ch vs $rch")
+      assert(math.abs(sv - math.exp(-ch)) < 2e-6, s"surv != exp(-cum) at t=$t")
+    }
+    // H0 strictly increases across event times
+    assert(got.map(_._3).sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  test("coxBaseline ties=efron ≡ breslow when event times are distinct; differs under heavy ties") {
+    import spark.implicits._
+    // one event per distinct time: Efron's slot correction is vacuous
+    val distinct = (0 until 40).map { i =>
+      (i.toLong, true, (i % 2).toDouble)
+    }.toDF("dur", "ev", "x")
+    val covs = Seq("x" -> col("x"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(EventAnalytics.coxBaseline(distinct, col("dur"), col("ev"), covs)) ==
+      rows(EventAnalytics.coxBaseline(distinct, col("dur"), col("ev"), covs, ties = "efron")))
+    // heavy ties: Efron removes part of the tied events' own hazard -> larger increments
+    val rnd = new scala.util.Random(31)
+    val tied = (0 until 120).map { i =>
+      ((rnd.nextInt(5)).toLong, rnd.nextInt(10) < 8, (i % 2).toDouble)
+    }.toDF("dur", "ev", "x")
+    val br = EventAnalytics.coxBaseline(tied, col("dur"), col("ev"), covs)
+      .orderBy(col("t")).collect().map(_.getDouble(2))
+    val ef = EventAnalytics.coxBaseline(tied, col("dur"), col("ev"), covs, ties = "efron")
+      .orderBy(col("t")).collect().map(_.getDouble(2))
+    assert(br.length == ef.length && br.zip(ef).exists { case (b, e) => b != e })
+    assert(br.zip(ef).forall { case (b, e) => e >= b },
+      "every Efron increment >= its Breslow twin (smaller denominators)")
+  }
+
+  test("coxBaseline: empty frame on a collinear design; per-stratum cumulative resets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val df = (0 until 80).map { i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(10) < 7, (i % 2).toDouble, if (i < 40) "s0" else "s1")
+    }.toDF("dur", "ev", "x", "seg")
+    val sing = EventAnalytics.coxBaseline(df, col("dur"), col("ev"),
+      Seq("x1" -> col("x"), "x2" -> (col("x") * lit(2.0))))
+    assert(sing.columns.toSeq ==
+      Seq("stratum", "t", "h0", "cum_h0", "baseline_surv"))
+    assert(sing.collect().isEmpty, "collinear design must refuse baseline values")
+    val strat = EventAnalytics.coxBaseline(df, col("dur"), col("ev"),
+      Seq("x" -> col("x")), strata = col("seg")).orderBy(col("stratum"), col("t")).collect()
+    val bySeg = strat.groupBy(_.getString(0))
+    assert(bySeg.keySet == Set("s0", "s1"))
+    bySeg.values.foreach { rows =>
+      // first event time of each stratum: cum == its own h0 (the reset)
+      assert(math.abs(rows.head.getDouble(3) - rows.head.getDouble(2)) < 2e-6)
+      assert(rows.map(_.getDouble(3)).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    }
+  }
+
+  test("coxBaselineFromStates ≡ coxBaseline on the binned axis") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 100).map { i =>
+      ((if (i % 2 == 0) rnd.nextInt(20) else rnd.nextInt(40)).toLong, rnd.nextInt(10) < 7, i % 2 == 0)
+    }.toDF("dur", "ev", "arm")
+    val bw = 6L
+    def str(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val fromStates = EventAnalytics.coxBaselineFromStates(
+      EventAnalytics.survivalPartials(rows.where(col("arm")), col("dur"), col("ev"), bw),
+      EventAnalytics.survivalPartials(rows.where(!col("arm")), col("dur"), col("ev"), bw))
+    val direct = EventAnalytics.coxBaseline(
+      rows.select((col("dur") / bw).cast("long").as("t"), col("ev"),
+        col("arm").cast("double").as("x")),
+      col("t"), col("ev"), Seq("x" -> col("x")), maxIter = 25).drop("stratum")
+    assert(str(fromStates) == str(direct))
+  }
+
+  test("coxSchoenfeld: chisq matches a naive p=1 recomputation; GLOBAL == per-covariate at p=1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val subjects = (0 until 140).map { i =>
+      val a = i % 2 == 0
+      ((if (a) rnd.nextInt(18) else rnd.nextInt(30)).toLong, rnd.nextInt(10) < 8, if (a) 1.0 else 0.0)
+    }
+    val df = subjects.toDF("dur", "ev", "x")
+    val covs = Seq("x" -> col("x"))
+    val fit = EventAnalytics.coxMulti(df, col("dur"), col("ev"), covs).collect().head
+    val beta = fit.getDouble(1)
+    val got = EventAnalytics.coxSchoenfeld(df, col("dur"), col("ev"), covs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("x").getBoolean(7) && got("GLOBAL").getBoolean(7), "must converge")
+    // naive: per-event-time residuals, score-test statistic at the reported beta
+    val times = subjects.filter(_._2).map(_._1).distinct.sorted
+    val perTime = times.map { t =>
+      val atRisk = subjects.filter(_._1 >= t)
+      val s0 = atRisk.map(s => math.exp(beta * s._3)).sum
+      val s1 = atRisk.map(s => s._3 * math.exp(beta * s._3)).sum
+      val s2 = atRisk.map(s => s._3 * s._3 * math.exp(beta * s._3)).sum
+      val ev = subjects.filter(s => s._1 == t && s._2)
+      val d = ev.length.toDouble
+      val resid = ev.map(_._3).sum - d * s1 / s0
+      val info = d * (s2 / s0 - (s1 / s0) * (s1 / s0))
+      (t.toDouble, d, resid, info)
+    }
+    val dTot = perTime.map(_._2).sum
+    val gBar = perTime.map(p => p._2 * p._1).sum / dTot
+    val denG = perTime.map(p => p._2 * (p._1 - gBar) * (p._1 - gBar)).sum
+    val v = perTime.map(p => (p._1 - gBar) * p._3).sum
+    val info = perTime.map(_._4).sum
+    val tRef = dTot * v * v / (info * denG)
+    val chi = got("x").getDouble(1)
+    assert(math.abs(chi - tRef) < math.max(1e-3, 1e-3 * tRef), s"chisq $chi vs naive $tRef")
+    assert(got("GLOBAL").getDouble(1) == chi, "p=1: global == per-covariate")
+    assert(got("x").getLong(2) == 1L && got("GLOBAL").getLong(2) == 1L)
+  }
+
+  test("coxSchoenfeld: crossing hazards flagged, proportional hazards not; rank transform is monotone-invariant") {
+    import spark.implicits._
+    // PH VIOLATION by construction: the covariate effect reverses over time
+    // (x=1 subjects die early, x=0 subjects die late -> beta(t) not constant)
+    val crossing = ((0 until 60).map(i => ((i % 10 + 1).toLong, true, 1.0)) ++
+      (0 until 60).map(i => ((i % 10 + 30).toLong, true, 0.0)) ++
+      (0 until 20).map(i => (50L, false, (i % 2).toDouble))).toDF("dur", "ev", "x")
+    val cz = EventAnalytics.coxSchoenfeld(crossing, col("dur"), col("ev"), Seq("x" -> col("x")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // under complete time-separation the fit may or may not converge with a
+    // huge |beta|; require the diagnostic to either flag or refuse -- with
+    // this censored tail the fit converges and the violation must be flagged
+    assert(cz("x").getBoolean(7), "fit should converge on the censored-tail design")
+    assert(cz("x").getBoolean(3), s"crossing hazards must be flagged: ${cz("x")}")
+    // PROPORTIONAL by construction: same shape, arm just thins the hazard
+    val rnd = new scala.util.Random(53)
+    val ph = (0 until 300).map { i =>
+      val x = (i % 2).toDouble
+      // geometric-ish durations; rate ratio constant over time
+      var t = 0L
+      while (rnd.nextDouble() > (if (x > 0) 0.25 else 0.15) && t < 40L) t += 1L
+      (t, t < 40L, x)
+    }.toDF("dur", "ev", "x")
+    val pz = EventAnalytics.coxSchoenfeld(ph, col("dur"), col("ev"), Seq("x" -> col("x")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(pz("x").getBoolean(7))
+    assert(!pz("x").getBoolean(3), s"proportional data must not be flagged: ${pz("x")}")
+    // rank transform: invariant under a monotone time rescale (t -> t^2);
+    // squaring preserves event order on nonnegative durations
+    val sq = crossing.select((col("dur") * col("dur")).as("dur"), col("ev"), col("x"))
+    def chiOf(df: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.coxSchoenfeld(df, col("dur"), col("ev"), Seq("x" -> col("x")),
+        transform = "rank").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(chiOf(crossing) == chiOf(sq), "rank-transform chisq must survive t -> t^2")
+  }
+
+  test("coxSchoenfeld: collinear design yields NULL statistics, converged=false") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val df = (0 until 60).map { i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(10) < 7, (i % 2).toDouble)
+    }.toDF("dur", "ev", "x")
+    val rows = EventAnalytics.coxSchoenfeld(df, col("dur"), col("ev"),
+      Seq("x1" -> col("x"), "x2" -> (col("x") * lit(3.0)))).collect()
+    assert(rows.length == 3, "2 covariates + GLOBAL")
+    rows.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(3) && !r.getBoolean(7), r.toString)
+    }
+  }
+
 }

@@ -47,6 +47,8 @@ class StreamingSurvivalMonitorSpec extends SparkSpec {
       rows(EventAnalytics.flemingHarringtonFromStates(stA, stB, 1.0, 1.0)))
     assert(rows(mon.cox(ties = "efron")) ==
       rows(EventAnalytics.coxFromStates(stA, stB, ties = "efron")))
+    assert(rows(mon.coxBaseline(ties = "efron")) ==
+      rows(EventAnalytics.coxBaselineFromStates(stA, stB, ties = "efron")))
   }
 
   test("empty store serves empty faces (no crash before first ingest); compact preserves every face") {
@@ -58,6 +60,8 @@ class StreamingSurvivalMonitorSpec extends SparkSpec {
     // the Mantel–Cox agg over zero event rows is the all-NULL row
     val lrEmpty = mon.logRank().collect().head
     assert(lrEmpty.isNullAt(0) && lrEmpty.isNullAt(6), lrEmpty.toString)
+    // a no-event store cannot fit: the baseline face is the empty frame
+    assert(mon.coxBaseline().collect().isEmpty)
     // an all-filtered batch (null ev) writes nothing and still serves
     mon.ingestBatch(spans((1L, true, true)).withColumn("ev",
       org.apache.spark.sql.functions.lit(null).cast("boolean")), 0L)
@@ -77,6 +81,23 @@ class StreamingSurvivalMonitorSpec extends SparkSpec {
     val parts = new java.io.File(s"$work/state").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
     assert(parts.length == 1 && parts.head.getName == "ingest_batch=-1", parts.mkString(","))
+
+    // compaction under a session-wide DYNAMIC partitionOverwriteMode — the
+    // deployment conf every ingestBatch itself requests. An unpinned
+    // Overwrite+partitionBy would then rewrite ONLY ingest_batch=-1 and
+    // leave the batch partitions in place: every face double-counts.
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      mon.ingestBatch(randomSpans(40, 2), 4L)
+      val withNew = faces()
+      mon.compact()
+      assert(faces() == withNew, "dynamic session conf must not break compaction")
+      val parts2 = new java.io.File(s"$work/state").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      assert(parts2.length == 1 && parts2.head.getName == "ingest_batch=-1",
+        parts2.mkString(","))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     graft.Caches.clear()
   }
 
