@@ -4725,6 +4725,185 @@ object SparkEntry {
         historySh = Some(corpusSketch.select(col("id"), col("sh"))))
     }),
 
+    // Breslow/Efron cumulative baseline hazard off the q377 Cox cell
+    // machinery — the post-fit product real survival users plot
+    // (Ŝ(t|x) = S₀(t)^{exp(β̂ᵀx)}; lifelines baseline_cumulative_hazard_).
+    // Verify face: the gate row — the op's (t, h0, H₀, S₀) re-verified
+    // per tie mode against a NAIVE subject-level recomputation of the
+    // baseline at the q377-gated β̂ (full risk-set scans per event time,
+    // independent of the cell sweep), plus exp(−H₀) and row-count
+    // invariants. Bench face: the Efron baseline frame itself.
+    "q383_cox_baseline" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val u = days.groupBy(col("user_id")).agg(
+        min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pd"),
+        count(lit(1)).as("_ne"))
+      val obs = graft.Caches.track(
+        u.select(
+          (coalesce(col("_pd"), col("_ld")) - col("_fd")).as("dur"),
+          col("_pd").isNotNull.as("ev"),
+          (col("user_id") % 2).cast("double").as("arm"),
+          when(floor(log2(col("_ne"))) >= 6, 1.0).otherwise(0.0).as("heavy")))
+      val covs = Seq("arm" -> col("arm"), "heavy" -> col("heavy"))
+      val bin = (col("dur") / 3L).cast("long")
+      val efron = graft.ops.EventAnalytics.coxBaseline(
+        obs, bin, col("ev"), covs, ties = "efron")
+      if (benchMode) efron
+      else {
+        val breslow = graft.ops.EventAnalytics.coxBaseline(obs, bin, col("ev"), covs)
+        val subj = obs.select(bin.as("t"), col("ev"), col("arm"), col("heavy"))
+          .collect()
+          .map(r => (r.getLong(0), r.getBoolean(1),
+            Array(r.getDouble(2), r.getDouble(3))))
+        val nEvents = subj.count(_._2).toLong
+        val eventTimes = subj.filter(_._2).map(_._1).distinct.sorted
+        def gate(base: org.apache.spark.sql.DataFrame, efronTies: Boolean): Boolean = {
+          val fitRows = graft.ops.EventAnalytics.coxMulti(
+            obs, bin, col("ev"), covs, ties = if (efronTies) "efron" else "breslow")
+            .collect().map(r => r.getString(0) -> r).toMap
+          if (nEvents == 0 || !fitRows.values.forall(_.getBoolean(8)))
+            base.collect().isEmpty // no/failed fit must serve no baseline
+          else {
+            val b = Array(fitRows("arm").getDouble(1), fitRows("heavy").getDouble(1))
+            def bx(x: Array[Double]) = b(0) * x(0) + b(1) * x(1)
+            var cum = 0.0
+            val ref = eventTimes.map { t =>
+              val s0 = subj.filter(_._1 >= t).map(x => math.exp(bx(x._3))).sum
+              val ev = subj.filter(x => x._1 == t && x._2)
+              val d = ev.length
+              val h0 =
+                if (!efronTies) d.toDouble / s0
+                else {
+                  val d0 = ev.map(x => math.exp(bx(x._3))).sum
+                  (0 until d).map(l => 1.0 / (s0 - (l.toDouble / d) * d0)).sum
+                }
+              cum += h0
+              (t, h0, cum)
+            }
+            val got = base.orderBy(col("t")).collect()
+              .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+            got.length == ref.length && got.zip(ref).forall {
+              case ((t, h0, ch, sv), (rt, rh0, rch)) =>
+                t == rt && math.abs(h0 - rh0) < 1e-3 && math.abs(ch - rch) < 1e-2 &&
+                  math.abs(sv - math.exp(-ch)) < 2e-6
+            }
+          }
+        }
+        s.range(1).select(
+          lit(subj.length.toLong).as("n"), lit(nEvents).as("events"),
+          lit(eventTimes.length.toLong).as("n_times"),
+          lit(gate(breslow, efronTies = false)).as("breslow_pass"),
+          lit(gate(efron, efronTies = true)).as("efron_pass"))
+      }
+    }),
+
+    // Grambsch–Therneau proportional-hazards diagnostic on the q377 fit —
+    // "is the PH assumption even true?" (R cox.zph): score test of a
+    // time-varying coefficient off the Schoenfeld residuals, identity and
+    // rank time transforms. Verify face: the gate row — all three χ²
+    // rows (arm, heavy, GLOBAL) of BOTH transforms re-verified against a
+    // naive subject-level recomputation (full risk-set scans, 2×2
+    // Cramer inverse) at the q377-gated β̂. Bench face: the identity-
+    // transform diagnostic frame.
+    "q384_cox_ph" -> ((s, dir) => {
+      val days = E(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val u = days.groupBy(col("user_id")).agg(
+        min(col("day")).as("_fd"), max(col("day")).as("_ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pd"),
+        count(lit(1)).as("_ne"))
+      val obs = graft.Caches.track(
+        u.select(
+          (coalesce(col("_pd"), col("_ld")) - col("_fd")).as("dur"),
+          col("_pd").isNotNull.as("ev"),
+          (col("user_id") % 2).cast("double").as("arm"),
+          when(floor(log2(col("_ne"))) >= 6, 1.0).otherwise(0.0).as("heavy")))
+      val covs = Seq("arm" -> col("arm"), "heavy" -> col("heavy"))
+      val bin = (col("dur") / 3L).cast("long")
+      val identity = graft.ops.EventAnalytics.coxSchoenfeld(obs, bin, col("ev"), covs)
+      if (benchMode) identity
+      else {
+        val rank = graft.ops.EventAnalytics.coxSchoenfeld(
+          obs, bin, col("ev"), covs, transform = "rank")
+        val subj = obs.select(bin.as("t"), col("ev"), col("arm"), col("heavy"))
+          .collect()
+          .map(r => (r.getLong(0), r.getBoolean(1),
+            Array(r.getDouble(2), r.getDouble(3))))
+        val nEvents = subj.count(_._2).toLong
+        val eventTimes = subj.filter(_._2).map(_._1).distinct.sorted
+        // naive χ² triple (arm, heavy, GLOBAL) straight off the raw rows
+        def naive(rankT: Boolean): Option[Array[Double]] = {
+          val fitRows = graft.ops.EventAnalytics.coxMulti(obs, bin, col("ev"), covs)
+            .collect().map(r => r.getString(0) -> r).toMap
+          if (nEvents == 0 || !fitRows.values.forall(_.getBoolean(8))) None
+          else {
+            val b = Array(fitRows("arm").getDouble(1), fitRows("heavy").getDouble(1))
+            def bx(x: Array[Double]) = b(0) * x(0) + b(1) * x(1)
+            val per = eventTimes.map { t =>
+              val atRisk = subj.filter(_._1 >= t)
+              val w = atRisk.map(x => math.exp(bx(x._3)))
+              val s0 = w.sum
+              val s1 = Array(0, 1).map(k =>
+                atRisk.zip(w).map { case (x, wi) => wi * x._3(k) }.sum)
+              val s2 = Array.tabulate(2, 2)((k, l) =>
+                atRisk.zip(w).map { case (x, wi) => wi * x._3(k) * x._3(l) }.sum)
+              val ev = subj.filter(x => x._1 == t && x._2)
+              val d = ev.length.toDouble
+              val resid = Array(0, 1).map(k => ev.map(_._3(k)).sum - d * s1(k) / s0)
+              val info = Array.tabulate(2, 2)((k, l) =>
+                d * (s2(k)(l) / s0 - (s1(k) / s0) * (s1(l) / s0)))
+              (t, d, resid, info)
+            }
+            val dTot = per.map(_._2).sum
+            val g: Seq[Double] =
+              if (!rankT) per.map(_._1.toDouble)
+              else {
+                var before = 0.0
+                per.map { p => val r = before + (p._2 + 1.0) / 2.0; before += p._2; r }
+              }
+            val gBar = per.zip(g).map { case (p, gi) => p._2 * gi }.sum / dTot
+            val denG = per.zip(g).map { case (p, gi) => p._2 * (gi - gBar) * (gi - gBar) }.sum
+            val v = Array(0, 1).map(k =>
+              per.zip(g).map { case (p, gi) => (gi - gBar) * p._3(k) }.sum)
+            val i00 = per.map(_._4(0)(0)).sum; val i01 = per.map(_._4(0)(1)).sum
+            val i11 = per.map(_._4(1)(1)).sum
+            val det = i00 * i11 - i01 * i01
+            if (denG <= 0 || det <= 0) None
+            else {
+              val w0 = (i11 * v(0) - i01 * v(1)) / det
+              val w1 = (i00 * v(1) - i01 * v(0)) / det
+              val inv00 = i11 / det; val inv11 = i00 / det
+              Some(Array(
+                dTot * w0 * w0 / (inv00 * denG),
+                dTot * w1 * w1 / (inv11 * denG),
+                dTot * (v(0) * w0 + v(1) * w1) / denG))
+            }
+          }
+        }
+        def gate(frame: org.apache.spark.sql.DataFrame, rankT: Boolean): Boolean = {
+          val rows = frame.collect().map(r => r.getString(0) -> r).toMap
+          naive(rankT) match {
+            case None => rows.values.forall(r => r.isNullAt(1) && !r.getBoolean(7))
+            case Some(ref) =>
+              val names = Seq("arm", "heavy", "GLOBAL")
+              rows.values.forall(_.getBoolean(7)) && names.zipWithIndex.forall {
+                case (nm, i) =>
+                  val chi = rows(nm).getDouble(1)
+                  math.abs(chi - ref(i)) < math.max(1e-3, 1e-3 * ref(i))
+              }
+          }
+        }
+        s.range(1).select(
+          lit(subj.length.toLong).as("n"), lit(nEvents).as("events"),
+          lit(eventTimes.length.toLong).as("n_times"),
+          lit(gate(identity, rankT = false)).as("identity_pass"),
+          lit(gate(rank, rankT = true)).as("rank_pass"))
+      }
+    }),
+
+
     // dedup-grade Jaccard (t=0.7) via PPJoin-style prefix filtering: only
     // each doc's rarest (1-t) shingle fraction enters the join, hot
     // shingles are excluded by the canonical order itself — exact results
@@ -5035,6 +5214,40 @@ object SparkEntry {
         |  (nm IS NOT NULL) AS contaminated
         |FROM sh s LEFT JOIN agg ON agg.doc_id = s.id
         |WHERE s.id < 300""".stripMargin,
+
+    // q383: the gate row — totals + the event-time-bin count; the naive
+    // subject-level baseline recomputation happens inside the query
+    "q383_cox_baseline" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS fd,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+        |  FROM e GROUP BY 1)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS events,
+        |  CAST(count(DISTINCT CASE WHEN pd IS NOT NULL THEN (pd - fd) // 3 END) AS BIGINT) AS n_times,
+        |  CAST(TRUE AS BOOLEAN) AS breslow_pass,
+        |  CAST(TRUE AS BOOLEAN) AS efron_pass
+        |FROM u""".stripMargin,
+
+    // q384: the gate row — same totals; both transforms' χ² triples are
+    // re-verified against the naive recomputation inside the query
+    "q384_cox_ph" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS fd,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+        |  FROM e GROUP BY 1)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS events,
+        |  CAST(count(DISTINCT CASE WHEN pd IS NOT NULL THEN (pd - fd) // 3 END) AS BIGINT) AS n_times,
+        |  CAST(TRUE AS BOOLEAN) AS identity_pass,
+        |  CAST(TRUE AS BOOLEAN) AS rank_pass
+        |FROM u""".stripMargin,
 
     // q378: the gate row — the label table covers the whole document
     // universe by construction; the index-served ≡ inline-incremental
