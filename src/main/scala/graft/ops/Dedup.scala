@@ -510,9 +510,44 @@ object Dedup {
         writeScratch(fs, dir, sigs)
         graft.io.AtomicSwap.swapIn(fs, dir)
       }
+      spark.catalog.refreshByPath(path) // raw renames bypass Spark's write-path cache refresh
     }
 
-    /** Load the signature table, failing fast on geometry mismatch. */
+    // --- append commit protocol: dot-prefixed siblings of sigs/ (invisible
+    // to Spark's file discovery, the GraphStore restricted-delete pattern) ---
+    private def appendScratch(sigsDir: Path) =
+      new Path(sigsDir.getParent, s".${sigsDir.getName}.appendrows")
+    private def appendMarker(sigsDir: Path) =
+      new Path(sigsDir.getParent, s".${sigsDir.getName}.appendcommit")
+
+    /** Finishes (or rolls back) an [[append]] that died mid-flight.
+      * Before the commit marker exists the live sigs/ dir is untouched →
+      * roll BACK (drop the scratch). Once the marker exists the batch's
+      * part-files are complete in scratch-or-moved → roll FORWARD (rename
+      * the stragglers in, clear marker + scratch). Idempotent; runs under
+      * the maintenance lock at the start of every append/compact. */
+    private def healAppend(fs: FileSystem, sigsDir: Path): Unit = {
+      val scr = appendScratch(sigsDir)
+      val mark = appendMarker(sigsDir)
+      if (fs.exists(mark)) {
+        if (fs.exists(scr))
+          fs.listStatus(scr).filter(_.getPath.getName.startsWith("part-"))
+            .foreach(s => fs.rename(s.getPath, new Path(sigsDir, s.getPath.getName)))
+        fs.delete(mark, false); fs.delete(scr, true)
+      } else if (fs.exists(scr)) fs.delete(scr, true)
+      ()
+    }
+
+    /** Load the signature table, failing fast on geometry mismatch.
+      *
+      * Lock-free snapshot consistency vs [[append]]: a batch is visible
+      * if and only if its commit marker exists. Uncommitted scratch files
+      * are dot-prefixed (invisible to discovery) and torn post-commit
+      * states are completed in-plan — when a marker is present, the
+      * not-yet-renamed scratch part-files are unioned in (rename is
+      * per-file atomic, so each file is in scratch XOR in sigs/, never
+      * both). Readers therefore always see the whole batch or none of
+      * it, even concurrent with an append or after a mid-append crash. */
     def load(spark: SparkSession, path: String): DataFrame = {
       val p  = new Path(s"$path/_meta")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -523,7 +558,15 @@ object Dedup {
                    finally in.close()
       require(stored == metaLine,
         s"index at $path was built with ($stored), this handle is ($metaLine)")
-      spark.read.parquet(s"$path/sigs")
+      val base = spark.read.parquet(s"$path/sigs")
+      val sigsDir = new Path(s"$path/sigs")
+      val scr = appendScratch(sigsDir)
+      if (fs.exists(appendMarker(sigsDir)) && fs.exists(scr)) {
+        val parts = fs.listStatus(scr)
+          .filter(_.getPath.getName.startsWith("part-")).map(_.getPath.toString)
+        if (parts.isEmpty) base
+        else base.unionByName(spark.read.parquet(parts.toIndexedSeq: _*))
+      } else base
     }
 
     /** Candidate-and-verify a NEW batch against the stored corpus:
@@ -553,24 +596,52 @@ object Dedup {
     /** Sketch and append a batch's signatures into the store (no rewrite
       * of standing files; callers own id uniqueness across batches).
       *
-      * Unlike [[save]]/[[compact]], append is NOT index-level atomic: new
-      * parquet files land in the live `sigs/` directory one task-commit
-      * rename at a time, so a [[probe]] running concurrently may observe a
-      * partially committed batch, and a mid-append crash leaves a
-      * half-applied batch that [[graft.io.AtomicSwap.heal]] cannot roll
-      * back (it only heals save/compact scratch dirs). Callers must not
-      * probe concurrently with an append, and crash recovery requires
-      * batch-keyed replay (re-append the whole batch after deleting its
-      * files, or rebuild via [[save]]). */
+      * CRASH-PROVABLE (the GraphStore restricted-delete marker protocol):
+      * the batch is first written whole to a dot-prefixed scratch dir,
+      * then a commit MARKER is created, then the part-files are renamed
+      * into the live `sigs/` dir. A crash before the marker rolls back
+      * (the live store never saw a byte — [[healAppend]] drops the
+      * scratch); after it, the batch is durable and the next
+      * append/compact rolls forward. [[load]]/[[probe]] key visibility on
+      * the marker and union in any not-yet-renamed scratch files, so a
+      * torn append is NEVER observable — readers see the whole batch or
+      * none of it, without taking the lock. The store stays atomic under
+      * exactly one writer ([[graft.io.AtomicSwap.withMaintenanceLock]]);
+      * callers own id uniqueness across batches.
+      *
+      * Hook mapping for crash-injection specs: `beforeAside` fires before
+      * the commit marker (rolls back), `beforeSwapIn` after the marker
+      * with every part-file still in scratch (rolls forward),
+      * `beforeCleanup` after the renames with the protocol files still
+      * present (rolls forward, idempotent). */
     def append(spark: SparkSession, path: String, df: DataFrame,
-        textCol: String = "text", idCol: String = "doc_id"): Unit = {
+        textCol: String = "text", idCol: String = "doc_id",
+        hooks: graft.io.AtomicSwap.Hooks = graft.io.AtomicSwap.NoHooks): Unit = {
       val dir = new Path(path)
       val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sigsDir = new Path(s"$path/sigs")
       graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
+        healAppend(fs, sigsDir)
+        spark.catalog.refreshByPath(path) // heal may have renamed files in
         load(spark, path) // geometry gate before any bytes land
+        val scr = appendScratch(sigsDir)
         minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, hash)
-          .write.mode("append").parquet(s"$path/sigs")
+          .write.mode("overwrite").parquet(scr.toString)
+        hooks.beforeAside()
+        fs.createNewFile(appendMarker(sigsDir)) // commit point
+        hooks.beforeSwapIn()
+        fs.listStatus(scr).filter(_.getPath.getName.startsWith("part-"))
+          .foreach(s => fs.rename(s.getPath, new Path(sigsDir, s.getPath.getName)))
+        hooks.beforeCleanup()
+        fs.delete(appendMarker(sigsDir), false)
+        fs.delete(scr, true)
+        ()
       }
+      // the commit lands via raw fs.rename, which (unlike a Spark SQL
+      // append) never refreshes the path's cached scans/listings — a
+      // prior tracked probe of this store would otherwise shadow the
+      // batch forever (the q378 cache-barrier trap, write side)
+      spark.catalog.refreshByPath(path)
     }
 
     /** Rewrite an append-grown store into few files (the IvfIndex.compact
@@ -580,11 +651,14 @@ object Dedup {
       val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       graft.io.AtomicSwap.withMaintenanceLock(fs, dir) {
         graft.io.AtomicSwap.heal(fs, dir)
+        healAppend(fs, new Path(s"$path/sigs"))
+        spark.catalog.refreshByPath(path) // heal may have renamed files in
         val sigs = load(spark, path).coalesce(
           spark.sparkContext.defaultParallelism)
         writeScratch(fs, dir, sigs)
         graft.io.AtomicSwap.swapIn(fs, dir)
       }
+      spark.catalog.refreshByPath(path) // raw renames bypass Spark's write-path cache refresh
     }
   }
 

@@ -218,4 +218,76 @@ class AtomicSwapSpec extends SparkSpec {
     val schema = alerts.toDF().drop("id").schema
     assert(mgr.readAll(schema).count() == 6)
   }
+  // --- LshIndex.append marker protocol (the store now feeds two
+  // oracle-gated consumers — q378 labels, q382 decontamination — so a
+  // torn append must be invisible, not just documented) ---
+
+  private def lshDocs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def lshFixture(tag: String): (graft.ops.Dedup.LshIndex, String) = {
+    val idx = graft.ops.Dedup.LshIndex(numHashes = 16, shingleWidth = 3)
+    val path = tempDir(s"lsh-crash-$tag") + "/index"
+    idx.save(lshDocs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "completely unrelated text about spark physical planning"), path)
+    (idx, path)
+  }
+
+  private val lshBatch = () => lshDocs(
+    10L -> "the quick brown fox jumps over the lazy dog tonight",
+    11L -> "a fresh paragraph on columnar shuffle layouts and codecs")
+  private val lshLate = () => lshDocs(
+    20L -> "a fresh paragraph on columnar shuffle layouts and codecs")
+
+  private def lshHits(idx: graft.ops.Dedup.LshIndex, path: String,
+      df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    idx.probe(spark, path, df, bands = 4, verifyThreshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LshIndex.append crash BEFORE the commit marker: store untouched, batch invisible, re-append heals") {
+    val (idx, path) = lshFixture("pre")
+    intercept[Boom] { idx.append(spark, path, lshBatch(), hooks = crashAt("aside")) }
+    // the torn batch is invisible: 20 only matches 11, which never committed
+    assert(lshHits(idx, path, lshLate()).isEmpty, "uncommitted batch must not serve")
+    // the pre-append corpus still serves exactly
+    assert(lshHits(idx, path, lshBatch()) == Set((10L, 1L)))
+    // the next append heals (rolls the scratch back) and lands the batch
+    idx.append(spark, path, lshBatch())
+    assert(lshHits(idx, path, lshLate()) == Set((20L, 11L)))
+    graft.Caches.clear()
+  }
+
+  test("LshIndex.append crash AFTER the marker: batch already probe-visible; compact rolls forward") {
+    val (idx, path) = lshFixture("post")
+    intercept[Boom] { idx.append(spark, path, lshBatch(), hooks = crashAt("swapIn")) }
+    // committed: every part-file still sits in scratch, yet the probe
+    // unions it in — the whole batch serves, nothing is torn
+    assert(lshHits(idx, path, lshLate()) == Set((20L, 11L)),
+      "a committed batch must serve even before any rename")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/.sigs.appendcommit")))
+    // roll forward via the next maintenance op; results identical, protocol files gone
+    idx.compact(spark, path)
+    assert(lshHits(idx, path, lshLate()) == Set((20L, 11L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/.sigs.appendcommit")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/.sigs.appendrows")))
+    graft.Caches.clear()
+  }
+
+  test("LshIndex.append crash mid-cleanup: serves correctly; the next append is unscathed") {
+    val (idx, path) = lshFixture("mid")
+    intercept[Boom] { idx.append(spark, path, lshBatch(), hooks = crashAt("cleanup")) }
+    assert(lshHits(idx, path, lshLate()) == Set((20L, 11L)))
+    // heal is idempotent: the next append clears the leftover marker and
+    // the already-renamed files are not double-counted
+    idx.append(spark, path, lshLate())
+    val sigs = spark.read.parquet(s"$path/sigs")
+    assert(sigs.count() == 5L, "2 corpus + 2 batch + 1 late, each exactly once")
+    assert(sigs.select("id").distinct().count() == 5L)
+    graft.Caches.clear()
+  }
+
 }
