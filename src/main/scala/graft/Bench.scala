@@ -84,6 +84,17 @@ object Bench {
   private def baselineKey(name: String): String =
     planEpochs.get(name).filter(_ > 0).map(e => s"$name#e$e").getOrElse(name)
 
+  /** Queries that always get the jit-extension extra runs, converging or
+    * not. q304 is the sweep's most expensive single query (a 9-round
+    * dense-HLL ANF loop) and the first of the graph family alphabetically
+    * to touch the big edge frame — it pays codegen + page-cache warmup AND
+    * exhibits upward GC/compaction spikes that a 3-run array cannot
+    * absorb: its committed medians flapped r12 7.72 → r13 14.8 → r14
+    * [14.8, 14.8, 40.3] while idle-box reruns kept measuring 7.6–9.0.
+    * Extra runs tighten the median toward steady state; the min is
+    * unchanged in expectation. */
+  private val alwaysExtraRuns: Set[String] = Set("q304_graph_anf")
+
   /** First field of /proc/loadavg (1-min average); MXBean fallback off-Linux. */
   private def loadAvg(osBean: java.lang.management.OperatingSystemMXBean): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
@@ -152,14 +163,29 @@ object Bench {
     val qloadX    = sys.env.getOrElse("SPARK_GRAFT_BENCH_QLOAD_X", "0.35").toDouble
     val qfrac     = sys.env.getOrElse("SPARK_GRAFT_BENCH_QFRAC", "0.10").toDouble
     val startContended = loadStart > loadGate * osBean.getAvailableProcessors
+    // Absolute start-load hygiene (v3, round 15): the official r14 sweep
+    // started at load 4.25 — far under the 0.5×cpus=16 relative gate, yet
+    // the run put 72 queries over 2× best-known that an idle rerun
+    // demolished. A RECORD-grade run must start near-idle: warn (and
+    // refuse under STRICT) past an absolute ~2.0, independent of cpu
+    // count — external load at that level is invisible to the relative
+    // gates but measurably pollutes a 32-thread sweep.
+    val startWarnAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_START_WARN", "2.0").toDouble
+    val startLoadWarn = loadStart > startWarnAbs
+    if (startLoadWarn && !startContended)
+      System.err.println(
+        f"[bench] WARNING: start load $loadStart%.2f exceeds the record-grade " +
+          f"threshold $startWarnAbs%.1f — prefer an idle box for a committed record")
     if (startContended) {
       System.err.println(
         f"[bench] WARNING: start load $loadStart%.2f exceeds $loadGate%.2f x " +
           f"${osBean.getAvailableProcessors} cpus — record will be marked contended")
-      if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
-        System.err.println("[bench] SPARK_GRAFT_BENCH_STRICT=1: refusing to run on a busy box")
-        sys.exit(2)
-      }
+    }
+    if ((startContended || startLoadWarn) &&
+        sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
+      System.err.println(
+        f"[bench] SPARK_GRAFT_BENCH_STRICT=1: refusing to run at start load $loadStart%.2f")
+      sys.exit(2)
     }
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -235,7 +261,8 @@ object Bench {
         rs.size >= 2 && rs.last < 0.9 * rs(rs.size - 2) &&
           rs.sliding(2).forall(p => p.size < 2 || p(1) < p(0))
       var jitRuns = 0
-      while (runs >= 3 && jitRuns < jitExtra && stillConverging(allRuns)) {
+      while (runs >= 3 && jitRuns < jitExtra &&
+          (stillConverging(allRuns) || alwaysExtraRuns.contains(name))) {
         allRuns = allRuns :+ timeOnce(fn)._1
         jitRuns += 1
       }
@@ -309,7 +336,39 @@ object Bench {
     // the start-load check only — the fraction gate is calibrated against
     // full-sweep self-load, which a focused run does not resemble.
     val focused   = only.isDefined
-    val contended = startContended || (!focused && contendedFraction > qfrac)
+    // Contention gate v3 (round 15): a loadavg-FREE sweep verdict. The
+    // official r14 sweep ran at start load 4.25, retried 13 queries and
+    // put 72 queries (19%) over 2× their best-knowns — and the v2 gates
+    // signed it `contended: false` (per-query loadavg only fires past
+    // 0.35×cpus ≈ 11, blind to moderate external load under a sweep whose
+    // OWN self-load reads 4–9). The times themselves are the better
+    // sensor: on an idle box ~3% of (non-epoch-fresh) queries run their
+    // MEDIAN past 2× best-known (mins are monotone best-box-day records),
+    // while the contaminated r14 sweep read 19%. Queries without a
+    // best-known under their CURRENT plan epoch (fresh epochs, new
+    // queries) are excluded — their gap is expected, not environmental.
+    // Medians (not mins) so a lucky healed retry cannot mask a polluted
+    // window; requires runs ≥ 3 so the cold codegen run never IS the
+    // median; full sweeps only (the fraction calibration is a full-sweep
+    // property).
+    val slowX    = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_X", "2.0").toDouble
+    val slowFrac = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_FRAC", "0.12").toDouble
+    val withBaseline = results.filter(r => baseline.contains(baselineKey(r._1)))
+    val slowQueries = withBaseline.filter { r =>
+      val b = baseline(baselineKey(r._1))
+      r._3 > slowX * math.max(b, microFloor)
+    }.map(_._1)
+    val slowFraction =
+      if (withBaseline.isEmpty) 0.0
+      else slowQueries.size.toDouble / withBaseline.size
+    val slowContended = !focused && runs >= 3 && slowFraction > slowFrac
+    if (slowQueries.nonEmpty)
+      System.err.println(
+        f"[bench] ${slowQueries.size}/${withBaseline.size} baselined queries ran their " +
+          f"median past $slowX%.1fx best-known (${slowFraction * 100}%.1f%%" +
+          (if (slowContended) " — sweep marked CONTENDED" else "") +
+          s"): ${slowQueries.take(20).mkString(",")}")
+    val contended = startContended || (!focused && contendedFraction > qfrac) || slowContended
     if (contendedQueries.nonEmpty)
       System.err.println(
         f"[bench] ${contendedQueries.size} queries sampled load > $qGate%.1f " +
@@ -324,14 +383,15 @@ object Bench {
     val qsMinFull  = full(r => f"${r._2}%.3f")
     val retriedFull = results.filter(_._6).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val jitFull = jitQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val slowFull = slowQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailJson =
-      f"""{"sf":"$sfDir","hash":"${sys.props("graft.hash")}","n_runs":$runs,"total_min":$total%.3f,"total_median":$totalMedian%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"focused":$focused,"contended":$contended,"contended_fraction":$contendedFraction%.3f,"contended_queries":${contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"retried":$retriedFull,"jit_converging":$jitFull,"queries_min":$qsMinFull,"queries_median":$qsMedian,"runs":$qsRuns,"load_avg_per_query":$qsLoad}"""
+      f"""{"sf":"$sfDir","hash":"${sys.props("graft.hash")}","n_runs":$runs,"total_min":$total%.3f,"total_median":$totalMedian%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"start_load_warn":$startLoadWarn,"cpus_available":${osBean.getAvailableProcessors},"focused":$focused,"contended":$contended,"contended_fraction":$contendedFraction%.3f,"contended_queries":${contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"slow_fraction":$slowFraction%.3f,"slow_vs_best_known":$slowFull,"retried":$retriedFull,"jit_converging":$jitFull,"queries_min":$qsMinFull,"queries_median":$qsMedian,"runs":$qsRuns,"load_avg_per_query":$qsLoad}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
     catch {
       case e: Throwable => System.err.println(s"[bench] detail write skipped: ${e.getMessage}")
     }
     println(
-      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"n_runs":$runs,"total_median":$totalMedian%.3f,"n_retried":${retried.size},"retried":"${retried.mkString(",")}","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"contended":$contended,"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qsMin,"n_runs":$runs,"total_median":$totalMedian%.3f,"n_retried":${retried.size},"retried":"${retried.mkString(",")}","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus_available":${osBean.getAvailableProcessors},"contended":$contended,"slow_fraction":$slowFraction%.3f,"hash":"${sys.props("graft.hash")}","sf":"$sfDir"}""")
     spark.stop()
     if (contended && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
       System.err.println(

@@ -133,6 +133,19 @@ object ExperimentDemo {
       s"${r.getString(0)}: HR=${r.get(2)} z=${r.get(4)}").mkString(" ") +
       s" converged=${fit.head.getBoolean(8)}")
 
+    // 10. what the fit is FOR: the baseline survival curve, served at a
+    // covariate profile (S(t|x) = S0(t)^exp(beta.x)) — plus the check
+    // that should precede every Cox number anyone ships: is the
+    // proportional-hazards assumption even true?
+    val baseRows = EventAnalytics.coxBaselineFromStates(stA, stB).orderBy(col("t")).collect()
+    obs("Cox baseline", baseRows.takeRight(2).map(r =>
+      s"t=${r.getLong(0)} H0=${r.getDouble(2)} S0=${r.getDouble(3)}").mkString(" "))
+    val ph = EventAnalytics.coxSchoenfeld(
+      adj, (col("dur") / 3L).cast("long"), col("ev"),
+      Seq("arm" -> col("arm").cast("double"), "heavy" -> col("heavy"))).collect()
+    obs("PH diagnostic", ph.map(r =>
+      s"${r.getString(0)}: chi2=${r.get(1)} violated=${r.get(3)}").mkString(" "))
+
     // 10. when purchase COMPETES with signup for "first conversion", 1-KM
     // of either alone overstates it — the CIF decomposes the risk honestly
     val firstOf = u.select(
