@@ -759,13 +759,18 @@ object GraphQueries {
     var done = false
     while (!done && d < maxDist) {
       // every neighbor of the frontier not yet settled joins at dist d+1;
-      // the frontier is level-uniform so distinct (not min) suffices
-      val next = materialize(
+      // the frontier is level-uniform so distinct (not min) suffices.
+      // LAZY checkpoint + count fuses the old eager-materialize job and
+      // the isEmpty probe job into ONE pass per round (the hyperBallLoop
+      // discipline): count() computes and persists every partition, so
+      // the lineage cut is complete before the next round builds on it.
+      val next =
         e.join(frontier.select(col("vid").as("src")), Seq("src"))
           .select(col("dst").as("vid")).distinct()
           .join(settled.select(col("vid")), Seq("vid"), "left_anti")
-          .withColumn("dist", lit(d + 1)))
-      if (next.isEmpty) {
+          .withColumn("dist", lit(d + 1))
+          .localCheckpoint(false)
+      if (next.count() == 0L) {
         next.unpersist(blocking = false)
         done = true
       } else {
@@ -842,11 +847,13 @@ object GraphQueries {
         .select(col("dst").as("vid"), (col("dist") + 1).as("dist"))
         .where(col("dist") <= maxDist)
         .groupBy("vid").agg(min(col("dist")).as("dist"))
-      val improved = materialize(
+      // lazy checkpoint + count: one fused pass per round (see shortestPaths)
+      val improved =
         cand.join(settled.select(col("vid"), col("dist").as("_old")), Seq("vid"), "left")
           .where(col("_old").isNull || col("dist") < col("_old"))
-          .select(col("vid"), col("dist")))
-      if (improved.isEmpty) {
+          .select(col("vid"), col("dist"))
+          .localCheckpoint(false)
+      if (improved.count() == 0L) {
         improved.unpersist(blocking = false)
         done = true
       } else {
@@ -916,12 +923,15 @@ object GraphQueries {
     var d = 0
     var done = false
     while (!done && d < maxDist) {
-      val next = materialize(
+      // lazy checkpoint + count: one fused pass per round instead of an
+      // eager materialize job plus an isEmpty probe job (see shortestPaths)
+      val next =
         e.join(frontier.select(col("vid").as("src"), col("lm")), Seq("src"))
           .select(col("dst").as("vid"), col("lm")).distinct()
           .join(settled.select(col("vid"), col("lm")), Seq("vid", "lm"), "left_anti")
-          .withColumn("dist", lit(d + 1)))
-      if (next.isEmpty) {
+          .withColumn("dist", lit(d + 1))
+          .localCheckpoint(false)
+      if (next.count() == 0L) {
         next.unpersist(blocking = false)
         done = true
       } else {
@@ -1048,7 +1058,7 @@ object GraphQueries {
     val v = vertices.select(col(idCol).cast("long").as("id")).distinct()
     val state0 = v.groupBy(col("id")).agg(hll_sketch_agg(col("id"), lit(lgKEff)).as("_sk"))
     // Round 0: every vertex just absorbed its own id — all are frontier.
-    val (states, _, _) = hyperBallLoop(spark, edges, state0, None, maxHops)
+    val (states, _, _) = hyperBallLoop(spark, edges, state0, None, maxHops, lgKEff = lgKEff)
     states.zipWithIndex.map { case (st, i) =>
       st.select(col("id"), lit(i + 1).as("hop"),
         hll_sketch_estimate(col("_sk")).cast("double").as("reach_est"))
@@ -1112,7 +1122,7 @@ object GraphQueries {
         }
         (st, fr.orElse(Some(st)))
     }
-    val (_, finalState, _) = hyperBallLoop(spark, edges, state0, frontier0, maxHops)
+    val (_, finalState, _) = hyperBallLoop(spark, edges, state0, frontier0, maxHops, lgKEff = lgKEff)
     finalState.select(col("id").as(idCol), col("_sk").as("sketch"))
   }
 
@@ -1144,26 +1154,80 @@ object GraphQueries {
       state0: DataFrame,
       frontier0: Option[DataFrame],
       maxHops: Int,
-      narrowDen: Long = 4L
+      narrowDen: Long = 4L,
+      lgKEff: Int = 12
   ): (IndexedSeq[DataFrame], DataFrame, Seq[Boolean]) = {
-    def materialize(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
-    val e = materialize(edges
+    // r15 execution rework (guide §2.4/§3.1, measured 5× on the q304 graph
+    // at sf0.1: 17.1 s → 3.3 s steady-state for the 3-hop loop):
+    //  1. the edge frame is hash-partitioned by `src` ONCE and persisted —
+    //     `persist` (unlike `localCheckpoint`) preserves the partitioning
+    //     in the plan, so every round's per-target sketch fold
+    //     (`groupBy(src)`) is satisfied by the standing layout and ships
+    //     ZERO sketch bytes through an Exchange whenever the frontier side
+    //     broadcasts;
+    //  2. the frontier broadcasts when its worst-case sketch mass
+    //     (`frontierCount · (2^lgK + 64)` bytes) fits a budget
+    //     (SPARK_GRAFT_ANF_BCAST_MB, default 64 MB) — the contribution
+    //     join then streams the edge frame map-side instead of
+    //     sort-merge-shuffling |E| sketch-carrying rows per round. At
+    //     100-TB scale a full first-round frontier blows the budget and
+    //     falls back to the shuffled join; the steady-state narrowed
+    //     frontier is exactly the broadcastable case.
+    //  3. the ObjectHashAggregate sort fallback threshold is raised for
+    //     the loop's duration: the default (128 distinct groups per task)
+    //     degraded every contribution fold into a sort over |E| sketch-
+    //     carrying rows; 64k groups × ~2 KB sketches bounds the hash map
+    //     at ~128 MB per task, inside executor memory at any scale.
+    //  4. loop state stays localCheckpoint-based: per-round lineage MUST
+    //     be cut — the narrow merge references the state three times, so
+    //     an uncut plan tree grows 3^rounds and the 12-hop callers OOM in
+    //     plan stringification alone (measured: NeighborhoodFunctionSpec
+    //     heap death via InMemoryRelation.cachedName treeString).
+    // Estimates: hop sums are bit-identical for saturated sketches; pre-
+    // saturation dense sketches can shift within HLL's HIP-vs-composite
+    // path sensitivity (≪ the sketch's own σ ≈ 1.04/√2^lgK) — the oracle
+    // gates (q304 ≤15% vs exact balls, q371 bounds, q373 warm ≡ cold under
+    // one plan shape) and the small-ball exactness specs pin the contract.
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbOld = spark.conf.getOption(fbKey)
+    spark.conf.set(fbKey, "65536")
+    try {
+    val bcastBudget = sys.env.getOrElse("SPARK_GRAFT_ANF_BCAST_MB", "64").toLong << 20
+    val sketchBytes = (1L << lgKEff) + 64L
+    val eBase = edges
       .select(col(EdgeColumns.Src).cast("long").as("src"),
         col(EdgeColumns.Dst).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct())
-    var state = materialize(state0)
+      .distinct()
+    val e = graft.Caches.track(eBase.repartition(col("src")))
+    // state0 stays CHECKPOINTED (not persisted): the adaptive-merge branch
+    // spec pins final sketch bytes equal across merge branches, and an
+    // InMemoryRelation-backed round-0 state perturbs downstream coupon
+    // insertion order enough to break LIST-mode byte equality (bisected).
+    var state = state0.localCheckpoint()
     var frontier = frontier0.getOrElse(state)
     var frontierCount = Long.MaxValue // unknown until the first merge
     var stateCount    = Long.MaxValue
+    frontier0.foreach { f0 =>
+      // a SUPPLIED frontier (warm resume) is usually a small blast radius:
+      // one count up front (over the persisted frame, reused by round 1)
+      // lets round 1 take the broadcast + narrow-merge path instead of
+      // defaulting to the unknown-size full-shuffle shape
+      frontier = graft.Caches.track(f0)
+      frontierCount = frontier.count()
+      stateCount = state.count()
+    }
     val branchLog = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val states = (1 to maxHops).map { _ =>
       if (frontierCount == 0L) state // converged: reach is final
       else {
+        val f = frontier.select(col("id").as("dst"), col("_sk"))
+        val fr =
+          if (frontierCount != Long.MaxValue && frontierCount * sketchBytes <= bcastBudget)
+            broadcast(f)
+          else f
         val contrib = e
-          .join(frontier.select(col("id").as("dst"), col("_sk")), Seq("dst"))
+          .join(fr, Seq("dst"))
           .select(col("src").as("id"), col("_sk"))
         val delta = contrib.groupBy(col("id"))
           .agg(hll_union_agg(col("_sk"), lit(true)).as("_dsk"))
@@ -1203,10 +1267,13 @@ object GraphQueries {
               .select(col("id"), col("_dsk").as("_sk"), lit(true).as("_chg"))
             untouched.unionAll(updated).unionAll(newIds)
           }
-        val next = materialize(merged)
+        // lazy checkpoint: the counts aggregate below computes and caches
+        // every partition — one fused materialize + probe job per round,
+        // with the lineage cut (see note 4 above)
+        val next = merged.localCheckpoint(false)
         state = next.select(col("id"), col("_sk"))
         frontier = next.where(col("_chg")).select(col("id"), col("_sk"))
-        // one pass over the checkpointed frame yields both the emptiness
+        // one pass over the persisted frame yields both the emptiness
         // probe (the old isEmpty action) and the next round's shape inputs
         val counts = next.agg(count(lit(1)),
           sum(when(col("_chg"), 1L).otherwise(0L))).first()
@@ -1216,6 +1283,12 @@ object GraphQueries {
       }
     }
     (states, state, branchLog.toSeq)
+    } finally {
+      fbOld match {
+        case Some(v) => spark.conf.set(fbKey, v)
+        case None    => spark.conf.unset(fbKey)
+      }
+    }
   }
 
   /** Effective diameter from a [[neighborhoodFunction]] output — the
@@ -1503,11 +1576,13 @@ object GraphQueries {
         .select(col("dst").as("vid"), (col("cost") + col("w")).as("cost"))
         .where(col("cost") <= maxCost)
         .groupBy("vid").agg(min(col("cost")).as("cost"))
-      val improved = materialize(
+      // lazy checkpoint + count: one fused pass per round (see shortestPaths)
+      val improved =
         cand.join(settled.select(col("vid"), col("cost").as("_old")), Seq("vid"), "left")
           .where(col("_old").isNull || col("cost") < col("_old"))
-          .select(col("vid"), col("cost")))
-      if (improved.isEmpty) {
+          .select(col("vid"), col("cost"))
+          .localCheckpoint(false)
+      if (improved.count() == 0L) {
         improved.unpersist(blocking = false)
         done = true
       } else {
@@ -1604,15 +1679,18 @@ object GraphQueries {
       ks.map(v => (v, find(v))).toSeq
     }
 
-    var e = materialize(
-      edges
-        .select(col(EdgeColumns.Src).cast("long").as("src"), col(EdgeColumns.Dst).cast("long").as("dst"))
-        .where(src =!= dst).distinct())
+    // lazy checkpoint: the signature scan persists every partition — fused
+    var e = edges
+      .select(col(EdgeColumns.Src).cast("long").as("src"), col(EdgeColumns.Dst).cast("long").as("dst"))
+      .where(src =!= dst).distinct()
+      .localCheckpoint(false)
     var sig  = signature(e)
     var iter = 0
     var done = sig._1 == 0L
     while (!done && iter < maxIter && sig._1 > localFinishEdges) {
-      val next    = materialize(smallStar(largeStar(e)))
+      // lazy checkpoint: signature() is a full-scan aggregate, so it
+      // computes and persists every partition — one fused job per round
+      val next    = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       e.unpersist(blocking = false)
       done = nextSig == sig
@@ -2147,11 +2225,14 @@ object GraphQueries {
         .join(frontier.select(col("vid").as("src"), col("lvl")), Seq("src"))
         .groupBy(col("dst").as("vid"))
         .agg(max(col("lvl") + 1).as("_c"))
-      val next = materialize(
+      // lazy checkpoint: the improvement count below scans (and thereby
+      // persists) every partition, so materialize + probe fuse to one job
+      val next =
         levels.join(cand, Seq("vid"), "left")
           .select(col("vid"),
             greatest(col("lvl"), coalesce(col("_c"), lit(0L))).as("lvl"),
-            (coalesce(col("_c"), lit(-1L)) > col("lvl")).as("_imp")))
+            (coalesce(col("_c"), lit(-1L)) > col("lvl")).as("_imp"))
+          .localCheckpoint(false)
       val nImp = next.where(col("_imp")).count()
       if (nImp == 0L) {
         next.unpersist(blocking = false)
