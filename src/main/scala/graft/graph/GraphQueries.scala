@@ -1483,18 +1483,24 @@ object GraphQueries {
           .union(rows.select(col("d").as("a_src"), col("s").as("a_dst"), col("w")))
           .groupBy("a_src", "a_dst").agg(sum(col("w")).as("w"))
     }
+    // ONE pass over the adjacency build: tot and the weight guard both
+    // derive from the persisted cumulative frame instead of re-running
+    // the union+groupBy upstream (it was computed three times — adj, tot
+    // and the min-weight check each re-aggregated the raw edges; guide
+    // §1.2 "don't compute things twice"). total = max(cum_hi) per source
+    // and min weight = min(cum_hi − cum_lo) are exact reads of adj.
     val adj = graft.Caches.track(
       adjW.withColumn("cum_hi", sum(col("w")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("a_src")).orderBy(col("a_dst"))))
         .withColumn("cum_lo", col("cum_hi") - col("w"))
         .select(col("a_src"), col("a_dst"), col("cum_lo"), col("cum_hi")))
     if (weightCol.isDefined) {
-      val minW = adjW.agg(min(col("w"))).head
+      val minW = adj.agg(min(col("cum_hi") - col("cum_lo"))).head
       require(minW.isNullAt(0) || minW.getLong(0) >= 1L,
         s"non-positive edge weight ${minW.get(0)} — walk weights must be >= 1")
     }
     val tot = graft.Caches.track(
-      adjW.groupBy(col("a_src")).agg(sum(col("w")).as("total"))
+      adj.groupBy(col("a_src")).agg(max(col("cum_hi")).as("total"))
         .select(col("a_src").as("d_src"), col("total")))
     var cur = materialize(
       starts.distinct.flatMap(s => (0 until numWalks).map(w => (s * numWalks + w, s)))
@@ -1502,18 +1508,22 @@ object GraphQueries {
         .withColumn("step", lit(0)))
     val positions = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
     var t = 0
-    while (t < walkLength && !cur.isEmpty) {
+    var frontierRows = starts.distinct.size.toLong * numWalks // known, no probe job
+    while (t < walkLength && frontierRows > 0L) {
       val chosen = cur
         .join(tot, col("vertex") === col("d_src"))
         .select(col("walk_id"), col("vertex"), col("step"),
           pmod(hash.seeded(seed,
             concat(col("walk_id").cast("string"), lit(":"), col("step").cast("string"))),
             col("total")).as("crank"))
-      val next = materialize(
+      // lazy checkpoint + count: one fused pass per step (see shortestPaths)
+      val next =
         chosen.join(adj,
             col("vertex") === col("a_src") &&
               col("crank") >= col("cum_lo") && col("crank") < col("cum_hi"))
-          .select(col("walk_id"), col("a_dst").as("vertex"), (col("step") + 1).as("step")))
+          .select(col("walk_id"), col("a_dst").as("vertex"), (col("step") + 1).as("step"))
+          .localCheckpoint(false)
+      frontierRows = next.count()
       positions += next
       cur = next
       t += 1

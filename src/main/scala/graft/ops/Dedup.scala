@@ -969,16 +969,20 @@ object Dedup {
       case None => base
     }
 
-    // postings: the codegen explode shape (see ngramJaccardPairs)
+    // postings: the codegen explode shape (see ngramJaccardPairs).
+    // Tracked persist: the frame feeds BOTH the document-frequency count
+    // and the per-document assembly join — without it the tokenize +
+    // explode + distinct over the whole corpus runs twice (plan-verified:
+    // two copies of the Generate→HashAggregate subtree at sf0.1).
     val toks = split(lower(trim(col("_txt"))), "\\s+")
-    val postings = reps
+    val postings = graft.Caches.track(reps
       .select(col("id"), toks.as("_toks"))
       .select(
         col("id"),
         col("_toks"),
         explode(sequence(lit(0), greatest(size(col("_toks")) - shingleWidth, lit(0)))).as("_i"))
       .select(col("id"), array_join(slice(col("_toks"), col("_i") + 1, lit(shingleWidth)), " ").as("shingle"))
-      .distinct()
+      .distinct())
 
     // canonical order = (df asc, shingle asc), realized by sorting each
     // document's (df, shingle) structs; one groupBy re-assembles documents.

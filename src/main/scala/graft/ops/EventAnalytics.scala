@@ -2670,18 +2670,25 @@ object EventAnalytics {
     * |items|-row count frame joined back. Ratios are pinned scalar IEEE
     * off exact longs.
     */
-  def basketPairs(
+  /** Shared core of [[basketPairs]] / [[associationRules]]: the exact
+    * integer pair-count frame `(_ia, _ib, n_ab, n_a, n_b)` plus the
+    * 1-row kept-basket total. Every reused frame is tracked-persisted so
+    * the quadratic within-basket self-join and the input distinct run
+    * ONCE per invocation — the rules face previously re-derived the
+    * basket total from scratch and duplicated the whole mining subplan
+    * under its direction union (guide §1.2). */
+  private def basketPairCounts(
       df: DataFrame,
       basket: Column,
       item: Column,
       minSupport: Int,
-      maxBasketSize: Int = 10000,
-      scale: Int = 6): DataFrame = {
+      maxBasketSize: Int): (DataFrame, DataFrame) = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
-    val pairsIn = df.select(basket.as("_b"), item.as("_i"))
-      .where(col("_b").isNotNull && col("_i").isNotNull)
-      .distinct()
+    val pairsIn = graft.Caches.track(
+      df.select(basket.as("_b"), item.as("_i"))
+        .where(col("_b").isNotNull && col("_i").isNotNull)
+        .distinct())
     val sized = pairsIn.groupBy(col("_b")).agg(count(lit(1)).as("_bs"))
       .where(col("_bs") <= maxBasketSize)
     val kept = graft.Caches.track(
@@ -2691,15 +2698,28 @@ object EventAnalytics {
     val itemCounts = graft.Caches.track(
       kept.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
         .where(col("_ni") >= minSupport))
-    val frequent = kept.join(itemCounts.select(col("_i")), Seq("_i"))
+    val frequent = graft.Caches.track(
+      kept.join(itemCounts.select(col("_i")), Seq("_i")))
     val pairCounts = frequent.select(col("_b"), col("_i").as("_ia"))
       .join(frequent.select(col("_b"), col("_i").as("_ib")), Seq("_b"))
       .where(col("_ia") < col("_ib"))
       .groupBy(col("_ia"), col("_ib")).agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSupport)
-    pairCounts
+    val pairs = pairCounts
       .join(itemCounts.select(col("_i").as("_ia"), col("_ni").as("n_a")), Seq("_ia"))
       .join(itemCounts.select(col("_i").as("_ib"), col("_ni").as("n_b")), Seq("_ib"))
+    (pairs, nBaskets)
+  }
+
+  def basketPairs(
+      df: DataFrame,
+      basket: Column,
+      item: Column,
+      minSupport: Int,
+      maxBasketSize: Int = 10000,
+      scale: Int = 6): DataFrame = {
+    val (pairs, nBaskets) = basketPairCounts(df, basket, item, minSupport, maxBasketSize)
+    pairs
       .crossJoin(broadcast(nBaskets))
       .select(col("_ia").as("item_a"), col("_ib").as("item_b"),
         col("n_ab"), col("n_a"), col("n_b"),
@@ -2734,18 +2754,14 @@ object EventAnalytics {
       minSupport: Int,
       maxBasketSize: Int = 10000,
       scale: Int = 6): DataFrame = {
-    val pairs = basketPairs(df, basket, item, minSupport, maxBasketSize, scale)
-      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
-        col("support"))
-    // recover the basket total from one pair is unsound (support is
-    // rounded) — recompute it the same way basketPairs does
-    val pairsIn = df.select(basket.as("_b"), item.as("_i"))
-      .where(col("_b").isNotNull && col("_i").isNotNull)
-      .distinct()
-    val sized = pairsIn.groupBy(col("_b")).agg(count(lit(1)).as("_bs"))
-      .where(col("_bs") <= maxBasketSize)
-    val nBaskets = pairsIn.join(sized.select(col("_b")), Seq("_b"))
-      .agg(countDistinct(col("_b")).as("_nb"))
+    // the exact-count core runs ONCE (tracked-persisted): the direction
+    // union below reads the cached pair frame twice instead of mining the
+    // quadratic self-join twice, and the basket total is the same 1-row
+    // frame the pairs face uses — not a from-scratch recompute
+    val (pairsRaw, nBaskets) = basketPairCounts(df, basket, item, minSupport, maxBasketSize)
+    val pairs = graft.Caches.track(
+      pairsRaw.select(col("_ia").as("item_a"), col("_ib").as("item_b"),
+        col("n_ab"), col("n_a"), col("n_b")))
     val directed = pairs.select(
         col("item_a").as("antecedent"), col("item_b").as("consequent"),
         col("n_ab"), col("n_a").as("n_ante"), col("n_b").as("n_cons"))
