@@ -176,9 +176,13 @@ object GraphQueries {
       personalized: Option[Long] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(numIter > 0, s"numIter must be positive, got $numIter")
+    // LAZY lineage cut: no action runs between checkpoint cadences, so an
+    // eager checkpoint job per cadence bought nothing — the final stats
+    // aggregate materializes the whole chain in one job, each cadence
+    // still truncating lineage at its boundary (guide §1.2: fewer passes).
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+      else df.localCheckpoint(false)
     val e = edges.select(
       col(EdgeColumns.Src).cast("long").as("src"),
       col(EdgeColumns.Dst).cast("long").as("dst"))
@@ -423,15 +427,20 @@ object GraphQueries {
       init: Option[DataFrame] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // LAZY cadence cuts (see pageRankDF): no action runs inside the loop,
+    // so the final count materializes the whole chain in one job; each
+    // cadence boundary still truncates lineage. e and vertices stay eager
+    // — both are read many times per round and must cache up front.
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
-    val e = materialize(
-      edges.select(col(EdgeColumns.Src).cast("long").as("src"),
-          col(EdgeColumns.Dst).cast("long").as("dst"))
-        .distinct())
-    val vertices = materialize(
-      e.select(col("src").as("vid")).union(e.select(col("dst").as("vid"))).distinct())
+      else df.localCheckpoint(false)
+    val e = edges.select(col(EdgeColumns.Src).cast("long").as("src"),
+        col(EdgeColumns.Dst).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val vertices =
+      e.select(col("src").as("vid")).union(e.select(col("dst").as("vid"))).distinct()
+        .localCheckpoint()
     def normalize(df: DataFrame, c: String): DataFrame = {
       val n2 = df.agg(sum(col(c) * col(c)).as("_n2"))
       df.crossJoin(broadcast(n2))
@@ -2347,12 +2356,14 @@ object GraphQueries {
       var lvl = 0
       var done = false
       while (!done && lvl < maxDist) {
-        val next = materialize(
+        // lazy checkpoint + count: one fused pass per level (see shortestPaths)
+        val next =
           frontier.join(e, col("v") === col("src"))
             .select(col("s"), col("dst").as("v")).distinct()
             .join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
-            .withColumn("lvl", lit(lvl + 1)))
-        if (next.isEmpty) { next.unpersist(blocking = false); done = true }
+            .withColumn("lvl", lit(lvl + 1))
+            .localCheckpoint(false)
+        if (next.count() == 0L) { next.unpersist(blocking = false); done = true }
         else {
           settled = settled.union(next)
           frontier = next
@@ -2444,15 +2455,17 @@ object GraphQueries {
       var lvl = 0
       var done = false
       while (!done && lvl < maxDist) {
-        val next = materialize(
+        // lazy checkpoint + count: one fused pass per level (see shortestPaths)
+        val next =
           frontier.join(e, col("v") === col("src"))
             .groupBy(col("s"), col("dst").as("_w"))
             .agg(sum(col("sigma")).as("sigma"))
             .withColumnRenamed("_w", "v")
             .join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
             .withColumn("lvl", lit(lvl + 1))
-            .select(col("s"), col("v"), col("lvl"), col("sigma")))
-        if (next.isEmpty) { next.unpersist(blocking = false); done = true }
+            .select(col("s"), col("v"), col("lvl"), col("sigma"))
+            .localCheckpoint(false)
+        if (next.count() == 0L) { next.unpersist(blocking = false); done = true }
         else {
           settled = settled.union(next)
           frontier = next
@@ -2550,9 +2563,11 @@ object GraphQueries {
     while (!done && iter < maxIter) {
       val la = labels.select(col("v").as("a"), col("c").as("_ca"))
       val lb = labels.select(col("v").as("b"), col("c").as("_cb"))
-      val xe = materialize(canon.join(la, "a").join(lb, "b")
-        .where(col("_ca") =!= col("_cb")))
-      if (xe.isEmpty) { xe.unpersist(blocking = false); done = true }
+      // lazy checkpoint + count: one fused pass per round (see shortestPaths)
+      val xe = canon.join(la, "a").join(lb, "b")
+        .where(col("_ca") =!= col("_cb"))
+        .localCheckpoint(false)
+      if (xe.count() == 0L) { xe.unpersist(blocking = false); done = true }
       else {
         // each component's lightest incident edge in the (w, a, b) order;
         // the other endpoint's component rides along for the hook graph
