@@ -1276,6 +1276,12 @@ object GraphQueries {
               .select(col("id"), col("_dsk").as("_sk"), lit(true).as("_chg"))
             untouched.unionAll(updated).unionAll(newIds)
           }
+        // operator telemetry: dump the round's physical plan when asked
+        // (SPARK_GRAFT_ANF_EXPLAIN=1) — the timed q304/q371/q373 faces
+        // only ever show the post-loop leaf plans, so this is how the
+        // round shape (broadcast vs shuffled contribution join, exchange
+        // placement) is audited without the Spark UI
+        if (sys.env.get("SPARK_GRAFT_ANF_EXPLAIN").contains("1")) merged.explain("formatted")
         // lazy checkpoint: the counts aggregate below computes and caches
         // every partition — one fused materialize + probe job per round,
         // with the lineage cut (see note 4 above)
