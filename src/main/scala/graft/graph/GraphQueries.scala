@@ -176,13 +176,15 @@ object GraphQueries {
       personalized: Option[Long] = None
   ): DataFrame = graft.Caches.trackNewRdds(spark) {
     require(numIter > 0, s"numIter must be positive, got $numIter")
-    // LAZY lineage cut: no action runs between checkpoint cadences, so an
-    // eager checkpoint job per cadence bought nothing — the final stats
-    // aggregate materializes the whole chain in one job, each cadence
-    // still truncating lineage at its boundary (guide §1.2: fewer passes).
+    // Cadence checkpoints stay EAGER here: an r15 lazy-cut experiment
+    // (chain all cadences into the final stats job) measured q75 ~15%
+    // SLOWER same-box same-hour — the eager per-cadence jobs let AQE
+    // stage-reuse dedupe the per-round vertex-universe subplans within
+    // each 4-round window, which the one-big-job chain does not recover.
+    // (hits keeps the lazy variant: measured neutral-to-better there.)
     def materialize(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(false)
+      else df.localCheckpoint()
     val e = edges.select(
       col(EdgeColumns.Src).cast("long").as("src"),
       col(EdgeColumns.Dst).cast("long").as("dst"))

@@ -970,19 +970,21 @@ object Dedup {
     }
 
     // postings: the codegen explode shape (see ngramJaccardPairs).
-    // Tracked persist: the frame feeds BOTH the document-frequency count
-    // and the per-document assembly join — without it the tokenize +
-    // explode + distinct over the whole corpus runs twice (plan-verified:
-    // two copies of the Generate→HashAggregate subtree at sf0.1).
+    // NOT persisted: the frame feeds both the document-frequency count
+    // and the per-document assembly join, but both consumers live in ONE
+    // executed plan whose identical distinct-Exchanges AQE stage-reuse
+    // dedupes at runtime — an r15 persist experiment here measured
+    // SLOWER across the q47/q48/q50/q86 chain (cache write + columnar
+    // encode for a reuse that was already free; the pageRankDF lesson).
     val toks = split(lower(trim(col("_txt"))), "\\s+")
-    val postings = graft.Caches.track(reps
+    val postings = reps
       .select(col("id"), toks.as("_toks"))
       .select(
         col("id"),
         col("_toks"),
         explode(sequence(lit(0), greatest(size(col("_toks")) - shingleWidth, lit(0)))).as("_i"))
       .select(col("id"), array_join(slice(col("_toks"), col("_i") + 1, lit(shingleWidth)), " ").as("shingle"))
-      .distinct())
+      .distinct()
 
     // canonical order = (df asc, shingle asc), realized by sorting each
     // document's (df, shingle) structs; one groupBy re-assembles documents.
