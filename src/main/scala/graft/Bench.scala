@@ -92,8 +92,17 @@ object Bench {
     * absorb: its committed medians flapped r12 7.72 → r13 14.8 → r14
     * [14.8, 14.8, 40.3] while idle-box reruns kept measuring 7.6–9.0.
     * Extra runs tighten the median toward steady state; the min is
-    * unchanged in expectation. */
-  private val alwaysExtraRuns: Set[String] = Set("q304_graph_anf")
+    * unchanged in expectation.
+    *
+    * q373 (r16): run 1 pays the memoized warm-start PRIOR build (a full
+    * 12-hop cold ANF written to parquet — the deployment shape is
+    * build-once/probe-many, so runs 2+ time only the warm loop), and deep
+    * in a full sweep the JVM needs several more runs to reach the warm
+    * loop's steady state: the r16 sweep recorded [20.8, 17.1, 12.0, 13.3]
+    * where an idle focused 6-run run read [24.0, 6.3, 5.2, 4.8, 5.0, 4.9]
+    * — steady state ≈ 4.8 s, sweep min 2.5× above it. Same treatment as
+    * q304. */
+  private val alwaysExtraRuns: Set[String] = Set("q304_graph_anf", "q373_anf_warm")
 
   /** First field of /proc/loadavg (1-min average); MXBean fallback off-Linux. */
   private def loadAvg(osBean: java.lang.management.OperatingSystemMXBean): Double =

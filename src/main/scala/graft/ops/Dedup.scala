@@ -1444,12 +1444,26 @@ object Dedup {
       .select(least(col(aCol), col(bCol)).as("_pa"), greatest(col(aCol), col(bCol)).as("_pb"))
       .where(col("_pa") =!= col("_pb"))
       .distinct()
-    val cand = graft.Caches.track(canon(candidates))
-    val tru  = graft.Caches.track(canon(truth))
     val nRec = corpus.select(col(idCol)).distinct().count()
-    val nCand = cand.count()
-    val nTruth = tru.count()
-    val nHit = cand.join(tru, Seq("_pa", "_pb"), "left_semi").count()
+    // ONE fused pass over both pair sets instead of three sequential count
+    // jobs (|cand|, |truth|, |cand ∩ truth| via a semi join): canon sides
+    // are distinct, so the full-outer join on the whole key is 1:1 and one
+    // row survives per pair of either side — the three counts are sums of
+    // presence flags. Fewer passes AND fewer shuffled bytes at any scale
+    // (each side is shuffled exactly once, where the count-then-semi-join
+    // shape shuffled the candidate side twice), and the sides no longer
+    // need persisting — each is consumed exactly once (r16; measured
+    // q367 −0.7 s at sf0.1, identical outputs).
+    val hits = canon(candidates).withColumn("_c", lit(1))
+      .join(canon(truth).withColumn("_t", lit(1)), Seq("_pa", "_pb"), "full")
+      .agg(
+        coalesce(sum(col("_c")), lit(0L)).as("_nc"),
+        coalesce(sum(col("_t")), lit(0L)).as("_nt"),
+        coalesce(sum(when(col("_c").isNotNull && col("_t").isNotNull, 1L)), lit(0L)).as("_nh"))
+      .first()
+    val nCand  = hits.getLong(0)
+    val nTruth = hits.getLong(1)
+    val nHit   = hits.getLong(2)
     val spark = corpus.sparkSession
     import spark.implicits._
     val total = (BigDecimal(nRec) * BigDecimal(nRec - 1) / 2).toDouble

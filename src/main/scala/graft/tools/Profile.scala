@@ -20,9 +20,14 @@ object Profile {
         shufReadMB: Double, shufWriteMB: Double, inMB: Double,
         recsIn: Long, recsShufR: Long, recsShufW: Long, tasks: Int)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[S]()
+    val scopes = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val si = sc.stageInfo
       val m  = si.taskMetrics
+      // operator scopes of the stage's RDDs — maps an AQE stage back to the
+      // plan operators it executes (the local stand-in for the SQL tab)
+      scopes.put(si.stageId,
+        si.rddInfos.sortBy(_.id).flatMap(_.scope).map(_.name).distinct.mkString(" <- "))
       val wall = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(-1L)
       stages.add(S(si.stageId, si.name.takeWhile(_ != '\n').take(120), wall,
         m.executorRunTime,
@@ -45,13 +50,20 @@ object Profile {
     val names = args.tail.toSeq
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs  = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "2").toInt.max(1)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // measurement-only conf overrides for A/B experiments, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false;spark.foo=bar"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val agg = new StageAgg
     spark.sparkContext.addSparkListener(agg)
@@ -78,6 +90,8 @@ object Profile {
         println(f"[profile]   stage ${s.id}%4d wall=${s.ms}%6d ms task=${s.taskMs}%7d ms " +
           f"tasks=${s.tasks}%3d in=${s.inMB}%8.1f MB sr=${s.shufReadMB}%8.1f MB " +
           f"sw=${s.shufWriteMB}%8.1f MB recIn=${s.recsIn}%9d recSW=${s.recsShufW}%9d  ${s.name}")
+        Option(agg.scopes.get(s.id)).filter(_.nonEmpty)
+          .foreach(sc => println(s"[profile]     ops: ${sc.take(400)}"))
       }
     }
     spark.stop()
