@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Local mode makes the driver JVM the executor: 32 concurrent tasks
+  // shared 8g (≈256 MB/task of execution+storage) — under-provisioned for
+  // the sketch/loop-heavy tail on this 128 GiB box (guide §5 sizing). r16
+  // same-day clean-sweep A/B: 16g total_min 286.5 s vs 8g 303.7 s (~3%
+  // geomean excluding code-changed queries, concentrated in the heavy
+  // tail's GC-spike medians). Env-overridable as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
